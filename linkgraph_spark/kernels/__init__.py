@@ -1,0 +1,19 @@
+"""Graph kernels: PageRank, connected components, label propagation,
+triangle counting — all built on the same superstep scaffold (join → agg →
+apply → checkpoint), the Spark-native form of the reference's
+gather–apply–scatter loop (``pagerank_lambda/dynamodb/pagerank.py:108-112``).
+"""
+
+from linkgraph_spark.kernels.pagerank import pagerank, PageRankResult
+from linkgraph_spark.kernels.components import connected_components
+from linkgraph_spark.kernels.labelprop import label_propagation
+from linkgraph_spark.kernels.triangles import triangle_count, triangles_per_vertex
+
+__all__ = [
+    "pagerank",
+    "PageRankResult",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangles_per_vertex",
+]

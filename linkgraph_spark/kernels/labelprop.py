@@ -1,0 +1,63 @@
+"""Synchronous label propagation (community detection; north_star kernel #3).
+
+Per superstep every vertex adopts the most frequent label among its
+undirected neighbors, ties broken by the smallest label (deterministic — no
+RNG, so results are identical across runs and parallelism levels, unlike
+classic async LPA). Vertices with no neighbors keep their label. Runs to a
+fixed max iteration count (LPA on symmetric graphs can 2-cycle, so a
+fixpoint test alone would not terminate; the fixed cap matches the
+reference's fixed-iteration discipline, ``dynamodb/driver.py:157``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph_spark.checkpoint import CheckpointStore
+from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.kernels.components import undirected
+
+
+def label_propagation(
+    graph: LinkGraph,
+    max_iterations: int = 5,
+    checkpoint: CheckpointStore | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """→ ``DataFrame[id: long, label: long]``."""
+    spark = graph.vertices.sparkSession
+    sym = undirected(graph.edges).persist()
+    sym.count()
+
+    labels = graph.vertices.select("id", F.col("id").alias("label"))
+    start = 0
+    if resume and checkpoint is not None:
+        latest = checkpoint.latest_iteration("labelprop")
+        if latest is not None:
+            labels = checkpoint.load_state(spark, "labelprop", latest)
+            start = latest
+    labels = labels.localCheckpoint()  # truncate lineage per superstep
+
+    for it in range(start + 1, max_iterations + 1):
+        counts = (
+            sym.join(labels, sym.dst == labels.id, "inner")
+            .groupBy(F.col("src").alias("id"), F.col("label").alias("nbr_label"))
+            .agg(F.count("*").alias("freq"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("freq"), F.asc("nbr_label"))
+        best = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", F.col("nbr_label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+            .localCheckpoint()
+        )
+        if checkpoint is not None:
+            checkpoint.write_state("labelprop", it, labels, key_col="id", metrics={})
+
+    sym.unpersist()
+    return labels

@@ -1,0 +1,209 @@
+"""Iterative PageRank — the engine's flagship kernel.
+
+Two semantics, both over the same superstep scaffold:
+
+- **textbook** (default, BASELINE.json north_star): divisor = contributor's
+  out-degree, damping 0.85, dangling mass redistributed uniformly, run to
+  L-inf residual < 1e-6.
+- **compat**: faithful to the reference's math
+  (``pagerank_lambda/dynamodb/pagerank.py:67-88``): damping 0.8, fixed
+  iteration count, divisor = contributor's stored ``relation_length``
+  (its in-degree, or 1 for pure sources — ``driver.py:124,127-135``),
+  ``remain = (1-d)/N`` (``driver.py:158-159``), init rank 1/N
+  (``driver.py:113``), no dangling handling, and vertices that never occur
+  as a destination keep their init rank forever (the store row is simply
+  never updated). Synchronous (Jacobi) supersteps — the well-defined
+  barrier-per-iteration execution; the reference's Lambdas run without a
+  barrier (``pagerank.py:108-112``) and are therefore nondeterministic, so
+  the pytest oracle pins snapshot-read semantics (SURVEY.md §2.4 quirk 2).
+
+One superstep = gather (hash join edges⋈ranks, replacing the reference's
+per-key point gets) → per-dst sum (replacing its Python accumulation loop)
+→ apply (damping + teleport) → optional checkpoint (replacing its per-row
+store puts).
+
+Scale/efficiency design:
+
+- the divisor is attached to the edge table ONCE before the loop
+  (iteration-invariant) and persisted, so each superstep shuffles only
+  ``(src, dst, div) ⋈ (id, rank)`` plus the per-dst sum;
+- the rank state is ``localCheckpoint()``-ed every superstep — without
+  lineage truncation the logical plan grows per iteration and Catalyst
+  re-analysis goes quadratic (the standard iterative-Spark trap); on a
+  cluster the durable checkpoint (``CheckpointStore``) serves double duty;
+- exactly TWO Spark jobs per superstep: (1) materialize the new rank
+  vector, (2) one combined aggregate producing the residual AND the next
+  iteration's dangling mass (the static ``is_dangling`` flag rides along in
+  the state vector, so no per-iteration join against the dangling set);
+- hub-vertex ranks join broadcast (``skew.gather_contribs``), the shuffled
+  remainder is covered by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph_spark.checkpoint import CheckpointStore
+from linkgraph_spark.config import COMPAT_DAMPING, COMPAT_ITERATIONS, EngineConfig
+from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.skew import gather_contribs, hub_vertices, plain_sum, salted_sum
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # [id: long, rank: double]
+    iterations: int
+    converged: bool
+    residual: float | None
+    metrics: list = field(default_factory=list)
+
+
+def _edges_with_divisor(graph: LinkGraph, mode: str) -> DataFrame:
+    """Attach the iteration-invariant divisor to every edge.
+
+    textbook → src out-degree; compat → src relation_length (in-deg-or-1,
+    the reference's quirk — SURVEY.md §2.4)."""
+    div_col = "out_deg" if mode == "textbook" else "relation_length"
+    deg = graph.degrees.select(F.col("id").alias("src"), F.col(div_col).alias("div"))
+    return graph.edges.join(deg, "src").select("src", "dst", "div")
+
+
+def pagerank(
+    graph: LinkGraph,
+    mode: str = "textbook",
+    config: EngineConfig | None = None,
+    iterations: int | None = None,
+    checkpoint: CheckpointStore | None = None,
+    resume: bool = False,
+    use_hub_broadcast: bool = True,
+    use_salting: bool = False,
+    gather_fn=None,
+) -> PageRankResult:
+    """Run PageRank to convergence (textbook) or a fixed count (compat).
+
+    ``gather_fn(edges_div, ranks) -> DataFrame[dst, contrib, src]`` lets the
+    CSR/Arrow path (``linkgraph_spark.csr``) replace the builtin gather.
+    ``resume=True`` restarts from the latest committed checkpoint iteration.
+    """
+    cfg = config or EngineConfig()
+    if mode == "compat":
+        damping = COMPAT_DAMPING
+        n_iters = iterations if iterations is not None else COMPAT_ITERATIONS
+        check_convergence = False
+    elif mode == "textbook":
+        damping = cfg.damping
+        n_iters = iterations if iterations is not None else cfg.max_iterations
+        check_convergence = iterations is None
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    spark = graph.vertices.sparkSession
+    n = graph.num_vertices
+    teleport = (1.0 - damping) / n
+    edges_div = _edges_with_divisor(graph, mode).persist()
+    n_edges = edges_div.count()  # materialize the invariant table once
+
+    hub_ids = None
+    if use_hub_broadcast:
+        hub_ids = hub_vertices(graph.degrees, cfg.hub_degree_threshold).persist()
+        if hub_ids.count() == 0:
+            hub_ids.unpersist()
+            hub_ids = None
+
+    gather = gather_fn or (lambda ed, r: gather_contribs(ed, r, hub_ids))
+    agg = (lambda c: salted_sum(c, cfg.salt_buckets)) if use_salting else plain_sum
+
+    # state vector carries the static is_dangling flag so the dangling-mass
+    # aggregate never needs a join
+    dangling_flag = (F.col("out_deg") == 0).alias("is_dangling")
+    init = graph.degrees.select("id", F.lit(1.0 / n).alias("rank"), dangling_flag)
+
+    kernel = f"pagerank_{mode}"
+    start_iter = 0
+    if resume and checkpoint is not None:
+        latest = checkpoint.latest_iteration(kernel)
+        if latest is not None:
+            saved = checkpoint.load_state(spark, kernel, latest)
+            init = saved.join(
+                graph.degrees.select("id", dangling_flag), "id"
+            ).select("id", "rank", "is_dangling")
+            start_iter = latest
+
+    ranks = init.localCheckpoint()  # eager: truncates lineage, materializes
+    stats = ranks.agg(
+        F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm")
+    ).collect()[0]
+    dangling_mass = stats["dm"] or 0.0
+
+    metrics: list = []
+    residual = None
+    converged = False
+    it = start_iter
+    while it < n_iters:
+        it += 1
+        t0 = time.monotonic()
+
+        contribs = gather(edges_div, ranks.select("id", "rank"))
+        sums = agg(contribs)
+
+        old = ranks.select("id", F.col("rank").alias("_old"), "is_dangling")
+        if mode == "textbook":
+            base = teleport + damping * (dangling_mass / n)
+            new_rank = F.lit(base) + F.lit(damping) * F.coalesce(
+                "contrib_sum", F.lit(0.0)
+            )
+        else:
+            # compat: a vertex with no in-edges is never written to the
+            # store, so it keeps its previous (= initial) rank.
+            new_rank = F.coalesce(
+                F.lit(damping) * F.col("contrib_sum") + F.lit(teleport), F.col("_old")
+            )
+        new = old.join(sums, old.id == sums.dst, "left").select(
+            "id", new_rank.alias("rank"), "_old", "is_dangling"
+        )
+        new = new.localCheckpoint()  # job 1: materialize + truncate lineage
+
+        # job 2: residual + next iteration's dangling mass in ONE aggregate
+        stats = new.agg(
+            F.max(F.abs(F.col("rank") - F.col("_old"))).alias("resid"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+        ).collect()[0]
+        residual = stats["resid"]
+        dangling_mass = stats["dm"] or 0.0
+
+        wall = time.monotonic() - t0
+        m = {
+            "iteration": it,
+            "edges_scattered": n_edges,
+            "residual": residual,
+            "dangling_mass": dangling_mass,
+            "wall_sec": wall,
+            "edges_per_sec": n_edges / wall if wall > 0 else None,
+        }
+        metrics.append(m)
+
+        ranks = new.select("id", "rank", "is_dangling")
+
+        if checkpoint is not None and it % cfg.checkpoint_every == 0:
+            checkpoint.write_state(
+                kernel, it, ranks.select("id", "rank"), key_col="id", metrics=m
+            )
+
+        if check_convergence and residual is not None and residual < cfg.tol:
+            converged = True
+            break
+
+    edges_div.unpersist()
+    if hub_ids is not None:
+        hub_ids.unpersist()
+    return PageRankResult(
+        ranks=ranks.select("id", "rank"),
+        iterations=it,
+        converged=converged,
+        residual=residual,
+        metrics=metrics,
+    )

@@ -1,0 +1,156 @@
+"""Transcript table synthesis and ingestion.
+
+The engine's primary input is a table of multi-turn conversation / agent
+transcripts with schema ``(conv_id: string, turn_idx: int, role: string,
+text: string, tool: string, ts: timestamp)``.
+
+Two producers:
+
+- :func:`synthesize_transcripts` — a fully deterministic, fully distributed
+  generator (``spark.range`` + ``F.sequence``/``F.explode``; no driver-side
+  loops, no wall clock, no randomness source other than fixed arithmetic),
+  used by pytest fixtures and by the benchmark at arbitrary scale. This is
+  the sandbox stand-in for the production Iceberg transcript table.
+- :func:`transcripts_from_events` — a deterministic derivation from the
+  driver-provided ``events`` parquet table, expressible identically in ANSI
+  SQL so DuckDB can replay it for the correctness oracle.
+
+Scale note: the generator is O(rows) with no shuffle — a single ``range``
+scan exploded per-conv — so it parallelizes linearly to any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["search", "calc", "browse", "exec"]
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def synthesize_transcripts(
+    spark: SparkSession,
+    n_convs: int = 200,
+    min_turns: int = 2,
+    max_turns: int = 50,
+    hub_turns: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic synthetic transcripts (FIXTURES.md F1).
+
+    - ``turn_idx`` is 0..len(conv)-1, dense and unique per conv — the stable
+      ordering key required by the per-turn text-equality invariant.
+    - ``text`` is ``{conv_id}:{turn_idx}:{token}``, unique per row.
+    - ``tool`` is non-null on a deterministic ~20% subset of assistant turns.
+    - ``ts`` is a fixed epoch plus conv/turn offsets — never ``now()``.
+    - ``hub_turns > 0`` appends one hub conversation whose every turn
+      invokes tool "search": a hub vertex with ~100x degree that exercises
+      the salting / hub-broadcast path.
+    """
+    span = max_turns - min_turns + 1
+    convs = (
+        spark.range(n_convs)
+        .withColumn("conv_ord", F.col("id").cast("long"))
+        .withColumn(
+            "n_turns",
+            (F.lit(min_turns) + (F.col("conv_ord") * 7919 + seed) % span).cast("int"),
+        )
+    )
+    turns = convs.select(
+        "conv_ord",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    )
+    role_arr = F.array(*[F.lit(r) for r in ROLES])
+    tool_arr = F.array(*[F.lit(t) for t in TOOLS])
+    phase = (F.col("conv_ord") * 131 + seed) % 4
+    role = F.element_at(role_arr, ((phase + F.col("turn_idx")) % 4 + 1).cast("int"))
+    token = F.pmod(F.col("conv_ord") * 1009 + F.col("turn_idx") * 9176 + seed, F.lit(99991))
+    main = turns.select(
+        F.format_string("conv%05d", F.col("conv_ord")).alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("conv_ord"),
+        token.alias("token"),
+    )
+    main = main.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.format_string("%s:%d:t%d", F.col("conv_id"), F.col("turn_idx"), F.col("token")).alias(
+            "text"
+        ),
+        F.when(
+            (F.col("role") == "assistant")
+            & ((F.col("conv_ord") * 31 + F.col("turn_idx") * 17) % 5 == 0),
+            F.element_at(tool_arr, ((F.col("conv_ord") + F.col("turn_idx")) % 4 + 1).cast("int")),
+        ).alias("tool"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("conv_ord"), mins=F.col("turn_idx"))
+        ).alias("ts"),
+    )
+    if hub_turns > 0:
+        hub = spark.range(hub_turns).select(
+            F.lit("convhub").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+            F.format_string("convhub:%d:hub", F.col("id")).alias("text"),
+            F.lit("search").alias("tool"),
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(mins=F.col("id"))
+            ).alias("ts"),
+        )
+        main = main.unionByName(hub)
+    return main
+
+
+def transcripts_from_events(
+    spark: SparkSession, sf_dir: str, turns_per_conv: int = 8
+) -> DataFrame:
+    """Deterministically reshape the driver's ``events`` table into transcripts.
+
+    Each user's event stream (ordered by ``ts, event_id`` — a total order
+    since event_id is unique) is chopped into conversations of
+    ``turns_per_conv`` turns. Role/tool/text are pure arithmetic on the
+    event row, so DuckDB reproduces the table exactly (see
+    ``__spark_entry__.oracle_sql``).
+    """
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("_lg_events")
+    return spark.sql(transcripts_from_events_sql(turns_per_conv, table="_lg_events"))
+
+
+def transcripts_from_events_sql(turns_per_conv: int = 8, table: str = "events") -> str:
+    """ANSI SQL for :func:`transcripts_from_events` — runs on Spark AND DuckDB."""
+    return f"""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM {table}
+    )
+    SELECT
+      concat('u', CAST(user_id AS VARCHAR), '_c',
+             CAST(CAST(floor(rn / {turns_per_conv}) AS BIGINT) AS VARCHAR)) AS conv_id,
+      CAST(rn % {turns_per_conv} AS INT) AS turn_idx,
+      CASE event_type
+        WHEN 'purchase' THEN 'assistant'
+        WHEN 'error'    THEN 'assistant'
+        WHEN 'signup'   THEN 'system'
+        ELSE 'user'
+      END AS role,
+      concat('e', CAST(event_id AS VARCHAR), ':', event_type) AS text,
+      CASE
+        WHEN event_type IN ('purchase', 'error') AND event_id % 3 = 0 THEN
+          CASE CAST(event_id % 4 AS INT)
+            WHEN 0 THEN 'search' WHEN 1 THEN 'calc'
+            WHEN 2 THEN 'browse' ELSE 'exec'
+          END
+      END AS tool,
+      ts
+    FROM seq
+    """

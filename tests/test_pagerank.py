@@ -1,0 +1,83 @@
+import math
+
+import pytest
+
+from linkgraph_spark.edges import build_graph, graph_from_edges
+from linkgraph_spark.kernels import pagerank
+from linkgraph_spark.transcripts import synthesize_transcripts
+from tests.fixtures_graphs import DIRTY, STAR10, TRI3, TWO_COMPS, web64
+from tests.oracles import clean, pagerank_compat, pagerank_textbook
+
+
+def ranks_dict(result):
+    return {r["id"]: r["rank"] for r in result.ranks.collect()}
+
+
+def assert_close(got, want, tol=1e-6):
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], abs_tol=tol), (v, got[v], want[v])
+
+
+@pytest.mark.parametrize("edges", [TRI3, STAR10, TWO_COMPS, DIRTY, web64()],
+                         ids=["tri3", "star10", "two_comps", "dirty", "web64"])
+def test_compat_matches_reference_oracle(spark, edges):
+    g = graph_from_edges(spark, edges)
+    res = pagerank(g, mode="compat")
+    assert res.iterations == 3
+    assert_close(ranks_dict(res), pagerank_compat(edges))
+    g.unpersist()
+
+
+@pytest.mark.parametrize("edges", [TRI3, STAR10, web64()], ids=["tri3", "star10", "web64"])
+def test_textbook_matches_power_iteration(spark, edges):
+    g = graph_from_edges(spark, edges)
+    res = pagerank(g, mode="textbook")
+    want, _ = pagerank_textbook(edges)
+    assert res.converged
+    assert_close(ranks_dict(res), want, tol=1e-5)
+    g.unpersist()
+
+
+def test_tri3_closed_form(spark):
+    g = graph_from_edges(spark, TRI3)
+    res = pagerank(g, mode="textbook")
+    got = ranks_dict(res)
+    for v in (0, 1, 2):
+        assert math.isclose(got[v], 1.0 / 3.0, abs_tol=1e-6)
+    g.unpersist()
+
+
+def test_rank_mass_conserved_textbook(spark):
+    g = graph_from_edges(spark, web64())
+    res = pagerank(g, mode="textbook", iterations=5)
+    total = sum(ranks_dict(res).values())
+    assert math.isclose(total, 1.0, abs_tol=1e-9)
+    g.unpersist()
+
+
+def test_compat_on_transcript_graph(spark):
+    t = synthesize_transcripts(spark, n_convs=8, min_turns=3, max_turns=10)
+    g = build_graph(t)
+    edge_pairs = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    assert edge_pairs, "tiny transcript graph should produce edges"
+    res = pagerank(g, mode="compat")
+    assert_close(ranks_dict(res), pagerank_compat(edge_pairs))
+    g.unpersist()
+
+
+def test_salting_and_hub_broadcast_do_not_change_results(spark):
+    edges = web64(n=48)
+    g = graph_from_edges(spark, edges)
+    base = ranks_dict(pagerank(g, mode="textbook", iterations=8, use_hub_broadcast=False))
+    from linkgraph_spark.config import EngineConfig
+
+    cfg = EngineConfig(hub_degree_threshold=3, salt_buckets=4)
+    hub = ranks_dict(
+        pagerank(
+            g, mode="textbook", iterations=8, config=cfg,
+            use_hub_broadcast=True, use_salting=True,
+        )
+    )
+    assert_close(hub, base, tol=1e-12)
+    g.unpersist()
