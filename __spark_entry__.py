@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: textbook PageRank over the transcript-derived
+actor graph at sf0.001.
+``queries()`` — every implemented operator (SURVEY.md §2 + training-data
+pipeline ops), each runnable as ``fn(spark, sf_dir)``.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (same column names &
+rounding); omitted only for genuinely non-SQL-expressible ops (streaming /
+approximate-LSH / stub plumbing), which get the rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +14,429 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph_spark.config import EngineConfig
+from linkgraph_spark.edges import build_graph, edges_sql
+from linkgraph_spark.kernels import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+    triangles_per_vertex,
+)
+from linkgraph_spark.kernels.triangles import _triangles
+from linkgraph_spark.functions import dedup as dd
+from linkgraph_spark.functions import multimodal as mm
+from linkgraph_spark.functions import similarity as sim
+from linkgraph_spark.functions import text as tx
+from linkgraph_spark.transcripts import transcripts_from_events, transcripts_from_events_sql
+
+TURNS_PER_CONV = 8
+_GRAPH_CACHE: dict = {}
 
 
+def _graph(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the actor graph from the events-derived
+    transcripts — reused by every graph query in this module."""
+    if sf_dir not in _GRAPH_CACHE:
+        t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+        _GRAPH_CACHE[sf_dir] = build_graph(t)
+    return _GRAPH_CACHE[sf_dir]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive the actor graph from sf0.001 transcripts and return
+    the converged textbook-PageRank top-20 actors."""
+    g = _graph(spark, "/root/testdata/sf0.001")
+    res = pagerank(g, mode="textbook")
+    return (
+        res.ranks.join(g.vertices, "id")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+        .select("actor_key", F.round("rank", 6).alias("rank"))
+    )
+
+
+# ------------------------------------------------------------- graph queries
+def q_transcripts(spark, sf_dir):
+    return transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+
+
+def q_edges(spark, sf_dir):
+    return _graph(spark, sf_dir).edges.select("src", "dst")
+
+
+def q_vertices(spark, sf_dir):
+    return _graph(spark, sf_dir).vertices.select("id", "actor_key")
+
+
+def q_degrees(spark, sf_dir):
+    return _graph(spark, sf_dir).degrees.select(
+        "id", "out_deg", "in_deg", "relation_length"
+    )
+
+
+def q_pagerank_compat(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, mode="compat")  # d=0.8, 3 iterations, in-deg divisor
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_textbook5(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, mode="textbook", iterations=5)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_top20(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, mode="compat")
+    return (
+        res.ranks.join(g.vertices, "id")
+        .select("actor_key", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("actor_key"))
+        .limit(20)
+    )
+
+
+def q_components(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return connected_components(g).select("id", "component")
+
+
+def q_component_sizes(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return (
+        connected_components(g)
+        .groupBy("component")
+        .agg(F.count("*").alias("size"))
+    )
+
+
+def q_labelprop3(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return label_propagation(g, max_iterations=3).select("id", "label")
+
+
+def q_triangle_count(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return spark.createDataFrame([(triangle_count(g),)], "n_triangles long")
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return triangles_per_vertex(g).where(F.col("triangles") > 0)
+
+
+def q_triangle_list(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return _triangles(g.edges)
+
+
+# ----------------------------------------------------------- pipeline: text
+def q_token_stats(spark, sf_dir):
+    return tx.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return tx.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return tx.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return tx.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------- pipeline: dedup
+def q_exact_dedup(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_dups(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_dups(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_dups(spark, sf_dir):
+    return dd.simhash_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+# ----------------------------------------------------- pipeline: similarity
+def q_cosine_topk(spark, sf_dir):
+    return sim.cosine_topk(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    return sim.embedding_near_dups(_embs(spark, sf_dir), threshold=0.35)
+
+
+def q_lsh_knn(spark, sf_dir):  # approximate — rows-only check
+    return sim.lsh_knn(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_media_features(spark, sf_dir):  # stubbed decode — rows-only check
+    media = mm.synthesize_media(_docs(spark, sf_dir))
+    return mm.decode_stub(media).select("media_id", "kind", "n_bytes", "note")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "transcripts_derive": q_transcripts,
+        "edge_derivation": q_edges,
+        "vertex_universe": q_vertices,
+        "degrees": q_degrees,
+        "pagerank_compat3": q_pagerank_compat,
+        "pagerank_textbook5": q_pagerank_textbook5,
+        "pagerank_top20": q_pagerank_top20,
+        "connected_components": q_components,
+        "component_sizes": q_component_sizes,
+        "label_propagation3": q_labelprop3,
+        "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "triangle_list": q_triangle_list,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dups": q_ngram_jaccard,
+        "minhash_lsh_dups": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lsh_knn": q_lsh_knn,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ----------------------------------------------------------------- oracles
+_T_SQL = transcripts_from_events_sql(TURNS_PER_CONV, table="events")
+_G = edges_sql(_T_SQL)  # WITH ... , edges AS (...)
+
+_DEGS = """
+    degs AS MATERIALIZED (
+      SELECT v.id,
+             coalesce(o.c, 0) AS out_deg,
+             coalesce(i.c, 0) AS in_deg,
+             coalesce(i.c, 1) AS relation_length
+      FROM verts v
+      LEFT JOIN (SELECT src AS id, count(*) AS c FROM edges GROUP BY src) o USING (id)
+      LEFT JOIN (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst) i USING (id)
+    )"""
+
+_NV = ", nv AS (SELECT count(*) AS n FROM verts)"
+
+
+def _pr_compat_ctes(iters: int = 3, d: float = 0.8) -> str:
+    """CTE chain r0..r{iters} for the compat PageRank (needs degs + nv)."""
+    ctes = ["r0 AS (SELECT id, 1.0 / nv.n AS rank FROM verts CROSS JOIN nv)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT r.id,
+             CASE WHEN s.sm IS NOT NULL THEN {d} * s.sm + {1 - d:.17g} / nv.n
+                  ELSE r.rank END AS rank
+      FROM r{k - 1} r CROSS JOIN nv
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(r2.rank / dg.relation_length) AS sm
+        FROM edges e
+        JOIN r{k - 1} r2 ON e.src = r2.id
+        JOIN degs dg ON dg.id = e.src
+        GROUP BY e.dst
+      ) s ON s.id = r.id
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _pagerank_compat_sql(iters: int = 3, d: float = 0.8) -> str:
+    return f"""{_G}, {_DEGS}{_NV},
+    {_pr_compat_ctes(iters, d)}
+    SELECT id, round(rank, 6) AS rank FROM r{iters}
     """
-    return {}
+
+
+def _pagerank_top20_sql(iters: int = 3, d: float = 0.8) -> str:
+    return f"""{_G}, {_DEGS}{_NV},
+    {_pr_compat_ctes(iters, d)}
+    SELECT v.actor_key, round(r.rank, 6) AS rank
+    FROM r{iters} r JOIN verts v USING (id)
+    ORDER BY round(r.rank, 6) DESC, v.actor_key ASC
+    LIMIT 20
+    """
+
+
+def _pagerank_textbook_sql(iters: int = 5, d: float = 0.85) -> str:
+    ctes = ["r0 AS (SELECT id, 1.0 / nv.n AS rank FROM verts CROSS JOIN nv)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""dm{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS m
+      FROM r{k - 1} r JOIN degs dg ON dg.id = r.id AND dg.out_deg = 0
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT r.id,
+             {1 - d:.17g} / nv.n + {d} * (dm{k}.m / nv.n)
+               + {d} * coalesce(s.sm, 0.0) AS rank
+      FROM r{k - 1} r CROSS JOIN nv CROSS JOIN dm{k}
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(r2.rank / dg.out_deg) AS sm
+        FROM edges e
+        JOIN r{k - 1} r2 ON e.src = r2.id
+        JOIN degs dg ON dg.id = e.src
+        GROUP BY e.dst
+      ) s ON s.id = r.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G}, {_DEGS}{_NV},
+    {body}
+    SELECT id, round(rank, 6) AS rank FROM r{iters}
+    """
+
+
+def _components_ctes(unroll: int = 20) -> str:
+    ctes = [
+        """und AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst AS a, src AS b FROM edges
+    )""",
+        "l0 AS (SELECT id, id AS component FROM verts)",
+    ]
+    for k in range(1, unroll + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+      SELECT l.id,
+             least(l.component, coalesce(m.mn, l.component)) AS component
+      FROM l{k - 1} l
+      LEFT JOIN (
+        SELECT und.a AS id, min(l2.component) AS mn
+        FROM und JOIN l{k - 1} l2 ON und.b = l2.id
+        GROUP BY und.a
+      ) m ON m.id = l.id
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _components_sql(unroll: int = 20) -> str:
+    return f"""{_G},
+    {_components_ctes(unroll)}
+    SELECT id, component FROM l{unroll}
+    """
+
+
+def _component_sizes_sql(unroll: int = 20) -> str:
+    return f"""{_G},
+    {_components_ctes(unroll)}
+    SELECT component, count(*) AS size FROM l{unroll} GROUP BY component
+    """
+
+
+def _labelprop_sql(iters: int = 3) -> str:
+    ctes = [
+        """und AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst AS a, src AS b FROM edges
+    )""",
+        "p0 AS (SELECT id, id AS label FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT p.id, coalesce(b.new_label, p.label) AS label
+      FROM p{k - 1} p
+      LEFT JOIN (
+        SELECT id, nbr_label AS new_label FROM (
+          SELECT und.a AS id, l.label AS nbr_label,
+                 row_number() OVER (PARTITION BY und.a
+                                    ORDER BY count(*) DESC, l.label ASC) AS rn
+          FROM und JOIN p{k - 1} l ON und.b = l.id
+          GROUP BY und.a, l.label
+        ) WHERE rn = 1
+      ) b ON b.id = p.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G},
+    {body}
+    SELECT id, label FROM p{iters}
+    """
+
+
+_TRIANGLES_CTE = """
+    und AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts_derive": _T_SQL,
+        "edge_derivation": f"{_G} SELECT src, dst FROM edges",
+        "vertex_universe": f"{_G} SELECT id, actor_key FROM verts",
+        "degrees": f"{_G}, {_DEGS} SELECT id, out_deg, in_deg, relation_length FROM degs",
+        "pagerank_compat3": _pagerank_compat_sql(3, 0.8),
+        "pagerank_textbook5": _pagerank_textbook_sql(5, 0.85),
+        "pagerank_top20": _pagerank_top20_sql(3, 0.8),
+        "connected_components": _components_sql(20),
+        "component_sizes": _component_sizes_sql(20),
+        "label_propagation3": _labelprop_sql(3),
+        "triangle_count": f"{_G}, {_TRIANGLES_CTE} SELECT count(*) AS n_triangles FROM tri",
+        "triangles_per_vertex": f"""{_G}, {_TRIANGLES_CTE},
+    members AS (
+      SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    )
+    SELECT id, count(*) AS triangles FROM members GROUP BY id
+    """,
+        "triangle_list": f"{_G}, {_TRIANGLES_CTE} SELECT a, b, c FROM tri",
+        "token_stats": tx.token_stats_sql(),
+        "quality_score": tx.quality_score_sql(),
+        "lang_id": tx.lang_id_sql(),
+        "fingerprint": tx.fingerprint_sql(),
+        "exact_dedup": dd.exact_dedup_sql(),
+        "ngram_jaccard_dups": dd.ngram_jaccard_sql(threshold=0.5),
+        "minhash_lsh_dups": dd.minhash_lsh_sql(threshold=0.5),
+        "simhash": dd.simhash_sql(),
+        "simhash_dups": dd.simhash_dups_sql(max_hamming=3),
+        "cosine_topk": sim.cosine_topk_sql(n_queries=10, k=5),
+        "embedding_near_dups": sim.embedding_near_dups_sql(threshold=0.35),
+        # lsh_knn / media_features: approximate / stubbed — rows-only check
+    }
+
+
+if __name__ == "__main__":
+    from linkgraph_spark.session import get_spark
+
+    s = get_spark()
+    entry(s).show(20, truncate=False)

@@ -20,8 +20,8 @@ Layout::
 
     {base}/{kernel}/state/iteration={k}/*.parquet   # the state vector
     {base}/{kernel}/state/iteration={k}/_COMMIT     # atomic commit manifest
-    {base}/{kernel}/metrics/iteration={k}/*.parquet # per-superstep metrics
-    {base}/{kernel}/lineage/iteration={k}/*.parquet # per-partition lineage
+    {base}/{kernel}/metrics/it_{k}/*.parquet     # per-superstep metrics
+    {base}/{kernel}/lineage/it_{k}/*.parquet     # per-partition lineage
 """
 
 from __future__ import annotations
@@ -80,7 +80,7 @@ class CheckpointStore:
             .withColumn("iteration", F.lit(iteration))
         )
         lineage.write.mode("overwrite").parquet(
-            f"{self.base}/{kernel}/lineage/iteration={iteration}"
+            f"{self.base}/{kernel}/lineage/it_{iteration}"
         )
 
         if metrics:
@@ -88,7 +88,7 @@ class CheckpointStore:
             spark.createDataFrame(mrow, "iteration int, metrics_json string").coalesce(
                 1
             ).write.mode("overwrite").parquet(
-                f"{self.base}/{kernel}/metrics/iteration={iteration}"
+                f"{self.base}/{kernel}/metrics/it_{iteration}"
             )
 
         # atomic commit: readers ignore iterations without this manifest
@@ -120,7 +120,7 @@ class CheckpointStore:
         return spark.read.parquet(self._state_dir(kernel, iteration))
 
     def load_metrics(self, spark: SparkSession, kernel: str) -> DataFrame:
-        return spark.read.parquet(f"{self.base}/{kernel}/metrics/iteration=*")
+        return spark.read.parquet(f"{self.base}/{kernel}/metrics/it_*")
 
     def load_lineage(self, spark: SparkSession, kernel: str) -> DataFrame:
-        return spark.read.parquet(f"{self.base}/{kernel}/lineage/iteration=*")
+        return spark.read.parquet(f"{self.base}/{kernel}/lineage/it_*")

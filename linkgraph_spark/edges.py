@@ -221,13 +221,15 @@ def vertex_degrees(vertices: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def edges_sql(transcripts_relation: str) -> str:
-    """ANSI SQL (Spark + DuckDB) reproducing the full ETL over a transcript
-    relation — the DuckDB oracle for the DataFrame pipeline above.
+    """DuckDB SQL reproducing the full ETL over a transcript relation — the
+    oracle for the DataFrame pipeline above.
 
     ``||`` (not ``concat``) so NULL propagation matches across engines.
+    ``MATERIALIZED`` CTE hints prevent DuckDB from re-inlining the chain
+    exponentially in downstream iterative oracles.
     """
     return f"""
-    WITH t AS ({transcripts_relation}),
+    WITH t AS MATERIALIZED ({transcripts_relation}),
     adj AS (
       SELECT (conv_id || '#' || role) AS src_key,
              (conv_id || '#' || lead(role) OVER
@@ -244,10 +246,10 @@ def edges_sql(transcripts_relation: str) -> str:
       UNION ALL
       SELECT src_key, dst_key FROM tool_e
     ),
-    clean AS (
+    clean AS MATERIALIZED (
       SELECT DISTINCT src_key, dst_key FROM raw WHERE src_key <> dst_key
     ),
-    verts AS (
+    verts AS MATERIALIZED (
       SELECT actor_key,
              row_number() OVER (ORDER BY actor_key) - 1 AS id
       FROM (
@@ -256,7 +258,7 @@ def edges_sql(transcripts_relation: str) -> str:
         SELECT dst_key AS actor_key FROM clean
       ) u
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT vs.id AS src, vd.id AS dst
       FROM clean
       JOIN verts vs ON clean.src_key = vs.actor_key

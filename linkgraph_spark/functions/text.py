@@ -1,0 +1,178 @@
+"""Text analysis operators over the ``documents`` table.
+
+Each operator is a pure JVM-side column expression pipeline (no Python in
+the hot path) with an exact DuckDB SQL mirror for the correctness oracle:
+
+- token counting (whitespace + a BPE-ish sub-token regex estimate),
+- quality scoring (length / punctuation / stopword ratios),
+- language ID (stopword-hit heuristic over a tiny per-language lexicon),
+- document fingerprinting (md5 content fingerprint + first-8-token
+  prefix fingerprint for clustering near-identical prefixes).
+
+At 100 TB these are embarrassingly parallel map-only scans: no shuffle, the
+parquet reader prunes to the ``text`` column only, and every expression
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny fixed lexicons — deterministic, good enough for a heuristic lang-id
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "ein", "mit", "für", "auf", "zu"]
+STOPWORDS_FR = ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "sur"]
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish sub-token estimate (≈ ceil(chars/4),
+    the common bytes-per-token rule of thumb) per document."""
+    toks = _tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.ceil(F.length("text") / F.lit(4)).cast("long").alias("bpe_token_estimate"),
+    )
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_estimate
+    FROM {table}
+    """
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + punctuation ratio +
+    stopword ratio + mean word length band. All column arithmetic."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_wl = (n_chars - n_tok + 1) / n_tok  # chars minus separators per token
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 0.25).otherwise(0.0)
+    punct_ratio = punct / n_chars
+    punct_ok = F.when(punct_ratio < 0.2, 0.25).otherwise(0.0)
+    stop_ratio = n_stop / n_tok
+    stop_ok = F.when(stop_ratio > 0.05, 0.25).otherwise(0.0)
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 0.25).otherwise(0.0)
+    return documents.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(len_ok + punct_ok + stop_ok + wl_ok, 2).alias("quality"),
+    )
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+      FROM {table}
+    ), feat AS (
+      SELECT doc_id,
+             len(toks) AS n_tok, n_chars, punct,
+             len(list_filter(toks, t -> list_contains([{stops}], t))) AS n_stop,
+             (n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mean_wl
+      FROM base
+    )
+    SELECT doc_id,
+           round(punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+           round(n_stop / CAST(n_tok AS DOUBLE), 6) AS stopword_ratio,
+           CAST(round(
+             (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN punct / CAST(n_chars AS DOUBLE) < 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_stop / CAST(n_tok AS DOUBLE) > 0.05 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN (n_chars - n_tok + 1) / CAST(n_tok AS DOUBLE) BETWEEN 2.0 AND 12.0
+                   THEN 0.25 ELSE 0.0 END), 2) AS DOUBLE) AS quality
+    FROM feat
+    """
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic: score per language = fraction of
+    tokens in that language's stopword list; argmax with deterministic
+    tie-break (en > de > fr > unknown)."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+
+    def score(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n_tok
+
+    en, de, fr = score(STOPWORDS_EN), score(STOPWORDS_DE), score(STOPWORDS_FR)
+    best = F.greatest(en, de, fr)
+    pred = (
+        F.when(best < 0.02, "unknown")
+        .when(en == best, "en")
+        .when(de == best, "de")
+        .otherwise("fr")
+    )
+    return documents.select("doc_id", pred.alias("lang_pred"), F.round(best, 6).alias("lang_score"))
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    def score(words):
+        lst = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter(toks, t -> list_contains([{lst}], t))) / CAST(len(toks) AS DOUBLE)"
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {table}
+    ), s AS (
+      SELECT doc_id,
+             {score(STOPWORDS_EN)} AS en,
+             {score(STOPWORDS_DE)} AS de,
+             {score(STOPWORDS_FR)} AS fr
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(en, de, fr) < 0.02 THEN 'unknown'
+                WHEN en = greatest(en, de, fr) THEN 'en'
+                WHEN de = greatest(en, de, fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred,
+           round(greatest(en, de, fr), 6) AS lang_score
+    FROM s
+    """
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprints: exact md5 of normalized text + an 8-token
+    prefix fingerprint (clusters near-identical-prefix docs)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    prefix = F.array_join(F.slice(toks, 1, 8), " ")
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(prefix).alias("prefix_fp"),
+    )
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM {table}
+    )
+    SELECT doc_id,
+           md5(norm) AS content_fp,
+           md5(array_to_string(string_split(norm, ' ')[1:8], ' ')) AS prefix_fp
+    FROM base
+    """

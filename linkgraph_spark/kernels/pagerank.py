@@ -82,11 +82,14 @@ def pagerank(
     use_hub_broadcast: bool = True,
     use_salting: bool = False,
     gather_fn=None,
+    gather_mode: str = "builtin",
 ) -> PageRankResult:
     """Run PageRank to convergence (textbook) or a fixed count (compat).
 
-    ``gather_fn(edges_div, ranks) -> DataFrame[dst, contrib, src]`` lets the
-    CSR/Arrow path (``linkgraph_spark.csr``) replace the builtin gather.
+    ``gather_mode='csr'`` replaces the builtin hash aggregate with the
+    Arrow-vectorized range-blocked CSR reduction (``linkgraph_spark.csr``).
+    ``gather_fn(edges_div, ranks) -> DataFrame[dst, contrib, src]`` lets a
+    custom gather replace the builtin join.
     ``resume=True`` restarts from the latest committed checkpoint iteration.
     """
     cfg = config or EngineConfig()
@@ -115,7 +118,14 @@ def pagerank(
             hub_ids = None
 
     gather = gather_fn or (lambda ed, r: gather_contribs(ed, r, hub_ids))
-    agg = (lambda c: salted_sum(c, cfg.salt_buckets)) if use_salting else plain_sum
+    if gather_mode == "csr":
+        from linkgraph_spark.csr import csr_block_sum
+
+        agg = lambda c: csr_block_sum(c, cfg.block_width)  # noqa: E731
+    elif use_salting:
+        agg = lambda c: salted_sum(c, cfg.salt_buckets)  # noqa: E731
+    else:
+        agg = plain_sum
 
     # state vector carries the static is_dangling flag so the dangling-mass
     # aggregate never needs a join

@@ -134,8 +134,8 @@ def transcripts_from_events_sql(turns_per_conv: int = 8, table: str = "events") 
       FROM {table}
     )
     SELECT
-      concat('u', CAST(user_id AS VARCHAR), '_c',
-             CAST(CAST(floor(rn / {turns_per_conv}) AS BIGINT) AS VARCHAR)) AS conv_id,
+      concat('u', CAST(user_id AS STRING), '_c',
+             CAST(CAST(floor(rn / {turns_per_conv}) AS BIGINT) AS STRING)) AS conv_id,
       CAST(rn % {turns_per_conv} AS INT) AS turn_idx,
       CASE event_type
         WHEN 'purchase' THEN 'assistant'
@@ -143,7 +143,7 @@ def transcripts_from_events_sql(turns_per_conv: int = 8, table: str = "events") 
         WHEN 'signup'   THEN 'system'
         ELSE 'user'
       END AS role,
-      concat('e', CAST(event_id AS VARCHAR), ':', event_type) AS text,
+      concat('e', CAST(event_id AS STRING), ':', event_type) AS text,
       CASE
         WHEN event_type IN ('purchase', 'error') AND event_id % 3 = 0 THEN
           CASE CAST(event_id % 4 AS INT)

@@ -1,0 +1,68 @@
+import os
+import shutil
+
+import pytest
+
+from linkgraph_spark.checkpoint import CheckpointStore
+from linkgraph_spark.edges import graph_from_edges
+from linkgraph_spark.kernels import pagerank
+from tests.fixtures_graphs import web64
+
+
+@pytest.fixture
+def store(tmp_path):
+    return CheckpointStore(str(tmp_path / "ck"))
+
+
+def ranks_dict(res):
+    return {r["id"]: r["rank"] for r in res.ranks.collect()}
+
+
+def test_checkpoint_resume_identical(spark, store, tmp_path):
+    """FIXTURES.md F4: kill after superstep k, resume, identical final vector."""
+    g = graph_from_edges(spark, web64(n=40))
+    full = ranks_dict(pagerank(g, mode="compat", iterations=6, checkpoint=store))
+    # simulate a crash: wipe iterations 4..6, resume from 3
+    for k in (4, 5, 6):
+        shutil.rmtree(
+            f"{store.base}/pagerank_compat/state/iteration={k}", ignore_errors=True
+        )
+    assert store.latest_iteration("pagerank_compat") == 3
+    resumed = ranks_dict(
+        pagerank(g, mode="compat", iterations=6, checkpoint=store, resume=True)
+    )
+    assert resumed == full  # bit-identical
+    g.unpersist()
+
+
+def test_uncommitted_iteration_ignored(spark, store):
+    """Snapshot-isolation analogue: a state dir without its _COMMIT manifest
+    is invisible to resume (the capability the reference's byte-range locks
+    protect — file_write_parallel/efs_with_lambda/lambda_function_lock.py)."""
+    g = graph_from_edges(spark, web64(n=30))
+    pagerank(g, mode="compat", iterations=3, checkpoint=store)
+    # fake a torn write of iteration 4: data present, no commit manifest
+    src = f"{store.base}/pagerank_compat/state/iteration=3"
+    dst = f"{store.base}/pagerank_compat/state/iteration=4"
+    shutil.copytree(src, dst)
+    os.remove(f"{dst}/_COMMIT")
+    assert store.latest_iteration("pagerank_compat") == 3
+    with pytest.raises(FileNotFoundError):
+        store.load_state(spark, "pagerank_compat", 4)
+    g.unpersist()
+
+
+def test_metrics_and_lineage_recorded(spark, store):
+    g = graph_from_edges(spark, web64(n=30))
+    pagerank(g, mode="compat", iterations=2, checkpoint=store)
+    metrics = store.load_metrics(spark, "pagerank_compat")
+    assert metrics.count() == 2
+    lineage = store.load_lineage(spark, "pagerank_compat")
+    rows = lineage.collect()
+    assert {r["iteration"] for r in rows} == {1, 2}
+    n = g.num_vertices
+    per_iter = {}
+    for r in rows:
+        per_iter[r["iteration"]] = per_iter.get(r["iteration"], 0) + r["rows"]
+    assert all(v == n for v in per_iter.values())
+    g.unpersist()
