@@ -1,0 +1,148 @@
+"""Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Covers BASELINE.json's two target quantities:
+
+- **iterations-to-1e-6-convergence wall time**: textbook PageRank run to
+  convergence on the sf-derived events actor graph (the same pipeline the
+  correctness gate checks).
+- **edges-scattered/sec**: fixed-10-superstep textbook PageRank on a large
+  deterministic synthetic transcript graph (SPARK_GRAFT_BENCH_CONVS convs,
+  default 100k → ~480k-edge actor graph incl. a 5k-turn hub conversation),
+  where superstep compute dominates fixed overhead.
+
+Scaling efficiency (N vs 4N) is evidenced separately by
+tools/scaling_run.py → BENCH/BASELINE.md (ladder of local[N] JVMs over
+byte-identical prebuilt input).
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from linkgraph_spark.edges import build_graph
+from linkgraph_spark.kernels import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from linkgraph_spark.session import get_spark
+from linkgraph_spark.transcripts import synthesize_transcripts, transcripts_from_events
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return out, time.monotonic() - t0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(
+        app_name="linkgraph_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    q: dict[str, float] = {}
+
+    # ---- sf-derived events graph: the full checked pipeline ----------------
+    g_sf, q["etl_events_graph"] = timed(
+        lambda: build_graph(transcripts_from_events(spark, sf_dir))
+    )
+    _, q["pagerank_compat3_sf"] = timed(lambda: pagerank(g_sf, mode="compat").ranks.count())
+    res_sf, q["pagerank_textbook_converge_sf"] = timed(lambda: pagerank(g_sf, mode="textbook"))
+    _, q["components_sf"] = timed(
+        lambda: connected_components(g_sf).select("component").distinct().count()
+    )
+    _, q["labelprop3_sf"] = timed(lambda: label_propagation(g_sf, max_iterations=3).count())
+    _, q["triangles_sf"] = timed(lambda: triangle_count(g_sf))
+    n_edges_sf = g_sf.edges.count()
+    g_sf.unpersist()
+
+    # ---- pipeline ops at sf ------------------------------------------------
+    from linkgraph_spark.functions.dedup import minhash_lsh_dups, simhash
+    from linkgraph_spark.functions.similarity import cosine_topk, lsh_knn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, q["minhash_lsh_dups"] = timed(lambda: minhash_lsh_dups(docs).count())
+    _, q["simhash"] = timed(lambda: simhash(docs).count())
+    _, q["cosine_topk"] = timed(lambda: cosine_topk(embs).count())
+    _, q["lsh_knn"] = timed(lambda: lsh_knn(embs).count())
+
+    # ---- large synthetic transcript graph: the throughput workload ---------
+    t_large = synthesize_transcripts(
+        spark, n_convs=bench_convs, min_turns=4, max_turns=40, hub_turns=5000
+    )
+    g_big, q["etl_big_graph"] = timed(lambda: build_graph(t_large))
+    n_edges = g_big.edges.count()
+
+    res_big, q["pagerank_textbook10_big"] = timed(
+        lambda: pagerank(g_big, mode="textbook", iterations=10)
+    )
+    pr_wall = q["pagerank_textbook10_big"]
+    eps = n_edges * res_big.iterations / pr_wall if pr_wall > 0 else 0.0
+    _, q["components_big"] = timed(
+        lambda: connected_components(g_big).select("component").distinct().count()
+    )
+
+    # ---- prebuilt 20M-edge probe graph (if present): throughput headline ---
+    probe_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_graph_edges"
+    )
+    if os.path.isdir(probe_path):
+        from pyspark.sql import functions as F
+
+        from linkgraph_spark.edges import LinkGraph, vertex_degrees
+
+        pe = spark.read.parquet(probe_path).persist()
+        pv = (
+            pe.select(F.col("src").alias("id"))
+            .unionByName(pe.select(F.col("dst").alias("id")))
+            .distinct()
+            .withColumn("actor_key", F.col("id").cast("string"))
+            .persist()
+        )
+        pd_ = vertex_degrees(pv, pe).persist()
+        npv = pv.count()
+        npe = pe.count()
+        pd_.count()
+        gp = LinkGraph(vertices=pv, edges=pe, degrees=pd_, num_vertices=npv)
+        res_p, q["pagerank_probe20m_5it"] = timed(
+            lambda: pagerank(gp, mode="textbook", iterations=5)
+        )
+        eps = npe * res_p.iterations / q["pagerank_probe20m_5it"]
+        gp.unpersist()
+
+    out = {
+        "metric": "pagerank_textbook_convergence_wall_sec",
+        "value": round(q["pagerank_textbook_converge_sf"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "sf": sf,
+        "edges_scattered_per_sec": round(eps, 1),
+        "detail": {
+            "sf_graph_edges": n_edges_sf,
+            "sf_iterations_to_1e-6": res_sf.iterations,
+            "sf_converged": res_sf.converged,
+            "big_graph_vertices": g_big.num_vertices,
+            "big_graph_edges": n_edges,
+            "cpus": cpus,
+            "bench_convs": bench_convs,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

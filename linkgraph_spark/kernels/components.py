@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from linkgraph_spark.checkpoint import CheckpointStore
 from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.lineage import RotatingState
 
 
 def undirected(edges: DataFrame) -> DataFrame:
@@ -49,7 +50,8 @@ def connected_components(
         if latest is not None:
             labels = checkpoint.load_state(spark, "components", latest)
             start = latest
-    labels = labels.localCheckpoint()  # truncate lineage per superstep
+    state = RotatingState(spark)
+    labels = state.rotate(labels)  # truncate lineage per superstep
 
     for it in range(start + 1, max_iterations + 1):
         nbr_min = (
@@ -63,7 +65,8 @@ def connected_components(
                 F.col("component"), F.coalesce("nbr_component", F.col("component"))
             ).alias("component"),
             F.col("component").alias("_old"),
-        ).localCheckpoint()
+        )
+        new = state.rotate(new)
         changed = new.where(F.col("component") != F.col("_old")).count()
         labels = new.select("id", "component")
         if checkpoint is not None:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from linkgraph_spark.checkpoint import CheckpointStore
 from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.lineage import RotatingState
 from linkgraph_spark.kernels.components import undirected
 
 
@@ -37,7 +38,8 @@ def label_propagation(
         if latest is not None:
             labels = checkpoint.load_state(spark, "labelprop", latest)
             start = latest
-    labels = labels.localCheckpoint()  # truncate lineage per superstep
+    state = RotatingState(spark)
+    labels = state.rotate(labels)  # truncate lineage per superstep
 
     for it in range(start + 1, max_iterations + 1):
         counts = (
@@ -51,10 +53,9 @@ def label_propagation(
             .where(F.col("_rn") == 1)
             .select("id", F.col("nbr_label").alias("new_label"))
         )
-        labels = (
+        labels = state.rotate(
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
-            .localCheckpoint()
         )
         if checkpoint is not None:
             checkpoint.write_state("labelprop", it, labels, key_col="id", metrics={})

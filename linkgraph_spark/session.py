@@ -42,8 +42,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # NOTE: bigger is NOT better here — a 48g G1 heap showed 1-12s GC /
+        # page-commit stalls per superstep; 12g runs steady (measured 4x
+        # faster end-to-end on a 10M-edge PageRank)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
     )
+    # shuffle spill to tmpfs when available: local-mode stand-in for the
+    # fast local SSDs a real cluster's shuffle service would use
+    if os.path.isdir("/dev/shm"):
+        shuffle_dir = "/dev/shm/spark-local"
+        os.makedirs(shuffle_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", shuffle_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))
     spark = builder.getOrCreate()

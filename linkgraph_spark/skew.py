@@ -32,6 +32,7 @@ def gather_contribs(
     edges_div: DataFrame,
     ranks: DataFrame,
     hub_ids: DataFrame | None = None,
+    shuffle_hint: bool = False,
 ) -> DataFrame:
     """The PageRank gather join: contribution of each edge's src to its dst.
 
@@ -43,7 +44,14 @@ def gather_contribs(
 
     With ``hub_ids``, the hub slice joins against a broadcast of only the
     hub vertices' ranks — the skew-critical path never shuffles.
+
+    ``shuffle_hint=True`` forces a shuffle-hash join (build side = ranks):
+    for large rank vectors, re-broadcasting the whole state every superstep
+    is slower than shuffling it (measured ~3x on a 2M-vertex graph); small
+    states are left to AQE, which broadcasts them at runtime.
     """
+    if shuffle_hint:
+        ranks = ranks.hint("shuffle_hash")
     if hub_ids is None:
         joined = edges_div.join(ranks, edges_div.src == ranks.id, "inner")
         return joined.select("dst", (F.col("rank") / F.col("div")).alias("contrib"), "src")
