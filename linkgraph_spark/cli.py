@@ -1,0 +1,110 @@
+"""spark-submit entry point.
+
+Cluster launch (the north_rule's deployment shape)::
+
+    zip -r engine.zip linkgraph_spark
+    spark-submit --py-files engine.zip \\
+        --conf spark.sql.shuffle.partitions=<2-3x cluster cores> \\
+        --conf spark.sql.adaptive.enabled=true \\
+        -m linkgraph_spark.cli pagerank \\
+        --transcripts s3://bucket/transcripts --mode textbook \\
+        --checkpoint s3://bucket/checkpoints/run1 --output s3://bucket/ranks
+
+Local smoke::
+
+    python -m linkgraph_spark.cli pagerank --synthetic-convs 1000 --iterations 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from linkgraph_spark.checkpoint import CheckpointStore
+from linkgraph_spark.config import EngineConfig
+from linkgraph_spark.edges import build_graph
+from linkgraph_spark.kernels import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from linkgraph_spark.session import get_spark
+from linkgraph_spark.transcripts import synthesize_transcripts
+
+
+def _load_graph(spark, args):
+    if args.transcripts:
+        t = spark.read.parquet(args.transcripts)
+    else:
+        t = synthesize_transcripts(spark, n_convs=args.synthetic_convs)
+    return build_graph(t)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="linkgraph_spark")
+    p.add_argument("kernel", choices=["pagerank", "components", "labelprop", "triangles", "etl"])
+    p.add_argument("--transcripts", help="parquet/Iceberg path of the transcript table")
+    p.add_argument("--synthetic-convs", type=int, default=1000)
+    p.add_argument("--mode", choices=["textbook", "compat"], default="textbook")
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--max-iterations", type=int, default=100)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--checkpoint", help="checkpoint store base path")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--output", help="parquet output path for the result")
+    p.add_argument("--gather", choices=["builtin", "csr"], default="builtin")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark(
+        app_name=f"linkgraph_{args.kernel}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    g = _load_graph(spark, args)
+    store = CheckpointStore(args.checkpoint) if args.checkpoint else None
+    cfg = EngineConfig(damping=args.damping, tol=args.tol, max_iterations=args.max_iterations)
+
+    if args.kernel == "etl":
+        result = g.edges
+        summary = {"vertices": g.num_vertices, "edges": g.edges.count()}
+    elif args.kernel == "pagerank":
+        res = pagerank(
+            g, mode=args.mode, config=cfg, iterations=args.iterations,
+            checkpoint=store, resume=args.resume, gather_mode=args.gather,
+        )
+        result = res.ranks.join(g.vertices, "id").select("id", "actor_key", "rank")
+        summary = {
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "residual": res.residual,
+            "metrics_tail": res.metrics[-1] if res.metrics else None,
+        }
+    elif args.kernel == "components":
+        result = connected_components(g, checkpoint=store, resume=args.resume)
+        summary = {"components": result.select("component").distinct().count()}
+    elif args.kernel == "labelprop":
+        result = label_propagation(
+            g, max_iterations=args.iterations or 5, checkpoint=store, resume=args.resume
+        )
+        summary = {"labels": result.select("label").distinct().count()}
+    else:
+        n = triangle_count(g)
+        result = spark.createDataFrame([(n,)], "n_triangles long")
+        summary = {"triangles": n}
+
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        summary["output"] = args.output
+    else:
+        result.show(20, truncate=False)
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

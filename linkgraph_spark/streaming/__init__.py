@@ -1,0 +1,22 @@
+"""Structured Streaming surface: incremental transcript ingestion.
+
+The reference is strictly batch (SURVEY.md §2.9: no streaming, no
+watermarks, no state store); production transcript tables grow
+continuously, so the engine adds the streaming half: tool-edge extraction
+on the stream, watermarked windowed activity, and incremental degree
+maintenance into the same checkpoint-table layout the batch kernels use.
+"""
+
+from linkgraph_spark.streaming.transcript_stream import (
+    incremental_degrees,
+    read_transcript_stream,
+    stream_tool_edges,
+    windowed_role_activity,
+)
+
+__all__ = [
+    "read_transcript_stream",
+    "stream_tool_edges",
+    "windowed_role_activity",
+    "incremental_degrees",
+]

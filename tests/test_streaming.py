@@ -1,0 +1,94 @@
+from pyspark.sql import functions as F
+
+from linkgraph_spark.streaming import (
+    incremental_degrees,
+    read_transcript_stream,
+    stream_tool_edges,
+    windowed_role_activity,
+)
+from linkgraph_spark.transcripts import synthesize_transcripts
+
+
+def _write_transcripts(spark, path, n_convs=60):
+    t = synthesize_transcripts(spark, n_convs=n_convs, min_turns=2, max_turns=20)
+    # several files so the stream sees multiple micro-batches
+    t.repartition(4).write.mode("overwrite").parquet(path)
+    return t
+
+
+def test_streamed_tool_edges_match_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_in")
+    t = _write_transcripts(spark, src)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream_tool_edges(stream)
+        .writeStream.format("memory")
+        .queryName("tool_edges_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["src_key"], r["dst_key"])
+        for r in spark.sql("SELECT src_key, dst_key FROM tool_edges_out").collect()
+    )
+    want = sorted(
+        (f"{r['conv_id']}#{r['role']}", f"tool:{r['tool']}")
+        for r in t.where(F.col("tool").isNotNull()).collect()
+    )
+    assert got == want
+
+
+def test_windowed_activity_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "stream_in2")
+    t = _write_transcripts(spark, src)
+    stream = read_transcript_stream(spark, src)
+    agg = windowed_role_activity(stream, window="60 minutes", watermark="120 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("activity_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["role"]): r["turns"]
+        for r in spark.sql("SELECT * FROM activity_out").collect()
+    }
+    want = {
+        (r["w"], r["role"]): r["turns"]
+        for r in t.groupBy(
+            F.window("ts", "60 minutes").getField("start").alias("w"), "role"
+        )
+        .agg(F.count("*").alias("turns"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_incremental_degrees_match_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_in3")
+    t = _write_transcripts(spark, src)
+    state = str(tmp_path / "deg_state")
+    ck = str(tmp_path / "deg_ck")
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = incremental_degrees(stream, state, ck)
+    q.awaitTermination(180)
+    got = {
+        (r["src_key"], r["dst_key"]): r["cnt"]
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r["src_key"], r["dst_key"]): r["cnt"]
+        for r in t.where(F.col("tool").isNotNull())
+        .select(
+            F.concat(F.col("conv_id"), F.lit("#"), F.col("role")).alias("src_key"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("dst_key"),
+        )
+        .groupBy("src_key", "dst_key")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
