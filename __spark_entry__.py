@@ -160,6 +160,10 @@ def q_fingerprint(spark, sf_dir):
     return tx.fingerprint(_docs(spark, sf_dir))
 
 
+def q_winnowing(spark, sf_dir):
+    return tx.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------- pipeline: dedup
 def q_exact_dedup(spark, sf_dir):
     return dd.exact_dedup(_docs(spark, sf_dir))
@@ -190,8 +194,12 @@ def q_embedding_near_dups(spark, sf_dir):
     return sim.embedding_near_dups(_embs(spark, sf_dir), threshold=0.35)
 
 
-def q_lsh_knn(spark, sf_dir):  # approximate — rows-only check
+def q_lsh_knn(spark, sf_dir):
     return sim.lsh_knn(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_ivf_knn(spark, sf_dir):
+    return sim.ivf_knn(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
 def q_media_features(spark, sf_dir):  # stubbed decode — rows-only check
@@ -218,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "winnowing_fingerprints": q_winnowing,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dups": q_ngram_jaccard,
         "minhash_lsh_dups": q_minhash_lsh,
@@ -226,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lsh_knn": q_lsh_knn,
+        "ivf_knn": q_ivf_knn,
         "media_features": q_media_features,
     }
 
@@ -424,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": tx.quality_score_sql(),
         "lang_id": tx.lang_id_sql(),
         "fingerprint": tx.fingerprint_sql(),
+        "winnowing_fingerprints": tx.winnowing_fingerprints_sql(),
         "exact_dedup": dd.exact_dedup_sql(),
         "ngram_jaccard_dups": dd.ngram_jaccard_sql(threshold=0.5),
         "minhash_lsh_dups": dd.minhash_lsh_sql(threshold=0.5),
@@ -431,7 +442,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": dd.simhash_dups_sql(max_hamming=3),
         "cosine_topk": sim.cosine_topk_sql(n_queries=10, k=5),
         "embedding_near_dups": sim.embedding_near_dups_sql(threshold=0.35),
-        # lsh_knn / media_features: approximate / stubbed — rows-only check
+        "lsh_knn": sim.lsh_knn_sql(n_queries=10, k=5),
+        "ivf_knn": sim.ivf_knn_sql(n_queries=10, k=5),
+        # media_features: stubbed decode — rows-only check
     }
 
 

@@ -169,6 +169,8 @@ def build_graph(transcripts: DataFrame) -> LinkGraph:
     )
     degrees = vertex_degrees(vertices, edges).persist()
     n = vertices.count()
+    edges.count()  # materialize eagerly: persisted-but-lazy tables would
+    degrees.count()  # otherwise bill their first compute to the first kernel
     return LinkGraph(vertices=vertices, edges=edges, degrees=degrees, num_vertices=n)
 
 

@@ -184,6 +184,10 @@ def lsh_knn(
         F.col("norm").alias("qnorm"),
         "bucket",
     )
+    return _rank_candidates(q, bucketed, k)
+
+
+def _rank_candidates(q: DataFrame, bucketed: DataFrame, k: int) -> DataFrame:
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
     scored = (
         q.join(bucketed, "bucket")
@@ -196,3 +200,150 @@ def lsh_knn(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+def lsh_knn_sql(
+    table: str = "embeddings", n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
+) -> str:
+    """DuckDB oracle for :func:`lsh_knn` — the bucket arithmetic is the same
+    engine-portable integer formula, so the 'approximate' result is exactly
+    reproducible."""
+    P = MERSENNE_P
+
+    def proj(p: int) -> str:
+        sign = (
+            f"CAST((((({1 + 7 * p}) * ((i * 2654435761) % {P})) % {P}) % 2) * 2 - 1"
+            " AS DOUBLE)"
+        )
+        return (
+            f"list_reduce(list_transform(range(1, len(v) + 1),"
+            f" i -> v[i] * {sign}), (x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(n_planes)
+    )
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.v) + 1),"
+        " i -> q.v[i] * b.v[i]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), normed AS MATERIALIZED (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+                  i -> v[i] * v[i]), (x, y) -> x + y)) AS norm,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM base
+    ), q AS (
+      SELECT vec_id AS query_id, v, norm, bucket FROM normed WHERE vec_id < {n_queries}
+    ), scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             round({dot} / (q.norm * b.norm), 6) AS cosine
+      FROM q JOIN normed b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {k}
+    """
+
+def ivf_knn(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_cells: int = 8, n_probe: int = 2
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize to the nearest of
+    ``n_cells`` deterministic centroids (the first ``n_cells`` vectors —
+    a fixed, data-dependent but RNG-free codebook), then search only the
+    query's ``n_probe`` closest cells and re-rank exactly.
+
+    At 100 TB: the assignment pass is a broadcast join against the tiny
+    codebook (map-only); the search is an equi-join on cell id. Recall is
+    tuned by ``n_probe``; a production deployment would train the codebook
+    with k-means (same plumbing, different centroid table).
+    """
+    base = _with_norm(embeddings)
+    cents = base.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    sim_c = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("_csim"), F.asc("cell"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "norm", "cell", sim_c.alias("_csim"))
+        .withColumn("_rn", F.row_number().over(w_assign))
+    )
+    cells = assigned.where(F.col("_rn") == 1).select("vec_id", "v", "norm", "cell")
+    probes = assigned.where(F.col("_rn") <= n_probe).select("vec_id", "cell")
+    q = (
+        cells.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+        .join(probes.withColumnRenamed("vec_id", "query_id"), "query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        q.join(cells, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def ivf_knn_sql(
+    table: str = "embeddings", n_queries: int = 10, k: int = 5, n_cells: int = 8, n_probe: int = 2
+) -> str:
+    """DuckDB oracle for :func:`ivf_knn`."""
+    dotc = (
+        "list_reduce(list_transform(range(1, len(b.v) + 1),"
+        " i -> b.v[i] * c.v[i]), (x, y) -> x + y)"
+    )
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.v) + 1),"
+        " i -> q.v[i] * n.v[i]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), normed AS MATERIALIZED (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+                  i -> v[i] * v[i]), (x, y) -> x + y)) AS norm
+      FROM base
+    ), cents AS (
+      SELECT vec_id AS cell, v, norm FROM normed WHERE vec_id < {n_cells}
+    ), assigned AS MATERIALIZED (
+      SELECT b.vec_id, c.cell,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY {dotc} / (b.norm * c.norm) DESC, c.cell ASC) AS rn
+      FROM normed b CROSS JOIN cents c
+    ), cells AS (
+      SELECT n.vec_id, n.v, n.norm, a.cell
+      FROM normed n JOIN assigned a ON a.vec_id = n.vec_id AND a.rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM assigned WHERE rn <= {n_probe}
+    ), q AS (
+      SELECT c.vec_id AS query_id, c.v, c.norm, p.cell
+      FROM cells c JOIN probes p ON p.query_id = c.vec_id
+      WHERE c.vec_id < {n_queries}
+    ), scored AS (
+      SELECT DISTINCT q.query_id, n.vec_id AS neighbor_id,
+             round({dot} / (q.norm * n.norm), 6) AS cosine
+      FROM q JOIN cells n ON n.cell = q.cell AND n.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {k}
+    """
+

@@ -176,3 +176,63 @@ def fingerprint_sql(table: str = "documents") -> str:
            md5(array_to_string(string_split(norm, ' ')[1:8], ' ')) AS prefix_fp
     FROM base
     """
+
+WINNOW_K = 5  # k-gram length (chars)
+WINNOW_W = 4  # winnowing window (k-grams)
+
+
+def winnowing_fingerprints(documents: DataFrame) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (Schleimer et al., SIGMOD'03).
+
+    Character k-gram hashes over the normalized text (rolling window of
+    positions expressed as a vectorized ``transform`` over a position
+    sequence — no per-row Python), then the minimum hash of every
+    w-window of consecutive k-gram hashes, dedup'd: the classic
+    plagiarism/near-dup document sketch. Output: one row per distinct
+    fingerprint per doc.
+    """
+    from linkgraph_spark.functions.hashing import MERSENNE_P, md5_long
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = documents.select("doc_id", norm.alias("norm"))
+    n_grams = F.greatest(F.length("norm") - F.lit(WINNOW_K - 1), F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: md5_long(F.col("norm").substr(i, F.lit(WINNOW_K))) % F.lit(MERSENNE_P),
+    )
+    d = d.select("doc_id", gram_hashes.alias("gh"))
+    n_windows = F.greatest(F.size("gh") - F.lit(WINNOW_W - 1), F.lit(1))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice("gh", i, F.lit(WINNOW_W))),
+        )
+    )
+    return d.select("doc_id", F.explode(mins).alias("fingerprint"))
+
+
+def winnowing_fingerprints_sql(table: str = "documents") -> str:
+    from linkgraph_spark.functions.hashing import MERSENNE_P, md5_long_sql
+
+    gram_hash = md5_long_sql(f"substr(norm, CAST(i AS INT), {WINNOW_K})")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM {table}
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(norm) - {WINNOW_K - 1}, 1) + 1),
+               i -> {gram_hash} % {MERSENNE_P}) AS gh
+      FROM base
+    ), mins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(gh) - {WINNOW_W - 1}, 1) + 1),
+               i -> list_min(gh[i:i+{WINNOW_W - 1}]))) AS fps
+      FROM grams
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM mins
+    """
+
