@@ -34,6 +34,7 @@ from linkgraph_spark.transcripts import transcripts_from_events, transcripts_fro
 
 TURNS_PER_CONV = 8
 _GRAPH_CACHE: dict = {}
+_WGRAPH_CACHE: dict = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -96,6 +97,46 @@ def q_pagerank_textbook5(spark, sf_dir):
     g = _graph(spark, sf_dir)
     res = pagerank(g, mode="textbook", iterations=5)
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _wgraph(spark, sf_dir):
+    if sf_dir not in _WGRAPH_CACHE:
+        t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+        _WGRAPH_CACHE[sf_dir] = build_graph(t, weighted=True)
+    return _WGRAPH_CACHE[sf_dir]
+
+
+def q_pagerank_weighted5(spark, sf_dir):
+    res = pagerank(_wgraph(spark, sf_dir), mode="weighted", iterations=5)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_personalized5(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, mode="textbook", iterations=5, personalize_ids=[0, 1, 2, 3, 4])
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_edge_weights(spark, sf_dir):
+    return _wgraph(spark, sf_dir).edges.select("src", "dst", "weight")
+
+
+def q_degree_distribution(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return (
+        g.degrees.groupBy("out_deg").agg(F.count("*").alias("n_vertices"))
+    )
+
+
+def q_graph_summary(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return g.degrees.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum("out_deg").alias("n_edges"),
+        F.max("out_deg").alias("max_out_deg"),
+        F.max("in_deg").alias("max_in_deg"),
+        F.round(F.avg("out_deg"), 6).alias("avg_out_deg"),
+    )
 
 
 def q_pagerank_top20(spark, sf_dir):
@@ -215,6 +256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "pagerank_compat3": q_pagerank_compat,
         "pagerank_textbook5": q_pagerank_textbook5,
+        "pagerank_weighted5": q_pagerank_weighted5,
+        "pagerank_personalized5": q_pagerank_personalized5,
+        "edge_weights": q_edge_weights,
+        "degree_distribution": q_degree_distribution,
+        "graph_summary": q_graph_summary,
         "pagerank_top20": q_pagerank_top20,
         "connected_components": q_components,
         "component_sizes": q_component_sizes,
@@ -326,6 +372,84 @@ def _pagerank_textbook_sql(iters: int = 5, d: float = 0.85) -> str:
     """
 
 
+_WEDGES = """
+    clean_w AS MATERIALIZED (
+      SELECT src_key, dst_key, count(*) AS weight
+      FROM raw WHERE src_key <> dst_key GROUP BY 1, 2
+    ),
+    edges_w AS MATERIALIZED (
+      SELECT vs.id AS src, vd.id AS dst, c.weight
+      FROM clean_w c
+      JOIN verts vs ON c.src_key = vs.actor_key
+      JOIN verts vd ON c.dst_key = vd.actor_key
+    ),
+    wdeg AS MATERIALIZED (
+      SELECT v.id, coalesce(o.w, 0) AS w_out
+      FROM verts v
+      LEFT JOIN (SELECT src AS id, sum(weight) AS w FROM edges_w GROUP BY src) o USING (id)
+    )"""
+
+
+def _pagerank_weighted_sql(iters: int = 5, d: float = 0.85) -> str:
+    ctes = ["r0 AS (SELECT id, 1.0 / nv.n AS rank FROM verts CROSS JOIN nv)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""dm{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS m
+      FROM r{k - 1} r JOIN wdeg w ON w.id = r.id AND w.w_out = 0
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT r.id,
+             {1 - d:.17g} / nv.n + {d} * (dm{k}.m / nv.n)
+               + {d} * coalesce(s.sm, 0.0) AS rank
+      FROM r{k - 1} r CROSS JOIN nv CROSS JOIN dm{k}
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(r2.rank * e.weight / w.w_out) AS sm
+        FROM edges_w e
+        JOIN r{k - 1} r2 ON e.src = r2.id
+        JOIN wdeg w ON w.id = e.src
+        GROUP BY e.dst
+      ) s ON s.id = r.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G}, {_WEDGES}{_NV},
+    {body}
+    SELECT id, round(rank, 6) AS rank FROM r{iters}
+    """
+
+
+def _pagerank_personalized_sql(iters: int = 5, d: float = 0.85, n_sources: int = 5) -> str:
+    tele = f"(CASE WHEN r.id < {n_sources} THEN 1.0 / {n_sources} ELSE 0.0 END)"
+    tele0 = f"(CASE WHEN id < {n_sources} THEN 1.0 / {n_sources} ELSE 0.0 END)"
+    ctes = [f"r0 AS (SELECT id, {tele0} AS rank FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""dm{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS m
+      FROM r{k - 1} r JOIN degs dg ON dg.id = r.id AND dg.out_deg = 0
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT r.id,
+             {tele} * ({1 - d:.17g} + {d} * dm{k}.m)
+               + {d} * coalesce(s.sm, 0.0) AS rank
+      FROM r{k - 1} r CROSS JOIN dm{k}
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(r2.rank / dg.out_deg) AS sm
+        FROM edges e
+        JOIN r{k - 1} r2 ON e.src = r2.id
+        JOIN degs dg ON dg.id = e.src
+        GROUP BY e.dst
+      ) s ON s.id = r.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G}, {_DEGS},
+    {body}
+    SELECT id, round(rank, 6) AS rank FROM r{iters}
+    """
+
+
 def _components_ctes(unroll: int = 20) -> str:
     ctes = [
         """und AS MATERIALIZED (
@@ -419,6 +543,20 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_compat3": _pagerank_compat_sql(3, 0.8),
         "pagerank_textbook5": _pagerank_textbook_sql(5, 0.85),
         "pagerank_top20": _pagerank_top20_sql(3, 0.8),
+        "pagerank_weighted5": _pagerank_weighted_sql(5, 0.85),
+        "pagerank_personalized5": _pagerank_personalized_sql(5, 0.85, 5),
+        "edge_weights": f"{_G}, {_WEDGES} SELECT src, dst, weight FROM edges_w",
+        "degree_distribution": f"""{_G}, {_DEGS}
+    SELECT out_deg, count(*) AS n_vertices FROM degs GROUP BY out_deg
+    """,
+        "graph_summary": f"""{_G}, {_DEGS}
+    SELECT count(*) AS n_vertices,
+           sum(out_deg) AS n_edges,
+           max(out_deg) AS max_out_deg,
+           max(in_deg) AS max_in_deg,
+           round(avg(out_deg), 6) AS avg_out_deg
+    FROM degs
+    """,
         "connected_components": _components_sql(20),
         "component_sizes": _component_sizes_sql(20),
         "label_propagation3": _labelprop_sql(3),

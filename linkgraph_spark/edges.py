@@ -66,6 +66,19 @@ def derive_edge_keys(transcripts: DataFrame) -> DataFrame:
     return adjacent.unionByName(tool)
 
 
+def clean_edges_weighted(raw: DataFrame) -> DataFrame:
+    """Like :func:`clean_edges` but keeps multi-edge multiplicity as a
+    ``weight`` column (the reference's first-wins dedup discards it,
+    ``init_to_s3.py:75-76``; weighted mode is an engine extension — e.g.
+    how often a role actually invoked a tool)."""
+    return (
+        raw.where(F.col("src_key").isNotNull() & F.col("dst_key").isNotNull())
+        .where(F.col("src_key") != F.col("dst_key"))
+        .groupBy("src_key", "dst_key")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
 def clean_edges(raw: DataFrame) -> DataFrame:
     """Self-loop filter + (src, dst) dedup — reference ``init_to_s3.py:63-64,75-76``.
 
@@ -153,10 +166,16 @@ class LinkGraph:
         return self
 
 
-def build_graph(transcripts: DataFrame) -> LinkGraph:
-    """Full ETL: transcripts → LinkGraph (edges/vertices/degrees persisted)."""
-    clean = clean_edges(derive_edge_keys(transcripts))
-    vertices = assign_actor_ids(clean).persist()
+def build_graph(transcripts: DataFrame, weighted: bool = False) -> LinkGraph:
+    """Full ETL: transcripts → LinkGraph (edges/vertices/degrees persisted).
+
+    ``weighted=True`` keeps multi-edge multiplicity as ``edges.weight`` and
+    adds ``degrees.w_out_deg`` (total outgoing weight) for weighted kernels.
+    """
+    raw = derive_edge_keys(transcripts)
+    clean = clean_edges_weighted(raw) if weighted else clean_edges(raw)
+    vertices = assign_actor_ids(clean.select("src_key", "dst_key")).persist()
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
     edges = (
         clean.join(vertices.withColumnRenamed("actor_key", "src_key"), "src_key")
         .withColumnRenamed("id", "src")
@@ -164,7 +183,7 @@ def build_graph(transcripts: DataFrame) -> LinkGraph:
             vertices.withColumnRenamed("actor_key", "dst_key").withColumnRenamed("id", "dst"),
             "dst_key",
         )
-        .select("src", "dst")
+        .select(*cols)
         .persist()
     )
     degrees = vertex_degrees(vertices, edges).persist()
@@ -203,7 +222,11 @@ def vertex_degrees(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """Static degree table — computed once, reused across all supersteps
     (the reference recomputes ``relation_length`` into every state row,
     ``pagerank.py:91``; here it is an iteration-invariant join input)."""
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    weighted = "weight" in edges.columns
+    w = F.col("weight") if weighted else F.lit(1)
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg"), F.sum(w).alias("w_out_deg")
+    )
     in_deg = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
     return (
         vertices.select("id")
@@ -212,6 +235,7 @@ def vertex_degrees(vertices: DataFrame, edges: DataFrame) -> DataFrame:
         .select(
             "id",
             F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("w_out_deg", F.lit(0)).alias("w_out_deg"),
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
             # reference default: vertices never seen as a destination get
             # relation_length 1 (driver.py:127-135)

@@ -67,7 +67,14 @@ def _edges_with_divisor(graph: LinkGraph, mode: str) -> DataFrame:
     """Attach the iteration-invariant divisor to every edge.
 
     textbook → src out-degree; compat → src relation_length (in-deg-or-1,
-    the reference's quirk — SURVEY.md §2.4)."""
+    the reference's quirk — SURVEY.md §2.4); weighted → w_out_deg / weight
+    (so contrib = rank * weight / total outgoing weight)."""
+    if mode == "weighted":
+        deg = graph.degrees.select(F.col("id").alias("src"), "w_out_deg")
+        return (
+            graph.edges.join(deg, "src")
+            .select("src", "dst", (F.col("w_out_deg") / F.col("weight")).alias("div"))
+        )
     div_col = "out_deg" if mode == "textbook" else "relation_length"
     deg = graph.degrees.select(F.col("id").alias("src"), F.col(div_col).alias("div"))
     return graph.edges.join(deg, "src").select("src", "dst", "div")
@@ -80,6 +87,7 @@ def pagerank(
     iterations: int | None = None,
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
+    personalize_ids: list | None = None,
     use_hub_broadcast: bool = True,
     use_salting: bool = False,
     gather_fn=None,
@@ -98,12 +106,14 @@ def pagerank(
         damping = COMPAT_DAMPING
         n_iters = iterations if iterations is not None else COMPAT_ITERATIONS
         check_convergence = False
-    elif mode == "textbook":
+    elif mode in ("textbook", "weighted"):
         damping = cfg.damping
         n_iters = iterations if iterations is not None else cfg.max_iterations
         check_convergence = iterations is None
     else:
         raise ValueError(f"unknown mode {mode!r}")
+    if personalize_ids is not None and mode == "compat":
+        raise ValueError("personalization applies to textbook/weighted modes")
 
     spark = graph.vertices.sparkSession
     n = graph.num_vertices
@@ -143,10 +153,20 @@ def pagerank(
     else:
         agg = plain_sum
 
-    # state vector carries the static is_dangling flag so the dangling-mass
-    # aggregate never needs a join
+    # state vector carries the static is_dangling flag (and the static
+    # teleport weight, for personalized PageRank) so the per-superstep
+    # aggregates/apply never need extra joins
     dangling_flag = (F.col("out_deg") == 0).alias("is_dangling")
-    init = graph.degrees.select("id", F.lit(1.0 / n).alias("rank"), dangling_flag)
+    if personalize_ids is not None:
+        tele = F.when(
+            F.col("id").isin([int(x) for x in personalize_ids]),
+            F.lit(1.0 / len(personalize_ids)),
+        ).otherwise(F.lit(0.0))
+    else:
+        tele = F.lit(1.0 / n)
+    init = graph.degrees.select(
+        "id", tele.alias("rank"), dangling_flag, tele.alias("tele")
+    )
 
     kernel = f"pagerank_{mode}"
     start_iter = 0
@@ -155,8 +175,8 @@ def pagerank(
         if latest is not None:
             saved = checkpoint.load_state(spark, kernel, latest)
             init = saved.join(
-                graph.degrees.select("id", dangling_flag), "id"
-            ).select("id", "rank", "is_dangling")
+                graph.degrees.select("id", dangling_flag, tele.alias("tele")), "id"
+            ).select("id", "rank", "is_dangling", "tele")
             start_iter = latest
 
     state = RotatingState(spark)
@@ -166,7 +186,7 @@ def pagerank(
     # a residual to test or dangling mass to fold back — fixed-iteration
     # runs on dangling-free graphs do ONE Spark job per superstep
     has_dangling = (
-        mode == "textbook"
+        mode in ("textbook", "weighted")
         and graph.degrees.where(F.col("out_deg") == 0).limit(1).count() > 0
     )
     need_stats = check_convergence or has_dangling
@@ -193,11 +213,13 @@ def pagerank(
             # the apply join: don't re-broadcast O(V) sums every superstep
             sums = sums.hint("shuffle_hash")
 
-        old = ranks.select("id", F.col("rank").alias("_old"), "is_dangling")
-        if mode == "textbook":
-            base = teleport + damping * (dangling_mass / n)
-            new_rank = F.lit(base) + F.lit(damping) * F.coalesce(
-                "contrib_sum", F.lit(0.0)
+        old = ranks.select("id", F.col("rank").alias("_old"), "is_dangling", "tele")
+        if mode in ("textbook", "weighted"):
+            # per-vertex teleport: uniform (tele = 1/N) or personalized;
+            # dangling mass redistributes along the same teleport vector
+            new_rank = (
+                F.col("tele") * F.lit((1.0 - damping) + damping * dangling_mass)
+                + F.lit(damping) * F.coalesce("contrib_sum", F.lit(0.0))
             )
         else:
             # compat: a vertex with no in-edges is never written to the
@@ -206,7 +228,7 @@ def pagerank(
                 F.lit(damping) * F.col("contrib_sum") + F.lit(teleport), F.col("_old")
             )
         new = old.join(sums, old.id == sums.dst, "left").select(
-            "id", new_rank.alias("rank"), "_old", "is_dangling"
+            "id", new_rank.alias("rank"), "_old", "is_dangling", "tele"
         )
         new = state.rotate(new)  # job 1: materialize, truncate, free prev blocks
 
@@ -230,7 +252,7 @@ def pagerank(
         }
         metrics.append(m)
 
-        ranks = new.select("id", "rank", "is_dangling")
+        ranks = new.select("id", "rank", "is_dangling", "tele")
 
         if checkpoint is not None and it % cfg.checkpoint_every == 0:
             checkpoint.write_state(

@@ -128,3 +128,55 @@ def triangles_oracle(edges):
     for a, b in und:
         count += len([c for c in nbrs[a] & nbrs[b] if c > b])
     return count
+
+
+def pagerank_weighted(weighted_edges, d=0.85, tol=1e-6, max_iters=200):
+    """Weighted textbook PageRank: contrib = rank * w / total outgoing w."""
+    nodes = sorted({u for (s, t, w) in weighted_edges for u in (s, t)})
+    w_out = defaultdict(float)
+    in_nbrs = defaultdict(list)
+    for s, t, w in weighted_edges:
+        w_out[s] += w
+        in_nbrs[t].append((s, w))
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        dangling = sum(rank[v] for v in nodes if w_out[v] == 0)
+        base = (1.0 - d) / n + d * dangling / n
+        new = {}
+        for v in nodes:
+            s = sum(rank[u] * w / w_out[u] for u, w in in_nbrs[v])
+            new[v] = base + d * s
+        resid = max(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if resid < tol:
+            break
+    return rank, iters
+
+
+def pagerank_personalized(edges, sources, d=0.85, tol=1e-6, max_iters=200):
+    """Personalized PageRank: teleport mass on `sources`; dangling mass
+    redistributes along the same teleport vector."""
+    edges = clean(edges)
+    nodes = sorted({u for e in edges for u in e})
+    out_deg = Counter(s for s, _ in edges)
+    in_nbrs = defaultdict(list)
+    for s, t in edges:
+        in_nbrs[t].append(s)
+    tele = {v: (1.0 / len(sources) if v in set(sources) else 0.0) for v in nodes}
+    rank = dict(tele)
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        dangling = sum(rank[v] for v in nodes if out_deg[v] == 0)
+        new = {}
+        for v in nodes:
+            s = sum(rank[u] / out_deg[u] for u in in_nbrs[v])
+            new[v] = tele[v] * ((1.0 - d) + d * dangling) + d * s
+        resid = max(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if resid < tol:
+            break
+    return rank, iters

@@ -81,3 +81,32 @@ def test_salting_and_hub_broadcast_do_not_change_results(spark):
     )
     assert_close(hub, base, tol=1e-12)
     g.unpersist()
+
+
+def test_personalized_pagerank(spark):
+    from tests.oracles import pagerank_personalized
+
+    edges = web64(n=40)
+    g = graph_from_edges(spark, edges)
+    sources = [0, 1, 2]
+    res = pagerank(g, mode="textbook", personalize_ids=sources)
+    want, _ = pagerank_personalized(edges, sources)
+    assert res.converged
+    assert_close(ranks_dict(res), want, tol=1e-5)
+    g.unpersist()
+
+
+def test_weighted_pagerank_on_transcripts(spark):
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.transcripts import synthesize_transcripts
+    from tests.oracles import pagerank_weighted
+
+    t = synthesize_transcripts(spark, n_convs=25, min_turns=3, max_turns=15)
+    g = build_graph(t, weighted=True)
+    wedges = [(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()]
+    assert any(w > 1 for _, _, w in wedges), "fixture should have multi-edges"
+    res = pagerank(g, mode="weighted")
+    want, _ = pagerank_weighted(wedges)
+    assert res.converged
+    assert_close(ranks_dict(res), want, tol=1e-5)
+    g.unpersist()
