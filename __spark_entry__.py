@@ -57,9 +57,10 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derive the actor graph from sf0.001 transcripts and return
-    the converged textbook-PageRank top-20 actors."""
+    the textbook-PageRank top-20 actors (10 supersteps — the smoke check;
+    run-to-convergence is measured in bench.py)."""
     g = _graph(spark, "/root/testdata/sf0.001")
-    res = pagerank(g, mode="textbook")
+    res = pagerank(g, mode="textbook", iterations=10)
     return (
         res.ranks.join(g.vertices, "id")
         .orderBy(F.desc("rank"), F.asc("id"))
