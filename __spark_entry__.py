@@ -118,6 +118,14 @@ def q_pagerank_personalized5(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_personalized_many(spark, sf_dir):
+    # 1,000 sources — exercises the broadcast-join teleport path (the
+    # isin() literal list is only used for tiny source sets)
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, mode="textbook", iterations=5, personalize_ids=list(range(1000)))
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_edge_weights(spark, sf_dir):
     return _wgraph(spark, sf_dir).edges.select("src", "dst", "weight")
 
@@ -259,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_textbook5": q_pagerank_textbook5,
         "pagerank_weighted5": q_pagerank_weighted5,
         "pagerank_personalized5": q_pagerank_personalized5,
+        "pagerank_personalized_many": q_pagerank_personalized_many,
         "edge_weights": q_edge_weights,
         "degree_distribution": q_degree_distribution,
         "graph_summary": q_graph_summary,
@@ -546,16 +555,17 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top20": _pagerank_top20_sql(3, 0.8),
         "pagerank_weighted5": _pagerank_weighted_sql(5, 0.85),
         "pagerank_personalized5": _pagerank_personalized_sql(5, 0.85, 5),
+        "pagerank_personalized_many": _pagerank_personalized_sql(5, 0.85, 1000),
         "edge_weights": f"{_G}, {_WEDGES} SELECT src, dst, weight FROM edges_w",
         "degree_distribution": f"""{_G}, {_DEGS}
     SELECT out_deg, count(*) AS n_vertices FROM degs GROUP BY out_deg
     """,
         "graph_summary": f"""{_G}, {_DEGS}
     SELECT count(*) AS n_vertices,
-           sum(out_deg) AS n_edges,
+           CAST(sum(out_deg) AS BIGINT) AS n_edges,
            max(out_deg) AS max_out_deg,
            max(in_deg) AS max_in_deg,
-           round(avg(out_deg), 6) AS avg_out_deg
+           CAST(round(avg(out_deg), 6) AS DOUBLE) AS avg_out_deg
     FROM degs
     """,
         "connected_components": _components_sql(20),
@@ -583,7 +593,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": sim.embedding_near_dups_sql(threshold=0.35),
         "lsh_knn": sim.lsh_knn_sql(n_queries=10, k=5),
         "ivf_knn": sim.ivf_knn_sql(n_queries=10, k=5),
-        # media_features: stubbed decode — rows-only check
+        # media_features: the decode itself is stubbed, but the gate's
+        # projection (id, kind pick, utf-8 byte length, note) is fully
+        # SQL-expressible, so the plumbing gets a real value-hash check
+        "media_features": """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'stub-decode' AS note
+    FROM documents
+    """,
     }
 
 

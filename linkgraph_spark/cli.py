@@ -39,7 +39,8 @@ def _load_graph(spark, args):
         t = spark.read.parquet(args.transcripts)
     else:
         t = synthesize_transcripts(spark, n_convs=args.synthetic_convs)
-    return build_graph(t)
+    weighted = getattr(args, "mode", None) == "weighted"
+    return build_graph(t, weighted=weighted)
 
 
 def main(argv=None):
@@ -47,7 +48,12 @@ def main(argv=None):
     p.add_argument("kernel", choices=["pagerank", "components", "labelprop", "triangles", "etl"])
     p.add_argument("--transcripts", help="parquet/Iceberg path of the transcript table")
     p.add_argument("--synthetic-convs", type=int, default=1000)
-    p.add_argument("--mode", choices=["textbook", "compat"], default="textbook")
+    p.add_argument("--mode", choices=["textbook", "compat", "weighted"], default="textbook")
+    p.add_argument(
+        "--personalize-ids",
+        help="comma-separated vertex ids for personalized PageRank "
+        "(textbook/weighted modes)",
+    )
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--max-iterations", type=int, default=100)
     p.add_argument("--damping", type=float, default=0.85)
@@ -73,9 +79,15 @@ def main(argv=None):
         result = g.edges
         summary = {"vertices": g.num_vertices, "edges": g.edges.count()}
     elif args.kernel == "pagerank":
+        pids = (
+            [int(x) for x in args.personalize_ids.split(",")]
+            if args.personalize_ids
+            else None
+        )
         res = pagerank(
             g, mode=args.mode, config=cfg, iterations=args.iterations,
             checkpoint=store, resume=args.resume, gather_mode=args.gather,
+            personalize_ids=pids,
         )
         result = res.ranks.join(g.vertices, "id").select("id", "actor_key", "rank")
         summary = {

@@ -143,6 +143,29 @@ def pagerank(
     big_state = n_edges > 5_000_000 or n > 2_000_000
     saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        return _pagerank_loop(
+            graph, mode, cfg, spark, n, n_iters, damping, teleport,
+            check_convergence, personalize_ids, edges_div, n_edges, hub_ids,
+            big_state, gather_fn, gather_mode, use_salting, checkpoint, resume,
+        )
+    finally:
+        # restore session confs + free caches on EVERY exit path (including
+        # exceptions/interrupts mid-loop) — a shared SparkSession must not
+        # be left with AQE/broadcast disabled by a failed run
+        edges_div.unpersist()
+        if hub_ids is not None:
+            hub_ids.unpersist()
+        if big_state:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
+            spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+
+
+def _pagerank_loop(
+    graph, mode, cfg, spark, n, n_iters, damping, teleport, check_convergence,
+    personalize_ids, edges_div, n_edges, hub_ids, big_state, gather_fn,
+    gather_mode, use_salting, checkpoint, resume,
+) -> PageRankResult:
     if big_state:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         # AQE's per-stage re-planning costs more than it saves once the loop
@@ -166,14 +189,27 @@ def pagerank(
     # teleport weight, for personalized PageRank) so the per-superstep
     # aggregates/apply never need extra joins
     dangling_flag = (F.col("out_deg") == 0).alias("is_dangling")
+    base = graph.degrees
     if personalize_ids is not None:
-        tele = F.when(
-            F.col("id").isin([int(x) for x in personalize_ids]),
-            F.lit(1.0 / len(personalize_ids)),
-        ).otherwise(F.lit(0.0))
+        n_src = len(personalize_ids)
+        if n_src <= 64:
+            # tiny source sets: a literal IN-list folds to a constant filter
+            tele = F.when(
+                F.col("id").isin([int(x) for x in personalize_ids]),
+                F.lit(1.0 / n_src),
+            ).otherwise(F.lit(0.0))
+        else:
+            # large source sets: isin() is a linear per-row scan of the
+            # literal list — attach the flag via a broadcast left join
+            # instead (one-time cost; tele rides in the state vector after)
+            src_df = spark.createDataFrame(
+                [(int(x),) for x in personalize_ids], "id long"
+            ).withColumn("_is_src", F.lit(True))
+            base = graph.degrees.join(F.broadcast(src_df), "id", "left")
+            tele = F.when(F.col("_is_src"), F.lit(1.0 / n_src)).otherwise(F.lit(0.0))
     else:
         tele = F.lit(1.0 / n)
-    init = graph.degrees.select(
+    init = base.select(
         "id", tele.alias("rank"), dangling_flag, tele.alias("tele")
     )
 
@@ -184,7 +220,7 @@ def pagerank(
         if latest is not None:
             saved = checkpoint.load_state(spark, kernel, latest)
             init = saved.join(
-                graph.degrees.select("id", dangling_flag, tele.alias("tele")), "id"
+                base.select("id", dangling_flag, tele.alias("tele")), "id"
             ).select("id", "rank", "is_dangling", "tele")
             start_iter = latest
 
@@ -272,12 +308,6 @@ def pagerank(
             converged = True
             break
 
-    edges_div.unpersist()
-    if hub_ids is not None:
-        hub_ids.unpersist()
-    if big_state:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
-        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     return PageRankResult(
         ranks=ranks.select("id", "rank"),
         iterations=it,
