@@ -114,35 +114,62 @@ def _shingles_sql(table: str = "documents") -> str:
     return _SHINGLES_SQL.format(h=md5_long_sql("s"), p=MERSENNE_P, table=table)
 
 
-# ------------------------------------------------------------- ngram jaccard
-def ngram_jaccard_dups(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """→ [doc_a, doc_b, jaccard] for pairs with 3-gram Jaccard ≥ threshold.
-
-    Candidates come from a shared-shingle equi-join (shuffle on shingle
-    hash), never a cross join — the property that keeps this runnable at
-    100 TB. A stopword-frequent shingle would fan out; at scale add a
-    document-frequency cap on shingles before the join (standard practice).
-    """
-    sh = _with_shingle_hashes(documents).persist()
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    flat = sh.select("doc_id", F.explode("sh").alias("s"))
-    a = flat.withColumnRenamed("doc_id", "doc_a")
-    b = flat.withColumnRenamed("doc_id", "doc_b")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+# ---------------------------------------------------------- pairwise verify
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs — joins the (doc_a, doc_b) pairs
+    back to the per-doc shingle *arrays* and intersects in-memory
+    (``array_intersect``), so the verification cost is O(candidates), never
+    a re-enumeration of all shared-shingle pairs. Shared by the n-gram and
+    MinHash-LSH dedup paths."""
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
     )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------------------- ngram jaccard
+def ngram_jaccard_dups(
+    documents: DataFrame, threshold: float = 0.5, max_doc_freq: int | None = None
+) -> DataFrame:
+    """→ [doc_a, doc_b, jaccard] for pairs with 3-gram Jaccard ≥ threshold.
+
+    Candidates come from a shared-shingle equi-join (shuffle on shingle
+    hash), never a cross join. ``max_doc_freq`` caps the document frequency
+    of shingles allowed to *generate candidates* (a stopword shingle shared
+    by k docs otherwise fans out k² pairs — the quadratic-reducer trap at
+    100 TB); verification still uses the full shingle arrays, so Jaccard
+    values of emitted pairs are exact. With the cap, pairs whose ONLY shared
+    shingles are hot are missed (standard recall/cost trade; default None =
+    exact).
+    """
+    sh = _with_shingle_hashes(documents).persist()
+    flat = sh.select("doc_id", F.explode("sh").alias("s"))
+    if max_doc_freq is not None:
+        keep = (
+            flat.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("s")
+        )
+        flat = flat.join(keep, "s", "left_semi")
+    cand = (
+        flat.withColumnRenamed("doc_id", "doc_a")
+        .join(flat.withColumnRenamed("doc_id", "doc_b"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
 
 
 def ngram_jaccard_sql(table: str = "documents", threshold: float = 0.5) -> str:
@@ -205,22 +232,9 @@ def minhash_lsh_dups(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    flat = sh.select("doc_id", F.explode("sh").alias("s"))
-    inter = (
-        flat.withColumnRenamed("doc_id", "doc_a")
-        .join(flat.withColumnRenamed("doc_id", "doc_b"), "s")
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    # verification is O(candidates) via array_intersect — NOT the
+    # all-shared-shingle-pairs join LSH exists to avoid
+    return _verify_jaccard(cand, sh, threshold)
 
 
 def minhash_lsh_sql(table: str = "documents", threshold: float = 0.5) -> str:
@@ -319,18 +333,37 @@ def simhash_sql(table: str = "documents") -> str:
 def simhash_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """→ [doc_a, doc_b, hamming]: pairs within Hamming ≤ max_hamming.
 
-    Pairwise here (verified-exact); at 100 TB bucket the 32 bits into 4
-    bands of 8 and equi-join on band value first — identical output, no
-    cross product."""
+    Banded, no cross product: the 32 fingerprint bits are split into
+    ``max_hamming + 1`` bands; by pigeonhole, a pair differing in ≤
+    max_hamming bits agrees *exactly* on at least one whole band, so the
+    band equi-join generates a candidate superset and the exact Hamming
+    filter keeps output identical to the all-pairs definition. One shuffle
+    on (band, band_value); candidate volume is bucket-local.
+    """
+    n_bands = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_bands)  # ceil: 4 bands of 8 for the default
+    mask = (1 << width) - 1
     s = simhash(documents)
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).cast("long")
+            for b in range(n_bands)
+        ]
+    )
+    banded = s.select("doc_id", "simhash", F.posexplode(bands).alias("band", "bv"))
+    x = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bv"
+    )
+    y = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bv"
+    )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.crossJoin(b)
+        x.join(y, ["band", "bv"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may agree on several bands
     )
 
 

@@ -95,8 +95,17 @@ def cosine_topk_sql(table: str = "embeddings", n_queries: int = 10, k: int = 5) 
     """
 
 
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """→ [vec_a, vec_b, cosine]: pairs with cosine ≥ threshold (exact)."""
+NEAR_DUP_TABLES = 8  # LSH tables for embedding_near_dups
+NEAR_DUP_PLANES = 2  # hyperplanes per table (4 buckets/table)
+
+
+def embedding_near_dups_exact(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """→ [vec_a, vec_b, cosine]: ALL pairs with cosine ≥ threshold.
+
+    Brute-force all-pairs — O(n²), small-table verification tool only (used
+    as the recall oracle for the LSH variant in tests); the shipped operator
+    is :func:`embedding_near_dups`.
+    """
     base = _with_norm(embeddings)
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
@@ -113,7 +122,78 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
     )
 
 
-def embedding_near_dups_sql(table: str = "embeddings", threshold: float = 0.95) -> str:
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = NEAR_DUP_TABLES,
+    n_planes: int = NEAR_DUP_PLANES,
+) -> DataFrame:
+    """→ [vec_a, vec_b, cosine]: near-duplicate pairs by cosine ≥ threshold.
+
+    Candidates come from ``n_tables`` independent random-hyperplane LSH
+    tables (deterministic plane arithmetic — :func:`_plane_sign`), OR-ed
+    together, then verified with the exact cosine; emitted pairs are always
+    true positives. No cross join anywhere: candidate generation is one
+    equi-join on (table, bucket). Recall at the threshold boundary is
+    1-(1-p^n_planes)^n_tables with p = 1-θ/π; the defaults give ~0.977 at
+    cosine 0.35 and >0.999996 at production near-dup thresholds (≥0.9 —
+    raise n_planes there to cut candidate volume). The DuckDB oracle mirrors
+    the plane arithmetic bit-for-bit, so the approximate result is exactly
+    reproducible.
+    """
+    base = _with_norm(embeddings)
+
+    def bucket_of(vcol, t):
+        bits = None
+        for p in range(n_planes):
+            bit = F.when(_proj(vcol, t * n_planes + p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits.cast("long")
+
+    tables = F.array(*[bucket_of(F.col("v"), t) for t in range(n_tables)])
+    bucketed = base.select("vec_id", F.posexplode(tables).alias("tbl", "bucket"))
+    cand = (
+        bucketed.withColumnRenamed("vec_id", "vec_a")
+        .join(bucketed.withColumnRenamed("vec_id", "vec_b"), ["tbl", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dups_sql(
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    n_tables: int = NEAR_DUP_TABLES,
+    n_planes: int = NEAR_DUP_PLANES,
+) -> str:
+    """DuckDB oracle for :func:`embedding_near_dups` — mirrors the LSH
+    bucket arithmetic exactly (same portable integer plane signs), so the
+    candidate set and the verified output are engine-identical."""
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_proj_sql(t * n_planes + p)} > 0 THEN {2 ** p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    flat = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, CAST({bucket(t)} AS BIGINT) AS bucket FROM normed"
+        for t in range(n_tables)
+    )
     dot = (
         "list_reduce(list_transform(range(1, len(a.v) + 1),"
         " i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
@@ -122,17 +202,24 @@ def embedding_near_dups_sql(table: str = "embeddings", threshold: float = 0.95) 
     WITH base AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM {table}
-    ), normed AS (
+    ), normed AS MATERIALIZED (
       SELECT vec_id, v,
              sqrt(list_reduce(list_transform(range(1, len(v) + 1),
                   i -> v[i] * v[i]), (x, y) -> x + y)) AS norm
       FROM base
+    ), flat AS MATERIALIZED (
+      {flat}
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM flat x JOIN flat y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT c.vec_a, c.vec_b,
            round({dot} / (a.norm * b.norm), 6) AS cosine
-    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
-    WHERE {dot} / (a.norm * b.norm) >= {threshold} - 5e-7
-      AND round({dot} / (a.norm * b.norm), 6) >= {threshold}
+    FROM cand c
+    JOIN normed a ON a.vec_id = c.vec_a
+    JOIN normed b ON b.vec_id = c.vec_b
+    WHERE round({dot} / (a.norm * b.norm), 6) >= {threshold}
     """
 
 
@@ -146,6 +233,34 @@ def _plane_sign(p: int, i_col):
     return (v % 2) * 2 - 1
 
 
+def _proj(vcol, p: int):
+    """Signed projection of a vector column onto deterministic hyperplane p.
+
+    Binary lambda factory: PySpark inspects lambda arity, so the plane index
+    must be closed over via this helper, not a default arg."""
+    return F.aggregate(
+        F.zip_with(
+            vcol,
+            F.sequence(F.lit(1), F.size(vcol)),
+            lambda x, i: x * _plane_sign(p, i),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _proj_sql(p: int) -> str:
+    """DuckDB mirror of :func:`_proj` over a column named ``v``."""
+    sign = (
+        f"CAST((((({1 + 7 * p}) * ((i * 2654435761) % {MERSENNE_P})) % {MERSENNE_P}) % 2) * 2 - 1"
+        " AS DOUBLE)"
+    )
+    return (
+        f"list_reduce(list_transform(range(1, len(v) + 1),"
+        f" i -> v[i] * {sign}), (x, y) -> x + y)"
+    )
+
+
 def lsh_knn(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
 ) -> DataFrame:
@@ -156,19 +271,6 @@ def lsh_knn(
     single equi-join on the bucket id, which is what survives at 100 TB.
     """
     base = _with_norm(embeddings)
-
-    def _proj(vcol, p):
-        # binary lambda factory: PySpark inspects lambda arity, so the
-        # plane index must be closed over via this helper, not a default arg
-        return F.aggregate(
-            F.zip_with(
-                vcol,
-                F.sequence(F.lit(1), F.size(vcol)),
-                lambda x, i: x * _plane_sign(p, i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
     def bucket_of(vcol):
         bits = None
@@ -207,20 +309,8 @@ def lsh_knn_sql(
     """DuckDB oracle for :func:`lsh_knn` — the bucket arithmetic is the same
     engine-portable integer formula, so the 'approximate' result is exactly
     reproducible."""
-    P = MERSENNE_P
-
-    def proj(p: int) -> str:
-        sign = (
-            f"CAST((((({1 + 7 * p}) * ((i * 2654435761) % {P})) % {P}) % 2) * 2 - 1"
-            " AS DOUBLE)"
-        )
-        return (
-            f"list_reduce(list_transform(range(1, len(v) + 1),"
-            f" i -> v[i] * {sign}), (x, y) -> x + y)"
-        )
-
     bucket = " + ".join(
-        f"(CASE WHEN {proj(p)} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(n_planes)
+        f"(CASE WHEN {_proj_sql(p)} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(n_planes)
     )
     dot = (
         "list_reduce(list_transform(range(1, len(q.v) + 1),"

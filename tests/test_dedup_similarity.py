@@ -1,0 +1,127 @@
+"""Dedup/similarity operator tests: scale-safe plan shapes (no cross joins,
+no all-shared-shingle-pairs verification) and semantics of the banded /
+capped / LSH candidate paths vs their exact all-pairs definitions."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph_spark.functions import dedup as dd
+from linkgraph_spark.functions import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- plan audits
+def test_no_cross_join_plans(spark, docs, embs):
+    """Every candidate-generating dedup/similarity operator must plan as
+    equi-joins — a CartesianProduct or BroadcastNestedLoopJoin is the
+    all-pairs scale-killer these operators exist to avoid. (cosine_topk and
+    ivf_knn intentionally broadcast a tiny query/codebook side and are
+    audited separately.)"""
+    cases = {
+        "ngram_jaccard_dups": dd.ngram_jaccard_dups(docs, threshold=0.5),
+        "ngram_jaccard_capped": dd.ngram_jaccard_dups(docs, 0.5, max_doc_freq=100),
+        "minhash_lsh_dups": dd.minhash_lsh_dups(docs, threshold=0.5),
+        "simhash_dups": dd.simhash_dups(docs, max_hamming=3),
+        "embedding_near_dups": sim.embedding_near_dups(embs, threshold=0.35),
+        "lsh_knn": sim.lsh_knn(embs),
+    }
+    for name, df in cases.items():
+        plan = _plan(df)
+        for bad in BAD_NODES:
+            assert bad not in plan, f"{name}: {bad} in plan\n{plan}"
+
+
+def test_minhash_verify_not_flat_join(spark, docs):
+    """The MinHash verification must not re-enumerate all shared-shingle
+    pairs (the flat⋈flat join LSH exists to avoid): the only Generate nodes
+    allowed are the banded posexplode — no bare explode of the shingle
+    array feeding a join."""
+    plan = _plan(dd.minhash_lsh_dups(docs, threshold=0.5))
+    assert not re.search(r"(?<!pos)explode\(sh", plan), plan
+
+
+# -------------------------------------------------- banded simhash semantics
+def test_simhash_banded_equals_all_pairs(spark, docs):
+    """Pigeonhole guarantee: the banded equi-join output is identical to the
+    all-pairs Hamming ≤ 3 definition."""
+    s = dd.simhash(docs).persist()
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd.simhash_dups(docs, max_hamming=3).collect()
+    }
+    s.unpersist()
+    assert banded == brute
+
+
+# ------------------------------------------------- shingle DF cap semantics
+def _hot_docs(spark):
+    rows = [
+        (0, "zzz yyy xxx the cat sat on the mat today ok"),
+        (1, "zzz yyy xxx the cat sat on the mat tonight ok"),
+        (2, "zzz yyy xxx completely different words here alpha beta"),
+        (3, "zzz yyy xxx unrelated tokens entirely gamma delta epsilon"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_doc_freq_cap(spark):
+    """The hot shingle 'zzz yyy xxx' (doc-freq 4) must stop generating
+    candidates under max_doc_freq=3; pairs still reachable through rare
+    shingles keep their EXACT jaccard (verification uses full arrays)."""
+    d = _hot_docs(spark)
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_dups(d, threshold=0.01).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_dups(d, threshold=0.01, max_doc_freq=3).collect()
+    }
+    # (2,3) share ONLY the hot shingle → present uncapped, dropped capped
+    assert (2, 3) in uncapped and (2, 3) not in capped
+    # (0,1) share rare shingles → present in both with identical exact jaccard
+    assert capped[(0, 1)] == uncapped[(0, 1)]
+    # every capped pair is an uncapped pair with the same value (no fabrication)
+    assert all(uncapped[k] == v for k, v in capped.items())
+
+
+# ------------------------------------------- embedding LSH recall vs exact
+def test_embedding_near_dups_recall(spark, embs):
+    """LSH-candidate near-dups must be a subset of the exact all-pairs
+    result (verified pairs are always true positives) with high recall at
+    the gate threshold."""
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in sim.embedding_near_dups_exact(embs, 0.35).collect()
+    }
+    lsh = {(r["vec_a"], r["vec_b"]) for r in sim.embedding_near_dups(embs, 0.35).collect()}
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact), f"recall {len(lsh)}/{len(exact)}"
