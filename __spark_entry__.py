@@ -161,14 +161,14 @@ def q_pagerank_top20(spark, sf_dir):
 
 def q_components(spark, sf_dir):
     g = _graph(spark, sf_dir)
-    return connected_components(g).select("id", "component")
+    return connected_components(g).labels.select("id", "component")
 
 
 def q_component_sizes(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return (
         connected_components(g)
-        .groupBy("component")
+        .labels.groupBy("component")
         .agg(F.count("*").alias("size"))
     )
 

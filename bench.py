@@ -62,7 +62,7 @@ def main():
     _, q["pagerank_compat3_sf"] = timed(lambda: pagerank(g_sf, mode="compat").ranks.count())
     res_sf, q["pagerank_textbook_converge_sf"] = timed(lambda: pagerank(g_sf, mode="textbook"))
     _, q["components_sf"] = timed(
-        lambda: connected_components(g_sf).select("component").distinct().count()
+        lambda: connected_components(g_sf).labels.select("component").distinct().count()
     )
     _, q["labelprop3_sf"] = timed(lambda: label_propagation(g_sf, max_iterations=3).count())
     _, q["triangles_sf"] = timed(lambda: triangle_count(g_sf))
@@ -93,7 +93,7 @@ def main():
     pr_wall = q["pagerank_textbook10_big"]
     eps = n_edges * res_big.iterations / pr_wall if pr_wall > 0 else 0.0
     _, q["components_big"] = timed(
-        lambda: connected_components(g_big).select("component").distinct().count()
+        lambda: connected_components(g_big).labels.select("component").distinct().count()
     )
     g_big.unpersist()  # free cached blocks before the probe measurement
 

@@ -12,11 +12,23 @@ manifest exists. That gives the same capability the reference's locks
 protect (consistent concurrent state updates) with no locking at all, plus
 resume-from-any-iteration, which the reference cannot do.
 
-On a production cluster this maps 1:1 onto an Iceberg table partitioned by
-``(kernel, iteration)`` with snapshot-isolated commits; the Parquet layout
-here keeps the identical protocol without the Iceberg runtime jars.
+Two backends behind the same ``write_state / latest_iteration / load_state /
+load_metrics / load_lineage`` protocol (kernels are backend-agnostic —
+they accept any object with that surface):
 
-Layout::
+- :class:`CheckpointStore` — Parquet + ``_COMMIT`` manifest. ALL filesystem
+  control operations (marker create, existence check, directory listing) go
+  through the Hadoop FileSystem API resolved from the path's scheme, so the
+  protocol works identically on ``file://``, ``hdfs://``, ``s3a://`` — never
+  driver-local ``open()``/``os.listdir()`` (which would silently never see
+  commits on a remote FS).
+- :class:`IcebergCheckpointStore` — the production mapping: one Iceberg
+  table partitioned by (kernel, iteration); the commit manifest collapses
+  into Iceberg's snapshot commit. Activates only when an Iceberg catalog is
+  configured on the session (the runtime jars are not in this sandbox, so
+  construction is capability-guarded, not assumed).
+
+Layout (Parquet backend)::
 
     {base}/{kernel}/state/iteration={k}/*.parquet   # the state vector
     {base}/{kernel}/state/iteration={k}/_COMMIT     # atomic commit manifest
@@ -27,14 +39,48 @@ Layout::
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _active_spark() -> SparkSession:
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession for checkpoint-store I/O")
+    return s
+
+
+class _HadoopFS:
+    """Thin wrapper over the JVM Hadoop FileSystem for control-plane ops
+    (markers, listings) so the commit protocol works on any Spark-supported
+    filesystem, not just the driver's local disk."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._Path(path)))
+
+    def list_names(self, path: str) -> list[str]:
+        p = self._Path(path)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+
 class CheckpointStore:
-    """Durable superstep state with lineage + metrics + atomic commits."""
+    """Durable superstep state with lineage + metrics + atomic commits
+    (Parquet + ``_COMMIT`` manifest over the Hadoop FileSystem API)."""
 
     def __init__(self, base_path: str, lineage_partitions: int = 32):
         self.base = base_path.rstrip("/")
@@ -45,7 +91,7 @@ class CheckpointStore:
         return f"{self.base}/{kernel}/state/iteration={iteration}"
 
     def _commit_marker(self, kernel: str, iteration: int) -> str:
-        return os.path.join(self._state_dir(kernel, iteration), "_COMMIT")
+        return f"{self._state_dir(kernel, iteration)}/_COMMIT"
 
     # ---------------------------------------------------------------- write
     def write_state(
@@ -91,20 +137,22 @@ class CheckpointStore:
                 f"{self.base}/{kernel}/metrics/it_{iteration}"
             )
 
-        # atomic commit: readers ignore iterations without this manifest
-        with open(self._commit_marker(kernel, iteration), "w") as fh:
-            json.dump({"kernel": kernel, "iteration": iteration}, fh)
+        # atomic commit: readers ignore iterations without this manifest.
+        # Written through the Hadoop FS of the base path's scheme, so the
+        # protocol holds on hdfs:// and s3a:// exactly as on local disk.
+        _HadoopFS(spark, self.base).write_text(
+            self._commit_marker(kernel, iteration),
+            json.dumps({"kernel": kernel, "iteration": iteration}),
+        )
 
     # ----------------------------------------------------------------- read
     def committed_iterations(self, kernel: str) -> list[int]:
-        root = f"{self.base}/{kernel}/state"
-        if not os.path.isdir(root):
-            return []
+        fs = _HadoopFS(_active_spark(), self.base)
         out = []
-        for name in os.listdir(root):
+        for name in fs.list_names(f"{self.base}/{kernel}/state"):
             if name.startswith("iteration="):
                 k = int(name.split("=", 1)[1])
-                if os.path.exists(self._commit_marker(kernel, k)):
+                if fs.exists(self._commit_marker(kernel, k)):
                     out.append(k)
         return sorted(out)
 
@@ -113,7 +161,7 @@ class CheckpointStore:
         return its[-1] if its else None
 
     def load_state(self, spark: SparkSession, kernel: str, iteration: int) -> DataFrame:
-        if not os.path.exists(self._commit_marker(kernel, iteration)):
+        if not _HadoopFS(spark, self.base).exists(self._commit_marker(kernel, iteration)):
             raise FileNotFoundError(
                 f"iteration {iteration} of kernel {kernel} has no commit manifest"
             )
@@ -124,3 +172,90 @@ class CheckpointStore:
 
     def load_lineage(self, spark: SparkSession, kernel: str) -> DataFrame:
         return spark.read.parquet(f"{self.base}/{kernel}/lineage/it_*")
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
+    """True iff an Iceberg catalog implementation is on the session's
+    classpath and configured — the capability gate for
+    :class:`IcebergCheckpointStore` (the sandbox ships no Iceberg jars)."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if not impl or "iceberg" not in impl.lower():
+            return False
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergCheckpointStore:
+    """Iceberg-native checkpoint backend (drop-in for :class:`CheckpointStore`).
+
+    Mapping: the Parquet layout's ``iteration={k}`` directory + ``_COMMIT``
+    manifest collapse into ONE Iceberg table partitioned by
+    ``(kernel, iteration)`` — every ``write_state`` is a snapshot-isolated
+    ``overwritePartitions`` commit, so "committed" = "visible in the current
+    snapshot" and the marker protocol disappears. Readers get time travel
+    (resume from ANY iteration = partition predicate; inspect any historical
+    snapshot) for free.
+
+    Requires Iceberg runtime jars + a configured catalog
+    (``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``);
+    construction raises otherwise so a misconfigured cluster fails loudly,
+    never silently falling back to uncommitted writes.
+    """
+
+    def __init__(self, table: str, catalog: str = "spark_catalog"):
+        spark = _active_spark()
+        if not iceberg_available(spark, catalog):
+            raise RuntimeError(
+                f"Iceberg catalog {catalog!r} is not configured on this session "
+                "(runtime jars absent or spark.sql.catalog.* unset); use "
+                "CheckpointStore (Parquet + manifest) instead"
+            )
+        self.table = table
+
+    def write_state(
+        self,
+        kernel: str,
+        iteration: int,
+        state: DataFrame,
+        key_col: str,
+        metrics: dict | None = None,
+    ) -> None:
+        df = (
+            state.withColumn("kernel", F.lit(kernel))
+            .withColumn("iteration", F.lit(iteration))
+            .withColumn(
+                "metrics_json", F.lit(json.dumps(metrics or {}, sort_keys=True))
+            )
+        )
+        writer = df.writeTo(self.table)
+        try:  # idempotent re-run of a crashed superstep replaces its partition
+            writer.overwritePartitions()
+        except Exception:
+            writer.using("iceberg").partitionedBy(
+                F.col("kernel"), F.col("iteration")
+            ).create()
+
+    def committed_iterations(self, kernel: str) -> list[int]:
+        spark = _active_spark()
+        rows = (
+            spark.read.table(self.table)
+            .where(F.col("kernel") == kernel)
+            .select("iteration")
+            .distinct()
+            .collect()
+        )
+        return sorted(r["iteration"] for r in rows)
+
+    def latest_iteration(self, kernel: str) -> int | None:
+        its = self.committed_iterations(kernel)
+        return its[-1] if its else None
+
+    def load_state(self, spark: SparkSession, kernel: str, iteration: int) -> DataFrame:
+        return (
+            spark.read.table(self.table)
+            .where((F.col("kernel") == kernel) & (F.col("iteration") == iteration))
+            .drop("kernel", "iteration", "metrics_json")
+        )

@@ -97,8 +97,13 @@ def main(argv=None):
             "metrics_tail": res.metrics[-1] if res.metrics else None,
         }
     elif args.kernel == "components":
-        result = connected_components(g, checkpoint=store, resume=args.resume)
-        summary = {"components": result.select("component").distinct().count()}
+        cres = connected_components(g, checkpoint=store, resume=args.resume)
+        result = cres.labels
+        summary = {
+            "components": result.select("component").distinct().count(),
+            "iterations": cres.iterations,
+            "converged": cres.converged,
+        }
     elif args.kernel == "labelprop":
         result = label_propagation(
             g, max_iterations=args.iterations or 5, checkpoint=store, resume=args.resume

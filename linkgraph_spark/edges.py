@@ -93,7 +93,9 @@ def clean_edges(raw: DataFrame) -> DataFrame:
     )
 
 
-def assign_actor_ids(clean: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assign_actor_ids(
+    clean: DataFrame, num_partitions: int | None = None, track_blocks: set | None = None
+) -> DataFrame:
     """Dense deterministic ids for the vertex universe.
 
     Semantics: ``id = rank of actor_key in global sorted order`` (0-based) —
@@ -102,7 +104,18 @@ def assign_actor_ids(clean: DataFrame, num_partitions: int | None = None) -> Dat
     holds the whole universe (the single-partition window would die at
     10^12-turn scale). Deterministic across parallelism levels because the
     result depends only on the sorted order, not on boundary placement.
+
+    The sorted universe is pinned with ``localCheckpoint`` (not ``persist``)
+    before the offsets are collected: the offset map is only valid for the
+    exact partition boundaries it was computed from, and a recomputation
+    through ``repartitionByRange``'s *sampled* boundaries could silently
+    shift rows between partitions. A checkpoint makes a lost block a LOUD
+    job failure instead of silently duplicated/skipped ids; callers free the
+    blocks via :func:`linkgraph_spark.lineage.free_tracked` once the id
+    table is materialized (``build_graph`` does).
     """
+    from linkgraph_spark.lineage import checkpoint_tracked
+
     spark = clean.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keys = (
@@ -110,9 +123,11 @@ def assign_actor_ids(clean: DataFrame, num_partitions: int | None = None) -> Dat
         .unionByName(clean.select(F.col("dst_key").alias("actor_key")))
         .distinct()
     )
-    sorted_keys = (
-        keys.repartitionByRange(n, "actor_key").sortWithinPartitions("actor_key").persist()
+    sorted_keys, block_ids = checkpoint_tracked(
+        keys.repartitionByRange(n, "actor_key").sortWithinPartitions("actor_key")
     )
+    if track_blocks is not None:
+        track_blocks.update(block_ids)
     part_counts = (
         sorted_keys.groupBy(F.spark_partition_id().alias("pid"))
         .count()
@@ -172,9 +187,14 @@ def build_graph(transcripts: DataFrame, weighted: bool = False) -> LinkGraph:
     ``weighted=True`` keeps multi-edge multiplicity as ``edges.weight`` and
     adds ``degrees.w_out_deg`` (total outgoing weight) for weighted kernels.
     """
+    from linkgraph_spark.lineage import free_tracked
+
     raw = derive_edge_keys(transcripts)
     clean = clean_edges_weighted(raw) if weighted else clean_edges(raw)
-    vertices = assign_actor_ids(clean.select("src_key", "dst_key")).persist()
+    key_blocks: set = set()
+    vertices = assign_actor_ids(
+        clean.select("src_key", "dst_key"), track_blocks=key_blocks
+    ).persist()
     cols = ["src", "dst"] + (["weight"] if weighted else [])
     edges = (
         clean.join(vertices.withColumnRenamed("actor_key", "src_key"), "src_key")
@@ -190,6 +210,9 @@ def build_graph(transcripts: DataFrame, weighted: bool = False) -> LinkGraph:
     n = vertices.count()
     edges.count()  # materialize eagerly: persisted-but-lazy tables would
     degrees.count()  # otherwise bill their first compute to the first kernel
+    # the sorted key universe has served its purpose — free its checkpoint
+    # blocks (previously leaked one copy per build_graph call)
+    free_tracked(transcripts.sparkSession.sparkContext, key_blocks)
     return LinkGraph(vertices=vertices, edges=edges, degrees=degrees, num_vertices=n)
 
 

@@ -5,14 +5,20 @@ gather–apply–scatter loop (``pagerank_lambda/dynamodb/pagerank.py:108-112``)
 """
 
 from linkgraph_spark.kernels.pagerank import pagerank, PageRankResult
-from linkgraph_spark.kernels.components import connected_components
+from linkgraph_spark.kernels.components import (
+    ComponentsResult,
+    connected_components,
+    connected_components_star,
+)
 from linkgraph_spark.kernels.labelprop import label_propagation
 from linkgraph_spark.kernels.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
     "pagerank",
     "PageRankResult",
+    "ComponentsResult",
     "connected_components",
+    "connected_components_star",
     "label_propagation",
     "triangle_count",
     "triangles_per_vertex",

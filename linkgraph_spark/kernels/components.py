@@ -1,25 +1,35 @@
-"""Connected components via hash-min label exchange (north_star kernel #2).
+"""Connected components (north_star kernel #2): hash-min label exchange
+plus a large-star/small-star variant for high-diameter graphs.
 
-Same superstep scaffold as PageRank: per iteration every vertex adopts the
-minimum label among itself and its (undirected) neighbors; fixpoint when no
-label changes. Labels start as vertex ids, so each component converges to
-its minimum member id — exact, deterministic, parallelism-independent.
+**hash-min** (:func:`connected_components`): per superstep every vertex
+adopts the minimum label among itself and its undirected neighbors;
+fixpoint when no label changes. Labels start as vertex ids, so each
+component converges to its minimum member id — exact, deterministic,
+parallelism-independent. Converges in O(diameter) supersteps, which is fine
+for transcript graphs (conversation chains bridged by tool hubs are
+shallow); the result carries an explicit ``converged`` flag so an
+iteration-capped run can never silently return split components.
 
-Scale notes: iterations = graph diameter. Transcript graphs are
-shallow-diameter (conversations are chains of ≤ a few hundred turns bridged
-by tool hubs), so hash-min converges in a few supersteps; each superstep is
-one co-partitioned join + min-agg, checkpointed like PageRank so a crashed
-run resumes mid-fixpoint.
+**large-star/small-star** (:func:`connected_components_star`): the
+Kiveris et al. alternating algorithm — O(log n) rounds regardless of
+diameter, the scale path for adversarially deep graphs. Verified against
+hash-min in tests.
+
+Scale notes: each hash-min superstep is one co-partitioned join + min-agg;
+the per-iteration change count rides the rotate job via ``observe()`` (no
+separate count pass). Star rounds are two map+min-agg shuffles each.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph_spark.checkpoint import CheckpointStore
 from linkgraph_spark.edges import LinkGraph
-from linkgraph_spark.lineage import RotatingState
+from linkgraph_spark.lineage import RotatingState, checkpoint_tracked, free_tracked
 
 
 def undirected(edges: DataFrame) -> DataFrame:
@@ -32,13 +42,28 @@ def undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+@dataclass
+class ComponentsResult:
+    """Mirror of ``PageRankResult``'s contract: the labels plus an explicit
+    convergence signal — an iteration-capped run that did NOT reach the
+    fixpoint is detectable (hash-min needs O(diameter) supersteps; silently
+    returning split components was the failure mode this guards)."""
+
+    labels: DataFrame  # [id: long, component: long]
+    iterations: int
+    converged: bool
+    metrics: list = field(default_factory=list)
+
+
 def connected_components(
     graph: LinkGraph,
     max_iterations: int = 50,
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
-) -> DataFrame:
-    """→ ``DataFrame[id: long, component: long]`` (component = min member id)."""
+) -> ComponentsResult:
+    """Hash-min label exchange → :class:`ComponentsResult` (component = min
+    member id). ``result.converged`` is False iff the iteration cap was hit
+    before the fixpoint."""
     spark = graph.vertices.sparkSession
     sym = undirected(graph.edges).persist()
     sym.count()
@@ -53,6 +78,9 @@ def connected_components(
     state = RotatingState(spark)
     labels = state.rotate(labels)  # truncate lineage per superstep
 
+    converged = False
+    metrics: list = []
+    it = start
     for it in range(start + 1, max_iterations + 1):
         nbr_min = (
             sym.join(labels, sym.dst == labels.id, "inner")
@@ -66,15 +94,120 @@ def connected_components(
             ).alias("component"),
             F.col("component").alias("_old"),
         )
+        # the change count rides the rotate's materialization pass — one
+        # Spark job per superstep, no separate count() scan
+        obs = Observation(f"cc_changed_{start}_{it}")
+        new = new.observe(
+            obs,
+            F.sum(
+                F.when(F.col("component") != F.col("_old"), 1).otherwise(0)
+            ).alias("changed"),
+        )
         new = state.rotate(new)
-        changed = new.where(F.col("component") != F.col("_old")).count()
+        changed = obs.get["changed"] or 0
         labels = new.select("id", "component")
+        metrics.append({"iteration": it, "changed": changed})
         if checkpoint is not None:
             checkpoint.write_state(
                 "components", it, labels, key_col="id", metrics={"changed": changed}
             )
         if changed == 0:
+            converged = True
             break
 
     sym.unpersist()
-    return labels
+    return ComponentsResult(
+        labels=labels, iterations=it, converged=converged, metrics=metrics
+    )
+
+
+# ----------------------------------------------- large-star / small-star
+def _min_nbr(edges: DataFrame) -> DataFrame:
+    """→ [u, m]: m = min(neighborhood(u) ∪ {u}) over a symmetric edge list."""
+    return edges.groupBy(F.col("src").alias("u")).agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+
+
+def connected_components_star(
+    graph: LinkGraph, max_iterations: int = 30
+) -> ComponentsResult:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log n) rounds independent of
+    graph diameter, so a 10^6-hop conversation chain converges in ~20
+    rounds where hash-min would need 10^6 supersteps.
+
+    Each round: **large-star** hooks every neighbor larger than u onto
+    min(Γ(u) ∪ {u}); **small-star** hooks u and its not-larger neighbors
+    onto that minimum. The edge set converges to a star forest whose
+    centers are component minima — identical labels to hash-min (verified
+    in tests). Both phases are one shuffle (min-agg) + one equi-join.
+    """
+    spark = graph.vertices.sparkSession
+    sc = spark.sparkContext
+    # RotatingState frees the previous state on rotate; the star fixpoint
+    # test needs BOTH the previous and current edge sets alive, so block
+    # lifetimes are managed explicitly via checkpoint_tracked
+    edges, e_ids = checkpoint_tracked(undirected(graph.edges))
+
+    converged = False
+    metrics: list = []
+    it = 0
+    for it in range(1, max_iterations + 1):
+        # large-star: (v, m(u)) for v ∈ Γ(u), v > u
+        mn = _min_nbr(edges)
+        large = (
+            edges.join(mn, edges.src == mn.u)
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+        # keep (u, m(u)) so isolated-star roots don't drop their pointer
+        keep = mn.where(F.col("u") != F.col("m")).select(
+            F.col("u").alias("src"), F.col("m").alias("dst")
+        )
+        half1 = large.unionByName(keep).distinct()
+        e1, e1_ids = checkpoint_tracked(
+            half1.unionByName(  # resymmetrize for the small-star phase
+                half1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+        )
+
+        # small-star over edges directed large→small: (v, m(u)) for v ≤ u
+        directed = e1.where(F.col("dst") < F.col("src"))
+        mn2 = directed.groupBy(F.col("src").alias("u")).agg(F.min("dst").alias("m"))
+        small = (
+            directed.join(mn2, directed.src == mn2.u)
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(mn2.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        e2, e2_ids = checkpoint_tracked(
+            small.unionByName(
+                small.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+        )
+
+        # fixpoint: the symmetric pointer set stopped changing
+        changed = e2.exceptAll(edges).limit(1).count()
+        free_tracked(sc, e_ids)
+        free_tracked(sc, e1_ids)
+        edges, e_ids = e2, e2_ids
+        metrics.append({"iteration": it})
+        if changed == 0:
+            converged = True
+            break
+
+    # star forest → labels: non-roots point at their component min
+    ptr = edges.where(F.col("dst") < F.col("src")).groupBy(
+        F.col("src").alias("id")
+    ).agg(F.min("dst").alias("component"))
+    labels = (
+        graph.vertices.select("id")
+        .join(ptr, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    return ComponentsResult(
+        labels=labels, iterations=it, converged=converged, metrics=metrics
+    )

@@ -31,10 +31,11 @@ Scale/efficiency design:
   lineage truncation the logical plan grows per iteration and Catalyst
   re-analysis goes quadratic (the standard iterative-Spark trap); on a
   cluster the durable checkpoint (``CheckpointStore``) serves double duty;
-- exactly TWO Spark jobs per superstep: (1) materialize the new rank
-  vector, (2) one combined aggregate producing the residual AND the next
-  iteration's dangling mass (the static ``is_dangling`` flag rides along in
-  the state vector, so no per-iteration join against the dangling set);
+- exactly ONE Spark job per superstep: the residual AND the next
+  iteration's dangling mass ride the rank-vector materialization via
+  ``observe()`` (the static ``is_dangling`` flag rides along in the state
+  vector, so no per-iteration join against the dangling set and no second
+  aggregate scan);
 - hub-vertex ranks join broadcast (``skew.gather_contribs``), the shuffled
   remainder is covered by AQE skew-join splitting.
 """
@@ -44,7 +45,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph_spark.checkpoint import CheckpointStore
@@ -275,14 +276,23 @@ def _pagerank_loop(
         new = old.join(sums, old.id == sums.dst, "left").select(
             "id", new_rank.alias("rank"), "_old", "is_dangling", "tele"
         )
-        new = state.rotate(new)  # job 1: materialize, truncate, free prev blocks
-
+        obs = None
         if need_stats:
-            # job 2: residual + next iteration's dangling mass, ONE aggregate
-            stats = new.agg(
+            # the residual + next iteration's dangling mass ride the rotate's
+            # materialization pass via observe() — ONE Spark job per
+            # superstep, no separate aggregate scan over the state vector
+            obs = Observation(f"pr_stats_{id(state)}_{it}")
+            new = new.observe(
+                obs,
                 F.max(F.abs(F.col("rank") - F.col("_old"))).alias("resid"),
-                F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
-            ).collect()[0]
+                F.sum(
+                    F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)
+                ).alias("dm"),
+            )
+        new = state.rotate(new)  # the one job: materialize, truncate, free prev
+
+        if obs is not None:
+            stats = obs.get
             residual = stats["resid"]
             dangling_mass = stats["dm"] or 0.0
 

@@ -34,6 +34,25 @@ def _persistent_rdd_ids(sc) -> set:
     return ids
 
 
+def checkpoint_tracked(df: DataFrame):
+    """Eager localCheckpoint returning ``(checkpointed_df, block_ids)`` so
+    the caller controls exactly when the blocks are freed — for loops (like
+    large-star/small-star) that must keep BOTH the previous and current
+    state alive across an iteration, which :class:`RotatingState`'s
+    free-previous-on-rotate policy would break."""
+    sc = df.sparkSession.sparkContext
+    pre = _persistent_rdd_ids(sc)
+    ck = df.localCheckpoint()
+    post = _persistent_rdd_ids(sc)
+    return ck, post - pre
+
+
+def free_tracked(sc, block_ids) -> None:
+    """Free blocks returned by :func:`checkpoint_tracked`."""
+    for rid in block_ids:
+        sc._jsc.sc().unpersistRDD(rid, False)
+
+
 class RotatingState:
     """Holds the current superstep's localCheckpoint; frees the previous
     one's blocks on each rotation. The final state (last rotate) is never

@@ -9,6 +9,7 @@ maintenance into the same checkpoint-table layout the batch kernels use.
 
 from linkgraph_spark.streaming.transcript_stream import (
     incremental_degrees,
+    merge_degree_batch,
     read_transcript_stream,
     stream_tool_edges,
     windowed_role_activity,
@@ -19,4 +20,5 @@ __all__ = [
     "stream_tool_edges",
     "windowed_role_activity",
     "incremental_degrees",
+    "merge_degree_batch",
 ]

@@ -77,6 +77,38 @@ def windowed_role_activity(
     )
 
 
+def merge_degree_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One micro-batch's merge step (module-level so replay idempotency is
+    directly testable)."""
+    from linkgraph_spark.checkpoint import _HadoopFS
+
+    spark = batch_df.sparkSession
+    old = None
+    if _HadoopFS(spark, state_path).exists(state_path):
+        # corrupt/partial state must raise, not masquerade as empty
+        old = spark.read.parquet(state_path)
+        last = old.agg(F.max("_batch_id").alias("b")).collect()[0]["b"]
+        if last is not None and batch_id <= last:
+            return  # replayed batch — its counts are already merged
+    delta = (
+        stream_tool_edges(batch_df)
+        .groupBy("src_key", "dst_key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = (
+        (delta if old is None else old.select("src_key", "dst_key", "cnt").unionByName(delta))
+        .groupBy("src_key", "dst_key")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("_batch_id", F.lit(batch_id))
+    )
+    # write-then-swap would be the cluster pattern; local overwrite is
+    # safe here because foreachBatch serializes batches
+    merged.cache().count()
+    merged.write.mode("overwrite").parquet(state_path + "_next")
+    spark.read.parquet(state_path + "_next").write.mode("overwrite").parquet(state_path)
+    merged.unpersist()
+
+
 def incremental_degrees(
     stream: DataFrame, state_path: str, checkpoint_path: str, trigger_once: bool = True
 ):
@@ -85,28 +117,18 @@ def incremental_degrees(
     ``foreachBatch`` merges each micro-batch's per-actor counts into a
     durable parquet snapshot (read-modify-write of a tiny aggregate table —
     the snapshot is O(actors), not O(edges)). Returns the StreamingQuery.
+
+    **Idempotent under replay**: Structured Streaming delivers micro-batches
+    to ``foreachBatch`` at-least-once after a crash; the snapshot records the
+    last merged ``batch_id`` (a ``_batch_id`` column, constant per snapshot)
+    and a replayed batch (``batch_id <= stored``) is skipped instead of
+    double-counted. Only a *missing* snapshot directory means "no prior
+    state" — any other read error (corrupt/partial snapshot) propagates
+    rather than silently resetting the accumulated counts.
     """
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        delta = (
-            stream_tool_edges(batch_df)
-            .groupBy("src_key", "dst_key")
-            .agg(F.count("*").alias("cnt"))
-        )
-        try:
-            old = spark.read.parquet(state_path)
-        except Exception:
-            old = None
-        merged = (
-            delta if old is None else old.unionByName(delta)
-        ).groupBy("src_key", "dst_key").agg(F.sum("cnt").alias("cnt"))
-        # write-then-swap would be the cluster pattern; local overwrite is
-        # safe here because foreachBatch serializes batches
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(state_path + "_next")
-        spark.read.parquet(state_path + "_next").write.mode("overwrite").parquet(state_path)
-        merged.unpersist()
+        merge_degree_batch(batch_df, batch_id, state_path)
 
     writer = stream.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_path

@@ -35,7 +35,7 @@ def test_determinism_across_parallelism(spark):
             t = synthesize_transcripts(spark, n_convs=40, min_turns=2, max_turns=20)
             g = build_graph(t)
             ids = {r["actor_key"]: r["id"] for r in g.vertices.collect()}
-            comps = {r["id"]: r["component"] for r in connected_components(g).collect()}
+            comps = {r["id"]: r["component"] for r in connected_components(g).labels.collect()}
             tris = triangle_count(g)
             ranks = {
                 r["id"]: r["rank"] for r in pagerank(g, mode="compat").ranks.collect()

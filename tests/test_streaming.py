@@ -92,3 +92,29 @@ def test_incremental_degrees_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_degrees_replay_idempotent(spark, tmp_path):
+    """At-least-once foreachBatch delivery: re-merging an already-merged
+    batch_id must be a no-op (no double counting); a batch_id beyond the
+    stored one merges normally."""
+    from linkgraph_spark.streaming import merge_degree_batch
+
+    t = synthesize_transcripts(spark, n_convs=20, min_turns=2, max_turns=10)
+    state = str(tmp_path / "replay_state")
+    merge_degree_batch(t, 0, state)
+    first = {
+        (r["src_key"], r["dst_key"]): r["cnt"] for r in spark.read.parquet(state).collect()
+    }
+    # replay batch 0 → unchanged
+    merge_degree_batch(t, 0, state)
+    replayed = {
+        (r["src_key"], r["dst_key"]): r["cnt"] for r in spark.read.parquet(state).collect()
+    }
+    assert replayed == first
+    # genuinely new batch → counts double
+    merge_degree_batch(t, 1, state)
+    after = {
+        (r["src_key"], r["dst_key"]): r["cnt"] for r in spark.read.parquet(state).collect()
+    }
+    assert after == {k: 2 * v for k, v in first.items()}
