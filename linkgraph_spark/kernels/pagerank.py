@@ -93,6 +93,7 @@ def pagerank(
     use_salting: bool = False,
     gather_fn=None,
     gather_mode: str = "builtin",
+    profile: bool = False,
 ) -> PageRankResult:
     """Run PageRank to convergence (textbook) or a fixed count (compat).
 
@@ -101,6 +102,12 @@ def pagerank(
     ``gather_fn(edges_div, ranks) -> DataFrame[dst, contrib, src]`` lets a
     custom gather replace the builtin join.
     ``resume=True`` restarts from the latest committed checkpoint iteration.
+    ``profile=True`` adds a per-stage timing breakdown (gather / gather+agg
+    / materialize) to each superstep's metrics — the engine-grade version of
+    the reference's per-vertex get/rank/put timings
+    (``pagerank_lambda/dynamodb/pagerank.py:93-99``). Profiling runs extra
+    measurement jobs per superstep, so it is opt-in (the default superstep
+    is exactly ONE Spark job).
     """
     cfg = config or EngineConfig()
     if mode == "compat":
@@ -149,6 +156,7 @@ def pagerank(
             graph, mode, cfg, spark, n, n_iters, damping, teleport,
             check_convergence, personalize_ids, edges_div, n_edges, hub_ids,
             big_state, gather_fn, gather_mode, use_salting, checkpoint, resume,
+            profile,
         )
     finally:
         # restore session confs + free caches on EVERY exit path (including
@@ -165,7 +173,7 @@ def pagerank(
 def _pagerank_loop(
     graph, mode, cfg, spark, n, n_iters, damping, teleport, check_convergence,
     personalize_ids, edges_div, n_edges, hub_ids, big_state, gather_fn,
-    gather_mode, use_salting, checkpoint, resume,
+    gather_mode, use_salting, checkpoint, resume, profile=False,
 ) -> PageRankResult:
     if big_state:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -255,6 +263,19 @@ def _pagerank_loop(
 
         contribs = gather(edges_div, ranks.select("id", "rank"))
         sums = agg(contribs)
+        stage_sec = None
+        if profile:
+            # opt-in stage breakdown: each timing is a measurement job over
+            # the stage's plan prefix (gather ⊂ gather+agg ⊂ materialize)
+            ts = time.monotonic()
+            contribs.count()
+            t_gather = time.monotonic() - ts
+            ts = time.monotonic()
+            sums.count()
+            stage_sec = {
+                "gather": round(t_gather, 4),
+                "gather_agg": round(time.monotonic() - ts, 4),
+            }
         if big_state:
             # the apply join: don't re-broadcast O(V) sums every superstep
             sums = sums.hint("shuffle_hash")
@@ -305,6 +326,8 @@ def _pagerank_loop(
             "wall_sec": wall,
             "edges_per_sec": n_edges / wall if wall > 0 else None,
         }
+        if stage_sec is not None:
+            m["stage_sec"] = stage_sec
         metrics.append(m)
 
         ranks = new.select("id", "rank", "is_dangling", "tele")

@@ -110,3 +110,21 @@ def test_weighted_pagerank_on_transcripts(spark):
     assert res.converged
     assert_close(ranks_dict(res), want, tol=1e-5)
     g.unpersist()
+
+
+def test_profile_stage_breakdown(spark):
+    """profile=True adds per-stage superstep timings (the reference's
+    per-vertex get/rank/put observability, pagerank.py:93-99)."""
+    from linkgraph_spark.edges import graph_from_edges
+    from tests.fixtures_graphs import web64
+
+    g = graph_from_edges(spark, web64())
+    res = pagerank(g, mode="textbook", iterations=2, profile=True)
+    assert len(res.metrics) == 2
+    for m in res.metrics:
+        assert set(m["stage_sec"]) == {"gather", "gather_agg"}
+        assert all(v >= 0 for v in m["stage_sec"].values())
+    # default path records no stage breakdown (one job per superstep)
+    res2 = pagerank(g, mode="textbook", iterations=1)
+    assert "stage_sec" not in res2.metrics[0]
+    g.unpersist()

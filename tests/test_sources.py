@@ -54,3 +54,32 @@ def test_adjacency_json_is_reference_shaped(spark, tmp_path):
     assert len(payloads) == 1
     adj = json.loads(payloads[0]["adjacency_json"])
     assert adj == {"20": ["10", "11"], "21": ["10"]}
+
+
+def test_ranks_jdbc_roundtrip(spark, tmp_path):
+    """Export final ranks to an embedded-Derby JDBC table and read them
+    back — the reference's external-readout exit (dynamodb_get_json.py),
+    Spark-native (per-partition connections, no driver collect)."""
+    from linkgraph_spark.sources import read_ranks_jdbc, write_ranks_jdbc
+
+    ranks = spark.range(50).selectExpr("id", "1.0 / (id + 1) as rank")
+    url = f"jdbc:derby:{tmp_path}/derby_ranks;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    write_ranks_jdbc(ranks, url, "final_ranks", driver=driver, num_partitions=2)
+    back = read_ranks_jdbc(spark, url, "final_ranks", driver=driver)
+    got = {r["id"]: r["rank"] for r in back.collect()}
+    want = {r["id"]: r["rank"] for r in ranks.collect()}
+    assert got == want
+
+
+def test_ranks_json_roundtrip(spark, tmp_path):
+    from linkgraph_spark.sources import write_ranks_json
+
+    ranks = spark.range(20).selectExpr("id", "cast(id as double) as rank")
+    out = str(tmp_path / "ranks_json")
+    write_ranks_json(ranks, out)
+    back = spark.read.json(out)
+    assert back.count() == 20
+    assert {r["id"]: r["rank"] for r in back.collect()} == {
+        r["id"]: r["rank"] for r in ranks.collect()
+    }
