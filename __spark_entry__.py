@@ -164,6 +164,15 @@ def q_components(spark, sf_dir):
     return connected_components(g).labels.select("id", "component")
 
 
+def q_components_star(spark, sf_dir):
+    # large-star/small-star produces the SAME labels as hash-min (component
+    # = min member id), so it shares the hash-min SQL oracle
+    from linkgraph_spark.kernels import connected_components_star
+
+    g = _graph(spark, sf_dir)
+    return connected_components_star(g).labels.select("id", "component")
+
+
 def q_component_sizes(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return (
@@ -273,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "pagerank_top20": q_pagerank_top20,
         "connected_components": q_components,
+        "connected_components_star": q_components_star,
         "component_sizes": q_component_sizes,
         "label_propagation3": q_labelprop3,
         "triangle_count": q_triangle_count,
@@ -569,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
     FROM degs
     """,
         "connected_components": _components_sql(20),
+        "connected_components_star": _components_sql(20),
         "component_sizes": _component_sizes_sql(20),
         "label_propagation3": _labelprop_sql(3),
         "triangle_count": f"{_G}, {_TRIANGLES_CTE} SELECT count(*) AS n_triangles FROM tri",

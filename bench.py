@@ -142,7 +142,47 @@ def main():
             "bench_convs": bench_convs,
         },
     }
+    out["detail"]["scaling"] = _scaling_evidence()
     print(json.dumps(out))
+
+
+def _scaling_evidence():
+    """Summarize the separately measured N-vs-4N evidence (tools/
+    scaling_run.py + tools/bandwidth_probe.py, full writeup in
+    BENCH/BASELINE.md) so the per-round bench JSON carries the
+    scaling-efficiency numbers the BASELINE metric names."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    evidence = {}
+    try:
+        ladder = {}
+        with open(os.path.join(here, "BENCH", "scaling_results.jsonl")) as fh:
+            for line in fh:
+                r = json.loads(line)
+                ladder[r["cpus"]] = r["steady_edges_scattered_per_sec"]
+        def eff(a, b):
+            return round((ladder[b] / ladder[a]) / (b / a), 3)
+        evidence["ladder_steady_eps"] = ladder
+        evidence["eff_1_to_4"] = eff(1, 4)
+        evidence["eff_2_to_8"] = eff(2, 8)
+        evidence["eff_8_to_32"] = eff(8, 32)
+    except Exception:
+        pass
+    try:
+        pairs = {}
+        with open(os.path.join(here, "BENCH", "scaling_r2.jsonl")) as fh:
+            for line in fh:
+                r = json.loads(line)
+                pairs.setdefault(r.get("run"), {})[r["cpus"]] = r[
+                    "steady_edges_scattered_per_sec"
+                ]
+        evidence["fresh_pairs_eff_8_to_32"] = {
+            run: round((v[32] / v[8]) / 4, 3)
+            for run, v in pairs.items()
+            if 8 in v and 32 in v
+        }
+    except Exception:
+        pass
+    return evidence
 
 
 if __name__ == "__main__":

@@ -60,12 +60,27 @@ REPS = 3
 
 
 def main():
-    out = {}
+    import statistics
+
+    med, best = {}, {}
     for w in LEVELS:
-        gbs = max(measure(w) for _ in range(REPS)) / 1e9  # best-of: scheduler noise only ever slows a run
-        out[w] = round(gbs, 1)
-        print(f"workers={w:3d}  aggregate {gbs:8.1f} GB/s  (best of {REPS})", flush=True)
-    print(json.dumps({"triad_gb_per_sec": out, "array_mib": N * 8 // (1 << 20)}))
+        rates = sorted(measure(w) / 1e9 for _ in range(REPS))
+        med[w] = round(statistics.median(rates), 1)
+        best[w] = round(rates[-1], 1)  # noise only ever slows a run
+        print(
+            f"workers={w:3d}  aggregate median {med[w]:6.1f}  best {best[w]:6.1f} GB/s"
+            f"  (n={REPS})",
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "triad_gb_per_sec_median": med,
+                "triad_gb_per_sec_best": best,
+                "array_mib": N * 8 // (1 << 20),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
