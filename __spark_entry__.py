@@ -5,8 +5,9 @@ actor graph at sf0.001.
 ``queries()`` — every implemented operator (SURVEY.md §2 + training-data
 pipeline ops), each runnable as ``fn(spark, sf_dir)``.
 ``oracle_sql()`` — DuckDB-equivalent SQL per query (same column names &
-rounding); omitted only for genuinely non-SQL-expressible ops (streaming /
-approximate-LSH / stub plumbing), which get the rows-only check.
+rounding). Every query has a value-hash oracle: approximate/LSH operators
+use engine-portable deterministic hashing mirrored in SQL, and the
+stub-decode media query is checked on its SQL-expressible projection.
 """
 
 from __future__ import annotations

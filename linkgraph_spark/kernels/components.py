@@ -96,7 +96,7 @@ def connected_components(
         )
         # the change count rides the rotate's materialization pass — one
         # Spark job per superstep, no separate count() scan
-        obs = Observation(f"cc_changed_{start}_{it}")
+        obs = Observation(f"cc_changed_{id(state)}_{it}")
         new = new.observe(
             obs,
             F.sum(

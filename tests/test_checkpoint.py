@@ -66,3 +66,16 @@ def test_metrics_and_lineage_recorded(spark, store):
         per_iter[r["iteration"]] = per_iter.get(r["iteration"], 0) + r["rows"]
     assert all(v == n for v in per_iter.values())
     g.unpersist()
+
+
+def test_iceberg_backend_capability_gated(spark, tmp_path):
+    """No Iceberg jars/catalog in this environment: the capability probe
+    must say so and construction must fail LOUDLY (never a silent fallback
+    to uncommitted writes)."""
+    import pytest as _pytest
+
+    from linkgraph_spark.checkpoint import IcebergCheckpointStore, iceberg_available
+
+    assert iceberg_available(spark) is False
+    with _pytest.raises(RuntimeError, match="Iceberg"):
+        IcebergCheckpointStore("ck.state")

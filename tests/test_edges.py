@@ -92,3 +92,28 @@ def test_hub_fixture_has_hub(spark):
     search = g.vertices.where(F.col("actor_key") == "tool:search")
     assert search.count() == 1
     g.unpersist()
+
+
+def test_cli_weighted_and_personalized(spark, tmp_path, capsys):
+    """The spark-submit entry point exposes weighted mode and
+    --personalize-ids (previously unreachable from the CLI)."""
+    import json
+
+    from linkgraph_spark.cli import main
+
+    rc = main(
+        [
+            "pagerank", "--synthetic-convs", "40", "--mode", "weighted",
+            "--iterations", "2", "--output", str(tmp_path / "wr"),
+        ]
+    )
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert json.loads(out)["iterations"] == 2
+    rc = main(
+        [
+            "pagerank", "--synthetic-convs", "40", "--personalize-ids", "0,1,2",
+            "--iterations", "2", "--output", str(tmp_path / "pr"),
+        ]
+    )
+    assert rc == 0
