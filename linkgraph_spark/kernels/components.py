@@ -130,7 +130,10 @@ def _min_nbr(edges: DataFrame) -> DataFrame:
 
 
 def connected_components_star(
-    graph: LinkGraph, max_iterations: int = 30
+    graph: LinkGraph,
+    max_iterations: int = 30,
+    checkpoint: CheckpointStore | None = None,
+    resume: bool = False,
 ) -> ComponentsResult:
     """Large-star/small-star alternation (Kiveris et al., "Connected
     Components in MapReduce and Beyond") — O(log n) rounds independent of
@@ -148,12 +151,19 @@ def connected_components_star(
     # RotatingState frees the previous state on rotate; the star fixpoint
     # test needs BOTH the previous and current edge sets alive, so block
     # lifetimes are managed explicitly via checkpoint_tracked
-    edges, e_ids = checkpoint_tracked(undirected(graph.edges))
+    start = 0
+    init = undirected(graph.edges)
+    if resume and checkpoint is not None:
+        latest = checkpoint.latest_iteration("components_star")
+        if latest is not None:
+            init = checkpoint.load_state(spark, "components_star", latest)
+            start = latest
+    edges, e_ids = checkpoint_tracked(init)
 
     converged = False
     metrics: list = []
-    it = 0
-    for it in range(1, max_iterations + 1):
+    it = start
+    for it in range(start + 1, max_iterations + 1):
         # large-star: (v, m(u)) for v ∈ Γ(u), v > u
         mn = _min_nbr(edges)
         large = (
@@ -195,6 +205,12 @@ def connected_components_star(
         free_tracked(sc, e1_ids)
         edges, e_ids = e2, e2_ids
         metrics.append({"iteration": it})
+        if checkpoint is not None:
+            # the round's symmetric pointer set IS the resumable state
+            checkpoint.write_state(
+                "components_star", it, edges, key_col="src",
+                metrics={"iteration": it},
+            )
         if changed == 0:
             converged = True
             break

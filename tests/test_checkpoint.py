@@ -79,3 +79,28 @@ def test_iceberg_backend_capability_gated(spark, tmp_path):
     assert iceberg_available(spark) is False
     with _pytest.raises(RuntimeError, match="Iceberg"):
         IcebergCheckpointStore("ck.state")
+
+
+def test_star_components_resume(spark, tmp_path):
+    """connected_components_star resumes from the latest committed round's
+    pointer set and ends with the same labels as the uninterrupted run."""
+    from linkgraph_spark.checkpoint import CheckpointStore
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels import connected_components_star
+
+    path = [(i, i + 1) for i in range(16)] + [(30, 31)]
+    g = graph_from_edges(spark, path)
+    store = CheckpointStore(str(tmp_path / "star_ck"))
+    full = connected_components_star(g, checkpoint=store)
+    assert full.converged
+    want = {(r["id"], r["component"]) for r in full.labels.collect()}
+    # resume from the first committed round only
+    import shutil
+
+    for k in store.committed_iterations("components_star")[1:]:
+        shutil.rmtree(f"{store.base}/components_star/state/iteration={k}")
+    resumed = connected_components_star(g, checkpoint=store, resume=True)
+    assert resumed.converged
+    got = {(r["id"], r["component"]) for r in resumed.labels.collect()}
+    assert got == want
+    g.unpersist()
