@@ -64,3 +64,47 @@ def test_gather_join_is_codegen(spark):
     plan = _plan(df)
     assert "WholeStageCodegen" in plan or "*(1)" in plan, plan
     g.unpersist()
+
+
+def test_big_state_gather_pins_shuffle_hash(spark):
+    """The big-state superstep path pins a shuffle-hash gather (the rank
+    vector must NOT be re-broadcast every superstep at 20M-edge scale);
+    assert the hint survives plan translation."""
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.skew import gather_contribs, plain_sum
+    from tests.fixtures_graphs import web64
+
+    g = graph_from_edges(spark, web64())
+    deg = g.degrees.select(F.col("id").alias("src"), F.col("out_deg").alias("div"))
+    ed = g.edges.join(deg, "src").select("src", "dst", "div")
+    ranks = g.degrees.select("id", F.lit(0.1).alias("rank"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = plain_sum(gather_contribs(ed, ranks, shuffle_hint=True))
+        plan = _plan(df)
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_superstep_observe_single_job(spark):
+    """The textbook superstep runs exactly ONE Spark job once the loop is
+    warm: residual + dangling mass ride the rotate via observe()."""
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels import pagerank
+    from tests.fixtures_graphs import web64
+
+    g = graph_from_edges(spark, web64())
+    tracker = spark.sparkContext.statusTracker()
+    pagerank(g, mode="textbook", iterations=2)  # warm: divisor attach etc.
+    before = len(tracker.getJobIdsForGroup() or [])
+    n_probe = 4
+    pagerank(g, mode="textbook", iterations=2 + n_probe)
+    after = len(tracker.getJobIdsForGroup() or [])
+    # the second run costs the same fixed setup plus n_probe extra
+    # supersteps; each extra superstep must be exactly one job
+    assert after - before - n_probe <= before, (before, after)
+    g.unpersist()
