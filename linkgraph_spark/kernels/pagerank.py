@@ -151,6 +151,7 @@ def pagerank(
     big_state = n_edges > 5_000_000 or n > 2_000_000
     saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         return _pagerank_loop(
             graph, mode, cfg, spark, n, n_iters, damping, teleport,
@@ -165,9 +166,9 @@ def pagerank(
         edges_div.unpersist()
         if hub_ids is not None:
             hub_ids.unpersist()
-        if big_state:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
-            spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
 
 
 def _pagerank_loop(
@@ -175,15 +176,24 @@ def _pagerank_loop(
     personalize_ids, edges_div, n_edges, hub_ids, big_state, gather_fn,
     gather_mode, use_salting, checkpoint, resume, profile=False,
 ) -> PageRankResult:
+    # AQE's per-stage re-planning costs more than it saves once the loop's
+    # plan shape is pinned — at EVERY scale (measured 2x per-superstep
+    # overhead at 20M edges; −25-43% wall with AQE off at 55k-3M edges).
+    # Big state pins shuffle-hash gather; small state pins a broadcast
+    # gather and scales shuffle partitions with data size instead of core
+    # count (32 near-empty reducers are pure task overhead on a 55k-edge
+    # graph). All confs restored by the caller's finally.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     if big_state:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        # AQE's per-stage re-planning costs more than it saves once the loop
-        # plan shape is pinned (shuffle-hash gather, fixed partitioning):
-        # measured 2x per-superstep overhead with AQE on at 20M edges. The
-        # skew story for the big path is the explicit hub-broadcast split.
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    else:
+        sp_cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        sp_loop = min(sp_cur, max(8, n_edges // 100_000))
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp_loop))
     gather = gather_fn or (
-        lambda ed, r: gather_contribs(ed, r, hub_ids, shuffle_hint=big_state)
+        lambda ed, r: gather_contribs(
+            ed, r, hub_ids, shuffle_hint=big_state, broadcast_hint=not big_state
+        )
     )
     if gather_mode == "csr":
         from linkgraph_spark.csr import csr_block_sum

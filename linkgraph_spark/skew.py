@@ -33,6 +33,7 @@ def gather_contribs(
     ranks: DataFrame,
     hub_ids: DataFrame | None = None,
     shuffle_hint: bool = False,
+    broadcast_hint: bool = False,
 ) -> DataFrame:
     """The PageRank gather join: contribution of each edge's src to its dst.
 
@@ -47,11 +48,16 @@ def gather_contribs(
 
     ``shuffle_hint=True`` forces a shuffle-hash join (build side = ranks):
     for large rank vectors, re-broadcasting the whole state every superstep
-    is slower than shuffling it (measured ~3x on a 2M-vertex graph); small
-    states are left to AQE, which broadcasts them at runtime.
+    is slower than shuffling it (measured ~3x on a 2M-vertex graph).
+    ``broadcast_hint=True`` pins a broadcast of the rank vector instead —
+    the small-state loop runs with AQE off (per-superstep re-planning costs
+    more than it saves), so the broadcast must be explicit: the state is a
+    LogicalRDD whose size the static planner can't estimate.
     """
     if shuffle_hint:
         ranks = ranks.hint("shuffle_hash")
+    elif broadcast_hint:
+        ranks = F.broadcast(ranks)
     if hub_ids is None:
         joined = edges_div.join(ranks, edges_div.src == ranks.id, "inner")
         return joined.select("dst", (F.col("rank") / F.col("div")).alias("contrib"), "src")
