@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from linkgraph_spark.checkpoint import CheckpointStore
 from linkgraph_spark.edges import LinkGraph
 from linkgraph_spark.lineage import RotatingState, checkpoint_tracked, free_tracked
+from linkgraph_spark.session import pinned_superstep_confs
 
 
 def undirected(edges: DataFrame) -> DataFrame:
@@ -66,7 +67,7 @@ def connected_components(
     before the fixpoint."""
     spark = graph.vertices.sparkSession
     sym = undirected(graph.edges).persist()
-    sym.count()
+    n_sym = sym.count()
 
     labels = graph.vertices.select("id", F.col("id").alias("component"))
     start = 0
@@ -81,39 +82,45 @@ def connected_components(
     converged = False
     metrics: list = []
     it = start
-    for it in range(start + 1, max_iterations + 1):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.id, "inner")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("nbr_component", F.col("component"))
-            ).alias("component"),
-            F.col("component").alias("_old"),
-        )
-        # the change count rides the rotate's materialization pass — one
-        # Spark job per superstep, no separate count() scan
-        obs = Observation(f"cc_changed_{id(state)}_{it}")
-        new = new.observe(
-            obs,
-            F.sum(
-                F.when(F.col("component") != F.col("_old"), 1).otherwise(0)
-            ).alias("changed"),
-        )
-        new = state.rotate(new)
-        changed = obs.get["changed"] or 0
-        labels = new.select("id", "component")
-        metrics.append({"iteration": it, "changed": changed})
-        if checkpoint is not None:
-            checkpoint.write_state(
-                "components", it, labels, key_col="id", metrics={"changed": changed}
+    with pinned_superstep_confs(spark, n_sym, graph.num_vertices) as big_state:
+        for it in range(start + 1, max_iterations + 1):
+            lbl = labels
+            if not big_state:
+                # small state + AQE off: broadcast the O(V) label vector so
+                # the O(E) symmetric edge table is never sorted per superstep
+                lbl = F.broadcast(labels)
+            nbr_min = (
+                sym.join(lbl, sym.dst == lbl.id, "inner")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("component").alias("nbr_component"))
             )
-        if changed == 0:
-            converged = True
-            break
+            new = labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("_old"),
+            )
+            # the change count rides the rotate's materialization pass — one
+            # Spark job per superstep, no separate count() scan
+            obs = Observation(f"cc_changed_{id(state)}_{it}")
+            new = new.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("component") != F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            new = state.rotate(new)
+            changed = obs.get["changed"] or 0
+            labels = new.select("id", "component")
+            metrics.append({"iteration": it, "changed": changed})
+            if checkpoint is not None:
+                checkpoint.write_state(
+                    "components", it, labels, key_col="id", metrics={"changed": changed}
+                )
+            if changed == 0:
+                converged = True
+                break
 
     sym.unpersist()
     return ComponentsResult(
@@ -159,61 +166,63 @@ def connected_components_star(
             init = checkpoint.load_state(spark, "components_star", latest)
             start = latest
     edges, e_ids = checkpoint_tracked(init)
+    n_init = edges.count()  # cheap: reads the checkpoint blocks
 
     converged = False
     metrics: list = []
     it = start
-    for it in range(start + 1, max_iterations + 1):
-        # large-star: (v, m(u)) for v ∈ Γ(u), v > u
-        mn = _min_nbr(edges)
-        large = (
-            edges.join(mn, edges.src == mn.u)
-            .where(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .where(F.col("src") != F.col("dst"))
-        )
-        # keep (u, m(u)) so isolated-star roots don't drop their pointer
-        keep = mn.where(F.col("u") != F.col("m")).select(
-            F.col("u").alias("src"), F.col("m").alias("dst")
-        )
-        half1 = large.unionByName(keep).distinct()
-        e1, e1_ids = checkpoint_tracked(
-            half1.unionByName(  # resymmetrize for the small-star phase
-                half1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            ).distinct()
-        )
-
-        # small-star over edges directed large→small: (v, m(u)) for v ≤ u
-        directed = e1.where(F.col("dst") < F.col("src"))
-        mn2 = directed.groupBy(F.col("src").alias("u")).agg(F.min("dst").alias("m"))
-        small = (
-            directed.join(mn2, directed.src == mn2.u)
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .unionByName(mn2.select(F.col("u").alias("src"), F.col("m").alias("dst")))
-            .where(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        e2, e2_ids = checkpoint_tracked(
-            small.unionByName(
-                small.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            ).distinct()
-        )
-
-        # fixpoint: the symmetric pointer set stopped changing
-        changed = e2.exceptAll(edges).limit(1).count()
-        free_tracked(sc, e_ids)
-        free_tracked(sc, e1_ids)
-        edges, e_ids = e2, e2_ids
-        metrics.append({"iteration": it})
-        if checkpoint is not None:
-            # the round's symmetric pointer set IS the resumable state
-            checkpoint.write_state(
-                "components_star", it, edges, key_col="src",
-                metrics={"iteration": it},
+    with pinned_superstep_confs(spark, n_init, graph.num_vertices):
+        for it in range(start + 1, max_iterations + 1):
+            # large-star: (v, m(u)) for v ∈ Γ(u), v > u
+            mn = _min_nbr(edges)
+            large = (
+                edges.join(mn, edges.src == mn.u)
+                .where(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .where(F.col("src") != F.col("dst"))
             )
-        if changed == 0:
-            converged = True
-            break
+            # keep (u, m(u)) so isolated-star roots don't drop their pointer
+            keep = mn.where(F.col("u") != F.col("m")).select(
+                F.col("u").alias("src"), F.col("m").alias("dst")
+            )
+            half1 = large.unionByName(keep).distinct()
+            e1, e1_ids = checkpoint_tracked(
+                half1.unionByName(  # resymmetrize for the small-star phase
+                    half1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                ).distinct()
+            )
+
+            # small-star over edges directed large→small: (v, m(u)) for v ≤ u
+            directed = e1.where(F.col("dst") < F.col("src"))
+            mn2 = directed.groupBy(F.col("src").alias("u")).agg(F.min("dst").alias("m"))
+            small = (
+                directed.join(mn2, directed.src == mn2.u)
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .unionByName(mn2.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            e2, e2_ids = checkpoint_tracked(
+                small.unionByName(
+                    small.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                ).distinct()
+            )
+
+            # fixpoint: the symmetric pointer set stopped changing
+            changed = e2.exceptAll(edges).limit(1).count()
+            free_tracked(sc, e_ids)
+            free_tracked(sc, e1_ids)
+            edges, e_ids = e2, e2_ids
+            metrics.append({"iteration": it})
+            if checkpoint is not None:
+                # the round's symmetric pointer set IS the resumable state
+                checkpoint.write_state(
+                    "components_star", it, edges, key_col="src",
+                    metrics={"iteration": it},
+                )
+            if changed == 0:
+                converged = True
+                break
 
     # star forest → labels: non-roots point at their component min
     ptr = edges.where(F.col("dst") < F.col("src")).groupBy(

@@ -18,6 +18,7 @@ from linkgraph_spark.checkpoint import CheckpointStore
 from linkgraph_spark.edges import LinkGraph
 from linkgraph_spark.lineage import RotatingState
 from linkgraph_spark.kernels.components import undirected
+from linkgraph_spark.session import pinned_superstep_confs
 
 
 def label_propagation(
@@ -29,7 +30,7 @@ def label_propagation(
     """→ ``DataFrame[id: long, label: long]``."""
     spark = graph.vertices.sparkSession
     sym = undirected(graph.edges).persist()
-    sym.count()
+    n_sym = sym.count()
 
     labels = graph.vertices.select("id", F.col("id").alias("label"))
     start = 0
@@ -41,24 +42,26 @@ def label_propagation(
     state = RotatingState(spark)
     labels = state.rotate(labels)  # truncate lineage per superstep
 
-    for it in range(start + 1, max_iterations + 1):
-        counts = (
-            sym.join(labels, sym.dst == labels.id, "inner")
-            .groupBy(F.col("src").alias("id"), F.col("label").alias("nbr_label"))
-            .agg(F.count("*").alias("freq"))
-        )
-        w = Window.partitionBy("id").orderBy(F.desc("freq"), F.asc("nbr_label"))
-        best = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("id", F.col("nbr_label").alias("new_label"))
-        )
-        labels = state.rotate(
-            labels.join(best, "id", "left")
-            .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
-        )
-        if checkpoint is not None:
-            checkpoint.write_state("labelprop", it, labels, key_col="id", metrics={})
+    with pinned_superstep_confs(spark, n_sym, graph.num_vertices) as big_state:
+        for it in range(start + 1, max_iterations + 1):
+            lbl = labels if big_state else F.broadcast(labels)
+            counts = (
+                sym.join(lbl, sym.dst == lbl.id, "inner")
+                .groupBy(F.col("src").alias("id"), F.col("label").alias("nbr_label"))
+                .agg(F.count("*").alias("freq"))
+            )
+            w = Window.partitionBy("id").orderBy(F.desc("freq"), F.asc("nbr_label"))
+            best = (
+                counts.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("id", F.col("nbr_label").alias("new_label"))
+            )
+            labels = state.rotate(
+                labels.join(best, "id", "left")
+                .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+            )
+            if checkpoint is not None:
+                checkpoint.write_state("labelprop", it, labels, key_col="id", metrics={})
 
     sym.unpersist()
     return labels

