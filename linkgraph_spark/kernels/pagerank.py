@@ -244,24 +244,25 @@ def _pagerank_loop(
             start_iter = latest
 
     state = RotatingState(spark)
+    # the dangling-vertex count AND the initial dangling mass ride the init
+    # materialization via observe() — zero extra pre-loop jobs
+    obs0 = Observation(f"pr_init_{id(state)}")
+    init = init.observe(
+        obs0,
+        F.sum(F.when(F.col("is_dangling"), 1).otherwise(0)).alias("nd"),
+        F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+    )
     ranks = state.rotate(init)  # truncate lineage + materialize
+    init_stats = obs0.get
 
-    # the per-superstep stats aggregate (job 2) is only needed when there is
-    # a residual to test or dangling mass to fold back — fixed-iteration
-    # runs on dangling-free graphs do ONE Spark job per superstep
+    # the per-superstep stats are only needed when there is a residual to
+    # test or dangling mass to fold back — fixed-iteration runs on
+    # dangling-free graphs skip the observe entirely
     has_dangling = (
-        mode in ("textbook", "weighted")
-        and graph.degrees.where(F.col("out_deg") == 0).limit(1).count() > 0
+        mode in ("textbook", "weighted") and (init_stats["nd"] or 0) > 0
     )
     need_stats = check_convergence or has_dangling
-    dangling_mass = 0.0
-    if has_dangling:
-        dangling_mass = (
-            ranks.agg(
-                F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm")
-            ).collect()[0]["dm"]
-            or 0.0
-        )
+    dangling_mass = (init_stats["dm"] or 0.0) if has_dangling else 0.0
 
     metrics: list = []
     residual = None

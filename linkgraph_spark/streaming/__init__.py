@@ -11,6 +11,7 @@ from linkgraph_spark.streaming.transcript_stream import (
     incremental_degrees,
     merge_degree_batch,
     read_transcript_stream,
+    stream_adjacent_edges,
     stream_tool_edges,
     windowed_role_activity,
 )
@@ -21,4 +22,5 @@ __all__ = [
     "windowed_role_activity",
     "incremental_degrees",
     "merge_degree_batch",
+    "stream_adjacent_edges",
 ]

@@ -13,10 +13,11 @@ over the whole table, the stream maintains:
   append-merge snapshots instead of row upserts, so it composes with the
   checkpoint store's atomic-commit protocol.
 
-Adjacent-turn edges need cross-batch per-conversation ordering state; the
-exact variant is the batch ETL over the closed window (run per partition-
-of-time), which is how the engine composes batch + streaming: stream for
-monotone aggregates, batch re-derivation for order-dependent edges.
+Adjacent-turn edges need cross-batch per-conversation ordering state:
+:func:`stream_adjacent_edges` keeps each conversation's frontier in
+``applyInPandasWithState`` (event-time timeout bounds state to active
+conversations) and is exact under in-order arrival; for out-of-order
+backfills the batch ETL over the closed window remains the replay path.
 """
 
 from __future__ import annotations
@@ -73,6 +74,83 @@ def windowed_role_activity(
             "role",
             "turns",
             "approx_convs",
+        )
+    )
+
+
+ADJ_STATE_SCHEMA = "last_turn_idx long, last_role string"
+ADJ_OUT_SCHEMA = "src_key string, dst_key string"
+
+
+def stream_adjacent_edges(
+    stream: DataFrame, watermark: str = "30 minutes", state_ttl_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Stateful adjacent-turn edge extraction on the stream — the custom
+    stateful operator the batch ETL's window otherwise covers
+    (``edges.derive_edge_keys``), built on ``applyInPandasWithState``.
+
+    Per ``conv_id`` the state is the conversation's frontier
+    ``(last_turn_idx, last_role)``; each micro-batch sorts the conv's new
+    turns by ``turn_idx``, bridges from the stored frontier, and emits one
+    ``role@turn_k → role@turn_{k+1}`` edge per consecutive pair — EXACT
+    under in-order arrival (append-only transcript logs), identical to the
+    batch window. Turns at or behind the frontier (replays / late
+    out-of-order beyond it) are dropped. All per-batch work is vectorized
+    pandas (shift + concat) — no per-row Python.
+
+    Scale/state story: state is O(active conversations) × a few bytes, and
+    an event-time timeout (``state_ttl_ms`` past the watermark) evicts
+    finished conversations, so state never grows with stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        conv = key[0]
+        (last_idx, last_role) = state.get if state.exists else (-1, None)
+        frames = [pdf[["turn_idx", "role", "ts"]] for pdf in pdf_iter]
+        rows = pd.concat(frames) if frames else pd.DataFrame(columns=["turn_idx", "role", "ts"])
+        rows = rows[rows["turn_idx"] > last_idx].sort_values("turn_idx")
+        if len(rows):
+            src_roles = rows["role"].shift(1)
+            if last_role is not None:
+                src_roles.iloc[0] = last_role
+            mask = src_roles.notna()
+            out = pd.DataFrame(
+                {
+                    "src_key": conv + "#" + src_roles[mask],
+                    "dst_key": conv + "#" + rows["role"][mask],
+                }
+            )
+            state.update((int(rows["turn_idx"].iloc[-1]), str(rows["role"].iloc[-1])))
+            # ttl past the conv's latest event, clamped to never precede the
+            # stream's current watermark (a fast-advancing watermark would
+            # otherwise reject the event-derived timestamp outright)
+            ts_max_ms = int(rows["ts"].max().value // 1_000_000)
+            state.setTimeoutTimestamp(
+                max(ts_max_ms, state.getCurrentWatermarkMs()) + state_ttl_ms
+            )
+            yield out
+        else:
+            # nothing new (pure replay) — keep the frontier, refresh timeout
+            if state.exists:
+                state.setTimeoutTimestamp(
+                    max(state.getCurrentWatermarkMs(), 1) + state_ttl_ms
+                )
+            yield pd.DataFrame({"src_key": [], "dst_key": []})
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ADJ_OUT_SCHEMA,
+            stateStructType=ADJ_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -118,3 +118,46 @@ def test_incremental_degrees_replay_idempotent(spark, tmp_path):
         (r["src_key"], r["dst_key"]): r["cnt"] for r in spark.read.parquet(state).collect()
     }
     assert after == {k: 2 * v for k, v in first.items()}
+
+
+def test_stream_adjacent_edges_match_batch(spark, tmp_path):
+    """Stateful adjacent-turn extraction across micro-batches equals the
+    batch window derivation when turns arrive in order: the second file
+    carries each conversation's LATER turns, so cross-batch bridging via
+    the stored frontier is exercised."""
+    import time as _time
+
+    from linkgraph_spark.edges import derive_edge_keys
+    from linkgraph_spark.streaming import stream_adjacent_edges
+
+    t = synthesize_transcripts(spark, n_convs=30, min_turns=3, max_turns=12).cache()
+    src = str(tmp_path / "adj_in")
+    med = t.groupBy("conv_id").agg(F.max("turn_idx").alias("mx")).selectExpr(
+        "conv_id", "cast(mx / 2 as int) as half"
+    )
+    early = t.join(med, "conv_id").where(F.col("turn_idx") <= F.col("half")).drop("half")
+    late = t.join(med, "conv_id").where(F.col("turn_idx") > F.col("half")).drop("half")
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)  # file-stream picks files up in modification order
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream_adjacent_edges(stream)
+        .writeStream.format("memory")
+        .queryName("adj_edges_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["src_key"], r["dst_key"])
+        for r in spark.sql("SELECT * FROM adj_edges_out").collect()
+    )
+    want = sorted(
+        (r["src_key"], r["dst_key"])
+        for r in derive_edge_keys(t).where(F.col("kind") == "adjacent_turn").collect()
+    )
+    assert got == want
+    t.unpersist()
