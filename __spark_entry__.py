@@ -183,6 +183,34 @@ def q_component_sizes(spark, sf_dir):
     )
 
 
+def q_bfs(spark, sf_dir):
+    from linkgraph_spark.kernels import shortest_paths
+
+    g = _graph(spark, sf_dir)
+    res = shortest_paths(g, sources=list(range(50)))
+    return res.distances.select("id", "distance")
+
+
+def q_bfs_undirected(spark, sf_dir):
+    # undirected reach crosses conversations through shared tool actors —
+    # the giant component from a single tool source
+    from linkgraph_spark.kernels import shortest_paths
+
+    g = _graph(spark, sf_dir)
+    res = shortest_paths(g, sources=[0], directed=False)
+    return res.distances.select("id", "distance")
+
+
+def q_hits5(spark, sf_dir):
+    from linkgraph_spark.kernels import hits
+
+    g = _graph(spark, sf_dir)
+    res = hits(g, iterations=5)
+    return res.scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
 def q_labelprop3(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return label_propagation(g, max_iterations=3).select("id", "label")
@@ -286,6 +314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": q_components_star,
         "component_sizes": q_component_sizes,
         "label_propagation3": q_labelprop3,
+        "bfs_distances": q_bfs,
+        "bfs_undirected": q_bfs_undirected,
+        "hits5": q_hits5,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "triangle_list": q_triangle_list,
@@ -471,6 +502,93 @@ def _pagerank_personalized_sql(iters: int = 5, d: float = 0.85, n_sources: int =
     """
 
 
+def _bfs_sql(sources=(0, 1, 2), unroll: int = 20, directed: bool = True) -> str:
+    sent = 1_000_000_000
+    src_list = ", ".join(str(int(s)) for s in sources)
+    rel = "edges" if directed else "bfs_und"
+    ctes = []
+    if not directed:
+        ctes.append(
+            """bfs_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    )"""
+        )
+    ctes.append(
+        f"""d0 AS (
+      SELECT id, CASE WHEN id IN ({src_list}) THEN 0 ELSE {sent} END AS d
+      FROM verts
+    )"""
+    )
+    for k in range(1, unroll + 1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+      SELECT d.id, least(d.d, coalesce(m.c, {sent})) AS d
+      FROM d{k - 1} d
+      LEFT JOIN (
+        SELECT e.dst AS id, min(p.d) + 1 AS c
+        FROM {rel} e JOIN d{k - 1} p ON e.src = p.id
+        WHERE p.d < {sent}
+        GROUP BY e.dst
+      ) m ON m.id = d.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G},
+    {body}
+    SELECT id, CAST(d AS BIGINT) AS distance FROM d{unroll} WHERE d < {sent}
+    """
+
+
+def _hits_sql(iters: int = 5) -> str:
+    ctes = ["h0 AS (SELECT id, 1.0 AS hub FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""araw{k} AS MATERIALIZED (
+      SELECT v.id, coalesce(s.sm, 0.0) AS a_raw
+      FROM verts v
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(h.hub) AS sm
+        FROM edges e JOIN h{k - 1} h ON e.src = h.id
+        GROUP BY e.dst
+      ) s ON s.id = v.id
+    ),
+    anorm{k} AS (
+      SELECT CASE WHEN sqrt(sum(a_raw * a_raw)) = 0 THEN 1.0
+                  ELSE sqrt(sum(a_raw * a_raw)) END AS nm
+      FROM araw{k}
+    ),
+    hraw{k} AS MATERIALIZED (
+      SELECT v.id, coalesce(s.sm, 0.0) / anorm{k}.nm AS h_raw
+      FROM verts v CROSS JOIN anorm{k}
+      LEFT JOIN (
+        SELECT e.src AS id, sum(a.a_raw) AS sm
+        FROM edges e JOIN araw{k} a ON e.dst = a.id
+        GROUP BY e.src
+      ) s ON s.id = v.id
+    ),
+    hnorm{k} AS (
+      SELECT CASE WHEN sqrt(sum(h_raw * h_raw)) = 0 THEN 1.0
+                  ELSE sqrt(sum(h_raw * h_raw)) END AS nm
+      FROM hraw{k}
+    ),
+    h{k} AS MATERIALIZED (
+      SELECT h.id, h.h_raw / hnorm{k}.nm AS hub
+      FROM hraw{k} h CROSS JOIN hnorm{k}
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G},
+    {body}
+    SELECT h.id, round(h.hub, 6) AS hub,
+           round(a.a_raw / anorm{iters}.nm, 6) AS authority
+    FROM h{iters} h
+    JOIN araw{iters} a ON a.id = h.id
+    CROSS JOIN anorm{iters}
+    """
+
+
 def _components_ctes(unroll: int = 20) -> str:
     ctes = [
         """und AS MATERIALIZED (
@@ -583,6 +701,9 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_star": _components_sql(20),
         "component_sizes": _component_sizes_sql(20),
         "label_propagation3": _labelprop_sql(3),
+        "bfs_distances": _bfs_sql(sources=range(50), unroll=20),
+        "bfs_undirected": _bfs_sql(sources=(0,), unroll=20, directed=False),
+        "hits5": _hits_sql(5),
         "triangle_count": f"{_G}, {_TRIANGLES_CTE} SELECT count(*) AS n_triangles FROM tri",
         "triangles_per_vertex": f"""{_G}, {_TRIANGLES_CTE},
     members AS (

@@ -11,6 +11,8 @@ from linkgraph_spark.kernels.components import (
     connected_components_star,
 )
 from linkgraph_spark.kernels.labelprop import label_propagation
+from linkgraph_spark.kernels.paths import PathsResult, shortest_paths
+from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
@@ -20,6 +22,10 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "label_propagation",
+    "PathsResult",
+    "shortest_paths",
+    "HitsResult",
+    "hits",
     "triangle_count",
     "triangles_per_vertex",
 ]

@@ -94,3 +94,69 @@ def test_components_star_matches_hashmin(spark, edges):
     got = {r["id"]: r["component"] for r in res.labels.collect()}
     assert got == components_oracle(edges)
     g.unpersist()
+
+
+def _bfs_oracle(edges, sources, undirected=False):
+    from collections import deque
+
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        if undirected:
+            adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in sources}
+    dq = deque(sources)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+@pytest.mark.parametrize(
+    "edges,directed", [(STAR10, True), (TWO_COMPS, True), (web64(), True), (web64(), False)],
+    ids=["star10", "two_comps", "web64", "web64_und"],
+)
+def test_bfs_matches_oracle(spark, edges, directed):
+    from linkgraph_spark.kernels import shortest_paths
+
+    g = graph_from_edges(spark, edges)
+    srcs = [0, 1]
+    res = shortest_paths(g, sources=srcs, directed=directed)
+    assert res.converged
+    got = {r["id"]: r["distance"] for r in res.distances.collect()}
+    dedup = {(u, v) for u, v in edges if u != v}
+    assert got == _bfs_oracle(dedup, srcs, undirected=not directed)
+    g.unpersist()
+
+
+def test_hits_matches_numpy(spark):
+    import math
+
+    from linkgraph_spark.kernels import hits
+
+    edges = sorted({(u, v) for u, v in web64() if u != v})
+    g = graph_from_edges(spark, edges)
+    ids = sorted({x for e in edges for x in e})
+    hub = {i: 1.0 for i in ids}
+    for _ in range(5):
+        auth = {i: 0.0 for i in ids}
+        for u, v in edges:
+            auth[v] += hub[u]
+        an = math.sqrt(sum(a * a for a in auth.values())) or 1.0
+        auth = {i: a / an for i, a in auth.items()}
+        hub2 = {i: 0.0 for i in ids}
+        for u, v in edges:
+            hub2[u] += auth[v]
+        hn = math.sqrt(sum(h * h for h in hub2.values())) or 1.0
+        hub = {i: h / hn for i, h in hub2.items()}
+    res = hits(g, iterations=5)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+    for i in ids:
+        assert abs(got[i][0] - hub[i]) < 1e-9, i
+        assert abs(got[i][1] - auth[i]) < 1e-9, i
+    g.unpersist()
