@@ -211,6 +211,17 @@ def q_hits5(spark, sf_dir):
     )
 
 
+def q_adamic_adar(spark, sf_dir):
+    from linkgraph_spark.kernels import adamic_adar
+
+    g = _graph(spark, sf_dir)
+    return adamic_adar(g).select("x", "y", "score")
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    return dd.near_dup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_labelprop3(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return label_propagation(g, max_iterations=3).select("id", "label")
@@ -317,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs,
         "bfs_undirected": q_bfs_undirected,
         "hits5": q_hits5,
+        "adamic_adar": q_adamic_adar,
+        "near_dup_clusters": q_near_dup_clusters,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "triangle_list": q_triangle_list,
@@ -589,6 +602,11 @@ def _hits_sql(iters: int = 5) -> str:
     """
 
 
+from linkgraph_spark.kernels.linkpred import adamic_adar_sql as _aa_sql_body
+
+_AA_SQL = _aa_sql_body()
+
+
 def _components_ctes(unroll: int = 20) -> str:
     ctes = [
         """und AS MATERIALIZED (
@@ -704,6 +722,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": _bfs_sql(sources=range(50), unroll=20),
         "bfs_undirected": _bfs_sql(sources=(0,), unroll=20, directed=False),
         "hits5": _hits_sql(5),
+        "adamic_adar": f"{_G}, {_AA_SQL} ",
+        "near_dup_clusters": dd.near_dup_clusters_sql(threshold=0.5),
         "triangle_count": f"{_G}, {_TRIANGLES_CTE} SELECT count(*) AS n_triangles FROM tri",
         "triangles_per_vertex": f"""{_G}, {_TRIANGLES_CTE},
     members AS (

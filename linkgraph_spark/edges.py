@@ -218,11 +218,16 @@ def build_graph(transcripts: DataFrame, weighted: bool = False) -> LinkGraph:
 
 def graph_from_edges(spark: SparkSession, pairs) -> LinkGraph:
     """Build a LinkGraph from raw integer ``(src, dst)`` pairs (fixture path,
-    mirroring the reference's raw SNAP edge-list input). Applies the same
-    cleaning as the transcript path: null/malformed drop (``init_to_s3.py:
-    78-79``), self-loop filter (``:63-64``), dedup (``:75-76``). Vertex ids
-    are kept as given (the reference keys state by the raw page id)."""
-    raw = spark.createDataFrame(pairs, "src long, dst long")
+    mirroring the reference's raw SNAP edge-list input) or from an existing
+    two-column DataFrame. Applies the same cleaning as the transcript path:
+    null/malformed drop (``init_to_s3.py:78-79``), self-loop filter
+    (``:63-64``), dedup (``:75-76``). Vertex ids are kept as given (the
+    reference keys state by the raw page id)."""
+    if isinstance(pairs, DataFrame):
+        a, b = pairs.columns[:2]
+        raw = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    else:
+        raw = spark.createDataFrame(pairs, "src long, dst long")
     edges = (
         raw.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .where(F.col("src") != F.col("dst"))

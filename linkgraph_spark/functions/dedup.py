@@ -281,6 +281,91 @@ def minhash_lsh_sql(table: str = "documents", threshold: float = 0.5) -> str:
     """
 
 
+# -------------------------------------------------------- near-dup clusters
+def near_dup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """→ [doc_id, keeper_id, cluster_size]: near-duplicate CLUSTERS — the
+    transitive closure of the MinHash-LSH pair relation — with one keeper
+    (min doc_id) per cluster, covering every document (non-duplicates are
+    their own singleton cluster).
+
+    This is the operator a real dedup pipeline actually applies (pairs
+    alone can't drop rows: A~B and B~C must collapse to ONE keeper even if
+    A~C was never emitted). Composition of two engine pieces at their
+    native scale: the LSH pair generation (banded equi-joins) feeds the
+    hash-min connected-components kernel (O(pair-graph diameter) supersteps;
+    duplicate chains are short in practice).
+    """
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels.components import connected_components
+
+    spark = documents.sparkSession
+    pairs = minhash_lsh_dups(documents, threshold).select("doc_a", "doc_b")
+    g = graph_from_edges(spark, pairs)
+    labels = connected_components(g).labels  # component = min member id
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    clustered = labels.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("keeper_id"),
+        "cluster_size",
+    )
+    out = (
+        documents.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keeper_id", F.col("doc_id")).alias("keeper_id"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        )
+    )
+    g.unpersist()
+    return out
+
+
+def near_dup_clusters_sql(
+    table: str = "documents", threshold: float = 0.5, unroll: int = 10
+) -> str:
+    """DuckDB oracle: the MinHash pair SQL + unrolled hash-min closure."""
+    pair_sql = minhash_lsh_sql(table, threshold)
+    ctes = [
+        f"pairs AS MATERIALIZED ({pair_sql})",
+        """pverts AS MATERIALIZED (
+      SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
+    )""",
+        """pund AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    )""",
+        "c0 AS (SELECT id, id AS component FROM pverts)",
+    ]
+    for k in range(1, unroll + 1):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT c.id,
+             least(c.component, coalesce(m.mn, c.component)) AS component
+      FROM c{k - 1} c
+      LEFT JOIN (
+        SELECT pund.a AS id, min(c2.component) AS mn
+        FROM pund JOIN c{k - 1} c2 ON pund.b = c2.id
+        GROUP BY pund.a
+      ) m ON m.id = c.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    sizes AS (
+      SELECT component, count(*) AS cluster_size FROM c{unroll} GROUP BY component
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS keeper_id,
+           coalesce(s.cluster_size, 1) AS cluster_size
+    FROM {table} d
+    LEFT JOIN c{unroll} c ON c.id = d.doc_id
+    LEFT JOIN sizes s ON s.component = c.component
+    """
+
+
 # ------------------------------------------------------------------- simhash
 SIMHASH_BITS = 32
 

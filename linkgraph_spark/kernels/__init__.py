@@ -13,6 +13,7 @@ from linkgraph_spark.kernels.components import (
 from linkgraph_spark.kernels.labelprop import label_propagation
 from linkgraph_spark.kernels.paths import PathsResult, shortest_paths
 from linkgraph_spark.kernels.hits import HitsResult, hits
+from linkgraph_spark.kernels.linkpred import adamic_adar
 from linkgraph_spark.kernels.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "shortest_paths",
     "HitsResult",
     "hits",
+    "adamic_adar",
     "triangle_count",
     "triangles_per_vertex",
 ]

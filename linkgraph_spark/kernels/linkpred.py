@@ -1,0 +1,84 @@
+"""Link prediction over the undirected actor graph (engine extension).
+
+Adamic–Adar: for each non-adjacent pair (x, y), score = Σ_z 1/ln(deg(z))
+over common neighbors z. The classic common-neighbor family (AA / Jaccard /
+common-count) shares one plan: a wedge self-join at the common neighbor —
+the same shape as triangle counting, so the same scale discipline applies:
+
+- wedge fan-out at z is C(deg(z), 2); ``max_degree`` caps the degree of
+  vertices allowed to GENERATE wedges (a 10^8-degree tool hub would emit
+  10^16 candidate pairs; capping hubs is standard practice — a hub shared
+  by everyone carries ~zero AA evidence anyway, 1/ln(10^8) per pair);
+- existing edges are removed with one left-anti join;
+- output is top-k per vertex (a bounded result, not the O(V²) score
+  matrix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.kernels.components import undirected
+
+
+def adamic_adar(
+    graph: LinkGraph,
+    max_degree: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """→ [vec x, y, score]: Adamic–Adar scores for non-adjacent pairs with
+    ≥1 common neighbor, x < y. ``top_k`` keeps the k best candidates per x."""
+    und = undirected(graph.edges)  # symmetric [src, dst]
+    deg = und.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("deg"))
+    if max_degree is not None:
+        deg = deg.where(F.col("deg") <= max_degree)
+    # wedges x—z—y through each (degree-capped) common neighbor z
+    nbrs = und.select(F.col("src").alias("z"), F.col("dst").alias("n"))
+    w1 = nbrs.select("z", F.col("n").alias("x"))
+    w2 = nbrs.select("z", F.col("n").alias("y"))
+    wedges = (
+        w1.join(w2, "z")
+        .where(F.col("x") < F.col("y"))
+        .join(deg, "z")  # caps + attaches deg(z) in one join
+        .groupBy("x", "y")
+        .agg(F.round(F.sum(1.0 / F.log("deg")), 6).alias("score"))
+    )
+    existing = und.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    cand = wedges.join(existing, ["x", "y"], "left_anti")
+    if top_k is not None:
+        w = Window.partitionBy("x").orderBy(F.desc("score"), F.asc("y"))
+        cand = (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= top_k)
+            .drop("_rk")
+        )
+    return cand
+
+
+def adamic_adar_sql(max_degree: int | None = None) -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    cap = f"WHERE deg <= {max_degree}" if max_degree is not None else ""
+    return f"""
+    aa_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    ),
+    aa_deg AS MATERIALIZED (
+      SELECT * FROM (SELECT src AS z, count(*) AS deg FROM aa_und GROUP BY src) {cap}
+    ),
+    aa_wedges AS MATERIALIZED (
+      SELECT w1.dst AS x, w2.dst AS y,
+             round(sum(1.0 / ln(d.deg)), 6) AS score
+      FROM aa_und w1
+      JOIN aa_und w2 ON w1.src = w2.src AND w1.dst < w2.dst
+      JOIN aa_deg d ON d.z = w1.src
+      GROUP BY 1, 2
+    )
+    SELECT w.x, w.y, w.score
+    FROM aa_wedges w
+    LEFT JOIN aa_und e ON e.src = w.x AND e.dst = w.y
+    WHERE e.src IS NULL
+    """

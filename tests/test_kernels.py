@@ -160,3 +160,52 @@ def test_hits_matches_numpy(spark):
         assert abs(got[i][0] - hub[i]) < 1e-9, i
         assert abs(got[i][1] - auth[i]) < 1e-9, i
     g.unpersist()
+
+
+def test_adamic_adar_matches_oracle(spark):
+    import math
+
+    from linkgraph_spark.kernels import adamic_adar
+
+    edges = web64()
+    g = graph_from_edges(spark, edges)
+    adj = {}
+    for u, v in {(u, v) for u, v in edges if u != v}:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    ids = sorted(adj)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            if y in adj[x]:
+                continue
+            common = adj[x] & adj[y]
+            if common:
+                want[(x, y)] = round(sum(1.0 / math.log(len(adj[z])) for z in common), 6)
+    got = {(r["x"], r["y"]): r["score"] for r in adamic_adar(g).collect()}
+    assert got == want
+    # degree cap drops hub-generated wedges only
+    capped = {(r["x"], r["y"]) for r in adamic_adar(g, max_degree=10).collect()}
+    assert capped <= set(got)
+    g.unpersist()
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C (no direct A~C pair needed) must collapse to ONE keeper;
+    non-duplicates are singleton clusters."""
+    from linkgraph_spark.functions.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, base + " tail zero"),
+        (1, base + " tail one"),   # ~0 and ~2 via shared shingles
+        (2, base + " tail two"),
+        (7, "completely different text about unrelated topics entirely here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["keeper_id"], r["cluster_size"])
+        for r in near_dup_clusters(d, threshold=0.5).collect()
+    }
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
+    assert got[7] == (7, 1)
