@@ -66,6 +66,13 @@ def main():
     )
     _, q["labelprop3_sf"] = timed(lambda: label_propagation(g_sf, max_iterations=3).count())
     _, q["triangles_sf"] = timed(lambda: triangle_count(g_sf))
+    from linkgraph_spark.kernels import adamic_adar, hits, shortest_paths
+
+    _, q["hits5_sf"] = timed(lambda: hits(g_sf, iterations=5).scores.count())
+    _, q["bfs_undirected_sf"] = timed(
+        lambda: shortest_paths(g_sf, sources=[0], directed=False).distances.count()
+    )
+    _, q["adamic_adar_sf"] = timed(lambda: adamic_adar(g_sf).count())
     n_edges_sf = g_sf.edges.count()
     g_sf.unpersist()
 
