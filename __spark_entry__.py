@@ -222,6 +222,28 @@ def q_near_dup_clusters(spark, sf_dir):
     return dd.near_dup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_random_walks(spark, sf_dir):
+    from linkgraph_spark.kernels import random_walks
+
+    g = _graph(spark, sf_dir)
+    return random_walks(g, walk_length=4, walks_per_vertex=1)
+
+
+def q_sssp_weighted(spark, sf_dir):
+    from linkgraph_spark.kernels import shortest_paths_weighted
+
+    g = _wgraph(spark, sf_dir)
+    res = shortest_paths_weighted(g, sources=list(range(50)))
+    return res.distances.select("id", "distance")
+
+
+def q_k_core(spark, sf_dir):
+    from linkgraph_spark.kernels import k_core
+
+    g = _graph(spark, sf_dir)
+    return k_core(g).coreness.select("id", "core")
+
+
 def q_labelprop3(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return label_propagation(g, max_iterations=3).select("id", "label")
@@ -330,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits5": q_hits5,
         "adamic_adar": q_adamic_adar,
         "near_dup_clusters": q_near_dup_clusters,
+        "random_walks": q_random_walks,
+        "sssp_weighted": q_sssp_weighted,
+        "k_core": q_k_core,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "triangle_list": q_triangle_list,
@@ -603,8 +628,41 @@ def _hits_sql(iters: int = 5) -> str:
 
 
 from linkgraph_spark.kernels.linkpred import adamic_adar_sql as _aa_sql_body
+from linkgraph_spark.kernels.walks import random_walks_sql as _walks_sql_body
+from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 
 _AA_SQL = _aa_sql_body()
+
+
+
+
+def _sssp_weighted_sql(sources=range(50), unroll: int = 20) -> str:
+    sent = 1_000_000_000
+    src_list = ", ".join(str(int(s)) for s in sources)
+    ctes = [
+        f"""s0 AS (
+      SELECT v.id, CASE WHEN v.id IN ({src_list}) THEN 0 ELSE {sent} END AS d
+      FROM verts v
+    )"""
+    ]
+    for k in range(1, unroll + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT s.id, least(s.d, coalesce(m.c, {sent})) AS d
+      FROM s{k - 1} s
+      LEFT JOIN (
+        SELECT e.dst AS id, min(p.d + e.weight) AS c
+        FROM edges_w e JOIN s{k - 1} p ON e.src = p.id
+        WHERE p.d < {sent}
+        GROUP BY e.dst
+      ) m ON m.id = s.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G}, {_WEDGES},
+    {body}
+    SELECT id, CAST(d AS BIGINT) AS distance FROM s{unroll} WHERE d < {sent}
+    """
 
 
 def _components_ctes(unroll: int = 20) -> str:
@@ -724,6 +782,9 @@ def oracle_sql() -> dict[str, str]:
         "hits5": _hits_sql(5),
         "adamic_adar": f"{_G}, {_AA_SQL} ",
         "near_dup_clusters": dd.near_dup_clusters_sql(threshold=0.5),
+        "random_walks": f"{_G}, {_walks_sql_body(4, 1)}",
+        "sssp_weighted": _sssp_weighted_sql(range(50), 20),
+        "k_core": f"{_G}, {_kcore_sql_body(12)}",
         "triangle_count": f"{_G}, {_TRIANGLES_CTE} SELECT count(*) AS n_triangles FROM tri",
         "triangles_per_vertex": f"""{_G}, {_TRIANGLES_CTE},
     members AS (

@@ -11,9 +11,11 @@ from linkgraph_spark.kernels.components import (
     connected_components_star,
 )
 from linkgraph_spark.kernels.labelprop import label_propagation
-from linkgraph_spark.kernels.paths import PathsResult, shortest_paths
+from linkgraph_spark.kernels.paths import PathsResult, shortest_paths, shortest_paths_weighted
 from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.linkpred import adamic_adar
+from linkgraph_spark.kernels.walks import random_walks
+from linkgraph_spark.kernels.kcore import KCoreResult, k_core
 from linkgraph_spark.kernels.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
@@ -25,9 +27,13 @@ __all__ = [
     "label_propagation",
     "PathsResult",
     "shortest_paths",
+    "shortest_paths_weighted",
     "HitsResult",
     "hits",
     "adamic_adar",
+    "random_walks",
+    "KCoreResult",
+    "k_core",
     "triangle_count",
     "triangles_per_vertex",
 ]

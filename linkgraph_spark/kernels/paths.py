@@ -123,3 +123,79 @@ def shortest_paths(
         converged=converged,
         metrics=metrics,
     )
+
+
+def shortest_paths_weighted(
+    graph: LinkGraph,
+    sources: list,
+    max_iterations: int = 50,
+) -> PathsResult:
+    """→ min-cost distance from ``sources`` along directed weighted edges
+    (edge length = ``weight``; requires ``build_graph(weighted=True)``).
+
+    Frontier-based Bellman–Ford: each round relaxes only the out-edges of
+    vertices improved last round, so total work is O(E · improved-rounds)
+    with the frontier typically collapsing fast; non-negative weights make
+    the fixpoint the exact single-source distances. Same converged-flag
+    contract as BFS.
+    """
+    if "weight" not in graph.edges.columns:
+        raise ValueError("weighted shortest paths need build_graph(weighted=True)")
+    spark = graph.vertices.sparkSession
+    src_set = [int(s) for s in sources]
+    state = RotatingState(spark)
+
+    dist = state.rotate(
+        graph.vertices.select(
+            "id",
+            F.when(F.col("id").isin(src_set), F.lit(0))
+            .otherwise(F.lit(UNREACHED))
+            .cast("long")
+            .alias("distance"),
+        )
+    )
+    n_edges = graph.edges.count()
+    converged = False
+    metrics: list = []
+    it = 0
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
+        frontier = dist.where(F.col("distance") < UNREACHED)
+        for it in range(1, max_iterations + 1):
+            fr = frontier.select(F.col("id").alias("src"), "distance")
+            if not big_state:
+                fr = F.broadcast(fr)
+            cand = (
+                graph.edges.join(fr, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("distance") + F.col("weight")).alias("cand"))
+            )
+            new = dist.join(cand, "id", "left").select(
+                "id",
+                F.least(F.col("distance"), F.coalesce("cand", F.col("distance"))).alias(
+                    "distance"
+                ),
+                (F.coalesce("cand", F.lit(UNREACHED)) < F.col("distance")).alias(
+                    "_improved"
+                ),
+            )
+            from pyspark.sql import Observation
+
+            obs = Observation(f"sssp_improved_{id(state)}_{it}")
+            new = new.observe(
+                obs, F.sum(F.when(F.col("_improved"), 1).otherwise(0)).alias("n")
+            )
+            new = state.rotate(new)
+            changed = obs.get["n"] or 0
+            frontier = new.where(F.col("_improved")).select("id", "distance")
+            dist = new.select("id", "distance")
+            metrics.append({"iteration": it, "improved": changed})
+            if changed == 0:
+                converged = True
+                break
+
+    return PathsResult(
+        distances=dist.where(F.col("distance") < UNREACHED),
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+    )

@@ -1,0 +1,132 @@
+"""Deterministic random-walk corpus generation (DeepWalk/node2vec-style
+training-data op — the walk corpus is what embedding trainers consume).
+
+"Random" is a fixed, engine-portable hash: at step s, walk w moves from its
+current vertex to neighbor index ``md5_60bit(f"{w}_{s}") % out_deg(cur)``.
+No RNG anywhere, so the corpus is bit-identical across runs, parallelism
+levels, AND engines — the DuckDB oracle replays every step exactly (the
+same determinism-over-convenience rule as the LSH operators).
+
+Plan shape per step: one equi-join of the live walk frontier against the
+indexed adjacency ``(src, idx) → dst`` (idx = rank of dst among src's
+out-neighbors — computed once, per-src window, never a global sort).
+Walks terminate at dangling vertices. Work is O(walks) per step, O(L·W)
+total; at 100 TB the adjacency join is the standard shuffle (or zero
+shuffle with a src-bucketed adjacency table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.functions.hashing import md5_long
+from linkgraph_spark.lineage import checkpoint_tracked
+from linkgraph_spark.session import pinned_superstep_confs
+
+
+def random_walks(
+    graph: LinkGraph, walk_length: int = 4, walks_per_vertex: int = 1
+) -> DataFrame:
+    """→ [walk_id, step, vertex]: ``walks_per_vertex`` walks from every
+    vertex, each up to ``walk_length`` hops (shorter if it hits a dangling
+    vertex). step 0 is the start vertex."""
+    spark = graph.vertices.sparkSession
+    n_edges = graph.edges.count()
+
+    w_adj = Window.partitionBy("src").orderBy("dst")
+    adj = graph.edges.select("src", "dst").withColumn(
+        "idx", F.row_number().over(w_adj) - 1
+    )
+    deg = graph.degrees.select(F.col("id").alias("cur"), "out_deg")
+
+    starts = graph.vertices.select("id")
+    if walks_per_vertex > 1:
+        starts = starts.crossJoin(
+            spark.range(walks_per_vertex).select(F.col("id").alias("w"))
+        )
+    else:
+        starts = starts.withColumn("w", F.lit(0))
+    frontier = starts.select(
+        (F.col("id") * walks_per_vertex + F.col("w")).alias("walk_id"),
+        F.col("id").alias("cur"),
+    )
+
+    out_steps = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))]
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
+        for s in range(1, walk_length + 1):
+            # deterministic neighbor pick: hash(walk_id "_" step) % out_deg
+            k = md5_long(
+                F.concat(
+                    F.col("walk_id").cast("string"), F.lit("_"), F.lit(str(s))
+                )
+            ) % F.col("out_deg")
+            stepped = (
+                frontier.join(F.broadcast(deg) if not big_state else deg, "cur")
+                .where(F.col("out_deg") > 0)  # dangling walks terminate
+                .select("walk_id", "cur", k.alias("idx"))
+            )
+            frontier = stepped.join(
+                adj.select(F.col("src").alias("cur"), "idx", "dst"), ["cur", "idx"]
+            ).select("walk_id", F.col("dst").alias("cur"))
+            if s % 8 == 0:
+                # long walks: truncate the compounding plan every few hops.
+                # NOT RotatingState — every step's output stays referenced
+                # by the final union, so earlier blocks must not be freed
+                # (they are caller-owned until the corpus is consumed).
+                frontier, _ = checkpoint_tracked(frontier)
+            out_steps.append(
+                frontier.select(
+                    "walk_id", F.lit(s).alias("step"), F.col("cur").alias("vertex")
+                )
+            )
+
+    out = out_steps[0]
+    for df in out_steps[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def random_walks_sql(walk_length: int = 4, walks_per_vertex: int = 1) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs in scope):
+    replays the identical hash-driven walks."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    ctes = [
+        """wadj AS MATERIALIZED (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+      FROM edges
+    )""",
+        """wdeg AS MATERIALIZED (
+      SELECT v.id AS cur, coalesce(o.c, 0) AS out_deg
+      FROM verts v
+      LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o
+        ON o.src = v.id
+    )""",
+        f"""w0 AS (
+      SELECT v.id * {walks_per_vertex} + g.w AS walk_id, v.id AS cur
+      FROM verts v CROSS JOIN (
+        SELECT unnest(range({walks_per_vertex})) AS w
+      ) g
+    )""",
+    ]
+    for s in range(1, walk_length + 1):
+        h = md5_long_sql(f"concat(CAST(f.walk_id AS VARCHAR), '_', '{s}')")
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+      SELECT f.walk_id, a.dst AS cur
+      FROM w{s - 1} f
+      JOIN wdeg d ON d.cur = f.cur AND d.out_deg > 0
+      JOIN wadj a ON a.src = f.cur AND a.idx = ({h}) % d.out_deg
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    selects = "\n    UNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, cur AS vertex FROM w{s}"
+        for s in range(0, walk_length + 1)
+    )
+    return f"""{body}
+    {selects}
+    """

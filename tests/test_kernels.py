@@ -209,3 +209,106 @@ def test_near_dup_clusters_transitive(spark):
     }
     assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
     assert got[7] == (7, 1)
+
+
+def _kcore_oracle(edges):
+    """Exact coreness by classic peeling."""
+    adj = {}
+    for u, v in {(u, v) for u, v in edges if u != v}:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k += 1
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v in alive if deg[v] < k]:
+                core[v] = k - 1
+                alive.discard(v)
+                for n in adj[v]:
+                    if n in alive:
+                        deg[n] -= 1
+                changed = True
+    return core
+
+
+@pytest.mark.parametrize(
+    "edges", [TRI3, STAR10, TWO_COMPS, web64()],
+    ids=["tri3", "star10", "two_comps", "web64"],
+)
+def test_k_core_matches_peel(spark, edges):
+    from linkgraph_spark.kernels import k_core
+
+    g = graph_from_edges(spark, edges)
+    res = k_core(g)
+    assert res.converged
+    got = {r["id"]: r["core"] for r in res.coreness.collect()}
+    assert got == _kcore_oracle(edges)
+    g.unpersist()
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from linkgraph_spark.kernels import random_walks
+
+    edges = web64()
+    g = graph_from_edges(spark, edges)
+    rows = random_walks(g, walk_length=3, walks_per_vertex=2).collect()
+    again = random_walks(g, walk_length=3, walks_per_vertex=2).collect()
+    key = lambda r: (r["walk_id"], r["step"], r["vertex"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))  # deterministic
+    eset = {(u, v) for u, v in edges if u != v}
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    n_moves = 0
+    for w, steps in walks.items():
+        assert 0 in steps
+        for s in range(1, max(steps) + 1):
+            assert (steps[s - 1], steps[s]) in eset  # every hop is a real edge
+            n_moves += 1
+    assert n_moves > 0
+    g.unpersist()
+
+
+def test_sssp_weighted_matches_oracle(spark):
+    import heapq
+
+    from linkgraph_spark.edges import LinkGraph, vertex_degrees
+    from linkgraph_spark.kernels import shortest_paths_weighted
+    from pyspark.sql import functions as F
+
+    wedges = [(0, 1, 1), (1, 2, 5), (0, 2, 10), (2, 3, 1), (0, 3, 20), (4, 5, 2)]
+    e = spark.createDataFrame(wedges, "src long, dst long, weight long").persist()
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("actor_key", F.col("id").cast("string"))
+        .persist()
+    )
+    d = vertex_degrees(v, e).persist()
+    g = LinkGraph(vertices=v, edges=e, degrees=d, num_vertices=v.count())
+    res = shortest_paths_weighted(g, sources=[0])
+    assert res.converged
+    got = {r["id"]: r["distance"] for r in res.distances.collect()}
+    # dijkstra oracle
+    adj = {}
+    for u, vv, w in wedges:
+        adj.setdefault(u, []).append((vv, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, 1 << 60):
+            continue
+        for vv, w in adj.get(u, ()):
+            nd = dd + w
+            if nd < dist.get(vv, 1 << 60):
+                dist[vv] = nd
+                heapq.heappush(pq, (nd, vv))
+    assert got == dist
+    g.unpersist()
