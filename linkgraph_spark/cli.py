@@ -25,9 +25,16 @@ from linkgraph_spark.checkpoint import CheckpointStore
 from linkgraph_spark.config import EngineConfig
 from linkgraph_spark.edges import build_graph
 from linkgraph_spark.kernels import (
+    adamic_adar,
     connected_components,
+    connected_components_star,
+    hits,
+    k_core,
     label_propagation,
     pagerank,
+    random_walks,
+    shortest_paths,
+    shortest_paths_weighted,
     triangle_count,
 )
 from linkgraph_spark.session import get_spark
@@ -39,13 +46,25 @@ def _load_graph(spark, args):
         t = spark.read.parquet(args.transcripts)
     else:
         t = synthesize_transcripts(spark, n_convs=args.synthetic_convs)
-    weighted = getattr(args, "mode", None) == "weighted"
+    weighted = getattr(args, "mode", None) == "weighted" or args.kernel == "sssp"
     return build_graph(t, weighted=weighted)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="linkgraph_spark")
-    p.add_argument("kernel", choices=["pagerank", "components", "labelprop", "triangles", "etl"])
+    p.add_argument(
+        "kernel",
+        choices=[
+            "pagerank", "components", "components_star", "labelprop",
+            "triangles", "bfs", "sssp", "hits", "kcore", "linkpred",
+            "walks", "etl",
+        ],
+    )
+    p.add_argument("--sources", help="comma-separated source ids (bfs/sssp)")
+    p.add_argument("--walk-length", type=int, default=8)
+    p.add_argument("--walks-per-vertex", type=int, default=1)
+    p.add_argument("--top-k", type=int, default=None, help="linkpred top-k per vertex")
+    p.add_argument("--max-degree", type=int, default=None, help="linkpred wedge cap")
     p.add_argument("--transcripts", help="parquet/Iceberg path of the transcript table")
     p.add_argument("--synthetic-convs", type=int, default=1000)
     p.add_argument("--mode", choices=["textbook", "compat", "weighted"], default="textbook")
@@ -95,6 +114,47 @@ def main(argv=None):
             "converged": res.converged,
             "residual": res.residual,
             "metrics_tail": res.metrics[-1] if res.metrics else None,
+        }
+    elif args.kernel in ("bfs", "sssp"):
+        srcs = [int(x) for x in (args.sources or "0").split(",")]
+        pres = (
+            shortest_paths(g, sources=srcs)
+            if args.kernel == "bfs"
+            else shortest_paths_weighted(g, sources=srcs)
+        )
+        result = pres.distances
+        summary = {
+            "reached": result.count(),
+            "iterations": pres.iterations,
+            "converged": pres.converged,
+        }
+    elif args.kernel == "hits":
+        hres = hits(g, iterations=args.iterations or 5)
+        result = hres.scores
+        summary = {"iterations": hres.iterations}
+    elif args.kernel == "kcore":
+        kres = k_core(g)
+        result = kres.coreness
+        summary = {
+            "iterations": kres.iterations,
+            "converged": kres.converged,
+            "max_core": result.agg({"core": "max"}).collect()[0][0],
+        }
+    elif args.kernel == "linkpred":
+        result = adamic_adar(g, max_degree=args.max_degree, top_k=args.top_k)
+        summary = {"candidates": result.count()}
+    elif args.kernel == "walks":
+        result = random_walks(
+            g, walk_length=args.walk_length, walks_per_vertex=args.walks_per_vertex
+        )
+        summary = {"corpus_rows": result.count()}
+    elif args.kernel == "components_star":
+        sres = connected_components_star(g, checkpoint=store, resume=args.resume)
+        result = sres.labels
+        summary = {
+            "components": result.select("component").distinct().count(),
+            "iterations": sres.iterations,
+            "converged": sres.converged,
         }
     elif args.kernel == "components":
         cres = connected_components(g, checkpoint=store, resume=args.resume)
