@@ -125,6 +125,8 @@ def pagerank(
 
     spark = graph.vertices.sparkSession
     n = graph.num_vertices
+    if n == 0:
+        raise ValueError("PageRank on an empty graph (no vertices derived)")
     teleport = (1.0 - damping) / n
     # NOTE on the gather join strategy: while the rank vector fits the
     # broadcast threshold AQE broadcasts it, so the O(E) edge side never
