@@ -244,6 +244,18 @@ def q_k_core(spark, sf_dir):
     return k_core(g).coreness.select("id", "core")
 
 
+def q_link_scores(spark, sf_dir):
+    from linkgraph_spark.kernels.linkpred import link_scores
+
+    g = _graph(spark, sf_dir)
+    return link_scores(g).select("x", "y", "common", "jaccard", "adamic_adar")
+
+
+def q_labelprop_weighted3(spark, sf_dir):
+    g = _wgraph(spark, sf_dir)
+    return label_propagation(g, max_iterations=3, weighted=True).select("id", "label")
+
+
 def q_labelprop3(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return label_propagation(g, max_iterations=3).select("id", "label")
@@ -355,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "sssp_weighted": q_sssp_weighted,
         "k_core": q_k_core,
+        "link_scores": q_link_scores,
+        "labelprop_weighted3": q_labelprop_weighted3,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "triangle_list": q_triangle_list,
@@ -630,6 +644,7 @@ def _hits_sql(iters: int = 5) -> str:
 from linkgraph_spark.kernels.linkpred import adamic_adar_sql as _aa_sql_body
 from linkgraph_spark.kernels.walks import random_walks_sql as _walks_sql_body
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
+from linkgraph_spark.kernels.linkpred import link_scores_sql as _ls_sql_body
 
 _AA_SQL = _aa_sql_body()
 
@@ -662,6 +677,42 @@ def _sssp_weighted_sql(sources=range(50), unroll: int = 20) -> str:
     return f"""{_G}, {_WEDGES},
     {body}
     SELECT id, CAST(d AS BIGINT) AS distance FROM s{unroll} WHERE d < {sent}
+    """
+
+
+
+
+def _labelprop_weighted_sql(iters: int = 3) -> str:
+    ctes = [
+        """undw AS MATERIALIZED (
+      SELECT a, b, sum(w) AS w FROM (
+        SELECT src AS a, dst AS b, weight AS w FROM edges_w
+        UNION ALL
+        SELECT dst AS a, src AS b, weight AS w FROM edges_w
+      ) WHERE a <> b GROUP BY a, b
+    )""",
+        "q0 AS (SELECT id, id AS label FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""q{k} AS MATERIALIZED (
+      SELECT p.id, coalesce(b.new_label, p.label) AS label
+      FROM q{k - 1} p
+      LEFT JOIN (
+        SELECT id, nbr_label AS new_label FROM (
+          SELECT undw.a AS id, l.label AS nbr_label,
+                 row_number() OVER (PARTITION BY undw.a
+                                    ORDER BY sum(undw.w) DESC, l.label ASC) AS rn
+          FROM undw JOIN q{k - 1} l ON undw.b = l.id
+          GROUP BY undw.a, l.label
+        ) WHERE rn = 1
+      ) b ON b.id = p.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G}, {_WEDGES},
+    {body}
+    SELECT id, label FROM q{iters}
     """
 
 
@@ -785,6 +836,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": f"{_G}, {_walks_sql_body(4, 1)}",
         "sssp_weighted": _sssp_weighted_sql(range(50), 20),
         "k_core": f"{_G}, {_kcore_sql_body(12)}",
+        "link_scores": f"{_G}, {_ls_sql_body()}",
+        "labelprop_weighted3": _labelprop_weighted_sql(3),
         "triangle_count": f"{_G}, {_TRIANGLES_CTE} SELECT count(*) AS n_triangles FROM tri",
         "triangles_per_vertex": f"""{_G}, {_TRIANGLES_CTE},
     members AS (

@@ -21,15 +21,41 @@ from linkgraph_spark.kernels.components import undirected
 from linkgraph_spark.session import pinned_superstep_confs
 
 
+def _undirected_weighted(edges: DataFrame) -> DataFrame:
+    """Symmetrize keeping weights: influence between two actors = total
+    interaction weight across both directions."""
+    both = edges.select("src", "dst", "weight").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return (
+        both.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
 def label_propagation(
     graph: LinkGraph,
     max_iterations: int = 5,
+    weighted: bool = False,
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
 ) -> DataFrame:
-    """→ ``DataFrame[id: long, label: long]``."""
+    """→ ``DataFrame[id: long, label: long]``.
+
+    ``weighted=True`` (needs ``build_graph(weighted=True)``): neighbor
+    labels vote with total interaction weight instead of neighbor count —
+    a tool invoked 100x by one actor outweighs one invoked once; ties still
+    break on the smallest label, so the result stays deterministic."""
     spark = graph.vertices.sparkSession
-    sym = undirected(graph.edges).persist()
+    if weighted:
+        if "weight" not in graph.edges.columns:
+            raise ValueError("weighted label propagation needs build_graph(weighted=True)")
+        sym = _undirected_weighted(graph.edges).persist()
+    else:
+        sym = undirected(graph.edges).persist()
     n_sym = sym.count()
 
     labels = graph.vertices.select("id", F.col("id").alias("label"))
@@ -45,10 +71,11 @@ def label_propagation(
     with pinned_superstep_confs(spark, n_sym, graph.num_vertices) as big_state:
         for it in range(start + 1, max_iterations + 1):
             lbl = labels if big_state else F.broadcast(labels)
+            vote = F.sum("weight") if weighted else F.count("*")
             counts = (
                 sym.join(lbl, sym.dst == lbl.id, "inner")
                 .groupBy(F.col("src").alias("id"), F.col("label").alias("nbr_label"))
-                .agg(F.count("*").alias("freq"))
+                .agg(vote.alias("freq"))
             )
             w = Window.partitionBy("id").orderBy(F.desc("freq"), F.asc("nbr_label"))
             best = (

@@ -57,6 +57,72 @@ def adamic_adar(
     return cand
 
 
+def link_scores(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
+    """→ [x, y, common, jaccard, adamic_adar]: the classic common-neighbor
+    score family for non-adjacent pairs, ONE wedge pass (the three scores
+    share the join; computing them separately would triple the shuffle)."""
+    und = undirected(graph.edges)
+    deg_all = und.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("deg"))
+    zdeg = deg_all
+    if max_degree is not None:
+        zdeg = zdeg.where(F.col("deg") <= max_degree)
+    nbrs = und.select(F.col("src").alias("z"), F.col("dst").alias("n"))
+    wedges = (
+        nbrs.select("z", F.col("n").alias("x"))
+        .join(nbrs.select("z", F.col("n").alias("y")), "z")
+        .where(F.col("x") < F.col("y"))
+        .join(zdeg, "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("common"),
+            F.round(F.sum(1.0 / F.log("deg")), 6).alias("adamic_adar"),
+        )
+    )
+    dx = deg_all.select(F.col("z").alias("x"), F.col("deg").alias("degx"))
+    dy = deg_all.select(F.col("z").alias("y"), F.col("deg").alias("degy"))
+    existing = und.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    jac = F.col("common") / (F.col("degx") + F.col("degy") - F.col("common"))
+    return (
+        wedges.join(existing, ["x", "y"], "left_anti")
+        .join(dx, "x")
+        .join(dy, "y")
+        .select("x", "y", "common", F.round(jac, 6).alias("jaccard"), "adamic_adar")
+    )
+
+
+def link_scores_sql(max_degree: int | None = None) -> str:
+    """DuckDB oracle body for :func:`link_scores` (expects ``edges``)."""
+    cap = f"WHERE deg <= {max_degree}" if max_degree is not None else ""
+    return f"""
+    ls_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    ),
+    ls_deg AS MATERIALIZED (
+      SELECT src AS z, count(*) AS deg FROM ls_und GROUP BY src
+    ),
+    ls_zdeg AS (SELECT * FROM ls_deg {cap}),
+    ls_wedges AS MATERIALIZED (
+      SELECT w1.dst AS x, w2.dst AS y,
+             count(*) AS common,
+             round(sum(1.0 / ln(d.deg)), 6) AS adamic_adar
+      FROM ls_und w1
+      JOIN ls_und w2 ON w1.src = w2.src AND w1.dst < w2.dst
+      JOIN ls_zdeg d ON d.z = w1.src
+      GROUP BY 1, 2
+    )
+    SELECT w.x, w.y, w.common,
+           round(w.common / CAST(dx.deg + dy.deg - w.common AS DOUBLE), 6) AS jaccard,
+           w.adamic_adar
+    FROM ls_wedges w
+    JOIN ls_deg dx ON dx.z = w.x
+    JOIN ls_deg dy ON dy.z = w.y
+    LEFT JOIN ls_und e ON e.src = w.x AND e.dst = w.y
+    WHERE e.src IS NULL
+    """
+
+
 def adamic_adar_sql(max_degree: int | None = None) -> str:
     """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
     cap = f"WHERE deg <= {max_degree}" if max_degree is not None else ""

@@ -312,3 +312,29 @@ def test_sssp_weighted_matches_oracle(spark):
                 heapq.heappush(pq, (nd, vv))
     assert got == dist
     g.unpersist()
+
+
+def test_weighted_labelprop_weights_decide(spark):
+    """Vertex 0's single HEAVY neighbor (label 9, weight 10) must outvote
+    its two unit-weight neighbors (labels 1, 2) under weighted LPA, while
+    unweighted LPA sees three equal votes and tie-breaks to the SMALLEST
+    label — the two modes must disagree on this fixture."""
+    from linkgraph_spark.edges import LinkGraph, vertex_degrees
+    from pyspark.sql import functions as F
+
+    wedges = [(0, 9, 10), (0, 1, 1), (0, 2, 1)]
+    e = spark.createDataFrame(wedges, "src long, dst long, weight long").persist()
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("actor_key", F.col("id").cast("string"))
+        .persist()
+    )
+    d = vertex_degrees(v, e).persist()
+    g = LinkGraph(vertices=v, edges=e, degrees=d, num_vertices=v.count())
+    w1 = {r["id"]: r["label"] for r in label_propagation(g, 1, weighted=True).collect()}
+    u1 = {r["id"]: r["label"] for r in label_propagation(g, 1).collect()}
+    assert w1[0] == 9  # the weight-10 vote wins
+    assert u1[0] == 1  # three equal votes → smallest label
+    g.unpersist()
