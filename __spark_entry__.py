@@ -211,7 +211,23 @@ def q_hits5(spark, sf_dir):
     )
 
 
+# the link-prediction gate entries run CAPPED (max_degree bounds wedge
+# fan-out at hubs, top_k bounds the output) — the shipped at-scale config;
+# the uncapped exact variant stays gated separately on the small sf graph
+AA_MAX_DEGREE = 32
+AA_TOP_K = 10
+
+
 def q_adamic_adar(spark, sf_dir):
+    from linkgraph_spark.kernels import adamic_adar
+
+    g = _graph(spark, sf_dir)
+    return adamic_adar(g, max_degree=AA_MAX_DEGREE, top_k=AA_TOP_K).select(
+        "x", "y", "score"
+    )
+
+
+def q_adamic_adar_exact(spark, sf_dir):
     from linkgraph_spark.kernels import adamic_adar
 
     g = _graph(spark, sf_dir)
@@ -248,7 +264,9 @@ def q_link_scores(spark, sf_dir):
     from linkgraph_spark.kernels.linkpred import link_scores
 
     g = _graph(spark, sf_dir)
-    return link_scores(g).select("x", "y", "common", "jaccard", "adamic_adar")
+    return link_scores(g, max_degree=AA_MAX_DEGREE).select(
+        "x", "y", "common", "jaccard", "adamic_adar"
+    )
 
 
 def q_labelprop_weighted3(spark, sf_dir):
@@ -363,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_undirected": q_bfs_undirected,
         "hits5": q_hits5,
         "adamic_adar": q_adamic_adar,
+        "adamic_adar_exact": q_adamic_adar_exact,
         "near_dup_clusters": q_near_dup_clusters,
         "random_walks": q_random_walks,
         "sssp_weighted": q_sssp_weighted,
@@ -646,7 +665,8 @@ from linkgraph_spark.kernels.walks import random_walks_sql as _walks_sql_body
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 from linkgraph_spark.kernels.linkpred import link_scores_sql as _ls_sql_body
 
-_AA_SQL = _aa_sql_body()
+_AA_SQL = _aa_sql_body(max_degree=32, top_k=10)  # mirrors AA_MAX_DEGREE/AA_TOP_K
+_AA_EXACT_SQL = _aa_sql_body()
 
 
 
@@ -832,11 +852,12 @@ def oracle_sql() -> dict[str, str]:
         "bfs_undirected": _bfs_sql(sources=(0,), unroll=20, directed=False),
         "hits5": _hits_sql(5),
         "adamic_adar": f"{_G}, {_AA_SQL} ",
+        "adamic_adar_exact": f"{_G}, {_AA_EXACT_SQL} ",
         "near_dup_clusters": dd.near_dup_clusters_sql(threshold=0.5),
         "random_walks": f"{_G}, {_walks_sql_body(4, 1)}",
         "sssp_weighted": _sssp_weighted_sql(range(50), 20),
         "k_core": f"{_G}, {_kcore_sql_body(12)}",
-        "link_scores": f"{_G}, {_ls_sql_body()}",
+        "link_scores": f"{_G}, {_ls_sql_body(max_degree=32)}",
         "labelprop_weighted3": _labelprop_weighted_sql(3),
         "triangle_count": f"{_G}, {_TRIANGLES_CTE} SELECT count(*) AS n_triangles FROM tri",
         "triangles_per_vertex": f"""{_G}, {_TRIANGLES_CTE},

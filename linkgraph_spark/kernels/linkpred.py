@@ -29,7 +29,15 @@ def adamic_adar(
     top_k: int | None = None,
 ) -> DataFrame:
     """→ [vec x, y, score]: Adamic–Adar scores for non-adjacent pairs with
-    ≥1 common neighbor, x < y. ``top_k`` keeps the k best candidates per x."""
+    ≥1 common neighbor, x < y. ``top_k`` keeps the k best candidates per x
+    (ties broken by smaller y; scores compared after the 6-decimal round).
+
+    **Defaults are EXACT and only safe on small graphs**: with
+    ``max_degree=None`` a single degree-D hub emits C(D, 2) wedges —
+    quadratic. Any at-scale run MUST set ``max_degree`` (hubs carry ~zero
+    AA evidence) and should set ``top_k`` (bounded output). The gate /
+    bench entries run capped; ``adamic_adar_exact`` is the small-graph
+    oracle variant."""
     und = undirected(graph.edges)  # symmetric [src, dst]
     deg = und.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("deg"))
     if max_degree is not None:
@@ -60,7 +68,11 @@ def adamic_adar(
 def link_scores(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
     """→ [x, y, common, jaccard, adamic_adar]: the classic common-neighbor
     score family for non-adjacent pairs, ONE wedge pass (the three scores
-    share the join; computing them separately would triple the shuffle)."""
+    share the join; computing them separately would triple the shuffle).
+
+    Same scale warning as :func:`adamic_adar`: ``max_degree=None`` is
+    exact-but-quadratic at a hub; set it for any at-scale run (the gate /
+    bench entries do)."""
     und = undirected(graph.edges)
     deg_all = und.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("deg"))
     zdeg = deg_all
@@ -123,10 +135,10 @@ def link_scores_sql(max_degree: int | None = None) -> str:
     """
 
 
-def adamic_adar_sql(max_degree: int | None = None) -> str:
+def adamic_adar_sql(max_degree: int | None = None, top_k: int | None = None) -> str:
     """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
     cap = f"WHERE deg <= {max_degree}" if max_degree is not None else ""
-    return f"""
+    body = f"""
     aa_und AS MATERIALIZED (
       SELECT src, dst FROM edges WHERE src <> dst
       UNION
@@ -142,9 +154,20 @@ def adamic_adar_sql(max_degree: int | None = None) -> str:
       JOIN aa_und w2 ON w1.src = w2.src AND w1.dst < w2.dst
       JOIN aa_deg d ON d.z = w1.src
       GROUP BY 1, 2
-    )
-    SELECT w.x, w.y, w.score
-    FROM aa_wedges w
-    LEFT JOIN aa_und e ON e.src = w.x AND e.dst = w.y
-    WHERE e.src IS NULL
+    ),
+    aa_cand AS MATERIALIZED (
+      SELECT w.x, w.y, w.score
+      FROM aa_wedges w
+      LEFT JOIN aa_und e ON e.src = w.x AND e.dst = w.y
+      WHERE e.src IS NULL
+    )"""
+    if top_k is None:
+        return f"{body}\n    SELECT x, y, score FROM aa_cand\n    "
+    return f"""{body}
+    SELECT x, y, score FROM (
+      SELECT x, y, score,
+             row_number() OVER (PARTITION BY x
+                                ORDER BY score DESC, y ASC) AS rk
+      FROM aa_cand
+    ) WHERE rk <= {top_k}
     """

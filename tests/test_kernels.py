@@ -190,6 +190,43 @@ def test_adamic_adar_matches_oracle(spark):
     g.unpersist()
 
 
+def test_adamic_adar_hot_hub_bounded(spark):
+    """The shipped at-scale config (max_degree + top_k — what the gate and
+    bench run) must bound candidate counts on a hot-hub graph: a degree-D
+    hub generates ZERO wedges when D > max_degree, so output is bounded by
+    the low-degree wedge mass, not C(D, 2)."""
+    from linkgraph_spark.kernels import adamic_adar
+    from linkgraph_spark.kernels.linkpred import link_scores
+
+    hub_deg = 200
+    edges = [(0, i) for i in range(1, hub_deg + 1)]          # hot hub 0
+    edges += [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]  # clique 1-5
+    g = graph_from_edges(spark, edges)
+
+    exact_n = adamic_adar(g).count()
+    assert exact_n >= hub_deg * (hub_deg - 1) // 2 - len(edges)  # hub blow-up
+
+    capped = adamic_adar(g, max_degree=32, top_k=10).collect()
+    # only the clique vertices (deg 5+1=6 ≤ 32) generate wedges; every pair
+    # they produce is already an edge, so nothing survives the anti-join —
+    # the hub's ~C(200,2) candidates are gone entirely
+    assert len(capped) == 0
+    # with a clique pair broken open, the capped path still finds it
+    g.unpersist()
+    edges2 = [e for e in edges if e != (1, 2)]
+    g2 = graph_from_edges(spark, edges2)
+    capped2 = {(r["x"], r["y"]) for r in adamic_adar(g2, max_degree=32, top_k=10).collect()}
+    assert capped2 == {(1, 2)}
+    ls = link_scores(g2, max_degree=32).collect()
+    assert {(r["x"], r["y"]) for r in ls} == {(1, 2)}
+    # top_k bounds per-vertex output
+    per_x = {}
+    for r in adamic_adar(g2, top_k=3).collect():
+        per_x[r["x"]] = per_x.get(r["x"], 0) + 1
+    assert per_x and max(per_x.values()) <= 3
+    g2.unpersist()
+
+
 def test_near_dup_clusters_transitive(spark):
     """A~B and B~C (no direct A~C pair needed) must collapse to ONE keeper;
     non-duplicates are singleton clusters."""
