@@ -8,14 +8,31 @@ converges EXACTLY to coreness — a synchronous-superstep formulation of the
 classic peel, so it fits the engine's scaffold (no sequential peeling).
 
 Plan shape per round: one gather join (estimates along undirected edges) +
-one per-vertex ranked window (partitioned by vertex — the hub-partition
-window is the O(max-degree) hot spot; at extreme hub degrees swap the
-window for a two-phase counting agg). Change count rides the rotate via
-``observe()``; explicit converged flag like the other kernels.
+a TWO-PHASE counting aggregate for the h-index — never a per-vertex window
+over raw neighbor rows (which would put a degree-D hub's D rows in one
+window partition / one task):
+
+1. histogram: ``groupBy(id, least(nbr_core, cap))`` — map-side partial
+   aggregation collapses a hub's D neighbor rows to ≤ cap+1 histogram rows
+   BEFORE the shuffle;
+2. suffix-count: a per-vertex cumulative window over the histogram, whose
+   partitions are bounded by cap+1 rows, then
+   h = max over values c of min(c, count(nbr_core ≥ c)).
+
+``cap = floor(sqrt(2E)) + 1`` is a sound clamp: if h neighbors have
+estimate ≥ h then (already at round 1, where estimates are degrees) the
+edge count satisfies 2E ≥ h², so every h-index the iteration ever produces
+is ≤ √(2E) < cap, and clamping neighbor values at cap never changes
+``count(nbr_core ≥ h)`` for any feasible h. Window partitions are thus
+O(√E) rows max — no hub hotspot at any degree distribution.
+
+Change count rides the rotate via ``observe()``; explicit converged flag
+like the other kernels.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, Window
@@ -25,6 +42,33 @@ from linkgraph_spark.edges import LinkGraph
 from linkgraph_spark.kernels.components import undirected
 from linkgraph_spark.lineage import RotatingState
 from linkgraph_spark.session import pinned_superstep_confs
+
+
+def _capped_histogram(nbr: DataFrame, cap: int) -> DataFrame:
+    """→ [id, c, cnt]: per-vertex histogram of neighbor estimates clamped at
+    ``cap`` — ≤ cap+1 rows per vertex regardless of degree (the phase-1
+    aggregate that keeps hubs out of any single window partition)."""
+    return nbr.groupBy(
+        "id", F.least(F.col("nbr_core"), F.lit(cap)).alias("c")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def _h_index(nbr: DataFrame, cap: int) -> DataFrame:
+    """→ [id, h]: h-index of each vertex's ``nbr_core`` multiset via the
+    two-phase counting aggregate (see module docstring)."""
+    hist = _capped_histogram(nbr, cap)
+    w = (
+        Window.partitionBy("id")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # suffix count at value c = #neighbors with estimate ≥ c (clamped);
+    # h = max over histogram values of min(c, suffix_count(c))
+    return (
+        hist.withColumn("_ge", F.sum("cnt").over(w))
+        .groupBy("id")
+        .agg(F.max(F.least(F.col("c"), F.col("_ge"))).alias("h"))
+    )
 
 
 @dataclass
@@ -49,6 +93,10 @@ def k_core(graph: LinkGraph, max_iterations: int = 100) -> KCoreResult:
         .select("id", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
     )
 
+    # every h-index the iteration produces is ≤ √(2E); clamping neighbor
+    # values here bounds phase-2 window partitions at cap+1 rows
+    cap = math.isqrt(n_sym) + 1  # n_sym = 2E symmetric rows → √n_sym = √(2E)
+
     converged = False
     metrics: list = []
     it = 0
@@ -59,12 +107,7 @@ def k_core(graph: LinkGraph, max_iterations: int = 100) -> KCoreResult:
                 cur.select(F.col("id").alias("dst"), F.col("core").alias("nbr_core")),
                 "dst",
             ).select(F.col("src").alias("id"), "nbr_core")
-            w = Window.partitionBy("id").orderBy(F.desc("nbr_core"))
-            h = (
-                nbr.withColumn("_rn", F.row_number().over(w))
-                .groupBy("id")
-                .agg(F.max(F.least(F.col("_rn"), F.col("nbr_core"))).alias("h"))
-            )
+            h = _h_index(nbr, cap)
             new = est.join(h, "id", "left").select(
                 "id",
                 F.coalesce("h", F.lit(0)).cast("long").alias("core"),

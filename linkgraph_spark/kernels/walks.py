@@ -9,7 +9,15 @@ same determinism-over-convenience rule as the LSH operators).
 
 Plan shape per step: one equi-join of the live walk frontier against the
 indexed adjacency ``(src, idx) → dst`` (idx = rank of dst among src's
-out-neighbors — computed once, per-src window, never a global sort).
+out-neighbors, computed ONCE). The index is TWO-LEVEL so no single window
+partition ever holds a hub's whole neighborhood: dst ids are dense
+(assigned 0..V-1 by the ETL), so bucketing by ``dst // ceil(√V)`` bounds
+the within-bucket rank window at √V rows per (src, bucket) and the per-src
+bucket-offset window at √V bucket rows — a degree-10^8 hub becomes 10^4
+bounded partitions instead of one 10^8-row sort task. idx = bucket offset
+(prefix count of earlier buckets) + within-bucket rank; identical to the
+flat per-src rank because buckets are dst-range-ordered.
+
 Walks terminate at dangling vertices. Work is O(walks) per step, O(L·W)
 total; at 100 TB the adjacency join is the standard shuffle (or zero
 shuffle with a src-bucketed adjacency table).
@@ -17,13 +25,41 @@ shuffle with a src-bucketed adjacency table).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph_spark.edges import LinkGraph
 from linkgraph_spark.functions.hashing import md5_long
-from linkgraph_spark.lineage import checkpoint_tracked
+from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
 from linkgraph_spark.session import pinned_superstep_confs
+
+
+def _indexed_adjacency(edges: DataFrame, n_vertices: int) -> DataFrame:
+    """→ [src, idx, dst]: idx = rank of dst among src's out-neighbors
+    (dst-ascending), via the two-level bucketed scheme (module docstring) —
+    every window partition is bounded by ~√V rows, hub degree nonwithstanding."""
+    width = math.isqrt(max(n_vertices, 1)) + 1
+    adj0 = edges.select("src", "dst").withColumn(
+        "_b", F.floor(F.col("dst") / F.lit(width)).cast("long")
+    )
+    w_in = Window.partitionBy("src", "_b").orderBy("dst")
+    ranked = adj0.withColumn("_r", F.row_number().over(w_in) - 1)
+    w_pre = (
+        Window.partitionBy("src")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        adj0.groupBy("src", "_b")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_pre), F.lit(0)))
+        .select("src", "_b", "_off")
+    )
+    return ranked.join(offsets, ["src", "_b"]).select(
+        "src", (F.col("_off") + F.col("_r")).alias("idx"), "dst"
+    )
 
 
 def random_walks(
@@ -35,10 +71,7 @@ def random_walks(
     spark = graph.vertices.sparkSession
     n_edges = graph.edges.count()
 
-    w_adj = Window.partitionBy("src").orderBy("dst")
-    adj = graph.edges.select("src", "dst").withColumn(
-        "idx", F.row_number().over(w_adj) - 1
-    )
+    adj = _indexed_adjacency(graph.edges, graph.num_vertices)
     deg = graph.degrees.select(F.col("id").alias("cur"), "out_deg")
 
     starts = graph.vertices.select("id")
@@ -54,6 +87,7 @@ def random_walks(
     )
 
     out_steps = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))]
+    interim_ids: set = set()
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
         for s in range(1, walk_length + 1):
             # deterministic neighbor pick: hash(walk_id "_" step) % out_deg
@@ -73,9 +107,11 @@ def random_walks(
             if s % 8 == 0:
                 # long walks: truncate the compounding plan every few hops.
                 # NOT RotatingState — every step's output stays referenced
-                # by the final union, so earlier blocks must not be freed
-                # (they are caller-owned until the corpus is consumed).
-                frontier, _ = checkpoint_tracked(frontier)
+                # by the final union, so interim blocks must live until the
+                # corpus below is materialized; they are tracked and freed
+                # there (never leaked for the session lifetime).
+                frontier, ids = checkpoint_tracked(frontier)
+                interim_ids |= ids
             out_steps.append(
                 frontier.select(
                     "walk_id", F.lit(s).alias("step"), F.col("cur").alias("vertex")
@@ -85,6 +121,12 @@ def random_walks(
     out = out_steps[0]
     for df in out_steps[1:]:
         out = out.unionByName(df)
+    if interim_ids:
+        # materialize the corpus once, then free every interim checkpoint —
+        # the returned DataFrame owns exactly ONE block set (like every
+        # kernel's final rotated state), not O(walk_length/8) of them
+        out, _ = checkpoint_tracked(out)
+        free_tracked(spark.sparkContext, interim_ids)
     return out
 
 

@@ -288,6 +288,100 @@ def test_k_core_matches_peel(spark, edges):
     g.unpersist()
 
 
+def test_k_core_hub_partition_bounded(spark):
+    """k-core's h-index must never put a hub's whole neighborhood in one
+    window partition: the phase-1 histogram (clamped at cap = √(2E)+1)
+    bounds every per-vertex partition at cap+1 rows even at degree 1000."""
+    import math
+
+    from linkgraph_spark.kernels import k_core
+    from linkgraph_spark.kernels.components import undirected
+    from linkgraph_spark.kernels.kcore import _capped_histogram
+    from pyspark.sql import functions as F
+
+    hub_deg = 1000
+    edges = [(0, i) for i in range(1, hub_deg + 1)]
+    edges += [(i, i + 1) for i in range(1, 20)]  # a chain off the leaves
+    g = graph_from_edges(spark, edges)
+
+    sym = undirected(g.edges)
+    n_sym = sym.count()
+    cap = math.isqrt(n_sym) + 1
+    assert cap < hub_deg  # the clamp actually bites on this fixture
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("core"))
+    nbr = sym.join(
+        deg.select(F.col("id").alias("dst"), F.col("core").alias("nbr_core")), "dst"
+    ).select(F.col("src").alias("id"), "nbr_core")
+    worst = (
+        _capped_histogram(nbr, cap)
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert worst <= cap + 1  # the window partition bound, degree-independent
+
+    res = k_core(g)
+    assert res.converged
+    assert {r["id"]: r["core"] for r in res.coreness.collect()} == _kcore_oracle(edges)
+    g.unpersist()
+
+
+def test_walk_adjacency_index_two_level(spark):
+    """The walk adjacency index must equal the flat per-src dst-rank while
+    bounding every window partition at ~√V rows (hub-degree independent)."""
+    import math
+
+    from linkgraph_spark.kernels.walks import _indexed_adjacency
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hub_deg = 1000
+    edges = [(0, i) for i in range(1, hub_deg + 1)] + [(5, 3), (5, 900), (7, 7)]
+    g = graph_from_edges(spark, edges)
+
+    adj = _indexed_adjacency(g.edges, g.num_vertices)
+    flat = g.edges.select("src", "dst").withColumn(
+        "idx", F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+    )
+    key = lambda r: (r["src"], r["idx"], r["dst"])
+    assert sorted(map(key, adj.collect())) == sorted(map(key, flat.collect()))
+
+    width = math.isqrt(g.num_vertices) + 1
+    worst = (
+        g.edges.groupBy("src", F.floor(F.col("dst") / F.lit(width)))
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert worst <= width  # dense ids → ≤ width rows per (src, bucket)
+    g.unpersist()
+
+
+def test_random_walks_frees_interim_blocks(spark):
+    """Long walks (>8 hops) checkpoint interim frontiers; after the corpus
+    is materialized only ONE block set may remain alive (the corpus), not
+    one per 8-hop truncation."""
+    from linkgraph_spark.kernels import random_walks
+    from linkgraph_spark.lineage import _persistent_rdd_ids, checkpoint_tracked
+
+    g = graph_from_edges(spark, web64())
+    sc = spark.sparkContext
+    # baseline: how many persistent ids ONE localCheckpoint contributes
+    probe, probe_ids = checkpoint_tracked(spark.range(4))
+    per_ckpt = len(probe_ids)
+    from linkgraph_spark.lineage import free_tracked
+
+    free_tracked(sc, probe_ids)
+
+    pre = _persistent_rdd_ids(sc)
+    corpus = random_walks(g, walk_length=17, walks_per_vertex=1)
+    assert corpus.count() > 0
+    leaked = _persistent_rdd_ids(sc) - pre
+    assert len(leaked) <= per_ckpt  # the corpus itself; interims freed
+    g.unpersist()
+
+
 def test_random_walks_deterministic_and_valid(spark):
     from linkgraph_spark.kernels import random_walks
 
