@@ -61,10 +61,12 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
+    force_big_state: bool | None = None,
 ) -> ComponentsResult:
     """Hash-min label exchange → :class:`ComponentsResult` (component = min
     member id). ``result.converged`` is False iff the iteration cap was hit
-    before the fixpoint."""
+    before the fixpoint. ``force_big_state`` overrides the join-regime size
+    heuristic (tests value-verify the shuffle-hash regime on small graphs)."""
     spark = graph.vertices.sparkSession
     sym = undirected(graph.edges).persist()
     n_sym = sym.count()
@@ -82,7 +84,9 @@ def connected_components(
     converged = False
     metrics: list = []
     it = start
-    with pinned_superstep_confs(spark, n_sym, graph.num_vertices) as big_state:
+    with pinned_superstep_confs(
+        spark, n_sym, graph.num_vertices, force_big=force_big_state
+    ) as big_state:
         for it in range(start + 1, max_iterations + 1):
             lbl = labels
             if not big_state:
@@ -167,6 +171,7 @@ def connected_components_star(
             start = latest
     edges, e_ids = checkpoint_tracked(init)
     n_init = edges.count()  # cheap: reads the checkpoint blocks
+    n_prev = n_init
 
     converged = False
     metrics: list = []
@@ -208,8 +213,19 @@ def connected_components_star(
                 ).distinct()
             )
 
-            # fixpoint: the symmetric pointer set stopped changing
-            changed = e2.exceptAll(edges).limit(1).count()
+            # fixpoint: the symmetric pointer set stopped changing. The test
+            # must be TWO-sided — e2.exceptAll(edges) alone is empty whenever
+            # e2 ⊊ edges (the set strictly shrank), which is not convergence
+            # (Kiveris et al. terminate on set EQUALITY). Counts are cheap
+            # (both sides are materialized checkpoints): equal count + empty
+            # one-sided difference ⟺ set equality.
+            n_cur = e2.count()
+            changed = (
+                1
+                if n_cur != n_prev
+                else e2.exceptAll(edges).limit(1).count()
+            )
+            n_prev = n_cur
             free_tracked(sc, e_ids)
             free_tracked(sc, e1_ids)
             edges, e_ids = e2, e2_ids

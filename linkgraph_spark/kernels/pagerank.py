@@ -94,6 +94,7 @@ def pagerank(
     gather_fn=None,
     gather_mode: str = "builtin",
     profile: bool = False,
+    force_big_state: bool | None = None,
 ) -> PageRankResult:
     """Run PageRank to convergence (textbook) or a fixed count (compat).
 
@@ -150,7 +151,13 @@ def pagerank(
     # crossover measured empirically: medium graphs (<~5M edges) run best
     # with AQE + runtime broadcast; beyond that, pinned shuffle-hash plans
     # with AQE off win ~2-3x per superstep
-    big_state = n_edges > 5_000_000 or n > 2_000_000
+    # force_big_state lets tests value-verify the big-state regime (pinned
+    # shuffle-hash gather, AQE off, no broadcast) on small oracle graphs
+    big_state = (
+        force_big_state
+        if force_big_state is not None
+        else n_edges > 5_000_000 or n > 2_000_000
+    )
     saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     saved_sp = spark.conf.get("spark.sql.shuffle.partitions")

@@ -14,7 +14,12 @@ from pyspark.sql import SparkSession
 
 
 @contextmanager
-def pinned_superstep_confs(spark: SparkSession, n_edges: int, n_vertices: int = 0):
+def pinned_superstep_confs(
+    spark: SparkSession,
+    n_edges: int,
+    n_vertices: int = 0,
+    force_big: bool | None = None,
+):
     """Pin the session confs every iterative superstep loop wants, restore
     them on ANY exit (measured −25-43% wall across 55k-3M-edge graphs):
 
@@ -27,8 +32,15 @@ def pinned_superstep_confs(spark: SparkSession, n_edges: int, n_vertices: int = 
       O(V) state every superstep.
 
     Yields ``big_state`` so callers can pick join hints to match.
+    ``force_big`` overrides the size heuristic — it exists so tests can
+    value-verify the big-state plan regime (shuffle-hash gather, AQE off,
+    no broadcast) on small oracle graphs, not just at bench scale.
     """
-    big = n_edges > 5_000_000 or n_vertices > 2_000_000
+    big = (
+        force_big
+        if force_big is not None
+        else n_edges > 5_000_000 or n_vertices > 2_000_000
+    )
     keys = (
         "spark.sql.adaptive.enabled",
         "spark.sql.autoBroadcastJoinThreshold",

@@ -112,6 +112,37 @@ def test_weighted_pagerank_on_transcripts(spark):
     g.unpersist()
 
 
+def test_big_state_plan_regime_value_equal(spark):
+    """The >5M-edge plan regime (AQE off, auto-broadcast off, pinned
+    shuffle-hash gather + shuffle-hash apply join) is normally only hit by
+    bench-scale graphs, so no oracle exercises it. Force it on the sf0.001
+    fixture and assert both join regimes produce identical values for
+    compat + textbook PageRank and connected components."""
+    from linkgraph_spark.kernels import connected_components
+    from linkgraph_spark.transcripts import transcripts_from_events
+
+    g = build_graph(transcripts_from_events(spark, "/root/testdata/sf0.001"))
+
+    for mode, iters in (("compat", None), ("textbook", 5)):
+        small = ranks_dict(pagerank(g, mode=mode, iterations=iters))
+        big = ranks_dict(
+            pagerank(g, mode=mode, iterations=iters, force_big_state=True)
+        )
+        assert set(small) == set(big)
+        for v in small:  # float sums reorder across join plans → tolerance
+            assert math.isclose(small[v], big[v], rel_tol=0, abs_tol=1e-12), v
+
+    lab_small = {
+        r["id"]: r["component"] for r in connected_components(g).labels.collect()
+    }
+    lab_big = {
+        r["id"]: r["component"]
+        for r in connected_components(g, force_big_state=True).labels.collect()
+    }
+    assert lab_small == lab_big  # integer labels: exact
+    g.unpersist()
+
+
 def test_profile_stage_breakdown(spark):
     """profile=True adds per-stage superstep timings (the reference's
     per-vertex get/rank/put observability, pagerank.py:93-99)."""
