@@ -13,8 +13,11 @@ protect (consistent concurrent state updates) with no locking at all, plus
 resume-from-any-iteration, which the reference cannot do.
 
 Two backends behind the same ``write_state / latest_iteration / load_state /
-load_metrics / load_lineage`` protocol (kernels are backend-agnostic —
-they accept any object with that surface):
+load_metrics`` protocol (kernels are backend-agnostic — they only call
+``write_state`` / ``latest_iteration`` / ``load_state``; any object with
+that surface works, see the fake-backend contract test). ``load_lineage``
+is Parquet-backend-specific: on Iceberg the table's own snapshot/partition
+metadata IS the lineage surface, so the method points there instead:
 
 - :class:`CheckpointStore` — Parquet + ``_COMMIT`` manifest. ALL filesystem
   control operations (marker create, existence check, directory listing) go
@@ -231,9 +234,13 @@ class IcebergCheckpointStore:
             )
         )
         writer = df.writeTo(self.table)
-        try:  # idempotent re-run of a crashed superstep replaces its partition
+        # existence probe picks create vs overwrite — never except-all, so a
+        # genuine commit failure on an existing table propagates with its
+        # real cause instead of resurfacing as "table already exists"
+        if df.sparkSession.catalog.tableExists(self.table):
+            # idempotent re-run of a crashed superstep replaces its partition
             writer.overwritePartitions()
-        except Exception:
+        else:
             writer.using("iceberg").partitionedBy(
                 F.col("kernel"), F.col("iteration")
             ).create()
@@ -258,4 +265,20 @@ class IcebergCheckpointStore:
             spark.read.table(self.table)
             .where((F.col("kernel") == kernel) & (F.col("iteration") == iteration))
             .drop("kernel", "iteration", "metrics_json")
+        )
+
+    def load_metrics(self, spark: SparkSession, kernel: str) -> DataFrame:
+        # metrics_json is constant per (kernel, iteration) partition
+        return (
+            spark.read.table(self.table)
+            .where(F.col("kernel") == kernel)
+            .select("iteration", "metrics_json")
+            .distinct()
+        )
+
+    def load_lineage(self, spark: SparkSession, kernel: str) -> DataFrame:
+        raise NotImplementedError(
+            "per-partition lineage is the Parquet backend's substitute for "
+            "table metadata; on Iceberg read the table's own snapshot/"
+            f"partition metadata instead (SELECT * FROM {self.table}.files)"
         )

@@ -166,7 +166,8 @@ def main(argv=None):
         }
     elif args.kernel == "labelprop":
         result = label_propagation(
-            g, max_iterations=args.iterations or 5, checkpoint=store, resume=args.resume
+            g, max_iterations=args.iterations or 5, checkpoint=store,
+            resume=args.resume, weighted=(args.mode == "weighted"),
         )
         summary = {"labels": result.select("label").distinct().count()}
     else:

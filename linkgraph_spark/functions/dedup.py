@@ -301,7 +301,15 @@ def near_dup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     spark = documents.sparkSession
     pairs = minhash_lsh_dups(documents, threshold).select("doc_a", "doc_b")
     g = graph_from_edges(spark, pairs)
-    labels = connected_components(g).labels  # component = min member id
+    cc = connected_components(g)
+    if not cc.converged:
+        # split clusters (several keepers for one transitive group) are the
+        # exact failure the converged flag exists to catch — refuse loudly
+        raise RuntimeError(
+            f"near_dup_clusters: components did not converge in "
+            f"{cc.iterations} supersteps; raise max_iterations"
+        )
+    labels = cc.labels  # component = min member id
     sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
     clustered = labels.join(sizes, "component").select(
         F.col("id").alias("doc_id"),

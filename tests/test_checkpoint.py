@@ -85,6 +85,67 @@ def test_iceberg_backend_capability_gated(spark, tmp_path):
         IcebergCheckpointStore("ck.state")
 
 
+class FakeCheckpointStore:
+    """In-memory object exposing exactly the protocol surface the kernels
+    call (write_state / latest_iteration / load_state) — the contract test
+    proving kernels are truly backend-agnostic (the IcebergCheckpointStore
+    shape works without Iceberg jars ever loading)."""
+
+    def __init__(self):
+        self.states: dict = {}  # (kernel, iteration) -> list[Row]
+        self.metrics: dict = {}
+
+    def write_state(self, kernel, iteration, state, key_col, metrics=None):
+        self.states[(kernel, iteration)] = (state.schema, state.collect())
+        self.metrics[(kernel, iteration)] = dict(metrics or {})
+
+    def committed_iterations(self, kernel):
+        return sorted(i for k, i in self.states if k == kernel)
+
+    def latest_iteration(self, kernel):
+        its = self.committed_iterations(kernel)
+        return its[-1] if its else None
+
+    def load_state(self, spark, kernel, iteration):
+        schema, rows = self.states[(kernel, iteration)]
+        return spark.createDataFrame(rows, schema)
+
+
+def test_fake_backend_contract_pagerank_and_components_resume(spark):
+    """Kernels must run + resume against ANY object with the store protocol,
+    not just CheckpointStore — the backend-agnostic contract the Iceberg
+    store relies on (its happy path can't execute without jars)."""
+    from linkgraph_spark.kernels import connected_components
+
+    g = graph_from_edges(spark, web64(n=40))
+    fake = FakeCheckpointStore()
+    full = ranks_dict(pagerank(g, mode="compat", iterations=6, checkpoint=fake))
+    assert fake.latest_iteration("pagerank_compat") == 6
+    # crash: forget iterations 4..6, resume from 3
+    for k in (4, 5, 6):
+        del fake.states[("pagerank_compat", k)]
+    resumed = ranks_dict(
+        pagerank(g, mode="compat", iterations=6, checkpoint=fake, resume=True)
+    )
+    assert set(resumed) == set(full)
+    assert all(abs(resumed[k] - full[k]) < 1e-12 for k in full)
+
+    fake2 = FakeCheckpointStore()
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(g, checkpoint=fake2).labels.collect()
+    }
+    latest = fake2.latest_iteration("components")
+    for k in fake2.committed_iterations("components")[1:]:
+        del fake2.states[("components", k)]
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(g, checkpoint=fake2, resume=True).labels.collect()
+    }
+    assert got == want and latest is not None
+    g.unpersist()
+
+
 def test_star_components_resume(spark, tmp_path):
     """connected_components_star resumes from the latest committed round's
     pointer set and ends with the same labels as the uninterrupted run."""
