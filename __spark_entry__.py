@@ -245,6 +245,15 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, walk_length=4, walks_per_vertex=1)
 
 
+def q_random_walks16(spark, sf_dir):
+    # depth-16 walks exercise the every-8-hops plan truncation (two interim
+    # checkpoints + corpus materialization) under the full value oracle
+    from linkgraph_spark.kernels import random_walks
+
+    g = _graph(spark, sf_dir)
+    return random_walks(g, walk_length=16, walks_per_vertex=1)
+
+
 def q_sssp_weighted(spark, sf_dir):
     from linkgraph_spark.kernels import shortest_paths_weighted
 
@@ -324,6 +333,13 @@ def q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_dups(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    # the scale-default path: hot shingles excluded from candidate
+    # generation (max_doc_freq chosen so the cap provably bites at sf0.01 —
+    # it drops pairs whose only shared shingles are hot)
+    return dd.ngram_jaccard_dups(_docs(spark, sf_dir), threshold=0.5, max_doc_freq=2)
+
+
 def q_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_dups(_docs(spark, sf_dir), threshold=0.5)
 
@@ -384,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_exact": q_adamic_adar_exact,
         "near_dup_clusters": q_near_dup_clusters,
         "random_walks": q_random_walks,
+        "random_walks16": q_random_walks16,
         "sssp_weighted": q_sssp_weighted,
         "k_core": q_k_core,
         "link_scores": q_link_scores,
@@ -398,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dups": q_ngram_jaccard,
+        "ngram_jaccard_dups_capped": q_ngram_jaccard_capped,
         "minhash_lsh_dups": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_dups": q_simhash_dups,
@@ -855,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar_exact": f"{_G}, {_AA_EXACT_SQL} ",
         "near_dup_clusters": dd.near_dup_clusters_sql(threshold=0.5),
         "random_walks": f"{_G}, {_walks_sql_body(4, 1)}",
+        "random_walks16": f"{_G}, {_walks_sql_body(16, 1)}",
         "sssp_weighted": _sssp_weighted_sql(range(50), 20),
         "k_core": f"{_G}, {_kcore_sql_body(12)}",
         "link_scores": f"{_G}, {_ls_sql_body(max_degree=32)}",
@@ -874,6 +893,9 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprints": tx.winnowing_fingerprints_sql(),
         "exact_dedup": dd.exact_dedup_sql(),
         "ngram_jaccard_dups": dd.ngram_jaccard_sql(threshold=0.5),
+        "ngram_jaccard_dups_capped": dd.ngram_jaccard_sql(
+            threshold=0.5, max_doc_freq=2
+        ),
         "minhash_lsh_dups": dd.minhash_lsh_sql(threshold=0.5),
         "simhash": dd.simhash_sql(),
         "simhash_dups": dd.simhash_dups_sql(max_hamming=3),

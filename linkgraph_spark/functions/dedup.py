@@ -172,14 +172,36 @@ def ngram_jaccard_dups(
     return _verify_jaccard(cand, sh, threshold)
 
 
-def ngram_jaccard_sql(table: str = "documents", threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(
+    table: str = "documents",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`ngram_jaccard_dups`, including the
+    ``max_doc_freq`` candidate cap (candidates from capped shingles only;
+    Jaccard of emitted pairs still exact over the FULL shingle sets)."""
+    if max_doc_freq is None:
+        cand_ctes, cand_join = "", ""
+    else:
+        cand_ctes = f"""
+    kept AS (
+      SELECT s FROM (SELECT s, count(*) AS c FROM flat GROUP BY s)
+      WHERE c <= {max_doc_freq}
+    ),
+    cflat AS (SELECT doc_id, s FROM flat JOIN kept USING (s)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cflat a JOIN cflat b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),"""
+        cand_join = "JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id"
     return f"""
     WITH {_shingles_sql(table)},
-    flat AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    flat AS (SELECT doc_id, unnest(sh) AS s FROM sh),{cand_ctes}
     sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM flat a JOIN flat b ON a.s = b.s AND a.doc_id < b.doc_id
+      {cand_join}
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
