@@ -80,10 +80,14 @@ def windowed_role_activity(
 
 ADJ_STATE_SCHEMA = "last_turn_idx long, last_role string"
 ADJ_OUT_SCHEMA = "src_key string, dst_key string"
+ADJ_OUT_DROPS_SCHEMA = "src_key string, dst_key string, dropped_turns long"
 
 
 def stream_adjacent_edges(
-    stream: DataFrame, watermark: str = "30 minutes", state_ttl_ms: int = 30 * 60 * 1000
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    state_ttl_ms: int = 30 * 60 * 1000,
+    with_drop_counts: bool = False,
 ) -> DataFrame:
     """Stateful adjacent-turn edge extraction on the stream — the custom
     stateful operator the batch ETL's window otherwise covers
@@ -101,6 +105,14 @@ def stream_adjacent_edges(
     Scale/state story: state is O(active conversations) × a few bytes, and
     an event-time timeout (``state_ttl_ms`` past the watermark) evicts
     finished conversations, so state never grows with stream length.
+
+    **Drop observability** (``with_drop_counts=True``): turns at or behind
+    the frontier are dropped silently by default; with the flag on, the
+    output schema gains a ``dropped_turns`` column and each (conversation,
+    micro-batch) that dropped anything emits ONE marker row
+    ``(NULL, NULL, n_dropped)`` alongside the edges (which carry NULL
+    there) — so a backfill operator knows exactly which conversations need
+    the batch-ETL replay path, with zero extra state.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -113,7 +125,9 @@ def stream_adjacent_edges(
         (last_idx, last_role) = state.get if state.exists else (-1, None)
         frames = [pdf[["turn_idx", "role", "ts"]] for pdf in pdf_iter]
         rows = pd.concat(frames) if frames else pd.DataFrame(columns=["turn_idx", "role", "ts"])
+        n_arrived = len(rows)
         rows = rows[rows["turn_idx"] > last_idx].sort_values("turn_idx")
+        n_dropped = n_arrived - len(rows)
         if len(rows):
             src_roles = rows["role"].shift(1)
             if last_role is not None:
@@ -125,6 +139,21 @@ def stream_adjacent_edges(
                     "dst_key": conv + "#" + rows["role"][mask],
                 }
             )
+            if with_drop_counts:
+                out["dropped_turns"] = pd.array([None] * len(out), dtype="Int64")
+                if n_dropped:
+                    out = pd.concat(
+                        [
+                            out,
+                            pd.DataFrame(
+                                {
+                                    "src_key": [None],
+                                    "dst_key": [None],
+                                    "dropped_turns": pd.array([n_dropped], dtype="Int64"),
+                                }
+                            ),
+                        ]
+                    )
             state.update((int(rows["turn_idx"].iloc[-1]), str(rows["role"].iloc[-1])))
             # ttl past the conv's latest event, clamped to never precede the
             # stream's current watermark (a fast-advancing watermark would
@@ -135,19 +164,32 @@ def stream_adjacent_edges(
             )
             yield out
         else:
-            # nothing new (pure replay) — keep the frontier, refresh timeout
+            # nothing new (pure replay / all behind frontier) — keep the
+            # frontier, refresh timeout, surface any drops
             if state.exists:
                 state.setTimeoutTimestamp(
                     max(state.getCurrentWatermarkMs(), 1) + state_ttl_ms
                 )
-            yield pd.DataFrame({"src_key": [], "dst_key": []})
+            if with_drop_counts and n_dropped:
+                yield pd.DataFrame(
+                    {
+                        "src_key": [None],
+                        "dst_key": [None],
+                        "dropped_turns": pd.array([n_dropped], dtype="Int64"),
+                    }
+                )
+            else:
+                empty = {"src_key": [], "dst_key": []}
+                if with_drop_counts:
+                    empty["dropped_turns"] = pd.array([], dtype="Int64")
+                yield pd.DataFrame(empty)
 
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             update,
-            outputStructType=ADJ_OUT_SCHEMA,
+            outputStructType=ADJ_OUT_DROPS_SCHEMA if with_drop_counts else ADJ_OUT_SCHEMA,
             stateStructType=ADJ_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -161,3 +161,48 @@ def test_stream_adjacent_edges_match_batch(spark, tmp_path):
     )
     assert got == want
     t.unpersist()
+
+
+def test_stream_adjacent_edges_drop_counter(spark, tmp_path):
+    """Out-of-order arrival (late half of each conversation first, early
+    half second) must surface the dropped-turn count so backfill operators
+    know which conversations to replay through the batch ETL — the default
+    path drops those turns silently."""
+    import time as _time
+
+    from linkgraph_spark.edges import derive_edge_keys
+    from linkgraph_spark.streaming import stream_adjacent_edges
+
+    t = synthesize_transcripts(spark, n_convs=20, min_turns=4, max_turns=12).cache()
+    src = str(tmp_path / "adj_ooo_in")
+    med = t.groupBy("conv_id").agg(F.max("turn_idx").alias("mx")).selectExpr(
+        "conv_id", "cast(mx / 2 as int) as half"
+    )
+    early = t.join(med, "conv_id").where(F.col("turn_idx") <= F.col("half")).drop("half")
+    late = t.join(med, "conv_id").where(F.col("turn_idx") > F.col("half")).drop("half")
+    late.coalesce(1).write.mode("overwrite").parquet(src)  # LATE arrives first
+    _time.sleep(1.2)
+    early.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream_adjacent_edges(stream, with_drop_counts=True)
+        .writeStream.format("memory")
+        .queryName("adj_ooo_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM adj_ooo_out").collect()
+    dropped = sum(r["dropped_turns"] for r in out if r["dropped_turns"] is not None)
+    assert dropped == early.count()  # every early turn is behind the frontier
+    got = sorted(
+        (r["src_key"], r["dst_key"]) for r in out if r["src_key"] is not None
+    )
+    want = sorted(  # edges come from the late subsequence only
+        (r["src_key"], r["dst_key"])
+        for r in derive_edge_keys(late).where(F.col("kind") == "adjacent_turn").collect()
+    )
+    assert got == want
+    t.unpersist()
