@@ -104,29 +104,30 @@ def random_walks(
             frontier = stepped.join(
                 adj.select(F.col("src").alias("cur"), "idx", "dst"), ["cur", "idx"]
             ).select("walk_id", F.col("dst").alias("cur"))
-            if s % 8 == 0:
-                # long walks: truncate the compounding plan every few hops.
-                # NOT RotatingState — every step's output stays referenced
-                # by the final union, so interim blocks must live until the
-                # corpus below is materialized; they are tracked and freed
-                # there (never leaked for the session lifetime).
-                frontier, ids = checkpoint_tracked(frontier)
-                interim_ids |= ids
+            # EVERY step materializes (eager localCheckpoint — the same
+            # one-job-per-superstep discipline as the other kernels): every
+            # step's frontier is an output row set, so lazy chains would
+            # recompute step k's joins k times when the corpus union is
+            # consumed (O(L²) joins total; measured 76s vs ~8s at L=16 on
+            # the gate graph). NOT RotatingState — all steps stay referenced
+            # by the final union; blocks are tracked and freed below.
+            frontier, ids = checkpoint_tracked(frontier)
+            interim_ids |= ids
             out_steps.append(
                 frontier.select(
                     "walk_id", F.lit(s).alias("step"), F.col("cur").alias("vertex")
                 )
             )
 
-    out = out_steps[0]
-    for df in out_steps[1:]:
-        out = out.unionByName(df)
-    if interim_ids:
-        # materialize the corpus once, then free every interim checkpoint —
-        # the returned DataFrame owns exactly ONE block set (like every
-        # kernel's final rotated state), not O(walk_length/8) of them
-        out, _ = checkpoint_tracked(out)
-        free_tracked(spark.sparkContext, interim_ids)
+        out = out_steps[0]
+        for df in out_steps[1:]:
+            out = out.unionByName(df)
+        if interim_ids:
+            # materialize the corpus once, then free every per-step block
+            # set — the returned DataFrame owns exactly ONE block set (like
+            # every kernel's final rotated state)
+            out, _ = checkpoint_tracked(out)
+            free_tracked(spark.sparkContext, interim_ids)
     return out
 
 
