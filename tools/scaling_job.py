@@ -37,12 +37,17 @@ EDGES_PATH = os.path.join(HERE, "..", "BENCH", "scaling_graph_edges")
 def main():
     cpus = int(sys.argv[1])
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # conf-sweep hooks (tools/scaling_sweep.py): extra session confs as a
+    # JSON dict + shuffle-partition override, so the identical probe can be
+    # re-run under candidate tunings
+    extra = json.loads(os.environ.get("SPARK_GRAFT_PROBE_CONF", "{}"))
+    sp = int(os.environ.get("SPARK_GRAFT_PROBE_SHUFFLE", str(max(cpus, 2))))
 
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 2),
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        shuffle_partitions=sp,
+        extra_conf={"spark.sql.adaptive.enabled": "false", **extra},
     )
     edges = spark.read.parquet(EDGES_PATH).persist()
     vertices = (
@@ -68,6 +73,8 @@ def main():
         json.dumps(
             {
                 "cpus": cpus,
+                "shuffle_partitions": sp,
+                "conf": extra,
                 "vertices": n_vertices,
                 "edges": n_edges,
                 "iterations": res.iterations,
