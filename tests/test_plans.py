@@ -90,6 +90,67 @@ def test_big_state_gather_pins_shuffle_hash(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_bucketed_gather_shuffles_only_ranks(spark, tmp_path):
+    """SCALE.md's 100 TB claim, executable: with the edge table bucketed on
+    src (and degrees on id, same bucket count), the divisor attach AND the
+    per-superstep gather read the O(E) side in place — the ONLY exchange in
+    the gather plan is the O(V) rank vector shuffling into the bucket
+    layout. Values must match the in-memory graph bit-for-bit-close."""
+    import math
+
+    from linkgraph_spark.bucketed import (
+        drop_bucketed_graph,
+        read_bucketed_graph,
+        write_bucketed_graph,
+    )
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels import pagerank
+    from linkgraph_spark.kernels.pagerank import _edges_with_divisor
+    from linkgraph_spark.skew import gather_contribs
+    from tests.fixtures_graphs import web64
+
+    g = graph_from_edges(spark, web64())
+    prefix = "lg_bucktest"
+    write_bucketed_graph(g, prefix, buckets=8)
+    try:
+        gb = read_bucketed_graph(spark, prefix)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            edges_div = _edges_with_divisor(gb, "textbook")
+            # localCheckpoint = what the loop's rank state actually is (a
+            # LogicalRDD with no known partitioning) — the worst case
+            ranks = gb.degrees.select(
+                "id", F.lit(1.0).alias("rank")
+            ).localCheckpoint()
+            plan = _plan(gather_contribs(edges_div, ranks, shuffle_hint=True))
+            assert "Bucketed: true" in plan, plan
+            n_exchanges = plan.count("Exchange hashpartitioning")
+            assert n_exchanges == 1, plan  # ranks only; never the O(E) side
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        # value parity: the bucketed layout changes plans, never results
+        want = {
+            r["id"]: r["rank"]
+            for r in pagerank(g, mode="textbook", iterations=5).ranks.collect()
+        }
+        got = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                gb, mode="textbook", iterations=5, force_big_state=True
+            ).ranks.collect()
+        }
+        assert set(got) == set(want)
+        for v in want:
+            assert math.isclose(got[v], want[v], abs_tol=1e-12), v
+    finally:
+        drop_bucketed_graph(spark, prefix)
+        g.unpersist()
+
+
 def test_superstep_observe_single_job(spark):
     """The textbook superstep runs exactly ONE Spark job once the loop is
     warm: residual + dangling mass ride the rotate via observe()."""
