@@ -24,6 +24,14 @@ the bucketed graph against the in-memory one.
 The reference has no analogue: it re-reads and re-sorts the whole edge
 file per partition per run (``pagerank_lambda/dynamodb/init_to_s3.py:
 59,97-107``); here the layout cost is paid once at write time.
+
+Catalog caveat (environmental, same class as the absent Iceberg jars):
+this sandbox's default in-memory catalog scopes table METADATA to the
+session — the bucketed parquet files persist under the warehouse dir, but
+a fresh JVM can't resolve the table names without a shared metastore
+(Hive/Glue/Iceberg), which any production cluster has. Write + read within
+one session (what the plan-assert test and CLI do) exercises the full
+bucketed-scan machinery.
 """
 
 from __future__ import annotations

@@ -71,6 +71,22 @@ class _HadoopFS:
         finally:
             out.close()
 
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._Path(path))
+        try:
+            chunks = []
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                chunks.append(b)
+            return bytes(chunks).decode("utf-8")
+        finally:
+            stream.close()
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._Path(path), True)
+
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._Path(path)))
 

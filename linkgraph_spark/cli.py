@@ -80,6 +80,12 @@ def main(argv=None):
     p.add_argument("--checkpoint", help="checkpoint store base path")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", help="parquet output path for the result")
+    p.add_argument(
+        "--bucketed-prefix",
+        help="etl kernel: additionally persist the graph as src/id-bucketed "
+        "catalog tables (zero-edge-shuffle supersteps; see bucketed.py)",
+    )
+    p.add_argument("--buckets", type=int, default=32, help="bucket count for --bucketed-prefix")
     p.add_argument("--gather", choices=["builtin", "csr"], default="builtin")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -97,6 +103,13 @@ def main(argv=None):
     if args.kernel == "etl":
         result = g.edges
         summary = {"vertices": g.num_vertices, "edges": g.edges.count()}
+        if args.bucketed_prefix:
+            from linkgraph_spark.bucketed import write_bucketed_graph
+
+            write_bucketed_graph(g, args.bucketed_prefix, buckets=args.buckets)
+            summary["bucketed_tables"] = [
+                f"{args.bucketed_prefix}_{t}" for t in ("edges", "degrees", "vertices")
+            ]
     elif args.kernel == "pagerank":
         pids = (
             [int(x) for x in args.personalize_ids.split(",")]

@@ -10,6 +10,7 @@ maintenance into the same checkpoint-table layout the batch kernels use.
 from linkgraph_spark.streaming.transcript_stream import (
     incremental_degrees,
     merge_degree_batch,
+    read_degree_state,
     read_transcript_stream,
     stream_adjacent_edges,
     stream_tool_edges,
@@ -22,5 +23,6 @@ __all__ = [
     "windowed_role_activity",
     "incremental_degrees",
     "merge_degree_batch",
+    "read_degree_state",
     "stream_adjacent_edges",
 ]

@@ -197,36 +197,59 @@ def stream_adjacent_edges(
     )
 
 
+def _latest_degree_batch(fs, state_path: str) -> int | None:
+    marker = f"{state_path}/_LATEST"
+    if not fs.exists(marker):
+        return None
+    return int(fs.read_text(marker).strip())
+
+
+def read_degree_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """→ the current committed degree snapshot [src_key, dst_key, cnt].
+
+    Resolves the ``_LATEST`` pointer; a pointer naming a missing/corrupt
+    snapshot dir raises (never masquerades as empty state)."""
+    from linkgraph_spark.checkpoint import _HadoopFS
+
+    last = _latest_degree_batch(_HadoopFS(spark, state_path), state_path)
+    if last is None:
+        raise FileNotFoundError(f"no committed degree snapshot under {state_path}")
+    return spark.read.parquet(f"{state_path}/v={last}")
+
+
 def merge_degree_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
     """One micro-batch's merge step (module-level so replay idempotency is
-    directly testable)."""
+    directly testable).
+
+    Snapshot-versioned, ONE full write per micro-batch: the merged counts
+    land in ``{state}/v={batch_id}`` and the ``_LATEST`` pointer flips to it
+    (the previous snapshot is then pruned) — readers resolve the pointer,
+    so a crash mid-write leaves the old snapshot committed and a replayed
+    batch (``batch_id <= pointer``) is a no-op. This is the same
+    pointer-commit shape as the checkpoint store's ``_COMMIT`` manifest,
+    over the Hadoop FS of the path's scheme."""
     from linkgraph_spark.checkpoint import _HadoopFS
 
     spark = batch_df.sparkSession
-    old = None
-    if _HadoopFS(spark, state_path).exists(state_path):
-        # corrupt/partial state must raise, not masquerade as empty
-        old = spark.read.parquet(state_path)
-        last = old.agg(F.max("_batch_id").alias("b")).collect()[0]["b"]
-        if last is not None and batch_id <= last:
-            return  # replayed batch — its counts are already merged
+    fs = _HadoopFS(spark, state_path)
+    last = _latest_degree_batch(fs, state_path)
+    if last is not None and batch_id <= last:
+        return  # replayed batch — its counts are already merged
+    old = spark.read.parquet(f"{state_path}/v={last}") if last is not None else None
     delta = (
         stream_tool_edges(batch_df)
         .groupBy("src_key", "dst_key")
         .agg(F.count("*").alias("cnt"))
     )
     merged = (
-        (delta if old is None else old.select("src_key", "dst_key", "cnt").unionByName(delta))
+        (delta if old is None else old.unionByName(delta))
         .groupBy("src_key", "dst_key")
         .agg(F.sum("cnt").alias("cnt"))
-        .withColumn("_batch_id", F.lit(batch_id))
     )
-    # write-then-swap would be the cluster pattern; local overwrite is
-    # safe here because foreachBatch serializes batches
-    merged.cache().count()
-    merged.write.mode("overwrite").parquet(state_path + "_next")
-    spark.read.parquet(state_path + "_next").write.mode("overwrite").parquet(state_path)
-    merged.unpersist()
+    merged.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
+    fs.write_text(f"{state_path}/_LATEST", str(batch_id))
+    if last is not None:
+        fs.delete(f"{state_path}/v={last}")  # readers follow the pointer
 
 
 def incremental_degrees(

@@ -76,9 +76,11 @@ def test_incremental_degrees_match_batch(spark, tmp_path):
     stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
     q = incremental_degrees(stream, state, ck)
     q.awaitTermination(180)
+    from linkgraph_spark.streaming import read_degree_state
+
     got = {
         (r["src_key"], r["dst_key"]): r["cnt"]
-        for r in spark.read.parquet(state).collect()
+        for r in read_degree_state(spark, state).collect()
     }
     want = {
         (r["src_key"], r["dst_key"]): r["cnt"]
@@ -98,26 +100,33 @@ def test_incremental_degrees_replay_idempotent(spark, tmp_path):
     """At-least-once foreachBatch delivery: re-merging an already-merged
     batch_id must be a no-op (no double counting); a batch_id beyond the
     stored one merges normally."""
-    from linkgraph_spark.streaming import merge_degree_batch
+    from linkgraph_spark.streaming import merge_degree_batch, read_degree_state
 
     t = synthesize_transcripts(spark, n_convs=20, min_turns=2, max_turns=10)
     state = str(tmp_path / "replay_state")
     merge_degree_batch(t, 0, state)
     first = {
-        (r["src_key"], r["dst_key"]): r["cnt"] for r in spark.read.parquet(state).collect()
+        (r["src_key"], r["dst_key"]): r["cnt"]
+        for r in read_degree_state(spark, state).collect()
     }
     # replay batch 0 → unchanged
     merge_degree_batch(t, 0, state)
     replayed = {
-        (r["src_key"], r["dst_key"]): r["cnt"] for r in spark.read.parquet(state).collect()
+        (r["src_key"], r["dst_key"]): r["cnt"]
+        for r in read_degree_state(spark, state).collect()
     }
     assert replayed == first
-    # genuinely new batch → counts double
+    # genuinely new batch → counts double; old snapshot pruned
     merge_degree_batch(t, 1, state)
     after = {
-        (r["src_key"], r["dst_key"]): r["cnt"] for r in spark.read.parquet(state).collect()
+        (r["src_key"], r["dst_key"]): r["cnt"]
+        for r in read_degree_state(spark, state).collect()
     }
     assert after == {k: 2 * v for k, v in first.items()}
+    import os
+
+    assert not os.path.isdir(os.path.join(state, "v=0"))  # pruned
+    assert os.path.isdir(os.path.join(state, "v=1"))
 
 
 def test_stream_adjacent_edges_match_batch(spark, tmp_path):
