@@ -324,9 +324,17 @@ def q_winnowing(spark, sf_dir):
     return tx.winnowing_fingerprints(_docs(spark, sf_dir))
 
 
+def q_tfidf_top5(spark, sf_dir):
+    return tx.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
 # ---------------------------------------------------------- pipeline: dedup
 def q_exact_dedup(spark, sf_dir):
     return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_corpus(spark, sf_dir):
+    return dd.dedup_corpus(_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -413,7 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "winnowing_fingerprints": q_winnowing,
+        "tfidf_top5": q_tfidf_top5,
         "exact_dedup": q_exact_dedup,
+        "dedup_corpus": q_dedup_corpus,
         "ngram_jaccard_dups": q_ngram_jaccard,
         "ngram_jaccard_dups_capped": q_ngram_jaccard_capped,
         "minhash_lsh_dups": q_minhash_lsh,
@@ -891,7 +901,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": tx.lang_id_sql(),
         "fingerprint": tx.fingerprint_sql(),
         "winnowing_fingerprints": tx.winnowing_fingerprints_sql(),
+        "tfidf_top5": tx.tfidf_top_terms_sql(k=5),
         "exact_dedup": dd.exact_dedup_sql(),
+        "dedup_corpus": dd.dedup_corpus_sql(threshold=0.5),
         "ngram_jaccard_dups": dd.ngram_jaccard_sql(threshold=0.5),
         "ngram_jaccard_dups_capped": dd.ngram_jaccard_sql(
             threshold=0.5, max_doc_freq=2

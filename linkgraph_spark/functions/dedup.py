@@ -490,3 +490,23 @@ def simhash_dups_sql(table: str = "documents", max_hamming: int = 3) -> str:
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+def dedup_corpus(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """→ [doc_id, cluster_size]: the deduplicated corpus — ONLY the keeper
+    document of every near-dup cluster (singletons keep themselves). This is
+    the row-dropping step a training pipeline actually applies after
+    :func:`near_dup_clusters`; cluster_size says how many raw docs each
+    surviving row represents (dedup weight for loss re-weighting)."""
+    clusters = near_dup_clusters(documents, threshold)
+    return clusters.where(F.col("doc_id") == F.col("keeper_id")).select(
+        "doc_id", "cluster_size"
+    )
+
+
+def dedup_corpus_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    return f"""
+    SELECT doc_id, cluster_size
+    FROM ({near_dup_clusters_sql(table, threshold)})
+    WHERE doc_id = keeper_id
+    """

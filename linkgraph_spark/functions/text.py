@@ -236,3 +236,62 @@ def winnowing_fingerprints_sql(table: str = "documents") -> str:
     SELECT doc_id, unnest(fps) AS fingerprint FROM mins
     """
 
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """→ [doc_id, term, tfidf]: each document's top-k terms by tf·idf
+    (idf = ln(N/df), ties broken by term asc on the 6-decimal-rounded
+    score) — the classic keyword/feature extraction step of a training-data
+    pipeline.
+
+    Plan shape: token explode → (doc, term) count (map-side combine) →
+    term doc-frequency aggregate → one join + broadcast of the 1-row corpus
+    count → per-doc top-k window (partition bounded by the doc's DISTINCT
+    term count, never the corpus vocabulary). All JVM-side expressions.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = documents.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = 5) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS _n FROM {table}),
+    scored AS (
+      SELECT doc_id, term, round(tf * ln(_n / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """

@@ -125,3 +125,53 @@ def test_embedding_near_dups_recall(spark, embs):
     lsh = {(r["vec_a"], r["vec_b"]) for r in sim.embedding_near_dups(embs, 0.35).collect()}
     assert lsh <= exact
     assert len(lsh) >= 0.9 * len(exact), f"recall {len(lsh)}/{len(exact)}"
+
+
+def test_dedup_corpus_keepers_only(spark):
+    """dedup_corpus = exactly the keeper of each near-dup cluster, with the
+    cluster's raw-doc count as dedup weight; the corpus covers every
+    original doc through its keeper."""
+    from linkgraph_spark.functions.dedup import dedup_corpus, near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, base + " tail zero"),
+        (1, base + " tail one"),
+        (2, base + " tail two"),
+        (7, "completely different text about unrelated topics entirely here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = {r["doc_id"]: r["cluster_size"] for r in dedup_corpus(d, 0.5).collect()}
+    assert corpus == {0: 3, 7: 1}
+    keepers = {
+        r["keeper_id"] for r in near_dup_clusters(d, 0.5).collect()
+    }
+    assert keepers == set(corpus)  # every doc's keeper survives
+
+
+def test_tfidf_top_terms_matches_hand_computation(spark):
+    import math
+
+    from linkgraph_spark.functions.text import tfidf_top_terms
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "cherry cherry durian"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = {i: t.split() for i, t in rows}
+    n = len(rows)
+    want = {}
+    for i, toks in docs.items():
+        scores = {}
+        for t in set(toks):
+            df = sum(t in d2 for d2 in docs.values())
+            scores[t] = round(toks.count(t) * math.log(n / df), 6)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        want[i] = top
+    got = {}
+    for r in tfidf_top_terms(d, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    got = {i: sorted(v, key=lambda kv: (-kv[1], kv[0])) for i, v in got.items()}
+    assert got == want
