@@ -303,6 +303,13 @@ def q_triangle_list(spark, sf_dir):
     return _triangles(g.edges)
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    from linkgraph_spark.kernels.triangles import clustering_coefficient
+
+    g = _graph(spark, sf_dir)
+    return clustering_coefficient(g)
+
+
 # ----------------------------------------------------------- pipeline: text
 def q_token_stats(spark, sf_dir):
     return tx.token_stats(_docs(spark, sf_dir))
@@ -416,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "triangle_list": q_triangle_list,
+        "clustering_coefficient": q_clustering_coefficient,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -692,6 +700,9 @@ from linkgraph_spark.kernels.linkpred import adamic_adar_sql as _aa_sql_body
 from linkgraph_spark.kernels.walks import random_walks_sql as _walks_sql_body
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 from linkgraph_spark.kernels.linkpred import link_scores_sql as _ls_sql_body
+from linkgraph_spark.kernels.triangles import (
+    clustering_coefficient_sql as _cc_sql_body,
+)
 
 _AA_SQL = _aa_sql_body(max_degree=32, top_k=10)  # mirrors AA_MAX_DEGREE/AA_TOP_K
 _AA_EXACT_SQL = _aa_sql_body()
@@ -896,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT id, count(*) AS triangles FROM members GROUP BY id
     """,
         "triangle_list": f"{_G}, {_TRIANGLES_CTE} SELECT a, b, c FROM tri",
+        "clustering_coefficient": f"{_G}, {_cc_sql_body()}",
         "token_stats": tx.token_stats_sql(),
         "quality_score": tx.quality_score_sql(),
         "lang_id": tx.lang_id_sql(),

@@ -94,3 +94,66 @@ def triangles_per_vertex(graph: LinkGraph) -> DataFrame:
         .join(counts, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
+
+
+def clustering_coefficient(graph: LinkGraph) -> DataFrame:
+    """→ [id, lcc]: local clustering coefficient — 2·T(v) / (d(v)·(d(v)−1))
+    over the undirected simple graph (0.0 for degree < 2), rounded to 6
+    decimals. Composes the degree-ordered triangle enumeration (O(√E)
+    wedge bound per vertex) with one undirected-degree aggregate — the
+    standard graph-quality feature a curation pipeline attaches per node.
+    """
+    und = _oriented(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tpv = triangles_per_vertex(graph)
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        tpv.join(deg, "id", "left")
+        .select("id", F.coalesce(lcc, F.lit(0.0)).alias("lcc"))
+    )
+
+
+def clustering_coefficient_sql() -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs + the shared
+    triangle CTE shape inlined here for self-containment)."""
+    return """
+    cc_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    cc_tri AS MATERIALIZED (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM cc_und e1
+      JOIN cc_und e2 ON e1.b = e2.a
+      JOIN cc_und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    cc_tpv AS (
+      SELECT id, count(*) AS t FROM (
+        SELECT a AS id FROM cc_tri
+        UNION ALL SELECT b FROM cc_tri
+        UNION ALL SELECT c FROM cc_tri
+      ) GROUP BY id
+    ),
+    cc_deg AS (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM cc_und UNION ALL SELECT b FROM cc_und
+      ) GROUP BY id
+    )
+    SELECT v.id,
+           CASE WHEN coalesce(d.deg, 0) >= 2
+                THEN round(2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1)), 6)
+                ELSE 0.0 END AS lcc
+    FROM verts v
+    LEFT JOIN cc_deg d ON d.id = v.id
+    LEFT JOIN cc_tpv t ON t.id = v.id
+    """

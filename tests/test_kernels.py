@@ -469,3 +469,13 @@ def test_weighted_labelprop_weights_decide(spark):
     assert w1[0] == 9  # the weight-10 vote wins
     assert u1[0] == 1  # three equal votes → smallest label
     g.unpersist()
+
+
+def test_clustering_coefficient_closed_form(spark):
+    from linkgraph_spark.kernels.triangles import clustering_coefficient
+
+    # triangle 0-1-2 with a pendant 3 off vertex 2
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got = {r["id"]: r["lcc"] for r in clustering_coefficient(g).collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: round(2 * 1 / (3 * 2), 6), 3: 0.0}
+    g.unpersist()
