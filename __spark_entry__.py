@@ -310,6 +310,24 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_subgraph_active(spark, sf_dir):
+    # induced subgraph on "active" actors (out_deg >= 2) — graph slicing
+    from linkgraph_spark.kernels import induced_subgraph
+
+    g = _graph(spark, sf_dir)
+    sub = induced_subgraph(g, F.col("out_deg") >= 2)
+    out = sub.edges.select("src", "dst")
+    return out
+
+
+def q_ego_src0_k2(spark, sf_dir):
+    # 2-hop ego graph of actor 0 (undirected reach, original edge direction)
+    from linkgraph_spark.kernels import ego_graph
+
+    g = _graph(spark, sf_dir)
+    return ego_graph(g, sources=[0], k=2).edges.select("src", "dst")
+
+
 # ----------------------------------------------------------- pipeline: text
 def q_token_stats(spark, sf_dir):
     return tx.token_stats(_docs(spark, sf_dir))
@@ -424,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "triangle_list": q_triangle_list,
         "clustering_coefficient": q_clustering_coefficient,
+        "subgraph_active": q_subgraph_active,
+        "ego_src0_k2": q_ego_src0_k2,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -846,6 +866,52 @@ def _labelprop_sql(iters: int = 3) -> str:
     """
 
 
+def _subgraph_active_sql() -> str:
+    return f"""{_G}, {_DEGS},
+    sg_keep AS (SELECT id FROM degs WHERE out_deg >= 2)
+    SELECT e.src, e.dst
+    FROM edges e
+    JOIN sg_keep a ON a.id = e.src
+    JOIN sg_keep b ON b.id = e.dst
+    """
+
+
+def _ego_sql(source: int = 0, k: int = 2) -> str:
+    sent = 1_000_000_000
+    ctes = [
+        """eg_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    )""",
+        f"""eg0 AS (
+      SELECT id, CASE WHEN id = {source} THEN 0 ELSE {sent} END AS d FROM verts
+    )""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""eg{i} AS MATERIALIZED (
+      SELECT d.id, least(d.d, coalesce(m.c, {sent})) AS d
+      FROM eg{i - 1} d
+      LEFT JOIN (
+        SELECT e.dst AS id, min(p.d) + 1 AS c
+        FROM eg_und e JOIN eg{i - 1} p ON e.src = p.id
+        WHERE p.d < {sent}
+        GROUP BY e.dst
+      ) m ON m.id = d.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G},
+    {body},
+    eg_keep AS (SELECT id FROM eg{k} WHERE d <= {k})
+    SELECT e.src, e.dst
+    FROM edges e
+    JOIN eg_keep a ON a.id = e.src
+    JOIN eg_keep b ON b.id = e.dst
+    """
+
+
 _TRIANGLES_CTE = """
     und AS (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
@@ -908,6 +974,8 @@ def oracle_sql() -> dict[str, str]:
     """,
         "triangle_list": f"{_G}, {_TRIANGLES_CTE} SELECT a, b, c FROM tri",
         "clustering_coefficient": f"{_G}, {_cc_sql_body()}",
+        "subgraph_active": _subgraph_active_sql(),
+        "ego_src0_k2": _ego_sql(source=0, k=2),
         "token_stats": tx.token_stats_sql(),
         "quality_score": tx.quality_score_sql(),
         "lang_id": tx.lang_id_sql(),

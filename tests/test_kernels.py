@@ -479,3 +479,41 @@ def test_clustering_coefficient_closed_form(spark):
     got = {r["id"]: r["lcc"] for r in clustering_coefficient(g).collect()}
     assert got == {0: 1.0, 1: 1.0, 2: round(2 * 1 / (3 * 2), 6), 3: 0.0}
     g.unpersist()
+
+
+def test_subgraph_and_ego(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph_spark.kernels import connected_components, ego_graph, induced_subgraph
+
+    # hub 0 — ring 1..6 — pendant chain 7-8-9 off vertex 3
+    edges = [(0, i) for i in (1, 3, 5)] + [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1), (3, 7), (7, 8), (8, 9),
+    ]
+    g = graph_from_edges(spark, edges)
+
+    sub = induced_subgraph(g, F.col("out_deg") >= 2)
+    kept = {r["id"] for r in sub.vertices.collect()}
+    # out_deg >= 2: only 0 (3 out) and 3 (4,7) and others with 2+ out-edges
+    want_kept = set()
+    outd = {}
+    dedup = {(u, v) for u, v in edges if u != v}
+    for u, v in dedup:
+        outd[u] = outd.get(u, 0) + 1
+    want_kept = {u for u, d in outd.items() if d >= 2} & {
+        x for e in dedup for x in e
+    }
+    assert kept == want_kept
+    got_edges = {(r["src"], r["dst"]) for r in sub.edges.collect()}
+    assert got_edges == {(u, v) for u, v in dedup if u in kept and v in kept}
+    # kernels compose with the sliced graph unchanged
+    assert connected_components(sub).converged
+    sub.unpersist()
+
+    ego = ego_graph(g, sources=[9], k=2)  # undirected 2 hops from the tail
+    ids = {r["id"] for r in ego.vertices.collect()}
+    assert ids == {9, 8, 7}  # hops: 8 at 1, 7 at 2 (3 is at hop 3 — excluded)
+    ego_edges = {(r["src"], r["dst"]) for r in ego.edges.collect()}
+    assert ego_edges == {(7, 8), (8, 9)}  # induced, original direction
+    ego.unpersist()
+    g.unpersist()
