@@ -31,6 +31,7 @@ from linkgraph_spark.functions import dedup as dd
 from linkgraph_spark.functions import multimodal as mm
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
+from linkgraph_spark.kernels import stats as st
 from linkgraph_spark.transcripts import transcripts_from_events, transcripts_from_events_sql
 
 TURNS_PER_CONV = 8
@@ -310,6 +311,18 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_reciprocity(spark, sf_dir):
+    from linkgraph_spark.kernels import reciprocity
+
+    return reciprocity(_graph(spark, sf_dir))
+
+
+def q_degree_assortativity(spark, sf_dir):
+    from linkgraph_spark.kernels import degree_assortativity
+
+    return degree_assortativity(_graph(spark, sf_dir))
+
+
 def q_subgraph_active(spark, sf_dir):
     # induced subgraph on "active" actors (out_deg >= 2) — graph slicing
     from linkgraph_spark.kernels import induced_subgraph
@@ -444,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "subgraph_active": q_subgraph_active,
         "ego_src0_k2": q_ego_src0_k2,
+        "reciprocity": q_reciprocity,
+        "degree_assortativity": q_degree_assortativity,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -976,6 +991,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": f"{_G}, {_cc_sql_body()}",
         "subgraph_active": _subgraph_active_sql(),
         "ego_src0_k2": _ego_sql(source=0, k=2),
+        "reciprocity": f"{_G}, {st.reciprocity_sql()}",
+        "degree_assortativity": f"{_G}, {st.degree_assortativity_sql()}",
         "token_stats": tx.token_stats_sql(),
         "quality_score": tx.quality_score_sql(),
         "lang_id": tx.lang_id_sql(),

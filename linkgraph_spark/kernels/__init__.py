@@ -14,6 +14,7 @@ from linkgraph_spark.kernels.labelprop import label_propagation
 from linkgraph_spark.kernels.paths import PathsResult, shortest_paths, shortest_paths_weighted
 from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.linkpred import adamic_adar
+from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
 from linkgraph_spark.kernels.walks import random_walks
 from linkgraph_spark.kernels.kcore import KCoreResult, k_core
@@ -35,6 +36,8 @@ __all__ = [
     "random_walks",
     "ego_graph",
     "induced_subgraph",
+    "reciprocity",
+    "degree_assortativity",
     "KCoreResult",
     "k_core",
     "triangle_count",

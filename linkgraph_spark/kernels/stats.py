@@ -1,0 +1,133 @@
+"""Whole-graph structure statistics: reciprocity and degree assortativity.
+
+The two standard "is this graph healthy / what shape is it" numbers a
+link-graph pipeline reports next to the degree distribution (the reference
+computes nothing like this — its only whole-graph scalar is the vertex
+count baked into rank initialisation, ``pagerank_lambda/dynamodb/
+init_to_s3.py:55-86``; these are engine additions over it).
+
+Both are single-pass aggregates:
+
+- :func:`reciprocity` — one self-equi-join of the deduplicated directed
+  edge list against its transpose (left-semi, so the probe side never
+  materialises matches) + one count. Shuffle is one hash partition of E
+  on (src, dst); no per-vertex state.
+- :func:`degree_assortativity` — one degree aggregate, two broadcast-or-
+  hash joins to attach endpoint degrees, one ``corr`` aggregate (Spark's
+  Pearson corr is a single-pass numerically-stable co-moment — map-side
+  partials, O(1) state per partition). At 100 TB both are a couple of
+  scans with no iteration and no skew-sensitive fan-out (a hub's edges
+  are just E rows like any other; nothing groups BY vertex except the
+  O(V) degree count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph_spark.edges import LinkGraph
+
+
+def _simple_directed(edges: DataFrame) -> DataFrame:
+    """Distinct non-loop directed edges [src, dst]."""
+    return (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def reciprocity(graph: LinkGraph) -> DataFrame:
+    """→ one-row ``[reciprocity: double]`` — the fraction of distinct
+    non-loop directed edges (u, v) whose reverse (v, u) is also present
+    (1.0 on an empty edge set by convention of 0/0 → we emit 0.0).
+
+    In a transcript graph this is the turn-taking symmetry rate: how often
+    actor u handing off to v is matched by v handing back to u.
+    """
+    e = _simple_directed(graph.edges)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, ["src", "dst"], "left_semi")
+    total = e.agg(F.count("*").alias("n"))
+    m = mutual.agg(F.count("*").alias("m"))
+    return total.crossJoin(m).select(
+        F.round(
+            F.when(F.col("n") > 0, F.col("m") / F.col("n")).otherwise(F.lit(0.0)), 6
+        ).alias("reciprocity")
+    )
+
+
+def degree_assortativity(graph: LinkGraph) -> DataFrame:
+    """→ one-row ``[assortativity: double]`` — Pearson correlation between
+    the undirected degrees of the two endpoints, over the symmetrised
+    simple edge list with both orientations counted (the standard Newman
+    degree-assortativity estimator). NULL (undefined: fewer than two
+    distinct degree pairs) is emitted as-is.
+
+    Negative values are the expected hub-and-spoke signature of transcript
+    graphs (high-degree tool actors attach to low-degree conversation
+    actors).
+    """
+    e = _simple_directed(graph.edges)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    # both orientations: each undirected edge contributes (da, db) and (db, da)
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    # explicit Pearson estimator: ANSI-mode corr() raises DIVIDE_BY_ZERO on
+    # constant columns; DuckDB's corr (the oracle) returns NULL there — so
+    # guard the zero-variance case to NULL ourselves
+    joined = both.join(da, "a").join(db, "b")
+    stats = joined.agg(
+        F.covar_pop("deg_a", "deg_b").alias("cv"),
+        F.stddev_pop("deg_a").alias("sa"),
+        F.stddev_pop("deg_b").alias("sb"),
+    )
+    return stats.select(
+        F.round(
+            F.when(
+                (F.col("sa") > 0) & (F.col("sb") > 0),
+                F.col("cv") / (F.col("sa") * F.col("sb")),
+            ),
+            6,
+        ).alias("assortativity")
+    )
+
+
+def reciprocity_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    return """
+    rc_e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ),
+    rc_m AS (
+      SELECT count(*) AS m FROM rc_e e
+      WHERE EXISTS (SELECT 1 FROM rc_e r WHERE r.src = e.dst AND r.dst = e.src)
+    ),
+    rc_n AS (SELECT count(*) AS n FROM rc_e)
+    SELECT round(CASE WHEN n > 0 THEN m * 1.0 / n ELSE 0.0 END, 6) AS reciprocity
+    FROM rc_n CROSS JOIN rc_m
+    """
+
+
+def degree_assortativity_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    return """
+    as_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    as_both AS (
+      SELECT a, b FROM as_und UNION ALL SELECT b AS a, a AS b FROM as_und
+    ),
+    as_deg AS (SELECT a AS id, count(*) AS deg FROM as_both GROUP BY a)
+    SELECT round(corr(da.deg, db.deg), 6) AS assortativity
+    FROM as_both e
+    JOIN as_deg da ON da.id = e.a
+    JOIN as_deg db ON db.id = e.b
+    """

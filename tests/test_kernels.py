@@ -517,3 +517,21 @@ def test_subgraph_and_ego(spark):
     assert ego_edges == {(7, 8), (8, 9)}  # induced, original direction
     ego.unpersist()
     g.unpersist()
+
+
+def test_reciprocity_and_assortativity_closed_form(spark):
+    from linkgraph_spark.kernels import degree_assortativity, reciprocity
+
+    # 4 distinct non-loop edges; exactly the 0<->1 pair is mutual (2 of 4)
+    g = graph_from_edges(spark, [(0, 1), (1, 0), (1, 2), (2, 3), (3, 3), (1, 2)])
+    assert reciprocity(g).collect()[0]["reciprocity"] == 0.5
+    # star 0-1, 0-2, 0-3: perfectly disassortative, r = -1
+    star = graph_from_edges(spark, [(0, 1), (0, 2), (0, 3)])
+    got = degree_assortativity(star).collect()[0]["assortativity"]
+    assert got == -1.0
+    # single edge: degrees constant -> corr undefined -> NULL
+    one = graph_from_edges(spark, [(0, 1)])
+    assert degree_assortativity(one).collect()[0]["assortativity"] is None
+    assert reciprocity(one).collect()[0]["reciprocity"] == 0.0
+    for gg in (g, star, one):
+        gg.unpersist()
