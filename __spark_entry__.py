@@ -32,6 +32,7 @@ from linkgraph_spark.functions import multimodal as mm
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
 from linkgraph_spark.kernels import stats as st
+from linkgraph_spark.kernels import truss as tr
 from linkgraph_spark.transcripts import transcripts_from_events, transcripts_from_events_sql
 
 TURNS_PER_CONV = 8
@@ -311,6 +312,20 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_edge_support(spark, sf_dir):
+    from linkgraph_spark.kernels import edge_support
+
+    return edge_support(_graph(spark, sf_dir))
+
+
+def q_k_truss3(spark, sf_dir):
+    # k=3 truss (every edge closes >= 1 triangle), 3 peel rounds — the
+    # unrolled oracle matches whether or not the peel converged early
+    from linkgraph_spark.kernels import k_truss
+
+    return k_truss(_graph(spark, sf_dir), k=3, max_iterations=3).edges
+
+
 def q_reciprocity(spark, sf_dir):
     from linkgraph_spark.kernels import reciprocity
 
@@ -459,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_src0_k2": q_ego_src0_k2,
         "reciprocity": q_reciprocity,
         "degree_assortativity": q_degree_assortativity,
+        "edge_support": q_edge_support,
+        "k_truss3": q_k_truss3,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -993,6 +1010,8 @@ def oracle_sql() -> dict[str, str]:
         "ego_src0_k2": _ego_sql(source=0, k=2),
         "reciprocity": f"{_G}, {st.reciprocity_sql()}",
         "degree_assortativity": f"{_G}, {st.degree_assortativity_sql()}",
+        "edge_support": f"{_G}, {tr.edge_support_sql()}",
+        "k_truss3": f"{_G}, {tr.k_truss_sql(k=3, rounds=3)}",
         "token_stats": tx.token_stats_sql(),
         "quality_score": tx.quality_score_sql(),
         "lang_id": tx.lang_id_sql(),

@@ -16,6 +16,7 @@ from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.linkpred import adamic_adar
 from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
+from linkgraph_spark.kernels.truss import TrussResult, edge_support, k_truss
 from linkgraph_spark.kernels.walks import random_walks
 from linkgraph_spark.kernels.kcore import KCoreResult, k_core
 from linkgraph_spark.kernels.triangles import triangle_count, triangles_per_vertex
@@ -38,6 +39,9 @@ __all__ = [
     "induced_subgraph",
     "reciprocity",
     "degree_assortativity",
+    "TrussResult",
+    "edge_support",
+    "k_truss",
     "KCoreResult",
     "k_core",
     "triangle_count",

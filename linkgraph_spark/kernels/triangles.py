@@ -42,7 +42,13 @@ def triangle_count(graph: LinkGraph) -> int:
 
 def _triangles(edges: DataFrame) -> DataFrame:
     """→ one row [a, b, c] per triangle, a < b < c (by id)."""
-    und = _oriented(edges)
+    return _triangles_und(_oriented(edges))
+
+
+def _triangles_und(und: DataFrame) -> DataFrame:
+    """Triangles over an already-oriented distinct undirected edge list
+    [a, b] (a < b) — the loop-friendly entry point (k-truss peels call
+    this per round without re-paying the dedup shuffle)."""
     # undirected degree of every endpoint (one O(E) agg, iteration-free)
     deg = (
         und.select(F.col("a").alias("v"))

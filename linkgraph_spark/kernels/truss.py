@@ -1,0 +1,159 @@
+"""k-truss decomposition: edge triangle support + iterative peel.
+
+The k-truss is the maximal subgraph in which every (undirected) edge
+participates in at least k−2 triangles — the standard cohesive-subgraph
+refinement of triangle counting (the "dense collaboration cores" a graph
+curation pipeline extracts where k-core is too permissive). Engine
+addition over the reference (which has no subgraph mining at all; its one
+kernel is PageRank — ``pagerank_lambda/dynamodb/pagerank.py``).
+
+Scale shape: each peel round is one degree-ordered triangle enumeration
+(``kernels/triangles.py`` — wedge fan-out bounded O(√E) per vertex by the
+arboricity orientation, hub-safe) + one groupBy on edge keys + one filter.
+Rounds are monotone (the edge set only shrinks), state is the edge list
+itself, rotated through ``localCheckpoint`` so lineage stays flat, and the
+drop count rides the same materialization via ``observe()`` — one Spark
+job per round. Worst-case rounds = peel depth (tiny in practice: the
+densest SNAP graphs converge in < 20).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.kernels.triangles import _oriented, _triangles_und
+from linkgraph_spark.lineage import RotatingState
+from linkgraph_spark.session import pinned_superstep_confs
+
+
+@dataclass
+class TrussResult:
+    edges: DataFrame  # [a: long, b: long, support: long] surviving edges, a < b
+    iterations: int
+    converged: bool
+    metrics: list = field(default_factory=list)
+
+
+def _support_und(und: DataFrame) -> DataFrame:
+    """→ [a, b, support] for EVERY edge of the oriented list ``und``
+    (a < b): the number of triangles the edge closes (0 included)."""
+    tri = _triangles_und(und)
+    tri_edges = (
+        tri.select("a", "b")
+        .unionAll(tri.select("a", F.col("c").alias("b")))
+        .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+    )
+    sup = tri_edges.groupBy("a", "b").agg(F.count("*").alias("t"))
+    return und.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("t", F.lit(0)).alias("support")
+    )
+
+
+def edge_support(graph: LinkGraph) -> DataFrame:
+    """→ [a, b, support] — triangle support of every undirected simple
+    edge (a < b by id). Round 1 of the peel, useful standalone as the
+    per-edge cohesion feature."""
+    return _support_und(_oriented(graph.edges))
+
+
+def k_truss(graph: LinkGraph, k: int, max_iterations: int = 50) -> TrussResult:
+    """→ the k-truss: repeatedly drop edges with support < k−2 and
+    recount until no edge drops (or ``max_iterations``). ``converged``
+    is False on a cap stop; ``edges`` carries each surviving edge with
+    its support as of the last recount."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (k-2 >= 1 triangle per edge)")
+    spark = graph.edges.sparkSession
+    thresh = k - 2
+    state = RotatingState(spark)
+    n_edges = graph.edges.count()
+    cur = state.rotate(_oriented(graph.edges))
+    converged = False
+    metrics: list = []
+    it = 0
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+        for it in range(1, max_iterations + 1):
+            sup = _support_und(cur.select("a", "b"))
+            from pyspark.sql import Observation
+
+            obs = Observation(f"truss_drop_{id(state)}_{it}")
+            sup = sup.observe(
+                obs,
+                F.sum(F.when(F.col("support") < thresh, 1).otherwise(0)).alias("d"),
+            )
+            keep = sup.where(F.col("support") >= thresh)
+            keep = state.rotate(keep)  # one job: materialize + drop count
+            dropped = obs.get["d"] or 0
+            metrics.append({"iteration": it, "dropped": dropped})
+            cur = keep
+            if dropped == 0:
+                converged = True
+                break
+
+    return TrussResult(
+        edges=cur, iterations=it, converged=converged, metrics=metrics
+    )
+
+
+_TRI_SQL = """(
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM {t} e1
+      JOIN {t} e2 ON e1.b = e2.a
+      JOIN {t} e3 ON e3.a = e1.a AND e3.b = e2.b
+    )"""
+
+
+def _sup_sql(prev: str, this: str) -> str:
+    """One support-count CTE over edge set ``prev`` → ``this`` [a,b,support]."""
+    tri = _TRI_SQL.format(t=prev)
+    return f"""{this} AS MATERIALIZED (
+      SELECT e.a, e.b, coalesce(s.t, 0) AS support
+      FROM {prev} e
+      LEFT JOIN (
+        SELECT a, b, count(*) AS t FROM (
+          SELECT a, b FROM {tri} x
+          UNION ALL SELECT a, c AS b FROM {tri} y
+          UNION ALL SELECT b AS a, c AS b FROM {tri} z
+        ) GROUP BY a, b
+      ) s ON s.a = e.a AND s.b = e.b
+    )"""
+
+
+def edge_support_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    und = """ts_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    )"""
+    return f"""{und},
+    {_sup_sql("ts_und", "ts_sup")}
+    SELECT a, b, support FROM ts_sup
+    """
+
+
+def k_truss_sql(k: int, rounds: int) -> str:
+    """DuckDB oracle body for ``k_truss(..., max_iterations=rounds)``.
+
+    Unrolls exactly ``rounds`` peel iterations; because the peel is
+    idempotent at its fixpoint, this matches the Spark kernel whether it
+    converged early or ran all ``rounds``."""
+    thresh = k - 2
+    parts = [
+        """kt0 AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(_sup_sql(f"kt{i - 1}", f"kts{i}"))
+        parts.append(
+            f"kt{i} AS MATERIALIZED (SELECT a, b, support FROM kts{i} WHERE support >= {thresh})"
+        )
+    body = ",\n    ".join(parts)
+    return f"""{body}
+    SELECT a, b, support FROM kt{rounds}
+    """

@@ -535,3 +535,35 @@ def test_reciprocity_and_assortativity_closed_form(spark):
     assert reciprocity(one).collect()[0]["reciprocity"] == 0.0
     for gg in (g, star, one):
         gg.unpersist()
+
+
+def test_k_truss_closed_form(spark):
+    from linkgraph_spark.kernels import edge_support, k_truss
+
+    # two triangles sharing edge (1,2), plus a pendant edge (3,4)
+    g = graph_from_edges(
+        spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4)]
+    )
+    sup = {(r["a"], r["b"]): r["support"] for r in edge_support(g).collect()}
+    assert sup == {
+        (0, 1): 1, (0, 2): 1, (1, 2): 2, (1, 3): 1, (2, 3): 1, (3, 4): 0,
+    }
+    t3 = k_truss(g, k=3)
+    assert t3.converged
+    got = {(r["a"], r["b"]) for r in t3.edges.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}  # pendant peeled
+    # k=4 needs support >= 2: only (1,2) qualifies round 1, then its own
+    # triangles vanish -> cascading peel empties the truss (converged)
+    t4 = k_truss(g, k=4)
+    assert t4.converged and t4.edges.count() == 0
+    assert t4.iterations >= 2  # the cascade took more than one round
+
+    # a 4-clique IS a 4-truss: every edge in 2 triangles, fixpoint round 1
+    from itertools import combinations
+
+    k4 = graph_from_edges(spark, list(combinations(range(4), 2)))
+    r = k_truss(k4, k=4)
+    assert r.converged and r.edges.count() == 6
+    assert all(row["support"] == 2 for row in r.edges.collect())
+    for gg in (g, k4):
+        gg.unpersist()
