@@ -33,6 +33,7 @@ from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
 from linkgraph_spark.kernels import stats as st
 from linkgraph_spark.kernels import truss as tr
+from linkgraph_spark.kernels import centrality as ct
 from linkgraph_spark.transcripts import transcripts_from_events, transcripts_from_events_sql
 
 TURNS_PER_CONV = 8
@@ -312,6 +313,23 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_harmonic_landmarks(spark, sf_dir):
+    # exact truncated harmonic centrality of three candidate hub actors
+    from linkgraph_spark.kernels import harmonic_landmarks
+
+    return harmonic_landmarks(_graph(spark, sf_dir), landmarks=[0, 1, 2], k=4)
+
+
+def q_hyperball(spark, sf_dir):
+    # HyperBall all-vertex harmonic/ball estimates — approximate (HLL), so
+    # no SQL oracle: the driver records the rows-only check; accuracy vs
+    # exact BFS is asserted in tests/test_kernels.py
+    from linkgraph_spark.kernels import hyperball
+
+    res = hyperball(_graph(spark, sf_dir), max_r=6)
+    return res.centrality
+
+
 def q_edge_support(spark, sf_dir):
     from linkgraph_spark.kernels import edge_support
 
@@ -476,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "edge_support": q_edge_support,
         "k_truss3": q_k_truss3,
+        "harmonic_landmarks": q_harmonic_landmarks,
+        "hyperball": q_hyperball,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1012,6 +1032,9 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": f"{_G}, {st.degree_assortativity_sql()}",
         "edge_support": f"{_G}, {tr.edge_support_sql()}",
         "k_truss3": f"{_G}, {tr.k_truss_sql(k=3, rounds=3)}",
+        "harmonic_landmarks": f"{_G}, {ct.harmonic_landmarks_sql([0, 1, 2], k=4)}",
+        # "hyperball" intentionally absent: HLL estimates are not
+        # SQL-reproducible — rows-only check by design
         "token_stats": tx.token_stats_sql(),
         "quality_score": tx.quality_score_sql(),
         "lang_id": tx.lang_id_sql(),

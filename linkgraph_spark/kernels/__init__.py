@@ -14,6 +14,11 @@ from linkgraph_spark.kernels.labelprop import label_propagation
 from linkgraph_spark.kernels.paths import PathsResult, shortest_paths, shortest_paths_weighted
 from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.linkpred import adamic_adar
+from linkgraph_spark.kernels.centrality import (
+    HyperBallResult,
+    harmonic_landmarks,
+    hyperball,
+)
 from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
 from linkgraph_spark.kernels.truss import TrussResult, edge_support, k_truss
@@ -42,6 +47,9 @@ __all__ = [
     "TrussResult",
     "edge_support",
     "k_truss",
+    "HyperBallResult",
+    "harmonic_landmarks",
+    "hyperball",
     "KCoreResult",
     "k_core",
     "triangle_count",

@@ -1,0 +1,213 @@
+"""Centrality beyond PageRank: exact landmark harmonic centrality and a
+HyperBall-style all-vertex estimator.
+
+Harmonic centrality of v = Σ_{u ≠ v} 1 / d(u, v) — the distance-based
+"how close is v to everything" score (Boldi & Vigna, "Axioms for
+Centrality", 2014). Two scale regimes, two operators:
+
+- :func:`harmonic_landmarks` — EXACT, for a small set of candidate
+  vertices ("which of these hub actors is most central"): one frontier
+  BFS (``kernels/paths.py`` — O(E) total touched edges, not O(E·depth))
+  per landmark, truncated at radius ``k``, then a one-row aggregate.
+  Cost is landmarks × BFS — the right tool when you can enumerate the
+  candidates.
+- :func:`hyperball` — APPROXIMATE, for EVERY vertex at once: the
+  HyperBall algorithm (Boldi, Rosa & Vigna, WWW 2011 / "HyperBall" 2013)
+  over Spark's native Apache DataSketches HLL aggregates
+  (``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_union`` — JVM-side,
+  no Python in the loop). State is one O(2^lgk)-byte sketch per vertex;
+  each round is ONE edge join + groupBy union — the same shuffle shape
+  as a PageRank superstep, so the 100 TB story is identical to the
+  gather kernel's. Exact all-pairs BFS is Θ(V·E); this is Θ(rounds·E)
+  with ~1.6 % ball-size error at the default lgk=12 (and exact at toy
+  cardinalities, where the DataSketches HLL is still in sparse mode).
+
+Engine addition over the reference (whose one kernel is PageRank —
+``pagerank_lambda/dynamodb/pagerank.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.lineage import RotatingState
+from linkgraph_spark.session import pinned_superstep_confs
+
+
+def harmonic_landmarks(
+    graph: LinkGraph, landmarks: list, k: int, directed: bool = False
+) -> DataFrame:
+    """→ ``[id, harmonic]`` — exact harmonic centrality of each landmark,
+    truncated at radius ``k`` (vertices farther than ``k`` contribute 0;
+    BFS level i is final after i supersteps, so ``max_iterations=k``
+    yields exactly the ≤ k ball). Undirected reach by default, matching
+    the ego/paths convention for transcript graphs."""
+    from linkgraph_spark.kernels.paths import shortest_paths
+
+    spark = graph.vertices.sparkSession
+    parts = []
+    for lm in landmarks:
+        res = shortest_paths(
+            graph, sources=[int(lm)], directed=directed, max_iterations=k
+        )
+        h = (
+            res.distances.where(
+                (F.col("distance") >= 1) & (F.col("distance") <= k)
+            )
+            .agg(F.sum(1.0 / F.col("distance")).alias("h"))
+            .select(
+                F.lit(int(lm)).cast("long").alias("id"),
+                F.round(F.coalesce("h", F.lit(0.0)), 6).alias("harmonic"),
+            )
+        )
+        parts.append(h)
+    return reduce(DataFrame.unionAll, parts)
+
+
+def harmonic_landmarks_sql(landmarks: list, k: int) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs): one unrolled
+    min-update BFS chain with the landmark as a state column."""
+    sent = 1_000_000_000
+    vals = ", ".join(f"({int(lm)})" for lm in landmarks)
+    ctes = [
+        """hc_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    )""",
+        f"""hc0 AS (
+      SELECT v.id, lm.lm, CASE WHEN v.id = lm.lm THEN 0 ELSE {sent} END AS d
+      FROM verts v CROSS JOIN (VALUES {vals}) lm(lm)
+    )""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""hc{i} AS MATERIALIZED (
+      SELECT d.id, d.lm, least(d.d, coalesce(m.c, {sent})) AS d
+      FROM hc{i - 1} d
+      LEFT JOIN (
+        SELECT e.dst AS id, p.lm, min(p.d) + 1 AS c
+        FROM hc_und e JOIN hc{i - 1} p ON e.src = p.id
+        WHERE p.d < {sent}
+        GROUP BY e.dst, p.lm
+      ) m ON m.id = d.id AND m.lm = d.lm
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT lm AS id,
+           round(coalesce(sum(CASE WHEN d BETWEEN 1 AND {k} THEN 1.0 / d END), 0.0), 6)
+             AS harmonic
+    FROM hc{k} GROUP BY lm
+    """
+
+
+@dataclass
+class HyperBallResult:
+    centrality: DataFrame  # [id, ball_est, harmonic_est]
+    iterations: int
+    converged: bool
+    metrics: list = field(default_factory=list)
+
+
+def hyperball(
+    graph: LinkGraph,
+    max_r: int = 16,
+    directed: bool = False,
+    lgk: int = 12,
+) -> HyperBallResult:
+    """→ HyperBall neighborhood-function sweep: per vertex, the estimated
+    ball size |B(v, r)| at the final radius (``ball_est``) and the
+    harmonic-centrality estimate Σ_r (|B(v,r)|−|B(v,r−1)|)/r
+    (``harmonic_est``), both from HLL sketches updated in supersteps.
+
+    Each round: neighbors' sketches are HLL-unioned into each vertex's
+    (one join on the edge table + one groupBy — sketch union is
+    associative, so map-side partial aggregation applies), the ball
+    estimate is re-read, and the harmonic sum absorbs the increment.
+    Converges when no vertex's estimate changes (sketch fixpoint).
+    """
+    spark = graph.vertices.sparkSession
+    if directed:
+        edges = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    else:
+        from linkgraph_spark.kernels.components import undirected
+
+        edges = undirected(graph.edges)
+
+    state = RotatingState(spark)
+    n_edges = graph.edges.count()
+    init = (
+        graph.vertices.groupBy("id")
+        .agg(F.hll_sketch_agg("id", F.lit(lgk)).alias("sk"))
+        .select(
+            "id",
+            "sk",
+            F.lit(0.0).alias("h"),
+            # |B(v,0)| = 1 exactly; seed prev with the sketch's own estimate
+            # so round-1 increments are measured against the same scale
+            F.hll_sketch_estimate("sk").cast("double").alias("prev"),
+        )
+    )
+    cur = state.rotate(init)
+    converged = False
+    metrics: list = []
+    it = 0
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
+        for it in range(1, max_r + 1):
+            nbr = cur.select(F.col("id").alias("src"), "sk")
+            if not big_state:
+                nbr = F.broadcast(nbr)
+            gathered = (
+                edges.join(nbr, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.hll_union_agg("sk", True).alias("nsk"))
+            )
+            est = F.hll_sketch_estimate(
+                F.when(
+                    F.col("nsk").isNotNull(),
+                    F.hll_union("sk", "nsk", True),
+                ).otherwise(F.col("sk"))
+            ).cast("double")
+            new = cur.join(gathered, "id", "left").select(
+                "id",
+                F.when(
+                    F.col("nsk").isNotNull(),
+                    F.hll_union("sk", "nsk", True),
+                )
+                .otherwise(F.col("sk"))
+                .alias("sk"),
+                (
+                    F.col("h")
+                    + F.greatest(est - F.col("prev"), F.lit(0.0)) / F.lit(float(it))
+                ).alias("h"),
+                est.alias("prev"),
+                (est > F.col("prev")).alias("_grew"),
+            )
+            from pyspark.sql import Observation
+
+            obs = Observation(f"hyperball_grew_{id(state)}_{it}")
+            new = new.observe(
+                obs, F.sum(F.when(F.col("_grew"), 1).otherwise(0)).alias("n")
+            )
+            new = state.rotate(new.drop("_grew"))
+            grew = obs.get["n"] or 0
+            metrics.append({"iteration": it, "grew": grew})
+            cur = new
+            if grew == 0:
+                converged = True
+                break
+
+    out = cur.select(
+        "id",
+        F.round("prev", 6).alias("ball_est"),
+        F.round("h", 6).alias("harmonic_est"),
+    )
+    return HyperBallResult(
+        centrality=out, iterations=it, converged=converged, metrics=metrics
+    )

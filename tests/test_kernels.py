@@ -567,3 +567,65 @@ def test_k_truss_closed_form(spark):
     assert all(row["support"] == 2 for row in r.edges.collect())
     for gg in (g, k4):
         gg.unpersist()
+
+
+def test_harmonic_landmarks_closed_form(spark):
+    from linkgraph_spark.kernels import harmonic_landmarks
+
+    # path 0-1-2-3-4: harmonic(0) at k=4 = 1 + 1/2 + 1/3 + 1/4;
+    # harmonic(2) = 2*(1 + 1/2)
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_landmarks(g, landmarks=[0, 2], k=4).collect()
+    }
+    assert got == {0: round(1 + 1 / 2 + 1 / 3 + 1 / 4, 6), 2: 3.0}
+    # truncation: k=1 sees only direct neighbors
+    got1 = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_landmarks(g, landmarks=[0, 2], k=1).collect()
+    }
+    assert got1 == {0: 1.0, 2: 2.0}
+    g.unpersist()
+
+
+def test_hyperball_matches_exact_bfs(spark):
+    from linkgraph_spark.kernels import hyperball
+
+    # two rings joined by a bridge — every ball size is hand-computable,
+    # and at these cardinalities the DataSketches HLL is still exact
+    edges = (
+        [(i, (i + 1) % 6) for i in range(6)]
+        + [(6 + i, 6 + (i + 1) % 6) for i in range(6)]
+        + [(0, 6)]
+    )
+    g = graph_from_edges(spark, edges)
+
+    # exact truncated harmonic via python BFS
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    import collections
+
+    def exact_harmonic(src, max_r):
+        dist = {src: 0}
+        q = collections.deque([src])
+        while q:
+            x = q.popleft()
+            if dist[x] >= max_r:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        return sum(1.0 / d for d in dist.values() if d >= 1)
+
+    res = hyperball(g, max_r=8)
+    assert res.converged
+    got = {r["id"]: (r["ball_est"], r["harmonic_est"]) for r in res.centrality.collect()}
+    for v in adj:
+        ball, harm = got[v]
+        assert ball == 12.0  # connected: every ball saturates at |V|
+        assert abs(harm - exact_harmonic(v, 8)) < 0.02, (v, harm)
+    g.unpersist()
