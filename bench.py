@@ -100,6 +100,13 @@ def main():
     _, q["adamic_adar_sf"] = timed(
         lambda: adamic_adar(g_sf, max_degree=32, top_k=10).count()
     )
+    from linkgraph_spark.kernels import hyperball, k_truss
+
+    # sketch-superstep workload class: HLL union gather per round
+    _, q["hyperball6_sf"] = timed(
+        lambda: hyperball(g_sf, max_r=6).centrality.count()
+    )
+    _, q["k_truss3_sf"] = timed(lambda: k_truss(g_sf, k=3).edges.count())
     n_edges_sf = g_sf.edges.count()
     g_sf.unpersist()
 

@@ -4,7 +4,7 @@ apply → checkpoint), the Spark-native form of the reference's
 gather–apply–scatter loop (``pagerank_lambda/dynamodb/pagerank.py:108-112``).
 """
 
-from linkgraph_spark.kernels.pagerank import pagerank, PageRankResult
+from linkgraph_spark.kernels.pagerank import pagerank, PageRankResult, remap_ranks
 from linkgraph_spark.kernels.components import (
     ComponentsResult,
     connected_components,
@@ -28,6 +28,7 @@ from linkgraph_spark.kernels.triangles import triangle_count, triangles_per_vert
 
 __all__ = [
     "pagerank",
+    "remap_ranks",
     "PageRankResult",
     "ComponentsResult",
     "connected_components",

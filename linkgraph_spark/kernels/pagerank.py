@@ -95,8 +95,22 @@ def pagerank(
     gather_mode: str = "builtin",
     profile: bool = False,
     force_big_state: bool | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank to convergence (textbook) or a fixed count (compat).
+
+    ``init_ranks`` (``[id, rank]``) warm-starts the iteration — the
+    incremental-update path: after the edge table changes a little (a day's
+    new conversations), re-converge from yesterday's ranks (use
+    :func:`remap_ranks` to cross an id reassignment). The head start is
+    log(dist_cold/dist_warm)/log(1/d) supersteps — the residual's slow
+    eigenmode decays at d per superstep from wherever you start, so a 10x
+    closer start saves ~14 supersteps at d=0.85 (measured 39 -> 34 for a
+    1-conversation delta on a 100-conversation graph). Vertices absent
+    from ``init_ranks`` (new actors) start at the teleport weight; the
+    affine PageRank map has a unique fixpoint, so the warm result equals
+    the cold one to the same tolerance regardless of the stale vector's
+    drift. Mutually exclusive with ``resume``.
 
     ``gather_mode='csr'`` replaces the builtin hash aggregate with the
     Arrow-vectorized range-blocked CSR reduction (``linkgraph_spark.csr``).
@@ -123,6 +137,8 @@ def pagerank(
         raise ValueError(f"unknown mode {mode!r}")
     if personalize_ids is not None and mode == "compat":
         raise ValueError("personalization applies to textbook/weighted modes")
+    if init_ranks is not None and resume:
+        raise ValueError("init_ranks and resume are mutually exclusive")
 
     spark = graph.vertices.sparkSession
     n = graph.num_vertices
@@ -166,7 +182,7 @@ def pagerank(
             graph, mode, cfg, spark, n, n_iters, damping, teleport,
             check_convergence, personalize_ids, edges_div, n_edges, hub_ids,
             big_state, gather_fn, gather_mode, use_salting, checkpoint, resume,
-            profile,
+            profile, init_ranks,
         )
     finally:
         # restore session confs + free caches on EVERY exit path (including
@@ -180,10 +196,30 @@ def pagerank(
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
 
 
+def remap_ranks(
+    old_graph: LinkGraph, old_ranks: DataFrame, new_graph: LinkGraph
+) -> DataFrame:
+    """→ ``[id, rank]`` in ``new_graph``'s id space — the warm-start bridge
+    across graph REBUILDS. Vertex ids are sorted-rank positions
+    (``edges.py``), so adding actors shifts every later id; the stable join
+    key across builds is ``actor_key``. Actors present only in the new
+    graph are simply absent here (``pagerank(init_ranks=...)`` starts them
+    at the teleport weight). Two hash joins, no iteration."""
+    keyed = old_ranks.join(
+        old_graph.vertices.select("id", "actor_key"), "id"
+    ).select("actor_key", "rank")
+    return (
+        new_graph.vertices.select("id", "actor_key")
+        .join(keyed, "actor_key")
+        .select("id", "rank")
+    )
+
+
 def _pagerank_loop(
     graph, mode, cfg, spark, n, n_iters, damping, teleport, check_convergence,
     personalize_ids, edges_div, n_edges, hub_ids, big_state, gather_fn,
     gather_mode, use_salting, checkpoint, resume, profile=False,
+    init_ranks=None,
 ) -> PageRankResult:
     # AQE's per-stage re-planning costs more than it saves once the loop's
     # plan shape is pinned — at EVERY scale (measured 2x per-superstep
@@ -240,6 +276,20 @@ def _pagerank_loop(
     init = base.select(
         "id", tele.alias("rank"), dangling_flag, tele.alias("tele")
     )
+    if init_ranks is not None:
+        # warm start: stale ranks where known, teleport weight for new ids —
+        # one left join, evaluated once before the loop
+        init = (
+            base.join(
+                init_ranks.select("id", F.col("rank").alias("_warm")), "id", "left"
+            )
+            .select(
+                "id",
+                F.coalesce("_warm", tele).alias("rank"),
+                dangling_flag,
+                tele.alias("tele"),
+            )
+        )
 
     kernel = f"pagerank_{mode}"
     start_iter = 0

@@ -159,3 +159,39 @@ def test_profile_stage_breakdown(spark):
     res2 = pagerank(g, mode="textbook", iterations=1)
     assert "stage_sec" not in res2.metrics[0]
     g.unpersist()
+
+
+def test_pagerank_warm_start_incremental(spark):
+    # real pipeline: converge on day-1 transcripts, then one more
+    # conversation arrives. Ids shift across rebuilds (sorted-rank
+    # assignment), so the warm vector crosses via actor_key (remap_ranks);
+    # warm re-convergence starts log(dist_cold/dist_warm)/log(1/d)
+    # supersteps ahead of a cold uniform start (the slow eigenmode decays
+    # at d per superstep for BOTH — the head start is the whole win) and
+    # lands on the same fixpoint.
+    from linkgraph_spark.kernels.pagerank import remap_ranks
+
+    g1 = build_graph(synthesize_transcripts(spark, n_convs=100, hub_turns=300))
+    cold1 = pagerank(g1, mode="textbook")
+    assert cold1.converged
+
+    # warm start on the SAME graph: residual already under tol
+    warm_same = pagerank(g1, mode="textbook", init_ranks=cold1.ranks)
+    assert warm_same.converged and warm_same.iterations <= 2
+
+    g2 = build_graph(synthesize_transcripts(spark, n_convs=101, hub_turns=300))
+    cold2 = pagerank(g2, mode="textbook")
+    warm2 = pagerank(
+        g2, mode="textbook", init_ranks=remap_ranks(g1, cold1.ranks, g2)
+    )
+    assert warm2.converged and cold2.converged
+    assert warm2.iterations < cold2.iterations
+    a = {r["id"]: r["rank"] for r in cold2.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in warm2.ranks.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[i] - b[i]) < 1e-5 for i in a)
+
+    with pytest.raises(ValueError):
+        pagerank(g1, mode="textbook", init_ranks=cold1.ranks, resume=True)
+    for gg in (g1, g2):
+        gg.unpersist()
