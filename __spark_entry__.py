@@ -313,6 +313,17 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_scc(spark, sf_dir):
+    # strongly connected components — no SQL oracle (exact SCC needs a
+    # transitive-closure fixpoint DuckDB can only express as combinatorial
+    # path enumeration); pinned by the Tarjan-oracle pytest instead
+    from linkgraph_spark.kernels import strongly_connected_components
+
+    res = strongly_connected_components(_graph(spark, sf_dir))
+    assert res.converged
+    return res.labels
+
+
 def q_harmonic_landmarks(spark, sf_dir):
     # exact truncated harmonic centrality of three candidate hub actors
     from linkgraph_spark.kernels import harmonic_landmarks
@@ -496,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss3": q_k_truss3,
         "harmonic_landmarks": q_harmonic_landmarks,
         "hyperball": q_hyperball,
+        "scc": q_scc,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,

@@ -19,6 +19,7 @@ from linkgraph_spark.kernels.centrality import (
     harmonic_landmarks,
     hyperball,
 )
+from linkgraph_spark.kernels.scc import SccResult, strongly_connected_components
 from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
 from linkgraph_spark.kernels.truss import TrussResult, edge_support, k_truss
@@ -45,6 +46,8 @@ __all__ = [
     "induced_subgraph",
     "reciprocity",
     "degree_assortativity",
+    "SccResult",
+    "strongly_connected_components",
     "TrussResult",
     "edge_support",
     "k_truss",

@@ -73,3 +73,12 @@ class RotatingState:
             self._sc._jsc.sc().unpersistRDD(rid, False)
         self._live_ids = post - pre
         return ck
+
+    def release(self) -> None:
+        """Free the CURRENT state's blocks — for callers that consumed the
+        final state into something checkpointed of their own (e.g. the SCC
+        peel folds each round's fmin/bmin into the assigned set) and would
+        otherwise leak one O(V) state per loop for the session lifetime."""
+        for rid in self._live_ids:
+            self._sc._jsc.sc().unpersistRDD(rid, False)
+        self._live_ids = set()

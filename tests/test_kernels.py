@@ -629,3 +629,90 @@ def test_hyperball_matches_exact_bfs(spark):
         assert ball == 12.0  # connected: every ball saturates at |V|
         assert abs(harm - exact_harmonic(v, 8)) < 0.02, (v, harm)
     g.unpersist()
+
+
+def _tarjan_scc(edges, vertices):
+    """Iterative Tarjan; returns {vertex: min id of its SCC}."""
+    adj = {v: [] for v in vertices}
+    for u, v in edges:
+        if u != v:
+            adj[u].append(v)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+    for root in vertices:
+        if root in index:
+            continue
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+    return comp
+
+
+def test_scc_closed_form_and_random(spark):
+    from linkgraph_spark.kernels import strongly_connected_components
+
+    # 2-cycle + 3-cycle bridged one-way + a DAG tail
+    edges = [
+        (0, 1), (1, 0),            # SCC {0,1}
+        (1, 2),                    # one-way bridge
+        (2, 3), (3, 4), (4, 2),    # SCC {2,3,4}
+        (4, 5), (5, 6),            # DAG tail: singletons
+    ]
+    g = graph_from_edges(spark, edges)
+    res = strongly_connected_components(g)
+    assert res.converged
+    got = {r["id"]: r["scc"] for r in res.labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 2, 5: 5, 6: 6}
+    g.unpersist()
+
+    # randomized cross-check vs Tarjan (fixed seeds, cyclic-ish graphs)
+    import random
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        n = 40
+        redges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+        rg = graph_from_edges(spark, redges)
+        want = _tarjan_scc(redges, {x for e in redges for x in e})
+        rres = strongly_connected_components(rg)
+        assert rres.converged
+        rgot = {r["id"]: r["scc"] for r in rres.labels.collect()}
+        assert rgot == want, (seed, rres.rounds)
+        rg.unpersist()
