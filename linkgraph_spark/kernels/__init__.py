@@ -16,6 +16,7 @@ from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.linkpred import adamic_adar
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
+    effective_diameter,
     harmonic_landmarks,
     hyperball,
 )
@@ -54,6 +55,7 @@ __all__ = [
     "HyperBallResult",
     "harmonic_landmarks",
     "hyperball",
+    "effective_diameter",
     "KCoreResult",
     "k_core",
     "triangle_count",

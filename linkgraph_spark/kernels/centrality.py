@@ -193,11 +193,18 @@ def hyperball(
 
             obs = Observation(f"hyperball_grew_{id(state)}_{it}")
             new = new.observe(
-                obs, F.sum(F.when(F.col("_grew"), 1).otherwise(0)).alias("n")
+                obs,
+                F.sum(F.when(F.col("_grew"), 1).otherwise(0)).alias("n"),
+                # neighborhood function N(r) = Σ_v |B(v, r)| rides the same
+                # materialization — fuels effective_diameter for free
+                F.sum("prev").alias("nf"),
             )
             new = state.rotate(new.drop("_grew"))
-            grew = obs.get["n"] or 0
-            metrics.append({"iteration": it, "grew": grew})
+            st = obs.get
+            grew = st["n"] or 0
+            metrics.append(
+                {"iteration": it, "grew": grew, "nf": float(st["nf"] or 0.0)}
+            )
             cur = new
             if grew == 0:
                 converged = True
@@ -211,3 +218,33 @@ def hyperball(
     return HyperBallResult(
         centrality=out, iterations=it, converged=converged, metrics=metrics
     )
+
+
+def effective_diameter(
+    graph: LinkGraph,
+    q: float = 0.9,
+    max_r: int = 64,
+    directed: bool = False,
+    lgk: int = 12,
+) -> float:
+    """→ the HyperANF effective diameter estimate: the (interpolated)
+    radius r at which the neighborhood function N(r) = Σ_v |B(v, r)|
+    reaches fraction ``q`` of its final value — i.e. q of all connected
+    pairs are within distance r. Rides the per-round N(r) totals the
+    :func:`hyperball` sweep already observes, so the cost is exactly one
+    HyperBall run (O(rounds · E), O(V) sketch state). The whole-graph
+    "how far apart is everything" number next to reciprocity/assortativity.
+    """
+    res = hyperball(graph, max_r=max_r, directed=directed, lgk=lgk)
+    # N(0) = V exactly (every ball starts as {v})
+    nf = [float(graph.num_vertices)] + [m["nf"] for m in res.metrics]
+    target = q * nf[-1]
+    for r in range(len(nf)):
+        if nf[r] >= target:
+            if r == 0:
+                return 0.0
+            prev_nf, cur_nf = nf[r - 1], nf[r]
+            if cur_nf == prev_nf:
+                return float(r)
+            return round((r - 1) + (target - prev_nf) / (cur_nf - prev_nf), 6)
+    return float(len(nf) - 1)  # cap hit before q of pairs closed

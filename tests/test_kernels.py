@@ -716,3 +716,14 @@ def test_scc_closed_form_and_random(spark):
         rgot = {r["id"]: r["scc"] for r in rres.labels.collect()}
         assert rgot == want, (seed, rres.rounds)
         rg.unpersist()
+
+
+def test_effective_diameter_ring(spark):
+    from linkgraph_spark.kernels import effective_diameter
+
+    # ring of 12: N(r) = 12(1+2r) for r<=5, N(6)=144; q=0.9 target 129.6
+    # falls between N(4)=108 and N(5)=132 -> 4 + 21.6/24 = 4.9 exactly
+    # (HLL is exact at these cardinalities)
+    g = graph_from_edges(spark, [(i, (i + 1) % 12) for i in range(12)])
+    assert abs(effective_diameter(g, q=0.9) - 4.9) < 0.05
+    g.unpersist()
