@@ -34,6 +34,7 @@ from linkgraph_spark.functions import text as tx
 from linkgraph_spark.kernels import stats as st
 from linkgraph_spark.kernels import truss as tr
 from linkgraph_spark.kernels import centrality as ct
+from linkgraph_spark.functions import sampling as sp
 from linkgraph_spark.transcripts import transcripts_from_events, transcripts_from_events_sql
 
 TURNS_PER_CONV = 8
@@ -385,6 +386,30 @@ def q_ego_src0_k2(spark, sf_dir):
     return ego_graph(g, sources=[0], k=2).edges.select("src", "dst")
 
 
+# ------------------------------------------------------ pipeline: sampling
+def q_sample_docs_10pct(spark, sf_dir):
+    from linkgraph_spark.functions.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), ["doc_id"], 0.10).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_train_test_split_events(spark, sf_dir):
+    # leakage-safe split keyed by user: every user's events land on one side
+    from linkgraph_spark.functions.sampling import train_test_split
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        train_test_split(ev, ["user_id"], test_rate=0.2)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 # ----------------------------------------------------------- pipeline: text
 def q_token_stats(spark, sf_dir):
     return tx.token_stats(_docs(spark, sf_dir))
@@ -508,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_landmarks": q_harmonic_landmarks,
         "hyperball": q_hyperball,
         "scc": q_scc,
+        "sample_docs_10pct": q_sample_docs_10pct,
+        "train_test_split_events": q_train_test_split_events,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1044,6 +1071,16 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": f"{_G}, {st.degree_assortativity_sql()}",
         "edge_support": f"{_G}, {tr.edge_support_sql()}",
         "k_truss3": f"{_G}, {tr.k_truss_sql(k=3, rounds=3)}",
+        "sample_docs_10pct": f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {sp.hash_sample_sql(["doc_id"], 0.10)}
+    """,
+        "train_test_split_events": f"""
+    SELECT split, count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+    FROM (SELECT user_id, {sp.train_test_split_sql(["user_id"], 0.2)} AS split
+          FROM events)
+    GROUP BY split
+    """,
         "harmonic_landmarks": f"{_G}, {ct.harmonic_landmarks_sql([0, 1, 2], k=4)}",
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design

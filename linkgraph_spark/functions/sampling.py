@@ -1,0 +1,85 @@
+"""Deterministic hash-based sampling and train/test splitting.
+
+The sampling a 100 TB curation pipeline actually needs is NOT
+``df.sample()`` (RNG-seeded per task, irreproducible across retries,
+partitionings, and engines) but *hash sampling*: a row is kept iff a
+portable hash of its KEY lands under the rate threshold. Properties that
+matter at scale:
+
+- **replayable**: the same key always samples the same way — re-running a
+  failed stage, or re-running next month on a grown table, keeps every
+  previously-kept row (monotone under table growth);
+- **entity-coherent**: keying by ``conv_id`` keeps or drops WHOLE
+  conversations — no train/test leakage through sibling rows;
+- **engine-portable**: built on the md5-based portable hash
+  (``functions/hashing.py``), so the DuckDB oracle reproduces the exact
+  row set — sampling is oracle-gated like any other operator;
+- **map-only**: a filter on a scalar expression — pushes into the scan,
+  no shuffle, no driver coordination.
+
+The reference has no sampling at all (it always processes the full edge
+file); these are engine additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph_spark.functions.hashing import md5_long, md5_long_sql
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(key_cols: list[str], salt: str) -> Column:
+    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    return md5_long(key) % F.lit(_BUCKETS)
+
+
+def _bucket_sql(key_exprs: list[str], salt: str) -> str:
+    casts = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    key = f"concat_ws(chr(31), '{salt}', {casts})"
+    return f"({md5_long_sql(key)} % {_BUCKETS})"
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], rate: float, salt: str = ""
+) -> DataFrame:
+    """→ the rows whose key hashes under ``rate`` (0..1). Same key ⇒ same
+    verdict, across runs, engines, and table growth. ``salt`` derives an
+    independent sample from the same keys."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.where(_bucket(key_cols, salt) < int(rate * _BUCKETS))
+
+
+def hash_sample_sql(key_exprs: list[str], rate: float, salt: str = "") -> str:
+    """DuckDB predicate mirroring :func:`hash_sample` (drop into WHERE)."""
+    return f"{_bucket_sql(key_exprs, salt)} < {int(rate * _BUCKETS)}"
+
+
+def train_test_split(
+    df: DataFrame, key_cols: list[str], test_rate: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """→ ``df`` plus a ``split`` column ('test' under ``test_rate``, else
+    'train') — the leakage-safe deterministic split: keyed by entity, so
+    all rows of one conversation/document land on the same side, and the
+    assignment never moves when the table grows."""
+    if not 0.0 <= test_rate <= 1.0:
+        raise ValueError("test_rate must be in [0, 1]")
+    return df.withColumn(
+        "split",
+        F.when(
+            _bucket(key_cols, salt) < int(test_rate * _BUCKETS), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def train_test_split_sql(
+    key_exprs: list[str], test_rate: float = 0.1, salt: str = "split"
+) -> str:
+    """DuckDB expression for the ``split`` column of :func:`train_test_split`."""
+    return (
+        f"CASE WHEN {_bucket_sql(key_exprs, salt)} < {int(test_rate * _BUCKETS)} "
+        f"THEN 'test' ELSE 'train' END"
+    )
