@@ -35,6 +35,7 @@ from linkgraph_spark.kernels import stats as st
 from linkgraph_spark.kernels import truss as tr
 from linkgraph_spark.kernels import centrality as ct
 from linkgraph_spark.functions import sampling as sp
+from linkgraph_spark.kernels import projection as pj
 from linkgraph_spark.transcripts import transcripts_from_events, transcripts_from_events_sql
 
 TURNS_PER_CONV = 8
@@ -314,6 +315,16 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_shared_tools(spark, sf_dir):
+    # bipartite actor-x-tool projection, hub-capped; min_shared=2 keeps
+    # only multi-tool affinity (single shared ubiquitous tool = noise)
+    from linkgraph_spark.kernels import shared_tool_affinity
+
+    return shared_tool_affinity(
+        _graph(spark, sf_dir), max_tool_users=512, min_shared=2
+    )
+
+
 def q_scc(spark, sf_dir):
     # strongly connected components — no SQL oracle (exact SCC needs a
     # transitive-closure fixpoint DuckDB can only express as combinatorial
@@ -533,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_landmarks": q_harmonic_landmarks,
         "hyperball": q_hyperball,
         "scc": q_scc,
+        "shared_tools": q_shared_tools,
         "sample_docs_10pct": q_sample_docs_10pct,
         "train_test_split_events": q_train_test_split_events,
         "token_stats": q_token_stats,
@@ -1071,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": f"{_G}, {st.degree_assortativity_sql()}",
         "edge_support": f"{_G}, {tr.edge_support_sql()}",
         "k_truss3": f"{_G}, {tr.k_truss_sql(k=3, rounds=3)}",
+        "shared_tools": f"{_G}, {pj.shared_tool_affinity_sql(max_tool_users=512, min_shared=2)}",
         "sample_docs_10pct": f"""
     SELECT doc_id, lang, n_chars FROM documents
     WHERE {sp.hash_sample_sql(["doc_id"], 0.10)}

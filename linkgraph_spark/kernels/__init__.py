@@ -20,6 +20,7 @@ from linkgraph_spark.kernels.centrality import (
     harmonic_landmarks,
     hyperball,
 )
+from linkgraph_spark.kernels.projection import shared_tool_affinity
 from linkgraph_spark.kernels.scc import SccResult, strongly_connected_components
 from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
@@ -47,6 +48,7 @@ __all__ = [
     "induced_subgraph",
     "reciprocity",
     "degree_assortativity",
+    "shared_tool_affinity",
     "SccResult",
     "strongly_connected_components",
     "TrussResult",

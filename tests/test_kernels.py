@@ -727,3 +727,40 @@ def test_effective_diameter_ring(spark):
     g = graph_from_edges(spark, [(i, (i + 1) % 12) for i in range(12)])
     assert abs(effective_diameter(g, q=0.9) - 4.9) < 0.05
     g.unpersist()
+
+
+def test_shared_tool_affinity_closed_form(spark):
+    from linkgraph_spark.edges import LinkGraph, vertex_degrees
+    from linkgraph_spark.kernels import shared_tool_affinity
+    from pyspark.sql import functions as F
+
+    verts = spark.createDataFrame(
+        [(0, "c0#user"), (1, "c1#user"), (2, "c2#user"),
+         (10, "tool:a"), (11, "tool:b")],
+        "id long, actor_key string",
+    )
+    # users 0,1 share tools a+b; user 2 only a; duplicate invocations dedup
+    edges = spark.createDataFrame(
+        [(0, 10), (0, 10), (1, 10), (2, 10), (0, 11), (1, 11)],
+        "src long, dst long",
+    )
+    g = LinkGraph(
+        vertices=verts, edges=edges,
+        degrees=vertex_degrees(verts, edges), num_vertices=5,
+    )
+    got = {
+        (r["a"], r["b"]): r["shared_tools"]
+        for r in shared_tool_affinity(g).collect()
+    }
+    assert got == {(0, 1): 2, (0, 2): 1, (1, 2): 1}
+    # min_shared filters; hub cap drops tool:a (3 users > 2)
+    got2 = {
+        (r["a"], r["b"]): r["shared_tools"]
+        for r in shared_tool_affinity(g, min_shared=2).collect()
+    }
+    assert got2 == {(0, 1): 2}
+    got3 = {
+        (r["a"], r["b"]): r["shared_tools"]
+        for r in shared_tool_affinity(g, max_tool_users=2).collect()
+    }
+    assert got3 == {(0, 1): 1}
