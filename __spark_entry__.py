@@ -315,6 +315,26 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_betweenness16(spark, sf_dir):
+    # sampled Brandes (16 deterministic sources) — no SQL oracle (per-source
+    # shortest-path DAGs need recursion); pinned by the pure-python Brandes
+    # pytest on closed-form + randomized graphs
+    from linkgraph_spark.kernels import betweenness
+
+    res = betweenness(_graph(spark, sf_dir), n_samples=16)
+    assert res.converged
+    return res.scores
+
+
+def q_modularity_labelprop3(spark, sf_dir):
+    # quality score of the labelprop communities — one number, oracle-exact
+    from linkgraph_spark.kernels import modularity
+
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(g, max_iterations=3)
+    return modularity(g, labels)
+
+
 def q_shared_tools(spark, sf_dir):
     # bipartite actor-x-tool projection, hub-capped; min_shared=2 keeps
     # only multi-tool affinity (single shared ubiquitous tool = noise)
@@ -545,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": q_hyperball,
         "scc": q_scc,
         "shared_tools": q_shared_tools,
+        "modularity_labelprop3": q_modularity_labelprop3,
+        "betweenness16": q_betweenness16,
         "sample_docs_10pct": q_sample_docs_10pct,
         "train_test_split_events": q_train_test_split_events,
         "token_stats": q_token_stats,
@@ -969,6 +991,14 @@ def _labelprop_sql(iters: int = 3) -> str:
     """
 
 
+def _modularity_labelprop_sql(iters: int = 3) -> str:
+    from linkgraph_spark.kernels.modularity import modularity_sql
+
+    lp = _labelprop_sql(iters)
+    head = lp[: lp.rindex("SELECT id, label")].rstrip()
+    return f"{head},\n{modularity_sql(f'p{iters}')}"
+
+
 def _subgraph_active_sql() -> str:
     return f"""{_G}, {_DEGS},
     sg_keep AS (SELECT id FROM degs WHERE out_deg >= 2)
@@ -1084,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_support": f"{_G}, {tr.edge_support_sql()}",
         "k_truss3": f"{_G}, {tr.k_truss_sql(k=3, rounds=3)}",
         "shared_tools": f"{_G}, {pj.shared_tool_affinity_sql(max_tool_users=512, min_shared=2)}",
+        "modularity_labelprop3": _modularity_labelprop_sql(3),
         "sample_docs_10pct": f"""
     SELECT doc_id, lang, n_chars FROM documents
     WHERE {sp.hash_sample_sql(["doc_id"], 0.10)}

@@ -20,6 +20,8 @@ from linkgraph_spark.kernels.centrality import (
     harmonic_landmarks,
     hyperball,
 )
+from linkgraph_spark.kernels.betweenness import BetweennessResult, betweenness
+from linkgraph_spark.kernels.modularity import modularity
 from linkgraph_spark.kernels.projection import shared_tool_affinity
 from linkgraph_spark.kernels.scc import SccResult, strongly_connected_components
 from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
@@ -48,6 +50,9 @@ __all__ = [
     "induced_subgraph",
     "reciprocity",
     "degree_assortativity",
+    "modularity",
+    "BetweennessResult",
+    "betweenness",
     "shared_tool_affinity",
     "SccResult",
     "strongly_connected_components",

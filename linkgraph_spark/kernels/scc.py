@@ -135,6 +135,8 @@ def strongly_connected_components(
                 # labels would still be mutually reachable, but the peel
                 # could split an SCC across rounds — stop, unconverged
                 metrics.append({"round": rnd, "inner_capped": True})
+                fstate.release()
+                bstate.release()
                 break
 
             joined = fmin.join(

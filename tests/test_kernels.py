@@ -764,3 +764,92 @@ def test_shared_tool_affinity_closed_form(spark):
         for r in shared_tool_affinity(g, max_tool_users=2).collect()
     }
     assert got3 == {(0, 1): 1}
+
+
+def test_modularity_closed_form(spark):
+    from linkgraph_spark.kernels import modularity
+
+    # two triangles bridged by (2,3): communities = the triangles
+    # m=7, m_c=3 each, d_c=7 each -> Q = 2*(3/7 - (7/14)^2) = 0.357143
+    g = graph_from_edges(
+        spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    )
+    labels = spark.createDataFrame(
+        [(i, 0) for i in (0, 1, 2)] + [(i, 1) for i in (3, 4, 5)],
+        "id long, label long",
+    )
+    got = modularity(g, labels).collect()[0]["modularity"]
+    assert got == round(2 * (3 / 7 - 0.25), 6)
+    # everything in one community: Q = 1 - 1 = ... m_c=m, d_c=2m -> 0.0
+    one = labels.selectExpr("id", "0 AS label")
+    assert modularity(g, one).collect()[0]["modularity"] == 0.0
+    g.unpersist()
+
+
+def _brandes(edges, vertices, sources, directed=False):
+    """Pure-python Brandes dependency sums over the given sources."""
+    import collections
+
+    adj = {v: set() for v in vertices}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj[u].add(v)
+        if not directed:
+            adj[v].add(u)
+    bc = {v: 0.0 for v in vertices}
+    for s in sources:
+        sigma = {s: 1.0}
+        dist = {s: 0}
+        preds = collections.defaultdict(list)
+        order = []
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0.0) + sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_matches_brandes(spark):
+    from linkgraph_spark.kernels import betweenness
+
+    # path graph: the classic closed form
+    path = [(i, i + 1) for i in range(5)]
+    g = graph_from_edges(spark, path)
+    verts = set(range(6))
+    res = betweenness(g, sources=sorted(verts))
+    assert res.converged
+    want = _brandes(path, verts, sorted(verts))
+    got = {r["id"]: r["betweenness"] for r in res.scores.collect()}
+    assert got.keys() == want.keys()
+    assert all(abs(got[v] - want[v]) < 1e-5 for v in verts)
+    g.unpersist()
+
+    import random
+
+    for seed, directed in ((3, False), (11, True)):
+        rng = random.Random(seed)
+        n = 30
+        redges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+        rverts = {x for e in redges for x in e}
+        srcs = sorted(rverts)[:8]
+        rg = graph_from_edges(spark, redges)
+        rres = betweenness(rg, sources=srcs, directed=directed)
+        assert rres.converged
+        rwant = _brandes(redges, rverts, srcs, directed=directed)
+        rgot = {r["id"]: r["betweenness"] for r in rres.scores.collect()}
+        assert all(abs(rgot[v] - rwant[v]) < 1e-5 for v in rverts), (seed, directed)
+        rg.unpersist()
