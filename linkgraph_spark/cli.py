@@ -57,9 +57,13 @@ def main(argv=None):
         choices=[
             "pagerank", "components", "components_star", "labelprop",
             "triangles", "bfs", "sssp", "hits", "kcore", "linkpred",
-            "walks", "etl",
+            "walks", "etl", "scc", "ktruss", "betweenness", "hyperball",
+            "stats",
         ],
     )
+    p.add_argument("--k", type=int, default=3, help="k for ktruss")
+    p.add_argument("--n-samples", type=int, default=16, help="betweenness source sample")
+    p.add_argument("--max-r", type=int, default=16, help="hyperball radius cap")
     p.add_argument("--sources", help="comma-separated source ids (bfs/sssp)")
     p.add_argument("--walk-length", type=int, default=8)
     p.add_argument("--walks-per-vertex", type=int, default=1)
@@ -177,6 +181,51 @@ def main(argv=None):
             "iterations": cres.iterations,
             "converged": cres.converged,
         }
+    elif args.kernel == "scc":
+        from linkgraph_spark.kernels import strongly_connected_components
+
+        scres = strongly_connected_components(g)
+        result = scres.labels
+        summary = {
+            "sccs": result.select("scc").distinct().count(),
+            "rounds": scres.rounds,
+            "converged": scres.converged,
+        }
+    elif args.kernel == "ktruss":
+        from linkgraph_spark.kernels import k_truss
+
+        tres = k_truss(g, k=args.k, max_iterations=args.max_iterations)
+        result = tres.edges
+        summary = {
+            "truss_edges": result.count(),
+            "iterations": tres.iterations,
+            "converged": tres.converged,
+        }
+    elif args.kernel == "betweenness":
+        from linkgraph_spark.kernels import betweenness
+
+        bres = betweenness(g, n_samples=args.n_samples)
+        result = bres.scores
+        summary = {
+            "sources": len(bres.sources),
+            "depth": bres.depth,
+            "converged": bres.converged,
+        }
+    elif args.kernel == "hyperball":
+        from linkgraph_spark.kernels import hyperball
+
+        hbres = hyperball(g, max_r=args.max_r)
+        result = hbres.centrality
+        summary = {"iterations": hbres.iterations, "converged": hbres.converged}
+    elif args.kernel == "stats":
+        from linkgraph_spark.kernels import degree_assortativity, reciprocity
+
+        rec = reciprocity(g).collect()[0]["reciprocity"]
+        asr = degree_assortativity(g).collect()[0]["assortativity"]
+        result = spark.createDataFrame(
+            [(rec, asr)], "reciprocity double, assortativity double"
+        )
+        summary = {"reciprocity": rec, "assortativity": asr}
     elif args.kernel == "labelprop":
         result = label_propagation(
             g, max_iterations=args.iterations or 5, checkpoint=store,
