@@ -169,3 +169,37 @@ def test_superstep_observe_single_job(spark):
     # supersteps; each extra superstep must be exactly one job
     assert after - before - n_probe <= before, (before, after)
     g.unpersist()
+
+
+def test_no_cartesian_in_new_kernels(spark):
+    """The round-3 kernels must never fall back to a cross product: every
+    candidate-generating join is an equi-join (tool/level/edge keys)."""
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels.projection import shared_tool_affinity
+    from linkgraph_spark.kernels.truss import edge_support
+    from tests.fixtures_graphs import web64
+
+    g = graph_from_edges(spark, web64())
+    for df in (
+        shared_tool_affinity(g),
+        edge_support(g),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    g.unpersist()
+
+
+def test_hash_sample_pruning(spark, sf_dir):
+    """hash_sample + projection: the scan reads only the projected columns
+    (the md5 filter itself can't push to parquet, but pruning must hold)."""
+    from linkgraph_spark.functions.sampling import hash_sample
+
+    df = hash_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), ["doc_id"], 0.5
+    ).select("doc_id", "n_chars")
+    plan = _plan(df)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines
+    schema = scan_lines[0].split("ReadSchema:")[1]
+    assert "doc_id" in schema and "n_chars" in schema and "text" not in schema
