@@ -315,6 +315,15 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_skipgram_pairs(spark, sf_dir):
+    # walks -> skip-gram training pairs (window 2) — what embedding
+    # training actually consumes from the corpus
+    from linkgraph_spark.kernels import random_walks, skipgram_pairs
+
+    g = _graph(spark, sf_dir)
+    return skipgram_pairs(random_walks(g, walk_length=4), window=2)
+
+
 def q_betweenness16(spark, sf_dir):
     # sampled Brandes (16 deterministic sources) — no SQL oracle (per-source
     # shortest-path DAGs need recursion); pinned by the pure-python Brandes
@@ -567,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_tools": q_shared_tools,
         "modularity_labelprop3": q_modularity_labelprop3,
         "betweenness16": q_betweenness16,
+        "skipgram_pairs": q_skipgram_pairs,
         "sample_docs_10pct": q_sample_docs_10pct,
         "train_test_split_events": q_train_test_split_events,
         "token_stats": q_token_stats,
@@ -843,6 +853,7 @@ def _hits_sql(iters: int = 5) -> str:
 
 from linkgraph_spark.kernels.linkpred import adamic_adar_sql as _aa_sql_body
 from linkgraph_spark.kernels.walks import random_walks_sql as _walks_sql_body
+from linkgraph_spark.kernels.walks import skipgram_pairs_sql as _sg_sql_body
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 from linkgraph_spark.kernels.linkpred import link_scores_sql as _ls_sql_body
 from linkgraph_spark.kernels.triangles import (
@@ -1115,6 +1126,7 @@ def oracle_sql() -> dict[str, str]:
         "k_truss3": f"{_G}, {tr.k_truss_sql(k=3, rounds=3)}",
         "shared_tools": f"{_G}, {pj.shared_tool_affinity_sql(max_tool_users=512, min_shared=2)}",
         "modularity_labelprop3": _modularity_labelprop_sql(3),
+        "skipgram_pairs": f"{_G}, {_sg_sql_body(4, 1, 2)}",
         "sample_docs_10pct": f"""
     SELECT doc_id, lang, n_chars FROM documents
     WHERE {sp.hash_sample_sql(["doc_id"], 0.10)}

@@ -27,7 +27,7 @@ from linkgraph_spark.kernels.scc import SccResult, strongly_connected_components
 from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
 from linkgraph_spark.kernels.truss import TrussResult, edge_support, k_truss
-from linkgraph_spark.kernels.walks import random_walks
+from linkgraph_spark.kernels.walks import random_walks, skipgram_pairs
 from linkgraph_spark.kernels.kcore import KCoreResult, k_core
 from linkgraph_spark.kernels.triangles import triangle_count, triangles_per_vertex
 
@@ -46,6 +46,7 @@ __all__ = [
     "hits",
     "adamic_adar",
     "random_walks",
+    "skipgram_pairs",
     "ego_graph",
     "induced_subgraph",
     "reciprocity",

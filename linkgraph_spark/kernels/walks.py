@@ -173,3 +173,46 @@ def random_walks_sql(walk_length: int = 4, walks_per_vertex: int = 1) -> str:
     return f"""{body}
     {selects}
     """
+
+
+def skipgram_pairs(corpus: DataFrame, window: int = 2) -> DataFrame:
+    """→ [center, context, n]: skip-gram co-occurrence counts over a walk
+    corpus ([walk_id, step, vertex]) — the training pairs DeepWalk-style
+    embedding jobs consume. The context join is an EQUI-join on
+    (walk_id, step + δ) for the 2·window explicit offsets (explode of a
+    constant array), so fan-out is exactly 2·window per corpus row — never
+    the O(L²)-per-walk blowup of a bare walk_id join. One aggregate
+    (map-side combinable) compacts repeated pairs."""
+    offs = [d for d in range(-window, window + 1) if d != 0]
+    a = corpus.select(
+        "walk_id", F.col("step").alias("i"), F.col("vertex").alias("center")
+    ).withColumn("delta", F.explode(F.array(*[F.lit(d) for d in offs])))
+    b = corpus.select(
+        "walk_id", (F.col("step")).alias("j"), F.col("vertex").alias("context")
+    )
+    pairs = a.withColumn("j", F.col("i") + F.col("delta")).join(
+        b, ["walk_id", "j"]
+    )
+    return pairs.groupBy("center", "context").agg(F.count("*").alias("n"))
+
+
+def skipgram_pairs_sql(
+    walk_length: int = 4, walks_per_vertex: int = 1, window: int = 2
+) -> str:
+    """DuckDB oracle body: the walks replay + the windowed pair join."""
+    walks = random_walks_sql(walk_length, walks_per_vertex)
+    # wrap the walk replay's final UNION ALL into a corpus CTE
+    idx = walks.rindex("SELECT walk_id, 0 AS step")
+    body, selects = walks[:idx].rstrip().rstrip(","), walks[idx:]
+    return f"""{body},
+    wcorpus AS MATERIALIZED (
+    {selects}
+    )
+    SELECT a.vertex AS center, b.vertex AS context, count(*) AS n
+    FROM wcorpus a
+    JOIN wcorpus b
+      ON b.walk_id = a.walk_id
+     AND b.step BETWEEN a.step - {window} AND a.step + {window}
+     AND b.step <> a.step
+    GROUP BY 1, 2
+    """

@@ -853,3 +853,24 @@ def test_betweenness_matches_brandes(spark):
         rgot = {r["id"]: r["betweenness"] for r in rres.scores.collect()}
         assert all(abs(rgot[v] - rwant[v]) < 1e-5 for v in rverts), (seed, directed)
         rg.unpersist()
+
+
+def test_skipgram_pairs_closed_form(spark):
+    from linkgraph_spark.kernels import skipgram_pairs
+
+    # one walk 10->11->12, window 1: adjacent pairs only, both directions
+    corpus = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 11), (0, 2, 12)],
+        "walk_id long, step long, vertex long",
+    )
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(corpus, window=1).collect()
+    }
+    assert got == {(10, 11): 1, (11, 10): 1, (11, 12): 1, (12, 11): 1}
+    # window 2 adds the distance-2 pair both ways
+    got2 = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(corpus, window=2).collect()
+    }
+    assert got2 == {**got, (10, 12): 1, (12, 10): 1}
