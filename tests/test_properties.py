@@ -111,3 +111,65 @@ def test_components_partition_refines_reachability(spark, edges):
         labels = {got[m] for m in members}
         assert labels == {min(members)}
     g.unpersist()
+
+
+rand_edges = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)),
+    min_size=3,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(es=rand_edges)
+@SLOW
+def test_structural_invariants_random_graphs(spark, es):
+    """Cross-kernel invariants on arbitrary small digraphs: SCC refines
+    weak components; every k-truss edge survives in the (k-1)-truss;
+    an ego graph is contained in its source's weak component; modularity
+    of any labeling is <= 1; induced slicing is idempotent."""
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels import (
+        connected_components,
+        ego_graph,
+        induced_subgraph,
+        k_truss,
+        modularity,
+        strongly_connected_components,
+    )
+
+    es = [e for e in es if e[0] != e[1]]
+    if len(es) < 2:
+        return
+    g = graph_from_edges(spark, es)
+
+    comp = {r["id"]: r["component"] for r in connected_components(g).labels.collect()}
+    scc_res = strongly_connected_components(g)
+    assert scc_res.converged
+    scc = {r["id"]: r["scc"] for r in scc_res.labels.collect()}
+    # SCC refines weak components: same scc -> same weak component
+    by_scc = {}
+    for v, s in scc.items():
+        by_scc.setdefault(s, set()).add(comp[v])
+    assert all(len(cs) == 1 for cs in by_scc.values())
+
+    t4 = {(r["a"], r["b"]) for r in k_truss(g, k=4).edges.collect()}
+    t3 = {(r["a"], r["b"]) for r in k_truss(g, k=3).edges.collect()}
+    assert t4 <= t3  # truss nesting
+
+    src = es[0][0]
+    ego = ego_graph(g, sources=[src], k=2)
+    ego_ids = {r["id"] for r in ego.vertices.collect()}
+    assert all(comp[v] == comp[src] for v in ego_ids)
+
+    labels = connected_components(g).labels.selectExpr("id", "component AS label")
+    q = modularity(g, labels).collect()[0]["modularity"]
+    assert q is not None and q <= 1.0
+
+    sub = induced_subgraph(g, F.col("out_deg") >= 1)
+    sub2 = induced_subgraph(sub, F.col("out_deg") >= 0)
+    assert {r["id"] for r in sub2.vertices.collect()} == {
+        r["id"] for r in sub.vertices.collect()
+    }
+    for gg in (g, sub, sub2, ego):
+        gg.unpersist()
