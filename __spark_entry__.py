@@ -315,6 +315,14 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_node2vec_walks(spark, sf_dir):
+    # second-order biased walks, hub-capped (the shipped scale config);
+    # the SQL oracle replays the identical integer-weighted hash choices
+    from linkgraph_spark.kernels import node2vec_walks
+
+    return node2vec_walks(_graph(spark, sf_dir), walk_length=4, max_degree=64)
+
+
 def q_skipgram_pairs(spark, sf_dir):
     # walks -> skip-gram training pairs (window 2) — what embedding
     # training actually consumes from the corpus
@@ -577,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_labelprop3": q_modularity_labelprop3,
         "betweenness16": q_betweenness16,
         "skipgram_pairs": q_skipgram_pairs,
+        "node2vec_walks": q_node2vec_walks,
         "sample_docs_10pct": q_sample_docs_10pct,
         "train_test_split_events": q_train_test_split_events,
         "token_stats": q_token_stats,
@@ -854,6 +863,7 @@ def _hits_sql(iters: int = 5) -> str:
 from linkgraph_spark.kernels.linkpred import adamic_adar_sql as _aa_sql_body
 from linkgraph_spark.kernels.walks import random_walks_sql as _walks_sql_body
 from linkgraph_spark.kernels.walks import skipgram_pairs_sql as _sg_sql_body
+from linkgraph_spark.kernels.node2vec import node2vec_walks_sql as _n2v_sql_body
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 from linkgraph_spark.kernels.linkpred import link_scores_sql as _ls_sql_body
 from linkgraph_spark.kernels.triangles import (
@@ -1127,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "shared_tools": f"{_G}, {pj.shared_tool_affinity_sql(max_tool_users=512, min_shared=2)}",
         "modularity_labelprop3": _modularity_labelprop_sql(3),
         "skipgram_pairs": f"{_G}, {_sg_sql_body(4, 1, 2)}",
+        "node2vec_walks": f"{_G}, {_n2v_sql_body(walk_length=4, max_degree=64)}",
         "sample_docs_10pct": f"""
     SELECT doc_id, lang, n_chars FROM documents
     WHERE {sp.hash_sample_sql(["doc_id"], 0.10)}

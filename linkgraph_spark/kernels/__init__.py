@@ -22,6 +22,7 @@ from linkgraph_spark.kernels.centrality import (
 )
 from linkgraph_spark.kernels.betweenness import BetweennessResult, betweenness
 from linkgraph_spark.kernels.modularity import modularity
+from linkgraph_spark.kernels.node2vec import node2vec_walks
 from linkgraph_spark.kernels.projection import shared_tool_affinity
 from linkgraph_spark.kernels.scc import SccResult, strongly_connected_components
 from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
@@ -47,6 +48,7 @@ __all__ = [
     "adamic_adar",
     "random_walks",
     "skipgram_pairs",
+    "node2vec_walks",
     "ego_graph",
     "induced_subgraph",
     "reciprocity",

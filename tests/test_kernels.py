@@ -874,3 +874,49 @@ def test_skipgram_pairs_closed_form(spark):
         for r in skipgram_pairs(corpus, window=2).collect()
     }
     assert got2 == {**got, (10, 12): 1, (12, 10): 1}
+
+
+def test_node2vec_python_replay(spark):
+    import hashlib
+
+    from linkgraph_spark.kernels import node2vec_walks
+
+    edges = [
+        (0, 1), (1, 0), (1, 2), (2, 3), (3, 1), (0, 3), (3, 4), (4, 0), (2, 0),
+    ]
+    g = graph_from_edges(spark, edges)
+    wb, wc, wf = 1, 2, 4
+    got = {
+        (r["walk_id"], r["step"]): r["vertex"]
+        for r in node2vec_walks(
+            g, walk_length=5, w_back=wb, w_common=wc, w_forward=wf
+        ).collect()
+    }
+
+    adj = {}
+    memb = set(edges)
+    for u, v in sorted(set(edges)):
+        adj.setdefault(u, []).append(v)
+    want = {}
+    for start in {x for e in edges for x in e}:
+        prev = cur = start
+        want[(start, 0)] = start
+        for s in range(1, 6):
+            cands = adj.get(cur, [])
+            if not cands:
+                break
+            ws = [
+                wb if x == prev else (wc if (prev, x) in memb else wf)
+                for x in cands
+            ]
+            h = int(hashlib.md5(f"{start}_{s}".encode()).hexdigest()[:15], 16)
+            r = h % sum(ws)
+            acc = 0
+            for x, w in zip(cands, ws):
+                acc += w
+                if r < acc:
+                    prev, cur = cur, x
+                    break
+            want[(start, s)] = cur
+    assert got == want
+    g.unpersist()
