@@ -57,7 +57,7 @@ def main(argv=None):
         choices=[
             "pagerank", "components", "components_star", "labelprop",
             "triangles", "bfs", "sssp", "hits", "kcore", "linkpred",
-            "walks", "etl", "scc", "ktruss", "betweenness", "hyperball",
+            "walks", "node2vec", "etl", "scc", "ktruss", "betweenness", "hyperball",
             "stats",
         ],
     )
@@ -163,6 +163,14 @@ def main(argv=None):
     elif args.kernel == "walks":
         result = random_walks(
             g, walk_length=args.walk_length, walks_per_vertex=args.walks_per_vertex
+        )
+        summary = {"corpus_rows": result.count()}
+    elif args.kernel == "node2vec":
+        from linkgraph_spark.kernels import node2vec_walks
+
+        result = node2vec_walks(
+            g, walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex, max_degree=args.max_degree,
         )
         summary = {"corpus_rows": result.count()}
     elif args.kernel == "components_star":
