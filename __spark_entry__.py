@@ -315,6 +315,30 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(g)
 
 
+def q_temporal_edges(spark, sf_dir):
+    from linkgraph_spark.kernels import temporal_edges
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    return temporal_edges(g, t)
+
+
+def q_temporal_reach4(spark, sf_dir):
+    # earliest time-respecting arrival from 50 seed actors, 4 relaxation
+    # rounds (unrolled oracle matches whether or not the fixpoint came
+    # early). Note vs bfs_distances: temporal reach stays conversation-
+    # local — influence cannot flow back OUT of a tool sink — which is the
+    # operator's point (static undirected reach over-reports).
+    from linkgraph_spark.kernels import temporal_edges, temporal_reachability
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    te = temporal_edges(g, t)
+    return temporal_reachability(
+        g, te, sources=list(range(50)), max_iterations=4
+    ).arrivals
+
+
 def q_node2vec_walks(spark, sf_dir):
     # second-order biased walks, hub-capped (the shipped scale config);
     # the SQL oracle replays the identical integer-weighted hash choices
@@ -586,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness16": q_betweenness16,
         "skipgram_pairs": q_skipgram_pairs,
         "node2vec_walks": q_node2vec_walks,
+        "temporal_edges": q_temporal_edges,
+        "temporal_reach4": q_temporal_reach4,
         "sample_docs_10pct": q_sample_docs_10pct,
         "train_test_split_events": q_train_test_split_events,
         "token_stats": q_token_stats,
@@ -864,6 +890,7 @@ from linkgraph_spark.kernels.linkpred import adamic_adar_sql as _aa_sql_body
 from linkgraph_spark.kernels.walks import random_walks_sql as _walks_sql_body
 from linkgraph_spark.kernels.walks import skipgram_pairs_sql as _sg_sql_body
 from linkgraph_spark.kernels.node2vec import node2vec_walks_sql as _n2v_sql_body
+from linkgraph_spark.kernels import temporal as tmp
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 from linkgraph_spark.kernels.linkpred import link_scores_sql as _ls_sql_body
 from linkgraph_spark.kernels.triangles import (
@@ -1138,6 +1165,8 @@ def oracle_sql() -> dict[str, str]:
         "modularity_labelprop3": _modularity_labelprop_sql(3),
         "skipgram_pairs": f"{_G}, {_sg_sql_body(4, 1, 2)}",
         "node2vec_walks": f"{_G}, {_n2v_sql_body(walk_length=4, max_degree=64)}",
+        "temporal_edges": f"{_G}, {tmp.temporal_edges_sql()}",
+        "temporal_reach4": f"{_G}, {tmp.temporal_reachability_sql(list(range(50)), rounds=4)}",
         "sample_docs_10pct": f"""
     SELECT doc_id, lang, n_chars FROM documents
     WHERE {sp.hash_sample_sql(["doc_id"], 0.10)}

@@ -24,6 +24,11 @@ from linkgraph_spark.kernels.betweenness import BetweennessResult, betweenness
 from linkgraph_spark.kernels.modularity import modularity
 from linkgraph_spark.kernels.node2vec import node2vec_walks
 from linkgraph_spark.kernels.projection import shared_tool_affinity
+from linkgraph_spark.kernels.temporal import (
+    TemporalReachResult,
+    temporal_edges,
+    temporal_reachability,
+)
 from linkgraph_spark.kernels.scc import SccResult, strongly_connected_components
 from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
@@ -49,6 +54,9 @@ __all__ = [
     "random_walks",
     "skipgram_pairs",
     "node2vec_walks",
+    "TemporalReachResult",
+    "temporal_edges",
+    "temporal_reachability",
     "ego_graph",
     "induced_subgraph",
     "reciprocity",

@@ -1,0 +1,203 @@
+"""Temporal graph operators: timestamped edges and time-respecting reach.
+
+The static graph (``edges.py``) deliberately dedups away WHEN interactions
+happened; these operators keep the clock. A time-respecting path is a
+sequence of edges with non-decreasing timestamps — "the influence can only
+flow forward in time" — the correct reachability notion for "which actors
+could this conversation have affected" (provenance / contamination
+tracing), where static reachability over-reports.
+
+- :func:`temporal_edges` — re-derives the edge list WITH multiplicity and
+  the epoch timestamp of the destination turn (an adjacent-turn edge
+  "happens" when the reply lands; a tool edge when the invocation does),
+  mapped onto the graph's vertex ids. Same window + two joins as the
+  static ETL, no extra shuffles.
+- :func:`temporal_reachability` — earliest-arrival fixpoint: arr(v) =
+  min over edges (u, v, ts) with ts ≥ arr(u). The same superstep shuffle
+  as BFS (edge⋈state join + min-agg + rotate, change count via
+  ``observe()``); rounds ≤ temporal-path length. State O(V) longs.
+
+Engine additions over the reference (whose graph has no time axis at all).
+Session TZ is pinned UTC (``session.py``), so Spark ``unix_timestamp`` and
+DuckDB ``epoch`` agree and the SQL oracle replays both operators exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import functions as F
+
+from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.lineage import RotatingState
+from linkgraph_spark.session import pinned_superstep_confs
+
+UNREACHED_TS = 4_000_000_000_000  # far-future epoch sentinel (year ~128699)
+
+
+def temporal_edges(graph: LinkGraph, transcripts: DataFrame) -> DataFrame:
+    """→ [src, dst, ts] (epoch seconds, multiplicity kept) over the
+    graph's vertex ids. Self-loops dropped to match the static ETL."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    actor = F.concat(F.col("conv_id"), F.lit("#"), F.col("role"))
+    adjacent = transcripts.select(
+        actor.alias("src_key"),
+        F.concat(F.col("conv_id"), F.lit("#"), F.lead("role").over(w)).alias(
+            "dst_key"
+        ),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("ts"),
+    ).where(F.col("dst_key").isNotNull())
+    tool = transcripts.where(F.col("tool").isNotNull()).select(
+        actor.alias("src_key"),
+        F.concat(F.lit("tool:"), F.col("tool")).alias("dst_key"),
+        F.unix_timestamp("ts").alias("ts"),
+    )
+    raw = adjacent.unionByName(tool).where(F.col("src_key") != F.col("dst_key"))
+    v = graph.vertices
+    return (
+        raw.join(
+            v.select(F.col("actor_key").alias("src_key"), F.col("id").alias("src")),
+            "src_key",
+        )
+        .join(
+            v.select(F.col("actor_key").alias("dst_key"), F.col("id").alias("dst")),
+            "dst_key",
+        )
+        .select("src", "dst", "ts")
+    )
+
+
+# floor(): Spark unix_timestamp TRUNCATES fractional seconds; a bare
+# DuckDB CAST(double AS BIGINT) rounds — floor matches the truncation
+_TE_CTE = """te_raw AS (
+      SELECT (conv_id || '#' || role) AS src_key,
+             (conv_id || '#' || lead(role) OVER w) AS dst_key,
+             CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS ts
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+      UNION ALL
+      SELECT (conv_id || '#' || role) AS src_key,
+             ('tool:' || tool) AS dst_key,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts
+      FROM t WHERE tool IS NOT NULL
+    )"""
+
+_TE_SELECT = """SELECT vs.id AS src, vd.id AS dst, r.ts
+    FROM te_raw r
+    JOIN verts vs ON vs.actor_key = r.src_key
+    JOIN verts vd ON vd.actor_key = r.dst_key
+    WHERE r.dst_key IS NOT NULL AND r.src_key <> r.dst_key"""
+
+
+def temporal_edges_sql() -> str:
+    """DuckDB oracle body (expects ``t``/``verts`` CTEs in scope — the
+    transcript chain of ``edges_sql``)."""
+    return f"""
+    {_TE_CTE}
+    {_TE_SELECT}
+    """
+
+
+@dataclass
+class TemporalReachResult:
+    arrivals: DataFrame  # [id: long, arrival: long] — reached ids only
+    iterations: int
+    converged: bool
+    metrics: list = field(default_factory=list)
+
+
+def temporal_reachability(
+    graph: LinkGraph,
+    tedges: DataFrame,
+    sources: list,
+    max_iterations: int = 50,
+) -> TemporalReachResult:
+    """→ earliest time-respecting arrival from ``sources`` (their own
+    arrival is -1: before everything). An edge (u, v, ts) is traversable
+    iff ts ≥ arr(u); arr(v) minimizes the traversed edge's ts."""
+    spark = graph.vertices.sparkSession
+    src_set = [int(s) for s in sources]
+    n_edges = tedges.count()
+    state = RotatingState(spark)
+    arr = state.rotate(
+        graph.vertices.select(
+            "id",
+            F.when(F.col("id").isin(src_set), F.lit(-1))
+            .otherwise(F.lit(UNREACHED_TS))
+            .cast("long")
+            .alias("arrival"),
+        )
+    )
+    converged = False
+    metrics: list = []
+    it = 0
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+        for it in range(1, max_iterations + 1):
+            u = arr.select(F.col("id").alias("src"), F.col("arrival").alias("au"))
+            cand = (
+                tedges.join(u, "src")
+                .where((F.col("au") < UNREACHED_TS) & (F.col("ts") >= F.col("au")))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("ts").alias("cand"))
+            )
+            new = arr.join(cand, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("arrival"), F.coalesce("cand", F.col("arrival"))
+                ).alias("arrival"),
+                (F.coalesce("cand", F.lit(UNREACHED_TS)) < F.col("arrival")).alias(
+                    "_improved"
+                ),
+            )
+            obs = Observation(f"treach_{id(state)}_{it}")
+            new = new.observe(
+                obs, F.sum(F.when(F.col("_improved"), 1).otherwise(0)).alias("n")
+            )
+            new = state.rotate(new)
+            changed = obs.get["n"] or 0
+            arr = new.select("id", "arrival")
+            metrics.append({"iteration": it, "improved": changed})
+            if changed == 0:
+                converged = True
+                break
+    return TemporalReachResult(
+        arrivals=arr.where(F.col("arrival") < UNREACHED_TS),
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+    )
+
+
+def temporal_reachability_sql(sources: list, rounds: int) -> str:
+    """DuckDB oracle body for a ``max_iterations=rounds`` run (idempotent
+    at the fixpoint, so early Spark convergence still matches). Expects
+    the ``t``/``verts`` CTEs; builds its own temporal edge CTE."""
+    sent = UNREACHED_TS
+    src = ", ".join(str(int(s)) for s in sources)
+    ctes = [
+        _TE_CTE,
+        f"""tr_e AS MATERIALIZED (
+      {_TE_SELECT}
+    )""",
+        f"""tr0 AS (
+      SELECT id, CASE WHEN id IN ({src}) THEN -1 ELSE {sent} END AS arrival
+      FROM verts
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""tr{i} AS MATERIALIZED (
+      SELECT a.id, least(a.arrival, coalesce(m.c, {sent})) AS arrival
+      FROM tr{i - 1} a
+      LEFT JOIN (
+        SELECT e.dst AS id, min(e.ts) AS c
+        FROM tr_e e JOIN tr{i - 1} p ON e.src = p.id
+        WHERE p.arrival < {sent} AND e.ts >= p.arrival
+        GROUP BY e.dst
+      ) m ON m.id = a.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT id, arrival FROM tr{rounds} WHERE arrival < {sent}
+    """

@@ -920,3 +920,28 @@ def test_node2vec_python_replay(spark):
             want[(start, s)] = cur
     assert got == want
     g.unpersist()
+
+
+def test_temporal_reachability_respects_time(spark):
+    from linkgraph_spark.kernels import temporal_reachability
+
+    # static path 0->1->2 exists, but the 1->2 edge happened BEFORE the
+    # walk arrives at 1 — temporally unreachable; 1->3 (later) is fine
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (1, 3)])
+    te = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 5), (1, 3, 20)], "src long, dst long, ts long"
+    )
+    res = temporal_reachability(g, te, sources=[0])
+    assert res.converged
+    got = {r["id"]: r["arrival"] for r in res.arrivals.collect()}
+    assert got == {0: -1, 1: 10, 3: 20}  # 2 absent: time-respecting only
+    # earliest arrival picks the min feasible ts among parallel edges
+    te2 = spark.createDataFrame(
+        [(0, 1, 10), (0, 1, 7), (1, 3, 20)], "src long, dst long, ts long"
+    )
+    got2 = {
+        r["id"]: r["arrival"]
+        for r in temporal_reachability(g, te2, sources=[0]).arrivals.collect()
+    }
+    assert got2[1] == 7
+    g.unpersist()
