@@ -62,16 +62,37 @@ def connected_components(
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
     force_big_state: bool | None = None,
+    init_labels: DataFrame | None = None,
 ) -> ComponentsResult:
     """Hash-min label exchange → :class:`ComponentsResult` (component = min
     member id). ``result.converged`` is False iff the iteration cap was hit
     before the fixpoint. ``force_big_state`` overrides the join-regime size
-    heuristic (tests value-verify the shuffle-hash regime on small graphs)."""
+    heuristic (tests value-verify the shuffle-hash regime on small graphs).
+
+    ``init_labels`` (``[id, component]``) warm-starts an ADDITIONS-ONLY
+    incremental run: old labels are each old component's min id, so the
+    hash-min fixpoint from them is min-over-new-component of old minima =
+    the exact new labels, reached in rounds ~ the diameter of the
+    component-MERGE graph instead of the raw graph diameter. Vertices
+    absent from ``init_labels`` (new actors) start at their own id. NOT
+    valid after edge REMOVALS (stale merged labels would persist) — rerun
+    cold for those. Mutually exclusive with ``resume``."""
+    if init_labels is not None and resume:
+        raise ValueError("init_labels and resume are mutually exclusive")
     spark = graph.vertices.sparkSession
     sym = undirected(graph.edges).persist()
     n_sym = sym.count()
 
     labels = graph.vertices.select("id", F.col("id").alias("component"))
+    if init_labels is not None:
+        labels = (
+            graph.vertices.join(
+                init_labels.select("id", F.col("component").alias("_warm")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("_warm", F.col("id")).alias("component"))
+        )
     start = 0
     if resume and checkpoint is not None:
         latest = checkpoint.latest_iteration("components")

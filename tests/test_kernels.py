@@ -945,3 +945,31 @@ def test_temporal_reachability_respects_time(spark):
     }
     assert got2[1] == 7
     g.unpersist()
+
+
+def test_components_warm_start_incremental(spark):
+    from linkgraph_spark.kernels import connected_components
+
+    # long chain: cold convergence needs ~diameter supersteps
+    chain = [(i, i + 1) for i in range(40)]
+    g = graph_from_edges(spark, chain)
+    cold = connected_components(g)
+    assert cold.converged and cold.iterations > 10
+
+    # additions-only delta: a new vertex + a bridge edge; warm start
+    # re-converges in a couple of rounds and matches the cold labels
+    g2 = graph_from_edges(spark, chain + [(40, 41), (5, 41)])
+    cold2 = connected_components(g2)
+    warm2 = connected_components(g2, init_labels=cold.labels)
+    assert warm2.converged
+    assert warm2.iterations < cold2.iterations
+    a = {r["id"]: r["component"] for r in cold2.labels.collect()}
+    b = {r["id"]: r["component"] for r in warm2.labels.collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        connected_components(g, init_labels=cold.labels, resume=True)
+    for gg in (g, g2):
+        gg.unpersist()
