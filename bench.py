@@ -107,6 +107,19 @@ def main():
         lambda: hyperball(g_sf, max_r=6).centrality.count()
     )
     _, q["k_truss3_sf"] = timed(lambda: k_truss(g_sf, k=3).edges.count())
+    from linkgraph_spark.kernels import node2vec_walks, temporal_edges, temporal_reachability
+
+    # second-order walk corpus (hub-capped) + temporal relaxation sweep
+    _, q["node2vec4_sf"] = timed(
+        lambda: node2vec_walks(g_sf, walk_length=4, max_degree=64).count()
+    )
+    t_sf = transcripts_from_events(spark, sf_dir)
+    te_sf = temporal_edges(g_sf, t_sf)
+    _, q["temporal_reach_sf"] = timed(
+        lambda: temporal_reachability(
+            g_sf, te_sf, sources=list(range(50))
+        ).arrivals.count()
+    )
     n_edges_sf = g_sf.edges.count()
     g_sf.unpersist()
 
