@@ -38,7 +38,8 @@ def _bucket(key_cols: list[str], salt: str) -> Column:
 
 def _bucket_sql(key_exprs: list[str], salt: str) -> str:
     casts = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
-    key = f"concat_ws(chr(31), '{salt}', {casts})"
+    quoted = salt.replace("'", "''")  # keep the oracle valid for any salt
+    key = f"concat_ws(chr(31), '{quoted}', {casts})"
     return f"({md5_long_sql(key)} % {_BUCKETS})"
 
 

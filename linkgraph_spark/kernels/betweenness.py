@@ -70,6 +70,15 @@ def betweenness(
         src_rows = graph.vertices.select("id").orderBy("id").limit(n_samples).collect()
         sources = [r["id"] for r in src_rows]
     sources = [int(s) for s in sources]
+    if not sources:
+        return BetweennessResult(
+            scores=graph.vertices.select(
+                "id", F.lit(0.0).alias("betweenness")
+            ),
+            sources=[],
+            depth=0,
+            converged=True,
+        )
 
     if directed:
         edges = (
@@ -81,6 +90,7 @@ def betweenness(
         from linkgraph_spark.kernels.components import undirected
 
         edges = undirected(graph.edges)
+    edges = edges.persist()  # read every forward AND backward level
     n_edges = graph.edges.count()
 
     tracked: set = set()
@@ -183,6 +193,7 @@ def betweenness(
         scores = scores.localCheckpoint()  # detach from the level blocks
 
     free_tracked(spark.sparkContext, tracked)
+    edges.unpersist()
     return BetweennessResult(
         scores=scores,
         sources=sources,

@@ -139,6 +139,7 @@ def hyperball(
         from linkgraph_spark.kernels.components import undirected
 
         edges = undirected(graph.edges)
+    edges = edges.persist()  # read every sketch round
 
     state = RotatingState(spark)
     n_edges = graph.edges.count()
@@ -215,6 +216,7 @@ def hyperball(
         F.round("prev", 6).alias("ball_est"),
         F.round("h", 6).alias("harmonic_est"),
     )
+    edges.unpersist()
     return HyperBallResult(
         centrality=out, iterations=it, converged=converged, metrics=metrics
     )
@@ -226,6 +228,7 @@ def effective_diameter(
     max_r: int = 64,
     directed: bool = False,
     lgk: int = 12,
+    result: HyperBallResult | None = None,
 ) -> float:
     """→ the HyperANF effective diameter estimate: the (interpolated)
     radius r at which the neighborhood function N(r) = Σ_v |B(v, r)|
@@ -235,7 +238,9 @@ def effective_diameter(
     HyperBall run (O(rounds · E), O(V) sketch state). The whole-graph
     "how far apart is everything" number next to reciprocity/assortativity.
     """
-    res = hyperball(graph, max_r=max_r, directed=directed, lgk=lgk)
+    # pass a finished sweep via ``result`` to reuse its N(r) metrics
+    # instead of paying a second O(rounds·E) HyperBall run
+    res = result or hyperball(graph, max_r=max_r, directed=directed, lgk=lgk)
     # N(0) = V exactly (every ball starts as {v})
     nf = [float(graph.num_vertices)] + [m["nf"] for m in res.metrics]
     target = q * nf[-1]

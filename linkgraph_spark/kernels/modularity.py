@@ -29,13 +29,9 @@ def modularity(graph: LinkGraph, labels: DataFrame, label_col: str = "label") ->
     given by ``labels`` (``[id, <label_col>]``; every vertex must be
     labeled). Self-loops are ignored, matching the kernels' undirected
     simple-graph convention."""
-    und = (
-        graph.edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und = _oriented(graph.edges)
     lab = labels.select("id", F.col(label_col).alias("_c"))
     la = lab.select(F.col("id").alias("a"), F.col("_c").alias("ca"))
     lb = lab.select(F.col("id").alias("b"), F.col("_c").alias("cb"))
@@ -91,9 +87,9 @@ def modularity_sql(labels_cte: str, label_col: str = "label") -> str:
         SELECT ca AS c FROM md_el UNION ALL SELECT cb FROM md_el
       ) GROUP BY c
     )
-    SELECT round(sum(
+    SELECT coalesce(round(sum(
       coalesce(w.mc, 0) * 1.0 / m.m - (d.dc / (2.0 * m.m)) * (d.dc / (2.0 * m.m))
-    ), 6) AS modularity
+    ), 6), 0.0) AS modularity
     FROM md_deg d CROSS JOIN md_m m
     LEFT JOIN md_within w ON w.c = d.c
     """

@@ -58,6 +58,7 @@ def node2vec_walks(
     adj = _indexed_adjacency(graph.edges, graph.num_vertices)
     if max_degree is not None:
         adj = adj.where(F.col("idx") < max_degree)
+    adj = adj.persist()  # the windowed ranking must not re-run per step
     memb = (
         graph.edges.select("src", "dst")
         .distinct()
@@ -66,6 +67,7 @@ def node2vec_walks(
             F.col("dst").alias("x"),
             F.lit(True).alias("_cm"),
         )
+        .persist()
     )
 
     starts = graph.vertices.select("id")
@@ -141,6 +143,8 @@ def node2vec_walks(
         if interim_ids:
             out, _ = checkpoint_tracked(out)
             free_tracked(spark.sparkContext, interim_ids)
+    adj.unpersist()
+    memb.unpersist()
     return out
 
 

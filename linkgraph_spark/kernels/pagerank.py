@@ -139,6 +139,10 @@ def pagerank(
         raise ValueError("personalization applies to textbook/weighted modes")
     if init_ranks is not None and resume:
         raise ValueError("init_ranks and resume are mutually exclusive")
+    if init_ranks is not None and mode == "compat":
+        # compat runs a FIXED iteration count with no convergence check, so
+        # a warm start silently changes the (reference-mirroring) result
+        raise ValueError("init_ranks applies to textbook/weighted modes")
 
     spark = graph.vertices.sparkSession
     n = graph.num_vertices

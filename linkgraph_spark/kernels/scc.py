@@ -100,7 +100,10 @@ def strongly_connected_components(
     callers must not trust them (same contract as components)."""
     spark = graph.vertices.sparkSession
     fwd_all = (
-        graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()  # read by every inner superstep of every round
     )
     n_edges = graph.edges.count()
 
@@ -172,7 +175,8 @@ def strongly_connected_components(
         parts = parts + [active.select("id", F.col("id").alias("scc"))]
     from functools import reduce
 
-    labels = reduce(DataFrame.unionAll, parts)
+    labels = reduce(DataFrame.unionAll, parts).localCheckpoint()
+    fwd_all.unpersist()
     return SccResult(
         labels=labels,
         rounds=rnd,

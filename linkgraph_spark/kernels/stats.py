@@ -41,7 +41,8 @@ def _simple_directed(edges: DataFrame) -> DataFrame:
 def reciprocity(graph: LinkGraph) -> DataFrame:
     """→ one-row ``[reciprocity: double]`` — the fraction of distinct
     non-loop directed edges (u, v) whose reverse (v, u) is also present
-    (1.0 on an empty edge set by convention of 0/0 → we emit 0.0).
+    (0.0 on an empty edge set — the 0/0 case is pinned, and the SQL
+    oracle emits the same).
 
     In a transcript graph this is the turn-taking symmetry rate: how often
     actor u handing off to v is matched by v handing back to u.
@@ -69,11 +70,9 @@ def degree_assortativity(graph: LinkGraph) -> DataFrame:
     graphs (high-degree tool actors attach to low-degree conversation
     actors).
     """
-    e = _simple_directed(graph.edges)
-    und = (
-        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und = _oriented(graph.edges)
     # both orientations: each undirected edge contributes (da, db) and (db, da)
     both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = both.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))

@@ -117,6 +117,7 @@ def temporal_reachability(
     iff ts ≥ arr(u); arr(v) minimizes the traversed edge's ts."""
     spark = graph.vertices.sparkSession
     src_set = [int(s) for s in sources]
+    tedges = tedges.persist()  # the caller's derivation must not re-run per round
     n_edges = tedges.count()
     state = RotatingState(spark)
     arr = state.rotate(
@@ -160,6 +161,7 @@ def temporal_reachability(
             if changed == 0:
                 converged = True
                 break
+    tedges.unpersist()
     return TemporalReachResult(
         arrivals=arr.where(F.col("arrival") < UNREACHED_TS),
         iterations=it,

@@ -67,6 +67,8 @@ def k_truss(graph: LinkGraph, k: int, max_iterations: int = 50) -> TrussResult:
     its support as of the last recount."""
     if k < 3:
         raise ValueError("k-truss needs k >= 3 (k-2 >= 1 triangle per edge)")
+    if max_iterations < 1:
+        raise ValueError("k-truss needs max_iterations >= 1 (the result carries support)")
     spark = graph.edges.sparkSession
     thresh = k - 2
     state = RotatingState(spark)

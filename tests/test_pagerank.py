@@ -193,5 +193,7 @@ def test_pagerank_warm_start_incremental(spark):
 
     with pytest.raises(ValueError):
         pagerank(g1, mode="textbook", init_ranks=cold1.ranks, resume=True)
+    with pytest.raises(ValueError):
+        pagerank(g1, mode="compat", init_ranks=cold1.ranks)
     for gg in (g1, g2):
         gg.unpersist()
