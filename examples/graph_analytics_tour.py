@@ -55,7 +55,6 @@ def main() -> int:
     # 1. shape: is this graph healthy, and what is it like?
     report["reciprocity"] = reciprocity(g).collect()[0]["reciprocity"]
     report["assortativity"] = degree_assortativity(g).collect()[0]["assortativity"]
-    report["effective_diameter_q90"] = effective_diameter(g, q=0.9)
 
     # 2. structure: communities and their quality
     labels = label_propagation(g, max_iterations=5)
@@ -81,6 +80,8 @@ def main() -> int:
     }
     hb = hyperball(g, max_r=8)
     report["hyperball_rounds"] = hb.iterations
+    # one sweep feeds both the per-vertex estimates and the diameter
+    report["effective_diameter_q90"] = effective_diameter(g, q=0.9, result=hb)
     bw = betweenness(g, n_samples=8)
     report["max_betweenness"] = bw.scores.agg(F.max("betweenness")).collect()[0][0]
 
