@@ -376,6 +376,14 @@ def q_modularity_labelprop3(spark, sf_dir):
     return modularity(g, labels)
 
 
+def q_conductance_labelprop3(spark, sf_dir):
+    from linkgraph_spark.kernels import conductance
+
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(g, max_iterations=3)
+    return conductance(g, labels)
+
+
 def q_shared_tools(spark, sf_dir):
     # bipartite actor-x-tool projection, hub-capped; min_shared=2 keeps
     # only multi-tool affinity (single shared ubiquitous tool = noise)
@@ -607,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "shared_tools": q_shared_tools,
         "modularity_labelprop3": q_modularity_labelprop3,
+        "conductance_labelprop3": q_conductance_labelprop3,
         "betweenness16": q_betweenness16,
         "skipgram_pairs": q_skipgram_pairs,
         "node2vec_walks": q_node2vec_walks,
@@ -1047,6 +1056,14 @@ def _modularity_labelprop_sql(iters: int = 3) -> str:
     return f"{head},\n{modularity_sql(f'p{iters}')}"
 
 
+def _conductance_labelprop_sql(iters: int = 3) -> str:
+    from linkgraph_spark.kernels.modularity import conductance_sql
+
+    lp = _labelprop_sql(iters)
+    head = lp[: lp.rindex("SELECT id, label")].rstrip()
+    return f"{head},\n{conductance_sql(f'p{iters}')}"
+
+
 def _subgraph_active_sql() -> str:
     return f"""{_G}, {_DEGS},
     sg_keep AS (SELECT id FROM degs WHERE out_deg >= 2)
@@ -1163,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "k_truss3": f"{_G}, {tr.k_truss_sql(k=3, rounds=3)}",
         "shared_tools": f"{_G}, {pj.shared_tool_affinity_sql(max_tool_users=512, min_shared=2)}",
         "modularity_labelprop3": _modularity_labelprop_sql(3),
+        "conductance_labelprop3": _conductance_labelprop_sql(3),
         "skipgram_pairs": f"{_G}, {_sg_sql_body(4, 1, 2)}",
         "node2vec_walks": f"{_G}, {_n2v_sql_body(walk_length=4, max_degree=64)}",
         "temporal_edges": f"{_G}, {tmp.temporal_edges_sql()}",

@@ -21,7 +21,7 @@ from linkgraph_spark.kernels.centrality import (
     hyperball,
 )
 from linkgraph_spark.kernels.betweenness import BetweennessResult, betweenness
-from linkgraph_spark.kernels.modularity import modularity
+from linkgraph_spark.kernels.modularity import conductance, modularity
 from linkgraph_spark.kernels.node2vec import node2vec_walks
 from linkgraph_spark.kernels.projection import shared_tool_affinity
 from linkgraph_spark.kernels.temporal import (
@@ -62,6 +62,7 @@ __all__ = [
     "reciprocity",
     "degree_assortativity",
     "modularity",
+    "conductance",
     "BetweennessResult",
     "betweenness",
     "shared_tool_affinity",

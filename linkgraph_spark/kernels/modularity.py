@@ -93,3 +93,81 @@ def modularity_sql(labels_cte: str, label_col: str = "label") -> str:
     FROM md_deg d CROSS JOIN md_m m
     LEFT JOIN md_within w ON w.c = d.c
     """
+
+
+def conductance(
+    graph: LinkGraph, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """→ ``[community, conductance]`` — per-community cut quality:
+    φ(C) = cut(C) / min(vol(C), 2m − vol(C)) over the undirected simple
+    graph (cut = edges leaving C, vol = degree mass inside). The
+    PER-community complement to the single global ``modularity`` number:
+    low φ = a well-separated community. NULL when the denominator is 0
+    (C or its complement holds no edge endpoints). Same single-pass
+    shape as modularity: one symmetrize, two label joins, two grouped
+    sums — state O(communities)."""
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und = _oriented(graph.edges)
+    lab = labels.select("id", F.col(label_col).alias("_c"))
+    la = lab.select(F.col("id").alias("a"), F.col("_c").alias("ca"))
+    lb = lab.select(F.col("id").alias("b"), F.col("_c").alias("cb"))
+    el = und.join(la, "a").join(lb, "b")
+
+    cut = (
+        el.where(F.col("ca") != F.col("cb"))
+        .select(F.explode(F.array("ca", "cb")).alias("community"))
+        .groupBy("community")
+        .agg(F.count("*").alias("cut"))
+    )
+    vol = (
+        el.select(F.explode(F.array("ca", "cb")).alias("community"))
+        .groupBy("community")
+        .agg(F.count("*").alias("vol"))
+    )
+    m = und.count()
+    denom = F.least(F.col("vol"), F.lit(2 * m) - F.col("vol"))
+    return (
+        vol.join(cut, "community", "left")
+        .select(
+            "community",
+            F.round(
+                F.when(
+                    denom > 0, F.coalesce("cut", F.lit(0)) / denom
+                ),
+                6,
+            ).alias("conductance"),
+        )
+    )
+
+
+def conductance_sql(labels_cte: str, label_col: str = "label") -> str:
+    """DuckDB oracle body (mirror of :func:`conductance`; expects the
+    ``edges`` CTE and a labels CTE in scope)."""
+    return f"""
+    cd_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    cd_m AS (SELECT count(*) AS m FROM cd_und),
+    cd_el AS MATERIALIZED (
+      SELECT e.a, e.b, la.{label_col} AS ca, lb.{label_col} AS cb
+      FROM cd_und e
+      JOIN {labels_cte} la ON la.id = e.a
+      JOIN {labels_cte} lb ON lb.id = e.b
+    ),
+    cd_ends AS (
+      SELECT ca AS community, (ca <> cb) AS is_cut FROM cd_el
+      UNION ALL SELECT cb, (ca <> cb) FROM cd_el
+    ),
+    cd_agg AS (
+      SELECT community, count(*) AS vol,
+             sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS cut
+      FROM cd_ends GROUP BY community
+    )
+    SELECT community,
+           CASE WHEN least(vol, 2 * m.m - vol) > 0
+                THEN round(cut * 1.0 / least(vol, 2 * m.m - vol), 6)
+           END AS conductance
+    FROM cd_agg CROSS JOIN cd_m m
+    """

@@ -973,3 +973,23 @@ def test_components_warm_start_incremental(spark):
         connected_components(g, init_labels=cold.labels, resume=True)
     for gg in (g, g2):
         gg.unpersist()
+
+
+def test_conductance_closed_form(spark):
+    from linkgraph_spark.kernels import conductance
+
+    # two triangles bridged by (2,3): m=7; each community vol=7, cut=1
+    # -> phi = 1/7 for both
+    g = graph_from_edges(
+        spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    )
+    labels = spark.createDataFrame(
+        [(i, 0) for i in (0, 1, 2)] + [(i, 1) for i in (3, 4, 5)],
+        "id long, label long",
+    )
+    got = {r["community"]: r["conductance"] for r in conductance(g, labels).collect()}
+    assert got == {0: round(1 / 7, 6), 1: round(1 / 7, 6)}
+    # one community covering everything: complement empty -> NULL
+    one = labels.selectExpr("id", "0 AS label")
+    assert conductance(g, one).collect()[0]["conductance"] is None
+    g.unpersist()
