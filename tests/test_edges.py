@@ -117,3 +117,28 @@ def test_cli_weighted_and_personalized(spark, tmp_path, capsys):
         ]
     )
     assert rc == 0
+
+
+def test_cli_round3_kernels(spark, tmp_path, capsys):
+    """Every round-3 kernel is reachable from the spark-submit entry point
+    and reports its summary contract."""
+    import json
+
+    from linkgraph_spark.cli import main
+
+    def run(*argv):
+        rc = main(list(argv) + ["--synthetic-convs", "40", "--output",
+                                str(tmp_path / argv[0])])
+        assert rc == 0
+        return json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        )
+
+    assert run("scc")["converged"]
+    assert run("ktruss", "--k", "3")["converged"]
+    s = run("betweenness", "--n-samples", "4")
+    assert s["sources"] == 4 and s["converged"]
+    assert run("hyperball", "--max-r", "4")["iterations"] >= 1
+    st = run("stats")
+    assert "reciprocity" in st and "assortativity" in st
+    assert run("node2vec", "--walk-length", "2")["corpus_rows"] > 0
