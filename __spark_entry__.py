@@ -491,6 +491,10 @@ def q_train_test_split_events(spark, sf_dir):
 
 
 # ----------------------------------------------------------- pipeline: text
+def q_redact_pii(spark, sf_dir):
+    return tx.redact_pii(_docs(spark, sf_dir))
+
+
 def q_token_stats(spark, sf_dir):
     return tx.token_stats(_docs(spark, sf_dir))
 
@@ -623,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach4": q_temporal_reach4,
         "sample_docs_10pct": q_sample_docs_10pct,
         "train_test_split_events": q_train_test_split_events,
+        "redact_pii": q_redact_pii,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1198,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_landmarks": f"{_G}, {ct.harmonic_landmarks_sql([0, 1, 2], k=4)}",
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
+        "redact_pii": tx.redact_pii_sql(),
         "token_stats": tx.token_stats_sql(),
         "quality_score": tx.quality_score_sql(),
         "lang_id": tx.lang_id_sql(),

@@ -295,3 +295,35 @@ def tfidf_top_terms_sql(table: str = "documents", k: int = 5) -> str:
       FROM scored
     ) WHERE rk <= {k}
     """
+
+
+# --- PII redaction ----------------------------------------------------------
+# Patterns deliberately avoid lookaround/backreferences so Java (Spark) and
+# RE2-style (DuckDB) engines match identically; each is replaced globally.
+REDACT_PATTERNS = [
+    # order matters: IPs first, or the looser phone pattern swallows them
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "[EMAIL]"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "[IP]"),
+    (r"\+?[0-9][0-9() .-]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """→ [doc_id, text]: the corpus with email / phone-like / IPv4 spans
+    replaced by typed placeholders — the standard pre-training scrub pass.
+    Map-only column expressions (chained ``regexp_replace``), column-pruned,
+    whole-stage codegen; the patterns are restricted to syntax both Spark's
+    Java regex and DuckDB's RE2 interpret identically, so the scrub is
+    oracle-replayed exactly."""
+    out = F.col("text")
+    for pat, repl in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return documents.select("doc_id", out.alias("text"))
+
+
+def redact_pii_sql(table: str = "documents") -> str:
+    expr = "text"
+    for pat, repl in REDACT_PATTERNS:
+        quoted = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{quoted}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM {table}"

@@ -175,3 +175,20 @@ def test_tfidf_top_terms_matches_hand_computation(spark):
         got.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
     got = {i: sorted(v, key=lambda kv: (-kv[1], kv[0])) for i, v in got.items()}
     assert got == want
+
+
+def test_redact_pii_explicit(spark):
+    from linkgraph_spark.functions.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567."),
+            (2, "server 192.168.1.250 logged 3 errors"),
+            (3, "no pii here, just words and the number 7"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert got[1] == "mail me at [EMAIL] or call [PHONE]."
+    assert got[2] == "server [IP] logged 3 errors"
+    assert got[3] == "no pii here, just words and the number 7"
