@@ -111,29 +111,39 @@ def temporal_reachability(
     tedges: DataFrame,
     sources: list,
     max_iterations: int = 50,
+    checkpoint=None,
+    resume: bool = False,
 ) -> TemporalReachResult:
     """→ earliest time-respecting arrival from ``sources`` (their own
     arrival is -1: before everything). An edge (u, v, ts) is traversable
-    iff ts ≥ arr(u); arr(v) minimizes the traversed edge's ts."""
+    iff ts ≥ arr(u); arr(v) minimizes the traversed edge's ts. Same
+    checkpoint/resume contract as BFS (``kernels/paths.py``): pass a
+    ``CheckpointStore`` to snapshot each round, ``resume=True`` to restart
+    from the latest committed one."""
     spark = graph.vertices.sparkSession
     src_set = [int(s) for s in sources]
     tedges = tedges.persist()  # the caller's derivation must not re-run per round
     n_edges = tedges.count()
     state = RotatingState(spark)
-    arr = state.rotate(
-        graph.vertices.select(
-            "id",
-            F.when(F.col("id").isin(src_set), F.lit(-1))
-            .otherwise(F.lit(UNREACHED_TS))
-            .cast("long")
-            .alias("arrival"),
-        )
+    init = graph.vertices.select(
+        "id",
+        F.when(F.col("id").isin(src_set), F.lit(-1))
+        .otherwise(F.lit(UNREACHED_TS))
+        .cast("long")
+        .alias("arrival"),
     )
+    start = 0
+    if resume and checkpoint is not None:
+        latest = checkpoint.latest_iteration("treach")
+        if latest is not None:
+            init = checkpoint.load_state(spark, "treach", latest)
+            start = latest
+    arr = state.rotate(init)
     converged = False
     metrics: list = []
-    it = 0
+    it = start
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
-        for it in range(1, max_iterations + 1):
+        for it in range(start + 1, max_iterations + 1):
             u = arr.select(F.col("id").alias("src"), F.col("arrival").alias("au"))
             cand = (
                 tedges.join(u, "src")
@@ -158,6 +168,10 @@ def temporal_reachability(
             changed = obs.get["n"] or 0
             arr = new.select("id", "arrival")
             metrics.append({"iteration": it, "improved": changed})
+            if checkpoint is not None:
+                checkpoint.write_state(
+                    "treach", it, arr, key_col="id", metrics={"improved": changed}
+                )
             if changed == 0:
                 converged = True
                 break

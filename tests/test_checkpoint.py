@@ -169,3 +169,25 @@ def test_star_components_resume(spark, tmp_path):
     got = {(r["id"], r["component"]) for r in resumed.labels.collect()}
     assert got == want
     g.unpersist()
+
+
+def test_temporal_reach_resume(spark, store):
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels import temporal_reachability
+
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3)])
+    te = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 6), (2, 3, 7)], "src long, dst long, ts long"
+    )
+    full = temporal_reachability(g, te, sources=[0], checkpoint=store)
+    assert full.converged
+    want = {r["id"]: r["arrival"] for r in full.arrivals.collect()}
+
+    # resume from the latest committed round: load-only, identical values
+    resumed = temporal_reachability(
+        g, te, sources=[0], checkpoint=store, resume=True
+    )
+    assert resumed.converged and resumed.iterations >= full.iterations
+    got = {r["id"]: r["arrival"] for r in resumed.arrivals.collect()}
+    assert got == want
+    g.unpersist()
