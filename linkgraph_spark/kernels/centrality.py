@@ -120,6 +120,8 @@ def hyperball(
     max_r: int = 16,
     directed: bool = False,
     lgk: int = 12,
+    checkpoint=None,
+    resume: bool = False,
 ) -> HyperBallResult:
     """→ HyperBall neighborhood-function sweep: per vertex, the estimated
     ball size |B(v, r)| at the final radius (``ball_est``) and the
@@ -131,6 +133,11 @@ def hyperball(
     associative, so map-side partial aggregation applies), the ball
     estimate is re-read, and the harmonic sum absorbs the increment.
     Converges when no vertex's estimate changes (sketch fixpoint).
+
+    ``checkpoint``/``resume``: same contract as the other iterative
+    kernels — the full per-vertex state (sketch bytes + harmonic
+    accumulator) snapshots each round, so a long sweep restarts from the
+    latest committed radius (DataSketches HLL bytes round-trip parquet).
     """
     spark = graph.vertices.sparkSession
     if directed:
@@ -155,12 +162,18 @@ def hyperball(
             F.hll_sketch_estimate("sk").cast("double").alias("prev"),
         )
     )
+    start = 0
+    if resume and checkpoint is not None:
+        latest = checkpoint.latest_iteration("hyperball")
+        if latest is not None:
+            init = checkpoint.load_state(spark, "hyperball", latest)
+            start = latest
     cur = state.rotate(init)
     converged = False
     metrics: list = []
-    it = 0
+    it = start
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
-        for it in range(1, max_r + 1):
+        for it in range(start + 1, max_r + 1):
             nbr = cur.select(F.col("id").alias("src"), "sk")
             if not big_state:
                 nbr = F.broadcast(nbr)
@@ -207,6 +220,11 @@ def hyperball(
                 {"iteration": it, "grew": grew, "nf": float(st["nf"] or 0.0)}
             )
             cur = new
+            if checkpoint is not None:
+                checkpoint.write_state(
+                    "hyperball", it, cur, key_col="id",
+                    metrics={"grew": grew, "nf": float(st["nf"] or 0.0)},
+                )
             if grew == 0:
                 converged = True
                 break

@@ -191,3 +191,25 @@ def test_temporal_reach_resume(spark, store):
     got = {r["id"]: r["arrival"] for r in resumed.arrivals.collect()}
     assert got == want
     g.unpersist()
+
+
+def test_hyperball_resume_sketches_roundtrip(spark, store):
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels import hyperball
+
+    g = graph_from_edges(spark, [(i, (i + 1) % 8) for i in range(8)])
+    full = hyperball(g, max_r=8, checkpoint=store)
+    assert full.converged
+    want = {
+        r["id"]: (r["ball_est"], r["harmonic_est"])
+        for r in full.centrality.collect()
+    }
+    # resume: the HLL sketch bytes reload from parquet and the sweep
+    # continues from the committed radius, landing on identical estimates
+    resumed = hyperball(g, max_r=8, checkpoint=store, resume=True)
+    got = {
+        r["id"]: (r["ball_est"], r["harmonic_est"])
+        for r in resumed.centrality.collect()
+    }
+    assert got == want
+    g.unpersist()
