@@ -412,6 +412,12 @@ def q_harmonic_landmarks(spark, sf_dir):
     return harmonic_landmarks(_graph(spark, sf_dir), landmarks=[0, 1, 2], k=4)
 
 
+def q_eccentricity_landmarks(spark, sf_dir):
+    from linkgraph_spark.kernels import eccentricity_landmarks
+
+    return eccentricity_landmarks(_graph(spark, sf_dir), landmarks=[0, 1, 2], k=4)
+
+
 def q_hyperball(spark, sf_dir):
     # HyperBall all-vertex harmonic/ball estimates — approximate (HLL), so
     # no SQL oracle: the driver records the rows-only check; accuracy vs
@@ -615,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support": q_edge_support,
         "k_truss3": q_k_truss3,
         "harmonic_landmarks": q_harmonic_landmarks,
+        "eccentricity_landmarks": q_eccentricity_landmarks,
         "hyperball": q_hyperball,
         "scc": q_scc,
         "shared_tools": q_shared_tools,
@@ -1201,6 +1208,7 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY split
     """,
         "harmonic_landmarks": f"{_G}, {ct.harmonic_landmarks_sql([0, 1, 2], k=4)}",
+        "eccentricity_landmarks": f"{_G}, {ct.eccentricity_landmarks_sql([0, 1, 2], k=4)}",
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -16,6 +16,7 @@ from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.linkpred import adamic_adar
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
+    eccentricity_landmarks,
     effective_diameter,
     harmonic_landmarks,
     hyperball,
@@ -75,6 +76,7 @@ __all__ = [
     "harmonic_landmarks",
     "hyperball",
     "effective_diameter",
+    "eccentricity_landmarks",
     "KCoreResult",
     "k_core",
     "triangle_count",

@@ -107,6 +107,49 @@ def harmonic_landmarks_sql(landmarks: list, k: int) -> str:
     """
 
 
+def eccentricity_landmarks(
+    graph: LinkGraph, landmarks: list, k: int, directed: bool = False
+) -> DataFrame:
+    """→ ``[id, eccentricity]`` — exact k-truncated eccentricity of each
+    landmark: the farthest hop distance reached within radius ``k``
+    (saturates at ``k``; 0 for an isolated landmark). Same cost shape as
+    :func:`harmonic_landmarks` — one frontier BFS per landmark, one-row
+    aggregate each — and the pair share a sweep in practice (run both
+    aggregates over one BFS when you need both)."""
+    from functools import reduce as _reduce
+
+    from linkgraph_spark.kernels.paths import shortest_paths
+
+    parts = []
+    for lm in landmarks:
+        res = shortest_paths(
+            graph, sources=[int(lm)], directed=directed, max_iterations=k
+        )
+        e = (
+            res.distances.where(F.col("distance") >= 1)
+            .agg(F.max("distance").alias("e"))
+            .select(
+                F.lit(int(lm)).cast("long").alias("id"),
+                F.coalesce("e", F.lit(0)).cast("long").alias("eccentricity"),
+            )
+        )
+        parts.append(e)
+    return _reduce(DataFrame.unionAll, parts)
+
+
+def eccentricity_landmarks_sql(landmarks: list, k: int) -> str:
+    """DuckDB oracle body — the harmonic landmark BFS chain with a max
+    aggregate instead of the 1/d sum."""
+    base = harmonic_landmarks_sql(landmarks, k)
+    idx = base.rindex("SELECT lm AS id,")
+    head = base[:idx]
+    return f"""{head}SELECT lm AS id,
+           CAST(coalesce(max(CASE WHEN d BETWEEN 1 AND {k} THEN d END), 0) AS BIGINT)
+             AS eccentricity
+    FROM hc{k} GROUP BY lm
+    """
+
+
 @dataclass
 class HyperBallResult:
     centrality: DataFrame  # [id, ball_est, harmonic_est]

@@ -993,3 +993,21 @@ def test_conductance_closed_form(spark):
     one = labels.selectExpr("id", "0 AS label")
     assert conductance(g, one).collect()[0]["conductance"] is None
     g.unpersist()
+
+
+def test_eccentricity_landmarks_closed_form(spark):
+    from linkgraph_spark.kernels import eccentricity_landmarks
+
+    # path 0-1-2-3-4: ecc(0)=4 at k=4, truncates to 2 at k=2; ecc(2)=2
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    got = {
+        r["id"]: r["eccentricity"]
+        for r in eccentricity_landmarks(g, landmarks=[0, 2], k=4).collect()
+    }
+    assert got == {0: 4, 2: 2}
+    got2 = {
+        r["id"]: r["eccentricity"]
+        for r in eccentricity_landmarks(g, landmarks=[0], k=2).collect()
+    }
+    assert got2 == {0: 2}
+    g.unpersist()
