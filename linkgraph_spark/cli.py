@@ -18,6 +18,8 @@ Local smoke::
 from __future__ import annotations
 
 import argparse
+
+from pyspark.sql import functions as F
 import json
 import sys
 
@@ -58,7 +60,7 @@ def main(argv=None):
             "pagerank", "components", "components_star", "labelprop",
             "triangles", "bfs", "sssp", "hits", "kcore", "linkpred",
             "walks", "node2vec", "etl", "scc", "ktruss", "betweenness", "hyperball",
-            "stats",
+            "stats", "community",
         ],
     )
     p.add_argument("--k", type=int, default=3, help="k for ktruss")
@@ -225,6 +227,21 @@ def main(argv=None):
         hbres = hyperball(g, max_r=args.max_r)
         result = hbres.centrality
         summary = {"iterations": hbres.iterations, "converged": hbres.converged}
+    elif args.kernel == "community":
+        from linkgraph_spark.kernels import conductance, modularity
+
+        labels = label_propagation(
+            g, max_iterations=args.iterations or 5,
+            weighted=(args.mode == "weighted"),
+        )
+        q = modularity(g, labels).collect()[0]["modularity"]
+        result = conductance(g, labels).join(
+            labels.groupBy(F.col("label").alias("community")).count(), "community"
+        )
+        summary = {
+            "communities": labels.select("label").distinct().count(),
+            "modularity": q,
+        }
     elif args.kernel == "stats":
         from linkgraph_spark.kernels import degree_assortativity, reciprocity
 
