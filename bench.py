@@ -12,7 +12,8 @@ Covers BASELINE.json's two target quantities:
   dominates fixed overhead.
 
 Every per-query number is the MEDIAN OF 3 back-to-back runs (min/max spread
-in detail.query_spread): this VM's host-sharing shows 3-4x run-to-run
+in BENCH/bench_detail.json, written each run — the printed line itself stays
+small enough for the driver's tail capture): this VM's host-sharing shows 3-4x run-to-run
 bandwidth noise (BENCH/BASELINE.md), so single-shot per-query deltas between
 rounds are not attributable. SPARK_GRAFT_BENCH_REPS=1 for a quick pass.
 
@@ -46,18 +47,26 @@ from linkgraph_spark.transcripts import synthesize_transcripts, transcripts_from
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
-def timed(fn, cleanup=None, reps=REPS):
-    """Run ``fn`` ``reps`` times back-to-back; return (last_output,
-    {median,min,max}). ``cleanup(prev)`` frees the previous rep's artifact
-    (persisted graphs) so reps don't stack cached blocks."""
+def timed(fn, cleanup=None, reps=REPS, warmup=0):
+    """Run ``fn`` ``warmup`` discarded times then ``reps`` timed times
+    back-to-back; return (last_output, {median,min,max}).
+
+    ``cleanup(prev)`` frees the previous rep's artifact (persisted graphs)
+    and runs BEFORE the next rep's timer starts, so each measured rep is
+    independent — rep N+1 is not timed while rep N's blocks still occupy
+    the block manager. ``warmup=1`` on the first query of a session
+    absorbs one-time JVM/codegen/shuffle-service startup that otherwise
+    pollutes the spread the medians exist to control."""
     out, ts = None, []
-    for _ in range(reps):
-        t0 = time.monotonic()
-        cur = fn()
-        ts.append(time.monotonic() - t0)
+    for i in range(warmup + reps):
         if out is not None and cleanup is not None:
             cleanup(out)
-        out = cur
+            out = None
+        t0 = time.monotonic()
+        out = fn()
+        dt = time.monotonic() - t0
+        if i >= warmup:
+            ts.append(dt)
     s = sorted(ts)
     return out, {
         "median": round(s[len(s) // 2], 3),
@@ -81,6 +90,7 @@ def main():
     g_sf, q["etl_events_graph"] = timed(
         lambda: build_graph(transcripts_from_events(spark, sf_dir)),
         cleanup=lambda g: g.unpersist(),
+        warmup=1,  # first Spark jobs of the process: JVM/codegen startup
     )
     _, q["pagerank_compat3_sf"] = timed(lambda: pagerank(g_sf, mode="compat").ranks.count())
     res_sf, q["pagerank_textbook_converge_sf"] = timed(lambda: pagerank(g_sf, mode="textbook"))
@@ -187,6 +197,29 @@ def main():
         )
         gp.unpersist()
 
+    # The printed line stays SLIM (medians + headline numbers only): the
+    # driver's tail-capture buffer truncated the r3 line once per-query
+    # spread rode along, leaving BENCH_r03.json unparseable. Everything
+    # beyond the headline goes to BENCH/bench_detail.json instead.
+    detail = {
+        "bench_reps": REPS,
+        "query_spread": {k: {"min": v["min"], "max": v["max"]} for k, v in q.items()},
+        "sf_graph_edges": n_edges_sf,
+        "sf_iterations_to_1e-6": res_sf.iterations,
+        "sf_converged": res_sf.converged,
+        "big_graph_vertices": g_big.num_vertices,
+        "big_graph_edges": n_edges,
+        "cpus": cpus,
+        "bench_convs": bench_convs,
+        "scaling": _scaling_evidence(),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH", "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        detail_path = None
     out = {
         "metric": "pagerank_textbook_convergence_wall_sec",
         "value": q["pagerank_textbook_converge_sf"]["median"],
@@ -194,19 +227,14 @@ def main():
         "queries": {k: v["median"] for k, v in q.items()},
         "sf": sf,
         "edges_scattered_per_sec": round(eps, 1),
-        "detail": {
-            "bench_reps": REPS,
-            "query_spread": {k: {"min": v["min"], "max": v["max"]} for k, v in q.items()},
-            "sf_graph_edges": n_edges_sf,
-            "sf_iterations_to_1e-6": res_sf.iterations,
-            "sf_converged": res_sf.converged,
-            "big_graph_vertices": g_big.num_vertices,
-            "big_graph_edges": n_edges,
-            "cpus": cpus,
-            "bench_convs": bench_convs,
-        },
+        "sf_iterations_to_1e-6": res_sf.iterations,
+        # both the in-cache linear-region pair (2→8, the ≥0.8 evidence) and
+        # the documented host-bound pair (8→32) — full story in
+        # BENCH/BASELINE.md
+        "scaling_eff_2_to_8": detail["scaling"].get("eff_2_to_8"),
+        "scaling_eff_8_to_32": detail["scaling"].get("eff_8_to_32"),
+        "detail_file": detail_path,
     }
-    out["detail"]["scaling"] = _scaling_evidence()
     print(json.dumps(out))
 
 

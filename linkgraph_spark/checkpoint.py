@@ -193,6 +193,45 @@ class CheckpointStore:
         return spark.read.parquet(f"{self.base}/{kernel}/lineage/it_*")
 
 
+def _lineage_from_files(
+    files: DataFrame, kernel: str, key_col: str | None = None
+) -> DataFrame:
+    """Project an Iceberg ``{table}.files`` metadata DataFrame into the
+    engine's lineage shape. Pure plan construction (no catalog access), so
+    the contract test drives it with a synthesized ``.files``-shaped frame
+    even though the sandbox has no Iceberg jars to produce a real one.
+
+    Expects the documented ``.files`` columns: ``partition`` struct with
+    ``kernel``/``iteration`` fields, ``file_path``, ``record_count``, and
+    (Iceberg ≥ 1.2) ``readable_metrics.<col>.{lower_bound,upper_bound}``."""
+    from pyspark.sql.window import Window
+
+    has_bounds = key_col is not None and "readable_metrics" in files.columns
+    min_key = (
+        F.col(f"readable_metrics.{key_col}.lower_bound")
+        if has_bounds
+        else F.lit(None)
+    )
+    max_key = (
+        F.col(f"readable_metrics.{key_col}.upper_bound")
+        if has_bounds
+        else F.lit(None)
+    )
+    w = Window.partitionBy("iteration").orderBy("file_path")
+    return (
+        files.where(F.col("partition.kernel") == kernel)
+        .select(
+            F.col("partition.iteration").alias("iteration"),
+            F.col("file_path"),
+            F.col("record_count").alias("rows"),
+            min_key.alias("min_key"),
+            max_key.alias("max_key"),
+        )
+        .withColumn("partition_id", F.row_number().over(w) - 1)
+        .select("partition_id", "rows", "min_key", "max_key", "iteration", "file_path")
+    )
+
+
 def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
     """True iff an Iceberg catalog implementation is on the session's
     classpath and configured — the capability gate for
@@ -292,9 +331,17 @@ class IcebergCheckpointStore:
             .distinct()
         )
 
-    def load_lineage(self, spark: SparkSession, kernel: str) -> DataFrame:
-        raise NotImplementedError(
-            "per-partition lineage is the Parquet backend's substitute for "
-            "table metadata; on Iceberg read the table's own snapshot/"
-            f"partition metadata instead (SELECT * FROM {self.table}.files)"
-        )
+    def load_lineage(
+        self, spark: SparkSession, kernel: str, key_col: str | None = None
+    ) -> DataFrame:
+        """→ per-data-file lineage from the table's OWN metadata: Iceberg
+        already tracks (partition, record_count, column bounds) per file in
+        the ``{table}.files`` metadata table, so lineage is a projection of
+        it — no side-channel lineage writes, and it is exact for any
+        historical snapshot via time travel. Columns mirror the Parquet
+        backend's ``[partition_id, rows, min_key, max_key, iteration]``,
+        with ``partition_id`` the file ordinal within its iteration and
+        min/max keys from the file's ``readable_metrics`` bounds for
+        ``key_col`` (null when bounds aren't tracked for that column)."""
+        files = spark.read.table(f"{self.table}.files")
+        return _lineage_from_files(files, kernel, key_col)

@@ -2,11 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; the Spark-side plumbing (schema, partitioning, Arrow batch
-shape, UDF signatures) is real and tested. The actual codec work is STUBBED
-— the image/audio libraries are not in this container — behind
-``decode_stub`` (deterministic fake features) and ``decode_strict``
-(raises ``NotImplementedError``), clearly marked for a production swap
-(e.g. Pillow / torchaudio inside the same ``mapInPandas`` bodies).
+shape, UDF signatures) is real and tested. Codec work: ``decode_strict``
+REALLY decodes the two stdlib-parseable containers (RIFF/WAVE PCM audio,
+uncompressed 24/32-bpp BMP images) with numpy-vectorized stats, and raises
+``NotImplementedError`` for formats that need absent libraries (JPEG/PNG/
+MP4/…); ``decode_stub`` keeps deterministic fake features for plumbing
+tests over arbitrary payloads. Production swap: add Pillow / torchaudio /
+pyav branches to ``decode_strict``'s magic-byte dispatch, same
+``mapInPandas`` bodies.
 
 Scale notes: media rows are large and skewed — feature extraction uses
 ``mapInPandas`` (per-partition Arrow iterator, constant memory via
@@ -79,16 +82,118 @@ def decode_stub(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def _decode_wav(data: bytes) -> list[float]:
+    """REAL stdlib decode of a RIFF/WAVE PCM payload → 8 features:
+    [channels, sample_rate, duration_s, mean, rms, peak, sampwidth, 0]
+    (amplitude stats normalized to [-1, 1] full scale). numpy vectorized
+    over the sample buffer — no per-sample Python."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data)) as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        fr = w.getframerate()
+        nframes = w.getnframes()
+        raw = w.readframes(nframes)
+    if sw == 2:
+        samples = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(
+            np.float64
+        )
+    elif sw == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise NotImplementedError(
+            f"WAV sample width {sw} bytes unsupported (8/16-bit PCM only)"
+        )
+    scale = float(2 ** (8 * sw - 1))
+    if samples.size == 0:
+        mean = rms = peak = 0.0
+    else:
+        mean = float(samples.mean()) / scale
+        rms = float(np.sqrt(np.mean(samples**2))) / scale
+        peak = float(np.abs(samples).max()) / scale
+    dur = nframes / fr if fr else 0.0
+    return [float(nch), float(fr), float(dur), mean, rms, peak, float(sw), 0.0]
+
+
+def _decode_bmp(data: bytes) -> list[float]:
+    """REAL stdlib decode of an uncompressed 24/32-bpp BMP payload → 8
+    features: [width, height, bpp, meanB, meanG, meanR, meanA, 0]
+    (channel means in [0, 1]; BMP stores pixels blue-first, bottom-up,
+    rows padded to 4 bytes — the padding is sliced out before the means)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} unsupported "
+            "(uncompressed 24/32-bpp only)"
+        )
+    nch = bpp // 8
+    abs_h = abs(height)
+    row_bytes = (width * nch + 3) // 4 * 4
+    px = np.frombuffer(data, dtype=np.uint8, count=row_bytes * abs_h, offset=pix_off)
+    px = px.reshape(abs_h, row_bytes)[:, : width * nch].reshape(abs_h, width, nch)
+    means = px.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    mean_a = float(means[3]) if nch == 4 else 0.0
+    return [
+        float(width),
+        float(abs_h),
+        float(bpp),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        mean_a,
+        0.0,
+    ]
+
+
 def decode_strict(media: DataFrame) -> DataFrame:
-    """Production decode path — NOT IMPLEMENTED in this container."""
+    """Production decode path. REAL (stdlib + numpy, no codec libraries)
+    for the two formats whose containers are stdlib-parseable — RIFF/WAVE
+    PCM audio and uncompressed BMP images, dispatched on magic bytes — and
+    a loud ``NotImplementedError`` for every other format (JPEG/PNG/MP4/…
+    need Pillow/pyav, absent in this container; swap them into the same
+    dispatch table in production). Same Arrow batching and output schema as
+    :func:`decode_stub`."""
 
     def extract(batches):
-        raise NotImplementedError(
-            "real media decoding requires codec libraries (Pillow/soundfile/"
-            "pyav) not present in this environment; use decode_stub for "
-            "plumbing tests"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            feats, notes = [], []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    feats.append([float(x) for x in _decode_wav(data)])
+                    notes.append("wav-pcm")
+                elif data[:2] == b"BM":
+                    feats.append([float(x) for x in _decode_bmp(data)])
+                    notes.append("bmp")
+                else:
+                    raise NotImplementedError(
+                        "decode_strict: payload is neither RIFF/WAVE nor BMP; "
+                        "decoding other formats requires codec libraries "
+                        "(Pillow/soundfile/pyav) not present in this "
+                        "environment — use decode_stub for plumbing tests"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "feature": feats,
+                    "note": notes,
+                }
+            )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 

@@ -304,7 +304,16 @@ REDACT_PATTERNS = [
     # order matters: IPs first, or the looser phone pattern swallows them
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "[EMAIL]"),
     (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "[IP]"),
-    (r"\+?[0-9][0-9() .-]{7,}[0-9]", "[PHONE]"),
+    # phone: 7-15 actual digits, at MOST TWO separators between consecutive
+    # digits — two, not one, because ') ' and ' (' are standard (e.g.
+    # '+1 (555) 123-4567'). The earlier [0-9() .-]{7,} form accepted any
+    # >=9-char run of digits/separators — unbounded digit count AND
+    # arbitrary separator runs — so long numeric IDs and padded numeric
+    # tables got scrubbed. Remaining precision trade-off (documented in
+    # redact_pii): digit-dense spans with short separators (ISO timestamps
+    # '2026-08-17 12', 7+-digit decimals) still redact — no-lookaround
+    # parity with RE2 forbids context assertions, and a scrub favors recall.
+    (r"\+?[0-9]([() .-]{0,2}[0-9]){6,14}", "[PHONE]"),
 ]
 
 
@@ -314,7 +323,15 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     Map-only column expressions (chained ``regexp_replace``), column-pruned,
     whole-stage codegen; the patterns are restricted to syntax both Spark's
     Java regex and DuckDB's RE2 interpret identically, so the scrub is
-    oracle-replayed exactly."""
+    oracle-replayed exactly.
+
+    Precision note: the phone pattern requires 7-15 digits with at most two
+    ``() .-`` separator chars between digits. That excludes short numbers,
+    >15-digit IDs and separator runs, but digit-dense spans that LOOK
+    phone-shaped (ISO timestamps like ``2026-08-17 12``, long decimals) are
+    still redacted: distinguishing them needs lookaround, which RE2 (the
+    oracle engine) lacks, and a PII scrub prefers false positives over
+    leaks."""
     out = F.col("text")
     for pat, repl in REDACT_PATTERNS:
         out = F.regexp_replace(out, pat, repl)

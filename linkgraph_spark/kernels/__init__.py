@@ -18,6 +18,7 @@ from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
     eccentricity_landmarks,
     effective_diameter,
+    effective_diameter_landmarks,
     harmonic_landmarks,
     hyperball,
 )
@@ -76,6 +77,7 @@ __all__ = [
     "harmonic_landmarks",
     "hyperball",
     "effective_diameter",
+    "effective_diameter_landmarks",
     "eccentricity_landmarks",
     "KCoreResult",
     "k_core",

@@ -156,6 +156,10 @@ class HyperBallResult:
     iterations: int
     converged: bool
     metrics: list = field(default_factory=list)
+    # radius the sweep started from (> 0 for a checkpoint-resumed run —
+    # such a run's ``metrics`` begin mid-sweep and cannot seed
+    # :func:`effective_diameter`'s N(r) curve)
+    start_radius: int = 0
 
 
 def hyperball(
@@ -279,7 +283,11 @@ def hyperball(
     )
     edges.unpersist()
     return HyperBallResult(
-        centrality=out, iterations=it, converged=converged, metrics=metrics
+        centrality=out,
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+        start_radius=start,
     )
 
 
@@ -302,6 +310,17 @@ def effective_diameter(
     # pass a finished sweep via ``result`` to reuse its N(r) metrics
     # instead of paying a second O(rounds·E) HyperBall run
     res = result or hyperball(graph, max_r=max_r, directed=directed, lgk=lgk)
+    # A checkpoint-resumed sweep's metrics begin at the resumed radius, so
+    # ``[V] + metrics`` would misalign radii and interpolate a wrong
+    # diameter — require a fresh full sweep (metrics from r=1 on).
+    if res.start_radius != 0 or (
+        res.metrics and res.metrics[0]["iteration"] != 1
+    ):
+        raise ValueError(
+            "effective_diameter needs a FRESH HyperBall sweep (metrics from "
+            f"radius 1); got one resumed at radius {res.start_radius} — rerun "
+            "hyperball() without resume, or keep the original run's result."
+        )
     # N(0) = V exactly (every ball starts as {v})
     nf = [float(graph.num_vertices)] + [m["nf"] for m in res.metrics]
     target = q * nf[-1]
@@ -314,3 +333,98 @@ def effective_diameter(
                 return float(r)
             return round((r - 1) + (target - prev_nf) / (cur_nf - prev_nf), 6)
     return float(len(nf) - 1)  # cap hit before q of pairs closed
+
+
+def effective_diameter_landmarks(
+    graph: LinkGraph,
+    landmarks: list,
+    k: int,
+    q: float = 0.9,
+    directed: bool = False,
+) -> DataFrame:
+    """→ one-row ``[effective_diameter]`` — the EXACT interpolated
+    q-effective diameter of the distance distribution from a landmark
+    sample, truncated at radius ``k``: the radius at which the cumulative
+    pair count N(r) = |{(lm, v): d(lm, v) ≤ r}| (self-pairs included, as
+    in :func:`effective_diameter`'s N(0) = V convention) reaches fraction
+    ``q`` of N(k), linearly interpolated between integer radii.
+
+    This is the oracle-checkable companion to the HLL-estimated
+    :func:`effective_diameter`: same interpolation, but exact distances
+    from an enumerable landmark set (landmarks × one truncated frontier
+    BFS each, O(L·E) total) instead of all-vertex sketches — so DuckDB
+    can replay it row-for-row. On the full graph the two agree up to HLL
+    error whenever the landmark sample is distance-representative.
+
+    The whole pipeline stays declarative: per-landmark distances union,
+    histogram groupBy, window cumsum + lag for the interpolation — the
+    final frame is ≤ k rows, no driver-side math."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    from linkgraph_spark.kernels.paths import shortest_paths
+
+    parts = []
+    for lm in landmarks:
+        res = shortest_paths(
+            graph, sources=[int(lm)], directed=directed, max_iterations=k
+        )
+        parts.append(
+            res.distances.where(F.col("distance") <= k).select("distance")
+        )
+    dist = _reduce(DataFrame.unionAll, parts)
+    hist = dist.groupBy("distance").agg(F.count("*").alias("c"))
+    wc = Window.orderBy("distance").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("nf", F.sum("c").over(wc)).withColumn(
+        "prev", F.lag("nf").over(Window.orderBy("distance"))
+    )
+    total = cum.agg(F.max("nf").alias("t"))
+    # first radius whose cumulative count reaches q·N(k); N is flat across
+    # absent radii, so lag(nf) over present rows IS N(r-1) at that radius
+    hit = (
+        cum.crossJoin(total)
+        .where(F.col("nf") >= q * F.col("t"))
+        .orderBy("distance")
+        .limit(1)
+    )
+    return hit.select(
+        F.round(
+            F.when(F.col("distance") == 0, F.lit(0.0))
+            .when(F.col("nf") == F.col("prev"), F.col("distance").cast("double"))
+            .otherwise(
+                (F.col("distance") - 1)
+                + (q * F.col("t") - F.col("prev")) / (F.col("nf") - F.col("prev"))
+            ),
+            6,
+        ).alias("effective_diameter")
+    )
+
+
+def effective_diameter_landmarks_sql(landmarks: list, k: int, q: float = 0.9) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs): the
+    harmonic-landmark BFS chain feeding the same histogram → cumsum →
+    interpolation arithmetic as the Spark plan."""
+    base = harmonic_landmarks_sql(landmarks, k)
+    head = base[: base.rindex("SELECT lm AS id,")].rstrip().rstrip(",")
+    return f"""{head},
+    ed_hist AS (
+      SELECT d, count(*) AS c FROM hc{k} WHERE d <= {k} GROUP BY d
+    ),
+    ed_cum0 AS (
+      SELECT d, sum(c) OVER (ORDER BY d) AS nf FROM ed_hist
+    ),
+    ed_cum AS (
+      SELECT d, nf, lag(nf) OVER (ORDER BY d) AS prev FROM ed_cum0
+    ),
+    ed_tot AS (SELECT max(nf) AS t FROM ed_cum),
+    ed_hit AS (
+      SELECT d, nf, prev, t FROM ed_cum CROSS JOIN ed_tot
+      WHERE nf >= {q!r} * t ORDER BY d LIMIT 1
+    )
+    SELECT round(CASE WHEN d = 0 THEN 0.0
+                      WHEN nf = prev THEN CAST(d AS DOUBLE)
+                      ELSE (d - 1) + ({q!r} * t - prev) / (nf - prev)
+                 END, 6) AS effective_diameter
+    FROM ed_hit
+    """

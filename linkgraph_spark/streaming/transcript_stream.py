@@ -200,6 +200,25 @@ def stream_adjacent_edges(
 def _latest_degree_batch(fs, state_path: str) -> int | None:
     marker = f"{state_path}/_LATEST"
     if not fs.exists(marker):
+        # No pointer: only an EMPTY (or absent) directory means "no prior
+        # state". Pre-pointer layouts (flat parquet with a _batch_id column)
+        # would otherwise be silently discarded AND their batches re-merged
+        # — double counting. Corrupt/partial state must raise.
+        # Hadoop convention: names starting with "_" or "." are markers
+        # (e.g. _SUCCESS, .crc), not data
+        stale = [
+            n
+            for n in fs.list_names(state_path)
+            if not n.startswith(("v=", "_", "."))
+        ]
+        if stale:
+            raise FileNotFoundError(
+                f"degree state at {state_path} has no _LATEST pointer but is "
+                f"not empty ({stale[:5]}…): this looks like a pre-snapshot "
+                "(flat-parquet) layout. Migrate it by reading the old parquet, "
+                "writing it to {state_path}/v=<last_batch_id>, and creating "
+                "the _LATEST pointer — refusing to silently start fresh."
+            )
         return None
     return int(fs.read_text(marker).strip())
 

@@ -85,6 +85,40 @@ def test_iceberg_backend_capability_gated(spark, tmp_path):
         IcebergCheckpointStore("ck.state")
 
 
+def test_iceberg_lineage_projection_from_files_metadata(spark):
+    """IcebergCheckpointStore.load_lineage is a projection of the
+    ``{table}.files`` metadata table; the projection itself is pure plan
+    construction, driven here with a synthesized ``.files``-shaped frame
+    (real metadata reads need the absent jars — only that read is
+    environmental)."""
+    from linkgraph_spark.checkpoint import _lineage_from_files
+
+    files = spark.createDataFrame(
+        [
+            (("pagerank", 1), "s3://b/t/data/f1.parquet", 100, ((5, 900),)),
+            (("pagerank", 1), "s3://b/t/data/f0.parquet", 50, ((0, 499),)),
+            (("pagerank", 2), "s3://b/t/data/f2.parquet", 150, ((0, 900),)),
+            (("components", 1), "s3://b/t/data/f3.parquet", 7, ((0, 6),)),
+        ],
+        "partition struct<kernel:string, iteration:int>, file_path string, "
+        "record_count long, "
+        "readable_metrics struct<id:struct<lower_bound:long, upper_bound:long>>",
+    )
+    got = {
+        (r["iteration"], r["partition_id"]): (r["rows"], r["min_key"], r["max_key"])
+        for r in _lineage_from_files(files, "pagerank", key_col="id").collect()
+    }
+    # file ordinal within iteration orders by path; other kernels excluded
+    assert got == {
+        (1, 0): (50, 0, 499),
+        (1, 1): (100, 5, 900),
+        (2, 0): (150, 0, 900),
+    }
+    # without a key_col (or bounds column), key spans are null, rows survive
+    nb = _lineage_from_files(files.drop("readable_metrics"), "pagerank", "id")
+    assert all(r["min_key"] is None for r in nb.collect())
+
+
 class FakeCheckpointStore:
     """In-memory object exposing exactly the protocol surface the kernels
     call (write_state / latest_iteration / load_state) — the contract test

@@ -185,6 +185,17 @@ def test_redact_pii_explicit(spark):
             (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567."),
             (2, "server 192.168.1.250 logged 3 errors"),
             (3, "no pii here, just words and the number 7"),
+            # phone-bounds pins: separator runs (padded column) must
+            # survive; a bare 7-digit number redacts. A >15-digit ID still
+            # partially matches (greedy 15-digit prefix) — no-lookaround
+            # regexes can't refuse a longer digit context, pinned as-is
+            (4, "order 12345678901234567890 total"),
+            (5, "padded 12   34   56   78   90 table"),
+            (6, "call 5551234 now"),
+            # documented false positive (see redact_pii docstring): digit-
+            # dense ISO timestamp redacts — pinned so a silent behavior
+            # change is caught
+            (7, "logged at 2026-08-17 12:00"),
         ],
         "doc_id long, text string",
     )
@@ -192,3 +203,7 @@ def test_redact_pii_explicit(spark):
     assert got[1] == "mail me at [EMAIL] or call [PHONE]."
     assert got[2] == "server [IP] logged 3 errors"
     assert got[3] == "no pii here, just words and the number 7"
+    assert got[4] == "order [PHONE]67890 total"
+    assert got[5] == "padded 12   34   56   78   90 table"
+    assert got[6] == "call [PHONE] now"
+    assert "[PHONE]" in got[7]

@@ -729,6 +729,83 @@ def test_effective_diameter_ring(spark):
     g.unpersist()
 
 
+def test_effective_diameter_rejects_resumed_sweep(spark):
+    """A checkpoint-resumed HyperBall run's metrics start mid-sweep; feeding
+    it to effective_diameter would misalign the N(r) radii, so it must be
+    refused loudly."""
+    import pytest
+
+    from linkgraph_spark.kernels import effective_diameter
+    from linkgraph_spark.kernels.centrality import HyperBallResult
+
+    g = graph_from_edges(spark, [(i, (i + 1) % 6) for i in range(6)])
+    resumed = HyperBallResult(
+        centrality=None,
+        iterations=4,
+        converged=True,
+        metrics=[{"iteration": 3, "grew": 1, "nf": 30.0}],
+        start_radius=2,
+    )
+    with pytest.raises(ValueError, match="FRESH"):
+        effective_diameter(g, result=resumed)
+    g.unpersist()
+
+
+def test_effective_diameter_landmarks_ring_and_brute(spark):
+    """Exact landmark-sample effective diameter: closed form on the ring,
+    then pure-python BFS parity on the random web graph."""
+    from collections import deque
+
+    from linkgraph_spark.kernels import effective_diameter_landmarks
+
+    # ring of 12, ALL vertices as landmarks, k=6: identical N(r) curve to
+    # the hyperball test -> exactly 4.9
+    ring = [(i, (i + 1) % 12) for i in range(12)]
+    g = graph_from_edges(spark, ring)
+    (row,) = effective_diameter_landmarks(
+        g, landmarks=list(range(12)), k=6, q=0.9
+    ).collect()
+    assert abs(row["effective_diameter"] - 4.9) < 1e-6
+    g.unpersist()
+
+    edges = web64(n=40)
+    lms, k, q = [0, 3, 7, 11], 5, 0.9
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    dists = []
+    for lm in lms:
+        dd = {lm: 0}
+        dq = deque([lm])
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, ()):
+                if v not in dd:
+                    dd[v] = dd[u] + 1
+                    dq.append(v)
+        dists += [x for x in dd.values() if x <= k]
+    nf = [sum(1 for x in dists if x <= r) for r in range(k + 1)]
+    target = q * nf[-1]
+    want = 0.0
+    for r in range(k + 1):
+        if nf[r] >= target:
+            want = (
+                0.0
+                if r == 0
+                else (
+                    float(r)
+                    if nf[r] == nf[r - 1]
+                    else round((r - 1) + (target - nf[r - 1]) / (nf[r] - nf[r - 1]), 6)
+                )
+            )
+            break
+    g2 = graph_from_edges(spark, edges)
+    (row2,) = effective_diameter_landmarks(g2, landmarks=lms, k=k, q=q).collect()
+    assert abs(row2["effective_diameter"] - want) < 1e-6
+    g2.unpersist()
+
+
 def test_shared_tool_affinity_closed_form(spark):
     from linkgraph_spark.edges import LinkGraph, vertex_degrees
     from linkgraph_spark.kernels import shared_tool_affinity

@@ -129,6 +129,32 @@ def test_incremental_degrees_replay_idempotent(spark, tmp_path):
     assert os.path.isdir(os.path.join(state, "v=1"))
 
 
+def test_degree_state_pre_pointer_layout_raises(spark, tmp_path):
+    """A state dir with data but no _LATEST pointer (pre-snapshot flat
+    parquet layout) must raise with a migration hint — treating it as
+    empty would discard merged counts AND re-merge old batches (double
+    counting)."""
+    import pytest
+
+    from linkgraph_spark.streaming import merge_degree_batch, read_degree_state
+
+    state = tmp_path / "old_layout_state"
+    state.mkdir()
+    (state / "part-00000.parquet").write_bytes(b"not really parquet")
+    with pytest.raises(FileNotFoundError, match="pre-snapshot"):
+        read_degree_state(spark, str(state))
+    t = synthesize_transcripts(spark, n_convs=20, min_turns=2, max_turns=10)
+    with pytest.raises(FileNotFoundError, match="migration|pre-snapshot"):
+        merge_degree_batch(t, 0, str(state))
+    # hidden/marker files alone (e.g. Spark's _SUCCESS, .crc) still mean
+    # "no prior state" — only real data triggers the refusal
+    state2 = tmp_path / "markers_only"
+    state2.mkdir()
+    (state2 / ".part-0.crc").write_bytes(b"")
+    merge_degree_batch(t, 0, str(state2))
+    assert read_degree_state(spark, str(state2)).count() > 0
+
+
 def test_stream_adjacent_edges_match_batch(spark, tmp_path):
     """Stateful adjacent-turn extraction across micro-batches equals the
     batch window derivation when turns arrive in order: the second file
