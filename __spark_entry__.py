@@ -418,6 +418,48 @@ def q_eccentricity_landmarks(spark, sf_dir):
     return eccentricity_landmarks(_graph(spark, sf_dir), landmarks=[0, 1, 2], k=4)
 
 
+def q_katz5(spark, sf_dir):
+    # attenuation-weighted walk-count centrality — the no-divisor sibling
+    # of PageRank (hub mass propagates undivided); one gather/superstep
+    from linkgraph_spark.kernels import katz
+
+    res = katz(_graph(spark, sf_dir), iterations=5, alpha=0.05)
+    return res.scores.select("id", F.round("katz", 6).alias("katz"))
+
+
+def q_closeness_landmarks(spark, sf_dir):
+    from linkgraph_spark.kernels import closeness_landmarks
+
+    return closeness_landmarks(_graph(spark, sf_dir), landmarks=[0, 1, 2], k=4)
+
+
+def q_double_sweep_diameter(spark, sf_dir):
+    # deterministic two-BFS diameter lower bound (seed 0, radius cap 10)
+    from linkgraph_spark.kernels import double_sweep_diameter
+
+    return double_sweep_diameter(_graph(spark, sf_dir), seed=0, k=10)
+
+
+def q_embedding_clusters(spark, sf_dir):
+    # LSH near-dup pairs -> hash-min closure -> keeper per semantic cluster
+    return sim.embedding_clusters(_embs(spark, sf_dir), threshold=0.35)
+
+
+def q_vocab_stats(spark, sf_dir):
+    return tx.vocab_stats(_docs(spark, sf_dir), top_n=100)
+
+
+STRATA_RATES = {"en": 0.05, "zh": 0.8, "es": 0.8}  # de/fr ride default_rate
+
+
+def q_stratified_sample_lang(spark, sf_dir):
+    # language rebalancing: downsample the majority language, keep most of
+    # the low-resource ones, default for the rest — entity-keyed + replayable
+    return sp.stratified_hash_sample(
+        _docs(spark, sf_dir), ["doc_id"], "lang", STRATA_RATES, default_rate=0.5
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_eff_diameter_landmarks(spark, sf_dir):
     # EXACT landmark-sample effective diameter (oracle-checkable companion
     # to the HLL hyperball estimate): 8 landmark BFS sweeps, truncated r<=6
@@ -612,6 +654,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "ngram_jaccard_dups_capped": q_ngram_jaccard_capped,
         "eff_diameter_landmarks": q_eff_diameter_landmarks,  # new r4
+        "katz5": q_katz5,  # new r4
+        "closeness_landmarks": q_closeness_landmarks,  # new r4
+        "double_sweep_diameter": q_double_sweep_diameter,  # new r4
+        "embedding_clusters": q_embedding_clusters,  # new r4
+        "vocab_stats": q_vocab_stats,  # new r4
+        "stratified_sample_lang": q_stratified_sample_lang,  # new r4
         # -- 2. last driver row is r2 (truncated out of r3) -----------------
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1150,6 +1198,12 @@ def _ego_sql(source: int = 0, k: int = 2) -> str:
     """
 
 
+def _katz_sql_full(iters: int = 5, alpha: float = 0.05) -> str:
+    from linkgraph_spark.kernels.katz import katz_sql
+
+    return f"{_G}, {katz_sql(iters, alpha)}"
+
+
 _TRIANGLES_CTE = """
     und AS (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
@@ -1240,6 +1294,15 @@ def oracle_sql() -> dict[str, str]:
         "eff_diameter_landmarks": (
             f"{_G}, {ct.effective_diameter_landmarks_sql(list(range(8)), k=6)}"
         ),
+        "katz5": _katz_sql_full(5, 0.05),
+        "closeness_landmarks": f"{_G}, {ct.closeness_landmarks_sql([0, 1, 2], k=4)}",
+        "double_sweep_diameter": f"{_G}, {ct.double_sweep_diameter_sql(seed=0, k=10)}",
+        "embedding_clusters": sim.embedding_clusters_sql(threshold=0.35),
+        "vocab_stats": tx.vocab_stats_sql(top_n=100),
+        "stratified_sample_lang": f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {sp.stratified_hash_sample_sql(["doc_id"], "lang", STRATA_RATES, default_rate=0.5)}
+    """,
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

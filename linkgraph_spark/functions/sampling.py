@@ -84,3 +84,47 @@ def train_test_split_sql(
         f"CASE WHEN {_bucket_sql(key_exprs, salt)} < {int(test_rate * _BUCKETS)} "
         f"THEN 'test' ELSE 'train' END"
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """→ per-stratum hash sampling: each row's keep-rate comes from
+    ``rates[row[strata_col]]`` (``default_rate`` otherwise). The curation
+    move behind language/domain rebalancing at corpus scale — e.g. keep 5%
+    of English but 80% of low-resource languages — with every property of
+    :func:`hash_sample` intact (replayable, entity-coherent, monotone per
+    stratum when a rate only grows, map-only: the rate lookup is a CASE
+    expression folded into the scan filter, no join, no shuffle)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    thresh = F.lit(int(default_rate * _BUCKETS))
+    for s, r in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(int(r * _BUCKETS))
+        ).otherwise(thresh)
+    return df.where(_bucket(key_cols, salt) < thresh)
+
+
+def stratified_hash_sample_sql(
+    key_exprs: list[str],
+    strata_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> str:
+    """DuckDB predicate mirroring :func:`stratified_hash_sample`."""
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {int(r * _BUCKETS)}"
+        for s, r in sorted(rates.items())
+    )
+    thresh = f"(CASE {cases} ELSE {int(default_rate * _BUCKETS)} END)"
+    return f"{_bucket_sql(key_exprs, salt)} < {thresh}"

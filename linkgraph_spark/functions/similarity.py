@@ -437,3 +437,106 @@ def ivf_knn_sql(
     SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {k}
     """
 
+
+
+# ------------------------------------------------------- semantic clusters
+def embedding_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = NEAR_DUP_TABLES,
+    n_planes: int = NEAR_DUP_PLANES,
+) -> DataFrame:
+    """→ [vec_id, keeper_id, cluster_size]: semantic clusters — the
+    transitive closure of the :func:`embedding_near_dups` pair relation —
+    with one keeper (min vec_id) per cluster, covering every vector
+    (non-duplicates are singleton clusters).
+
+    The embedding-space sibling of ``dedup.near_dup_clusters`` (same
+    reason to exist: pairs alone can't curate a corpus — A~B and B~C must
+    collapse to one keeper even when A~C was never emitted), composed from
+    the same two scale-safe pieces: hyperplane-LSH candidate generation
+    (bucketed equi-joins, no cross join) feeding the hash-min
+    connected-components kernel (O(pair-graph diameter) supersteps).
+    Refuses loudly when the closure did not converge."""
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels.components import connected_components
+
+    spark = embeddings.sparkSession
+    pairs = embedding_near_dups(embeddings, threshold, n_tables, n_planes).select(
+        "vec_a", "vec_b"
+    )
+    g = graph_from_edges(spark, pairs)
+    cc = connected_components(g)
+    if not cc.converged:
+        raise RuntimeError(
+            f"embedding_clusters: components did not converge in "
+            f"{cc.iterations} supersteps; raise max_iterations"
+        )
+    labels = cc.labels
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    clustered = labels.join(sizes, "component").select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("keeper_id"),
+        "cluster_size",
+    )
+    out = (
+        embeddings.select("vec_id")
+        .join(clustered, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("keeper_id", F.col("vec_id")).alias("keeper_id"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        )
+    )
+    g.unpersist()
+    return out
+
+
+def embedding_clusters_sql(
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    n_tables: int = NEAR_DUP_TABLES,
+    n_planes: int = NEAR_DUP_PLANES,
+    unroll: int = 10,
+) -> str:
+    """DuckDB oracle: the LSH near-dup pair SQL + unrolled hash-min
+    closure (same shape as ``dedup.near_dup_clusters_sql``)."""
+    pair_sql = embedding_near_dups_sql(table, threshold, n_tables, n_planes)
+    ctes = [
+        f"epairs AS MATERIALIZED ({pair_sql})",
+        """everts AS MATERIALIZED (
+      SELECT vec_a AS id FROM epairs UNION SELECT vec_b FROM epairs
+    )""",
+        """eund AS MATERIALIZED (
+      SELECT vec_a AS a, vec_b AS b FROM epairs
+      UNION
+      SELECT vec_b AS a, vec_a AS b FROM epairs
+    )""",
+        "ec0 AS (SELECT id, id AS component FROM everts)",
+    ]
+    for k in range(1, unroll + 1):
+        ctes.append(
+            f"""ec{k} AS MATERIALIZED (
+      SELECT c.id,
+             least(c.component, coalesce(m.mn, c.component)) AS component
+      FROM ec{k - 1} c
+      LEFT JOIN (
+        SELECT eund.a AS id, min(c2.component) AS mn
+        FROM eund JOIN ec{k - 1} c2 ON eund.b = c2.id
+        GROUP BY eund.a
+      ) m ON m.id = c.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    esizes AS (
+      SELECT component, count(*) AS cluster_size FROM ec{unroll} GROUP BY component
+    )
+    SELECT e.vec_id,
+           coalesce(c.component, e.vec_id) AS keeper_id,
+           coalesce(s.cluster_size, 1) AS cluster_size
+    FROM {table} e
+    LEFT JOIN ec{unroll} c ON c.id = e.vec_id
+    LEFT JOIN esizes s ON s.component = c.component
+    """

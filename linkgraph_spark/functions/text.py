@@ -344,3 +344,45 @@ def redact_pii_sql(table: str = "documents") -> str:
         quoted = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{quoted}', '{repl}', 'g')"
     return f"SELECT doc_id, {expr} AS text FROM {table}"
+
+
+# --- corpus vocabulary ------------------------------------------------------
+def vocab_stats(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """→ [term, tf, df]: the corpus vocabulary table — total term count and
+    document frequency for the ``top_n`` terms by total count (ties broken
+    by term asc). The tokenizer-building / stopword-discovery view of the
+    corpus (a BPE trainer's first pass is exactly this table), sharing
+    :func:`tfidf_top_terms`'s whitespace tokenization so the two stay
+    consistent.
+
+    Plan shape: token explode → (doc, term) count with map-side combine →
+    one term-level aggregate (sum + count ride one shuffle on ``term``) →
+    global top-n. At corpus scale the vocabulary is Zipf-bounded (millions
+    of terms from trillions of tokens), so the term aggregate is small and
+    the single-partition top-n window is bounded by top_n, not vocabulary:
+    rows are pre-pruned by a distributed sort-limit before the final order.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    per_doc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = per_doc.groupBy("term").agg(
+        F.sum("tf").alias("tf"), F.count("*").alias("df")
+    )
+    # orderBy+limit = TakeOrderedAndProject (per-partition top-n, then a
+    # top_n-sized merge on one reducer) — never a full global sort
+    return vocab.orderBy(F.desc("tf"), F.asc("term")).limit(top_n)
+
+
+def vocab_stats_sql(table: str = "documents", top_n: int = 100) -> str:
+    return f"""
+    WITH vtok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    vtf AS (SELECT doc_id, term, count(*) AS tf FROM vtok GROUP BY 1, 2)
+    SELECT term, CAST(sum(tf) AS BIGINT) AS tf, count(*) AS df
+    FROM vtf GROUP BY term
+    ORDER BY sum(tf) DESC, term ASC LIMIT {top_n}
+    """

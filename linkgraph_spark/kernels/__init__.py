@@ -13,9 +13,12 @@ from linkgraph_spark.kernels.components import (
 from linkgraph_spark.kernels.labelprop import label_propagation
 from linkgraph_spark.kernels.paths import PathsResult, shortest_paths, shortest_paths_weighted
 from linkgraph_spark.kernels.hits import HitsResult, hits
+from linkgraph_spark.kernels.katz import KatzResult, katz
 from linkgraph_spark.kernels.linkpred import adamic_adar
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
+    closeness_landmarks,
+    double_sweep_diameter,
     eccentricity_landmarks,
     effective_diameter,
     effective_diameter_landmarks,
@@ -52,6 +55,8 @@ __all__ = [
     "shortest_paths_weighted",
     "HitsResult",
     "hits",
+    "katz",
+    "KatzResult",
     "adamic_adar",
     "random_walks",
     "skipgram_pairs",
@@ -78,6 +83,8 @@ __all__ = [
     "hyperball",
     "effective_diameter",
     "effective_diameter_landmarks",
+    "closeness_landmarks",
+    "double_sweep_diameter",
     "eccentricity_landmarks",
     "KCoreResult",
     "k_core",

@@ -150,6 +150,161 @@ def eccentricity_landmarks_sql(landmarks: list, k: int) -> str:
     """
 
 
+def closeness_landmarks(
+    graph: LinkGraph, landmarks: list, k: int, directed: bool = False
+) -> DataFrame:
+    """→ ``[id, n_reached, closeness]`` — exact k-truncated closeness of
+    each landmark: ``n_reached`` vertices within hop distance 1..k and
+    ``closeness = n_reached / Σ d`` over those distances (0.0 for an
+    isolated landmark). The reciprocal-of-average-distance convention,
+    truncated like :func:`harmonic_landmarks` (same per-landmark frontier
+    BFS cost; in practice run the pair over one BFS when you need both —
+    harmonic weighs near vertices, closeness penalizes far ones)."""
+    from functools import reduce as _reduce
+
+    from linkgraph_spark.kernels.paths import shortest_paths
+
+    parts = []
+    for lm in landmarks:
+        res = shortest_paths(
+            graph, sources=[int(lm)], directed=directed, max_iterations=k
+        )
+        c = (
+            res.distances.where(
+                (F.col("distance") >= 1) & (F.col("distance") <= k)
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("distance").alias("s"),
+            )
+            .select(
+                F.lit(int(lm)).cast("long").alias("id"),
+                F.coalesce("n", F.lit(0)).cast("long").alias("n_reached"),
+                F.round(
+                    F.when(
+                        F.coalesce("s", F.lit(0)) > 0, F.col("n") / F.col("s")
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("closeness"),
+            )
+        )
+        parts.append(c)
+    return _reduce(DataFrame.unionAll, parts)
+
+
+def closeness_landmarks_sql(landmarks: list, k: int) -> str:
+    """DuckDB oracle body — the harmonic landmark BFS chain with the
+    count/sum closeness aggregate."""
+    base = harmonic_landmarks_sql(landmarks, k)
+    idx = base.rindex("SELECT lm AS id,")
+    head = base[:idx]
+    return f"""{head}SELECT lm AS id,
+           CAST(coalesce(sum(CASE WHEN d BETWEEN 1 AND {k} THEN 1 END), 0) AS BIGINT)
+             AS n_reached,
+           round(CASE WHEN coalesce(sum(CASE WHEN d BETWEEN 1 AND {k} THEN d END), 0) > 0
+                      THEN sum(CASE WHEN d BETWEEN 1 AND {k} THEN 1 END)
+                           / CAST(sum(CASE WHEN d BETWEEN 1 AND {k} THEN d END) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS closeness
+    FROM hc{k} GROUP BY lm
+    """
+
+
+def double_sweep_diameter(
+    graph: LinkGraph, seed: int = 0, k: int = 16, directed: bool = False
+) -> DataFrame:
+    """→ one-row ``[far_id, diameter_lb]`` — the classic double-sweep
+    diameter LOWER bound (Magnien, Latapy & Habib 2009, public technique):
+    BFS from ``seed``, hop to the farthest vertex found (ties broken by
+    min id, so the sweep is deterministic), BFS again from there; the
+    second sweep's eccentricity is ≥ half the true diameter and in
+    practice usually exact on real graphs. Both sweeps truncate at radius
+    ``k``, so the bound is additionally capped at k. Cost: exactly two
+    frontier BFS passes — the cheap sanity check next to the O(rounds·E)
+    :func:`hyperball` sweep.
+
+    The far-vertex handoff between sweeps is a one-row ``collect()``
+    (an O(1) scalar by the engine's driver-side rules)."""
+    from linkgraph_spark.kernels.paths import shortest_paths
+
+    first = shortest_paths(
+        graph, sources=[int(seed)], directed=directed, max_iterations=k
+    )
+    far_row = (
+        first.distances.orderBy(F.desc("distance"), F.asc("id")).limit(1).collect()
+    )
+    far_id = int(far_row[0]["id"]) if far_row else int(seed)
+    second = shortest_paths(
+        graph, sources=[far_id], directed=directed, max_iterations=k
+    )
+    return second.distances.agg(
+        F.lit(far_id).cast("long").alias("far_id"),
+        F.coalesce(F.max("distance"), F.lit(0)).cast("long").alias("diameter_lb"),
+    )
+
+
+def double_sweep_diameter_sql(seed: int = 0, k: int = 16) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges``): two unrolled
+    min-update BFS chains, the second seeded from the first's
+    (max-distance, min-id) vertex."""
+    sent = 1_000_000_000
+    ctes = [
+        """ds_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    )""",
+        f"""ds1_0 AS (
+      SELECT id, CASE WHEN id = {int(seed)} THEN 0 ELSE {sent} END AS d FROM verts
+    )""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""ds1_{i} AS MATERIALIZED (
+      SELECT d.id, least(d.d, coalesce(m.c, {sent})) AS d
+      FROM ds1_{i - 1} d
+      LEFT JOIN (
+        SELECT e.dst AS id, min(p.d) + 1 AS c
+        FROM ds_und e JOIN ds1_{i - 1} p ON e.src = p.id
+        WHERE p.d < {sent}
+        GROUP BY e.dst
+      ) m ON m.id = d.id
+    )"""
+        )
+    ctes.append(
+        f"""ds_far AS (
+      SELECT id FROM ds1_{k} WHERE d < {sent}
+      ORDER BY d DESC, id ASC LIMIT 1
+    )"""
+    )
+    ctes.append(
+        f"""ds2_0 AS (
+      SELECT v.id, CASE WHEN v.id = f.id THEN 0 ELSE {sent} END AS d
+      FROM verts v CROSS JOIN ds_far f
+    )"""
+    )
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""ds2_{i} AS MATERIALIZED (
+      SELECT d.id, least(d.d, coalesce(m.c, {sent})) AS d
+      FROM ds2_{i - 1} d
+      LEFT JOIN (
+        SELECT e.dst AS id, min(p.d) + 1 AS c
+        FROM ds_und e JOIN ds2_{i - 1} p ON e.src = p.id
+        WHERE p.d < {sent}
+        GROUP BY e.dst
+      ) m ON m.id = d.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT f.id AS far_id,
+           CAST(coalesce(max(CASE WHEN d.d < {sent} THEN d.d END), 0) AS BIGINT)
+             AS diameter_lb
+    FROM ds2_{k} d CROSS JOIN ds_far f
+    GROUP BY f.id
+    """
+
+
 @dataclass
 class HyperBallResult:
     centrality: DataFrame  # [id, ball_est, harmonic_est]

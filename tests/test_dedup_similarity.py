@@ -127,6 +127,73 @@ def test_embedding_near_dups_recall(spark, embs):
     assert len(lsh) >= 0.9 * len(exact), f"recall {len(lsh)}/{len(exact)}"
 
 
+def test_embedding_clusters_transitive_closure(spark, embs):
+    """Clusters = transitive closure of the near-dup pair relation: every
+    pair's endpoints share a keeper, the keeper is each cluster's min
+    vec_id, sizes count members, and non-dup vectors are singletons
+    covering the whole table."""
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in sim.embedding_near_dups(embs, 0.35).collect()
+    ]
+    # python union-find over the same pairs
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_groups: dict = {}
+    for v in list(parent):
+        want_groups.setdefault(find(v), set()).add(v)
+    got = {
+        r["vec_id"]: (r["keeper_id"], r["cluster_size"])
+        for r in sim.embedding_clusters(embs, 0.35).collect()
+    }
+    n_vecs = embs.count()
+    assert len(got) == n_vecs  # total coverage
+    assert pairs, "fixture produced no near-dup pairs; threshold too high"
+    for root, members in want_groups.items():
+        keeper = min(members)
+        for m in members:
+            assert got[m] == (keeper, len(members))
+    clustered = {v for ms in want_groups.values() for v in ms}
+    for v, (keeper, size) in got.items():
+        if v not in clustered:
+            assert (keeper, size) == (v, 1)  # singleton
+
+
+def test_vocab_stats_matches_hand_computation(spark):
+    from collections import Counter
+
+    from linkgraph_spark.functions.text import vocab_stats
+
+    rows = [
+        (0, "spark row spark  ROW agg"),
+        (1, "row agg agg"),
+        (2, "spark"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = Counter()
+    df_ = Counter()
+    for _, t in rows:
+        toks = t.lower().split()
+        tf.update(toks)
+        df_.update(set(toks))
+    got = [(r["term"], r["tf"], r["df"]) for r in vocab_stats(d, top_n=2).collect()]
+    # all three terms tie at tf=3; term-asc tie-break picks agg, row
+    assert got == [("agg", 3, 2), ("row", 3, 2)]
+    full = {r["term"]: (r["tf"], r["df"]) for r in vocab_stats(d, top_n=10).collect()}
+    assert full == {t: (tf[t], df_[t]) for t in tf}
+
+
 def test_dedup_corpus_keepers_only(spark):
     """dedup_corpus = exactly the keeper of each near-dup cluster, with the
     cluster's raw-doc count as dedup weight; the corpus covers every

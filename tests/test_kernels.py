@@ -729,6 +729,53 @@ def test_effective_diameter_ring(spark):
     g.unpersist()
 
 
+def test_katz_matches_pure_python(spark):
+    """Katz recurrence x_k = β + α Σ_in x_{k-1} against a dict-based
+    replay on the random web graph."""
+    from linkgraph_spark.kernels import katz
+
+    edges = web64(n=30)
+    alpha, beta, iters = 0.05, 1.0, 4
+    ids = sorted({v for e in edges for v in e})
+    x = {v: beta for v in ids}
+    for _ in range(iters):
+        nxt = {v: beta for v in ids}
+        for s, d in edges:
+            nxt[d] += alpha * x[s]
+        x = nxt
+    g = graph_from_edges(spark, edges)
+    res = katz(g, iterations=iters, alpha=alpha, beta=beta)
+    got = {r["id"]: r["katz"] for r in res.scores.collect()}
+    assert set(got) == set(x)
+    assert all(abs(got[v] - x[v]) < 1e-9 for v in x)
+    assert len(res.metrics) == iters
+    # mass metric rides the plan: equals the sum of the final scores at k
+    assert abs(res.metrics[-1]["mass"] - sum(x.values())) < 1e-6
+    g.unpersist()
+
+
+def test_closeness_and_double_sweep_path_graph(spark):
+    """Closed forms on the 0-1-2-3-4 path: truncated closeness of an end
+    vertex, and the double sweep finding the true diameter from a middle
+    seed."""
+    from linkgraph_spark.kernels import closeness_landmarks, double_sweep_diameter
+
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(4)])
+    # landmark 0, k=3: reaches d=1,2,3 -> n=3, sum=6, closeness 0.5
+    # landmark 2 (middle), k=3: d=1,1,2,2 -> n=4, sum=6, closeness 2/3
+    got = {
+        r["id"]: (r["n_reached"], r["closeness"])
+        for r in closeness_landmarks(g, landmarks=[0, 2], k=3).collect()
+    }
+    assert got[0] == (3, 0.5)
+    assert got[2] == (4, round(4 / 6, 6))
+    # seed middle (2): farthest is 0 (d=2, min-id tie-break over 4); BFS
+    # from 0 reaches 4 at d=4 = the true diameter
+    (row,) = double_sweep_diameter(g, seed=2, k=8).collect()
+    assert (row["far_id"], row["diameter_lb"]) == (0, 4)
+    g.unpersist()
+
+
 def test_effective_diameter_rejects_resumed_sweep(spark):
     """A checkpoint-resumed HyperBall run's metrics start mid-sweep; feeding
     it to effective_diameter would misalign the N(r) radii, so it must be

@@ -32,6 +32,35 @@ def test_hash_sample_rate_and_determinism(spark):
     assert c != a
 
 
+def test_stratified_hash_sample_per_stratum_rates(spark):
+    from linkgraph_spark.functions.sampling import stratified_hash_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("row_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("zh"), F.lit("es")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    rates = {"en": 0.1, "zh": 0.9}
+    out = stratified_hash_sample(df, ["row_id"], "lang", rates, default_rate=0.5)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.05 < got.get("en", 0) / 1000 < 0.16
+    assert 0.84 < got["zh"] / 1000 < 0.96
+    assert 0.4 < got["es"] / 1000 < 0.6  # default_rate stratum
+    # per-stratum equivalence: a stratum's rows sample exactly as a plain
+    # hash_sample at that stratum's rate (same hash, same salt)
+    want_en = {
+        r["row_id"]
+        for r in hash_sample(df.where(F.col("lang") == "en"), ["row_id"], 0.1).collect()
+    }
+    got_en = {r["row_id"] for r in out.where(F.col("lang") == "en").collect()}
+    assert got_en == want_en
+    # zero default drops unlisted strata entirely
+    none_es = stratified_hash_sample(df, ["row_id"], "lang", rates, default_rate=0.0)
+    assert none_es.where(F.col("lang") == "es").count() == 0
+
+
 def test_train_test_split_entity_coherent(spark):
     df = _tbl(spark)
     out = train_test_split(df, ["conv_id"], test_rate=0.3)
