@@ -460,6 +460,19 @@ def q_stratified_sample_lang(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_mis8(spark, sf_dir):
+    # Luby MIS with deterministic affine priorities — parallel fixpoint ==
+    # greedy-by-priority MIS, so the unrolled oracle matches round-for-round
+    # (including any non-converged 'undecided' tail at the round budget)
+    from linkgraph_spark.kernels import maximal_independent_set
+
+    return maximal_independent_set(_graph(spark, sf_dir), max_iterations=8).labels
+
+
+def q_repetition_stats(spark, sf_dir):
+    return tx.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_eff_diameter_landmarks(spark, sf_dir):
     # EXACT landmark-sample effective diameter (oracle-checkable companion
     # to the HLL hyperball estimate): 8 landmark BFS sweeps, truncated r<=6
@@ -660,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,  # new r4
         "vocab_stats": q_vocab_stats,  # new r4
         "stratified_sample_lang": q_stratified_sample_lang,  # new r4
+        "mis8": q_mis8,  # new r4
+        "repetition_stats": q_repetition_stats,  # new r4
         # -- 2. last driver row is r2 (truncated out of r3) -----------------
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1204,6 +1219,12 @@ def _katz_sql_full(iters: int = 5, alpha: float = 0.05) -> str:
     return f"{_G}, {katz_sql(iters, alpha)}"
 
 
+def _mis_sql_full(rounds: int = 8) -> str:
+    from linkgraph_spark.kernels.mis import maximal_independent_set_sql
+
+    return f"{_G}, {maximal_independent_set_sql(rounds)}"
+
+
 _TRIANGLES_CTE = """
     und AS (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
@@ -1303,6 +1324,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, lang, n_chars FROM documents
     WHERE {sp.stratified_hash_sample_sql(["doc_id"], "lang", STRATA_RATES, default_rate=0.5)}
     """,
+        "mis8": _mis_sql_full(8),
+        "repetition_stats": tx.repetition_stats_sql(),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

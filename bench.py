@@ -102,6 +102,10 @@ def main():
     from linkgraph_spark.kernels import adamic_adar, hits, shortest_paths
 
     _, q["hits5_sf"] = timed(lambda: hits(g_sf, iterations=5).scores.count())
+    from linkgraph_spark.kernels import katz
+
+    # the no-divisor gather: strictly lighter than a PageRank superstep
+    _, q["katz5_sf"] = timed(lambda: katz(g_sf, iterations=5).scores.count())
     _, q["bfs_undirected_sf"] = timed(
         lambda: shortest_paths(g_sf, sources=[0], directed=False).distances.count()
     )
@@ -262,6 +266,7 @@ def _scaling_evidence():
     for fname, key in (
         ("scaling_r2.jsonl", "fresh_pairs_eff_8_to_32"),
         ("scaling_r3.jsonl", "r3_fresh_pairs_eff_8_to_32"),
+        ("scaling_r4.jsonl", "r4_fresh_pairs_eff"),
     ):
         try:
             pairs = {}
@@ -271,11 +276,12 @@ def _scaling_evidence():
                     pairs.setdefault(r.get("run"), {})[r["cpus"]] = r[
                         "steady_edges_scattered_per_sec"
                     ]
-            evidence[key] = {
-                run: round((v[32] / v[8]) / 4, 3)
-                for run, v in pairs.items()
-                if 8 in v and 32 in v
-            }
+            out = {}
+            for run, v in pairs.items():
+                if len(v) == 2:  # each run is one same-session N-vs-kN pair
+                    a, b = sorted(v)
+                    out[f"{run}_{a}_to_{b}"] = round((v[b] / v[a]) / (b / a), 3)
+            evidence[key] = out
         except Exception:
             pass
     return evidence

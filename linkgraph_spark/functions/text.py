@@ -386,3 +386,73 @@ def vocab_stats_sql(table: str = "documents", top_n: int = 100) -> str:
     FROM vtf GROUP BY term
     ORDER BY sum(tf) DESC, term ASC LIMIT {top_n}
     """
+
+
+# --- repetition / diversity quality signals ---------------------------------
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """→ [doc_id, unique_token_ratio, dup_bigram_fraction,
+    top_token_fraction]: the Gopher-style repetition filters (Rae et al.
+    2021, public recipe) — low unique-token ratio, high duplicate-bigram
+    fraction, or one token dominating the document all flag boilerplate /
+    degenerate generations that length and stopword checks miss.
+
+    Map-only higher-order array expressions (no explode, no shuffle, no
+    Python): tokens and bigrams stay inside one row's arrays, so the scan
+    parallelism is the only parallelism needed — embarrassingly parallel
+    at any corpus size. The per-row cost of top_token_fraction is
+    O(tokens · distinct) — fine for real document lengths; swap to an
+    explode+groupBy for pathological million-token rows."""
+    toks = _tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    # guard n=1: Spark's sequence(1, 0) infers step -1 (descending), it is
+    # NOT empty like DuckDB's range(1, 1) — branch to an empty array instead
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    n_bi_uniq = F.size(F.array_distinct(bigrams))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return documents.select(
+        "doc_id",
+        F.round(n_uniq / n, 6).alias("unique_token_ratio"),
+        F.round(
+            F.when(n_bi > 0, (n_bi - n_bi_uniq) / n_bi).otherwise(F.lit(0.0)), 6
+        ).alias("dup_bigram_fraction"),
+        F.round(top_cnt / n, 6).alias("top_token_fraction"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    return f"""
+    WITH rp AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM {table}
+    ), feat AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bi
+      FROM rp
+    )
+    SELECT doc_id,
+           round(len(list_distinct(toks)) / CAST(n AS DOUBLE), 6)
+             AS unique_token_ratio,
+           round(CASE WHEN len(bi) > 0
+                      THEN (len(bi) - len(list_distinct(bi))) / CAST(len(bi) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_bigram_fraction,
+           round(list_max(list_transform(list_distinct(toks),
+                          t -> len(list_filter(toks, x -> x = t)))) / CAST(n AS DOUBLE), 6)
+             AS top_token_fraction
+    FROM feat
+    """

@@ -14,6 +14,7 @@ from linkgraph_spark.kernels.labelprop import label_propagation
 from linkgraph_spark.kernels.paths import PathsResult, shortest_paths, shortest_paths_weighted
 from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.katz import KatzResult, katz
+from linkgraph_spark.kernels.mis import MisResult, maximal_independent_set
 from linkgraph_spark.kernels.linkpred import adamic_adar
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
@@ -57,6 +58,8 @@ __all__ = [
     "hits",
     "katz",
     "KatzResult",
+    "maximal_independent_set",
+    "MisResult",
     "adamic_adar",
     "random_walks",
     "skipgram_pairs",

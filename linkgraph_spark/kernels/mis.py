@@ -1,0 +1,189 @@
+"""Maximal independent set — Luby-style parallel rounds with DETERMINISTIC
+unique priorities (Luby 1986, public algorithm).
+
+Priority ``p(v) = (A·id + B) mod P`` with prime ``P = 2^61 - 1`` is an
+affine PERMUTATION of the id space (injective for all ids < P), so
+priorities are unique by construction and the parallel fixpoint equals the
+sequential greedy MIS taken in ascending-priority order — which makes the
+operator exactly replayable in SQL (no RNG, no tie cases).
+
+Per round, over the undirected neighbor relation:
+
+- an undecided vertex ENTERS the set iff its priority beats every
+  undecided neighbor's (one equi-join + per-vertex min — the same
+  shuffle shape as a PageRank gather);
+- an undecided neighbor of an enterer leaves as OUT (one more equi-join
+  against the O(|joiners|) set).
+
+Rounds needed: O(log V) expected for random-looking priorities (the
+affine permutation scatters ids); each round is two joins + two grouped
+aggregates over the remaining undecided subgraph, which shrinks
+geometrically — the 100 TB story is the gather kernel's, on a shrinking
+edge set.
+
+The classic symmetry-breaking primitive: MIS seeds distributed coloring,
+clustering, and scheduling (pick one non-conflicting actor per
+neighborhood). Engine addition over the reference (whose one kernel is
+PageRank — ``pagerank_lambda/dynamodb/pagerank.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.lineage import RotatingState
+from linkgraph_spark.session import pinned_superstep_confs
+
+MIS_P = (1 << 61) - 1  # Mersenne prime; ids are < 2^61 by a huge margin
+MIS_A = 2654435761  # Knuth multiplicative constant, coprime with P
+MIS_B = 17
+
+
+def _priority(id_col):
+    return (F.lit(MIS_A) * id_col + F.lit(MIS_B)) % F.lit(MIS_P)
+
+
+@dataclass
+class MisResult:
+    labels: DataFrame  # [id: long, status: string] — 'in' | 'out' | 'undecided'
+    iterations: int
+    converged: bool
+    metrics: list = field(default_factory=list)
+
+
+def maximal_independent_set(graph: LinkGraph, max_iterations: int = 20) -> MisResult:
+    """→ per-vertex MIS status after at most ``max_iterations`` rounds
+    ('undecided' survivors mean the round budget ran out — ``converged``
+    says so; the unrolled SQL oracle matches round-for-round either way).
+    Isolated vertices enter immediately (no undecided neighbors)."""
+    from linkgraph_spark.kernels.components import undirected
+
+    spark = graph.vertices.sparkSession
+    state = RotatingState(spark)
+    edges = undirected(graph.edges).persist()
+    n_edges = graph.edges.count()
+
+    cur = state.rotate(
+        graph.vertices.select(
+            "id", _priority(F.col("id")).alias("pr"), F.lit("undecided").alias("status")
+        )
+    )
+    converged = False
+    metrics: list = []
+    it = 0
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+        for it in range(1, max_iterations + 1):
+            und = cur.where(F.col("status") == "undecided")
+            nbr_pr = (
+                edges.join(und.select(F.col("id").alias("src"), "pr"), "src")
+                .join(
+                    und.select(F.col("id").alias("dst")).withColumn("_d", F.lit(1)),
+                    "dst",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("pr").alias("min_nbr_pr"))
+            )
+            joiners = (
+                und.join(nbr_pr, "id", "left")
+                .where(
+                    F.col("min_nbr_pr").isNull()
+                    | (F.col("pr") < F.col("min_nbr_pr"))
+                )
+                .select("id")
+            )
+            knocked = (
+                edges.join(joiners.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            nxt = (
+                cur.join(joiners.withColumn("_in", F.lit(1)), "id", "left")
+                .join(knocked.withColumn("_out", F.lit(1)), "id", "left")
+                .select(
+                    "id",
+                    "pr",
+                    F.when(F.col("status") != "undecided", F.col("status"))
+                    .when(F.col("_in").isNotNull(), F.lit("in"))
+                    .when(F.col("_out").isNotNull(), F.lit("out"))
+                    .otherwise(F.lit("undecided"))
+                    .alias("status"),
+                )
+            )
+            from pyspark.sql import Observation
+
+            obs = Observation(f"mis_{id(state)}_{it}")
+            nxt = nxt.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("status") == "undecided", 1).otherwise(0)
+                ).alias("undecided"),
+            )
+            cur = state.rotate(nxt)
+            undecided = int(obs.get["undecided"] or 0)
+            metrics.append({"iteration": it, "undecided": undecided})
+            if undecided == 0:
+                converged = True
+                break
+
+    edges.unpersist()
+    return MisResult(
+        labels=cur.select("id", "status"),
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+    )
+
+
+def maximal_independent_set_sql(rounds: int = 20) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs): the same
+    two-phase round unrolled — joiners from the previous state, then the
+    knocked-out neighbors — matching the Spark kernel round-for-round
+    (including a non-converged tail of 'undecided')."""
+    pr = f"((({MIS_A} * id) + {MIS_B}) % {MIS_P})"
+    ctes = [
+        """mis_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    )""",
+        f"""mis0 AS (
+      SELECT id, {pr} AS pr, 'undecided' AS status FROM verts
+    )""",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""misj{k} AS MATERIALIZED (
+      SELECT s.id
+      FROM mis{k - 1} s
+      LEFT JOIN (
+        SELECT e.dst AS id, min(p.pr) AS mp
+        FROM mis_und e
+        JOIN mis{k - 1} p ON e.src = p.id AND p.status = 'undecided'
+        JOIN mis{k - 1} q ON e.dst = q.id AND q.status = 'undecided'
+        GROUP BY e.dst
+      ) m ON m.id = s.id
+      WHERE s.status = 'undecided' AND (m.mp IS NULL OR s.pr < m.mp)
+    ),
+    misk{k} AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS id
+      FROM mis_und e JOIN misj{k} j ON e.src = j.id
+    ),
+    mis{k} AS MATERIALIZED (
+      SELECT s.id, s.pr,
+             CASE WHEN s.status <> 'undecided' THEN s.status
+                  WHEN j.id IS NOT NULL THEN 'in'
+                  WHEN o.id IS NOT NULL THEN 'out'
+                  ELSE 'undecided' END AS status
+      FROM mis{k - 1} s
+      LEFT JOIN misj{k} j ON j.id = s.id
+      LEFT JOIN misk{k} o ON o.id = s.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT id, status FROM mis{rounds}
+    """

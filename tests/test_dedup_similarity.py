@@ -194,6 +194,30 @@ def test_vocab_stats_matches_hand_computation(spark):
     assert full == {t: (tf[t], df_[t]) for t in tf}
 
 
+def test_repetition_stats_closed_form(spark):
+    from linkgraph_spark.functions.text import repetition_stats
+
+    rows = [
+        (0, "a a a a"),  # uniq 1/4, bigrams [a a]x3 dup 2/3, top 4/4
+        (1, "w x y z"),  # all distinct: uniq 1, dup 0, top 1/4
+        (2, "one"),  # single token: no bigrams -> dup 0 (not fabricated)
+        (3, "go go stop go"),  # uniq 2/4; bigrams gg,gs,sg distinct; top 3/4
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["unique_token_ratio"],
+            r["dup_bigram_fraction"],
+            r["top_token_fraction"],
+        )
+        for r in repetition_stats(d).collect()
+    }
+    assert got[0] == (0.25, round(2 / 3, 6), 1.0)
+    assert got[1] == (1.0, 0.0, 0.25)
+    assert got[2] == (1.0, 0.0, 1.0)
+    assert got[3] == (0.5, 0.0, 0.75)
+
+
 def test_dedup_corpus_keepers_only(spark):
     """dedup_corpus = exactly the keeper of each near-dup cluster, with the
     cluster's raw-doc count as dedup weight; the corpus covers every

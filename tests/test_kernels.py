@@ -729,6 +729,42 @@ def test_effective_diameter_ring(spark):
     g.unpersist()
 
 
+def test_mis_equals_greedy_by_priority(spark):
+    """With unique deterministic priorities the Luby fixpoint IS the
+    sequential greedy MIS in ascending-priority order — checked exactly,
+    plus independence + maximality, on the random web graph."""
+    from linkgraph_spark.kernels import maximal_independent_set
+    from linkgraph_spark.kernels.mis import MIS_A, MIS_B, MIS_P
+
+    edges = web64(n=50)
+    ids = sorted({v for e in edges for v in e})
+    adj: dict = {v: set() for v in ids}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    pr = {v: (MIS_A * v + MIS_B) % MIS_P for v in ids}
+    assert len(set(pr.values())) == len(ids)  # affine permutation: unique
+    mis, blocked = set(), set()
+    for v in sorted(ids, key=lambda x: pr[x]):
+        if v not in blocked:
+            mis.add(v)
+            blocked |= adj[v]
+    g = graph_from_edges(spark, edges)
+    res = maximal_independent_set(g, max_iterations=20)
+    assert res.converged
+    got = {r["id"]: r["status"] for r in res.labels.collect()}
+    assert {v for v, s in got.items() if s == "in"} == mis
+    assert all(s in ("in", "out") for s in got.values())
+    # independence + maximality straight from the graph
+    for s, d in edges:
+        assert not (got.get(s) == "in" and got.get(d) == "in" and s != d)
+    for v in ids:
+        if got[v] == "out":
+            assert any(got[u] == "in" for u in adj[v])
+    g.unpersist()
+
+
 def test_katz_matches_pure_python(spark):
     """Katz recurrence x_k = β + α Σ_in x_{k-1} against a dict-based
     replay on the random web graph."""
