@@ -460,6 +460,14 @@ def q_stratified_sample_lang(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_sample_docs_top50_per_lang(spark, sf_dir):
+    # fixed-budget deterministic sample: exactly min(50, stratum size)
+    # docs per language by smallest portable hash
+    return sp.top_n_hash_sample(
+        _docs(spark, sf_dir), ["doc_id"], 50, strata_col="lang"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_mis8(spark, sf_dir):
     # Luby MIS with deterministic affine priorities — parallel fixpoint ==
     # greedy-by-priority MIS, so the unrolled oracle matches round-for-round
@@ -675,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_lang": q_stratified_sample_lang,  # new r4
         "mis8": q_mis8,  # new r4
         "repetition_stats": q_repetition_stats,  # new r4
+        "sample_docs_top50_per_lang": q_sample_docs_top50_per_lang,  # new r4
         # -- 2. last driver row is r2 (truncated out of r3) -----------------
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1326,6 +1335,10 @@ def oracle_sql() -> dict[str, str]:
     """,
         "mis8": _mis_sql_full(8),
         "repetition_stats": tx.repetition_stats_sql(),
+        "sample_docs_top50_per_lang": f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    {sp.top_n_hash_sample_sql(["doc_id"], 50, strata_expr="lang")}
+    """,
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -128,3 +128,68 @@ def stratified_hash_sample_sql(
     )
     thresh = f"(CASE {cases} ELSE {int(default_rate * _BUCKETS)} END)"
     return f"{_bucket_sql(key_exprs, salt)} < {thresh}"
+
+
+def top_n_hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """→ a FIXED-BUDGET deterministic sample: the ``n`` rows with the
+    smallest portable key hash — per stratum when ``strata_col`` is given
+    (e.g. exactly 10k eval docs per language). The complement of
+    :func:`hash_sample`'s fixed-RATE contract: you trade monotonicity
+    (a later-arriving smaller-hash key can evict one kept today — budget
+    beats stability here) for an exact row budget; replayability and
+    engine portability hold exactly as before.
+
+    Plan shape: global (no strata) = sort-limit → TakeOrderedAndProject
+    (per-partition heads, one n-sized merge — never a full sort);
+    stratified = one hash shuffle on the stratum + bounded per-stratum
+    window. Ties (60-bit hash collisions) break on the key string, so the
+    kept set is total-order deterministic."""
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    key = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    h = md5_long(key)
+    if strata_col is None:
+        return (
+            df.withColumn("_h", h)
+            .withColumn("_k", key)
+            .orderBy("_h", "_k")
+            .limit(n)
+            .drop("_h", "_k")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), key.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def top_n_hash_sample_sql(
+    key_exprs: list[str],
+    n: int,
+    strata_expr: str | None = None,
+    salt: str = "",
+) -> str:
+    """DuckDB ORDER/QUALIFY mirror of :func:`top_n_hash_sample` — emits
+    the ``(h, key)`` rank expression; embed as
+    ``QUALIFY row_number() OVER (...) <= n`` or an ORDER BY/LIMIT."""
+    casts = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    quoted = salt.replace("'", "''")
+    key = f"concat_ws(chr(31), '{quoted}', {casts})"
+    h = md5_long_sql(key)
+    if strata_expr is None:
+        return f"ORDER BY {h}, {key} LIMIT {n}"
+    return (
+        f"QUALIFY row_number() OVER (PARTITION BY {strata_expr} "
+        f"ORDER BY {h}, {key}) <= {n}"
+    )

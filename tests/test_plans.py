@@ -203,3 +203,34 @@ def test_hash_sample_pruning(spark, sf_dir):
     assert scan_lines
     schema = scan_lines[0].split("ReadSchema:")[1]
     assert "doc_id" in schema and "n_chars" in schema and "text" not in schema
+
+
+def test_no_cartesian_or_row_python_in_r4_kernels(spark):
+    """Round-4 kernels keep the house invariants: every join is an
+    equi-join (no cross product / nested-loop fallback) and nothing drops
+    to row-at-a-time Python (BatchEvalPython)."""
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.functions.text import repetition_stats, vocab_stats
+    from linkgraph_spark.kernels import (
+        closeness_landmarks,
+        katz,
+        maximal_independent_set,
+    )
+    from tests.fixtures_graphs import web64
+
+    g = graph_from_edges(spark, web64())
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i}") for i in range(8)], "doc_id long, text string"
+    )
+    for df in (
+        katz(g, iterations=2).scores,
+        maximal_independent_set(g, max_iterations=2).labels,
+        closeness_landmarks(g, landmarks=[0], k=2),
+        vocab_stats(docs, top_n=5),
+        repetition_stats(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+    g.unpersist()

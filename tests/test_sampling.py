@@ -61,6 +61,30 @@ def test_stratified_hash_sample_per_stratum_rates(spark):
     assert none_es.where(F.col("lang") == "es").count() == 0
 
 
+def test_top_n_hash_sample_budget_and_determinism(spark):
+    from linkgraph_spark.functions.sampling import top_n_hash_sample
+
+    df = spark.range(900).select(
+        F.col("id").alias("row_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("zh"), F.lit("es")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    # stratified: EXACTLY n per stratum, replayable
+    s1 = top_n_hash_sample(df, ["row_id"], 40, strata_col="lang")
+    counts = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 40, "zh": 40, "es": 40}
+    s2 = top_n_hash_sample(df, ["row_id"], 40, strata_col="lang")
+    assert {r["row_id"] for r in s1.collect()} == {r["row_id"] for r in s2.collect()}
+    # global: exact budget; n > table size degrades to the full table
+    assert top_n_hash_sample(df, ["row_id"], 17).count() == 17
+    assert top_n_hash_sample(df, ["row_id"], 5000).count() == 900
+    # a stratum smaller than n yields the whole stratum
+    tiny = top_n_hash_sample(df.where(F.col("lang") == "en").limit(7), ["row_id"], 40, strata_col="lang")
+    assert tiny.count() == 7
+
+
 def test_train_test_split_entity_coherent(spark):
     df = _tbl(spark)
     out = train_test_split(df, ["conv_id"], test_rate=0.3)
