@@ -42,13 +42,21 @@ def label_propagation(
     weighted: bool = False,
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """→ ``DataFrame[id: long, label: long]``.
 
     ``weighted=True`` (needs ``build_graph(weighted=True)``): neighbor
     labels vote with total interaction weight instead of neighbor count —
     a tool invoked 100x by one actor outweighs one invoked once; ties still
-    break on the smallest label, so the result stays deterministic."""
+    break on the smallest label, so the result stays deterministic.
+
+    ``init_labels`` (``[id, label]``): warm start from yesterday's
+    communities — today's additions default to their own id, everyone else
+    resumes their previous label, so a few supersteps re-mix the new
+    vertices instead of re-running the full cap from singletons. Same
+    contract as the PageRank/components warm starts (the label VALUES come
+    from the prior run; LPA semantics per superstep are unchanged)."""
     spark = graph.vertices.sparkSession
     if weighted:
         if "weight" not in graph.edges.columns:
@@ -59,6 +67,12 @@ def label_propagation(
     n_sym = sym.count()
 
     labels = graph.vertices.select("id", F.col("id").alias("label"))
+    if init_labels is not None:
+        labels = (
+            graph.vertices.select("id")
+            .join(init_labels.select("id", F.col("label").alias("_init")), "id", "left")
+            .select("id", F.coalesce("_init", F.col("id")).alias("label"))
+        )
     start = 0
     if resume and checkpoint is not None:
         latest = checkpoint.latest_iteration("labelprop")

@@ -1135,6 +1135,31 @@ def test_components_warm_start_incremental(spark):
         gg.unpersist()
 
 
+def test_labelprop_warm_start_state_equivalence(spark):
+    """Sync LPA is a deterministic function of the label state, so
+    warm-starting from the state after k0 iterations and running k more
+    MUST equal a cold run of k0+k — the exact semantic a nightly
+    incremental community job relies on. Unknown/new ids in the init
+    default to their own label."""
+    from linkgraph_spark.kernels import label_propagation
+
+    edges = web64(n=40)
+    g = graph_from_edges(spark, edges)
+    after3 = label_propagation(g, max_iterations=3)
+    warm = label_propagation(g, max_iterations=2, init_labels=after3)
+    cold5 = label_propagation(g, max_iterations=5)
+    assert {(r["id"], r["label"]) for r in warm.collect()} == {
+        (r["id"], r["label"]) for r in cold5.collect()
+    }
+    # additions-only delta: new vertex bridges in, defaults to own label
+    g2 = graph_from_edges(spark, edges + [(0, 999)])
+    warm2 = label_propagation(g2, max_iterations=1, init_labels=after3)
+    got = {r["id"]: r["label"] for r in warm2.collect()}
+    assert 999 in got  # covered despite being absent from init
+    g.unpersist()
+    g2.unpersist()
+
+
 def test_conductance_closed_form(spark):
     from linkgraph_spark.kernels import conductance
 
