@@ -481,6 +481,14 @@ def q_repetition_stats(spark, sf_dir):
     return tx.repetition_stats(_docs(spark, sf_dir))
 
 
+def q_coloring12(spark, sf_dir):
+    # Jones-Plassmann greedy coloring, 12 rounds — the unrolled oracle
+    # matches round-for-round (NULL colors where the budget ran out)
+    from linkgraph_spark.kernels import greedy_coloring
+
+    return greedy_coloring(_graph(spark, sf_dir), max_iterations=12).colors
+
+
 def q_eff_diameter_landmarks(spark, sf_dir):
     # EXACT landmark-sample effective diameter (oracle-checkable companion
     # to the HLL hyperball estimate): 8 landmark BFS sweeps, truncated r<=6
@@ -684,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis8": q_mis8,  # new r4
         "repetition_stats": q_repetition_stats,  # new r4
         "sample_docs_top50_per_lang": q_sample_docs_top50_per_lang,  # new r4
+        "coloring12": q_coloring12,  # new r4
         # -- 2. last driver row is r2 (truncated out of r3) -----------------
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1234,6 +1243,12 @@ def _mis_sql_full(rounds: int = 8) -> str:
     return f"{_G}, {maximal_independent_set_sql(rounds)}"
 
 
+def _coloring_sql_full(rounds: int = 12) -> str:
+    from linkgraph_spark.kernels.coloring import greedy_coloring_sql
+
+    return f"{_G}, {greedy_coloring_sql(rounds)}"
+
+
 _TRIANGLES_CTE = """
     und AS (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
@@ -1339,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, lang, n_chars FROM documents
     {sp.top_n_hash_sample_sql(["doc_id"], 50, strata_expr="lang")}
     """,
+        "coloring12": _coloring_sql_full(12),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -15,6 +15,7 @@ from linkgraph_spark.kernels.paths import PathsResult, shortest_paths, shortest_
 from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.katz import KatzResult, katz
 from linkgraph_spark.kernels.mis import MisResult, maximal_independent_set
+from linkgraph_spark.kernels.coloring import ColoringResult, greedy_coloring
 from linkgraph_spark.kernels.linkpred import adamic_adar
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
@@ -60,6 +61,8 @@ __all__ = [
     "KatzResult",
     "maximal_independent_set",
     "MisResult",
+    "greedy_coloring",
+    "ColoringResult",
     "adamic_adar",
     "random_walks",
     "skipgram_pairs",

@@ -765,6 +765,40 @@ def test_mis_equals_greedy_by_priority(spark):
     g.unpersist()
 
 
+def test_coloring_equals_sequential_greedy(spark):
+    """Jones-Plassmann with unique priorities == sequential greedy coloring
+    in decreasing-priority order; plus properness (no edge monochromatic)
+    and the greedy bound (colors <= max degree + 1)."""
+    from linkgraph_spark.kernels import greedy_coloring
+    from linkgraph_spark.kernels.mis import MIS_A, MIS_B, MIS_P
+
+    edges = web64(n=50)
+    ids = sorted({v for e in edges for v in e})
+    adj: dict = {v: set() for v in ids}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    pr = {v: (MIS_A * v + MIS_B) % MIS_P for v in ids}
+    want: dict = {}
+    for v in sorted(ids, key=lambda x: -pr[x]):  # decreasing priority
+        used = {want[u] for u in adj[v] if u in want}
+        c = 0
+        while c in used:
+            c += 1
+        want[v] = c
+    g = graph_from_edges(spark, edges)
+    res = greedy_coloring(g, max_iterations=40)
+    assert res.converged
+    got = {r["id"]: r["color"] for r in res.colors.collect()}
+    assert got == want
+    for s, d in edges:
+        if s != d:
+            assert got[s] != got[d]
+    assert max(got.values()) <= max(len(adj[v]) for v in ids)
+    g.unpersist()
+
+
 def test_katz_matches_pure_python(spark):
     """Katz recurrence x_k = β + α Σ_in x_{k-1} against a dict-based
     replay on the random web graph."""
