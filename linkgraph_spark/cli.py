@@ -60,7 +60,7 @@ def main(argv=None):
             "pagerank", "components", "components_star", "labelprop",
             "triangles", "bfs", "sssp", "hits", "kcore", "linkpred",
             "walks", "node2vec", "etl", "scc", "ktruss", "betweenness", "hyperball",
-            "stats", "community",
+            "stats", "community", "katz", "mis", "coloring", "diameter",
         ],
     )
     p.add_argument("--k", type=int, default=3, help="k for ktruss")
@@ -82,6 +82,7 @@ def main(argv=None):
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--max-iterations", type=int, default=100)
     p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--alpha", type=float, default=0.05, help="katz attenuation")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--checkpoint", help="checkpoint store base path")
     p.add_argument("--resume", action="store_true")
@@ -242,6 +243,39 @@ def main(argv=None):
             "communities": labels.select("label").distinct().count(),
             "modularity": q,
         }
+    elif args.kernel == "katz":
+        from linkgraph_spark.kernels import katz
+
+        kzres = katz(g, iterations=args.iterations or 5, alpha=args.alpha)
+        result = kzres.scores
+        summary = {"iterations": kzres.iterations}
+    elif args.kernel == "mis":
+        from linkgraph_spark.kernels import maximal_independent_set
+
+        mres = maximal_independent_set(g, max_iterations=args.max_iterations)
+        result = mres.labels
+        summary = {
+            "in_set": result.where(F.col("status") == "in").count(),
+            "iterations": mres.iterations,
+            "converged": mres.converged,
+        }
+    elif args.kernel == "coloring":
+        from linkgraph_spark.kernels import greedy_coloring
+
+        cores = greedy_coloring(g, max_iterations=args.max_iterations)
+        result = cores.colors
+        summary = {
+            "colors": result.select("color").distinct().count(),
+            "iterations": cores.iterations,
+            "converged": cores.converged,
+        }
+    elif args.kernel == "diameter":
+        from linkgraph_spark.kernels import double_sweep_diameter
+
+        srcs = [int(x) for x in (args.sources or "0").split(",")]
+        result = double_sweep_diameter(g, seed=srcs[0], k=args.max_r)
+        row = result.collect()[0]
+        summary = {"far_id": row["far_id"], "diameter_lb": row["diameter_lb"]}
     elif args.kernel == "stats":
         from linkgraph_spark.kernels import degree_assortativity, reciprocity
 
