@@ -59,10 +59,20 @@ def _mex(colors_arr):
     )
 
 
-def greedy_coloring(graph: LinkGraph, max_iterations: int = 30) -> ColoringResult:
+def greedy_coloring(
+    graph: LinkGraph,
+    max_iterations: int = 30,
+    checkpoint=None,
+    resume: bool = False,
+) -> ColoringResult:
     """→ per-vertex greedy colors after at most ``max_iterations``
     Jones–Plassmann rounds (NULL colors mean the round budget ran out —
-    ``converged`` says so). Isolated vertices color 0 in round one."""
+    ``converged`` says so). Isolated vertices color 0 in round one.
+
+    ``checkpoint``/``resume``: the per-vertex (pr, color) state snapshots
+    each round under kernel name ``coloring``; the rounds are a
+    deterministic function of the state, so a resumed run ends exactly
+    where the uninterrupted one would."""
     from linkgraph_spark.kernels.components import undirected
 
     spark = graph.vertices.sparkSession
@@ -70,18 +80,23 @@ def greedy_coloring(graph: LinkGraph, max_iterations: int = 30) -> ColoringResul
     edges = undirected(graph.edges).persist()
     n_edges = graph.edges.count()
 
-    cur = state.rotate(
-        graph.vertices.select(
-            "id",
-            _priority(F.col("id")).alias("pr"),
-            F.lit(None).cast("long").alias("color"),
-        )
+    init = graph.vertices.select(
+        "id",
+        _priority(F.col("id")).alias("pr"),
+        F.lit(None).cast("long").alias("color"),
     )
+    start = 0
+    if resume and checkpoint is not None:
+        latest = checkpoint.latest_iteration("coloring")
+        if latest is not None:
+            init = checkpoint.load_state(spark, "coloring", latest)
+            start = latest
+    cur = state.rotate(init)
     converged = False
     metrics: list = []
-    it = 0
+    it = start
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
-        for it in range(1, max_iterations + 1):
+        for it in range(start + 1, max_iterations + 1):
             unc = cur.where(F.col("color").isNull())
             # max uncolored-neighbor priority per uncolored vertex
             blocker = (
@@ -131,6 +146,10 @@ def greedy_coloring(graph: LinkGraph, max_iterations: int = 30) -> ColoringResul
             cur = state.rotate(nxt)
             uncolored = int(obs.get["uncolored"] or 0)
             metrics.append({"iteration": it, "uncolored": uncolored})
+            if checkpoint is not None:
+                checkpoint.write_state(
+                    "coloring", it, cur, key_col="id", metrics={"uncolored": uncolored}
+                )
             if uncolored == 0:
                 converged = True
                 break

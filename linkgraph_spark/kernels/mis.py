@@ -55,11 +55,21 @@ class MisResult:
     metrics: list = field(default_factory=list)
 
 
-def maximal_independent_set(graph: LinkGraph, max_iterations: int = 20) -> MisResult:
+def maximal_independent_set(
+    graph: LinkGraph,
+    max_iterations: int = 20,
+    checkpoint=None,
+    resume: bool = False,
+) -> MisResult:
     """→ per-vertex MIS status after at most ``max_iterations`` rounds
     ('undecided' survivors mean the round budget ran out — ``converged``
     says so; the unrolled SQL oracle matches round-for-round either way).
-    Isolated vertices enter immediately (no undecided neighbors)."""
+    Isolated vertices enter immediately (no undecided neighbors).
+
+    ``checkpoint``/``resume``: the per-vertex (pr, status) state snapshots
+    each round under kernel name ``mis``; a resumed run restarts at the
+    latest committed round and — the rounds being a deterministic function
+    of the state — ends exactly where the uninterrupted run would."""
     from linkgraph_spark.kernels.components import undirected
 
     spark = graph.vertices.sparkSession
@@ -67,16 +77,21 @@ def maximal_independent_set(graph: LinkGraph, max_iterations: int = 20) -> MisRe
     edges = undirected(graph.edges).persist()
     n_edges = graph.edges.count()
 
-    cur = state.rotate(
-        graph.vertices.select(
-            "id", _priority(F.col("id")).alias("pr"), F.lit("undecided").alias("status")
-        )
+    init = graph.vertices.select(
+        "id", _priority(F.col("id")).alias("pr"), F.lit("undecided").alias("status")
     )
+    start = 0
+    if resume and checkpoint is not None:
+        latest = checkpoint.latest_iteration("mis")
+        if latest is not None:
+            init = checkpoint.load_state(spark, "mis", latest)
+            start = latest
+    cur = state.rotate(init)
     converged = False
     metrics: list = []
-    it = 0
+    it = start
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
-        for it in range(1, max_iterations + 1):
+        for it in range(start + 1, max_iterations + 1):
             und = cur.where(F.col("status") == "undecided")
             nbr_pr = (
                 edges.join(und.select(F.col("id").alias("src"), "pr"), "src")
@@ -125,6 +140,10 @@ def maximal_independent_set(graph: LinkGraph, max_iterations: int = 20) -> MisRe
             cur = state.rotate(nxt)
             undecided = int(obs.get["undecided"] or 0)
             metrics.append({"iteration": it, "undecided": undecided})
+            if checkpoint is not None:
+                checkpoint.write_state(
+                    "mis", it, cur, key_col="id", metrics={"undecided": undecided}
+                )
             if undecided == 0:
                 converged = True
                 break

@@ -180,6 +180,37 @@ def test_fake_backend_contract_pagerank_and_components_resume(spark):
     g.unpersist()
 
 
+def test_mis_and_coloring_resume(spark, tmp_path):
+    """MIS and coloring resume from the latest committed round and end with
+    exactly the uninterrupted run's result (both are deterministic
+    functions of the snapshotted state)."""
+    import shutil
+
+    from linkgraph_spark.checkpoint import CheckpointStore
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels import greedy_coloring, maximal_independent_set
+
+    g = graph_from_edges(spark, web64(n=40))
+    for name, run in (
+        ("mis", lambda **kw: maximal_independent_set(g, max_iterations=20, **kw)),
+        ("coloring", lambda **kw: greedy_coloring(g, max_iterations=40, **kw)),
+    ):
+        store = CheckpointStore(str(tmp_path / f"{name}_ck"))
+        full = run(checkpoint=store)
+        assert full.converged
+        col = "status" if name == "mis" else "color"
+        want = {(r["id"], r[col]) for r in (full.labels if name == "mis" else full.colors).collect()}
+        its = store.committed_iterations(name)
+        assert len(its) >= 2
+        for k in its[1:]:  # crash: forget all but the first round
+            shutil.rmtree(tmp_path / f"{name}_ck" / name / "state" / f"iteration={k}")
+        resumed = run(checkpoint=store, resume=True)
+        assert resumed.converged
+        got = {(r["id"], r[col]) for r in (resumed.labels if name == "mis" else resumed.colors).collect()}
+        assert got == want
+    g.unpersist()
+
+
 def test_star_components_resume(spark, tmp_path):
     """connected_components_star resumes from the latest committed round's
     pointer set and ends with the same labels as the uninterrupted run."""
