@@ -481,6 +481,14 @@ def q_repetition_stats(spark, sf_dir):
     return tx.repetition_stats(_docs(spark, sf_dir))
 
 
+def q_matching8(spark, sf_dir):
+    # deterministic greedy maximal matching, 8 local-min rounds — the
+    # unrolled oracle matches the accumulated pairs round-for-round
+    from linkgraph_spark.kernels import maximal_matching
+
+    return maximal_matching(_graph(spark, sf_dir), max_iterations=8).matching
+
+
 def q_coloring12(spark, sf_dir):
     # Jones-Plassmann greedy coloring, 12 rounds — the unrolled oracle
     # matches round-for-round (NULL colors where the budget ran out)
@@ -693,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,  # new r4
         "sample_docs_top50_per_lang": q_sample_docs_top50_per_lang,  # new r4
         "coloring12": q_coloring12,  # new r4
+        "matching8": q_matching8,  # new r4
         # -- 2. last driver row is r2 (truncated out of r3) -----------------
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1249,6 +1258,12 @@ def _coloring_sql_full(rounds: int = 12) -> str:
     return f"{_G}, {greedy_coloring_sql(rounds)}"
 
 
+def _matching_sql_full(rounds: int = 8) -> str:
+    from linkgraph_spark.kernels.matching import maximal_matching_sql
+
+    return f"{_G}, {maximal_matching_sql(rounds)}"
+
+
 _TRIANGLES_CTE = """
     und AS (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
@@ -1355,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
     {sp.top_n_hash_sample_sql(["doc_id"], 50, strata_expr="lang")}
     """,
         "coloring12": _coloring_sql_full(12),
+        "matching8": _matching_sql_full(8),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -765,6 +765,41 @@ def test_mis_equals_greedy_by_priority(spark):
     g.unpersist()
 
 
+def test_matching_equals_sequential_greedy(spark):
+    """Local-min rounds with a total edge order == sequential greedy
+    matching in ascending-key order; plus validity (no shared endpoint)
+    and maximality (every live edge touches a matched vertex)."""
+    import hashlib
+
+    from linkgraph_spark.kernels import maximal_matching
+
+    edges = web64(n=50)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+
+    def key(a, b):
+        h = int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:15], 16)
+        return (f"{h:019d}", f"{a:012d}", f"{b:012d}")
+
+    used: set = set()
+    want: set = set()
+    for a, b in sorted(canon, key=lambda e: key(*e)):
+        if a not in used and b not in used:
+            want.add((a, b))
+            used |= {a, b}
+    g = graph_from_edges(spark, edges)
+    res = maximal_matching(g, max_iterations=20)
+    assert res.converged
+    got = {(r["a"], r["b"]) for r in res.matching.collect()}
+    assert got == want
+    seen: set = set()
+    for a, b in got:
+        assert a not in seen and b not in seen  # valid matching
+        seen |= {a, b}
+    for a, b in canon:  # maximal: no augmentable edge left
+        assert a in seen or b in seen
+    g.unpersist()
+
+
 def test_coloring_equals_sequential_greedy(spark):
     """Jones-Plassmann with unique priorities == sequential greedy coloring
     in decreasing-priority order; plus properness (no edge monochromatic)
