@@ -497,6 +497,14 @@ def q_coloring12(spark, sf_dir):
     return greedy_coloring(_graph(spark, sf_dir), max_iterations=12).colors
 
 
+def q_vertex_cover(spark, sf_dir):
+    # 2-approx min vertex cover = matched endpoints (raises if the
+    # matching isn't maximal, so the cover guarantee actually holds)
+    from linkgraph_spark.kernels import vertex_cover
+
+    return vertex_cover(_graph(spark, sf_dir), max_iterations=20)
+
+
 def q_eff_diameter_landmarks(spark, sf_dir):
     # EXACT landmark-sample effective diameter (oracle-checkable companion
     # to the HLL hyperball estimate): 8 landmark BFS sweeps, truncated r<=6
@@ -702,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_docs_top50_per_lang": q_sample_docs_top50_per_lang,  # new r4
         "coloring12": q_coloring12,  # new r4
         "matching8": q_matching8,  # new r4
+        "vertex_cover": q_vertex_cover,  # new r4
         # -- 2. last driver row is r2 (truncated out of r3) -----------------
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1264,6 +1273,12 @@ def _matching_sql_full(rounds: int = 8) -> str:
     return f"{_G}, {maximal_matching_sql(rounds)}"
 
 
+def _vertex_cover_sql_full(rounds: int = 20) -> str:
+    from linkgraph_spark.kernels.matching import vertex_cover_sql
+
+    return f"{_G}, {vertex_cover_sql(rounds)}"
+
+
 _TRIANGLES_CTE = """
     und AS (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
@@ -1371,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "coloring12": _coloring_sql_full(12),
         "matching8": _matching_sql_full(8),
+        "vertex_cover": _vertex_cover_sql_full(20),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -61,6 +61,7 @@ def main(argv=None):
             "triangles", "bfs", "sssp", "hits", "kcore", "linkpred",
             "walks", "node2vec", "etl", "scc", "ktruss", "betweenness", "hyperball",
             "stats", "community", "katz", "mis", "coloring", "diameter",
+            "matching",
         ],
     )
     p.add_argument("--k", type=int, default=3, help="k for ktruss")
@@ -268,6 +269,16 @@ def main(argv=None):
             "colors": result.select("color").distinct().count(),
             "iterations": cores.iterations,
             "converged": cores.converged,
+        }
+    elif args.kernel == "matching":
+        from linkgraph_spark.kernels import maximal_matching
+
+        mares = maximal_matching(g, max_iterations=args.max_iterations)
+        result = mares.matching
+        summary = {
+            "matched_pairs": result.count(),
+            "iterations": mares.iterations,
+            "converged": mares.converged,
         }
     elif args.kernel == "diameter":
         from linkgraph_spark.kernels import double_sweep_diameter

@@ -16,7 +16,7 @@ from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.katz import KatzResult, katz
 from linkgraph_spark.kernels.mis import MisResult, maximal_independent_set
 from linkgraph_spark.kernels.coloring import ColoringResult, greedy_coloring
-from linkgraph_spark.kernels.matching import MatchingResult, maximal_matching
+from linkgraph_spark.kernels.matching import MatchingResult, maximal_matching, vertex_cover
 from linkgraph_spark.kernels.linkpred import adamic_adar
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
@@ -66,6 +66,7 @@ __all__ = [
     "ColoringResult",
     "maximal_matching",
     "MatchingResult",
+    "vertex_cover",
     "adamic_adar",
     "random_walks",
     "skipgram_pairs",

@@ -172,3 +172,34 @@ def maximal_matching_sql(rounds: int = 20) -> str:
     return f"""{body}
     SELECT a, b FROM mmw{rounds}
     """
+
+
+def vertex_cover(graph: LinkGraph, max_iterations: int = 20) -> DataFrame:
+    """→ ``[id]`` — the matched-endpoints 2-APPROXIMATE minimum vertex
+    cover (Gavril's classic bound: every edge of any maximal matching must
+    be covered, and an optimal cover needs at least one endpoint per
+    matched edge, so |cover| = 2·|matching| ≤ 2·OPT). One extra projection
+    over :func:`maximal_matching` — the standard 'which actors do I need
+    to monitor to see every interaction' query."""
+    res = maximal_matching(graph, max_iterations=max_iterations)
+    if not res.converged:
+        raise RuntimeError(
+            f"vertex_cover: matching did not become maximal in "
+            f"{res.iterations} rounds (live edges remain — the endpoint set "
+            "would not cover them); raise max_iterations"
+        )
+    return (
+        res.matching.select(F.col("a").alias("id"))
+        .unionByName(res.matching.select(F.col("b").alias("id")))
+        .distinct()
+    )
+
+
+def vertex_cover_sql(rounds: int = 20) -> str:
+    """DuckDB oracle body — the matching chain's endpoint projection."""
+    base = maximal_matching_sql(rounds)
+    head = base[: base.rindex("SELECT a, b FROM")]
+    return f"""{head}SELECT a AS id FROM mmw{rounds}
+    UNION
+    SELECT b AS id FROM mmw{rounds}
+    """
