@@ -497,6 +497,17 @@ def q_coloring12(spark, sf_dir):
     return greedy_coloring(_graph(spark, sf_dir), max_iterations=12).colors
 
 
+def q_densest_peel(spark, sf_dir):
+    # Bahmani (1+eps)-peeling — per-vertex peel rounds are deterministic
+    # (no tie-breaks: all sub-threshold vertices peel together), so the
+    # unrolled scalar-subquery oracle replays them exactly
+    from linkgraph_spark.kernels import densest_subgraph
+
+    return densest_subgraph(
+        _graph(spark, sf_dir), epsilon=0.5, max_iterations=24
+    ).peel_rounds
+
+
 def q_vertex_cover(spark, sf_dir):
     # 2-approx min vertex cover = matched endpoints (raises if the
     # matching isn't maximal, so the cover guarantee actually holds)
@@ -711,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring12": q_coloring12,  # new r4
         "matching8": q_matching8,  # new r4
         "vertex_cover": q_vertex_cover,  # new r4
+        "densest_peel": q_densest_peel,  # new r4
         # -- 2. last driver row is r2 (truncated out of r3) -----------------
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1279,6 +1291,12 @@ def _vertex_cover_sql_full(rounds: int = 20) -> str:
     return f"{_G}, {vertex_cover_sql(rounds)}"
 
 
+def _densest_sql_full(epsilon: float = 0.5, rounds: int = 24) -> str:
+    from linkgraph_spark.kernels.densest import densest_peel_sql
+
+    return f"{_G}, {densest_peel_sql(epsilon, rounds)}"
+
+
 _TRIANGLES_CTE = """
     und AS (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
@@ -1387,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring12": _coloring_sql_full(12),
         "matching8": _matching_sql_full(8),
         "vertex_cover": _vertex_cover_sql_full(20),
+        "densest_peel": _densest_sql_full(0.5, 24),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

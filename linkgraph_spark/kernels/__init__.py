@@ -17,6 +17,7 @@ from linkgraph_spark.kernels.katz import KatzResult, katz
 from linkgraph_spark.kernels.mis import MisResult, maximal_independent_set
 from linkgraph_spark.kernels.coloring import ColoringResult, greedy_coloring
 from linkgraph_spark.kernels.matching import MatchingResult, maximal_matching, vertex_cover
+from linkgraph_spark.kernels.densest import DensestResult, densest_subgraph
 from linkgraph_spark.kernels.linkpred import adamic_adar
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
@@ -67,6 +68,8 @@ __all__ = [
     "maximal_matching",
     "MatchingResult",
     "vertex_cover",
+    "densest_subgraph",
+    "DensestResult",
     "adamic_adar",
     "random_walks",
     "skipgram_pairs",

@@ -765,6 +765,57 @@ def test_mis_equals_greedy_by_priority(spark):
     g.unpersist()
 
 
+def test_densest_subgraph_replay_and_planted_clique(spark):
+    """Exact python replay of the (1+eps)-peel on the web graph, then a
+    planted K8 clique in path noise must survive into the best set."""
+    from linkgraph_spark.kernels import densest_subgraph
+
+    eps = 0.5
+    edges = web64(n=40)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    ids = sorted({v for e in canon for v in e})
+    removed: dict = {}
+    live = set(canon)
+    surv = set(ids)
+    rhos = []
+    it = 0
+    while surv:
+        it += 1
+        deg = {v: 0 for v in surv}
+        for a, b in live:
+            deg[a] += 1
+            deg[b] += 1
+        rho = len(live) / len(surv)
+        rhos.append(rho)
+        thresh = 2 * (1 + eps) * rho
+        peel = {v for v in surv if deg[v] <= thresh}
+        for v in peel:
+            removed[v] = it
+        surv -= peel
+        live = {(a, b) for a, b in live if a not in peel and b not in peel}
+    best_round = max(range(len(rhos)), key=lambda i: (rhos[i], -i)) + 1
+    g = graph_from_edges(spark, edges)
+    res = densest_subgraph(g, epsilon=eps, max_iterations=60)
+    assert res.converged and res.iterations == it
+    got = {r["id"]: r["removed_round"] for r in res.peel_rounds.collect()}
+    assert got == removed
+    assert res.best_round == best_round
+    assert abs(res.best_density - max(rhos)) < 1e-9
+    want_best = {v for v, r in removed.items() if r >= best_round}
+    assert {r["id"] for r in res.densest_vertices.collect()} == want_best
+    g.unpersist()
+
+    # planted clique: K8 on 100..107 + a long path of noise
+    clique = [(a, b) for a in range(100, 108) for b in range(a + 1, 108)]
+    noise = [(i, i + 1) for i in range(60)]
+    g2 = graph_from_edges(spark, clique + noise)
+    res2 = densest_subgraph(g2, epsilon=0.5, max_iterations=60)
+    dense = {r["id"] for r in res2.densest_vertices.collect()}
+    assert set(range(100, 108)) <= dense
+    assert res2.best_density >= 3.5 / 3  # within 2(1+eps) of the K8 density
+    g2.unpersist()
+
+
 def test_matching_equals_sequential_greedy(spark):
     """Local-min rounds with a total edge order == sequential greedy
     matching in ascending-key order; plus validity (no shared endpoint)
