@@ -497,6 +497,16 @@ def q_coloring12(spark, sf_dir):
     return greedy_coloring(_graph(spark, sf_dir), max_iterations=12).colors
 
 
+def q_curate_corpus(spark, sf_dir):
+    # the composed keep/drop pass with per-filter reason codes; reasons
+    # joined to one string so the value hash is engine-portable
+    from linkgraph_spark.functions.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir)).select(
+        "doc_id", "keep", F.array_join("reasons", ",").alias("reasons_str")
+    )
+
+
 def q_densest_peel(spark, sf_dir):
     # Bahmani (1+eps)-peeling — per-vertex peel rounds are deterministic
     # (no tie-breaks: all sub-threshold vertices peel together), so the
@@ -723,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching8": q_matching8,  # new r4
         "vertex_cover": q_vertex_cover,  # new r4
         "densest_peel": q_densest_peel,  # new r4
+        "curate_corpus": q_curate_corpus,  # new r4
         # -- 2. last driver row is r2 (truncated out of r3) -----------------
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1297,6 +1308,12 @@ def _densest_sql_full(epsilon: float = 0.5, rounds: int = 24) -> str:
     return f"{_G}, {densest_peel_sql(epsilon, rounds)}"
 
 
+def _curate_sql_full() -> str:
+    from linkgraph_spark.functions.curation import curate_corpus_sql
+
+    return curate_corpus_sql()
+
+
 _TRIANGLES_CTE = """
     und AS (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
@@ -1406,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "matching8": _matching_sql_full(8),
         "vertex_cover": _vertex_cover_sql_full(20),
         "densest_peel": _densest_sql_full(0.5, 24),
+        "curate_corpus": _curate_sql_full(),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -194,6 +194,35 @@ def test_vocab_stats_matches_hand_computation(spark):
     assert full == {t: (tf[t], df_[t]) for t in tf}
 
 
+def test_curate_corpus_reason_codes(spark):
+    """Each filter fires on a doc built to trip exactly it; a clean doc
+    keeps with no reasons; the exact-dup keeper is the smallest doc_id."""
+    from linkgraph_spark.functions.curation import curate_corpus
+
+    clean = "the cat and the dog walk to the park with a friend today fine"
+    rows = [
+        (0, clean),
+        (1, "word " + clean),  # near-identical but NOT an exact dup
+        (2, clean.upper()),  # exact dup of 0 after normalization
+        (3, "tiny doc"),  # too_short
+        (4, "??!!.. ??!!.. the and of to in is on for day ok"),  # punct 12/47
+        (5, "zebra quark lattice photon meson gluon"),  # stopword floor
+        (6, ("the dog " * 20).strip()),  # low diversity + repetition
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["keep"], list(r["reasons"]))
+        for r in curate_corpus(d).collect()
+    }
+    assert got[0] == (True, [])
+    assert got[1] == (True, [])
+    assert got[2] == (False, ["exact_dup"])
+    assert got[3][0] is False and "too_short" in got[3][1]
+    assert got[4][0] is False and "punct" in got[4][1]
+    assert got[5][0] is False and "stopword" in got[5][1]
+    assert got[6][0] is False and {"low_diversity", "repetition"} <= set(got[6][1])
+
+
 def test_repetition_stats_closed_form(spark):
     from linkgraph_spark.functions.text import repetition_stats
 
