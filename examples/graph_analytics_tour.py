@@ -105,6 +105,25 @@ def main() -> int:
     corpus = node2vec_walks(g, walk_length=4, max_degree=64)
     report["skipgram_pairs"] = skipgram_pairs(corpus, window=2).count()
 
+    # 8. symmetry breaking + densest region (round-4 kernels): pick
+    # non-conflicting actors, color the rest, find the hottest subgraph
+    from linkgraph_spark.kernels import (
+        densest_subgraph,
+        greedy_coloring,
+        maximal_independent_set,
+        maximal_matching,
+    )
+
+    mis = maximal_independent_set(g, max_iterations=20)
+    report["mis_size"] = mis.labels.where(F.col("status") == "in").count()
+    col = greedy_coloring(g, max_iterations=40)
+    report["colors_used"] = col.colors.select("color").distinct().count()
+    mat = maximal_matching(g, max_iterations=20)
+    report["matched_pairs"] = mat.matching.count()
+    ds = densest_subgraph(g, epsilon=0.5)
+    report["densest_density"] = round(ds.best_density, 3)
+    report["densest_vertices"] = ds.densest_vertices.count()
+
     print(json.dumps(report, default=str))
     return 0
 
