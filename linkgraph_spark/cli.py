@@ -266,7 +266,11 @@ def main(argv=None):
         cores = greedy_coloring(g, max_iterations=args.max_iterations)
         result = cores.colors
         summary = {
-            "colors": result.select("color").distinct().count(),
+            # NULL = still uncolored (budget ran out), not a color
+            "colors": result.where(F.col("color").isNotNull())
+            .select("color")
+            .distinct()
+            .count(),
             "iterations": cores.iterations,
             "converged": cores.converged,
         }

@@ -50,10 +50,14 @@ def curate_corpus(
     Reason codes: ``too_short`` / ``too_long`` / ``punct`` / ``stopword``
     / ``low_diversity`` / ``repetition`` / ``exact_dup`` (non-keeper copy
     of a normalized-identical text; the smallest doc_id stays)."""
-    toks = _tokens(F.lower(F.col("text")))
+    # coalesce NULL text to '' up front: size()/length() disagree between
+    # engines on NULL inputs, '' behaves identically (1 empty token, 0
+    # chars) and trips too_short in both
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = _tokens(F.lower(text))
     n = F.size(toks)
-    n_chars = F.length("text")
-    punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_uniq = F.size(F.array_distinct(toks))
@@ -71,7 +75,11 @@ def curate_corpus(
         F.lit(0.0)
     )
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # NULL text must still get a verdict: md5(NULL) is NULL and an inner
+    # join on a NULL key silently drops the row from the accounting, so
+    # the fingerprint coalesces to the empty-string digest (NULL/empty
+    # docs dedup together and fail the too_short check)
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     keeper = documents.select(F.md5(norm).alias("_fp"), F.col("doc_id")).groupBy(
         "_fp"
     ).agg(F.min("doc_id").alias("_keeper"))
@@ -79,7 +87,9 @@ def curate_corpus(
     checks = [
         ("too_short", n < min_tokens),
         ("too_long", n > max_tokens),
-        ("punct", (punct / n_chars) > max_punct_ratio),
+        # n_chars can be 0 (empty/NULL text) — guard the division (ANSI
+        # mode errors on /0); too_short covers that row anyway
+        ("punct", (n_chars > 0) & ((punct / n_chars) > max_punct_ratio)),
         ("stopword", (n_stop / n) < min_stopword_ratio),
         ("low_diversity", (n_uniq / n) < min_unique_token_ratio),
         ("repetition", dup_bi > max_dup_bigram_fraction),
@@ -117,13 +127,15 @@ def curate_corpus_sql(
     stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     return f"""
     WITH cur_base AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM {table}
+    ), cur_base2 AS (
       SELECT doc_id, text,
              string_split_regex(trim(lower(text)), '\\s+') AS toks,
              length(text) AS n_chars,
              length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
                AS punct,
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-      FROM {table}
+      FROM cur_base
     ), cur_feat AS (
       SELECT doc_id, fp, n_chars, punct,
              len(toks) AS n,
@@ -131,14 +143,15 @@ def curate_corpus_sql(
              len(list_distinct(toks)) AS n_uniq,
              list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
                             i -> toks[i] || ' ' || toks[i + 1]) AS bi
-      FROM cur_base
+      FROM cur_base2
     ), cur_keeper AS (
       SELECT fp, min(doc_id) AS keeper FROM cur_feat GROUP BY fp
     ), cur_flags AS (
       SELECT f.doc_id,
              f.n < {min_tokens} AS too_short,
              f.n > {max_tokens} AS too_long,
-             (f.punct / CAST(f.n_chars AS DOUBLE)) > {max_punct_ratio!r} AS punct_bad,
+             (f.n_chars > 0 AND
+              (f.punct / CAST(f.n_chars AS DOUBLE)) > {max_punct_ratio!r}) AS punct_bad,
              (f.n_stop / CAST(f.n AS DOUBLE)) < {min_stopword_ratio!r} AS stop_bad,
              (f.n_uniq / CAST(f.n AS DOUBLE)) < {min_unique_token_ratio!r} AS div_bad,
              (CASE WHEN len(f.bi) > 0

@@ -352,9 +352,14 @@ def near_dup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame
 
 
 def near_dup_clusters_sql(
-    table: str = "documents", threshold: float = 0.5, unroll: int = 10
+    table: str = "documents", threshold: float = 0.5, unroll: int = 40
 ) -> str:
-    """DuckDB oracle: the MinHash pair SQL + unrolled hash-min closure."""
+    """DuckDB oracle: the MinHash pair SQL + unrolled hash-min closure.
+
+    ``unroll`` must cover the pair-graph diameter or the ORACLE
+    under-converges and red-flags a correct engine result (the Spark side
+    raises on non-convergence; static SQL can't) — hence the 40-round
+    margin over any realistic duplicate-chain diameter."""
     pair_sql = minhash_lsh_sql(table, threshold)
     ctes = [
         f"pairs AS MATERIALIZED ({pair_sql})",

@@ -497,10 +497,17 @@ def embedding_clusters_sql(
     threshold: float = 0.95,
     n_tables: int = NEAR_DUP_TABLES,
     n_planes: int = NEAR_DUP_PLANES,
-    unroll: int = 10,
+    unroll: int = 40,
 ) -> str:
     """DuckDB oracle: the LSH near-dup pair SQL + unrolled hash-min
-    closure (same shape as ``dedup.near_dup_clusters_sql``)."""
+    closure (same shape as ``dedup.near_dup_clusters_sql``).
+
+    ``unroll`` must cover the pair-graph diameter or the oracle itself
+    under-converges and red-flags a CORRECT engine result (observed at
+    sf0.001: a 39-member cluster needed >10 rounds). The Spark side
+    raises on non-convergence; static SQL can't, so the default is a
+    40-round margin — LSH cluster pair graphs are dense, keeping real
+    diameters far below it."""
     pair_sql = embedding_near_dups_sql(table, threshold, n_tables, n_planes)
     ctes = [
         f"epairs AS MATERIALIZED ({pair_sql})",

@@ -326,12 +326,13 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     oracle-replayed exactly.
 
     Precision note: the phone pattern requires 7-15 digits with at most two
-    ``() .-`` separator chars between digits. That excludes short numbers,
-    >15-digit IDs and separator runs, but digit-dense spans that LOOK
-    phone-shaped (ISO timestamps like ``2026-08-17 12``, long decimals) are
-    still redacted: distinguishing them needs lookaround, which RE2 (the
-    oracle engine) lacks, and a PII scrub prefers false positives over
-    leaks."""
+    ``() .-`` separator chars between digits. That excludes short numbers
+    and separator runs; digit runs LONGER than 15 still lose their first 15
+    digits to a greedy partial match (an unanchored regex cannot refuse a
+    longer digit context), and digit-dense spans that LOOK phone-shaped
+    (ISO timestamps like ``2026-08-17 12``, long decimals) are still
+    redacted: distinguishing them needs lookaround, which RE2 (the oracle
+    engine) lacks, and a PII scrub prefers false positives over leaks."""
     out = F.col("text")
     for pat, repl in REDACT_PATTERNS:
         out = F.regexp_replace(out, pat, repl)

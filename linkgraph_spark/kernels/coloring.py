@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph_spark.edges import LinkGraph
-from linkgraph_spark.kernels.mis import MIS_A, MIS_B, MIS_P, _priority
+from linkgraph_spark.kernels.mis import _priority, _priority_sql
 from linkgraph_spark.lineage import RotatingState
 from linkgraph_spark.session import pinned_superstep_confs
 
@@ -125,7 +125,8 @@ def greedy_coloring(
                     F.when(F.col("color").isNotNull(), F.col("color"))
                     .when(
                         # ready: no uncolored neighbor outranks this vertex
-                        F.coalesce("max_unc_pr", F.lit(-1)) < F.col("pr"),
+                        # ('' sorts before every real string priority)
+                        F.coalesce("max_unc_pr", F.lit("")) < F.col("pr"),
                         _mex(F.coalesce("cl", F.array().cast("array<long>"))).cast(
                             "long"
                         ),
@@ -167,7 +168,7 @@ def greedy_coloring_sql(rounds: int = 30) -> str:
     """DuckDB oracle body (expects ``verts``/``edges`` CTEs): the same
     readiness + mex round unrolled, matching the Spark kernel
     round-for-round (including a non-converged NULL tail)."""
-    pr = f"((({MIS_A} * id) + {MIS_B}) % {MIS_P})"
+    pr = _priority_sql()
     ctes = [
         """col_und AS MATERIALIZED (
       SELECT src, dst FROM edges WHERE src <> dst
@@ -196,7 +197,7 @@ def greedy_coloring_sql(rounds: int = 30) -> str:
     col{k} AS MATERIALIZED (
       SELECT s.id, s.pr,
              CASE WHEN s.color IS NOT NULL THEN s.color
-                  WHEN coalesce(b.max_unc_pr, -1) < s.pr THEN
+                  WHEN coalesce(b.max_unc_pr, '') < s.pr THEN
                     CAST(list_min(list_filter(
                       range(0, len(coalesce(t.cl, [])) + 1),
                       x -> NOT list_contains(coalesce(t.cl, []), x)

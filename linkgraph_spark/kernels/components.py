@@ -85,13 +85,11 @@ def connected_components(
 
     labels = graph.vertices.select("id", F.col("id").alias("component"))
     if init_labels is not None:
-        labels = (
-            graph.vertices.join(
-                init_labels.select("id", F.col("component").alias("_warm")),
-                "id",
-                "left",
-            )
-            .select("id", F.coalesce("_warm", F.col("id")).alias("component"))
+        # defensive per-id min: a duplicated init id (e.g. unioned prior
+        # runs) would otherwise fan the vertex out through every superstep
+        warm = init_labels.groupBy("id").agg(F.min("component").alias("_warm"))
+        labels = graph.vertices.join(warm, "id", "left").select(
+            "id", F.coalesce("_warm", F.col("id")).alias("component")
         )
     start = 0
     if resume and checkpoint is not None:

@@ -134,6 +134,12 @@ def densest_subgraph(
                 ).join(peeled.withColumnRenamed("id", "b"), "b", "left_anti")
             )
 
+    if not converged and it == max_iterations:
+        # the final allowed round may have peeled the last survivors — the
+        # next-round n==0 probe that normally detects emptiness never ran
+        converged = (
+            cur.where(F.col("removed_round").isNull()).limit(1).count() == 0
+        )
     densest = cur.where(
         F.col("removed_round").isNull() | (F.col("removed_round") >= best_round)
     ).select("id")

@@ -68,9 +68,13 @@ def label_propagation(
 
     labels = graph.vertices.select("id", F.col("id").alias("label"))
     if init_labels is not None:
+        # defensive per-id min (deterministic, matches the kernel's
+        # smallest-label tie-break): duplicated init ids would otherwise
+        # double that vertex's vote in every superstep
+        warm = init_labels.groupBy("id").agg(F.min("label").alias("_init"))
         labels = (
             graph.vertices.select("id")
-            .join(init_labels.select("id", F.col("label").alias("_init")), "id", "left")
+            .join(warm, "id", "left")
             .select("id", F.coalesce("_init", F.col("id")).alias("label"))
         )
     start = 0

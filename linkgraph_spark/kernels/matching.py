@@ -103,9 +103,13 @@ def maximal_matching(graph: LinkGraph, max_iterations: int = 20) -> MatchingResu
                 .select("a", "b")
             )
             matched = matched_state.rotate(matched.unionByName(winners))
+            # anti-join against THIS round's winners only: live edges were
+            # already purged of earlier rounds' endpoints, so the delta
+            # suffices and the join side stays O(|round winners|), not
+            # O(|total matching|)
             won_vs = (
-                matched.select(F.col("a").alias("v"))
-                .unionByName(matched.select(F.col("b").alias("v")))
+                winners.select(F.col("a").alias("v"))
+                .unionByName(winners.select(F.col("b").alias("v")))
                 .distinct()
             )
             nxt = (

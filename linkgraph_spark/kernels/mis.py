@@ -1,11 +1,13 @@
 """Maximal independent set — Luby-style parallel rounds with DETERMINISTIC
 unique priorities (Luby 1986, public algorithm).
 
-Priority ``p(v) = (A·id + B) mod P`` with prime ``P = 2^61 - 1`` is an
-affine PERMUTATION of the id space (injective for all ids < P), so
-priorities are unique by construction and the parallel fixpoint equals the
+Priority ``p(v)`` is a fixed-width string: a 31-bit affine hash of the id
+(order scrambling, overflow-free on the FULL int64 id domain) followed by
+the zero-padded id itself (uniqueness by construction). Priorities are
+therefore unique with no tie cases, and the parallel fixpoint equals the
 sequential greedy MIS taken in ascending-priority order — which makes the
-operator exactly replayable in SQL (no RNG, no tie cases).
+operator exactly replayable in SQL (no RNG; lexicographic string order is
+engine-identical).
 
 Per round, over the undirected neighbor relation:
 
@@ -38,13 +40,34 @@ from linkgraph_spark.edges import LinkGraph
 from linkgraph_spark.lineage import RotatingState
 from linkgraph_spark.session import pinned_superstep_confs
 
-MIS_P = (1 << 61) - 1  # Mersenne prime; ids are < 2^61 by a huge margin
+MIS_P = 2_147_483_647  # 2^31 - 1: A*(P-1)+B < 2^63, so int64 NEVER overflows
 MIS_A = 2654435761  # Knuth multiplicative constant, coprime with P
 MIS_B = 17
 
 
 def _priority(id_col):
-    return (F.lit(MIS_A) * id_col + F.lit(MIS_B)) % F.lit(MIS_P)
+    """Fixed-width string priority: a 31-bit affine hash prefix (scrambles
+    the id order; overflow-free for EVERY int64 id since the id is reduced
+    mod P before the multiply) + the zero-padded id as tie-break suffix —
+    unique by construction on the full id domain, and lexicographic string
+    comparison is identical in Spark and DuckDB. A plain 61-bit affine
+    permutation would silently overflow (Spark wraps, DuckDB errors) once
+    ids pass ~3.5e9 — which dense-ranked actor ids DO at 10^12 turns."""
+    h = (F.lit(MIS_A) * (id_col % F.lit(MIS_P)) + F.lit(MIS_B)) % F.lit(MIS_P)
+    return F.concat_ws(
+        "-",
+        F.lpad(h.cast("string"), 10, "0"),
+        F.lpad(id_col.cast("string"), 19, "0"),
+    )
+
+
+def _priority_sql() -> str:
+    """DuckDB mirror of :func:`_priority` over a column named ``id``."""
+    h = f"((({MIS_A} * (id % {MIS_P})) + {MIS_B}) % {MIS_P})"
+    return (
+        f"concat_ws('-', lpad(CAST({h} AS VARCHAR), 10, '0'),"
+        " lpad(CAST(id AS VARCHAR), 19, '0'))"
+    )
 
 
 @dataclass
@@ -162,7 +185,7 @@ def maximal_independent_set_sql(rounds: int = 20) -> str:
     two-phase round unrolled — joiners from the previous state, then the
     knocked-out neighbors — matching the Spark kernel round-for-round
     (including a non-converged tail of 'undecided')."""
-    pr = f"((({MIS_A} * id) + {MIS_B}) % {MIS_P})"
+    pr = _priority_sql()
     ctes = [
         """mis_und AS MATERIALIZED (
       SELECT src, dst FROM edges WHERE src <> dst

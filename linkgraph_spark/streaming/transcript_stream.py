@@ -216,7 +216,7 @@ def _latest_degree_batch(fs, state_path: str) -> int | None:
                 f"degree state at {state_path} has no _LATEST pointer but is "
                 f"not empty ({stale[:5]}…): this looks like a pre-snapshot "
                 "(flat-parquet) layout. Migrate it by reading the old parquet, "
-                "writing it to {state_path}/v=<last_batch_id>, and creating "
+                f"writing it to {state_path}/v=<last_batch_id>, and creating "
                 "the _LATEST pointer — refusing to silently start fresh."
             )
         return None

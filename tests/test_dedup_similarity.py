@@ -208,6 +208,7 @@ def test_curate_corpus_reason_codes(spark):
         (4, "??!!.. ??!!.. the and of to in is on for day ok"),  # punct 12/47
         (5, "zebra quark lattice photon meson gluon"),  # stopword floor
         (6, ("the dog " * 20).strip()),  # low diversity + repetition
+        (7, None),  # NULL text must still get a verdict (too_short)
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -221,6 +222,8 @@ def test_curate_corpus_reason_codes(spark):
     assert got[4][0] is False and "punct" in got[4][1]
     assert got[5][0] is False and "stopword" in got[5][1]
     assert got[6][0] is False and {"low_diversity", "repetition"} <= set(got[6][1])
+    assert 7 in got  # NULL text is accounted for, never silently dropped
+    assert got[7][0] is False and "too_short" in got[7][1]
 
 
 def test_repetition_stats_closed_form(spark):

@@ -743,8 +743,10 @@ def test_mis_equals_greedy_by_priority(spark):
         if s != d:
             adj[s].add(d)
             adj[d].add(s)
-    pr = {v: (MIS_A * v + MIS_B) % MIS_P for v in ids}
-    assert len(set(pr.values())) == len(ids)  # affine permutation: unique
+    pr = {
+        v: f"{(MIS_A * (v % MIS_P) + MIS_B) % MIS_P:010d}-{v:019d}" for v in ids
+    }
+    assert len(set(pr.values())) == len(ids)  # id suffix: unique
     mis, blocked = set(), set()
     for v in sorted(ids, key=lambda x: pr[x]):
         if v not in blocked:
@@ -865,9 +867,11 @@ def test_coloring_equals_sequential_greedy(spark):
         if s != d:
             adj[s].add(d)
             adj[d].add(s)
-    pr = {v: (MIS_A * v + MIS_B) % MIS_P for v in ids}
+    pr = {
+        v: f"{(MIS_A * (v % MIS_P) + MIS_B) % MIS_P:010d}-{v:019d}" for v in ids
+    }
     want: dict = {}
-    for v in sorted(ids, key=lambda x: -pr[x]):  # decreasing priority
+    for v in sorted(ids, key=lambda x: pr[x], reverse=True):  # decreasing
         used = {want[u] for u in adj[v] if u in want}
         c = 0
         while c in used:
