@@ -114,7 +114,13 @@ def main():
     _, q["adamic_adar_sf"] = timed(
         lambda: adamic_adar(g_sf, max_degree=32, top_k=10).count()
     )
-    from linkgraph_spark.kernels import hyperball, k_truss
+    from linkgraph_spark.kernels import hyperball, k_truss, maximal_independent_set
+
+    # symmetry-breaking family representative (MIS/coloring/matching share
+    # the shrinking-frontier round shape; rounds are overhead-bound at sf)
+    _, q["mis_sf"] = timed(
+        lambda: maximal_independent_set(g_sf, max_iterations=8).labels.count()
+    )
 
     # sketch-superstep workload class: HLL union gather per round
     _, q["hyperball6_sf"] = timed(
