@@ -853,6 +853,23 @@ def test_matching_equals_sequential_greedy(spark):
     g.unpersist()
 
 
+def test_vertex_cover_raises_when_matching_not_maximal(spark):
+    """The 2-approx bound only holds over a MAXIMAL matching — a starved
+    round budget must raise, never emit a non-covering set."""
+    import pytest
+
+    from linkgraph_spark.kernels import vertex_cover
+
+    # long path needs several local-min rounds; 1 round can't finish it
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(64)])
+    with pytest.raises(RuntimeError, match="maximal"):
+        vertex_cover(g, max_iterations=1)
+    cover = {r["id"] for r in vertex_cover(g, max_iterations=20).collect()}
+    for i in range(64):
+        assert i in cover or i + 1 in cover  # every edge covered
+    g.unpersist()
+
+
 def test_coloring_equals_sequential_greedy(spark):
     """Jones-Plassmann with unique priorities == sequential greedy coloring
     in decreasing-priority order; plus properness (no edge monochromatic)
