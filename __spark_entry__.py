@@ -497,6 +497,18 @@ def q_coloring12(spark, sf_dir):
     return greedy_coloring(_graph(spark, sf_dir), max_iterations=12).colors
 
 
+def q_temporal_components(spark, sf_dir):
+    # per-hour interaction components (community evolution): one
+    # multiplexed hash-min loop keyed (window, id)
+    from linkgraph_spark.kernels.temporal import temporal_components
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    from linkgraph_spark.kernels import temporal_edges
+
+    return temporal_components(g, temporal_edges(g, t), window_sec=3600)
+
+
 def q_curate_corpus(spark, sf_dir):
     # the composed keep/drop pass with per-filter reason codes; reasons
     # joined to one string so the value hash is engine-portable
@@ -734,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_cover": q_vertex_cover,  # new r4
         "densest_peel": q_densest_peel,  # new r4
         "curate_corpus": q_curate_corpus,  # new r4
+        "temporal_components": q_temporal_components,  # new r4
         # -- 2. last driver row is r2 (truncated out of r3) -----------------
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1424,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "vertex_cover": _vertex_cover_sql_full(20),
         "densest_peel": _densest_sql_full(0.5, 24),
         "curate_corpus": _curate_sql_full(),
+        "temporal_components": f"{_G}, {tmp.temporal_components_sql(3600, 20)}",
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

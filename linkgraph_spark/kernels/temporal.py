@@ -217,3 +217,104 @@ def temporal_reachability_sql(sources: list, rounds: int) -> str:
     return f"""{body}
     SELECT id, arrival FROM tr{rounds} WHERE arrival < {sent}
     """
+
+
+def temporal_components(
+    graph: LinkGraph,
+    tedges: DataFrame,
+    window_sec: int = 3600,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """→ ``[window_start, id, component]`` — hash-min connected components
+    of EACH time window's interaction graph, all windows in ONE multiplexed
+    superstep loop: the label state is keyed ``(window, id)``, so one
+    gather join + grouped min per round converges every window together
+    (a window's component = min member id within that window). The
+    community-evolution view next to :func:`temporal_reachability` — how
+    conversation clusters form and merge hour by hour — at the cost of a
+    single components run over the windowed edge multiset.
+
+    Scale shape: identical to the static components kernel with ``window``
+    prepended to every key — same shuffle, same O(diameter) rounds (window
+    subgraphs are conversation-local, so diameters are small); windows
+    multiply state size, not round count. Early exit at the global
+    fixpoint is safe (hash-min is monotone and idempotent, so the unrolled
+    SQL oracle with a fixed round budget matches exactly)."""
+    from linkgraph_spark.lineage import RotatingState
+
+    spark = tedges.sparkSession
+    w = (F.col("ts") - F.col("ts") % F.lit(int(window_sec))).alias("w")
+    we = tedges.select(w, "src", "dst")
+    und = (
+        we.select("w", F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(we.select("w", F.col("dst").alias("a"), F.col("src").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    verts = und.select("w", F.col("a").alias("id")).distinct()
+    state = RotatingState(spark)
+    labels = state.rotate(verts.withColumn("component", F.col("id")))
+    from pyspark.sql import Observation
+
+    for it in range(1, max_iterations + 1):
+        gathered = (
+            und.join(
+                labels.select(
+                    "w", F.col("id").alias("b"), F.col("component").alias("nc")
+                ),
+                ["w", "b"],
+            )
+            .groupBy("w", F.col("a").alias("id"))
+            .agg(F.min("nc").alias("mn"))
+        )
+        nxt = labels.join(gathered, ["w", "id"], "left").select(
+            "w",
+            "id",
+            F.least(F.col("component"), F.coalesce("mn", F.col("component"))).alias(
+                "component"
+            ),
+            (F.coalesce("mn", F.col("component")) < F.col("component")).alias("_chg"),
+        )
+        obs = Observation(f"twc_{id(state)}_{it}")
+        nxt = nxt.observe(obs, F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("c"))
+        labels = state.rotate(nxt.drop("_chg"))
+        if int(obs.get["c"] or 0) == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("w").alias("window_start"), "id", "component")
+
+
+def temporal_components_sql(window_sec: int = 3600, rounds: int = 20) -> str:
+    """DuckDB oracle body (expects the transcript CTE chain): the windowed
+    hash-min unrolled over (window, id) keys."""
+    ctes = [
+        _TE_CTE,
+        f"""twc_e AS MATERIALIZED (
+      SELECT (ts - ts % {int(window_sec)}) AS w, src, dst FROM ({_TE_SELECT})
+    )""",
+        """twc_und AS MATERIALIZED (
+      SELECT DISTINCT w, a, b FROM (
+        SELECT w, src AS a, dst AS b FROM twc_e
+        UNION ALL SELECT w, dst AS a, src AS b FROM twc_e
+      ) WHERE a <> b
+    )""",
+        "twc0 AS (SELECT DISTINCT w, a AS id, a AS component FROM twc_und)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""twc{k} AS MATERIALIZED (
+      SELECT l.w, l.id,
+             least(l.component, coalesce(m.mn, l.component)) AS component
+      FROM twc{k - 1} l
+      LEFT JOIN (
+        SELECT u.w, u.a AS id, min(l2.component) AS mn
+        FROM twc_und u JOIN twc{k - 1} l2 ON u.w = l2.w AND u.b = l2.id
+        GROUP BY u.w, u.a
+      ) m ON m.w = l.w AND m.id = l.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT w AS window_start, id, component FROM twc{rounds}
+    """

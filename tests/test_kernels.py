@@ -767,6 +767,41 @@ def test_mis_equals_greedy_by_priority(spark):
     g.unpersist()
 
 
+def test_temporal_components_window_locality(spark):
+    """Components are per-window: chains connected only across different
+    windows must NOT merge, and a vertex appears once per window it is
+    active in, labeled by that window's min member."""
+    from linkgraph_spark.edges import LinkGraph, vertex_degrees
+    from linkgraph_spark.kernels.temporal import temporal_components
+
+    verts = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(6)], "id long, actor_key string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (2, 3)], "src long, dst long"
+    )
+    g = LinkGraph(
+        vertices=verts, edges=edges,
+        degrees=vertex_degrees(verts, edges), num_vertices=6,
+    )
+    W = 100
+    # window 0: 0-1-2 chain and 3-4; the 2-3 bridge happens in window 1
+    te = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 50), (3, 4, 99), (2, 3, 150), (0, 1, 160)],
+        "src long, dst long, ts long",
+    )
+    got = {
+        (r["window_start"], r["id"]): r["component"]
+        for r in temporal_components(g, te, window_sec=W).collect()
+    }
+    assert got == {
+        (0, 0): 0, (0, 1): 0, (0, 2): 0,  # chain merged within window 0
+        (0, 3): 3, (0, 4): 3,  # separate cluster, NOT merged via window-1 bridge
+        (100, 2): 2, (100, 3): 2,  # the bridge's own window
+        (100, 0): 0, (100, 1): 0,
+    }
+
+
 def test_densest_subgraph_replay_and_planted_clique(spark):
     """Exact python replay of the (1+eps)-peel on the web graph, then a
     planted K8 clique in path noise must survive into the best set."""
