@@ -123,11 +123,19 @@ def stratified_hash_sample_sql(
 ) -> str:
     """DuckDB predicate mirroring :func:`stratified_hash_sample`."""
     cases = " ".join(
-        f"WHEN {strata_expr} = '{s}' THEN {int(r * _BUCKETS)}"
+        f"WHEN {strata_expr} = '{s.replace(chr(39), chr(39) * 2)}'"
+        f" THEN {int(r * _BUCKETS)}"
         for s, r in sorted(rates.items())
     )
     thresh = f"(CASE {cases} ELSE {int(default_rate * _BUCKETS)} END)"
     return f"{_bucket_sql(key_exprs, salt)} < {thresh}"
+
+
+#: sub-buckets the two-phase stratified top-n splits each stratum into —
+#: phase 1 ranks within (stratum, hash % _TOPN_SUBBUCKETS) so no single
+#: task ever sorts a whole stratum; 64 bounds the phase-2 input at 64·n
+#: rows per stratum while still splitting a hot stratum 64 ways.
+_TOPN_SUBBUCKETS = 64
 
 
 def top_n_hash_sample(
@@ -147,30 +155,49 @@ def top_n_hash_sample(
 
     Plan shape: global (no strata) = sort-limit → TakeOrderedAndProject
     (per-partition heads, one n-sized merge — never a full sort);
-    stratified = one hash shuffle on the stratum + bounded per-stratum
-    window. Ties (60-bit hash collisions) break on the key string, so the
-    kept set is total-order deterministic."""
+    stratified = TWO-PHASE: rank within (stratum, hash-sub-bucket) first —
+    a skewed stratum (en ≫ rest at corpus scale) splits across
+    ``_TOPN_SUBBUCKETS`` tasks instead of one — then the final per-stratum
+    rank runs over at most ``_TOPN_SUBBUCKETS × n`` survivors per stratum.
+    Phase 1 keeps a superset of every stratum's true top-n (each row it
+    drops is beaten by ≥ n rows of its own stratum), so the two-phase
+    result is EXACTLY the single-window result. Ties (60-bit hash
+    collisions) break on the key string, so the kept set is total-order
+    deterministic."""
     if n < 0:
         raise ValueError("n must be >= 0")
+    # double-underscore internal names: loud enough that a real schema
+    # colliding with them is a caller bug worth surfacing
+    for c in ("__tnhs_h", "__tnhs_k", "__tnhs_b", "__tnhs_rn"):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c!r}")
     key = F.concat_ws(
         "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
     )
     h = md5_long(key)
     if strata_col is None:
         return (
-            df.withColumn("_h", h)
-            .withColumn("_k", key)
-            .orderBy("_h", "_k")
+            df.withColumn("__tnhs_h", h)
+            .withColumn("__tnhs_k", key)
+            .orderBy("__tnhs_h", "__tnhs_k")
             .limit(n)
-            .drop("_h", "_k")
+            .drop("__tnhs_h", "__tnhs_k")
         )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(strata_col).orderBy(h.asc(), key.asc())
+    hc, kc = F.col("__tnhs_h"), F.col("__tnhs_k")
+    w1 = Window.partitionBy(strata_col, "__tnhs_b").orderBy(hc.asc(), kc.asc())
+    w2 = Window.partitionBy(strata_col).orderBy(hc.asc(), kc.asc())
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n)
-        .drop("_rn")
+        df.withColumn("__tnhs_h", h)
+        .withColumn("__tnhs_k", key)
+        .withColumn("__tnhs_b", F.pmod(h, F.lit(_TOPN_SUBBUCKETS)))
+        .withColumn("__tnhs_rn", F.row_number().over(w1))
+        .where(F.col("__tnhs_rn") <= n)
+        .drop("__tnhs_rn")
+        .withColumn("__tnhs_rn", F.row_number().over(w2))
+        .where(F.col("__tnhs_rn") <= n)
+        .drop("__tnhs_rn", "__tnhs_h", "__tnhs_k", "__tnhs_b")
     )
 
 

@@ -271,9 +271,14 @@ def double_sweep_diameter_sql(seed: int = 0, k: int = 16) -> str:
     )"""
         )
     ctes.append(
+        # coalesce to the seed so the degenerate cases (seed absent from
+        # verts, empty graph) still yield ONE (seed, 0) row — matching the
+        # Spark side's far_id fallback instead of an empty cross join
         f"""ds_far AS (
-      SELECT id FROM ds1_{k} WHERE d < {sent}
-      ORDER BY d DESC, id ASC LIMIT 1
+      SELECT coalesce(
+        (SELECT id FROM ds1_{k} WHERE d < {sent}
+         ORDER BY d DESC, id ASC LIMIT 1),
+        {int(seed)}) AS id
     )"""
     )
     ctes.append(
@@ -298,10 +303,10 @@ def double_sweep_diameter_sql(seed: int = 0, k: int = 16) -> str:
     body = ",\n    ".join(ctes)
     return f"""{body}
     SELECT f.id AS far_id,
-           CAST(coalesce(max(CASE WHEN d.d < {sent} THEN d.d END), 0) AS BIGINT)
-             AS diameter_lb
-    FROM ds2_{k} d CROSS JOIN ds_far f
-    GROUP BY f.id
+           CAST(coalesce(
+             (SELECT max(CASE WHEN d.d < {sent} THEN d.d END) FROM ds2_{k} d),
+             0) AS BIGINT) AS diameter_lb
+    FROM ds_far f
     """
 
 

@@ -140,6 +140,11 @@ def densest_subgraph(
         converged = (
             cur.where(F.col("removed_round").isNull()).limit(1).count() == 0
         )
+    if best_rho < 0.0:
+        # no survey round ever saw a vertex (empty graph): the -1.0
+        # sentinel must not escape — an empty graph's densest subgraph is
+        # empty with density 0
+        best_rho = 0.0
     densest = cur.where(
         F.col("removed_round").isNull() | (F.col("removed_round") >= best_round)
     ).select("id")

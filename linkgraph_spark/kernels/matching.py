@@ -42,11 +42,14 @@ def _edge_key(a, b):
     """Sortable fixed-width string key: zero-padded 60-bit hash, then the
     canonical endpoint pair — a total order identical in both engines."""
     h = md5_long(F.concat_ws(":", a.cast("string"), b.cast("string")))
+    # 19-char pads fit any int64 (max 19 digits) — lpad TRUNCATES longer
+    # strings in both engines, so a narrower pad would collapse distinct
+    # ids >= 10^12 and break the total-order tie-break suffix
     return F.concat_ws(
         "-",
         F.lpad(h.cast("string"), 19, "0"),
-        F.lpad(a.cast("string"), 12, "0"),
-        F.lpad(b.cast("string"), 12, "0"),
+        F.lpad(a.cast("string"), 19, "0"),
+        F.lpad(b.cast("string"), 19, "0"),
     )
 
 
@@ -138,7 +141,7 @@ def maximal_matching_sql(rounds: int = 20) -> str:
     ``rounds`` rounds."""
     key = (
         f"concat_ws('-', lpad(CAST({md5_long_sql('concat_ws(chr(58), CAST(a AS VARCHAR), CAST(b AS VARCHAR))')} AS VARCHAR), 19, '0'),"
-        " lpad(CAST(a AS VARCHAR), 12, '0'), lpad(CAST(b AS VARCHAR), 12, '0'))"
+        " lpad(CAST(a AS VARCHAR), 19, '0'), lpad(CAST(b AS VARCHAR), 19, '0'))"
     )
     ctes = [
         f"""mm0 AS MATERIALIZED (

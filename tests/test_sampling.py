@@ -97,3 +97,57 @@ def test_train_test_split_entity_coherent(spark):
     # degenerate rates
     assert train_test_split(df, ["conv_id"], 0.0).where(F.col("split") == "test").count() == 0
     assert train_test_split(df, ["conv_id"], 1.0).where(F.col("split") == "train").count() == 0
+
+
+def test_top_n_stratified_two_phase_plan_and_equivalence(spark):
+    """Scale shape of the stratified fixed-budget sample: NO window may run
+    over a whole raw stratum in one task. Phase 1 must partition by
+    (stratum, hash-sub-bucket) — a hot stratum splits across sub-buckets —
+    and only the bounded phase-2 window (≤ sub_buckets × n rows per
+    stratum) partitions by the stratum alone. The two-phase result is
+    proven identical to the naive single-window result."""
+    from pyspark.sql import Window
+
+    from linkgraph_spark.functions.hashing import md5_long
+    from linkgraph_spark.functions.sampling import top_n_hash_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("row_id"),
+        # skewed mix: one hot stratum dominating, like `en` at corpus scale
+        F.when(F.col("id") % 10 < 8, "en").otherwise("ko").alias("lang"),
+    )
+    out = top_n_hash_sample(df, ["row_id"], 25, strata_col="lang")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly two ranking windows ("Window" alone also matches Spark 4's
+    # WindowGroupLimit pruning nodes — count the specs instead)
+    assert plan.count("windowspecdefinition") == 2
+    # phase 1 shuffles on (stratum, sub-bucket) — the hot-stratum splitter
+    assert "hashpartitioning(lang" in plan and "__tnhs_b" in plan
+    # the window that runs over the RAW input (the innermost/last one in
+    # the plan string) is the sub-bucketed phase-1 window, never a
+    # full-stratum window; phase 2 (first in the string) sees survivors only
+    inner_spec = plan.rindex("windowspecdefinition")
+    assert "__tnhs_b" in plan[inner_spec : inner_spec + 120]
+    # Spark additionally inserts pre-shuffle WindowGroupLimit pruning, so
+    # per-task state is bounded by n per (stratum, bucket) even before the
+    # exchange — assert the insurance holds on this build
+    assert "WindowGroupLimit" in plan
+
+    # value equivalence vs the naive single-window plan
+    key = F.concat_ws("\x1f", F.lit(""), F.col("row_id").cast("string"))
+    h = md5_long(key)
+    w = Window.partitionBy("lang").orderBy(h.asc(), key.asc())
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .drop("rn")
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in naive.collect()}
+
+    # internal-name collision is loud, not silent
+    import pytest as _pytest
+
+    clash = df.withColumn("__tnhs_h", F.lit(1))
+    with _pytest.raises(ValueError, match="__tnhs_h"):
+        top_n_hash_sample(clash, ["row_id"], 5, strata_col="lang")
