@@ -79,19 +79,46 @@ class KCoreResult:
     metrics: list = field(default_factory=list)
 
 
-def k_core(graph: LinkGraph, max_iterations: int = 100) -> KCoreResult:
-    """→ exact coreness per vertex (isolated vertices have core 0)."""
+def k_core(
+    graph: LinkGraph,
+    max_iterations: int = 100,
+    init_coreness: DataFrame | None = None,
+) -> KCoreResult:
+    """→ exact coreness per vertex (isolated vertices have core 0).
+
+    ``init_coreness`` (``[id, core]``) warm-starts the h-index iteration.
+    CONTRACT: the values must be a pointwise UPPER bound on true coreness
+    (the engine additionally clamps them at degree, which preserves any
+    upper bound since core ≤ degree). Yesterday's coreness qualifies after
+    a deletions-only change, or ``old_core + k`` after ``k`` edge inserts
+    (one insert raises any coreness by at most 1 — public result). The
+    h-index map is monotone, so any start sandwiched between coreness and
+    degree converges to the same coreness fixpoint as the cold
+    start-from-degree run, just in fewer rounds — same warm==cold value
+    contract as the PageRank/components/labelprop warm starts. A LOWER
+    bound would be silently wrong (0 everywhere is a fixpoint too), hence
+    the upper-bound contract is on the caller. Ids absent from
+    ``init_coreness`` fall back to degree (the cold estimate)."""
     spark = graph.vertices.sparkSession
     state = RotatingState(spark)
     sym = undirected(graph.edges).persist()
     n_sym = sym.count()
 
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("core"))
-    est = state.rotate(
+    est0 = (
         graph.vertices.select("id")
         .join(deg, "id", "left")
         .select("id", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
     )
+    if init_coreness is not None:
+        warm = init_coreness.groupBy("id").agg(F.min("core").alias("_warm"))
+        est0 = est0.join(warm, "id", "left").select(
+            "id",
+            F.least(F.col("core"), F.coalesce("_warm", F.col("core")))
+            .cast("long")
+            .alias("core"),
+        )
+    est = state.rotate(est0)
 
     # every h-index the iteration produces is ≤ √(2E); clamping neighbor
     # values here bounds phase-2 window partitions at cap+1 rows

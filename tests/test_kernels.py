@@ -1372,3 +1372,36 @@ def test_eccentricity_landmarks_closed_form(spark):
     }
     assert got2 == {0: 2}
     g.unpersist()
+
+
+def test_k_core_warm_start_deletions(spark):
+    """Warm-start contract: after a deletions-only change, yesterday's
+    coreness is a pointwise UPPER bound on today's, so k_core(init_coreness=
+    yesterday) must land on the exact cold-run coreness in fewer h-index
+    rounds (the estimates start sandwiched between coreness and degree)."""
+    from linkgraph_spark.kernels import k_core
+
+    e1 = web64(96, 4)
+    g1 = graph_from_edges(spark, e1)
+    cold1 = k_core(g1)
+    assert cold1.converged
+
+    # warm start on the SAME graph: already the fixpoint — one probe round
+    warm_same = k_core(g1, init_coreness=cold1.coreness)
+    assert warm_same.converged and warm_same.iterations == 1
+    assert {tuple(r) for r in warm_same.coreness.collect()} == {
+        tuple(r) for r in cold1.coreness.collect()
+    }
+
+    # deletions-only day-2 graph: drop every 5th edge
+    e2 = [e for i, e in enumerate(e1) if i % 5 != 0]
+    g2 = graph_from_edges(spark, e2)
+    cold2 = k_core(g2)
+    warm2 = k_core(g2, init_coreness=cold1.coreness)
+    assert cold2.converged and warm2.converged
+    a = {r["id"]: r["core"] for r in cold2.coreness.collect()}
+    b = {r["id"]: r["core"] for r in warm2.coreness.collect()}
+    assert a == b == _kcore_oracle(e2)  # exact same fixpoint
+    assert warm2.iterations <= cold2.iterations  # head start never hurts
+    g1.unpersist()
+    g2.unpersist()
