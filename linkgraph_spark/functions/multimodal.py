@@ -158,11 +158,115 @@ def _decode_bmp(data: bytes) -> list[float]:
     ]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
+    """Undo PNG per-scanline filtering (spec filters 0-4) → uint8 array of
+    shape (height, stride). Filters None/Sub/Up are fully vectorized (Sub
+    is a mod-256 cumsum over the bpp-strided lanes); Average/Paeth carry a
+    true per-pixel left dependency, so those rows fall back to a per-byte
+    loop — correctness over speed on the rare filter types."""
+    import numpy as np
+
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG pixel stream shorter than height×(stride+1)")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        if ftype == 0:  # None
+            rec = line.copy()
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            lanes = line.astype(np.uint32).reshape(-1, bpp)
+            rec = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up: uint8 addition wraps mod 256 natively
+            rec = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _decode_png(data: bytes) -> list[float]:
+    """REAL stdlib decode of a PNG payload (IHDR parse + zlib inflate +
+    per-scanline unfilter, pure numpy/stdlib) → 8 features:
+    [width, height, bits_per_pixel, meanR, meanG, meanB, meanA, 0]
+    (channel means in [0, 1]; grayscale replicates into R=G=B). Supports
+    bit depth 8, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
+    non-interlaced — the shapes every modern encoder emits; palette/16-bit/
+    interlaced raise ``NotImplementedError`` loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace} "
+            "unsupported (8-bit gray/RGB/gray+alpha/RGBA, non-interlaced only)"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    means = px.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    if color == 0:
+        r = g = b = float(means[0])
+        a = 0.0
+    elif color == 4:
+        r = g = b = float(means[0])
+        a = float(means[1])
+    elif color == 2:
+        r, g, b = (float(m) for m in means)
+        a = 0.0
+    else:
+        r, g, b, a = (float(m) for m in means)
+    return [float(w), float(h), float(depth * channels), r, g, b, a, 0.0]
+
+
 def decode_strict(media: DataFrame) -> DataFrame:
     """Production decode path. REAL (stdlib + numpy, no codec libraries)
-    for the two formats whose containers are stdlib-parseable — RIFF/WAVE
-    PCM audio and uncompressed BMP images, dispatched on magic bytes — and
-    a loud ``NotImplementedError`` for every other format (JPEG/PNG/MP4/…
+    for the three formats whose containers are stdlib-parseable — RIFF/WAVE
+    PCM audio, uncompressed BMP images, and 8-bit non-interlaced PNG
+    (zlib-inflated, per-scanline unfiltered) — dispatched on magic bytes,
+    and a loud ``NotImplementedError`` for every other format (JPEG/MP4/…
     need Pillow/pyav, absent in this container; swap them into the same
     dispatch table in production). Same Arrow batching and output schema as
     :func:`decode_stub`."""
@@ -178,12 +282,16 @@ def decode_strict(media: DataFrame) -> DataFrame:
                 elif data[:2] == b"BM":
                     feats.append([float(x) for x in _decode_bmp(data)])
                     notes.append("bmp")
+                elif data[:8] == _PNG_MAGIC:
+                    feats.append([float(x) for x in _decode_png(data)])
+                    notes.append("png")
                 else:
                     raise NotImplementedError(
-                        "decode_strict: payload is neither RIFF/WAVE nor BMP; "
-                        "decoding other formats requires codec libraries "
-                        "(Pillow/soundfile/pyav) not present in this "
-                        "environment — use decode_stub for plumbing tests"
+                        "decode_strict: payload is not RIFF/WAVE, BMP, or "
+                        "PNG; decoding other formats requires codec "
+                        "libraries (Pillow/soundfile/pyav) not present in "
+                        "this environment — use decode_stub for plumbing "
+                        "tests"
                     )
             yield pd.DataFrame(
                 {

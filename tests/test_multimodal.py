@@ -134,3 +134,122 @@ def test_resize_and_frame_sample_stubs(media):
     assert all(r["frame_ts_ms"] % 500 == 0 for r in rows)
     n_videos = media.where(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == n_videos
+
+
+def _make_png(px, color_type, filters=None):
+    """Minimal PNG encoder for tests: ``px`` is a numpy uint8 array of
+    shape (h, w, channels); per-row filter types (0-4) are applied
+    FORWARD here exactly per the spec, so the decoder's unfilter path is
+    exercised filter-by-filter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = px.shape
+    bpp = nch
+    filters = filters if filters is not None else [0] * h
+    prev = np.zeros(w * nch, dtype=np.uint8)
+    stream = bytearray()
+    for y, ftype in zip(range(h), filters):
+        line = px[y].reshape(-1)
+        if ftype == 0:
+            filt = line.copy()
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            filt = line - left
+        elif ftype == 2:
+            filt = line - prev
+        elif ftype in (3, 4):
+            filt = np.empty_like(line)
+            for x in range(len(line)):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (int(line[x]) - pred) & 0xFF
+        stream += bytes([ftype]) + filt.tobytes()
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_strict_png_real(spark):
+    """REAL PNG decode: an RGB image whose five rows use filter types
+    0,1,2,3,4 round-trips to exact channel means; RGBA and grayscale
+    exercise the channel mapping."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    payload = _make_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    df = spark.createDataFrame(
+        [(3, "image", bytearray(payload), (6, 5, 0, "png"))], mm.MEDIA_SCHEMA
+    )
+    (r,) = mm.decode_strict(df).collect()
+    w, h, bits, mr, mg, mb, ma, _ = r["feature"]
+    assert (w, h, bits, ma) == (6.0, 5.0, 24.0, 0.0)
+    assert r["note"] == "png"
+    want = px.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    for got, wv in zip((mr, mg, mb), want):
+        assert abs(got - wv) < 1e-6
+
+    # RGBA: alpha mean lands in slot 7 of the feature head
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    pay4 = _make_png(rgba, color_type=6, filters=[4, 3, 1])
+    df4 = spark.createDataFrame(
+        [(4, "image", bytearray(pay4), (3, 3, 0, "png"))], mm.MEDIA_SCHEMA
+    )
+    (r4,) = mm.decode_strict(df4).collect()
+    want4 = rgba.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    assert all(
+        abs(g - wv) < 1e-6 for g, wv in zip(r4["feature"][3:7], want4)
+    )
+    assert r4["feature"][2] == 32.0
+
+    # grayscale replicates into R=G=B
+    gray = rng.integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
+    payg = _make_png(gray, color_type=0, filters=[0, 2, 1, 2])
+    dfg = spark.createDataFrame(
+        [(5, "image", bytearray(payg), (4, 4, 0, "png"))], mm.MEDIA_SCHEMA
+    )
+    (rg,) = mm.decode_strict(dfg).collect()
+    wantg = float(gray.astype(np.float64).mean()) / 255.0
+    assert all(abs(rg["feature"][i] - wantg) < 1e-6 for i in (3, 4, 5))
+
+    # unsupported shapes refuse loudly (16-bit depth)
+    import struct as _struct
+    import zlib as _zlib
+
+    bad_ihdr = _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def _chunk(ct, d):
+        return _struct.pack(">I", len(d)) + ct + d + _struct.pack(
+            ">I", _zlib.crc32(ct + d) & 0xFFFFFFFF
+        )
+
+    bad = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", bad_ihdr) + _chunk(b"IEND", b"")
+    dfb = spark.createDataFrame(
+        [(6, "image", bytearray(bad), (2, 2, 0, "png"))], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|unsupported"):
+        mm.decode_strict(dfb).collect()
