@@ -171,7 +171,36 @@ def main():
     _, q["components_big"] = timed(
         lambda: connected_components(g_big).labels.select("component").distinct().count()
     )
+
+    # ---- symmetry-breaking / peel kernel family on the big graph -----------
+    # (all claim geometrically shrinking frontiers — the per-round metrics
+    # land in bench_detail.json as the evidence)
+    from linkgraph_spark.kernels import (
+        densest_subgraph,
+        greedy_coloring,
+        maximal_matching,
+        temporal_components,
+        temporal_edges,
+    )
+
+    col_res, q["coloring_big"] = timed(lambda: greedy_coloring(g_big))
+    mat_res, q["matching_big"] = timed(lambda: maximal_matching(g_big))
+    den_res, q["densest_big"] = timed(lambda: densest_subgraph(g_big))
+    te_big = temporal_edges(g_big, t_large)
+    _, q["temporal_components_big"] = timed(
+        lambda: temporal_components(g_big, te_big).count()
+    )
+    kernel_rounds = {
+        "coloring_big_uncolored": [m["uncolored"] for m in col_res.metrics],
+        "matching_big_live_edges": [m["live_edges"] for m in mat_res.metrics],
+        "densest_big_survivors": [m["n"] for m in den_res.metrics],
+    }
     g_big.unpersist()  # free cached blocks before the probe measurement
+
+    # ---- streaming ingest: stateful adjacent-edge extraction ---------------
+    # N micro-batches of append-only transcript files through the
+    # applyInPandasWithState operator; state is O(active conversations)
+    stream_stats = _streaming_bench(spark, q)
 
     # ---- prebuilt 20M-edge probe graph (if present): throughput headline ---
     probe_path = os.path.join(
@@ -219,6 +248,8 @@ def main():
         "sf_converged": res_sf.converged,
         "big_graph_vertices": g_big.num_vertices,
         "big_graph_edges": n_edges,
+        "kernel_rounds": kernel_rounds,
+        "streaming": stream_stats,
         "cpus": cpus,
         "bench_convs": bench_convs,
         "scaling": _scaling_evidence(),
@@ -246,6 +277,86 @@ def main():
         "detail_file": detail_path,
     }
     print(json.dumps(out))
+
+
+def _streaming_bench(spark, q):
+    """Drive the streaming path (round-3 carry-over item): N append-only
+    transcript parquet files → micro-batches through the stateful
+    ``stream_adjacent_edges`` operator and the ``incremental_degrees``
+    foreachBatch merge. Adds two wall rows to ``q`` and returns
+    rows/sec + state-size stats for bench_detail.json.
+
+    Single-shot (reps=1): each wall already spans ``n_files``
+    micro-batches, which self-averages the scheduler noise the per-query
+    medians exist to absorb."""
+    import shutil
+    import tempfile
+
+    from linkgraph_spark.streaming import (
+        incremental_degrees,
+        read_transcript_stream,
+        stream_adjacent_edges,
+    )
+
+    # default sized so the 8-batch run stays ~1 min of the bench wall: the
+    # stateful operator's cost is per-GROUP (conversation), not per-turn —
+    # see SCALE.md "Streaming ingest" for the measured shape
+    n_convs = int(os.environ.get("SPARK_GRAFT_STREAM_CONVS", "5000"))
+    n_files = 8
+    root = tempfile.mkdtemp(prefix="lg_stream_bench_")
+    t_in = synthesize_transcripts(spark, n_convs=n_convs, min_turns=4, max_turns=40)
+    n_turns = t_in.count()
+    t_in.repartition(n_files).write.mode("overwrite").parquet(f"{root}/in")
+
+    progress: dict = {}
+
+    def run_adjacent():
+        ck = tempfile.mkdtemp(prefix="ck_adj_", dir=root)
+        stream = read_transcript_stream(spark, f"{root}/in", max_files_per_trigger=1)
+        qy = (
+            stream_adjacent_edges(stream)
+            .writeStream.foreachBatch(lambda df, bid: df.count())
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+        stateful = [p for p in qy.recentProgress if p.get("stateOperators")]
+        if stateful:
+            progress["adjacent_state_rows"] = stateful[-1]["stateOperators"][0][
+                "numRowsTotal"
+            ]
+            progress["adjacent_batches"] = len(stateful)
+        return qy
+
+    _, q["stream_adjacent_ingest"] = timed(run_adjacent, reps=1)
+
+    def run_degree_merge():
+        ck = tempfile.mkdtemp(prefix="ck_deg_", dir=root)
+        state = tempfile.mkdtemp(prefix="state_deg_", dir=root)
+        qy = incremental_degrees(
+            read_transcript_stream(spark, f"{root}/in", max_files_per_trigger=1),
+            state,
+            ck,
+        )
+        qy.awaitTermination()
+        return qy
+
+    _, q["stream_degree_merge"] = timed(run_degree_merge, reps=1)
+    stats = {
+        "stream_convs": n_convs,
+        "stream_turns": n_turns,
+        "micro_batches": n_files,
+        "adjacent_turns_per_sec": round(
+            n_turns / q["stream_adjacent_ingest"]["median"], 1
+        ),
+        "degree_merge_turns_per_sec": round(
+            n_turns / q["stream_degree_merge"]["median"], 1
+        ),
+        **progress,
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return stats
 
 
 def _scaling_evidence():

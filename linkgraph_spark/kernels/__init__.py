@@ -34,6 +34,7 @@ from linkgraph_spark.kernels.modularity import conductance, modularity
 from linkgraph_spark.kernels.node2vec import node2vec_walks
 from linkgraph_spark.kernels.projection import shared_tool_affinity
 from linkgraph_spark.kernels.temporal import (
+    temporal_components,
     TemporalReachResult,
     temporal_edges,
     temporal_reachability,
@@ -75,6 +76,7 @@ __all__ = [
     "skipgram_pairs",
     "node2vec_walks",
     "TemporalReachResult",
+    "temporal_components",
     "temporal_edges",
     "temporal_reachability",
     "ego_graph",
