@@ -709,6 +709,77 @@ def q_media_features(spark, sf_dir):  # stubbed decode — rows-only check
     return mm.decode_stub(media).select("media_id", "kind", "n_bytes", "note")
 
 
+# ---------------------------------------------------------------- r5 wave
+def q_salsa5(spark, sf_dir):
+    # SALSA (Lempel-Moran 2001): degree-normalized bipartite walk — the
+    # hub/authority sibling robust to HITS's tightly-knit-community effect
+    from linkgraph_spark.kernels.spectral import salsa
+
+    res = salsa(_graph(spark, sf_dir), iterations=5)
+    return res.scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
+def q_eigenvector8(spark, sf_dir):
+    # max-normalized power iteration on the in-edge adjacency
+    from linkgraph_spark.kernels.spectral import eigenvector_centrality
+
+    res = eigenvector_centrality(_graph(spark, sf_dir), iterations=8)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_directed_triangles(spark, sf_dir):
+    # directed triad census: closed hand-off loops vs delegation shortcuts
+    from linkgraph_spark.kernels.triangles import directed_triangle_census
+
+    return directed_triangle_census(_graph(spark, sf_dir))
+
+
+def q_rich_club(spark, sf_dir):
+    # rich-club coefficient at enumerated degree thresholds
+    return st.rich_club(_graph(spark, sf_dir), ks=[1, 2, 4, 8, 16])
+
+
+def q_seed_spread10(spark, sf_dir):
+    # influence domains of the 10 lowest-id actors: min reachable seed label
+    from linkgraph_spark.kernels.labelprop import seed_spread
+
+    g = _graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") < 10).select(
+        "id", F.col("id").alias("label")
+    )
+    return seed_spread(g, seeds, max_iterations=20)
+
+
+def q_unigram_lm_score(spark, sf_dir):
+    # corpus-self unigram LM fluency score per document
+    return tx.unigram_lm_score(_docs(spark, sf_dir))
+
+
+def q_contamination_check(spark, sf_dir):
+    # decontamination vs the deterministic pseudo-benchmark doc_id % 97 == 0
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return dd.contamination_check(docs, bench, min_shared=2)
+
+
+def q_sample_docs_top20_skewed(spark, sf_dir):
+    # the two-phase stratified top-n under deliberate skew: ~90% of docs
+    # collapse into one hot stratum, the rest keep their language — the
+    # shape where a single-window plan would sort a whole stratum in one
+    # task (see SCALE.md "Fixed-budget top-n sample")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 10 < 9, F.lit("en"))
+        .otherwise(F.col("lang"))
+        .alias("stratum"),
+    )
+    return sp.top_n_hash_sample(docs, ["doc_id"], 20, strata_col="stratum")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -764,7 +835,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,
         "temporal_edges": q_temporal_edges,
         # -- 2. new in r5 (never driver-checked) ----------------------------
-        # (inserted here as they are built this round)
+        "salsa5": q_salsa5,
+        "eigenvector8": q_eigenvector8,
+        "directed_triangles": q_directed_triangles,
+        "rich_club": q_rich_club,
+        "seed_spread10": q_seed_spread10,
+        "unigram_lm_score": q_unigram_lm_score,
+        "contamination_check": q_contamination_check,
+        "sample_docs_top20_skewed": q_sample_docs_top20_skewed,
         # -- 3. green in the r4 gate; rotate to tail ------------------------
         "temporal_reach4": q_temporal_reach4,
         "sample_docs_10pct": q_sample_docs_10pct,
@@ -1076,6 +1154,14 @@ from linkgraph_spark.kernels.walks import skipgram_pairs_sql as _sg_sql_body
 from linkgraph_spark.kernels.node2vec import node2vec_walks_sql as _n2v_sql_body
 from linkgraph_spark.kernels import temporal as tmp
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
+from linkgraph_spark.kernels.spectral import (
+    eigenvector_centrality_sql as _eig_sql_body,
+    salsa_sql as _salsa_sql_body,
+)
+from linkgraph_spark.kernels.triangles import (
+    directed_triangle_census_sql as _dtc_sql_body,
+)
+from linkgraph_spark.kernels.labelprop import seed_spread_sql as _seed_sql_body
 from linkgraph_spark.kernels.linkpred import link_scores_sql as _ls_sql_body
 from linkgraph_spark.kernels.triangles import (
     clustering_coefficient_sql as _cc_sql_body,
@@ -1438,6 +1524,23 @@ def oracle_sql() -> dict[str, str]:
         "densest_peel": _densest_sql_full(0.5, 24),
         "curate_corpus": _curate_sql_full(),
         "temporal_components": f"{_G}, {tmp.temporal_components_sql(3600, 20)}",
+        "salsa5": f"{_G}, {_salsa_sql_body(5)}",
+        "eigenvector8": f"{_G}, {_eig_sql_body(8)}",
+        "directed_triangles": f"{_G}, {_dtc_sql_body()}",
+        "rich_club": f"{_G}, {st.rich_club_sql([1, 2, 4, 8, 16])}",
+        "seed_spread10": f"{_G}, {_seed_sql_body(seed_max_id=10, rounds=20)}",
+        "unigram_lm_score": tx.unigram_lm_score_sql(),
+        "contamination_check": dd.contamination_check_sql(
+            bench_filter="doc_id % 97 = 0", min_shared=2
+        ),
+        "sample_docs_top20_skewed": f"""
+    SELECT doc_id, n_chars, stratum FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 10 < 9 THEN 'en' ELSE lang END AS stratum
+      FROM documents
+    )
+    {sp.top_n_hash_sample_sql(["doc_id"], 20, strata_expr="stratum")}
+    """,
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

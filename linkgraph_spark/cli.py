@@ -61,7 +61,8 @@ def main(argv=None):
             "triangles", "bfs", "sssp", "hits", "kcore", "linkpred",
             "walks", "node2vec", "etl", "scc", "ktruss", "betweenness", "hyperball",
             "stats", "community", "katz", "mis", "coloring", "diameter",
-            "matching",
+            "matching", "salsa", "eigenvector", "census", "richclub",
+            "seedspread",
         ],
     )
     p.add_argument("--k", type=int, default=3, help="k for ktruss")
@@ -283,6 +284,42 @@ def main(argv=None):
             "matched_pairs": result.count(),
             "iterations": mares.iterations,
             "converged": mares.converged,
+        }
+    elif args.kernel == "salsa":
+        from linkgraph_spark.kernels import salsa
+
+        sres = salsa(g, iterations=args.iterations or 5)
+        result = sres.scores
+        summary = {"iterations": sres.iterations}
+    elif args.kernel == "eigenvector":
+        from linkgraph_spark.kernels import eigenvector_centrality
+
+        eres = eigenvector_centrality(g, iterations=args.iterations or 8)
+        result = eres.scores
+        summary = {"iterations": eres.iterations}
+    elif args.kernel == "census":
+        from linkgraph_spark.kernels import directed_triangle_census
+
+        result = directed_triangle_census(g)
+        row = result.collect()[0]
+        summary = {"cyclic": row["cyclic"], "transitive": row["transitive"]}
+    elif args.kernel == "richclub":
+        from linkgraph_spark.kernels import rich_club
+
+        ks = [int(x) for x in (args.sources or "1,2,4,8,16").split(",")]
+        result = rich_club(g, ks=ks)
+        summary = {"ks": ks}
+    elif args.kernel == "seedspread":
+        from linkgraph_spark.kernels import seed_spread
+
+        srcs = [int(x) for x in (args.sources or "0").split(",")]
+        seeds = g.vertices.where(F.col("id").isin(srcs)).select(
+            "id", F.col("id").alias("label")
+        )
+        result = seed_spread(g, seeds, max_iterations=args.max_iterations)
+        summary = {
+            "seeds": srcs,
+            "reached": result.where(F.col("label").isNotNull()).count(),
         }
     elif args.kernel == "diameter":
         from linkgraph_spark.kernels import double_sweep_diameter

@@ -515,3 +515,66 @@ def dedup_corpus_sql(table: str = "documents", threshold: float = 0.5) -> str:
     FROM ({near_dup_clusters_sql(table, threshold)})
     WHERE doc_id = keeper_id
     """
+
+
+# ------------------------------------------------------- decontamination
+def contamination_check(
+    documents: DataFrame, benchmark: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """→ [doc_id, shared_shingles, bench_docs] — training-data
+    DECONTAMINATION: corpus documents sharing ≥ ``min_shared`` distinct
+    word-3-gram shingles with any document of the ``benchmark`` frame
+    (``[doc_id, text]`` — the eval set that must not leak into training).
+    ``shared_shingles`` counts distinct contaminated shingles,
+    ``bench_docs`` the distinct benchmark documents hit. A document never
+    matches itself (same doc_id), so a benchmark drawn from the corpus
+    flags only its copies/near-copies.
+
+    Plan shape: both sides reuse the dedup shingle machinery
+    (:func:`_with_shingle_hashes` — explode to (shingle, doc) rows), then
+    ONE equi-join on the shingle hash + a per-doc distinct-count agg.
+    The benchmark side is small by construction (decontamination's whole
+    premise), so the join broadcast-eligibly bounds each shingle's fanout
+    at its benchmark multiplicity — no hot-shingle quadratic blowup on
+    the corpus side, unlike corpus-self-join dedup."""
+    corpus = _with_shingle_hashes(documents).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    bench = _with_shingle_hashes(benchmark).select(
+        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s")
+    )
+    return (
+        corpus.join(bench, "s")
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("shared_shingles"),
+            F.countDistinct("bench_id").alias("bench_docs"),
+        )
+        .where(F.col("shared_shingles") >= min_shared)
+    )
+
+
+def contamination_check_sql(
+    table: str = "documents",
+    bench_filter: str = "doc_id % 97 = 0",
+    min_shared: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`contamination_check` with the benchmark
+    drawn from ``table`` by ``bench_filter`` (the gate's pseudo-benchmark
+    rule)."""
+    return f"""
+    WITH {_shingles_sql(table)},
+    ct_corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    ct_bench AS (
+      SELECT doc_id AS bench_id, unnest(sh) AS s
+      FROM sh WHERE {bench_filter}
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.s) AS shared_shingles,
+           count(DISTINCT b.bench_id) AS bench_docs
+    FROM ct_corpus c JOIN ct_bench b USING (s)
+    WHERE c.doc_id <> b.bench_id
+    GROUP BY c.doc_id
+    HAVING count(DISTINCT c.s) >= {min_shared}
+    """

@@ -457,3 +457,53 @@ def repetition_stats_sql(table: str = "documents") -> str:
              AS top_token_fraction
     FROM feat
     """
+
+
+# --- corpus-LM fluency score ------------------------------------------------
+def unigram_lm_score(documents: DataFrame) -> DataFrame:
+    """→ [doc_id, n_tokens, lm_score] — per-document mean log-likelihood
+    under the corpus's own unigram MLE: ``lm_score = (1/n_d) Σ_t
+    ln(count(t)/N)`` over the doc's token occurrences. The classic cheap
+    fluency/outlier filter (CCNet's perplexity gate in spirit, with the
+    corpus itself as the LM): gibberish and boilerplate-with-rare-symbols
+    score far below prose. Shares the whitespace normalization of
+    :func:`vocab_stats`/:func:`tfidf_top_terms` so all corpus-term views
+    stay consistent.
+
+    Plan shape: token explode → term-count agg (one shuffle on term,
+    map-side combine, Zipf-bounded output) → token↔vocab equi-join on term
+    → per-doc re-agg. At corpus scale the vocabulary is millions of rows
+    against trillions of tokens — broadcast-eligible, so the term join
+    need not shuffle the token stream a second time."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    return (
+        tok.join(vocab, "term")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("n_total"))), 6).alias(
+                "lm_score"
+            ),
+        )
+    )
+
+
+def unigram_lm_score_sql(table: str = "documents") -> str:
+    return f"""
+    WITH lmtok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    lmvocab AS (SELECT term, count(*) AS cnt FROM lmtok GROUP BY term),
+    lmtotal AS (SELECT count(*) AS n_total FROM lmtok)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(ln(v.cnt * 1.0 / lmtotal.n_total)), 6) AS lm_score
+    FROM lmtok t JOIN lmvocab v USING (term) CROSS JOIN lmtotal
+    GROUP BY t.doc_id
+    """

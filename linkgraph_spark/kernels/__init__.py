@@ -10,7 +10,7 @@ from linkgraph_spark.kernels.components import (
     connected_components,
     connected_components_star,
 )
-from linkgraph_spark.kernels.labelprop import label_propagation
+from linkgraph_spark.kernels.labelprop import seed_spread, label_propagation
 from linkgraph_spark.kernels.paths import PathsResult, shortest_paths, shortest_paths_weighted
 from linkgraph_spark.kernels.hits import HitsResult, hits
 from linkgraph_spark.kernels.katz import KatzResult, katz
@@ -40,12 +40,21 @@ from linkgraph_spark.kernels.temporal import (
     temporal_reachability,
 )
 from linkgraph_spark.kernels.scc import SccResult, strongly_connected_components
-from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity
+from linkgraph_spark.kernels.spectral import (
+    SpectralResult,
+    eigenvector_centrality,
+    salsa,
+)
+from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity, rich_club
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
 from linkgraph_spark.kernels.truss import TrussResult, edge_support, k_truss
 from linkgraph_spark.kernels.walks import random_walks, skipgram_pairs
 from linkgraph_spark.kernels.kcore import KCoreResult, k_core
-from linkgraph_spark.kernels.triangles import triangle_count, triangles_per_vertex
+from linkgraph_spark.kernels.triangles import (
+    directed_triangle_census,
+    triangle_count,
+    triangles_per_vertex,
+)
 
 __all__ = [
     "pagerank",
@@ -83,6 +92,12 @@ __all__ = [
     "induced_subgraph",
     "reciprocity",
     "degree_assortativity",
+    "rich_club",
+    "SpectralResult",
+    "eigenvector_centrality",
+    "salsa",
+    "seed_spread",
+    "directed_triangle_census",
     "modularity",
     "conductance",
     "BetweennessResult",

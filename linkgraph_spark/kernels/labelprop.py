@@ -110,3 +110,102 @@ def label_propagation(
 
     sym.unpersist()
     return labels
+
+
+def seed_spread(
+    graph: LinkGraph, seeds: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """→ ``[id, label]`` (label NULL where no seed is reachable) —
+    semi-supervised label spreading: only labels originating at ``seeds``
+    (``[id, label]``) propagate; every other vertex adopts the MINIMUM
+    label among itself and its undirected neighbors each round. The
+    fixpoint labels each vertex with the smallest seed label reachable
+    from it — deterministic influence domains around curated seed actors
+    (moderation spheres, team territories), distinct from components
+    (singleton init) and LPA (plurality vote).
+
+    Scale shape: identical to the hash-min components kernel — one gather
+    join + grouped min per round over the symmetrized edges, converging in
+    O(component diameter) rounds with an early exit on zero changes; the
+    monotone-min update makes a fixed-round SQL unroll match exactly."""
+    from pyspark.sql import Observation
+
+    spark = graph.vertices.sparkSession
+    sym = undirected(graph.edges).persist()
+    n_sym = sym.count()
+    seed_min = seeds.groupBy("id").agg(F.min("label").alias("_s"))
+    labels = (
+        graph.vertices.select("id")
+        .join(seed_min, "id", "left")
+        .select("id", F.col("_s").cast("long").alias("label"))
+    )
+    state = RotatingState(spark)
+    labels = state.rotate(labels)
+    with pinned_superstep_confs(spark, n_sym, graph.num_vertices) as big_state:
+        for it in range(1, max_iterations + 1):
+            lbl = labels if big_state else F.broadcast(labels)
+            gathered = (
+                sym.join(
+                    lbl.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                    "dst",
+                )
+                .where(F.col("nl").isNotNull())
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("nl").alias("mn"))
+            )
+            nxt = labels.join(gathered, "id", "left").select(
+                "id",
+                F.least(
+                    F.coalesce("label", F.col("mn")), F.coalesce("mn", F.col("label"))
+                ).alias("label"),
+                (
+                    F.col("mn").isNotNull()
+                    & (F.col("label").isNull() | (F.col("mn") < F.col("label")))
+                ).alias("_chg"),
+            )
+            obs = Observation(f"seed_spread_{id(state)}_{it}")
+            nxt = nxt.observe(
+                obs, F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("c")
+            )
+            labels = state.rotate(nxt.drop("_chg"))
+            if int(obs.get["c"] or 0) == 0:
+                break
+    sym.unpersist()
+    return labels
+
+
+def seed_spread_sql(seed_max_id: int, rounds: int = 20) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs) for
+    :func:`seed_spread` with the gate's seed rule ``id < seed_max_id``
+    labeled with their own id: the min-update unrolled ``rounds`` times
+    (must cover the gate graph's diameter — monotone min makes extra
+    rounds no-ops, so over-unrolling is safe)."""
+    ctes = [
+        """ss_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    )""",
+        f"""ss0 AS (
+      SELECT id, CASE WHEN id < {int(seed_max_id)} THEN id END AS label
+      FROM verts
+    )""",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""ss{k} AS MATERIALIZED (
+      SELECT p.id,
+             least(coalesce(p.label, m.mn), coalesce(m.mn, p.label)) AS label
+      FROM ss{k - 1} p
+      LEFT JOIN (
+        SELECT e.src AS id, min(n.label) AS mn
+        FROM ss_und e JOIN ss{k - 1} n ON n.id = e.dst
+        WHERE n.label IS NOT NULL
+        GROUP BY e.src
+      ) m ON m.id = p.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT id, CAST(label AS BIGINT) AS label FROM ss{rounds}
+    """

@@ -1,0 +1,243 @@
+"""Spectral / stationary-walk centralities: eigenvector centrality and
+SALSA — engine extensions on the shared superstep scaffold (the reference's
+one kernel is PageRank, ``pagerank_lambda/dynamodb/pagerank.py``; these
+cover the classic adjacency-eigenvector and bipartite-walk siblings —
+Bonacich 1972 and Lempel & Moran 2001, public algorithms).
+
+Plan shapes (the 100 TB lens):
+
+- **eigenvector_centrality**: per round ONE gather join along in-edges +
+  one grouped sum (exactly a damping-free PageRank superstep without the
+  divisor attach), then an infinity-norm rescale whose max scalar rides
+  the materialization via ``observe()`` and re-enters the next round's
+  plan as a literal. No extra shuffle for the norm.
+- **salsa**: per half-round one degree-normalized gather (the divisor is
+  attached to the EDGE side once, iteration-invariant — same move as
+  PageRank's relation_length attach) + an L1 rescale via ``observe()``.
+  Two half-rounds (authority, hub) per iteration ≙ one HITS iteration's
+  movement; SALSA's per-neighbor 1/deg weights are what make it robust to
+  the tightly-knit-community effect HITS suffers.
+
+Both are synchronous, deterministic, fixed-iteration Jacobi loops with
+exact unrolled SQL mirrors (infinity/L1 norms divide by exactly
+representable scalars only after both engines compute the same sums).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from linkgraph_spark.edges import LinkGraph
+from linkgraph_spark.lineage import RotatingState
+from linkgraph_spark.session import pinned_superstep_confs
+
+
+@dataclass
+class SpectralResult:
+    scores: DataFrame
+    iterations: int
+    metrics: list = field(default_factory=list)
+
+
+def eigenvector_centrality(graph: LinkGraph, iterations: int = 8) -> SpectralResult:
+    """→ ``[id, score]`` — power iteration on the in-edge adjacency
+    (``x' ∝ Σ_{u→v} x(u)``), rescaled each round by the infinity norm
+    (max), init all-ones. Vertices outside every cycle's basin decay to 0;
+    the max vertex pins at 1.0. Fixed ``iterations``, no convergence test
+    (the gate/oracle contract wants a round-exact replay)."""
+    spark = graph.vertices.sparkSession
+    state = RotatingState(spark)
+    n_edges = graph.edges.count()
+
+    scores = state.rotate(graph.vertices.select("id", F.lit(1.0).alias("score")))
+    metrics: list = []
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
+        edges = graph.edges.select("src", "dst")
+        for it in range(1, iterations + 1):
+            cur = scores if big_state else F.broadcast(scores)
+            raw = (
+                edges.join(cur.select(F.col("id").alias("src"), "score"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("score").alias("raw"))
+            )
+            nxt = scores.select("id").join(raw, "id", "left").select(
+                "id", F.coalesce("raw", F.lit(0.0)).alias("raw")
+            )
+            obs = Observation(f"eig_{id(state)}_{it}")
+            nxt = nxt.observe(obs, F.max("raw").alias("mx"))
+            nxt = state.rotate(nxt)
+            mx = obs.get["mx"] or 1.0
+            mx = mx if mx > 0 else 1.0
+            scores = state.rotate(
+                nxt.select("id", (F.col("raw") / F.lit(mx)).alias("score"))
+            )
+            metrics.append({"iteration": it, "inf_norm": mx})
+    return SpectralResult(scores=scores, iterations=iterations, metrics=metrics)
+
+
+def eigenvector_centrality_sql(iters: int = 8) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs): the identical
+    max-normalized power iteration, unrolled."""
+    ctes = ["ev0 AS (SELECT id, 1.0 AS score FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""evraw{k} AS MATERIALIZED (
+      SELECT v.id, coalesce(s.sm, 0.0) AS raw
+      FROM verts v
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(p.score) AS sm
+        FROM edges e JOIN ev{k - 1} p ON e.src = p.id
+        GROUP BY e.dst
+      ) s ON s.id = v.id
+    ),
+    evmx{k} AS (
+      SELECT CASE WHEN max(raw) > 0 THEN max(raw) ELSE 1.0 END AS mx
+      FROM evraw{k}
+    ),
+    ev{k} AS MATERIALIZED (
+      SELECT r.id, r.raw / evmx{k}.mx AS score
+      FROM evraw{k} r CROSS JOIN evmx{k}
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT id, round(score, 6) AS score FROM ev{iters}
+    """
+
+
+def salsa(graph: LinkGraph, iterations: int = 5) -> SpectralResult:
+    """→ ``[id, hub, authority]`` — SALSA scores after ``iterations``
+    rounds of the degree-normalized bipartite walk over the distinct
+    simple directed edge set:
+
+    ``authority(v) ∝ Σ_{u→v} hub(u)/outdeg(u)`` then L1-normalize;
+    ``hub(u) ∝ Σ_{u→v} authority(v)/indeg(v)`` then L1-normalize.
+
+    Init hub = 1/|V|. The 1/deg divisors attach to the EDGE side once
+    (iteration-invariant, like PageRank's relation_length); each
+    half-round is one gather join + grouped sum with the L1 scalar fused
+    via ``observe()``."""
+    spark = graph.vertices.sparkSession
+    state = RotatingState(spark)
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    n_edges = edges.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    in_deg = edges.groupBy("dst").agg(F.count("*").alias("idg"))
+    # both divisors attached once; reused every superstep
+    ew = edges.join(out_deg, "src").join(in_deg, "dst").persist()
+    ew.count()
+
+    n = graph.num_vertices or 1
+    scores = state.rotate(
+        graph.vertices.select(
+            "id", F.lit(1.0 / n).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    )
+    metrics: list = []
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
+        for it in range(1, iterations + 1):
+            cur = scores if big_state else F.broadcast(scores)
+            a_raw = (
+                ew.join(cur.select(F.col("id").alias("src"), "hub"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("hub") / F.col("od")).alias("a_raw"))
+            )
+            half = scores.select("id", "hub").join(a_raw, "id", "left").select(
+                "id", "hub", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+            )
+            obs_a = Observation(f"salsa_a_{id(state)}_{it}")
+            half = half.observe(obs_a, F.sum("a_raw").alias("s"))
+            half = state.rotate(half)
+            a_norm = obs_a.get["s"] or 1.0
+            a_norm = a_norm if a_norm > 0 else 1.0
+
+            cur_h = half if big_state else F.broadcast(half)
+            h_raw = (
+                ew.join(cur_h.select(F.col("id").alias("dst"), "a_raw"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg((F.sum(F.col("a_raw") / F.col("idg")) / F.lit(a_norm)).alias("h_raw"))
+            )
+            nxt = half.join(h_raw, "id", "left").select(
+                "id",
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+                (F.col("a_raw") / F.lit(a_norm)).alias("authority"),
+            )
+            obs_h = Observation(f"salsa_h_{id(state)}_{it}")
+            nxt = nxt.observe(obs_h, F.sum("h_raw").alias("s"))
+            nxt = state.rotate(nxt)
+            h_norm = obs_h.get["s"] or 1.0
+            h_norm = h_norm if h_norm > 0 else 1.0
+            scores = state.rotate(
+                nxt.select(
+                    "id", (F.col("h_raw") / F.lit(h_norm)).alias("hub"), "authority"
+                )
+            )
+            metrics.append({"iteration": it, "a_norm": a_norm, "h_norm": h_norm})
+    ew.unpersist()
+    return SpectralResult(scores=scores, iterations=iterations, metrics=metrics)
+
+
+def salsa_sql(iters: int = 5) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs): the identical
+    L1-normalized bipartite walk, unrolled; nv is the vertex count."""
+    ctes = [
+        """sl_e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    )""",
+        """sl_ew AS MATERIALIZED (
+      SELECT e.src, e.dst, o.od, i.idg
+      FROM sl_e e
+      JOIN (SELECT src, count(*) AS od FROM sl_e GROUP BY src) o ON o.src = e.src
+      JOIN (SELECT dst, count(*) AS idg FROM sl_e GROUP BY dst) i ON i.dst = e.dst
+    )""",
+        "sl_nv AS (SELECT count(*) AS n FROM verts)",
+        "sl_h0 AS (SELECT id, 1.0 / sl_nv.n AS hub FROM verts CROSS JOIN sl_nv)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""sl_araw{k} AS MATERIALIZED (
+      SELECT v.id, coalesce(s.sm, 0.0) AS a_raw
+      FROM verts v
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(h.hub / e.od) AS sm
+        FROM sl_ew e JOIN sl_h{k - 1} h ON e.src = h.id
+        GROUP BY e.dst
+      ) s ON s.id = v.id
+    ),
+    sl_an{k} AS (
+      SELECT CASE WHEN sum(a_raw) > 0 THEN sum(a_raw) ELSE 1.0 END AS nm
+      FROM sl_araw{k}
+    ),
+    sl_hraw{k} AS MATERIALIZED (
+      SELECT v.id, coalesce(s.sm, 0.0) / sl_an{k}.nm AS h_raw
+      FROM verts v CROSS JOIN sl_an{k}
+      LEFT JOIN (
+        SELECT e.src AS id, sum(a.a_raw / e.idg) AS sm
+        FROM sl_ew e JOIN sl_araw{k} a ON a.id = e.dst
+        GROUP BY e.src
+      ) s ON s.id = v.id
+    ),
+    sl_hn{k} AS (
+      SELECT CASE WHEN sum(h_raw) > 0 THEN sum(h_raw) ELSE 1.0 END AS nm
+      FROM sl_hraw{k}
+    ),
+    sl_h{k} AS MATERIALIZED (
+      SELECT h.id, h.h_raw / sl_hn{k}.nm AS hub
+      FROM sl_hraw{k} h CROSS JOIN sl_hn{k}
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT h.id, round(h.hub, 6) AS hub,
+           round(a.a_raw / sl_an{iters}.nm, 6) AS authority
+    FROM sl_h{iters} h
+    JOIN sl_araw{iters} a ON a.id = h.id
+    CROSS JOIN sl_an{iters}
+    """

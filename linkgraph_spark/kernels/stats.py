@@ -130,3 +130,86 @@ def degree_assortativity_sql() -> str:
     JOIN as_deg da ON da.id = e.a
     JOIN as_deg db ON db.id = e.b
     """
+
+
+def rich_club(graph: LinkGraph, ks: list[int]) -> DataFrame:
+    """→ ``[k, n_rich, e_rich, phi]`` per degree threshold in ``ks`` — the
+    rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over the undirected
+    simple graph, where N_k counts vertices of degree > k and E_k the
+    edges among them (φ pinned to 0.0 when N_k < 2 — same in the oracle).
+    High φ at high k = hub actors interconnect (the "rich club" of tool /
+    orchestrator vertices); the standard Zhou & Mondragón 2004 statistic.
+
+    Scale: ONE shared degree aggregate + per-k filtered one-row aggs over
+    the same joined frame — ``ks`` is an enumerable list (like the
+    landmark kernels), so the union is |ks| cheap scans of the cached
+    degree-attached edge list, no per-k shuffle."""
+    from functools import reduce as _reduce
+
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und = _oriented(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    ed = und.join(da, "a").join(db, "b").persist()
+    parts = []
+    for k in ks:
+        k = int(k)
+        n_k = deg.where(F.col("deg") > k).agg(F.count("*").alias("n_rich"))
+        e_k = ed.where(
+            (F.col("dega") > k) & (F.col("degb") > k)
+        ).agg(F.count("*").alias("e_rich"))
+        parts.append(
+            n_k.crossJoin(e_k).select(
+                F.lit(k).cast("long").alias("k"),
+                "n_rich",
+                "e_rich",
+                F.round(
+                    F.when(
+                        F.col("n_rich") >= 2,
+                        2.0 * F.col("e_rich")
+                        / (F.col("n_rich") * (F.col("n_rich") - 1)),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("phi"),
+            )
+        )
+    out = _reduce(DataFrame.unionAll, parts)
+    return out
+
+
+def rich_club_sql(ks: list[int]) -> str:
+    """DuckDB oracle body for :func:`rich_club` (expects ``edges``)."""
+    k_rows = ", ".join(f"({int(k)})" for k in ks)
+    return f"""
+    rb_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    rb_deg AS MATERIALIZED (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM rb_und UNION ALL SELECT b AS id FROM rb_und
+      ) GROUP BY id
+    ),
+    rb_ks(k) AS (VALUES {k_rows}),
+    rb_stats AS (
+      SELECT ks.k,
+             (SELECT count(*) FROM rb_deg d WHERE d.deg > ks.k) AS n_rich,
+             (SELECT count(*) FROM rb_und e
+              JOIN rb_deg da ON da.id = e.a
+              JOIN rb_deg db ON db.id = e.b
+              WHERE da.deg > ks.k AND db.deg > ks.k) AS e_rich
+      FROM rb_ks ks
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_rich, e_rich,
+           round(CASE WHEN n_rich >= 2
+                      THEN 2.0 * e_rich / (n_rich * (n_rich - 1))
+                      ELSE 0.0 END, 6) AS phi
+    FROM rb_stats
+    """

@@ -163,3 +163,64 @@ def clustering_coefficient_sql() -> str:
     LEFT JOIN cc_deg d ON d.id = v.id
     LEFT JOIN cc_tpv t ON t.id = v.id
     """
+
+
+def directed_triangle_census(graph: LinkGraph) -> DataFrame:
+    """→ one-row ``[cyclic, transitive]`` — the directed 3-cycle count
+    (a→b→c→a; each cycle counted once via the min-id rotation a < b AND
+    a < c) and the transitive-triangle count (a→b, b→c, a→c; each labeled
+    triple is already unique) over distinct simple directed edges.
+
+    In a transcript graph, cyclic triads are closed hand-off loops
+    (u→v→w→u turn cycles) and transitive triads are delegation shortcuts
+    (u hands to v hands to w, and u also reached w directly) — the classic
+    triad-census signal for hierarchy vs reciprocity (Holland & Leinhardt
+    lineage, public technique).
+
+    Scale: two hash-join chains over the edge list, wedge-bounded at the
+    shared middle vertex — the same hub caution as :func:`~linkgraph_spark.
+    kernels.linkpred.adamic_adar` applies (a degree-D hub contributes
+    O(D²) wedges; at 100 TB run it on the hub-capped subgraph, the census
+    is a topology statistic not a per-row feature)."""
+    from linkgraph_spark.kernels.stats import _simple_directed
+
+    e = _simple_directed(graph.edges)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    cyc = (
+        e1.join(e2, "b")
+        .join(e3, ["c", "a"])
+        .where((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .agg(F.count("*").alias("cyclic"))
+    )
+    e3t = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tr = (
+        e1.join(e2, "b")
+        .join(e3t, ["a", "c"])
+        .agg(F.count("*").alias("transitive"))
+    )
+    return cyc.crossJoin(tr)
+
+
+def directed_triangle_census_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    return """
+    dt_e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ),
+    dt_cyc AS (
+      SELECT count(*) AS cyclic
+      FROM dt_e e1
+      JOIN dt_e e2 ON e2.src = e1.dst
+      JOIN dt_e e3 ON e3.src = e2.dst AND e3.dst = e1.src
+      WHERE e1.src < e1.dst AND e1.src < e2.dst
+    ),
+    dt_tr AS (
+      SELECT count(*) AS transitive
+      FROM dt_e e1
+      JOIN dt_e e2 ON e2.src = e1.dst
+      JOIN dt_e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT cyclic, transitive FROM dt_cyc CROSS JOIN dt_tr
+    """

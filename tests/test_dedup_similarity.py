@@ -330,3 +330,46 @@ def test_redact_pii_explicit(spark):
     assert got[5] == "padded 12   34   56   78   90 table"
     assert got[6] == "call [PHONE] now"
     assert "[PHONE]" in got[7]
+
+
+def test_unigram_lm_score_closed_form(spark):
+    import math
+
+    from linkgraph_spark.functions.text import unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # corpus: a=3, b=1, c=1, N=5
+    got = {r["doc_id"]: r for r in unigram_lm_score(docs).collect()}
+    want1 = (2 * math.log(3 / 5) + math.log(1 / 5)) / 3
+    want2 = (math.log(3 / 5) + math.log(1 / 5)) / 2
+    assert got[1]["n_tokens"] == 3 and abs(got[1]["lm_score"] - round(want1, 6)) < 1e-9
+    assert got[2]["n_tokens"] == 2 and abs(got[2]["lm_score"] - round(want2, 6)) < 1e-9
+    # rare-symbol doc scores strictly below the common-token doc
+    assert got[2]["lm_score"] < got[1]["lm_score"]
+
+
+def test_contamination_check_flags_copies(spark):
+    from linkgraph_spark.functions.dedup import contamination_check
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),                       # the benchmark doc itself
+            (1, bench_text),                       # verbatim copy -> flagged
+            (2, "quick brown fox jumps over it"),  # partial overlap
+            (3, "completely unrelated text here"), # clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id = 0")
+    got = {r["doc_id"]: r for r in contamination_check(docs, bench, min_shared=2).collect()}
+    # self never matches; the copy shares all 7 shingles of the benchmark
+    assert 0 not in got and 3 not in got
+    assert got[1]["shared_shingles"] == 7 and got[1]["bench_docs"] == 1
+    # partial overlap: 'quick brown fox', 'brown fox jumps', 'fox jumps over'
+    assert got[2]["shared_shingles"] == 3
+    # raising the threshold drops the partial hit
+    strict = contamination_check(docs, bench, min_shared=5)
+    assert {r["doc_id"] for r in strict.collect()} == {1}

@@ -1405,3 +1405,96 @@ def test_k_core_warm_start_deletions(spark):
     assert warm2.iterations <= cold2.iterations  # head start never hurts
     g1.unpersist()
     g2.unpersist()
+
+
+def test_directed_triangle_census(spark):
+    from linkgraph_spark.kernels.triangles import directed_triangle_census
+
+    # TRI3 is the directed 3-cycle 0->1->2->0
+    g = graph_from_edges(spark, TRI3)
+    (r,) = directed_triangle_census(g).collect()
+    assert (r["cyclic"], r["transitive"]) == (1, 0)
+    g.unpersist()
+
+    # transitive triad + a reciprocal pair that closes NO new triangle
+    g2 = graph_from_edges(spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 3)])
+    (r2,) = directed_triangle_census(g2).collect()
+    assert (r2["cyclic"], r2["transitive"]) == (0, 1)
+    g2.unpersist()
+
+
+def test_rich_club_star(spark):
+    from linkgraph_spark.kernels.stats import rich_club
+
+    # STAR10's undirected simple graph: hub 0 with 9 spokes
+    g = graph_from_edges(spark, STAR10)
+    got = {r["k"]: r for r in rich_club(g, ks=[0, 1, 8]).collect()}
+    # k=0: everyone is rich -> the whole graph: 10 vertices, 9 edges
+    assert (got[0]["n_rich"], got[0]["e_rich"]) == (10, 9)
+    assert abs(got[0]["phi"] - 2 * 9 / (10 * 9)) < 1e-9
+    # k=1: only the hub (deg 9) -> n_rich=1, phi pinned 0.0
+    assert (got[1]["n_rich"], got[1]["e_rich"], got[1]["phi"]) == (1, 0, 0.0)
+    assert (got[8]["n_rich"], got[8]["phi"]) == (1, 0.0)
+    g.unpersist()
+
+
+def test_seed_spread_domains(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph_spark.kernels.labelprop import seed_spread
+
+    # TWO_COMPS: triangle {0,1,2} + path {10,11,12}
+    g = graph_from_edges(spark, TWO_COMPS)
+    seeds = g.vertices.where(F.col("id") == 0).select(
+        "id", F.col("id").alias("label")
+    )
+    got = {r["id"]: r["label"] for r in seed_spread(g, seeds).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] is None and got[11] is None and got[12] is None
+
+    # two seeds with distinct labels: min reachable seed wins per component
+    seeds2 = spark.createDataFrame([(0, 7), (10, 3)], "id long, label long")
+    got2 = {r["id"]: r["label"] for r in seed_spread(g, seeds2).collect()}
+    assert got2[1] == got2[2] == 7 and got2[11] == got2[12] == 3
+    g.unpersist()
+
+
+def test_eigenvector_and_salsa_match_numpy(spark):
+    """Value contract: both spectral kernels replicate a dense numpy run of
+    the same fixed-iteration recurrence on web64 (allclose 1e-9 before the
+    6-dp gate rounding)."""
+    import numpy as np
+
+    from linkgraph_spark.kernels.spectral import eigenvector_centrality, salsa
+
+    edges = sorted(set(web64()))
+    n = 64
+    g = graph_from_edges(spark, edges)
+
+    # eigenvector: x' = A^T x / max
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    x = np.ones(n)
+    for _ in range(8):
+        x = A.T @ x
+        mx = x.max()
+        x = x / (mx if mx > 0 else 1.0)
+    got = {r["id"]: r["score"] for r in eigenvector_centrality(g, 8).scores.collect()}
+    assert all(abs(got[i] - x[i]) < 1e-9 for i in range(n))
+
+    # salsa: degree-normalized two-step walk with L1 normalization
+    out_deg = A.sum(axis=1)
+    in_deg = A.sum(axis=0)
+    h = np.ones(n) / n
+    for _ in range(5):
+        a_raw = A.T @ (np.divide(h, out_deg, out=np.zeros(n), where=out_deg > 0))
+        a_n = a_raw.sum() or 1.0
+        a = a_raw / a_n
+        h_raw = A @ (np.divide(a, in_deg, out=np.zeros(n), where=in_deg > 0))
+        h_n = h_raw.sum() or 1.0
+        h = h_raw / h_n
+    res = {r["id"]: (r["hub"], r["authority"]) for r in salsa(g, 5).scores.collect()}
+    assert all(abs(res[i][0] - h[i]) < 1e-9 for i in range(n))
+    assert all(abs(res[i][1] - a[i]) < 1e-9 for i in range(n))
+    g.unpersist()
