@@ -106,6 +106,10 @@ def main():
 
     # the no-divisor gather: strictly lighter than a PageRank superstep
     _, q["katz5_sf"] = timed(lambda: katz(g_sf, iterations=5).scores.count())
+    from linkgraph_spark.kernels import salsa
+
+    # heaviest r5 kernel: two degree-normalized gathers per iteration
+    _, q["salsa5_sf"] = timed(lambda: salsa(g_sf, iterations=5).scores.count())
     _, q["bfs_undirected_sf"] = timed(
         lambda: shortest_paths(g_sf, sources=[0], directed=False).distances.count()
     )
