@@ -279,7 +279,7 @@ def q_link_scores(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return link_scores(g, max_degree=AA_MAX_DEGREE).select(
-        "x", "y", "common", "jaccard", "adamic_adar"
+        "x", "y", "common", "jaccard", "adamic_adar", "resource_alloc", "pref_attach"
     )
 
 
@@ -779,6 +779,48 @@ def q_sample_docs_top20_skewed(spark, sf_dir):
     return sp.top_n_hash_sample(docs, ["doc_id"], 20, strata_col="stratum")
 
 
+MIX_PARTS = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}  # 4:2:2:1:1 target
+
+
+def q_corpus_mixture(spark, sf_dir):
+    # largest sub-corpus hitting the language mixture exactly (floor)
+    return sp.corpus_mixture(
+        _docs(spark, sf_dir).select("doc_id", "lang"), ["doc_id"], "lang", MIX_PARTS
+    ).select("doc_id", "lang")
+
+
+def q_doc_chunks(spark, sf_dir):
+    # sliding 64-token windows, stride 48 (16-token overlap)
+    return tx.doc_chunks(_docs(spark, sf_dir), chunk_size=64, stride=48)
+
+
+def q_pack_contexts(spark, sf_dir):
+    # concat-then-split packing into 512-token sequences, 8 hash shards
+    return sp.pack_contexts(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        ["doc_id"],
+        capacity=512,
+        n_buckets=8,
+    ).select("doc_id", "pack_bucket", "seq_id", "seq_offset", "n_tokens")
+
+
+def q_neighborhood_overlap(spark, sf_dir):
+    # Granovetter tie strength per existing edge (Onnela et al. 2007)
+    from linkgraph_spark.kernels.linkpred import neighborhood_overlap
+
+    return neighborhood_overlap(_graph(spark, sf_dir))
+
+
+def q_boruvka_msf(spark, sf_dir):
+    # minimum spanning forest — rows-only driver check (an iterative
+    # fixpoint DuckDB can't replay without recursion; pinned instead by the
+    # exact Kruskal pytest oracle, tests/test_kernels.py)
+    from linkgraph_spark.kernels import boruvka_msf
+
+    return boruvka_msf(_wgraph(spark, sf_dir)).edges.select(
+        "a", "b", F.round("weight", 6).alias("weight")
+    )
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
@@ -843,7 +885,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_score": q_unigram_lm_score,
         "contamination_check": q_contamination_check,
         "sample_docs_top20_skewed": q_sample_docs_top20_skewed,
-        # -- 3. green in the r4 gate; rotate to tail ------------------------
+        "corpus_mixture": q_corpus_mixture,
+        "doc_chunks": q_doc_chunks,
+        "pack_contexts": q_pack_contexts,
+        "neighborhood_overlap": q_neighborhood_overlap,
+        # -- 3. tail: not in this round's 50-row gate window ----------------
+        # boruvka_msf is new but rows-only (no SQL oracle possible) and
+        # sits just past the cutoff — it leads the r6 rotation together
+        # with the r4-green rows below; pinned now by the Kruskal pytest.
+        "boruvka_msf": q_boruvka_msf,
         "temporal_reach4": q_temporal_reach4,
         "sample_docs_10pct": q_sample_docs_10pct,
         "train_test_split_events": q_train_test_split_events,
@@ -1163,6 +1213,7 @@ from linkgraph_spark.kernels.triangles import (
 )
 from linkgraph_spark.kernels.labelprop import seed_spread_sql as _seed_sql_body
 from linkgraph_spark.kernels.linkpred import link_scores_sql as _ls_sql_body
+from linkgraph_spark.kernels.linkpred import neighborhood_overlap_sql as _no_sql_body
 from linkgraph_spark.kernels.triangles import (
     clustering_coefficient_sql as _cc_sql_body,
 )
@@ -1541,6 +1592,17 @@ def oracle_sql() -> dict[str, str]:
     )
     {sp.top_n_hash_sample_sql(["doc_id"], 20, strata_expr="stratum")}
     """,
+        "corpus_mixture": sp.corpus_mixture_sql(
+            "documents", ["doc_id"], "lang", MIX_PARTS, select="doc_id, lang"
+        ),
+        "doc_chunks": tx.doc_chunks_sql(chunk_size=64, stride=48),
+        "pack_contexts": sp.pack_contexts_sql(
+            "documents", ["doc_id"], capacity=512, n_buckets=8, select="doc_id"
+        ),
+        "neighborhood_overlap": f"{_G}, {_no_sql_body()}",
+        # "boruvka_msf" intentionally absent: the Borůvka fixpoint needs
+        # recursion DuckDB-SQL can't replay — rows-only check; pinned by
+        # the exact sequential-Kruskal pytest oracle instead.
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

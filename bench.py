@@ -194,10 +194,26 @@ def main():
     _, q["temporal_components_big"] = timed(
         lambda: temporal_components(g_big, te_big).count()
     )
+    # Borůvka MSF on the big graph: deterministic hash weights (the big
+    # ETL builds the unweighted graph; MSF only needs SOME total order)
+    from dataclasses import replace as _dc_replace
+
+    from pyspark.sql import functions as F
+
+    from linkgraph_spark.kernels import boruvka_msf
+
+    g_big_w = _dc_replace(
+        g_big,
+        edges=g_big.edges.withColumn(
+            "weight", ((F.col("src") * 7 + F.col("dst") * 13) % 97) / F.lit(10.0)
+        ),
+    )
+    msf_res, q["msf_big"] = timed(lambda: boruvka_msf(g_big_w))
     kernel_rounds = {
         "coloring_big_uncolored": [m["uncolored"] for m in col_res.metrics],
         "matching_big_live_edges": [m["live_edges"] for m in mat_res.metrics],
         "densest_big_survivors": [m["n"] for m in den_res.metrics],
+        "msf_big_live_edges": [m["live_edges"] for m in msf_res.metrics],
     }
     g_big.unpersist()  # free cached blocks before the probe measurement
 
@@ -388,6 +404,7 @@ def _scaling_evidence():
         ("scaling_r2.jsonl", "fresh_pairs_eff_8_to_32"),
         ("scaling_r3.jsonl", "r3_fresh_pairs_eff_8_to_32"),
         ("scaling_r4.jsonl", "r4_fresh_pairs_eff"),
+        ("scaling_r5.jsonl", "r5_fresh_pairs_eff"),
     ):
         try:
             pairs = {}

@@ -48,7 +48,9 @@ def _load_graph(spark, args):
         t = spark.read.parquet(args.transcripts)
     else:
         t = synthesize_transcripts(spark, n_convs=args.synthetic_convs)
-    weighted = getattr(args, "mode", None) == "weighted" or args.kernel == "sssp"
+    weighted = (
+        getattr(args, "mode", None) == "weighted" or args.kernel in ("sssp", "msf")
+    )
     return build_graph(t, weighted=weighted)
 
 
@@ -62,7 +64,7 @@ def main(argv=None):
             "walks", "node2vec", "etl", "scc", "ktruss", "betweenness", "hyperball",
             "stats", "community", "katz", "mis", "coloring", "diameter",
             "matching", "salsa", "eigenvector", "census", "richclub",
-            "seedspread",
+            "seedspread", "msf", "overlap",
         ],
     )
     p.add_argument("--k", type=int, default=3, help="k for ktruss")
@@ -285,6 +287,21 @@ def main(argv=None):
             "iterations": mares.iterations,
             "converged": mares.converged,
         }
+    elif args.kernel == "msf":
+        from linkgraph_spark.kernels import boruvka_msf
+
+        mres = boruvka_msf(g, max_iterations=args.max_iterations)
+        result = mres.edges
+        summary = {
+            "forest_edges": result.count(),
+            "rounds": mres.iterations,
+            "converged": mres.converged,
+        }
+    elif args.kernel == "overlap":
+        from linkgraph_spark.kernels import neighborhood_overlap
+
+        result = neighborhood_overlap(g)
+        summary = {"edges": result.count()}
     elif args.kernel == "salsa":
         from linkgraph_spark.kernels import salsa
 

@@ -201,6 +201,234 @@ def top_n_hash_sample(
     )
 
 
+def corpus_mixture(
+    df: DataFrame,
+    key_cols: list[str],
+    strata_col: str,
+    parts: dict[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """→ the largest deterministic sub-corpus whose stratum proportions hit
+    the target mixture EXACTLY (floor rounding) — the data-mixing step of a
+    training pipeline ("40% en, 20% de, ..." across sources/languages),
+    keyed-hash deterministic like every sampler here.
+
+    ``parts`` gives the mixture as INTEGER shares (``{"en": 4, "de": 2}`` =
+    2:1) — integer arithmetic end to end, so the DuckDB oracle reproduces
+    the exact budgets with no float-rounding divergence. With
+    ``S = sum(parts)`` the feasible total is
+    ``T = min_s floor(count_s * S / part_s)`` (the stratum that runs out
+    first binds the whole mixture; a target stratum with zero rows ⇒ empty
+    result) and each stratum keeps ``n_s = floor(part_s * T / S)`` rows —
+    the ones with the smallest portable key hash, ties on the key string.
+
+    Plan shape: one tiny per-stratum count agg, budgets broadcast back
+    (|strata| rows — never a shuffle), then the same two-phase
+    sub-bucketed top-n as :func:`top_n_hash_sample`, so a hot stratum
+    (en ≫ rest at corpus scale) splits across ``_TOPN_SUBBUCKETS`` tasks
+    instead of rank-sorting on one."""
+    from pyspark.sql import Window
+
+    for s, p in parts.items():
+        if p <= 0:
+            raise ValueError(f"part for stratum {s!r} must be a positive int")
+    for c in ("__cm_h", "__cm_k", "__cm_b", "__cm_rn", "__cm_n", "__cm_cnt"):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c!r}")
+    s_total = sum(parts.values())
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        sorted(parts.items()), f"{strata_col} string, __cm_part long"
+    )
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias("__cm_cnt"))
+        .join(targets, strata_col, "right")  # zero-row stratum must bind T to 0
+        .select(
+            strata_col,
+            "__cm_part",
+            F.coalesce("__cm_cnt", F.lit(0)).alias("__cm_cnt"),
+        )
+    )
+    t_row = counts.agg(
+        F.min(
+            F.floor(F.col("__cm_cnt") * F.lit(s_total) / F.col("__cm_part"))
+        ).alias("__cm_t")
+    )
+    budgets = counts.crossJoin(t_row).select(
+        strata_col,
+        F.floor(F.col("__cm_part") * F.col("__cm_t") / F.lit(s_total))
+        .cast("long")
+        .alias("__cm_n"),
+    )
+    key = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    h = md5_long(key)
+    hc, kc = F.col("__cm_h"), F.col("__cm_k")
+    w1 = Window.partitionBy(strata_col, "__cm_b").orderBy(hc.asc(), kc.asc())
+    w2 = Window.partitionBy(strata_col).orderBy(hc.asc(), kc.asc())
+    return (
+        df.join(F.broadcast(budgets), strata_col)
+        .withColumn("__cm_h", h)
+        .withColumn("__cm_k", key)
+        .withColumn("__cm_b", F.pmod(h, F.lit(_TOPN_SUBBUCKETS)))
+        .withColumn("__cm_rn", F.row_number().over(w1))
+        .where(F.col("__cm_rn") <= F.col("__cm_n"))
+        .drop("__cm_rn")
+        .withColumn("__cm_rn", F.row_number().over(w2))
+        .where(F.col("__cm_rn") <= F.col("__cm_n"))
+        .drop("__cm_rn", "__cm_h", "__cm_k", "__cm_b", "__cm_n")
+    )
+
+
+def corpus_mixture_sql(
+    table: str,
+    key_exprs: list[str],
+    strata_expr: str,
+    parts: dict[str, int],
+    salt: str = "",
+    select: str = "*",
+) -> str:
+    """Self-contained DuckDB mirror of :func:`corpus_mixture` (single-window
+    oracle; the two-phase Spark plan is value-identical by the same
+    superset argument as ``top_n_hash_sample``)."""
+    s_total = sum(parts.values())
+    values = ", ".join(
+        f"('{s.replace(chr(39), chr(39) * 2)}', {p})"
+        for s, p in sorted(parts.items())
+    )
+    casts = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    quoted = salt.replace("'", "''")
+    key = f"concat_ws(chr(31), '{quoted}', {casts})"
+    h = md5_long_sql(key)
+    return f"""
+    WITH cm_parts(__cm_s, __cm_part) AS (VALUES {values}),
+    cm_counts AS (
+      SELECT p.__cm_s, p.__cm_part, coalesce(c.__cm_cnt, 0) AS __cm_cnt
+      FROM cm_parts p
+      LEFT JOIN (
+        SELECT {strata_expr} AS __cm_s, count(*) AS __cm_cnt
+        FROM {table} GROUP BY 1
+      ) c ON c.__cm_s = p.__cm_s
+    ),
+    cm_t AS (
+      SELECT min(CAST(floor(__cm_cnt * {s_total} / __cm_part) AS BIGINT))
+             AS __cm_t
+      FROM cm_counts
+    ),
+    cm_budget AS (
+      SELECT c.__cm_s,
+             CAST(floor(c.__cm_part * t.__cm_t / {s_total}) AS BIGINT)
+             AS __cm_n
+      FROM cm_counts c CROSS JOIN cm_t t
+    )
+    SELECT {select} FROM (
+      SELECT d.*, b.__cm_n,
+             row_number() OVER (PARTITION BY {strata_expr}
+                                ORDER BY {h}, {key}) AS __cm_rn
+      FROM {table} d
+      JOIN cm_budget b ON b.__cm_s = {strata_expr}
+    ) WHERE __cm_rn <= __cm_n
+    """
+
+
+def pack_contexts(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    capacity: int = 2048,
+    n_buckets: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """→ ``df`` + [pack_bucket, seq_id, seq_offset, n_tokens]: assign each
+    document a position in a packed fixed-capacity context stream — the
+    concat-then-split packing LM training uses to fill context windows
+    (documents are laid head-to-tail in a deterministic hash order; a
+    window holds ``capacity`` whitespace tokens; a document starting at
+    global token offset ``o`` belongs to sequence ``floor(o / capacity)``
+    at in-sequence offset ``o % capacity``, straddling the boundary like
+    the real thing).
+
+    Scale shape: the stream is sharded into ``n_buckets`` independent
+    hash buckets FIRST, so the running-total window only ever sorts one
+    bucket — size it so a bucket fits a task (at 100 TB: tens of
+    thousands of buckets), never a global sort. Deterministic: the order
+    within a bucket is (portable hash, key), so re-runs and the DuckDB
+    oracle place every document identically."""
+    if capacity <= 0 or n_buckets <= 0:
+        raise ValueError("capacity and n_buckets must be positive")
+    from pyspark.sql import Window
+
+    for c in ("__pc_h", "__pc_k", "__pc_t", "__pc_cum"):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c!r}")
+    key = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    h = md5_long(key)
+    n_tok = F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(F.col("__pc_h").asc(), F.col("__pc_k").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("__pc_h", h)
+        .withColumn("__pc_k", key)
+        .withColumn("pack_bucket", F.pmod(F.col("__pc_h"), F.lit(n_buckets)).cast("int"))
+        .withColumn("__pc_t", n_tok.cast("long"))
+        .withColumn("__pc_cum", F.sum("__pc_t").over(w))
+    )
+    offset = F.col("__pc_cum") - F.col("__pc_t")
+    return (
+        out.withColumn("seq_id", F.floor(offset / F.lit(capacity)).cast("long"))
+        .withColumn("seq_offset", (offset % F.lit(capacity)).cast("long"))
+        .withColumn("n_tokens", F.col("__pc_t"))
+        .drop("__pc_h", "__pc_k", "__pc_t", "__pc_cum")
+    )
+
+
+def pack_contexts_sql(
+    table: str,
+    key_exprs: list[str],
+    text_expr: str = "text",
+    capacity: int = 2048,
+    n_buckets: int = 8,
+    salt: str = "",
+    select: str = "*",
+) -> str:
+    """Self-contained DuckDB mirror of :func:`pack_contexts`."""
+    casts = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    quoted = salt.replace("'", "''")
+    key = f"concat_ws(chr(31), '{quoted}', {casts})"
+    h = md5_long_sql(key)
+    return f"""
+    WITH pc_base AS (
+      SELECT *,
+             {h} % {n_buckets} AS pack_bucket,
+             CAST(len(string_split_regex(trim(coalesce({text_expr}, '')),
+                                         '\\s+')) AS BIGINT) AS n_tokens,
+             {h} AS __pc_h, {key} AS __pc_k
+      FROM {table}
+    ),
+    pc_cum AS (
+      SELECT *,
+             sum(n_tokens) OVER (
+               PARTITION BY pack_bucket ORDER BY __pc_h, __pc_k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS __pc_off
+      FROM pc_base
+    )
+    SELECT {select},
+           pack_bucket,
+           CAST(floor(__pc_off / {capacity}) AS BIGINT) AS seq_id,
+           CAST(__pc_off % {capacity} AS BIGINT) AS seq_offset,
+           n_tokens
+    FROM pc_cum
+    """
+
+
 def top_n_hash_sample_sql(
     key_exprs: list[str],
     n: int,

@@ -507,3 +507,70 @@ def unigram_lm_score_sql(table: str = "documents") -> str:
     FROM lmtok t JOIN lmvocab v USING (term) CROSS JOIN lmtotal
     GROUP BY t.doc_id
     """
+
+
+def doc_chunks(
+    documents: DataFrame, chunk_size: int = 64, stride: int = 48
+) -> DataFrame:
+    """→ [doc_id, chunk_id, n_chunk_tokens, chunk_text]: sliding
+    fixed-token-window chunking — the pre-tokenization split a training /
+    retrieval pipeline runs so no downstream unit exceeds a context or
+    embedding budget. Chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + chunk_size)``; ``stride < chunk_size`` gives
+    the standard overlap so no spanning passage is lost at a boundary; the
+    last chunk may be short; every document (even empty text) yields ≥ 1
+    chunk, so no row silently disappears.
+
+    Scale shape: map-only — split + ``explode(sequence(...))`` + slice are
+    all JVM array expressions inside whole-stage codegen; fan-out per row
+    is ``1 + floor((n_tokens-1)/stride)``, linear in input size; no
+    shuffle, no Python. (Spark's ``sequence`` is DESCENDING when end <
+    start — n≥1 always holds here because splitting '' yields [''], so the
+    end expression is never negative.)"""
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    n = F.size(toks)
+    last_start = F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
+    exploded = documents.select(
+        "doc_id",
+        toks.alias("__dc_toks"),
+        F.explode(F.sequence(F.lit(0), last_start)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("__dc_toks"), F.col("chunk_id") * F.lit(stride) + F.lit(1), chunk_size
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def doc_chunks_sql(
+    table: str = "documents", chunk_size: int = 64, stride: int = 48
+) -> str:
+    """Self-contained DuckDB mirror of :func:`doc_chunks` (1-based
+    inclusive list slicing on DuckDB's side, same token windows)."""
+    return f"""
+    WITH dc_base AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+      FROM {table}
+    ),
+    dc_e AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(floor((len(toks) - 1) / {stride}) AS BIGINT)
+                             + 1)) AS chunk_id
+      FROM dc_base
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(toks[(chunk_id * {stride} + 1):
+                         (chunk_id * {stride} + {chunk_size})]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(toks[(chunk_id * {stride} + 1):
+                                (chunk_id * {stride} + {chunk_size})], ' ')
+             AS chunk_text
+    FROM dc_e
+    """

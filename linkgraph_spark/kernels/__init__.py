@@ -18,7 +18,8 @@ from linkgraph_spark.kernels.mis import MisResult, maximal_independent_set
 from linkgraph_spark.kernels.coloring import ColoringResult, greedy_coloring
 from linkgraph_spark.kernels.matching import MatchingResult, maximal_matching, vertex_cover
 from linkgraph_spark.kernels.densest import DensestResult, densest_subgraph
-from linkgraph_spark.kernels.linkpred import adamic_adar
+from linkgraph_spark.kernels.linkpred import adamic_adar, link_scores, neighborhood_overlap
+from linkgraph_spark.kernels.msf import MSFResult, boruvka_msf
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
     closeness_landmarks,
@@ -108,6 +109,10 @@ __all__ = [
     "TrussResult",
     "edge_support",
     "k_truss",
+    "link_scores",
+    "neighborhood_overlap",
+    "MSFResult",
+    "boruvka_msf",
     "HyperBallResult",
     "harmonic_landmarks",
     "hyperball",

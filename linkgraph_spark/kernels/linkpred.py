@@ -66,9 +66,13 @@ def adamic_adar(
 
 
 def link_scores(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
-    """→ [x, y, common, jaccard, adamic_adar]: the classic common-neighbor
-    score family for non-adjacent pairs, ONE wedge pass (the three scores
-    share the join; computing them separately would triple the shuffle).
+    """→ [x, y, common, jaccard, adamic_adar, resource_alloc, pref_attach]:
+    the classic common-neighbor score family for non-adjacent pairs, ONE
+    wedge pass (the five scores share the join; computing them separately
+    would quintuple the shuffle). ``resource_alloc`` is Zhou–Lü–Zhang's
+    Σ 1/deg(z) (the harder-decaying AA sibling), ``pref_attach`` the
+    deg(x)·deg(y) popularity baseline — both fall out of columns already in
+    flight, zero extra joins.
 
     Same scale warning as :func:`adamic_adar`: ``max_degree=None`` is
     exact-but-quadratic at a hub; set it for any at-scale run (the gate /
@@ -88,6 +92,7 @@ def link_scores(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
         .agg(
             F.count("*").alias("common"),
             F.round(F.sum(1.0 / F.log("deg")), 6).alias("adamic_adar"),
+            F.round(F.sum(1.0 / F.col("deg")), 6).alias("resource_alloc"),
         )
     )
     dx = deg_all.select(F.col("z").alias("x"), F.col("deg").alias("degx"))
@@ -98,7 +103,15 @@ def link_scores(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
         wedges.join(existing, ["x", "y"], "left_anti")
         .join(dx, "x")
         .join(dy, "y")
-        .select("x", "y", "common", F.round(jac, 6).alias("jaccard"), "adamic_adar")
+        .select(
+            "x",
+            "y",
+            "common",
+            F.round(jac, 6).alias("jaccard"),
+            "adamic_adar",
+            "resource_alloc",
+            (F.col("degx") * F.col("degy")).alias("pref_attach"),
+        )
     )
 
 
@@ -118,7 +131,8 @@ def link_scores_sql(max_degree: int | None = None) -> str:
     ls_wedges AS MATERIALIZED (
       SELECT w1.dst AS x, w2.dst AS y,
              count(*) AS common,
-             round(sum(1.0 / ln(d.deg)), 6) AS adamic_adar
+             round(sum(1.0 / ln(d.deg)), 6) AS adamic_adar,
+             round(sum(1.0 / d.deg), 6) AS resource_alloc
       FROM ls_und w1
       JOIN ls_und w2 ON w1.src = w2.src AND w1.dst < w2.dst
       JOIN ls_zdeg d ON d.z = w1.src
@@ -126,12 +140,78 @@ def link_scores_sql(max_degree: int | None = None) -> str:
     )
     SELECT w.x, w.y, w.common,
            round(w.common / CAST(dx.deg + dy.deg - w.common AS DOUBLE), 6) AS jaccard,
-           w.adamic_adar
+           w.adamic_adar, w.resource_alloc,
+           dx.deg * dy.deg AS pref_attach
     FROM ls_wedges w
     JOIN ls_deg dx ON dx.z = w.x
     JOIN ls_deg dy ON dy.z = w.y
     LEFT JOIN ls_und e ON e.src = w.x AND e.dst = w.y
     WHERE e.src IS NULL
+    """
+
+
+def neighborhood_overlap(graph: LinkGraph) -> DataFrame:
+    """→ [a, b, support, overlap] for every undirected simple edge (a < b):
+    Granovetter tie strength. ``support`` is the edge's triangle count and
+    ``overlap = support / (deg(a) + deg(b) - 2 - support)`` — the Jaccard
+    of the endpoints' neighborhoods with the endpoints themselves excluded
+    (Onnela et al. PNAS 2007). NULL when the denominator is 0 (both
+    endpoints degree-1: overlap is undefined, not zero).
+
+    Unlike :func:`link_scores` (non-adjacent candidate pairs) this scores
+    EXISTING edges — the weak-tie/bridge detector a graph curation pass
+    runs before cutting inter-community edges.
+
+    Scale shape: triangle support rides the arboricity-oriented wedge join
+    (``kernels/triangles.py`` — hub fan-out bounded O(√E)); the two degree
+    attaches are vertex-keyed shuffle joins. No all-pairs anywhere."""
+    from linkgraph_spark.kernels.triangles import _oriented
+    from linkgraph_spark.kernels.truss import _support_und
+
+    sup = _support_und(_oriented(graph.edges))
+    und = undirected(graph.edges)
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    denom = F.col("dega") + F.col("degb") - F.lit(2) - F.col("support")
+    return (
+        sup.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "support",
+            F.when(denom > 0, F.round(F.col("support") / denom, 6))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("overlap"),
+        )
+    )
+
+
+def neighborhood_overlap_sql() -> str:
+    """DuckDB oracle body for :func:`neighborhood_overlap` (expects the
+    ``edges`` CTE in scope; reuses the truss support CTE builder)."""
+    from linkgraph_spark.kernels.truss import _sup_sql
+
+    return f"""
+    no_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    {_sup_sql("no_und", "no_sup")},
+    no_deg AS MATERIALIZED (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM no_und UNION ALL SELECT b AS id FROM no_und
+      ) GROUP BY id
+    )
+    SELECT s.a, s.b, s.support,
+           CASE WHEN da.deg + db.deg - 2 - s.support > 0
+                THEN round(s.support / CAST(da.deg + db.deg - 2 - s.support
+                                            AS DOUBLE), 6)
+                ELSE NULL END AS overlap
+    FROM no_sup s
+    JOIN no_deg da ON da.id = s.a
+    JOIN no_deg db ON db.id = s.b
     """
 
 

@@ -373,3 +373,26 @@ def test_contamination_check_flags_copies(spark):
     # raising the threshold drops the partial hit
     strict = contamination_check(docs, bench, min_shared=5)
     assert {r["doc_id"] for r in strict.collect()} == {1}
+
+
+def test_doc_chunks_sliding_windows(spark):
+    """64/48 default elsewhere; here 4-token windows with stride 3 on a
+    7-token doc → starts 0,3,6 with the last chunk short; empty text still
+    yields one (empty) chunk so no document silently disappears."""
+    from linkgraph_spark.functions.text import doc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "x y")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in doc_chunks(docs, chunk_size=4, stride=3).collect()
+    )
+    assert rows == [
+        (1, 0, 4, "a b c d"),
+        (1, 1, 4, "d e f g"),  # 1-token overlap
+        (1, 2, 1, "g"),       # short tail chunk
+        (2, 0, 1, ""),        # empty doc → one empty chunk
+        (3, 0, 2, "x y"),
+    ]

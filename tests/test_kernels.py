@@ -1498,3 +1498,82 @@ def test_eigenvector_and_salsa_match_numpy(spark):
     assert all(abs(res[i][0] - h[i]) < 1e-9 for i in range(n))
     assert all(abs(res[i][1] - a[i]) < 1e-9 for i in range(n))
     g.unpersist()
+
+
+def test_neighborhood_overlap_hand_values(spark):
+    """Triangle 1-2-3 + pendant 3-4 + isolated edge 5-6: every overlap and
+    the degree-1/degree-1 NULL case, hand-computed (Onnela et al. 2007)."""
+    from linkgraph_spark.kernels.linkpred import neighborhood_overlap
+
+    g = graph_from_edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)])
+    rows = {(r["a"], r["b"]): r for r in neighborhood_overlap(g).collect()}
+    assert set(rows) == {(1, 2), (1, 3), (2, 3), (3, 4), (5, 6)}
+    # edge (1,2): support 1, deg 2+2 → denom 2+2-2-1=1 → 1.0
+    assert rows[(1, 2)]["support"] == 1 and rows[(1, 2)]["overlap"] == 1.0
+    # edges (1,3),(2,3): support 1, deg 2+3 → denom 2 → 0.5
+    assert rows[(1, 3)]["overlap"] == 0.5 and rows[(2, 3)]["overlap"] == 0.5
+    # pendant (3,4): support 0, denom 3+1-2-0=2 → 0.0
+    assert rows[(3, 4)]["support"] == 0 and rows[(3, 4)]["overlap"] == 0.0
+    # isolated edge (5,6): denom 1+1-2-0=0 → undefined ⇒ NULL, not 0
+    assert rows[(5, 6)]["overlap"] is None
+    g.unpersist()
+
+
+def _kruskal(n_edges):
+    """Sequential Kruskal with the engine's exact (weight, a, b) total
+    order — the MSF under that order is unique, so set-equality is the
+    oracle (pure python union-find; no external libs)."""
+    parent = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    forest = []
+    for w, a, b in sorted((w, a, b) for a, b, w in n_edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            forest.append((a, b, w))
+    return set(forest)
+
+
+def test_boruvka_msf_matches_kruskal(spark):
+    """Borůvka (parallel, pointer-doubling contraction) must produce the
+    IDENTICAL edge set as sequential Kruskal under the shared (weight,a,b)
+    total order — on a multi-component graph with parallel edges (collapse
+    to min weight), a self-loop (dropped), and weight ties (tie-break)."""
+    from linkgraph_spark.edges import LinkGraph
+    from linkgraph_spark.kernels import boruvka_msf
+
+    web = web64(40, 2)
+    wedges = [
+        (a, b, float((a * 7 + b * 13) % 23) / 4.0) for a, b in web
+    ]
+    wedges += [(100, 101, 0.5), (101, 102, 0.5), (102, 100, 0.5)]  # tied cycle
+    wedges += [(0, 1, 99.0), (7, 7, 0.0)]  # heavy parallel + self-loop
+    edges = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    vids = sorted({v for a, b, _ in wedges for v in (a, b)})
+    vertices = spark.createDataFrame([(v, str(v)) for v in vids], "id long, actor_key string")
+    g = LinkGraph(vertices=vertices, edges=edges, degrees=None, num_vertices=len(vids))
+
+    res = boruvka_msf(g)
+    assert res.converged
+    got = {(r["a"], r["b"], r["weight"]) for r in res.edges.collect()}
+
+    # oracle input: same simple-graph reduction (a<b, min weight per pair)
+    simple = {}
+    for a, b, w in wedges:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        simple[k] = min(simple.get(k, float("inf")), w)
+    want = _kruskal([(a, b, w) for (a, b), w in simple.items()])
+    assert got == want
+    # forest size = V - #components (two components here)
+    assert len(got) == len(vids) - 2
+    # ≤ log2(V) merge rounds — the Borůvka halving argument held
+    assert res.iterations <= 7

@@ -151,3 +151,60 @@ def test_top_n_stratified_two_phase_plan_and_equivalence(spark):
     clash = df.withColumn("__tnhs_h", F.lit(1))
     with _pytest.raises(ValueError, match="__tnhs_h"):
         top_n_hash_sample(clash, ["row_id"], 5, strata_col="lang")
+
+
+def test_corpus_mixture_exact_budgets(spark):
+    """Counts a:100 b:50 c:10 with parts 2:1:1 (S=4): the c stratum binds
+    T = min(200, 200, 40) = 40 → budgets a=20, b=10, c=10 — exact mixture,
+    deterministic, strata outside the target dropped entirely."""
+    from linkgraph_spark.functions.sampling import corpus_mixture
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(i + 100, "b") for i in range(50)]
+        + [(i + 200, "c") for i in range(10)]
+        + [(i + 300, "junk") for i in range(30)]  # not a target stratum
+    )
+    df = spark.createDataFrame(rows, "row_id long, lang string")
+    out = corpus_mixture(df, ["row_id"], "lang", {"a": 2, "b": 1, "c": 1})
+    got = [(r["row_id"], r["lang"]) for r in out.collect()]
+    by = {}
+    for _, s in got:
+        by[s] = by.get(s, 0) + 1
+    assert by == {"a": 20, "b": 10, "c": 10}
+    # replayable
+    again = [(r["row_id"], r["lang"]) for r in corpus_mixture(
+        df, ["row_id"], "lang", {"a": 2, "b": 1, "c": 1}).collect()]
+    assert sorted(got) == sorted(again)
+    # a target stratum with ZERO rows binds T to 0 → empty mixture
+    empty = corpus_mixture(df, ["row_id"], "lang", {"a": 1, "nosuch": 1})
+    assert empty.count() == 0
+
+
+def test_pack_contexts_layout_invariants(spark):
+    """Packing must lay documents head-to-tail per bucket: within each
+    bucket, offsets (seq_id*capacity + seq_offset) are exactly the running
+    token total in (hash, key) order, starting at 0 with no gaps."""
+    from linkgraph_spark.functions.sampling import pack_contexts
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (1 + i % 37))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = pack_contexts(docs, ["doc_id"], capacity=50, n_buckets=4).collect()
+    assert len(out) == 200  # every doc placed exactly once
+    by_bucket = {}
+    for r in out:
+        assert 0 <= r["pack_bucket"] < 4
+        assert 0 <= r["seq_offset"] < 50
+        g = r["seq_id"] * 50 + r["seq_offset"]  # global stream offset
+        by_bucket.setdefault(r["pack_bucket"], []).append((g, r["n_tokens"]))
+    for b, items in by_bucket.items():
+        items.sort()
+        expect = 0
+        for g, n in items:
+            assert g == expect  # head-to-tail, no gap, no overlap
+            expect += n
+    # deterministic placement
+    again = pack_contexts(docs, ["doc_id"], capacity=50, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
