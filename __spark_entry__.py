@@ -811,6 +811,24 @@ def q_neighborhood_overlap(spark, sf_dir):
     return neighborhood_overlap(_graph(spark, sf_dir))
 
 
+def q_degree_percentiles(spark, sf_dir):
+    # exact interpolated degree percentiles (capacity/skew profile)
+    return st.degree_percentiles(_graph(spark, sf_dir))
+
+
+def q_corpus_stats(spark, sf_dir):
+    # per-language corpus profile (volume, token budget, length median)
+    return tx.corpus_stats(_docs(spark, sf_dir))
+
+
+def q_msf_clusters(spark, sf_dir):
+    # single-link clustering: MSF minus its 9 heaviest edges — rows-only
+    # (depends on the Borůvka fixpoint; pinned by the Kruskal-replay pytest)
+    from linkgraph_spark.kernels.msf import msf_clusters
+
+    return msf_clusters(_wgraph(spark, sf_dir), cuts=9)
+
+
 def q_boruvka_msf(spark, sf_dir):
     # minimum spanning forest — rows-only driver check (an iterative
     # fixpoint DuckDB can't replay without recursion; pinned instead by the
@@ -894,6 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sits just past the cutoff — it leads the r6 rotation together
         # with the r4-green rows below; pinned now by the Kruskal pytest.
         "boruvka_msf": q_boruvka_msf,
+        "msf_clusters10": q_msf_clusters,
+        "degree_percentiles": q_degree_percentiles,
+        "corpus_stats": q_corpus_stats,
         "temporal_reach4": q_temporal_reach4,
         "sample_docs_10pct": q_sample_docs_10pct,
         "train_test_split_events": q_train_test_split_events,
@@ -1600,9 +1621,12 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["doc_id"], capacity=512, n_buckets=8, select="doc_id"
         ),
         "neighborhood_overlap": f"{_G}, {_no_sql_body()}",
-        # "boruvka_msf" intentionally absent: the Borůvka fixpoint needs
-        # recursion DuckDB-SQL can't replay — rows-only check; pinned by
-        # the exact sequential-Kruskal pytest oracle instead.
+        # "boruvka_msf" and "msf_clusters10" intentionally absent: the
+        # Borůvka fixpoint needs recursion DuckDB-SQL can't replay —
+        # rows-only checks; pinned by the exact sequential-Kruskal /
+        # single-link pytest oracles instead.
+        "degree_percentiles": f"{_G}, {_DEGS} {st.degree_percentiles_sql()}",
+        "corpus_stats": tx.corpus_stats_sql(),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -49,7 +49,8 @@ def _load_graph(spark, args):
     else:
         t = synthesize_transcripts(spark, n_convs=args.synthetic_convs)
     weighted = (
-        getattr(args, "mode", None) == "weighted" or args.kernel in ("sssp", "msf")
+        getattr(args, "mode", None) == "weighted"
+        or args.kernel in ("sssp", "msf", "msfclusters")
     )
     return build_graph(t, weighted=weighted)
 
@@ -64,10 +65,11 @@ def main(argv=None):
             "walks", "node2vec", "etl", "scc", "ktruss", "betweenness", "hyperball",
             "stats", "community", "katz", "mis", "coloring", "diameter",
             "matching", "salsa", "eigenvector", "census", "richclub",
-            "seedspread", "msf", "overlap",
+            "seedspread", "msf", "msfclusters", "overlap",
         ],
     )
     p.add_argument("--k", type=int, default=3, help="k for ktruss")
+    p.add_argument("--cuts", type=int, default=9, help="msfclusters: heaviest MSF edges to cut")
     p.add_argument("--n-samples", type=int, default=16, help="betweenness source sample")
     p.add_argument("--max-r", type=int, default=16, help="hyperball radius cap")
     p.add_argument("--sources", help="comma-separated source ids (bfs/sssp)")
@@ -297,6 +299,11 @@ def main(argv=None):
             "rounds": mres.iterations,
             "converged": mres.converged,
         }
+    elif args.kernel == "msfclusters":
+        from linkgraph_spark.kernels import msf_clusters
+
+        result = msf_clusters(g, cuts=args.cuts, max_iterations=args.max_iterations)
+        summary = {"clusters": result.select("cluster").distinct().count()}
     elif args.kernel == "overlap":
         from linkgraph_spark.kernels import neighborhood_overlap
 

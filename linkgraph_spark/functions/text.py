@@ -574,3 +574,40 @@ def doc_chunks_sql(
              AS chunk_text
     FROM dc_e
     """
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """→ [lang, n_docs, total_tokens, mean_chars, p50_chars]: the
+    per-language corpus profile a curation dashboard reads (volume by
+    stratum, token budget, length distribution center). One grouped
+    aggregate over a map-only projection; the exact median rides the same
+    agg (Spark ``percentile`` == DuckDB ``quantile_cont`` linear
+    interpolation, so the oracle replays it)."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        documents.select(
+            "lang",
+            F.size(_tokens(txt)).alias("t"),
+            F.length(txt).alias("c"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            F.round(F.avg("c"), 6).alias("mean_chars"),
+            F.round(F.expr("percentile(c, 0.5D)"), 6).alias("p50_chars"),
+        )
+    )
+
+
+def corpus_stats_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(coalesce(text, '')),
+                                           '\\s+'))) AS BIGINT) AS total_tokens,
+           round(avg(length(coalesce(text, ''))), 6) AS mean_chars,
+           round(quantile_cont(length(coalesce(text, '')), 0.5), 6) AS p50_chars
+    FROM {table}
+    GROUP BY lang
+    """

@@ -19,7 +19,7 @@ from linkgraph_spark.kernels.coloring import ColoringResult, greedy_coloring
 from linkgraph_spark.kernels.matching import MatchingResult, maximal_matching, vertex_cover
 from linkgraph_spark.kernels.densest import DensestResult, densest_subgraph
 from linkgraph_spark.kernels.linkpred import adamic_adar, link_scores, neighborhood_overlap
-from linkgraph_spark.kernels.msf import MSFResult, boruvka_msf
+from linkgraph_spark.kernels.msf import MSFResult, boruvka_msf, msf_clusters
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
     closeness_landmarks,
@@ -46,7 +46,12 @@ from linkgraph_spark.kernels.spectral import (
     eigenvector_centrality,
     salsa,
 )
-from linkgraph_spark.kernels.stats import degree_assortativity, reciprocity, rich_club
+from linkgraph_spark.kernels.stats import (
+    degree_assortativity,
+    degree_percentiles,
+    reciprocity,
+    rich_club,
+)
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
 from linkgraph_spark.kernels.truss import TrussResult, edge_support, k_truss
 from linkgraph_spark.kernels.walks import random_walks, skipgram_pairs
@@ -113,6 +118,8 @@ __all__ = [
     "neighborhood_overlap",
     "MSFResult",
     "boruvka_msf",
+    "msf_clusters",
+    "degree_percentiles",
     "HyperBallResult",
     "harmonic_landmarks",
     "hyperball",

@@ -208,3 +208,42 @@ def boruvka_msf(graph: LinkGraph, max_iterations: int = 40) -> MSFResult:
         converged=converged,
         metrics=metrics,
     )
+
+
+def msf_clusters(
+    graph: LinkGraph, cuts: int, max_iterations: int = 40
+) -> DataFrame:
+    """→ [id, cluster]: SINGLE-LINK clustering via the MSF — cut the
+    ``cuts`` heaviest forest edges (under the same (weight, a, b) total
+    order, descending), then label the remaining forest's components
+    (cluster = min member id). Standard equivalence: with all-distinct
+    effective weights, removing the k heaviest MSF edges yields exactly
+    the single-linkage partition with components + k clusters — the
+    similarity-graph clustering step of a curation pipeline, without ever
+    materializing a dendrogram.
+
+    Scale shape: the cut is a TakeOrdered over the O(V) forest (never a
+    full sort); labels come from the large-star/small-star components
+    kernel (O(log n) rounds) on the forest — a graph with ≤ V-1 edges
+    regardless of input edge count."""
+    if cuts < 0:
+        raise ValueError("cuts must be >= 0")
+    from dataclasses import replace
+
+    from linkgraph_spark.kernels.components import connected_components_star
+
+    res = boruvka_msf(graph, max_iterations=max_iterations)
+    if not res.converged:
+        raise RuntimeError("boruvka_msf did not converge; raise max_iterations")
+    forest = res.edges
+    keep = forest
+    if cuts > 0:
+        cut = forest.orderBy(
+            F.desc("weight"), F.desc("a"), F.desc("b")
+        ).limit(cuts)
+        keep = forest.join(cut, ["a", "b"], "left_anti")
+    sub = replace(graph, edges=keep.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    cc = connected_components_star(sub)
+    if not cc.converged:
+        raise RuntimeError("components over the cut forest did not converge")
+    return cc.labels.select("id", F.col("component").alias("cluster"))

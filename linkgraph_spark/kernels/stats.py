@@ -213,3 +213,44 @@ def rich_club_sql(ks: list[int]) -> str:
                       ELSE 0.0 END, 6) AS phi
     FROM rb_stats
     """
+
+
+def degree_percentiles(
+    graph: LinkGraph, ps: tuple = (0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+) -> DataFrame:
+    """→ [p, out_deg_pct, in_deg_pct]: exact linear-interpolation degree
+    percentiles — the summary a capacity planner reads before sizing skew
+    mitigations (p99 vs max tells you whether hubs are a tail or a cliff).
+
+    Scale shape: ONE aggregate over the O(V) degree table computes every
+    requested percentile (Spark's ``percentile(col, array(...))`` sorts
+    per-group once); the row-per-percentile explode is driver-free, output
+    is |ps| rows. Exact (not approx_percentile) because the oracle
+    replays it: Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    linear-interpolation semantics."""
+    arr = ", ".join(f"{float(p)}D" for p in ps)
+    one = graph.degrees.agg(
+        F.expr(f"percentile(out_deg, array({arr}))").alias("op"),
+        F.expr(f"percentile(in_deg, array({arr}))").alias("ip"),
+    )
+    rows = [
+        F.struct(
+            F.lit(float(p)).alias("p"),
+            F.round(F.element_at("op", i + 1), 6).alias("out_deg_pct"),
+            F.round(F.element_at("ip", i + 1), 6).alias("in_deg_pct"),
+        )
+        for i, p in enumerate(ps)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("z")).select("z.*")
+
+
+def degree_percentiles_sql(ps: tuple = (0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) -> str:
+    """DuckDB oracle body (expects the ``degs`` CTE in scope)."""
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({float(p)} AS DOUBLE) AS p,"
+        f" round(quantile_cont(out_deg, {float(p)}), 6) AS out_deg_pct,"
+        f" round(quantile_cont(in_deg, {float(p)}), 6) AS in_deg_pct"
+        f" FROM degs"
+        for p in ps
+    )
+    return f"\n    {rows}\n    "

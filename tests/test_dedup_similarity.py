@@ -396,3 +396,18 @@ def test_doc_chunks_sliding_windows(spark):
         (2, 0, 1, ""),        # empty doc → one empty chunk
         (3, 0, 2, "x y"),
     ]
+
+
+def test_corpus_stats_hand_values(spark):
+    from linkgraph_spark.functions.text import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "aa"), (2, "x", "aa"), (3, "p q r", "bb")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["lang"]: r for r in corpus_stats(docs).collect()}
+    assert rows["aa"]["n_docs"] == 2
+    assert rows["aa"]["total_tokens"] == 3
+    assert rows["aa"]["mean_chars"] == 2.0  # (3 + 1) / 2
+    assert rows["aa"]["p50_chars"] == 2.0   # median of [1, 3]
+    assert rows["bb"]["total_tokens"] == 3 and rows["bb"]["p50_chars"] == 5.0

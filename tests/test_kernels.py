@@ -1577,3 +1577,66 @@ def test_boruvka_msf_matches_kruskal(spark):
     assert len(got) == len(vids) - 2
     # ≤ log2(V) merge rounds — the Borůvka halving argument held
     assert res.iterations <= 7
+
+
+def test_msf_clusters_single_link(spark):
+    """Cutting the k heaviest MSF edges must reproduce sequential
+    single-linkage: partition-compare against Kruskal-forest-minus-top-k
+    under the shared (weight, a, b) total order."""
+    from linkgraph_spark.edges import LinkGraph
+    from linkgraph_spark.kernels import msf_clusters
+
+    web = web64(40, 2)
+    wedges = [(a, b, float((a * 7 + b * 13) % 23) / 4.0) for a, b in web]
+    wedges += [(100, 101, 0.5), (101, 102, 0.5), (102, 100, 0.5)]
+    edges = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    vids = sorted({v for a, b, _ in wedges for v in (a, b)})
+    vertices = spark.createDataFrame(
+        [(v, str(v)) for v in vids], "id long, actor_key string"
+    )
+    g = LinkGraph(vertices=vertices, edges=edges, degrees=None, num_vertices=len(vids))
+
+    cuts = 3
+    got = {}
+    for r in msf_clusters(g, cuts=cuts).collect():
+        got.setdefault(r["cluster"], set()).add(r["id"])
+
+    simple = {}
+    for a, b, w in wedges:
+        k = (min(a, b), max(a, b))
+        simple[k] = min(simple.get(k, float("inf")), w)
+    forest = _kruskal([(a, b, w) for (a, b), w in simple.items()])
+    kept = sorted(forest, key=lambda e: (e[2], e[0], e[1]), reverse=True)[cuts:]
+    parent = {v: v for v in vids}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a, b, _ in kept:
+        parent[find(a)] = find(b)
+    want = {}
+    for v in vids:
+        want.setdefault(find(v), set()).add(v)
+
+    assert sorted(got.values(), key=min) == sorted(want.values(), key=min)
+    # 2 base components + 3 cuts = 5 clusters; labels are component minima
+    assert len(got) == 5 and all(lbl == min(m) for lbl, m in got.items())
+
+
+def test_degree_percentiles_hand_values(spark):
+    """Path 0→1→2→3: both degree columns are [0,1,1,1] sorted, so the
+    exact interpolated percentiles are hand-computable."""
+    from linkgraph_spark.kernels import degree_percentiles
+
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3)])
+    rows = {
+        r["p"]: (r["out_deg_pct"], r["in_deg_pct"])
+        for r in degree_percentiles(g, ps=(0.25, 0.5, 1.0)).collect()
+    }
+    assert rows[0.25] == (0.75, 0.75)  # idx 0.75 between 0 and 1
+    assert rows[0.5] == (1.0, 1.0)
+    assert rows[1.0] == (1.0, 1.0)
+    g.unpersist()

@@ -208,3 +208,37 @@ def test_pack_contexts_layout_invariants(spark):
     # deterministic placement
     again = pack_contexts(docs, ["doc_id"], capacity=50, n_buckets=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_corpus_mixture_plan_broadcast_and_two_phase(spark):
+    """Scale shape of the mixture: the per-stratum budget table (|strata|
+    rows) must attach via BROADCAST (never a shuffle of the corpus), and
+    the ranking must be the same two-phase sub-bucketed shape as
+    top_n_hash_sample — no window over a whole raw stratum in one task."""
+    from linkgraph_spark.functions.sampling import corpus_mixture
+
+    df = spark.range(3000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise("ko").alias("lang"),
+    )
+    out = corpus_mixture(df, ["row_id"], "lang", {"en": 3, "ko": 1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # budgets, not a corpus shuffle
+    assert plan.count("windowspecdefinition") == 2  # two-phase ranking
+    inner_spec = plan.rindex("windowspecdefinition")
+    assert "__cm_b" in plan[inner_spec : inner_spec + 120]  # phase 1 sub-bucketed
+
+
+def test_pack_contexts_plan_bucketed_window(spark):
+    """The packing cumsum must run per hash bucket — the window partition
+    spec carries pack_bucket, so no task ever sorts the whole corpus."""
+    from linkgraph_spark.functions.sampling import pack_contexts
+
+    docs = spark.createDataFrame(
+        [(i, "t " * (1 + i % 5)) for i in range(100)], "doc_id long, text string"
+    )
+    out = pack_contexts(docs, ["doc_id"], capacity=64, n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    spec = plan.index("windowspecdefinition")
+    assert "pack_bucket" in plan[max(0, spec - 400) : spec + 120]
+    assert "hashpartitioning(pack_bucket" in plan
