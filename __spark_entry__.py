@@ -908,9 +908,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_contexts": q_pack_contexts,
         "neighborhood_overlap": q_neighborhood_overlap,
         # -- 3. tail: not in this round's 50-row gate window ----------------
-        # boruvka_msf is new but rows-only (no SQL oracle possible) and
-        # sits just past the cutoff — it leads the r6 rotation together
-        # with the r4-green rows below; pinned now by the Kruskal pytest.
+        # 52 entries competed for 50 slots this round (38 rotated + 14
+        # new); the two squeezed out are the THINNEST new operators —
+        # degree_percentiles and corpus_stats are single grouped aggs with
+        # hand-value pytests and locally-verified oracles, the lowest
+        # driver-risk triage. They lead the r6 rotation together with
+        # boruvka_msf/msf_clusters10 (new but rows-only — no SQL oracle
+        # possible; pinned now by the Kruskal/single-link pytests) and the
+        # r4-green rows below.
         "boruvka_msf": q_boruvka_msf,
         "msf_clusters10": q_msf_clusters,
         "degree_percentiles": q_degree_percentiles,

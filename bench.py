@@ -216,6 +216,14 @@ def main():
         "msf_big_live_edges": [m["live_edges"] for m in msf_res.metrics],
     }
     g_big.unpersist()  # free cached blocks before the probe measurement
+    # the kernel reps above each leave a RotatingState's FINAL checkpoint
+    # alive (by contract it belongs to the caller — here it's discarded);
+    # drop every leftover persistent RDD so the streaming and probe
+    # measurements below run against a clean block manager
+    _sc = spark.sparkContext
+    _it = _sc._jsc.sc().getPersistentRDDs().iterator()
+    while _it.hasNext():
+        _sc._jsc.sc().unpersistRDD(_it.next()._1(), False)
 
     # ---- streaming ingest: stateful adjacent-edge extraction ---------------
     # N micro-batches of append-only transcript files through the

@@ -138,6 +138,44 @@ def stratified_hash_sample_sql(
 _TOPN_SUBBUCKETS = 64
 
 
+def _stratified_top_budget(df, key_cols, strata_col, budget, salt, prefix):
+    """Shared two-phase per-stratum smallest-hash selection (used by
+    :func:`top_n_hash_sample` and :func:`corpus_mixture` — ONE copy of the
+    phase logic so the samplers can't diverge). ``budget`` is a Column (a
+    literal for fixed n, a joined per-stratum column for mixtures).
+
+    Phase 1 ranks within (stratum, hash % ``_TOPN_SUBBUCKETS``) so a hot
+    stratum splits across sub-buckets; every row phase 1 drops is beaten
+    by ≥ budget rows of its OWN stratum, so phase 2 (over ≤ 64·budget
+    survivors per stratum) returns exactly the single-window result. Ties
+    (60-bit hash collisions) break on the key string — total-order
+    deterministic."""
+    from pyspark.sql import Window
+
+    hc_n, kc_n, bc_n, rn = (f"__{prefix}_{s}" for s in ("h", "k", "b", "rn"))
+    for c in (hc_n, kc_n, bc_n, rn):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c!r}")
+    key = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    h = md5_long(key)
+    hc, kc = F.col(hc_n), F.col(kc_n)
+    w1 = Window.partitionBy(strata_col, bc_n).orderBy(hc.asc(), kc.asc())
+    w2 = Window.partitionBy(strata_col).orderBy(hc.asc(), kc.asc())
+    return (
+        df.withColumn(hc_n, h)
+        .withColumn(kc_n, key)
+        .withColumn(bc_n, F.pmod(h, F.lit(_TOPN_SUBBUCKETS)))
+        .withColumn(rn, F.row_number().over(w1))
+        .where(F.col(rn) <= budget)
+        .drop(rn)
+        .withColumn(rn, F.row_number().over(w2))
+        .where(F.col(rn) <= budget)
+        .drop(rn, hc_n, kc_n, bc_n)
+    )
+
+
 def top_n_hash_sample(
     df: DataFrame,
     key_cols: list[str],
@@ -183,22 +221,7 @@ def top_n_hash_sample(
             .limit(n)
             .drop("__tnhs_h", "__tnhs_k")
         )
-    from pyspark.sql import Window
-
-    hc, kc = F.col("__tnhs_h"), F.col("__tnhs_k")
-    w1 = Window.partitionBy(strata_col, "__tnhs_b").orderBy(hc.asc(), kc.asc())
-    w2 = Window.partitionBy(strata_col).orderBy(hc.asc(), kc.asc())
-    return (
-        df.withColumn("__tnhs_h", h)
-        .withColumn("__tnhs_k", key)
-        .withColumn("__tnhs_b", F.pmod(h, F.lit(_TOPN_SUBBUCKETS)))
-        .withColumn("__tnhs_rn", F.row_number().over(w1))
-        .where(F.col("__tnhs_rn") <= n)
-        .drop("__tnhs_rn")
-        .withColumn("__tnhs_rn", F.row_number().over(w2))
-        .where(F.col("__tnhs_rn") <= n)
-        .drop("__tnhs_rn", "__tnhs_h", "__tnhs_k", "__tnhs_b")
-    )
+    return _stratified_top_budget(df, key_cols, strata_col, F.lit(n), salt, "tnhs")
 
 
 def corpus_mixture(
@@ -227,8 +250,6 @@ def corpus_mixture(
     sub-bucketed top-n as :func:`top_n_hash_sample`, so a hot stratum
     (en ≫ rest at corpus scale) splits across ``_TOPN_SUBBUCKETS`` tasks
     instead of rank-sorting on one."""
-    from pyspark.sql import Window
-
     for s, p in parts.items():
         if p <= 0:
             raise ValueError(f"part for stratum {s!r} must be a positive int")
@@ -261,25 +282,14 @@ def corpus_mixture(
         .cast("long")
         .alias("__cm_n"),
     )
-    key = F.concat_ws(
-        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
-    )
-    h = md5_long(key)
-    hc, kc = F.col("__cm_h"), F.col("__cm_k")
-    w1 = Window.partitionBy(strata_col, "__cm_b").orderBy(hc.asc(), kc.asc())
-    w2 = Window.partitionBy(strata_col).orderBy(hc.asc(), kc.asc())
-    return (
-        df.join(F.broadcast(budgets), strata_col)
-        .withColumn("__cm_h", h)
-        .withColumn("__cm_k", key)
-        .withColumn("__cm_b", F.pmod(h, F.lit(_TOPN_SUBBUCKETS)))
-        .withColumn("__cm_rn", F.row_number().over(w1))
-        .where(F.col("__cm_rn") <= F.col("__cm_n"))
-        .drop("__cm_rn")
-        .withColumn("__cm_rn", F.row_number().over(w2))
-        .where(F.col("__cm_rn") <= F.col("__cm_n"))
-        .drop("__cm_rn", "__cm_h", "__cm_k", "__cm_b", "__cm_n")
-    )
+    return _stratified_top_budget(
+        df.join(F.broadcast(budgets), strata_col),
+        key_cols,
+        strata_col,
+        F.col("__cm_n"),
+        salt,
+        "cm",
+    ).drop("__cm_n")
 
 
 def corpus_mixture_sql(
@@ -288,11 +298,14 @@ def corpus_mixture_sql(
     strata_expr: str,
     parts: dict[str, int],
     salt: str = "",
-    select: str = "*",
+    *,
+    select: str,
 ) -> str:
     """Self-contained DuckDB mirror of :func:`corpus_mixture` (single-window
     oracle; the two-phase Spark plan is value-identical by the same
-    superset argument as ``top_n_hash_sample``)."""
+    superset argument as ``top_n_hash_sample``). ``select`` is REQUIRED —
+    it must name the output columns explicitly (the inner query carries
+    working columns a ``*`` would leak)."""
     s_total = sum(parts.values())
     values = ", ".join(
         f"('{s.replace(chr(39), chr(39) * 2)}', {p})"
@@ -360,9 +373,14 @@ def pack_contexts(
         raise ValueError("capacity and n_buckets must be positive")
     from pyspark.sql import Window
 
-    for c in ("__pc_h", "__pc_k", "__pc_t", "__pc_cum"):
+    # output columns are additions, not replacements — surface a colliding
+    # input schema loudly instead of silently overwriting it
+    for c in (
+        "__pc_h", "__pc_k", "__pc_t", "__pc_cum",
+        "pack_bucket", "seq_id", "seq_offset", "n_tokens",
+    ):
         if c in df.columns:
-            raise ValueError(f"input already has internal column {c!r}")
+            raise ValueError(f"input already has column {c!r}")
     key = F.concat_ws(
         "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
     )
@@ -396,9 +414,13 @@ def pack_contexts_sql(
     capacity: int = 2048,
     n_buckets: int = 8,
     salt: str = "",
-    select: str = "*",
+    *,
+    select: str,
 ) -> str:
-    """Self-contained DuckDB mirror of :func:`pack_contexts`."""
+    """Self-contained DuckDB mirror of :func:`pack_contexts`. ``select``
+    is REQUIRED and must name the pass-through columns explicitly (the
+    inner query carries working columns a ``*`` would leak; the pack
+    columns are appended after it)."""
     casts = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
     quoted = salt.replace("'", "''")
     key = f"concat_ws(chr(31), '{quoted}', {casts})"

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph_spark.edges import LinkGraph
-from linkgraph_spark.lineage import RotatingState
+from linkgraph_spark.lineage import RotatingState, checkpoint_tracked, free_tracked
 from linkgraph_spark.session import pinned_superstep_confs
 
 
@@ -111,7 +111,10 @@ def boruvka_msf(graph: LinkGraph, max_iterations: int = 40) -> MSFResult:
                     F.col("cb").alias("c"), F.col("ca").alias("oc"), "weight", "a", "b"
                 )
             )
-            sel = (
+            # checkpoint sel once: BOTH consumers below (forest append and
+            # the parent init) would otherwise re-run the round's dominant
+            # group-min shuffle; freed at end of round (O(components) rows)
+            sel, sel_ids = checkpoint_tracked(
                 sym.groupBy("c")
                 .agg(F.min(F.struct("weight", "a", "b", "oc")).alias("m"))
                 .select(
@@ -198,6 +201,7 @@ def boruvka_msf(graph: LinkGraph, max_iterations: int = 40) -> MSFResult:
             )
             live = live_state.rotate(relabeled)
             inner.release()
+            free_tracked(spark.sparkContext, sel_ids)
             metrics.append({"round": rnd, "live_edges": n_live})
         else:
             converged = live.count() == 0

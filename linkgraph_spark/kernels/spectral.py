@@ -71,9 +71,11 @@ def eigenvector_centrality(graph: LinkGraph, iterations: int = 8) -> SpectralRes
             nxt = state.rotate(nxt)
             mx = obs.get["mx"] or 1.0
             mx = mx if mx > 0 else 1.0
-            scores = state.rotate(
-                nxt.select("id", (F.col("raw") / F.lit(mx)).alias("score"))
-            )
+            # LAZY rescale over the single per-iteration checkpoint: the
+            # division folds into the next round's join plan (rotate only
+            # frees these blocks AFTER the next rotation materializes), so
+            # one O(V) checkpoint per iteration instead of two
+            scores = nxt.select("id", (F.col("raw") / F.lit(mx)).alias("score"))
             metrics.append({"iteration": it, "inf_norm": mx})
     return SpectralResult(scores=scores, iterations=iterations, metrics=metrics)
 
@@ -174,10 +176,11 @@ def salsa(graph: LinkGraph, iterations: int = 5) -> SpectralResult:
             nxt = state.rotate(nxt)
             h_norm = obs_h.get["s"] or 1.0
             h_norm = h_norm if h_norm > 0 else 1.0
-            scores = state.rotate(
-                nxt.select(
-                    "id", (F.col("h_raw") / F.lit(h_norm)).alias("hub"), "authority"
-                )
+            # LAZY hub rescale over the round's final checkpoint (rotate
+            # frees it only after the NEXT rotation materializes) — two
+            # checkpoints per round, not three
+            scores = nxt.select(
+                "id", (F.col("h_raw") / F.lit(h_norm)).alias("hub"), "authority"
             )
             metrics.append({"iteration": it, "a_norm": a_norm, "h_norm": h_norm})
     ew.unpersist()

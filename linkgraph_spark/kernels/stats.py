@@ -180,7 +180,11 @@ def rich_club(graph: LinkGraph, ks: list[int]) -> DataFrame:
                 ).alias("phi"),
             )
         )
-    out = _reduce(DataFrame.unionAll, parts)
+    # materialize the |ks|-row result eagerly so the O(E) cached frame can
+    # be released before returning (persist-without-unpersist would pin it
+    # for the session; the checkpointed result is tiny)
+    out = _reduce(DataFrame.unionAll, parts).localCheckpoint()
+    ed.unpersist()
     return out
 
 
