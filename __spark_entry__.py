@@ -32,6 +32,7 @@ from linkgraph_spark.functions import events as ev
 from linkgraph_spark.functions import multimodal as mm
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
+from linkgraph_spark.kernels.kmeans import kmeans_profile_sql, kmeans_sql
 from linkgraph_spark.kernels import stats as st
 from linkgraph_spark.kernels import truss as tr
 from linkgraph_spark.kernels import centrality as ct
@@ -873,6 +874,34 @@ def q_props_profile(spark, sf_dir):
     return props_profile(_events(spark, sf_dir), key="k")
 
 
+def q_retention_cohorts(spark, sf_dir):
+    from linkgraph_spark.functions.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+def q_session_pairs(spark, sf_dir):
+    from linkgraph_spark.functions.events import session_pairs
+
+    return session_pairs(_events(spark, sf_dir), gap_sec=1800)
+
+
+def q_oov_rate(spark, sf_dir):
+    return tx.oov_rate(_docs(spark, sf_dir), vocab_size=100)
+
+
+def q_kmeans(spark, sf_dir):
+    from linkgraph_spark.kernels.kmeans import kmeans
+
+    return kmeans(_embs(spark, sf_dir), k=8, iterations=4)
+
+
+def q_kmeans_profile(spark, sf_dir):
+    from linkgraph_spark.kernels.kmeans import kmeans_profile
+
+    return kmeans_profile(_embs(spark, sf_dir), k=8, iterations=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1009,6 +1038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_weights": q_edge_weights,
         "degree_distribution": q_degree_distribution,
         "graph_summary": q_graph_summary,
+        "retention_cohorts": q_retention_cohorts,
+        "session_pairs": q_session_pairs,
+        "oov_rate": q_oov_rate,
+        "kmeans8": q_kmeans,
+        "kmeans8_profile": q_kmeans_profile,
     }
 
 
@@ -1675,6 +1709,11 @@ def oracle_sql() -> dict[str, str]:
         "funnel_vcp": ev.funnel_sql(FUNNEL_STEPS),
         "rate_anomaly": ev.rate_anomaly_sql(z_threshold=2.0),
         "props_profile": ev.props_profile_sql(key="k"),
+        "retention_cohorts": ev.retention_cohorts_sql(),
+        "session_pairs": ev.session_pairs_sql(gap_sec=1800),
+        "oov_rate": tx.oov_rate_sql(vocab_size=100),
+        "kmeans8": kmeans_sql(k=8, iterations=4),
+        "kmeans8_profile": kmeans_profile_sql(k=8, iterations=4),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -247,3 +247,188 @@ def props_profile_sql(key: str = "k", table: str = "events") -> str:
            round(avg(v), 6) AS avg_v, count(DISTINCT v) AS n_distinct
     FROM pv GROUP BY event_type
     """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """→ ``[cohort_week, week_offset, n_active, retention]`` — classic
+    weekly retention triangle: users are cohorted by the ISO week
+    (Monday-start, UTC) of their first event; each cell counts the
+    cohort's users active ``week_offset`` weeks later, with ``retention``
+    the fraction of the cohort still active. ``cohort_week`` is the epoch
+    second of the week start (the module's ts_s convention); the offset-0
+    cell is the cohort size (every user is active in their own first
+    week by construction, so the denominator row always exists).
+
+    Scale shape: the distinct (user, week) projection collapses the
+    event stream to at most |users|·|weeks| rows in ONE map-side-combine
+    pass; everything after (first-week min, cohort×offset counts, the
+    offset-0 size join) runs on that bounded frame. The size join's
+    build side is |cohorts| rows — broadcast at any scale.
+    """
+    wk = F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("wk_s")
+    user_weeks = events.select("user_id", wk).distinct()
+    first = user_weeks.groupBy("user_id").agg(F.min("wk_s").alias("cohort_s"))
+    offs = (
+        user_weeks.join(first, "user_id")
+        .select(
+            "cohort_s",
+            "user_id",
+            ((F.col("wk_s") - F.col("cohort_s")) / F.lit(604800))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_s", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = offs.where(F.col("week_offset") == 0).select(
+        "cohort_s", F.col("n_active").alias("_cohort_n")
+    )
+    return offs.join(F.broadcast(sizes), "cohort_s").select(
+        F.col("cohort_s").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") * 1.0 / F.col("_cohort_n"), 6).alias("retention"),
+    )
+
+
+def retention_cohorts_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`retention_cohorts` (standalone query)."""
+    return f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk_s
+      FROM {table}
+    ), firstw AS (
+      SELECT user_id, min(wk_s) AS cohort_s FROM uw GROUP BY user_id
+    ), offs AS (
+      SELECT f.cohort_s,
+             CAST((u.wk_s - f.cohort_s) / 604800 AS BIGINT) AS week_offset,
+             count(*) AS n_active
+      FROM uw u JOIN firstw f USING (user_id)
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort_s, n_active AS cohort_n FROM offs WHERE week_offset = 0
+    )
+    SELECT o.cohort_s AS cohort_week, o.week_offset, o.n_active,
+           round(o.n_active * 1.0 / s.cohort_n, 6) AS retention
+    FROM offs o JOIN sizes s USING (cohort_s)
+    """
+
+
+def session_pairs(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ ``[type_a, type_b, n_sessions, lift]`` — market-basket
+    co-occurrence over gap-based sessions: for every unordered pair of
+    event types (``type_a < type_b``), the number of sessions containing
+    both, and the lift ``P(a,b) / (P(a)·P(b))`` over sessions. Sessions
+    are exactly :func:`sessionize`'s (same gap rule, same ordering), kept
+    at event-type granularity before the per-session aggregate.
+
+    Scale shape: the session window shuffles once on ``user_id``
+    (per-user bounded, as in :func:`sessionize`); the distinct
+    (session, type) projection is bounded by sessions × |types|; the
+    pair self-join is an equi-join on the session key whose per-session
+    fanout is at most C(|types|, 2) — a constant in data volume. The
+    lift is computed as ``(n_ab/n_a)·(N/n_b)`` in both engines (same
+    IEEE operation order), avoiding the n_ab·N integer overflow a
+    naive numerator would hit at cluster scale.
+    """
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    w = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    gap = F.col("ts_s") - F.lag("ts_s").over(wl)
+    new_sess = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    st = (
+        e.select(
+            "user_id",
+            "event_type",
+            (F.sum(new_sess).over(w) - F.lit(1)).alias("session_idx"),
+        )
+        .distinct()
+    )
+    n_total = st.select("user_id", "session_idx").distinct().groupBy().agg(
+        F.count("*").alias("_n_total")
+    )
+    supp = st.groupBy("event_type").agg(F.count("*").alias("_n"))
+    pairs = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_idx") == F.col("b.session_idx"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(supp.select(F.col("event_type").alias("type_a"), F.col("_n").alias("_na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("event_type").alias("type_b"), F.col("_n").alias("_nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_sessions",
+            F.round(
+                (F.col("n_sessions") * 1.0 / F.col("_na"))
+                * (F.col("_n_total") * 1.0 / F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def session_pairs_sql(gap_sec: int = 1800, table: str = "events") -> str:
+    """DuckDB oracle for :func:`session_pairs` (standalone query; the
+    lift mirrors the engine's (n_ab/n_a)·(N/n_b) operation order)."""
+    return f"""
+    WITH spe AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), spf AS (
+      SELECT user_id, event_type, ts_s, event_id,
+             CASE WHEN lag(ts_s) OVER
+                    (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+                  THEN 1
+                  WHEN ts_s - lag(ts_s) OVER
+                    (PARTITION BY user_id ORDER BY ts_s, event_id)
+                    > {int(gap_sec)} THEN 1
+                  ELSE 0 END AS new_sess
+      FROM spe
+    ), spst AS (
+      SELECT DISTINCT user_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM spf
+    ), sptot AS (
+      SELECT count(*) AS n_total
+      FROM (SELECT DISTINCT user_id, session_idx FROM spst)
+    ), spsupp AS (
+      SELECT event_type, count(*) AS n FROM spst GROUP BY event_type
+    ), sppair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_sessions
+      FROM spst a JOIN spst b
+        ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_sessions,
+           round((p.n_sessions * 1.0 / sa.n) * (t.n_total * 1.0 / sb.n), 6)
+             AS lift
+    FROM sppair p
+    JOIN spsupp sa ON sa.event_type = p.type_a
+    JOIN spsupp sb ON sb.event_type = p.type_b
+    CROSS JOIN sptot t
+    """

@@ -611,3 +611,68 @@ def corpus_stats_sql(table: str = "documents") -> str:
     FROM {table}
     GROUP BY lang
     """
+
+
+def oov_rate(documents: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """→ ``[doc_id, n_tokens, n_oov, oov_rate]`` — vocabulary-coverage
+    audit: the fraction of each document's token occurrences that fall
+    outside the corpus's top-``vocab_size`` vocabulary (by total count,
+    ties term asc — exactly :func:`vocab_stats`'s head). The tokenizer-fit
+    signal every pretraining pipeline checks before committing a vocab:
+    docs with high OOV under the candidate vocabulary are the ones a
+    fixed tokenizer will shred into bytes. Shares the whitespace
+    normalization of :func:`vocab_stats`/:func:`tfidf_top_terms`.
+
+    Scale shape: one term-count aggregate (map-side combine,
+    Zipf-bounded) feeding a distributed sort-limit (TakeOrdered — never a
+    full sort); the vocab head is ``vocab_size`` rows, broadcast to a
+    map-only membership join against the token stream; then one per-doc
+    re-aggregate. The token stream shuffles once (on doc_id).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_inv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def oov_rate_sql(table: str = "documents", vocab_size: int = 100) -> str:
+    """DuckDB oracle for :func:`oov_rate`."""
+    return f"""
+    WITH otok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ), ovocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS cnt FROM otok GROUP BY term
+        ORDER BY cnt DESC, term ASC LIMIT {int(vocab_size)})
+    ), oflag AS (
+      SELECT t.doc_id,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM otok t LEFT JOIN ovocab v ON v.term = t.term
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
+    FROM oflag GROUP BY doc_id
+    """

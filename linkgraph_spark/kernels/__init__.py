@@ -20,6 +20,7 @@ from linkgraph_spark.kernels.matching import MatchingResult, maximal_matching, v
 from linkgraph_spark.kernels.densest import DensestResult, densest_subgraph
 from linkgraph_spark.kernels.linkpred import adamic_adar, link_scores, neighborhood_overlap
 from linkgraph_spark.kernels.msf import MSFResult, boruvka_msf, msf_clusters
+from linkgraph_spark.kernels.kmeans import kmeans, kmeans_profile
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
     closeness_landmarks,
@@ -63,6 +64,8 @@ from linkgraph_spark.kernels.triangles import (
 )
 
 __all__ = [
+    "kmeans",
+    "kmeans_profile",
     "pagerank",
     "remap_ranks",
     "PageRankResult",

@@ -411,3 +411,28 @@ def test_corpus_stats_hand_values(spark):
     assert rows["aa"]["mean_chars"] == 2.0  # (3 + 1) / 2
     assert rows["aa"]["p50_chars"] == 2.0   # median of [1, 3]
     assert rows["bb"]["total_tokens"] == 3 and rows["bb"]["p50_chars"] == 5.0
+
+
+def test_oov_rate_hand_values(spark):
+    from linkgraph_spark.functions.text import oov_rate
+
+    rows = [
+        (0, "a a a b"),      # corpus tf: a=4, b=2, c=1
+        (1, "a b c"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # vocab_size=2 -> vocab {a, b}; c is OOV
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in oov_rate(d, vocab_size=2).collect()
+    }
+    assert got == {0: (4, 0, 0.0), 1: (3, 1, round(1 / 3, 6))}
+
+
+def test_oov_rate_vocab_tie_breaks_term_asc(spark):
+    from linkgraph_spark.functions.text import oov_rate
+
+    # x and y tie at tf=2; vocab_size=1 keeps 'x' (term asc), 'y' is OOV
+    d = spark.createDataFrame([(0, "x y x y")], "doc_id long, text string")
+    [r] = oov_rate(d, vocab_size=1).collect()
+    assert (r.n_tokens, r.n_oov, r.oov_rate) == (4, 2, 0.5)

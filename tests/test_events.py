@@ -114,3 +114,69 @@ def test_props_profile_extracts_json_key(spark):
     assert (b.n, b.n_with_key, b.min_v, b.max_v, b.avg_v, b.n_distinct) == (
         1, 1, -2, -2, -2.0, 1,
     )
+
+
+def test_retention_cohorts_hand_values(spark):
+    # week0 = 2024-01-01 (a Monday). u1 active wk0+wk1, u2 wk0 only,
+    # u3 joins wk1 and is active wk1+wk2.
+    day = 86400
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "view", "{}"),
+            (8 * day, 1, "view", "{}"),
+            (1 * day, 2, "view", "{}"),
+            (7 * day, 3, "view", "{}"),
+            (15 * day, 3, "view", "{}"),
+        ],
+    )
+    from linkgraph_spark.functions.events import retention_cohorts
+
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.retention)
+        for r in retention_cohorts(ev).collect()
+    }
+    wk0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    wk1 = wk0 + 7 * day
+    assert got == {
+        (wk0, 0): (2, 1.0),
+        (wk0, 1): (1, 0.5),
+        (wk1, 0): (1, 1.0),
+        (wk1, 1): (1, 1.0),
+    }
+
+
+def test_session_pairs_counts_and_lift(spark):
+    # u1 session0: view+click; u1 session1: view only; u2 session0:
+    # view+click+buy. Sessions N=3; supp view=3, click=2, buy=1.
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "view", "{}"),
+            (10, 1, "click", "{}"),
+            (5000, 1, "view", "{}"),
+            (0, 2, "view", "{}"),
+            (5, 2, "click", "{}"),
+            (9, 2, "buy", "{}"),
+        ],
+    )
+    from linkgraph_spark.functions.events import session_pairs
+
+    got = {
+        (r.type_a, r.type_b): (r.n_sessions, r.lift)
+        for r in session_pairs(ev, gap_sec=1800).collect()
+    }
+    # lift(a,b) = (n_ab/n_a) * (N/n_b)
+    assert got == {
+        ("click", "view"): (2, round((2 / 2) * (3 / 3), 6)),
+        ("buy", "view"): (1, round((1 / 1) * (3 / 3), 6)),
+        ("buy", "click"): (1, round((1 / 1) * (3 / 2), 6)),
+    }
+
+
+def test_session_pairs_same_type_never_pairs_itself(spark):
+    # two views in one session must NOT yield a (view, view) pair
+    ev = _ev(spark, [(0, 1, "view", "{}"), (10, 1, "view", "{}")])
+    from linkgraph_spark.functions.events import session_pairs
+
+    assert session_pairs(ev, gap_sec=1800).count() == 0
