@@ -157,6 +157,10 @@ def main():
     _, q["simhash"] = timed(lambda: simhash(docs).count())
     _, q["cosine_topk"] = timed(lambda: cosine_topk(embs).count())
     _, q["lsh_knn"] = timed(lambda: lsh_knn(embs).count())
+    from linkgraph_spark.kernels.kmeans import kmeans
+
+    # trained-codebook workload: 4 Lloyd jobs + final broadcast assign
+    _, q["kmeans8_sf"] = timed(lambda: kmeans(embs, k=8, iterations=4).count())
 
     # ---- large synthetic transcript graph: the throughput workload ---------
     t_large = synthesize_transcripts(

@@ -23,19 +23,21 @@ Determinism contract (what makes the SQL oracle replay exactly):
   (mirrored as ``LEFT JOIN … coalesce`` in the oracle).
 
 Scale shape (100 TB lens): per iteration ONE map-side-combine hash
-aggregate — the assignment is a broadcast cross join against the k-row
-codebook (map-only, no shuffle of the vector table), and the centroid
-update pos-explodes to ``(cluster, pos)`` keys whose partial aggregates
-are k·D cells per task, so the shuffle carries O(k·D·partitions) rows,
-not O(N·D). Driver state is the k·D-float codebook (KB–MB — the
-canonical broadcast-table size); there is no O(N) collect anywhere.
+aggregate — the assignment embeds the k·D-float codebook as literals and
+takes ``array_min`` over (sqd, cluster) structs, a pure projection with
+ZERO shuffle of the vector table (the expression-level analogue of
+broadcasting the codebook; at k·D beyond literal-expression comfort,
+~10⁵, swap in a broadcast join — same semantics). The centroid update
+pos-explodes to ``(cluster, pos)`` keys whose partial aggregates are
+k·D cells per task, so the shuffle carries O(k·D·partitions) rows, not
+O(N·D). Driver state is the k·D-float codebook (KB–MB — the canonical
+broadcast-table size); there is no O(N) collect anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
 
 
 def _base(embeddings: DataFrame) -> DataFrame:
@@ -49,25 +51,25 @@ def _sqdist(vcol, ccol):
     return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
 
 
-_CENT_SCHEMA = StructType(
-    [
-        StructField("cluster", IntegerType(), False),
-        StructField("cv", ArrayType(DoubleType(), False), False),
-    ]
-)
-
-
-def _assign(base: DataFrame, cents_df: DataFrame) -> DataFrame:
+def _assign(base: DataFrame, cents: list) -> DataFrame:
     """→ [vec_id, v, cluster, sqd] — nearest centroid per vector (squared
-    L2, ties by cluster asc). Broadcast cross join: map-only over base."""
-    sqd = _sqdist(F.col("v"), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.asc("sqd"), F.asc("cluster"))
-    return (
-        base.crossJoin(F.broadcast(cents_df))
-        .select("vec_id", "v", "cluster", sqd.alias("sqd"))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    L2, ties by cluster asc). The codebook ships as k ARRAY LITERALS (data
+    in the plan, not a k·D expression tree — keeps codegen small) and the
+    argmin is ``array_min`` over (sqd, index) structs — a pure PROJECTION:
+    no join, no window, ZERO shuffle of the vector table (the
+    expression-level analogue of broadcasting the codebook)."""
+    # init pins cluster ids to 0..k-1, so the codebook position IS the id
+    assert [c for c, _ in cents] == list(range(len(cents)))
+    codebook = F.array(*[F.lit([float(x) for x in cv]) for _, cv in cents])
+    structs = F.transform(
+        codebook,
+        lambda cv, i: F.struct(
+            _sqdist(F.col("v"), cv).alias("sqd"), i.cast("int").alias("cluster")
+        ),
+    )
+    best = F.array_min(structs)
+    return base.select(
+        "vec_id", "v", best["cluster"].alias("cluster"), best["sqd"].alias("sqd")
     )
 
 
@@ -75,7 +77,6 @@ def _lloyd_centroids(base: DataFrame, k: int, iterations: int) -> list:
     """Run ``iterations`` Lloyd updates; → [(cluster, [float, ...])] final
     codebook. Each iteration is one Spark job (the k·D-cell mean agg);
     the codebook round-trips through the driver as k·D floats only."""
-    spark = base.sparkSession
     init = base.where(F.col("vec_id") < k).collect()
     if len(init) < k:
         raise ValueError(
@@ -83,11 +84,8 @@ def _lloyd_centroids(base: DataFrame, k: int, iterations: int) -> list:
         )
     cents = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in init}
     for _ in range(iterations):
-        cdf = spark.createDataFrame(
-            [(c, v) for c, v in sorted(cents.items())], _CENT_SCHEMA
-        )
         means = (
-            _assign(base, cdf)
+            _assign(base, sorted(cents.items()))
             .select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("val"), 9).alias("m"))
@@ -116,9 +114,8 @@ def kmeans(embeddings: DataFrame, k: int = 8, iterations: int = 4) -> DataFrame:
         base.unpersist()
     # final assignment from a FRESH scan: the returned frame's lineage is
     # parquet + the literal codebook only — no persisted block, nothing to
-    # checkpoint, and at scale it re-plans as one map-only broadcast pass
-    cdf = embeddings.sparkSession.createDataFrame(cents, _CENT_SCHEMA)
-    return _assign(_base(embeddings), cdf).select(
+    # checkpoint, and at scale it re-plans as one map-only pass
+    return _assign(_base(embeddings), cents).select(
         "vec_id", "cluster", F.round("sqd", 6).alias("sqdist")
     )
 
@@ -132,9 +129,8 @@ def kmeans_profile(embeddings: DataFrame, k: int = 8, iterations: int = 4) -> Da
         cents = _lloyd_centroids(base, k, iterations)
     finally:
         base.unpersist()
-    cdf = embeddings.sparkSession.createDataFrame(cents, _CENT_SCHEMA)
     return (
-        _assign(_base(embeddings), cdf)
+        _assign(_base(embeddings), cents)
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_members"),

@@ -92,3 +92,15 @@ def test_kmeans_refuses_missing_seed_ids(spark):
     df = _emb(spark, [[0.0, 1.0]])
     with pytest.raises(ValueError, match="vec_id 0..3"):
         kmeans(df, k=4, iterations=1).collect()
+
+
+def test_kmeans_plan_assignment_is_shuffle_free(spark):
+    """Scale shape: the final assignment embeds the codebook as literals,
+    so its plan must be a pure projection — NO exchange of any kind (the
+    vector table is never shuffled or joined) and no row-Python eval."""
+    df = _emb(spark, FIX)
+    out = kmeans(df, k=2, iterations=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle, no broadcast build either
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
