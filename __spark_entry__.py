@@ -33,6 +33,7 @@ from linkgraph_spark.functions import multimodal as mm
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
 from linkgraph_spark.kernels.kmeans import kmeans_profile_sql, kmeans_sql
+from linkgraph_spark.kernels.pca import pca_power_sql
 from linkgraph_spark.kernels import stats as st
 from linkgraph_spark.kernels import truss as tr
 from linkgraph_spark.kernels import centrality as ct
@@ -902,6 +903,16 @@ def q_kmeans_profile(spark, sf_dir):
     return kmeans_profile(_embs(spark, sf_dir), k=8, iterations=4)
 
 
+def q_pca_power(spark, sf_dir):
+    from linkgraph_spark.kernels.pca import pca_power
+
+    return pca_power(_embs(spark, sf_dir), iterations=8)
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    return tx.bigram_lm_score(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1043,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "kmeans8": q_kmeans,
         "kmeans8_profile": q_kmeans_profile,
+        "pca_power8": q_pca_power,
+        "bigram_lm_score": q_bigram_lm_score,
     }
 
 
@@ -1714,6 +1727,8 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": tx.oov_rate_sql(vocab_size=100),
         "kmeans8": kmeans_sql(k=8, iterations=4),
         "kmeans8_profile": kmeans_profile_sql(k=8, iterations=4),
+        "pca_power8": pca_power_sql(iterations=8),
+        "bigram_lm_score": tx.bigram_lm_score_sql(),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -676,3 +676,75 @@ def oov_rate_sql(table: str = "documents", vocab_size: int = 100) -> str:
            round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
     FROM oflag GROUP BY doc_id
     """
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """→ ``[doc_id, n_bigrams, lm_score]`` — per-document mean conditional
+    log-likelihood under the corpus's own bigram MLE: ``lm_score = (1/m_d)
+    Σ ln( C(w1 w2) / C(w1 ·) )`` over the doc's bigram occurrences, where
+    ``C(w1 ·)`` counts w1 as a bigram head. The order-sensitive upgrade of
+    :func:`unigram_lm_score` (the CCNet-style perplexity gate one n-gram
+    deeper): scrambled or templated text scores low even when its unigram
+    mix looks fluent. Documents with fewer than two tokens have no
+    bigrams and drop out (no conditional likelihood is defined for them).
+    Shares :func:`repetition_stats`'s tokenizer and n=1 guard.
+
+    Scale shape: map-only bigram construction (higher-order array
+    expressions, no per-token explode until the long form), then two
+    Zipf-bounded count aggregates (bigram table, head table) joined back
+    on the bigram stream — broadcast-eligible at corpus scale, exactly
+    the :func:`unigram_lm_score` join shape — and one per-doc re-agg.
+    """
+    toks = _tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = documents.select("doc_id", F.explode(bigrams).alias("bg"))
+    cb = bg.groupBy("bg").agg(F.count("*").alias("_cb"))
+    c1 = bg.groupBy(F.substring_index("bg", " ", 1).alias("_w1")).agg(
+        F.count("*").alias("_c1")
+    )
+    return (
+        bg.join(cb, "bg")
+        .join(c1, F.substring_index("bg", " ", 1) == F.col("_w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("_cb") * 1.0 / F.col("_c1"))), 6).alias(
+                "lm_score"
+            ),
+        )
+    )
+
+
+def bigram_lm_score_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`bigram_lm_score`."""
+    return f"""
+    WITH blt AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM {table}
+    ), blg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM blt
+    ), blcb AS (
+      SELECT bg, count(*) AS cb FROM blg GROUP BY bg
+    ), blc1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+      FROM blg GROUP BY 1
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(cb.cb * 1.0 / c1.c1)), 6) AS lm_score
+    FROM blg b
+    JOIN blcb cb USING (bg)
+    JOIN blc1 c1 ON c1.w1 = split_part(b.bg, ' ', 1)
+    GROUP BY b.doc_id
+    """

@@ -21,6 +21,7 @@ from linkgraph_spark.kernels.densest import DensestResult, densest_subgraph
 from linkgraph_spark.kernels.linkpred import adamic_adar, link_scores, neighborhood_overlap
 from linkgraph_spark.kernels.msf import MSFResult, boruvka_msf, msf_clusters
 from linkgraph_spark.kernels.kmeans import kmeans, kmeans_profile
+from linkgraph_spark.kernels.pca import pca_power
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
     closeness_landmarks,
@@ -66,6 +67,7 @@ from linkgraph_spark.kernels.triangles import (
 __all__ = [
     "kmeans",
     "kmeans_profile",
+    "pca_power",
     "pagerank",
     "remap_ranks",
     "PageRankResult",

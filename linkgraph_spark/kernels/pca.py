@@ -1,0 +1,169 @@
+"""Top principal component of the embedding table via power iteration —
+the covariance-spectrum probe of the corpus's embedding space (anisotropy
+check, whitening direction, the first step of any spectral diagnostic on
+a representation model's output).
+
+Reference provenance: no vector analytics exist in the reference (its
+state is the rank table, ``pagerank_lambda/dynamodb/pagerank.py:51-99``);
+engine addition for the training-data tier, sharing
+``kernels/kmeans.py``'s determinism discipline.
+
+Determinism contract (what makes the SQL oracle replay exactly):
+
+- data is mean-centered; the per-dimension mean is rounded to 9 decimals
+  in-engine (both Spark ``F.round`` and DuckDB ``round``);
+- the start vector is the CENTERED vector of ``vec_id == 0``, L2
+  normalized, components rounded to 9;
+- each iteration computes ``w = Σ_i (x_i·v) x_i`` (components rounded to
+  9), then normalizes ``v ← w/‖w‖`` (rounded to 9) — the rounding
+  collapses summation-order ulp noise so both engines iterate the same
+  vector;
+- the returned eigenvalue is the Rayleigh quotient ``Σ_i (x_i·v)²`` of
+  the final unit vector, rounded to 3.
+
+Scale shape (100 TB lens): per iteration ONE map-side-combine hash
+aggregate — the dot products are a map-only projection against the
+D-float literal direction vector, and the ``w`` accumulation
+pos-explodes to D keys whose partial aggregates are D cells per task
+(shuffle carries O(D·partitions) rows, not O(N·D)). Driver state is two
+D-float vectors; there is no O(N) collect anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _centered(embeddings: DataFrame, mu: list) -> DataFrame:
+    """→ [vec_id, cx] — double-cast, mean-centered vectors (mean as a
+    D-float array literal: map-only)."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return embeddings.select(
+        "vec_id", F.zip_with(v, F.lit(mu), lambda x, m: x - m).alias("cx")
+    )
+
+
+def _dot_lit(col, vec: list):
+    return F.aggregate(
+        F.zip_with(col, F.lit(vec), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _unit(w: list) -> list:
+    nrm = math.sqrt(sum(x * x for x in w))
+    if nrm == 0.0:
+        raise ValueError("power iteration collapsed to the zero vector")
+    return [float(x) for x in _round9_div(w, nrm)]
+
+
+def _round9_div(w: list, nrm: float) -> list:
+    # mirrors SQL round(w / norm, 9): IEEE division then decimal rounding
+    return [round(x / nrm, 9) for x in w]
+
+
+def pca_power(embeddings: DataFrame, iterations: int = 8) -> DataFrame:
+    """→ ``[pos, loading, eigenvalue]`` — the top principal direction
+    (one row per dimension, loadings rounded to 6) and its Rayleigh
+    eigenvalue (same value on every row, rounded to 3) after
+    ``iterations`` power steps from the deterministic start."""
+    mu_rows = (
+        embeddings.select(
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos", "val"
+            )
+        )
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 9).alias("m"))
+        .collect()
+    )
+    mu = [float(m) for _, m in sorted((int(r["pos"]), r["m"]) for r in mu_rows)]
+
+    seed = embeddings.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).collect()
+    if not seed:
+        raise ValueError("pca_power needs a seed vector with vec_id == 0")
+    v = _unit([float(x) - m for x, m in zip(seed[0]["v"], mu)])
+
+    base = _centered(embeddings, mu).persist()
+    try:
+        for _ in range(iterations):
+            w_rows = (
+                base.withColumn("_s", _dot_lit(F.col("cx"), v))
+                .select("_s", F.posexplode("cx").alias("pos", "val"))
+                .groupBy("pos")
+                .agg(F.round(F.sum(F.col("_s") * F.col("val")), 9).alias("w"))
+                .collect()
+            )
+            w = [float(x) for _, x in sorted((int(r["pos"]), r["w"]) for r in w_rows)]
+            v = _unit(w)
+        eig = base.select(
+            F.round(
+                F.sum(_dot_lit(F.col("cx"), v) * _dot_lit(F.col("cx"), v)), 3
+            ).alias("eigenvalue")
+        )
+    finally:
+        base.unpersist()
+    spark = embeddings.sparkSession
+    loadings = spark.createDataFrame(
+        [(p, round(x, 6)) for p, x in enumerate(v)], "pos int, loading double"
+    )
+    return loadings.crossJoin(F.broadcast(eig)).select("pos", "loading", "eigenvalue")
+
+
+def pca_power_sql(table: str = "embeddings", iterations: int = 8) -> str:
+    """DuckDB oracle for :func:`pca_power` — the exact unrolled replay in
+    (vec_id, pos, val) long form."""
+    parts = [
+        f"""plong AS MATERIALIZED (
+      SELECT vec_id, unnest(range(len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM {table}
+    ), pmu AS (
+      SELECT pos, round(avg(val), 9) AS m FROM plong GROUP BY pos
+    ), pcx AS MATERIALIZED (
+      SELECT l.vec_id, l.pos, l.val - u.m AS cval
+      FROM plong l JOIN pmu u USING (pos)
+    ), pv0r AS (
+      SELECT pos, cval FROM pcx WHERE vec_id = 0
+    ), pv0 AS MATERIALIZED (
+      SELECT pos, round(cval / (SELECT sqrt(sum(cval * cval)) FROM pv0r), 9) AS l
+      FROM pv0r
+    )"""
+    ]
+    prev = "pv0"
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"""ps{t} AS MATERIALIZED (
+      SELECT c.vec_id, sum(c.cval * v.l) AS s
+      FROM pcx c JOIN {prev} v USING (pos) GROUP BY c.vec_id
+    ), pw{t} AS MATERIALIZED (
+      SELECT c.pos, round(sum(s.s * c.cval), 9) AS w
+      FROM pcx c JOIN ps{t} s USING (vec_id) GROUP BY c.pos
+    ), pv{t} AS MATERIALIZED (
+      SELECT pos, round(w / (SELECT sqrt(sum(w * w)) FROM pw{t}), 9) AS l
+      FROM pw{t}
+    )"""
+        )
+        prev = f"pv{t}"
+    parts.append(
+        f"""pfs AS MATERIALIZED (
+      SELECT c.vec_id, sum(c.cval * v.l) AS s
+      FROM pcx c JOIN {prev} v USING (pos) GROUP BY c.vec_id
+    ), peig AS (
+      SELECT round(sum(s * s), 3) AS eigenvalue FROM pfs
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT v.pos, round(v.l, 6) AS loading, e.eigenvalue
+    FROM {prev} v CROSS JOIN peig e
+    """
+    )
