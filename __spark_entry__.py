@@ -34,7 +34,9 @@ from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
 from linkgraph_spark.kernels.kmeans import kmeans_profile_sql, kmeans_sql
 from linkgraph_spark.kernels.pca import pca_power_sql
+from linkgraph_spark.kernels import components as cmp_mod
 from linkgraph_spark.kernels import stats as st
+from linkgraph_spark.kernels import triangles as tri_mod
 from linkgraph_spark.kernels import truss as tr
 from linkgraph_spark.kernels import centrality as ct
 from linkgraph_spark.functions import sampling as sp
@@ -913,6 +915,46 @@ def q_bigram_lm_score(spark, sf_dir):
     return tx.bigram_lm_score(_docs(spark, sf_dir))
 
 
+def q_markov_transitions(spark, sf_dir):
+    from linkgraph_spark.functions.events import markov_transitions
+
+    return markov_transitions(_events(spark, sf_dir), gap_sec=1800)
+
+
+def q_four_cliques(spark, sf_dir):
+    # K4s of the shared-tool affinity projection (the actor graph itself is
+    # K4-free at every sf — tool stars make triangles, not 4-cliques)
+    from linkgraph_spark.kernels import shared_tool_affinity
+    from linkgraph_spark.kernels.triangles import four_cliques_over_pairs
+
+    aff = shared_tool_affinity(_graph(spark, sf_dir), max_tool_users=512, min_shared=3)
+    return four_cliques_over_pairs(aff.select("a", "b"))
+
+
+def q_prefix_dups(spark, sf_dir):
+    return dd.prefix_dup_pairs(_docs(spark, sf_dir), prefix_len=40, bucket_cap=64)
+
+
+def q_weighted_sample(spark, sf_dir):
+    return sp.weighted_hash_sample(
+        _docs(spark, sf_dir), ["doc_id"], "n_chars", n=50, salt="ws"
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_term_pmi(spark, sf_dir):
+    # the synthetic corpus has a tiny, head-heavy vocabulary (top terms in
+    # 80% of docs), so the boilerplate cap is relaxed to 0.9 here
+    return tx.term_pmi(
+        _docs(spark, sf_dir), min_df=5, max_df_frac=0.9, min_pair=20
+    )
+
+
+def q_attack_resilience(spark, sf_dir):
+    from linkgraph_spark.kernels.components import attack_resilience
+
+    return attack_resilience(_graph(spark, sf_dir), k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1056,6 +1098,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans8_profile": q_kmeans_profile,
         "pca_power8": q_pca_power,
         "bigram_lm_score": q_bigram_lm_score,
+        "markov_transitions": q_markov_transitions,
+        "four_cliques": q_four_cliques,
+        "prefix_dups": q_prefix_dups,
+        "weighted_sample_docs": q_weighted_sample,
+        "term_pmi": q_term_pmi,
+        "attack_resilience": q_attack_resilience,
     }
 
 
@@ -1729,6 +1777,19 @@ def oracle_sql() -> dict[str, str]:
         "kmeans8_profile": kmeans_profile_sql(k=8, iterations=4),
         "pca_power8": pca_power_sql(iterations=8),
         "bigram_lm_score": tx.bigram_lm_score_sql(),
+        "markov_transitions": ev.markov_transitions_sql(gap_sec=1800),
+        "four_cliques": (
+            f"{_G}, "
+            f"{pj.shared_tool_affinity_sql(max_tool_users=512, min_shared=3, cte_name='fc_pairs')}, "
+            f"{tri_mod.four_cliques_sql('fc_pairs')}"
+        ),
+        "prefix_dups": dd.prefix_dup_pairs_sql(prefix_len=40, bucket_cap=64),
+        "weighted_sample_docs": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            + sp.weighted_hash_sample_sql(["doc_id"], "n_chars", n=50, salt="ws")
+        ),
+        "term_pmi": tx.term_pmi_sql(min_df=5, max_df_frac=0.9, min_pair=20),
+        "attack_resilience": f"{_G}, {cmp_mod.attack_resilience_sql(k=8)}",
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

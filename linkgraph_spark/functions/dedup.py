@@ -578,3 +578,89 @@ def contamination_check_sql(
     GROUP BY c.doc_id
     HAVING count(DISTINCT c.s) >= {min_shared}
     """
+
+
+def prefix_dup_pairs(
+    documents: DataFrame, prefix_len: int = 40, bucket_cap: int = 64
+) -> DataFrame:
+    """→ ``[doc_a, doc_b, relation]`` — candidate duplicate pairs that
+    share their first ``prefix_len`` characters, classified as ``'exact'``
+    (identical text), ``'contains'`` (one document is a strict prefix of
+    the other — the truncated-page / re-crawl artifact every web corpus
+    carries), or ``'shared_prefix'`` (same opening, divergent bodies —
+    typical template boilerplate). ``doc_a < doc_b``; NULL text is treated
+    as empty.
+
+    Scale shape: candidates come from an equi-join on the prefix bucket
+    key — never an all-pairs scan. Buckets larger than ``bucket_cap``
+    (site-wide boilerplate prefixes, the one skew risk) are dropped
+    entirely before the join, bounding any bucket's fan-out at
+    C(cap, 2); the verify step is a length compare plus one
+    ``startswith`` per surviving candidate, O(candidates).
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    pf = documents.select(
+        "doc_id",
+        txt.alias("t"),
+        F.length(txt).alias("n"),
+        F.substring(txt, 1, prefix_len).alias("pfx"),
+    )
+    ok = (
+        pf.groupBy("pfx")
+        .agg(F.count("*").alias("_bn"))
+        .where((F.col("_bn") > 1) & (F.col("_bn") <= bucket_cap))
+        .select("pfx")
+    )
+    pf = pf.join(ok, "pfx")
+    a = pf.select(
+        "pfx",
+        F.col("doc_id").alias("doc_a"),
+        F.col("t").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    b = pf.select(
+        "pfx",
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    shorter = F.when(F.col("na") <= F.col("nb"), F.col("ta")).otherwise(F.col("tb"))
+    longer = F.when(F.col("na") <= F.col("nb"), F.col("tb")).otherwise(F.col("ta"))
+    rel = (
+        F.when((F.col("na") == F.col("nb")) & (F.col("ta") == F.col("tb")), "exact")
+        .when(longer.startswith(shorter), "contains")
+        .otherwise("shared_prefix")
+    )
+    return (
+        a.join(b, "pfx")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", rel.alias("relation"))
+    )
+
+
+def prefix_dup_pairs_sql(
+    table: str = "documents", prefix_len: int = 40, bucket_cap: int = 64
+) -> str:
+    """DuckDB oracle for :func:`prefix_dup_pairs` (standalone query)."""
+    return f"""
+    WITH pd AS (
+      SELECT doc_id, coalesce(text, '') AS t, length(coalesce(text, '')) AS n,
+             substr(coalesce(text, ''), 1, {int(prefix_len)}) AS pfx
+      FROM {table}
+    ), pdok AS (
+      SELECT pfx FROM pd GROUP BY pfx
+      HAVING count(*) > 1 AND count(*) <= {int(bucket_cap)}
+    ), pdk AS (
+      SELECT pd.* FROM pd JOIN pdok USING (pfx)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CASE
+             WHEN a.n = b.n AND a.t = b.t THEN 'exact'
+             WHEN starts_with(
+               CASE WHEN a.n <= b.n THEN b.t ELSE a.t END,
+               CASE WHEN a.n <= b.n THEN a.t ELSE b.t END
+             ) THEN 'contains'
+             ELSE 'shared_prefix'
+           END AS relation
+    FROM pdk a JOIN pdk b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    """

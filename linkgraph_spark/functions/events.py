@@ -388,6 +388,73 @@ def session_pairs(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+def markov_transitions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ ``[src_type, dst_type, n_trans, prob]`` — first-order Markov
+    transition estimates between consecutive event types: for every user,
+    events are ordered by ``(ts, event_id)`` and a transition
+    ``src_type → dst_type`` is counted whenever the gap from the previous
+    event is at most ``gap_sec`` (a session boundary, same rule as
+    :func:`sessionize`, ends the chain). ``prob`` is the row-normalized
+    transition probability ``n_trans / Σ_dst n_trans`` per ``src_type``,
+    rounded to 6 dp (two exact integer-to-double divisions — identical in
+    both engines).
+
+    Scale shape: ONE shuffle on ``user_id`` for the lag window (per-user
+    bounded, as in :func:`sessionize`); the transition aggregate is keyed
+    on (src, dst) type pairs — at most |types|² rows, so the normalizing
+    per-src totals are a broadcast join no matter the input volume.
+    """
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    lagged = e.select(
+        F.lag("event_type").over(wl).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+        (F.col("ts_s") - F.lag("ts_s").over(wl)).alias("gap"),
+    )
+    trans = (
+        lagged.where(F.col("src_type").isNotNull() & (F.col("gap") <= gap_sec))
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = trans.groupBy("src_type").agg(F.sum("n_trans").alias("_tot"))
+    return trans.join(F.broadcast(totals), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n_trans",
+        F.round(F.col("n_trans") * 1.0 / F.col("_tot"), 6).alias("prob"),
+    )
+
+
+def markov_transitions_sql(gap_sec: int = 1800, table: str = "events") -> str:
+    """DuckDB oracle for :func:`markov_transitions` (standalone query)."""
+    return f"""
+    WITH mte AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), mtl AS (
+      SELECT lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts_s, event_id) AS src_type,
+             event_type AS dst_type,
+             ts_s - lag(ts_s) OVER
+               (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+      FROM mte
+    ), mtt AS (
+      SELECT src_type, dst_type, count(*) AS n_trans
+      FROM mtl
+      WHERE src_type IS NOT NULL AND gap <= {int(gap_sec)}
+      GROUP BY 1, 2
+    ), mttot AS (
+      SELECT src_type, sum(n_trans) AS tot FROM mtt GROUP BY 1
+    )
+    SELECT t.src_type, t.dst_type, t.n_trans,
+           round(t.n_trans * 1.0 / s.tot, 6) AS prob
+    FROM mtt t JOIN mttot s USING (src_type)
+    """
+
+
 def session_pairs_sql(gap_sec: int = 1800, table: str = "events") -> str:
     """DuckDB oracle for :func:`session_pairs` (standalone query; the
     lift mirrors the engine's (n_ab/n_a)·(N/n_b) operation order)."""

@@ -470,3 +470,59 @@ def top_n_hash_sample_sql(
         f"QUALIFY row_number() OVER (PARTITION BY {strata_expr} "
         f"ORDER BY {h}, {key}) <= {n}"
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame, key_cols: list[str], weight_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """→ ``n`` rows drawn without replacement with probability proportional
+    to ``weight_col`` — the Efraimidis–Spirakis A-Res scheme
+    ("Weighted random sampling with a reservoir", IPL 2006) on a
+    *deterministic* uniform: each row's priority is u^(1/w) with
+    u = portable-hash(key, salt) mapped into (0, 1], and the n largest
+    priorities win. Same keys ⇒ same sample across runs, retries, and
+    engines; a different ``salt`` derives an independent draw. Rows with
+    non-positive or NULL weight are never selected (w → 0 limit).
+
+    Scale shape: the priority is a map-only scalar expression; the
+    selection ``ORDER BY priority LIMIT n`` compiles to
+    TakeOrderedAndProject (per-partition top-n heaps, one O(n·P) driver
+    merge) — no global sort, no full-stratum window. Ordering compares
+    ln(u)/w (monotone in u^(1/w)) with the hash as tiebreak, so the
+    winner set is stable under FP ties.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    h = _bucket(key_cols, salt)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_BUCKETS + 1))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    pri = F.log(u) / w  # maximize u^(1/w) ⇔ maximize ln(u)/w (ln u ≤ 0)
+    kept = (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__whs_pri", pri)
+        .withColumn("__whs_h", h)
+    )
+    return (
+        kept.orderBy(F.desc("__whs_pri"), F.asc("__whs_h"))
+        .limit(n)
+        .drop("__whs_pri", "__whs_h")
+    )
+
+
+def weighted_hash_sample_sql(
+    key_exprs: list[str], weight_expr: str, n: int, salt: str = ""
+) -> str:
+    """DuckDB ORDER/LIMIT mirror of :func:`weighted_hash_sample` — emits
+    the WHERE + ORDER BY + LIMIT tail (prepend ``SELECT ... FROM t``)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    casts = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    quoted = salt.replace("'", "''")
+    key = f"concat_ws(chr(31), '{quoted}', {casts})"
+    h = f"({md5_long_sql(key)} % {_BUCKETS})"
+    u = f"(({h} + 1) * 1.0 / {float(_BUCKETS + 1)!r})"
+    w = f"CAST({weight_expr} AS DOUBLE)"
+    return (
+        f"WHERE {w} IS NOT NULL AND {w} > 0 "
+        f"ORDER BY (ln({u}) / {w}) DESC, {h} ASC LIMIT {n}"
+    )

@@ -748,3 +748,110 @@ def bigram_lm_score_sql(table: str = "documents") -> str:
     JOIN blc1 c1 ON c1.w1 = split_part(b.bg, ' ', 1)
     GROUP BY b.doc_id
     """
+
+
+def term_pmi(
+    documents: DataFrame,
+    min_df: int = 5,
+    max_df_frac: float = 0.2,
+    min_pair: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """→ ``[term_a, term_b, n_docs_both, pmi]`` — the ``top_n`` term
+    associations by document-level pointwise mutual information:
+    pmi = ln(P(a,b) / (P(a)·P(b))) over document co-occurrence, the
+    collocation / phrase-mining view of the corpus (term_a < term_b,
+    ties broken by the pair). Terms outside [``min_df``,
+    ``max_df_frac``·N] docs are excluded — rare terms give unstable
+    estimates, corpus-wide boilerplate gives none — and pairs must
+    co-occur in at least ``min_pair`` docs. Shares :func:`vocab_stats`'s
+    normalization so vocabulary views stay consistent.
+
+    Plan shape: distinct (doc, term) explode → one df aggregate on term →
+    a broadcast-size filtered vocabulary rejoined to prune the explode →
+    pair equi-join on ``doc_id`` whose fan-out is C(terms-per-doc, 2),
+    bounded by document length (a constant, not data volume) → one pair
+    aggregate. PMI multiplies as (n_ab/n_a)·(N/n_b) in both engines —
+    same IEEE order, no bigint overflow at corpus scale.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    dt = (
+        documents.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+        .distinct()
+    )
+    n_docs = documents.select(F.countDistinct("doc_id").alias("_n"))
+    dfreq = dt.groupBy("term").agg(F.count("*").alias("_df"))
+    keep = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .where(
+            (F.col("_df") >= min_df)
+            & (F.col("_df") <= F.col("_n") * F.lit(float(max_df_frac)))
+        )
+        .select("term", "_df")
+    )
+    kept = dt.join(F.broadcast(keep), "term").select("doc_id", "term", "_df")
+    a = kept.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("_df").alias("_dfa")
+    )
+    b = kept.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("_df").alias("_dfb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "_dfa", "_dfb")
+        .agg(F.count("*").alias("n_docs_both"))
+        .where(F.col("n_docs_both") >= min_pair)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_docs_both") * 1.0 / F.col("_dfa"))
+            * (F.col("_n") * 1.0 / F.col("_dfb"))
+        ),
+        6,
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select("term_a", "term_b", "n_docs_both", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+        .limit(top_n)
+    )
+
+
+def term_pmi_sql(
+    table: str = "documents",
+    min_df: int = 5,
+    max_df_frac: float = 0.2,
+    min_pair: int = 5,
+    top_n: int = 50,
+) -> str:
+    """DuckDB oracle for :func:`term_pmi` (standalone query)."""
+    return f"""
+    WITH pmt AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    pmn AS (SELECT count(DISTINCT doc_id) AS n FROM {table}),
+    pmdf AS (SELECT term, count(*) AS df FROM pmt GROUP BY term),
+    pmkeep AS (
+      SELECT term, df FROM pmdf CROSS JOIN pmn
+      WHERE df >= {int(min_df)} AND df <= n * {float(max_df_frac)!r}
+    ),
+    pmkept AS (
+      SELECT t.doc_id, t.term, k.df FROM pmt t JOIN pmkeep k USING (term)
+    ),
+    pmpair AS (
+      SELECT a.term AS term_a, b.term AS term_b, a.df AS dfa, b.df AS dfb,
+             count(*) AS n_docs_both
+      FROM pmkept a JOIN pmkept b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4
+      HAVING count(*) >= {int(min_pair)}
+    )
+    SELECT term_a, term_b, n_docs_both,
+           round(ln((n_docs_both * 1.0 / dfa) * (n.n * 1.0 / dfb)), 6) AS pmi
+    FROM pmpair CROSS JOIN pmn n
+    ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT {int(top_n)}
+    """

@@ -7,6 +7,7 @@ gather–apply–scatter loop (``pagerank_lambda/dynamodb/pagerank.py:108-112``)
 from linkgraph_spark.kernels.pagerank import pagerank, PageRankResult, remap_ranks
 from linkgraph_spark.kernels.components import (
     ComponentsResult,
+    attack_resilience,
     connected_components,
     connected_components_star,
 )
@@ -60,6 +61,8 @@ from linkgraph_spark.kernels.walks import random_walks, skipgram_pairs
 from linkgraph_spark.kernels.kcore import KCoreResult, k_core
 from linkgraph_spark.kernels.triangles import (
     directed_triangle_census,
+    four_cliques_over_pairs,
+    four_cliques_per_vertex,
     triangle_count,
     triangles_per_vertex,
 )
@@ -72,6 +75,7 @@ __all__ = [
     "remap_ranks",
     "PageRankResult",
     "ComponentsResult",
+    "attack_resilience",
     "connected_components",
     "connected_components_star",
     "label_propagation",
@@ -109,6 +113,8 @@ __all__ = [
     "salsa",
     "seed_spread",
     "directed_triangle_census",
+    "four_cliques_over_pairs",
+    "four_cliques_per_vertex",
     "modularity",
     "conductance",
     "BetweennessResult",

@@ -271,3 +271,128 @@ def connected_components_star(
     return ComponentsResult(
         labels=labels, iterations=it, converged=converged, metrics=metrics
     )
+
+
+def attack_resilience(graph: LinkGraph, k: int = 8) -> DataFrame:
+    """→ one row ``[n_removed, n_vertices_left, n_edges_left,
+    n_components, largest_component]`` — targeted-attack robustness: remove
+    the ``k`` highest-degree vertices (undirected simple degree, ties by
+    id asc — the Albert–Jeong–Barabási "error and attack tolerance"
+    probe) and summarize the surviving graph's fragmentation via hash-min
+    connected components. ``n_edges_left`` counts surviving undirected
+    simple edges; isolated survivors count as singleton components.
+
+    Scale shape: hub selection is one O(E) degree aggregate plus a
+    TakeOrdered top-k (no global sort); removal is two broadcast
+    anti-joins of a k-row hub set against the edge list; the component
+    sweep is the same O(diameter)-superstep hash-min kernel the
+    ``connected_components`` query runs. The one-row summary is
+    localCheckpoint-ed so the induced graph's cached blocks can be freed
+    before returning.
+    """
+    from linkgraph_spark.kernels.subgraph import _induce
+
+    und = (
+        graph.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    hubs = deg.orderBy(F.desc("deg"), F.asc("id")).limit(k).select("id")
+    keep = graph.vertices.select("id").join(hubs, "id", "left_anti")
+    sub = _induce(graph, keep)
+    try:
+        res = connected_components(sub)
+        sizes = res.labels.groupBy("component").agg(F.count("*").alias("sz"))
+        summary = (
+            sizes.agg(
+                F.count("*").alias("n_components"),
+                F.max("sz").alias("largest_component"),
+            )
+            .crossJoin(hubs.agg(F.count("*").alias("n_removed")))
+            .crossJoin(
+                sub.edges.select(
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                )
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+                .agg(F.count("*").alias("n_edges_left"))
+            )
+            .select(
+                "n_removed",
+                F.lit(sub.num_vertices).cast("long").alias("n_vertices_left"),
+                "n_edges_left",
+                "n_components",
+                "largest_component",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        sub.unpersist()
+    return summary
+
+
+def attack_resilience_sql(k: int = 8, unroll: int = 40) -> str:
+    """DuckDB oracle body for :func:`attack_resilience` (expects
+    ``verts``/``edges`` CTEs; hash-min unrolled ``unroll`` rounds — must
+    exceed the post-removal diameter, which hub removal can only
+    lengthen, hence the deep default)."""
+    ctes = [
+        f"""ar_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    ar_hub AS MATERIALIZED (
+      SELECT id FROM (
+        SELECT id, count(*) AS deg FROM (
+          SELECT a AS id FROM ar_und UNION ALL SELECT b AS id FROM ar_und
+        ) GROUP BY id
+      ) ORDER BY deg DESC, id ASC LIMIT {int(k)}
+    ),
+    ar_keep AS (
+      SELECT id FROM verts WHERE id NOT IN (SELECT id FROM ar_hub)
+    ),
+    ar_edges AS MATERIALIZED (
+      SELECT a, b FROM ar_und
+      WHERE a NOT IN (SELECT id FROM ar_hub)
+        AND b NOT IN (SELECT id FROM ar_hub)
+    ),
+    ar_sym AS (
+      SELECT a, b FROM ar_edges UNION ALL SELECT b AS a, a AS b FROM ar_edges
+    ),
+    arl0 AS (SELECT id, id AS component FROM ar_keep)"""
+    ]
+    for i in range(1, unroll + 1):
+        ctes.append(
+            f"""arl{i} AS MATERIALIZED (
+      SELECT l.id,
+             least(l.component, coalesce(m.mn, l.component)) AS component
+      FROM arl{i - 1} l
+      LEFT JOIN (
+        SELECT s.a AS id, min(l2.component) AS mn
+        FROM ar_sym s JOIN arl{i - 1} l2 ON s.b = l2.id
+        GROUP BY s.a
+      ) m ON m.id = l.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    {body},
+    ar_sizes AS (
+      SELECT component, count(*) AS sz FROM arl{unroll} GROUP BY component
+    )
+    SELECT (SELECT count(*) FROM ar_hub) AS n_removed,
+           (SELECT count(*) FROM ar_keep) AS n_vertices_left,
+           (SELECT count(*) FROM ar_edges) AS n_edges_left,
+           count(*) AS n_components,
+           max(sz) AS largest_component
+    FROM ar_sizes
+    """

@@ -70,9 +70,13 @@ def shared_tool_affinity(
 
 
 def shared_tool_affinity_sql(
-    max_tool_users: int | None = None, min_shared: int = 1
+    max_tool_users: int | None = None, min_shared: int = 1,
+    cte_name: str | None = None,
 ) -> str:
-    """DuckDB oracle body (expects ``verts``/``edges`` CTEs in scope)."""
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs in scope).
+    With ``cte_name``, the pair projection is emitted as a named CTE
+    instead of the final SELECT, for composition (e.g. the 4-clique
+    oracle enumerates over it)."""
     cap = (
         f"""pj_keep AS (
       SELECT tool FROM pj_member GROUP BY tool HAVING count(*) <= {max_tool_users}
@@ -82,6 +86,17 @@ def shared_tool_affinity_sql(
         else "pj_m AS (SELECT * FROM pj_member)"
     )
     having = f"HAVING count(*) >= {min_shared}" if min_shared > 1 else ""
+    select = f"""SELECT m1."user" AS a, m2."user" AS b, count(*) AS shared_tools
+    FROM pj_m m1 JOIN pj_m m2 ON m1.tool = m2.tool AND m1."user" < m2."user"
+    GROUP BY 1, 2
+    {having}"""
+    # a named CTE needs a comma after the preceding cap CTE; the plain
+    # final SELECT does not
+    tail = (
+        f", {cte_name} AS MATERIALIZED ({select})"
+        if cte_name is not None
+        else select
+    )
     return f"""
     pj_member AS MATERIALIZED (
       SELECT DISTINCT e.src AS "user", e.dst AS tool
@@ -90,8 +105,5 @@ def shared_tool_affinity_sql(
       WHERE v.actor_key LIKE 'tool:%'
     ),
     {cap}
-    SELECT m1."user" AS a, m2."user" AS b, count(*) AS shared_tools
-    FROM pj_m m1 JOIN pj_m m2 ON m1.tool = m2.tool AND m1."user" < m2."user"
-    GROUP BY 1, 2
-    {having}
+    {tail}
     """

@@ -45,10 +45,10 @@ def _triangles(edges: DataFrame) -> DataFrame:
     return _triangles_und(_oriented(edges))
 
 
-def _triangles_und(und: DataFrame) -> DataFrame:
-    """Triangles over an already-oriented distinct undirected edge list
-    [a, b] (a < b) — the loop-friendly entry point (k-truss peels call
-    this per round without re-paying the dedup shuffle)."""
+def _deg_oriented(und: DataFrame) -> DataFrame:
+    """Orient each undirected edge from its lower-(deg, id) endpoint to the
+    higher: → ``[u, w, kw]`` where ``kw`` is the destination's (deg, id)
+    struct key (the total order used for wedge/clique enumeration)."""
     # undirected degree of every endpoint (one O(E) agg, iteration-free)
     deg = (
         und.select(F.col("a").alias("v"))
@@ -63,20 +63,33 @@ def _triangles_und(und: DataFrame) -> DataFrame:
     kb = F.struct(F.col("degb").alias("d"), F.col("b").alias("i"))
     # orient lower-(deg, id) → higher; carry the destination key for the
     # wedge-pair ordering below
-    directed = keyed.select(
+    return keyed.select(
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("w"),
         F.when(ka < kb, kb).otherwise(ka).alias("kw"),
     )
+
+
+def _keyed_triangles(directed: DataFrame) -> DataFrame:
+    """Key-ordered triangles over :func:`_deg_oriented` edges: → ``[x, y,
+    z, kz]`` with key(x) < key(y) < key(z); each triangle appears exactly
+    once, anchored at its lowest-key vertex."""
     e1 = directed.select(F.col("u").alias("x"), F.col("w").alias("y"), F.col("kw").alias("ky"))
     e2 = directed.select(F.col("u").alias("x"), F.col("w").alias("z"), F.col("kw").alias("kz"))
     wedges = (
         e1.join(e2, "x")
         .where(F.col("ky") < F.col("kz"))  # each unordered wedge once
-        .select("x", "y", "z")
+        .select("x", "y", "z", "kz")
     )
     closing = directed.select(F.col("u").alias("y"), F.col("w").alias("z"))
-    tri = wedges.join(closing, ["y", "z"], "left_semi")
+    return wedges.join(closing, ["y", "z"], "left_semi")
+
+
+def _triangles_und(und: DataFrame) -> DataFrame:
+    """Triangles over an already-oriented distinct undirected edge list
+    [a, b] (a < b) — the loop-friendly entry point (k-truss peels call
+    this per round without re-paying the dedup shuffle)."""
+    tri = _keyed_triangles(_deg_oriented(und))
     lo = F.least("x", "y", "z")
     hi = F.greatest("x", "y", "z")
     return tri.select(
@@ -86,14 +99,140 @@ def _triangles_und(und: DataFrame) -> DataFrame:
     )
 
 
+def _four_clique_members(directed: DataFrame) -> DataFrame:
+    """4-clique membership rows ``[id]`` (one per clique per member) over a
+    :func:`_deg_oriented` edge list ``[u, w, kw]`` (the caller may persist
+    it — this plan references it six times).
+
+    Extends the degree-ordered triangle enumeration one level (the
+    Chiba–Nishizeki k-clique pattern): a 4-clique with key order
+    k(x) < k(y) < k(z) < k(d) has all six edges oriented low-key →
+    high-key, so it is found exactly once by extending the key-ordered
+    triangle (x, y, z) with an out-neighbor ``d`` of ``x`` whose key
+    exceeds k(z) and that ``y`` and ``z`` also point to (two semi-joins).
+    Per-vertex candidate work is C(outdeg⁺, 2) per triangle anchor with
+    outdeg⁺ bounded O(√E) by the degree orientation — hubs contribute no
+    fan-out, so the enumeration survives power-law degree skew at scale.
+    """
+    tri = _keyed_triangles(directed)
+    cand = tri.join(
+        directed.select(
+            F.col("u").alias("x"), F.col("w").alias("d"), F.col("kw").alias("kd")
+        ),
+        "x",
+    ).where(F.col("kd") > F.col("kz"))
+    yd = directed.select(F.col("u").alias("y"), F.col("w").alias("d"))
+    zd = directed.select(F.col("u").alias("z"), F.col("w").alias("d"))
+    fc = (
+        cand.join(yd, ["y", "d"], "left_semi")
+        .join(zd, ["z", "d"], "left_semi")
+        .select("x", "y", "z", "d")
+    )
+    # explode, not a 4-way self-union: a union would re-evaluate the whole
+    # clique-join subtree once per member column
+    return fc.select(
+        F.explode(F.array("x", "y", "z", "d")).alias("id")
+    )
+
+
+def four_cliques_per_vertex(graph: LinkGraph) -> DataFrame:
+    """→ ``[id, four_cliques]`` — number of 4-cliques through each vertex
+    of the undirected simple graph (0 for vertices in none)."""
+    members = _four_clique_members(_deg_oriented(_oriented(graph.edges)))
+    counts = members.groupBy("id").agg(F.count("*").alias("four_cliques"))
+    return (
+        graph.vertices.select("id")
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("four_cliques", F.lit(0)).alias("four_cliques"))
+    )
+
+
+def four_cliques_over_pairs(pairs: DataFrame) -> DataFrame:
+    """→ ``[id, four_cliques]`` over an arbitrary undirected pair list
+    ``[a, b]`` (any orientation / duplicates tolerated); the vertex
+    universe is the pair endpoints — the entry point for derived graphs
+    such as the shared-tool affinity projection, whose co-usage cliques
+    are exactly what this counts."""
+    # the pair list may be an expensive derived graph (e.g. the bipartite
+    # projection join), and the clique enumeration references the oriented
+    # edge set six times — pin both once, detach the (vertex-sized) result
+    # eagerly, then free the blocks
+    und = (
+        pairs.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    und.count()  # materialize BEFORE fan-out: the clique plan's parallel
+    directed = _deg_oriented(und).persist()
+    directed.count()  # stages would otherwise race-populate the cache
+    try:
+        verts = (
+            und.select(F.col("a").alias("id"))
+            .union(und.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        counts = _four_clique_members(directed).groupBy("id").agg(
+            F.count("*").alias("four_cliques")
+        )
+        return (
+            verts.join(counts, "id", "left")
+            .select(
+                "id", F.coalesce("four_cliques", F.lit(0)).alias("four_cliques")
+            )
+            .localCheckpoint()
+        )
+    finally:
+        directed.unpersist()
+        und.unpersist()
+
+
+def four_cliques_sql(pairs_rel: str) -> str:
+    """DuckDB oracle body for :func:`four_cliques_over_pairs` —
+    ``pairs_rel`` names an in-scope relation with columns ``a, b``
+    (id-ordered enumeration: a different but equivalent total order from
+    the engine's degree keys)."""
+    return f"""
+    fc_und AS MATERIALIZED (
+      SELECT least(a, b) AS a, greatest(a, b) AS b FROM {pairs_rel}
+      WHERE a <> b GROUP BY 1, 2
+    ),
+    fc_verts AS (
+      SELECT a AS id FROM fc_und UNION SELECT b AS id FROM fc_und
+    ),
+    fc_tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM fc_und e1
+      JOIN fc_und e2 ON e1.b = e2.a
+      JOIN fc_und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    fc4 AS (
+      SELECT t.a, t.b, t.c, p1.b AS d
+      FROM fc_tri t
+      JOIN fc_und p1 ON p1.a = t.a AND p1.b > t.c
+      JOIN fc_und p2 ON p2.a = t.b AND p2.b = p1.b
+      JOIN fc_und p3 ON p3.a = t.c AND p3.b = p1.b
+    ),
+    fc_mem AS (
+      SELECT a AS id FROM fc4
+      UNION ALL SELECT b FROM fc4
+      UNION ALL SELECT c FROM fc4
+      UNION ALL SELECT d FROM fc4
+    )
+    SELECT v.id, coalesce(m.n, 0) AS four_cliques
+    FROM fc_verts v
+    LEFT JOIN (SELECT id, count(*) AS n FROM fc_mem GROUP BY id) m USING (id)
+    """
+
+
 def triangles_per_vertex(graph: LinkGraph) -> DataFrame:
     """→ ``DataFrame[id, triangles]`` — number of triangles through each vertex."""
     tris = _triangles(graph.edges)
-    members = (
-        tris.select(F.col("a").alias("id"))
-        .unionAll(tris.select(F.col("b").alias("id")))
-        .unionAll(tris.select(F.col("c").alias("id")))
-    )
+    # explode, not a 3-way self-union: a union re-evaluates the triangle
+    # join subtree once per member column
+    members = tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
     counts = members.groupBy("id").agg(F.count("*").alias("triangles"))
     return (
         graph.vertices.select("id")
