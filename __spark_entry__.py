@@ -955,6 +955,36 @@ def q_attack_resilience(spark, sf_dir):
     return attack_resilience(_graph(spark, sf_dir), k=8)
 
 
+def q_random_failure(spark, sf_dir):
+    from linkgraph_spark.kernels.components import random_failure_resilience
+
+    return random_failure_resilience(_graph(spark, sf_dir), rate=0.1, salt="rf")
+
+
+def q_char_entropy(spark, sf_dir):
+    return tx.char_entropy(_docs(spark, sf_dir))
+
+
+def q_zipf_slope(spark, sf_dir):
+    return tx.zipf_slope(_docs(spark, sf_dir), top_n=5000)
+
+
+def q_user_features(spark, sf_dir):
+    from linkgraph_spark.functions.events import user_features
+
+    return user_features(_events(spark, sf_dir))
+
+
+def q_session_lm_score(spark, sf_dir):
+    from linkgraph_spark.functions.events import session_lm_score
+
+    return session_lm_score(_events(spark, sf_dir), gap_sec=1800)
+
+
+def q_embedding_outliers(spark, sf_dir):
+    return sim.embedding_outliers(_embs(spark, sf_dir), z_threshold=2.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1104,6 +1134,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample,
         "term_pmi": q_term_pmi,
         "attack_resilience": q_attack_resilience,
+        "random_failure_resilience": q_random_failure,
+        "char_entropy": q_char_entropy,
+        "zipf_slope": q_zipf_slope,
+        "user_features": q_user_features,
+        "session_lm_score": q_session_lm_score,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 
@@ -1790,6 +1826,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_pmi": tx.term_pmi_sql(min_df=5, max_df_frac=0.9, min_pair=20),
         "attack_resilience": f"{_G}, {cmp_mod.attack_resilience_sql(k=8)}",
+        "random_failure_resilience": (
+            f"{_G}, {cmp_mod.random_failure_resilience_sql(rate=0.1, salt='rf')}"
+        ),
+        "char_entropy": tx.char_entropy_sql(),
+        "zipf_slope": tx.zipf_slope_sql(top_n=5000),
+        "user_features": ev.user_features_sql(),
+        "session_lm_score": ev.session_lm_score_sql(gap_sec=1800),
+        "embedding_outliers": sim.embedding_outliers_sql(z_threshold=2.0),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -499,3 +499,190 @@ def session_pairs_sql(gap_sec: int = 1800, table: str = "events") -> str:
     JOIN spsupp sb ON sb.event_type = p.type_b
     CROSS JOIN sptot t
     """
+
+
+def user_features(events: DataFrame) -> DataFrame:
+    """→ ``[user_id, n_events, n_active_days, first_ts, last_ts,
+    recency_days, total_value, top_type]`` — the per-user activity feature
+    table (RFM-style) every behavioral model trains on: volume, active-day
+    span, first/last epoch seconds, days since last activity relative to
+    the dataset's max timestamp (so the feature is reproducible, not
+    wall-clock-dependent), summed ``value``, and the modal event type
+    (ties broken by type asc).
+
+    Plan shape: one hash aggregate keyed on ``user_id`` (map-side
+    combinable) plus a (user, type) count with a per-user window bounded
+    by |types|; the global max timestamp is a one-row aggregate broadcast
+    to the recency projection. No per-row Python, no unbounded windows.
+    """
+    e = events.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.to_date("ts").alias("d"),
+        "value",
+    )
+    base = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("d").alias("n_active_days"),
+        F.min("ts_s").alias("first_ts"),
+        F.max("ts_s").alias("last_ts"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    wt = Window.partitionBy("user_id").orderBy(
+        F.desc("n_t"), F.asc("event_type")
+    )
+    top = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_t"))
+        .withColumn("_rn", F.row_number().over(wt))
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    mx = e.agg(F.max("ts_s").alias("_mx"))
+    return (
+        base.join(top, "user_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_days",
+            "first_ts",
+            "last_ts",
+            F.floor((F.col("_mx") - F.col("last_ts")) / 86400)
+            .cast("long")
+            .alias("recency_days"),
+            "total_value",
+            "top_type",
+        )
+    )
+
+
+def user_features_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`user_features` (standalone query)."""
+    return f"""
+    WITH ufe AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(ts AS DATE) AS d, value
+      FROM {table}
+    ),
+    ufb AS (
+      SELECT user_id, count(*) AS n_events,
+             count(DISTINCT d) AS n_active_days,
+             min(ts_s) AS first_ts, max(ts_s) AS last_ts,
+             round(sum(value), 6) AS total_value
+      FROM ufe GROUP BY user_id
+    ),
+    uft AS (
+      SELECT user_id, event_type AS top_type
+      FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type ASC) AS rn
+        FROM ufe GROUP BY user_id, event_type
+      ) WHERE rn = 1
+    ),
+    ufm AS (SELECT max(ts_s) AS mx FROM ufe)
+    SELECT b.user_id, b.n_events, b.n_active_days, b.first_ts, b.last_ts,
+           CAST(floor((m.mx - b.last_ts) / 86400) AS BIGINT) AS recency_days,
+           b.total_value, t.top_type
+    FROM ufb b JOIN uft t USING (user_id) CROSS JOIN ufm m
+    """
+
+
+def session_lm_score(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ ``[user_id, session_idx, n_trans, lm_score]`` — each session's
+    mean log-likelihood under the corpus-wide first-order Markov model of
+    :func:`markov_transitions`: lm_score = mean over the session's
+    transitions of ln P(dst | src), rounded to 6 dp. The event-stream
+    analog of a document LM fluency score — sessions whose flows are
+    improbable under the global model (bot loops, broken funnels) rank at
+    the bottom. Sessions with no in-gap transition are excluded (no
+    likelihood to average).
+
+    Plan shape: the lag window shuffles once on ``user_id``; the
+    transition model is |types|² rows, broadcast to the scoring join; the
+    per-session mean rides the same user partitioning. Probabilities are
+    ln(n/tot) with the same integer-to-double divisions in both engines.
+    """
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    w = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    gap = F.col("ts_s") - F.lag("ts_s").over(wl)
+    new_sess = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    lagged = e.select(
+        "user_id",
+        (F.sum(new_sess).over(w) - F.lit(1)).alias("session_idx"),
+        F.lag("event_type").over(wl).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+        gap.alias("gap"),
+    )
+    trans = lagged.where(
+        F.col("src_type").isNotNull() & (F.col("gap") <= gap_sec)
+    )
+    model = (
+        trans.groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n_trans"))
+        .withColumn(
+            "_tot", F.sum("n_trans").over(Window.partitionBy("src_type"))
+        )
+        .select(
+            "src_type",
+            "dst_type",
+            F.log(F.col("n_trans") * 1.0 / F.col("_tot")).alias("_lp"),
+        )
+    )
+    return (
+        trans.join(F.broadcast(model), ["src_type", "dst_type"])
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_trans"),
+            F.round(F.avg("_lp"), 6).alias("lm_score"),
+        )
+    )
+
+
+def session_lm_score_sql(gap_sec: int = 1800, table: str = "events") -> str:
+    """DuckDB oracle for :func:`session_lm_score` (standalone query)."""
+    return f"""
+    WITH sle AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), slf AS (
+      SELECT user_id, event_type, ts_s, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts_s, event_id) AS src_type,
+             ts_s - lag(ts_s) OVER
+               (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap,
+             CASE WHEN lag(ts_s) OVER
+                    (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+                  THEN 1
+                  WHEN ts_s - lag(ts_s) OVER
+                    (PARTITION BY user_id ORDER BY ts_s, event_id)
+                    > {int(gap_sec)} THEN 1
+                  ELSE 0 END AS new_sess
+      FROM sle
+    ), sls AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx,
+             src_type, event_type AS dst_type, gap
+      FROM slf
+    ), slt AS (
+      SELECT * FROM sls
+      WHERE src_type IS NOT NULL AND gap <= {int(gap_sec)}
+    ), slm AS (
+      SELECT src_type, dst_type,
+             ln(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY src_type))
+               AS lp
+      FROM slt GROUP BY src_type, dst_type
+    )
+    SELECT t.user_id, t.session_idx, count(*) AS n_trans,
+           round(avg(m.lp), 6) AS lm_score
+    FROM slt t JOIN slm m USING (src_type, dst_type)
+    GROUP BY t.user_id, t.session_idx
+    """

@@ -547,3 +547,91 @@ def embedding_clusters_sql(
     LEFT JOIN ec{unroll} c ON c.id = e.vec_id
     LEFT JOIN esizes s ON s.component = c.component
     """
+
+
+def embedding_outliers(
+    embeddings: DataFrame, z_threshold: float = 2.0
+) -> DataFrame:
+    """→ ``[vec_id, label, dist, z, is_outlier]`` — per-label centroid
+    outlier detection: each vector's Euclidean distance to its label's
+    mean embedding, z-scored within the label (population stddev;
+    ``is_outlier`` iff |z| ≥ ``z_threshold``). The embedding-space
+    mislabel / contamination triage every labeled corpus runs before
+    training. Degenerate labels (zero distance spread) score z = 0.
+
+    Plan shape: one posexplode to (vec, dim) rows, a (label, dim)
+    centroid aggregate (map-side combinable, |labels|·D rows), an
+    equi-join back on (label, dim) sharing the same key space, then two
+    label-keyed aggregates — all hash aggregates, no windows, no
+    all-pairs. Centroids and spreads are rounded (9 dp) before reuse so
+    both engines feed identical doubles downstream (the k-means
+    convention, ``kernels/kmeans.py``).
+    """
+    ex = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val"),
+    )
+    cent = ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 9).alias("mu"))
+    diff = F.col("val") - F.col("mu")
+    d = (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(diff * diff)), 6).alias("dist"))
+    )
+    stats = d.groupBy("label").agg(
+        F.round(F.avg("dist"), 9).alias("_mu_d"),
+        F.round(F.stddev_pop("dist"), 9).alias("_sd"),
+    )
+    z = F.when(
+        F.col("_sd") > 0,
+        F.round((F.col("dist") - F.col("_mu_d")) / F.col("_sd"), 4),
+    ).otherwise(F.lit(0.0))
+    return (
+        d.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist",
+            z.alias("z"),
+            (F.abs(z) >= F.lit(float(z_threshold))).alias("is_outlier"),
+        )
+    )
+
+
+def embedding_outliers_sql(
+    table: str = "embeddings", z_threshold: float = 2.0
+) -> str:
+    """DuckDB oracle for :func:`embedding_outliers` (standalone query)."""
+    return f"""
+    WITH eo_b AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ),
+    eo_ex AS (
+      SELECT vec_id, label, unnest(range(len(v))) AS pos, unnest(v) AS val
+      FROM eo_b
+    ),
+    eo_c AS (
+      SELECT label, pos, round(avg(val), 9) AS mu
+      FROM eo_ex GROUP BY label, pos
+    ),
+    eo_d AS (
+      SELECT e.vec_id, e.label,
+             round(sqrt(sum((e.val - c.mu) * (e.val - c.mu))), 6) AS dist
+      FROM eo_ex e JOIN eo_c c ON c.label = e.label AND c.pos = e.pos
+      GROUP BY e.vec_id, e.label
+    ),
+    eo_s AS (
+      SELECT label, round(avg(dist), 9) AS mu_d,
+             round(stddev_pop(dist), 9) AS sd
+      FROM eo_d GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.dist,
+           CASE WHEN s.sd > 0 THEN round((d.dist - s.mu_d) / s.sd, 4)
+                ELSE 0.0 END AS z,
+           abs(CASE WHEN s.sd > 0 THEN round((d.dist - s.mu_d) / s.sd, 4)
+                    ELSE 0.0 END) >= {float(z_threshold)!r} AS is_outlier
+    FROM eo_d d JOIN eo_s s USING (label)
+    """

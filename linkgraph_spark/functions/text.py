@@ -16,7 +16,7 @@ stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny fixed lexicons — deterministic, good enough for a heuristic lang-id
@@ -854,4 +854,143 @@ def term_pmi_sql(
            round(ln((n_docs_both * 1.0 / dfa) * (n.n * 1.0 / dfb)), 6) AS pmi
     FROM pmpair CROSS JOIN pmn n
     ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT {int(top_n)}
+    """
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """→ ``[doc_id, n_chars_used, distinct_chars, entropy]`` — per-document
+    Shannon entropy (nats) of the character distribution, the classic
+    gibberish / compression-ratio proxy quality signal: natural text sits
+    in a stable band, base64 blobs and aaaa-runs fall far outside it.
+    Characters are whatever ``.`` matches (newlines excluded identically
+    by Java and RE2 regex); zero-char documents get entropy 0.0.
+
+    Plan shape: one explode + two hash aggregates keyed by
+    (doc, char) then doc — per-doc state is bounded by the alphabet, and
+    the aggregate is map-side combinable; no windows, no joins.
+    """
+    chars = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(coalesce(text, ''), '.', 0)")
+        ).alias("ch"),
+    )
+    per = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("_clogc"),
+    )
+    # H = ln n − (Σ c·ln c)/n  (single-division form — same FP ops as SQL)
+    ent = F.round(
+        F.log(F.col("n").cast("double")) - F.col("_clogc") / F.col("n"), 6
+    )
+    out = agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars_used"),
+        "distinct_chars",
+        ent.alias("entropy"),
+    )
+    empty = documents.join(out, "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_chars_used"),
+        F.lit(0).cast("long").alias("distinct_chars"),
+        F.lit(0.0).alias("entropy"),
+    )
+    return out.unionByName(empty)
+
+
+def char_entropy_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`char_entropy` (standalone query)."""
+    return f"""
+    WITH cec AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(coalesce(text, ''), '.')) AS ch
+      FROM {table}
+    ),
+    cep AS (SELECT doc_id, ch, count(*) AS c FROM cec GROUP BY 1, 2),
+    cea AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS distinct_chars,
+             sum(c * ln(CAST(c AS DOUBLE))) AS clogc
+      FROM cep GROUP BY doc_id
+    ),
+    ceo AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_chars_used, distinct_chars,
+             round(ln(CAST(n AS DOUBLE)) - clogc / n, 6) AS entropy
+      FROM cea
+    )
+    SELECT * FROM ceo
+    UNION ALL
+    SELECT d.doc_id, 0, 0, 0.0 FROM {table} d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM ceo)
+    """
+
+
+def zipf_slope(documents: DataFrame, top_n: int = 5000) -> DataFrame:
+    """→ one row ``[n_terms, zipf_slope]`` — least-squares slope of
+    ln(term frequency) against ln(rank) over the ``top_n`` most frequent
+    terms (rank 1 = most frequent, ties by term asc). Healthy natural-
+    language corpora sit near −1 (Zipf's law); a synthetic or
+    template-heavy corpus drifts flat. Shares :func:`vocab_stats`'s
+    tokenization.
+
+    Plan shape: the vocabulary aggregate is Zipf-bounded; the top_n cut
+    is a TakeOrdered (no global sort), and the rank window then runs
+    over ≤ top_n rows — bounded by the parameter, not the corpus. The
+    slope is four sums + one closed-form division, identical operation
+    order in both engines.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(F.explode(F.split(norm, " ")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    xy = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"), F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+def zipf_slope_sql(table: str = "documents", top_n: int = 5000) -> str:
+    """DuckDB oracle for :func:`zipf_slope` (standalone query)."""
+    return f"""
+    WITH zst AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    zsv AS (
+      SELECT term, count(*) AS tf FROM zst GROUP BY term
+      ORDER BY tf DESC, term ASC LIMIT {int(top_n)}
+    ),
+    zsxy AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, term ASC) AS DOUBLE)) AS x,
+             ln(CAST(tf AS DOUBLE)) AS y
+      FROM zsv
+    ),
+    zss AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM zsxy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM zss
     """

@@ -10,6 +10,7 @@ from linkgraph_spark.kernels.components import (
     attack_resilience,
     connected_components,
     connected_components_star,
+    random_failure_resilience,
 )
 from linkgraph_spark.kernels.labelprop import seed_spread, label_propagation
 from linkgraph_spark.kernels.paths import PathsResult, shortest_paths, shortest_paths_weighted
@@ -76,6 +77,7 @@ __all__ = [
     "PageRankResult",
     "ComponentsResult",
     "attack_resilience",
+    "random_failure_resilience",
     "connected_components",
     "connected_components_star",
     "label_propagation",

@@ -290,8 +290,6 @@ def attack_resilience(graph: LinkGraph, k: int = 8) -> DataFrame:
     localCheckpoint-ed so the induced graph's cached blocks can be freed
     before returning.
     """
-    from linkgraph_spark.kernels.subgraph import _induce
-
     und = (
         graph.edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -306,7 +304,43 @@ def attack_resilience(graph: LinkGraph, k: int = 8) -> DataFrame:
         .agg(F.count("*").alias("deg"))
     )
     hubs = deg.orderBy(F.desc("deg"), F.asc("id")).limit(k).select("id")
-    keep = graph.vertices.select("id").join(hubs, "id", "left_anti")
+    return _removal_summary(graph, hubs)
+
+
+def random_failure_resilience(
+    graph: LinkGraph, rate: float = 0.1, salt: str = ""
+) -> DataFrame:
+    """→ the same one-row fragmentation summary as
+    :func:`attack_resilience`, but removing a deterministic hash-sampled
+    ``rate`` fraction of ALL vertices — the "random error" half of the
+    Albert–Jeong–Barabási tolerance pair (scale-free graphs survive
+    random failure but shatter under targeted attack; run both probes to
+    see the gap). The removal set is the portable md5-bucket sample, so
+    it is replayable across runs and engines.
+
+    Scale shape: the removal predicate is map-only; everything else is
+    shared with :func:`attack_resilience`.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    from linkgraph_spark.functions.hashing import md5_long
+
+    buckets = 1_000_000
+    key = F.concat_ws("\x1f", F.lit(salt), F.col("id").cast("string"))
+    removed = graph.vertices.select("id").where(
+        (md5_long(key) % buckets) < int(rate * buckets)
+    )
+    return _removal_summary(graph, removed)
+
+
+def _removal_summary(graph: LinkGraph, removed: DataFrame) -> DataFrame:
+    """Shared fragmentation summary: drop ``removed`` [id] vertices, run
+    hash-min components on the induced remainder, return the one-row
+    summary (localCheckpoint-ed so the induced graph's cached blocks can
+    be freed before returning)."""
+    from linkgraph_spark.kernels.subgraph import _induce
+
+    keep = graph.vertices.select("id").join(removed, "id", "left_anti")
     sub = _induce(graph, keep)
     try:
         res = connected_components(sub)
@@ -316,7 +350,7 @@ def attack_resilience(graph: LinkGraph, k: int = 8) -> DataFrame:
                 F.count("*").alias("n_components"),
                 F.max("sz").alias("largest_component"),
             )
-            .crossJoin(hubs.agg(F.count("*").alias("n_removed")))
+            .crossJoin(removed.agg(F.count("*").alias("n_removed")))
             .crossJoin(
                 sub.edges.select(
                     F.least("src", "dst").alias("a"),
@@ -343,19 +377,40 @@ def attack_resilience(graph: LinkGraph, k: int = 8) -> DataFrame:
 def attack_resilience_sql(k: int = 8, unroll: int = 40) -> str:
     """DuckDB oracle body for :func:`attack_resilience` (expects
     ``verts``/``edges`` CTEs; hash-min unrolled ``unroll`` rounds — must
-    exceed the post-removal diameter, which hub removal can only
+    exceed the post-removal diameter, which vertex removal can only
     lengthen, hence the deep default)."""
+    hub = f"""SELECT id FROM (
+        SELECT id, count(*) AS deg FROM (
+          SELECT a AS id FROM ar_und UNION ALL SELECT b AS id FROM ar_und
+        ) GROUP BY id
+      ) ORDER BY deg DESC, id ASC LIMIT {int(k)}"""
+    return _resilience_sql(hub, unroll)
+
+
+def random_failure_resilience_sql(
+    rate: float = 0.1, salt: str = "", unroll: int = 40
+) -> str:
+    """DuckDB oracle body for :func:`random_failure_resilience`."""
+    buckets = 1_000_000
+    quoted = salt.replace("'", "''")
+    key = f"concat_ws(chr(31), '{quoted}', CAST(id AS VARCHAR))"
+    h = f"CAST(concat('0x', substr(md5({key}), 1, 15)) AS BIGINT)"
+    removal = (
+        f"SELECT id FROM verts WHERE ({h} % {buckets}) < {int(rate * buckets)}"
+    )
+    return _resilience_sql(removal, unroll)
+
+
+def _resilience_sql(removal_select: str, unroll: int) -> str:
+    """Shared fragmentation-summary CTE chain; ``removal_select`` yields
+    the removed vertex ids (may reference ``ar_und``/``verts``)."""
     ctes = [
         f"""ar_und AS MATERIALIZED (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
       WHERE src <> dst GROUP BY 1, 2
     ),
     ar_hub AS MATERIALIZED (
-      SELECT id FROM (
-        SELECT id, count(*) AS deg FROM (
-          SELECT a AS id FROM ar_und UNION ALL SELECT b AS id FROM ar_und
-        ) GROUP BY id
-      ) ORDER BY deg DESC, id ASC LIMIT {int(k)}
+      {removal_select}
     ),
     ar_keep AS (
       SELECT id FROM verts WHERE id NOT IN (SELECT id FROM ar_hub)
