@@ -66,7 +66,17 @@ def main(argv=None):
             "stats", "community", "katz", "mis", "coloring", "diameter",
             "matching", "salsa", "eigenvector", "census", "richclub",
             "seedspread", "msf", "msfclusters", "overlap",
+            "cliques", "resilience",
         ],
+    )
+    p.add_argument(
+        "--removal",
+        choices=["attack", "random"],
+        default="attack",
+        help="resilience: targeted hub removal or hash-random failure",
+    )
+    p.add_argument(
+        "--rate", type=float, default=0.1, help="resilience --removal random: fraction removed"
     )
     p.add_argument("--k", type=int, default=3, help="k for ktruss")
     p.add_argument("--cuts", type=int, default=9, help="msfclusters: heaviest MSF edges to cut")
@@ -309,6 +319,24 @@ def main(argv=None):
 
         result = neighborhood_overlap(g)
         summary = {"edges": result.count()}
+    elif args.kernel == "cliques":
+        from linkgraph_spark.kernels import four_cliques_per_vertex
+
+        result = four_cliques_per_vertex(g)
+        summary = {
+            "in_a_4clique": result.where(F.col("four_cliques") > 0).count()
+        }
+    elif args.kernel == "resilience":
+        from linkgraph_spark.kernels import (
+            attack_resilience,
+            random_failure_resilience,
+        )
+
+        if args.removal == "attack":
+            result = attack_resilience(g, k=args.k)
+        else:
+            result = random_failure_resilience(g, rate=args.rate)
+        summary = result.collect()[0].asDict()
     elif args.kernel == "salsa":
         from linkgraph_spark.kernels import salsa
 
