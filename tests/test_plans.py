@@ -234,3 +234,61 @@ def test_no_cartesian_or_row_python_in_r4_kernels(spark):
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
     g.unpersist()
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """weighted_hash_sample's selection must compile to
+    TakeOrderedAndProject (per-partition top-n heaps), never a global
+    Sort — the property that makes it safe on an unbounded corpus."""
+    from linkgraph_spark.functions.sampling import weighted_hash_sample
+
+    df = weighted_hash_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        ["doc_id"],
+        "n_chars",
+        n=50,
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # no global sort stage anywhere in the selection
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_term_pmi_broadcasts_vocab_and_no_cartesian(spark, sf_dir):
+    """term_pmi's df-banded vocabulary is broadcast back onto the token
+    explode (never shuffled), and the pair join is a doc_id equi-join."""
+    from linkgraph_spark.functions.text import term_pmi
+
+    df = term_pmi(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_wave7_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-6/7 operators stay JVM-side (no per-row Python eval) and never
+    fall back to a cross product."""
+    from linkgraph_spark.functions.events import (
+        markov_transitions,
+        session_lm_score,
+        user_features,
+    )
+    from linkgraph_spark.functions.dedup import prefix_dup_pairs
+    from linkgraph_spark.functions.similarity import embedding_outliers
+    from linkgraph_spark.functions.text import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        markov_transitions(ev),
+        session_lm_score(ev),
+        user_features(ev),
+        prefix_dup_pairs(docs),
+        embedding_outliers(embs),
+        char_entropy(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
