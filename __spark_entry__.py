@@ -41,6 +41,7 @@ from linkgraph_spark.kernels import truss as tr
 from linkgraph_spark.kernels import centrality as ct
 from linkgraph_spark.functions import sampling as sp
 from linkgraph_spark.kernels import projection as pj
+from linkgraph_spark import transcripts as tscr
 from linkgraph_spark.transcripts import transcripts_from_events, transcripts_from_events_sql
 
 TURNS_PER_CONV = 8
@@ -985,6 +986,35 @@ def q_embedding_outliers(spark, sf_dir):
     return sim.embedding_outliers(_embs(spark, sf_dir), z_threshold=2.0)
 
 
+def q_conv_stats(spark, sf_dir):
+    from linkgraph_spark.transcripts import conv_stats
+
+    return conv_stats(transcripts_from_events(spark, sf_dir, TURNS_PER_CONV))
+
+
+def q_role_transitions(spark, sf_dir):
+    from linkgraph_spark.transcripts import role_transitions
+
+    return role_transitions(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    )
+
+
+def q_tfidf_doc_pairs(spark, sf_dir):
+    # head-heavy synthetic vocabulary: relax the df cap (as term_pmi does)
+    return tx.tfidf_doc_pairs(
+        _docs(spark, sf_dir),
+        min_df=2,
+        max_df_frac=0.9,
+        min_sim=0.85,
+        min_shared=3,
+    )
+
+
+def q_length_deciles(spark, sf_dir):
+    return tx.length_deciles(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1140,6 +1170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_features": q_user_features,
         "session_lm_score": q_session_lm_score,
         "embedding_outliers": q_embedding_outliers,
+        "conv_stats": q_conv_stats,
+        "role_transitions": q_role_transitions,
+        "tfidf_doc_pairs": q_tfidf_doc_pairs,
+        "length_deciles": q_length_deciles,
     }
 
 
@@ -1834,6 +1868,12 @@ def oracle_sql() -> dict[str, str]:
         "user_features": ev.user_features_sql(),
         "session_lm_score": ev.session_lm_score_sql(gap_sec=1800),
         "embedding_outliers": sim.embedding_outliers_sql(z_threshold=2.0),
+        "conv_stats": f"{_G} {tscr.conv_stats_sql()}",
+        "role_transitions": f"{_G}, {tscr.role_transitions_sql()}",
+        "tfidf_doc_pairs": tx.tfidf_doc_pairs_sql(
+            min_df=2, max_df_frac=0.9, min_sim=0.85, min_shared=3
+        ),
+        "length_deciles": tx.length_deciles_sql(),
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

@@ -994,3 +994,172 @@ def zipf_slope_sql(table: str = "documents", top_n: int = 5000) -> str:
            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
     FROM zss
     """
+
+
+def tfidf_doc_pairs(
+    documents: DataFrame,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    min_sim: float = 0.5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """→ ``[doc_a, doc_b, n_shared_terms, cosine]`` — sparse TF-IDF cosine
+    similarity join: document pairs whose tf·idf vectors (over the
+    df-banded vocabulary) have cosine ≥ ``min_sim`` and at least
+    ``min_shared`` common terms. The lexical companion to the embedding
+    near-dup pass — catches template reuse that survives token-level
+    shingle dedup. Shares :func:`tfidf_top_terms`'s weighting
+    (idf = ln(N/df)).
+
+    Plan shape: candidates come from the term-keyed equi-join over the
+    banded vocabulary — ``max_df_frac`` bounds any term's posting list,
+    so per-term fan-out is C(df_cap, 2), never corpus-quadratic (the
+    standard df-cut of sparse all-pairs similarity, cf. Bayardo et al.
+    WWW'07); the verify is one grouped sum per surviving pair. Per-doc
+    norms are rounded (9 dp) before reuse so both engines feed identical
+    doubles into the cosine.
+    """
+    norm_txt = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(
+        "doc_id", F.explode(F.split(norm_txt, " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = documents.agg(F.count("*").alias("_n"))
+    banded = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("_n") * F.lit(float(max_df_frac)))
+        )
+        .select("term", "df", "_n")
+    )
+    w = F.col("tf") * F.log(F.col("_n") * 1.0 / F.col("df"))
+    weighted = tf.join(F.broadcast(banded), "term").select(
+        "doc_id", "term", w.alias("w")
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm")
+    )
+    kept = weighted.join(norms, "doc_id")
+    a = kept.select(
+        "term",
+        F.col("doc_id").alias("doc_a"),
+        F.col("w").alias("wa"),
+        F.col("nrm").alias("na"),
+    )
+    b = kept.select(
+        "term",
+        F.col("doc_id").alias("doc_b"),
+        F.col("w").alias("wb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(F.col("wa") * F.col("wb")).alias("_dot"),
+        )
+        .where(F.col("n_shared_terms") >= min_shared)
+    )
+    cosine = F.round(F.col("_dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.select("doc_a", "doc_b", "n_shared_terms", cosine.alias("cosine"))
+        .where(F.col("cosine") >= min_sim)
+    )
+
+
+def tfidf_doc_pairs_sql(
+    table: str = "documents",
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    min_sim: float = 0.5,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`tfidf_doc_pairs` (standalone query)."""
+    return f"""
+    WITH tdt AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    tdtf AS (SELECT doc_id, term, count(*) AS tf FROM tdt GROUP BY 1, 2),
+    tddf AS (SELECT term, count(*) AS df FROM tdtf GROUP BY term),
+    tdn AS (SELECT count(*) AS n FROM {table}),
+    tdband AS (
+      SELECT term, df, n FROM tddf CROSS JOIN tdn
+      WHERE df >= {int(min_df)} AND df <= n * {float(max_df_frac)!r}
+    ),
+    tdw AS (
+      SELECT t.doc_id, t.term, t.tf * ln(b.n * 1.0 / b.df) AS w
+      FROM tdtf t JOIN tdband b USING (term)
+    ),
+    tdnorm AS (
+      SELECT doc_id, round(sqrt(sum(w * w)), 9) AS nrm
+      FROM tdw GROUP BY doc_id
+    ),
+    tdk AS (
+      SELECT w.doc_id, w.term, w.w, n.nrm
+      FROM tdw w JOIN tdnorm n USING (doc_id)
+    ),
+    tdpair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nrm AS na, b.nrm AS nb,
+             count(*) AS n_shared_terms, sum(a.w * b.w) AS dot
+      FROM tdk a JOIN tdk b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING count(*) >= {int(min_shared)}
+    )
+    SELECT doc_a, doc_b, n_shared_terms,
+           round(dot / (na * nb), 6) AS cosine
+    FROM tdpair
+    WHERE round(dot / (na * nb), 6) >= {float(min_sim)!r}
+    """
+
+
+def length_deciles(documents: DataFrame) -> DataFrame:
+    """→ ``[doc_id, n_chars, decile]`` — each document's corpus length
+    decile (1 = shortest 10%, 10 = longest) from exact interpolated
+    percentile cuts — the quantile-binned length feature curation rules
+    and batch-shape heuristics key on. A document equal to a cut belongs
+    to the lower bin (decile = 1 + #cuts strictly below its length).
+
+    Plan shape: ONE percentile aggregate over the length column (a single
+    9-value row, broadcast back), then a map-only bin expression — no
+    global sort, no ntile window over the corpus.
+    """
+    ps = [round(0.1 * i, 1) for i in range(1, 10)]
+    arr = ", ".join(str(p) for p in ps)
+    cuts = documents.agg(
+        F.expr(f"percentile(n_chars, array({arr}))").alias("_cuts")
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(
+            F.col("n_chars") > F.element_at("_cuts", i), 1
+        ).otherwise(0)
+    return (
+        documents.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id", "n_chars", decile.cast("int").alias("decile")
+        )
+    )
+
+
+def length_deciles_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`length_deciles` (standalone query)."""
+    ps = [round(0.1 * i, 1) for i in range(1, 10)]
+    arr = ", ".join(str(p) for p in ps)
+    adds = " + ".join(
+        f"(CASE WHEN d.n_chars > c.cuts[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, 10)
+    )
+    return f"""
+    WITH ldc AS (
+      SELECT quantile_cont(n_chars, [{arr}]) AS cuts FROM {table}
+    )
+    SELECT d.doc_id, d.n_chars, CAST(1 + {adds} AS INT) AS decile
+    FROM {table} d CROSS JOIN ldc c
+    """

@@ -21,7 +21,7 @@ scan exploded per-conv — so it parallelizes linearly to any cluster size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 ROLES = ["user", "assistant", "system", "tool"]
@@ -153,4 +153,95 @@ def transcripts_from_events_sql(turns_per_conv: int = 8, table: str = "events") 
       END AS tool,
       ts
     FROM seq
+    """
+
+
+def conv_stats(transcripts: DataFrame) -> DataFrame:
+    """→ ``[conv_id, n_turns, n_roles, n_tool_calls, n_tools, user_frac]``
+    — the per-conversation profile (turn volume, role diversity,
+    tool-invocation count/diversity, user-turn fraction) a transcript
+    curation pass filters on before graphing: degenerate single-role
+    conversations and tool-free chats are the first rows dropped.
+
+    Plan shape: ONE hash aggregate keyed on ``conv_id`` (map-side
+    combinable; per-conversation state is bounded by turns-per-conv, not
+    data volume). ``n_tool_calls``/``n_tools`` count non-NULL tools —
+    identical NULL semantics in both engines.
+    """
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.count("tool").alias("n_tool_calls"),
+        F.countDistinct("tool").alias("n_tools"),
+        F.round(
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("user_frac"),
+    )
+
+
+def conv_stats_sql() -> str:
+    """DuckDB oracle body for :func:`conv_stats` (expects the ``t``
+    transcripts CTE in scope — compose after ``edges_sql``)."""
+    return """
+    SELECT conv_id, count(*) AS n_turns,
+           count(DISTINCT role) AS n_roles,
+           count(tool) AS n_tool_calls,
+           count(DISTINCT tool) AS n_tools,
+           round(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS user_frac
+    FROM t GROUP BY conv_id
+    """
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """→ ``[src_role, dst_role, n_trans, prob]`` — adjacent-turn role
+    transition estimates over conversations (the role-level Markov view
+    of the same adjacency the edge derivation graphs): within each
+    conversation ordered by ``turn_idx``, count src→dst role pairs and
+    row-normalize per source role (6 dp, two exact integer-to-double
+    divisions).
+
+    Plan shape: one lead window partitioned by ``conv_id`` (bounded by
+    turns-per-conv); the transition aggregate is at most |roles|² rows,
+    so the normalizing totals are a broadcast join at any scale.
+    """
+    wl = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = transcripts.select(
+        F.col("role").alias("src_role"),
+        F.lead("role").over(wl).alias("dst_role"),
+    )
+    trans = (
+        lagged.where(F.col("dst_role").isNotNull())
+        .groupBy("src_role", "dst_role")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = trans.groupBy("src_role").agg(F.sum("n_trans").alias("_tot"))
+    return trans.join(F.broadcast(totals), "src_role").select(
+        "src_role",
+        "dst_role",
+        "n_trans",
+        F.round(F.col("n_trans") * 1.0 / F.col("_tot"), 6).alias("prob"),
+    )
+
+
+def role_transitions_sql() -> str:
+    """DuckDB oracle body for :func:`role_transitions` (expects ``t``)."""
+    return """
+    rt_l AS (
+      SELECT role AS src_role,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS dst_role
+      FROM t
+    ),
+    rt_t AS (
+      SELECT src_role, dst_role, count(*) AS n_trans
+      FROM rt_l WHERE dst_role IS NOT NULL GROUP BY 1, 2
+    ),
+    rt_s AS (SELECT src_role, sum(n_trans) AS tot FROM rt_t GROUP BY 1)
+    SELECT t2.src_role, t2.dst_role, t2.n_trans,
+           round(t2.n_trans * 1.0 / s.tot, 6) AS prob
+    FROM rt_t t2 JOIN rt_s s USING (src_role)
     """
