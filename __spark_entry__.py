@@ -1001,13 +1001,16 @@ def q_role_transitions(spark, sf_dir):
 
 
 def q_tfidf_doc_pairs(spark, sf_dir):
-    # head-heavy synthetic vocabulary: relax the df cap (as term_pmi does)
+    # head-heavy synthetic vocabulary: relax the FRACTIONAL cap (as
+    # term_pmi does); the ABSOLUTE posting-list cap stays on — it is the
+    # bound that holds at any corpus size (no-op at sf0.01, binding above)
     return tx.tfidf_doc_pairs(
         _docs(spark, sf_dir),
         min_df=2,
         max_df_frac=0.9,
         min_sim=0.85,
         min_shared=3,
+        max_df_abs=2000,
     )
 
 
@@ -1871,7 +1874,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_stats": f"{_G} {tscr.conv_stats_sql()}",
         "role_transitions": f"{_G}, {tscr.role_transitions_sql()}",
         "tfidf_doc_pairs": tx.tfidf_doc_pairs_sql(
-            min_df=2, max_df_frac=0.9, min_sim=0.85, min_shared=3
+            min_df=2, max_df_frac=0.9, min_sim=0.85, min_shared=3,
+            max_df_abs=2000,
         ),
         "length_deciles": tx.length_deciles_sql(),
         # "hyperball" intentionally absent: HLL estimates are not

@@ -1002,6 +1002,7 @@ def tfidf_doc_pairs(
     max_df_frac: float = 0.5,
     min_sim: float = 0.5,
     min_shared: int = 2,
+    max_df_abs: int = 10_000,
 ) -> DataFrame:
     """→ ``[doc_a, doc_b, n_shared_terms, cosine]`` — sparse TF-IDF cosine
     similarity join: document pairs whose tf·idf vectors (over the
@@ -1012,12 +1013,15 @@ def tfidf_doc_pairs(
     (idf = ln(N/df)).
 
     Plan shape: candidates come from the term-keyed equi-join over the
-    banded vocabulary — ``max_df_frac`` bounds any term's posting list,
-    so per-term fan-out is C(df_cap, 2), never corpus-quadratic (the
-    standard df-cut of sparse all-pairs similarity, cf. Bayardo et al.
-    WWW'07); the verify is one grouped sum per surviving pair. Per-doc
-    norms are rounded (9 dp) before reuse so both engines feed identical
-    doubles into the cosine.
+    banded vocabulary. The band's upper edge is
+    min(``max_df_frac``·N, ``max_df_abs``): the fraction drops corpus
+    boilerplate, and the ABSOLUTE cap is the scale guarantee — per-term
+    fan-out is C(max_df_abs, 2) no matter how large the corpus grows
+    (the df-cut of sparse all-pairs similarity, cf. Bayardo et al.
+    WWW'07; same lever as the hot-shingle cap in
+    ``dedup.ngram_jaccard_dups``). The verify is one grouped sum per
+    surviving pair. Per-doc norms are rounded (9 dp) before reuse so
+    both engines feed identical doubles into the cosine.
     """
     norm_txt = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     tok = documents.select(
@@ -1030,7 +1034,13 @@ def tfidf_doc_pairs(
         dfreq.crossJoin(F.broadcast(nd))
         .where(
             (F.col("df") >= min_df)
-            & (F.col("df") <= F.col("_n") * F.lit(float(max_df_frac)))
+            & (
+                F.col("df")
+                <= F.least(
+                    F.col("_n") * F.lit(float(max_df_frac)),
+                    F.lit(float(max_df_abs)),
+                )
+            )
         )
         .select("term", "df", "_n")
     )
@@ -1077,6 +1087,7 @@ def tfidf_doc_pairs_sql(
     max_df_frac: float = 0.5,
     min_sim: float = 0.5,
     min_shared: int = 2,
+    max_df_abs: int = 10_000,
 ) -> str:
     """DuckDB oracle for :func:`tfidf_doc_pairs` (standalone query)."""
     return f"""
@@ -1091,7 +1102,8 @@ def tfidf_doc_pairs_sql(
     tdn AS (SELECT count(*) AS n FROM {table}),
     tdband AS (
       SELECT term, df, n FROM tddf CROSS JOIN tdn
-      WHERE df >= {int(min_df)} AND df <= n * {float(max_df_frac)!r}
+      WHERE df >= {int(min_df)}
+        AND df <= least(n * {float(max_df_frac)!r}, {float(max_df_abs)!r})
     ),
     tdw AS (
       SELECT t.doc_id, t.term, t.tf * ln(b.n * 1.0 / b.df) AS w
