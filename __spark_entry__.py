@@ -1018,6 +1018,26 @@ def q_length_deciles(spark, sf_dir):
     return tx.length_deciles(_docs(spark, sf_dir))
 
 
+def q_shingle_novelty(spark, sf_dir):
+    return dd.shingle_novelty(_docs(spark, sf_dir))
+
+
+def q_inter_event_times(spark, sf_dir):
+    from linkgraph_spark.functions.events import inter_event_times
+
+    return inter_event_times(_events(spark, sf_dir))
+
+
+def q_label_centroid_dists(spark, sf_dir):
+    return sim.label_centroid_dists(_embs(spark, sf_dir))
+
+
+def q_tool_bigrams(spark, sf_dir):
+    from linkgraph_spark.transcripts import tool_bigrams
+
+    return tool_bigrams(transcripts_from_events(spark, sf_dir, TURNS_PER_CONV))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1177,6 +1197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": q_role_transitions,
         "tfidf_doc_pairs": q_tfidf_doc_pairs,
         "length_deciles": q_length_deciles,
+        "shingle_novelty": q_shingle_novelty,
+        "inter_event_times": q_inter_event_times,
+        "label_centroid_dists": q_label_centroid_dists,
+        "tool_bigrams": q_tool_bigrams,
     }
 
 
@@ -1878,6 +1902,10 @@ def oracle_sql() -> dict[str, str]:
             max_df_abs=2000,
         ),
         "length_deciles": tx.length_deciles_sql(),
+        "shingle_novelty": dd.shingle_novelty_sql(),
+        "inter_event_times": ev.inter_event_times_sql(),
+        "label_centroid_dists": sim.label_centroid_dists_sql(),
+        "tool_bigrams": f"{_G}, {tscr.tool_bigrams_sql()}",
         # "hyperball" intentionally absent: HLL estimates are not
         # SQL-reproducible — rows-only check by design
         "redact_pii": tx.redact_pii_sql(),

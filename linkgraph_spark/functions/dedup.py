@@ -664,3 +664,49 @@ def prefix_dup_pairs_sql(
            END AS relation
     FROM pdk a JOIN pdk b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
     """
+
+
+def shingle_novelty(documents: DataFrame) -> DataFrame:
+    """→ ``[doc_id, n_shingles, novel_frac]`` — the fraction of each
+    document's distinct word-3-gram shingles that appear in NO other
+    document (corpus novelty: boilerplate-heavy docs score near 0,
+    genuinely new content near 1 — the inverse view of the duplicate
+    passes, useful as a curation feature rather than a drop rule).
+    Shares the MinHash/Jaccard shingle pipeline exactly.
+
+    Plan shape: one shingle explode → a shingle document-frequency
+    aggregate (map-side combinable; shingle space is corpus-bounded like
+    the vocabulary) → rejoin on the shingle key → one per-doc aggregate.
+    Novelty is flagged by df = 1, so the join carries one boolean per
+    (doc, shingle) — no pair enumeration anywhere.
+    """
+    sh = _with_shingle_hashes(documents)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("novel_frac"),
+        )
+    )
+
+
+def shingle_novelty_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`shingle_novelty` (standalone query)."""
+    return f"""
+    WITH {_shingles_sql(table)},
+    sn_ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sn_df AS (SELECT s, count(*) AS df FROM sn_ex GROUP BY s)
+    SELECT e.doc_id, count(*) AS n_shingles,
+           round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novel_frac
+    FROM sn_ex e JOIN sn_df d USING (s)
+    GROUP BY e.doc_id
+    """

@@ -686,3 +686,55 @@ def session_lm_score_sql(gap_sec: int = 1800, table: str = "events") -> str:
     FROM slt t JOIN slm m USING (src_type, dst_type)
     GROUP BY t.user_id, t.session_idx
     """
+
+
+def inter_event_times(events: DataFrame) -> DataFrame:
+    """→ ``[event_type, n_gaps, p50_gap, p90_gap, p99_gap]`` — exact
+    interpolated percentiles of the within-user inter-arrival gap
+    (seconds) per event type: the cadence profile capacity planning and
+    bot triage read first (a p50 of 2 s on ``click`` is a scraper).
+    Gaps are measured between consecutive SAME-TYPE events of one user.
+
+    Plan shape: one lag window per (user, type) — per-partition state
+    bounded by a user's history, not data volume — then one percentile
+    aggregate on the low-cardinality type key. Exact interpolated
+    percentile matches DuckDB ``quantile_cont`` bit-for-bit (the
+    ``degree_percentiles`` precedent).
+    """
+    wl = Window.partitionBy("user_id", "event_type").orderBy("ts_s", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    gaps = e.select(
+        "event_type",
+        (F.col("ts_s") - F.lag("ts_s").over(wl)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("p50_gap"),
+        F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_gap"),
+        F.round(F.expr("percentile(gap, 0.99)"), 6).alias("p99_gap"),
+    )
+
+
+def inter_event_times_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`inter_event_times` (standalone query)."""
+    return f"""
+    WITH ie AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), ig AS (
+      SELECT event_type,
+             ts_s - lag(ts_s) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY ts_s, event_id) AS gap
+      FROM ie
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           round(quantile_cont(gap, 0.5), 6) AS p50_gap,
+           round(quantile_cont(gap, 0.9), 6) AS p90_gap,
+           round(quantile_cont(gap, 0.99), 6) AS p99_gap
+    FROM ig WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """

@@ -635,3 +635,56 @@ def embedding_outliers_sql(
                     ELSE 0.0 END) >= {float(z_threshold)!r} AS is_outlier
     FROM eo_d d JOIN eo_s s USING (label)
     """
+
+
+def label_centroid_dists(embeddings: DataFrame) -> DataFrame:
+    """→ ``[label_a, label_b, dist]`` (label_a < label_b) — pairwise
+    Euclidean distances between per-label centroid embeddings: the
+    class-confusion structure of a labeled corpus (labels whose
+    centroids nearly coincide are the ones a classifier will mix up and
+    a stratified sampler should not treat as distinct). Centroids are
+    rounded (9 dp) before the pair distance so both engines feed
+    identical doubles (the k-means convention).
+
+    Plan shape: one posexplode + (label, dim) centroid aggregate, then
+    an all-pairs join over the |labels|-sized centroid table — quadratic
+    only in the label count (a constant), never in rows.
+    """
+    ex = embeddings.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    cent = ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 9).alias("mu"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("mu").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("mu").alias("mb")
+    )
+    diff = F.col("ma") - F.col("mb")
+    return (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.round(F.sqrt(F.sum(diff * diff)), 6).alias("dist"))
+    )
+
+
+def label_centroid_dists_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`label_centroid_dists` (standalone query)."""
+    return f"""
+    WITH lc_b AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ),
+    lc_ex AS (
+      SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS val FROM lc_b
+    ),
+    lc_c AS (
+      SELECT label, pos, round(avg(val), 9) AS mu
+      FROM lc_ex GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(sum((a.mu - b.mu) * (a.mu - b.mu))), 6) AS dist
+    FROM lc_c a JOIN lc_c b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """

@@ -245,3 +245,54 @@ def role_transitions_sql() -> str:
            round(t2.n_trans * 1.0 / s.tot, 6) AS prob
     FROM rt_t t2 JOIN rt_s s USING (src_role)
     """
+
+
+def tool_bigrams(transcripts: DataFrame) -> DataFrame:
+    """→ ``[tool_a, tool_b, n, frac]`` — consecutive tool-invocation
+    bigrams within conversations (turns without a tool are skipped, so
+    ``tool_b`` is the NEXT tool the conversation invoked): the workflow-
+    mining view of agent behavior — which tool follows which. ``frac``
+    is each bigram's share of all bigrams (6 dp).
+
+    Plan shape: filter to tool turns (map-only), one lead window per
+    conversation (bounded by turns-per-conv), then a |tools|²-bounded
+    aggregate with a broadcast one-row total.
+    """
+    wl = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tooled = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    pairs = tooled.select(
+        F.col("tool").alias("tool_a"),
+        F.lead("tool").over(wl).alias("tool_b"),
+    ).where(F.col("tool_b").isNotNull())
+    counted = pairs.groupBy("tool_a", "tool_b").agg(F.count("*").alias("n"))
+    total = counted.agg(F.sum("n").alias("_t"))
+    return counted.crossJoin(F.broadcast(total)).select(
+        "tool_a",
+        "tool_b",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("_t"), 6).alias("frac"),
+    )
+
+
+def tool_bigrams_sql() -> str:
+    """DuckDB oracle body for :func:`tool_bigrams` (expects ``t``)."""
+    return """
+    tb_f AS (
+      SELECT conv_id, turn_idx, tool FROM t WHERE tool IS NOT NULL
+    ),
+    tb_p AS (
+      SELECT tool AS tool_a,
+             lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS tool_b
+      FROM tb_f
+    ),
+    tb_c AS (
+      SELECT tool_a, tool_b, count(*) AS n
+      FROM tb_p WHERE tool_b IS NOT NULL GROUP BY 1, 2
+    ),
+    tb_t AS (SELECT sum(n) AS tt FROM tb_c)
+    SELECT c.tool_a, c.tool_b, c.n, round(c.n * 1.0 / t2.tt, 6) AS frac
+    FROM tb_c c CROSS JOIN tb_t t2
+    """
