@@ -144,6 +144,13 @@ def main():
             g_sf, te_sf, sources=list(range(50))
         ).arrivals.count()
     )
+    from linkgraph_spark.kernels import attack_resilience
+
+    # robustness-probe workload: top-k selection + induced subgraph +
+    # one full hash-min component sweep (the CC-bound family)
+    _, q["resilience_sf"] = timed(
+        lambda: attack_resilience(g_sf, k=8).collect()
+    )
     n_edges_sf = g_sf.edges.count()
     g_sf.unpersist()
 
