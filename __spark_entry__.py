@@ -32,7 +32,7 @@ from linkgraph_spark.functions import events as ev
 from linkgraph_spark.functions import multimodal as mm
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
-from linkgraph_spark.kernels.kmeans import kmeans_profile_sql, kmeans_sql
+from linkgraph_spark.kernels.kmeans import kmeans_profile_sql, kmeans_sql, silhouette_sql
 from linkgraph_spark.kernels.pca import pca_power_sql
 from linkgraph_spark.kernels import components as cmp_mod
 from linkgraph_spark.kernels import stats as st
@@ -1038,6 +1038,56 @@ def q_tool_bigrams(spark, sf_dir):
     return tool_bigrams(transcripts_from_events(spark, sf_dir, TURNS_PER_CONV))
 
 
+# ------------------------------------------------------------------- wave 10
+def q_silhouette8(spark, sf_dir):
+    from linkgraph_spark.kernels.kmeans import silhouette
+
+    return silhouette(_embs(spark, sf_dir), k=8, iterations=4)
+
+
+def q_degree_gini(spark, sf_dir):
+    from linkgraph_spark.kernels.stats import degree_gini
+
+    return degree_gini(_graph(spark, sf_dir))
+
+
+def q_centrality_corr(spark, sf_dir):
+    from linkgraph_spark.kernels.pagerank import pagerank
+    from linkgraph_spark.kernels.stats import centrality_degree_corr
+
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, mode="textbook", iterations=5)
+    return centrality_degree_corr(res.ranks, g.degrees)
+
+
+def q_label_mixing3(spark, sf_dir):
+    from linkgraph_spark.kernels.modularity import label_mixing
+
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(g, max_iterations=3)
+    return label_mixing(g, labels)
+
+
+def q_dau_wau(spark, sf_dir):
+    return ev.dau_wau(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_hourly_profile(spark, sf_dir):
+    return ev.hourly_profile(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_embedding_quantize(spark, sf_dir):
+    return sim.embedding_quantize(_embs(spark, sf_dir), bits=8)
+
+
+def q_bpe_merges8(spark, sf_dir):
+    # tokenizer-training BPE merge loop — rows-only driver check (an
+    # iterative argmax fixpoint DuckDB can't replay without k-fold
+    # re-tokenisation); pinned by the exact pure-python reference in
+    # tests/test_wave10.py
+    return tx.bpe_merges(_docs(spark, sf_dir), merges=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1201,6 +1251,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inter_event_times": q_inter_event_times,
         "label_centroid_dists": q_label_centroid_dists,
         "tool_bigrams": q_tool_bigrams,
+        # wave 10 (new this round — r6 rotation must front these too)
+        "silhouette8": q_silhouette8,
+        "degree_gini": q_degree_gini,
+        "centrality_corr": q_centrality_corr,
+        "label_mixing3": q_label_mixing3,
+        "dau_wau": q_dau_wau,
+        "hourly_profile": q_hourly_profile,
+        "embedding_quantize": q_embedding_quantize,
+        "bpe_merges8": q_bpe_merges8,
     }
 
 
@@ -1633,6 +1692,22 @@ def _conductance_labelprop_sql(iters: int = 3) -> str:
     return f"{head},\n{conductance_sql(f'p{iters}')}"
 
 
+def _label_mixing3_sql(iters: int = 3) -> str:
+    from linkgraph_spark.kernels.modularity import label_mixing_sql
+
+    lp = _labelprop_sql(iters)
+    head = lp[: lp.rindex("SELECT id, label")].rstrip()
+    return f"{head},\n{label_mixing_sql(f'p{iters}')}"
+
+
+def _centrality_corr_sql(iters: int = 5) -> str:
+    from linkgraph_spark.kernels.stats import centrality_degree_corr_sql
+
+    pr = _pagerank_textbook_sql(iters)
+    head = pr[: pr.rindex("SELECT id, round")].rstrip()
+    return f"{head},\n{centrality_degree_corr_sql(f'r{iters}')}"
+
+
 def _subgraph_active_sql() -> str:
     return f"""{_G}, {_DEGS},
     sg_keep AS (SELECT id FROM degs WHERE out_deg >= 2)
@@ -1939,6 +2014,18 @@ def oracle_sql() -> dict[str, str]:
            'stub-decode' AS note
     FROM documents
     """,
+        # wave 10
+        "silhouette8": silhouette_sql(k=8, iterations=4),
+        "degree_gini": f"{_G}, {_DEGS},{st.degree_gini_sql()}",
+        "centrality_corr": _centrality_corr_sql(5),
+        "label_mixing3": _label_mixing3_sql(),
+        "dau_wau": ev.dau_wau_sql(),
+        "hourly_profile": ev.hourly_profile_sql(),
+        "embedding_quantize": sim.embedding_quantize_sql(bits=8),
+        # "bpe_merges8" intentionally absent: the k-round argmax-merge
+        # fixpoint is not SQL-expressible without unrolled re-tokenisation —
+        # rows-only check; pinned by the exact pure-python BPE reference in
+        # tests/test_wave10.py (same contract as boruvka_msf)
     }
 
 

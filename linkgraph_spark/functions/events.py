@@ -738,3 +738,94 @@ def inter_event_times_sql(table: str = "events") -> str:
     FROM ig WHERE gap IS NOT NULL
     GROUP BY event_type
     """
+
+
+def dau_wau(events: DataFrame) -> DataFrame:
+    """→ [day, dau, wau, stickiness] — daily active users, trailing-7-day
+    weekly active users (the window ENDING on ``day``, inclusive), and the
+    DAU/WAU stickiness ratio — the standard engagement health metric.
+    Only days that actually have events are reported (a user active on
+    Monday contributes to Tuesday–Sunday's WAU, but a day with zero events
+    emits no row).
+
+    Scale shape: the event stream collapses to distinct (day, user) in ONE
+    map-side-combinable pass (≤ |users|·|days| rows); WAU re-uses that
+    frame via a bounded 7× ``sequence`` explode (map-only) + a second
+    distinct — no self-join over the raw events, no window over users.
+    The date-keyed aggregates are tiny (O(days)).
+    """
+    du = events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = du.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("d"), "user_id"
+    ).distinct()
+    wau = contrib.groupBy("d").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def dau_wau_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`dau_wau` (standalone query)."""
+    return f"""
+    WITH dw_du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM {table}
+    ), dw_dau AS (
+      SELECT d, count(*) AS dau FROM dw_du GROUP BY d
+    ), dw_contrib AS (
+      SELECT DISTINCT du.d + CAST(s.i AS INTEGER) AS d, du.user_id
+      FROM dw_du du CROSS JOIN (SELECT unnest(range(7)) AS i) s
+    ), dw_wau AS (
+      SELECT d, count(*) AS wau FROM dw_contrib GROUP BY d
+    )
+    SELECT a.d AS day, a.dau, w.wau,
+           round(a.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM dw_dau a JOIN dw_wau w USING (d)
+    """
+
+
+def hourly_profile(events: DataFrame) -> DataFrame:
+    """→ [event_type, hour, n, share, avg_value] — the hour-of-day
+    seasonality profile per event type: event counts, each hour's share of
+    the type's total, and the mean ``value``. The first chart an
+    events-pipeline operator draws (when do signups peak, is the error
+    rate diurnal), and the input to staffing/batch-window decisions.
+
+    Scale shape: ONE map-side-combinable aggregate onto ≤ |types|·24
+    cells; the per-type normaliser joins back broadcast. Map-only
+    otherwise — no window, no distinct.
+    """
+    cells = events.groupBy("event_type", F.hour("ts").alias("hour")).agg(
+        F.count("*").alias("n"), F.avg("value").alias("_av")
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("n").alias("_t"))
+    return cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("_t"), 6).alias("share"),
+        F.round("_av", 6).alias("avg_value"),
+    )
+
+
+def hourly_profile_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`hourly_profile` (standalone query)."""
+    return f"""
+    WITH hp_cells AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+             count(*) AS n, avg(value) AS av
+      FROM {table} GROUP BY 1, 2
+    ), hp_tot AS (
+      SELECT event_type, sum(n) AS t FROM hp_cells GROUP BY event_type
+    )
+    SELECT c.event_type, c.hour, c.n,
+           round(c.n * 1.0 / t.t, 6) AS share,
+           round(c.av, 6) AS avg_value
+    FROM hp_cells c JOIN hp_tot t USING (event_type)
+    """

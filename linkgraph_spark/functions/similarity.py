@@ -688,3 +688,73 @@ def label_centroid_dists_sql(table: str = "embeddings") -> str:
     FROM lc_c a JOIN lc_c b ON a.pos = b.pos AND a.label < b.label
     GROUP BY a.label, b.label
     """
+
+
+def embedding_quantize(embeddings: DataFrame, bits: int = 8) -> DataFrame:
+    """→ [dim, mn, mx, mse, max_abs_err] — per-dimension scalar
+    quantization audit: global min/max per dimension, then each value is
+    coded to ``2**bits − 1`` levels (``code = floor((v−mn)/scale + 0.5)``,
+    clamped) and the reconstruction ``mn + code·scale`` is compared back.
+    This is the storage decision an embedding pipeline makes before
+    writing 100 TB of vectors (fp32 → int8 is 4× smaller; the mse/max
+    columns say what it costs), and the exact code path a scalar-quantized
+    ANN index (FAISS SQ8) uses.
+
+    Determinism: min/max are exact; the code uses ``floor(x + 0.5)``
+    (identical FP ops in both engines — no round-half mode divergence);
+    per-value errors are bitwise identical, so only the mse mean carries
+    summation-order noise (≈1e-16, absorbed by round 9).
+
+    Scale shape: two passes over the posexploded (dim, val) pairs — a
+    D-cell min/max aggregate (map-side combinable), then a broadcast join
+    of the D-row range table back onto the pairs and a second D-cell
+    aggregate. No window, no driver collect (the range table stays a
+    broadcast frame).
+    """
+    levels = float(2**bits - 1)
+    ex = embeddings.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val")
+    )
+    rng = ex.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / F.lit(levels)
+    code = F.least(
+        F.lit(levels),
+        F.greatest(F.lit(0.0), F.floor((F.col("val") - F.col("mn")) / scale + 0.5)),
+    )
+    err = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.col("val") - (F.col("mn") + code * scale)
+    )
+    q = ex.join(F.broadcast(rng), "dim").select("dim", "mn", "mx", err.alias("err"))
+    return q.groupBy("dim").agg(
+        F.round(F.first("mn"), 6).alias("mn"),
+        F.round(F.first("mx"), 6).alias("mx"),
+        F.round(F.avg(F.col("err") * F.col("err")), 9).alias("mse"),
+        F.round(F.max(F.abs("err")), 9).alias("max_abs_err"),
+    )
+
+
+def embedding_quantize_sql(table: str = "embeddings", bits: int = 8) -> str:
+    """DuckDB oracle for :func:`embedding_quantize` (standalone query)."""
+    levels = float(2**bits - 1)
+    return f"""
+    WITH eq_ex AS (
+      SELECT vec_id,
+             unnest(range(len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM {table}
+    ), eq_rng AS (
+      SELECT dim, min(val) AS mn, max(val) AS mx FROM eq_ex GROUP BY dim
+    ), eq_err AS (
+      SELECT e.dim, r.mn, r.mx,
+             CASE WHEN r.mx = r.mn THEN 0.0
+                  ELSE e.val - (r.mn
+                       + least({levels}, greatest(0.0,
+                           floor((e.val - r.mn) / ((r.mx - r.mn) / {levels}) + 0.5)))
+                         * ((r.mx - r.mn) / {levels})) END AS err
+      FROM eq_ex e JOIN eq_rng r USING (dim)
+    )
+    SELECT dim, round(min(mn), 6) AS mn, round(min(mx), 6) AS mx,
+           round(avg(err * err), 9) AS mse,
+           round(max(abs(err)), 9) AS max_abs_err
+    FROM eq_err GROUP BY dim
+    """

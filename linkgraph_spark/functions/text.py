@@ -1175,3 +1175,89 @@ def length_deciles_sql(table: str = "documents") -> str:
     SELECT d.doc_id, d.n_chars, CAST(1 + {adds} AS INT) AS decile
     FROM {table} d CROSS JOIN ldc c
     """
+
+
+def bpe_merges(documents: DataFrame, merges: int = 8) -> DataFrame:
+    """→ [rank, left, right, merged, pair_count] — the first ``merges``
+    byte-pair-encoding merge rules learned from the corpus (Sennrich et
+    al. 2016: words split to characters + a ``</w>`` end-of-word token;
+    each round merges the globally most frequent adjacent token pair,
+    ties broken by (left asc, right asc)). This is tokenizer TRAINING —
+    the step every LLM data pipeline runs over exactly this kind of
+    corpus before anything else can count tokens; :func:`vocab_stats` is
+    its first pass, this is the loop.
+
+    Fully distributed, zero Python in the hot path: pair counting is an
+    explode + map-side-combinable aggregate over the WORD-TYPE table
+    (Zipf-bounded like the vocabulary — the stream's word count collapses
+    to |vocab| rows first, so each round's jobs run on the tiny type
+    table weighted by frequency); the argmax is a TakeOrdered limit(1);
+    applying a merge is a JVM higher-order ``aggregate`` fold over each
+    token array (greedy left-to-right, the standard BPE application
+    order). Driver state per round is ONE (left, right, count) row.
+    Rows-only gate entry: the k-round argmax fixpoint is not
+    SQL-expressible without k-fold unrolled re-tokenisation; pinned by an
+    exact pure-python reference in pytest instead (like ``boruvka_msf``).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    words = documents.select(F.explode(F.split(norm, " ")).alias("w")).where(
+        F.length("w") > 0
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    cur = wf.select(
+        "freq", F.concat(chars, F.array(F.lit("</w>"))).alias("toks")
+    ).persist()
+    cur.count()  # pin the tokenised type table before iterating
+    spark = documents.sparkSession
+    out: list = []
+    try:
+        for r in range(1, merges + 1):
+            pairs = cur.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> struct(element_at(toks, i) AS l,"
+                        "             element_at(toks, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+            merged = left + right
+            out.append((r, left, right, merged, cnt))
+            nxt = cur.select(
+                "freq",
+                F.aggregate(
+                    "toks",
+                    F.array().cast("array<string>"),
+                    lambda acc, t: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(left))
+                        & (t == F.lit(right)),
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(F.lit(merged)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(t))),
+                ).alias("toks"),
+            ).persist()
+            nxt.count()  # materialise before freeing the previous round
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        out, "rank int, left string, right string, merged string, pair_count long"
+    )

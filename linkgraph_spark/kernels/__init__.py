@@ -22,7 +22,7 @@ from linkgraph_spark.kernels.matching import MatchingResult, maximal_matching, v
 from linkgraph_spark.kernels.densest import DensestResult, densest_subgraph
 from linkgraph_spark.kernels.linkpred import adamic_adar, link_scores, neighborhood_overlap
 from linkgraph_spark.kernels.msf import MSFResult, boruvka_msf, msf_clusters
-from linkgraph_spark.kernels.kmeans import kmeans, kmeans_profile
+from linkgraph_spark.kernels.kmeans import kmeans, kmeans_profile, silhouette
 from linkgraph_spark.kernels.pca import pca_power
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
@@ -35,7 +35,7 @@ from linkgraph_spark.kernels.centrality import (
     hyperball,
 )
 from linkgraph_spark.kernels.betweenness import BetweennessResult, betweenness
-from linkgraph_spark.kernels.modularity import conductance, modularity
+from linkgraph_spark.kernels.modularity import conductance, label_mixing, modularity
 from linkgraph_spark.kernels.node2vec import node2vec_walks
 from linkgraph_spark.kernels.projection import shared_tool_affinity
 from linkgraph_spark.kernels.temporal import (
@@ -51,7 +51,9 @@ from linkgraph_spark.kernels.spectral import (
     salsa,
 )
 from linkgraph_spark.kernels.stats import (
+    centrality_degree_corr,
     degree_assortativity,
+    degree_gini,
     degree_percentiles,
     reciprocity,
     rich_club,
@@ -71,6 +73,7 @@ from linkgraph_spark.kernels.triangles import (
 __all__ = [
     "kmeans",
     "kmeans_profile",
+    "silhouette",
     "pca_power",
     "pagerank",
     "remap_ranks",
@@ -109,6 +112,8 @@ __all__ = [
     "induced_subgraph",
     "reciprocity",
     "degree_assortativity",
+    "centrality_degree_corr",
+    "degree_gini",
     "rich_club",
     "SpectralResult",
     "eigenvector_centrality",
@@ -118,6 +123,7 @@ __all__ = [
     "four_cliques_over_pairs",
     "four_cliques_per_vertex",
     "modularity",
+    "label_mixing",
     "conductance",
     "BetweennessResult",
     "betweenness",

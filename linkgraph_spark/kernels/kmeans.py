@@ -139,6 +139,58 @@ def kmeans_profile(embeddings: DataFrame, k: int = 8, iterations: int = 4) -> Da
     )
 
 
+def silhouette(embeddings: DataFrame, k: int = 8, iterations: int = 4) -> DataFrame:
+    """→ ``[cluster, n_members, mean_silhouette]`` — simplified
+    (centroid-based) silhouette for the same deterministic Lloyd run as
+    :func:`kmeans`: per point, ``a`` = euclidean distance to its own
+    centroid, ``b`` = distance to the nearest OTHER centroid, and
+    ``s = (b - a) / max(a, b)`` (0 when both are 0). The per-cluster mean
+    is the standard "is k right / which clusters are mushy" diagnostic —
+    O(N·k) instead of the O(N²) full silhouette, the variant every
+    large-scale library ships (sklearn calls it Davies-Bouldin-adjacent;
+    Spark MLlib's ClusteringEvaluator computes exactly this squared form).
+
+    Determinism: distances reuse the in-order fold of :func:`kmeans`
+    (bitwise identical across engines on the 9dp-rounded centroids);
+    per-point ``s`` is rounded to 9 before the mean collapses
+    summation-order noise, the mean to 6.
+
+    Scale shape: identical to the assignment pass — the codebook rides as
+    array literals, best/second-best is an ``array_sort`` head over k
+    (sqd, cluster) structs, a pure projection with ZERO shuffle; the only
+    shuffle is the k-group final aggregate (map-side combinable).
+    """
+    if k < 2:
+        raise ValueError("silhouette needs k >= 2 (no 'other centroid' at k=1)")
+    base = _base(embeddings).persist()
+    try:
+        cents = _lloyd_centroids(base, k, iterations)
+    finally:
+        base.unpersist()
+    assert [c for c, _ in cents] == list(range(len(cents)))
+    codebook = F.array(*[F.lit([float(x) for x in cv]) for _, cv in cents])
+    structs = F.transform(
+        codebook,
+        lambda cv, i: F.struct(
+            _sqdist(F.col("v"), cv).alias("sqd"), i.cast("int").alias("cluster")
+        ),
+    )
+    two = F.slice(F.array_sort(structs), 1, 2)  # (sqd asc, cluster asc)
+    a = F.sqrt(F.element_at(two, 1)["sqd"])
+    b = F.sqrt(F.element_at(two, 2)["sqd"])
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    pts = _base(embeddings).select(
+        F.element_at(two, 1)["cluster"].alias("cluster"),
+        F.round(s, 9).alias("s"),
+    )
+    return pts.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("s"), 6).alias("mean_silhouette"),
+    )
+
+
 # ------------------------------------------------------------------ oracles
 def _sq_sql(a: str, c: str) -> str:
     return (
@@ -208,4 +260,32 @@ def kmeans_profile_sql(table: str = "embeddings", k: int = 8, iterations: int = 
     {_kmeans_ctes(table, k, iterations)}
     SELECT cluster, count(*) AS n_members, round(sum(sqd), 3) AS inertia
     FROM kfinal GROUP BY cluster
+    """
+
+
+def silhouette_sql(table: str = "embeddings", k: int = 8, iterations: int = 4) -> str:
+    """DuckDB oracle for :func:`silhouette` — the same unrolled Lloyd CTEs
+    plus a rn<=2 ranking for (own, nearest-other) centroid distances."""
+    return f"""
+    {_kmeans_ctes(table, k, iterations)},
+    sil_two AS (
+      SELECT vec_id, cluster, sqd, rn FROM (
+        SELECT b.vec_id, c.cluster, {_sq_sql('b', 'c')} AS sqd,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY {_sq_sql('b', 'c')} ASC, c.cluster ASC) AS rn
+        FROM base b CROSS JOIN cents{iterations} c)
+      WHERE rn <= 2
+    ), sil_pts AS (
+      SELECT own.cluster,
+             round(CASE WHEN greatest(sqrt(own.sqd), sqrt(oth.sqd)) = 0
+                        THEN 0.0
+                        ELSE (sqrt(oth.sqd) - sqrt(own.sqd))
+                             / greatest(sqrt(own.sqd), sqrt(oth.sqd)) END,
+                   9) AS s
+      FROM (SELECT * FROM sil_two WHERE rn = 1) own
+      JOIN (SELECT * FROM sil_two WHERE rn = 2) oth USING (vec_id)
+    )
+    SELECT cluster, count(*) AS n_members,
+           round(avg(s), 6) AS mean_silhouette
+    FROM sil_pts GROUP BY cluster
     """

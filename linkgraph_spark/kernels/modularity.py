@@ -171,3 +171,58 @@ def conductance_sql(labels_cte: str, label_col: str = "label") -> str:
            END AS conductance
     FROM cd_agg CROSS JOIN cd_m m
     """
+
+
+def label_mixing(graph: LinkGraph, labels: DataFrame, label_col: str = "label") -> DataFrame:
+    """→ [label_x, label_y, n_edges, frac] — the directed mixing matrix of
+    a community assignment: how many edges run from community x to
+    community y, and what share of all labelled edges that cell is. The
+    companion view to :func:`modularity` (one scalar) when you need to SEE
+    where the off-diagonal mass sits — which communities talk to each
+    other, whether the partition is assortative cell by cell. Engine
+    addition (the reference has no community ops).
+
+    Scale shape: two hash joins attach endpoint labels to the edge list
+    (each O(E), the label side O(V)), then ONE map-side-combinable
+    aggregate onto |labels|² cells; the total-edges normaliser is a
+    1-row broadcast. No window, no iteration, no per-vertex fan-out.
+    """
+    lab = labels.select("id", F.col(label_col).alias("_lbl"))
+    e2 = (
+        graph.edges.select("src", "dst")
+        .join(
+            lab.select(F.col("id").alias("src"), F.col("_lbl").alias("label_x")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("id").alias("dst"), F.col("_lbl").alias("label_y")),
+            "dst",
+        )
+    )
+    mix = e2.groupBy("label_x", "label_y").agg(F.count("*").alias("n_edges"))
+    tot = mix.agg(F.sum("n_edges").alias("_t"))
+    return mix.crossJoin(F.broadcast(tot)).select(
+        "label_x",
+        "label_y",
+        "n_edges",
+        F.round(F.col("n_edges") * 1.0 / F.col("_t"), 6).alias("frac"),
+    )
+
+
+def label_mixing_sql(labels_cte: str, label_col: str = "label") -> str:
+    """DuckDB oracle body. ``labels_cte`` names a CTE in scope with
+    ``[id, <label_col>]``; expects the ``edges`` CTE too."""
+    return f"""
+    lm_mix AS MATERIALIZED (
+      SELECT lx.{label_col} AS label_x, ly.{label_col} AS label_y,
+             count(*) AS n_edges
+      FROM edges e
+      JOIN {labels_cte} lx ON lx.id = e.src
+      JOIN {labels_cte} ly ON ly.id = e.dst
+      GROUP BY 1, 2
+    ),
+    lm_t AS (SELECT sum(n_edges) AS t FROM lm_mix)
+    SELECT label_x, label_y, n_edges,
+           round(n_edges * 1.0 / t, 6) AS frac
+    FROM lm_mix CROSS JOIN lm_t
+    """

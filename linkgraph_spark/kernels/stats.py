@@ -23,7 +23,7 @@ Both are single-pass aggregates:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph_spark.edges import LinkGraph
@@ -258,3 +258,174 @@ def degree_percentiles_sql(ps: tuple = (0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) -> str
         for p in ps
     )
     return f"\n    {rows}\n    "
+
+
+def degree_gini(graph: LinkGraph) -> DataFrame:
+    """→ [metric, gini, hhi] for metric ∈ ('in', 'out', 'total'):
+    concentration of attention — the Gini coefficient and the
+    Herfindahl–Hirschman index of the degree distribution. The numbers a
+    crawl/link-graph pipeline reads next to :func:`degree_percentiles`
+    when deciding whether hub skew needs salting (gini → 1 / hhi → 1:
+    one vertex owns the graph; gini → 0: uniform). Engine addition — the
+    reference computes no whole-graph scalars at all
+    (``pagerank_lambda/dynamodb/init_to_s3.py:55-86`` only counts
+    vertices).
+
+    Determinism/scale shape: Gini needs a global sort, but NOT over V
+    rows — degrees are small integers with ≪ V distinct values (Zipf), so
+    the sort runs over the degree HISTOGRAM: one map-side-combinable
+    groupBy(metric, degree) collapse, then a window over the tiny
+    histogram. For a block of n_i ties at value x_i ending at cumulative
+    count C_i, the rank-sum Σ rank·x contribution is
+    x_i · (C_i(C_i+1) − C_{i−1}(C_{i−1}+1)) / 2, all in double (exact to
+    2^53 ≈ 9e15 — C(C+1)/2 stays exact past 10^7 vertices per degree
+    value; the final round(…, 6) absorbs anything beyond). Then
+    G = 2·Σ/(N·T) − (N+1)/N and HHI = Σ n_i·x_i² / T². Empty-edge graphs
+    (T = 0) report 0 for both.
+    """
+    d = graph.degrees.select(
+        F.col("in_deg").cast("double").alias("in"),
+        F.col("out_deg").cast("double").alias("out"),
+        (F.col("in_deg") + F.col("out_deg")).cast("double").alias("total"),
+    )
+    melted = d.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("metric"), F.col(m).alias("x"))
+                    for m in ("in", "out", "total")
+                ]
+            )
+        ).alias("z")
+    ).select("z.*")
+    hist = melted.groupBy("metric", "x").agg(F.count("*").cast("double").alias("n"))
+    w = Window.partitionBy("metric").orderBy("x")
+    ranked = hist.select(
+        "metric",
+        "x",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+    ).select(
+        "metric",
+        "n",
+        (F.col("n") * F.col("x")).alias("nx"),
+        (F.col("n") * F.col("x") * F.col("x")).alias("nx2"),
+        (
+            F.col("x")
+            * (
+                F.col("cum") * (F.col("cum") + 1)
+                - (F.col("cum") - F.col("n")) * (F.col("cum") - F.col("n") + 1)
+            )
+            / 2
+        ).alias("ranksum"),
+    )
+    return ranked.groupBy("metric").agg(
+        F.round(
+            F.when(
+                F.sum("nx") > 0,
+                2 * F.sum("ranksum") / (F.sum("n") * F.sum("nx"))
+                - (F.sum("n") + 1) / F.sum("n"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.when(
+                F.sum("nx") > 0, F.sum("nx2") / (F.sum("nx") * F.sum("nx"))
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("hhi"),
+    )
+
+
+def degree_gini_sql() -> str:
+    """DuckDB oracle body (expects the ``degs`` CTE in scope)."""
+    return """
+    dg_melt AS (
+      SELECT 'in' AS metric, CAST(in_deg AS DOUBLE) AS x FROM degs
+      UNION ALL
+      SELECT 'out' AS metric, CAST(out_deg AS DOUBLE) AS x FROM degs
+      UNION ALL
+      SELECT 'total' AS metric, CAST(in_deg + out_deg AS DOUBLE) AS x FROM degs
+    ),
+    dg_hist AS (
+      SELECT metric, x, CAST(count(*) AS DOUBLE) AS n
+      FROM dg_melt GROUP BY 1, 2
+    ),
+    dg_rank AS (
+      SELECT metric, n, n * x AS nx, n * x * x AS nx2,
+             x * (cum * (cum + 1) - (cum - n) * (cum - n + 1)) / 2 AS ranksum
+      FROM (
+        SELECT metric, x, n,
+               sum(n) OVER (PARTITION BY metric ORDER BY x) AS cum
+        FROM dg_hist)
+    )
+    SELECT metric,
+           round(CASE WHEN sum(nx) > 0
+                 THEN 2 * sum(ranksum) / (sum(n) * sum(nx))
+                      - (sum(n) + 1) / sum(n)
+                 ELSE 0.0 END, 6) AS gini,
+           round(CASE WHEN sum(nx) > 0
+                 THEN sum(nx2) / (sum(nx) * sum(nx))
+                 ELSE 0.0 END, 6) AS hhi
+    FROM dg_rank GROUP BY metric
+    """
+
+
+def centrality_degree_corr(ranks: DataFrame, degrees: DataFrame) -> DataFrame:
+    """→ [pair, pearson] for pair ∈ ('rank_vs_in', 'rank_vs_out',
+    'in_vs_out'): Pearson correlation between a centrality score and the
+    in/out degree — the "is PageRank telling me anything degree doesn't"
+    sanity check (rank_vs_in ≈ 1 means the damping/structure adds
+    nothing; a low value means the walk finds genuinely non-local
+    structure). ``ranks`` is any [id, rank] frame (the registry feeds the
+    5-superstep textbook PageRank); ``degrees`` the graph degree table.
+
+    Determinism: correlates the 6dp-ROUNDED rank (the same projection the
+    oracle gate checks) so both engines see identical inputs; the corr
+    itself is a single-pass co-moment whose summation-order noise sits at
+    1e-12, absorbed by round(…, 6).
+
+    Scale shape: one hash join on id (both sides O(V)) + one corr
+    aggregate (map-side partials, O(1) state) — no iteration, no window.
+    """
+    j = ranks.select("id", F.round("rank", 6).alias("r")).join(
+        degrees.select(
+            "id",
+            F.col("in_deg").cast("double").alias("din"),
+            F.col("out_deg").cast("double").alias("dout"),
+        ),
+        "id",
+    )
+    one = j.agg(
+        F.round(F.corr("r", "din"), 6).alias("ri"),
+        F.round(F.corr("r", "dout"), 6).alias("ro"),
+        F.round(F.corr("din", "dout"), 6).alias("io"),
+    )
+    rows = [
+        F.struct(F.lit("rank_vs_in").alias("pair"), F.col("ri").alias("pearson")),
+        F.struct(F.lit("rank_vs_out").alias("pair"), F.col("ro").alias("pearson")),
+        F.struct(F.lit("in_vs_out").alias("pair"), F.col("io").alias("pearson")),
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("z")).select("z.*")
+
+
+def centrality_degree_corr_sql(ranks_cte: str) -> str:
+    """DuckDB oracle body (expects ``degs`` + the named rank CTE with
+    [id, rank] in scope)."""
+    return f"""
+    cc_j AS (
+      SELECT round(r.rank, 6) AS r,
+             CAST(d.in_deg AS DOUBLE) AS din,
+             CAST(d.out_deg AS DOUBLE) AS dout
+      FROM {ranks_cte} r JOIN degs d USING (id)
+    ),
+    cc_one AS (
+      SELECT round(corr(r, din), 6) AS ri,
+             round(corr(r, dout), 6) AS ro,
+             round(corr(din, dout), 6) AS io
+      FROM cc_j
+    )
+    SELECT 'rank_vs_in' AS pair, ri AS pearson FROM cc_one
+    UNION ALL SELECT 'rank_vs_out' AS pair, ro AS pearson FROM cc_one
+    UNION ALL SELECT 'in_vs_out' AS pair, io AS pearson FROM cc_one
+    """
