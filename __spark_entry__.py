@@ -1088,6 +1088,41 @@ def q_bpe_merges8(spark, sf_dir):
     return tx.bpe_merges(_docs(spark, sf_dir), merges=8)
 
 
+# ------------------------------------------------------------------- wave 11
+def q_local_bridges(spark, sf_dir):
+    from linkgraph_spark.kernels.truss import local_bridges
+
+    return local_bridges(_graph(spark, sf_dir))
+
+
+def q_session_stats(spark, sf_dir):
+    return ev.session_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_attribution(spark, sf_dir):
+    return ev.attribution(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), target="purchase"
+    )
+
+
+def q_pii_counts(spark, sf_dir):
+    return tx.pii_counts(_docs(spark, sf_dir))
+
+
+def q_embedding_stats(spark, sf_dir):
+    return sim.embedding_stats(_embs(spark, sf_dir))
+
+
+def q_pq_codes(spark, sf_dir):
+    from linkgraph_spark.kernels.kmeans import pq_codes
+
+    return pq_codes(_embs(spark, sf_dir), subvectors=2, k=8, iterations=2)
+
+
+def q_source_overlap(spark, sf_dir):
+    return dd.source_overlap(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1260,6 +1295,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_profile": q_hourly_profile,
         "embedding_quantize": q_embedding_quantize,
         "bpe_merges8": q_bpe_merges8,
+        # wave 11 (new this round — r6 rotation must front these too)
+        "local_bridges": q_local_bridges,
+        "session_stats": q_session_stats,
+        "attribution": q_attribution,
+        "pii_counts": q_pii_counts,
+        "embedding_stats": q_embedding_stats,
+        "pq_codes": q_pq_codes,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -1700,6 +1743,14 @@ def _label_mixing3_sql(iters: int = 3) -> str:
     return f"{head},\n{label_mixing_sql(f'p{iters}')}"
 
 
+def _pq_sql() -> str:
+    from linkgraph_spark.kernels.kmeans import pq_codes_sql
+
+    # dims=64 matches the testdata embeddings (the Spark side reads the
+    # width from the data; the oracle needs it pinned)
+    return pq_codes_sql(subvectors=2, k=8, iterations=2, dims=64)
+
+
 def _centrality_corr_sql(iters: int = 5) -> str:
     from linkgraph_spark.kernels.stats import centrality_degree_corr_sql
 
@@ -2026,6 +2077,14 @@ def oracle_sql() -> dict[str, str]:
         # fixpoint is not SQL-expressible without unrolled re-tokenisation —
         # rows-only check; pinned by the exact pure-python BPE reference in
         # tests/test_wave10.py (same contract as boruvka_msf)
+        # wave 11
+        "local_bridges": f"{_G}, {tr.local_bridges_sql()}",
+        "session_stats": ev.session_stats_sql(),
+        "attribution": ev.attribution_sql(target="purchase"),
+        "pii_counts": tx.pii_counts_sql(),
+        "embedding_stats": sim.embedding_stats_sql(),
+        "pq_codes": _pq_sql(),
+        "source_overlap": dd.source_overlap_sql(),
     }
 
 

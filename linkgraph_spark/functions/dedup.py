@@ -710,3 +710,64 @@ def shingle_novelty_sql(table: str = "documents") -> str:
     FROM sn_ex e JOIN sn_df d USING (s)
     GROUP BY e.doc_id
     """
+
+
+def source_overlap(documents: DataFrame) -> DataFrame:
+    """→ [source_x, source_y, n_shared, frac_x] — cross-SOURCE shingle
+    contamination matrix: for every ordered pair of distinct ``source``
+    values, the number of distinct word-3-gram shingles they share and
+    the fraction of source x's shingle vocabulary that y also contains.
+    The corpus-level companion to :func:`contamination_check` (doc vs
+    benchmark): run it before mixing crawls/dumps to see which sources
+    are near-copies of each other (mirror sites, re-crawls, laundered
+    dumps) and would silently over-weight their content.
+
+    Scale shape: the corpus collapses to distinct (source, shingle) in
+    one map-side-combinable pass; the pair join fans out each shingle to
+    at most |sources|² rows — sources are curation-bucket scale (tens to
+    hundreds), so the join output is Σ_s k_s² ≤ |sources|·|rows|, linear
+    in the input for bounded source counts. The per-source size table
+    broadcasts. No doc-pair enumeration anywhere.
+    """
+    sh = _with_shingle_hashes(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    ss = sh.select("source", F.explode("sh").alias("s")).distinct()
+    sizes = ss.groupBy("source").agg(F.count("*").alias("_n"))
+    pairs = (
+        ss.select(F.col("source").alias("source_x"), "s")
+        .join(ss.select(F.col("source").alias("source_y"), "s"), "s")
+        .where(F.col("source_x") != F.col("source_y"))
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return pairs.join(
+        F.broadcast(sizes.select(F.col("source").alias("source_x"), "_n")),
+        "source_x",
+    ).select(
+        "source_x",
+        "source_y",
+        "n_shared",
+        F.round(F.col("n_shared") * 1.0 / F.col("_n"), 6).alias("frac_x"),
+    )
+
+
+def source_overlap_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`source_overlap` (standalone query)."""
+    return f"""
+    WITH {_shingles_sql(table)},
+    so_ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    so_ss AS (
+      SELECT DISTINCT d.source, e.s
+      FROM so_ex e JOIN {table} d USING (doc_id)
+    ),
+    so_sizes AS (SELECT source, count(*) AS n FROM so_ss GROUP BY source),
+    so_pairs AS (
+      SELECT a.source AS source_x, b.source AS source_y, count(*) AS n_shared
+      FROM so_ss a JOIN so_ss b ON a.s = b.s AND a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_x, p.source_y, p.n_shared,
+           round(p.n_shared * 1.0 / z.n, 6) AS frac_x
+    FROM so_pairs p JOIN so_sizes z ON z.source = p.source_x
+    """

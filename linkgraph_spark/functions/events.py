@@ -829,3 +829,110 @@ def hourly_profile_sql(table: str = "events") -> str:
            round(c.av, 6) AS avg_value
     FROM hp_cells c JOIN hp_tot t USING (event_type)
     """
+
+
+def session_stats(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ [user_id, n_sessions, n_events, avg_session_events,
+    avg_duration_sec, bounce_rate] — the per-user rollup of
+    :func:`sessionize`: how many sessions, how big, how long, and what
+    fraction are single-event bounces. The second half of every product
+    analytics funnel review (sessionize gives the rows, this gives the
+    cohort-comparable user profile).
+
+    Scale shape: inherits sessionize's ONE per-user window (bounded by a
+    user's event count), then a per-user aggregate of the already-small
+    session frame — no new shuffle beyond the user key it is already
+    partitioned by.
+    """
+    s = sessionize(events, gap_sec=gap_sec)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.avg(F.col("n_events") * 1.0), 6).alias("avg_session_events"),
+        F.round(F.avg(F.col("duration_sec") * 1.0), 6).alias("avg_duration_sec"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)) * 1.0
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+def session_stats_sql(gap_sec: int = 1800, table: str = "events") -> str:
+    """DuckDB oracle for :func:`session_stats` (standalone query)."""
+    return f"""
+    WITH sstat AS ({sessionize_sql(gap_sec, table)})
+    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+           round(avg(n_events * 1.0), 6) AS avg_session_events,
+           round(avg(duration_sec * 1.0), 6) AS avg_duration_sec,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate
+    FROM sstat GROUP BY user_id
+    """
+
+
+def attribution(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ [first_touch, n_users, n_converted, conversion_rate] —
+    first-touch attribution: users are grouped by the type of their FIRST
+    event (by (ts, event_id) — the deterministic tie-break every op in
+    this module uses), and each group reports how many of its users ever
+    performed the ``target`` event (any time, including as the first
+    event itself). The "which acquisition channel converts" table.
+
+    Scale shape: the first event is a per-user window rn=1 (bounded
+    per-user partitions); the converter set is a distinct projection of
+    the target-filtered stream (map-side combinable, tiny — broadcast
+    into the left join); one |types|-cell final aggregate.
+    """
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    first = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    conv = (
+        e.where(F.col("event_type") == target)
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    return (
+        first.join(F.broadcast(conv), "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("_c", F.lit(0))).alias("n_converted"),
+            F.round(
+                F.sum(F.coalesce("_c", F.lit(0))) * 1.0 / F.count("*"), 6
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+def attribution_sql(target: str = "purchase", table: str = "events") -> str:
+    """DuckDB oracle for :func:`attribution` (standalone query)."""
+    t = target.replace("'", "''")
+    return f"""
+    WITH at_e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), at_first AS (
+      SELECT user_id, event_type AS first_touch FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_s, event_id) AS rn
+        FROM at_e)
+      WHERE rn = 1
+    ), at_conv AS (
+      SELECT DISTINCT user_id, 1 AS c FROM at_e WHERE event_type = '{t}'
+    )
+    SELECT f.first_touch, count(*) AS n_users,
+           sum(coalesce(c.c, 0)) AS n_converted,
+           round(sum(coalesce(c.c, 0)) * 1.0 / count(*), 6) AS conversion_rate
+    FROM at_first f LEFT JOIN at_conv c USING (user_id)
+    GROUP BY f.first_touch
+    """

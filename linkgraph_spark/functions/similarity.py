@@ -758,3 +758,73 @@ def embedding_quantize_sql(table: str = "embeddings", bits: int = 8) -> str:
            round(max(abs(err)), 9) AS max_abs_err
     FROM eq_err GROUP BY dim
     """
+
+
+def embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """→ [stat, value] — the data-quality profile an embedding pipeline
+    runs before indexing 100 TB of vectors: corpus size, dimensionality,
+    zero-vector count (broken encoder outputs), and the L2-norm
+    distribution (mean + exact p25/p50/p75/p99/max). Norm collapse or a
+    fat zero bucket is the classic sign of an upstream encoding bug;
+    un-normalised embeddings with wide norm spread mean cosine and dot
+    ranking will disagree.
+
+    Determinism: norms use the module's in-order fold (bitwise identical
+    across engines); percentiles are exact linear interpolation (Spark
+    ``percentile`` == DuckDB ``quantile_cont``); the mean rounds to 6
+    over summation-order noise.
+
+    Scale shape: one map-only norm projection + ONE global aggregate
+    (percentile sorts the single norm column once); output is 9 rows.
+    """
+    n = _with_norm(embeddings).select("norm", F.size("v").alias("nd"))
+    ps = [0.25, 0.5, 0.75, 0.99]
+    arr = ", ".join(f"{p}D" for p in ps)
+    one = n.agg(
+        F.count("*").cast("double").alias("n_vecs"),
+        F.max("nd").cast("double").alias("n_dims"),
+        F.sum(F.when(F.col("norm") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("zero_vecs"),
+        F.round(F.avg("norm"), 6).alias("norm_mean"),
+        F.expr(f"percentile(norm, array({arr}))").alias("pct"),
+        F.round(F.max("norm"), 6).alias("norm_max"),
+    )
+    rows = [
+        F.struct(F.lit(k).alias("stat"), F.col(k).alias("value"))
+        for k in ("n_vecs", "n_dims", "zero_vecs", "norm_mean")
+    ] + [
+        F.struct(
+            F.lit(f"norm_p{int(p * 100)}").alias("stat"),
+            F.round(F.element_at("pct", i + 1), 6).alias("value"),
+        )
+        for i, p in enumerate(ps)
+    ] + [F.struct(F.lit("norm_max").alias("stat"), F.col("norm_max").alias("value"))]
+    return one.select(F.explode(F.array(*rows)).alias("z")).select("z.*")
+
+
+def embedding_stats_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`embedding_stats` (standalone query)."""
+    dot = (
+        "list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)"
+    )
+    pcts = "\n    UNION ALL ".join(
+        f"SELECT 'norm_p{int(p * 100)}' AS stat,"
+        f" round(quantile_cont(norm, {p}), 6) AS value FROM es_n"
+        for p in [0.25, 0.5, 0.75, 0.99]
+    )
+    return f"""
+    WITH es_v AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), es_n AS (
+      SELECT sqrt({dot}) AS norm, len(v) AS nd FROM es_v
+    )
+    SELECT 'n_vecs' AS stat, CAST(count(*) AS DOUBLE) AS value FROM es_n
+    UNION ALL SELECT 'n_dims', CAST(max(nd) AS DOUBLE) FROM es_n
+    UNION ALL SELECT 'zero_vecs',
+      CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM es_n
+    UNION ALL SELECT 'norm_mean', round(avg(norm), 6) FROM es_n
+    UNION ALL {pcts}
+    UNION ALL SELECT 'norm_max', round(max(norm), 6) FROM es_n
+    """

@@ -1261,3 +1261,49 @@ def bpe_merges(documents: DataFrame, merges: int = 8) -> DataFrame:
     return spark.createDataFrame(
         out, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def pii_counts(documents: DataFrame) -> DataFrame:
+    """→ [doc_id, n_email, n_ip, n_phone, has_pii] — how much PII
+    :func:`redact_pii` WOULD scrub, per document, without touching the
+    text: the audit/reporting half of the PII family (detect → count →
+    redact). Counting follows the same sequential semantics as the
+    redactor — each pattern is counted on the text AFTER the earlier
+    patterns are replaced (so an IPv4 octet run is never double-counted
+    as a phone number).
+
+    Scale shape: map-only chained ``regexp_count``/``regexp_replace``
+    column expressions, column-pruned, whole-stage codegen — zero shuffle.
+    """
+    cur = F.col("text")
+    counts = []
+    for pat, repl in REDACT_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    n_email, n_ip, n_phone = counts
+    return documents.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_phone.alias("n_phone"),
+        ((n_email + n_ip + n_phone) > 0).alias("has_pii"),
+    )
+
+
+def pii_counts_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`pii_counts`."""
+    cur = "text"
+    counts = []
+    for pat, repl in REDACT_PATTERNS:
+        quoted = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({cur}, '{quoted}'))")
+        cur = f"regexp_replace({cur}, '{quoted}', '{repl}', 'g')"
+    n_email, n_ip, n_phone = counts
+    return f"""
+    SELECT doc_id,
+           {n_email} AS n_email,
+           {n_ip} AS n_ip,
+           {n_phone} AS n_phone,
+           ({n_email} + {n_ip} + {n_phone}) > 0 AS has_pii
+    FROM {table}
+    """

@@ -22,7 +22,7 @@ from linkgraph_spark.kernels.matching import MatchingResult, maximal_matching, v
 from linkgraph_spark.kernels.densest import DensestResult, densest_subgraph
 from linkgraph_spark.kernels.linkpred import adamic_adar, link_scores, neighborhood_overlap
 from linkgraph_spark.kernels.msf import MSFResult, boruvka_msf, msf_clusters
-from linkgraph_spark.kernels.kmeans import kmeans, kmeans_profile, silhouette
+from linkgraph_spark.kernels.kmeans import kmeans, kmeans_profile, pq_codes, silhouette
 from linkgraph_spark.kernels.pca import pca_power
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
@@ -59,7 +59,7 @@ from linkgraph_spark.kernels.stats import (
     rich_club,
 )
 from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
-from linkgraph_spark.kernels.truss import TrussResult, edge_support, k_truss
+from linkgraph_spark.kernels.truss import TrussResult, edge_support, k_truss, local_bridges
 from linkgraph_spark.kernels.walks import random_walks, skipgram_pairs
 from linkgraph_spark.kernels.kcore import KCoreResult, k_core
 from linkgraph_spark.kernels.triangles import (
@@ -73,6 +73,7 @@ from linkgraph_spark.kernels.triangles import (
 __all__ = [
     "kmeans",
     "kmeans_profile",
+    "pq_codes",
     "silhouette",
     "pca_power",
     "pagerank",
@@ -133,6 +134,7 @@ __all__ = [
     "TrussResult",
     "edge_support",
     "k_truss",
+    "local_bridges",
     "link_scores",
     "neighborhood_overlap",
     "MSFResult",

@@ -289,3 +289,76 @@ def silhouette_sql(table: str = "embeddings", k: int = 8, iterations: int = 4) -
            round(avg(s), 6) AS mean_silhouette
     FROM sil_pts GROUP BY cluster
     """
+
+
+def pq_codes(
+    embeddings: DataFrame, subvectors: int = 2, k: int = 8, iterations: int = 2
+) -> DataFrame:
+    """→ [vec_id, sub, code] — PRODUCT QUANTIZATION codes: the embedding
+    is split into ``subvectors`` contiguous slices and each slice is
+    assigned to its own ``k``-centroid deterministic-Lloyd codebook
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011 — the workhorse of every 100 TB-scale ANN index: m
+    sub-codes of log2(k) bits replace the fp32 vector, here 2×3 bits per
+    64-float vector). Same determinism contract as :func:`kmeans`
+    (init = vec_id<k slice, 9dp-rounded means, ties by cluster asc), so
+    the oracle replays every sub-codebook exactly.
+
+    Scale shape: per subvector, the :func:`kmeans` plan on a SLICED
+    (narrower) vector — zero-shuffle literal-codebook assignment, k·D/m
+    cell mean aggregates; the final union is plan-level only. Driver
+    state: m codebooks of k·(D/m) floats.
+    """
+    head = embeddings.select(F.size("embedding").alias("d")).head()
+    if head is None:
+        raise ValueError("pq_codes needs a non-empty embeddings frame")
+    dims = int(head["d"])
+    if dims % subvectors != 0:
+        raise ValueError(f"dims {dims} not divisible by {subvectors} subvectors")
+    width = dims // subvectors
+    outs = []
+    for s in range(subvectors):
+        sub = embeddings.select(
+            "vec_id", F.slice("embedding", s * width + 1, width).alias("embedding")
+        )
+        base = _base(sub).persist()
+        try:
+            cents = _lloyd_centroids(base, k, iterations)
+        finally:
+            base.unpersist()
+        outs.append(
+            _assign(_base(sub), cents).select(
+                "vec_id",
+                F.lit(s).cast("int").alias("sub"),
+                F.col("cluster").alias("code"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def pq_codes_sql(
+    table: str = "embeddings",
+    subvectors: int = 2,
+    k: int = 8,
+    iterations: int = 2,
+    dims: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`pq_codes` — one unrolled Lloyd chain per
+    subvector slice, unioned (each chain lives in its own subquery scope,
+    so the fixed CTE names don't collide)."""
+    width = dims // subvectors
+    parts = []
+    for s in range(subvectors):
+        sub = (
+            f"(SELECT vec_id, embedding[{s * width + 1}:{(s + 1) * width}]"
+            f" AS embedding FROM {table})"
+        )
+        parts.append(
+            f"SELECT vec_id, {s} AS sub, cluster AS code FROM (\n"
+            f"{_kmeans_ctes(sub, k, iterations)}\n"
+            f"    SELECT vec_id, cluster FROM kfinal)"
+        )
+    return "\n    UNION ALL\n    ".join(parts)

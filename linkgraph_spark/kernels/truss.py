@@ -159,3 +159,54 @@ def k_truss_sql(k: int, rounds: int) -> str:
     return f"""{body}
     SELECT a, b, support FROM kt{rounds}
     """
+
+
+def local_bridges(graph: LinkGraph) -> DataFrame:
+    """→ [a, b, deg_a, deg_b] — the LOCAL BRIDGES of the undirected simple
+    graph: edges whose endpoints share no common neighbor (triangle
+    support 0, i.e. span > 2 in Easley–Kleinberg's sense). These are the
+    weak-tie shortcuts between otherwise-disjoint neighborhoods — the
+    edges whose removal most lengthens local paths, and the classic
+    candidates for "information brokerage" features. Endpoint degrees
+    ride along so a consumer can rank bridges by the mass they connect.
+    Engine addition (the reference has no structural edge features).
+
+    Scale shape: reuses :func:`edge_support`'s oriented triangle
+    enumeration (hub-oriented join, no cartesian), filters support = 0,
+    and attaches degrees from one O(E) count aggregate — two hash joins,
+    no window, no iteration.
+    """
+    und = _oriented(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    zero = _support_und(und).where(F.col("support") == 0).select("a", "b")
+    return (
+        zero.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select("a", "b", "deg_a", "deg_b")
+    )
+
+
+def local_bridges_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    und = """lb_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    )"""
+    return f"""{und},
+    {_sup_sql("lb_und", "lb_sup")},
+    lb_deg AS (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM lb_und UNION ALL SELECT b AS id FROM lb_und
+      ) GROUP BY id
+    )
+    SELECT s.a, s.b, da.deg AS deg_a, db.deg AS deg_b
+    FROM lb_sup s
+    JOIN lb_deg da ON da.id = s.a
+    JOIN lb_deg db ON db.id = s.b
+    WHERE s.support = 0
+    """
