@@ -1123,6 +1123,29 @@ def q_source_overlap(spark, sf_dir):
     return dd.source_overlap(_docs(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 12
+def q_lsh_recall(spark, sf_dir):
+    return sim.lsh_recall(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_time_to_convert(spark, sf_dir):
+    return ev.time_to_convert(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        start="signup",
+        target="purchase",
+    )
+
+
+def q_quality_curve(spark, sf_dir):
+    return tx.quality_curve(_docs(spark, sf_dir))
+
+
+def q_degree_powerlaw(spark, sf_dir):
+    from linkgraph_spark.kernels.stats import degree_powerlaw
+
+    return degree_powerlaw(_graph(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1303,6 +1326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "pq_codes": q_pq_codes,
         "source_overlap": q_source_overlap,
+        # wave 12 (new this round — r6 rotation must front these too)
+        "lsh_recall": q_lsh_recall,
+        "time_to_convert": q_time_to_convert,
+        "quality_curve": q_quality_curve,
+        "degree_powerlaw": q_degree_powerlaw,
     }
 
 
@@ -2085,6 +2113,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": sim.embedding_stats_sql(),
         "pq_codes": _pq_sql(),
         "source_overlap": dd.source_overlap_sql(),
+        # wave 12
+        "lsh_recall": sim.lsh_recall_sql(n_queries=10, k=5),
+        "time_to_convert": ev.time_to_convert_sql(start="signup", target="purchase"),
+        "quality_curve": tx.quality_curve_sql(),
+        "degree_powerlaw": f"{_G}, {_DEGS},{st.degree_powerlaw_sql()}",
     }
 
 

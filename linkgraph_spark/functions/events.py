@@ -936,3 +936,89 @@ def attribution_sql(target: str = "purchase", table: str = "events") -> str:
     FROM at_first f LEFT JOIN at_conv c USING (user_id)
     GROUP BY f.first_touch
     """
+
+
+def time_to_convert(
+    events: DataFrame, start: str = "signup", target: str = "purchase"
+) -> DataFrame:
+    """→ [stat, value] — latency distribution from a user's FIRST
+    ``start`` event to their first ``target`` event AT OR AFTER it
+    (seconds): converter count, mean, exact p25/p50/p75/p90, max. The
+    time-to-value metric every growth dashboard tracks next to
+    :func:`attribution`'s conversion rate — rate says how many, this says
+    how long.
+
+    Scale shape: two type-filtered per-user min aggregates (map-side
+    combinable) + one hash join on user_id + ONE global aggregate over
+    the O(converters) latency column (percentile sorts it once). No
+    window over raw events.
+    """
+    e = events.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    t0 = (
+        e.where(F.col("event_type") == start)
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t0"))
+    )
+    lat = (
+        e.where(F.col("event_type") == target)
+        .join(t0, "user_id")
+        .where(F.col("ts_s") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg((F.min("ts_s") - F.first("t0")).alias("lat"))
+    )
+    ps = [0.25, 0.5, 0.75, 0.9]
+    arr = ", ".join(f"{p}D" for p in ps)
+    one = lat.agg(
+        F.count("*").cast("double").alias("n_converted"),
+        F.round(F.avg("lat"), 6).alias("mean_sec"),
+        F.expr(f"percentile(lat, array({arr}))").alias("pct"),
+        F.max("lat").cast("double").alias("max_sec"),
+    )
+    rows = (
+        [
+            F.struct(F.lit("n_converted").alias("stat"), F.col("n_converted").alias("value")),
+            F.struct(F.lit("mean_sec").alias("stat"), F.col("mean_sec").alias("value")),
+        ]
+        + [
+            F.struct(
+                F.lit(f"p{int(p * 100)}_sec").alias("stat"),
+                F.round(F.element_at("pct", i + 1), 6).alias("value"),
+            )
+            for i, p in enumerate(ps)
+        ]
+        + [F.struct(F.lit("max_sec").alias("stat"), F.col("max_sec").alias("value"))]
+    )
+    return one.select(F.explode(F.array(*rows)).alias("z")).select("z.*")
+
+
+def time_to_convert_sql(
+    start: str = "signup", target: str = "purchase", table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`time_to_convert` (standalone query)."""
+    s = start.replace("'", "''")
+    t = target.replace("'", "''")
+    pcts = "\n    UNION ALL ".join(
+        f"SELECT 'p{int(p * 100)}_sec' AS stat,"
+        f" round(quantile_cont(lat, {p}), 6) AS value FROM tc_lat"
+        for p in [0.25, 0.5, 0.75, 0.9]
+    )
+    return f"""
+    WITH tc_e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), tc_t0 AS (
+      SELECT user_id, min(ts_s) AS t0 FROM tc_e
+      WHERE event_type = '{s}' GROUP BY user_id
+    ), tc_lat AS (
+      SELECT e.user_id, min(e.ts_s) - min(z.t0) AS lat
+      FROM tc_e e JOIN tc_t0 z USING (user_id)
+      WHERE e.event_type = '{t}' AND e.ts_s >= z.t0
+      GROUP BY e.user_id
+    )
+    SELECT 'n_converted' AS stat, CAST(count(*) AS DOUBLE) AS value FROM tc_lat
+    UNION ALL SELECT 'mean_sec', round(avg(lat), 6) FROM tc_lat
+    UNION ALL {pcts}
+    UNION ALL SELECT 'max_sec', CAST(max(lat) AS DOUBLE) FROM tc_lat
+    """

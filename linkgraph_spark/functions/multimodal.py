@@ -3,9 +3,10 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; the Spark-side plumbing (schema, partitioning, Arrow batch
 shape, UDF signatures) is real and tested. Codec work: ``decode_strict``
-REALLY decodes the two stdlib-parseable containers (RIFF/WAVE PCM audio,
-uncompressed 24/32-bpp BMP images) with numpy-vectorized stats, and raises
-``NotImplementedError`` for formats that need absent libraries (JPEG/PNG/
+REALLY decodes the four stdlib-parseable containers (RIFF/WAVE PCM audio,
+uncompressed 24/32-bpp BMP images, 8-bit non-interlaced PNG, non-interlaced
+GIF via pure-python LZW) with numpy-vectorized stats, and raises
+``NotImplementedError`` for formats that need absent libraries (JPEG/
 MP4/…); ``decode_stub`` keeps deterministic fake features for plumbing
 tests over arbitrary payloads. Production swap: add Pillow / torchaudio /
 pyav branches to ``decode_strict``'s magic-byte dispatch, same
@@ -261,13 +262,125 @@ def _decode_png(data: bytes) -> list[float]:
     return [float(w), float(h), float(depth * channels), r, g, b, a, 0.0]
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes, 12-bit max
+    code width) → list of palette indices. Pure stdlib; raises ValueError
+    on a corrupt stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list = []
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < n_pixels:
+        if bitpos + code_size > total_bits:
+            break
+        code = 0
+        for i in range(code_size):
+            if (data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1:
+                code |= 1 << i
+        bitpos += code_size
+        if code == end:
+            break
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW stream ended early ({len(out)}/{n_pixels} pixels)"
+        )
+    return out[:n_pixels]
+
+
+def _decode_gif(data: bytes) -> list[float]:
+    """REAL stdlib decode of a GIF87a/89a payload (header + global color
+    table + LZW-decompressed FIRST frame) → 8 features:
+    [width, height, palette_colors, r_mean, g_mean, b_mean, 0, 0]
+    (channel means in [0, 1] over the first frame's palette-resolved
+    pixels). Interlaced frames and frames relying on a missing color
+    table raise ``NotImplementedError`` loudly."""
+    import struct as _struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _aspect = _struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = _struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = [
+                    tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+                ]
+                pos += 3 * n
+            if palette is None:
+                raise NotImplementedError("GIF frame without a color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(mcs, bytes(lzw), iw * ih)
+            px = np.array([palette[i] for i in idx], dtype=np.float64) / 255.0
+            r, g, b = (float(px[:, c].mean()) for c in range(3))
+            return [float(w), float(h), float(len(palette)), r, g, b, 0.0, 0.0]
+        elif block == 0x3B:  # trailer before any frame
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF payload has no image frame")
+
+
 def decode_strict(media: DataFrame) -> DataFrame:
     """Production decode path. REAL (stdlib + numpy, no codec libraries)
-    for the three formats whose containers are stdlib-parseable — RIFF/WAVE
-    PCM audio, uncompressed BMP images, and 8-bit non-interlaced PNG
-    (zlib-inflated, per-scanline unfiltered) — dispatched on magic bytes,
-    and a loud ``NotImplementedError`` for every other format (JPEG/MP4/…
-    need Pillow/pyav, absent in this container; swap them into the same
+    for the four formats whose containers are stdlib-parseable — RIFF/WAVE
+    PCM audio, uncompressed BMP images, 8-bit non-interlaced PNG
+    (zlib-inflated, per-scanline unfiltered), and non-interlaced GIF
+    (LZW-decompressed first frame) — dispatched on magic bytes, and a loud
+    ``NotImplementedError`` for every other format (JPEG/MP4/… need
+    Pillow/pyav, absent in this container; swap them into the same
     dispatch table in production). Same Arrow batching and output schema as
     :func:`decode_stub`."""
 
@@ -285,10 +398,13 @@ def decode_strict(media: DataFrame) -> DataFrame:
                 elif data[:8] == _PNG_MAGIC:
                     feats.append([float(x) for x in _decode_png(data)])
                     notes.append("png")
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    feats.append([float(x) for x in _decode_gif(data)])
+                    notes.append("gif")
                 else:
                     raise NotImplementedError(
-                        "decode_strict: payload is not RIFF/WAVE, BMP, or "
-                        "PNG; decoding other formats requires codec "
+                        "decode_strict: payload is not RIFF/WAVE, BMP, PNG, "
+                        "or GIF; decoding other formats requires codec "
                         "libraries (Pillow/soundfile/pyav) not present in "
                         "this environment — use decode_stub for plumbing "
                         "tests"

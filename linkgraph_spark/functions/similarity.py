@@ -828,3 +828,71 @@ def embedding_stats_sql(table: str = "embeddings") -> str:
     UNION ALL {pcts}
     UNION ALL SELECT 'norm_max', round(max(norm), 6) FROM es_n
     """
+
+
+def lsh_recall(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
+) -> DataFrame:
+    """→ [query_id, n_exact, n_hits, recall] — recall@k of the
+    :func:`lsh_knn` approximate path against the :func:`cosine_topk`
+    exact ground truth, per query. THE acceptance metric for any ANN
+    index before it replaces brute force at scale (you tune
+    ``n_planes``/tables until this says ≥0.9, then ship the bucketed
+    path); computing it inside the engine keeps the evaluation on the
+    same data, same distance, same tie-breaks as production.
+
+    Scale shape: composes the two existing plans (broadcast brute force
+    over the query subset — the ground truth is only ever computed for a
+    SAMPLE of queries, never all-pairs — and the bucket equi-join), then
+    one (query, neighbor) equi-join + an O(n_queries)-row aggregate.
+    """
+    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id")
+    approx = lsh_knn(embeddings, n_queries, k, n_planes).select(
+        F.col("query_id").alias("_qa"), F.col("neighbor_id").alias("_na")
+    )
+    cnt = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("_qa"))
+            & (F.col("neighbor_id") == F.col("_na")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return cnt.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("n_exact"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def lsh_recall_sql(
+    table: str = "embeddings", n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
+) -> str:
+    """DuckDB oracle for :func:`lsh_recall` — the exact and approximate
+    top-k oracles run in isolated subquery scopes and join."""
+    return f"""
+    WITH lr_ex AS (
+      SELECT query_id, neighbor_id FROM (
+        {cosine_topk_sql(table, n_queries, k)}
+      )
+    ), lr_ap AS (
+      SELECT query_id, neighbor_id FROM (
+        {lsh_knn_sql(table, n_queries, k, n_planes)}
+      )
+    ), lr_cnt AS (
+      SELECT query_id, count(*) AS n_exact FROM lr_ex GROUP BY query_id
+    ), lr_hit AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM lr_ex e JOIN lr_ap a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT c.query_id, c.n_exact, coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) * 1.0 / c.n_exact, 6) AS recall
+    FROM lr_cnt c LEFT JOIN lr_hit h USING (query_id)
+    """

@@ -1307,3 +1307,70 @@ def pii_counts_sql(table: str = "documents") -> str:
            ({n_email} + {n_ip} + {n_phone}) > 0 AS has_pii
     FROM {table}
     """
+
+
+def quality_curve(
+    documents: DataFrame, thresholds: tuple = (0.25, 0.5, 0.75, 1.0)
+) -> DataFrame:
+    """→ [threshold, n_retained, frac_retained, mean_quality] — the
+    retention curve over :func:`quality_score` cutoffs: for each
+    candidate threshold, how much corpus survives a ``quality >= t``
+    filter and what the survivors' mean quality is. This is the table a
+    curation owner reads to PICK the cutoff (the knee where retained
+    fraction drops faster than quality rises) before wiring it into
+    :func:`~linkgraph_spark.functions.curation.curate_corpus`.
+
+    Scale shape: one :func:`quality_score` map pass, then ONE global
+    aggregate computing every threshold's cells as conditional sums
+    (map-side combinable, O(1) state per threshold) — the corpus is
+    scanned once regardless of how many thresholds are probed; output is
+    |thresholds| rows via a driver-free melt.
+    """
+    q = quality_score(documents).select("quality")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        keep = F.when(F.col("quality") >= t, 1).otherwise(0)
+        aggs += [
+            F.sum(keep).alias(f"_n{i}"),
+            F.round(F.sum(keep) * 1.0 / F.count("*"), 6).alias(f"_f{i}"),
+            F.round(
+                F.sum(F.when(F.col("quality") >= t, F.col("quality"))) / F.sum(keep),
+                6,
+            ).alias(f"_m{i}"),
+        ]
+    one = q.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"_n{i}").alias("n_retained"),
+            F.col(f"_f{i}").alias("frac_retained"),
+            F.col(f"_m{i}").alias("mean_quality"),
+        )
+        for i, t in enumerate(thresholds)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("z")).select("z.*")
+
+
+def quality_curve_sql(
+    table: str = "documents", thresholds: tuple = (0.25, 0.5, 0.75, 1.0)
+) -> str:
+    """DuckDB oracle for :func:`quality_curve` — reuses the quality_score
+    oracle in a subquery scope, one UNION ALL row per threshold."""
+    qs = quality_score_sql(table)
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({float(t)} AS DOUBLE) AS threshold,"
+        f" sum(CASE WHEN quality >= {float(t)} THEN 1 ELSE 0 END) AS n_retained,"
+        f" round(sum(CASE WHEN quality >= {float(t)} THEN 1 ELSE 0 END) * 1.0"
+        f"       / count(*), 6) AS frac_retained,"
+        f" round(sum(CASE WHEN quality >= {float(t)} THEN quality END)"
+        f"       / sum(CASE WHEN quality >= {float(t)} THEN 1 ELSE 0 END), 6)"
+        f" AS mean_quality"
+        f" FROM qc_scores"
+        for t in thresholds
+    )
+    return f"""
+    WITH qc_scores AS (
+      SELECT quality FROM ({qs})
+    )
+    {rows}
+    """

@@ -429,3 +429,101 @@ def centrality_degree_corr_sql(ranks_cte: str) -> str:
     UNION ALL SELECT 'rank_vs_out' AS pair, ro AS pearson FROM cc_one
     UNION ALL SELECT 'in_vs_out' AS pair, io AS pearson FROM cc_one
     """
+
+
+def degree_powerlaw(graph: LinkGraph) -> DataFrame:
+    """→ [metric, alpha, r2, n_points] for metric ∈ ('in', 'out',
+    'total') — least-squares power-law fit of the degree distribution:
+    ln(count(deg)) regressed on ln(deg) over degrees ≥ 1, reported as
+    ``alpha`` = −slope (the exponent of P(deg) ∝ deg^−α) with the fit's
+    r². The "is this graph scale-free, and how heavy is the tail" number
+    read next to :func:`degree_gini` — α ≈ 2–3 with high r² is classic
+    web-graph territory; a poor r² says the histogram isn't a power law
+    and hub heuristics tuned for one will misfire. Same closed-form
+    sums-formula slope as ``zipf_slope`` (identical operation order in
+    both engines).
+
+    Scale shape: everything runs on the degree HISTOGRAM (≪ V rows, the
+    :func:`degree_gini` collapse); the fit is six sums + closed forms —
+    no window, no sort, no iteration.
+    """
+    d = graph.degrees.select(
+        F.col("in_deg").cast("double").alias("in"),
+        F.col("out_deg").cast("double").alias("out"),
+        (F.col("in_deg") + F.col("out_deg")).cast("double").alias("total"),
+    )
+    melted = d.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("metric"), F.col(m).alias("deg"))
+                    for m in ("in", "out", "total")
+                ]
+            )
+        ).alias("z")
+    ).select("z.*")
+    hist = (
+        melted.where(F.col("deg") >= 1)
+        .groupBy("metric", "deg")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    xy = hist.select(
+        "metric", F.log("deg").alias("x"), F.log("cnt").alias("y")
+    )
+    s = xy.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "metric",
+        F.round(F.when(dxx > 0, -num / dxx).otherwise(F.lit(0.0)), 6).alias("alpha"),
+        F.round(
+            F.when((dxx > 0) & (dyy > 0), num * num / (dxx * dyy)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("r2"),
+        F.col("n").alias("n_points"),
+    )
+
+
+def degree_powerlaw_sql() -> str:
+    """DuckDB oracle body (expects the ``degs`` CTE in scope)."""
+    return """
+    dp_melt AS (
+      SELECT 'in' AS metric, CAST(in_deg AS DOUBLE) AS deg FROM degs
+      UNION ALL
+      SELECT 'out' AS metric, CAST(out_deg AS DOUBLE) AS deg FROM degs
+      UNION ALL
+      SELECT 'total' AS metric, CAST(in_deg + out_deg AS DOUBLE) AS deg FROM degs
+    ),
+    dp_hist AS (
+      SELECT metric, deg, CAST(count(*) AS DOUBLE) AS cnt
+      FROM dp_melt WHERE deg >= 1 GROUP BY 1, 2
+    ),
+    dp_s AS (
+      SELECT metric, count(*) AS n,
+             sum(ln(deg)) AS sx, sum(ln(cnt)) AS sy,
+             sum(ln(deg) * ln(cnt)) AS sxy,
+             sum(ln(deg) * ln(deg)) AS sxx,
+             sum(ln(cnt) * ln(cnt)) AS syy
+      FROM dp_hist GROUP BY metric
+    )
+    SELECT metric,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                 THEN -(n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 ELSE 0.0 END, 6) AS alpha,
+           round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                 THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 ELSE 0.0 END, 6) AS r2,
+           n AS n_points
+    FROM dp_s
+    """

@@ -7,6 +7,10 @@ on the stream, watermarked windowed activity, and incremental degree
 maintenance into the same checkpoint-table layout the batch kernels use.
 """
 
+from linkgraph_spark.streaming.dedup_stream import (
+    stream_dedup_turns,
+    stream_exact_dedup,
+)
 from linkgraph_spark.streaming.transcript_stream import (
     incremental_degrees,
     merge_degree_batch,
@@ -25,4 +29,6 @@ __all__ = [
     "merge_degree_batch",
     "read_degree_state",
     "stream_adjacent_edges",
+    "stream_dedup_turns",
+    "stream_exact_dedup",
 ]

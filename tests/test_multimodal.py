@@ -253,3 +253,84 @@ def test_decode_strict_png_real(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|unsupported"):
         mm.decode_strict(dfb).collect()
+
+
+def _make_gif(px_idx, palette):
+    """Minimal GIF encoder for tests: palette-indexed pixels with the LZW
+    stream emitted as CLEAR before every pixel code (the classic
+    'uncompressed GIF' trick — fixed code width, no table growth), plus a
+    graphic-control extension so the decoder's skip path is exercised."""
+    import struct
+
+    h, w = len(px_idx), len(px_idx[0])
+    n_bits = max(1, (len(palette) - 1).bit_length())
+    gct_n = max(0, n_bits - 1)
+    table_size = 2 << gct_n
+    mcs = max(2, n_bits)
+    clear, end, code_size = 1 << mcs, (1 << mcs) + 1, mcs + 1
+    bits = []
+
+    def emit(code):
+        for i in range(code_size):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    for row in px_idx:
+        for p in row:
+            emit(p)
+            emit(clear)
+    emit(end)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | gct_n, 0, 0)
+    for i in range(table_size):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes([r, g, b])
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([mcs])
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + bytes(blk)
+    return out + b"\x00\x3b"
+
+
+def test_decode_strict_gif_real(spark):
+    """REAL GIF decode: LZW-decompressed first frame round-trips to exact
+    palette-resolved channel means; a 20x20 frame forces multiple LZW
+    sub-blocks."""
+    import numpy as np
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    px = [[0, 0], [1, 2]]
+    payload = _make_gif(px, palette)
+    df = spark.createDataFrame(
+        [(6, "image", bytearray(payload), (2, 2, 0, "gif"))], mm.MEDIA_SCHEMA
+    )
+    (r,) = mm.decode_strict(df).collect()
+    w, h, ncolors, mr, mg, mb, _, _ = r["feature"]
+    assert (w, h, ncolors) == (2.0, 2.0, 4.0)
+    assert r["note"] == "gif"
+    want = np.array(
+        [palette[i] for row in px for i in row], dtype=np.float64
+    ).mean(axis=0) / 255.0
+    for got, wv in zip((mr, mg, mb), want):
+        assert abs(got - wv) < 1e-6
+
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 4, size=(20, 20)).tolist()
+    pay2 = _make_gif(big, palette)
+    assert pay2.count(b"\x3b") >= 1 and len(pay2) > 300  # multi-sub-block
+    df2 = spark.createDataFrame(
+        [(7, "image", bytearray(pay2), (20, 20, 0, "gif"))], mm.MEDIA_SCHEMA
+    )
+    (r2,) = mm.decode_strict(df2).collect()
+    want2 = np.array(
+        [palette[i] for row in big for i in row], dtype=np.float64
+    ).mean(axis=0) / 255.0
+    assert (r2["feature"][0], r2["feature"][1]) == (20.0, 20.0)
+    for got, wv in zip(r2["feature"][3:6], want2):
+        assert abs(got - wv) < 1e-6

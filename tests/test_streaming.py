@@ -241,3 +241,98 @@ def test_stream_adjacent_edges_drop_counter(spark, tmp_path):
     )
     assert got == want
     t.unpersist()
+
+
+def test_stream_dedup_turns_drops_replays(spark, tmp_path):
+    from linkgraph_spark.streaming import stream_dedup_turns
+
+    src = str(tmp_path / "dedup_in")
+    t = _write_transcripts(spark, src, n_convs=20)
+    # replay every file once: at-least-once delivery of the same rows
+    t.repartition(2).write.mode("append").parquet(src)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        # watermark wider than the synthesized ts span: only DUPLICATES are
+        # dropped (a tight watermark would also drop genuinely-late rows,
+        # which is correct production behavior but not what this test pins)
+        stream_dedup_turns(stream, watermark="30 days")
+        .writeStream.format("memory")
+        .queryName("dedup_turns_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, count(*) AS c FROM dedup_turns_out "
+        "GROUP BY conv_id, turn_idx HAVING count(*) > 1"
+    ).count()
+    assert got == 0  # no key emitted twice
+    total = spark.sql("SELECT count(*) AS c FROM dedup_turns_out").collect()[0]["c"]
+    assert total == t.select("conv_id", "turn_idx").distinct().count()
+
+
+def test_stream_exact_dedup_first_occurrence(spark, tmp_path):
+    from linkgraph_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "docdedup_in")
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "Alpha  beta gamma"),   # same normalized content as 0
+        (2, "something else"),
+        (3, "alpha beta gamma"),    # dup of 0 again
+        (4, "unique four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("docdedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["n_prior_dups"]
+        for r in spark.sql("SELECT * FROM docdedup_out").collect()
+    }
+    # keepers = min doc_id per digest; 0 had 2 same-batch dups (1, 3)
+    assert got == {0: 2, 2: 0, 4: 0}
+
+
+def test_stream_exact_dedup_drops_across_batches(spark, tmp_path):
+    from linkgraph_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "docdedup2_in")
+    spark.createDataFrame(
+        [(0, "same content"), (1, "other")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # second file arrives as a later micro-batch with a cross-batch dup
+    spark.createDataFrame(
+        [(2, "same  CONTENT"), (3, "brand new")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("docdedup2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM docdedup2_out").collect()
+    )
+    assert kept == [0, 1, 3]  # doc 2 dropped: digest already stateful
