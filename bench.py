@@ -168,6 +168,21 @@ def main():
 
     # trained-codebook workload: 4 Lloyd jobs + final broadcast assign
     _, q["kmeans8_sf"] = timed(lambda: kmeans(embs, k=8, iterations=4).count())
+    from linkgraph_spark.kernels.kmeans import pq_codes
+
+    # PQ training: two Lloyd chains on sliced halves (the ANN-index build)
+    _, q["pq_codes_sf"] = timed(lambda: pq_codes(embs, subvectors=2, k=8, iterations=2).count())
+    from linkgraph_spark.functions.similarity import lsh_recall
+
+    # ANN evaluation composition: brute-force sample + bucket join + compare
+    _, q["lsh_recall_sf"] = timed(lambda: lsh_recall(embs).count())
+    from linkgraph_spark.functions.dedup import source_overlap
+    from linkgraph_spark.functions.text import bpe_merges
+
+    # per-shingle source fan-out join (bounded by |sources|^2)
+    _, q["source_overlap_sf"] = timed(lambda: source_overlap(docs).count())
+    # iterative argmax loop over the word-type table (8 TakeOrdered rounds)
+    _, q["bpe_merges8_sf"] = timed(lambda: bpe_merges(docs, merges=8).count())
 
     # ---- large synthetic transcript graph: the throughput workload ---------
     t_large = synthesize_transcripts(
