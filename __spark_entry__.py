@@ -1146,6 +1146,62 @@ def q_degree_powerlaw(spark, sf_dir):
     return degree_powerlaw(_graph(spark, sf_dir))
 
 
+# ---- wave 13: link-graph macro-structure (the web-graph classics) ----------
+def q_spam_mass3(spark, sf_dir):
+    # TrustRank + relative spam mass (Gyöngyi et al. VLDB 2004): trusted
+    # seeds = actors 0..4 (same seed set as pagerank_personalized5), both
+    # PageRank runs fixed at 3 supersteps so the oracle unrolls round-exact
+    from linkgraph_spark.kernels import spam_mass
+
+    return spam_mass(_graph(spark, sf_dir), trusted_ids=[0, 1, 2, 3, 4], iterations=3)
+
+
+def q_bowtie(spark, sf_dir):
+    # Broder bow-tie macro-structure — rows-only driver check (SCC + two
+    # BFS fixpoints are recursion DuckDB cannot replay); pinned by the
+    # pure-python Kosaraju+BFS oracle in tests/test_wave13.py
+    from linkgraph_spark.kernels import bowtie
+
+    res = bowtie(_graph(spark, sf_dir))
+    assert res.converged
+    return res.sizes
+
+
+def q_degree_uniqueness(spark, sf_dir):
+    from linkgraph_spark.kernels import degree_uniqueness
+
+    return degree_uniqueness(_graph(spark, sf_dir))
+
+
+def q_label_assortativity3(spark, sf_dir):
+    # Newman's categorical assortativity over the labelprop-3 communities —
+    # the scalar companion to label_mixing3 (same label chain in the oracle)
+    from linkgraph_spark.kernels import label_assortativity
+
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(g, max_iterations=3)
+    return label_assortativity(g, labels)
+
+
+def q_temporal_motifs(spark, sf_dir):
+    # δ=3600s time-respecting 2-edge motifs (same window as
+    # temporal_components); bucketed equi-join on the Spark side, plain
+    # inequality join in the oracle — identical pair set
+    from linkgraph_spark.kernels import temporal_edges, temporal_motifs
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    return temporal_motifs(temporal_edges(g, t), delta_sec=3600)
+
+
+def q_contract_roles(spark, sf_dir):
+    # host-graph contraction: conversation actors collapse to their role,
+    # tool actors stay themselves — the macro flow of the transcript graph
+    from linkgraph_spark.kernels import contract_vertices
+
+    return contract_vertices(_graph(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1331,6 +1387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_convert": q_time_to_convert,
         "quality_curve": q_quality_curve,
         "degree_powerlaw": q_degree_powerlaw,
+        # wave 13 (new this round — r6 rotation must front these too)
+        "spam_mass3": q_spam_mass3,
+        "bowtie": q_bowtie,
+        "degree_uniqueness": q_degree_uniqueness,
+        "label_assortativity3": q_label_assortativity3,
+        "temporal_motifs": q_temporal_motifs,
+        "contract_roles": q_contract_roles,
     }
 
 
@@ -1495,6 +1558,64 @@ def _pagerank_personalized_sql(iters: int = 5, d: float = 0.85, n_sources: int =
     return f"""{_G}, {_DEGS},
     {body}
     SELECT id, round(rank, 6) AS rank FROM r{iters}
+    """
+
+
+def _spam_mass_sql(iters: int = 3, d: float = 0.85, n_seeds: int = 5) -> str:
+    """Two round-exact unrolled PageRank chains (uniform g*, trusted t*)
+    joined into the relative-spam-mass report — the oracle twin of
+    ``kernels/trustrank.py::spam_mass`` (same chains as
+    ``_pagerank_textbook_sql`` / ``_pagerank_personalized_sql``, renamed
+    so both fit one WITH clause)."""
+    tele = f"(CASE WHEN r.id < {n_seeds} THEN 1.0 / {n_seeds} ELSE 0.0 END)"
+    tele0 = f"(CASE WHEN id < {n_seeds} THEN 1.0 / {n_seeds} ELSE 0.0 END)"
+    ctes = [
+        "g0 AS (SELECT id, 1.0 / nv.n AS rank FROM verts CROSS JOIN nv)",
+        f"t0 AS (SELECT id, {tele0} AS rank FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""gdm{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS m
+      FROM g{k - 1} r JOIN degs dg ON dg.id = r.id AND dg.out_deg = 0
+    ),
+    g{k} AS MATERIALIZED (
+      SELECT r.id,
+             {1 - d:.17g} / nv.n + {d} * (gdm{k}.m / nv.n)
+               + {d} * coalesce(s.sm, 0.0) AS rank
+      FROM g{k - 1} r CROSS JOIN nv CROSS JOIN gdm{k}
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(r2.rank / dg.out_deg) AS sm
+        FROM edges e
+        JOIN g{k - 1} r2 ON e.src = r2.id
+        JOIN degs dg ON dg.id = e.src
+        GROUP BY e.dst
+      ) s ON s.id = r.id
+    ),
+    tdm{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS m
+      FROM t{k - 1} r JOIN degs dg ON dg.id = r.id AND dg.out_deg = 0
+    ),
+    t{k} AS MATERIALIZED (
+      SELECT r.id,
+             {tele} * ({1 - d:.17g} + {d} * tdm{k}.m)
+               + {d} * coalesce(s.sm, 0.0) AS rank
+      FROM t{k - 1} r CROSS JOIN tdm{k}
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(r2.rank / dg.out_deg) AS sm
+        FROM edges e
+        JOIN t{k - 1} r2 ON e.src = r2.id
+        JOIN degs dg ON dg.id = e.src
+        GROUP BY e.dst
+      ) s ON s.id = r.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{_G}, {_DEGS}{_NV},
+    {body}
+    SELECT g.id, round(g.rank, 6) AS pr, round(t.rank, 6) AS tr,
+           round((g.rank - t.rank) / g.rank, 6) AS spam_mass
+    FROM g{iters} g JOIN t{iters} t USING (id)
     """
 
 
@@ -1769,6 +1890,14 @@ def _label_mixing3_sql(iters: int = 3) -> str:
     lp = _labelprop_sql(iters)
     head = lp[: lp.rindex("SELECT id, label")].rstrip()
     return f"{head},\n{label_mixing_sql(f'p{iters}')}"
+
+
+def _label_assortativity3_sql(iters: int = 3) -> str:
+    from linkgraph_spark.kernels.modularity import label_assortativity_sql
+
+    lp = _labelprop_sql(iters)
+    head = lp[: lp.rindex("SELECT id, label")].rstrip()
+    return f"{head},\n{label_assortativity_sql(f'p{iters}')}"
 
 
 def _pq_sql() -> str:
@@ -2118,6 +2247,19 @@ def oracle_sql() -> dict[str, str]:
         "time_to_convert": ev.time_to_convert_sql(start="signup", target="purchase"),
         "quality_curve": tx.quality_curve_sql(),
         "degree_powerlaw": f"{_G}, {_DEGS},{st.degree_powerlaw_sql()}",
+        # wave 13
+        "spam_mass3": _spam_mass_sql(3, 0.85, 5),
+        # "bowtie" intentionally absent: SCC + two reachability fixpoints
+        # are recursion DuckDB cannot replay — rows-only check; pinned by
+        # the pure-python Kosaraju+BFS oracle in tests/test_wave13.py
+        "degree_uniqueness": f"{_G}, {_DEGS},{st.degree_uniqueness_sql()}",
+        "label_assortativity3": _label_assortativity3_sql(),
+        "temporal_motifs": (
+            f"{_G}, {tmp._TE_CTE},\n"
+            f"    te AS MATERIALIZED ({tmp._TE_SELECT}),"
+            f"{tmp.temporal_motifs_sql(3600)}"
+        ),
+        "contract_roles": f"{_G}, {pj.contract_vertices_sql()}",
     }
 
 

@@ -35,16 +35,24 @@ from linkgraph_spark.kernels.centrality import (
     hyperball,
 )
 from linkgraph_spark.kernels.betweenness import BetweennessResult, betweenness
-from linkgraph_spark.kernels.modularity import conductance, label_mixing, modularity
+from linkgraph_spark.kernels.modularity import (
+    conductance,
+    label_assortativity,
+    label_mixing,
+    modularity,
+)
 from linkgraph_spark.kernels.node2vec import node2vec_walks
-from linkgraph_spark.kernels.projection import shared_tool_affinity
+from linkgraph_spark.kernels.projection import contract_vertices, shared_tool_affinity
 from linkgraph_spark.kernels.temporal import (
     temporal_components,
     TemporalReachResult,
     temporal_edges,
+    temporal_motifs,
     temporal_reachability,
 )
 from linkgraph_spark.kernels.scc import SccResult, strongly_connected_components
+from linkgraph_spark.kernels.bowtie import BowtieResult, bowtie
+from linkgraph_spark.kernels.trustrank import spam_mass
 from linkgraph_spark.kernels.spectral import (
     SpectralResult,
     eigenvector_centrality,
@@ -55,6 +63,7 @@ from linkgraph_spark.kernels.stats import (
     degree_assortativity,
     degree_gini,
     degree_percentiles,
+    degree_uniqueness,
     reciprocity,
     rich_club,
 )
@@ -131,6 +140,13 @@ __all__ = [
     "shared_tool_affinity",
     "SccResult",
     "strongly_connected_components",
+    "BowtieResult",
+    "bowtie",
+    "spam_mass",
+    "label_assortativity",
+    "temporal_motifs",
+    "degree_uniqueness",
+    "contract_vertices",
     "TrussResult",
     "edge_support",
     "k_truss",

@@ -226,3 +226,108 @@ def label_mixing_sql(labels_cte: str, label_col: str = "label") -> str:
            round(n_edges * 1.0 / t, 6) AS frac
     FROM lm_mix CROSS JOIN lm_t
     """
+
+
+def label_assortativity(
+    graph: LinkGraph, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """→ 1 row [r, n_labels, diag_frac] — Newman's categorical
+    assortativity coefficient (Newman, Phys. Rev. E 67, 2003, eq. 2) over
+    a community/label assignment: with e_xy the fraction of directed
+    edges from label x to label y, a_x = Σ_y e_xy, b_y = Σ_x e_xy,
+
+        r = (Σ_x e_xx − Σ_x a_x·b_x) / (1 − Σ_x a_x·b_x)
+
+    r = 1 ⇔ perfectly assortative (all edges intra-label), r = 0 ⇔ mixing
+    is what the marginals predict, r < 0 ⇔ disassortative. The scalar
+    companion to :func:`label_mixing` (the full matrix) — same reduction,
+    one number. The degenerate Σ a·b = 1 case (a single label) reports
+    r = 1.0 by convention (the partition is trivially assortative).
+
+    Scale shape: identical to :func:`label_mixing` — two label-attach
+    hash joins + ONE aggregate onto |labels|² cells; the a·b marginal
+    product is a self-join of the |labels|-row marginal table with
+    itself on the label key (tiny, broadcast). No V-row window.
+    """
+    lab = labels.select("id", F.col(label_col).alias("_lbl"))
+    e2 = (
+        graph.edges.select("src", "dst")
+        .join(
+            lab.select(F.col("id").alias("src"), F.col("_lbl").alias("lx")), "src"
+        )
+        .join(
+            lab.select(F.col("id").alias("dst"), F.col("_lbl").alias("ly")), "dst"
+        )
+    )
+    mix = e2.groupBy("lx", "ly").agg(F.count("*").alias("n")).persist()
+    tot = mix.agg(F.sum("n").alias("t"))
+    a = mix.groupBy("lx").agg(F.sum("n").alias("na"))
+    b = mix.groupBy("ly").agg(F.sum("n").alias("nb"))
+    ab = (
+        a.join(b, a.lx == b.ly)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("na") / F.col("t")) * (F.col("nb") / F.col("t"))
+            ).alias("sum_ab")
+        )
+    )
+    diag = (
+        mix.where(F.col("lx") == F.col("ly"))
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.col("n") / F.col("t")).alias("sum_diag"))
+    )
+    nl = lab.agg(F.countDistinct("_lbl").alias("n_labels"))
+    out = (
+        diag.crossJoin(ab)
+        .crossJoin(nl)
+        .select(
+            F.round(
+                F.when(
+                    F.abs(F.lit(1.0) - F.col("sum_ab")) < 1e-12, F.lit(1.0)
+                ).otherwise(
+                    (F.coalesce("sum_diag", F.lit(0.0)) - F.col("sum_ab"))
+                    / (F.lit(1.0) - F.col("sum_ab"))
+                ),
+                6,
+            ).alias("r"),
+            "n_labels",
+            F.round(F.coalesce("sum_diag", F.lit(0.0)), 6).alias("diag_frac"),
+        )
+        .localCheckpoint()  # tiny result; lets the mix cache go
+    )
+    mix.unpersist()
+    return out
+
+
+def label_assortativity_sql(labels_cte: str, label_col: str = "label") -> str:
+    """DuckDB oracle body. ``labels_cte`` names a CTE in scope with
+    ``[id, <label_col>]``; expects the ``edges`` CTE too."""
+    return f"""
+    la_mix AS MATERIALIZED (
+      SELECT lx.{label_col} AS lx, ly.{label_col} AS ly, count(*) AS n
+      FROM edges e
+      JOIN {labels_cte} lx ON lx.id = e.src
+      JOIN {labels_cte} ly ON ly.id = e.dst
+      GROUP BY 1, 2
+    ),
+    la_t AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM la_mix),
+    la_a AS (SELECT lx AS l, CAST(sum(n) AS DOUBLE) AS na FROM la_mix GROUP BY 1),
+    la_b AS (SELECT ly AS l, CAST(sum(n) AS DOUBLE) AS nb FROM la_mix GROUP BY 1),
+    la_ab AS (
+      SELECT sum((na / t) * (nb / t)) AS sum_ab
+      FROM la_a JOIN la_b USING (l) CROSS JOIN la_t
+    ),
+    la_diag AS (
+      SELECT sum(n / t) AS sum_diag FROM la_mix CROSS JOIN la_t WHERE lx = ly
+    ),
+    la_nl AS (
+      SELECT count(DISTINCT {label_col}) AS n_labels FROM {labels_cte}
+    )
+    SELECT round(CASE WHEN abs(1.0 - sum_ab) < 1e-12 THEN 1.0
+                 ELSE (coalesce(sum_diag, 0.0) - sum_ab) / (1.0 - sum_ab)
+                 END, 6) AS r,
+           n_labels,
+           round(coalesce(sum_diag, 0.0), 6) AS diag_frac
+    FROM la_diag CROSS JOIN la_ab CROSS JOIN la_nl
+    """

@@ -107,3 +107,67 @@ def shared_tool_affinity_sql(
     {cap}
     {tail}
     """
+
+
+def contract_vertices(graph: LinkGraph) -> DataFrame:
+    """→ [src_group, dst_group, n_edges, n_src, n_dst] — the host-graph
+    contraction of the link graph: every vertex collapses to its GROUP
+    (for conversation actors ``conv#role`` the role suffix; for global
+    ``tool:X`` actors the full key), and edges re-aggregate to
+    group-level weights with distinct-endpoint counts. The web-graph
+    analogue is page graph → host graph (Broder et al. 2000 report the
+    bow-tie at both granularities; Boldi–Vigna's host graphs are the
+    standard PageRank preconditioner) — the first thing an operator does
+    to a billion-page crawl to see its macro flow. Intra-group edges are
+    kept as self-loop rows (``src_group = dst_group``): the intra-host
+    mass is the signal, not noise.
+
+    Scale shape: the group key is a scalar projection on the vertex
+    table (no extra table), attached to edges by the same two hash joins
+    every labelled-edge op uses; the rollup is one aggregate onto
+    |groups|² cells with map-side combine. Distinct-endpoint counts ride
+    the SAME aggregate (two count-distincts, Spark expands them in one
+    pass). No window, no iteration.
+    """
+    grp = F.when(
+        F.col("actor_key").contains("#"),
+        F.element_at(F.split(F.col("actor_key"), "#"), 2),
+    ).otherwise(F.col("actor_key"))
+    vmap = graph.vertices.select("id", grp.alias("_grp"))
+    e2 = (
+        graph.edges.select("src", "dst")
+        .join(
+            vmap.select(F.col("id").alias("src"), F.col("_grp").alias("src_group")),
+            "src",
+        )
+        .join(
+            vmap.select(F.col("id").alias("dst"), F.col("_grp").alias("dst_group")),
+            "dst",
+        )
+    )
+    return e2.groupBy("src_group", "dst_group").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("src").alias("n_src"),
+        F.countDistinct("dst").alias("n_dst"),
+    )
+
+
+def contract_vertices_sql() -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs in scope)."""
+    return """
+    cv_map AS (
+      SELECT id,
+             CASE WHEN position('#' IN actor_key) > 0
+                  THEN split_part(actor_key, '#', 2)
+                  ELSE actor_key END AS grp
+      FROM verts
+    )
+    SELECT ms.grp AS src_group, md.grp AS dst_group,
+           count(*) AS n_edges,
+           count(DISTINCT e.src) AS n_src,
+           count(DISTINCT e.dst) AS n_dst
+    FROM edges e
+    JOIN cv_map ms ON ms.id = e.src
+    JOIN cv_map md ON md.id = e.dst
+    GROUP BY 1, 2
+    """

@@ -527,3 +527,56 @@ def degree_powerlaw_sql() -> str:
            n AS n_points
     FROM dp_s
     """
+
+
+def degree_uniqueness(graph: LinkGraph) -> DataFrame:
+    """→ [class_size, n_classes, n_vertices, frac] — anonymity-set sizes
+    of the degree signature ``(out_deg, in_deg)``: how many signature
+    classes have exactly ``class_size`` members, and what share of all
+    vertices sits in classes of that size. The structural
+    de-anonymization risk report for a link graph (a vertex in a
+    ``class_size = 1`` row is uniquely re-identifiable from its degree
+    pair alone — the seed signature of Narayanan–Shmatikov-style graph
+    re-identification); the same histogram also tells a sampling pipeline
+    how much degree-stratified diversity the graph actually has. Engine
+    addition (the reference stores per-vertex state only).
+
+    Scale shape: two map-side-combinable aggregates, each collapsing
+    BEFORE any wide state — V rows → |signatures| rows (Zipf-bounded:
+    degree pairs are small integers) → |distinct class sizes| rows. The
+    ``frac`` normaliser is a 1-row broadcast. No window, no join against
+    V, no iteration.
+    """
+    sig = graph.degrees.groupBy("out_deg", "in_deg").agg(
+        F.count("*").alias("class_size")
+    )
+    by_size = sig.groupBy("class_size").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").alias("n_vertices"),
+    )
+    tot = by_size.agg(F.sum("n_vertices").alias("_t"))
+    return by_size.crossJoin(F.broadcast(tot)).select(
+        "class_size",
+        "n_classes",
+        "n_vertices",
+        F.round(F.col("n_vertices") * 1.0 / F.col("_t"), 6).alias("frac"),
+    )
+
+
+def degree_uniqueness_sql() -> str:
+    """DuckDB oracle body (expects the ``degs`` CTE in scope)."""
+    return """
+    du_sig AS (
+      SELECT out_deg, in_deg, count(*) AS class_size
+      FROM degs GROUP BY 1, 2
+    ),
+    du_sz AS (
+      SELECT class_size, count(*) AS n_classes,
+             CAST(sum(class_size) AS BIGINT) AS n_vertices
+      FROM du_sig GROUP BY 1
+    ),
+    du_t AS (SELECT sum(n_vertices) AS t FROM du_sz)
+    SELECT class_size, n_classes, n_vertices,
+           round(n_vertices * 1.0 / t, 6) AS frac
+    FROM du_sz CROSS JOIN du_t
+    """

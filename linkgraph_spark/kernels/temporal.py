@@ -318,3 +318,84 @@ def temporal_components_sql(window_sec: int = 3600, rounds: int = 20) -> str:
     return f"""{body}
     SELECT w AS window_start, id, component FROM twc{rounds}
     """
+
+
+def temporal_motifs(tedges: DataFrame, delta_sec: int = 3600) -> DataFrame:
+    """→ [motif, n_pairs] for motif ∈ ('chain', 'ping_pong') — counts of
+    time-respecting 2-edge motifs (Paranjape, Benson, Leskovec, WSDM
+    2017, the δ-temporal-motif model at length 2): an edge a→b at t₁
+    followed STRICTLY later by b→c at t₂ with 0 < t₂−t₁ ≤ δ. ``c = a``
+    is the ping-pong (immediate reciprocation — user⇄assistant
+    alternation); ``c ≠ a`` is the chain (influence actually forwarded).
+    The temporal refinement of the static wedge count: a static wedge
+    whose second hop happens FIRST carries no influence, which is exactly
+    what :func:`temporal_reachability` enforces per-path and this op
+    counts in aggregate. Both rows always present (zero-count kept) —
+    stable schema for the driver gate.
+
+    Scale shape: the middle-vertex self-join is a pure EQUI-join on
+    ``(b, time_bucket)`` — the first edge explodes to its own δ-bucket
+    and the next (2 rows, bounded), so candidates are only pairs within
+    δ or one bucket over, and the exact ``0 < t₂−t₁ ≤ δ`` predicate
+    filters the remainder. No unbounded range-join, no cross product;
+    skewed middle vertices (hub tools) are ordinary AQE skew-join
+    territory, same as every gather in the engine. Output is a 2-row
+    aggregate with map-side combine.
+    """
+    spark = tedges.sparkSession
+    e1 = tedges.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("ts").alias("t1"),
+        F.explode(
+            F.array(
+                F.floor(F.col("ts") / delta_sec),
+                F.floor(F.col("ts") / delta_sec) + 1,
+            )
+        ).alias("bk"),
+    )
+    e2 = tedges.select(
+        F.col("src").alias("b"),
+        F.col("dst").alias("c"),
+        F.col("ts").alias("t2"),
+        F.floor(F.col("ts") / delta_sec).alias("bk"),
+    )
+    pairs = e1.join(e2, ["b", "bk"]).where(
+        (F.col("t2") > F.col("t1")) & (F.col("t2") - F.col("t1") <= delta_sec)
+    )
+    counted = (
+        pairs.select(
+            F.when(F.col("c") == F.col("a"), "ping_pong")
+            .otherwise("chain")
+            .alias("motif")
+        )
+        .groupBy("motif")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    both = spark.createDataFrame(
+        [("chain",), ("ping_pong",)], "motif string"
+    )
+    return both.join(counted, "motif", "left").select(
+        "motif", F.coalesce("n_pairs", F.lit(0)).alias("n_pairs")
+    )
+
+
+def temporal_motifs_sql(delta_sec: int = 3600) -> str:
+    """DuckDB oracle body (expects the ``te_raw``/``verts`` chain of
+    :func:`temporal_edges_sql` in scope as CTE ``te``). DuckDB needs no
+    bucketing — the plain inequality join replays the identical pair set
+    the bucketed equi-join + filter produces."""
+    return f"""
+    tm_pairs AS (
+      SELECT CASE WHEN e2.dst = e1.src THEN 'ping_pong' ELSE 'chain' END AS motif
+      FROM te e1
+      JOIN te e2 ON e2.src = e1.dst
+       AND e2.ts > e1.ts AND e2.ts - e1.ts <= {delta_sec}
+    ),
+    tm_cnt AS (
+      SELECT motif, count(*) AS n_pairs FROM tm_pairs GROUP BY 1
+    ),
+    tm_all AS (SELECT 'chain' AS motif UNION ALL SELECT 'ping_pong')
+    SELECT a.motif, coalesce(c.n_pairs, 0) AS n_pairs
+    FROM tm_all a LEFT JOIN tm_cnt c USING (motif)
+    """
