@@ -27,6 +27,7 @@ from linkgraph_spark.kernels import (
     triangles_per_vertex,
 )
 from linkgraph_spark.kernels.triangles import _triangles
+from linkgraph_spark.functions import curation as cur
 from linkgraph_spark.functions import dedup as dd
 from linkgraph_spark.functions import events as ev
 from linkgraph_spark.functions import multimodal as mm
@@ -1202,6 +1203,35 @@ def q_contract_roles(spark, sf_dir):
     return contract_vertices(_graph(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 14
+def q_pagerank_warm5(spark, sf_dir):
+    # warm-start contract as a GATE entry: 2 textbook supersteps, then 3
+    # more seeded with init_ranks — must equal a cold 5-superstep run, so
+    # the oracle is the SAME unrolled 5-iteration SQL as pagerank_textbook5
+    g = _graph(spark, sf_dir)
+    warm = pagerank(g, mode="textbook", iterations=2)
+    res = pagerank(g, mode="textbook", iterations=3, init_ranks=warm.ranks)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_mutual_knn(spark, sf_dir):
+    return sim.mutual_knn(_embs(spark, sf_dir), k=4)
+
+
+def q_top_bigrams(spark, sf_dir):
+    return tx.top_bigrams(_docs(spark, sf_dir), top_n=20)
+
+
+def q_blocklist_audit(spark, sf_dir):
+    from linkgraph_spark.functions.curation import blocklist_audit
+
+    return blocklist_audit(_docs(spark, sf_dir))
+
+
+def q_minhash_band_sweep(spark, sf_dir):
+    return dd.minhash_band_sweep(_docs(spark, sf_dir), threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1394,6 +1424,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_assortativity3": q_label_assortativity3,
         "temporal_motifs": q_temporal_motifs,
         "contract_roles": q_contract_roles,
+        # wave 14 (new this round — r6 rotation must front these too)
+        "pagerank_warm5": q_pagerank_warm5,
+        "mutual_knn4": q_mutual_knn,
+        "top_bigrams20": q_top_bigrams,
+        "blocklist_audit": q_blocklist_audit,
+        "minhash_band_sweep": q_minhash_band_sweep,
     }
 
 
@@ -2260,6 +2296,13 @@ def oracle_sql() -> dict[str, str]:
             f"{tmp.temporal_motifs_sql(3600)}"
         ),
         "contract_roles": f"{_G}, {pj.contract_vertices_sql()}",
+        # wave 14
+        # warm(2)+3 supersteps == cold 5 — the oracle is the cold run
+        "pagerank_warm5": _pagerank_textbook_sql(5, 0.85),
+        "mutual_knn4": sim.mutual_knn_sql(k=4),
+        "top_bigrams20": tx.top_bigrams_sql(top_n=20),
+        "blocklist_audit": cur.blocklist_audit_sql(),
+        "minhash_band_sweep": dd.minhash_band_sweep_sql(threshold=0.5),
     }
 
 

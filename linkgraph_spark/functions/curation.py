@@ -174,3 +174,91 @@ def curate_corpus_sql(
            ], x -> x IS NOT NULL), ','), '') AS reasons_str
     FROM cur_flags
     """
+
+
+# terms chosen to exist in the synthetic-corpus vocabulary (plus one
+# deliberately absent probe term, so the zero path is always exercised)
+DEFAULT_BLOCKLIST = ["slow", "dup", "merge", "leak"]
+
+
+def blocklist_audit(documents: DataFrame, terms: list[str] | None = None) -> DataFrame:
+    """→ ``[term, n_docs, n_occurrences, doc_share]`` — one row per
+    blocklist term, ALWAYS including zero rows for terms the corpus never
+    contains. The compliance-audit companion to :func:`curate_corpus`:
+    before a takedown/filter list ships, you want its projected blast
+    radius ("this list would touch 0.8% of documents, dominated by two
+    terms"), and after it ships this same table is the regression check
+    that the filter actually fired.
+
+    Scale shape: the blocklist is a literal array broadcast inside the
+    projection — tokens are filtered DOWN to blocklist hits before the
+    explode, so clean documents contribute zero rows to the shuffle. One
+    hash aggregate on ``term`` (cardinality = blocklist size), one
+    broadcast total-count join, one left join back to the term list.
+    Token matching is exact on the whitespace tokenizer (shared with
+    :func:`~linkgraph_spark.functions.text.vocab_stats`), not substring:
+    'leak' does not flag 'leaky' — swap in a regexp list upstream if
+    substring semantics are wanted.
+    """
+    terms = DEFAULT_BLOCKLIST if terms is None else list(terms)
+    if not terms:
+        raise ValueError("blocklist_audit needs at least one term")
+    spark = documents.sparkSession
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = _tokens(F.lower(text))
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    hits = documents.select(
+        "doc_id",
+        F.explode(F.filter(toks, lambda t: F.array_contains(term_arr, t))).alias(
+            "term"
+        ),
+    )
+    agg = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("_n_docs"),
+        F.count("*").alias("_n_occ"),
+    )
+    total = documents.agg(F.count("*").alias("_tot"))
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    return (
+        terms_df.join(agg, "term", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.coalesce("_n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("_n_occ", F.lit(0)).alias("n_occurrences"),
+            F.round(
+                F.coalesce("_n_docs", F.lit(0)) * 1.0 / F.col("_tot"), 6
+            ).alias("doc_share"),
+        )
+    )
+
+
+def blocklist_audit_sql(
+    table: str = "documents", terms: list[str] | None = None
+) -> str:
+    """DuckDB oracle for :func:`blocklist_audit`."""
+    terms = DEFAULT_BLOCKLIST if terms is None else list(terms)
+    values = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
+    return f"""
+    WITH bla_terms (term) AS (VALUES {values}),
+    bla_tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                       '\\s+')) AS term
+      FROM {table}
+    ),
+    bla_agg AS (
+      SELECT k.term, count(DISTINCT k.doc_id) AS n_docs, count(*) AS n_occ
+      FROM (SELECT t.doc_id, t.term FROM bla_tok t
+            JOIN bla_terms b USING (term)) k
+      GROUP BY 1
+    ),
+    bla_tot AS (SELECT count(*) AS tot FROM {table})
+    SELECT t.term,
+           coalesce(a.n_docs, 0) AS n_docs,
+           coalesce(a.n_occ, 0) AS n_occurrences,
+           round(coalesce(a.n_docs, 0) * 1.0 / bla_tot.tot, 6) AS doc_share
+    FROM bla_terms t
+    LEFT JOIN bla_agg a USING (term)
+    CROSS JOIN bla_tot
+    """

@@ -771,3 +771,146 @@ def source_overlap_sql(table: str = "documents") -> str:
            round(p.n_shared * 1.0 / z.n, 6) AS frac_x
     FROM so_pairs p JOIN so_sizes z ON z.source = p.source_x
     """
+
+
+def minhash_band_sweep(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    configs: tuple[tuple[int, int], ...] = ((2, 8), (4, 4), (8, 2)),
+) -> DataFrame:
+    """→ ``[bands, rows_per_band, n_candidates, n_dups, precision]`` — one
+    row per LSH banding configuration over the SAME k=16 MinHash
+    signature: how many candidate pairs the banding emits, how many
+    survive exact-Jaccard verification at ``threshold``, and the implied
+    candidate precision. This is the tuning table every LSH deployment
+    needs before a 100 TB run: bands trade verify cost (candidates) for
+    recall, and the sweep measures that trade on the corpus itself
+    instead of the iid s-curve formula. Because the band boundaries are
+    aligned slices of one signature, candidate sets are NESTED:
+    (2 bands of 8) ⊆ (4 of 4) ⊆ (8 of 2).
+
+    Scale shape: per config, the same banded bucket equi-join as
+    :func:`minhash_lsh_dups` (never all-pairs) + O(candidates) array
+    verification, each reduced to a single counters row — the sweep
+    output is ``len(configs)`` rows regardless of corpus size. The
+    shingle table is computed once and reused across configs.
+    """
+    sh = _with_shingle_hashes(documents).persist()
+    sig_cols = [_min_affine(a, b) for a, b in hash_params(MINHASH_K)]
+    out = None
+    for n_bands, n_rows in configs:
+        if n_bands * n_rows != MINHASH_K:
+            raise ValueError(f"bands*rows must equal {MINHASH_K}, got {n_bands}x{n_rows}")
+        bands = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            c.cast("string")
+                            for c in sig_cols[b * n_rows : (b + 1) * n_rows]
+                        ],
+                    )
+                )
+                for b in range(n_bands)
+            ]
+        )
+        banded = sh.select("doc_id", F.posexplode(bands).alias("band", "bh"))
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bh"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        nc = cand.agg(F.count("*").alias("n_candidates"))
+        nd = _verify_jaccard(cand, sh, threshold).agg(F.count("*").alias("n_dups"))
+        row = nc.crossJoin(nd).select(
+            F.lit(n_bands).alias("bands"),
+            F.lit(n_rows).alias("rows_per_band"),
+            "n_candidates",
+            "n_dups",
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_dups") * 1.0 / F.col("n_candidates"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("precision"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def minhash_band_sweep_sql(
+    table: str = "documents",
+    threshold: float = 0.5,
+    configs: tuple[tuple[int, int], ...] = ((2, 8), (4, 4), (8, 2)),
+) -> str:
+    """DuckDB oracle for :func:`minhash_band_sweep` — the signature/band
+    arithmetic is the engine-portable affine family, the shared-shingle
+    intersection table is computed once and reused by every config."""
+    sig_exprs = [
+        f"list_min(list_transform(sh, x -> {affine_mod_sql('x', a, b)}))"
+        for a, b in hash_params(MINHASH_K)
+    ]
+    ctes = []
+    selects = []
+    for i, (n_bands, n_rows) in enumerate(configs):
+        if n_bands * n_rows != MINHASH_K:
+            raise ValueError(f"bands*rows must equal {MINHASH_K}, got {n_bands}x{n_rows}")
+        banded_selects = "\n        UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+            + ", ".join(
+                f"CAST(s{b * n_rows + r} AS VARCHAR)" for r in range(n_rows)
+            )
+            + ")) AS bh FROM mbs_sig"
+            for b in range(n_bands)
+        )
+        ctes.append(
+            f"""mbs_banded_{i} AS (
+        {banded_selects}
+    ),
+    mbs_cand_{i} AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM mbs_banded_{i} x JOIN mbs_banded_{i} y
+        ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ),
+    mbs_nc_{i} AS (SELECT count(*) AS n FROM mbs_cand_{i}),
+    mbs_nd_{i} AS (
+      SELECT count(*) AS n
+      FROM mbs_cand_{i} c
+      JOIN mbs_inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN mbs_sizes sa ON sa.doc_id = c.doc_a
+      JOIN mbs_sizes sb ON sb.doc_id = c.doc_b
+      WHERE round(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6)
+              >= {threshold}
+    )"""
+        )
+        selects.append(
+            f"""SELECT {n_bands} AS bands, {n_rows} AS rows_per_band,
+           (SELECT n FROM mbs_nc_{i}) AS n_candidates,
+           (SELECT n FROM mbs_nd_{i}) AS n_dups,
+           round(CASE WHEN (SELECT n FROM mbs_nc_{i}) > 0
+                      THEN (SELECT n FROM mbs_nd_{i}) * 1.0
+                           / (SELECT n FROM mbs_nc_{i})
+                      ELSE 0.0 END, 6) AS "precision\""""
+        )
+    cte_sql = ",\n    ".join(ctes)
+    union_sql = "\n    UNION ALL\n    ".join(selects)
+    sig_select = ", ".join(f"{e} AS s{j}" for j, e in enumerate(sig_exprs))
+    return f"""
+    WITH {_shingles_sql(table)},
+    mbs_sig AS MATERIALIZED (
+      SELECT doc_id, {sig_select} FROM sh
+    ),
+    mbs_flat AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    mbs_sizes AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM sh),
+    mbs_inter AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM mbs_flat a JOIN mbs_flat b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    {cte_sql}
+    {union_sql}
+    """

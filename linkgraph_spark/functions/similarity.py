@@ -896,3 +896,88 @@ def lsh_recall_sql(
            round(coalesce(h.n_hits, 0) * 1.0 / c.n_exact, 6) AS recall
     FROM lr_cnt c LEFT JOIN lr_hit h USING (query_id)
     """
+
+
+def mutual_knn(embeddings: DataFrame, k: int = 4, n_planes: int = N_PLANES) -> DataFrame:
+    """→ [vec_a, vec_b, cosine] (vec_a < vec_b) — the mutual-kNN graph:
+    an undirected edge survives iff each endpoint is in the OTHER's
+    approximate top-k. Mutual-kNN is the standard graph-construction
+    step before density clustering / dedup-community detection on an
+    embedding corpus: one-directional kNN edges into hubs are exactly
+    the edges mutuality prunes, so the graph stays sparse and
+    cluster-pure even with a skewed embedding distribution.
+
+    Scale shape: same hyperplane-bucket candidate generation as
+    :func:`lsh_knn` but with EVERY vector as a query — still one
+    equi-join on the bucket id (never all-pairs), per-vector top-k over
+    candidates bounded by the bucket population, then the mutuality
+    check as a self-equi-join on the (lo, hi) id pair. All JVM-side;
+    the only shuffles are the bucket join, the per-vector window, and
+    the final pair join.
+    """
+    base = _with_norm(embeddings)
+
+    bits = None
+    for p in range(n_planes):
+        bit = F.when(_proj(F.col("v"), p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    bucketed = base.withColumn("bucket", bits.cast("long"))
+
+    q = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    topk = _rank_candidates(q, bucketed, k)
+    lo = topk.where(F.col("query_id") < F.col("neighbor_id")).select(
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        "cosine",
+    )
+    hi = topk.where(F.col("query_id") > F.col("neighbor_id")).select(
+        F.col("neighbor_id").alias("vec_a"), F.col("query_id").alias("vec_b")
+    )
+    return lo.join(hi, ["vec_a", "vec_b"]).select("vec_a", "vec_b", "cosine")
+
+
+def mutual_knn_sql(
+    table: str = "embeddings", k: int = 4, n_planes: int = N_PLANES
+) -> str:
+    """DuckDB oracle for :func:`mutual_knn` — same bucket arithmetic,
+    same rounded-cosine/id tie-break, same mutuality self-join."""
+    bucket = " + ".join(
+        f"(CASE WHEN {_proj_sql(p)} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(n_planes)
+    )
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.v) + 1),"
+        " i -> q.v[i] * b.v[i]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH mk_base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), mk_normed AS MATERIALIZED (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+                  i -> v[i] * v[i]), (x, y) -> x + y)) AS norm,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM mk_base
+    ), mk_scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({dot} / (q.norm * b.norm), 6) AS cosine
+      FROM mk_normed q JOIN mk_normed b
+        ON b.bucket = q.bucket AND b.vec_id <> q.vec_id
+    ), mk_topk AS (
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM mk_scored
+      ) WHERE rk <= {k}
+    )
+    SELECT lo.query_id AS vec_a, lo.neighbor_id AS vec_b, lo.cosine
+    FROM mk_topk lo JOIN mk_topk hi
+      ON hi.query_id = lo.neighbor_id AND hi.neighbor_id = lo.query_id
+    WHERE lo.query_id < lo.neighbor_id
+    """

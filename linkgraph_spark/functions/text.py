@@ -1374,3 +1374,59 @@ def quality_curve_sql(
     )
     {rows}
     """
+
+
+def top_bigrams(documents: DataFrame, top_n: int = 20) -> DataFrame:
+    """→ [bg, tf, df] — the ``top_n`` corpus bigrams by total occurrence
+    count (ties by bigram asc) with their document frequency. The
+    order-sensitive companion of :func:`vocab_stats`: collocations and
+    boilerplate templates surface here long before any parser runs, and
+    a BPE/wordpiece trainer's pair-frequency seed is exactly this table.
+    Shares :func:`bigram_lm_score`'s bigram construction (higher-order
+    array expressions, n<2 guard) and :func:`vocab_stats`'s top-n shape.
+
+    Scale shape: map-only bigram arrays → one (doc, bigram) count with
+    map-side combine → one bigram-level aggregate (sum + count on one
+    shuffle) → distributed sort-limit (TakeOrderedAndProject), never a
+    full global sort. The bigram vocabulary is Zipf-bounded like the
+    unigram one, an order of magnitude wider but still tiny next to the
+    token stream.
+    """
+    toks = _tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = documents.select("doc_id", F.explode(bigrams).alias("bg"))
+    per_doc = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    vocab = per_doc.groupBy("bg").agg(
+        F.sum("tf").alias("tf"), F.count("*").alias("df")
+    )
+    return vocab.orderBy(F.desc("tf"), F.asc("bg")).limit(top_n)
+
+
+def top_bigrams_sql(table: str = "documents", top_n: int = 20) -> str:
+    """DuckDB oracle for :func:`top_bigrams`."""
+    return f"""
+    WITH tbt AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+      FROM {table}
+    ), tbg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM tbt
+    ), tbf AS (
+      SELECT doc_id, bg, count(*) AS tf FROM tbg GROUP BY 1, 2
+    )
+    SELECT bg, CAST(sum(tf) AS BIGINT) AS tf, count(*) AS df
+    FROM tbf GROUP BY bg
+    ORDER BY sum(tf) DESC, bg ASC LIMIT {top_n}
+    """
