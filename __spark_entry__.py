@@ -1232,6 +1232,17 @@ def q_minhash_band_sweep(spark, sf_dir):
     return dd.minhash_band_sweep(_docs(spark, sf_dir), threshold=0.5)
 
 
+# ------------------------------------------------------------------- wave 15
+def q_ab_test(spark, sf_dir):
+    return ev.ab_test(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), target="purchase"
+    )
+
+
+def q_matryoshka(spark, sf_dir):
+    return sim.matryoshka_audit(_embs(spark, sf_dir), n_queries=10, k=5, dims=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1430,6 +1441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams20": q_top_bigrams,
         "blocklist_audit": q_blocklist_audit,
         "minhash_band_sweep": q_minhash_band_sweep,
+        # wave 15 (new this round — r6 rotation must front these too)
+        "ab_test_purchase": q_ab_test,
+        "matryoshka16": q_matryoshka,
     }
 
 
@@ -2303,6 +2317,9 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams20": tx.top_bigrams_sql(top_n=20),
         "blocklist_audit": cur.blocklist_audit_sql(),
         "minhash_band_sweep": dd.minhash_band_sweep_sql(threshold=0.5),
+        # wave 15
+        "ab_test_purchase": ev.ab_test_sql(target="purchase"),
+        "matryoshka16": sim.matryoshka_audit_sql(n_queries=10, k=5, dims=16),
     }
 
 

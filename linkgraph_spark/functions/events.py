@@ -1022,3 +1022,118 @@ def time_to_convert_sql(
     UNION ALL {pcts}
     UNION ALL SELECT 'max_sec', CAST(max(lat) AS DOUBLE) FROM tc_lat
     """
+
+
+def ab_test(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ one row ``[n_control, n_treatment, conv_control, conv_treatment,
+    rate_control, rate_treatment, z_score]`` — a two-proportion z-test of
+    "did the treatment arm convert more", with the variant assigned by a
+    deterministic hash split of ``user_id`` (the engine-portable md5
+    family, NOT engine-native hash()): control = even hash, treatment =
+    odd. Conversion = the user has ≥ 1 ``target`` event. This is the
+    evaluation half of every experimentation pipeline; the hash
+    assignment doubles as an A/A harness (run it on a metric the split
+    cannot affect and z should hover near 0, which is exactly what the
+    synthetic corpus shows).
+
+    Scale shape: one distinct-user shuffle, one filtered distinct for
+    converters, a broadcast-sized left join, and a single-row conditional
+    aggregate — z is computed in the final projection, no Python.
+    ``z_score`` is NULL when either arm is empty or the pooled rate is
+    degenerate (0 or 1), never a divide-by-zero.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    users = events.select("user_id").distinct().select(
+        "user_id",
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("_variant"),
+    )
+    conv = (
+        events.where(F.col("event_type") == target)
+        .select("user_id")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    per_user = users.join(conv, "user_id", "left").select(
+        "_variant", F.coalesce("_conv", F.lit(0)).alias("_conv")
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("_variant") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("_variant") == 1, 1).otherwise(0)).alias("n_treatment"),
+        F.sum(F.when(F.col("_variant") == 0, F.col("_conv")).otherwise(0)).alias(
+            "conv_control"
+        ),
+        F.sum(F.when(F.col("_variant") == 1, F.col("_conv")).otherwise(0)).alias(
+            "conv_treatment"
+        ),
+    )
+    n0, n1 = F.col("n_control"), F.col("n_treatment")
+    c0, c1 = F.col("conv_control"), F.col("conv_treatment")
+    p0 = c0 * 1.0 / n0
+    p1 = c1 * 1.0 / n1
+    pp = (c0 + c1) * 1.0 / (n0 + n1)
+    se = F.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    z = F.when((n0 > 0) & (n1 > 0) & (pp > 0) & (pp < 1), (p1 - p0) / se)
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        F.round(F.when(n0 > 0, p0), 6).alias("rate_control"),
+        F.round(F.when(n1 > 0, p1), 6).alias("rate_treatment"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+def ab_test_sql(target: str = "purchase", table: str = "events") -> str:
+    """DuckDB oracle for :func:`ab_test` — same md5 split, same pooled-SE
+    z formula, same NULL guards."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    tgt = target.replace("'", "''")
+    return f"""
+    WITH ab_users AS (
+      SELECT user_id, ({h}) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM {table})
+    ),
+    ab_conv AS (
+      SELECT DISTINCT user_id, 1 AS conv FROM {table}
+      WHERE event_type = '{tgt}'
+    ),
+    ab_pu AS (
+      SELECT u.variant, coalesce(c.conv, 0) AS conv
+      FROM ab_users u LEFT JOIN ab_conv c USING (user_id)
+    ),
+    ab_agg AS (
+      SELECT
+        sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_control,
+        sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_treatment,
+        sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_control,
+        sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_treatment
+      FROM ab_pu
+    )
+    SELECT
+      CAST(n_control AS BIGINT) AS n_control,
+      CAST(n_treatment AS BIGINT) AS n_treatment,
+      CAST(conv_control AS BIGINT) AS conv_control,
+      CAST(conv_treatment AS BIGINT) AS conv_treatment,
+      round(CASE WHEN n_control > 0
+                 THEN conv_control * 1.0 / n_control END, 6) AS rate_control,
+      round(CASE WHEN n_treatment > 0
+                 THEN conv_treatment * 1.0 / n_treatment END, 6) AS rate_treatment,
+      round(CASE WHEN n_control > 0 AND n_treatment > 0
+                  AND (conv_control + conv_treatment) * 1.0
+                      / (n_control + n_treatment) > 0
+                  AND (conv_control + conv_treatment) * 1.0
+                      / (n_control + n_treatment) < 1
+                 THEN (conv_treatment * 1.0 / n_treatment
+                       - conv_control * 1.0 / n_control)
+                      / sqrt((conv_control + conv_treatment) * 1.0
+                             / (n_control + n_treatment)
+                             * (1 - (conv_control + conv_treatment) * 1.0
+                                    / (n_control + n_treatment))
+                             * (1.0 / n_control + 1.0 / n_treatment))
+            END, 6) AS z_score
+    FROM ab_agg
+    """

@@ -447,3 +447,105 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         media.where(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_ts_ms"))
     )
+
+
+def _bmp_pixels(data: bytes):
+    """Parse an uncompressed 24/32-bpp BMP → ``(h, w, nch)`` uint8 numpy
+    array in TOP-DOWN logical row order, BGR(A) channel order as stored.
+    Shares :func:`_decode_bmp`'s header handling (positive height =
+    bottom-up storage, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} unsupported "
+            "(uncompressed 24/32-bpp only)"
+        )
+    nch = bpp // 8
+    abs_h = abs(height)
+    row_bytes = (width * nch + 3) // 4 * 4
+    px = np.frombuffer(data, dtype=np.uint8, count=row_bytes * abs_h, offset=pix_off)
+    px = px.reshape(abs_h, row_bytes)[:, : width * nch].reshape(abs_h, width, nch)
+    if height > 0:  # bottom-up storage → flip to logical top-down
+        px = px[::-1]
+    return px
+
+
+def _bmp_encode_24(px) -> bytes:
+    """``(h, w, 3)`` uint8 BGR top-down array → minimal uncompressed
+    24-bpp bottom-up BMP payload (the inverse of :func:`_bmp_pixels`)."""
+    import struct
+
+    h, w = px.shape[0], px.shape[1]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_bytes - w * 3)
+    body = b"".join(px[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for uncompressed BMP payloads — the
+    production upgrade of :func:`resize_stub`: pixels are actually
+    resampled (center-of-pixel nearest-neighbor, the standard
+    ``floor((i + 0.5) * src / dst)`` mapping), the payload is re-encoded
+    as 24-bpp BMP (alpha dropped), and ``meta`` is rewritten to the new
+    dimensions. Non-BMP payloads raise loudly, matching
+    :func:`decode_strict`'s honest-failure contract (JPEG/WebP resizing
+    needs Pillow, absent here; same dispatch seam in production).
+
+    Scale shape: ``mapInPandas`` over Arrow record batches — pure
+    map-side, no shuffle, state = one image at a time; numpy fancy
+    indexing does the resample, so the per-image cost is O(out_pixels).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if width <= 0 or height <= 0:
+        raise ValueError("resize_bmp needs positive output dimensions")
+
+    def do(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                px = _bmp_pixels(bytes(payload))[:, :, :3]
+                sh, sw = px.shape[0], px.shape[1]
+                ys = np.minimum(
+                    ((np.arange(height) + 0.5) * sh / height).astype(np.int64),
+                    sh - 1,
+                )
+                xs = np.minimum(
+                    ((np.arange(width) + 0.5) * sw / width).astype(np.int64),
+                    sw - 1,
+                )
+                out = np.ascontiguousarray(px[ys][:, xs])
+                payloads.append(_bmp_encode_24(out))
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "duration_ms": meta["duration_ms"] if meta else 0,
+                        "codec": "bmp",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(do, schema=MEDIA_SCHEMA)

@@ -981,3 +981,122 @@ def mutual_knn_sql(
       ON hi.query_id = lo.neighbor_id AND hi.neighbor_id = lo.query_id
     WHERE lo.query_id < lo.neighbor_id
     """
+
+
+def matryoshka_audit(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, dims: int = 16
+) -> DataFrame:
+    """→ [query_id, n_full, n_trunc_hits, overlap] — retrieval-quality
+    audit of Matryoshka-style dimension truncation: for each query, the
+    exact cosine top-k under the FULL vector vs under only the first
+    ``dims`` coordinates, reported as overlap@k. This is the acceptance
+    gate for the standard embedding-cost lever (store/search a prefix,
+    re-rank with the full vector): you pick the smallest ``dims`` whose
+    overlap here stays acceptable, exactly like :func:`lsh_recall` does
+    for the bucketed index.
+
+    Scale shape: two broadcast brute-force top-k runs over the sampled
+    query set (ground-truth evaluation is always query-sampled, never
+    all-pairs) + one (query, neighbor) equi-join + an O(n_queries)-row
+    aggregate. The truncated pass reads the same vector column and
+    slices in-expression — no second table, no Python.
+    """
+    base = _with_norm(embeddings)
+    tv = F.slice(F.col("v"), 1, dims)
+    tnorm = F.sqrt(
+        F.aggregate(tv, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    trunc = base.select("vec_id", tv.alias("tv"), tnorm.alias("tnorm"))
+    q = trunc.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tv").alias("qv"),
+        F.col("tnorm").alias("qnorm"),
+    )
+    cos = _dot(F.col("qv"), F.col("tv")) / (F.col("qnorm") * F.col("tnorm"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(trunc)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    trunc_topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col("neighbor_id").alias("_nt"))
+    )
+    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id")
+    cnt = exact.groupBy("query_id").agg(F.count("*").alias("n_full"))
+    hits = (
+        exact.join(
+            trunc_topk,
+            (exact.query_id == trunc_topk.query_id)
+            & (exact.neighbor_id == trunc_topk._nt),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("*").alias("n_trunc_hits"))
+    )
+    return cnt.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_full",
+        F.coalesce("n_trunc_hits", F.lit(0)).alias("n_trunc_hits"),
+        F.round(
+            F.coalesce("n_trunc_hits", F.lit(0)) * 1.0 / F.col("n_full"), 6
+        ).alias("overlap"),
+    )
+
+
+def matryoshka_audit_sql(
+    table: str = "embeddings", n_queries: int = 10, k: int = 5, dims: int = 16
+) -> str:
+    """DuckDB oracle for :func:`matryoshka_audit`."""
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.tv) + 1),"
+        " i -> q.tv[i] * b.tv[i]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH ma_ex AS (
+      SELECT query_id, neighbor_id FROM (
+        {cosine_topk_sql(table, n_queries, k)}
+      )
+    ), ma_trunc AS MATERIALIZED (
+      SELECT vec_id,
+             list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        1, {dims}) AS tv
+      FROM {table}
+    ), ma_normed AS (
+      SELECT vec_id, tv,
+             sqrt(list_reduce(list_transform(range(1, len(tv) + 1),
+                  i -> tv[i] * tv[i]), (x, y) -> x + y)) AS tnorm
+      FROM ma_trunc
+    ), ma_q AS (
+      SELECT vec_id AS query_id, tv, tnorm FROM ma_normed
+      WHERE vec_id < {n_queries}
+    ), ma_scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             round({dot} / (q.tnorm * b.tnorm), 6) AS cosine
+      FROM ma_q q JOIN ma_normed b ON b.vec_id <> q.query_id
+    ), ma_tk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM ma_scored
+      ) WHERE rk <= {k}
+    ), ma_cnt AS (
+      SELECT query_id, count(*) AS n_full FROM ma_ex GROUP BY query_id
+    ), ma_hit AS (
+      SELECT e.query_id, count(*) AS n_trunc_hits
+      FROM ma_ex e JOIN ma_tk t
+        ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT c.query_id, c.n_full,
+           coalesce(h.n_trunc_hits, 0) AS n_trunc_hits,
+           round(coalesce(h.n_trunc_hits, 0) * 1.0 / c.n_full, 6) AS overlap
+    FROM ma_cnt c LEFT JOIN ma_hit h USING (query_id)
+    """

@@ -69,3 +69,14 @@ def write_ranks_json(ranks: DataFrame, path: str, mode: str = "overwrite") -> No
 
 def write_ranks_csv(ranks: DataFrame, path: str, mode: str = "overwrite") -> None:
     ranks.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_ranks_orc(ranks: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC export — the Hive-ecosystem sibling of the parquet
+    checkpoints; zlib-compressed stripes, schema embedded, splittable on
+    read (one task per stripe at scale)."""
+    ranks.write.mode(mode).orc(path)
+
+
+def read_ranks_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)
