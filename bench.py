@@ -183,6 +183,13 @@ def main():
     _, q["source_overlap_sf"] = timed(lambda: source_overlap(docs).count())
     # iterative argmax loop over the word-type table (8 TakeOrdered rounds)
     _, q["bpe_merges8_sf"] = timed(lambda: bpe_merges(docs, merges=8).count())
+    from linkgraph_spark.functions.dedup import minhash_band_sweep
+    from linkgraph_spark.functions.similarity import mutual_knn
+
+    # every-vector LSH kNN + mutuality self-join (graph construction pass)
+    _, q["mutual_knn_sf"] = timed(lambda: mutual_knn(embs, k=4).count())
+    # 3 banding configs over one shingle table (LSH tuning pass)
+    _, q["band_sweep_sf"] = timed(lambda: minhash_band_sweep(docs).count())
 
     # ---- large synthetic transcript graph: the throughput workload ---------
     t_large = synthesize_transcripts(

@@ -66,7 +66,7 @@ def main(argv=None):
             "stats", "community", "katz", "mis", "coloring", "diameter",
             "matching", "salsa", "eigenvector", "census", "richclub",
             "seedspread", "msf", "msfclusters", "overlap",
-            "cliques", "resilience",
+            "cliques", "resilience", "bowtie", "spammass", "contract",
         ],
     )
     p.add_argument(
@@ -337,6 +337,29 @@ def main(argv=None):
         else:
             result = random_failure_resilience(g, rate=args.rate)
         summary = result.collect()[0].asDict()
+    elif args.kernel == "bowtie":
+        from linkgraph_spark.kernels import bowtie
+
+        bres = bowtie(g)
+        result = bres.sizes
+        summary = {
+            "converged": bres.converged,
+            "categories": {r["category"]: r["n_vertices"] for r in result.collect()},
+        }
+    elif args.kernel == "spammass":
+        from linkgraph_spark.kernels import spam_mass
+
+        srcs = [int(x) for x in (args.sources or "0,1,2,3,4").split(",")]
+        result = spam_mass(g, trusted_ids=srcs, iterations=args.iterations or 3)
+        summary = {
+            "trusted_seeds": srcs,
+            "high_spam_mass": result.where(F.col("spam_mass") > 0.5).count(),
+        }
+    elif args.kernel == "contract":
+        from linkgraph_spark.kernels import contract_vertices
+
+        result = contract_vertices(g)
+        summary = {"contracted_edges": result.count()}
     elif args.kernel == "salsa":
         from linkgraph_spark.kernels import salsa
 

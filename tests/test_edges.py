@@ -142,3 +142,25 @@ def test_cli_round3_kernels(spark, tmp_path, capsys):
     st = run("stats")
     assert "reciprocity" in st and "assortativity" in st
     assert run("node2vec", "--walk-length", "2")["corpus_rows"] > 0
+
+
+def test_cli_wave13_kernels(spark, tmp_path, capsys):
+    """The wave-13 graph kernels are reachable from the spark-submit
+    entry point and report their summary contracts."""
+    import json
+
+    from linkgraph_spark.cli import main
+
+    def run(*argv):
+        rc = main(list(argv) + ["--synthetic-convs", "40", "--output",
+                                str(tmp_path / argv[0])])
+        assert rc == 0
+        return json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        )
+
+    bt = run("bowtie")
+    assert bt["converged"] and sum(bt["categories"].values()) > 0
+    sm = run("spammass", "--sources", "0,1", "--iterations", "2")
+    assert sm["trusted_seeds"] == [0, 1]
+    assert run("contract")["contracted_edges"] > 0
