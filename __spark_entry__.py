@@ -1223,9 +1223,7 @@ def q_top_bigrams(spark, sf_dir):
 
 
 def q_blocklist_audit(spark, sf_dir):
-    from linkgraph_spark.functions.curation import blocklist_audit
-
-    return blocklist_audit(_docs(spark, sf_dir))
+    return cur.blocklist_audit(_docs(spark, sf_dir))
 
 
 def q_minhash_band_sweep(spark, sf_dir):

@@ -200,7 +200,10 @@ def blocklist_audit(documents: DataFrame, terms: list[str] | None = None) -> Dat
     'leak' does not flag 'leaky' — swap in a regexp list upstream if
     substring semantics are wanted.
     """
+    # tokens are matched lowercase — normalize the list the same way (and
+    # dedup, preserving order) so 'Leak' can't silently audit as zero
     terms = DEFAULT_BLOCKLIST if terms is None else list(terms)
+    terms = list(dict.fromkeys(t.lower() for t in terms))
     if not terms:
         raise ValueError("blocklist_audit needs at least one term")
     spark = documents.sparkSession
@@ -238,6 +241,7 @@ def blocklist_audit_sql(
 ) -> str:
     """DuckDB oracle for :func:`blocklist_audit`."""
     terms = DEFAULT_BLOCKLIST if terms is None else list(terms)
+    terms = list(dict.fromkeys(t.lower() for t in terms))
     values = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
     return f"""
     WITH bla_terms (term) AS (VALUES {values}),

@@ -839,6 +839,12 @@ def minhash_band_sweep(
             ).alias("precision"),
         )
         out = row if out is None else out.unionByName(row)
+    # the result is len(configs) counter rows — materialize it eagerly so
+    # the shingle cache can be released instead of pinning executor memory
+    # for the session lifetime (rich_club pattern: localCheckpoint the tiny
+    # frame, then unpersist the big parent)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 

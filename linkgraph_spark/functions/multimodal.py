@@ -123,34 +123,16 @@ def _decode_wav(data: bytes) -> list[float]:
 def _decode_bmp(data: bytes) -> list[float]:
     """REAL stdlib decode of an uncompressed 24/32-bpp BMP payload → 8
     features: [width, height, bpp, meanB, meanG, meanR, meanA, 0]
-    (channel means in [0, 1]; BMP stores pixels blue-first, bottom-up,
-    rows padded to 4 bytes — the padding is sliced out before the means)."""
-    import struct
-
-    import numpy as np
-
-    if len(data) < 54 or data[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    (pix_off,) = struct.unpack_from("<I", data, 10)
-    width, height = struct.unpack_from("<ii", data, 18)
-    (bpp,) = struct.unpack_from("<H", data, 28)
-    (compression,) = struct.unpack_from("<I", data, 30)
-    if compression != 0 or bpp not in (24, 32):
-        raise NotImplementedError(
-            f"BMP bpp={bpp} compression={compression} unsupported "
-            "(uncompressed 24/32-bpp only)"
-        )
-    nch = bpp // 8
-    abs_h = abs(height)
-    row_bytes = (width * nch + 3) // 4 * 4
-    px = np.frombuffer(data, dtype=np.uint8, count=row_bytes * abs_h, offset=pix_off)
-    px = px.reshape(abs_h, row_bytes)[:, : width * nch].reshape(abs_h, width, nch)
-    means = px.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    (channel means in [0, 1]; parsing shared with :func:`_bmp_pixels` —
+    means are row-order invariant, so the top-down flip is harmless)."""
+    px = _bmp_pixels(data)
+    h, w, nch = px.shape
+    means = px.astype("float64").mean(axis=(0, 1)) / 255.0
     mean_a = float(means[3]) if nch == 4 else 0.0
     return [
-        float(width),
-        float(abs_h),
-        float(bpp),
+        float(w),
+        float(h),
+        float(nch * 8),
         float(means[0]),
         float(means[1]),
         float(means[2]),
