@@ -1241,6 +1241,12 @@ def q_matryoshka(spark, sf_dir):
     return sim.matryoshka_audit(_embs(spark, sf_dir), n_queries=10, k=5, dims=16)
 
 
+def q_shuffle_order(spark, sf_dir):
+    # two-phase distributed global enumeration (range-partition + offset
+    # join) — provably equal to the oracle's single row_number() window
+    return sp.shuffle_order(_docs(spark, sf_dir), salt="s1", n_shards=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1442,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 15 (new this round — r6 rotation must front these too)
         "ab_test_purchase": q_ab_test,
         "matryoshka16": q_matryoshka,
+        "shuffle_order": q_shuffle_order,
     }
 
 
@@ -2318,6 +2325,7 @@ def oracle_sql() -> dict[str, str]:
         # wave 15
         "ab_test_purchase": ev.ab_test_sql(target="purchase"),
         "matryoshka16": sim.matryoshka_audit_sql(n_queries=10, k=5, dims=16),
+        "shuffle_order": sp.shuffle_order_sql(salt="s1", n_shards=4),
     }
 
 

@@ -526,3 +526,85 @@ def weighted_hash_sample_sql(
         f"WHERE {w} IS NOT NULL AND {w} > 0 "
         f"ORDER BY (ln({u}) / {w}) DESC, {h} ASC LIMIT {n}"
     )
+
+
+def shuffle_order(
+    documents: DataFrame,
+    salt: str = "s1",
+    n_shards: int = 4,
+    partitions: int | None = None,
+    key: str = "doc_id",
+) -> DataFrame:
+    """→ ``[doc_id, shuffle_rank, shard]`` — the deterministic global
+    training order: every document gets a dense 1-based rank in the order
+    of a salted portable hash (re-salting = a fresh epoch permutation,
+    same salt = bit-identical replay), plus a round-robin shard
+    assignment for the writer. This is the "global shuffle before
+    training" step every pretraining pipeline runs; doing it with
+    ``df.sample``/RNG would be irreproducible across retries, and doing
+    it with one ``row_number()`` window would serialize the corpus
+    through a single reducer.
+
+    Scale shape: the classic two-phase distributed enumeration —
+    range-partition on the (hash, key) total order, sort WITHIN
+    partitions, take per-partition local ranks (a window whose partition
+    key is the physical partition id, so each window group is exactly one
+    already-co-located task, bounded by partition size — uniform by
+    hash, never by a skewed data key), and add the exclusive prefix sum
+    of partition counts (one tiny driver-side collect of ``partitions``
+    rows, broadcast back). Rank is invariant to the range boundaries:
+    any split of a total order yields the same offset + local rank.
+    """
+    from pyspark.sql import Window
+
+    h = md5_long(F.concat_ws("\x1f", F.lit(salt), F.col(key).cast("string")))
+    d = documents.select(F.col(key).alias("doc_id"), h.alias("_h"))
+    p = partitions or d.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    d = (
+        d.repartitionByRange(int(p), "_h", "doc_id")
+        .sortWithinPartitions("_h", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {r["_pid"]: r["n"] for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy("_h", "doc_id")
+    out = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .join(off_df, "_pid")
+        .select(
+            "doc_id",
+            (F.col("_off") + F.col("_rn")).cast("long").alias("shuffle_rank"),
+            ((F.col("_off") + F.col("_rn") - 1) % n_shards).cast("long").alias("shard"),
+        )
+    )
+    # materialize the (doc_id, rank, shard) result before releasing the
+    # sorted parent cache — eager, or the checkpoint would lazily recompute
+    # from an unpersisted plan; in a production writer this frame streams
+    # straight to the shard sink instead of checkpointing
+    out = out.localCheckpoint(eager=True)
+    d.unpersist()
+    return out
+
+
+def shuffle_order_sql(
+    table: str = "documents", salt: str = "s1", n_shards: int = 4, key: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :func:`shuffle_order` — the single-window
+    formulation the two-phase plan is provably equal to."""
+    quoted = salt.replace("'", "''")
+    h = md5_long_sql(f"concat_ws(chr(31), '{quoted}', CAST({key} AS VARCHAR))")
+    return f"""
+    SELECT {key} AS doc_id,
+           row_number() OVER (ORDER BY {h}, {key}) AS shuffle_rank,
+           (row_number() OVER (ORDER BY {h}, {key}) - 1) % {n_shards} AS shard
+    FROM {table}
+    """

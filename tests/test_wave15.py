@@ -180,3 +180,27 @@ def test_orc_roundtrip(spark, tmp_path):
         (2, 0.5),
         (3, 0.25),
     }
+
+
+# -------------------------------------------------------------- shuffle order
+def test_shuffle_order_matches_hash_permutation(spark):
+    from linkgraph_spark.functions.sampling import shuffle_order
+
+    rows = [(i, f"doc {i}") for i in range(37)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.shuffle_rank, r.shard) for r in shuffle_order(df, salt="s1", partitions=5).collect()}
+    assert sorted(r for r, _ in out.values()) == list(range(1, 38))
+    want_order = sorted(
+        (i for i, _ in rows),
+        key=lambda i: (
+            int(hashlib.md5(f"s1\x1f{i}".encode()).hexdigest()[:15], 16),
+            i,
+        ),
+    )
+    for rank, i in enumerate(want_order, 1):
+        assert out[i] == (rank, (rank - 1) % 4)
+    # replayable: same salt → identical permutation; new salt → a new epoch
+    again = {r.doc_id: r.shuffle_rank for r in shuffle_order(df, salt="s1", partitions=3).collect()}
+    assert again == {i: r for i, (r, _) in out.items()}
+    epoch2 = {r.doc_id: r.shuffle_rank for r in shuffle_order(df, salt="s2", partitions=5).collect()}
+    assert epoch2 != again
