@@ -1247,6 +1247,11 @@ def q_shuffle_order(spark, sf_dir):
     return sp.shuffle_order(_docs(spark, sf_dir), salt="s1", n_shards=4)
 
 
+def q_skew_profile(spark, sf_dir):
+    # shuffle-key skew diagnostic on the gather key (dst)
+    return st.skew_profile(_graph(spark, sf_dir), key="dst")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1449,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_purchase": q_ab_test,
         "matryoshka16": q_matryoshka,
         "shuffle_order": q_shuffle_order,
+        "skew_profile_dst": q_skew_profile,
     }
 
 
@@ -2326,6 +2332,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_purchase": ev.ab_test_sql(target="purchase"),
         "matryoshka16": sim.matryoshka_audit_sql(n_queries=10, k=5, dims=16),
         "shuffle_order": sp.shuffle_order_sql(salt="s1", n_shards=4),
+        "skew_profile_dst": f"{_G}, {st.skew_profile_sql('dst')}",
     }
 
 

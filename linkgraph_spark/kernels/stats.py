@@ -580,3 +580,56 @@ def degree_uniqueness_sql() -> str:
            round(n_vertices * 1.0 / t, 6) AS frac
     FROM du_sz CROSS JOIN du_t
     """
+
+
+def skew_profile(graph: LinkGraph, key: str = "dst") -> DataFrame:
+    """→ one-row ``[n_rows, n_keys, max_cnt, avg_cnt, p50_cnt, p99_cnt,
+    skew_factor]`` — the shuffle-key skew diagnostic run before any big
+    join/aggregate ships: per-key row counts summarized as max / mean /
+    exact percentiles, with ``skew_factor = max/mean`` (the number that
+    decides between a plain hash join, AQE skew handling, and explicit
+    salting; p99 vs max distinguishes a heavy tail from a single cliff
+    key). Defaults to ``dst`` — the PageRank gather key, this engine's
+    hottest shuffle.
+
+    Scale shape: one map-side-combined count per key, then ONE O(keys)
+    aggregate computing every statistic (exact ``percentile`` — same
+    linear interpolation as the oracle's ``quantile_cont``). Output is a
+    single row regardless of table size.
+    """
+    cnt = graph.edges.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+    one = cnt.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_cnt"),
+        F.avg("c").alias("_avg"),
+        F.expr("percentile(c, 0.5D)").alias("_p50"),
+        F.expr("percentile(c, 0.99D)").alias("_p99"),
+    )
+    return one.select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.round("_avg", 6).alias("avg_cnt"),
+        F.round("_p50", 6).alias("p50_cnt"),
+        F.round("_p99", 6).alias("p99_cnt"),
+        F.round(
+            F.when(F.col("_avg") > 0, F.col("max_cnt") / F.col("_avg")), 6
+        ).alias("skew_factor"),
+    )
+
+
+def skew_profile_sql(key: str = "dst") -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    return f"""sk_cnt AS (
+      SELECT {key} AS k, count(*) AS c FROM edges GROUP BY 1
+    )
+    SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           max(c) AS max_cnt,
+           round(avg(c), 6) AS avg_cnt,
+           round(quantile_cont(c, 0.5), 6) AS p50_cnt,
+           round(quantile_cont(c, 0.99), 6) AS p99_cnt,
+           round(CASE WHEN avg(c) > 0 THEN max(c) / avg(c) END, 6) AS skew_factor
+    FROM sk_cnt
+    """

@@ -204,3 +204,19 @@ def test_shuffle_order_matches_hash_permutation(spark):
     assert again == {i: r for i, (r, _) in out.items()}
     epoch2 = {r.doc_id: r.shuffle_rank for r in shuffle_order(df, salt="s2", partitions=5).collect()}
     assert epoch2 != again
+
+
+# --------------------------------------------------------------- skew profile
+def test_skew_profile_star_closed_form(spark):
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels.stats import skew_profile
+    from tests.fixtures_graphs import STAR10
+
+    g = graph_from_edges(spark, STAR10)
+    (r,) = skew_profile(g, key="dst").collect()
+    # dst counts: {0: 9, 1: 1}
+    assert (r.n_rows, r.n_keys, r.max_cnt) == (10, 2, 9)
+    assert r.avg_cnt == 5.0
+    assert r.p50_cnt == 5.0
+    assert r.p99_cnt == pytest.approx(1 + 0.99 * 8, abs=1e-9)  # linear interp
+    assert r.skew_factor == pytest.approx(9 / 5, abs=1e-9)
