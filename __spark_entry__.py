@@ -1265,7 +1265,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 5 order: the 38 queries CORRECTNESS_r04 rotated out (last driver
     row r2/r3), then the new-r5 block, then the 50 r4-green rows as tail.
-    Tail entries remain fully covered by pytest + tools/check_oracles.py."""
+    Tail entries remain fully covered by pytest + tools/check_oracles.py.
+
+    ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
+    from position 51 on (boruvka_msf .. skew_profile_dst — all of waves
+    2-15 plus the r4-green tail) must be fronted next round; every one of
+    the oracle-backed ones was verified ALL MATCH by
+    tools/check_oracles.py at sf0.01 during round 5 (the 7 rows-only
+    entries are pinned by exact pytest oracles instead)."""
     return {
         # -- 1. rotated out of the r4 gate (driver row is r2/r3) ------------
         "pagerank_top20": q_pagerank_top20,
