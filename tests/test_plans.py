@@ -292,3 +292,77 @@ def test_wave7_no_row_python_or_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+
+def test_wave14_15_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-14/15 operators stay JVM-side and never cross-product. The one
+    intended cross join (blocklist total-count attach, matryoshka/cosine
+    query broadcast) must be a BroadcastNestedLoopJoin over a 1-row/tiny
+    side, never CartesianProduct."""
+    from linkgraph_spark.functions.curation import blocklist_audit
+    from linkgraph_spark.functions.dedup import minhash_band_sweep
+    from linkgraph_spark.functions.events import ab_test
+    from linkgraph_spark.functions.similarity import matryoshka_audit, mutual_knn
+    from linkgraph_spark.functions.text import top_bigrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        mutual_knn(embs, k=3),
+        top_bigrams(docs, top_n=10),
+        blocklist_audit(docs),
+        ab_test(ev),
+        matryoshka_audit(embs, n_queries=5, k=3, dims=8),
+        minhash_band_sweep(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_mutual_knn_joins_on_bucket(spark, sf_dir):
+    """mutual_knn's candidate generation must be an equi-join on the LSH
+    bucket id — the scan never feeds an all-pairs join."""
+    from linkgraph_spark.functions.similarity import mutual_knn
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(mutual_knn(embs, k=3))
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan
+    # the per-vector top-k window partitions by query, not a constant
+    assert "row_number" in plan
+
+
+def test_shuffle_order_window_is_per_partition(spark, sf_dir):
+    """shuffle_order's rank window must partition by the physical
+    partition id (bounded groups), never a single global window, and the
+    offset attach must be a broadcast join."""
+    from linkgraph_spark.functions.sampling import shuffle_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffle_order(docs, salt="s1", partitions=4)
+    # localCheckpoint already materialized the two-phase plan; assert on
+    # a rebuilt (uncheckpointed) plan of the same shape instead
+    from pyspark.sql import Window
+    from linkgraph_spark.functions.hashing import md5_long
+
+    h = md5_long(F.concat_ws("\x1f", F.lit("s1"), F.col("doc_id").cast("string")))
+    d = (
+        docs.select("doc_id", h.alias("_h"))
+        .repartitionByRange(4, "_h", "doc_id")
+        .sortWithinPartitions("_h", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("_h", "doc_id")
+    plan = _plan(d.withColumn("_rn", F.row_number().over(w)))
+    # a global window would show 'Window ... partitionBy []' via an
+    # Exchange SinglePartition right before the Window node
+    window_idx = [i for i, l in enumerate(plan.splitlines()) if "Window" in l]
+    assert window_idx, plan
+    assert "SinglePartition" not in plan, plan
+    # and the result itself is sane: a permutation at this sf
+    n = docs.count()
+    ranks = [r.shuffle_rank for r in out.collect()]
+    assert sorted(ranks) == list(range(1, n + 1))
