@@ -795,7 +795,23 @@ def minhash_band_sweep(
     output is ``len(configs)`` rows regardless of corpus size. The
     shingle table is computed once and reused across configs.
     """
+    if not configs:
+        raise ValueError("minhash_band_sweep needs at least one (bands, rows) config")
     sh = _with_shingle_hashes(documents).persist()
+    out = _band_sweep_frame(sh, threshold, configs)
+    # the result is len(configs) counter rows — materialize it eagerly so
+    # the shingle cache can be released instead of pinning executor memory
+    # for the session lifetime (rich_club pattern: localCheckpoint the tiny
+    # frame, then unpersist the big parent)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
+
+
+def _band_sweep_frame(sh: DataFrame, threshold: float, configs) -> DataFrame:
+    """The LAZY sweep plan over a shingle table — kept separate from the
+    persist/checkpoint lifecycle so the plan-shape tests can assert on the
+    shipped plan (the checkpointed result prints as Scan ExistingRDD)."""
     sig_cols = [_min_affine(a, b) for a, b in hash_params(MINHASH_K)]
     out = None
     for n_bands, n_rows in configs:
@@ -839,12 +855,6 @@ def minhash_band_sweep(
             ).alias("precision"),
         )
         out = row if out is None else out.unionByName(row)
-    # the result is len(configs) counter rows — materialize it eagerly so
-    # the shingle cache can be released instead of pinning executor memory
-    # for the session lifetime (rich_club pattern: localCheckpoint the tiny
-    # frame, then unpersist the big parent)
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
     return out
 
 

@@ -528,6 +528,40 @@ def weighted_hash_sample_sql(
     )
 
 
+def _shuffle_order_keyed(
+    documents: DataFrame, salt: str, partitions: int | None, key: str
+) -> DataFrame:
+    """Phase 1 of :func:`shuffle_order`: the range-partitioned keyed frame
+    ``[doc_id, _h, _pid]``. NULL keys are dropped up front (they would
+    all collide on ``hash(salt)`` and rank differently across engines)."""
+    h = md5_long(F.concat_ws("\x1f", F.lit(salt), F.col(key).cast("string")))
+    d = documents.where(F.col(key).isNotNull()).select(
+        F.col(key).alias("doc_id"), h.alias("_h")
+    )
+    p = partitions or d.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return d.repartitionByRange(int(p), "_h", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+
+def _shuffle_order_ranked(d: DataFrame, off_df: DataFrame, n_shards: int) -> DataFrame:
+    """Phase 2 of :func:`shuffle_order`: per-group local ranks + exclusive
+    offsets → global rank and shard. Kept separate so the plan-shape tests
+    assert on the SHIPPED plan (no single-partition window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy("_h", "doc_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            "doc_id",
+            (F.col("_off") + F.col("_rn")).cast("long").alias("shuffle_rank"),
+            ((F.col("_off") + F.col("_rn") - 1) % n_shards).cast("long").alias("shard"),
+        )
+    )
+
+
 def shuffle_order(
     documents: DataFrame,
     salt: str = "s1",
@@ -543,51 +577,37 @@ def shuffle_order(
     training" step every pretraining pipeline runs; doing it with
     ``df.sample``/RNG would be irreproducible across retries, and doing
     it with one ``row_number()`` window would serialize the corpus
-    through a single reducer.
+    through a single reducer. NULL keys are dropped (they have no
+    portable order); n_shards must be ≥ 1.
 
     Scale shape: the classic two-phase distributed enumeration —
-    range-partition on the (hash, key) total order, sort WITHIN
-    partitions, take per-partition local ranks (a window whose partition
-    key is the physical partition id, so each window group is exactly one
-    already-co-located task, bounded by partition size — uniform by
-    hash, never by a skewed data key), and add the exclusive prefix sum
-    of partition counts (one tiny driver-side collect of ``partitions``
-    rows, broadcast back). Rank is invariant to the range boundaries:
-    any split of a total order yields the same offset + local rank.
+    range-partition on the (hash, key) total order to define bounded,
+    globally-ordered groups; count each group (one tiny driver collect of
+    ``partitions`` rows, broadcast back as exclusive offsets); then a
+    per-group ``row_number`` window keyed on the partition id — group
+    sizes are corpus/``partitions`` by construction (uniform hash ranges,
+    never a skewed data key), so no reducer sees more than one range.
+    The window's hash exchange on the group id and its sort are the only
+    O(data) costs (the range exchange does not pre-sort rows — sorting
+    once inside the window is strictly cheaper than sorting twice).
+    Rank is invariant to the range boundaries: any split of a total
+    order yields the same offset + local rank.
     """
-    from pyspark.sql import Window
-
-    h = md5_long(F.concat_ws("\x1f", F.lit(salt), F.col(key).cast("string")))
-    d = documents.select(F.col(key).alias("doc_id"), h.alias("_h"))
-    p = partitions or d.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    d = (
-        d.repartitionByRange(int(p), "_h", "doc_id")
-        .sortWithinPartitions("_h", "doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    if n_shards < 1:
+        raise ValueError("shuffle_order needs n_shards >= 1")
+    d = _shuffle_order_keyed(documents, salt, partitions, key).persist()
     sizes = {r["_pid"]: r["n"] for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    off_df = F.broadcast(
-        d.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-        )
+    off_df = d.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
     )
-    w = Window.partitionBy("_pid").orderBy("_h", "doc_id")
-    out = (
-        d.withColumn("_rn", F.row_number().over(w))
-        .join(off_df, "_pid")
-        .select(
-            "doc_id",
-            (F.col("_off") + F.col("_rn")).cast("long").alias("shuffle_rank"),
-            ((F.col("_off") + F.col("_rn") - 1) % n_shards).cast("long").alias("shard"),
-        )
-    )
+    out = _shuffle_order_ranked(d, off_df, n_shards)
     # materialize the (doc_id, rank, shard) result before releasing the
-    # sorted parent cache — eager, or the checkpoint would lazily recompute
+    # keyed parent cache — eager, or the checkpoint would lazily recompute
     # from an unpersisted plan; in a production writer this frame streams
     # straight to the shard sink instead of checkpointing
     out = out.localCheckpoint(eager=True)
@@ -607,4 +627,5 @@ def shuffle_order_sql(
            row_number() OVER (ORDER BY {h}, {key}) AS shuffle_rank,
            (row_number() OVER (ORDER BY {h}, {key}) - 1) % {n_shards} AS shard
     FROM {table}
+    WHERE {key} IS NOT NULL
     """

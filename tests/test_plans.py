@@ -308,13 +308,17 @@ def test_wave14_15_no_row_python_or_cartesian(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from linkgraph_spark.functions.dedup import _band_sweep_frame, _with_shingle_hashes
+
     for df in (
         mutual_knn(embs, k=3),
         top_bigrams(docs, top_n=10),
         blocklist_audit(docs),
         ab_test(ev),
         matryoshka_audit(embs, n_queries=5, k=3, dims=8),
-        minhash_band_sweep(docs),
+        # the sweep's SHIPPED lazy plan (its public wrapper returns a
+        # localCheckpoint whose executed plan is just Scan ExistingRDD)
+        _band_sweep_frame(_with_shingle_hashes(docs), 0.5, ((4, 4),)),
     ):
         plan = _plan(df)
         assert "CartesianProduct" not in plan, plan
@@ -336,33 +340,27 @@ def test_mutual_knn_joins_on_bucket(spark, sf_dir):
 
 
 def test_shuffle_order_window_is_per_partition(spark, sf_dir):
-    """shuffle_order's rank window must partition by the physical
-    partition id (bounded groups), never a single global window, and the
-    offset attach must be a broadcast join."""
-    from linkgraph_spark.functions.sampling import shuffle_order
+    """shuffle_order's SHIPPED rank plan must window by the physical
+    partition id (bounded groups — never Exchange SinglePartition), sort
+    the corpus exactly ONCE, and attach offsets via a broadcast join."""
+    from linkgraph_spark.functions.sampling import (
+        _shuffle_order_keyed,
+        _shuffle_order_ranked,
+        shuffle_order,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = shuffle_order(docs, salt="s1", partitions=4)
-    # localCheckpoint already materialized the two-phase plan; assert on
-    # a rebuilt (uncheckpointed) plan of the same shape instead
-    from pyspark.sql import Window
-    from linkgraph_spark.functions.hashing import md5_long
-
-    h = md5_long(F.concat_ws("\x1f", F.lit("s1"), F.col("doc_id").cast("string")))
-    d = (
-        docs.select("doc_id", h.alias("_h"))
-        .repartitionByRange(4, "_h", "doc_id")
-        .sortWithinPartitions("_h", "doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w = Window.partitionBy("_pid").orderBy("_h", "doc_id")
-    plan = _plan(d.withColumn("_rn", F.row_number().over(w)))
-    # a global window would show 'Window ... partitionBy []' via an
-    # Exchange SinglePartition right before the Window node
-    window_idx = [i for i, l in enumerate(plan.splitlines()) if "Window" in l]
-    assert window_idx, plan
+    d = _shuffle_order_keyed(docs, "s1", 4, "doc_id")
+    off = spark.createDataFrame([(i, 0) for i in range(4)], "_pid int, _off long")
+    plan = _plan(_shuffle_order_ranked(d, off, 4))
+    assert "Window" in plan, plan
+    # a single global window would need Exchange SinglePartition
     assert "SinglePartition" not in plan, plan
-    # and the result itself is sane: a permutation at this sf
+    # exactly one sort of the data (inside the window) — the r5 review
+    # caught a redundant sortWithinPartitions that doubled the sort cost
+    assert plan.count("+- Sort ") == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # and the public wrapper still yields a dense permutation
     n = docs.count()
-    ranks = [r.shuffle_rank for r in out.collect()]
+    ranks = [r.shuffle_rank for r in shuffle_order(docs, salt="s1", partitions=4).collect()]
     assert sorted(ranks) == list(range(1, n + 1))
