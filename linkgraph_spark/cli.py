@@ -67,6 +67,7 @@ def main(argv=None):
             "matching", "salsa", "eigenvector", "census", "richclub",
             "seedspread", "msf", "msfclusters", "overlap",
             "cliques", "resilience", "bowtie", "spammass", "contract",
+            "simrank", "ballsizes", "pprsweep",
         ],
     )
     p.add_argument(
@@ -360,6 +361,38 @@ def main(argv=None):
 
         result = contract_vertices(g)
         summary = {"contracted_edges": result.count()}
+    elif args.kernel == "simrank":
+        from linkgraph_spark.kernels import simrank
+
+        result = simrank(
+            g, iterations=args.iterations or 2, max_out_degree=args.max_degree
+        )
+        summary = {"pairs": result.count(), "iterations": args.iterations or 2}
+    elif args.kernel == "ballsizes":
+        from linkgraph_spark.kernels import ball_sizes
+
+        result = ball_sizes(g, max_degree=args.max_degree)
+        summary = {
+            "vertices": result.count(),
+            "max_ball2": result.agg(F.max("ball2")).collect()[0][0],
+        }
+    elif args.kernel == "pprsweep":
+        from linkgraph_spark.kernels import ppr_sweep
+
+        srcs = [int(x) for x in (args.sources or "0").split(",")]
+        result = ppr_sweep(
+            g, seeds=srcs, iterations=args.iterations or 5, top_k=args.top_k or 50
+        )
+        best = (
+            result.where(F.col("phi").isNotNull())
+            .orderBy(F.asc("phi"), F.asc("pos"))
+            .limit(1)
+            .collect()
+        )
+        summary = {
+            "seeds": srcs,
+            "best_cut": {"pos": best[0]["pos"], "phi": best[0]["phi"]} if best else None,
+        }
     elif args.kernel == "salsa":
         from linkgraph_spark.kernels import salsa
 

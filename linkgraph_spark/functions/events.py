@@ -1137,3 +1137,91 @@ def ab_test_sql(target: str = "purchase", table: str = "events") -> str:
             END, 6) AS z_score
     FROM ab_agg
     """
+
+
+def transition_entropy(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ ``[user_id, n_trans, entropy]`` — per-user Shannon entropy (nats)
+    of the event-type TRANSITION distribution: how predictable each user's
+    next action is given the previous one. Transitions follow the exact
+    :func:`markov_transitions` rule (ordered by ``(ts, event_id)``, a gap
+    > ``gap_sec`` ends the chain); a bot replaying one loop scores ~0,
+    organic exploration scores high — the behavioral twin of
+    ``text.char_entropy``'s gibberish signal, and computed with the same
+    single-division form ``H = ln n − (Σ c·ln c)/n`` so the FP op
+    sequence matches the SQL oracle. Users with zero qualifying
+    transitions report (0, 0.0).
+
+    Scale shape: ONE user-keyed shuffle for the lag window, then two hash
+    aggregates keyed by (user, src, dst) and user — both map-side
+    combinable; per-user state is bounded by |event types|².
+    """
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    lagged = e.select(
+        "user_id",
+        F.lag("event_type").over(wl).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+        (F.col("ts_s") - F.lag("ts_s").over(wl)).alias("gap"),
+    )
+    per = (
+        lagged.where(F.col("src_type").isNotNull() & (F.col("gap") <= gap_sec))
+        .groupBy("user_id", "src_type", "dst_type")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("_clogc"),
+    )
+    out = agg.select(
+        "user_id",
+        F.col("n").alias("n_trans"),
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("_clogc") / F.col("n"), 6
+        ).alias("entropy"),
+    )
+    silent = events.select("user_id").distinct().join(
+        out, "user_id", "left_anti"
+    ).select(
+        "user_id",
+        F.lit(0).cast("long").alias("n_trans"),
+        F.lit(0.0).alias("entropy"),
+    )
+    return out.unionByName(silent)
+
+
+def transition_entropy_sql(gap_sec: int = 1800, table: str = "events") -> str:
+    """DuckDB oracle for :func:`transition_entropy` (standalone query)."""
+    return f"""
+    WITH tee AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), tel AS (
+      SELECT user_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts_s, event_id) AS src_type,
+             event_type AS dst_type,
+             ts_s - lag(ts_s) OVER
+               (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+      FROM tee
+    ), tep AS (
+      SELECT user_id, src_type, dst_type, count(*) AS c
+      FROM tel
+      WHERE src_type IS NOT NULL AND gap <= {int(gap_sec)}
+      GROUP BY 1, 2, 3
+    ), tea AS (
+      SELECT user_id, sum(c) AS n,
+             sum(c * ln(CAST(c AS DOUBLE))) AS clogc
+      FROM tep GROUP BY user_id
+    ), teo AS (
+      SELECT user_id, CAST(n AS BIGINT) AS n_trans,
+             round(ln(CAST(n AS DOUBLE)) - clogc / n, 6) AS entropy
+      FROM tea
+    )
+    SELECT * FROM teo
+    UNION ALL
+    SELECT DISTINCT e.user_id, 0, 0.0 FROM {table} e
+    WHERE e.user_id NOT IN (SELECT user_id FROM teo)
+    """

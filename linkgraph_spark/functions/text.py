@@ -1430,3 +1430,41 @@ def top_bigrams_sql(table: str = "documents", top_n: int = 20) -> str:
     FROM tbf GROUP BY bg
     ORDER BY sum(tf) DESC, bg ASC LIMIT {top_n}
     """
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """→ ``[doc_id, norm_text, n_norm_chars, changed]`` — the canonical
+    text-normalization pass a corpus gets before dedup/fingerprinting
+    (casefold + whitespace collapse + trim): lowercase, squeeze runs of
+    ``[ \\t\\r\\n]`` to one space, strip leading/trailing space. NULL text
+    normalizes to the empty string. ``changed`` marks rows the pass
+    actually touched (the audit column: a 0.1 % changed-rate on a clean
+    recrawl is a red flag for upstream drift). The regex stays inside the
+    Java-regex ∩ RE2 common subset (explicit char class, no ``\\s``) so
+    the oracle replays it byte-for-byte.
+
+    Scale shape: map-only JVM expressions — no shuffle, no Python."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce("text", F.lit(""))), "[ \t\r\n]+", " ")
+    )
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_norm_chars"),
+        (norm != F.coalesce("text", F.lit(""))).alias("changed"),
+    )
+
+
+def normalize_text_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`normalize_text` (standalone query)."""
+    norm = (
+        "trim(regexp_replace(lower(coalesce(text, '')), "
+        "'[ \t\r\n]+', ' ', 'g'))"
+    )
+    return f"""
+    SELECT doc_id,
+           {norm} AS norm_text,
+           length({norm}) AS n_norm_chars,
+           ({norm} <> coalesce(text, '')) AS changed
+    FROM {table}
+    """

@@ -26,6 +26,7 @@ from linkgraph_spark.kernels.kmeans import kmeans, kmeans_profile, pq_codes, sil
 from linkgraph_spark.kernels.pca import pca_power
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
+    ball_sizes,
     closeness_landmarks,
     double_sweep_diameter,
     eccentricity_landmarks,
@@ -34,12 +35,14 @@ from linkgraph_spark.kernels.centrality import (
     harmonic_landmarks,
     hyperball,
 )
+from linkgraph_spark.kernels.simrank import simrank
 from linkgraph_spark.kernels.betweenness import BetweennessResult, betweenness
 from linkgraph_spark.kernels.modularity import (
     conductance,
     label_assortativity,
     label_mixing,
     modularity,
+    ppr_sweep,
 )
 from linkgraph_spark.kernels.node2vec import node2vec_walks
 from linkgraph_spark.kernels.projection import contract_vertices, shared_tool_affinity
@@ -135,6 +138,9 @@ __all__ = [
     "modularity",
     "label_mixing",
     "conductance",
+    "ppr_sweep",
+    "simrank",
+    "ball_sizes",
     "BetweennessResult",
     "betweenness",
     "shared_tool_affinity",

@@ -18,7 +18,7 @@ Engine addition over the reference (no community metrics at all).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph_spark.edges import LinkGraph
@@ -330,4 +330,196 @@ def label_assortativity_sql(labels_cte: str, label_col: str = "label") -> str:
            n_labels,
            round(coalesce(sum_diag, 0.0), 6) AS diag_frac
     FROM la_diag CROSS JOIN la_ab CROSS JOIN la_nl
+    """
+
+
+def ppr_sweep(
+    graph: LinkGraph,
+    seeds: list,
+    iterations: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """→ ``[pos, id, phi]`` — the PageRank-Nibble sweep-cut curve
+    (Andersen, Chung & Lang, FOCS 2006): run personalized PageRank from
+    ``seeds``, order vertices by descending score, and report the
+    conductance φ of every prefix of the top ``top_k`` — the standard
+    local-community detector ("the best cluster around this seed is the
+    prefix where φ bottoms out"). PPR scores come from the directed
+    textbook walk (``kernels/pagerank.py``, engine default d=0.85);
+    conductance is measured on the undirected simple graph with the same
+    φ = cut/min(vol, 2m−vol) convention as :func:`conductance`. φ is NULL
+    while the denominator is 0 (prefix of isolated vertices).
+
+    Ordering is by the 6-dp-ROUNDED score then id, so the sweep order —
+    and therefore the curve — is engine-portable (unrounded FP ties would
+    let a 1e-16 sum-order wobble reorder the prefix).
+
+    Scale shape: the PPR is the flagship gather kernel; the sweep itself
+    touches each edge ONCE (one join against the top-k position table,
+    then a ±1 difference-array aggregate keyed by prefix position) and
+    the only windows are running sums over ≤ ``top_k`` rows — bounded by
+    construction, never by data volume."""
+    from linkgraph_spark.kernels.pagerank import pagerank
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    res = pagerank(
+        graph, mode="textbook", iterations=iterations, personalize_ids=list(seeds)
+    )
+    r6 = res.ranks.select("id", F.round("rank", 6).alias("r"))
+    worder = Window.orderBy(F.desc("r"), F.asc("id"))
+    pos_t = (
+        r6.orderBy(F.desc("r"), F.asc("id"))
+        .limit(top_k)  # TakeOrdered; the row_number window below is <= top_k rows
+        .select("id", F.row_number().over(worder).alias("pos"))
+        .persist()
+    )
+    und = _oriented(graph.edges)  # distinct a < b, no loops
+    m = und.count()
+    big = 1 << 40
+    pa = pos_t.select(F.col("id").alias("a"), F.col("pos").alias("pa"))
+    pb = pos_t.select(F.col("id").alias("b"), F.col("pos").alias("pb"))
+    ep = (
+        und.join(pa, "a", "left")
+        .join(pb, "b", "left")
+        .select(
+            F.least(
+                F.coalesce("pa", F.lit(big)), F.coalesce("pb", F.lit(big))
+            ).alias("mn"),
+            F.greatest(
+                F.coalesce("pa", F.lit(big)), F.coalesce("pb", F.lit(big))
+            ).alias("mx"),
+        )
+    )
+    # difference array: an edge is cut for prefixes mn <= k < mx
+    # (one explode pass, not two filtered scans of the edge join)
+    deltas = (
+        ep.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("mn").alias("pos"), F.lit(1).alias("delta")),
+                    F.struct(F.col("mx").alias("pos"), F.lit(-1).alias("delta")),
+                )
+            ).alias("x")
+        )
+        .select("x.pos", "x.delta")
+        .where(F.col("pos") <= top_k)
+        .groupBy("pos")
+        .agg(F.sum("delta").alias("d"))
+    )
+    degu = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ws = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        pos_t.join(deltas, "pos", "left")
+        .join(degu, "id", "left")
+        .select(
+            "pos",
+            "id",
+            F.sum(F.coalesce("d", F.lit(0))).over(ws).alias("cut"),
+            F.sum(F.coalesce("deg", F.lit(0))).over(ws).alias("vol"),
+        )
+    )
+    denom = F.least(F.col("vol"), F.lit(2 * m) - F.col("vol"))
+    out = sweep.select(
+        "pos",
+        "id",
+        F.round(F.when(denom > 0, F.col("cut") / denom), 6).alias("phi"),
+    ).localCheckpoint()
+    pos_t.unpersist()
+    return out
+
+
+def ppr_sweep_sql(
+    seeds: list,
+    iterations: int = 5,
+    top_k: int = 50,
+    d: float = 0.85,
+) -> str:
+    """DuckDB oracle body for :func:`ppr_sweep` (expects ``verts`` and
+    ``edges`` CTEs in scope): the personalized-PageRank chain unrolled
+    round-exactly (same teleport/dangling algebra as the engine), then
+    the same rounded-score ordering and difference-array sweep."""
+    n_seeds = len(list(seeds))
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    tele = f"(CASE WHEN r.id IN ({seed_list}) THEN 1.0 / {n_seeds} ELSE 0.0 END)"
+    tele0 = f"(CASE WHEN id IN ({seed_list}) THEN 1.0 / {n_seeds} ELSE 0.0 END)"
+    ctes = [
+        """pps_od AS MATERIALIZED (
+      SELECT v.id, coalesce(o.od, 0) AS out_deg
+      FROM verts v LEFT JOIN (
+        SELECT src AS id, count(*) AS od FROM edges GROUP BY src
+      ) o ON o.id = v.id
+    )""",
+        f"pps_r0 AS (SELECT id, {tele0} AS rank FROM verts)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""pps_dm{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS m
+      FROM pps_r{k - 1} r JOIN pps_od dg ON dg.id = r.id AND dg.out_deg = 0
+    ),
+    pps_r{k} AS MATERIALIZED (
+      SELECT r.id,
+             {tele} * ({1 - d:.17g} + {d} * pps_dm{k}.m)
+               + {d} * coalesce(s.sm, 0.0) AS rank
+      FROM pps_r{k - 1} r CROSS JOIN pps_dm{k}
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(r2.rank / dg.out_deg) AS sm
+        FROM edges e
+        JOIN pps_r{k - 1} r2 ON e.src = r2.id
+        JOIN pps_od dg ON dg.id = e.src
+        GROUP BY e.dst
+      ) s ON s.id = r.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    big = 1 << 40
+    return f"""{body},
+    pps_pos AS MATERIALIZED (
+      SELECT id, pos FROM (
+        SELECT id, row_number() OVER (ORDER BY round(rank, 6) DESC, id) AS pos
+        FROM pps_r{iterations}
+      ) WHERE pos <= {top_k}
+    ),
+    pps_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    pps_m AS (SELECT count(*) AS m FROM pps_und),
+    pps_deg AS (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM pps_und UNION ALL SELECT b AS id FROM pps_und
+      ) GROUP BY id
+    ),
+    pps_ep AS (
+      SELECT least(coalesce(pa.pos, {big}), coalesce(pb.pos, {big})) AS mn,
+             greatest(coalesce(pa.pos, {big}), coalesce(pb.pos, {big})) AS mx
+      FROM pps_und e
+      LEFT JOIN pps_pos pa ON pa.id = e.a
+      LEFT JOIN pps_pos pb ON pb.id = e.b
+    ),
+    pps_dif AS (
+      SELECT pos, sum(delta) AS d FROM (
+        SELECT mn AS pos, 1 AS delta FROM pps_ep
+        UNION ALL
+        SELECT mx AS pos, -1 AS delta FROM pps_ep
+      ) WHERE pos <= {top_k} GROUP BY pos
+    ),
+    pps_sweep AS (
+      SELECT p.pos, p.id,
+             sum(coalesce(f.d, 0)) OVER (ORDER BY p.pos) AS cut,
+             sum(coalesce(g.deg, 0)) OVER (ORDER BY p.pos) AS vol
+      FROM pps_pos p
+      LEFT JOIN pps_dif f ON f.pos = p.pos
+      LEFT JOIN pps_deg g ON g.id = p.id
+    )
+    SELECT pos, id,
+           CASE WHEN least(vol, 2 * m.m - vol) > 0
+                THEN round(cut * 1.0 / least(vol, 2 * m.m - vol), 6)
+           END AS phi
+    FROM pps_sweep CROSS JOIN pps_m m
     """

@@ -164,3 +164,26 @@ def test_cli_wave13_kernels(spark, tmp_path, capsys):
     sm = run("spammass", "--sources", "0,1", "--iterations", "2")
     assert sm["trusted_seeds"] == [0, 1]
     assert run("contract")["contracted_edges"] > 0
+
+
+def test_cli_wave16_17_kernels(spark, tmp_path, capsys):
+    """simrank / ballsizes / pprsweep are reachable from the spark-submit
+    entry point and report their summary contracts."""
+    import json
+
+    from linkgraph_spark.cli import main
+
+    def run(*argv):
+        rc = main(list(argv) + ["--synthetic-convs", "40", "--output",
+                                str(tmp_path / argv[0])])
+        assert rc == 0
+        return json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        )
+
+    sr = run("simrank", "--iterations", "2")
+    assert sr["pairs"] > 0 and sr["iterations"] == 2
+    bs = run("ballsizes")
+    assert bs["vertices"] > 0 and bs["max_ball2"] >= 1
+    ps = run("pprsweep", "--sources", "0", "--top-k", "10")
+    assert ps["seeds"] == [0] and ps["best_cut"]["phi"] is not None
