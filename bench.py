@@ -151,6 +151,20 @@ def main():
     _, q["resilience_sf"] = timed(
         lambda: attack_resilience(g_sf, k=8).collect()
     )
+    from linkgraph_spark.kernels import ppr_sweep, simrank
+
+    # squared-wedge pair iteration (SimRank superstep family)
+    _, q["simrank2_sf"] = timed(lambda: simrank(g_sf, iterations=2).count())
+    # local-community composition: 5-iter PPR + one-edge-pass sweep cut
+    _, q["ppr_sweep_sf"] = timed(
+        lambda: ppr_sweep(g_sf, seeds=[0], iterations=5, top_k=50).count()
+    )
+    from linkgraph_spark.kernels import fiedler_sweep
+
+    # spectral partitioning: 8 lazy-walk supersteps + the same sweep tail
+    _, q["fiedler_sweep_sf"] = timed(
+        lambda: fiedler_sweep(g_sf, iterations=8, top_k=50).count()
+    )
     n_edges_sf = g_sf.edges.count()
     g_sf.unpersist()
 
@@ -190,6 +204,14 @@ def main():
     _, q["mutual_knn_sf"] = timed(lambda: mutual_knn(embs, k=4).count())
     # 3 banding configs over one shingle table (LSH tuning pass)
     _, q["band_sweep_sf"] = timed(lambda: minhash_band_sweep(docs).count())
+    from linkgraph_spark.functions.similarity import dbscan
+
+    # density clustering: LSH pair gen + density count + core-graph CC loop
+    _, q["dbscan_sf"] = timed(lambda: dbscan(embs, threshold=0.35, min_pts=3).count())
+    from linkgraph_spark.kernels import kcenter
+
+    # coreset selection: 8 literal-codebook projection rounds + argmax
+    _, q["kcenter8_sf"] = timed(lambda: kcenter(embs, k=8).count())
 
     # ---- large synthetic transcript graph: the throughput workload ---------
     t_large = synthesize_transcripts(

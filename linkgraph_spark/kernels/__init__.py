@@ -22,7 +22,13 @@ from linkgraph_spark.kernels.matching import MatchingResult, maximal_matching, v
 from linkgraph_spark.kernels.densest import DensestResult, densest_subgraph
 from linkgraph_spark.kernels.linkpred import adamic_adar, link_scores, neighborhood_overlap
 from linkgraph_spark.kernels.msf import MSFResult, boruvka_msf, msf_clusters
-from linkgraph_spark.kernels.kmeans import kmeans, kmeans_profile, pq_codes, silhouette
+from linkgraph_spark.kernels.kmeans import (
+    kcenter,
+    kmeans,
+    kmeans_profile,
+    pq_codes,
+    silhouette,
+)
 from linkgraph_spark.kernels.pca import pca_power
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
@@ -59,6 +65,7 @@ from linkgraph_spark.kernels.trustrank import spam_mass
 from linkgraph_spark.kernels.spectral import (
     SpectralResult,
     eigenvector_centrality,
+    fiedler_sweep,
     salsa,
 )
 from linkgraph_spark.kernels.stats import (
@@ -141,6 +148,8 @@ __all__ = [
     "ppr_sweep",
     "simrank",
     "ball_sizes",
+    "fiedler_sweep",
+    "kcenter",
     "BetweennessResult",
     "betweenness",
     "shared_tool_affinity",

@@ -362,3 +362,101 @@ def pq_codes_sql(
             f"    SELECT vec_id, cluster FROM kfinal)"
         )
     return "\n    UNION ALL\n    ".join(parts)
+
+
+def kcenter(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """→ ``[center_rank, vec_id, dist2]`` — greedy farthest-point k-center
+    selection (Gonzalez 1985, the 2-approximation): start from the min
+    ``vec_id``, then repeatedly pick the vector farthest (squared L2) from
+    everything already selected. The selection IS a diversity coreset —
+    the data-curation pass that picks maximally-spread exemplars for
+    labeling/eval — and ``dist2`` at each rank is the coverage radius²
+    the selection guarantees at that budget (the marginal-value curve:
+    stop adding centers when it flattens).
+
+    Deterministic: distances are rounded to 9 dp before the argmax
+    (snapping cross-engine FP wobble) with ties broken by min ``vec_id``;
+    the first center's dist2 is 0.0.
+
+    Scale shape: the selected set lives driver-side (k·D floats, the
+    kmeans codebook convention); each round is ONE projection over the
+    vector table (min over ≤k literal-array distances — no join, no
+    shuffle) plus a TakeOrdered(1) argmax. k rounds total, O(k·N·D) work.
+    """
+    base = _base(embeddings).persist()
+    first = base.orderBy("vec_id").limit(1).collect()
+    if not first:
+        base.unpersist()
+        raise ValueError("kcenter: empty embeddings table")
+    sel_ids = [int(first[0]["vec_id"])]
+    sel_vecs = [[float(x) for x in first[0]["v"]]]
+    rows = [(1, sel_ids[0], 0.0)]
+    for r in range(2, k + 1):
+        codebook = F.array(*[F.lit(cv) for cv in sel_vecs])
+        dists = F.transform(codebook, lambda cv: _sqdist(F.col("v"), cv))
+        d2 = F.round(F.array_min(dists), 9)
+        far = (
+            base.where(~F.col("vec_id").isin(sel_ids))
+            .select("vec_id", "v", d2.alias("d2"))
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break  # fewer than k vectors
+        sel_ids.append(int(far[0]["vec_id"]))
+        sel_vecs.append([float(x) for x in far[0]["v"]])
+        rows.append((r, sel_ids[-1], float(far[0]["d2"])))
+    base.unpersist()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        rows, "center_rank long, vec_id long, dist2 double"
+    )
+
+
+def kcenter_sql(table: str = "embeddings", k: int = 8) -> str:
+    """DuckDB oracle for :func:`kcenter` (standalone query): the greedy
+    selection unrolled — each round joins the running selected set
+    relationally instead of shipping literals, same rounded argmax."""
+    sqd = (
+        "list_reduce(list_transform(range(1, len(b.v) + 1),"
+        " i -> (b.v[i] - c.v[i]) * (b.v[i] - c.v[i])), (x, y) -> x + y)"
+    )
+    ctes = [
+        f"""kc_b AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    )""",
+        """kc_s1 AS (
+      SELECT 1 AS center_rank, vec_id, 0.0 AS dist2 FROM kc_b
+      ORDER BY vec_id LIMIT 1
+    )""",
+        "kc_sel1 AS (SELECT center_rank, vec_id, dist2 FROM kc_s1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""kc_d{r} AS MATERIALIZED (
+      SELECT b.vec_id, round(min({sqd}), 9) AS d2
+      FROM kc_b b
+      JOIN kc_sel{r - 1} s ON TRUE
+      JOIN kc_b c ON c.vec_id = s.vec_id
+      WHERE b.vec_id NOT IN (SELECT vec_id FROM kc_sel{r - 1})
+      GROUP BY b.vec_id
+    )"""
+        )
+        ctes.append(
+            f"""kc_s{r} AS MATERIALIZED (
+      SELECT {r} AS center_rank, vec_id, d2 AS dist2 FROM kc_d{r}
+      ORDER BY d2 DESC, vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""kc_sel{r} AS MATERIALIZED (
+      SELECT * FROM kc_sel{r - 1} UNION ALL SELECT * FROM kc_s{r}
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT center_rank, vec_id, dist2 FROM kc_sel{k}
+    """

@@ -374,6 +374,18 @@ def ppr_sweep(
         .persist()
     )
     und = _oriented(graph.edges)  # distinct a < b, no loops
+    out = _sweep_curve(und, pos_t, top_k).localCheckpoint()
+    pos_t.unpersist()
+    return out
+
+
+def _sweep_curve(und: DataFrame, pos_t: DataFrame, top_k: int) -> DataFrame:
+    """→ lazy ``[pos, id, phi]`` — the conductance curve over the ordered
+    prefix table ``pos_t = [id, pos]`` (pos 1..≤top_k) against the
+    oriented simple edge list ``und = [a, b]`` (a < b). Shared by
+    :func:`ppr_sweep` (PPR ordering) and
+    ``kernels/spectral.fiedler_sweep`` (eigenvector ordering). One edge
+    pass + running sums over ≤ top_k rows; the caller checkpoints."""
     m = und.count()
     big = 1 << 40
     pa = pos_t.select(F.col("id").alias("a"), F.col("pos").alias("pa"))
@@ -424,13 +436,11 @@ def ppr_sweep(
         )
     )
     denom = F.least(F.col("vol"), F.lit(2 * m) - F.col("vol"))
-    out = sweep.select(
+    return sweep.select(
         "pos",
         "id",
         F.round(F.when(denom > 0, F.col("cut") / denom), 6).alias("phi"),
-    ).localCheckpoint()
-    pos_t.unpersist()
-    return out
+    )
 
 
 def ppr_sweep_sql(
@@ -477,7 +487,6 @@ def ppr_sweep_sql(
     )"""
         )
     body = ",\n    ".join(ctes)
-    big = 1 << 40
     return f"""{body},
     pps_pos AS MATERIALIZED (
       SELECT id, pos FROM (
@@ -485,41 +494,50 @@ def ppr_sweep_sql(
         FROM pps_r{iterations}
       ) WHERE pos <= {top_k}
     ),
-    pps_und AS MATERIALIZED (
+    {_sweep_sql_tail("pps_pos", top_k, p="pps")}
+    """
+
+
+def _sweep_sql_tail(pos_cte: str, top_k: int, p: str = "pps") -> str:
+    """CTE chain + final SELECT producing the ``[pos, id, phi]``
+    conductance curve for a position CTE ``pos_cte = [id, pos]`` — the
+    SQL twin of :func:`_sweep_curve` (expects ``edges`` in scope; ``p``
+    prefixes the CTE names so two sweeps can't collide in one WITH)."""
+    big = 1 << 40
+    return f"""{p}_und AS MATERIALIZED (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
       WHERE src <> dst GROUP BY 1, 2
     ),
-    pps_m AS (SELECT count(*) AS m FROM pps_und),
-    pps_deg AS (
+    {p}_m AS (SELECT count(*) AS m FROM {p}_und),
+    {p}_deg AS (
       SELECT id, count(*) AS deg FROM (
-        SELECT a AS id FROM pps_und UNION ALL SELECT b AS id FROM pps_und
+        SELECT a AS id FROM {p}_und UNION ALL SELECT b AS id FROM {p}_und
       ) GROUP BY id
     ),
-    pps_ep AS (
+    {p}_ep AS (
       SELECT least(coalesce(pa.pos, {big}), coalesce(pb.pos, {big})) AS mn,
              greatest(coalesce(pa.pos, {big}), coalesce(pb.pos, {big})) AS mx
-      FROM pps_und e
-      LEFT JOIN pps_pos pa ON pa.id = e.a
-      LEFT JOIN pps_pos pb ON pb.id = e.b
+      FROM {p}_und e
+      LEFT JOIN {pos_cte} pa ON pa.id = e.a
+      LEFT JOIN {pos_cte} pb ON pb.id = e.b
     ),
-    pps_dif AS (
+    {p}_dif AS (
       SELECT pos, sum(delta) AS d FROM (
-        SELECT mn AS pos, 1 AS delta FROM pps_ep
+        SELECT mn AS pos, 1 AS delta FROM {p}_ep
         UNION ALL
-        SELECT mx AS pos, -1 AS delta FROM pps_ep
+        SELECT mx AS pos, -1 AS delta FROM {p}_ep
       ) WHERE pos <= {top_k} GROUP BY pos
     ),
-    pps_sweep AS (
-      SELECT p.pos, p.id,
-             sum(coalesce(f.d, 0)) OVER (ORDER BY p.pos) AS cut,
-             sum(coalesce(g.deg, 0)) OVER (ORDER BY p.pos) AS vol
-      FROM pps_pos p
-      LEFT JOIN pps_dif f ON f.pos = p.pos
-      LEFT JOIN pps_deg g ON g.id = p.id
+    {p}_sweep AS (
+      SELECT pp.pos, pp.id,
+             sum(coalesce(f.d, 0)) OVER (ORDER BY pp.pos) AS cut,
+             sum(coalesce(g.deg, 0)) OVER (ORDER BY pp.pos) AS vol
+      FROM {pos_cte} pp
+      LEFT JOIN {p}_dif f ON f.pos = pp.pos
+      LEFT JOIN {p}_deg g ON g.id = pp.id
     )
     SELECT pos, id,
            CASE WHEN least(vol, 2 * m.m - vol) > 0
                 THEN round(cut * 1.0 / least(vol, 2 * m.m - vol), 6)
            END AS phi
-    FROM pps_sweep CROSS JOIN pps_m m
-    """
+    FROM {p}_sweep CROSS JOIN {p}_m m"""

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from linkgraph_spark.edges import LinkGraph
@@ -243,4 +243,202 @@ def salsa_sql(iters: int = 5) -> str:
     FROM sl_h{iters} h
     JOIN sl_araw{iters} a ON a.id = h.id
     CROSS JOIN sl_an{iters}
+    """
+
+
+def fiedler_sweep(
+    graph: LinkGraph, iterations: int = 8, top_k: int = 50
+) -> DataFrame:
+    """→ ``[pos, id, phi]`` — SPECTRAL bisection sweep: estimate the
+    second eigenvector of the symmetric normalized adjacency
+    ``M = D^{-1/2} A D^{-1/2}`` of the undirected simple graph by
+    deflated power iteration, order vertices by the (6-dp-rounded)
+    eigenvector value ascending, and report the conductance of every
+    top-``top_k`` prefix — the classic global-partitioning recipe
+    (Fiedler 1973 / Shi-Malik normalized cut): the best bisection is the
+    prefix where φ bottoms out. The GLOBAL complement to
+    ``modularity.ppr_sweep``'s seed-local sweep, sharing its
+    ``_sweep_curve`` machinery.
+
+    Deflation is EXACT, not estimated: M's top eigenvector is known in
+    closed form (v1 ∝ D^{1/2}·1, eigenvalue 1), so each round computes
+    ``z = (y + M·y)/2 − (v1·y)·v1`` — the LAZY walk (I+M)/2, which maps
+    the spectrum into [0, 1] so a bipartite component's −1 eigenvalue
+    (e.g. an even ring) can't out-dominate the Fiedler mode — then
+    rescales by the infinity norm and rounds entries to 9 dp (the
+    cross-engine FP-snapping convention — the ordering key must be
+    engine-portable). Init is a deterministic pseudo-random vector
+    (Mersenne-arithmetic hash of the id), never orthogonal to the
+    Fiedler vector in practice.
+
+    Scale shape: per round ONE edge gather (sum of w·y along the
+    symmetrized normalized edge list, weights attached once,
+    iteration-invariant) + one grouped sum; the two scalars each round
+    (v1·z and max|z|) ride the superstep's materialization via
+    ``observe()`` — no extra job. Zero-degree vertices carry no cut mass
+    and are excluded. The sweep adds one edge pass + ≤ top_k-row windows.
+    """
+    from linkgraph_spark.functions.hashing import MERSENNE_P
+    from linkgraph_spark.kernels.components import undirected
+    from linkgraph_spark.kernels.modularity import _sweep_curve
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    spark = graph.vertices.sparkSession
+    und = undirected(graph.edges)  # symmetric distinct [src, dst], no loops
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    deg = deg.persist()
+    vol = deg.agg(F.sum("d")).collect()[0][0]
+    if not vol:
+        deg.unpersist()
+        raise ValueError("fiedler_sweep: graph has no edges")
+    verts0 = deg.select(
+        "id", (F.sqrt(F.col("d")) / F.lit(float(vol) ** 0.5)).alias("v1")
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("d").alias("dsrc"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("d").alias("ddst"))
+    e_norm = (
+        und.join(ds, "src")
+        .join(dd, "dst")
+        .select(
+            "src", "dst",
+            (F.lit(1.0) / (F.sqrt("dsrc") * F.sqrt("ddst"))).alias("w"),
+        )
+        .persist()
+    )
+    n_edges = graph.edges.count()
+    state = RotatingState(spark)
+    # deterministic pseudo-random init (Mersenne arithmetic, id-keyed)
+    p = (F.col("id") % F.lit(MERSENNE_P)) * F.lit(2654435761) % F.lit(MERSENNE_P)
+    raw0 = (p % F.lit(1000)).cast("double") / F.lit(999.0) - F.lit(0.5)
+    metrics: list = []
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+        z = verts0.select("id", "v1", raw0.alias("raw"))
+        mx, dot = 1.0, 0.0
+        for it in range(iterations + 1):  # round 0 materializes the init
+            obs = Observation(f"fiedler_{id(state)}_{it}")
+            z = z.observe(
+                obs,
+                F.sum(F.col("v1") * F.col("raw")).alias("dotraw"),
+                F.max(F.abs(F.col("raw"))).alias("mxraw"),
+            )
+            cur = state.rotate(z)
+            mxraw = obs.get["mxraw"]
+            mx = mxraw if mxraw and mxraw > 0 else 1.0
+            dot = (obs.get["dotraw"] or 0.0) / mx
+            metrics.append({"iteration": it, "inf_norm": mx, "v1_dot": dot})
+            if it == iterations:
+                break
+            # LAZY rescale+round over the checkpoint (eigenvector_centrality
+            # convention): one O(V) materialization per round, not two
+            yprev = cur.select("id", F.round(F.col("raw") / F.lit(mx), 9).alias("y"))
+            gather = (
+                e_norm.join(yprev.select(F.col("id").alias("src"), "y"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("w") * F.col("y")).alias("sm"))
+            )
+            z = (
+                verts0.join(yprev, "id")
+                .join(gather, "id", "left")
+                .select(
+                    "id", "v1",
+                    (
+                        F.lit(0.5) * (F.col("y") + F.coalesce("sm", F.lit(0.0)))
+                        - F.lit(dot) * F.col("v1")
+                    ).alias("raw"),
+                )
+            )
+        scores = cur.select(
+            "id", F.round(F.round(F.col("raw") / F.lit(mx), 9), 6).alias("s")
+        )
+        worder = Window.orderBy(F.asc("s"), F.asc("id"))
+        pos_t = (
+            scores.orderBy(F.asc("s"), F.asc("id"))
+            .limit(top_k)
+            .select("id", F.row_number().over(worder).alias("pos"))
+            .persist()
+        )
+        out = _sweep_curve(_oriented(graph.edges), pos_t, top_k).localCheckpoint()
+    pos_t.unpersist()
+    e_norm.unpersist()
+    deg.unpersist()
+    state.release()
+    return out
+
+
+def fiedler_sweep_sql(iterations: int = 8, top_k: int = 50) -> str:
+    """DuckDB oracle body for :func:`fiedler_sweep` (expects ``verts`` /
+    ``edges``): the deflated power iteration unrolled with the identical
+    per-round rescale/round algebra, then the shared sweep tail."""
+    from linkgraph_spark.functions.hashing import MERSENNE_P
+    from linkgraph_spark.kernels.modularity import _sweep_sql_tail
+
+    ctes = [
+        """fsw_su AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    ),
+    fsw_dg AS MATERIALIZED (
+      SELECT src AS id, count(*) AS d FROM fsw_su GROUP BY src
+    ),
+    fsw_vol AS (SELECT sum(d) AS vol FROM fsw_dg),
+    fsw_v AS MATERIALIZED (
+      SELECT g.id, sqrt(g.d) / sqrt(CAST(v.vol AS DOUBLE)) AS v1
+      FROM fsw_dg g CROSS JOIN fsw_vol v
+    ),
+    fsw_e AS MATERIALIZED (
+      SELECT u.src, u.dst, 1.0 / (sqrt(ds.d) * sqrt(dd.d)) AS w
+      FROM fsw_su u
+      JOIN fsw_dg ds ON ds.id = u.src
+      JOIN fsw_dg dd ON dd.id = u.dst
+    )""",
+        f"""fsw_z0 AS MATERIALIZED (
+      SELECT id, v1,
+             CAST(((id % {MERSENNE_P}) * 2654435761) % {MERSENNE_P} % 1000
+                  AS DOUBLE) / 999.0 - 0.5 AS raw
+      FROM fsw_v
+    ),
+    fsw_mx0 AS (SELECT CASE WHEN max(abs(raw)) > 0 THEN max(abs(raw))
+                            ELSE 1.0 END AS mx FROM fsw_z0),
+    fsw_d0 AS (SELECT sum(v1 * raw) / (SELECT mx FROM fsw_mx0) AS dt
+               FROM fsw_z0)""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""fsw_y{k - 1} AS MATERIALIZED (
+      SELECT id, round(raw / (SELECT mx FROM fsw_mx{k - 1}), 9) AS y
+      FROM fsw_z{k - 1}
+    ),
+    fsw_z{k} AS MATERIALIZED (
+      SELECT v.id, v.v1,
+             0.5 * (p.y + coalesce(s.sm, 0.0))
+               - (SELECT dt FROM fsw_d{k - 1}) * v.v1 AS raw
+      FROM fsw_v v
+      JOIN fsw_y{k - 1} p ON p.id = v.id
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(e.w * p2.y) AS sm
+        FROM fsw_e e JOIN fsw_y{k - 1} p2 ON e.src = p2.id
+        GROUP BY e.dst
+      ) s ON s.id = v.id
+    ),
+    fsw_mx{k} AS (SELECT CASE WHEN max(abs(raw)) > 0 THEN max(abs(raw))
+                              ELSE 1.0 END AS mx FROM fsw_z{k}),
+    fsw_d{k} AS (SELECT sum(v1 * raw) / (SELECT mx FROM fsw_mx{k}) AS dt
+                 FROM fsw_z{k})"""
+        )
+    ctes.append(
+        f"""fsw_score AS MATERIALIZED (
+      SELECT id, round(round(raw / (SELECT mx FROM fsw_mx{iterations}), 9), 6) AS s
+      FROM fsw_z{iterations}
+    ),
+    fsw_pos AS MATERIALIZED (
+      SELECT id, pos FROM (
+        SELECT id, row_number() OVER (ORDER BY s ASC, id ASC) AS pos
+        FROM fsw_score
+      ) WHERE pos <= {top_k}
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""{body},
+    {_sweep_sql_tail("fsw_pos", top_k, p="fsw")}
     """
