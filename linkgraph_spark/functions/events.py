@@ -1225,3 +1225,69 @@ def transition_entropy_sql(gap_sec: int = 1800, table: str = "events") -> str:
     SELECT DISTINCT e.user_id, 0, 0.0 FROM {table} e
     WHERE e.user_id NOT IN (SELECT user_id FROM teo)
     """
+
+
+def burstiness(events: DataFrame) -> DataFrame:
+    """→ ``[event_type, n_gaps, mean_gap, b]`` — the Goh–Barabási
+    burstiness coefficient B = (σ−μ)/(σ+μ) of the within-user same-type
+    inter-arrival gaps, per event type: B→−1 is a metronome (cron), B≈0
+    Poisson (organic), B→+1 heavy-tailed bursts (campaign/incident
+    traffic). The one-number upgrade over :func:`inter_event_times`'s
+    percentile profile for traffic-shape triage. σ is the SAMPLE
+    standard deviation (``stddev_samp`` in both engines); B is NULL when
+    fewer than 2 gaps exist or σ+μ = 0 (all-zero gaps).
+
+    Plan shape: one lag window per (user, type) — same relation as
+    :func:`inter_event_times` — then one grouped aggregate on the
+    low-cardinality type key.
+    """
+    wl = Window.partitionBy("user_id", "event_type").orderBy("ts_s", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    gaps = e.select(
+        "event_type",
+        (F.col("ts_s") - F.lag("ts_s").over(wl)).cast("double").alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.avg("gap").alias("_mu"),
+        F.stddev_samp("gap").alias("_sd"),
+    )
+    b = F.when(
+        (F.col("n_gaps") >= 2) & (F.col("_sd") + F.col("_mu") > 0),
+        F.round((F.col("_sd") - F.col("_mu")) / (F.col("_sd") + F.col("_mu")), 6),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round("_mu", 6).alias("mean_gap"),
+        b.alias("b"),
+    )
+
+
+def burstiness_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`burstiness` (standalone query)."""
+    return f"""
+    WITH bse AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), bsg AS (
+      SELECT event_type,
+             CAST(ts_s - lag(ts_s) OVER
+               (PARTITION BY user_id, event_type ORDER BY ts_s, event_id)
+               AS DOUBLE) AS gap
+      FROM bse
+    ), bsa AS (
+      SELECT event_type, count(*) AS n_gaps,
+             avg(gap) AS mu, stddev_samp(gap) AS sd
+      FROM bsg WHERE gap IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           round(mu, 6) AS mean_gap,
+           CASE WHEN n_gaps >= 2 AND sd + mu > 0
+                THEN round((sd - mu) / (sd + mu), 6)
+           END AS b
+    FROM bsa
+    """

@@ -1265,3 +1265,110 @@ def dbscan_sql(
     FROM {table} e
     LEFT JOIN dbroles r ON r.id = e.vec_id
     """
+
+
+def label_outliers(
+    embeddings: DataFrame, k: int = 4, n_planes: int = N_PLANES
+) -> DataFrame:
+    """→ [vec_id, label, n_nbrs, n_agree, agreement] — kNN label-noise
+    detection: for every vector, the fraction of its approximate top-k
+    cosine neighbors sharing its label. Low ``agreement`` = a suspected
+    mislabel (the embedding sits inside another class's region) — the
+    standard first-pass audit before training on labeled data; NULL
+    ``agreement`` when the vector has no bucket neighbor at all.
+
+    Scale shape: identical candidate generation to :func:`mutual_knn`
+    (one hyperplane-bucket equi-join, never all-pairs; per-vector top-k
+    over the bucket population), then one label equi-join + grouped sum.
+    The label attach is vec_id-keyed — broadcastable whenever the label
+    table fits, co-partitioned otherwise.
+    """
+    base = _with_norm(embeddings)
+    bits = None
+    for p in range(n_planes):
+        bit = F.when(_proj(F.col("v"), p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    bucketed = base.withColumn("bucket", bits.cast("long"))
+    q = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    topk = _rank_candidates(q, bucketed, k)
+    lab = embeddings.select("vec_id", "label")
+    nlab = lab.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl"))
+    agg = (
+        topk.join(nlab, "neighbor_id")
+        .join(lab.select(F.col("vec_id").alias("query_id"), "label"), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_nbrs"),
+            F.sum(F.when(F.col("nl") == F.col("label"), 1).otherwise(0)).alias(
+                "n_agree"
+            ),
+        )
+    )
+    return (
+        lab.join(agg.withColumnRenamed("query_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("n_nbrs", F.lit(0)).alias("n_nbrs"),
+            F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
+            F.when(
+                F.col("n_nbrs").isNotNull(),
+                F.round(F.col("n_agree") / F.col("n_nbrs"), 6),
+            ).alias("agreement"),
+        )
+    )
+
+
+def label_outliers_sql(
+    table: str = "embeddings", k: int = 4, n_planes: int = N_PLANES
+) -> str:
+    """DuckDB oracle for :func:`label_outliers` — same bucket arithmetic
+    and tie-breaks as :func:`mutual_knn_sql`, plus the label joins."""
+    bucket = " + ".join(
+        f"(CASE WHEN {_proj_sql(p)} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(n_planes)
+    )
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.v) + 1),"
+        " i -> q.v[i] * b.v[i]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH lo_base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), lo_normed AS MATERIALIZED (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+                  i -> v[i] * v[i]), (x, y) -> x + y)) AS norm,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM lo_base
+    ), lo_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({dot} / (q.norm * b.norm), 6)
+                                           DESC, b.vec_id ASC) AS rk
+        FROM lo_normed q JOIN lo_normed b
+          ON b.bucket = q.bucket AND b.vec_id <> q.vec_id
+      ) WHERE rk <= {k}
+    ), lo_agg AS (
+      SELECT t.query_id AS vec_id, count(*) AS n_nbrs,
+             sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS n_agree
+      FROM lo_topk t
+      JOIN {table} nl ON nl.vec_id = t.neighbor_id
+      JOIN {table} ql ON ql.vec_id = t.query_id
+      GROUP BY t.query_id
+    )
+    SELECT e.vec_id, e.label,
+           coalesce(a.n_nbrs, 0) AS n_nbrs,
+           coalesce(a.n_agree, 0) AS n_agree,
+           CASE WHEN a.n_nbrs IS NOT NULL
+                THEN round(a.n_agree * 1.0 / a.n_nbrs, 6)
+           END AS agreement
+    FROM {table} e
+    LEFT JOIN lo_agg a ON a.vec_id = e.vec_id
+    """
