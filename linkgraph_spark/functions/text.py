@@ -1468,3 +1468,140 @@ def normalize_text_sql(table: str = "documents") -> str:
            ({norm} <> coalesce(text, '')) AS changed
     FROM {table}
     """
+
+
+def bm25(
+    documents: DataFrame,
+    queries: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """→ [query_id, doc_id, score] — Okapi BM25 retrieval scoring
+    (Robertson–Spärck Jones; Lucene's non-negative idf variant
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``): the top ``top_n`` documents
+    per query string, whitespace-tokenized with the corpus conventions of
+    :func:`tfidf_top_terms`. Docs sharing no term with a query are not
+    candidates; score ties break on ``doc_id`` after the 6-dp round.
+
+    Scale shape: tokenize → (doc, term) tf + per-doc length (one pass),
+    df/avgdl aggregates, then a BROADCAST join of the (tiny) query-term
+    table against the posting lists. The per-query top-n is TWO-PHASE —
+    phase 1 ranks within (query, hash-sub-bucket) so a query matching
+    half the corpus never lands on one reducer, phase 2 re-ranks the
+    ≤ 64·top_n survivors — the ``sampling._stratified_top_budget``
+    discipline applied to a score ordering.
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = documents.agg(F.count("*").alias("_n"))
+    avg = dl.agg((F.sum("dl") / F.count("*")).alias("avgdl"))
+    qrows = [
+        (qi, t)
+        for qi, qs in enumerate(queries)
+        for t in dict.fromkeys(qs.lower().split())  # dedup, keep order
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avg))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf
+                    * F.col("tf")
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    # two-phase per-query top-n (no single-reducer rank at scale)
+    from linkgraph_spark.functions.hashing import md5_long
+
+    bkt = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(64))
+    w1 = Window.partitionBy("query_id", "_b").orderBy(F.desc("score"), F.asc("doc_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        scored.withColumn("_b", bkt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= top_n)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= top_n)
+        .select("query_id", "doc_id", "score")
+        .localCheckpoint()
+    )
+    tf.unpersist()
+    return out
+
+
+def bm25_sql(
+    table: str,
+    queries: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`bm25` — single-window top-n (provably
+    equal to the engine's two-phase plan: phase 1 only drops rows beaten
+    by ≥ top_n same-query rows)."""
+    qvals = ",\n        ".join(
+        f"({qi}, '{t}')"
+        for qi, qs in enumerate(queries)
+        for t in dict.fromkeys(qs.lower().split())
+    )
+    return f"""
+    WITH bm_tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    bm_tf AS MATERIALIZED (
+      SELECT doc_id, term, count(*) AS tf FROM bm_tok GROUP BY 1, 2
+    ),
+    bm_dl AS (SELECT doc_id, sum(tf) AS dl FROM bm_tf GROUP BY doc_id),
+    bm_df AS (SELECT term, count(*) AS df FROM bm_tf GROUP BY term),
+    bm_n AS (SELECT count(*) AS n FROM {table}),
+    bm_avg AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl FROM bm_dl),
+    bm_q(query_id, term) AS (VALUES
+        {qvals}
+    ),
+    bm_scored AS (
+      SELECT q.query_id, t.doc_id,
+             round(sum(
+               ln(1.0 + (n.n - f.df + 0.5) / (f.df + 0.5))
+               * t.tf / (t.tf + {k1} * ({1 - b:.17g} + {b} * l.dl / a.avgdl))
+             ), 6) AS score
+      FROM bm_tf t
+      JOIN bm_q q ON q.term = t.term
+      JOIN bm_df f ON f.term = t.term
+      JOIN bm_dl l ON l.doc_id = t.doc_id
+      CROSS JOIN bm_n n CROSS JOIN bm_avg a
+      GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id, score FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rk
+      FROM bm_scored
+    ) WHERE rk <= {top_n}
+    """

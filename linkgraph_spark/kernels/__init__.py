@@ -85,6 +85,7 @@ from linkgraph_spark.kernels.triangles import (
     directed_triangle_census,
     four_cliques_over_pairs,
     four_cliques_per_vertex,
+    square_count,
     triangle_count,
     triangles_per_vertex,
 )
@@ -150,6 +151,7 @@ __all__ = [
     "ball_sizes",
     "fiedler_sweep",
     "kcenter",
+    "square_count",
     "BetweennessResult",
     "betweenness",
     "shared_tool_affinity",

@@ -363,3 +363,69 @@ def directed_triangle_census_sql() -> str:
     )
     SELECT cyclic, transitive FROM dt_cyc CROSS JOIN dt_tr
     """
+
+
+def square_count(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
+    """→ one-row ``[squares: bigint]`` — the number of 4-cycles (C4
+    subgraphs) in the undirected simple graph: ``Σ_{x<y} C(common(x,y), 2)
+    / 2`` over all vertex pairs (each square contributes its two opposite
+    pairs). The bipartite-flavored motif the triangle family can't see —
+    a tool graph full of squares but no triangles is two-mode structure
+    (actors sharing tools without talking to each other).
+
+    Scale shape: ONE wedge self-join at the common neighbor (the
+    link_scores plan) + a grouped count + one scalar aggregate.
+    ``max_degree`` caps which vertices may be wedge CENTERS (the standard
+    hub discipline: a degree-D hub contributes C(D, 2) wedges).
+    """
+    from linkgraph_spark.kernels.components import undirected
+
+    und = undirected(graph.edges)
+    nbrs = und.select(F.col("src").alias("m"), F.col("dst").alias("n"))
+    if max_degree is not None:
+        ok = (
+            nbrs.groupBy("m")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") <= max_degree)
+            .select("m")
+        )
+        nbrs = nbrs.join(ok, "m")
+    common = (
+        nbrs.select("m", F.col("n").alias("x"))
+        .join(nbrs.select("m", F.col("n").alias("y")), "m")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("w"))
+    )
+    return common.agg(
+        (F.coalesce(F.sum(F.col("w") * (F.col("w") - 1)), F.lit(0)) / 4)
+        .cast("long")
+        .alias("squares")
+    )
+
+
+def square_count_sql(max_degree: int | None = None) -> str:
+    """DuckDB oracle body for :func:`square_count` (expects ``edges``)."""
+    cap = (
+        f"""
+    sq_ok AS (SELECT src AS m FROM sq_und GROUP BY src
+              HAVING count(*) <= {max_degree}),
+    sq_nb AS (SELECT src AS m, dst AS n FROM sq_und JOIN sq_ok ON sq_ok.m = sq_und.src),"""
+        if max_degree is not None
+        else """
+    sq_nb AS (SELECT src AS m, dst AS n FROM sq_und),"""
+    )
+    return f"""
+    sq_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    ),{cap}
+    sq_common AS (
+      SELECT a.n AS x, b.n AS y, count(*) AS w
+      FROM sq_nb a JOIN sq_nb b ON a.m = b.m AND a.n < b.n
+      GROUP BY 1, 2
+    )
+    SELECT CAST(coalesce(sum(w * (w - 1)), 0) / 4 AS BIGINT) AS squares
+    FROM sq_common
+    """
