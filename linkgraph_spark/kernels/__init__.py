@@ -42,6 +42,7 @@ from linkgraph_spark.kernels.centrality import (
     hyperball,
 )
 from linkgraph_spark.kernels.simrank import simrank
+from linkgraph_spark.kernels.wl import wl_colors
 from linkgraph_spark.kernels.betweenness import BetweennessResult, betweenness
 from linkgraph_spark.kernels.modularity import (
     conductance,
@@ -152,6 +153,7 @@ __all__ = [
     "fiedler_sweep",
     "kcenter",
     "square_count",
+    "wl_colors",
     "BetweennessResult",
     "betweenness",
     "shared_tool_affinity",

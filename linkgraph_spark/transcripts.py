@@ -296,3 +296,51 @@ def tool_bigrams_sql() -> str:
     SELECT c.tool_a, c.tool_b, c.n, round(c.n * 1.0 / t2.tt, 6) AS frac
     FROM tb_c c CROSS JOIN tb_t t2
     """
+
+
+def turn_latency(transcripts: DataFrame) -> DataFrame:
+    """→ ``[src_role, dst_role, n, p50, p90]`` — adjacent-turn response
+    latency (seconds) per speaker-role pair: the gap between a turn and
+    the conversation's NEXT turn, keyed by who spoke and who answered.
+    The transcript SLA profile ("how fast does the assistant answer the
+    user, vs how fast does the user come back") — exact interpolated
+    percentiles, the ``inter_event_times``/``quantile_cont`` convention.
+
+    Plan shape: one conv-keyed lead window (per-partition state bounded
+    by a conversation's turn count), then one percentile aggregate on
+    the ≤|roles|² key space."""
+    wl = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role", F.unix_timestamp("ts").alias("ts_s")
+    )
+    lat = t.select(
+        F.col("role").alias("src_role"),
+        F.lead("role").over(wl).alias("dst_role"),
+        (F.lead("ts_s").over(wl) - F.col("ts_s")).alias("gap"),
+    ).where(F.col("dst_role").isNotNull())
+    return lat.groupBy("src_role", "dst_role").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90"),
+    )
+
+
+def turn_latency_sql(transcripts_relation: str) -> str:
+    """DuckDB oracle for :func:`turn_latency` over a transcript relation
+    (standalone query)."""
+    return f"""
+    WITH tl_t AS MATERIALIZED ({transcripts_relation}),
+    tl_l AS (
+      SELECT role AS src_role,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst_role,
+             CAST(floor(epoch(lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)))
+                  AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS gap
+      FROM tl_t
+    )
+    SELECT src_role, dst_role, count(*) AS n,
+           round(quantile_cont(gap, 0.5), 6) AS p50,
+           round(quantile_cont(gap, 0.9), 6) AS p90
+    FROM tl_l WHERE dst_role IS NOT NULL
+    GROUP BY 1, 2
+    """
