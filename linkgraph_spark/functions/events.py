@@ -1181,8 +1181,15 @@ def transition_entropy(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
             F.log(F.col("n").cast("double")) - F.col("_clogc") / F.col("n"), 6
         ).alias("entropy"),
     )
-    silent = events.select("user_id").distinct().join(
-        out, "user_id", "left_anti"
+    # Null-safe anti-join: a NULL user_id forms one lag-window group in
+    # both engines, so it must appear exactly once (with its computed
+    # entropy), never again as a "silent" row — plain equality would
+    # never match NULL and duplicate it.
+    users = events.select("user_id").distinct().alias("u")
+    silent = users.join(
+        out.alias("o"),
+        F.col("u.user_id").eqNullSafe(F.col("o.user_id")),
+        "left_anti",
     ).select(
         "user_id",
         F.lit(0).cast("long").alias("n_trans"),
@@ -1223,7 +1230,9 @@ def transition_entropy_sql(gap_sec: int = 1800, table: str = "events") -> str:
     SELECT * FROM teo
     UNION ALL
     SELECT DISTINCT e.user_id, 0, 0.0 FROM {table} e
-    WHERE e.user_id NOT IN (SELECT user_id FROM teo)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM teo WHERE teo.user_id IS NOT DISTINCT FROM e.user_id
+    )
     """
 
 

@@ -1564,7 +1564,7 @@ def bm25_sql(
     equal to the engine's two-phase plan: phase 1 only drops rows beaten
     by ≥ top_n same-query rows)."""
     qvals = ",\n        ".join(
-        f"({qi}, '{t}')"
+        "({}, '{}')".format(qi, t.replace("'", "''"))
         for qi, qs in enumerate(queries)
         for t in dict.fromkeys(qs.lower().split())
     )

@@ -383,6 +383,8 @@ def kcenter(embeddings: DataFrame, k: int = 8) -> DataFrame:
     vector table (min over ≤k literal-array distances — no join, no
     shuffle) plus a TakeOrdered(1) argmax. k rounds total, O(k·N·D) work.
     """
+    if k < 1:
+        raise ValueError(f"kcenter: k must be >= 1, got {k}")
     base = _base(embeddings).persist()
     first = base.orderBy("vec_id").limit(1).collect()
     if not first:
@@ -418,6 +420,8 @@ def kcenter_sql(table: str = "embeddings", k: int = 8) -> str:
     """DuckDB oracle for :func:`kcenter` (standalone query): the greedy
     selection unrolled — each round joins the running selected set
     relationally instead of shipping literals, same rounded argmax."""
+    if k < 1:
+        raise ValueError(f"kcenter_sql: k must be >= 1, got {k}")
     sqd = (
         "list_reduce(list_transform(range(1, len(b.v) + 1),"
         " i -> (b.v[i] - c.v[i]) * (b.v[i] - c.v[i])), (x, y) -> x + y)"

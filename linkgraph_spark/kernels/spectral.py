@@ -310,7 +310,6 @@ def fiedler_sweep(
     # deterministic pseudo-random init (Mersenne arithmetic, id-keyed)
     p = (F.col("id") % F.lit(MERSENNE_P)) * F.lit(2654435761) % F.lit(MERSENNE_P)
     raw0 = (p % F.lit(1000)).cast("double") / F.lit(999.0) - F.lit(0.5)
-    metrics: list = []
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
         z = verts0.select("id", "v1", raw0.alias("raw"))
         mx, dot = 1.0, 0.0
@@ -325,7 +324,6 @@ def fiedler_sweep(
             mxraw = obs.get["mxraw"]
             mx = mxraw if mxraw and mxraw > 0 else 1.0
             dot = (obs.get["dotraw"] or 0.0) / mx
-            metrics.append({"iteration": it, "inf_norm": mx, "v1_dot": dot})
             if it == iterations:
                 break
             # LAZY rescale+round over the checkpoint (eigenvector_centrality
