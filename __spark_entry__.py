@@ -1343,6 +1343,39 @@ def q_turn_latency(spark, sf_dir):
     return tscr.turn_latency(transcripts_from_events(spark, sf_dir, TURNS_PER_CONV))
 
 
+# ------------------------------------------------------------------- wave 22
+def q_walk_counts3(spark, sf_dir):
+    from linkgraph_spark.kernels import walk_counts
+
+    # (A^k 1) fan-out audit for the top-10 out-degree hubs
+    return walk_counts(_graph(spark, sf_dir), n_hubs=10)
+
+
+def q_densification(spark, sf_dir):
+    from linkgraph_spark.kernels import densification, temporal_edges
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    return densification(temporal_edges(g, t), bucket_sec=3600)
+
+
+def q_rp_distortion16(spark, sf_dir):
+    # JL random-projection 64→16 + pairwise-distance distortion audit
+    return sim.rp_distortion(_embs(spark, sf_dir), k=16)
+
+
+def q_integrity_audit(spark, sf_dir):
+    return cur.integrity_audit(
+        _docs(spark, sf_dir), _events(spark, sf_dir), _embs(spark, sf_dir)
+    )
+
+
+def q_role_token_share(spark, sf_dir):
+    return tscr.role_token_share(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1573,6 +1606,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 21 ---------------------------------------------------------
         "wl_colors3": q_wl_colors3,
         "turn_latency": q_turn_latency,
+        # -- wave 22 (new this session; front in r6 with the rest of 51+) ----
+        "walk_counts3": q_walk_counts3,
+        "densification": q_densification,
+        "rp_distortion16": q_rp_distortion16,
+        "integrity_audit": q_integrity_audit,
+        "role_token_share": q_role_token_share,
     }
 
 
@@ -2471,6 +2510,19 @@ def oracle_sql() -> dict[str, str]:
         "square_count": f"{_G}, {tri_mod.square_count_sql()}",
         "wl_colors3": f"{_G}, {_wl_sql_body(rounds=3)}",
         "turn_latency": tscr.turn_latency_sql(_T_SQL),
+        # wave 22
+        "walk_counts3": f"{_G}, {ct.walk_counts_sql(10)}",
+        "densification": (
+            f"{_G}, {tmp._TE_CTE},\n"
+            f"    te AS MATERIALIZED ({tmp._TE_SELECT}),"
+            f"{tmp.densification_sql(3600)}"
+        ),
+        "rp_distortion16": sim.rp_distortion_sql("embeddings", k=16),
+        "integrity_audit": cur.integrity_audit_sql(),
+        "role_token_share": (
+            f"WITH rts_t AS MATERIALIZED ({_T_SQL}),"
+            f"{tscr.role_token_share_sql('rts_t')}"
+        ),
     }
 
 

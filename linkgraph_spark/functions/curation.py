@@ -266,3 +266,156 @@ def blocklist_audit_sql(
     LEFT JOIN bla_agg a USING (term)
     CROSS JOIN bla_tot
     """
+
+
+def integrity_audit(
+    documents: DataFrame,
+    events: DataFrame,
+    embeddings: DataFrame,
+    dim: int = 64,
+) -> DataFrame:
+    """→ ``[check_name, n_bad, n_total]`` — the Deequ-style referential /
+    shape integrity audit a pipeline runs BEFORE trusting a new drop of
+    input tables: duplicate keys, NULL join keys, metadata that
+    contradicts payload (``n_chars`` vs actual text length), degenerate
+    payloads (empty text, zero vectors, wrong embedding dimension),
+    out-of-domain values. One row per check, always emitted (n_bad = 0
+    is the healthy signal, an absent row is a broken audit).
+
+    Plan shape: ONE full scan per input table — every check on a table
+    is a conditional aggregate fused into the same hash-aggregate pass
+    (plus one count-distinct per key column for the dup checks), then an
+    explode of the single-row aggregate into report rows. No joins, no
+    windows, no collect; output is a constant 12 rows.
+    """
+
+    def report(aggdf: DataFrame, pairs: list) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(nm).alias("check_name"),
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias("n_bad"),
+                F.col("n").cast("long").alias("n_total"),
+            )
+            for nm, c in pairs
+        ]
+        return aggdf.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+    d = documents.agg(
+        F.count("*").alias("n"),
+        F.sum((F.length("text") != F.col("n_chars")).cast("int")).alias("nchars"),
+        F.sum(
+            (F.col("text").isNull() | (F.trim("text") == "")).cast("int")
+        ).alias("empty"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("dup"),
+        F.sum(F.col("lang").isNull().cast("int")).alias("nolang"),
+    )
+    e = events.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("event_id")).alias("dup"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("nouser"),
+        F.sum(F.col("ts").isNull().cast("int")).alias("nots"),
+        F.sum((F.col("value") < 0).cast("int")).alias("negval"),
+    )
+    m = embeddings.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("vec_id")).alias("dup"),
+        F.sum((F.size("embedding") != dim).cast("int")).alias("baddim"),
+        F.sum(
+            (F.size(F.filter("embedding", lambda x: x != 0)) == 0).cast("int")
+        ).alias("zeronorm"),
+        F.sum(F.col("label").isNull().cast("int")).alias("nolabel"),
+    )
+    return (
+        report(
+            d,
+            [
+                ("doc_nchars_mismatch", "nchars"),
+                ("doc_empty_text", "empty"),
+                ("doc_dup_id", "dup"),
+                ("doc_null_lang", "nolang"),
+            ],
+        )
+        .unionByName(
+            report(
+                e,
+                [
+                    ("event_dup_id", "dup"),
+                    ("event_null_user", "nouser"),
+                    ("event_null_ts", "nots"),
+                    ("event_negative_value", "negval"),
+                ],
+            )
+        )
+        .unionByName(
+            report(
+                m,
+                [
+                    ("emb_dup_id", "dup"),
+                    ("emb_dim_mismatch", "baddim"),
+                    ("emb_zero_vector", "zeronorm"),
+                    ("emb_null_label", "nolabel"),
+                ],
+            )
+        )
+    )
+
+
+def integrity_audit_sql(
+    documents: str = "documents",
+    events: str = "events",
+    embeddings: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`integrity_audit` (standalone query)."""
+    return f"""
+    WITH ia_d AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS nchars,
+             sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+               AS empty,
+             count(*) - count(DISTINCT doc_id) AS dup,
+             sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nolang
+      FROM {documents}
+    ), ia_e AS (
+      SELECT count(*) AS n,
+             count(*) - count(DISTINCT event_id) AS dup,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nouser,
+             sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nots,
+             sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negval
+      FROM {events}
+    ), ia_m AS (
+      SELECT count(*) AS n,
+             count(*) - count(DISTINCT vec_id) AS dup,
+             sum(CASE WHEN len(embedding) <> {int(dim)} THEN 1 ELSE 0 END)
+               AS baddim,
+             sum(CASE WHEN len(list_filter(embedding, x -> x <> 0)) = 0
+                 THEN 1 ELSE 0 END) AS zeronorm,
+             sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS nolabel
+      FROM {embeddings}
+    )
+    SELECT 'doc_nchars_mismatch' AS check_name,
+           CAST(coalesce(nchars, 0) AS BIGINT) AS n_bad,
+           CAST(n AS BIGINT) AS n_total FROM ia_d
+    UNION ALL SELECT 'doc_empty_text', CAST(coalesce(empty, 0) AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_d
+    UNION ALL SELECT 'doc_dup_id', CAST(dup AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_d
+    UNION ALL SELECT 'doc_null_lang', CAST(coalesce(nolang, 0) AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_d
+    UNION ALL SELECT 'event_dup_id', CAST(dup AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_e
+    UNION ALL SELECT 'event_null_user', CAST(coalesce(nouser, 0) AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_e
+    UNION ALL SELECT 'event_null_ts', CAST(coalesce(nots, 0) AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_e
+    UNION ALL SELECT 'event_negative_value', CAST(coalesce(negval, 0) AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_e
+    UNION ALL SELECT 'emb_dup_id', CAST(dup AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_m
+    UNION ALL SELECT 'emb_dim_mismatch', CAST(coalesce(baddim, 0) AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_m
+    UNION ALL SELECT 'emb_zero_vector', CAST(coalesce(zeronorm, 0) AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_m
+    UNION ALL SELECT 'emb_null_label', CAST(coalesce(nolabel, 0) AS BIGINT),
+              CAST(n AS BIGINT) FROM ia_m
+    """

@@ -1372,3 +1372,119 @@ def label_outliers_sql(
     FROM {table} e
     LEFT JOIN lo_agg a ON a.vec_id = e.vec_id
     """
+
+
+def random_projection(embeddings: DataFrame, k: int = 16) -> DataFrame:
+    """→ ``[vec_id, proj]`` — Johnson–Lindenstrauss random projection of
+    every embedding to ``k`` dimensions with the deterministic ±1
+    hyperplane family (Achlioptas 2003: ±1/√k entries preserve pairwise
+    distances in expectation; the same sign family backs the LSH
+    planes, so Spark and DuckDB compute bit-identical projections).
+    Coordinates are ``proj_j = Σ_d v_d·s_{j,d} / √k`` rounded to 9 dp —
+    the cheap dimensionality-reduction front-end for downstream kNN /
+    clustering when 64 dims is 4× more bytes than the task needs.
+
+    Plan shape: pure per-row projection (k folds over the vector array,
+    JVM higher-order functions) — NO shuffle, no UDF.
+    """
+    if k < 1 or int(k) ** 0.5 != int(int(k) ** 0.5):
+        raise ValueError(f"random_projection: k must be a perfect square >= 1, got {k}")
+    root = float(int(k) ** 0.5)
+    v = _as_double(F.col("embedding"))
+    proj = F.array(
+        *[F.round(_proj(v, p) / F.lit(root), 9) for p in range(k)]
+    )
+    return embeddings.select("vec_id", proj.alias("proj"))
+
+
+def _rp_proj_sql(k: int) -> str:
+    root = float(int(k) ** 0.5)
+    coords = ",\n             ".join(
+        f"round(({_proj_sql(p)}) / {root}, 9)" for p in range(k)
+    )
+    return f"[{coords}]"
+
+
+def rp_distortion(embeddings: DataFrame, k: int = 16) -> DataFrame:
+    """→ ``[vec_id_a, vec_id_b, d2_orig, d2_proj, ratio]`` — the
+    JL-distortion audit for :func:`random_projection`: over the
+    deterministic chain of consecutive ``vec_id`` pairs, the original
+    vs projected squared L2 distance and their ratio (≈1 ± O(1/√k) when
+    the projection is healthy; a ratio histogram far from 1 means k is
+    too small for the corpus). ``ratio`` is NULL for identical vectors.
+
+    Plan shape: projection is per-row; the pair chain is ONE lead window
+    over ``vec_id`` (a single range-partitioned sort at scale — sample
+    the chain by hash first if even that is too much); distances are
+    array folds. No join, no cartesian.
+    """
+    if k < 1 or int(k) ** 0.5 != int(int(k) ** 0.5):
+        raise ValueError(f"rp_distortion: k must be a perfect square >= 1, got {k}")
+    root = float(int(k) ** 0.5)
+    v = _as_double(F.col("embedding"))
+    proj = F.array(*[F.round(_proj(v, p) / F.lit(root), 9) for p in range(k)])
+    base = embeddings.select("vec_id", v.alias("v"), proj.alias("p"))
+    w = Window.orderBy("vec_id")
+    pairs = base.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.lead("vec_id").over(w).alias("vec_id_b"),
+        "v",
+        "p",
+        F.lead("v").over(w).alias("nv"),
+        F.lead("p").over(w).alias("np"),
+    ).where(F.col("vec_id_b").isNotNull())
+
+    def sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    d2o = F.round(sqd(F.col("v"), F.col("nv")), 6)
+    d2p = F.round(sqd(F.col("p"), F.col("np")), 6)
+    return pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        d2o.alias("d2_orig"),
+        d2p.alias("d2_proj"),
+        F.when(d2o > 0, F.round(d2p / d2o, 6)).alias("ratio"),
+    )
+
+
+def rp_distortion_sql(table: str = "embeddings", k: int = 16) -> str:
+    """DuckDB oracle for :func:`rp_distortion` — same sign family,
+    fold order, and rounding as the engine."""
+    if k < 1 or int(k) ** 0.5 != int(int(k) ** 0.5):
+        raise ValueError(f"rp_distortion_sql: k must be a perfect square >= 1, got {k}")
+    sqd_orig = (
+        "list_reduce(list_transform(range(1, len(v) + 1),"
+        " i -> (v[i] - nv[i]) * (v[i] - nv[i])), (x, y) -> x + y)"
+    )
+    sqd_proj = (
+        "list_reduce(list_transform(range(1, len(p) + 1),"
+        " i -> (p[i] - np[i]) * (p[i] - np[i])), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH rp_b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), rp_p AS MATERIALIZED (
+      SELECT vec_id, v, {_rp_proj_sql(k)} AS p FROM rp_b
+    ), rp_pairs AS (
+      SELECT vec_id AS vec_id_a,
+             lead(vec_id) OVER w AS vec_id_b,
+             v, p,
+             lead(v) OVER w AS nv,
+             lead(p) OVER w AS np
+      FROM rp_p WINDOW w AS (ORDER BY vec_id)
+    ), rp_d AS (
+      SELECT vec_id_a, vec_id_b,
+             round({sqd_orig}, 6) AS d2_orig,
+             round({sqd_proj}, 6) AS d2_proj
+      FROM rp_pairs WHERE vec_id_b IS NOT NULL
+    )
+    SELECT vec_id_a, vec_id_b, d2_orig, d2_proj,
+           CASE WHEN d2_orig > 0 THEN round(d2_proj / d2_orig, 6) END AS ratio
+    FROM rp_d
+    """

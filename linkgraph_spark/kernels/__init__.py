@@ -33,6 +33,7 @@ from linkgraph_spark.kernels.pca import pca_power
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
     ball_sizes,
+    walk_counts,
     closeness_landmarks,
     double_sweep_diameter,
     eccentricity_landmarks,
@@ -56,6 +57,7 @@ from linkgraph_spark.kernels.projection import contract_vertices, shared_tool_af
 from linkgraph_spark.kernels.temporal import (
     temporal_components,
     TemporalReachResult,
+    densification,
     temporal_edges,
     temporal_motifs,
     temporal_reachability,
@@ -129,6 +131,7 @@ __all__ = [
     "TemporalReachResult",
     "temporal_components",
     "temporal_edges",
+    "densification",
     "temporal_reachability",
     "ego_graph",
     "induced_subgraph",
@@ -150,6 +153,7 @@ __all__ = [
     "ppr_sweep",
     "simrank",
     "ball_sizes",
+    "walk_counts",
     "fiedler_sweep",
     "kcenter",
     "square_count",

@@ -674,3 +674,83 @@ def ball_sizes_sql(max_degree: int | None = None) -> str:
     JOIN (SELECT src, count(*) AS ball2 FROM bs_r2 GROUP BY src) b2
       ON b1.src = b2.src
     """
+
+
+def walk_counts(graph: LinkGraph, n_hubs: int = 10) -> DataFrame:
+    """→ ``[id, walks1, walks2, walks3]`` — the number of DIRECTED walks
+    of length exactly 1, 2 and 3 starting at each of the ``n_hubs``
+    highest-out-degree vertices (ties broken by min id). Walks count
+    multiplicity and may revisit vertices — walks_k(v) = (Aᵏ·1)[v], the
+    truncated-communicability mass :func:`katz` discounts and
+    :func:`ball_sizes` deduplicates; the raw counts are the "how much
+    does this hub amplify per extra hop" fan-out audit for seed/spam
+    hubs.
+
+    Scale shape: the hub frontier starts at ``n_hubs`` rows and each hop
+    is ONE equi-join against the edge list followed by a map-side
+    combinable grouped sum keyed on (hub, vertex) — per-hop state is
+    bounded by n_hubs × |reached set|, never |V|². No windows, no
+    distinct.
+    """
+    hubs = (
+        graph.edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), F.asc("src"))
+        .limit(n_hubs)
+        .select(F.col("src").alias("hub"))
+    )
+    e = graph.edges.select("src", "dst")
+    cur = (
+        F.broadcast(hubs)
+        .join(e, F.col("hub") == F.col("src"))
+        .groupBy("hub", F.col("dst").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = None
+    for k in (1, 2, 3):
+        wk = cur.groupBy("hub").agg(F.sum("c").alias(f"walks{k}"))
+        totals = wk if totals is None else totals.join(wk, "hub", "left")
+        if k < 3:
+            cur = (
+                cur.join(e, F.col("v") == F.col("src"))
+                .groupBy("hub", F.col("dst").alias("nv"))
+                .agg(F.sum("c").alias("c"))
+                .select("hub", F.col("nv").alias("v"), "c")
+            )
+    return totals.select(
+        F.col("hub").alias("id"),
+        F.coalesce("walks1", F.lit(0)).alias("walks1"),
+        F.coalesce("walks2", F.lit(0)).alias("walks2"),
+        F.coalesce("walks3", F.lit(0)).alias("walks3"),
+    )
+
+
+def walk_counts_sql(n_hubs: int = 10) -> str:
+    """DuckDB oracle body for :func:`walk_counts` (expects ``edges`` in
+    scope)."""
+    return f"""
+    wc_hubs AS MATERIALIZED (
+      SELECT src AS hub FROM edges GROUP BY src
+      ORDER BY count(*) DESC, src LIMIT {int(n_hubs)}
+    ),
+    wc_c1 AS MATERIALIZED (
+      SELECT h.hub, e.dst AS v, count(*) AS c
+      FROM wc_hubs h JOIN edges e ON e.src = h.hub GROUP BY 1, 2
+    ),
+    wc_c2 AS MATERIALIZED (
+      SELECT c1.hub, e.dst AS v, sum(c1.c) AS c
+      FROM wc_c1 c1 JOIN edges e ON e.src = c1.v GROUP BY 1, 2
+    ),
+    wc_c3 AS (
+      SELECT c2.hub, e.dst AS v, sum(c2.c) AS c
+      FROM wc_c2 c2 JOIN edges e ON e.src = c2.v GROUP BY 1, 2
+    )
+    SELECT h.hub AS id,
+           CAST(coalesce(w1.s, 0) AS BIGINT) AS walks1,
+           CAST(coalesce(w2.s, 0) AS BIGINT) AS walks2,
+           CAST(coalesce(w3.s, 0) AS BIGINT) AS walks3
+    FROM wc_hubs h
+    LEFT JOIN (SELECT hub, sum(c) AS s FROM wc_c1 GROUP BY hub) w1 ON w1.hub = h.hub
+    LEFT JOIN (SELECT hub, sum(c) AS s FROM wc_c2 GROUP BY hub) w2 ON w2.hub = h.hub
+    LEFT JOIN (SELECT hub, sum(c) AS s FROM wc_c3 GROUP BY hub) w3 ON w3.hub = h.hub
+    """

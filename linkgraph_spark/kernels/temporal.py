@@ -399,3 +399,119 @@ def temporal_motifs_sql(delta_sec: int = 3600) -> str:
     SELECT a.motif, coalesce(c.n_pairs, 0) AS n_pairs
     FROM tm_all a LEFT JOIN tm_cnt c USING (motif)
     """
+
+
+def densification(tedges: DataFrame, bucket_sec: int = 3600) -> DataFrame:
+    """→ ``[bucket_ts, new_vertices, new_edges, v_cum, e_cum, dens_exp]``
+    — the graph-densification curve (Leskovec, Kleinberg & Faloutsos,
+    KDD 2005): per time bucket, how many vertices/distinct edges appear
+    for the FIRST time, the cumulative totals, and the running
+    densification exponent ``ln E(t) / ln V(t)``. Real evolving networks
+    densify (exponent drifts above 1, superlinear edges-per-vertex) —
+    the one-glance capacity-planning curve for an ingest pipeline
+    (storage grows as V^a) and an anomaly flag when a crawl or spam
+    campaign bends it.
+
+    Scale shape: first-seen is ONE grouped min per distinct edge and ONE
+    per vertex (map-side combinable); everything after runs on
+    #buckets rows (the per-bucket aggregate), so the cumulative window
+    is driver-trivial — no O(V) window anywhere.
+    """
+    first_e = (
+        tedges.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("ts").alias("fts"))
+    )
+    first_v = (
+        tedges.select(F.col("src").alias("id"), "ts")
+        .unionByName(tedges.select(F.col("dst").alias("id"), "ts"))
+        .groupBy("id")
+        .agg(F.min("ts").alias("fts"))
+    )
+    bkt = (F.floor(F.col("fts") / bucket_sec) * bucket_sec).alias("bucket_ts")
+    eb = first_e.select(bkt).groupBy("bucket_ts").agg(
+        F.count("*").alias("new_edges")
+    )
+    vb = first_v.select(bkt).groupBy("bucket_ts").agg(
+        F.count("*").alias("new_vertices")
+    )
+    per = (
+        vb.join(eb, "bucket_ts", "full")
+        .select(
+            "bucket_ts",
+            F.coalesce("new_vertices", F.lit(0)).alias("new_vertices"),
+            F.coalesce("new_edges", F.lit(0)).alias("new_edges"),
+        )
+    )
+    w = (
+        Window.orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        "bucket_ts",
+        "new_vertices",
+        "new_edges",
+        F.sum("new_vertices").over(w).alias("v_cum"),
+        F.sum("new_edges").over(w).alias("e_cum"),
+    )
+    return cum.select(
+        "bucket_ts",
+        "new_vertices",
+        "new_edges",
+        "v_cum",
+        "e_cum",
+        F.when(
+            (F.col("v_cum") > 1) & (F.col("e_cum") > 0),
+            F.round(F.log(F.col("e_cum").cast("double"))
+                    / F.log(F.col("v_cum").cast("double")), 6),
+        ).alias("dens_exp"),
+    )
+
+
+def densification_sql(bucket_sec: int = 3600) -> str:
+    """DuckDB oracle body for :func:`densification` (expects ``te`` —
+    the materialized :func:`temporal_edges` relation — in scope)."""
+    return f"""
+    dn_fe AS (
+      SELECT src, dst, min(ts) AS fts FROM te WHERE src <> dst
+      GROUP BY src, dst
+    ),
+    dn_fv AS (
+      SELECT id, min(ts) AS fts FROM (
+        SELECT src AS id, ts FROM te
+        UNION ALL
+        SELECT dst AS id, ts FROM te
+      ) GROUP BY id
+    ),
+    dn_eb AS (
+      SELECT CAST(floor(fts / {int(bucket_sec)}) AS BIGINT) * {int(bucket_sec)}
+               AS bucket_ts,
+             count(*) AS new_edges
+      FROM dn_fe GROUP BY 1
+    ),
+    dn_vb AS (
+      SELECT CAST(floor(fts / {int(bucket_sec)}) AS BIGINT) * {int(bucket_sec)}
+               AS bucket_ts,
+             count(*) AS new_vertices
+      FROM dn_fv GROUP BY 1
+    ),
+    dn_per AS (
+      SELECT coalesce(v.bucket_ts, e.bucket_ts) AS bucket_ts,
+             coalesce(v.new_vertices, 0) AS new_vertices,
+             coalesce(e.new_edges, 0) AS new_edges
+      FROM dn_vb v FULL JOIN dn_eb e ON v.bucket_ts = e.bucket_ts
+    ),
+    dn_cum AS (
+      SELECT bucket_ts, new_vertices, new_edges,
+             CAST(sum(new_vertices) OVER w AS BIGINT) AS v_cum,
+             CAST(sum(new_edges) OVER w AS BIGINT) AS e_cum
+      FROM dn_per
+      WINDOW w AS (ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, new_vertices, new_edges, v_cum, e_cum,
+           CASE WHEN v_cum > 1 AND e_cum > 0 THEN
+             round(ln(CAST(e_cum AS DOUBLE)) / ln(CAST(v_cum AS DOUBLE)), 6)
+           END AS dens_exp
+    FROM dn_cum
+    """

@@ -344,3 +344,45 @@ def turn_latency_sql(transcripts_relation: str) -> str:
     FROM tl_l WHERE dst_role IS NOT NULL
     GROUP BY 1, 2
     """
+
+
+def role_token_share(transcripts: DataFrame) -> DataFrame:
+    """→ ``[role, n_turns, n_chars, turn_share, char_share]`` — speaker
+    dominance over the whole corpus: per role, the turn and character
+    volume and its share of the totals. The one-glance balance audit a
+    transcript-training pipeline runs before packing (an assistant-heavy
+    corpus overweights the loss on generations; a user-heavy one on
+    prompts), and the drift alarm between two crawls of the same source.
+
+    Plan shape: ONE hash aggregate on the tiny ``role`` key, then the
+    share normalization is a window over the handful of role rows —
+    constant-size state everywhere after the scan.
+    """
+    agg = transcripts.groupBy("role").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "role",
+        "n_turns",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.col("n_turns") / F.sum("n_turns").over(w), 6).alias("turn_share"),
+        F.round(F.col("n_chars") / F.sum("n_chars").over(w), 6).alias("char_share"),
+    )
+
+
+def role_token_share_sql(transcripts_relation: str = "t") -> str:
+    """DuckDB oracle body for :func:`role_token_share` (expects the
+    transcript relation in scope under the given name)."""
+    return f"""
+    rts_agg AS (
+      SELECT role, count(*) AS n_turns,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM {transcripts_relation} GROUP BY role
+    )
+    SELECT role, n_turns, n_chars,
+           round(n_turns / (sum(n_turns) OVER ()), 6) AS turn_share,
+           round(n_chars / (sum(n_chars) OVER ()), 6) AS char_share
+    FROM rts_agg
+    """
