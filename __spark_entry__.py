@@ -1376,6 +1376,23 @@ def q_role_token_share(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------- wave 23
+def q_motif_significance(spark, sf_dir):
+    # global clustering vs the Erdős–Rényi null: community-structure triage
+    return st.motif_significance(_graph(spark, sf_dir))
+
+
+def q_temperature_mixture(spark, sf_dir):
+    # α=0.5 temperature-smoothed language mixing (XLM-R style), 200 docs
+    return sp.temperature_mixture(
+        _docs(spark, sf_dir), ["doc_id"], "lang", total_n=200, alpha=0.5
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_markov_stationary10(spark, sf_dir):
+    return ev.markov_stationary(_events(spark, sf_dir), iterations=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1612,6 +1629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_distortion16": q_rp_distortion16,
         "integrity_audit": q_integrity_audit,
         "role_token_share": q_role_token_share,
+        # -- wave 23 (new this session; front in r6 with the rest of 51+) ----
+        "motif_significance": q_motif_significance,
+        "temperature_mixture": q_temperature_mixture,
+        "markov_stationary10": q_markov_stationary10,
     }
 
 
@@ -2523,6 +2544,17 @@ def oracle_sql() -> dict[str, str]:
             f"WITH rts_t AS MATERIALIZED ({_T_SQL}),"
             f"{tscr.role_token_share_sql('rts_t')}"
         ),
+        # wave 23
+        "motif_significance": f"{_G}, {st.motif_significance_sql()}",
+        "temperature_mixture": sp.temperature_mixture_sql(
+            "documents",
+            ["doc_id"],
+            "lang",
+            total_n=200,
+            alpha=0.5,
+            select="doc_id, lang, source, n_chars",
+        ),
+        "markov_stationary10": ev.markov_stationary_sql(iterations=10),
     }
 
 

@@ -1300,3 +1300,108 @@ def burstiness_sql(table: str = "events") -> str:
            END AS b
     FROM bsa
     """
+
+
+def markov_stationary(
+    events: DataFrame, gap_sec: int = 1800, iterations: int = 10
+) -> DataFrame:
+    """→ ``[event_type, pi]`` — the (approximate) stationary distribution
+    of the first-order event-type Markov chain: power-iterate
+    ``π' = πP`` for ``iterations`` rounds from uniform, where ``P`` is
+    the :func:`markov_transitions` chain RESTRICTED to recurrent states
+    (types with ≥1 outgoing transition; transitions into
+    outgoing-transition-free sinks are dropped and each row
+    re-normalized, so P is strictly stochastic and π sums to 1 with no
+    leak). The long-run "where does a user's session actually live"
+    weight per event type — the number funnel design and
+    event-sampling budgets key on, and the principled replacement for
+    raw event frequency when chains (not independent draws) generate
+    the traffic.
+
+    Scale shape: the chain matrix is ≤ |types|² rows BY CONSTRUCTION
+    (the lag-window aggregate already reduced the event volume), so
+    every iteration is a broadcast join + a ≤|types|-row grouped sum —
+    the 100 TB cost is exactly one :func:`markov_transitions` pass.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    t = markov_transitions(events, gap_sec=gap_sec).select(
+        "src_type", "dst_type", "n_trans"
+    )
+    states = t.select(F.col("src_type").alias("s")).distinct()
+    restricted = t.join(
+        states.select(F.col("s").alias("dst_type")), "dst_type"
+    )
+    totals = restricted.groupBy("src_type").agg(F.sum("n_trans").alias("_tot"))
+    p = restricted.join(F.broadcast(totals), "src_type").select(
+        "src_type",
+        "dst_type",
+        (F.col("n_trans") * 1.0 / F.col("_tot")).alias("p"),
+    )
+    n_states = states.count()
+    if n_states == 0:
+        return events.sparkSession.createDataFrame([], "event_type string, pi double")
+    pi = states.select(
+        F.col("s").alias("event_type"), F.lit(1.0 / n_states).alias("pi")
+    )
+    p = p.localCheckpoint()  # reused every round; pin it once
+    for _ in range(iterations):
+        pi = (
+            p.join(
+                pi.select(F.col("event_type").alias("src_type"), "pi"),
+                "src_type",
+            )
+            .groupBy(F.col("dst_type").alias("event_type"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    return pi.select("event_type", F.round("pi", 6).alias("pi"))
+
+
+def markov_stationary_sql(
+    gap_sec: int = 1800, iterations: int = 10, table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`markov_stationary` — the power iteration
+    unrolled as CTEs (PageRank-oracle convention: no intermediate
+    rounding, final round to 6 dp absorbs sum-order ulp)."""
+    ctes = [
+        f"""mst AS (
+      SELECT src_type, dst_type, count(*) AS n_trans FROM (
+        SELECT lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts_s, event_id) AS src_type,
+               event_type AS dst_type,
+               ts_s - lag(ts_s) OVER
+                 (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+        FROM (SELECT user_id, event_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM {table})
+      ) WHERE src_type IS NOT NULL AND gap <= {int(gap_sec)}
+      GROUP BY 1, 2
+    )""",
+        """mss AS (SELECT DISTINCT src_type AS s FROM mst)""",
+        """msr AS (
+      SELECT t.src_type, t.dst_type, t.n_trans FROM mst t
+      JOIN mss ON mss.s = t.dst_type
+    )""",
+        """msp AS MATERIALIZED (
+      SELECT r.src_type, r.dst_type,
+             r.n_trans * 1.0 / tt._tot AS p
+      FROM msr r JOIN (
+        SELECT src_type, sum(n_trans) AS _tot FROM msr GROUP BY src_type
+      ) tt ON tt.src_type = r.src_type
+    )""",
+        """ms0 AS (
+      SELECT s AS event_type, 1.0 / (SELECT count(*) FROM mss) AS pi FROM mss
+    )""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""ms{k} AS MATERIALIZED (
+      SELECT p.dst_type AS event_type, sum(r.pi * p.p) AS pi
+      FROM ms{k - 1} r JOIN msp p ON p.src_type = r.event_type
+      GROUP BY 1
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT event_type, round(pi, 6) AS pi FROM ms{iterations}
+    """

@@ -629,3 +629,109 @@ def shuffle_order_sql(
     FROM {table}
     WHERE {key} IS NOT NULL
     """
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_cols: list[str],
+    strata_col: str,
+    total_n: int,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """→ a deterministic ``total_n``-row sub-corpus whose strata are
+    sampled with TEMPERATURE reweighting: stratum ``s`` gets
+    ``n_s = min(count_s, floor(total_n · r_s))`` rows where
+    ``r_s = count_s^α / Σ count^α`` — the α-smoothed mixing multilingual
+    pretraining uses (α = 1/T; α=1 is proportional, α→0 uniform; XLM-R
+    ships α≈0.3, mBERT ≈0.7). Unlike :func:`corpus_mixture` (exact
+    integer shares you dictate), the shares here are DERIVED from the
+    corpus counts — the knob that up-weights tail languages/sources
+    without enumerating them. Selection per stratum is the same
+    smallest-portable-hash top-n as every sampler here.
+
+    Floor rounding means Σ n_s can undershoot ``total_n`` by < |strata|
+    rows — deliberate (budgets stay per-stratum deterministic; no
+    largest-remainder tie games).
+
+    Cross-engine FP: weights are ``round(count^α, 6)`` and ratios
+    ``round(w/Σw, 9)`` — two rounds that absorb last-ulp ``pow``/sum
+    differences between engines before the floor.
+
+    Plan shape: one tiny per-stratum count agg; weights/ratios are a
+    window over |strata| rows; budgets broadcast back; then the shared
+    two-phase sub-bucketed top-n (hot stratum splits across sub-bucket
+    tasks). One data shuffle total beyond the count.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if total_n < 0:
+        raise ValueError("total_n must be >= 0")
+    for c in ("__tm_n", "__tm_cnt", "__tm_w", "__tm_r"):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c!r}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__tm_cnt"))
+    w = F.round(F.pow(F.col("__tm_cnt").cast("double"), F.lit(float(alpha))), 6)
+    wall = Window.partitionBy()
+    budgets = (
+        counts.withColumn("__tm_w", w)
+        .withColumn("__tm_r", F.round(F.col("__tm_w") / F.sum("__tm_w").over(wall), 9))
+        .select(
+            strata_col,
+            F.least(
+                F.col("__tm_cnt"),
+                F.floor(F.lit(int(total_n)) * F.col("__tm_r")).cast("long"),
+            ).alias("__tm_n"),
+        )
+    )
+    return _stratified_top_budget(
+        df.join(F.broadcast(budgets), strata_col),
+        key_cols,
+        strata_col,
+        F.col("__tm_n"),
+        salt,
+        "tm",
+    ).drop("__tm_n")
+
+
+def temperature_mixture_sql(
+    table: str,
+    key_exprs: list[str],
+    strata_expr: str,
+    total_n: int,
+    alpha: float = 0.5,
+    salt: str = "",
+    *,
+    select: str,
+) -> str:
+    """Self-contained DuckDB mirror of :func:`temperature_mixture`
+    (single-window oracle — value-identical to the two-phase Spark plan
+    by the :func:`top_n_hash_sample` superset argument)."""
+    casts = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    quoted = salt.replace("'", "''")
+    key = f"concat_ws(chr(31), '{quoted}', {casts})"
+    h = md5_long_sql(key)
+    return f"""
+    WITH tm_counts AS (
+      SELECT {strata_expr} AS __tm_s, count(*) AS __tm_cnt
+      FROM {table} GROUP BY 1
+    ),
+    tm_budget AS (
+      SELECT __tm_s,
+             least(__tm_cnt,
+                   CAST(floor({int(total_n)} * round(
+                     round(pow(CAST(__tm_cnt AS DOUBLE), {float(alpha)!r}), 6)
+                     / sum(round(pow(CAST(__tm_cnt AS DOUBLE), {float(alpha)!r}), 6))
+                       OVER (), 9)) AS BIGINT)) AS __tm_n
+      FROM tm_counts
+    )
+    SELECT {select} FROM (
+      SELECT d.*, b.__tm_n,
+             row_number() OVER (PARTITION BY {strata_expr}
+                                ORDER BY {h}, {key}) AS __tm_rn
+      FROM {table} d
+      JOIN tm_budget b ON b.__tm_s = {strata_expr}
+    ) WHERE __tm_rn <= __tm_n
+    """
