@@ -1393,6 +1393,23 @@ def q_markov_stationary10(spark, sf_dir):
     return ev.markov_stationary(_events(spark, sf_dir), iterations=10)
 
 
+# ------------------------------------------------------------------- wave 24
+def q_shingle_containment(spark, sf_dir):
+    # directed Broder containment |A∩B|/|A| ≥ 0.8 — doc-inside-doc dups
+    return dd.shingle_containment(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_rank_concentration(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, mode="compat")
+    ranks = res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    return st.rank_concentration(ranks, fracs=(0.01, 0.10))
+
+
+def q_tool_usage(spark, sf_dir):
+    return tscr.tool_usage(transcripts_from_events(spark, sf_dir, TURNS_PER_CONV))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1633,6 +1650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_significance": q_motif_significance,
         "temperature_mixture": q_temperature_mixture,
         "markov_stationary10": q_markov_stationary10,
+        # -- wave 24 (new this session; front in r6 with the rest of 51+) ----
+        "shingle_containment": q_shingle_containment,
+        "rank_concentration": q_rank_concentration,
+        "tool_usage": q_tool_usage,
     }
 
 
@@ -2555,6 +2576,19 @@ def oracle_sql() -> dict[str, str]:
             select="doc_id, lang, source, n_chars",
         ),
         "markov_stationary10": ev.markov_stationary_sql(iterations=10),
+        # wave 24
+        "shingle_containment": dd.shingle_containment_sql(
+            "documents", threshold=0.8
+        ),
+        "rank_concentration": f"""{_G}, {_DEGS}{_NV},
+    {_pr_compat_ctes(3, 0.8)},
+    rc_r AS (SELECT id, round(rank, 6) AS rank FROM r3),
+    {st.rank_concentration_sql('rc_r', fracs=(0.01, 0.10))}
+    """,
+        "tool_usage": (
+            f"WITH tu_t AS MATERIALIZED ({_T_SQL}),"
+            f"{tscr.tool_usage_sql('tu_t')}"
+        ),
     }
 
 

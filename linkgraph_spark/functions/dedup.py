@@ -930,3 +930,93 @@ def minhash_band_sweep_sql(
     {cte_sql}
     {union_sql}
     """
+
+
+# ----------------------------------------------------------- containment
+def shingle_containment(
+    documents: DataFrame, threshold: float = 0.8, max_doc_freq: int | None = None
+) -> DataFrame:
+    """→ ``[doc_a, doc_b, containment]`` — DIRECTED near-dup detection by
+    Broder containment ``|A∩B| / |A|`` over the shared 3-gram shingle
+    sets: doc_a is (nearly) CONTAINED in doc_b. The asymmetric
+    complement of :func:`ngram_jaccard_dups` — a quote, excerpt, or
+    boilerplate-wrapped copy scores ≈1 here while its symmetric Jaccard
+    stays low (the big set's size drowns the intersection), so this is
+    the filter that catches doc-inside-doc duplication a Jaccard
+    threshold misses. Both directions are emitted when both clear the
+    threshold; exact-duplicate pairs score 1.0 both ways.
+
+    Plan shape: identical to the Jaccard path — shared-shingle
+    equi-join candidates (``max_doc_freq`` caps hot shingles' candidate
+    fan-out, the k² reducer trap), then O(candidates)
+    ``array_intersect`` verification. The only difference is the
+    directed pair predicate (a ≠ b, both orders) and the |A|
+    denominator.
+    """
+    sh = _with_shingle_hashes(documents).persist()
+    flat = sh.select("doc_id", F.explode("sh").alias("s"))
+    if max_doc_freq is not None:
+        keep = (
+            flat.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("s")
+        )
+        flat = flat.join(keep, "s", "left_semi")
+    cand = (
+        flat.withColumnRenamed("doc_id", "doc_a")
+        .join(flat.withColumnRenamed("doc_id", "doc_b"), "s")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
+    )
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cont = F.size(F.array_intersect("sh_a", "sh_b")) / F.col("na")
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def shingle_containment_sql(
+    table: str = "documents",
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`shingle_containment` (directed pairs, |A|
+    denominator; same candidate cap semantics as the Jaccard oracle)."""
+    if max_doc_freq is None:
+        cand_ctes, cand_join = "", ""
+    else:
+        cand_ctes = f"""
+    sc_kept AS (
+      SELECT s FROM (SELECT s, count(*) AS c FROM sc_flat GROUP BY s)
+      WHERE c <= {max_doc_freq}
+    ),
+    sc_cflat AS (SELECT doc_id, s FROM sc_flat JOIN sc_kept USING (s)),
+    sc_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sc_cflat a JOIN sc_cflat b ON a.s = b.s AND a.doc_id <> b.doc_id
+    ),"""
+        cand_join = "JOIN sc_cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id"
+    return f"""
+    WITH {_shingles_sql(table)},
+    sc_flat AS (SELECT doc_id, unnest(sh) AS s FROM sh),{cand_ctes}
+    sc_sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    sc_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sc_flat a JOIN sc_flat b ON a.s = b.s AND a.doc_id <> b.doc_id
+      {cand_join}
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / CAST(sa.n AS DOUBLE), 6) AS containment
+    FROM sc_inter
+    JOIN sc_sizes sa ON sa.doc_id = doc_a
+    WHERE round(inter / CAST(sa.n AS DOUBLE), 6) >= {threshold}
+    """

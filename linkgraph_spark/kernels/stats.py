@@ -726,3 +726,90 @@ def motif_significance_sql() -> str:
                  * ((n.n * (n.n - 1.0)) / (2.0 * m.m)), 6) AS lift
     FROM ms_n n CROSS JOIN ms_m m CROSS JOIN ms_w w CROSS JOIN ms_tri t
     """
+
+
+def rank_concentration(ranks: DataFrame, fracs: tuple = (0.01, 0.10)) -> DataFrame:
+    """→ one-row ``[n, hhi, max_share, share_top1pct, share_top10pct, …]``
+    — how concentrated the PageRank (or any score) mass is: the
+    Herfindahl–Hirschman index Σ(r/T)², the single largest holder's
+    share, and for each ``f`` in ``fracs`` the mass share held ABOVE the
+    (1−f) exact quantile of the score (column named ``share_top{f%}``).
+    On web graphs rank mass is notoriously top-heavy — this is the
+    one-row audit that says whether serving/caching can win by pinning
+    the top 1 %, and (pipeline-side) whether rank-weighted sampling will
+    be dominated by a handful of hubs.
+
+    Semantics note: "top f" is quantile-THRESHOLD based (strictly
+    greater than the interpolated (1−f) quantile), not a row-count
+    top-k — ties at the threshold are excluded together, keeping the
+    number deterministic without a global sort.
+
+    Scale shape: ONE aggregate computes T, Σr², max and every quantile
+    threshold (Spark ``percentile`` sorts once per group internally);
+    one conditional re-aggregate computes the above-threshold masses.
+    No window over V rows, no global sort in the plan.
+    """
+    if not fracs or any(not 0 < f < 1 for f in fracs):
+        raise ValueError(f"fracs must be in (0, 1), got {fracs!r}")
+    arr = ", ".join(f"{1.0 - float(f)}D" for f in fracs)
+    base = ranks.agg(
+        F.count("*").alias("n"),
+        F.sum("rank").alias("t"),
+        F.sum(F.col("rank") * F.col("rank")).alias("r2"),
+        F.max("rank").alias("mx"),
+        F.expr(f"percentile(rank, array({arr}))").alias("qs"),
+    )
+    joined = ranks.crossJoin(F.broadcast(base))
+    shares = [
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rank") > F.element_at("qs", i + 1), F.col("rank")
+                ).otherwise(F.lit(0.0))
+            )
+            / F.first("t"),
+            6,
+        ).alias(f"share_top{_pct_name(f)}")
+        for i, f in enumerate(fracs)
+    ]
+    return joined.groupBy().agg(
+        F.first("n").alias("n"),
+        F.round(F.first("r2") / (F.first("t") * F.first("t")), 6).alias("hhi"),
+        F.round(F.first("mx") / F.first("t"), 6).alias("max_share"),
+        *shares,
+    )
+
+
+def _pct_name(f: float) -> str:
+    s = f"{float(f) * 100:g}".replace(".", "_")
+    return f"{s}pct"
+
+
+def rank_concentration_sql(
+    ranks_cte: str, fracs: tuple = (0.01, 0.10), rank_col: str = "rank"
+) -> str:
+    """DuckDB oracle body for :func:`rank_concentration` (expects the
+    ranks CTE in scope; same quantile-threshold semantics)."""
+    base_qs = ", ".join(
+        f"quantile_cont({rank_col}, {1.0 - float(f)}) AS q{i}"
+        for i, f in enumerate(fracs)
+    )
+    shares = ", ".join(
+        f"""round(sum(CASE WHEN r.{rank_col} > b.q{i}
+                 THEN r.{rank_col} ELSE 0.0 END) / first(b.t), 6)
+             AS share_top{_pct_name(f)}"""
+        for i, f in enumerate(fracs)
+    )
+    return f"""
+    rc_base AS (
+      SELECT count(*) AS n, sum({rank_col}) AS t,
+             sum({rank_col} * {rank_col}) AS r2,
+             max({rank_col}) AS mx, {base_qs}
+      FROM {ranks_cte}
+    )
+    SELECT first(b.n) AS n,
+           round(first(b.r2) / (first(b.t) * first(b.t)), 6) AS hhi,
+           round(first(b.mx) / first(b.t), 6) AS max_share,
+           {shares}
+    FROM {ranks_cte} r CROSS JOIN rc_base b
+    """

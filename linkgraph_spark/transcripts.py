@@ -386,3 +386,49 @@ def role_token_share_sql(transcripts_relation: str = "t") -> str:
            round(n_chars / (sum(n_chars) OVER ()), 6) AS char_share
     FROM rts_agg
     """
+
+
+def tool_usage(transcripts: DataFrame) -> DataFrame:
+    """→ ``[tool, n_calls, n_convs, call_share, avg_turn_idx]`` — the
+    per-tool usage profile: how often each tool fires, how many distinct
+    conversations touch it, its share of all tool calls, and the mean
+    turn index at which it is invoked (early-turn tools are lookup-ish,
+    late-turn tools are resolution-ish — the cheap behavioral signature
+    for tool-routing audits and deprecation decisions).
+
+    Plan shape: one filter + ONE hash aggregate on the tiny ``tool``
+    key (count-distinct on conv_id is the only sub-aggregate); the
+    share is a window over |tools| rows. Map-side combinable
+    throughout.
+    """
+    calls = transcripts.where(F.col("tool").isNotNull())
+    agg = calls.groupBy("tool").agg(
+        F.count("*").alias("n_calls"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.round(F.avg("turn_idx"), 6).alias("avg_turn_idx"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "tool",
+        "n_calls",
+        "n_convs",
+        F.round(F.col("n_calls") / F.sum("n_calls").over(w), 6).alias("call_share"),
+        "avg_turn_idx",
+    )
+
+
+def tool_usage_sql(transcripts_relation: str = "t") -> str:
+    """DuckDB oracle body for :func:`tool_usage` (expects the transcript
+    relation in scope under the given name)."""
+    return f"""
+    tu_agg AS (
+      SELECT tool, count(*) AS n_calls,
+             count(DISTINCT conv_id) AS n_convs,
+             round(avg(turn_idx), 6) AS avg_turn_idx
+      FROM {transcripts_relation} WHERE tool IS NOT NULL GROUP BY tool
+    )
+    SELECT tool, n_calls, n_convs,
+           round(n_calls / (sum(n_calls) OVER ()), 6) AS call_share,
+           avg_turn_idx
+    FROM tu_agg
+    """
