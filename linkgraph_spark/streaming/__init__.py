@@ -18,13 +18,17 @@ from linkgraph_spark.streaming.transcript_stream import (
     read_transcript_stream,
     stream_adjacent_edges,
     stream_tool_edges,
+    trending_tools,
     windowed_role_activity,
+    windowed_tool_counts,
 )
 
 __all__ = [
     "read_transcript_stream",
     "stream_tool_edges",
+    "trending_tools",
     "windowed_role_activity",
+    "windowed_tool_counts",
     "incremental_degrees",
     "merge_degree_batch",
     "read_degree_state",

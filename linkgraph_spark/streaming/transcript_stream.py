@@ -298,3 +298,51 @@ def incremental_degrees(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_tool_counts(
+    stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Event-time tool-invocation counts per (window, tool) — the
+    streaming half of a trending-tools feed. Same watermark/state story
+    as :func:`windowed_role_activity`: state is O(windows in the
+    horizon × |tools|), append-mode emits each window once it is closed
+    by the watermark.
+    """
+    return (
+        stream.where(F.col("tool").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "tool")
+        .agg(F.count("*").alias("n_calls"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "tool",
+            "n_calls",
+        )
+    )
+
+
+def trending_tools(counts: DataFrame, k: int = 3) -> DataFrame:
+    """→ per closed window, the top-``k`` tools by call count (ties by
+    tool name) with their rank — the batch post-processing applied to
+    :func:`windowed_tool_counts` output (ranking needs a window
+    function, which streaming aggregation does not support; the
+    standard split is stream-aggregate → sink → rank-on-read).
+
+    Plan shape: one rank window partitioned by the time window — state
+    per partition is bounded by |tools|, and the partition key count
+    grows with time, not data volume.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"trending_tools: k must be >= 1, got {k}")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_calls"), F.asc("tool")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("window_start", "window_end", "rank", "tool", "n_calls")
+    )

@@ -336,3 +336,54 @@ def test_stream_exact_dedup_drops_across_batches(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT doc_id FROM docdedup2_out").collect()
     )
     assert kept == [0, 1, 3]  # doc 2 dropped: digest already stateful
+
+
+def test_windowed_tool_trending_matches_batch(spark, tmp_path):
+    from linkgraph_spark.streaming import trending_tools, windowed_tool_counts
+
+    src = str(tmp_path / "stream_in3")
+    t = _write_transcripts(spark, src)
+    stream = read_transcript_stream(spark, src)
+    counts = windowed_tool_counts(stream, window="60 minutes", watermark="120 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("tool_counts_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.sql("SELECT * FROM tool_counts_out")
+    got = sorted(
+        (r["window_start"], r["rank"], r["tool"], r["n_calls"])
+        for r in trending_tools(sink, k=2).collect()
+    )
+    # batch equivalent: same window + count + rank
+    from pyspark.sql import Window
+
+    batch = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", "60 minutes"), "tool")
+        .agg(F.count("*").alias("n_calls"))
+        .select(F.col("window.start").alias("window_start"), "tool", "n_calls")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n_calls"), F.asc("tool"))
+    want = sorted(
+        (r["window_start"], r["rank"], r["tool"], r["n_calls"])
+        for r in batch.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_trending_tools_validates_k(spark):
+    import pytest
+
+    from linkgraph_spark.streaming import trending_tools
+
+    df = spark.createDataFrame(
+        [], "window_start timestamp, window_end timestamp, tool string, n_calls long"
+    )
+    with pytest.raises(ValueError):
+        trending_tools(df, k=0)
