@@ -1410,6 +1410,27 @@ def q_tool_usage(spark, sf_dir):
     return tscr.tool_usage(transcripts_from_events(spark, sf_dir, TURNS_PER_CONV))
 
 
+# ------------------------------------------------------------------- wave 25
+def q_ivf_recall(spark, sf_dir):
+    # IVF acceptance audit vs exact top-k — lsh_recall's sibling
+    return sim.ivf_recall(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_rank_by_degree(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, mode="compat")
+    ranks = res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    return st.rank_by_degree(ranks, g)
+
+
+def q_avg_distance(spark, sf_dir):
+    from linkgraph_spark.kernels import avg_distance_landmarks
+
+    return avg_distance_landmarks(
+        _graph(spark, sf_dir), landmarks=[0, 1, 2, 3, 4], k=6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1654,6 +1675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_containment": q_shingle_containment,
         "rank_concentration": q_rank_concentration,
         "tool_usage": q_tool_usage,
+        # -- wave 25 (new this session; front in r6 with the rest of 51+) ----
+        "ivf_recall": q_ivf_recall,
+        "rank_by_degree": q_rank_by_degree,
+        "avg_distance6": q_avg_distance,
     }
 
 
@@ -2589,6 +2614,14 @@ def oracle_sql() -> dict[str, str]:
             f"WITH tu_t AS MATERIALIZED ({_T_SQL}),"
             f"{tscr.tool_usage_sql('tu_t')}"
         ),
+        # wave 25
+        "ivf_recall": sim.ivf_recall_sql("embeddings", n_queries=10, k=5),
+        "rank_by_degree": f"""{_G}, {_DEGS}{_NV},
+    {_pr_compat_ctes(3, 0.8)},
+    rbd_r AS (SELECT id, round(rank, 6) AS rank FROM r3),
+    {st.rank_by_degree_sql('rbd_r')}
+    """,
+        "avg_distance6": f"{_G}, {ct.avg_distance_landmarks_sql([0, 1, 2, 3, 4], k=6)}",
     }
 
 

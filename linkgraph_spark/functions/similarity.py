@@ -1488,3 +1488,78 @@ def rp_distortion_sql(table: str = "embeddings", k: int = 16) -> str:
            CASE WHEN d2_orig > 0 THEN round(d2_proj / d2_orig, 6) END AS ratio
     FROM rp_d
     """
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """→ ``[query_id, n_exact, n_hits, recall]`` — recall@k of the
+    :func:`ivf_knn` coarse-quantized path against the
+    :func:`cosine_topk` exact ground truth, per query: the
+    :func:`lsh_recall` acceptance audit for the OTHER ANN index. The
+    two recall curves together answer the production question "probe
+    more cells or add hash tables?" on the same data, distance, and
+    tie-breaks.
+
+    Scale shape: composes two existing plans plus one equi-join and an
+    O(n_queries)-row aggregate — ground truth only for the query
+    sample, never all-pairs.
+    """
+    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id")
+    approx = ivf_knn(embeddings, n_queries, k, n_cells, n_probe).select(
+        F.col("query_id").alias("_qa"), F.col("neighbor_id").alias("_na")
+    )
+    cnt = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("_qa"))
+            & (F.col("neighbor_id") == F.col("_na")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return cnt.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("n_exact"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def ivf_recall_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`ivf_recall` (same isolated-subquery
+    composition as :func:`lsh_recall_sql`)."""
+    return f"""
+    WITH ir_ex AS (
+      SELECT query_id, neighbor_id FROM (
+        {cosine_topk_sql(table, n_queries, k)}
+      )
+    ), ir_ap AS (
+      SELECT query_id, neighbor_id FROM (
+        {ivf_knn_sql(table, n_queries, k, n_cells, n_probe)}
+      )
+    ), ir_cnt AS (
+      SELECT query_id, count(*) AS n_exact FROM ir_ex GROUP BY query_id
+    ), ir_hit AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM ir_ex e JOIN ir_ap a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT c.query_id, c.n_exact, coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) * 1.0 / c.n_exact, 6) AS recall
+    FROM ir_cnt c LEFT JOIN ir_hit h USING (query_id)
+    """

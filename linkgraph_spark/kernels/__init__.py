@@ -32,6 +32,7 @@ from linkgraph_spark.kernels.kmeans import (
 from linkgraph_spark.kernels.pca import pca_power
 from linkgraph_spark.kernels.centrality import (
     HyperBallResult,
+    avg_distance_landmarks,
     ball_sizes,
     walk_counts,
     closeness_landmarks,
@@ -152,6 +153,7 @@ __all__ = [
     "conductance",
     "ppr_sweep",
     "simrank",
+    "avg_distance_landmarks",
     "ball_sizes",
     "walk_counts",
     "fiedler_sweep",

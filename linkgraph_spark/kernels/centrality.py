@@ -754,3 +754,62 @@ def walk_counts_sql(n_hubs: int = 10) -> str:
     LEFT JOIN (SELECT hub, sum(c) AS s FROM wc_c2 GROUP BY hub) w2 ON w2.hub = h.hub
     LEFT JOIN (SELECT hub, sum(c) AS s FROM wc_c3 GROUP BY hub) w3 ON w3.hub = h.hub
     """
+
+
+def avg_distance_landmarks(
+    graph: LinkGraph, landmarks: list, k: int, directed: bool = False
+) -> DataFrame:
+    """→ one-row ``[n_landmarks, n_pairs, avg_distance, reached_frac]``
+    — the landmark estimate of the graph's mean shortest-path distance:
+    over every (landmark, vertex) pair within hop distance 1..k, the
+    average distance and the fraction of possible pairs reached
+    (landmarks × (V−1)). The "how many hops is this graph" number next
+    to :func:`double_sweep_diameter`'s worst case and
+    :func:`effective_diameter_landmarks`'s 90th percentile — small-world
+    graphs sit near ln V; a drifting average after an ingest is the
+    cheap structural-change alarm.
+
+    Scale shape: |landmarks| truncated frontier BFS runs (O(E) touched
+    edges each), one union, ONE global aggregate — no per-vertex output.
+    """
+    from functools import reduce as _reduce
+
+    from linkgraph_spark.kernels.paths import shortest_paths
+
+    if not landmarks:
+        raise ValueError("avg_distance_landmarks: need at least one landmark")
+    parts = [
+        shortest_paths(
+            graph, sources=[int(lm)], directed=directed, max_iterations=k
+        ).distances.where(
+            (F.col("distance") >= 1) & (F.col("distance") <= k)
+        ).select("distance")
+        for lm in landmarks
+    ]
+    alld = _reduce(DataFrame.unionAll, parts)
+    possible = float(len(landmarks)) * (graph.num_vertices - 1)
+    return alld.agg(
+        F.lit(len(landmarks)).cast("long").alias("n_landmarks"),
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("distance") / F.count("*"), 6).alias("avg_distance"),
+        F.round(F.count("*") / F.lit(possible), 6).alias("reached_frac"),
+    )
+
+
+def avg_distance_landmarks_sql(landmarks: list, k: int) -> str:
+    """DuckDB oracle body for :func:`avg_distance_landmarks` — the
+    harmonic landmark BFS chain with one global aggregate."""
+    base = harmonic_landmarks_sql(landmarks, k)
+    idx = base.rindex("SELECT lm AS id,")
+    head = base[:idx]
+    return f"""{head}SELECT {len(landmarks)} AS n_landmarks,
+           CAST(coalesce(sum(CASE WHEN d BETWEEN 1 AND {k} THEN 1 END), 0)
+                AS BIGINT) AS n_pairs,
+           round(sum(CASE WHEN d BETWEEN 1 AND {k} THEN d END)
+                 / CAST(sum(CASE WHEN d BETWEEN 1 AND {k} THEN 1 END) AS DOUBLE),
+                 6) AS avg_distance,
+           round(sum(CASE WHEN d BETWEEN 1 AND {k} THEN 1 END)
+                 / ({len(landmarks)}.0 * ((SELECT count(*) FROM verts) - 1)),
+                 6) AS reached_frac
+    FROM hc{k}
+    """

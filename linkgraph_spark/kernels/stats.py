@@ -813,3 +813,49 @@ def rank_concentration_sql(
            {shares}
     FROM {ranks_cte} r CROSS JOIN rc_base b
     """
+
+
+def rank_by_degree(ranks: DataFrame, graph: LinkGraph) -> DataFrame:
+    """→ ``[in_deg, n_vertices, avg_rank, rank_share]`` — the
+    rank-vs-in-degree calibration curve: for every distinct in-degree,
+    how many vertices hold it, their mean score, and their share of the
+    total score mass. :func:`centrality_degree_corr` gives the one-number
+    "is rank just degree?"; this is the full curve that shows WHERE they
+    diverge (the whole point of PageRank over raw in-degree is the
+    high-rank/low-degree rows — pages endorsed by important pages).
+
+    Scale shape: one equi-join of the O(V) rank table to the degree
+    table, one grouped aggregate on the integer ``in_deg`` key (Zipf:
+    ≪ V distinct values, map-side combinable), then the share
+    normalization as a window over the tiny degree histogram.
+    """
+    joined = ranks.join(graph.degrees.select("id", "in_deg"), "id")
+    agg = joined.groupBy("in_deg").agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.avg("rank"), 6).alias("avg_rank"),
+        F.sum("rank").alias("_mass"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "in_deg",
+        "n_vertices",
+        "avg_rank",
+        F.round(F.col("_mass") / F.sum("_mass").over(w), 6).alias("rank_share"),
+    )
+
+
+def rank_by_degree_sql(ranks_cte: str) -> str:
+    """DuckDB oracle body for :func:`rank_by_degree` (expects the ranks
+    CTE and ``degs`` in scope)."""
+    return f"""
+    rbd_agg AS (
+      SELECT d.in_deg, count(*) AS n_vertices,
+             round(avg(r.rank), 6) AS avg_rank,
+             sum(r.rank) AS _mass
+      FROM {ranks_cte} r JOIN degs d ON d.id = r.id
+      GROUP BY d.in_deg
+    )
+    SELECT in_deg, n_vertices, avg_rank,
+           round(_mass / (sum(_mass) OVER ()), 6) AS rank_share
+    FROM rbd_agg
+    """
