@@ -1431,6 +1431,16 @@ def q_avg_distance(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------- wave 26
+def q_vocab_growth(spark, sf_dir):
+    # Heaps'-law vocabulary-growth curve in doc_id order
+    return tx.vocab_growth(_docs(spark, sf_dir), bucket_width=50)
+
+
+def q_centroid_purity(spark, sf_dir):
+    return sim.centroid_purity(_embs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1679,6 +1689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "rank_by_degree": q_rank_by_degree,
         "avg_distance6": q_avg_distance,
+        # -- wave 26 (new this session; front in r6 with the rest of 51+) ----
+        "vocab_growth": q_vocab_growth,
+        "centroid_purity": q_centroid_purity,
     }
 
 
@@ -2622,6 +2635,9 @@ def oracle_sql() -> dict[str, str]:
     {st.rank_by_degree_sql('rbd_r')}
     """,
         "avg_distance6": f"{_G}, {ct.avg_distance_landmarks_sql([0, 1, 2, 3, 4], k=6)}",
+        # wave 26
+        "vocab_growth": tx.vocab_growth_sql("documents", bucket_width=50),
+        "centroid_purity": sim.centroid_purity_sql("embeddings"),
     }
 
 

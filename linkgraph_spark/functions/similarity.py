@@ -1563,3 +1563,106 @@ def ivf_recall_sql(
            round(coalesce(h.n_hits, 0) * 1.0 / c.n_exact, 6) AS recall
     FROM ir_cnt c LEFT JOIN ir_hit h USING (query_id)
     """
+
+
+def centroid_purity(embeddings: DataFrame) -> DataFrame:
+    """→ ``[label, n, n_correct, purity]`` — nearest-centroid label
+    agreement: per-label centroids (coordinate means rounded to 9 dp,
+    the k-means convention), then every vector is assigned to its
+    closest centroid (squared L2 rounded 9, ties to the smaller label)
+    and scored against its own label. The separability audit that pairs
+    with :func:`label_centroid_dists` — THAT says which class centroids
+    nearly coincide, THIS says how much of each class actually lives on
+    the wrong side; a label below ~0.5 purity is one a nearest-centroid
+    router (or a stratified sampler treating labels as distinct) will
+    scramble.
+
+    Plan shape: one posexplode + (label, dim) mean for the centroids
+    (|labels|·D rows), centroid arrays rebuilt in sorted-dim order
+    (deterministic fold order — the kcenter convention), ONE broadcast
+    cross join of the tiny centroid table against the vectors with a
+    per-vector rank window, then a |labels|-row aggregate.
+    """
+    base = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    ex = embeddings.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 9).alias("mu"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("clabel"), "cv")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d2"), F.asc("clabel"))
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "clabel", d2.alias("_d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return assigned.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("clabel") == F.col("label")).cast("long")).alias("n_correct"),
+        F.round(
+            F.sum((F.col("clabel") == F.col("label")).cast("long"))
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("purity"),
+    )
+
+
+def centroid_purity_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`centroid_purity` — same rounded
+    centroids, sorted-dim fold order, and tie-breaks."""
+    sqd = (
+        "list_reduce(list_transform(range(1, len(b.v) + 1),"
+        " i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i])), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH cp_b AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ),
+    cp_ex AS (
+      SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS val FROM cp_b
+    ),
+    cp_c AS (
+      SELECT label AS clabel,
+             list(mu ORDER BY pos) AS cv
+      FROM (SELECT label, pos, round(avg(val), 9) AS mu
+            FROM cp_ex GROUP BY label, pos)
+      GROUP BY label
+    ),
+    cp_assign AS (
+      SELECT b.vec_id, b.label, c.clabel,
+             row_number() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY round({sqd}, 9) ASC, c.clabel ASC) AS rn
+      FROM cp_b b CROSS JOIN cp_c c
+    )
+    SELECT label, count(*) AS n,
+           CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS purity
+    FROM cp_assign WHERE rn = 1
+    GROUP BY label
+    """

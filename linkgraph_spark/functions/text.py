@@ -1605,3 +1605,127 @@ def bm25_sql(
       FROM bm_scored
     ) WHERE rk <= {top_n}
     """
+
+
+def vocab_growth(documents: DataFrame, bucket_width: int = 50) -> DataFrame:
+    """→ ``[bucket, n_docs, n_tokens, new_terms, docs_cum, tokens_cum,
+    vocab_cum, heaps_exp]`` — the Heaps'-law vocabulary-growth curve in
+    ``doc_id`` order: per bucket of ``bucket_width`` doc-ids, how many
+    NEVER-SEEN-BEFORE terms appear, plus cumulative docs/tokens/vocab
+    and the running exponent ``β = ln V / ln n`` (Heaps: V = K·n^β,
+    β ≈ 0.4–0.6 for natural text; a β that jumps mid-corpus flags an
+    ingest-source change, template spam, or an encoding break). The
+    growth-side complement of :func:`zipf_slope`'s static rank curve.
+
+    Scale shape: the same first-seen trick as the densification curve —
+    ONE grouped min over the (term → min doc_id) table (Zipf-bounded)
+    and one per-doc token count; everything after runs on #buckets rows
+    with a tiny cumulative window. No sort over docs, no re-scan per
+    bucket.
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    bkt = lambda c: (F.floor(c / bucket_width) * bucket_width).cast("long")  # noqa: E731
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    terms_b = first.groupBy(bkt(F.col("fd")).alias("bucket")).agg(
+        F.count("*").alias("new_terms")
+    )
+    docs_b = documents.groupBy(bkt(F.col("doc_id")).alias("bucket")).agg(
+        F.count("*").alias("n_docs")
+    )
+    toks_b = tok.groupBy(bkt(F.col("doc_id")).alias("bucket")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    per = (
+        docs_b.join(toks_b, "bucket", "full")
+        .join(terms_b, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "new_terms",
+        F.sum("n_docs").over(w).alias("docs_cum"),
+        F.sum("n_tokens").over(w).alias("tokens_cum"),
+        F.sum("new_terms").over(w).alias("vocab_cum"),
+    )
+    return cum.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "new_terms",
+        "docs_cum",
+        "tokens_cum",
+        "vocab_cum",
+        F.when(
+            (F.col("tokens_cum") > 1) & (F.col("vocab_cum") > 0),
+            F.round(
+                F.log(F.col("vocab_cum").cast("double"))
+                / F.log(F.col("tokens_cum").cast("double")),
+                6,
+            ),
+        ).alias("heaps_exp"),
+    )
+
+
+def vocab_growth_sql(table: str = "documents", bucket_width: int = 50) -> str:
+    """DuckDB oracle for :func:`vocab_growth` (standalone query)."""
+    W = int(bucket_width)
+    return f"""
+    WITH vg_tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    vg_first AS (
+      SELECT CAST(floor(doc_id / {W}) AS BIGINT) * {W} AS bucket,
+             count(*) AS new_terms
+      FROM (SELECT term, min(doc_id) AS doc_id FROM vg_tok GROUP BY term)
+      GROUP BY 1
+    ),
+    vg_docs AS (
+      SELECT CAST(floor(doc_id / {W}) AS BIGINT) * {W} AS bucket,
+             count(*) AS n_docs
+      FROM {table} GROUP BY 1
+    ),
+    vg_toks AS (
+      SELECT CAST(floor(doc_id / {W}) AS BIGINT) * {W} AS bucket,
+             count(*) AS n_tokens
+      FROM vg_tok GROUP BY 1
+    ),
+    vg_per AS (
+      SELECT coalesce(d.bucket, t.bucket, f.bucket) AS bucket,
+             coalesce(d.n_docs, 0) AS n_docs,
+             coalesce(t.n_tokens, 0) AS n_tokens,
+             coalesce(f.new_terms, 0) AS new_terms
+      FROM vg_docs d
+      FULL JOIN vg_toks t ON t.bucket = d.bucket
+      FULL JOIN vg_first f ON f.bucket = coalesce(d.bucket, t.bucket)
+    ),
+    vg_cum AS (
+      SELECT bucket, n_docs, n_tokens, new_terms,
+             CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+             CAST(sum(n_tokens) OVER w AS BIGINT) AS tokens_cum,
+             CAST(sum(new_terms) OVER w AS BIGINT) AS vocab_cum
+      FROM vg_per
+      WINDOW w AS (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket, n_docs, n_tokens, new_terms, docs_cum, tokens_cum,
+           vocab_cum,
+           CASE WHEN tokens_cum > 1 AND vocab_cum > 0 THEN
+             round(ln(CAST(vocab_cum AS DOUBLE))
+                   / ln(CAST(tokens_cum AS DOUBLE)), 6)
+           END AS heaps_exp
+    FROM vg_cum
+    """
