@@ -364,3 +364,66 @@ def test_shuffle_order_window_is_per_partition(spark, sf_dir):
     n = docs.count()
     ranks = [r.shuffle_rank for r in shuffle_order(docs, salt="s1", partitions=4).collect()]
     assert sorted(ranks) == list(range(1, n + 1))
+
+
+def test_wave22_26_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-22..26 operators stay JVM-side; the only cross joins are tiny
+    broadcast sides (centroid/budget/base tables), never CartesianProduct."""
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.functions.curation import integrity_audit
+    from linkgraph_spark.functions.dedup import shingle_containment
+    from linkgraph_spark.functions.sampling import temperature_mixture
+    from linkgraph_spark.functions.similarity import (
+        centroid_purity,
+        ivf_recall,
+        rp_distortion,
+    )
+    from linkgraph_spark.functions.text import vocab_growth
+    from linkgraph_spark.kernels import walk_counts
+    from linkgraph_spark.kernels.stats import motif_significance
+    from linkgraph_spark.transcripts import transcripts_from_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = build_graph(transcripts_from_events(spark, sf_dir))
+    for df in (
+        walk_counts(g, n_hubs=5),
+        rp_distortion(embs, k=4),
+        integrity_audit(docs, ev, embs),
+        shingle_containment(docs, threshold=0.8),
+        temperature_mixture(docs, ["doc_id"], "lang", total_n=50),
+        vocab_growth(docs),
+        centroid_purity(embs),
+        ivf_recall(embs, n_queries=5, k=3),
+        motif_significance(g),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_shingle_containment_candidates_are_equi_join(spark, sf_dir):
+    """Containment candidates come from the shared-shingle equi-join —
+    the doc table never feeds an all-pairs comparison."""
+    from linkgraph_spark.functions.dedup import shingle_containment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(shingle_containment(docs, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    # the verify join is keyed on doc ids; candidate join on the shingle
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 2
+
+
+def test_walk_counts_broadcasts_the_hub_frontier(spark, sf_dir):
+    """The hub seed set (n_hubs rows) must reach the edge join as a
+    broadcast, never shuffling the edge list against a 10-row side."""
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.kernels import walk_counts
+    from linkgraph_spark.transcripts import transcripts_from_events
+
+    g = build_graph(transcripts_from_events(spark, sf_dir))
+    plan = _plan(walk_counts(g, n_hubs=10))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
