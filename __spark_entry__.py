@@ -1441,6 +1441,20 @@ def q_centroid_purity(spark, sf_dir):
     return sim.centroid_purity(_embs(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 27
+def q_source_quality(spark, sf_dir):
+    # per-source quality drift: "which feed started shipping junk"
+    return tx.source_quality(_docs(spark, sf_dir))
+
+
+def q_dim_variance(spark, sf_dir):
+    return sim.dim_variance(_embs(spark, sf_dir))
+
+
+def q_entry_exit_profile(spark, sf_dir):
+    return ev.entry_exit_profile(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1692,6 +1706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 26 (new this session; front in r6 with the rest of 51+) ----
         "vocab_growth": q_vocab_growth,
         "centroid_purity": q_centroid_purity,
+        # -- wave 27 (new this session; front in r6 with the rest of 51+) ----
+        "source_quality": q_source_quality,
+        "dim_variance": q_dim_variance,
+        "entry_exit_profile": q_entry_exit_profile,
     }
 
 
@@ -2638,6 +2656,10 @@ def oracle_sql() -> dict[str, str]:
         # wave 26
         "vocab_growth": tx.vocab_growth_sql("documents", bucket_width=50),
         "centroid_purity": sim.centroid_purity_sql("embeddings"),
+        # wave 27
+        "source_quality": tx.source_quality_sql("documents"),
+        "dim_variance": sim.dim_variance_sql("embeddings"),
+        "entry_exit_profile": ev.entry_exit_profile_sql(),
     }
 
 

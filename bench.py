@@ -165,6 +165,10 @@ def main():
     _, q["fiedler_sweep_sf"] = timed(
         lambda: fiedler_sweep(g_sf, iterations=8, top_k=50).count()
     )
+    from linkgraph_spark.kernels import walk_counts
+
+    # 3-hop walk-count fan-out from the top-10 hubs (broadcast frontier)
+    _, q["walk_counts_sf"] = timed(lambda: walk_counts(g_sf, n_hubs=10).count())
     n_edges_sf = g_sf.edges.count()
     g_sf.unpersist()
 
@@ -212,6 +216,12 @@ def main():
 
     # coreset selection: 8 literal-codebook projection rounds + argmax
     _, q["kcenter8_sf"] = timed(lambda: kcenter(embs, k=8).count())
+    from linkgraph_spark.functions.dedup import shingle_containment
+
+    # directed containment: shared-shingle equi-join + O(cand) verify
+    _, q["containment_sf"] = timed(
+        lambda: shingle_containment(docs, threshold=0.8).count()
+    )
 
     # ---- large synthetic transcript graph: the throughput workload ---------
     t_large = synthesize_transcripts(

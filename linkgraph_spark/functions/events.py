@@ -1405,3 +1405,77 @@ def markov_stationary_sql(
     WITH {body}
     SELECT event_type, round(pi, 6) AS pi FROM ms{iterations}
     """
+
+
+def entry_exit_profile(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ ``[event_type, n_events, n_entries, n_exits, n_bounces,
+    entry_rate, exit_rate]`` — what role each event type plays in the
+    session lifecycle: how often it OPENS a session (first event after a
+    >``gap_sec`` silence), CLOSES one (last event before the next
+    silence/stream end), or IS one entirely (a bounce: a single-event
+    session). Same session rule as :func:`sessionize`. Landing-page /
+    rage-quit analysis for event streams: a type with high exit_rate is
+    where users abandon; a high-bounce type is a dead-end entry point.
+
+    Plan shape: ONE shuffle on ``user_id`` for the lag+lead window
+    (both directions ride the same sort), then one hash aggregate on
+    the low-cardinality type key.
+    """
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    gap_prev = F.col("ts_s") - F.lag("ts_s").over(wl)
+    gap_next = F.lead("ts_s").over(wl) - F.col("ts_s")
+    flagged = e.select(
+        "event_type",
+        (gap_prev.isNull() | (gap_prev > gap_sec)).cast("int").alias("is_entry"),
+        (gap_next.isNull() | (gap_next > gap_sec)).cast("int").alias("is_exit"),
+    )
+    agg = flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("is_entry").alias("n_entries"),
+        F.sum("is_exit").alias("n_exits"),
+        F.sum(F.col("is_entry") * F.col("is_exit")).alias("n_bounces"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_entries",
+        "n_exits",
+        "n_bounces",
+        F.round(F.col("n_entries") * 1.0 / F.col("n_events"), 6).alias("entry_rate"),
+        F.round(F.col("n_exits") * 1.0 / F.col("n_events"), 6).alias("exit_rate"),
+    )
+
+
+def entry_exit_profile_sql(gap_sec: int = 1800, table: str = "events") -> str:
+    """DuckDB oracle for :func:`entry_exit_profile` (standalone query)."""
+    return f"""
+    WITH ee AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), eef AS (
+      SELECT event_type,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                    OR ts_s - lag(ts_s) OVER w > {int(gap_sec)}
+                  THEN 1 ELSE 0 END AS is_entry,
+             CASE WHEN lead(ts_s) OVER w IS NULL
+                    OR lead(ts_s) OVER w - ts_s > {int(gap_sec)}
+                  THEN 1 ELSE 0 END AS is_exit
+      FROM ee WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ), eea AS (
+      SELECT event_type, count(*) AS n_events,
+             sum(is_entry) AS n_entries, sum(is_exit) AS n_exits,
+             sum(is_entry * is_exit) AS n_bounces
+      FROM eef GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           CAST(n_entries AS BIGINT) AS n_entries,
+           CAST(n_exits AS BIGINT) AS n_exits,
+           CAST(n_bounces AS BIGINT) AS n_bounces,
+           round(n_entries * 1.0 / n_events, 6) AS entry_rate,
+           round(n_exits * 1.0 / n_events, 6) AS exit_rate
+    FROM eea
+    """

@@ -1666,3 +1666,45 @@ def centroid_purity_sql(table: str = "embeddings") -> str:
     FROM cp_assign WHERE rn = 1
     GROUP BY label
     """
+
+
+def dim_variance(embeddings: DataFrame) -> DataFrame:
+    """→ ``[pos, mean, var_pop, mn, mx]`` — the per-dimension activation
+    profile of the embedding matrix: coordinate mean, population
+    variance, min and max for each of the D dimensions. Dead dimensions
+    (var ≈ 0) are the classic sign of a truncated/buggy encoder export
+    or an over-aggressive quantization step, and a handful of
+    dominant-variance dims means distances are effectively
+    low-dimensional — both checked here before anyone builds an index
+    on the corpus. Complements :func:`embedding_stats` (global norm
+    profile) with the per-axis view.
+
+    Plan shape: ONE posexplode + a hash aggregate keyed on the D
+    dimension indices (constant cardinality — map-side combinable, no
+    skew possible). Output is D rows.
+    """
+    ex = embeddings.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    return ex.groupBy("pos").agg(
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.var_pop("val"), 6).alias("var_pop"),
+        F.round(F.min("val"), 6).alias("mn"),
+        F.round(F.max("val"), 6).alias("mx"),
+    )
+
+
+def dim_variance_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`dim_variance` (standalone query)."""
+    return f"""
+    WITH dv_ex AS (
+      SELECT unnest(range(len(v))) AS pos, unnest(v) AS val
+      FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM {table})
+    )
+    SELECT pos, round(avg(val), 6) AS mean,
+           round(var_pop(val), 6) AS var_pop,
+           round(min(val), 6) AS mn,
+           round(max(val), 6) AS mx
+    FROM dv_ex GROUP BY pos
+    """

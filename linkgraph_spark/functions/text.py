@@ -1729,3 +1729,45 @@ def vocab_growth_sql(table: str = "documents", bucket_width: int = 50) -> str:
            END AS heaps_exp
     FROM vg_cum
     """
+
+
+def source_quality(documents: DataFrame) -> DataFrame:
+    """→ ``[source, n_docs, avg_quality, avg_punct_ratio,
+    avg_stopword_ratio]`` — the per-source quality drift table: the
+    :func:`quality_score` heuristics aggregated by crawl/ingest source.
+    THE triage view when a corpus refresh degrades downstream evals —
+    "which feed started shipping junk" is one GROUP BY away from the
+    per-doc scores, so make it an operator instead of a notebook cell.
+
+    Plan shape: the per-doc scores are map-only column arithmetic; one
+    equi-join to re-attach ``source`` (same scan, pruned columns) and
+    ONE hash aggregate on the low-cardinality source key.
+    """
+    scored = quality_score(documents)
+    src = documents.select("doc_id", "source")
+    return (
+        scored.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        )
+    )
+
+
+def source_quality_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`source_quality` — wraps the per-doc
+    quality oracle and aggregates by source."""
+    return f"""
+    WITH sq_docs AS (
+      {quality_score_sql(table)}
+    )
+    SELECT d.source, count(*) AS n_docs,
+           round(avg(s.quality), 6) AS avg_quality,
+           round(avg(s.punct_ratio), 6) AS avg_punct_ratio,
+           round(avg(s.stopword_ratio), 6) AS avg_stopword_ratio
+    FROM sq_docs s JOIN {table} d USING (doc_id)
+    GROUP BY d.source
+    """
