@@ -67,7 +67,8 @@ def main(argv=None):
             "matching", "salsa", "eigenvector", "census", "richclub",
             "seedspread", "msf", "msfclusters", "overlap",
             "cliques", "resilience", "bowtie", "spammass", "contract",
-            "simrank", "ballsizes", "pprsweep",
+            "simrank", "ballsizes", "pprsweep", "walkcounts", "motif",
+            "avgdist", "wl", "squares",
         ],
     )
     p.add_argument(
@@ -376,6 +377,38 @@ def main(argv=None):
             "vertices": result.count(),
             "max_ball2": result.agg(F.max("ball2")).collect()[0][0],
         }
+    elif args.kernel == "walkcounts":
+        from linkgraph_spark.kernels import walk_counts
+
+        result = walk_counts(g, n_hubs=args.top_k or 10)
+        summary = {
+            "hubs": result.count(),
+            "max_walks3": result.agg(F.max("walks3")).collect()[0][0],
+        }
+    elif args.kernel == "motif":
+        from linkgraph_spark.kernels.stats import motif_significance
+
+        result = motif_significance(g)
+        summary = result.collect()[0].asDict()
+    elif args.kernel == "avgdist":
+        from linkgraph_spark.kernels import avg_distance_landmarks
+
+        srcs = [int(x) for x in (args.sources or "0,1,2,3,4").split(",")]
+        result = avg_distance_landmarks(g, landmarks=srcs, k=args.iterations or 6)
+        summary = result.collect()[0].asDict()
+    elif args.kernel == "wl":
+        from linkgraph_spark.kernels import wl_colors
+
+        result = wl_colors(g, rounds=args.iterations or 3)
+        summary = {
+            "vertices": result.count(),
+            "classes": result.select("wl_color").distinct().count(),
+        }
+    elif args.kernel == "squares":
+        from linkgraph_spark.kernels import square_count
+
+        result = square_count(g, max_degree=args.max_degree)
+        summary = {"squares": result.collect()[0][0]}
     elif args.kernel == "pprsweep":
         from linkgraph_spark.kernels import ppr_sweep
 
