@@ -1455,6 +1455,15 @@ def q_entry_exit_profile(spark, sf_dir):
     return ev.entry_exit_profile(_events(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 28
+def q_value_percentiles(spark, sf_dir):
+    return ev.value_percentiles(_events(spark, sf_dir))
+
+
+def q_transition_latency(spark, sf_dir):
+    return ev.transition_latency(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1710,6 +1719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": q_source_quality,
         "dim_variance": q_dim_variance,
         "entry_exit_profile": q_entry_exit_profile,
+        # -- wave 28 (new this session; front in r6 with the rest of 51+) ----
+        "value_percentiles": q_value_percentiles,
+        "transition_latency": q_transition_latency,
     }
 
 
@@ -2660,6 +2672,9 @@ def oracle_sql() -> dict[str, str]:
         "source_quality": tx.source_quality_sql("documents"),
         "dim_variance": sim.dim_variance_sql("embeddings"),
         "entry_exit_profile": ev.entry_exit_profile_sql(),
+        # wave 28
+        "value_percentiles": ev.value_percentiles_sql(),
+        "transition_latency": ev.transition_latency_sql(),
     }
 
 

@@ -1479,3 +1479,101 @@ def entry_exit_profile_sql(gap_sec: int = 1800, table: str = "events") -> str:
            round(n_exits * 1.0 / n_events, 6) AS exit_rate
     FROM eea
     """
+
+
+def value_percentiles(
+    events: DataFrame, ps: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """→ ``[event_type, n, p50, p90, p99]`` (one column per requested
+    percentile) — exact linear-interpolation percentiles of the
+    ``value`` payload per event type: the revenue/latency/size
+    distribution view (means hide the tail; the p99 is what pages).
+    NULL values are excluded per SQL aggregate semantics — identical in
+    both engines.
+
+    Scale shape: ONE grouped aggregate (Spark ``percentile(value,
+    array(...))`` sorts once per type-group); output is |types| rows.
+    """
+    arr = ", ".join(f"{float(p)}D" for p in ps)
+    one = events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.expr(f"percentile(value, array({arr}))").alias("_qs"),
+    )
+    cols = [
+        F.round(F.element_at("_qs", i + 1), 6).alias(_p_name(p))
+        for i, p in enumerate(ps)
+    ]
+    return one.select("event_type", "n", *cols)
+
+
+def _p_name(p: float) -> str:
+    return "p" + f"{float(p) * 100:g}".replace(".", "_")
+
+
+def value_percentiles_sql(
+    ps: tuple = (0.5, 0.9, 0.99), table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`value_percentiles` (quantile_cont shares
+    Spark ``percentile``'s interpolation)."""
+    cols = ",\n           ".join(
+        f"round(quantile_cont(value, {float(p)}), 6) AS {_p_name(p)}" for p in ps
+    )
+    return f"""
+    SELECT event_type, count(value) AS n,
+           {cols}
+    FROM {table} GROUP BY event_type
+    """
+
+
+def transition_latency(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ ``[src_type, dst_type, n, p50_gap, p90_gap]`` — reaction-time
+    percentiles per adjacent event-type transition (same chain rule as
+    :func:`markov_transitions`): not just WHERE users go next but HOW
+    FAST. A slow click→purchase p90 is checkout friction; an
+    instantaneous view→view chain is a bot signature. The events-side
+    mirror of the transcript :func:`~linkgraph_spark.transcripts.turn_latency`.
+
+    Plan shape: one user-keyed lag window + ONE grouped aggregate on
+    the |types|² transition key (exact percentiles sort within groups
+    bounded by the pair's transition count).
+    """
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    lagged = e.select(
+        F.lag("event_type").over(wl).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+        (F.col("ts_s") - F.lag("ts_s").over(wl)).alias("gap"),
+    )
+    return (
+        lagged.where(F.col("src_type").isNotNull() & (F.col("gap") <= gap_sec))
+        .groupBy("src_type", "dst_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(gap, 0.5D)"), 6).alias("p50_gap"),
+            F.round(F.expr("percentile(gap, 0.9D)"), 6).alias("p90_gap"),
+        )
+    )
+
+
+def transition_latency_sql(gap_sec: int = 1800, table: str = "events") -> str:
+    """DuckDB oracle for :func:`transition_latency` (standalone query)."""
+    return f"""
+    WITH tle AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), tll AS (
+      SELECT lag(event_type) OVER w AS src_type,
+             event_type AS dst_type,
+             ts_s - lag(ts_s) OVER w AS gap
+      FROM tle WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    )
+    SELECT src_type, dst_type, count(*) AS n,
+           round(quantile_cont(gap, 0.5), 6) AS p50_gap,
+           round(quantile_cont(gap, 0.9), 6) AS p90_gap
+    FROM tll
+    WHERE src_type IS NOT NULL AND gap <= {int(gap_sec)}
+    GROUP BY src_type, dst_type
+    """
