@@ -1464,6 +1464,26 @@ def q_transition_latency(spark, sf_dir):
     return ev.transition_latency(_events(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 29
+def q_friendship_paradox(spark, sf_dir):
+    return st.friendship_paradox(_graph(spark, sf_dir))
+
+
+def q_avg_neighbor_degree(spark, sf_dir):
+    return st.avg_neighbor_degree(_graph(spark, sf_dir))
+
+
+def q_rank_smoothness(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, mode="compat")
+    ranks = res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    return st.rank_smoothness(ranks, g)
+
+
+def q_anisotropy(spark, sf_dir):
+    return sim.anisotropy(_embs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1722,6 +1742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 28 (new this session; front in r6 with the rest of 51+) ----
         "value_percentiles": q_value_percentiles,
         "transition_latency": q_transition_latency,
+        # -- wave 29 (new this session; front in r6 with the rest of 51+) ----
+        "friendship_paradox": q_friendship_paradox,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "rank_smoothness": q_rank_smoothness,
+        "anisotropy": q_anisotropy,
     }
 
 
@@ -2675,6 +2700,15 @@ def oracle_sql() -> dict[str, str]:
         # wave 28
         "value_percentiles": ev.value_percentiles_sql(),
         "transition_latency": ev.transition_latency_sql(),
+        # wave 29
+        "friendship_paradox": f"{_G}, {st.friendship_paradox_sql()}",
+        "avg_neighbor_degree": f"{_G}, {st.avg_neighbor_degree_sql()}",
+        "rank_smoothness": f"""{_G}, {_DEGS}{_NV},
+    {_pr_compat_ctes(3, 0.8)},
+    rs_r AS (SELECT id, round(rank, 6) AS rank FROM r3),
+    {st.rank_smoothness_sql('rs_r')}
+    """,
+        "anisotropy": sim.anisotropy_sql("embeddings"),
     }
 
 

@@ -1708,3 +1708,89 @@ def dim_variance_sql(table: str = "embeddings") -> str:
            round(max(val), 6) AS mx
     FROM dv_ex GROUP BY pos
     """
+
+
+def anisotropy(embeddings: DataFrame) -> DataFrame:
+    """→ one-row ``[n, dim, mean_norm, mean_pairwise_cos]`` — the
+    embedding-space anisotropy audit: the EXACT mean cosine similarity
+    over all n·(n−1) ordered pairs of (L2-normalized) vectors, computed
+    WITHOUT a cross join via the sum-vector identity
+    Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σᵢ v̂ᵢ‖² − Σᵢ‖v̂ᵢ‖² (and Σᵢ‖v̂ᵢ‖² = n for unit
+    vectors). Ethayarajh (EMNLP 2019) showed contextual encoders are
+    highly anisotropic — mean pairwise cos ≫ 0 means cosine scores are
+    inflated by a common bias direction and retrieval thresholds tuned
+    on one corpus won't transfer; near 0 means the space is isotropic
+    and cosine behaves. The one number to check before fixing any
+    similarity threshold in a dedup or retrieval config.
+
+    Zero-norm vectors cannot be normalized and are excluded from ``n``
+    (both engines). ``mean_pairwise_cos`` is NULL when n < 2.
+
+    Scale shape: one posexplode + two hash aggregates (per-vector norm,
+    then per-dimension sums of the normalized coordinates — D keys,
+    constant cardinality) and an O(D)-row reduction. Nothing pairwise
+    materializes; the cost is one scan of the n·D cells at any corpus
+    size.
+    """
+    ex = embeddings.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    nrm = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"),
+        F.count("*").alias("d"),
+    )
+    ok = nrm.where(F.col("nrm") > 0)
+    dsum = (
+        ex.join(ok.select("vec_id", "nrm"), "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("val") / F.col("nrm")).alias("s"))
+    )
+    ss = dsum.agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    stats = ok.agg(
+        F.count("*").alias("n"),
+        F.max("d").alias("dim"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+    )
+    return stats.crossJoin(ss).select(
+        "n",
+        "dim",
+        "mean_norm",
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                (F.col("ss") - F.col("n")) / (F.col("n") * (F.col("n") - F.lit(1.0))),
+            ),
+            6,
+        ).alias("mean_pairwise_cos"),
+    )
+
+
+def anisotropy_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`anisotropy` (standalone query)."""
+    return f"""
+    WITH an_ex AS (
+      SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS val
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM {table})
+    ),
+    an_nrm AS (
+      SELECT vec_id, sqrt(sum(val * val)) AS nrm, count(*) AS d
+      FROM an_ex GROUP BY vec_id
+    ),
+    an_ok AS (SELECT * FROM an_nrm WHERE nrm > 0),
+    an_ds AS (
+      SELECT pos, sum(val / nrm) AS s
+      FROM an_ex e JOIN an_ok n USING (vec_id)
+      GROUP BY pos
+    ),
+    an_ss AS (SELECT sum(s * s) AS ss FROM an_ds),
+    an_st AS (
+      SELECT count(*) AS n, max(d) AS dim, round(avg(nrm), 6) AS mean_norm
+      FROM an_ok
+    )
+    SELECT n, dim, mean_norm,
+           CASE WHEN n > 1
+                THEN round((ss - n) / (n * (n - 1.0)), 6) END
+             AS mean_pairwise_cos
+    FROM an_st CROSS JOIN an_ss
+    """

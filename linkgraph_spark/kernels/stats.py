@@ -859,3 +859,194 @@ def rank_by_degree_sql(ranks_cte: str) -> str:
            round(_mass / (sum(_mass) OVER ()), 6) AS rank_share
     FROM rbd_agg
     """
+
+
+def _neighbor_avg(graph: LinkGraph) -> DataFrame:
+    """Per-vertex ``[id, deg, nb_avg]`` over the symmetrised simple graph:
+    undirected degree and the mean degree of the vertex's neighbors.
+    Shared base for :func:`friendship_paradox` and
+    :func:`avg_neighbor_degree`.
+
+    Scale shape: one E-sized equi-join (attach the neighbor's degree to
+    each directed half-edge) and one grouped aggregate keyed by vertex —
+    a hub's edges are ordinary rows, nothing collects a neighborhood
+    into one task.
+    """
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und = _oriented(graph.edges)
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        both.join(db, "b")
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.count("*").alias("deg"), F.avg("deg_b").alias("nb_avg"))
+    )
+
+
+def friendship_paradox(graph: LinkGraph) -> DataFrame:
+    """→ one-row ``[n_vertices, mean_deg, mean_neighbor_deg,
+    edge_pov_deg, paradox_frac]`` — the Feld (1991) friendship-paradox
+    audit over the symmetrised simple graph: the vertex-mean degree, the
+    mean over vertices of their neighbors' mean degree, the degree of a
+    random EDGE endpoint (Σd²/Σd — what a crawler that follows links
+    actually samples), and the fraction of vertices whose neighbors
+    average more links than they have. ``edge_pov_deg / mean_deg`` =
+    1 + CV² is the sampling-bias factor a link-following crawl suffers;
+    on hub-and-spoke transcript graphs ``paradox_frac`` near 1 is the
+    expected signature.
+
+    Isolated vertices (no surviving simple edge) have no neighbors and
+    drop out of the per-vertex table — all five numbers describe the
+    non-isolated population, matching the SQL mirror exactly.
+
+    Scale shape: :func:`_neighbor_avg` (one join + one grouped agg) then
+    a single global aggregate — no windows, no iteration.
+    """
+    nb = _neighbor_avg(graph)
+    return nb.agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.avg("deg"), 6).alias("mean_deg"),
+        F.round(F.avg("nb_avg"), 6).alias("mean_neighbor_deg"),
+        F.round(
+            F.sum(F.col("deg") * F.col("deg")) / F.sum("deg"), 6
+        ).alias("edge_pov_deg"),
+        F.round(
+            F.avg(F.when(F.col("nb_avg") > F.col("deg"), 1.0).otherwise(0.0)), 6
+        ).alias("paradox_frac"),
+    )
+
+
+def friendship_paradox_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    return """
+    fp_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    fp_both AS (
+      SELECT a, b FROM fp_und UNION ALL SELECT b AS a, a AS b FROM fp_und
+    ),
+    fp_deg AS (SELECT a AS id, count(*) AS deg FROM fp_both GROUP BY a),
+    fp_nb AS (
+      SELECT e.a AS id, count(*) AS deg, avg(d.deg) AS nb_avg
+      FROM fp_both e JOIN fp_deg d ON d.id = e.b
+      GROUP BY e.a
+    )
+    SELECT count(*) AS n_vertices,
+           round(avg(deg), 6) AS mean_deg,
+           round(avg(nb_avg), 6) AS mean_neighbor_deg,
+           round(sum(deg * deg) * 1.0 / sum(deg), 6) AS edge_pov_deg,
+           round(avg(CASE WHEN nb_avg > deg THEN 1.0 ELSE 0.0 END), 6)
+             AS paradox_frac
+    FROM fp_nb
+    """
+
+
+def avg_neighbor_degree(graph: LinkGraph) -> DataFrame:
+    """→ ``[deg, n_vertices, avg_nb_deg]`` — the Pastor-Satorras/Vázquez
+    knn(k) curve: for every distinct undirected degree, how many vertices
+    hold it and the mean over them of their neighbors' mean degree. The
+    full-curve companion of :func:`degree_assortativity`'s one number —
+    a falling curve (disassortative) shows WHERE hubs attach to leaves,
+    and a knee flags a degree band with anomalous wiring (link farms
+    interconnect; organic hubs don't).
+
+    Scale shape: :func:`_neighbor_avg` then one grouped aggregate on the
+    integer degree key (Zipf: ≪ V distinct values, map-side combinable).
+    Output is one row per distinct degree.
+    """
+    nb = _neighbor_avg(graph)
+    return nb.groupBy("deg").agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.avg("nb_avg"), 6).alias("avg_nb_deg"),
+    )
+
+
+def avg_neighbor_degree_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    return """
+    an_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    an_both AS (
+      SELECT a, b FROM an_und UNION ALL SELECT b AS a, a AS b FROM an_und
+    ),
+    an_deg AS (SELECT a AS id, count(*) AS deg FROM an_both GROUP BY a),
+    an_nb AS (
+      SELECT e.a AS id, count(*) AS deg, avg(d.deg) AS nb_avg
+      FROM an_both e JOIN an_deg d ON d.id = e.b
+      GROUP BY e.a
+    )
+    SELECT deg, count(*) AS n_vertices, round(avg(nb_avg), 6) AS avg_nb_deg
+    FROM an_nb GROUP BY deg
+    """
+
+
+def rank_smoothness(ranks: DataFrame, graph: LinkGraph) -> DataFrame:
+    """→ one-row ``[n_edges, energy, smoothness]`` — how smooth the rank
+    signal is over the undirected simple graph: the Dirichlet energy
+    Σ_{(a,b)∈E} (r_a − r_b)² and its Rayleigh normalization
+    energy / Σ_{(a,b)∈E} (r_a² + r_b²) (= xᵀLx / xᵀDx ∈ [0, 2]; 0 means
+    neighbors hold identical rank, 1 is what uncorrelated signs would
+    give, → 2 is perfectly alternating). Low smoothness says rank
+    diffuses along links (the PageRank fixpoint should be smooth-ish);
+    a jump after an ingest says the new edges wire together vertices
+    with wildly different authority — the classic link-spam splice.
+
+    ``smoothness`` is NULL when the denominator is 0 (empty edge set or
+    an all-zero signal); both engines pin the same.
+
+    Scale shape: two E-sized equi-joins to attach endpoint ranks (int
+    key, broadcast-or-hash) and ONE global aggregate computing numerator
+    and denominator together — the denominator Σ(r_a²+r_b²) over edges
+    equals Σ_v deg_v·r_v² without a second degree join. No windows, no
+    iteration.
+    """
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und = _oriented(graph.edges)
+    ra = ranks.select(F.col("id").alias("a"), F.col("rank").alias("ra"))
+    rb = ranks.select(F.col("id").alias("b"), F.col("rank").alias("rb"))
+    j = und.join(ra, "a").join(rb, "b")
+    d = F.col("ra") - F.col("rb")
+    agg = j.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(d * d).alias("_num"),
+        F.sum(F.col("ra") * F.col("ra") + F.col("rb") * F.col("rb")).alias("_den"),
+    )
+    return agg.select(
+        "n_edges",
+        F.round("_num", 9).alias("energy"),
+        F.round(
+            F.when(F.col("_den") > 0, F.col("_num") / F.col("_den")), 6
+        ).alias("smoothness"),
+    )
+
+
+def rank_smoothness_sql(ranks_cte: str) -> str:
+    """DuckDB oracle body for :func:`rank_smoothness` (expects the
+    ``edges`` CTE and the ranks CTE in scope)."""
+    return f"""
+    rs_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    rs_j AS (
+      SELECT ra.rank AS ra, rb.rank AS rb
+      FROM rs_und e
+      JOIN {ranks_cte} ra ON ra.id = e.a
+      JOIN {ranks_cte} rb ON rb.id = e.b
+    ),
+    rs_agg AS (
+      SELECT count(*) AS n_edges,
+             sum((ra - rb) * (ra - rb)) AS num,
+             sum(ra * ra + rb * rb) AS den
+      FROM rs_j
+    )
+    SELECT n_edges, round(num, 9) AS energy,
+           CASE WHEN den > 0 THEN round(num / den, 6) END AS smoothness
+    FROM rs_agg
+    """
