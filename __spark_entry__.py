@@ -1484,6 +1484,21 @@ def q_anisotropy(spark, sf_dir):
     return sim.anisotropy(_embs(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 30
+def q_core_profile(spark, sf_dir):
+    from linkgraph_spark.kernels.kcore import core_profile
+
+    return core_profile(_graph(spark, sf_dir))
+
+
+def q_term_burstiness(spark, sf_dir):
+    return tx.term_burstiness(_docs(spark, sf_dir), top_n=30)
+
+
+def q_hourly_autocorr(spark, sf_dir):
+    return ev.hourly_autocorr(_events(spark, sf_dir), lags=(1, 24))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1747,6 +1762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "rank_smoothness": q_rank_smoothness,
         "anisotropy": q_anisotropy,
+        # -- wave 30 (new this session; front in r6 with the rest of 51+) ----
+        "core_profile": q_core_profile,
+        "term_burstiness30": q_term_burstiness,
+        "hourly_autocorr": q_hourly_autocorr,
     }
 
 
@@ -2065,6 +2084,7 @@ from linkgraph_spark.kernels.walks import skipgram_pairs_sql as _sg_sql_body
 from linkgraph_spark.kernels.node2vec import node2vec_walks_sql as _n2v_sql_body
 from linkgraph_spark.kernels import temporal as tmp
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
+from linkgraph_spark.kernels.kcore import core_profile_sql as _core_profile_sql_body
 from linkgraph_spark.kernels.spectral import (
     eigenvector_centrality_sql as _eig_sql_body,
     salsa_sql as _salsa_sql_body,
@@ -2709,6 +2729,10 @@ def oracle_sql() -> dict[str, str]:
     {st.rank_smoothness_sql('rs_r')}
     """,
         "anisotropy": sim.anisotropy_sql("embeddings"),
+        # wave 30
+        "core_profile": f"{_G}, {_core_profile_sql_body(12)}",
+        "term_burstiness30": tx.term_burstiness_sql("documents", top_n=30),
+        "hourly_autocorr": ev.hourly_autocorr_sql("events", lags=(1, 24)),
     }
 
 

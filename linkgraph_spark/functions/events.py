@@ -1577,3 +1577,93 @@ def transition_latency_sql(gap_sec: int = 1800, table: str = "events") -> str:
     WHERE src_type IS NOT NULL AND gap <= {int(gap_sec)}
     GROUP BY src_type, dst_type
     """
+
+
+def hourly_autocorr(events: DataFrame, lags: tuple = (1, 24)) -> DataFrame:
+    """→ one-row ``[n_hours, acf{k}...]`` — the event stream's rhythm
+    check: Pearson correlation between the DENSE hourly count series
+    (missing hours count as 0 — skipping them would splice unrelated
+    hours together) and its ``k``-hour shift, for each requested lag.
+    ``acf1`` near 1 says load drifts smoothly (autoscaling can track
+    it); ``acf24`` is the daily-seasonality strength — the one number
+    that says whether "same hour yesterday" is a valid traffic
+    baseline for anomaly thresholds like :func:`rate_anomaly`'s.
+
+    Each ``acf{k}`` is the correlation over the n−k overlapping pairs
+    (explicit covar_pop/stddev_pop — NULL on zero variance or < 2
+    pairs, pinned identically in both engines, same guard as
+    ``kernels/stats.py::degree_assortativity``).
+
+    Scale shape: ONE hash aggregate over E rows keyed on epoch-hour
+    (map-side combinable; cardinality = wall-clock span, not data
+    volume). Everything after — the dense spine (one sequence explode),
+    the per-lag self-joins, the moment aggregates — runs on that tiny
+    series. No windows over raw events, no driver loop.
+    """
+    if not lags or any(int(k) < 1 for k in lags):
+        raise ValueError(f"lags must be positive ints, got {lags!r}")
+    cnt = (
+        events.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = cnt.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("h"))
+    series = spine.join(cnt, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("double").alias("c")
+    )
+    out = series.agg(F.count("*").alias("n_hours"))
+    for k in sorted(int(k) for k in lags):
+        lead = series.select((F.col("h") - k).alias("h"), F.col("c").alias("y"))
+        pairs = series.join(lead, "h").select(F.col("c").alias("x"), "y")
+        mom = pairs.agg(
+            F.covar_pop("x", "y").alias("cv"),
+            F.stddev_pop("x").alias("sx"),
+            F.stddev_pop("y").alias("sy"),
+        ).select(
+            F.round(
+                F.when(
+                    (F.col("sx") > 0) & (F.col("sy") > 0),
+                    F.col("cv") / (F.col("sx") * F.col("sy")),
+                ),
+                6,
+            ).alias(f"acf{k}")
+        )
+        out = out.crossJoin(mom)
+    return out
+
+
+def hourly_autocorr_sql(table: str = "events", lags: tuple = (1, 24)) -> str:
+    """DuckDB oracle for :func:`hourly_autocorr` (standalone query)."""
+    ks = sorted(int(k) for k in lags)
+    lag_ctes = ",\n    ".join(
+        f"""ha_m{k} AS (
+      SELECT covar_pop(a.c, b.c) AS cv, stddev_pop(a.c) AS sx,
+             stddev_pop(b.c) AS sy
+      FROM ha_series a JOIN ha_series b ON b.h = a.h + {k}
+    )"""
+        for k in ks
+    )
+    sel = ", ".join(
+        f"""(SELECT CASE WHEN sx > 0 AND sy > 0
+              THEN round(cv / (sx * sy), 6) END FROM ha_m{k}) AS acf{k}"""
+        for k in ks
+    )
+    return f"""
+    WITH ha_cnt AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS c
+      FROM {table} GROUP BY 1
+    ),
+    ha_bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM ha_cnt),
+    ha_spine AS (
+      SELECT unnest(range(mn, mx + 1)) AS h FROM ha_bounds
+    ),
+    ha_series AS (
+      SELECT s.h, CAST(coalesce(c.c, 0) AS DOUBLE) AS c
+      FROM ha_spine s LEFT JOIN ha_cnt c ON c.h = s.h
+    ),
+    {lag_ctes}
+    SELECT (SELECT count(*) FROM ha_series) AS n_hours, {sel}
+    """

@@ -1771,3 +1771,71 @@ def source_quality_sql(table: str = "documents") -> str:
     FROM sq_docs s JOIN {table} d USING (doc_id)
     GROUP BY d.source
     """
+
+
+def term_burstiness(documents: DataFrame, top_n: int = 30) -> DataFrame:
+    """→ ``[term, df, cf, burstiness, df_frac]`` — Church–Gale (1995)
+    term burstiness for the ``top_n`` highest-document-frequency terms:
+    document frequency, collection frequency, and their ratio ``cf/df``
+    (the mean occurrences per CONTAINING document). Content words are
+    bursty (cf/df ≫ 1: once a doc mentions a topic it repeats it);
+    function words sit near the Poisson floor. In a training-data
+    pipeline a head term whose burstiness jumps is the template/spam
+    signature — boilerplate repeats the same token dozens of times per
+    page — caught here before it skews any tf-weighted score.
+
+    Ties at the ``top_n`` df boundary break by term ascending — both
+    engines enumerate the identical set.
+
+    Scale shape: one tokenize + a (doc, term)-keyed aggregate (map-side
+    combinable), one term-keyed aggregate over the Zipf-bounded distinct
+    (doc, term) pairs, then a global top-n (``orderBy+limit`` compiles
+    to TakeOrderedAndProject — no global sort materializes). The doc
+    count joins in as a one-row broadcast.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+    )
+    per_doc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stats = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    top = stats.orderBy(F.desc("df"), F.asc("term")).limit(top_n)
+    n_docs = documents.agg(F.count("*").alias("_nd"))
+    return top.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        "cf",
+        F.round(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+        F.round(F.col("df") / F.col("_nd"), 6).alias("df_frac"),
+    )
+
+
+def term_burstiness_sql(table: str = "documents", top_n: int = 30) -> str:
+    """DuckDB oracle for :func:`term_burstiness` (standalone query)."""
+    N = int(top_n)
+    return f"""
+    WITH tb_tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    tb_pd AS (
+      SELECT doc_id, term, count(*) AS tf FROM tb_tok GROUP BY doc_id, term
+    ),
+    tb_st AS (
+      SELECT term, count(*) AS df, sum(tf) AS cf FROM tb_pd GROUP BY term
+    ),
+    tb_top AS (
+      SELECT * FROM tb_st ORDER BY df DESC, term LIMIT {N}
+    ),
+    tb_nd AS (SELECT count(*) AS nd FROM {table})
+    SELECT term, df, CAST(cf AS BIGINT) AS cf,
+           round(cf * 1.0 / df, 6) AS burstiness,
+           round(df * 1.0 / nd, 6) AS df_frac
+    FROM tb_top CROSS JOIN tb_nd
+    """

@@ -156,10 +156,10 @@ def k_core(
     return KCoreResult(coreness=est, iterations=it, converged=converged, metrics=metrics)
 
 
-def k_core_sql(unroll: int = 12) -> str:
-    """DuckDB oracle body (expects ``verts``/``edges`` CTEs): the identical
-    h-index iteration, unrolled. ``unroll`` must cover the convergence
-    rounds of the gate graph (asserted by the converged flag in tests)."""
+def _k_core_ctes(unroll: int) -> str:
+    """The unrolled h-index CTE chain shared by :func:`k_core_sql` and
+    :func:`core_profile_sql` — ends with ``k{unroll}`` holding the final
+    coreness (and ``k0`` holding the undirected simple degree)."""
     ctes = [
         """kc_und AS MATERIALIZED (
       SELECT src, dst FROM edges WHERE src <> dst
@@ -190,7 +190,54 @@ def k_core_sql(unroll: int = 12) -> str:
       ) hh ON hh.id = e.id
     )"""
         )
-    body = ",\n    ".join(ctes)
-    return f"""{body}
+    return ",\n    ".join(ctes)
+
+
+def k_core_sql(unroll: int = 12) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs): the identical
+    h-index iteration, unrolled. ``unroll`` must cover the convergence
+    rounds of the gate graph (asserted by the converged flag in tests)."""
+    return f"""{_k_core_ctes(unroll)}
     SELECT id, CAST(core AS BIGINT) AS core FROM k{unroll}
+    """
+
+
+def core_profile(graph: LinkGraph) -> DataFrame:
+    """→ ``[core, n_vertices, avg_deg, max_deg]`` — the k-core decomposition
+    summarized as a shell histogram: for every coreness value, how many
+    vertices sit in it and their mean/max undirected simple degree. The
+    deg/core gap per shell is the classic structure readout — ``max_deg ≫
+    core`` rows are hubs whose neighbors are leaves (degree without depth:
+    spam farms, broadcast tools), while shells where ``avg_deg ≈ core``
+    are densely interlocked communities. The O(#shells)-row view of
+    :func:`k_core`'s O(V) labels.
+
+    Scale shape: the :func:`k_core` superstep loop (two-phase capped
+    h-index — no hub windows), one E-sized degree aggregate, one O(V)
+    equi-join, and a final grouped aggregate on the small integer coreness
+    key (≤ √(2E) distinct values, map-side combinable).
+    """
+    res = k_core(graph)
+    sym = undirected(graph.edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    j = res.coreness.join(deg, "id", "left").select(
+        "core", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
+    )
+    return j.groupBy("core").agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.avg("deg"), 6).alias("avg_deg"),
+        F.max("deg").alias("max_deg"),
+    )
+
+
+def core_profile_sql(unroll: int = 12) -> str:
+    """DuckDB oracle body for :func:`core_profile` (expects ``verts`` /
+    ``edges`` CTEs; ``k0`` in the shared chain is exactly the undirected
+    simple degree the Spark side joins)."""
+    return f"""{_k_core_ctes(unroll)}
+    SELECT CAST(k.core AS BIGINT) AS core, count(*) AS n_vertices,
+           round(avg(d.core), 6) AS avg_deg,
+           CAST(max(d.core) AS BIGINT) AS max_deg
+    FROM k{unroll} k JOIN k0 d ON d.id = k.id
+    GROUP BY 1
     """
