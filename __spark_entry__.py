@@ -1499,6 +1499,23 @@ def q_hourly_autocorr(spark, sf_dir):
     return ev.hourly_autocorr(_events(spark, sf_dir), lags=(1, 24))
 
 
+# ------------------------------------------------------------------- wave 31
+def q_joint_degree_matrix(spark, sf_dir):
+    return st.joint_degree_matrix(_graph(spark, sf_dir))
+
+
+def q_benford_values(spark, sf_dir):
+    return ev.benford_values(_events(spark, sf_dir))
+
+
+def q_variance_participation(spark, sf_dir):
+    return sim.variance_participation(_embs(spark, sf_dir))
+
+
+def q_head_token_share(spark, sf_dir):
+    return tx.head_token_share(_docs(spark, sf_dir), ks=(1, 5, 10))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1766,6 +1783,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_profile": q_core_profile,
         "term_burstiness30": q_term_burstiness,
         "hourly_autocorr": q_hourly_autocorr,
+        # -- wave 31 (new this session; front in r6 with the rest of 51+) ----
+        "joint_degree_matrix": q_joint_degree_matrix,
+        "benford_values": q_benford_values,
+        "variance_participation": q_variance_participation,
+        "head_token_share": q_head_token_share,
     }
 
 
@@ -2733,6 +2755,11 @@ def oracle_sql() -> dict[str, str]:
         "core_profile": f"{_G}, {_core_profile_sql_body(12)}",
         "term_burstiness30": tx.term_burstiness_sql("documents", top_n=30),
         "hourly_autocorr": ev.hourly_autocorr_sql("events", lags=(1, 24)),
+        # wave 31
+        "joint_degree_matrix": f"{_G}, {st.joint_degree_matrix_sql()}",
+        "benford_values": ev.benford_values_sql("events"),
+        "variance_participation": sim.variance_participation_sql("embeddings"),
+        "head_token_share": tx.head_token_share_sql("documents", ks=(1, 5, 10)),
     }
 
 

@@ -1667,3 +1667,69 @@ def hourly_autocorr_sql(table: str = "events", lags: tuple = (1, 24)) -> str:
     {lag_ctes}
     SELECT (SELECT count(*) FROM ha_series) AS n_hours, {sel}
     """
+
+
+def benford_values(events: DataFrame) -> DataFrame:
+    """→ ``[digit, n, frac, benford]`` — first-significant-digit
+    distribution of the positive ``value`` payload against Benford's
+    law (P(d) = log₁₀(1 + 1/d)). Organic multi-scale amounts follow it;
+    synthetic/fabricated or capped values don't — the classic fraud
+    and data-fabrication screen, run here as an ingest integrity audit
+    (a feed whose digit profile shifts re-priced, re-scaled, or started
+    injecting defaults). All 9 digits always present (zero rows
+    included) so the profile is comparable across runs.
+
+    The digit is ``floor(v / 10^floor(log10 v))``: Java ``Math.log10``
+    and C ``log10`` are both exact on powers of ten (Java by spec), so
+    the engines bucket identically; non-positive and NULL values are
+    excluded from ``n`` and the denominator.
+
+    Scale shape: one map-only digit projection + a 9-key hash aggregate
+    (map-side combinable), broadcast-joined onto a literal 9-row digit
+    spine. Nothing bigger than 9 rows after the scan.
+    """
+    v = F.col("value")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    cnt = (
+        events.where(v > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = events.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    tot = cnt.agg(F.sum("n").alias("_t"))
+    return (
+        spine.join(cnt, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(
+                F.when(F.col("_t") > 0, F.coalesce("n", F.lit(0)) / F.col("_t")),
+                6,
+            ).alias("frac"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford"),
+        )
+    )
+
+
+def benford_values_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`benford_values` (standalone query)."""
+    return f"""
+    WITH bf_cnt AS (
+      SELECT CAST(floor(value / power(10, floor(log10(value)))) AS INT) AS digit,
+             count(*) AS n
+      FROM {table} WHERE value > 0
+      GROUP BY 1
+    ),
+    bf_spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+    bf_tot AS (SELECT sum(n) AS t FROM bf_cnt)
+    SELECT s.digit, coalesce(c.n, 0) AS n,
+           CASE WHEN t > 0
+                THEN round(coalesce(c.n, 0) * 1.0 / t, 6) END AS frac,
+           round(log10(1.0 + 1.0 / s.digit), 6) AS benford
+    FROM bf_spine s LEFT JOIN bf_cnt c ON c.digit = s.digit
+    CROSS JOIN bf_tot
+    """

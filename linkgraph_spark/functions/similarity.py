@@ -1794,3 +1794,58 @@ def anisotropy_sql(table: str = "embeddings") -> str:
              AS mean_pairwise_cos
     FROM an_st CROSS JOIN an_ss
     """
+
+
+def variance_participation(embeddings: DataFrame) -> DataFrame:
+    """→ one-row ``[dim, total_var, eff_dims, eff_frac]`` — the
+    coordinate-variance participation ratio (Σλ)² / Σλ² over the
+    per-dimension population variances: the "effective number of
+    dimensions" the embedding actually uses (D if variance is spread
+    evenly, →1 if one axis dominates). The one-number companion of
+    :func:`dim_variance`'s per-axis profile and the cheap diagonal
+    proxy for PCA spectrum flatness — ``eff_dims ≪ D`` says distances
+    live in a low-rank subspace and an aggressive
+    :func:`random_projection` / PQ config is safe; NULL when every
+    coordinate is constant.
+
+    Scale shape: one posexplode + a D-keyed variance aggregate
+    (constant cardinality, map-side combinable) + an O(D)-row
+    reduction. One scan of the n·D cells at any corpus size.
+    """
+    ex = embeddings.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    pv = ex.groupBy("pos").agg(F.var_pop("val").alias("v"))
+    agg = pv.agg(
+        F.count("*").alias("dim"),
+        F.sum("v").alias("_s"),
+        F.sum(F.col("v") * F.col("v")).alias("_s2"),
+    )
+    eff = F.when(
+        F.col("_s2") > 0, (F.col("_s") * F.col("_s")) / F.col("_s2")
+    )
+    return agg.select(
+        "dim",
+        F.round("_s", 6).alias("total_var"),
+        F.round(eff, 6).alias("eff_dims"),
+        F.round(eff / F.col("dim"), 6).alias("eff_frac"),
+    )
+
+
+def variance_participation_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`variance_participation` (standalone)."""
+    return f"""
+    WITH vp_ex AS (
+      SELECT unnest(range(len(v))) AS pos, unnest(v) AS val
+      FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM {table})
+    ),
+    vp_pv AS (SELECT pos, var_pop(val) AS v FROM vp_ex GROUP BY pos),
+    vp_agg AS (
+      SELECT count(*) AS dim, sum(v) AS s, sum(v * v) AS s2 FROM vp_pv
+    )
+    SELECT dim, round(s, 6) AS total_var,
+           CASE WHEN s2 > 0 THEN round(s * s / s2, 6) END AS eff_dims,
+           CASE WHEN s2 > 0 THEN round(s * s / s2 / dim, 6) END AS eff_frac
+    FROM vp_agg
+    """

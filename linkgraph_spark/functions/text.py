@@ -1839,3 +1839,60 @@ def term_burstiness_sql(table: str = "documents", top_n: int = 30) -> str:
            round(df * 1.0 / nd, 6) AS df_frac
     FROM tb_top CROSS JOIN tb_nd
     """
+
+
+def head_token_share(documents: DataFrame, ks: tuple = (1, 5, 10)) -> DataFrame:
+    """→ one-row ``[n_terms, n_tokens, share_top{k}...]`` — Zipf head
+    mass: the share of ALL token occurrences covered by the ``k`` most
+    frequent terms (frequency ties broken by term ascending, so both
+    engines rank identically). The working-set number behind every
+    frequency-based design decision — a stopword list, a cached
+    vocabulary shard, a head-term pruning threshold — and the
+    complement of :func:`zipf_slope`'s exponent: the slope says how
+    fast the tail decays, this says what the head is worth.
+
+    Scale shape: one tokenize + term-keyed count (map-side combinable,
+    Zipf-bounded distinct terms), then a rank window over the TERM
+    table only — vocabulary-sized, ≪ corpus-sized, same bounded-window
+    argument as ``vocab_stats`` — and one conditional-sum reduction.
+    """
+    if not ks or any(int(k) < 1 for k in ks):
+        raise ValueError(f"ks must be positive ints, got {ks!r}")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(F.explode(F.split(norm, " ")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = cnt.select("c", F.row_number().over(w).alias("rn"))
+    shares = [
+        F.round(
+            F.sum(F.when(F.col("rn") <= int(k), F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias(f"share_top{int(k)}")
+        for k in sorted(int(k) for k in ks)
+    ]
+    return ranked.agg(
+        F.count("*").alias("n_terms"), F.sum("c").alias("n_tokens"), *shares
+    )
+
+
+def head_token_share_sql(table: str = "documents", ks: tuple = (1, 5, 10)) -> str:
+    """DuckDB oracle for :func:`head_token_share` (standalone query)."""
+    shares = ", ".join(
+        f"""round(sum(CASE WHEN rn <= {int(k)} THEN c ELSE 0 END) * 1.0
+             / sum(c), 6) AS share_top{int(k)}"""
+        for k in sorted(int(k) for k in ks)
+    )
+    return f"""
+    WITH ht_tok AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    ht_cnt AS (SELECT term, count(*) AS c FROM ht_tok GROUP BY term),
+    ht_rk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn FROM ht_cnt
+    )
+    SELECT count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS n_tokens, {shares}
+    FROM ht_rk
+    """

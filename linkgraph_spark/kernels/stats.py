@@ -1050,3 +1050,52 @@ def rank_smoothness_sql(ranks_cte: str) -> str:
            CASE WHEN den > 0 THEN round(num / den, 6) END AS smoothness
     FROM rs_agg
     """
+
+
+def joint_degree_matrix(graph: LinkGraph) -> DataFrame:
+    """→ ``[deg_a, deg_b, n_edges]`` — the joint degree matrix e_jk: for
+    every ordered pair of undirected degrees, how many directed
+    half-edges connect a deg_a vertex to a deg_b one (each undirected
+    simple edge contributes both orientations, so the matrix is
+    symmetric and sums to 2·|E|). This is the 2-D histogram that
+    :func:`degree_assortativity` collapses to one number and
+    :func:`avg_neighbor_degree` to one curve — the full wiring table
+    that separates "hubs avoid each other" from "hubs form a clique
+    plus leaves" at equal assortativity.
+
+    Scale shape: two E-sized equi-joins to attach endpoint degrees and
+    one grouped aggregate on the (deg_a, deg_b) integer pair (Zipf²-
+    bounded distinct keys, map-side combinable). No windows.
+    """
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und = _oriented(graph.edges)
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        both.join(da, "a")
+        .join(db, "b")
+        .groupBy("deg_a", "deg_b")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+def joint_degree_matrix_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    return """
+    jd_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    jd_both AS (
+      SELECT a, b FROM jd_und UNION ALL SELECT b AS a, a AS b FROM jd_und
+    ),
+    jd_deg AS (SELECT a AS id, count(*) AS deg FROM jd_both GROUP BY a)
+    SELECT da.deg AS deg_a, db.deg AS deg_b, count(*) AS n_edges
+    FROM jd_both e
+    JOIN jd_deg da ON da.id = e.a
+    JOIN jd_deg db ON db.id = e.b
+    GROUP BY 1, 2
+    """
