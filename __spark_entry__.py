@@ -1516,6 +1516,29 @@ def q_head_token_share(spark, sf_dir):
     return tx.head_token_share(_docs(spark, sf_dir), ks=(1, 5, 10))
 
 
+# ------------------------------------------------------------------- wave 32
+def q_heat_kernel(spark, sf_dir):
+    from linkgraph_spark.kernels.diffusion import heat_kernel
+
+    return heat_kernel(_graph(spark, sf_dir), t=2.0, terms=8).scores
+
+
+def q_hitting_prob(spark, sf_dir):
+    from linkgraph_spark.kernels.diffusion import hitting_probability
+
+    return hitting_probability(
+        _graph(spark, sf_dir), seeds=[0, 1, 2], iterations=6
+    ).scores
+
+
+def q_edge_novelty(spark, sf_dir):
+    from linkgraph_spark.kernels.temporal import edge_novelty
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    return edge_novelty(g, t, window_sec=86400)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1788,6 +1811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_values": q_benford_values,
         "variance_participation": q_variance_participation,
         "head_token_share": q_head_token_share,
+        # -- wave 32 (new this session; front in r6 with the rest of 51+) ----
+        "heat_kernel8": q_heat_kernel,
+        "hitting_prob6": q_hitting_prob,
+        "edge_novelty": q_edge_novelty,
     }
 
 
@@ -2107,6 +2134,10 @@ from linkgraph_spark.kernels.node2vec import node2vec_walks_sql as _n2v_sql_body
 from linkgraph_spark.kernels import temporal as tmp
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 from linkgraph_spark.kernels.kcore import core_profile_sql as _core_profile_sql_body
+from linkgraph_spark.kernels.diffusion import (
+    heat_kernel_sql as _heat_kernel_sql_body,
+    hitting_probability_sql as _hitting_prob_sql_body,
+)
 from linkgraph_spark.kernels.spectral import (
     eigenvector_centrality_sql as _eig_sql_body,
     salsa_sql as _salsa_sql_body,
@@ -2760,6 +2791,14 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": ev.benford_values_sql("events"),
         "variance_participation": sim.variance_participation_sql("embeddings"),
         "head_token_share": tx.head_token_share_sql("documents", ks=(1, 5, 10)),
+        # wave 32
+        "heat_kernel8": f"""{_G}, {_DEGS}{_NV},
+    {_heat_kernel_sql_body(2.0, 8)}
+    """,
+        "hitting_prob6": f"""{_G}, {_DEGS},
+    {_hitting_prob_sql_body([0, 1, 2], 6)}
+    """,
+        "edge_novelty": f"{_G}, {tmp.edge_novelty_sql(86400)}",
     }
 
 

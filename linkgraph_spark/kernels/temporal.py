@@ -515,3 +515,73 @@ def densification_sql(bucket_sec: int = 3600) -> str:
            END AS dens_exp
     FROM dn_cum
     """
+
+
+def edge_novelty(
+    graph: LinkGraph, transcripts: DataFrame, window_sec: int = 86400
+) -> DataFrame:
+    """→ ``[win, n_events, n_edges, new_edges, novelty_frac]`` — per
+    time window (epoch-second buckets of ``window_sec``), how many edge
+    events fired, how many DISTINCT edges they touched, and how many of
+    those edges had never been seen in any earlier window. A healthy
+    crawl/ingest has falling novelty (the graph saturates); a novelty
+    spike mid-stream is the new-source/link-farm-burst signature, and
+    novelty pinned at 1.0 means dedup upstream is broken. The
+    per-window drilldown of :func:`densification`'s cumulative curve.
+
+    Scale shape: one shuffle keyed on (src, dst, win) to collapse event
+    multiplicity, one (src, dst) aggregate for first-seen windows, one
+    equi-join back, and a final tiny per-window aggregate. Hot edges
+    collapse map-side; nothing groups by vertex.
+    """
+    if window_sec < 1:
+        raise ValueError(f"window_sec must be >= 1, got {window_sec}")
+    te = temporal_edges(graph, transcripts)
+    w = te.select(
+        "src", "dst", (F.floor(F.col("ts") / window_sec)).cast("long").alias("win")
+    )
+    per = w.groupBy("src", "dst", "win").agg(F.count("*").alias("c"))
+    first = per.groupBy("src", "dst").agg(F.min("win").alias("fw"))
+    j = per.join(first, ["src", "dst"])
+    return j.groupBy("win").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_edges"),
+        F.sum(F.when(F.col("fw") == F.col("win"), 1).otherwise(0)).alias(
+            "new_edges"
+        ),
+        F.round(
+            F.sum(F.when(F.col("fw") == F.col("win"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("novelty_frac"),
+    )
+
+
+def edge_novelty_sql(window_sec: int = 86400) -> str:
+    """DuckDB oracle body for :func:`edge_novelty` (expects ``t``/``verts``
+    CTEs in scope — the transcript chain of ``edges_sql``)."""
+    W = int(window_sec)
+    return f"""
+    {_TE_CTE},
+    en_te AS MATERIALIZED (
+      {_TE_SELECT}
+    ),
+    en_w AS (
+      SELECT src, dst, CAST(floor(ts / {W}) AS BIGINT) AS win FROM en_te
+    ),
+    en_per AS (
+      SELECT src, dst, win, count(*) AS c FROM en_w GROUP BY src, dst, win
+    ),
+    en_first AS (
+      SELECT src, dst, min(win) AS fw FROM en_per GROUP BY src, dst
+    )
+    SELECT p.win,
+           CAST(sum(p.c) AS BIGINT) AS n_events,
+           count(*) AS n_edges,
+           CAST(sum(CASE WHEN f.fw = p.win THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_edges,
+           round(sum(CASE WHEN f.fw = p.win THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty_frac
+    FROM en_per p JOIN en_first f ON f.src = p.src AND f.dst = p.dst
+    GROUP BY p.win
+    """
