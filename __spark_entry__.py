@@ -1539,6 +1539,19 @@ def q_edge_novelty(spark, sf_dir):
     return edge_novelty(g, t, window_sec=86400)
 
 
+# ------------------------------------------------------------------- wave 33
+def q_directed_assortativity(spark, sf_dir):
+    return st.directed_assortativity(_graph(spark, sf_dir))
+
+
+def q_hub_overlap(spark, sf_dir):
+    return st.hub_overlap(_graph(spark, sf_dir), k=10)
+
+
+def q_dup_cluster_sizes(spark, sf_dir):
+    return dd.dup_cluster_sizes(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1815,6 +1828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heat_kernel8": q_heat_kernel,
         "hitting_prob6": q_hitting_prob,
         "edge_novelty": q_edge_novelty,
+        # -- wave 33 (new this session; front in r6 with the rest of 51+) ----
+        "directed_assortativity4": q_directed_assortativity,
+        "hub_overlap10": q_hub_overlap,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
     }
 
 
@@ -2799,6 +2816,10 @@ def oracle_sql() -> dict[str, str]:
     {_hitting_prob_sql_body([0, 1, 2], 6)}
     """,
         "edge_novelty": f"{_G}, {tmp.edge_novelty_sql(86400)}",
+        # wave 33
+        "directed_assortativity4": f"{_G}, {st.directed_assortativity_sql()}",
+        "hub_overlap10": f"{_G}, {st.hub_overlap_sql(10)}",
+        "dup_cluster_sizes": dd.dup_cluster_sizes_sql("documents"),
     }
 
 

@@ -1020,3 +1020,43 @@ def shingle_containment_sql(
     JOIN sc_sizes sa ON sa.doc_id = doc_a
     WHERE round(inter / CAST(sa.n AS DOUBLE), 6) >= {threshold}
     """
+
+
+def dup_cluster_sizes(documents: DataFrame) -> DataFrame:
+    """→ ``[group_size, n_groups, n_docs]`` — the exact-duplicate
+    multiplicity histogram: for every identical-content group size, how
+    many groups have it and how many documents they hold. The shape
+    report behind :func:`exact_dedup`'s row-level mapping — size-1 mass
+    is the unique corpus, a fat tail of large groups is mirrored
+    boilerplate, and the single largest group is usually an empty/error
+    template worth a blocklist entry. (Lee et al. 2022's dedup paper
+    reports exactly this histogram before choosing a strategy.)
+
+    Scale shape: one md5-keyed aggregate (map-side combinable), then a
+    second aggregate on the tiny integer group-size key. No joins back
+    to the corpus.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    groups = (
+        documents.select(F.md5(norm).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(F.count("*").alias("group_size"))
+    )
+    return groups.groupBy("group_size").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+    )
+
+
+def dup_cluster_sizes_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`dup_cluster_sizes` (standalone query)."""
+    return f"""
+    WITH dc_g AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             count(*) AS group_size
+      FROM {table} GROUP BY fp
+    )
+    SELECT group_size, count(*) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_docs
+    FROM dc_g GROUP BY group_size
+    """

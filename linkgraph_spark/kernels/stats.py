@@ -1099,3 +1099,190 @@ def joint_degree_matrix_sql() -> str:
     JOIN jd_deg db ON db.id = e.b
     GROUP BY 1, 2
     """
+
+
+def directed_assortativity(graph: LinkGraph) -> DataFrame:
+    """→ one-row ``[r_out_in, r_out_out, r_in_in, r_in_out]`` — the four
+    directed degree-assortativity coefficients of Foster et al. (PNAS
+    2010): over the simple directed edge list, the Pearson correlation
+    between (α-degree of src, β-degree of dst) for every (α, β) in
+    {out, in}². The undirected :func:`degree_assortativity` collapses
+    direction; these four separate "prolific linkers target popular
+    pages" (out→in) from "popular pages link popular pages" (in→in) —
+    on transcript graphs the out→in mode is the one that flips sign
+    when broadcast tools enter.
+
+    Zero-variance modes are NULL (same explicit covar/stddev guard as
+    the undirected estimator — ANSI ``corr`` would raise where DuckDB
+    returns NULL).
+
+    Scale shape: one degree aggregate over E, two E-sized equi-joins to
+    attach the src/dst degree pairs, ONE global moment aggregate
+    computing all four coefficients together. No windows.
+    """
+    e = _simple_directed(graph.edges)
+    outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("idg"))
+    deg = (
+        outd.join(ind, "id", "full")
+        .select(
+            "id",
+            F.coalesce("od", F.lit(0)).alias("od"),
+            F.coalesce("idg", F.lit(0)).alias("idg"),
+        )
+    )
+    j = (
+        e.join(
+            deg.select(
+                F.col("id").alias("src"),
+                F.col("od").alias("s_out"),
+                F.col("idg").alias("s_in"),
+            ),
+            "src",
+        )
+        .join(
+            deg.select(
+                F.col("id").alias("dst"),
+                F.col("od").alias("d_out"),
+                F.col("idg").alias("d_in"),
+            ),
+            "dst",
+        )
+    )
+    mom = j.agg(
+        F.covar_pop("s_out", "d_in").alias("c_oi"),
+        F.covar_pop("s_out", "d_out").alias("c_oo"),
+        F.covar_pop("s_in", "d_in").alias("c_ii"),
+        F.covar_pop("s_in", "d_out").alias("c_io"),
+        F.stddev_pop("s_out").alias("so"),
+        F.stddev_pop("s_in").alias("si"),
+        F.stddev_pop("d_out").alias("do"),
+        F.stddev_pop("d_in").alias("di"),
+    )
+    r = lambda cv, a, b: F.round(  # noqa: E731
+        F.when((F.col(a) > 0) & (F.col(b) > 0), F.col(cv) / (F.col(a) * F.col(b))),
+        6,
+    )
+    return mom.select(
+        r("c_oi", "so", "di").alias("r_out_in"),
+        r("c_oo", "so", "do").alias("r_out_out"),
+        r("c_ii", "si", "di").alias("r_in_in"),
+        r("c_io", "si", "do").alias("r_in_out"),
+    )
+
+
+def directed_assortativity_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    return """
+    dr_e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ),
+    dr_deg AS (
+      SELECT coalesce(o.id, i.id) AS id,
+             coalesce(o.od, 0) AS od, coalesce(i.idg, 0) AS idg
+      FROM (SELECT src AS id, count(*) AS od FROM dr_e GROUP BY src) o
+      FULL JOIN (SELECT dst AS id, count(*) AS idg FROM dr_e GROUP BY dst) i
+        ON i.id = o.id
+    ),
+    dr_j AS (
+      SELECT s.od AS s_out, s.idg AS s_in, d.od AS d_out, d.idg AS d_in
+      FROM dr_e e
+      JOIN dr_deg s ON s.id = e.src
+      JOIN dr_deg d ON d.id = e.dst
+    ),
+    dr_m AS (
+      SELECT covar_pop(s_out, d_in) AS c_oi, covar_pop(s_out, d_out) AS c_oo,
+             covar_pop(s_in, d_in) AS c_ii, covar_pop(s_in, d_out) AS c_io,
+             stddev_pop(s_out) AS so, stddev_pop(s_in) AS si,
+             stddev_pop(d_out) AS dd, stddev_pop(d_in) AS di
+      FROM dr_j
+    )
+    SELECT
+      CASE WHEN so > 0 AND di > 0 THEN round(c_oi / (so * di), 6) END AS r_out_in,
+      CASE WHEN so > 0 AND dd > 0 THEN round(c_oo / (so * dd), 6) END AS r_out_out,
+      CASE WHEN si > 0 AND di > 0 THEN round(c_ii / (si * di), 6) END AS r_in_in,
+      CASE WHEN si > 0 AND dd > 0 THEN round(c_io / (si * dd), 6) END AS r_in_out
+    FROM dr_m
+    """
+
+
+def hub_overlap(graph: LinkGraph, k: int = 10) -> DataFrame:
+    """→ ``[hub_a, hub_b, deg_a, deg_b, inter, jaccard]`` — pairwise
+    out-neighborhood Jaccard between the ``k`` highest-out-degree
+    vertices (degree ties break by id ascending; all C(k,2) pairs
+    emitted, zero-intersection ones included). High overlap between
+    "hubs" means they broadcast to the same audience — redundant
+    mirrors / a link farm sharing a target pool; organic hubs overlap
+    little. The audit behind any "cover the graph from k seeds" plan.
+
+    Scale shape: the hub list is a k-row TakeOrdered (broadcast
+    everywhere after); neighbor sets are the hubs' OWN edges only
+    (≤ k·max_deg rows), intersected via one equi-join on the neighbor
+    id and grouped per pair — the full k×k pair frame is k² rows.
+    Nothing touches non-hub edges.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    e = _simple_directed(graph.edges)
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    hubs = deg.orderBy(F.desc("deg"), F.asc("id")).limit(k)
+    nb = e.join(
+        F.broadcast(hubs.select(F.col("id").alias("src"))), "src"
+    ).select(F.col("src").alias("hub"), "dst")
+    inter = (
+        nb.alias("a")
+        .join(nb.alias("b"), "dst")
+        .where(F.col("a.hub") < F.col("b.hub"))
+        .groupBy(
+            F.col("a.hub").alias("hub_a"), F.col("b.hub").alias("hub_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ha = hubs.select(F.col("id").alias("hub_a"), F.col("deg").alias("deg_a"))
+    hb = hubs.select(F.col("id").alias("hub_b"), F.col("deg").alias("deg_b"))
+    pairs = ha.crossJoin(hb).where(F.col("hub_a") < F.col("hub_b"))
+    return (
+        pairs.join(inter, ["hub_a", "hub_b"], "left")
+        .select(
+            "hub_a",
+            "hub_b",
+            "deg_a",
+            "deg_b",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            F.round(
+                F.coalesce("inter", F.lit(0))
+                / (F.col("deg_a") + F.col("deg_b") - F.coalesce("inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def hub_overlap_sql(k: int = 10) -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    K = int(k)
+    return f"""
+    ho_e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ),
+    ho_deg AS (SELECT src AS id, count(*) AS deg FROM ho_e GROUP BY src),
+    ho_hubs AS (
+      SELECT id, deg FROM ho_deg ORDER BY deg DESC, id LIMIT {K}
+    ),
+    ho_nb AS (
+      SELECT e.src AS hub, e.dst FROM ho_e e
+      JOIN ho_hubs h ON h.id = e.src
+    ),
+    ho_int AS (
+      SELECT a.hub AS hub_a, b.hub AS hub_b, count(*) AS inter
+      FROM ho_nb a JOIN ho_nb b ON b.dst = a.dst AND a.hub < b.hub
+      GROUP BY a.hub, b.hub
+    )
+    SELECT ha.id AS hub_a, hb.id AS hub_b, ha.deg AS deg_a, hb.deg AS deg_b,
+           coalesce(i.inter, 0) AS inter,
+           round(coalesce(i.inter, 0) * 1.0
+                 / (ha.deg + hb.deg - coalesce(i.inter, 0)), 6) AS jaccard
+    FROM ho_hubs ha
+    JOIN ho_hubs hb ON ha.id < hb.id
+    LEFT JOIN ho_int i ON i.hub_a = ha.id AND i.hub_b = hb.id
+    """
