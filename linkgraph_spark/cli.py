@@ -68,7 +68,8 @@ def main(argv=None):
             "seedspread", "msf", "msfclusters", "overlap",
             "cliques", "resilience", "bowtie", "spammass", "contract",
             "simrank", "ballsizes", "pprsweep", "walkcounts", "motif",
-            "avgdist", "wl", "squares",
+            "avgdist", "wl", "squares", "heat", "hitprob", "coreprofile",
+            "paradox", "huboverlap",
         ],
     )
     p.add_argument(
@@ -478,6 +479,46 @@ def main(argv=None):
             [(rec, asr)], "reciprocity double, assortativity double"
         )
         summary = {"reciprocity": rec, "assortativity": asr}
+    elif args.kernel == "heat":
+        from linkgraph_spark.kernels.diffusion import heat_kernel
+
+        res = heat_kernel(g, t=2.0, terms=args.iterations or 8)
+        result = res.scores
+        summary = {"terms": res.iterations, "mass": res.metrics[-1]["mass"]}
+    elif args.kernel == "hitprob":
+        from linkgraph_spark.kernels.diffusion import hitting_probability
+
+        srcs = [int(x) for x in (args.sources or "0,1,2").split(",")]
+        res = hitting_probability(g, seeds=srcs, iterations=args.iterations or 6)
+        result = res.scores
+        summary = {
+            "seeds": srcs,
+            "reached": result.where(F.col("p") > 0).count(),
+        }
+    elif args.kernel == "coreprofile":
+        from linkgraph_spark.kernels.kcore import core_profile
+
+        result = core_profile(g)
+        summary = {"shells": result.count()}
+    elif args.kernel == "paradox":
+        from linkgraph_spark.kernels.stats import (
+            directed_assortativity,
+            friendship_paradox,
+        )
+
+        result = friendship_paradox(g)
+        row = result.collect()[0]
+        da = directed_assortativity(g).collect()[0]
+        summary = {
+            "paradox_frac": row["paradox_frac"],
+            "edge_pov_deg": row["edge_pov_deg"],
+            "r_out_in": da["r_out_in"],
+        }
+    elif args.kernel == "huboverlap":
+        from linkgraph_spark.kernels.stats import hub_overlap
+
+        result = hub_overlap(g, k=args.top_k or 10)
+        summary = {"pairs": result.count()}
     elif args.kernel == "labelprop":
         result = label_propagation(
             g, max_iterations=args.iterations or 5, checkpoint=store,

@@ -187,3 +187,28 @@ def test_cli_wave16_17_kernels(spark, tmp_path, capsys):
     assert bs["vertices"] > 0 and bs["max_ball2"] >= 1
     ps = run("pprsweep", "--sources", "0", "--top-k", "10")
     assert ps["seeds"] == [0] and ps["best_cut"]["phi"] is not None
+
+
+def test_cli_wave29_33_kernels(spark, tmp_path, capsys):
+    """heat / hitprob / coreprofile / paradox / huboverlap are reachable
+    from the spark-submit entry point and report their summary contracts."""
+    import json
+
+    from linkgraph_spark.cli import main
+
+    def run(*argv):
+        rc = main(list(argv) + ["--synthetic-convs", "40", "--output",
+                                str(tmp_path / argv[0])])
+        assert rc == 0
+        return json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        )
+
+    hk = run("heat", "--iterations", "4")
+    assert hk["terms"] == 4 and hk["mass"] > 0
+    hp = run("hitprob", "--sources", "0,1", "--iterations", "3")
+    assert hp["seeds"] == [0, 1] and hp["reached"] >= 2
+    assert run("coreprofile")["shells"] >= 1
+    pd = run("paradox")
+    assert 0.0 <= pd["paradox_frac"] <= 1.0
+    assert run("huboverlap", "--top-k", "5")["pairs"] == 10

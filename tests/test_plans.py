@@ -427,3 +427,85 @@ def test_walk_counts_broadcasts_the_hub_frontier(spark, sf_dir):
     plan = _plan(walk_counts(g, n_hubs=10))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_wave29_33_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-29..33 operators stay JVM-side; the only cross joins are
+    one-row broadcast stat frames, never CartesianProduct."""
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.functions.dedup import dup_cluster_sizes
+    from linkgraph_spark.functions.events import benford_values, hourly_autocorr
+    from linkgraph_spark.functions.similarity import (
+        anisotropy,
+        variance_participation,
+    )
+    from linkgraph_spark.functions.text import head_token_share, term_burstiness
+    from linkgraph_spark.kernels.kcore import core_profile
+    from linkgraph_spark.kernels.stats import (
+        avg_neighbor_degree,
+        directed_assortativity,
+        friendship_paradox,
+        hub_overlap,
+        joint_degree_matrix,
+    )
+    from linkgraph_spark.transcripts import transcripts_from_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = build_graph(transcripts_from_events(spark, sf_dir))
+    for df in (
+        friendship_paradox(g),
+        avg_neighbor_degree(g),
+        anisotropy(embs),
+        core_profile(g),
+        term_burstiness(docs, top_n=10),
+        hourly_autocorr(ev, lags=(1, 24)),
+        joint_degree_matrix(g),
+        benford_values(ev),
+        variance_participation(embs),
+        head_token_share(docs),
+        directed_assortativity(g),
+        hub_overlap(g, k=5),
+        dup_cluster_sizes(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_diffusion_kernels_gather_shape(spark, sf_dir):
+    """heat_kernel / hitting_probability supersteps are equi-join gathers
+    (never cartesian, never row-Python) and term_burstiness' top-n
+    compiles to TakeOrderedAndProject, not a global sort."""
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.functions.text import term_burstiness
+    from linkgraph_spark.kernels.diffusion import heat_kernel, hitting_probability
+    from linkgraph_spark.transcripts import transcripts_from_events
+
+    g = build_graph(transcripts_from_events(spark, sf_dir))
+    for df in (
+        heat_kernel(g, t=1.0, terms=2).scores,
+        hitting_probability(g, seeds=[0, 1], iterations=2).scores,
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(term_burstiness(docs, top_n=10))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hub_overlap_broadcasts_hub_list(spark, sf_dir):
+    """The k-row hub frame must reach the edge filter as a broadcast —
+    the edge list never shuffles against a 10-row side."""
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.kernels.stats import hub_overlap
+    from linkgraph_spark.transcripts import transcripts_from_events
+
+    g = build_graph(transcripts_from_events(spark, sf_dir))
+    plan = _plan(hub_overlap(g, k=10))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
