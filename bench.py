@@ -169,6 +169,12 @@ def main():
 
     # 3-hop walk-count fan-out from the top-10 hubs (broadcast frontier)
     _, q["walk_counts_sf"] = timed(lambda: walk_counts(g_sf, n_hubs=10).count())
+    from linkgraph_spark.kernels.diffusion import heat_kernel
+
+    # Poisson-weighted diffusion: 8 invariant-frame gather supersteps
+    _, q["heat_kernel8_sf"] = timed(
+        lambda: heat_kernel(g_sf, t=2.0, terms=8).scores.count()
+    )
     n_edges_sf = g_sf.edges.count()
     g_sf.unpersist()
 
