@@ -1552,6 +1552,31 @@ def q_dup_cluster_sizes(spark, sf_dir):
     return dd.dup_cluster_sizes(_docs(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 34
+def q_window_edge_jaccard(spark, sf_dir):
+    from linkgraph_spark.kernels.temporal import window_edge_jaccard
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    return window_edge_jaccard(g, t, window_sec=86400)
+
+
+def q_reciprocity_latency(spark, sf_dir):
+    from linkgraph_spark.kernels.temporal import reciprocity_latency
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    return reciprocity_latency(g, t)
+
+
+def q_hub_trajectory(spark, sf_dir):
+    from linkgraph_spark.kernels.temporal import hub_trajectory
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    return hub_trajectory(g, t, window_sec=86400, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1832,6 +1857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directed_assortativity4": q_directed_assortativity,
         "hub_overlap10": q_hub_overlap,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        # -- wave 34 (new this session; front in r6 with the rest of 51+) ----
+        "window_edge_jaccard": q_window_edge_jaccard,
+        "reciprocity_latency": q_reciprocity_latency,
+        "hub_trajectory5": q_hub_trajectory,
     }
 
 
@@ -2820,6 +2849,10 @@ def oracle_sql() -> dict[str, str]:
         "directed_assortativity4": f"{_G}, {st.directed_assortativity_sql()}",
         "hub_overlap10": f"{_G}, {st.hub_overlap_sql(10)}",
         "dup_cluster_sizes": dd.dup_cluster_sizes_sql("documents"),
+        # wave 34
+        "window_edge_jaccard": f"{_G}, {tmp.window_edge_jaccard_sql(86400)}",
+        "reciprocity_latency": f"{_G}, {tmp.reciprocity_latency_sql()}",
+        "hub_trajectory5": f"{_G}, {tmp.hub_trajectory_sql(86400, k=5)}",
     }
 
 

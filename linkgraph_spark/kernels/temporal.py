@@ -585,3 +585,209 @@ def edge_novelty_sql(window_sec: int = 86400) -> str:
     FROM en_per p JOIN en_first f ON f.src = p.src AND f.dst = p.dst
     GROUP BY p.win
     """
+
+
+def window_edge_jaccard(
+    graph: LinkGraph, transcripts: DataFrame, window_sec: int = 86400
+) -> DataFrame:
+    """→ ``[win, n_cur, n_prev, inter, jaccard]`` — consecutive-window
+    graph churn: for every window with activity, the Jaccard overlap
+    between its distinct edge set and the PREVIOUS calendar window's
+    (empty predecessor ⇒ n_prev 0, jaccard 0.0). Where
+    :func:`edge_novelty` measures saturation against ALL history, this
+    is the short-horizon drift rate — a sudden dip says the traffic mix
+    rotated overnight (deploy, bot cohort, source swap) even when every
+    edge was "seen before".
+
+    Scale shape: one (src, dst, win) dedup aggregate, two window-keyed
+    count aggregates and one (src, dst, win) self-equi-join for the
+    intersection — all hash-partitioned by (edge, win); the per-window
+    frames the final left joins touch are #windows rows.
+    """
+    if window_sec < 1:
+        raise ValueError(f"window_sec must be >= 1, got {window_sec}")
+    te = temporal_edges(graph, transcripts)
+    wins = te.select(
+        "src", "dst", (F.floor(F.col("ts") / window_sec)).cast("long").alias("win")
+    ).distinct()
+    cur_n = wins.groupBy("win").agg(F.count("*").alias("n_cur"))
+    prev_n = wins.select((F.col("win") + 1).alias("win")).groupBy("win").agg(
+        F.count("*").alias("n_prev")
+    )
+    inter = (
+        wins.join(
+            wins.select("src", "dst", (F.col("win") + 1).alias("win")),
+            ["src", "dst", "win"],
+        )
+        .groupBy("win")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        cur_n.join(prev_n, "win", "left")
+        .join(inter, "win", "left")
+        .select(
+            "win",
+            "n_cur",
+            F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            F.round(
+                F.coalesce("inter", F.lit(0))
+                / (
+                    F.col("n_cur")
+                    + F.coalesce("n_prev", F.lit(0))
+                    - F.coalesce("inter", F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def window_edge_jaccard_sql(window_sec: int = 86400) -> str:
+    """DuckDB oracle body for :func:`window_edge_jaccard` (expects
+    ``t``/``verts`` CTEs in scope)."""
+    W = int(window_sec)
+    return f"""
+    {_TE_CTE},
+    wj_te AS MATERIALIZED (
+      {_TE_SELECT}
+    ),
+    wj_w AS (
+      SELECT DISTINCT src, dst, CAST(floor(ts / {W}) AS BIGINT) AS win
+      FROM wj_te
+    ),
+    wj_cur AS (SELECT win, count(*) AS n_cur FROM wj_w GROUP BY win),
+    wj_prev AS (SELECT win + 1 AS win, count(*) AS n_prev FROM wj_w GROUP BY win + 1),
+    wj_int AS (
+      SELECT a.win, count(*) AS inter
+      FROM wj_w a JOIN wj_w b
+        ON b.src = a.src AND b.dst = a.dst AND b.win + 1 = a.win
+      GROUP BY a.win
+    )
+    SELECT c.win, c.n_cur,
+           coalesce(p.n_prev, 0) AS n_prev,
+           coalesce(i.inter, 0) AS inter,
+           round(coalesce(i.inter, 0) * 1.0
+                 / (c.n_cur + coalesce(p.n_prev, 0) - coalesce(i.inter, 0)), 6)
+             AS jaccard
+    FROM wj_cur c
+    LEFT JOIN wj_prev p ON p.win = c.win
+    LEFT JOIN wj_int i ON i.win = c.win
+    """
+
+
+def reciprocity_latency(graph: LinkGraph, transcripts: DataFrame) -> DataFrame:
+    """→ one-row ``[n_mutual, p50_gap, p90_gap, max_gap]`` — how fast
+    links get reciprocated: over every unordered pair whose BOTH
+    directions eventually fire, the gap (seconds) between the first
+    u→v event and the first v→u event, summarized as exact
+    quantile-interpolated percentiles. The temporal refinement of
+    :func:`~linkgraph_spark.kernels.stats.reciprocity`'s static rate —
+    organic hand-offs reciprocate in minutes; a months-long gap is
+    cross-linking negotiated out of band (the link-exchange signature).
+
+    Scale shape: one (src, dst) min-ts aggregate over the event stream,
+    one self-equi-join on the reversed key (src < dst counts each pair
+    once), one global percentile aggregate. No windows over raw events.
+    """
+    te = temporal_edges(graph, transcripts)
+    first = te.groupBy("src", "dst").agg(F.min("ts").alias("ft"))
+    rev = first.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("ft").alias("rt")
+    )
+    pairs = first.join(rev, ["src", "dst"]).where(F.col("src") < F.col("dst"))
+    gap = F.abs(F.col("ft") - F.col("rt")).cast("double")
+    return pairs.select(gap.alias("gap")).agg(
+        F.count("*").alias("n_mutual"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("p50_gap"),
+        F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_gap"),
+        F.max("gap").alias("max_gap"),
+    )
+
+
+def reciprocity_latency_sql() -> str:
+    """DuckDB oracle body for :func:`reciprocity_latency` (expects
+    ``t``/``verts`` CTEs in scope)."""
+    return f"""
+    {_TE_CTE},
+    rl_te AS MATERIALIZED (
+      {_TE_SELECT}
+    ),
+    rl_first AS (
+      SELECT src, dst, min(ts) AS ft FROM rl_te GROUP BY src, dst
+    ),
+    rl_pairs AS (
+      SELECT CAST(abs(a.ft - b.ft) AS DOUBLE) AS gap
+      FROM rl_first a
+      JOIN rl_first b ON b.src = a.dst AND b.dst = a.src
+      WHERE a.src < a.dst
+    )
+    SELECT count(*) AS n_mutual,
+           round(quantile_cont(gap, 0.5), 6) AS p50_gap,
+           round(quantile_cont(gap, 0.9), 6) AS p90_gap,
+           max(gap) AS max_gap
+    FROM rl_pairs
+    """
+
+
+def hub_trajectory(
+    graph: LinkGraph,
+    transcripts: DataFrame,
+    window_sec: int = 86400,
+    k: int = 5,
+) -> DataFrame:
+    """→ ``[win, hub, n_edges]`` — the per-window distinct-edge activity
+    of the graph's overall top-``k`` out-degree hubs (degree ties break
+    by id ascending; only windows where the hub fired appear). The
+    emergence trace: an organic hub's trajectory ramps over many
+    windows, a link farm's jumps from zero to peak in one — read next
+    to :func:`edge_novelty`, which says the same thing without naming
+    the culprits.
+
+    Scale shape: the hub list is a k-row TakeOrdered broadcast; the
+    stream is filtered to hub-sourced rows BEFORE the (hub, win) dedup
+    aggregate, so nothing groups over non-hub traffic.
+    """
+    if window_sec < 1:
+        raise ValueError(f"window_sec must be >= 1, got {window_sec}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    hubs = deg.orderBy(F.desc("deg"), F.asc("id")).limit(k)
+    te = temporal_edges(graph, transcripts)
+    w = (
+        te.join(F.broadcast(hubs.select(F.col("id").alias("src"))), "src")
+        .select(
+            F.col("src").alias("hub"),
+            "dst",
+            (F.floor(F.col("ts") / window_sec)).cast("long").alias("win"),
+        )
+        .distinct()
+    )
+    return w.groupBy("win", "hub").agg(F.count("*").alias("n_edges"))
+
+
+def hub_trajectory_sql(window_sec: int = 86400, k: int = 5) -> str:
+    """DuckDB oracle body for :func:`hub_trajectory` (expects
+    ``t``/``verts``/``edges`` CTEs in scope)."""
+    W, K = int(window_sec), int(k)
+    return f"""
+    {_TE_CTE},
+    ht_te AS MATERIALIZED (
+      {_TE_SELECT}
+    ),
+    ht_e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    ht_deg AS (SELECT src AS id, count(*) AS deg FROM ht_e GROUP BY src),
+    ht_hubs AS (SELECT id FROM ht_deg ORDER BY deg DESC, id LIMIT {K}),
+    ht_w AS (
+      SELECT DISTINCT e.src AS hub, e.dst,
+             CAST(floor(e.ts / {W}) AS BIGINT) AS win
+      FROM ht_te e JOIN ht_hubs h ON h.id = e.src
+    )
+    SELECT win, hub, count(*) AS n_edges FROM ht_w GROUP BY win, hub
+    """
