@@ -1577,6 +1577,21 @@ def q_hub_trajectory(spark, sf_dir):
     return hub_trajectory(g, t, window_sec=86400, k=5)
 
 
+# ------------------------------------------------------------------- wave 35
+def q_knn_mrr(spark, sf_dir):
+    return sim.knn_mrr(_embs(spark, sf_dir), n_queries=10, k=10)
+
+
+def q_token_fertility(spark, sf_dir):
+    return tx.token_fertility(_docs(spark, sf_dir))
+
+
+def q_tool_chain_depth(spark, sf_dir):
+    return tscr.tool_chain_depth(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1861,6 +1876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_edge_jaccard": q_window_edge_jaccard,
         "reciprocity_latency": q_reciprocity_latency,
         "hub_trajectory5": q_hub_trajectory,
+        # -- wave 35 (new this session; front in r6 with the rest of 51+) ----
+        "knn_mrr10": q_knn_mrr,
+        "token_fertility": q_token_fertility,
+        "tool_chain_depth": q_tool_chain_depth,
     }
 
 
@@ -2853,6 +2872,13 @@ def oracle_sql() -> dict[str, str]:
         "window_edge_jaccard": f"{_G}, {tmp.window_edge_jaccard_sql(86400)}",
         "reciprocity_latency": f"{_G}, {tmp.reciprocity_latency_sql()}",
         "hub_trajectory5": f"{_G}, {tmp.hub_trajectory_sql(86400, k=5)}",
+        # wave 35
+        "knn_mrr10": sim.knn_mrr_sql("embeddings", n_queries=10, k=10),
+        "token_fertility": tx.token_fertility_sql("documents"),
+        "tool_chain_depth": (
+            f"WITH tcd_t AS MATERIALIZED ({_T_SQL}),"
+            f"{tscr.tool_chain_depth_sql('tcd_t')}"
+        ),
     }
 
 

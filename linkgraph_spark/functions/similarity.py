@@ -1849,3 +1849,78 @@ def variance_participation_sql(table: str = "embeddings") -> str:
            CASE WHEN s2 > 0 THEN round(s * s / s2 / dim, 6) END AS eff_frac
     FROM vp_agg
     """
+
+
+def knn_mrr(embeddings: DataFrame, n_queries: int = 10, k: int = 10) -> DataFrame:
+    """→ ``[query_id, label, first_hit, rr]`` — retrieval quality as mean
+    reciprocal rank components: for each of the first ``n_queries``
+    vectors, the rank of the FIRST exact-cosine top-``k`` neighbor that
+    shares its label (NULL + rr 0.0 if none lands in the top k). The
+    eval that turns :func:`cosine_topk`'s raw neighbor lists into the
+    number retrieval teams actually track — read next to
+    :func:`lsh_recall`/:func:`ivf_recall` it separates "the index
+    misses neighbors" from "the embedding puts wrong labels on top".
+
+    Scale shape: composes the broadcast-query exact top-k (ground truth
+    for the query sample only — never all-pairs) with two O(V) label
+    equi-joins and an O(n_queries)-row aggregate.
+    """
+    topk = cosine_topk(embeddings, n_queries, k)
+    lab = embeddings.select("vec_id", "label")
+    j = (
+        topk.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_lab")
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_lab"),
+            ),
+            "neighbor_id",
+        )
+    )
+    per = j.groupBy("query_id", "q_lab").agg(
+        F.min(
+            F.when(F.col("n_lab") == F.col("q_lab"), F.col("rk"))
+        ).alias("first_hit")
+    )
+    return per.select(
+        "query_id",
+        F.col("q_lab").alias("label"),
+        "first_hit",
+        F.round(
+            F.when(
+                F.col("first_hit").isNotNull(), 1.0 / F.col("first_hit")
+            ).otherwise(0.0),
+            6,
+        ).alias("rr"),
+    )
+
+
+def knn_mrr_sql(table: str = "embeddings", n_queries: int = 10, k: int = 10) -> str:
+    """DuckDB oracle for :func:`knn_mrr` (standalone query)."""
+    return f"""
+    WITH km_topk AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        {cosine_topk_sql(table, n_queries, k)}
+      )
+    ),
+    km_j AS (
+      SELECT t.query_id, ql.label AS q_lab, nl.label AS n_lab, t.rk
+      FROM km_topk t
+      JOIN {table} ql ON ql.vec_id = t.query_id
+      JOIN {table} nl ON nl.vec_id = t.neighbor_id
+    ),
+    km_per AS (
+      SELECT query_id, q_lab,
+             min(CASE WHEN n_lab = q_lab THEN rk END) AS first_hit
+      FROM km_j GROUP BY query_id, q_lab
+    )
+    SELECT query_id, q_lab AS label, first_hit,
+           round(CASE WHEN first_hit IS NOT NULL
+                      THEN 1.0 / first_hit ELSE 0.0 END, 6) AS rr
+    FROM km_per
+    """

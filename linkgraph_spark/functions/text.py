@@ -1896,3 +1896,53 @@ def head_token_share_sql(table: str = "documents", ks: tuple = (1, 5, 10)) -> st
     SELECT count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS n_tokens, {shares}
     FROM ht_rk
     """
+
+
+def token_fertility(documents: DataFrame) -> DataFrame:
+    """→ ``[lang, n_docs, n_tokens, n_chars, tokens_per_100_chars]`` —
+    the per-language tokenizer-fertility audit: whitespace tokens per
+    100 characters of raw text. Fertility differences are the classic
+    multilingual-budget trap — a language that tokenizes 2× denser
+    burns 2× the context window for the same content — and a fertility
+    SHIFT within one language flags an ingest change (lost spacing,
+    HTML squash) before it skews any length-based filter. Character
+    counts use the raw text length; tokens use the engine-standard
+    lower/trim/``\\s+`` split, so the ratio is comparable with every
+    other text operator here.
+
+    Scale shape: one map-only projection (token count via array size —
+    no explode) + one hash aggregate on the tiny ``lang`` key.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    per = documents.select(
+        "lang",
+        F.size(F.split(norm, " ")).cast("long").alias("tok"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("n_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.round(F.sum("tok") * 100.0 / F.sum("chars"), 6).alias(
+            "tokens_per_100_chars"
+        ),
+    )
+
+
+def token_fertility_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`token_fertility` (standalone query)."""
+    return f"""
+    WITH tf_per AS (
+      SELECT lang,
+             len(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))::BIGINT
+               AS tok,
+             length(text)::BIGINT AS chars
+      FROM {table}
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           round(sum(tok) * 100.0 / sum(chars), 6) AS tokens_per_100_chars
+    FROM tf_per GROUP BY lang
+    """

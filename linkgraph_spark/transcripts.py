@@ -432,3 +432,63 @@ def tool_usage_sql(transcripts_relation: str = "t") -> str:
            avg_turn_idx
     FROM tu_agg
     """
+
+
+def tool_chain_depth(transcripts: DataFrame) -> DataFrame:
+    """→ ``[depth, n_convs]`` — the tool-chain depth histogram: per
+    conversation, the LONGEST run of consecutive tool-invoking turns
+    (``tool IS NOT NULL``, ordered by ``turn_idx``), bucketed into how
+    many conversations peak at each depth (depth 0 = never calls a
+    tool). Deep chains are agentic multi-step sessions — the rows a
+    tool-use training mix wants upweighted — while a depth histogram
+    collapsing to 1 says the "agent" corpus is single-shot lookups.
+    Classic gaps-and-islands: run id = ``turn_idx − row_number()``
+    within the conv's tool turns.
+
+    Scale shape: one conv-keyed window (bounded by turns-per-conv, the
+    same argument as ``sessionize``), two hash aggregates down to one
+    row per conv, then the tiny depth-keyed histogram aggregate.
+    """
+    from pyspark.sql import Window
+
+    tool_turns = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    runs = tool_turns.select(
+        "conv_id",
+        (F.col("turn_idx") - F.row_number().over(w)).alias("grp"),
+    )
+    run_len = runs.groupBy("conv_id", "grp").agg(F.count("*").alias("len"))
+    per_conv = run_len.groupBy("conv_id").agg(F.max("len").alias("depth"))
+    all_convs = transcripts.select("conv_id").distinct()
+    depth = all_convs.join(per_conv, "conv_id", "left").select(
+        F.coalesce("depth", F.lit(0)).cast("long").alias("depth")
+    )
+    return depth.groupBy("depth").agg(F.count("*").alias("n_convs"))
+
+
+def tool_chain_depth_sql(transcripts_relation: str = "t") -> str:
+    """DuckDB oracle body for :func:`tool_chain_depth` (expects the
+    transcript relation in scope under the given name)."""
+    return f"""
+    tcd_runs AS (
+      SELECT conv_id,
+             turn_idx - row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) AS grp
+      FROM {transcripts_relation} WHERE tool IS NOT NULL
+    ),
+    tcd_len AS (
+      SELECT conv_id, grp, count(*) AS len
+      FROM tcd_runs GROUP BY conv_id, grp
+    ),
+    tcd_per AS (
+      SELECT conv_id, max(len) AS depth FROM tcd_len GROUP BY conv_id
+    ),
+    tcd_all AS (
+      SELECT c.conv_id, CAST(coalesce(p.depth, 0) AS BIGINT) AS depth
+      FROM (SELECT DISTINCT conv_id FROM {transcripts_relation}) c
+      LEFT JOIN tcd_per p ON p.conv_id = c.conv_id
+    )
+    SELECT depth, count(*) AS n_convs FROM tcd_all GROUP BY depth
+    """
