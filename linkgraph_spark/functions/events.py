@@ -1733,3 +1733,187 @@ def benford_values_sql(table: str = "events") -> str:
     FROM bf_spine s LEFT JOIN bf_cnt c ON c.digit = s.digit
     CROSS JOIN bf_tot
     """
+
+
+def conversion_hazard(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """→ ``[day, n_converted, n_at_risk, hazard, survival]`` — the
+    discrete conversion hazard curve: among users whose first
+    ``from_type`` event starts the clock, the share of still-unconverted
+    users who make their first at-or-after ``from_type`` ``to_type``
+    event in each elapsed bucket (``hazard(d) = conv(d) / at_risk(d)``,
+    Kaplan–Meier-style without censoring), plus the surviving
+    (unconverted) fraction after the bucket. A hazard spiking at day 0
+    then dying says conversion is impulse-only (retargeting budget is
+    wasted); a flat hazard says the funnel keeps working — the
+    time-resolved version of :func:`funnel`'s single number. Only
+    buckets with at least one conversion appear.
+
+    Scale shape: two per-user min-ts aggregates and one join — all
+    keyed on ``user_id`` — then the hazard arithmetic runs on the tiny
+    bucket table (one cumulative window over #buckets rows).
+    """
+    if bucket_sec < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
+    ts = F.unix_timestamp("ts")
+    fv = (
+        events.where(F.col("event_type") == from_type)
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("fv"))
+    )
+    tv = events.where(F.col("event_type") == to_type).select(
+        "user_id", ts.alias("pt")
+    )
+    conv = (
+        fv.join(tv, "user_id")
+        .where(F.col("pt") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("pt")).alias("fp"), F.first("fv").alias("fv2"))
+        .select(
+            F.floor((F.col("fp") - F.col("fv2")) / bucket_sec)
+            .cast("long")
+            .alias("day")
+        )
+    )
+    per_day = conv.groupBy("day").agg(F.count("*").alias("n_converted"))
+    total = fv.agg(F.count("*").alias("_t"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_day.crossJoin(F.broadcast(total)).select(
+        "day",
+        "n_converted",
+        (F.col("_t") - (F.sum("n_converted").over(w) - F.col("n_converted"))).alias(
+            "n_at_risk"
+        ),
+        (F.col("_t") - F.sum("n_converted").over(w)).alias("_left"),
+        F.col("_t"),
+    )
+    return cum.select(
+        "day",
+        "n_converted",
+        "n_at_risk",
+        F.round(F.col("n_converted") / F.col("n_at_risk"), 6).alias("hazard"),
+        F.round(F.col("_left") / F.col("_t"), 6).alias("survival"),
+    )
+
+
+def conversion_hazard_sql(
+    table: str = "events",
+    from_type: str = "view",
+    to_type: str = "purchase",
+    bucket_sec: int = 86400,
+) -> str:
+    """DuckDB oracle for :func:`conversion_hazard` (standalone query)."""
+    W = int(bucket_sec)
+    f, t = from_type.replace("'", "''"), to_type.replace("'", "''")
+    return f"""
+    WITH ch_fv AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS fv
+      FROM {table} WHERE event_type = '{f}' GROUP BY user_id
+    ),
+    ch_conv AS (
+      SELECT CAST(floor((min(CAST(floor(epoch(e.ts)) AS BIGINT)) - v.fv)
+                        * 1.0 / {W}) AS BIGINT) AS day
+      FROM ch_fv v
+      JOIN {table} e ON e.user_id = v.user_id
+        AND e.event_type = '{t}'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) >= v.fv
+      GROUP BY v.user_id, v.fv
+    ),
+    ch_day AS (SELECT day, count(*) AS n_converted FROM ch_conv GROUP BY day),
+    ch_tot AS (SELECT count(*) AS t FROM ch_fv),
+    ch_cum AS (
+      SELECT day, n_converted,
+             t - (sum(n_converted) OVER w - n_converted) AS n_at_risk,
+             t - sum(n_converted) OVER w AS lft, t
+      FROM ch_day CROSS JOIN ch_tot
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT day, n_converted, n_at_risk,
+           round(n_converted * 1.0 / n_at_risk, 6) AS hazard,
+           round(lft * 1.0 / t, 6) AS survival
+    FROM ch_cum
+    """
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """→ ``[r, f, m, n_users]`` — classic RFM segmentation: per user the
+    recency (days from their last event to the corpus max timestamp),
+    frequency (event count) and monetary (summed ``value``, rounded to
+    6dp before bucketing so both engines tie-break identically), each
+    cut into terciles at the exact interpolated 1/3 and 2/3 quantiles
+    (score 1 = lowest third of the VALUE — so r=1 is the most-recent
+    cohort, f=3/m=3 the heavy spenders). The 27-cell grid every CRM
+    mix report starts from, and a drift alarm when the cell masses
+    shift between ingests.
+
+    Scale shape: one user-keyed aggregate over E rows, one broadcast
+    one-row quantile frame, one 27-key histogram aggregate. No windows
+    over users.
+    """
+    ts = F.unix_timestamp("ts")
+    per = events.groupBy("user_id").agg(
+        F.max(ts).alias("last_ts"),
+        F.count("*").cast("double").alias("freq"),
+        F.round(F.sum("value"), 6).alias("mon"),
+    )
+    mx = events.agg(F.max(ts).alias("mx"))
+    per = per.crossJoin(F.broadcast(mx)).select(
+        F.floor((F.col("mx") - F.col("last_ts")) / 86400.0)
+        .cast("double")
+        .alias("rec"),
+        "freq",
+        "mon",
+    )
+    qs = per.agg(
+        F.expr("percentile(rec, array(0.3333333333333333D, 0.6666666666666666D))").alias("qr"),
+        F.expr("percentile(freq, array(0.3333333333333333D, 0.6666666666666666D))").alias("qf"),
+        F.expr("percentile(mon, array(0.3333333333333333D, 0.6666666666666666D))").alias("qm"),
+    )
+    b = lambda c, q: (  # noqa: E731
+        F.when(F.col(c) <= F.element_at(q, 1), 1)
+        .when(F.col(c) <= F.element_at(q, 2), 2)
+        .otherwise(3)
+    )
+    seg = per.crossJoin(F.broadcast(qs)).select(
+        b("rec", F.col("qr")).alias("r"),
+        b("freq", F.col("qf")).alias("f"),
+        b("mon", F.col("qm")).alias("m"),
+    )
+    return seg.groupBy("r", "f", "m").agg(F.count("*").alias("n_users"))
+
+
+def rfm_segments_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`rfm_segments` (standalone query)."""
+    return f"""
+    WITH rf_per AS (
+      SELECT user_id,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts,
+             CAST(count(*) AS DOUBLE) AS freq,
+             round(sum(value), 6) AS mon
+      FROM {table} GROUP BY user_id
+    ),
+    rf_mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx FROM {table}),
+    rf_v AS (
+      SELECT CAST(floor((mx - last_ts) / 86400.0) AS DOUBLE) AS rec, freq, mon
+      FROM rf_per CROSS JOIN rf_mx
+    ),
+    rf_q AS (
+      SELECT quantile_cont(rec, 0.3333333333333333) AS qr1,
+             quantile_cont(rec, 0.6666666666666666) AS qr2,
+             quantile_cont(freq, 0.3333333333333333) AS qf1,
+             quantile_cont(freq, 0.6666666666666666) AS qf2,
+             quantile_cont(mon, 0.3333333333333333) AS qm1,
+             quantile_cont(mon, 0.6666666666666666) AS qm2
+      FROM rf_v
+    )
+    SELECT CASE WHEN rec <= qr1 THEN 1 WHEN rec <= qr2 THEN 2 ELSE 3 END AS r,
+           CASE WHEN freq <= qf1 THEN 1 WHEN freq <= qf2 THEN 2 ELSE 3 END AS f,
+           CASE WHEN mon <= qm1 THEN 1 WHEN mon <= qm2 THEN 2 ELSE 3 END AS m,
+           count(*) AS n_users
+    FROM rf_v CROSS JOIN rf_q
+    GROUP BY 1, 2, 3
+    """

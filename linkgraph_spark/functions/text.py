@@ -1946,3 +1946,119 @@ def token_fertility_sql(table: str = "documents") -> str:
            round(sum(tok) * 100.0 / sum(chars), 6) AS tokens_per_100_chars
     FROM tf_per GROUP BY lang
     """
+
+
+def source_term_divergence(documents: DataFrame) -> DataFrame:
+    """→ ``[source_a, source_b, n_shared_terms, jsd_bits]`` — pairwise
+    Jensen–Shannon divergence (in bits, 0 = identical, 1 = disjoint)
+    between the unigram term distributions of every pair of ingest
+    sources. The drift matrix that says WHICH feeds differ, where
+    :func:`source_quality`'s heuristics say whether one degraded —
+    two mirrors of the same crawl sit near 0, a feed that swapped
+    language or template jumps toward 1.
+
+    Exactness without a per-pair full-outer join: terms present in only
+    one source contribute ``½·p·ln 2`` each, and those sum to
+    ``½·ln 2·(1 − Σ_shared p)`` because each source's distribution sums
+    to 1 — so ONE inner join on the term key (vocabulary-bounded)
+    recovers the exact JSD.
+
+    Scale shape: one tokenize + (source, term) aggregate (Zipf-bounded
+    keys), one term-keyed self-equi-join between source pairs (vocab ×
+    |sources|² worst case — both factors corpus-size-independent), one
+    pair-keyed aggregate, and a |sources|-row cross join to emit
+    zero-overlap pairs.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(
+        "source", F.explode(F.split(norm, " ")).alias("term")
+    )
+    cnt = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    ps = cnt.join(tot, "source").select(
+        "source", "term", (F.col("c") / F.col("t")).alias("p")
+    )
+    a = ps.select(
+        F.col("source").alias("source_a"), "term", F.col("p").alias("pa")
+    )
+    b = ps.select(
+        F.col("source").alias("source_b"), "term", F.col("p").alias("pb")
+    )
+    ln2 = 0.6931471805599453
+    shared = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(
+                0.5 * F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))
+                + 0.5 * F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("s_sh"),
+            F.sum("pa").alias("p_sh"),
+            F.sum("pb").alias("q_sh"),
+        )
+    )
+    srcs = tot.select("source")
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    return pairs.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared_terms", F.lit(0)).alias("n_shared_terms"),
+        F.round(
+            (
+                F.coalesce("s_sh", F.lit(0.0))
+                + 0.5
+                * F.lit(ln2)
+                * (
+                    F.lit(2.0)
+                    - F.coalesce("p_sh", F.lit(0.0))
+                    - F.coalesce("q_sh", F.lit(0.0))
+                )
+            )
+            / F.lit(ln2),
+            6,
+        ).alias("jsd_bits"),
+    )
+
+
+def source_term_divergence_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`source_term_divergence` (standalone)."""
+    return f"""
+    WITH sd_tok AS (
+      SELECT source,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    sd_cnt AS (
+      SELECT source, term, count(*) AS c FROM sd_tok GROUP BY source, term
+    ),
+    sd_tot AS (SELECT source, sum(c) AS t FROM sd_cnt GROUP BY source),
+    sd_ps AS (
+      SELECT c.source, c.term, c.c * 1.0 / t.t AS p
+      FROM sd_cnt c JOIN sd_tot t ON t.source = c.source
+    ),
+    sd_sh AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared_terms,
+             sum(0.5 * a.p * ln(2.0 * a.p / (a.p + b.p))
+                 + 0.5 * b.p * ln(2.0 * b.p / (a.p + b.p))) AS s_sh,
+             sum(a.p) AS p_sh, sum(b.p) AS q_sh
+      FROM sd_ps a JOIN sd_ps b ON b.term = a.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT pa.source AS source_a, pb.source AS source_b,
+           coalesce(s.n_shared_terms, 0) AS n_shared_terms,
+           round((coalesce(s.s_sh, 0.0)
+                  + 0.5 * 0.6931471805599453
+                    * (2.0 - coalesce(s.p_sh, 0.0) - coalesce(s.q_sh, 0.0)))
+                 / 0.6931471805599453, 6) AS jsd_bits
+    FROM sd_tot pa
+    JOIN sd_tot pb ON pa.source < pb.source
+    LEFT JOIN sd_sh s ON s.source_a = pa.source AND s.source_b = pb.source
+    """
