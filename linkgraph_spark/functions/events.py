@@ -1917,3 +1917,77 @@ def rfm_segments_sql(table: str = "events") -> str:
     FROM rf_v CROSS JOIN rf_q
     GROUP BY 1, 2, 3
     """
+
+
+def trigram_paths(
+    events: DataFrame, gap_sec: int = 1800, top_n: int = 20
+) -> DataFrame:
+    """→ ``[t1, t2, t3, n]`` — the ``top_n`` most common three-step
+    event-type paths under :func:`markov_transitions`' chain rule (per
+    user ordered by ``(ts, event_id)``, both hops within ``gap_sec``;
+    count ties break by the path lexicographically). The second-order
+    readout the first-order Markov matrix smooths away — loops like
+    view→click→view (pogo-sticking) and dead-end chains
+    (click→error→error) are invisible in pairwise transitions but jump
+    out of the trigram list.
+
+    Scale shape: ONE shuffle on ``user_id`` for the double-lag window
+    (per-user bounded), a |types|³-at-most keyed aggregate, and a
+    TakeOrdered top-n — nothing global sorts.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    lagged = e.select(
+        F.lag("event_type", 2).over(wl).alias("t1"),
+        F.lag("event_type", 1).over(wl).alias("t2"),
+        F.col("event_type").alias("t3"),
+        (F.lag("ts_s", 1).over(wl) - F.lag("ts_s", 2).over(wl)).alias("g1"),
+        (F.col("ts_s") - F.lag("ts_s", 1).over(wl)).alias("g2"),
+    )
+    tri = (
+        lagged.where(
+            F.col("t1").isNotNull()
+            & (F.col("g1") <= gap_sec)
+            & (F.col("g2") <= gap_sec)
+        )
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+    )
+    return tri.orderBy(
+        F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3")
+    ).limit(top_n)
+
+
+def trigram_paths_sql(
+    table: str = "events", gap_sec: int = 1800, top_n: int = 20
+) -> str:
+    """DuckDB oracle for :func:`trigram_paths` (standalone query)."""
+    G, N = int(gap_sec), int(top_n)
+    return f"""
+    WITH tp_e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ),
+    tp_l AS (
+      SELECT lag(event_type, 2) OVER w AS t1,
+             lag(event_type, 1) OVER w AS t2,
+             event_type AS t3,
+             lag(ts_s, 1) OVER w - lag(ts_s, 2) OVER w AS g1,
+             ts_s - lag(ts_s, 1) OVER w AS g2
+      FROM tp_e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    tp_tri AS (
+      SELECT t1, t2, t3, count(*) AS n
+      FROM tp_l
+      WHERE t1 IS NOT NULL AND g1 <= {G} AND g2 <= {G}
+      GROUP BY t1, t2, t3
+    )
+    SELECT t1, t2, t3, n FROM tp_tri
+    ORDER BY n DESC, t1, t2, t3 LIMIT {N}
+    """

@@ -429,3 +429,74 @@ def square_count_sql(max_degree: int | None = None) -> str:
     SELECT CAST(coalesce(sum(w * (w - 1)), 0) / 4 AS BIGINT) AS squares
     FROM sq_common
     """
+
+
+def clustering_by_degree(graph: LinkGraph) -> DataFrame:
+    """→ ``[deg, n_vertices, avg_lcc]`` — the Watts–Strogatz C(k) curve:
+    mean local clustering coefficient per undirected degree. A flat
+    curve is random-graph-like mixing; a falling ``C(k) ~ k⁻¹`` is the
+    hierarchical-modularity signature (Ravasz–Barabási) — dense small
+    modules glued by sparse hubs — and the curve's knee pins which
+    degree band the modules live in. The per-degree readout of
+    :func:`clustering_coefficient`'s per-vertex labels.
+
+    Scale shape: the degree-ordered triangle enumeration (O(√E) wedge
+    bound), one undirected-degree aggregate, one O(V) join, then the
+    tiny degree-keyed histogram aggregate (vertex-level lcc is rounded
+    to 6dp first, exactly as the per-vertex operator emits it).
+    """
+    und = _oriented(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    lcc = clustering_coefficient(graph)
+    j = lcc.join(deg, "id", "left").select(
+        F.coalesce("deg", F.lit(0)).alias("deg"), "lcc"
+    )
+    return j.groupBy("deg").agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.avg("lcc"), 6).alias("avg_lcc"),
+    )
+
+
+def clustering_by_degree_sql() -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs in scope)."""
+    return """
+    cd_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    cd_tri AS MATERIALIZED (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM cd_und e1
+      JOIN cd_und e2 ON e1.b = e2.a
+      JOIN cd_und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    cd_tpv AS (
+      SELECT id, count(*) AS t FROM (
+        SELECT a AS id FROM cd_tri
+        UNION ALL SELECT b FROM cd_tri
+        UNION ALL SELECT c FROM cd_tri
+      ) GROUP BY id
+    ),
+    cd_deg AS (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM cd_und UNION ALL SELECT b FROM cd_und
+      ) GROUP BY id
+    ),
+    cd_lcc AS (
+      SELECT v.id, coalesce(d.deg, 0) AS deg,
+             CASE WHEN coalesce(d.deg, 0) >= 2
+                  THEN round(2.0 * coalesce(t.t, 0)
+                             / (d.deg * (d.deg - 1)), 6)
+                  ELSE 0.0 END AS lcc
+      FROM verts v
+      LEFT JOIN cd_deg d ON d.id = v.id
+      LEFT JOIN cd_tpv t ON t.id = v.id
+    )
+    SELECT deg, count(*) AS n_vertices, round(avg(lcc), 6) AS avg_lcc
+    FROM cd_lcc GROUP BY deg
+    """
