@@ -1623,6 +1623,21 @@ def q_pca2_power(spark, sf_dir):
     return pca2_power(_embs(spark, sf_dir), iterations=8)
 
 
+# ------------------------------------------------------------------- wave 38
+def q_qa_length_corr(spark, sf_dir):
+    return tscr.qa_length_corr(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    )
+
+
+def q_quality_vs_norm(spark, sf_dir):
+    return sim.quality_vs_norm(_docs(spark, sf_dir), _embs(spark, sf_dir))
+
+
+def q_flow_roles(spark, sf_dir):
+    return st.flow_roles(_graph(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1919,6 +1934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_by_degree": q_clustering_by_degree,
         "trigram_paths20": q_trigram_paths,
         "pca2_power8": q_pca2_power,
+        # -- wave 38 (new this session; front in r6 with the rest of 51+) ----
+        "qa_length_corr": q_qa_length_corr,
+        "quality_vs_norm": q_quality_vs_norm,
+        "flow_roles": q_flow_roles,
     }
 
 
@@ -2926,6 +2945,13 @@ def oracle_sql() -> dict[str, str]:
         "clustering_by_degree": f"{_G}, {tri_mod.clustering_by_degree_sql()}",
         "trigram_paths20": ev.trigram_paths_sql("events", top_n=20),
         "pca2_power8": _pca2_sql_body("embeddings", iterations=8),
+        # wave 38
+        "qa_length_corr": (
+            f"WITH qa_t AS MATERIALIZED ({_T_SQL}),"
+            f"{tscr.qa_length_corr_sql('qa_t')}"
+        ),
+        "quality_vs_norm": sim.quality_vs_norm_sql("documents", "embeddings"),
+        "flow_roles": f"{_G}, {st.flow_roles_sql()}",
     }
 
 

@@ -1924,3 +1924,86 @@ def knn_mrr_sql(table: str = "embeddings", n_queries: int = 10, k: int = 10) -> 
                       THEN 1.0 / first_hit ELSE 0.0 END, 6) AS rr
     FROM km_per
     """
+
+
+def quality_vs_norm(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """→ one-row ``[n, corr, avg_quality, avg_norm]`` — the cross-modal
+    sanity check: Pearson correlation between the heuristic text
+    quality score and the document's embedding L2 norm, over the
+    embedded subset (``vec_id`` keys the same documents as ``doc_id``;
+    docs without vectors drop out). Encoders famously give junk inputs
+    extreme norms — a strong correlation here means norm is a free
+    quality prefilter; none means the embedding ignores the quality
+    axis and curation must stay text-side. Norms are rounded to 9dp
+    before the moments so both engines correlate identical inputs;
+    zero variance → NULL.
+
+    Scale shape: one map-only quality projection, one per-vector norm
+    aggregate, one equi-join on the shared id, one global moment
+    aggregate — all linear scans.
+    """
+    from linkgraph_spark.functions.text import quality_score
+
+    q = quality_score(documents).select(
+        F.col("doc_id").alias("vec_id"), F.col("quality").cast("double").alias("ql")
+    )
+    ex = embeddings.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    nrm = ex.groupBy("vec_id").agg(
+        F.round(F.sqrt(F.sum(F.col("val") * F.col("val"))), 9).alias("nrm")
+    )
+    j = q.join(nrm, "vec_id")
+    mom = j.agg(
+        F.count("*").alias("n"),
+        F.covar_pop("ql", "nrm").alias("cv"),
+        F.stddev_pop("ql").alias("sq"),
+        F.stddev_pop("nrm").alias("sn"),
+        F.round(F.avg("ql"), 6).alias("avg_quality"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+    )
+    return mom.select(
+        "n",
+        F.round(
+            F.when(
+                (F.col("sq") > 0) & (F.col("sn") > 0),
+                F.col("cv") / (F.col("sq") * F.col("sn")),
+            ),
+            6,
+        ).alias("corr"),
+        "avg_quality",
+        "avg_norm",
+    )
+
+
+def quality_vs_norm_sql(
+    docs_table: str = "documents", emb_table: str = "embeddings"
+) -> str:
+    """DuckDB oracle for :func:`quality_vs_norm` (standalone query)."""
+    from linkgraph_spark.functions.text import quality_score_sql
+
+    return f"""
+    WITH qn_q AS (
+      SELECT doc_id AS vec_id, CAST(quality AS DOUBLE) AS ql FROM (
+        {quality_score_sql(docs_table)}
+      )
+    ),
+    qn_ex AS (
+      SELECT vec_id, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM {emb_table}
+    ),
+    qn_n AS (
+      SELECT vec_id, round(sqrt(sum(val * val)), 9) AS nrm
+      FROM qn_ex GROUP BY vec_id
+    ),
+    qn_m AS (
+      SELECT count(*) AS n, covar_pop(ql, nrm) AS cv,
+             stddev_pop(ql) AS sq, stddev_pop(nrm) AS sn,
+             round(avg(ql), 6) AS avg_quality, round(avg(nrm), 6) AS avg_norm
+      FROM qn_q q JOIN qn_n e USING (vec_id)
+    )
+    SELECT n,
+           CASE WHEN sq > 0 AND sn > 0 THEN round(cv / (sq * sn), 6) END AS corr,
+           avg_quality, avg_norm
+    FROM qn_m
+    """

@@ -1286,3 +1286,69 @@ def hub_overlap_sql(k: int = 10) -> str:
     JOIN ho_hubs hb ON ha.id < hb.id
     LEFT JOIN ho_int i ON i.hub_a = ha.id AND i.hub_b = hb.id
     """
+
+
+def flow_roles(graph: LinkGraph) -> DataFrame:
+    """→ ``[role, n_vertices, avg_out, avg_in]`` — the directed-flow
+    census over the simple edge list: every vertex classified as
+    ``source`` (emits, never receives), ``sink`` (receives, never
+    emits), ``relay`` (both), or ``isolated`` (neither — in the vertex
+    universe but off the simple graph). Crawl graphs should be
+    relay-dominated; a source-heavy census is a spray pattern (spam
+    injection), a sink-heavy one a harvest pattern. The four-row
+    summary a flow audit starts from.
+
+    Scale shape: two degree aggregates over E, one full-outer id join,
+    one O(V) join to the vertex universe, one 4-key histogram
+    aggregate. No windows.
+    """
+    e = _simple_directed(graph.edges)
+    outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("idg"))
+    deg = (
+        graph.vertices.select("id")
+        .join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .select(
+            "id",
+            F.coalesce("od", F.lit(0)).alias("od"),
+            F.coalesce("idg", F.lit(0)).alias("idg"),
+        )
+    )
+    role = (
+        F.when((F.col("od") > 0) & (F.col("idg") > 0), "relay")
+        .when(F.col("od") > 0, "source")
+        .when(F.col("idg") > 0, "sink")
+        .otherwise("isolated")
+    )
+    return deg.groupBy(role.alias("role")).agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.avg("od"), 6).alias("avg_out"),
+        F.round(F.avg("idg"), 6).alias("avg_in"),
+    )
+
+
+def flow_roles_sql() -> str:
+    """DuckDB oracle body (expects ``verts``/``edges`` CTEs in scope)."""
+    return """
+    fr_e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ),
+    fr_deg AS (
+      SELECT v.id, coalesce(o.od, 0) AS od, coalesce(i.idg, 0) AS idg
+      FROM verts v
+      LEFT JOIN (SELECT src AS id, count(*) AS od FROM fr_e GROUP BY src) o
+        ON o.id = v.id
+      LEFT JOIN (SELECT dst AS id, count(*) AS idg FROM fr_e GROUP BY dst) i
+        ON i.id = v.id
+    )
+    SELECT CASE WHEN od > 0 AND idg > 0 THEN 'relay'
+                WHEN od > 0 THEN 'source'
+                WHEN idg > 0 THEN 'sink'
+                ELSE 'isolated' END AS role,
+           count(*) AS n_vertices,
+           round(avg(od), 6) AS avg_out,
+           round(avg(idg), 6) AS avg_in
+    FROM fr_deg
+    GROUP BY 1
+    """

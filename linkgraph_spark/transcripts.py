@@ -492,3 +492,73 @@ def tool_chain_depth_sql(transcripts_relation: str = "t") -> str:
     )
     SELECT depth, count(*) AS n_convs FROM tcd_all GROUP BY depth
     """
+
+
+def qa_length_corr(transcripts: DataFrame) -> DataFrame:
+    """→ one-row ``[n_pairs, corr, avg_q_chars, avg_a_chars]`` — does a
+    longer question buy a longer answer? Over every adjacent
+    user→assistant turn pair (by ``turn_idx`` within a conversation),
+    the Pearson correlation between prompt and reply character lengths
+    plus both means. Near-zero correlation with a high reply mean is
+    the template-response smell (the assistant says the same amount no
+    matter what was asked); strongly negative flags truncation. A
+    packing planner also reads the two means directly. Zero-variance
+    or <2 pairs → NULL correlation, pinned identically in both engines.
+
+    Scale shape: ONE conv-keyed lead window (bounded by turns-per-conv)
+    + one global moment aggregate. No joins.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = transcripts.select(
+        "role",
+        F.length("text").cast("double").alias("q"),
+        F.lead("role").over(w).alias("nrole"),
+        F.lead(F.length("text").cast("double")).over(w).alias("a"),
+    ).where((F.col("role") == "user") & (F.col("nrole") == "assistant"))
+    mom = p.agg(
+        F.count("*").alias("n_pairs"),
+        F.covar_pop("q", "a").alias("cv"),
+        F.stddev_pop("q").alias("sq"),
+        F.stddev_pop("a").alias("sa"),
+        F.round(F.avg("q"), 6).alias("avg_q_chars"),
+        F.round(F.avg("a"), 6).alias("avg_a_chars"),
+    )
+    return mom.select(
+        "n_pairs",
+        F.round(
+            F.when(
+                (F.col("sq") > 0) & (F.col("sa") > 0),
+                F.col("cv") / (F.col("sq") * F.col("sa")),
+            ),
+            6,
+        ).alias("corr"),
+        "avg_q_chars",
+        "avg_a_chars",
+    )
+
+
+def qa_length_corr_sql(transcripts_relation: str = "t") -> str:
+    """DuckDB oracle body for :func:`qa_length_corr` (expects the
+    transcript relation in scope under the given name)."""
+    return f"""
+    qa_p AS (
+      SELECT role,
+             CAST(length(text) AS DOUBLE) AS q,
+             lead(role) OVER w AS nrole,
+             lead(CAST(length(text) AS DOUBLE)) OVER w AS a
+      FROM {transcripts_relation}
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    qa_m AS (
+      SELECT count(*) AS n_pairs, covar_pop(q, a) AS cv,
+             stddev_pop(q) AS sq, stddev_pop(a) AS sa,
+             round(avg(q), 6) AS avg_q_chars, round(avg(a), 6) AS avg_a_chars
+      FROM qa_p WHERE role = 'user' AND nrole = 'assistant'
+    )
+    SELECT n_pairs,
+           CASE WHEN sq > 0 AND sa > 0 THEN round(cv / (sq * sa), 6) END AS corr,
+           avg_q_chars, avg_a_chars
+    FROM qa_m
+    """
