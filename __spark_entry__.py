@@ -1638,6 +1638,23 @@ def q_flow_roles(spark, sf_dir):
     return st.flow_roles(_graph(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 39
+def q_quantize_recall(spark, sf_dir):
+    return sim.quantize_recall(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_edge_persistence(spark, sf_dir):
+    from linkgraph_spark.kernels.temporal import edge_persistence
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    return edge_persistence(g, t, window_sec=86400)
+
+
+def q_strength_percentiles(spark, sf_dir):
+    return st.strength_percentiles(_wgraph(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1938,6 +1955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_length_corr": q_qa_length_corr,
         "quality_vs_norm": q_quality_vs_norm,
         "flow_roles": q_flow_roles,
+        # -- wave 39 (new this session; front in r6 with the rest of 51+) ----
+        "quantize_recall8": q_quantize_recall,
+        "edge_persistence": q_edge_persistence,
+        "strength_percentiles": q_strength_percentiles,
     }
 
 
@@ -2952,6 +2973,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_vs_norm": sim.quality_vs_norm_sql("documents", "embeddings"),
         "flow_roles": f"{_G}, {st.flow_roles_sql()}",
+        # wave 39
+        "quantize_recall8": sim.quantize_recall_sql(
+            "embeddings", n_queries=10, k=5
+        ),
+        "edge_persistence": f"{_G}, {tmp.edge_persistence_sql(86400)}",
+        "strength_percentiles": f"{_G}, {_WEDGES}, {st.strength_percentiles_sql()}",
     }
 
 

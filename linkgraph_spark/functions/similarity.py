@@ -2007,3 +2007,157 @@ def quality_vs_norm_sql(
            avg_quality, avg_norm
     FROM qn_m
     """
+
+
+def quantize_recall(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, bits: int = 8
+) -> DataFrame:
+    """→ ``[query_id, n_exact, n_hits, recall]`` — recall@k of exact
+    cosine search over the int-``bits`` scalar-quantized RECONSTRUCTION
+    against the fp ground truth, per query. Completes the index-eval
+    triad — :func:`lsh_recall` (hash tables), :func:`ivf_recall`
+    (coarse cells), and this (storage precision): together they say
+    whether a production miss comes from bucketing or from the 4×
+    compression itself. Uses :func:`embedding_quantize`'s exact code
+    path (per-dimension min/max, ``floor(x+0.5)`` coding) so the audit
+    evaluates precisely what would be written to disk.
+
+    Scale shape: ground truth via the broadcast-query exact top-k;
+    reconstruction is one posexplode + a D-row broadcast range join;
+    the quantized scores join the n_queries·D broadcast query slice to
+    the long-form corpus on the dimension key — n_queries·N·D products,
+    linear in N with constant factors. Per-query rank windows partition
+    on query_id.
+    """
+    levels = float(2**bits - 1)
+    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id")
+    ex = embeddings.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val")
+    )
+    rng = ex.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / F.lit(levels)
+    code = F.least(
+        F.lit(levels),
+        F.greatest(F.lit(0.0), F.floor((F.col("val") - F.col("mn")) / scale + 0.5)),
+    )
+    rv = F.when(F.col("mx") == F.col("mn"), F.col("val")).otherwise(
+        F.col("mn") + code * scale
+    )
+    rl = ex.join(F.broadcast(rng), "dim").select("vec_id", "dim", rv.alias("rv"))
+    nrm = rl.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("rv") * F.col("rv"))).alias("rn")
+    )
+    q = rl.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("rv").alias("qv")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(rl, "dim")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qv") * F.col("rv")).alias("dot"))
+    )
+    qn = nrm.select(F.col("vec_id").alias("query_id"), F.col("rn").alias("qn"))
+    scored = (
+        dots.join(nrm, "vec_id")
+        .join(qn, "query_id")
+        .where((F.col("rn") > 0) & (F.col("qn") > 0))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dot") / (F.col("qn") * F.col("rn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("query_id").alias("_qa"), F.col("neighbor_id").alias("_na"))
+    )
+    cnt = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("_qa"))
+            & (F.col("neighbor_id") == F.col("_na")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return cnt.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+def quantize_recall_sql(
+    table: str = "embeddings", n_queries: int = 10, k: int = 5, bits: int = 8
+) -> str:
+    """DuckDB oracle for :func:`quantize_recall` (standalone query)."""
+    levels = float(2**bits - 1)
+    return f"""
+    WITH qr_ex_t AS (
+      SELECT query_id, neighbor_id FROM (
+        {cosine_topk_sql(table, n_queries, k)}
+      )
+    ),
+    qr_long AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM {table}
+    ),
+    qr_rng AS (
+      SELECT dim, min(val) AS mn, max(val) AS mx FROM qr_long GROUP BY dim
+    ),
+    qr_rl AS MATERIALIZED (
+      SELECT l.vec_id, l.dim,
+             CASE WHEN r.mx = r.mn THEN l.val
+                  ELSE r.mn + least({levels!r}, greatest(0.0,
+                         floor((l.val - r.mn) / ((r.mx - r.mn) / {levels!r}) + 0.5)))
+                       * ((r.mx - r.mn) / {levels!r})
+             END AS rv
+      FROM qr_long l JOIN qr_rng r USING (dim)
+    ),
+    qr_nrm AS (
+      SELECT vec_id, sqrt(sum(rv * rv)) AS rn FROM qr_rl GROUP BY vec_id
+    ),
+    qr_dots AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             sum(q.rv * b.rv) AS dot
+      FROM qr_rl q JOIN qr_rl b ON b.dim = q.dim AND b.vec_id <> q.vec_id
+      WHERE q.vec_id < {int(n_queries)}
+      GROUP BY q.vec_id, b.vec_id
+    ),
+    qr_scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             round(d.dot / (qn.rn * bn.rn), 6) AS cosine
+      FROM qr_dots d
+      JOIN qr_nrm qn ON qn.vec_id = d.query_id
+      JOIN qr_nrm bn ON bn.vec_id = d.neighbor_id
+      WHERE qn.rn > 0 AND bn.rn > 0
+    ),
+    qr_ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM qr_scored
+      ) WHERE rk <= {int(k)}
+    ),
+    qr_cnt AS (
+      SELECT query_id, count(*) AS n_exact FROM qr_ex_t GROUP BY query_id
+    ),
+    qr_hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM qr_ex_t e JOIN qr_ap a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT c.query_id, c.n_exact, coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) * 1.0 / c.n_exact, 6) AS recall
+    FROM qr_cnt c LEFT JOIN qr_hits h ON h.query_id = c.query_id
+    """

@@ -1352,3 +1352,77 @@ def flow_roles_sql() -> str:
     FROM fr_deg
     GROUP BY 1
     """
+
+
+def strength_percentiles(
+    graph: LinkGraph, ps: tuple = (0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+) -> DataFrame:
+    """→ ``[p, out_str_pct, in_str_pct]`` — exact linear-interpolation
+    percentiles of vertex STRENGTH (summed edge multiplicity/weight, in
+    and out, zero for vertices off that side) over the weighted graph.
+    The capacity-planning companion of :func:`degree_percentiles`: a p99
+    degree that looks tame can hide a strength cliff when one hub's
+    edges carry 1000× multiplicity — strength, not degree, is what a
+    weighted gather actually shuffles.
+
+    Requires ``weighted=True`` edges (a ``weight`` column).
+
+    Scale shape: two E-sized grouped sums, one O(V) join onto the
+    vertex universe, ONE percentile aggregate computing every requested
+    quantile, |ps| output rows.
+    """
+    if "weight" not in graph.edges.columns:
+        raise ValueError("strength_percentiles needs a weighted graph "
+                         "(build_graph(..., weighted=True))")
+    outs = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("os")
+    )
+    ins = graph.edges.groupBy(F.col("dst").alias("id")).agg(
+        F.sum("weight").alias("is_")
+    )
+    s = (
+        graph.vertices.select("id")
+        .join(outs, "id", "left")
+        .join(ins, "id", "left")
+        .select(
+            F.coalesce("os", F.lit(0)).cast("double").alias("os"),
+            F.coalesce("is_", F.lit(0)).cast("double").alias("is_"),
+        )
+    )
+    arr = ", ".join(f"{float(p)}D" for p in ps)
+    one = s.agg(
+        F.expr(f"percentile(os, array({arr}))").alias("op"),
+        F.expr(f"percentile(is_, array({arr}))").alias("ip"),
+    )
+    rows = [
+        F.struct(
+            F.lit(float(p)).alias("p"),
+            F.round(F.element_at("op", i + 1), 6).alias("out_str_pct"),
+            F.round(F.element_at("ip", i + 1), 6).alias("in_str_pct"),
+        )
+        for i, p in enumerate(ps)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("z")).select("z.*")
+
+
+def strength_percentiles_sql(ps: tuple = (0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) -> str:
+    """DuckDB oracle body (expects ``verts`` + ``edges_w`` CTEs in scope)."""
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({float(p)} AS DOUBLE) AS p,"
+        f" round(quantile_cont(os, {float(p)}), 6) AS out_str_pct,"
+        f" round(quantile_cont(is_, {float(p)}), 6) AS in_str_pct"
+        f" FROM sp_s"
+        for p in ps
+    )
+    return f"""
+    sp_s AS MATERIALIZED (
+      SELECT CAST(coalesce(o.os, 0) AS DOUBLE) AS os,
+             CAST(coalesce(i.is_, 0) AS DOUBLE) AS is_
+      FROM verts v
+      LEFT JOIN (SELECT src AS id, sum(weight) AS os FROM edges_w GROUP BY src) o
+        ON o.id = v.id
+      LEFT JOIN (SELECT dst AS id, sum(weight) AS is_ FROM edges_w GROUP BY dst) i
+        ON i.id = v.id
+    )
+    {rows}
+    """

@@ -791,3 +791,47 @@ def hub_trajectory_sql(window_sec: int = 86400, k: int = 5) -> str:
     )
     SELECT win, hub, count(*) AS n_edges FROM ht_w GROUP BY win, hub
     """
+
+
+def edge_persistence(
+    graph: LinkGraph, transcripts: DataFrame, window_sec: int = 86400
+) -> DataFrame:
+    """→ ``[n_windows, n_edges]`` — the edge-persistence histogram: for
+    every distinct edge, in how many calendar windows it fired, bucketed
+    into how many edges share that persistence. The stability spectrum
+    behind :func:`window_edge_jaccard`'s pairwise churn — a bimodal
+    histogram (one-shot edges plus always-on edges, nothing between) is
+    the infrastructure-vs-traffic split, and mass moving toward 1 says
+    the graph is becoming drive-by.
+
+    Scale shape: one (src, dst, win) dedup aggregate, one (src, dst)
+    count aggregate, one tiny integer-keyed histogram. No joins.
+    """
+    if window_sec < 1:
+        raise ValueError(f"window_sec must be >= 1, got {window_sec}")
+    te = temporal_edges(graph, transcripts)
+    wins = te.select(
+        "src", "dst", (F.floor(F.col("ts") / window_sec)).cast("long").alias("win")
+    ).distinct()
+    per = wins.groupBy("src", "dst").agg(F.count("*").alias("n_windows"))
+    return per.groupBy("n_windows").agg(F.count("*").alias("n_edges"))
+
+
+def edge_persistence_sql(window_sec: int = 86400) -> str:
+    """DuckDB oracle body for :func:`edge_persistence` (expects
+    ``t``/``verts`` CTEs in scope)."""
+    W = int(window_sec)
+    return f"""
+    {_TE_CTE},
+    ep_te AS MATERIALIZED (
+      {_TE_SELECT}
+    ),
+    ep_w AS (
+      SELECT DISTINCT src, dst, CAST(floor(ts / {W}) AS BIGINT) AS win
+      FROM ep_te
+    ),
+    ep_per AS (
+      SELECT src, dst, count(*) AS n_windows FROM ep_w GROUP BY src, dst
+    )
+    SELECT n_windows, count(*) AS n_edges FROM ep_per GROUP BY n_windows
+    """
