@@ -509,3 +509,74 @@ def test_hub_overlap_broadcasts_hub_list(spark, sf_dir):
     plan = _plan(hub_overlap(g, k=10))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_wave34_39_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-34..39 operators stay JVM-side; cross joins are one-row or
+    k-row broadcast frames only."""
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.functions.events import (
+        conversion_hazard,
+        rfm_segments,
+        trigram_paths,
+    )
+    from linkgraph_spark.functions.similarity import (
+        knn_mrr,
+        quality_vs_norm,
+        quantize_recall,
+    )
+    from linkgraph_spark.functions.text import (
+        source_term_divergence,
+        token_fertility,
+    )
+    from linkgraph_spark.kernels.stats import flow_roles, strength_percentiles
+    from linkgraph_spark.kernels.temporal import (
+        edge_persistence,
+        hub_trajectory,
+        reciprocity_latency,
+        window_edge_jaccard,
+    )
+    from linkgraph_spark.transcripts import (
+        qa_length_corr,
+        tool_chain_depth,
+        transcripts_from_events,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = transcripts_from_events(spark, sf_dir)
+    g = build_graph(t)
+    gw = build_graph(t, weighted=True)
+    for df in (
+        window_edge_jaccard(g, t, 3600),
+        reciprocity_latency(g, t),
+        hub_trajectory(g, t, 3600, k=3),
+        knn_mrr(embs, n_queries=3, k=3),
+        token_fertility(docs),
+        tool_chain_depth(t),
+        conversion_hazard(ev),
+        source_term_divergence(docs),
+        rfm_segments(ev),
+        trigram_paths(ev, top_n=5),
+        qa_length_corr(t),
+        quality_vs_norm(docs, embs),
+        flow_roles(g),
+        quantize_recall(embs, n_queries=3, k=3),
+        edge_persistence(g, t, 3600),
+        strength_percentiles(gw),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_trigram_paths_is_take_ordered(spark, sf_dir):
+    """The trigram top-n compiles to TakeOrderedAndProject — no global
+    sort of the path table materializes."""
+    from linkgraph_spark.functions.events import trigram_paths
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(trigram_paths(ev, top_n=5))
+    assert "TakeOrderedAndProject" in plan, plan
