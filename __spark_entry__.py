@@ -1655,6 +1655,21 @@ def q_strength_percentiles(spark, sf_dir):
     return st.strength_percentiles(_wgraph(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 40
+def q_hub_distance(spark, sf_dir):
+    from linkgraph_spark.kernels.paths import hub_distance
+
+    return hub_distance(_graph(spark, sf_dir), k=5)
+
+
+def q_script_mix(spark, sf_dir):
+    return tx.script_mix(_docs(spark, sf_dir))
+
+
+def q_hourly_bursts(spark, sf_dir):
+    return ev.hourly_bursts(_events(spark, sf_dir), factor=2.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1959,6 +1974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_recall8": q_quantize_recall,
         "edge_persistence": q_edge_persistence,
         "strength_percentiles": q_strength_percentiles,
+        # -- wave 40 (new this session; front in r6 with the rest of 51+) ----
+        "hub_distance5": q_hub_distance,
+        "script_mix": q_script_mix,
+        "hourly_bursts": q_hourly_bursts,
     }
 
 
@@ -2278,6 +2297,7 @@ from linkgraph_spark.kernels.node2vec import node2vec_walks_sql as _n2v_sql_body
 from linkgraph_spark.kernels import temporal as tmp
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 from linkgraph_spark.kernels.kcore import core_profile_sql as _core_profile_sql_body
+from linkgraph_spark.kernels.paths import hub_distance_sql as _hub_distance_sql_body
 from linkgraph_spark.kernels.diffusion import (
     heat_kernel_sql as _heat_kernel_sql_body,
     hitting_probability_sql as _hitting_prob_sql_body,
@@ -2979,6 +2999,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "edge_persistence": f"{_G}, {tmp.edge_persistence_sql(86400)}",
         "strength_percentiles": f"{_G}, {_WEDGES}, {st.strength_percentiles_sql()}",
+        # wave 40
+        "hub_distance5": f"{_G}, {_hub_distance_sql_body(5, unroll=20)}",
+        "script_mix": tx.script_mix_sql("documents"),
+        "hourly_bursts": ev.hourly_bursts_sql("events", factor=2.0),
     }
 
 

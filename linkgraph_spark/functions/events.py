@@ -1991,3 +1991,76 @@ def trigram_paths_sql(
     SELECT t1, t2, t3, n FROM tp_tri
     ORDER BY n DESC, t1, t2, t3 LIMIT {N}
     """
+
+
+def hourly_bursts(events: DataFrame, factor: float = 2.0) -> DataFrame:
+    """→ ``[start_h, n_hours, total_events, peak]`` — burst episodes in
+    the hourly event stream: maximal runs of consecutive epoch-hours
+    whose DENSE count (missing hours are zeros) exceeds ``factor`` ×
+    the exact median hourly count, with each run's start hour, length,
+    volume, and peak. The triage view :func:`rate_anomaly`'s per-cell
+    z-scores don't give — one 6-hour incident is one row here, not six
+    scattered flags. Gaps-and-islands over the flagged hours
+    (``h − row_number()``), all on the tiny hour series.
+
+    Scale shape: one epoch-hour hash aggregate over E rows, then the
+    dense spine, the one-row median, the flag filter, and the run
+    aggregation all run on #hours rows.
+    """
+    if factor <= 0:
+        raise ValueError(f"factor must be > 0, got {factor}")
+    cnt = (
+        events.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = cnt.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("h"))
+    series = spine.join(cnt, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    med = series.agg(
+        F.round(F.expr("percentile(c, 0.5D)"), 6).alias("_med")
+    )
+    flagged = series.crossJoin(F.broadcast(med)).where(
+        F.col("c") > F.lit(float(factor)) * F.col("_med")
+    )
+    w = Window.orderBy("h")
+    runs = flagged.select(
+        "h", "c", (F.col("h") - F.row_number().over(w)).alias("grp")
+    )
+    return runs.groupBy("grp").agg(
+        F.min("h").alias("start_h"),
+        F.count("*").alias("n_hours"),
+        F.sum("c").alias("total_events"),
+        F.max("c").alias("peak"),
+    ).select("start_h", "n_hours", "total_events", "peak")
+
+
+def hourly_bursts_sql(table: str = "events", factor: float = 2.0) -> str:
+    """DuckDB oracle for :func:`hourly_bursts` (standalone query)."""
+    fac = float(factor)
+    return f"""
+    WITH hb_cnt AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS c
+      FROM {table} GROUP BY 1
+    ),
+    hb_b AS (SELECT min(h) AS mn, max(h) AS mx FROM hb_cnt),
+    hb_sp AS (SELECT unnest(range(mn, mx + 1)) AS h FROM hb_b),
+    hb_s AS (
+      SELECT s.h, coalesce(c.c, 0) AS c
+      FROM hb_sp s LEFT JOIN hb_cnt c ON c.h = s.h
+    ),
+    hb_m AS (SELECT round(quantile_cont(c, 0.5), 6) AS med FROM hb_s),
+    hb_f AS (
+      SELECT h, c FROM hb_s CROSS JOIN hb_m WHERE c > {fac!r} * med
+    ),
+    hb_r AS (
+      SELECT h, c, h - row_number() OVER (ORDER BY h) AS grp FROM hb_f
+    )
+    SELECT min(h) AS start_h, count(*) AS n_hours,
+           CAST(sum(c) AS BIGINT) AS total_events, max(c) AS peak
+    FROM hb_r GROUP BY grp
+    """

@@ -2062,3 +2062,56 @@ def source_term_divergence_sql(table: str = "documents") -> str:
     JOIN sd_tot pb ON pa.source < pb.source
     LEFT JOIN sd_sh s ON s.source_a = pa.source AND s.source_b = pb.source
     """
+
+
+_SCRIPTS = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("cjk", "[一-鿿]"),
+    ("hangul", "[가-힯]"),
+]
+
+
+def script_mix(documents: DataFrame) -> DataFrame:
+    """→ ``[scripts, n_docs]`` — the unicode-script mix census: each
+    document labeled by WHICH writing systems appear in it (fixed order
+    ``latin+cyrillic+greek+arabic+cjk+hangul``; ``none`` when no letter
+    of any tracked script occurs), bucketed into counts. Mixed-script
+    documents are the homoglyph-spoofing / encoding-breakage signature
+    — a crawl whose ``latin+cyrillic`` bucket suddenly grows is
+    shipping lookalike-character spam, and ``none`` rows are
+    symbol-only junk a tokenizer chokes on. Detection is per-script
+    literal char-class regexes, identical in Java and RE2.
+
+    Scale shape: map-only boolean projections + one hash aggregate on
+    the ≤ 2⁶+1 label key. No explode, no join.
+    """
+    label = F.concat_ws(
+        "+",
+        *[
+            F.when(F.col("text").rlike(pat), F.lit(name))
+            for name, pat in _SCRIPTS
+        ],
+    )
+    lab = F.when(label == "", "none").otherwise(label)
+    return documents.select(lab.alias("scripts")).groupBy("scripts").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def script_mix_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`script_mix` (standalone query)."""
+    parts = ", ".join(
+        f"CASE WHEN regexp_matches(text, '{pat}') THEN '{name}' END"
+        for name, pat in _SCRIPTS
+    )
+    return f"""
+    WITH sm_lab AS (
+      SELECT concat_ws('+', {parts}) AS raw FROM {table}
+    )
+    SELECT CASE WHEN raw = '' THEN 'none' ELSE raw END AS scripts,
+           count(*) AS n_docs
+    FROM sm_lab GROUP BY 1
+    """

@@ -199,3 +199,81 @@ def shortest_paths_weighted(
         converged=converged,
         metrics=metrics,
     )
+
+
+def hub_distance(graph: LinkGraph, k: int = 5, max_iterations: int = 50) -> DataFrame:
+    """→ ``[distance, n_vertices]`` — how far the graph sits from its own
+    infrastructure: the histogram of undirected BFS hop distance from
+    the nearest of the top-``k`` out-degree hubs (degree over the simple
+    directed edge list, ties by id ascending; unreached vertices are
+    excluded, so the histogram total vs |V| is the hub-unreachable
+    count). Mass at distance ≤ 2 says the hubs really do cover the
+    graph (a k-seed crawl or cache plan works); a fat tail says
+    coverage needs more seeds than the degree ranking suggests.
+
+    Scale shape: a k-row TakeOrdered hub list (O(k) driver collect —
+    the BFS init needs literal sources), then the standard multi-source
+    frontier BFS (one gather join per round over geometrically shrinking
+    frontiers), then a tiny distance-keyed histogram.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    hubs = [
+        r.id
+        for r in deg.orderBy(F.desc("deg"), F.asc("id")).limit(k).collect()
+    ]
+    res = shortest_paths(
+        graph, sources=hubs, max_iterations=max_iterations, directed=False
+    )
+    return res.distances.groupBy("distance").agg(
+        F.count("*").alias("n_vertices")
+    )
+
+
+def hub_distance_sql(k: int = 5, unroll: int = 20) -> str:
+    """DuckDB oracle body for :func:`hub_distance` (expects
+    ``verts``/``edges`` CTEs): hub selection + the unrolled undirected
+    multi-source BFS + the histogram."""
+    sent = UNREACHED
+    K = int(k)
+    ctes = [
+        """hd_e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    )""",
+        """hd_deg AS (SELECT src AS id, count(*) AS deg FROM hd_e GROUP BY src)""",
+        f"""hd_hubs AS (SELECT id FROM hd_deg ORDER BY deg DESC, id LIMIT {K})""",
+        """hd_und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    )""",
+        f"""hd0 AS (
+      SELECT id, CASE WHEN id IN (SELECT id FROM hd_hubs) THEN 0
+                      ELSE {sent} END AS d
+      FROM verts
+    )""",
+    ]
+    for t in range(1, int(unroll) + 1):
+        ctes.append(
+            f"""hd{t} AS MATERIALIZED (
+      SELECT d.id, least(d.d, coalesce(m.c, {sent})) AS d
+      FROM hd{t - 1} d
+      LEFT JOIN (
+        SELECT e.dst AS id, min(p.d) + 1 AS c
+        FROM hd_und e JOIN hd{t - 1} p ON e.src = p.id
+        WHERE p.d < {sent}
+        GROUP BY e.dst
+      ) m ON m.id = d.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT CAST(d AS BIGINT) AS distance, count(*) AS n_vertices
+    FROM hd{int(unroll)} WHERE d < {sent} GROUP BY 1
+    """
