@@ -1670,6 +1670,26 @@ def q_hourly_bursts(spark, sf_dir):
     return ev.hourly_bursts(_events(spark, sf_dir), factor=2.0)
 
 
+# ------------------------------------------------------------------- wave 41
+def q_attribution_paths(spark, sf_dir):
+    return ev.attribution_paths(_events(spark, sf_dir), target="purchase")
+
+
+def q_value_concentration(spark, sf_dir):
+    # whale audit: rank_concentration's quantile-threshold machinery over
+    # per-user summed value (rounded 6dp so both engines bucket alike)
+    users = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(F.round(F.sum("value"), 6).alias("rank"))
+    )
+    return st.rank_concentration(users, fracs=(0.01, 0.10))
+
+
+def q_centroid_stability(spark, sf_dir):
+    return sim.centroid_stability(_embs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -1978,6 +1998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hub_distance5": q_hub_distance,
         "script_mix": q_script_mix,
         "hourly_bursts": q_hourly_bursts,
+        # -- wave 41 (new this session; front in r6 with the rest of 51+) ----
+        "attribution_paths": q_attribution_paths,
+        "value_concentration": q_value_concentration,
+        "centroid_stability": q_centroid_stability,
     }
 
 
@@ -3003,6 +3027,15 @@ def oracle_sql() -> dict[str, str]:
         "hub_distance5": f"{_G}, {_hub_distance_sql_body(5, unroll=20)}",
         "script_mix": tx.script_mix_sql("documents"),
         "hourly_bursts": ev.hourly_bursts_sql("events", factor=2.0),
+        # wave 41
+        "attribution_paths": ev.attribution_paths_sql("purchase", "events"),
+        "value_concentration": f"""WITH vc_r AS (
+      SELECT user_id AS id, round(sum(value), 6) AS rank
+      FROM events GROUP BY user_id
+    ),
+    {st.rank_concentration_sql('vc_r', fracs=(0.01, 0.10))}
+    """,
+        "centroid_stability": sim.centroid_stability_sql("embeddings"),
     }
 
 

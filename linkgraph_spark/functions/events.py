@@ -2064,3 +2064,102 @@ def hourly_bursts_sql(table: str = "events", factor: float = 2.0) -> str:
            CAST(sum(c) AS BIGINT) AS total_events, max(c) AS peak
     FROM hb_r GROUP BY grp
     """
+
+
+def attribution_paths(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ ``[first_touch, last_touch, n_users]`` — the joint
+    first-touch × last-touch attribution table over CONVERTED users:
+    the type of each user's first-ever event crossed with the type of
+    their last event strictly before the first ``target`` (``(none)``
+    when the conversion WAS their first event). :func:`attribution`
+    answers "which channel acquires"; the diagonal-vs-off-diagonal mass
+    here settles the first-vs-last-touch budget argument with data —
+    off-diagonal rows are journeys where the closer differs from the
+    opener, exactly the rows the two models fight over.
+
+    Scale shape: one per-user window for the first event, one min-ts
+    aggregate for the conversion time, one filtered per-user max for
+    the closer — all user-keyed and per-user bounded; final aggregate
+    is at most |types|²+|types| cells.
+    """
+    ts = F.unix_timestamp("ts")
+    e = events.select(
+        "user_id", "event_id", "event_type", ts.alias("ts_s")
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    first = (
+        e.withColumn("_rn", F.row_number().over(wl))
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    conv = (
+        e.where(F.col("event_type") == target)
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts_s", "event_id")).alias("c"))
+        .select("user_id", F.col("c.ts_s").alias("cts"), F.col("c.event_id").alias("cid"))
+    )
+    pre = e.join(conv, "user_id").where(
+        (F.col("ts_s") < F.col("cts"))
+        | ((F.col("ts_s") == F.col("cts")) & (F.col("event_id") < F.col("cid")))
+    )
+    last = (
+        pre.groupBy("user_id")
+        .agg(F.max(F.struct("ts_s", "event_id", "event_type")).alias("l"))
+        .select("user_id", F.col("l.event_type").alias("last_touch"))
+    )
+    j = (
+        conv.select("user_id")
+        .join(first, "user_id")
+        .join(last, "user_id", "left")
+        .select(
+            "first_touch",
+            F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+        )
+    )
+    return j.groupBy("first_touch", "last_touch").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+def attribution_paths_sql(target: str = "purchase", table: str = "events") -> str:
+    """DuckDB oracle for :func:`attribution_paths` (standalone query)."""
+    t = target.replace("'", "''")
+    return f"""
+    WITH ap_e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ),
+    ap_first AS (
+      SELECT user_id, event_type AS first_touch FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_s, event_id) AS rn
+        FROM ap_e
+      ) WHERE rn = 1
+    ),
+    ap_conv AS (
+      SELECT user_id, ts_s AS cts, event_id AS cid FROM (
+        SELECT user_id, ts_s, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_s, event_id) AS rn
+        FROM ap_e WHERE event_type = '{t}'
+      ) WHERE rn = 1
+    ),
+    ap_last AS (
+      SELECT user_id, event_type AS last_touch FROM (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts_s DESC, e.event_id DESC) AS rn
+        FROM ap_e e JOIN ap_conv c ON c.user_id = e.user_id
+        WHERE e.ts_s < c.cts OR (e.ts_s = c.cts AND e.event_id < c.cid)
+      ) WHERE rn = 1
+    )
+    SELECT f.first_touch,
+           coalesce(l.last_touch, '(none)') AS last_touch,
+           count(*) AS n_users
+    FROM ap_conv c
+    JOIN ap_first f ON f.user_id = c.user_id
+    LEFT JOIN ap_last l ON l.user_id = c.user_id
+    GROUP BY 1, 2
+    """

@@ -2161,3 +2161,87 @@ def quantize_recall_sql(
            round(coalesce(h.n_hits, 0) * 1.0 / c.n_exact, 6) AS recall
     FROM qr_cnt c LEFT JOIN qr_hits h ON h.query_id = c.query_id
     """
+
+
+def centroid_stability(embeddings: DataFrame) -> DataFrame:
+    """→ ``[label, n_even, n_odd, centroid_cos]`` — the split-half
+    stability audit: per label, the cosine between the mean vector of
+    its even-``vec_id`` half and its odd half. A label whose halves
+    barely agree (cos ≪ 1) has no coherent centroid — its
+    :func:`label_centroid_dists` / :func:`centroid_purity` numbers are
+    sampling noise, and any nearest-centroid routing built on it will
+    not reproduce on the next ingest. The deterministic stand-in for a
+    bootstrap, exact in both engines (NULL when a half is empty or
+    zero-norm).
+
+    Scale shape: one posexplode + a (label, parity, pos)-keyed mean
+    aggregate (constant ≤ |labels|·2·D cells), then O(labels·D)-row
+    arithmetic. One scan.
+    """
+    ex = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val"),
+    )
+    cent = ex.groupBy("label", "even", "pos").agg(
+        F.avg("val").alias("m"), F.count("*").alias("nd")
+    )
+    e = cent.where(F.col("even")).select(
+        "label", "pos", F.col("m").alias("me"), F.col("nd").alias("ne")
+    )
+    o = cent.where(~F.col("even")).select(
+        "label", "pos", F.col("m").alias("mo"), F.col("nd").alias("no")
+    )
+    j = e.join(o, ["label", "pos"])
+    agg = j.groupBy("label").agg(
+        F.first("ne").alias("ne"),
+        F.first("no").alias("no"),
+        F.sum(F.col("me") * F.col("mo")).alias("dot"),
+        F.sqrt(F.sum(F.col("me") * F.col("me"))).alias("nrm_e"),
+        F.sqrt(F.sum(F.col("mo") * F.col("mo"))).alias("nrm_o"),
+    )
+    return agg.select(
+        "label",
+        F.col("ne").cast("long").alias("n_even"),
+        F.col("no").cast("long").alias("n_odd"),
+        F.round(
+            F.when(
+                (F.col("nrm_e") > 0) & (F.col("nrm_o") > 0),
+                F.col("dot") / (F.col("nrm_e") * F.col("nrm_o")),
+            ),
+            6,
+        ).alias("centroid_cos"),
+    )
+
+
+def centroid_stability_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`centroid_stability` (standalone query)."""
+    return f"""
+    WITH cs_ex AS (
+      SELECT label, vec_id % 2 = 0 AS even,
+             unnest(range(len(v))) AS pos, unnest(v) AS val
+      FROM (SELECT label, vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM {table})
+    ),
+    cs_c AS (
+      SELECT label, even, pos, avg(val) AS m, count(*) AS nd
+      FROM cs_ex GROUP BY label, even, pos
+    ),
+    cs_j AS (
+      SELECT e.label, e.pos, e.m AS me, o.m AS mo, e.nd AS ne, o.nd AS no
+      FROM (SELECT * FROM cs_c WHERE even) e
+      JOIN (SELECT * FROM cs_c WHERE NOT even) o
+        ON o.label = e.label AND o.pos = e.pos
+    ),
+    cs_a AS (
+      SELECT label, first(ne) AS ne, first(no) AS no,
+             sum(me * mo) AS dot,
+             sqrt(sum(me * me)) AS nrm_e, sqrt(sum(mo * mo)) AS nrm_o
+      FROM cs_j GROUP BY label
+    )
+    SELECT label, CAST(ne AS BIGINT) AS n_even, CAST(no AS BIGINT) AS n_odd,
+           CASE WHEN nrm_e > 0 AND nrm_o > 0
+                THEN round(dot / (nrm_e * nrm_o), 6) END AS centroid_cos
+    FROM cs_a
+    """
