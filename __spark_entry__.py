@@ -1690,6 +1690,17 @@ def q_centroid_stability(spark, sf_dir):
     return sim.centroid_stability(_embs(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 42
+def q_degree_sweep(spark, sf_dir):
+    from linkgraph_spark.kernels.modularity import degree_sweep
+
+    return degree_sweep(_graph(spark, sf_dir), top_k=50)
+
+
+def q_entropy_rate(spark, sf_dir):
+    return ev.entropy_rate(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2002,6 +2013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_paths": q_attribution_paths,
         "value_concentration": q_value_concentration,
         "centroid_stability": q_centroid_stability,
+        # -- wave 42 (new this session; front in r6 with the rest of 51+) ----
+        "degree_sweep50": q_degree_sweep,
+        "entropy_rate": q_entropy_rate,
     }
 
 
@@ -2322,6 +2336,7 @@ from linkgraph_spark.kernels import temporal as tmp
 from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 from linkgraph_spark.kernels.kcore import core_profile_sql as _core_profile_sql_body
 from linkgraph_spark.kernels.paths import hub_distance_sql as _hub_distance_sql_body
+from linkgraph_spark.kernels.modularity import degree_sweep_sql as _degree_sweep_sql_body
 from linkgraph_spark.kernels.diffusion import (
     heat_kernel_sql as _heat_kernel_sql_body,
     hitting_probability_sql as _hitting_prob_sql_body,
@@ -3036,6 +3051,9 @@ def oracle_sql() -> dict[str, str]:
     {st.rank_concentration_sql('vc_r', fracs=(0.01, 0.10))}
     """,
         "centroid_stability": sim.centroid_stability_sql("embeddings"),
+        # wave 42
+        "degree_sweep50": f"{_G}, {_degree_sweep_sql_body(50)}",
+        "entropy_rate": ev.entropy_rate_sql("events"),
     }
 
 

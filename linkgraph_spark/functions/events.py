@@ -2163,3 +2163,74 @@ def attribution_paths_sql(target: str = "purchase", table: str = "events") -> st
     LEFT JOIN ap_last l ON l.user_id = c.user_id
     GROUP BY 1, 2
     """
+
+
+def entropy_rate(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ one-row ``[n_transitions, n_states, entropy_rate_bits,
+    max_bits, efficiency]`` — the empirical entropy rate of the
+    event-type chain: ``H = −Σ_{s,t} (n_st/N)·log₂ P(t|s)`` over
+    :func:`markov_transitions`' counts (source weights are the
+    empirical transition frequencies, conditionals the same rounded
+    ``prob`` both engines emit). ``max_bits = log₂(#source states)``
+    and ``efficiency = 1 − H/max`` is Shannon's redundancy: near 0 the
+    stream is a random walk over types (sequence features are
+    worthless); near 1 it's deterministic (one bot loop pretending to
+    be traffic). The one-number summary over
+    :func:`~linkgraph_spark.functions.events.transition_entropy`-style
+    per-state detail.
+
+    Scale shape: everything after :func:`markov_transitions`' ONE
+    user-keyed window runs on the ≤ |types|² transition table.
+    """
+    P = markov_transitions(events, gap_sec=gap_sec)
+    tot = P.agg(
+        F.sum("n_trans").alias("N"),
+        F.countDistinct("src_type").alias("n_states"),
+    )
+    h = (
+        P.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("N").alias("n_transitions"),
+            F.first("n_states").alias("n_states"),
+            F.round(
+                -F.sum(F.col("n_trans") / F.col("N") * F.log2("prob")), 6
+            ).alias("entropy_rate_bits"),
+        )
+    )
+    mx = F.log2(F.col("n_states").cast("double"))
+    return h.select(
+        "n_transitions",
+        "n_states",
+        "entropy_rate_bits",
+        F.round(mx, 6).alias("max_bits"),
+        F.round(
+            F.when(mx > 0, 1.0 - F.col("entropy_rate_bits") / mx), 6
+        ).alias("efficiency"),
+    )
+
+
+def entropy_rate_sql(table: str = "events", gap_sec: int = 1800) -> str:
+    """DuckDB oracle for :func:`entropy_rate` (standalone query)."""
+    return f"""
+    WITH er_p AS (
+      SELECT * FROM ({markov_transitions_sql(gap_sec, table)})
+    ),
+    er_t AS (
+      SELECT sum(n_trans) AS N, count(DISTINCT src_type) AS n_states
+      FROM er_p
+    ),
+    er_h AS (
+      SELECT first(t.N) AS n_transitions, first(t.n_states) AS n_states,
+             round(-sum(p.n_trans * 1.0 / t.N * log2(p.prob)), 6)
+               AS entropy_rate_bits
+      FROM er_p p CROSS JOIN er_t t
+    )
+    SELECT CAST(n_transitions AS BIGINT) AS n_transitions, n_states,
+           entropy_rate_bits,
+           round(log2(CAST(n_states AS DOUBLE)), 6) AS max_bits,
+           CASE WHEN n_states > 1
+                THEN round(1.0 - entropy_rate_bits
+                           / log2(CAST(n_states AS DOUBLE)), 6) END
+             AS efficiency
+    FROM er_h
+    """

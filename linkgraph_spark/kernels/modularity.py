@@ -541,3 +541,63 @@ def _sweep_sql_tail(pos_cte: str, top_k: int, p: str = "pps") -> str:
                 THEN round(cut * 1.0 / least(vol, 2 * m.m - vol), 6)
            END AS phi
     FROM {p}_sweep CROSS JOIN {p}_m m"""
+
+
+def degree_sweep(graph: LinkGraph, top_k: int = 50) -> DataFrame:
+    """→ ``[pos, id, phi]`` — the degree-ordered sweep-cut baseline:
+    conductance of every prefix of the top-``top_k`` vertices by
+    undirected degree (ties by id). This is the null hypothesis the
+    spectral and PPR sweeps must beat — if
+    :func:`~linkgraph_spark.kernels.spectral.fiedler_sweep` or
+    :func:`ppr_sweep` can't find a lower φ than "just take the hubs",
+    the graph has no community structure their extra supersteps could
+    exploit (and a hub-prefix φ near 0 flags a disconnected hub club).
+
+    Scale shape: one degree aggregate + a k-row TakeOrdered position
+    table, then the shared one-edge-pass difference-array sweep
+    (:func:`_sweep_curve`) — windows bounded by ``top_k`` only.
+    """
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    und = _oriented(graph.edges)
+    degu = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    worder = Window.orderBy(F.desc("deg"), F.asc("id"))
+    pos_t = (
+        degu.orderBy(F.desc("deg"), F.asc("id"))
+        .limit(top_k)
+        .select("id", F.row_number().over(worder).alias("pos"))
+        .persist()
+    )
+    out = _sweep_curve(und, pos_t, top_k).localCheckpoint()
+    pos_t.unpersist()
+    return out
+
+
+def degree_sweep_sql(top_k: int = 50) -> str:
+    """DuckDB oracle body for :func:`degree_sweep` (expects ``edges``
+    in scope)."""
+    K = int(top_k)
+    return f"""dsw0_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    dsw0_deg AS (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM dsw0_und UNION ALL SELECT b AS id FROM dsw0_und
+      ) GROUP BY id
+    ),
+    dsw_pos AS MATERIALIZED (
+      SELECT id, pos FROM (
+        SELECT id, row_number() OVER (ORDER BY deg DESC, id) AS pos
+        FROM dsw0_deg
+      ) WHERE pos <= {K}
+    ),
+    {_sweep_sql_tail("dsw_pos", K, p="dsw")}
+    """
