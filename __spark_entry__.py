@@ -1701,6 +1701,21 @@ def q_entropy_rate(spark, sf_dir):
     return ev.entropy_rate(_events(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 43
+def q_dow_profile(spark, sf_dir):
+    return ev.dow_profile(_events(spark, sf_dir))
+
+
+def q_tool_latency(spark, sf_dir):
+    return tscr.tool_latency(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    )
+
+
+def q_knn_confusion(spark, sf_dir):
+    return sim.knn_confusion(_embs(spark, sf_dir), n_queries=10, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2016,6 +2031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 42 (new this session; front in r6 with the rest of 51+) ----
         "degree_sweep50": q_degree_sweep,
         "entropy_rate": q_entropy_rate,
+        # -- wave 43 (new this session; front in r6 with the rest of 51+) ----
+        "dow_profile": q_dow_profile,
+        "tool_latency": q_tool_latency,
+        "knn_confusion10": q_knn_confusion,
     }
 
 
@@ -3054,6 +3073,15 @@ def oracle_sql() -> dict[str, str]:
         # wave 42
         "degree_sweep50": f"{_G}, {_degree_sweep_sql_body(50)}",
         "entropy_rate": ev.entropy_rate_sql("events"),
+        # wave 43
+        "dow_profile": ev.dow_profile_sql("events"),
+        "tool_latency": (
+            f"WITH tl_t AS MATERIALIZED ({_T_SQL}),"
+            f"{tscr.tool_latency_sql('tl_t')}"
+        ),
+        "knn_confusion10": sim.knn_confusion_sql(
+            "embeddings", n_queries=10, k=10
+        ),
     }
 
 

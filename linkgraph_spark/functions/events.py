@@ -2234,3 +2234,52 @@ def entropy_rate_sql(table: str = "events", gap_sec: int = 1800) -> str:
              AS efficiency
     FROM er_h
     """
+
+
+def dow_profile(events: DataFrame) -> DataFrame:
+    """→ ``[dow, n_events, share, avg_value, total_value]`` — the
+    day-of-week seasonality profile (0 = Monday .. 6 = Sunday, computed
+    as ``(epoch_day + 3) % 7`` so both engines share one convention
+    instead of their conflicting ``dayofweek`` builtins). The weekly
+    rhythm :func:`hourly_profile` folds away — weekday/weekend mix
+    drives batch-window and anomaly-baseline choices one level above
+    the hourly curve, and ``total_value`` adds the revenue weighting
+    counts alone hide.
+
+    Scale shape: one map-only projection + one 7-cell hash aggregate
+    (map-side combinable); the share normalizer is a window over ≤ 7
+    rows.
+    """
+    dow = (
+        (F.floor(F.unix_timestamp("ts") / 86400) + 3) % 7
+    ).cast("int")
+    cells = events.select(dow.alias("dow"), "value").groupBy("dow").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "n_events",
+        F.round(F.col("n_events") / F.sum("n_events").over(w), 6).alias("share"),
+        "avg_value",
+        "total_value",
+    )
+
+
+def dow_profile_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`dow_profile` (standalone query)."""
+    return f"""
+    WITH dp_cells AS (
+      SELECT CAST((floor(epoch(ts) / 86400) + 3) % 7 AS INTEGER) AS dow,
+             count(*) AS n_events,
+             round(avg(value), 6) AS avg_value,
+             round(sum(value), 6) AS total_value
+      FROM {table} GROUP BY 1
+    )
+    SELECT dow, n_events,
+           round(n_events / (sum(n_events) OVER ()), 6) AS share,
+           avg_value, total_value
+    FROM dp_cells
+    """

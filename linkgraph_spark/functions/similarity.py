@@ -2245,3 +2245,54 @@ def centroid_stability_sql(table: str = "embeddings") -> str:
                 THEN round(dot / (nrm_e * nrm_o), 6) END AS centroid_cos
     FROM cs_a
     """
+
+
+def knn_confusion(embeddings: DataFrame, n_queries: int = 10, k: int = 10) -> DataFrame:
+    """→ ``[q_label, n_label, n_votes]`` — the kNN label confusion
+    matrix: over the first ``n_queries`` vectors' exact cosine
+    top-``k`` neighbors, how many votes flow from each query label to
+    each neighbor label. The matrix view behind :func:`knn_mrr`'s
+    per-query scalar — a heavy off-diagonal cell names WHICH two
+    labels the embedding space actually confuses (the pair to merge,
+    re-annotate, or hard-negative-mine), where MRR only says
+    retrieval is poor.
+
+    Scale shape: the broadcast-query exact top-k plus two O(V) label
+    equi-joins and a ≤ |labels|² aggregate.
+    """
+    topk = cosine_topk(embeddings, n_queries, k)
+    lab = embeddings.select("vec_id", "label")
+    j = (
+        topk.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    return j.groupBy("q_label", "n_label").agg(F.count("*").alias("n_votes"))
+
+
+def knn_confusion_sql(
+    table: str = "embeddings", n_queries: int = 10, k: int = 10
+) -> str:
+    """DuckDB oracle for :func:`knn_confusion` (standalone query)."""
+    return f"""
+    WITH kc_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        {cosine_topk_sql(table, n_queries, k)}
+      )
+    )
+    SELECT ql.label AS q_label, nl.label AS n_label, count(*) AS n_votes
+    FROM kc_topk t
+    JOIN {table} ql ON ql.vec_id = t.query_id
+    JOIN {table} nl ON nl.vec_id = t.neighbor_id
+    GROUP BY 1, 2
+    """

@@ -562,3 +562,54 @@ def qa_length_corr_sql(transcripts_relation: str = "t") -> str:
            avg_q_chars, avg_a_chars
     FROM qa_m
     """
+
+
+def tool_latency(transcripts: DataFrame) -> DataFrame:
+    """→ ``[tool, n, p50_gap, p90_gap, max_gap]`` — per-tool response
+    latency: the seconds between a tool-invoking turn and the
+    conversation's NEXT turn (any role), summarized as exact
+    interpolated percentiles per tool. :func:`turn_latency` keys the
+    same gap by speaker-role pair; this keys it by WHICH tool ran — the
+    "which tool is slow" table an agent-ops dashboard leads with, and
+    the regression alarm when one tool's p90 jumps after a deploy.
+    Tool turns with no following turn (conversation enders) drop out.
+
+    Scale shape: ONE conv-keyed lead window (bounded by turns-per-conv)
+    + one hash aggregate on the tiny ``tool`` key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = transcripts.select(
+        "tool",
+        (
+            F.lead(F.unix_timestamp("ts")).over(w) - F.unix_timestamp("ts")
+        ).cast("double").alias("gap"),
+    ).where(F.col("tool").isNotNull() & F.col("gap").isNotNull())
+    return p.groupBy("tool").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(gap, 0.5D)"), 6).alias("p50_gap"),
+        F.round(F.expr("percentile(gap, 0.9D)"), 6).alias("p90_gap"),
+        F.max("gap").alias("max_gap"),
+    )
+
+
+def tool_latency_sql(transcripts_relation: str = "t") -> str:
+    """DuckDB oracle body for :func:`tool_latency` (expects the
+    transcript relation in scope under the given name)."""
+    return f"""
+    tl_p AS (
+      SELECT tool,
+             CAST(lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                  - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS gap
+      FROM {transcripts_relation}
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT tool, count(*) AS n,
+           round(quantile_cont(gap, 0.5), 6) AS p50_gap,
+           round(quantile_cont(gap, 0.9), 6) AS p90_gap,
+           max(gap) AS max_gap
+    FROM tl_p
+    WHERE tool IS NOT NULL AND gap IS NOT NULL
+    GROUP BY tool
+    """
