@@ -1716,6 +1716,23 @@ def q_knn_confusion(spark, sf_dir):
     return sim.knn_confusion(_embs(spark, sf_dir), n_queries=10, k=10)
 
 
+# ------------------------------------------------------------------- wave 44
+def q_barrat_clustering(spark, sf_dir):
+    from linkgraph_spark.kernels.triangles import barrat_clustering
+
+    return barrat_clustering(_wgraph(spark, sf_dir))
+
+
+def q_session_depth_curve(spark, sf_dir):
+    return ev.session_depth_curve(_events(spark, sf_dir), max_depth=20)
+
+
+def q_conv_arc(spark, sf_dir):
+    return tscr.conv_arc(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV), n_bins=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2035,6 +2052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_profile": q_dow_profile,
         "tool_latency": q_tool_latency,
         "knn_confusion10": q_knn_confusion,
+        # -- wave 44 (new this session; front in r6 with the rest of 51+) ----
+        "barrat_clustering": q_barrat_clustering,
+        "session_depth_curve": q_session_depth_curve,
+        "conv_arc10": q_conv_arc,
     }
 
 
@@ -3081,6 +3102,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_confusion10": sim.knn_confusion_sql(
             "embeddings", n_queries=10, k=10
+        ),
+        # wave 44
+        "barrat_clustering": f"{_G}, {_WEDGES}, {tri_mod.barrat_clustering_sql()}",
+        "session_depth_curve": ev.session_depth_curve_sql("events", max_depth=20),
+        "conv_arc10": (
+            f"WITH ca_t AS MATERIALIZED ({_T_SQL}),"
+            f"{tscr.conv_arc_sql('ca_t', n_bins=10)}"
         ),
     }
 

@@ -2283,3 +2283,79 @@ def dow_profile_sql(table: str = "events") -> str:
            avg_value, total_value
     FROM dp_cells
     """
+
+
+def session_depth_curve(
+    events: DataFrame, gap_sec: int = 1800, max_depth: int = 20
+) -> DataFrame:
+    """→ ``[depth, n_sessions, survival]`` — the session-depth survival
+    curve: for every depth 1..``max_depth``, how many sessions (by
+    :func:`sessionize`'s gap rule) contain at least that many events,
+    and the fraction of all sessions that do. The engagement funnel
+    behind a single mean-session-length number — a cliff at depth 2 is
+    the bounce wall, and the tail slope is what retention features
+    actually model.
+
+    Scale shape: :func:`sessionize`'s one user-keyed window, a session
+    count histogram, then a suffix cumulative sum over ≤ max observed
+    depth rows joined to a ``max_depth``-row spine.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    sess = sessionize(events, gap_sec=gap_sec).select("n_events")
+    hist = sess.groupBy(F.col("n_events").alias("sz")).agg(
+        F.count("*").alias("c")
+    )
+    tot = hist.agg(F.sum("c").alias("_t"))
+    spine = events.sparkSession.range(1, max_depth + 1).select(
+        F.col("id").alias("depth")
+    )
+    j = spine.join(hist, F.col("sz") >= F.col("depth"), "left")
+    out = j.groupBy("depth").agg(
+        F.sum(F.coalesce("c", F.lit(0))).alias("n_sessions")
+    )
+    return out.crossJoin(F.broadcast(tot)).select(
+        "depth",
+        "n_sessions",
+        F.round(F.col("n_sessions") / F.col("_t"), 6).alias("survival"),
+    )
+
+
+def session_depth_curve_sql(
+    table: str = "events", gap_sec: int = 1800, max_depth: int = 20
+) -> str:
+    """DuckDB oracle for :func:`session_depth_curve` (standalone)."""
+    G, D = int(gap_sec), int(max_depth)
+    return f"""
+    WITH sd_e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ),
+    sd_l AS (
+      SELECT user_id, ts_s, event_id,
+             CASE WHEN ts_s - lag(ts_s) OVER w IS NULL
+                       OR ts_s - lag(ts_s) OVER w > {G} THEN 1 ELSE 0 END AS ns
+      FROM sd_e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    sd_s AS (
+      SELECT user_id,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM sd_l
+    ),
+    sd_hist AS (
+      SELECT sz, count(*) AS c FROM (
+        SELECT count(*) AS sz FROM sd_s GROUP BY user_id, sid
+      ) GROUP BY sz
+    ),
+    sd_tot AS (SELECT sum(c) AS t FROM sd_hist),
+    sd_spine AS (SELECT unnest(range(1, {D + 1})) AS depth)
+    SELECT s.depth,
+           CAST(coalesce(sum(h.c), 0) AS BIGINT) AS n_sessions,
+           round(coalesce(sum(h.c), 0) * 1.0 / first(t.t), 6) AS survival
+    FROM sd_spine s
+    LEFT JOIN sd_hist h ON h.sz >= s.depth
+    CROSS JOIN sd_tot t
+    GROUP BY s.depth
+    """

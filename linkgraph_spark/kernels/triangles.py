@@ -500,3 +500,125 @@ def clustering_by_degree_sql() -> str:
     SELECT deg, count(*) AS n_vertices, round(avg(lcc), 6) AS avg_lcc
     FROM cd_lcc GROUP BY deg
     """
+
+
+def barrat_clustering(graph: LinkGraph) -> DataFrame:
+    """→ ``[id, k, strength, cw]`` — the Barrat et al. (PNAS 2004)
+    weighted local clustering coefficient over the symmetrised weighted
+    graph (undirected edge weight = summed multiplicity of both
+    directions): ``c_w(v) = 1/(s_v·(k_v−1)) · Σ_{triangles (v,j,h)}
+    (w_vj + w_vh)/2``. Against the unweighted
+    :func:`clustering_coefficient`, ``cw > lcc`` says a vertex's
+    triangles carry its HEAVY edges (cohesive community traffic),
+    ``cw < lcc`` that its weight flows down tree-like spokes while the
+    triangles are incidental — the distinction a weighted-graph
+    sampler or community detector actually cares about. Requires
+    ``build_graph(..., weighted=True)``; vertices with k < 2 emit 0.0.
+
+    Scale shape: the degree-ordered triangle enumeration with the two
+    v-incident weights carried through (explode to per-member rows —
+    the same one-pass trick as :func:`triangles_per_vertex`), plus one
+    strength/degree aggregate and an O(V) join.
+    """
+    if "weight" not in graph.edges.columns:
+        raise ValueError("barrat_clustering needs a weighted graph "
+                         "(build_graph(..., weighted=True))")
+    und = (
+        graph.edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("weight").cast("double").alias("w"))
+    )
+    e1 = und.select("a", "b", F.col("w").alias("w_ab"))
+    e2 = und.select(
+        F.col("a").alias("b"), F.col("b").alias("c"), F.col("w").alias("w_bc")
+    )
+    e3 = und.select(
+        F.col("a").alias("a3"), F.col("b").alias("c3"), F.col("w").alias("w_ac")
+    )
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c", "w_ab", "w_bc", "w_ac")
+    )
+    # ordered-pair sum: each triangle contributes (w_ij + w_ih) at vertex i
+    # ((w_ij+w_ih)/2 summed over BOTH orders of (j,h)) — with uniform
+    # weights this reduces exactly to the unweighted lcc
+    member = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("id"), (F.col("w_ab") + F.col("w_ac")).alias("x")),
+                F.struct(F.col("b").alias("id"), (F.col("w_ab") + F.col("w_bc")).alias("x")),
+                F.struct(F.col("c").alias("id"), (F.col("w_bc") + F.col("w_ac")).alias("x")),
+            )
+        ).alias("m")
+    ).select("m.id", "m.x")
+    tw = member.groupBy("id").agg(F.sum("x").alias("tw"))
+    both = und.select("a", "b", "w").unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    sk = both.groupBy(F.col("a").alias("id")).agg(
+        F.count("*").alias("k"), F.sum("w").alias("s")
+    )
+    cw = F.when(
+        (F.col("k") >= 2) & (F.col("s") > 0),
+        F.round(
+            F.coalesce("tw", F.lit(0.0)) / (F.col("s") * (F.col("k") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        graph.vertices.select("id")
+        .join(sk, "id", "left")
+        .join(tw, "id", "left")
+        .select(
+            "id",
+            F.coalesce("k", F.lit(0)).alias("k"),
+            F.round(F.coalesce("s", F.lit(0.0)), 6).alias("strength"),
+            F.coalesce(cw, F.lit(0.0)).alias("cw"),
+        )
+    )
+
+
+def barrat_clustering_sql() -> str:
+    """DuckDB oracle body (expects ``verts`` + ``edges_w`` CTEs in scope)."""
+    return """
+    bw_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(sum(weight) AS DOUBLE) AS w
+      FROM edges_w WHERE src <> dst GROUP BY 1, 2
+    ),
+    bw_tri AS MATERIALIZED (
+      SELECT e1.a, e1.b, e2.b AS c, e1.w AS w_ab, e2.w AS w_bc, e3.w AS w_ac
+      FROM bw_und e1
+      JOIN bw_und e2 ON e2.a = e1.b
+      JOIN bw_und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    bw_tw AS (
+      SELECT id, sum(x) AS tw FROM (
+        SELECT a AS id, w_ab + w_ac AS x FROM bw_tri
+        UNION ALL SELECT b, w_ab + w_bc FROM bw_tri
+        UNION ALL SELECT c, w_bc + w_ac FROM bw_tri
+      ) GROUP BY id
+    ),
+    bw_sk AS (
+      SELECT id, count(*) AS k, sum(w) AS s FROM (
+        SELECT a AS id, w FROM bw_und UNION ALL SELECT b, w FROM bw_und
+      ) GROUP BY id
+    )
+    SELECT v.id,
+           coalesce(sk.k, 0) AS k,
+           round(coalesce(sk.s, 0.0), 6) AS strength,
+           CASE WHEN coalesce(sk.k, 0) >= 2 AND sk.s > 0
+                THEN round(coalesce(t.tw, 0.0) / (sk.s * (sk.k - 1)), 6)
+                ELSE 0.0 END AS cw
+    FROM verts v
+    LEFT JOIN bw_sk sk ON sk.id = v.id
+    LEFT JOIN bw_tw t ON t.id = v.id
+    """

@@ -613,3 +613,63 @@ def tool_latency_sql(transcripts_relation: str = "t") -> str:
     WHERE tool IS NOT NULL AND gap IS NOT NULL
     GROUP BY tool
     """
+
+
+def conv_arc(transcripts: DataFrame, n_bins: int = 10) -> DataFrame:
+    """→ ``[bin, role, n_turns, share]`` — the conversation arc: every
+    turn mapped to a relative-position bin (``floor(turn_idx·n_bins /
+    n_turns)``, 0 = opening, n_bins−1 = closing) and counted per role,
+    with each bin's role share. The shape report for a dialog corpus —
+    healthy assistant data shows system mass pinned to bin 0 and
+    user/assistant alternation through the middle; user mass
+    accumulating at the end is the unanswered-question signature a
+    training mix should downweight.
+
+    Scale shape: one conv-keyed count aggregate joined back (both sides
+    hash-partitioned on ``conv_id``), a map-only bin projection, one
+    hash aggregate on the ≤ n_bins·|roles| key, and a share window over
+    those cells.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    from pyspark.sql import Window
+
+    lens = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns_c"))
+    b = F.floor(F.col("turn_idx") * n_bins / F.col("n_turns_c")).cast("int")
+    binned = (
+        transcripts.select("conv_id", "turn_idx", "role")
+        .join(lens, "conv_id")
+        .select(F.least(b, F.lit(n_bins - 1)).alias("bin"), "role")
+    )
+    cells = binned.groupBy("bin", "role").agg(F.count("*").alias("n_turns"))
+    w = Window.partitionBy("bin")
+    return cells.select(
+        "bin",
+        "role",
+        "n_turns",
+        F.round(F.col("n_turns") / F.sum("n_turns").over(w), 6).alias("share"),
+    )
+
+
+def conv_arc_sql(transcripts_relation: str = "t", n_bins: int = 10) -> str:
+    """DuckDB oracle body for :func:`conv_arc` (expects the transcript
+    relation in scope under the given name)."""
+    B = int(n_bins)
+    return f"""
+    ca_len AS (
+      SELECT conv_id, count(*) AS n_turns_c
+      FROM {transcripts_relation} GROUP BY conv_id
+    ),
+    ca_b AS (
+      SELECT least(CAST(floor(t.turn_idx * {B} / l.n_turns_c) AS INTEGER),
+                   {B - 1}) AS bin,
+             t.role
+      FROM {transcripts_relation} t JOIN ca_len l ON l.conv_id = t.conv_id
+    ),
+    ca_c AS (
+      SELECT bin, role, count(*) AS n_turns FROM ca_b GROUP BY bin, role
+    )
+    SELECT bin, role, n_turns,
+           round(n_turns / (sum(n_turns) OVER (PARTITION BY bin)), 6) AS share
+    FROM ca_c
+    """
