@@ -1733,6 +1733,23 @@ def q_conv_arc(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------- wave 45
+def q_elbow_curve(spark, sf_dir):
+    from linkgraph_spark.kernels.kmeans import elbow_curve
+
+    return elbow_curve(_embs(spark, sf_dir), ks=(2, 4, 8), iterations=4)
+
+
+def q_type_user_jaccard(spark, sf_dir):
+    return ev.type_user_jaccard(_events(spark, sf_dir))
+
+
+def q_tool_jaccard(spark, sf_dir):
+    return tscr.tool_jaccard(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2056,6 +2073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "barrat_clustering": q_barrat_clustering,
         "session_depth_curve": q_session_depth_curve,
         "conv_arc10": q_conv_arc,
+        # -- wave 45 (new this session; front in r6 with the rest of 51+) ----
+        "elbow_curve": q_elbow_curve,
+        "type_user_jaccard": q_type_user_jaccard,
+        "tool_jaccard": q_tool_jaccard,
     }
 
 
@@ -2377,6 +2398,7 @@ from linkgraph_spark.kernels.kcore import k_core_sql as _kcore_sql_body
 from linkgraph_spark.kernels.kcore import core_profile_sql as _core_profile_sql_body
 from linkgraph_spark.kernels.paths import hub_distance_sql as _hub_distance_sql_body
 from linkgraph_spark.kernels.modularity import degree_sweep_sql as _degree_sweep_sql_body
+from linkgraph_spark.kernels.kmeans import elbow_curve_sql as _elbow_sql_body
 from linkgraph_spark.kernels.diffusion import (
     heat_kernel_sql as _heat_kernel_sql_body,
     hitting_probability_sql as _hitting_prob_sql_body,
@@ -3109,6 +3131,13 @@ def oracle_sql() -> dict[str, str]:
         "conv_arc10": (
             f"WITH ca_t AS MATERIALIZED ({_T_SQL}),"
             f"{tscr.conv_arc_sql('ca_t', n_bins=10)}"
+        ),
+        # wave 45
+        "elbow_curve": _elbow_sql_body("embeddings", ks=(2, 4, 8), iterations=4),
+        "type_user_jaccard": ev.type_user_jaccard_sql("events"),
+        "tool_jaccard": (
+            f"WITH tjx_t AS MATERIALIZED ({_T_SQL}),"
+            f"{tscr.tool_jaccard_sql('tjx_t')}"
         ),
     }
 

@@ -2359,3 +2359,69 @@ def session_depth_curve_sql(
     CROSS JOIN sd_tot t
     GROUP BY s.depth
     """
+
+
+def type_user_jaccard(events: DataFrame) -> DataFrame:
+    """→ ``[type_a, type_b, n_a, n_b, inter, jaccard]`` — user-base
+    overlap between event types: for every unordered type pair, the
+    Jaccard of their distinct-user sets. Where :func:`session_pairs`
+    measures within-session co-occurrence lift, this is the audience
+    view — error's user set engulfing purchase's names the cohort to
+    triage, and a near-zero overlap between view and signup says the
+    funnels serve different populations. All pairs emitted, including
+    zero-overlap ones.
+
+    Scale shape: one (type, user) dedup aggregate, one user-keyed
+    self-equi-join between type sets (each user contributes
+    |their types|² ≤ |types|² rows), |types|-row cross join for the
+    pair spine. Nothing groups by user beyond the dedup.
+    """
+    tu = events.select("event_type", "user_id").distinct()
+    cnt = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    pairs = ca.crossJoin(cb).where(F.col("type_a") < F.col("type_b"))
+    return pairs.join(inter, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.coalesce("inter", F.lit(0)).alias("inter"),
+        F.round(
+            F.coalesce("inter", F.lit(0))
+            / (F.col("n_a") + F.col("n_b") - F.coalesce("inter", F.lit(0))),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def type_user_jaccard_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`type_user_jaccard` (standalone query)."""
+    return f"""
+    WITH tj_tu AS (
+      SELECT DISTINCT event_type, user_id FROM {table}
+    ),
+    tj_c AS (SELECT event_type, count(*) AS n FROM tj_tu GROUP BY event_type),
+    tj_i AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS inter
+      FROM tj_tu a JOIN tj_tu b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+           ca.n AS n_a, cb.n AS n_b,
+           coalesce(i.inter, 0) AS inter,
+           round(coalesce(i.inter, 0) * 1.0
+                 / (ca.n + cb.n - coalesce(i.inter, 0)), 6) AS jaccard
+    FROM tj_c ca
+    JOIN tj_c cb ON ca.event_type < cb.event_type
+    LEFT JOIN tj_i i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+    """

@@ -464,3 +464,46 @@ def kcenter_sql(table: str = "embeddings", k: int = 8) -> str:
     WITH {body}
     SELECT center_rank, vec_id, dist2 FROM kc_sel{k}
     """
+
+
+def elbow_curve(
+    embeddings: DataFrame, ks: tuple = (2, 4, 8), iterations: int = 4
+) -> DataFrame:
+    """→ ``[k, inertia]`` — the k-means elbow curve: total within-cluster
+    sum of squared distances after the deterministic Lloyd run, one row
+    per requested ``k``. The capacity-choice chart behind every "why
+    k=8?" — the elbow (marginal inertia gain collapsing) is where extra
+    centroids stop buying structure, and a curve with NO elbow says the
+    corpus has no cluster granularity at these scales (consistent with
+    a flat :func:`~linkgraph_spark.kernels.pca.pca_power` spectrum).
+    Each run uses the same deterministic init (centroid j = vec_id j),
+    so the curve is reproducible and engine-portable.
+
+    Scale shape: |ks| independent Lloyd chains — each one literal-
+    codebook map-only assignment + a k-cell aggregate per iteration
+    (the :func:`kmeans` shape); the curve itself is |ks| rows.
+    """
+    if not ks or any(int(k) < 1 for k in ks):
+        raise ValueError(f"ks must be positive ints, got {ks!r}")
+    out = None
+    for k in sorted(int(k) for k in ks):
+        prof = kmeans_profile(embeddings, k=k, iterations=iterations)
+        one = prof.agg(
+            F.round(F.sum("inertia"), 3).alias("inertia")
+        ).select(F.lit(k).alias("k"), "inertia")
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+def elbow_curve_sql(
+    table: str = "embeddings", ks: tuple = (2, 4, 8), iterations: int = 4
+) -> str:
+    """DuckDB oracle for :func:`elbow_curve` — one unrolled Lloyd chain
+    per k, unioned."""
+    parts = [
+        f"""SELECT {int(k)} AS k, round(sum(inertia), 3) AS inertia FROM (
+      {kmeans_profile_sql(table, k=int(k), iterations=iterations)}
+    )"""
+        for k in sorted(int(k) for k in ks)
+    ]
+    return "\n    UNION ALL ".join(parts)

@@ -673,3 +673,73 @@ def conv_arc_sql(transcripts_relation: str = "t", n_bins: int = 10) -> str:
            round(n_turns / (sum(n_turns) OVER (PARTITION BY bin)), 6) AS share
     FROM ca_c
     """
+
+
+def tool_jaccard(transcripts: DataFrame) -> DataFrame:
+    """→ ``[tool_a, tool_b, n_a, n_b, inter, jaccard]`` — conversation-set
+    overlap between tools: for every unordered tool pair, the Jaccard of
+    the sets of conversations that invoked each. :func:`tool_bigrams`
+    counts ADJACENT invocations; this is the workflow-composition view —
+    tools that always co-occur are one capability split across two
+    names (bundle them in the training mix), tools that never do are
+    alternative routes. All pairs emitted, including zero overlap.
+
+    Scale shape: one (tool, conv) dedup aggregate, one conv-keyed
+    self-equi-join (each conversation contributes ≤ |its tools|² rows),
+    a |tools|-row pair spine.
+    """
+    tc = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select("tool", "conv_id")
+        .distinct()
+    )
+    cnt = tc.groupBy("tool").agg(F.count("*").alias("n"))
+    a = tc.select(F.col("tool").alias("tool_a"), "conv_id")
+    b = tc.select(F.col("tool").alias("tool_b"), "conv_id")
+    inter = (
+        a.join(b, "conv_id")
+        .where(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("tool").alias("tool_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("tool").alias("tool_b"), F.col("n").alias("n_b"))
+    pairs = ca.crossJoin(cb).where(F.col("tool_a") < F.col("tool_b"))
+    return pairs.join(inter, ["tool_a", "tool_b"], "left").select(
+        "tool_a",
+        "tool_b",
+        "n_a",
+        "n_b",
+        F.coalesce("inter", F.lit(0)).alias("inter"),
+        F.round(
+            F.coalesce("inter", F.lit(0))
+            / (F.col("n_a") + F.col("n_b") - F.coalesce("inter", F.lit(0))),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def tool_jaccard_sql(transcripts_relation: str = "t") -> str:
+    """DuckDB oracle body for :func:`tool_jaccard` (expects the
+    transcript relation in scope under the given name)."""
+    return f"""
+    tjx_tc AS (
+      SELECT DISTINCT tool, conv_id FROM {transcripts_relation}
+      WHERE tool IS NOT NULL
+    ),
+    tjx_c AS (SELECT tool, count(*) AS n FROM tjx_tc GROUP BY tool),
+    tjx_i AS (
+      SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS inter
+      FROM tjx_tc a JOIN tjx_tc b
+        ON b.conv_id = a.conv_id AND a.tool < b.tool
+      GROUP BY 1, 2
+    )
+    SELECT ca.tool AS tool_a, cb.tool AS tool_b,
+           ca.n AS n_a, cb.n AS n_b,
+           coalesce(i.inter, 0) AS inter,
+           round(coalesce(i.inter, 0) * 1.0
+                 / (ca.n + cb.n - coalesce(i.inter, 0)), 6) AS jaccard
+    FROM tjx_c ca
+    JOIN tjx_c cb ON ca.tool < cb.tool
+    LEFT JOIN tjx_i i ON i.tool_a = ca.tool AND i.tool_b = cb.tool
+    """
