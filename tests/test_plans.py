@@ -580,3 +580,61 @@ def test_trigram_paths_is_take_ordered(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     plan = _plan(trigram_paths(ev, top_n=5))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_wave40_45_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-40..45 operators stay JVM-side; cross joins are tiny spine or
+    one-row broadcast frames only."""
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.functions.events import (
+        attribution_paths,
+        dow_profile,
+        entropy_rate,
+        hourly_bursts,
+        session_depth_curve,
+        type_user_jaccard,
+    )
+    from linkgraph_spark.functions.similarity import (
+        centroid_stability,
+        knn_confusion,
+    )
+    from linkgraph_spark.functions.text import script_mix
+    from linkgraph_spark.kernels.kmeans import elbow_curve
+    from linkgraph_spark.kernels.modularity import degree_sweep
+    from linkgraph_spark.kernels.paths import hub_distance
+    from linkgraph_spark.kernels.triangles import barrat_clustering
+    from linkgraph_spark.transcripts import (
+        conv_arc,
+        tool_jaccard,
+        tool_latency,
+        transcripts_from_events,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = transcripts_from_events(spark, sf_dir)
+    g = build_graph(t)
+    gw = build_graph(t, weighted=True)
+    for df in (
+        hub_distance(g, k=3, max_iterations=8),
+        script_mix(docs),
+        hourly_bursts(ev),
+        attribution_paths(ev),
+        centroid_stability(embs),
+        degree_sweep(g, top_k=10),
+        entropy_rate(ev),
+        dow_profile(ev),
+        tool_latency(t),
+        knn_confusion(embs, n_queries=3, k=3),
+        barrat_clustering(gw),
+        session_depth_curve(ev, max_depth=5),
+        conv_arc(t, n_bins=4),
+        elbow_curve(embs, ks=(2,), iterations=2),
+        type_user_jaccard(ev),
+        tool_jaccard(t),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
