@@ -1750,6 +1750,17 @@ def q_tool_jaccard(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------- wave 46
+def q_pq_distortion(spark, sf_dir):
+    from linkgraph_spark.kernels.kmeans import pq_distortion
+
+    return pq_distortion(_embs(spark, sf_dir), subvectors=2, k=8, iterations=2)
+
+
+def q_repeat_purchase(spark, sf_dir):
+    return ev.repeat_purchase(_events(spark, sf_dir), target="purchase")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2077,6 +2088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elbow_curve": q_elbow_curve,
         "type_user_jaccard": q_type_user_jaccard,
         "tool_jaccard": q_tool_jaccard,
+        # -- wave 46 (new this session; front in r6 with the rest of 51+) ----
+        "pq_distortion": q_pq_distortion,
+        "repeat_purchase": q_repeat_purchase,
     }
 
 
@@ -2399,6 +2413,7 @@ from linkgraph_spark.kernels.kcore import core_profile_sql as _core_profile_sql_
 from linkgraph_spark.kernels.paths import hub_distance_sql as _hub_distance_sql_body
 from linkgraph_spark.kernels.modularity import degree_sweep_sql as _degree_sweep_sql_body
 from linkgraph_spark.kernels.kmeans import elbow_curve_sql as _elbow_sql_body
+from linkgraph_spark.kernels.kmeans import pq_distortion_sql as _pq_distortion_sql_body
 from linkgraph_spark.kernels.diffusion import (
     heat_kernel_sql as _heat_kernel_sql_body,
     hitting_probability_sql as _hitting_prob_sql_body,
@@ -3139,6 +3154,11 @@ def oracle_sql() -> dict[str, str]:
             f"WITH tjx_t AS MATERIALIZED ({_T_SQL}),"
             f"{tscr.tool_jaccard_sql('tjx_t')}"
         ),
+        # wave 46
+        "pq_distortion": _pq_distortion_sql_body(
+            "embeddings", subvectors=2, k=8, iterations=2
+        ),
+        "repeat_purchase": ev.repeat_purchase_sql("events", "purchase"),
     }
 
 

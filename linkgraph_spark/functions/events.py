@@ -2425,3 +2425,76 @@ def type_user_jaccard_sql(table: str = "events") -> str:
     JOIN tj_c cb ON ca.event_type < cb.event_type
     LEFT JOIN tj_i i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
     """
+
+
+def repeat_purchase(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ ``[n_purchases, n_users, user_share, value_share]`` — the repeat
+    histogram: users bucketed by how many ``target`` events they fired
+    (bucket 0 = never), each bucket's share of users and of total
+    ``target`` value. The loyalty curve behind
+    :func:`rfm_segments`' frequency tercile — value_share concentrating
+    in the high-count buckets is the repeat business every retention
+    budget assumes, and a value-heavy 1-bucket says growth is all
+    first-time (or fraud rotating accounts).
+
+    Scale shape: one user-keyed aggregate over the target-filtered
+    stream, an anti-join-free left join from the full user universe,
+    then a tiny count-keyed histogram with two share windows over its
+    rows.
+    """
+    t = target.replace("'", "''")
+    per = (
+        events.where(F.col("event_type") == target)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("np"),
+            F.round(F.sum("value"), 6).alias("val"),
+        )
+    )
+    users = events.select("user_id").distinct()
+    j = users.join(per, "user_id", "left").select(
+        F.coalesce("np", F.lit(0)).alias("n_purchases"),
+        F.coalesce("val", F.lit(0.0)).alias("val"),
+    )
+    hist = j.groupBy("n_purchases").agg(
+        F.count("*").alias("n_users"), F.sum("val").alias("_v")
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        "n_purchases",
+        "n_users",
+        F.round(F.col("n_users") / F.sum("n_users").over(w), 6).alias(
+            "user_share"
+        ),
+        F.round(
+            F.when(
+                F.sum("_v").over(w) > 0, F.col("_v") / F.sum("_v").over(w)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("value_share"),
+    )
+
+
+def repeat_purchase_sql(table: str = "events", target: str = "purchase") -> str:
+    """DuckDB oracle for :func:`repeat_purchase` (standalone query)."""
+    t = target.replace("'", "''")
+    return f"""
+    WITH rp_per AS (
+      SELECT user_id, count(*) AS np, round(sum(value), 6) AS val
+      FROM {table} WHERE event_type = '{t}' GROUP BY user_id
+    ),
+    rp_u AS (SELECT DISTINCT user_id FROM {table}),
+    rp_j AS (
+      SELECT coalesce(p.np, 0) AS n_purchases, coalesce(p.val, 0.0) AS val
+      FROM rp_u u LEFT JOIN rp_per p ON p.user_id = u.user_id
+    ),
+    rp_h AS (
+      SELECT n_purchases, count(*) AS n_users, sum(val) AS v
+      FROM rp_j GROUP BY n_purchases
+    )
+    SELECT n_purchases, n_users,
+           round(n_users / (sum(n_users) OVER ()), 6) AS user_share,
+           round(CASE WHEN sum(v) OVER () > 0
+                      THEN v / (sum(v) OVER ()) ELSE 0.0 END, 6) AS value_share
+    FROM rp_h
+    """

@@ -507,3 +507,91 @@ def elbow_curve_sql(
         for k in sorted(int(k) for k in ks)
     ]
     return "\n    UNION ALL ".join(parts)
+
+
+def pq_distortion(
+    embeddings: DataFrame, subvectors: int = 2, k: int = 8, iterations: int = 2
+) -> DataFrame:
+    """→ one-row ``[n_vectors, subvectors, total_sq, mse_per_dim]`` —
+    the product-quantization reconstruction audit: total squared error
+    of the :func:`pq_codes` codebooks (sum over every vector's slices of
+    its distance² to the assigned sub-centroid) and the per-dimension
+    MSE. The PQ twin of
+    :func:`~linkgraph_spark.functions.similarity.embedding_quantize`'s
+    scalar-quantization columns — together they price the two standard
+    compression choices on the same corpus, BEFORE
+    :func:`~linkgraph_spark.functions.similarity.quantize_recall`
+    prices the retrieval impact. Per-slice sqd is rounded to 6dp (the
+    :func:`kmeans` output contract) so both engines aggregate identical
+    cells.
+
+    Scale shape: per subvector the zero-shuffle literal-codebook
+    assignment; the audit adds one global aggregate over the
+    (vector × subvector) sqd cells.
+    """
+    head = embeddings.select(F.size("embedding").alias("d")).head()
+    if head is None:
+        raise ValueError("pq_distortion needs a non-empty embeddings frame")
+    dims = int(head["d"])
+    if dims % subvectors != 0:
+        raise ValueError(f"dims {dims} not divisible by {subvectors} subvectors")
+    width = dims // subvectors
+    outs = []
+    for s in range(subvectors):
+        sub = embeddings.select(
+            "vec_id", F.slice("embedding", s * width + 1, width).alias("embedding")
+        )
+        base = _base(sub).persist()
+        try:
+            cents = _lloyd_centroids(base, k, iterations)
+        finally:
+            base.unpersist()
+        outs.append(
+            _assign(_base(sub), cents).select(F.round("sqd", 6).alias("sqd"))
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.agg(
+        (F.count("*") / subvectors).cast("long").alias("n_vectors"),
+        F.lit(int(subvectors)).alias("subvectors"),
+        F.round(F.sum("sqd"), 3).alias("total_sq"),
+        F.round(F.sum("sqd") / (F.count("*") / subvectors) / dims, 9).alias(
+            "mse_per_dim"
+        ),
+    )
+
+
+def pq_distortion_sql(
+    table: str = "embeddings",
+    subvectors: int = 2,
+    k: int = 8,
+    iterations: int = 2,
+    dims: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`pq_distortion` — the per-slice unrolled
+    chains of :func:`pq_codes_sql` with the sqd column kept."""
+    width = dims // subvectors
+    parts = []
+    for s in range(subvectors):
+        sub = (
+            f"(SELECT vec_id, embedding[{s * width + 1}:{(s + 1) * width}]"
+            f" AS embedding FROM {table})"
+        )
+        parts.append(
+            f"SELECT round(sqd, 6) AS sqd FROM (\n"
+            f"{_kmeans_ctes(sub, k, iterations)}\n"
+            f"    SELECT sqd FROM kfinal)"
+        )
+    union = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH pqd AS (
+      {union}
+    )
+    SELECT CAST(count(*) / {int(subvectors)} AS BIGINT) AS n_vectors,
+           {int(subvectors)} AS subvectors,
+           round(sum(sqd), 3) AS total_sq,
+           round(sum(sqd) / (count(*) / {int(subvectors)}) / {int(dims)}, 9)
+             AS mse_per_dim
+    FROM pqd
+    """
