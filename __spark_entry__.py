@@ -1777,8 +1777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. tool_jaccard — all of waves
-    2-45 plus the r4-green tail) must be fronted next round; every one of
+    from position 51 on (boruvka_msf .. repeat_purchase — all of waves
+    2-46 plus the r4-green tail) must be fronted next round; every one of
     the oracle-backed ones was verified ALL MATCH by tools/check_oracles.py
     at sf0.01 during round 5 (the 7 rows-only entries are pinned by exact
     pytest oracles instead)."""
