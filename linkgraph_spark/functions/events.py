@@ -2442,7 +2442,6 @@ def repeat_purchase(events: DataFrame, target: str = "purchase") -> DataFrame:
     then a tiny count-keyed histogram with two share windows over its
     rows.
     """
-    t = target.replace("'", "''")
     per = (
         events.where(F.col("event_type") == target)
         .groupBy("user_id")
@@ -2497,4 +2496,108 @@ def repeat_purchase_sql(table: str = "events", target: str = "purchase") -> str:
            round(CASE WHEN sum(v) OVER () > 0
                       THEN v / (sum(v) OVER ()) ELSE 0.0 END, 6) AS value_share
     FROM rp_h
+    """
+
+
+def entry_exit_matrix(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ ``[entry_type, exit_type, n_sessions, share]`` — the joint
+    entry×exit table over sessions (:func:`sessionize`'s gap rule):
+    which event type OPENED each session crossed with which CLOSED it
+    (single-event sessions land on the diagonal). The joint view behind
+    :func:`entry_exit_profile`'s marginals — a heavy
+    (view, error) cell is the journey that starts fine and dies, which
+    no per-type entry or exit rate can show.
+
+    Scale shape: one user-keyed session window (per-user bounded), one
+    per-session first/last aggregate via min/max over the (ts, event_id,
+    type) ordering struct, one ≤ |types|² histogram with a share window
+    over its cells.
+    """
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    gap = F.col("ts_s") - F.lag("ts_s").over(wl)
+    new_sess = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    sessed = e.select(
+        "user_id",
+        "ts_s",
+        "event_id",
+        "event_type",
+        F.sum(new_sess).over(w).alias("sid"),
+    )
+    per = sessed.groupBy("user_id", "sid").agg(
+        F.min(F.struct("ts_s", "event_id", "event_type")).alias("fst"),
+        F.max(F.struct("ts_s", "event_id", "event_type")).alias("lst"),
+    )
+    cells = per.select(
+        F.col("fst.event_type").alias("entry_type"),
+        F.col("lst.event_type").alias("exit_type"),
+    ).groupBy("entry_type", "exit_type").agg(F.count("*").alias("n_sessions"))
+    ww = Window.partitionBy()
+    return cells.select(
+        "entry_type",
+        "exit_type",
+        "n_sessions",
+        F.round(F.col("n_sessions") / F.sum("n_sessions").over(ww), 6).alias(
+            "share"
+        ),
+    )
+
+
+def entry_exit_matrix_sql(table: str = "events", gap_sec: int = 1800) -> str:
+    """DuckDB oracle for :func:`entry_exit_matrix` (standalone query)."""
+    G = int(gap_sec)
+    return f"""
+    WITH em_e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ),
+    em_l AS (
+      SELECT user_id, ts_s, event_id, event_type,
+             CASE WHEN ts_s - lag(ts_s) OVER w IS NULL
+                       OR ts_s - lag(ts_s) OVER w > {G} THEN 1 ELSE 0 END AS ns
+      FROM em_e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    em_s AS (
+      SELECT user_id, ts_s, event_id, event_type,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM em_l
+    ),
+    em_fst AS (
+      SELECT user_id, sid, event_type AS entry_type FROM (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts_s, event_id) AS rn
+        FROM em_s
+      ) WHERE rn = 1
+    ),
+    em_lst AS (
+      SELECT user_id, sid, event_type AS exit_type FROM (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts_s DESC, event_id DESC) AS rn
+        FROM em_s
+      ) WHERE rn = 1
+    ),
+    em_per AS (
+      SELECT f.user_id, f.sid, f.entry_type, l.exit_type
+      FROM em_fst f JOIN em_lst l
+        ON l.user_id = f.user_id AND l.sid = f.sid
+    ),
+    em_c AS (
+      SELECT entry_type, exit_type, count(*) AS n_sessions
+      FROM em_per GROUP BY entry_type, exit_type
+    )
+    SELECT entry_type, exit_type, n_sessions,
+           round(n_sessions / (sum(n_sessions) OVER ()), 6) AS share
+    FROM em_c
     """

@@ -2115,3 +2115,51 @@ def script_mix_sql(table: str = "documents") -> str:
            count(*) AS n_docs
     FROM sm_lab GROUP BY 1
     """
+
+
+def word_length_dist(documents: DataFrame, max_len: int = 20) -> DataFrame:
+    """→ ``[wlen, n_tokens, share]`` — the token-length histogram over
+    the whole corpus (lengths above ``max_len`` clamp into the top
+    bucket). The distribution behind :func:`quality_score`'s mean-word-
+    length band: natural language has a stable 3–8-char hump per
+    language, so a second mode at 1 (tokenizer shrapnel), a spike at
+    the clamp (URLs/hashes/base64), or a hump shift between ingests is
+    an encoding or extraction break caught before any model sees it.
+
+    Scale shape: one tokenize + a hash aggregate on the ≤ ``max_len``
+    integer key (map-side combinable); the share window runs over those
+    few rows.
+    """
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(F.explode(F.split(norm, " ")).alias("term"))
+    wl = F.least(F.length("term"), F.lit(int(max_len)))
+    cells = tok.select(wl.alias("wlen")).groupBy("wlen").agg(
+        F.count("*").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        "wlen",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("share"),
+    )
+
+
+def word_length_dist_sql(table: str = "documents", max_len: int = 20) -> str:
+    """DuckDB oracle for :func:`word_length_dist` (standalone query)."""
+    M = int(max_len)
+    return f"""
+    WITH wl_tok AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM {table}
+    ),
+    wl_c AS (
+      SELECT least(length(term), {M}) AS wlen, count(*) AS n_tokens
+      FROM wl_tok GROUP BY 1
+    )
+    SELECT wlen, n_tokens,
+           round(n_tokens / (sum(n_tokens) OVER ()), 6) AS share
+    FROM wl_c
+    """

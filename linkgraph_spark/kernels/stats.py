@@ -1426,3 +1426,78 @@ def strength_percentiles_sql(ps: tuple = (0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) -> s
     )
     {rows}
     """
+
+
+def inout_corr(graph: LinkGraph) -> DataFrame:
+    """→ one-row ``[n_vertices, corr, frac_in_heavy, frac_balanced]`` —
+    does receiving predict sending? The Pearson correlation between each
+    vertex's own in- and out-degree over the simple directed graph
+    (every vertex on either side counted, missing side = 0), plus the
+    share of vertices that are in-heavy (in > out) and exactly balanced.
+    :func:`directed_assortativity` asks how degrees mix ACROSS an edge;
+    this is the within-vertex version — high correlation is the
+    organic-participant signature, low-with-in-heavy-mass the
+    harvest/aggregator one. Zero variance → NULL (the usual guard).
+
+    Scale shape: two degree aggregates, one full-outer id join, one
+    global moment aggregate. No windows.
+    """
+    e = _simple_directed(graph.edges)
+    outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("idg"))
+    deg = outd.join(ind, "id", "full").select(
+        F.coalesce("od", F.lit(0)).alias("od"),
+        F.coalesce("idg", F.lit(0)).alias("idg"),
+    )
+    mom = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.covar_pop("od", "idg").alias("cv"),
+        F.stddev_pop("od").alias("so"),
+        F.stddev_pop("idg").alias("si"),
+        F.round(
+            F.avg(F.when(F.col("idg") > F.col("od"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_in_heavy"),
+        F.round(
+            F.avg(F.when(F.col("idg") == F.col("od"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_balanced"),
+    )
+    return mom.select(
+        "n_vertices",
+        F.round(
+            F.when(
+                (F.col("so") > 0) & (F.col("si") > 0),
+                F.col("cv") / (F.col("so") * F.col("si")),
+            ),
+            6,
+        ).alias("corr"),
+        "frac_in_heavy",
+        "frac_balanced",
+    )
+
+
+def inout_corr_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    return """
+    io_e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ),
+    io_deg AS (
+      SELECT coalesce(o.od, 0) AS od, coalesce(i.idg, 0) AS idg
+      FROM (SELECT src AS id, count(*) AS od FROM io_e GROUP BY src) o
+      FULL JOIN (SELECT dst AS id, count(*) AS idg FROM io_e GROUP BY dst) i
+        ON i.id = o.id
+    ),
+    io_m AS (
+      SELECT count(*) AS n_vertices, covar_pop(od, idg) AS cv,
+             stddev_pop(od) AS so, stddev_pop(idg) AS si,
+             round(avg(CASE WHEN idg > od THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_in_heavy,
+             round(avg(CASE WHEN idg = od THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_balanced
+      FROM io_deg
+    )
+    SELECT n_vertices,
+           CASE WHEN so > 0 AND si > 0 THEN round(cv / (so * si), 6) END AS corr,
+           frac_in_heavy, frac_balanced
+    FROM io_m
+    """
