@@ -2601,3 +2601,128 @@ def entry_exit_matrix_sql(table: str = "events", gap_sec: int = 1800) -> str:
            round(n_sessions / (sum(n_sessions) OVER ()), 6) AS share
     FROM em_c
     """
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """→ ``[week, n_new, n_retained, n_resurrected, n_churned,
+    quick_ratio]`` — standard weekly growth accounting over event
+    activity. Each active (user, week) is classified: *new* (first-ever
+    active week), *retained* (also active the immediately previous
+    week), *resurrected* (active before, but not last week); *churned*
+    at week w counts users active at w−1 but not at w (attributed to w,
+    reported only for weeks ≤ the last observed week). quick_ratio =
+    (new + resurrected) / churned, NULL when nothing churned — the
+    classic "is the water level rising" growth health metric that
+    :func:`dau_wau` stickiness can't answer (it has no user identity
+    across weeks).
+
+    Week key = floor(epoch/604800) — the same fixed-epoch binning as the
+    other weekly operators (no calendar/TZ dependence, replayable in
+    both engines).
+
+    Scale shape: one distinct over (user, week), one per-user lag/lead
+    window (bounded by a user's active weeks), two ≤|weeks| histograms
+    full-outer-joined; the global max week is a 1-row agg broadcast back
+    via cross join — no global window touches the big frame.
+    """
+    uw = (
+        events.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(604800)).alias("week"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    lab = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_w"),
+        F.lead("week").over(w).alias("next_w"),
+    )
+    status = lab.select(
+        "week",
+        F.when(F.col("prev_w").isNull(), F.lit("new"))
+        .when(F.col("prev_w") == F.col("week") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    )
+    counts = status.groupBy("week").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0)).alias(
+            "n_retained"
+        ),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0)).alias(
+            "n_resurrected"
+        ),
+    )
+    maxw = uw.agg(F.max("week").alias("max_week"))
+    churn = (
+        lab.join(F.broadcast(maxw), F.lit(True))
+        .where(
+            (F.col("next_w").isNull() | (F.col("next_w") > F.col("week") + 1))
+            & (F.col("week") + 1 <= F.col("max_week"))
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    out = counts.join(churn, "week", "full").select(
+        "week",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+        F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+    )
+    return out.select(
+        "*",
+        F.round(
+            F.when(
+                F.col("n_churned") > 0,
+                (F.col("n_new") + F.col("n_resurrected")) / F.col("n_churned"),
+            ),
+            6,
+        ).alias("quick_ratio"),
+    )
+
+
+def growth_accounting_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`growth_accounting` (standalone query)."""
+    return f"""
+    WITH ga_uw AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+      FROM {table}
+    ),
+    ga_lab AS (
+      SELECT user_id, week,
+             lag(week) OVER w AS prev_w, lead(week) OVER w AS next_w
+      FROM ga_uw WINDOW w AS (PARTITION BY user_id ORDER BY week)
+    ),
+    ga_counts AS (
+      SELECT week,
+             sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN prev_w = week - 1 THEN 1 ELSE 0 END) AS n_retained,
+             sum(CASE WHEN prev_w IS NOT NULL AND prev_w < week - 1
+                      THEN 1 ELSE 0 END) AS n_resurrected
+      FROM ga_lab GROUP BY week
+    ),
+    ga_max AS (SELECT max(week) AS max_week FROM ga_uw),
+    ga_churn AS (
+      SELECT week + 1 AS week, count(*) AS n_churned
+      FROM ga_lab, ga_max
+      WHERE (next_w IS NULL OR next_w > week + 1) AND week + 1 <= max_week
+      GROUP BY week + 1
+    ),
+    ga_out AS (
+      SELECT coalesce(c.week, ch.week) AS week,
+             coalesce(c.n_new, 0) AS n_new,
+             coalesce(c.n_retained, 0) AS n_retained,
+             coalesce(c.n_resurrected, 0) AS n_resurrected,
+             coalesce(ch.n_churned, 0) AS n_churned
+      FROM ga_counts c FULL JOIN ga_churn ch ON ch.week = c.week
+    )
+    SELECT week, n_new, n_retained, n_resurrected, n_churned,
+           CASE WHEN n_churned > 0
+                THEN round((n_new + n_resurrected) * 1.0 / n_churned, 6) END
+             AS quick_ratio
+    FROM ga_out
+    """

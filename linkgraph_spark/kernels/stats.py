@@ -1501,3 +1501,97 @@ def inout_corr_sql() -> str:
            frac_in_heavy, frac_balanced
     FROM io_m
     """
+
+
+def burt_constraint(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
+    """→ per-vertex ``[id, deg, constraint_score]`` — Burt's structural-
+    holes constraint (Burt 1992) over the simple UNDIRECTED graph with
+    uniform tie weights: p_ij = 1/deg_i, and
+
+        C_i = Σ_{j∈N(i)} ( p_ij + Σ_{q∈N(i)∩N(j)} p_iq · p_qj )²
+
+    High constraint = the ego's contacts all know each other (no
+    brokerage); low constraint = the ego bridges otherwise-disconnected
+    alters. The within-ego complement of :func:`~linkgraph_spark.kernels.
+    linkpred.neighborhood_overlap` (which scores one tie): here every
+    tie's redundancy is folded into a single ego score.
+
+    ``max_degree`` optionally drops middlemen q with deg_q > cap from the
+    indirect term only (the p_iq·p_qj sum) — the same hub knob as
+    ``adamic_adar``: a 10⁶-degree hub contributes ≤ deg·(1/deg_i)(1/10⁶)
+    per pair yet costs deg² wedge enumerations, so capping changes the
+    score negligibly while bounding the join. Direct ties are never
+    dropped, so deg and the p_ij term stay exact.
+
+    Scale shape: symmetric-adjacency dedup shuffle, one degree join, one
+    wedge equi-join (Σ_q deg_q² paths, hub-cappable), a (i,j)-keyed sum,
+    one left join back to ties, one per-vertex sum. No windows, no
+    cartesian, no driver loop.
+    """
+    sym = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("i"), F.col("dst").alias("j"))
+        .unionByName(
+            graph.edges.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("i"), F.col("src").alias("j")
+            )
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("i").agg(F.count("*").alias("deg"))
+    p = sym.join(deg, "i").select("i", "j", (F.lit(1.0) / F.col("deg")).alias("p"))
+    mid = p if max_degree is None else p.join(
+        deg.where(F.col("deg") <= int(max_degree)).select("i"), "i"
+    )
+    a = p.select(F.col("i").alias("ti"), F.col("j").alias("tq"), F.col("p").alias("pa"))
+    b = mid.select(F.col("i").alias("tq"), F.col("j").alias("tj"), F.col("p").alias("pb"))
+    two = (
+        a.join(b, "tq")
+        .where(F.col("tj") != F.col("ti"))
+        .groupBy(F.col("ti").alias("i"), F.col("tj").alias("j"))
+        .agg(F.sum(F.col("pa") * F.col("pb")).alias("ind"))
+    )
+    # NOTE: the cap keys on the MIDDLEMAN — b's rows are keyed by i = q,
+    # so filtering mid by deg_i ≤ cap removes exactly the wedges whose
+    # center is a hub; the inner join then drops the a side for free.
+    c = p.join(two, ["i", "j"], "left").select(
+        "i",
+        F.pow(F.col("p") + F.coalesce(F.col("ind"), F.lit(0.0)), F.lit(2.0)).alias("c"),
+    )
+    return (
+        c.groupBy(F.col("i").alias("id"))
+        .agg(F.count("*").alias("deg"), F.round(F.sum("c"), 6).alias("constraint_score"))
+    )
+
+
+def burt_constraint_sql(max_degree: int | None = None) -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    cap = (
+        "bc_p"
+        if max_degree is None
+        else f"(SELECT p.* FROM bc_p p JOIN bc_deg d ON d.i = p.i "
+        f"WHERE d.deg <= {int(max_degree)})"
+    )
+    return f"""
+    bc_sym AS MATERIALIZED (
+      SELECT src AS i, dst AS j FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS i, src AS j FROM edges WHERE src <> dst
+    ),
+    bc_deg AS (SELECT i, count(*) AS deg FROM bc_sym GROUP BY i),
+    bc_p AS (
+      SELECT s.i, s.j, 1.0 / d.deg AS p
+      FROM bc_sym s JOIN bc_deg d ON d.i = s.i
+    ),
+    bc_two AS (
+      SELECT a.i AS i, b.j AS j, sum(a.p * b.p) AS ind
+      FROM bc_p a JOIN {cap} b ON b.i = a.j AND b.j <> a.i
+      GROUP BY a.i, b.j
+    ),
+    bc_c AS (
+      SELECT p.i, pow(p.p + coalesce(t.ind, 0.0), 2) AS c
+      FROM bc_p p LEFT JOIN bc_two t ON t.i = p.i AND t.j = p.j
+    )
+    SELECT i AS id, count(*) AS deg, round(sum(c), 6) AS constraint_score
+    FROM bc_c GROUP BY i
+    """

@@ -835,3 +835,135 @@ def edge_persistence_sql(window_sec: int = 86400) -> str:
     )
     SELECT n_windows, count(*) AS n_edges FROM ep_per GROUP BY n_windows
     """
+
+
+def triadic_closure(
+    graph: LinkGraph, transcripts: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """→ one-row ``[t_split, n_open_wedges, n_closed_later, closure_rate]``
+    — the temporal triadic-closure rate: of the unordered pairs (a, c)
+    that were two-hops-apart-but-unlinked at the observation midpoint,
+    what fraction became directly linked afterwards? The empirical
+    footing for every common-neighbor link predictor in this repo
+    (``adamic_adar`` / ``link_scores``): it measures how often the open
+    wedge actually closes on THIS graph.
+
+    Protocol: t_split = min_ts + (max_ts − min_ts)/2 over the temporal
+    edge stream (deterministic, replayable). "Linked by t" uses the
+    undirected first-seen time fe(a,b) = min ts over both orientations.
+    Open wedge at t_split: ∃b with fe(a,b) ≤ t, fe(b,c) ≤ t, a ≠ c, and
+    fe(a,c) either absent or > t. Closed later: fe(a,c) > t exists.
+
+    ``max_degree`` caps the wedge CENTER b (same knob as ``adamic_adar``):
+    a hub with early degree d contributes d² candidate pairs; capping
+    bounds enumeration while only dropping wedges brokered by hubs.
+
+    Scale shape: one min-agg for fe, one 2-row reduce for t_split
+    (broadcast back via a 1-row cross join — no global window), one
+    wedge equi-join over the early adjacency (Σ deg² paths, cappable)
+    deduped to distinct pairs, one anti-join (open = not yet linked) and
+    one left semi-style join against later first-links. All equi-joins.
+    """
+    te = temporal_edges(graph, transcripts)
+    und = te.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"), "ts"
+    )
+    fe = und.groupBy("a", "b").agg(F.min("ts").alias("fe"))
+    split = fe.agg(
+        (F.min("fe") + F.floor((F.max("fe") - F.min("fe")) / F.lit(2))).alias(
+            "t_split"
+        )
+    )
+    early = fe.join(F.broadcast(split), F.col("fe") <= F.col("t_split")).select(
+        "a", "b"
+    )
+    sym = early.unionByName(
+        early.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    center = sym if max_degree is None else sym.join(
+        sym.groupBy(F.col("a").alias("ctr")).agg(F.count("*").alias("d"))
+        .where(F.col("d") <= int(max_degree)).select("ctr"),
+        F.col("a") == F.col("ctr"),
+    ).select("a", "b")
+    l = center.select(F.col("b").alias("x"), F.col("a").alias("ctr"))
+    r = center.select(F.col("a").alias("ctr"), F.col("b").alias("y"))
+    cand = (
+        l.join(r, "ctr")
+        .where(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .distinct()
+    )
+    open_w = cand.join(early, ["a", "b"], "left_anti")
+    later = fe.join(F.broadcast(split), F.col("fe") > F.col("t_split")).select(
+        "a", "b", F.lit(1).alias("closed")
+    )
+    stats = open_w.join(later, ["a", "b"], "left").agg(
+        F.count("*").alias("n_open_wedges"),
+        F.coalesce(F.sum("closed"), F.lit(0)).alias("n_closed_later"),
+    )
+    return stats.join(F.broadcast(split), F.lit(True)).select(
+        "t_split",
+        "n_open_wedges",
+        "n_closed_later",
+        F.round(
+            F.when(
+                F.col("n_open_wedges") > 0,
+                F.col("n_closed_later") / F.col("n_open_wedges"),
+            ),
+            6,
+        ).alias("closure_rate"),
+    )
+
+
+def triadic_closure_sql(max_degree: int | None = None) -> str:
+    """DuckDB oracle body (expects ``t`` — the transcripts CTE — plus the
+    graph CTEs in scope; reuses the temporal-edge derivation)."""
+    ctr = (
+        "tc_sym"
+        if max_degree is None
+        else f"(SELECT s.* FROM tc_sym s JOIN "
+        f"(SELECT a, count(*) AS d FROM tc_sym GROUP BY a) dd ON dd.a = s.a "
+        f"WHERE dd.d <= {int(max_degree)})"
+    )
+    return f"""
+    {_TE_CTE},
+    tc_te AS (
+      {_TE_SELECT}
+    ),
+    tc_fe AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b, min(ts) AS fe
+      FROM tc_te WHERE src <> dst GROUP BY 1, 2
+    ),
+    tc_split AS (
+      SELECT min(fe) + (max(fe) - min(fe)) // 2 AS t_split FROM tc_fe
+    ),
+    tc_early AS MATERIALIZED (
+      SELECT a, b FROM tc_fe, tc_split WHERE fe <= t_split
+    ),
+    tc_sym AS MATERIALIZED (
+      SELECT a, b FROM tc_early UNION ALL SELECT b AS a, a AS b FROM tc_early
+    ),
+    tc_cand AS (
+      SELECT DISTINCT l.b AS a, r.b AS b
+      FROM {ctr} l JOIN {ctr} r ON r.a = l.a AND l.b < r.b
+    ),
+    tc_open AS (
+      SELECT c.a, c.b FROM tc_cand c
+      ANTI JOIN tc_early e ON e.a = c.a AND e.b = c.b
+    ),
+    tc_later AS (
+      SELECT a, b FROM tc_fe, tc_split WHERE fe > t_split
+    ),
+    tc_stats AS (
+      SELECT count(*) AS n_open_wedges,
+             coalesce(sum(CASE WHEN lt.a IS NOT NULL THEN 1 END), 0)
+               AS n_closed_later
+      FROM tc_open o
+      LEFT JOIN tc_later lt ON lt.a = o.a AND lt.b = o.b
+    )
+    SELECT t_split, n_open_wedges, n_closed_later,
+           CASE WHEN n_open_wedges > 0
+                THEN round(n_closed_later * 1.0 / n_open_wedges, 6) END
+             AS closure_rate
+    FROM tc_stats, tc_split
+    """
