@@ -1794,6 +1794,19 @@ def q_growth_accounting(spark, sf_dir):
     return ev.growth_accounting(_events(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 49
+def q_readability(spark, sf_dir):
+    return tx.readability(_docs(spark, sf_dir))
+
+
+def q_char_trigrams(spark, sf_dir):
+    return tx.char_trigrams(_docs(spark, sf_dir), top_n=10)
+
+
+def q_knn_hubness(spark, sf_dir):
+    return sim.knn_hubness(_embs(spark, sf_dir), k=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2132,6 +2145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burt_constraint": q_burt_constraint,
         "triadic_closure": q_triadic_closure,
         "growth_accounting": q_growth_accounting,
+        # -- wave 49 (new this session; front in r6 with the rest of 51+) ----
+        "readability": q_readability,
+        "char_trigrams": q_char_trigrams,
+        "knn_hubness": q_knn_hubness,
     }
 
 
@@ -3208,6 +3225,10 @@ def oracle_sql() -> dict[str, str]:
         "burt_constraint": f"{_G}, {st.burt_constraint_sql(BC_MAX_DEGREE)}",
         "triadic_closure": f"{_G}, {tmp.triadic_closure_sql()}",
         "growth_accounting": ev.growth_accounting_sql("events"),
+        # wave 49
+        "readability": tx.readability_sql("documents"),
+        "char_trigrams": tx.char_trigrams_sql("documents", top_n=10),
+        "knn_hubness": sim.knn_hubness_sql("embeddings", k=4),
     }
 
 

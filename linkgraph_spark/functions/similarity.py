@@ -2296,3 +2296,93 @@ def knn_confusion_sql(
     JOIN {table} nl ON nl.vec_id = t.neighbor_id
     GROUP BY 1, 2
     """
+
+
+def knn_hubness(
+    embeddings: DataFrame, k: int = 4, n_planes: int = N_PLANES
+) -> DataFrame:
+    """→ ``[k_occurrences, n_vectors]`` — the hubness histogram of the
+    approximate kNN graph: for every vector, how many OTHER vectors list
+    it in their top-``k`` (its k-occurrence), histogrammed — including
+    the 0-occurrence anti-hubs, which the kNN edge list alone can't
+    show. A heavy right tail (hubs appearing in thousands of lists) is
+    the classic high-dimensional pathology (Radovanović et al., JMLR
+    2010) that silently poisons kNN classification, dedup and retrieval;
+    this is the one-query diagnostic to run before trusting
+    :func:`mutual_knn` or :func:`lsh_knn` output downstream.
+
+    Scale shape: the same hyperplane-bucket candidate join as
+    :func:`mutual_knn` (never all-pairs), per-query top-k window bounded
+    by bucket population, then a neighbor-keyed count, a left join
+    against the id universe for the zeros, and a ≤ |distinct occ|
+    histogram agg. All JVM-side.
+    """
+    base = _with_norm(embeddings)
+    bits = None
+    for p in range(n_planes):
+        bit = F.when(_proj(F.col("v"), p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    bucketed = base.withColumn("bucket", bits.cast("long"))
+    q = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    topk = _rank_candidates(q, bucketed, k)
+    occ = topk.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count("*").alias("k_occurrences")
+    )
+    per_vec = embeddings.select("vec_id").join(occ, "vec_id", "left").select(
+        F.coalesce("k_occurrences", F.lit(0)).alias("k_occurrences")
+    )
+    return per_vec.groupBy("k_occurrences").agg(
+        F.count("*").alias("n_vectors")
+    )
+
+
+def knn_hubness_sql(
+    table: str = "embeddings", k: int = 4, n_planes: int = N_PLANES
+) -> str:
+    """DuckDB oracle for :func:`knn_hubness` — same bucket arithmetic and
+    rounded-cosine/id tie-break as :func:`mutual_knn_sql`."""
+    bucket = " + ".join(
+        f"(CASE WHEN {_proj_sql(p)} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.v) + 1),"
+        " i -> q.v[i] * b.v[i]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH kh_base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), kh_normed AS MATERIALIZED (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+                  i -> v[i] * v[i]), (x, y) -> x + y)) AS norm,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM kh_base
+    ), kh_scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({dot} / (q.norm * b.norm), 6) AS cosine
+      FROM kh_normed q JOIN kh_normed b
+        ON b.bucket = q.bucket AND b.vec_id <> q.vec_id
+    ), kh_topk AS (
+      SELECT neighbor_id FROM (
+        SELECT neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM kh_scored
+      ) WHERE rk <= {int(k)}
+    ), kh_occ AS (
+      SELECT neighbor_id AS vec_id, count(*) AS k_occurrences
+      FROM kh_topk GROUP BY neighbor_id
+    ), kh_per AS (
+      SELECT coalesce(o.k_occurrences, 0) AS k_occurrences
+      FROM kh_base b LEFT JOIN kh_occ o ON o.vec_id = b.vec_id
+    )
+    SELECT k_occurrences, count(*) AS n_vectors
+    FROM kh_per GROUP BY k_occurrences
+    """

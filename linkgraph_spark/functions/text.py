@@ -2163,3 +2163,149 @@ def word_length_dist_sql(table: str = "documents", max_len: int = 20) -> str:
            round(n_tokens / (sum(n_tokens) OVER ()), 6) AS share
     FROM wl_c
     """
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """→ per-doc ``[doc_id, n_words, syl_per_word, complex_share,
+    avg_word_len]`` — a syllable-profile readability card. Syllables are
+    estimated as vowel GROUPS (``[aeiouy]+`` runs — the standard cheap
+    heuristic under classic Flesch/FK formulas); ``complex_share`` is
+    the fraction of words with ≥ 3 vowel groups (the "complex word"
+    notion of the Gunning-fog index). The corpus has no sentence
+    markers, so the sentence-normalized Flesch composite is deliberately
+    NOT emitted — these are its per-word components, which is what a
+    quality filter thresholds anyway (long/polysyllabic-word share is
+    the signal; the affine composite adds nothing).
+
+    Scale shape: map-only JVM array expressions over the token split —
+    no shuffle, no window, no Python.
+    """
+    toks = _tokens(F.lower(F.col("text")))
+    syls = F.transform(
+        toks, lambda w: F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0)))
+    )
+    n_words = F.size(toks)
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.when(
+                n_words > 0,
+                F.aggregate(syls, F.lit(0), lambda a, x: a + x) / n_words,
+            ),
+            6,
+        ).alias("syl_per_word"),
+        F.round(
+            F.when(
+                n_words > 0,
+                F.size(F.filter(syls, lambda s: s >= 3)) / n_words,
+            ),
+            6,
+        ).alias("complex_share"),
+        F.round(
+            F.when(
+                n_words > 0,
+                F.aggregate(
+                    F.transform(toks, lambda w: F.length(w)),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                )
+                / n_words,
+            ),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+def readability_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`readability` (standalone query)."""
+    return f"""
+    WITH rd_t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM {table}
+    ),
+    rd_s AS (
+      SELECT doc_id, len(toks) AS n_words,
+             list_transform(toks,
+               w -> len(regexp_extract_all(w, '[aeiouy]+'))) AS syls,
+             list_transform(toks, w -> length(w)) AS lens
+      FROM rd_t
+    )
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0 THEN round(
+             list_reduce(syls, (a, x) -> a + x) * 1.0 / n_words, 6) END
+             AS syl_per_word,
+           CASE WHEN n_words > 0 THEN round(
+             len(list_filter(syls, s -> s >= 3)) * 1.0 / n_words, 6) END
+             AS complex_share,
+           CASE WHEN n_words > 0 THEN round(
+             list_reduce(lens, (a, x) -> a + x) * 1.0 / n_words, 6) END
+             AS avg_word_len
+    FROM rd_s
+    """
+
+
+def char_trigrams(documents: DataFrame, top_n: int = 10) -> DataFrame:
+    """→ ``[lang, trigram, n_occurrences, rk]`` — the ``top_n`` most
+    frequent character trigrams PER LANGUAGE over the
+    whitespace-normalized lowercased text. Character n-gram profiles are
+    the workhorse of production language-ID (TextCat / CLD): this is the
+    profile-building pass, and diffing two languages' rows here is
+    exactly the feature table :func:`lang_id`'s heuristic compresses.
+    Ties break lexicographically on the trigram.
+
+    Scale shape: the position explode is map-only (array transform, no
+    Python); the count is a (lang, trigram)-keyed agg — bounded by
+    |langs| × |alphabet|³, NOT by corpus size — so the per-lang top-n
+    window runs over the tiny aggregated table, never over raw rows
+    (the low-cardinality-window trap does not apply to post-agg data).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = documents.select("lang", norm.alias("norm")).where(
+        F.length("norm") >= 3
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - F.lit(2)),
+        lambda i: F.col("norm").substr(i, F.lit(3)),
+    )
+    counts = (
+        d.select("lang", F.explode(grams).alias("trigram"))
+        .groupBy("lang", "trigram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("trigram")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(top_n))
+        .select("lang", "trigram", "n_occurrences", "rk")
+    )
+
+
+def char_trigrams_sql(table: str = "documents", top_n: int = 10) -> str:
+    """DuckDB oracle for :func:`char_trigrams` (standalone query)."""
+    return f"""
+    WITH ct_d AS (
+      SELECT lang,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM {table}
+    ),
+    ct_g AS (
+      SELECT lang,
+             unnest(list_transform(range(1, length(norm) - 1),
+                    i -> substr(norm, CAST(i AS INT), 3))) AS trigram
+      FROM ct_d WHERE length(norm) >= 3
+    ),
+    ct_c AS (
+      SELECT lang, trigram, count(*) AS n_occurrences
+      FROM ct_g GROUP BY lang, trigram
+    )
+    SELECT lang, trigram, n_occurrences, rk FROM (
+      SELECT lang, trigram, n_occurrences,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_occurrences DESC, trigram ASC) AS rk
+      FROM ct_c
+    ) WHERE rk <= {int(top_n)}
+    """
