@@ -1807,6 +1807,23 @@ def q_knn_hubness(spark, sf_dir):
     return sim.knn_hubness(_embs(spark, sf_dir), k=4)
 
 
+# ------------------------------------------------------------------- wave 50
+def q_pref_attach_test(spark, sf_dir):
+    from linkgraph_spark.kernels.temporal import pref_attach_test
+
+    g = _graph(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    return pref_attach_test(g, t)
+
+
+def q_triplet_accuracy(spark, sf_dir):
+    return sim.triplet_accuracy(_embs(spark, sf_dir), n_buckets=16)
+
+
+def q_active_days_hist(spark, sf_dir):
+    return ev.active_days_hist(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2149,6 +2166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "char_trigrams": q_char_trigrams,
         "knn_hubness": q_knn_hubness,
+        # -- wave 50 (new this session; front in r6 with the rest of 51+) ----
+        "pref_attach_test": q_pref_attach_test,
+        "triplet_accuracy": q_triplet_accuracy,
+        "active_days_hist": q_active_days_hist,
     }
 
 
@@ -3229,6 +3250,10 @@ def oracle_sql() -> dict[str, str]:
         "readability": tx.readability_sql("documents"),
         "char_trigrams": tx.char_trigrams_sql("documents", top_n=10),
         "knn_hubness": sim.knn_hubness_sql("embeddings", k=4),
+        # wave 50
+        "pref_attach_test": f"{_G}, {tmp.pref_attach_test_sql()}",
+        "triplet_accuracy": sim.triplet_accuracy_sql("embeddings", n_buckets=16),
+        "active_days_hist": ev.active_days_hist_sql("events"),
     }
 
 

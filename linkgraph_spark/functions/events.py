@@ -2726,3 +2726,55 @@ def growth_accounting_sql(table: str = "events") -> str:
              AS quick_ratio
     FROM ga_out
     """
+
+
+def active_days_hist(events: DataFrame) -> DataFrame:
+    """→ ``[n_active_days, n_users, share]`` — the power-user curve:
+    users histogrammed by how many distinct UTC days they were active.
+    The standard companion to :func:`dau_wau` stickiness and
+    :func:`growth_accounting`: a mass at 1 day is drive-by traffic, a
+    fat tail is a habit product — and the curve is what an engagement-
+    weighted training-data sampler would stratify on. Day key =
+    floor(epoch/86400) (fixed-epoch binning, TZ-free, same convention
+    as the weekly operators).
+
+    Scale shape: one distinct over (user, day), one per-user count, one
+    ≤|distinct day-counts| histogram with a share window over its cells
+    (post-agg, tiny). No per-user windows.
+    """
+    ud = (
+        events.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("day"),
+        )
+        .distinct()
+    )
+    per_user = ud.groupBy("user_id").agg(F.count("*").alias("n_active_days"))
+    hist = per_user.groupBy("n_active_days").agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy()
+    return hist.select(
+        "n_active_days",
+        "n_users",
+        F.round(F.col("n_users") / F.sum("n_users").over(w), 6).alias("share"),
+    )
+
+
+def active_days_hist_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`active_days_hist` (standalone query)."""
+    return f"""
+    WITH ad_ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+      FROM {table}
+    ),
+    ad_per AS (
+      SELECT user_id, count(*) AS n_active_days FROM ad_ud GROUP BY user_id
+    ),
+    ad_h AS (
+      SELECT n_active_days, count(*) AS n_users
+      FROM ad_per GROUP BY n_active_days
+    )
+    SELECT n_active_days, n_users,
+           round(n_users * 1.0 / (sum(n_users) OVER ()), 6) AS share
+    FROM ad_h
+    """

@@ -2386,3 +2386,140 @@ def knn_hubness_sql(
     SELECT k_occurrences, count(*) AS n_vectors
     FROM kh_per GROUP BY k_occurrences
     """
+
+
+def triplet_accuracy(embeddings: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """→ one-row ``[n_triplets, n_correct, accuracy]`` — does the
+    embedding respect its labels metrically? For each anchor vector we
+    form a deterministic triplet inside its md5 bucket: the positive is
+    the same-label bucket-mate with the smallest anchor-salted md5, the
+    negative the different-label bucket-mate by the same rule; the
+    triplet scores correct iff cos(a, pos) > cos(a, neg) (rounded to
+    6 dp — ties count as failures in both engines). Anchors whose bucket
+    lacks a positive or a negative are skipped; ``n_triplets`` reports
+    the evaluated count. This is the training-loss-shaped complement of
+    :func:`~linkgraph_spark.kernels.kmeans.silhouette`: it needs no
+    centroids and directly measures ranking order, which is what
+    retrieval uses.
+
+    Scale shape: bucketing is a map-only hash; candidate enumeration is
+    a bucket equi-join (per-bucket |bucket|² pairs, never all-pairs and
+    never a global window); positive/negative selection is a
+    row_number window per (anchor) over bucket-bounded candidates; the
+    verdict is one global count agg.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    base = _with_norm(embeddings.select("vec_id", "embedding")).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    b = base.withColumn(
+        "bucket", F.pmod(md5_long(F.col("vec_id").cast("string")), F.lit(int(n_buckets)))
+    )
+    anchors = b.select(
+        F.col("vec_id").alias("aid"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("anorm"),
+        F.col("label").alias("albl"),
+        "bucket",
+    )
+    cands = b.select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        F.col("label").alias("clbl"),
+        "bucket",
+    )
+    pairs = anchors.join(cands, "bucket").where(F.col("cid") != F.col("aid"))
+    pick = md5_long(
+        F.concat(F.col("aid").cast("string"), F.lit("#"), F.col("cid").cast("string"))
+    )
+    cos = F.round(
+        _dot(F.col("av"), F.col("cv")) / (F.col("anorm") * F.col("cnorm")), 6
+    )
+    scored = pairs.select(
+        "aid",
+        (F.col("clbl") == F.col("albl")).alias("is_pos"),
+        pick.alias("pick"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("aid", "is_pos").orderBy("pick", "cosine")
+    best = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    pos = best.where(F.col("is_pos")).select("aid", F.col("cosine").alias("pos_cos"))
+    neg = best.where(~F.col("is_pos")).select("aid", F.col("cosine").alias("neg_cos"))
+    trip = pos.join(neg, "aid")
+    return trip.agg(
+        F.count("*").alias("n_triplets"),
+        F.sum(F.when(F.col("pos_cos") > F.col("neg_cos"), 1).otherwise(0)).alias(
+            "n_correct"
+        ),
+    ).select(
+        "n_triplets",
+        "n_correct",
+        F.round(
+            F.when(
+                F.col("n_triplets") > 0, F.col("n_correct") / F.col("n_triplets")
+            ),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def triplet_accuracy_sql(table: str = "embeddings", n_buckets: int = 16) -> str:
+    """DuckDB oracle for :func:`triplet_accuracy` — same bucket hash,
+    same anchor-salted pick hash, same rounded-cosine verdict."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    bkt = md5_long_sql("CAST(vec_id AS VARCHAR)")
+    pick = md5_long_sql(
+        "(CAST(a.vec_id AS VARCHAR) || '#' || CAST(c.vec_id AS VARCHAR))"
+    )
+    dot = (
+        "list_reduce(list_transform(range(1, len(a.v) + 1),"
+        " i -> a.v[i] * c.v[i]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH ta_base AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             ((({bkt}) % {int(n_buckets)}) + {int(n_buckets)})
+               % {int(n_buckets)} AS bucket
+      FROM {table}
+    ),
+    ta_n AS MATERIALIZED (
+      SELECT vec_id, label, v, bucket,
+             sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+                  i -> v[i] * v[i]), (x, y) -> x + y)) AS norm
+      FROM ta_base
+    ),
+    ta_sc AS (
+      SELECT a.vec_id AS aid, (c.label = a.label) AS is_pos,
+             {pick} AS pick,
+             round({dot} / (a.norm * c.norm), 6) AS cosine
+      FROM ta_n a JOIN ta_n c
+        ON c.bucket = a.bucket AND c.vec_id <> a.vec_id
+    ),
+    ta_best AS (
+      SELECT aid, is_pos, cosine FROM (
+        SELECT aid, is_pos, cosine,
+               row_number() OVER (PARTITION BY aid, is_pos
+                                  ORDER BY pick, cosine) AS rk
+        FROM ta_sc
+      ) WHERE rk = 1
+    ),
+    ta_trip AS (
+      SELECT p.aid, p.cosine AS pos_cos, n.cosine AS neg_cos
+      FROM (SELECT aid, cosine FROM ta_best WHERE is_pos) p
+      JOIN (SELECT aid, cosine FROM ta_best WHERE NOT is_pos) n
+        ON n.aid = p.aid
+    ),
+    ta_agg AS (
+      SELECT count(*) AS n_triplets,
+             sum(CASE WHEN pos_cos > neg_cos THEN 1 ELSE 0 END) AS n_correct
+      FROM ta_trip
+    )
+    SELECT n_triplets, n_correct,
+           CASE WHEN n_triplets > 0
+                THEN round(n_correct * 1.0 / n_triplets, 6) END AS accuracy
+    FROM ta_agg
+    """

@@ -967,3 +967,100 @@ def triadic_closure_sql(max_degree: int | None = None) -> str:
              AS closure_rate
     FROM tc_stats, tc_split
     """
+
+
+def pref_attach_test(graph: LinkGraph, transcripts: DataFrame) -> DataFrame:
+    """→ ``[deg, n_vertices, n_new_attach, rate]`` — the empirical
+    preferential-attachment curve (Barabási–Albert's Π(d) test, per
+    Newman PRE 2001's measurement protocol): split the edge stream at
+    its time midpoint, bucket vertices by their EARLY undirected degree
+    d, and count how many LATER first-time edges attach to each bucket.
+    ``rate = n_new_attach / n_vertices`` per bucket — linear growth in d
+    is the rich-get-richer regime that produces this graph family's
+    power-law tail (:func:`~linkgraph_spark.kernels.stats.
+    degree_powerlaw` measures the RESULT; this measures the MECHANISM).
+    Endpoints with no early presence are excluded (a vertex born after
+    the split has no degree to condition on — the standard protocol).
+
+    Scale shape: one min-agg for undirected first-seen times, a 2-row
+    reduce broadcast back for the split, one degree agg over early
+    edges, an endpoint explode of later edges joined to the degree table
+    (equi-join), and a ≤|distinct degrees| histogram. No windows.
+    """
+    te = temporal_edges(graph, transcripts)
+    und = te.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"), "ts"
+    )
+    fe = und.groupBy("a", "b").agg(F.min("ts").alias("fe"))
+    split = fe.agg(
+        (F.min("fe") + F.floor((F.max("fe") - F.min("fe")) / F.lit(2))).alias(
+            "t_split"
+        )
+    )
+    early = fe.join(F.broadcast(split), F.col("fe") <= F.col("t_split")).select(
+        "a", "b"
+    )
+    deg = (
+        early.select(F.col("a").alias("id"))
+        .unionByName(early.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    later_ends = (
+        fe.join(F.broadcast(split), F.col("fe") > F.col("t_split"))
+        .select(F.explode(F.array("a", "b")).alias("id"))
+    )
+    attach = later_ends.join(deg, "id").groupBy("deg").agg(
+        F.count("*").alias("n_new_attach")
+    )
+    verts = deg.groupBy("deg").agg(F.count("*").alias("n_vertices"))
+    return verts.join(attach, "deg", "left").select(
+        "deg",
+        "n_vertices",
+        F.coalesce("n_new_attach", F.lit(0)).alias("n_new_attach"),
+        F.round(
+            F.coalesce("n_new_attach", F.lit(0)) / F.col("n_vertices"), 6
+        ).alias("rate"),
+    )
+
+
+def pref_attach_test_sql() -> str:
+    """DuckDB oracle body (expects ``t``/``verts`` CTEs in scope)."""
+    return f"""
+    {_TE_CTE},
+    pa_te AS (
+      {_TE_SELECT}
+    ),
+    pa_fe AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b, min(ts) AS fe
+      FROM pa_te WHERE src <> dst GROUP BY 1, 2
+    ),
+    pa_split AS (
+      SELECT min(fe) + (max(fe) - min(fe)) // 2 AS t_split FROM pa_fe
+    ),
+    pa_early AS (
+      SELECT a, b FROM pa_fe, pa_split WHERE fe <= t_split
+    ),
+    pa_deg AS MATERIALIZED (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM pa_early UNION ALL SELECT b AS id FROM pa_early
+      ) GROUP BY id
+    ),
+    pa_later AS (
+      SELECT id FROM (
+        SELECT unnest([a, b]) AS id FROM pa_fe, pa_split WHERE fe > t_split
+      )
+    ),
+    pa_attach AS (
+      SELECT d.deg, count(*) AS n_new_attach
+      FROM pa_later l JOIN pa_deg d ON d.id = l.id
+      GROUP BY d.deg
+    ),
+    pa_verts AS (
+      SELECT deg, count(*) AS n_vertices FROM pa_deg GROUP BY deg
+    )
+    SELECT v.deg, v.n_vertices,
+           coalesce(a.n_new_attach, 0) AS n_new_attach,
+           round(coalesce(a.n_new_attach, 0) * 1.0 / v.n_vertices, 6) AS rate
+    FROM pa_verts v LEFT JOIN pa_attach a ON a.deg = v.deg
+    """
