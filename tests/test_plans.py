@@ -638,3 +638,40 @@ def test_wave40_45_no_row_python_or_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+
+def test_wave48_50_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-48..50 operators stay JVM-side; the only nested-loop joins are
+    one-row broadcast split/max frames (BroadcastNestedLoopJoin), never a
+    CartesianProduct over data-sized inputs."""
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.functions.events import (
+        active_days_hist,
+        growth_accounting,
+    )
+    from linkgraph_spark.functions.similarity import knn_hubness, triplet_accuracy
+    from linkgraph_spark.functions.text import char_trigrams, readability
+    from linkgraph_spark.kernels.stats import burt_constraint
+    from linkgraph_spark.kernels.temporal import pref_attach_test, triadic_closure
+    from linkgraph_spark.transcripts import transcripts_from_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = transcripts_from_events(spark, sf_dir)
+    g = build_graph(t)
+    for df in (
+        burt_constraint(g, max_degree=64),
+        triadic_closure(g, t),
+        growth_accounting(ev),
+        readability(docs),
+        char_trigrams(docs, top_n=10),
+        knn_hubness(embs, k=4),
+        pref_attach_test(g, t),
+        triplet_accuracy(embs, n_buckets=16),
+        active_days_hist(ev),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
