@@ -1824,6 +1824,19 @@ def q_active_days_hist(spark, sf_dir):
     return ev.active_days_hist(_events(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 51
+def q_edge_ecc(spark, sf_dir):
+    return tr.edge_ecc(_graph(spark, sf_dir))
+
+
+def q_dup_source_matrix(spark, sf_dir):
+    return dd.dup_source_matrix(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_session_gap_dist(spark, sf_dir):
+    return ev.session_gap_dist(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2170,6 +2183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_attach_test": q_pref_attach_test,
         "triplet_accuracy": q_triplet_accuracy,
         "active_days_hist": q_active_days_hist,
+        # -- wave 51 (new this session; front in r6 with the rest of 51+) ----
+        "edge_ecc": q_edge_ecc,
+        "dup_source_matrix": q_dup_source_matrix,
+        "session_gap_dist": q_session_gap_dist,
     }
 
 
@@ -3254,6 +3271,10 @@ def oracle_sql() -> dict[str, str]:
         "pref_attach_test": f"{_G}, {tmp.pref_attach_test_sql()}",
         "triplet_accuracy": sim.triplet_accuracy_sql("embeddings", n_buckets=16),
         "active_days_hist": ev.active_days_hist_sql("events"),
+        # wave 51
+        "edge_ecc": f"{_G}, {tr.edge_ecc_sql()}",
+        "dup_source_matrix": dd.dup_source_matrix_sql("documents", threshold=0.5),
+        "session_gap_dist": ev.session_gap_dist_sql("events"),
     }
 
 

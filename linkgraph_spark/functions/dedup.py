@@ -26,7 +26,7 @@ DuckDB replays every step bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph_spark.functions.hashing import (
@@ -1059,4 +1059,68 @@ def dup_cluster_sizes_sql(table: str = "documents") -> str:
     SELECT group_size, count(*) AS n_groups,
            CAST(sum(group_size) AS BIGINT) AS n_docs
     FROM dc_g GROUP BY group_size
+    """
+
+
+def dup_source_matrix(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """→ ``[source_a, source_b, n_pairs, share]`` — WHERE the near-
+    duplication lives: the :func:`minhash_lsh_dups` pair set rolled up by
+    the (unordered) source pair of the two documents. The diagonal is
+    within-source boilerplate; heavy off-diagonal cells are source pairs
+    that syndicate/mirror each other — exactly the view a corpus curator
+    needs before deciding which source to drop, which no flat dup-pair
+    list or per-doc dup count exposes. ``share`` is each cell's fraction
+    of all verified dup pairs.
+
+    Scale shape: the banded-LSH candidate join + O(candidates) verify of
+    :func:`minhash_lsh_dups`, two id→source equi-joins, then a
+    ≤ |sources|² histogram with a share window over the aggregated
+    cells. No new heavy shapes.
+    """
+    pairs = minhash_lsh_dups(documents, threshold=threshold)
+    src = documents.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    cells = j.groupBy("source_a", "source_b").agg(F.count("*").alias("n_pairs"))
+    w = Window.partitionBy()
+    return cells.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.sum("n_pairs").over(w), 6).alias("share"),
+    )
+
+
+def dup_source_matrix_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    """DuckDB oracle for :func:`dup_source_matrix` — wraps the
+    :func:`minhash_lsh_sql` pair query and rolls it up identically."""
+    return f"""
+    WITH dsm_pairs AS MATERIALIZED (
+      SELECT * FROM ({minhash_lsh_sql(table, threshold=threshold)})
+    ),
+    dsm_src AS (SELECT doc_id, source FROM {table}),
+    dsm_cells AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             count(*) AS n_pairs
+      FROM dsm_pairs p
+      JOIN dsm_src a ON a.doc_id = p.doc_a
+      JOIN dsm_src b ON b.doc_id = p.doc_b
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_pairs,
+           round(n_pairs * 1.0 / (sum(n_pairs) OVER ()), 6) AS share
+    FROM dsm_cells
     """

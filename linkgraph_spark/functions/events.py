@@ -2778,3 +2778,68 @@ def active_days_hist_sql(table: str = "events") -> str:
            round(n_users * 1.0 / (sum(n_users) OVER ()), 6) AS share
     FROM ad_h
     """
+
+
+def session_gap_dist(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """→ ``[log2_gap, n_gaps, share]`` — the distribution of idle time
+    BETWEEN a user's consecutive sessions (next session's start minus
+    previous session's end, epoch seconds), log₂-bucketed. The
+    between-session complement of :func:`inter_event_times` (which mixes
+    within- and cross-session gaps): its shape is what justifies — or
+    indicts — the ``gap_sec`` cutoff :func:`sessionize` hard-codes, and
+    return-time distributions are the standard input to churn/habit
+    models. Every gap exceeds ``gap_sec`` by construction, so the
+    buckets start at floor(log2(gap_sec)).
+
+    Scale shape: the sessionize window (per-user, bounded), one per-user
+    lag window over the ≤ sessions-per-user frame, one ≤ ~40-bucket
+    histogram with a share window over the aggregated cells.
+    """
+    s = sessionize(events, gap_sec=gap_sec)
+    w = Window.partitionBy("user_id").orderBy("session_idx")
+    gaps = (
+        s.select(
+            "user_id",
+            "session_idx",
+            "start_ts",
+            F.lag("end_ts").over(w).alias("prev_end"),
+        )
+        .where(F.col("prev_end").isNotNull())
+        .select(
+            F.floor(F.log2(F.col("start_ts") - F.col("prev_end"))).alias(
+                "log2_gap"
+            )
+        )
+    )
+    hist = gaps.groupBy("log2_gap").agg(F.count("*").alias("n_gaps"))
+    ww = Window.partitionBy()
+    return hist.select(
+        "log2_gap",
+        "n_gaps",
+        F.round(F.col("n_gaps") / F.sum("n_gaps").over(ww), 6).alias("share"),
+    )
+
+
+def session_gap_dist_sql(table: str = "events", gap_sec: int = 1800) -> str:
+    """DuckDB oracle for :func:`session_gap_dist` — wraps the
+    :func:`sessionize_sql` query and buckets identically."""
+    return f"""
+    WITH sgd_s AS MATERIALIZED (
+      SELECT * FROM ({sessionize_sql(gap_sec=gap_sec, table=table)})
+    ),
+    sgd_g AS (
+      SELECT CAST(floor(log2(start_ts - prev_end)) AS BIGINT) AS log2_gap
+      FROM (
+        SELECT user_id, start_ts,
+               lag(end_ts) OVER (PARTITION BY user_id
+                                 ORDER BY session_idx) AS prev_end
+        FROM sgd_s
+      ) WHERE prev_end IS NOT NULL
+    ),
+    sgd_h AS (
+      SELECT log2_gap, count(*) AS n_gaps FROM sgd_g GROUP BY log2_gap
+    )
+    SELECT log2_gap, n_gaps,
+           round(n_gaps * 1.0 / (sum(n_gaps) OVER ()), 6) AS share
+    FROM sgd_h
+    """

@@ -210,3 +210,66 @@ def local_bridges_sql() -> str:
     JOIN lb_deg db ON db.id = s.b
     WHERE s.support = 0
     """
+
+
+def edge_ecc(graph: LinkGraph) -> DataFrame:
+    """→ ``[a, b, support, ecc]`` — Radicchi's edge clustering coefficient
+    (Radicchi et al., PNAS 2004): ecc(u,v) = (z_uv + 1) / min(k_u − 1,
+    k_v − 1) over the simple undirected graph, where z is the edge's
+    triangle support and k the undirected degree. Low-ecc edges are the
+    inter-community bridges Radicchi's divisive algorithm cuts first —
+    this is the scoring pass, the per-edge complement of
+    :func:`edge_support` (raw z) and the truss peel (thresholded z).
+    Edges where min(k)−1 = 0 (a leaf endpoint can't close a triangle)
+    emit NULL, matching the formula's undefined case.
+
+    Scale shape: the same oriented triangle-support join as
+    :func:`edge_support` plus one endpoint-explode degree agg and two
+    degree-attach equi-joins. No windows, no driver loop.
+    """
+    und = _oriented(graph.edges)
+    sup = _support_und(und)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    denom = F.least(F.col("deg_a"), F.col("deg_b")) - F.lit(1)
+    return (
+        sup.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "support",
+            F.round(
+                F.when(denom > 0, (F.col("support") + F.lit(1.0)) / denom), 6
+            ).alias("ecc"),
+        )
+    )
+
+
+def edge_ecc_sql() -> str:
+    """DuckDB oracle body (expects the ``edges`` CTE in scope)."""
+    und = """ec_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    )"""
+    return f"""{und},
+    {_sup_sql("ec_und", "ec_sup")},
+    ec_deg AS (
+      SELECT id, count(*) AS deg FROM (
+        SELECT a AS id FROM ec_und UNION ALL SELECT b AS id FROM ec_und
+      ) GROUP BY id
+    )
+    SELECT s.a, s.b, s.support,
+           CASE WHEN least(da.deg, db.deg) - 1 > 0
+                THEN round((s.support + 1.0) / (least(da.deg, db.deg) - 1), 6)
+           END AS ecc
+    FROM ec_sup s
+    JOIN ec_deg da ON da.id = s.a
+    JOIN ec_deg db ON db.id = s.b
+    """
