@@ -1837,6 +1837,19 @@ def q_session_gap_dist(spark, sf_dir):
     return ev.session_gap_dist(_events(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 52
+def q_cohort_value(spark, sf_dir):
+    return ev.cohort_value(_events(spark, sf_dir))
+
+
+def q_lsh_bucket_stats(spark, sf_dir):
+    return sim.lsh_bucket_stats(_embs(spark, sf_dir))
+
+
+def q_source_length_drift(spark, sf_dir):
+    return tx.source_length_drift(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2187,6 +2200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ecc": q_edge_ecc,
         "dup_source_matrix": q_dup_source_matrix,
         "session_gap_dist": q_session_gap_dist,
+        # -- wave 52 (new this session; front in r6 with the rest of 51+) ----
+        "cohort_value": q_cohort_value,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
+        "source_length_drift": q_source_length_drift,
     }
 
 
@@ -3275,6 +3292,10 @@ def oracle_sql() -> dict[str, str]:
         "edge_ecc": f"{_G}, {tr.edge_ecc_sql()}",
         "dup_source_matrix": dd.dup_source_matrix_sql("documents", threshold=0.5),
         "session_gap_dist": ev.session_gap_dist_sql("events"),
+        # wave 52
+        "cohort_value": ev.cohort_value_sql("events"),
+        "lsh_bucket_stats": sim.lsh_bucket_stats_sql("embeddings"),
+        "source_length_drift": tx.source_length_drift_sql("documents"),
     }
 
 

@@ -2843,3 +2843,83 @@ def session_gap_dist_sql(table: str = "events", gap_sec: int = 1800) -> str:
            round(n_gaps * 1.0 / (sum(n_gaps) OVER ()), 6) AS share
     FROM sgd_h
     """
+
+
+def cohort_value(events: DataFrame) -> DataFrame:
+    """→ ``[cohort_week, week_offset, total_value, value_per_user,
+    cum_value_per_user]`` — the LTV triangle: users cohorted by the ISO
+    week of their first event (same convention as
+    :func:`retention_cohorts`), each cell summing the cohort's event
+    ``value`` ``week_offset`` weeks later, normalized by cohort size,
+    plus the running cumulative value per user — the curve whose
+    plateau IS the cohort's lifetime value. :func:`retention_cohorts`
+    says how many come back; this says what their coming back is worth.
+
+    Scale shape: one distinct-first-week agg, one per-(cohort, offset)
+    sum over the event stream (map-side combinable), a broadcast cohort-
+    size join, and a cumulative window over ≤ |offsets| rows per cohort
+    (post-agg, tiny). The raw stream is touched exactly twice, both
+    shuffle-by-small-key.
+    """
+    wk = F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("wk_s")
+    user_weeks = events.select("user_id", wk).distinct()
+    first = user_weeks.groupBy("user_id").agg(F.min("wk_s").alias("cohort_s"))
+    sizes = first.groupBy("cohort_s").agg(F.count("*").alias("_n"))
+    vals = (
+        events.select("user_id", wk, "value")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_s",
+            ((F.col("wk_s") - F.col("cohort_s")) / F.lit(604800))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("value").alias("total_value"))
+    )
+    w = (
+        Window.partitionBy("cohort_s")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cells = vals.join(F.broadcast(sizes), "cohort_s").select(
+        F.col("cohort_s").alias("cohort_week"),
+        "week_offset",
+        F.round("total_value", 6).alias("total_value"),
+        F.round(F.col("total_value") / F.col("_n"), 6).alias("value_per_user"),
+        F.round(
+            F.sum("total_value").over(w) / F.col("_n"), 6
+        ).alias("cum_value_per_user"),
+    )
+    return cells
+
+
+def cohort_value_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`cohort_value` (standalone query)."""
+    return f"""
+    WITH cv_uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk_s
+      FROM {table}
+    ),
+    cv_first AS MATERIALIZED (
+      SELECT user_id, min(wk_s) AS cohort_s FROM cv_uw GROUP BY user_id
+    ),
+    cv_sizes AS (
+      SELECT cohort_s, count(*) AS n FROM cv_first GROUP BY cohort_s
+    ),
+    cv_vals AS (
+      SELECT f.cohort_s,
+             CAST((CAST(floor(epoch(date_trunc('week', e.ts))) AS BIGINT)
+                   - f.cohort_s) / 604800 AS BIGINT) AS week_offset,
+             sum(e.value) AS total_value
+      FROM {table} e JOIN cv_first f ON f.user_id = e.user_id
+      GROUP BY 1, 2
+    )
+    SELECT v.cohort_s AS cohort_week, v.week_offset,
+           round(v.total_value, 6) AS total_value,
+           round(v.total_value / s.n, 6) AS value_per_user,
+           round(sum(v.total_value) OVER (
+                   PARTITION BY v.cohort_s ORDER BY v.week_offset
+                   ROWS UNBOUNDED PRECEDING) / s.n, 6) AS cum_value_per_user
+    FROM cv_vals v JOIN cv_sizes s ON s.cohort_s = v.cohort_s
+    """

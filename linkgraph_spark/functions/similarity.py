@@ -2523,3 +2523,69 @@ def triplet_accuracy_sql(table: str = "embeddings", n_buckets: int = 16) -> str:
                 THEN round(n_correct * 1.0 / n_triplets, 6) END AS accuracy
     FROM ta_agg
     """
+
+
+def lsh_bucket_stats(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """→ ``[bucket_size, n_buckets, share_of_vectors]`` — the balance
+    audit of the hyperplane LSH index every kNN operator here builds
+    (:func:`lsh_knn` / :func:`mutual_knn` / :func:`knn_hubness`):
+    occupied buckets histogrammed by population, with each row's share
+    of all vectors. A healthy index is near-uniform (≈ n/2^planes per
+    bucket); one mega-bucket means the hyperplanes don't split the data
+    (anisotropic embeddings) and the "bucket-bounded" cost story of the
+    candidate joins silently degrades toward all-pairs — this is the
+    query to run BEFORE trusting them, the index-side complement of
+    :func:`lsh_recall` (which audits result quality).
+
+    Scale shape: the bucket id is a map-only projection; then one
+    per-bucket count (≤ 2^planes groups) and a ≤ |distinct sizes|
+    histogram with a share window over aggregated cells. No joins.
+    """
+    base = _with_norm(embeddings)
+    bits = None
+    for p in range(n_planes):
+        bit = F.when(_proj(F.col("v"), p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    sizes = (
+        base.select(bits.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"))
+    )
+    hist = sizes.groupBy("bucket_size").agg(F.count("*").alias("n_buckets"))
+    w = Window.partitionBy()
+    total = F.sum(F.col("bucket_size") * F.col("n_buckets")).over(w)
+    return hist.select(
+        "bucket_size",
+        "n_buckets",
+        F.round(
+            F.col("bucket_size") * F.col("n_buckets") / total, 6
+        ).alias("share_of_vectors"),
+    )
+
+
+def lsh_bucket_stats_sql(table: str = "embeddings", n_planes: int = N_PLANES) -> str:
+    """DuckDB oracle for :func:`lsh_bucket_stats` — same bucket formula."""
+    bucket = " + ".join(
+        f"(CASE WHEN {_proj_sql(p)} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH lb_base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ),
+    lb_b AS (
+      SELECT CAST({bucket} AS BIGINT) AS bucket FROM lb_base
+    ),
+    lb_sizes AS (
+      SELECT bucket, count(*) AS bucket_size FROM lb_b GROUP BY bucket
+    ),
+    lb_h AS (
+      SELECT bucket_size, count(*) AS n_buckets
+      FROM lb_sizes GROUP BY bucket_size
+    )
+    SELECT bucket_size, n_buckets,
+           round(bucket_size * n_buckets * 1.0 /
+                 (sum(bucket_size * n_buckets) OVER ()), 6) AS share_of_vectors
+    FROM lb_h
+    """

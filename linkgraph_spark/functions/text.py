@@ -2309,3 +2309,66 @@ def char_trigrams_sql(table: str = "documents", top_n: int = 10) -> str:
       FROM ct_c
     ) WHERE rk <= {int(top_n)}
     """
+
+
+_DRIFT_PS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def source_length_drift(documents: DataFrame) -> DataFrame:
+    """→ ``[source, n_docs, drift]`` — how far each source's token-count
+    distribution sits from the corpus: the mean absolute gap between the
+    source's nine token-count deciles and the global ones, in tokens.
+    The length-marginal companion to ``source_term_divergence`` (term
+    JSD) and :func:`source_quality`: a source whose decile profile
+    drifts is over-contributing a length regime, which skews packing
+    (:func:`doc_chunks`/``pack_contexts``) and any length-bucketed
+    sampler even when its vocabulary looks normal.
+
+    Scale shape: one map-only token count, one per-source exact
+    percentile agg (|sources| groups) and one global one (1 row,
+    broadcast back via cross join), then a map-only array diff. Exact
+    ``percentile`` matches DuckDB ``quantile_cont`` bit-for-bit on both
+    engines (established by the percentile operators in this repo).
+    """
+    ps = ", ".join(f"{p}D" for p in _DRIFT_PS)
+    n_tok = F.size(_tokens(F.col("text")))
+    toks = documents.select("source", n_tok.alias("n_tok"))
+    per = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(f"percentile(n_tok, array({ps}))").alias("sd"),
+    )
+    glob = toks.agg(F.expr(f"percentile(n_tok, array({ps}))").alias("gd"))
+    diff = F.aggregate(
+        F.zip_with(F.col("sd"), F.col("gd"), lambda s, g: F.abs(s - g)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.lit(len(_DRIFT_PS))
+    return per.join(F.broadcast(glob), F.lit(True)).select(
+        "source", "n_docs", F.round(diff, 6).alias("drift")
+    )
+
+
+def source_length_drift_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`source_length_drift` (standalone query)."""
+    ps = ", ".join(str(p) for p in _DRIFT_PS)
+    return f"""
+    WITH sld_t AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM {table}
+    ),
+    sld_per AS (
+      SELECT source, count(*) AS n_docs,
+             quantile_cont(n_tok, [{ps}]) AS sd
+      FROM sld_t GROUP BY source
+    ),
+    sld_glob AS (
+      SELECT quantile_cont(n_tok, [{ps}]) AS gd FROM sld_t
+    )
+    SELECT source, n_docs,
+           round(list_reduce(
+                   list_transform(range(1, len(sd) + 1),
+                                  i -> abs(sd[i] - gd[i])),
+                   (a, x) -> a + x) / {len(_DRIFT_PS)}, 6) AS drift
+    FROM sld_per, sld_glob
+    """
