@@ -675,3 +675,32 @@ def test_wave48_50_no_row_python_or_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+
+def test_wave51_52_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-51..52 operators stay JVM-side; nested-loop joins only on
+    one-row broadcast frames."""
+    from linkgraph_spark.edges import build_graph
+    from linkgraph_spark.functions.dedup import dup_source_matrix
+    from linkgraph_spark.functions.events import cohort_value, session_gap_dist
+    from linkgraph_spark.functions.similarity import lsh_bucket_stats
+    from linkgraph_spark.functions.text import source_length_drift
+    from linkgraph_spark.kernels.truss import edge_ecc
+    from linkgraph_spark.transcripts import transcripts_from_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = build_graph(transcripts_from_events(spark, sf_dir))
+    for df in (
+        edge_ecc(g),
+        dup_source_matrix(docs, threshold=0.5),
+        session_gap_dist(ev),
+        cohort_value(ev),
+        lsh_bucket_stats(embs),
+        source_length_drift(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
