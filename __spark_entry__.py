@@ -1850,6 +1850,19 @@ def q_source_length_drift(spark, sf_dir):
     return tx.source_length_drift(_docs(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 53
+def q_source_boilerplate(spark, sf_dir):
+    return tx.source_boilerplate(_docs(spark, sf_dir), n=5)
+
+
+def q_label_ch_index(spark, sf_dir):
+    return sim.label_ch_index(_embs(spark, sf_dir))
+
+
+def q_dup_quality_gap(spark, sf_dir):
+    return dd.dup_quality_gap(_docs(spark, sf_dir), threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2204,6 +2217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_value": q_cohort_value,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "source_length_drift": q_source_length_drift,
+        # -- wave 53 (new this session; front in r6 with the rest of 51+) ----
+        "source_boilerplate": q_source_boilerplate,
+        "label_ch_index": q_label_ch_index,
+        "dup_quality_gap": q_dup_quality_gap,
     }
 
 
@@ -3296,6 +3313,10 @@ def oracle_sql() -> dict[str, str]:
         "cohort_value": ev.cohort_value_sql("events"),
         "lsh_bucket_stats": sim.lsh_bucket_stats_sql("embeddings"),
         "source_length_drift": tx.source_length_drift_sql("documents"),
+        # wave 53
+        "source_boilerplate": tx.source_boilerplate_sql("documents", n=5),
+        "label_ch_index": sim.label_ch_index_sql("embeddings"),
+        "dup_quality_gap": dd.dup_quality_gap_sql("documents", threshold=0.5),
     }
 
 

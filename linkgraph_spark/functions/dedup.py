@@ -1124,3 +1124,60 @@ def dup_source_matrix_sql(table: str = "documents", threshold: float = 0.5) -> s
            round(n_pairs * 1.0 / (sum(n_pairs) OVER ()), 6) AS share
     FROM dsm_cells
     """
+
+
+def dup_quality_gap(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """→ one-row ``[n_pairs, mean_abs_gap, frac_equal_quality]`` — when
+    two documents are near-duplicates, do they differ in quality? Joins
+    the :func:`minhash_lsh_dups` pair set with each side's heuristic
+    quality score and reports the mean absolute quality gap plus the
+    fraction of pairs scoring identically. A large gap says "keep-best"
+    dedup (drop the worse twin) beats "keep-first"; a gap of ~0 says the
+    cheaper keep-first policy loses nothing — the measurement behind
+    choosing ``dedup_corpus``'s retention rule. Quality is quantized to
+    0.25 steps, so the equality test is exact in both engines.
+
+    Scale shape: the LSH candidate join + O(candidates) verify, two
+    doc_id equi-joins against the map-only quality projection, one
+    global agg. Nothing new.
+    """
+    from linkgraph_spark.functions.text import quality_score
+
+    pairs = minhash_lsh_dups(documents, threshold=threshold)
+    q = quality_score(documents).select("doc_id", "quality")
+    j = pairs.join(
+        q.select(F.col("doc_id").alias("doc_a"), F.col("quality").alias("qa")),
+        "doc_a",
+    ).join(
+        q.select(F.col("doc_id").alias("doc_b"), F.col("quality").alias("qb")),
+        "doc_b",
+    )
+    return j.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("qa") - F.col("qb"))), 6).alias("mean_abs_gap"),
+        F.round(
+            F.avg(F.when(F.col("qa") == F.col("qb"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_equal_quality"),
+    )
+
+
+def dup_quality_gap_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    """DuckDB oracle for :func:`dup_quality_gap` — wraps the pair query
+    and the quality query and aggregates identically."""
+    from linkgraph_spark.functions.text import quality_score_sql
+
+    return f"""
+    WITH dqg_pairs AS MATERIALIZED (
+      SELECT * FROM ({minhash_lsh_sql(table, threshold=threshold)})
+    ),
+    dqg_q AS MATERIALIZED (
+      SELECT doc_id, quality FROM ({quality_score_sql(table)})
+    )
+    SELECT count(*) AS n_pairs,
+           round(avg(abs(a.quality - b.quality)), 6) AS mean_abs_gap,
+           round(avg(CASE WHEN a.quality = b.quality THEN 1.0 ELSE 0.0 END), 6)
+             AS frac_equal_quality
+    FROM dqg_pairs p
+    JOIN dqg_q a ON a.doc_id = p.doc_a
+    JOIN dqg_q b ON b.doc_id = p.doc_b
+    """

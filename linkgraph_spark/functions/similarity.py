@@ -2589,3 +2589,93 @@ def lsh_bucket_stats_sql(table: str = "embeddings", n_planes: int = N_PLANES) ->
                  (sum(bucket_size * n_buckets) OVER ()), 6) AS share_of_vectors
     FROM lb_h
     """
+
+
+def label_ch_index(embeddings: DataFrame) -> DataFrame:
+    """→ one-row ``[n_vectors, n_labels, ch_index]`` — the
+    Calinski–Harabasz pseudo-F of the label partition over the FULL
+    vectors: CH = (SSB/(k−1)) / (SSW/(n−k)) with SSB = Σ_g n_g‖μ_g−μ‖²
+    and SSW = Σ_i ‖v_i−μ_{g(i)}‖² (Calinski & Harabasz 1974). The
+    variance-ratio label-separation score — the centroid-based
+    complement of :func:`triplet_accuracy` (ranking view) and
+    ``silhouette`` (margin view): CH ≈ 1 means the labels explain no
+    geometry at all. NULL when k < 2, n ≤ k, or SSW = 0.
+
+    Scale shape: one posexplode to (label, dim, val) cells, a
+    (label, dim)-keyed mean agg (≤ k·D groups, map-side combinable), a
+    D-keyed global mean agg, SSW via a broadcast join of the tiny
+    centroid table back onto the cells, and two scalar reduces. No
+    windows, nothing pairwise.
+    """
+    cells = embeddings.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("d", "x")
+    )
+    cent = cells.groupBy("label", "d").agg(
+        F.avg("x").alias("c"), F.count("*").alias("n_g")
+    )
+    glob = cells.groupBy("d").agg(F.avg("x").alias("gc"))
+    ssb = (
+        cent.join(F.broadcast(glob), "d")
+        .agg(
+            F.sum(
+                F.col("n_g") * (F.col("c") - F.col("gc")) * (F.col("c") - F.col("gc"))
+            ).alias("ssb")
+        )
+    )
+    ssw = (
+        cells.join(F.broadcast(cent.select("label", "d", "c")), ["label", "d"])
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("ssw"))
+    )
+    sizes = embeddings.agg(
+        F.count("*").alias("n"), F.countDistinct("label").alias("k")
+    )
+    return (
+        sizes.join(F.broadcast(ssb), F.lit(True))
+        .join(F.broadcast(ssw), F.lit(True))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("k").alias("n_labels"),
+            F.round(
+                F.when(
+                    (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (F.col("ssw") > 0),
+                    (F.col("ssb") / (F.col("k") - 1))
+                    / (F.col("ssw") / (F.col("n") - F.col("k"))),
+                ),
+                6,
+            ).alias("ch_index"),
+        )
+    )
+
+
+def label_ch_index_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`label_ch_index` — same cell explode and
+    centroid joins."""
+    return f"""
+    WITH ch_cells AS MATERIALIZED (
+      SELECT label, unnest(range(len(v))) AS d, unnest(v) AS x
+      FROM (SELECT label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM {table})
+    ),
+    ch_cent AS MATERIALIZED (
+      SELECT label, d, avg(x) AS c, count(*) AS n_g
+      FROM ch_cells GROUP BY label, d
+    ),
+    ch_glob AS (SELECT d, avg(x) AS gc FROM ch_cells GROUP BY d),
+    ch_ssb AS (
+      SELECT sum(n_g * (c - gc) * (c - gc)) AS ssb
+      FROM ch_cent JOIN ch_glob USING (d)
+    ),
+    ch_ssw AS (
+      SELECT sum((x - c) * (x - c)) AS ssw
+      FROM ch_cells e JOIN ch_cent m ON m.label = e.label AND m.d = e.d
+    ),
+    ch_sz AS (
+      SELECT count(*) AS n, count(DISTINCT label) AS k FROM {table}
+    )
+    SELECT n AS n_vectors, k AS n_labels,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0
+                THEN round((ssb / (k - 1)) / (ssw / (n - k)), 6)
+           END AS ch_index
+    FROM ch_sz, ch_ssb, ch_ssw
+    """

@@ -2372,3 +2372,88 @@ def source_length_drift_sql(table: str = "documents") -> str:
                    (a, x) -> a + x) / {len(_DRIFT_PS)}, 6) AS drift
     FROM sld_per, sld_glob
     """
+
+
+def source_boilerplate(documents: DataFrame, n: int = 5) -> DataFrame:
+    """→ ``[source, gram, n_docs_with, share]`` — each source's most
+    document-frequent token ``n``-gram (ties broken lexicographically)
+    and the fraction of the source's docs containing it. A share near
+    1.0 is the signature of injected boilerplate (headers, footers,
+    license blurbs) — the thing you strip BEFORE near-dup scoring, since
+    boilerplate inflates every pairwise Jaccard. Complements
+    :func:`dup_source_matrix` (which sees the resulting dup pairs, not
+    their cause).
+
+    Scale shape: per-doc n-gram windows as a map-only array transform
+    with an array_distinct (per-doc df semantics), one explode + (source,
+    gram) count, a broadcastable per-source doc count join, and a top-1
+    row_number window over the AGGREGATED counts (bounded by distinct
+    grams per source, never raw rows).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = _tokens(F.lower(F.trim(F.col("text"))))
+    n_win = F.size(toks) - F.lit(n - 1)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        )
+    )
+    d = documents.select("source", grams.alias("grams")).where(n_win >= 1)
+    counts = (
+        d.select("source", F.explode("grams").alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count("*").alias("n_docs_with"))
+    )
+    per_src = documents.groupBy("source").agg(F.count("*").alias("_n_docs"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_docs_with"), F.asc("gram")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(per_src), "source")
+        .select(
+            "source",
+            "gram",
+            "n_docs_with",
+            F.round(F.col("n_docs_with") / F.col("_n_docs"), 6).alias("share"),
+        )
+    )
+
+
+def source_boilerplate_sql(table: str = "documents", n: int = 5) -> str:
+    """DuckDB oracle for :func:`source_boilerplate` (standalone query)."""
+    return f"""
+    WITH sb_t AS (
+      SELECT source,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM {table}
+    ),
+    sb_g AS (
+      SELECT source,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - {n - 1} + 1),
+               i -> array_to_string(toks[i:i+{n - 1}], ' ')))) AS gram
+      FROM sb_t WHERE len(toks) >= {n}
+    ),
+    sb_c AS (
+      SELECT source, gram, count(*) AS n_docs_with
+      FROM sb_g GROUP BY source, gram
+    ),
+    sb_n AS (
+      SELECT source, count(*) AS n_docs FROM {table} GROUP BY source
+    ),
+    sb_top AS (
+      SELECT source, gram, n_docs_with FROM (
+        SELECT source, gram, n_docs_with,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_docs_with DESC, gram ASC) AS rk
+        FROM sb_c
+      ) WHERE rk = 1
+    )
+    SELECT t.source, t.gram, t.n_docs_with,
+           round(t.n_docs_with * 1.0 / n.n_docs, 6) AS share
+    FROM sb_top t JOIN sb_n n ON n.source = t.source
+    """
