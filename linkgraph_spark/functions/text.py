@@ -2393,14 +2393,26 @@ def source_boilerplate(documents: DataFrame, n: int = 5) -> DataFrame:
     if n < 1:
         raise ValueError("n must be >= 1")
     toks = _tokens(F.lower(F.trim(F.col("text"))))
-    n_win = F.size(toks) - F.lit(n - 1)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
-        )
+    n_win = F.size(F.col("_toks")) - F.lit(n - 1)
+    # the when() guard is load-bearing: sequence(1, n_win<=0) descends
+    # through 0 and slice(start=0) raises; a plain .where() is NOT enough
+    # because the explode's inferred size(grams)>0 predicate gets hoisted
+    # by codegen subexpression elimination past the short-circuit —
+    # CaseWhen branches are the one place Spark never hoists from
+    grams = F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, F.lit(n))),
+            )
+        ),
     )
-    d = documents.select("source", grams.alias("grams")).where(n_win >= 1)
+    d = (
+        documents.select("source", toks.alias("_toks"))
+        .where(n_win >= 1)
+        .select("source", grams.alias("grams"))
+    )
     counts = (
         d.select("source", F.explode("grams").alias("gram"))
         .groupBy("source", "gram")

@@ -704,3 +704,35 @@ def test_wave51_52_no_row_python_or_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+
+def test_wave53_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-53 operators stay JVM-side with no cartesian joins."""
+    from linkgraph_spark.functions.dedup import dup_quality_gap
+    from linkgraph_spark.functions.similarity import label_ch_index
+    from linkgraph_spark.functions.text import source_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        source_boilerplate(docs, n=5),
+        label_ch_index(embs),
+        dup_quality_gap(docs, threshold=0.5),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_source_boilerplate_window_is_post_agg(spark, sf_dir):
+    """The top-1 window must sit over the (source, gram) AGGREGATE, not
+    raw exploded rows — the agg bounds window input by distinct grams."""
+    from linkgraph_spark.functions.text import source_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(source_boilerplate(docs, n=5))
+    w = plan.find("Window")
+    assert w != -1
+    # an aggregate must appear in the subtree feeding the window
+    assert "HashAggregate" in plan[w:] or "SortAggregate" in plan[w:], plan
