@@ -1863,6 +1863,19 @@ def q_dup_quality_gap(spark, sf_dir):
     return dd.dup_quality_gap(_docs(spark, sf_dir), threshold=0.5)
 
 
+# ------------------------------------------------------------------- wave 54
+def q_vocab_richness(spark, sf_dir):
+    return tx.vocab_richness(_docs(spark, sf_dir))
+
+
+def q_davies_bouldin(spark, sf_dir):
+    return sim.davies_bouldin(_embs(spark, sf_dir))
+
+
+def q_curation_funnel(spark, sf_dir):
+    return cur.curation_funnel(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2221,6 +2234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_boilerplate": q_source_boilerplate,
         "label_ch_index": q_label_ch_index,
         "dup_quality_gap": q_dup_quality_gap,
+        # -- wave 54 ---------------------------------------------------------
+        "vocab_richness": q_vocab_richness,
+        "davies_bouldin": q_davies_bouldin,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -3317,6 +3334,10 @@ def oracle_sql() -> dict[str, str]:
         "source_boilerplate": tx.source_boilerplate_sql("documents", n=5),
         "label_ch_index": sim.label_ch_index_sql("embeddings"),
         "dup_quality_gap": dd.dup_quality_gap_sql("documents", threshold=0.5),
+        # wave 54
+        "vocab_richness": tx.vocab_richness_sql("documents"),
+        "davies_bouldin": sim.davies_bouldin_sql("embeddings"),
+        "curation_funnel": cur.curation_funnel_sql("documents"),
     }
 
 

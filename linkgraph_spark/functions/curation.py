@@ -419,3 +419,69 @@ def integrity_audit_sql(
     UNION ALL SELECT 'emb_null_label', CAST(coalesce(nolabel, 0) AS BIGINT),
               CAST(n AS BIGINT) FROM ia_m
     """
+
+
+def curation_funnel(documents: DataFrame, **thresholds) -> DataFrame:
+    """→ ``[source, reason, n_docs, frac_of_source]`` — the curation
+    accounting table: for every source, how many documents each
+    :func:`curate_corpus` reason code would drop, plus a ``__kept__`` row
+    for the survivors. This is the per-provider report a 100 TB curation
+    run actually publishes ("source X loses 40% to repetition; source Y
+    is mostly exact dups") — the aggregate the module docstring promises,
+    shipped as one operator. A document failing two checks counts under
+    BOTH reasons (reason rows are a multiset; only ``__kept__`` rows
+    partition the corpus).
+
+    Scale shape: the curate pass itself (map-only checks + one dedup
+    hash agg), a doc_id equi-join back to the source column, a reason
+    explode whose fan-out is bounded by 7 reason codes, one
+    (source, reason) hash aggregate, and a broadcast per-source total
+    join. Thresholds pass through to :func:`curate_corpus`.
+    """
+    cur = curate_corpus(documents, **thresholds)
+    src = documents.select("doc_id", "source")
+    j = cur.join(src, "doc_id")
+    tagged = j.select(
+        "source",
+        F.explode(
+            F.when(F.col("keep"), F.array(F.lit("__kept__"))).otherwise(
+                F.col("reasons")
+            )
+        ).alias("reason"),
+    )
+    counts = tagged.groupBy("source", "reason").agg(F.count("*").alias("n_docs"))
+    per_src = documents.groupBy("source").agg(F.count("*").alias("_n"))
+    return counts.join(F.broadcast(per_src), "source").select(
+        "source",
+        "reason",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_n"), 6).alias("frac_of_source"),
+    )
+
+
+def curation_funnel_sql(table: str = "documents", **thresholds) -> str:
+    """DuckDB oracle for :func:`curation_funnel` — wraps
+    :func:`curate_corpus_sql` (which emits a comma-joined ``reasons_str``)
+    and re-splits it."""
+    return f"""
+    WITH cf_cur AS MATERIALIZED (
+      SELECT * FROM ({curate_corpus_sql(table, **thresholds)})
+    ),
+    cf_j AS (
+      SELECT d.source, c.keep, c.reasons_str
+      FROM cf_cur c JOIN {table} d USING (doc_id)
+    ),
+    cf_r AS (
+      SELECT source, unnest(string_split(reasons_str, ',')) AS reason
+      FROM cf_j WHERE reasons_str <> ''
+      UNION ALL
+      SELECT source, '__kept__' AS reason FROM cf_j WHERE keep
+    ),
+    cf_c AS (
+      SELECT source, reason, count(*) AS n_docs FROM cf_r GROUP BY source, reason
+    ),
+    cf_n AS (SELECT source, count(*) AS _n FROM {table} GROUP BY source)
+    SELECT c.source, c.reason, c.n_docs,
+           round(c.n_docs * 1.0 / n._n, 6) AS frac_of_source
+    FROM cf_c c JOIN cf_n n ON n.source = c.source
+    """

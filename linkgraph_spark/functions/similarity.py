@@ -2679,3 +2679,118 @@ def label_ch_index_sql(table: str = "embeddings") -> str:
            END AS ch_index
     FROM ch_sz, ch_ssb, ch_ssw
     """
+
+
+def davies_bouldin(embeddings: DataFrame) -> DataFrame:
+    """→ one-row ``[n_labels, db_index]`` — the Davies–Bouldin index of
+    the label partition (Davies & Bouldin 1979): with S_i the mean
+    Euclidean distance of label i's members to their centroid and
+    M_ij = ‖c_i − c_j‖, DB = (1/k)·Σ_i max_{j≠i} (S_i+S_j)/M_ij. Lower is
+    better-separated; ~1 means clusters as wide as their gaps. The
+    worst-pair complement to :func:`label_ch_index` (global variance
+    ratio) and ``silhouette`` (per-point margins). NULL when k < 2 or any
+    two centroids coincide (DB is infinite there).
+
+    Scale shape: one posexplode to cells, a (label, dim) centroid
+    aggregate (≤ k·D groups), per-vector distances via a broadcast join
+    of the tiny centroid table + a vec_id re-aggregate, per-label S via
+    one more agg, and a k²-row centroid self-join that never touches the
+    data again. No windows over raw rows, nothing pairwise on vectors.
+
+    S and M are rounded to 9 dp before the ratio so the engine and the
+    DuckDB oracle agree bit-for-bit despite float summation order.
+    """
+    cells = embeddings.select(
+        "vec_id", "label", F.posexplode(_as_double(F.col("embedding"))).alias("d", "x")
+    )
+    cent = cells.groupBy("label", "d").agg(F.avg("x").alias("c"))
+    # per-member distance to own centroid, then per-label mean scatter S_i
+    dist = (
+        cells.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("label", "vec_id")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("dd"))
+    )
+    s = dist.groupBy("label").agg(F.round(F.avg("dd"), 9).alias("s"))
+    # k^2 centroid separation matrix (tiny: k labels)
+    ci = cent.select(F.col("label").alias("li"), "d", F.col("c").alias("cci"))
+    cj = cent.select(F.col("label").alias("lj"), "d", F.col("c").alias("ccj"))
+    m = (
+        ci.join(cj, "d")
+        .where(F.col("li") != F.col("lj"))
+        .groupBy("li", "lj")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("cci") - F.col("ccj")) * (F.col("cci") - F.col("ccj")))),
+                9,
+            ).alias("m")
+        )
+    )
+    r = (
+        m.join(s.select(F.col("label").alias("li"), F.col("s").alias("si")), "li")
+        .join(s.select(F.col("label").alias("lj"), F.col("s").alias("sj")), "lj")
+        .groupBy("li")
+        .agg(
+            F.max(
+                F.when(F.col("m") > 0, (F.col("si") + F.col("sj")) / F.col("m"))
+            ).alias("r_max"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("n_zero"),
+        )
+    )
+    # k comes from the label universe, not the pair table (k<2 -> no pairs)
+    return r.agg(
+        F.avg("r_max").alias("_db"),
+        F.sum("n_zero").alias("_nz"),
+    ).join(
+        F.broadcast(embeddings.agg(F.countDistinct("label").alias("n_labels"))),
+        F.lit(True),
+    ).select(
+        "n_labels",
+        F.round(
+            F.when((F.col("n_labels") >= 2) & (F.col("_nz") == 0), F.col("_db")),
+            6,
+        ).alias("db_index"),
+    )
+
+
+def davies_bouldin_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`davies_bouldin` — same 9-dp-rounded S/M."""
+    return f"""
+    WITH db_cells AS MATERIALIZED (
+      SELECT vec_id, label, unnest(range(len(v))) AS d, unnest(v) AS x
+      FROM (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM {table})
+    ),
+    db_cent AS MATERIALIZED (
+      SELECT label, d, avg(x) AS c FROM db_cells GROUP BY label, d
+    ),
+    db_dist AS (
+      SELECT e.label, e.vec_id, sqrt(sum((e.x - m.c) * (e.x - m.c))) AS dd
+      FROM db_cells e JOIN db_cent m ON m.label = e.label AND m.d = e.d
+      GROUP BY e.label, e.vec_id
+    ),
+    db_s AS (SELECT label, round(avg(dd), 9) AS s FROM db_dist GROUP BY label),
+    db_m AS (
+      SELECT a.label AS li, b.label AS lj,
+             round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 9) AS m
+      FROM db_cent a JOIN db_cent b ON a.d = b.d AND a.label <> b.label
+      GROUP BY a.label, b.label
+    ),
+    db_r AS (
+      SELECT m.li,
+             max(CASE WHEN m.m > 0 THEN (si.s + sj.s) / m.m END) AS r_max,
+             sum(CASE WHEN m.m = 0 THEN 1 ELSE 0 END) AS n_zero
+      FROM db_m m
+      JOIN db_s si ON si.label = m.li
+      JOIN db_s sj ON sj.label = m.lj
+      GROUP BY m.li
+    ),
+    db_agg AS (
+      SELECT avg(r_max) AS db, sum(n_zero) AS nz FROM db_r
+    ),
+    db_k AS (SELECT count(DISTINCT label) AS n_labels FROM {table})
+    SELECT n_labels,
+           CASE WHEN n_labels >= 2 AND coalesce(nz, 0) = 0
+                THEN round(db, 6) END AS db_index
+    FROM db_k, db_agg
+    """

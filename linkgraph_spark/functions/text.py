@@ -2469,3 +2469,73 @@ def source_boilerplate_sql(table: str = "documents", n: int = 5) -> str:
            round(t.n_docs_with * 1.0 / n.n_docs, 6) AS share
     FROM sb_top t JOIN sb_n n ON n.source = t.source
     """
+
+
+def vocab_richness(documents: DataFrame) -> DataFrame:
+    """→ ``[source, n_tokens, n_terms, hapax_share, yule_k]`` — per-source
+    lexical-richness profile over corpus-level term frequencies: total
+    token mass N, vocabulary size V, the hapax-legomena share V1/V (the
+    fraction of terms seen exactly once — high for organic text, collapsed
+    for template spam), and Yule's characteristic K
+    (K = 10^4·(Σ m²·V_m − N)/N², Yule 1944) — the classic
+    length-insensitive repeated-vocabulary statistic. Together they
+    separate "small vocabulary because short corpus" from "small
+    vocabulary because degenerate source": :func:`zipf_slope` fits the
+    tail's shape, this measures its mass.
+
+    Scale shape: token explode → one (source, term) hash aggregate
+    (map-side combinable, Zipf-bounded output) → one per-source aggregate
+    (cardinality = #sources). m² is summed in DOUBLE, not BIGINT — at
+    100 TB a head term's m² overflows int64.
+    """
+    toks = _tokens(F.lower(F.trim(F.col("text"))))
+    tf = (
+        documents.select("source", F.explode(toks).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("m"))
+    )
+    md = F.col("m").cast("double")
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("m").alias("n_tokens"),
+            F.count("*").alias("n_terms"),
+            F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).alias("_v1"),
+            F.sum(md * md).alias("_m2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms",
+            F.round(F.col("_v1") / F.col("n_terms"), 6).alias("hapax_share"),
+            F.round(
+                F.lit(10_000.0)
+                * (F.col("_m2") - F.col("n_tokens"))
+                / (F.col("n_tokens").cast("double") * F.col("n_tokens")),
+                6,
+            ).alias("yule_k"),
+        )
+    )
+
+
+def vocab_richness_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`vocab_richness` — same tokenizer and
+    double-summed m²."""
+    return f"""
+    WITH vr_tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM {table}
+    ),
+    vr_tf AS (
+      SELECT source, term, count(*) AS m FROM vr_tok GROUP BY source, term
+    )
+    SELECT source,
+           CAST(sum(m) AS BIGINT) AS n_tokens,
+           count(*) AS n_terms,
+           round(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS hapax_share,
+           round(10000.0 * (sum(CAST(m AS DOUBLE) * m) - sum(m))
+                 / (CAST(sum(m) AS DOUBLE) * sum(m)), 6) AS yule_k
+    FROM vr_tf GROUP BY source
+    """
