@@ -736,3 +736,35 @@ def test_source_boilerplate_window_is_post_agg(spark, sf_dir):
     assert w != -1
     # an aggregate must appear in the subtree feeding the window
     assert "HashAggregate" in plan[w:] or "SortAggregate" in plan[w:], plan
+
+
+def test_wave54_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-54 operators stay JVM-side; the only nested-loop join allowed
+    is davies_bouldin's one-row scalar combine."""
+    from linkgraph_spark.functions.curation import curation_funnel
+    from linkgraph_spark.functions.similarity import davies_bouldin
+    from linkgraph_spark.functions.text import vocab_richness
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        vocab_richness(docs),
+        curation_funnel(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+    plan = _plan(davies_bouldin(embs))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_davies_bouldin_centroid_join_is_broadcast(spark, sf_dir):
+    """The per-member distance join must broadcast the tiny (label, dim)
+    centroid table, never shuffle the cell explosion."""
+    from linkgraph_spark.functions.similarity import davies_bouldin
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(davies_bouldin(embs))
+    assert "BroadcastHashJoin" in plan, plan
