@@ -2923,3 +2923,89 @@ def cohort_value_sql(table: str = "events") -> str:
                    ROWS UNBOUNDED PRECEDING) / s.n, 6) AS cum_value_per_user
     FROM cv_vals v JOIN cv_sizes s ON s.cohort_s = v.cohort_s
     """
+
+
+def time_split_audit(events: DataFrame, train_frac: float = 0.8) -> DataFrame:
+    """→ one-row ``[cutoff_s, n_train, n_test, n_users_train,
+    n_users_test, n_users_both, user_leakage]`` — the temporal-holdout
+    audit: split the event log at the exact ``train_frac`` quantile of
+    event time (train = at-or-before the cutoff) and report how many TEST
+    users also appear in train. A time split is the honest evaluation
+    protocol for anything sequential, but unlike the entity-keyed
+    ``train_test_split_events`` it leaks user identity by construction —
+    ``user_leakage`` quantifies exactly how much ("94% of test users have
+    training history"), the number a modeling card must publish before
+    anyone reads the offline metric.
+
+    Scale shape: one exact-percentile aggregate over epoch seconds
+    (swap in ``approx_percentile`` at 100 TB — the audit tolerates an
+    approximate cutoff), broadcast-joined as a scalar, then ONE per-user
+    aggregate and one global reduce. No windows, no self-joins.
+    """
+    if not 0 < train_frac < 1:
+        raise ValueError("train_frac must be in (0, 1)")
+    ts_s = F.unix_timestamp("ts")
+    cut = events.agg(
+        F.percentile(ts_s, F.lit(train_frac)).alias("cutoff_s")
+    )
+    per_user = (
+        events.select("user_id", ts_s.alias("ts_s"))
+        .join(F.broadcast(cut), F.lit(True))
+        .groupBy("user_id", "cutoff_s")
+        .agg(
+            F.sum(F.when(F.col("ts_s") <= F.col("cutoff_s"), 1).otherwise(0)).alias("n_tr"),
+            F.sum(F.when(F.col("ts_s") > F.col("cutoff_s"), 1).otherwise(0)).alias("n_te"),
+        )
+    )
+    return per_user.groupBy("cutoff_s").agg(
+        F.sum("n_tr").alias("n_train"),
+        F.sum("n_te").alias("n_test"),
+        F.sum(F.when(F.col("n_tr") > 0, 1).otherwise(0)).alias("n_users_train"),
+        F.sum(F.when(F.col("n_te") > 0, 1).otherwise(0)).alias("n_users_test"),
+        F.sum(
+            F.when((F.col("n_tr") > 0) & (F.col("n_te") > 0), 1).otherwise(0)
+        ).alias("n_users_both"),
+    ).select(
+        F.round(F.col("cutoff_s"), 6).alias("cutoff_s"),
+        "n_train",
+        "n_test",
+        "n_users_train",
+        "n_users_test",
+        "n_users_both",
+        F.round(
+            F.when(
+                F.col("n_users_test") > 0,
+                F.col("n_users_both") / F.col("n_users_test"),
+            ),
+            6,
+        ).alias("user_leakage"),
+    )
+
+
+def time_split_audit_sql(table: str = "events", train_frac: float = 0.8) -> str:
+    """DuckDB oracle for :func:`time_split_audit` — quantile_cont matches
+    Spark's exact percentile on epoch-second longs."""
+    return f"""
+    WITH tsa_e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM {table}
+    ),
+    tsa_cut AS (SELECT quantile_cont(ts_s, {train_frac!r}) AS cutoff_s FROM tsa_e),
+    tsa_u AS (
+      SELECT user_id, any_value(cutoff_s) AS cutoff_s,
+             sum(CASE WHEN ts_s <= cutoff_s THEN 1 ELSE 0 END) AS n_tr,
+             sum(CASE WHEN ts_s > cutoff_s THEN 1 ELSE 0 END) AS n_te
+      FROM tsa_e, tsa_cut GROUP BY user_id
+    )
+    SELECT round(any_value(cutoff_s), 6) AS cutoff_s,
+           CAST(sum(n_tr) AS BIGINT) AS n_train,
+           CAST(sum(n_te) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_train,
+           CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_test,
+           CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_both,
+           CASE WHEN sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) > 0
+                THEN round(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+                           * 1.0 / sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END), 6)
+           END AS user_leakage
+    FROM tsa_u
+    """

@@ -2794,3 +2794,179 @@ def davies_bouldin_sql(table: str = "embeddings") -> str:
                 THEN round(db, 6) END AS db_index
     FROM db_k, db_agg
     """
+
+
+def intrinsic_dim(embeddings: DataFrame, n_queries: int = 64) -> DataFrame:
+    """→ one-row ``[n_used, intrinsic_dim]`` — the Two-NN maximum-
+    likelihood intrinsic-dimension estimate (Facco et al., Scientific
+    Reports 2017): for each probe point, μ = r₂/r₁ (distance ratio of
+    its two nearest neighbors); the MLE is d = n / Σ ln μ. Embeddings
+    that fill only a low-dimensional manifold of their ambient space
+    answer "how many PCA dims / how aggressive a matryoshka truncation
+    is safe" — the geometric complement of :func:`dim_variance` (axis
+    view) and :func:`rp_distortion` (projection view).
+
+    Estimated over a deterministic md5-ordered probe sample, never
+    all-pairs: each probe scans the corpus once via a broadcast join
+    (the :func:`cosine_topk` shape), so cost is O(n_queries · N).
+    Probes with r₁ = 0 (exact duplicates) are excluded per the paper;
+    NULL when Σ ln μ ≤ 0 (all ratios 1 — a lattice or duplicate set).
+
+    Distances are rounded to 9 dp before ranking and the ratio, so the
+    engine and oracle agree despite float summation order.
+    """
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(base, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(F.sqrt(d2), 9).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    r12 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("dist"))).alias("r1"),
+            F.min(F.when(F.col("rk") == 2, F.col("dist"))).alias("r2"),
+        )
+        .where((F.col("r1") > 0) & F.col("r2").isNotNull())
+    )
+    return r12.agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.log(F.col("r2") / F.col("r1"))).alias("_sl"),
+    ).select(
+        "n_used",
+        F.round(
+            F.when(F.col("_sl") > 0, F.col("n_used") / F.col("_sl")), 6
+        ).alias("intrinsic_dim"),
+    )
+
+
+def intrinsic_dim_sql(table: str = "embeddings", n_queries: int = 64) -> str:
+    """DuckDB oracle for :func:`intrinsic_dim` — same probe sample,
+    9-dp-rounded distances, and MLE."""
+    return f"""
+    WITH id_base AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ),
+    id_q AS (
+      SELECT vec_id AS query_id, v AS qv FROM id_base
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {int(n_queries)}
+    ),
+    id_scored AS (
+      SELECT q.query_id, b.vec_id,
+             round(sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1),
+                   i -> (q.qv[i] - b.v[i]) * (q.qv[i] - b.v[i])),
+                   (x, y) -> x + y)), 9) AS dist
+      FROM id_q q JOIN id_base b ON b.vec_id <> q.query_id
+    ),
+    id_r12 AS (
+      SELECT query_id,
+             min(CASE WHEN rk = 1 THEN dist END) AS r1,
+             min(CASE WHEN rk = 2 THEN dist END) AS r2
+      FROM (
+        SELECT query_id, dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist ASC, vec_id ASC) AS rk
+        FROM id_scored
+      ) WHERE rk <= 2
+      GROUP BY query_id
+      HAVING min(CASE WHEN rk = 1 THEN dist END) > 0
+         AND min(CASE WHEN rk = 2 THEN dist END) IS NOT NULL
+    )
+    SELECT count(*) AS n_used,
+           CASE WHEN sum(ln(r2 / r1)) > 0
+                THEN round(count(*) / sum(ln(r2 / r1)), 6) END AS intrinsic_dim
+    FROM id_r12
+    """
+
+
+def pair_cosine_hist(embeddings: DataFrame, n_sample: int = 128) -> DataFrame:
+    """→ ``[bucket_lo, n_pairs, share]`` — the corpus's pairwise-cosine
+    distribution, histogrammed at 0.1 resolution over a deterministic
+    md5-ordered sample of ``n_sample`` vectors (all C(n,2) pairs among
+    the sample, never the corpus). The one-glance "how similar is this
+    embedding space to itself" diagnostic: a mass near 1.0 predicts
+    near-dup blowup and anisotropy; a clean unimodal bump near 0 is a
+    healthy isotropic space. Pairs with a zero-norm side are skipped.
+
+    Scale shape: a TakeOrdered sample (bounded by n_sample at any corpus
+    size), one broadcast self-join of the tiny sample (≤ n_sample² rows),
+    a map-side histogram agg. The corpus itself is scanned exactly once.
+    Cosines are rounded to 9 dp before bucketing; bucket 0.9 includes 1.0.
+    """
+    base = _with_norm(embeddings).where(F.col("norm") > 0)
+    s = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_sample)
+    )
+    a = s.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = s.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9)
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("ia") < F.col("ib"))
+        .select(F.least(F.floor(cos * 10).cast("long"), F.lit(9)).alias("_b"))
+    )
+    total = F.sum("n_pairs").over(Window.partitionBy())
+    return (
+        pairs.groupBy("_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            (F.col("_b") / 10.0).alias("bucket_lo"),
+            "n_pairs",
+            F.round(F.col("n_pairs") / total, 6).alias("share"),
+        )
+    )
+
+
+def pair_cosine_hist_sql(table: str = "embeddings", n_sample: int = 128) -> str:
+    """DuckDB oracle for :func:`pair_cosine_hist` — same sample, rounding
+    and clamp."""
+    dot = (
+        "list_reduce(list_transform(range(1, len(a.v) + 1),"
+        " i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH pch_base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ),
+    pch_n AS MATERIALIZED (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+                  i -> v[i] * v[i]), (x, y) -> x + y)) AS norm
+      FROM pch_base
+    ),
+    pch_s AS MATERIALIZED (
+      SELECT * FROM pch_n WHERE norm > 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {int(n_sample)}
+    ),
+    pch_p AS (
+      SELECT least(CAST(floor(round({dot} / (a.norm * b.norm), 9) * 10)
+                   AS BIGINT), 9) AS b
+      FROM pch_s a JOIN pch_s b ON a.vec_id < b.vec_id
+    ),
+    pch_c AS (SELECT b, count(*) AS n_pairs FROM pch_p GROUP BY b)
+    SELECT b / 10.0 AS bucket_lo, n_pairs,
+           round(n_pairs * 1.0 / (sum(n_pairs) OVER ()), 6) AS share
+    FROM pch_c
+    """

@@ -768,3 +768,34 @@ def test_davies_bouldin_centroid_join_is_broadcast(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _plan(davies_bouldin(embs))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_wave55_no_row_python(spark, sf_dir):
+    """Wave-55 operators stay JVM-side. intrinsic_dim / pair_cosine_hist
+    intentionally use a broadcast nested-loop probe join (bounded sample
+    side), so only Python-eval and unbounded CartesianProduct are banned."""
+    from linkgraph_spark.functions.events import time_split_audit
+    from linkgraph_spark.functions.similarity import intrinsic_dim, pair_cosine_hist
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        intrinsic_dim(embs, n_queries=8),
+        pair_cosine_hist(embs, n_sample=16),
+        time_split_audit(ev),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_intrinsic_dim_probe_side_is_broadcast(spark, sf_dir):
+    """The probe sample must broadcast (TakeOrdered-bounded), so the corpus
+    is scanned once and never shuffled by the probe join."""
+    from linkgraph_spark.functions.similarity import intrinsic_dim
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(intrinsic_dim(embs, n_queries=8))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrdered" in plan, plan
