@@ -1889,6 +1889,53 @@ def q_time_split_audit(spark, sf_dir):
     return ev.time_split_audit(_events(spark, sf_dir), train_frac=0.8)
 
 
+# ------------------------------------------------------------------- wave 56
+def q_ab_test_srm(spark, sf_dir):
+    return ev.ab_test_srm(_events(spark, sf_dir))
+
+
+def q_ngram_coverage(spark, sf_dir):
+    return tx.ngram_coverage(_docs(spark, sf_dir))
+
+
+def q_component_profile(spark, sf_dir):
+    """Per-component structure profile for the 20 largest components:
+    vertex/edge counts, directed density, average out-degree. The
+    "is this graph one giant ball or a dust cloud" report — the
+    component-level refinement of q_graph_summary, sharing
+    connected_components' hash-min labels (and its unrolled SQL oracle).
+
+    Scale shape: the CC kernel, one edge->label equi-join keyed on src
+    (both endpoints share a component by definition), two hash
+    aggregates on component, and a TakeOrdered top-20.
+    """
+    g = _graph(spark, sf_dir)
+    labels = connected_components(g).labels.select("id", "component")
+    v = labels.groupBy("component").agg(F.count("*").alias("n_vertices"))
+    e = (
+        g.edges.join(
+            labels.select(F.col("id").alias("src"), "component"), "src"
+        )
+        .groupBy("component")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    nv, ne = F.col("n_vertices"), F.coalesce(F.col("n_edges"), F.lit(0))
+    return (
+        v.join(e, "component", "left")
+        .select(
+            "component",
+            "n_vertices",
+            ne.alias("n_edges"),
+            F.round(
+                F.when(nv > 1, ne / (nv.cast("double") * (nv - 1))), 6
+            ).alias("density"),
+            F.round(ne / nv, 6).alias("avg_out_degree"),
+        )
+        .orderBy(F.desc("n_vertices"), F.asc("component"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A ROTATION SCHEDULE: the driver's correctness gate
     records only the FIRST 50 entries (observed cap), so ordering decides
@@ -2255,6 +2302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intrinsic_dim": q_intrinsic_dim,
         "pair_cosine_hist": q_pair_cosine_hist,
         "time_split_audit": q_time_split_audit,
+        # -- wave 56 ---------------------------------------------------------
+        "ab_test_srm": q_ab_test_srm,
+        "ngram_coverage": q_ngram_coverage,
+        "component_profile": q_component_profile,
     }
 
 
@@ -2709,6 +2760,28 @@ def _component_sizes_sql(unroll: int = 20) -> str:
     return f"""{_G},
     {_components_ctes(unroll)}
     SELECT component, count(*) AS size FROM l{unroll} GROUP BY component
+    """
+
+
+def _component_profile_sql(unroll: int = 20) -> str:
+    return f"""{_G},
+    {_components_ctes(unroll)},
+    cp_v AS (SELECT component, count(*) AS n_vertices FROM l{unroll}
+             GROUP BY component),
+    cp_e AS (
+      SELECT l.component, count(*) AS n_edges
+      FROM edges e JOIN l{unroll} l ON l.id = e.src
+      GROUP BY l.component
+    )
+    SELECT v.component, v.n_vertices,
+           coalesce(e.n_edges, 0) AS n_edges,
+           CASE WHEN v.n_vertices > 1
+                THEN round(coalesce(e.n_edges, 0)
+                           / (CAST(v.n_vertices AS DOUBLE) * (v.n_vertices - 1)), 6)
+           END AS density,
+           round(coalesce(e.n_edges, 0) * 1.0 / v.n_vertices, 6) AS avg_out_degree
+    FROM cp_v v LEFT JOIN cp_e e USING (component)
+    ORDER BY v.n_vertices DESC, v.component ASC LIMIT 20
     """
 
 
@@ -3359,6 +3432,10 @@ def oracle_sql() -> dict[str, str]:
         "intrinsic_dim": sim.intrinsic_dim_sql("embeddings", n_queries=64),
         "pair_cosine_hist": sim.pair_cosine_hist_sql("embeddings", n_sample=128),
         "time_split_audit": ev.time_split_audit_sql("events", train_frac=0.8),
+        # wave 56
+        "ab_test_srm": ev.ab_test_srm_sql("events"),
+        "ngram_coverage": tx.ngram_coverage_sql("documents"),
+        "component_profile": _component_profile_sql(20),
     }
 
 

@@ -3009,3 +3009,80 @@ def time_split_audit_sql(table: str = "events", train_frac: float = 0.8) -> str:
            END AS user_leakage
     FROM tsa_u
     """
+
+
+def ab_test_srm(events: DataFrame, expected_control: float = 0.5) -> DataFrame:
+    """→ one-row ``[n_control, n_treatment, chi2, srm_detected]`` — the
+    sample-ratio-mismatch guardrail for :func:`ab_test`'s hash split: a
+    one-degree-of-freedom chi-square of the observed arm sizes against
+    the design ratio, flagged at the conventional p<0.05 bound
+    (chi² > 3.841459). SRM is the first thing a trustworthy experiment
+    report checks — a mismatched split means assignment is broken
+    (bot filtering, redirect loss, a biased hash) and every downstream
+    metric, including :func:`ab_test`'s z, is meaningless. Same md5
+    assignment as :func:`ab_test`, so this audits exactly the split the
+    z-test consumes.
+
+    Scale shape: one distinct-user shuffle and a single-row conditional
+    aggregate; chi² is a final-projection expression.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    if not 0 < expected_control < 1:
+        raise ValueError("expected_control must be in (0, 1)")
+    users = events.select("user_id").distinct().select(
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("_variant")
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("_variant") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("_variant") == 1, 1).otherwise(0)).alias("n_treatment"),
+    )
+    n0, n1 = F.col("n_control"), F.col("n_treatment")
+    e0 = (n0 + n1) * F.lit(expected_control)
+    e1 = (n0 + n1) * F.lit(1.0 - expected_control)
+    chi2 = F.when(
+        (n0 + n1) > 0, (n0 - e0) * (n0 - e0) / e0 + (n1 - e1) * (n1 - e1) / e1
+    )
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_detected"),
+    )
+
+
+def ab_test_srm_sql(table: str = "events", expected_control: float = 0.5) -> str:
+    """DuckDB oracle for :func:`ab_test_srm` — same md5 split and chi²."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH srm_u AS (
+      SELECT ({h}) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM {table})
+    ),
+    srm_agg AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_control,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_treatment
+      FROM srm_u
+    )
+    SELECT CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_treatment AS BIGINT) AS n_treatment,
+           round(CASE WHEN (n_control + n_treatment) > 0 THEN
+             (n_control - (n_control + n_treatment) * {expected_control!r})
+               * (n_control - (n_control + n_treatment) * {expected_control!r})
+               / ((n_control + n_treatment) * {expected_control!r})
+             + (n_treatment - (n_control + n_treatment) * {1.0 - expected_control!r})
+               * (n_treatment - (n_control + n_treatment) * {1.0 - expected_control!r})
+               / ((n_control + n_treatment) * {1.0 - expected_control!r})
+           END, 6) AS chi2,
+           (CASE WHEN (n_control + n_treatment) > 0 THEN
+             (n_control - (n_control + n_treatment) * {expected_control!r})
+               * (n_control - (n_control + n_treatment) * {expected_control!r})
+               / ((n_control + n_treatment) * {expected_control!r})
+             + (n_treatment - (n_control + n_treatment) * {1.0 - expected_control!r})
+               * (n_treatment - (n_control + n_treatment) * {1.0 - expected_control!r})
+               / ((n_control + n_treatment) * {1.0 - expected_control!r})
+           END) > 3.841459 AS srm_detected
+    FROM srm_agg
+    """

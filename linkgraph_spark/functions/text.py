@@ -2539,3 +2539,75 @@ def vocab_richness_sql(table: str = "documents") -> str:
                  / (CAST(sum(m) AS DOUBLE) * sum(m)), 6) AS yule_k
     FROM vr_tf GROUP BY source
     """
+
+
+_COVERAGE_KS = [1, 5, 10, 20]
+
+
+def ngram_coverage(documents: DataFrame, ks: list[int] | None = None) -> DataFrame:
+    """→ ``[k, covered_tokens, coverage]`` — what fraction of the corpus's
+    total token mass the top-``k`` most frequent terms account for, for
+    each ``k`` in ``ks``. The tokenizer-budget curve: a corpus where 20
+    terms cover 80% of tokens wants a tiny special-token head and long
+    merges, one with a flat curve wants a bigger base vocabulary —
+    :func:`zipf_slope` fits the exponent, this reads the cumulative mass
+    a vocab designer actually budgets against.
+
+    Scale shape: the corpus is scanned once for the total (map-only array
+    size sum) and once through the Zipf-bounded (term → count) aggregate;
+    the cumulative head is a TakeOrdered of max(ks) rows, ranked and
+    expanded against the k list with a ≤ max(ks)·|ks| broadcast join.
+    Nothing global-windows over the vocabulary.
+    """
+    ks = list(_COVERAGE_KS) if ks is None else sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive ints")
+    spark = documents.sparkSession
+    toks = _tokens(F.lower(F.trim(F.col("text"))))
+    total = documents.agg(F.sum(F.size(toks)).alias("_total"))
+    vocab = (
+        documents.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("m"))
+    )
+    top = vocab.orderBy(F.desc("m"), F.asc("term")).limit(max(ks))
+    w = Window.orderBy(F.desc("m"), F.asc("term"))
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    kdf = spark.createDataFrame([(k,) for k in ks], "k int")
+    return (
+        F.broadcast(kdf)
+        .join(ranked, F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("m").alias("covered_tokens"))
+        .join(F.broadcast(total), F.lit(True))
+        .select(
+            "k",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("_total"), 6).alias("coverage"),
+        )
+    )
+
+
+def ngram_coverage_sql(table: str = "documents", ks: list[int] | None = None) -> str:
+    """DuckDB oracle for :func:`ngram_coverage` — same head-limit + rank."""
+    ks = list(_COVERAGE_KS) if ks is None else sorted(set(int(k) for k in ks))
+    klist = ", ".join(str(k) for k in ks)
+    return f"""
+    WITH nc_tok AS MATERIALIZED (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM {table}
+    ),
+    nc_total AS (SELECT count(*) AS total FROM nc_tok),
+    nc_top AS (
+      SELECT term, count(*) AS m FROM nc_tok GROUP BY term
+      ORDER BY m DESC, term ASC LIMIT {max(ks)}
+    ),
+    nc_rk AS (
+      SELECT m, row_number() OVER (ORDER BY m DESC, term ASC) AS rk FROM nc_top
+    ),
+    nc_ks AS (SELECT unnest([{klist}]) AS k)
+    SELECT k, CAST(sum(m) AS BIGINT) AS covered_tokens,
+           round(sum(m) * 1.0 / any_value(t.total), 6) AS coverage
+    FROM nc_ks JOIN nc_rk ON nc_rk.rk <= nc_ks.k, nc_total t
+    GROUP BY k
+    """

@@ -799,3 +799,35 @@ def test_intrinsic_dim_probe_side_is_broadcast(spark, sf_dir):
     plan = _plan(intrinsic_dim(embs, n_queries=8))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "TakeOrdered" in plan, plan
+
+
+def test_wave56_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-56 operators stay JVM-side; ngram_coverage's k-expansion join
+    is a bounded broadcast (<= max(ks) rows on the build side)."""
+    import __spark_entry__ as e
+    from linkgraph_spark.functions.events import ab_test_srm
+    from linkgraph_spark.functions.text import ngram_coverage
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        ab_test_srm(ev),
+        e.queries()["component_profile"](spark, sf_dir),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+    plan = _plan(ngram_coverage(docs))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_ngram_coverage_head_is_take_ordered(spark, sf_dir):
+    """The vocabulary head must compile to TakeOrdered (per-partition
+    top-k + bounded merge), never a global sort of the vocabulary."""
+    from linkgraph_spark.functions.text import ngram_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(ngram_coverage(docs))
+    assert "TakeOrdered" in plan, plan
