@@ -1894,6 +1894,27 @@ def q_ab_test_srm(spark, sf_dir):
     return ev.ab_test_srm(_events(spark, sf_dir))
 
 
+# ------------------------------------------------------------------- wave 57
+def q_edge_dispersion(spark, sf_dir):
+    # dispersion of the shared-tool affinity ties (the raw actor graph's
+    # edges close at most one triangle each — tool stars make disjoint
+    # wedges — so embeddedness >= 2 never fires there; the co-usage
+    # projection is where cross-circle ties live, same move as four_cliques)
+    from linkgraph_spark.kernels import shared_tool_affinity
+    from linkgraph_spark.kernels.truss import edge_dispersion_over_pairs
+
+    aff = shared_tool_affinity(_graph(spark, sf_dir), max_tool_users=512, min_shared=3)
+    return edge_dispersion_over_pairs(aff.select("a", "b"), max_embeddedness=64)
+
+
+def q_brevity_law(spark, sf_dir):
+    return tx.brevity_law(_docs(spark, sf_dir))
+
+
+def q_dup_chain_audit(spark, sf_dir):
+    return dd.dup_chain_audit(_docs(spark, sf_dir), threshold=0.5, max_cluster=32)
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2306,6 +2327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_srm": q_ab_test_srm,
         "ngram_coverage": q_ngram_coverage,
         "component_profile": q_component_profile,
+        # -- wave 57 ---------------------------------------------------------
+        "edge_dispersion": q_edge_dispersion,
+        "brevity_law": q_brevity_law,
+        "dup_chain_audit": q_dup_chain_audit,
     }
 
 
@@ -3436,6 +3461,16 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_srm": ev.ab_test_srm_sql("events"),
         "ngram_coverage": tx.ngram_coverage_sql("documents"),
         "component_profile": _component_profile_sql(20),
+        # wave 57
+        "edge_dispersion": (
+            f"{_G}, "
+            f"{pj.shared_tool_affinity_sql(max_tool_users=512, min_shared=3, cte_name='edp_pairs')}, "
+            f"{tr.edge_dispersion_sql('edp_pairs', 64)}"
+        ),
+        "brevity_law": tx.brevity_law_sql("documents"),
+        "dup_chain_audit": dd.dup_chain_audit_sql(
+            "documents", threshold=0.5, max_cluster=32
+        ),
     }
 
 

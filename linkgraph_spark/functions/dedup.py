@@ -351,16 +351,10 @@ def near_dup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     return out
 
 
-def near_dup_clusters_sql(
-    table: str = "documents", threshold: float = 0.5, unroll: int = 40
-) -> str:
-    """DuckDB oracle: the MinHash pair SQL + unrolled hash-min closure.
-
-    ``unroll`` must cover the pair-graph diameter or the ORACLE
-    under-converges and red-flags a correct engine result (the Spark side
-    raises on non-convergence; static SQL can't) — hence the 40-round
-    margin over any realistic duplicate-chain diameter."""
-    pair_sql = minhash_lsh_sql(table, threshold)
+def _pair_closure_ctes(pair_sql: str, unroll: int) -> str:
+    """CTE chain: ``pairs`` (from ``pair_sql``) → ``pverts``/``pund`` →
+    hash-min closure ``c0..c{unroll}``. Shared by the cluster oracle and
+    the chain audit so the two can never diverge on closure semantics."""
     ctes = [
         f"pairs AS MATERIALIZED ({pair_sql})",
         """pverts AS MATERIALIZED (
@@ -386,7 +380,19 @@ def near_dup_clusters_sql(
       ) m ON m.id = c.id
     )"""
         )
-    body = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+def near_dup_clusters_sql(
+    table: str = "documents", threshold: float = 0.5, unroll: int = 40
+) -> str:
+    """DuckDB oracle: the MinHash pair SQL + unrolled hash-min closure.
+
+    ``unroll`` must cover the pair-graph diameter or the ORACLE
+    under-converges and red-flags a correct engine result (the Spark side
+    raises on non-convergence; static SQL can't) — hence the 40-round
+    margin over any realistic duplicate-chain diameter."""
+    body = _pair_closure_ctes(minhash_lsh_sql(table, threshold), unroll)
     return f"""
     WITH {body},
     sizes AS (
@@ -1180,4 +1186,94 @@ def dup_quality_gap_sql(table: str = "documents", threshold: float = 0.5) -> str
     FROM dqg_pairs p
     JOIN dqg_q a ON a.doc_id = p.doc_a
     JOIN dqg_q b ON b.doc_id = p.doc_b
+    """
+
+
+def dup_chain_audit(
+    documents: DataFrame, threshold: float = 0.5, max_cluster: int = 32
+) -> DataFrame:
+    """→ one-row ``[n_clusters, n_intra_pairs, n_direct_pairs,
+    chaining_frac]`` — how much of the near-dup clustering is TRANSITIVE
+    CHAINING rather than direct similarity: over every multi-member
+    cluster from :func:`near_dup_clusters` (size in [2, ``max_cluster``]),
+    count all intra-cluster document pairs and the subset that
+    :func:`minhash_lsh_dups` verified DIRECTLY above ``threshold``.
+    chaining_frac = 1 − direct/intra. Near 0 means clusters are genuine
+    similarity cliques and keep-one-per-cluster is safe; high means A~B~C
+    chains are merging documents that are NOT pairwise similar — the
+    known failure mode of closure-based dedup that this measurement
+    decides between (tighten the threshold, or cut clusters).
+
+    Scale shape: the LSH pair join + hash-min closure (both existing
+    operators at their native scale), an intra-cluster pair self-join
+    bounded by C(``max_cluster``, 2) per cluster (over-cap clusters are
+    excluded — the same hot-key discipline as the capped shingle join),
+    one anti-probe against the direct-pair set, one global reduce.
+    """
+    if max_cluster < 2:
+        raise ValueError("max_cluster must be >= 2")
+    clusters = near_dup_clusters(documents, threshold)
+    mem = clusters.where(
+        (F.col("cluster_size") >= 2) & (F.col("cluster_size") <= max_cluster)
+    ).select("doc_id", "keeper_id")
+    a = mem.select(F.col("keeper_id").alias("k"), F.col("doc_id").alias("da"))
+    b = mem.select(F.col("keeper_id").alias("k"), F.col("doc_id").alias("db"))
+    intra = a.join(b, "k").where(F.col("da") < F.col("db"))
+    direct = minhash_lsh_dups(documents, threshold).select(
+        F.col("doc_a").alias("da"), F.col("doc_b").alias("db"), F.lit(1).alias("_d")
+    )
+    j = intra.join(direct, ["da", "db"], "left")
+    return j.agg(
+        F.countDistinct("k").alias("n_clusters"),
+        F.count("*").alias("n_intra_pairs"),
+        F.sum(F.coalesce(F.col("_d"), F.lit(0))).alias("n_direct_pairs"),
+    ).select(
+        "n_clusters",
+        "n_intra_pairs",
+        "n_direct_pairs",
+        F.round(
+            F.when(
+                F.col("n_intra_pairs") > 0,
+                1.0 - F.col("n_direct_pairs") / F.col("n_intra_pairs"),
+            ),
+            6,
+        ).alias("chaining_frac"),
+    )
+
+
+def dup_chain_audit_sql(
+    table: str = "documents",
+    threshold: float = 0.5,
+    max_cluster: int = 32,
+    unroll: int = 40,
+) -> str:
+    """DuckDB oracle for :func:`dup_chain_audit` — shares the pair +
+    closure CTEs with :func:`near_dup_clusters_sql`."""
+    body = _pair_closure_ctes(minhash_lsh_sql(table, threshold), unroll)
+    return f"""
+    WITH {body},
+    dca_sizes AS (
+      SELECT component, count(*) AS cluster_size
+      FROM c{unroll} GROUP BY component
+    ),
+    dca_mem AS MATERIALIZED (
+      SELECT c.id AS doc_id, c.component AS k
+      FROM c{unroll} c JOIN dca_sizes s ON s.component = c.component
+      WHERE s.cluster_size BETWEEN 2 AND {int(max_cluster)}
+    ),
+    dca_intra AS (
+      SELECT x.k, x.doc_id AS da, y.doc_id AS db
+      FROM dca_mem x JOIN dca_mem y ON y.k = x.k AND x.doc_id < y.doc_id
+    ),
+    dca_j AS (
+      SELECT i.k, CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS d
+      FROM dca_intra i
+      LEFT JOIN pairs p ON p.doc_a = i.da AND p.doc_b = i.db
+    )
+    SELECT count(DISTINCT k) AS n_clusters,
+           count(*) AS n_intra_pairs,
+           CAST(sum(d) AS BIGINT) AS n_direct_pairs,
+           round(CASE WHEN count(*) > 0
+                 THEN 1.0 - sum(d) * 1.0 / count(*) END, 6) AS chaining_frac
+    FROM dca_j
     """

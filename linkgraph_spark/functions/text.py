@@ -2611,3 +2611,78 @@ def ngram_coverage_sql(table: str = "documents", ks: list[int] | None = None) ->
     FROM nc_ks JOIN nc_rk ON nc_rk.rk <= nc_ks.k, nc_total t
     GROUP BY k
     """
+
+
+def brevity_law(documents: DataFrame) -> DataFrame:
+    """→ one-row ``[n_terms, r_lnfreq_len, avg_len_types,
+    avg_len_tokens]`` — Zipf's law of abbreviation, measured: the Pearson
+    correlation between a term's log frequency and its character length
+    over the corpus vocabulary (strongly negative for natural language —
+    frequent words are short), plus the type-averaged vs token-averaged
+    word length whose gap is the same effect in expectation form. A
+    corpus whose r drifts toward 0 under filtering is losing its natural
+    head/tail structure — a quick tokenizer-health and corpus-ablation
+    check alongside :func:`zipf_slope` (rank view) and
+    :func:`ngram_coverage` (mass view). NULL r when either variable is
+    constant (degenerate single-length or uniform-frequency vocabulary).
+
+    Scale shape: one Zipf-bounded (term → count) hash aggregate, then a
+    single-row moment aggregate. No windows, no joins.
+    """
+    toks = _tokens(F.lower(F.trim(F.col("text"))))
+    vocab = (
+        documents.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("m"))
+    )
+    ln_m = F.log(F.col("m").cast("double"))
+    ln_len = F.length(F.col("term")).cast("double")
+    # corr() computed manually: Spark's Corr divides by the stddev product
+    # and raises DIVIDE_BY_ZERO under ANSI when a variable is constant —
+    # covar/stddevs + a guard give the same value with a NULL degenerate
+    return vocab.agg(
+        F.count("*").alias("n_terms"),
+        F.covar_samp(ln_m, ln_len).alias("_cv"),
+        F.stddev_samp(ln_m).alias("_sm"),
+        F.stddev_samp(ln_len).alias("_sl"),
+        F.avg(ln_len).alias("_alt"),
+        F.sum(F.col("m") * ln_len).alias("_wl"),
+        F.sum("m").alias("_n"),
+    ).select(
+        "n_terms",
+        F.round(
+            F.when(
+                (F.col("_sm") > 0) & (F.col("_sl") > 0),
+                F.col("_cv") / (F.col("_sm") * F.col("_sl")),
+            ),
+            6,
+        ).alias("r_lnfreq_len"),
+        F.round(F.col("_alt"), 6).alias("avg_len_types"),
+        F.round(F.col("_wl") / F.col("_n"), 6).alias("avg_len_tokens"),
+    )
+
+
+def brevity_law_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`brevity_law` — same vocabulary aggregate
+    and degenerate-variance guard."""
+    return f"""
+    WITH bl_tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM {table}
+    ),
+    bl_v AS MATERIALIZED (
+      SELECT term, count(*) AS m FROM bl_tok GROUP BY term
+    )
+    SELECT count(*) AS n_terms,
+           round(CASE WHEN stddev_samp(ln(CAST(m AS DOUBLE))) > 0
+                       AND stddev_samp(CAST(length(term) AS DOUBLE)) > 0
+                 THEN covar_samp(ln(CAST(m AS DOUBLE)),
+                                 CAST(length(term) AS DOUBLE))
+                      / (stddev_samp(ln(CAST(m AS DOUBLE)))
+                         * stddev_samp(CAST(length(term) AS DOUBLE)))
+                 END, 6) AS r_lnfreq_len,
+           round(avg(CAST(length(term) AS DOUBLE)), 6) AS avg_len_types,
+           round(sum(m * CAST(length(term) AS DOUBLE)) / sum(m), 6)
+             AS avg_len_tokens
+    FROM bl_v
+    """

@@ -273,3 +273,143 @@ def edge_ecc_sql() -> str:
     JOIN ec_deg da ON da.id = s.a
     JOIN ec_deg db ON db.id = s.b
     """
+
+
+def edge_dispersion(graph: LinkGraph, max_embeddedness: int = 64) -> DataFrame:
+    """:func:`edge_dispersion_over_pairs` over the graph's own edge list
+    (see there for semantics). On the raw actor graph every edge closes at
+    most one triangle (tool stars make disjoint wedges), so the registry
+    gates the operator on the denser shared-tool affinity projection
+    instead — same pattern as the K4 census."""
+    return edge_dispersion_over_pairs(
+        graph.edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        max_embeddedness=max_embeddedness,
+    )
+
+
+def edge_dispersion_over_pairs(
+    pairs: DataFrame, max_embeddedness: int = 64
+) -> DataFrame:
+    """→ ``[a, b, embeddedness, dispersion, norm_dispersion]`` — the
+    absolute dispersion of each undirected edge (Backstrom & Kleinberg,
+    WSDM 2014, simplified to the "common neighbors not directly linked"
+    form) over an arbitrary pair list ``[a, b]`` (any orientation,
+    duplicates tolerated): embeddedness = |common neighbors of a and b|;
+    dispersion = the number of common-neighbor PAIRS (s, t) with no s–t
+    edge. High dispersion at modest embeddedness is the cross-context
+    tie signature — the endpoints share neighbors drawn from several
+    otherwise-unconnected circles — where plain embeddedness
+    (:func:`edge_support`) can't tell a clique tie from a
+    bridge-of-circles tie.
+
+    Only edges with embeddedness in [2, ``max_embeddedness``] are
+    emitted: below 2 there is no pair to measure; above the cap the
+    C(emb, 2) pair fan-out is the quadratic blow-up a 100 TB run must
+    bound (same hot-cap discipline as the capped shingle join). The cap
+    drops only near-clique edges, whose dispersion is ~0 by definition.
+
+    Scale shape: the wedge equi-join for common neighbors, one
+    (a, b)-keyed count, the pair self-join RESTRICTED to capped edges,
+    one anti-probe against the edge set, two hash aggregates. The input
+    may be an expensive derived projection and is referenced five times,
+    so it is pinned once and freed after an eager detach (the K4-census
+    lifecycle). No cartesian, no iteration.
+    """
+    if max_embeddedness < 2:
+        raise ValueError("max_embeddedness must be >= 2")
+    und = (
+        pairs.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    und.count()  # materialize BEFORE the fan-out (cache-race discipline)
+    try:
+        nbr = und.select(F.col("a").alias("u"), F.col("b").alias("n")).unionAll(
+            und.select(F.col("b").alias("u"), F.col("a").alias("n"))
+        )
+        cn = und.join(
+            nbr.select(F.col("u").alias("a"), F.col("n").alias("c")), "a"
+        ).join(nbr.select(F.col("u").alias("b"), F.col("n").alias("c")), ["b", "c"])
+        emb = cn.groupBy("a", "b").agg(F.count("*").alias("embeddedness"))
+        keep = emb.where(
+            (F.col("embeddedness") >= 2)
+            & (F.col("embeddedness") <= max_embeddedness)
+        )
+        cnk = cn.join(keep.select("a", "b"), ["a", "b"])
+        cpairs = (
+            cnk.select("a", "b", F.col("c").alias("s"))
+            .join(cnk.select("a", "b", F.col("c").alias("t")), ["a", "b"])
+            .where(F.col("s") < F.col("t"))
+        )
+        conn = und.select(F.col("a").alias("s"), F.col("b").alias("t")).withColumn(
+            "_e", F.lit(1)
+        )
+        disp = (
+            cpairs.join(conn, ["s", "t"], "left")
+            .groupBy("a", "b")
+            .agg(
+                F.sum(F.when(F.col("_e").isNull(), 1).otherwise(0)).alias(
+                    "dispersion"
+                )
+            )
+        )
+        npairs = F.col("embeddedness") * (F.col("embeddedness") - 1) / 2
+        return (
+            keep.join(disp, ["a", "b"])
+            .select(
+                "a",
+                "b",
+                "embeddedness",
+                "dispersion",
+                F.round(F.col("dispersion") / npairs, 6).alias("norm_dispersion"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        und.unpersist()
+
+
+def edge_dispersion_sql(pairs_rel: str, max_embeddedness: int = 64) -> str:
+    """DuckDB oracle body for :func:`edge_dispersion_over_pairs` —
+    ``pairs_rel`` names an in-scope relation with columns ``a, b``."""
+    return f"""ed_und AS MATERIALIZED (
+      SELECT least(a, b) AS a, greatest(a, b) AS b FROM {pairs_rel}
+      WHERE a <> b GROUP BY 1, 2
+    ),
+    ed_nbr AS MATERIALIZED (
+      SELECT a AS u, b AS n FROM ed_und
+      UNION ALL SELECT b AS u, a AS n FROM ed_und
+    ),
+    ed_cn AS MATERIALIZED (
+      SELECT e.a, e.b, x.n AS c
+      FROM ed_und e
+      JOIN ed_nbr x ON x.u = e.a
+      JOIN ed_nbr y ON y.u = e.b AND y.n = x.n
+    ),
+    ed_emb AS (
+      SELECT a, b, count(*) AS embeddedness FROM ed_cn GROUP BY a, b
+    ),
+    ed_keep AS MATERIALIZED (
+      SELECT * FROM ed_emb
+      WHERE embeddedness BETWEEN 2 AND {int(max_embeddedness)}
+    ),
+    ed_cnk AS MATERIALIZED (
+      SELECT c.* FROM ed_cn c JOIN ed_keep k ON k.a = c.a AND k.b = c.b
+    ),
+    ed_disp AS (
+      SELECT p.a, p.b,
+             sum(CASE WHEN u.a IS NULL THEN 1 ELSE 0 END) AS dispersion
+      FROM (
+        SELECT x.a, x.b, x.c AS s, y.c AS t
+        FROM ed_cnk x JOIN ed_cnk y ON y.a = x.a AND y.b = x.b AND x.c < y.c
+      ) p
+      LEFT JOIN ed_und u ON u.a = p.s AND u.b = p.t
+      GROUP BY p.a, p.b
+    )
+    SELECT k.a, k.b, k.embeddedness,
+           CAST(d.dispersion AS BIGINT) AS dispersion,
+           round(d.dispersion / (k.embeddedness * (k.embeddedness - 1) / 2.0), 6)
+             AS norm_dispersion
+    FROM ed_keep k JOIN ed_disp d ON d.a = k.a AND d.b = k.b
+    """

@@ -831,3 +831,24 @@ def test_ngram_coverage_head_is_take_ordered(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(ngram_coverage(docs))
     assert "TakeOrdered" in plan, plan
+
+
+def test_wave57_no_row_python_or_cartesian(spark, sf_dir):
+    """Wave-57 operators stay JVM-side with equi-joins only."""
+    from linkgraph_spark.functions.dedup import dup_chain_audit
+    from linkgraph_spark.functions.text import brevity_law
+    from linkgraph_spark.kernels.truss import edge_dispersion_over_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "a long, b long"
+    )
+    for df in (
+        edge_dispersion_over_pairs(pairs),
+        brevity_law(docs),
+        dup_chain_audit(docs, threshold=0.5),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
