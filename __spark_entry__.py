@@ -31,6 +31,7 @@ from linkgraph_spark.functions import curation as cur
 from linkgraph_spark.functions import dedup as dd
 from linkgraph_spark.functions import events as ev
 from linkgraph_spark.functions import multimodal as mm
+from linkgraph_spark.functions import relational as rel
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
 from linkgraph_spark.kernels.kmeans import kmeans_profile_sql, kmeans_sql, silhouette_sql
@@ -66,6 +67,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # --------------------------------------------------------------------- entry
@@ -1915,6 +1920,39 @@ def q_dup_chain_audit(spark, sf_dir):
     return dd.dup_chain_audit(_docs(spark, sf_dir), threshold=0.5, max_cluster=32)
 
 
+# ---------------------------------------------------- wave 58 (TPC-H classics)
+def q_tpch_q1(spark, sf_dir):
+    return rel.pricing_summary(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q3(spark, sf_dir):
+    return rel.shipping_priority(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    return rel.local_supplier_volume(
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    return rel.returned_item_report(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2331,6 +2369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_dispersion": q_edge_dispersion,
         "brevity_law": q_brevity_law,
         "dup_chain_audit": q_dup_chain_audit,
+        # -- wave 58: warehouse classics over the TPC-H-shaped tables --------
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
     }
 
 
@@ -3471,6 +3514,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_chain_audit": dd.dup_chain_audit_sql(
             "documents", threshold=0.5, max_cluster=32
         ),
+        # wave 58
+        "tpch_q1": rel.pricing_summary_sql(),
+        "tpch_q3": rel.shipping_priority_sql(),
+        "tpch_q5": rel.local_supplier_volume_sql(),
+        "tpch_q10": rel.returned_item_report_sql(),
     }
 
 

@@ -1,0 +1,260 @@
+"""Classic warehouse analytics over the TPC-H-shaped tables.
+
+The testdata ships a trimmed TPC-H star schema (``lineitem`` ``orders``
+``customer`` ``supplier`` ``part`` ``nation`` ``region``) alongside the
+graph/document tables; these operators are the canonical OLAP shapes
+(TPC-H spec, public domain — Q1/Q3/Q5/Q10 adapted to the trimmed
+columns) expressed Spark-first:
+
+- **fact-side filters are literal predicates on the scan** so Catalyst
+  pushes them into the parquet reader (``PushedFilters``) — at 100 TB
+  the date window is the difference between scanning a month and
+  scanning seven years;
+- **dimensions broadcast** (region/nation/customer/supplier are tiny by
+  star-schema construction) — no shuffle touches the fact table except
+  the final groupBy on low-cardinality keys, which combines map-side;
+- money aggregates are rounded to 2 dp and averages to 6 dp IN BOTH
+  engines, so float summation order can't flake the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1: per (returnflag, linestatus) pricing summary of lineitems
+    shipped on or before ``cutoff``. → ``[l_returnflag, l_linestatus,
+    sum_qty, sum_base_price, sum_disc_price, sum_charge, avg_qty,
+    avg_price, avg_disc, count_order]``.
+
+    Scale shape: one pushed-down date filter, one 6-way hash aggregate on
+    a ~6-value composite key (fully map-side combinable) — the canonical
+    "scan fast, aggregate small" plan.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= _ts(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def pricing_summary_sql(cutoff: str = "1998-09-02") -> str:
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-03-15",
+    n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3: the ``n`` highest-revenue undelivered orders for one
+    market segment — orders placed before ``date`` with lineitems shipped
+    after it. → ``[l_orderkey, revenue, o_orderdate, o_orderpriority]``.
+
+    Scale shape: the segment filter shrinks customer BEFORE the broadcast
+    (dimension-side pruning), both date filters push to the fact scans,
+    the orders⋈lineitem join is the only big shuffle, and the top-n is a
+    TakeOrdered on the aggregated (per-order) rows. Ties broken by
+    orderkey so the cut is deterministic.
+    """
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < _ts(date)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.where(F.col("l_shipdate") > _ts(date)).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(li, ords.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(n)
+    )
+
+
+def shipping_priority_sql(
+    segment: str = "BUILDING", date: str = "1998-03-15", n: int = 10
+) -> str:
+    seg = segment.replace("'", "''")
+    return f"""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{seg}'
+      AND o_orderdate < TIMESTAMP '{date}'
+      AND l_shipdate > TIMESTAMP '{date}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT {int(n)}
+    """
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5: revenue per nation from orders where customer and
+    supplier share the nation, one region, one order-year window.
+    → ``[n_name, revenue]``.
+
+    Scale shape: region→nation→customer collapses to ONE broadcast-sized
+    (custkey → nationkey) dimension before touching facts; supplier
+    broadcasts the same way; the order-date window pushes to the orders
+    scan; the only big shuffle is orders⋈lineitem. The local-supplier
+    condition (c_nationkey = s_nationkey) rides the join as an equi-key,
+    never a post-filter on a wider join.
+    """
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("_cnat"), "n_name")
+    supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("_snat"))
+    ords = orders.where(
+        (F.col("o_orderdate") >= _ts(date_from)) & (F.col("o_orderdate") < _ts(date_to))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    return (
+        ords.join(li, ords.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (F.col("_cnat") == F.col("_snat")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+    )
+
+
+def local_supplier_volume_sql(
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> str:
+    rn = region_name.replace("'", "''")
+    return f"""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = '{rn}'
+      AND o_orderdate >= TIMESTAMP '{date_from}'
+      AND o_orderdate < TIMESTAMP '{date_to}'
+    GROUP BY n_name
+    """
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1995-10-01",
+    date_to: str = "1996-01-01",
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10: the ``n`` customers who returned the most revenue in one
+    order quarter. → ``[c_custkey, c_name, n_name, revenue, c_acctbal]``.
+
+    Scale shape: returnflag filter pushes to the lineitem scan, the
+    quarter window to the orders scan; customer⋈nation broadcasts; the
+    per-customer aggregate is the one shuffle; top-n is TakeOrdered with
+    a custkey tie-break on the ROUNDED revenue (both engines rank the
+    same rounded values, so the cut can't flake).
+    """
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    ords = orders.where(
+        (F.col("o_orderdate") >= _ts(date_from)) & (F.col("o_orderdate") < _ts(date_to))
+    ).select("o_orderkey", "o_custkey")
+    cust = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        ords.join(li, ords.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(n)
+    )
+
+
+def returned_item_report_sql(
+    date_from: str = "1995-10-01", date_to: str = "1996-01-01", n: int = 20
+) -> str:
+    return f"""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{date_from}'
+      AND o_orderdate < TIMESTAMP '{date_to}'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT {int(n)}
+    """

@@ -852,3 +852,49 @@ def test_wave57_no_row_python_or_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+
+def test_tpch_date_filters_push_to_scan(spark, sf_dir):
+    """The Q1 shipdate cutoff must reach the parquet reader as a pushed
+    filter — at 100 TB this is partition/row-group pruning, not a
+    post-scan filter."""
+    from linkgraph_spark.functions.relational import pricing_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(pricing_summary(li))
+    assert "PushedFilters: [" in plan, plan
+    assert "LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_tpch_dimensions_broadcast(spark, sf_dir):
+    """Q5's dimension chain (region->nation->customer, supplier) must
+    broadcast; the only sort-merge/shuffle join allowed is the
+    orders-lineitem fact join."""
+    from linkgraph_spark.functions.relational import local_supplier_volume
+
+    t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+    plan = _plan(
+        local_supplier_volume(
+            t("region"), t("nation"), t("customer"),
+            t("supplier"), t("orders"), t("lineitem"),
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_wave58_no_row_python(spark, sf_dir):
+    from linkgraph_spark.functions.relational import (
+        returned_item_report,
+        shipping_priority,
+    )
+
+    t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+    for df in (
+        shipping_priority(t("customer"), t("orders"), t("lineitem")),
+        returned_item_report(t("customer"), t("orders"), t("lineitem"), t("nation")),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "TakeOrdered" in plan, plan  # top-n never a global sort
