@@ -1953,6 +1953,35 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+# ------------------------------------------ wave 59 (TPC-H join-shape suite)
+def q_tpch_q4(spark, sf_dir):
+    return rel.late_shipment_priority(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    return rel.customer_order_distribution(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    return rel.large_quantity_orders(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    return rel.idle_rich_customers(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2374,6 +2403,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
+        # -- wave 59: semi/anti/outer join shapes -----------------------------
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q22": q_tpch_q22,
     }
 
 
@@ -3519,6 +3553,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": rel.shipping_priority_sql(),
         "tpch_q5": rel.local_supplier_volume_sql(),
         "tpch_q10": rel.returned_item_report_sql(),
+        # wave 59
+        "tpch_q4": rel.late_shipment_priority_sql(),
+        "tpch_q13": rel.customer_order_distribution_sql(),
+        "tpch_q18": rel.large_quantity_orders_sql(),
+        "tpch_q22": rel.idle_rich_customers_sql(),
     }
 
 

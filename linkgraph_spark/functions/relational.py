@@ -258,3 +258,202 @@ def returned_item_report_sql(
     ORDER BY revenue DESC, c_custkey ASC
     LIMIT {int(n)}
     """
+
+
+def late_shipment_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    grace_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 adapted (the trimmed schema has no commit/receipt dates):
+    of the orders placed in one quarter, how many — per order priority —
+    had at least one lineitem shipped more than ``grace_days`` after the
+    order date. → ``[o_orderpriority, order_count]``. The EXISTS shape:
+    the probe is a LEFT SEMI join, so each order contributes at most once
+    no matter how many lineitems are late, and no lineitem columns
+    survive the join.
+
+    Scale shape: quarter filter pushed to the orders scan, one semi-join
+    (equi on orderkey + the lateness range condition riding it), one
+    5-key hash aggregate.
+    """
+    ords = orders.where(
+        (F.col("o_orderdate") >= _ts(date_from)) & (F.col("o_orderdate") < _ts(date_to))
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(grace_days)} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def late_shipment_priority_sql(
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    grace_days: int = 60,
+) -> str:
+    return f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+      AND o.o_orderdate < TIMESTAMP '{date_to}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {int(grace_days)} DAY
+      )
+    GROUP BY o_orderpriority
+    """
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: the distribution of orders-per-customer INCLUDING the
+    zero-order customers — → ``[c_count, custdist]``. The outer-join
+    shape: an inner join would silently drop exactly the customers the
+    distribution's head (c_count = 0) is about.
+
+    Scale shape: one per-customer count on the orders side (map-side
+    combinable), a LEFT join from the customer spine, one ≤ max-orders
+    histogram aggregate.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("_n"))
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("_n", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def customer_order_distribution_sql() -> str:
+    return """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, coalesce(o.n, 0) AS c_count
+      FROM customer c
+      LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+        ON o.o_custkey = c.c_custkey
+    )
+    GROUP BY c_count
+    """
+
+
+def large_quantity_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    threshold: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18: orders whose TOTAL lineitem quantity exceeds
+    ``threshold``, with their customer. → ``[c_custkey, c_name,
+    o_orderkey, o_orderdate, o_totalprice, total_qty]``. The
+    HAVING-over-aggregate shape: the qualifying keys come from an
+    aggregate filter, then rejoin the fact side.
+
+    Scale shape: one per-order quantity aggregate (map-side combinable)
+    filtered to the rare qualifiers, which then BROADCASTS back against
+    orders; customer broadcasts onto the survivors. The fact table is
+    scanned once and never re-shuffled.
+    """
+    qual = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > threshold)
+    )
+    return (
+        orders.join(F.broadcast(qual), orders.o_orderkey == qual.l_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+def large_quantity_orders_sql(threshold: float = 250.0) -> str:
+    return f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, q.total_qty
+    FROM (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > {threshold!r}
+    ) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1999-01-01",
+    date_to: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 adapted (no phone column — grouped by nation): customers
+    with an above-average positive account balance and NO orders in the
+    window — dormant high-value accounts. → ``[n_name, numcust,
+    totacctbal]``. The anti-join + scalar-subquery shape.
+
+    Scale shape: the positive-balance average is one scalar aggregate
+    broadcast as a literal join; the no-orders test is a LEFT ANTI join
+    against the window-filtered orders (pushed-down dates); nation
+    broadcasts. No correlated per-row subquery survives planning.
+    """
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    rich = (
+        customer.join(F.broadcast(avg_bal), F.lit(True))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    window_orders = orders.where(
+        (F.col("o_orderdate") >= _ts(date_from)) & (F.col("o_orderdate") < _ts(date_to))
+    ).select("o_custkey")
+    idle = rich.join(
+        window_orders, rich.c_custkey == window_orders.o_custkey, "left_anti"
+    )
+    return (
+        idle.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            idle.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def idle_rich_customers_sql(
+    date_from: str = "1999-01-01", date_to: str = "2000-01-01"
+) -> str:
+    return f"""
+    SELECT n.n_name, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{date_from}'
+          AND o.o_orderdate < TIMESTAMP '{date_to}'
+      )
+    GROUP BY n.n_name
+    """

@@ -898,3 +898,24 @@ def test_wave58_no_row_python(spark, sf_dir):
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
         assert "TakeOrdered" in plan, plan  # top-n never a global sort
+
+
+def test_tpch_semi_and_anti_join_shapes(spark, sf_dir):
+    """Q4 must plan a LeftSemi (EXISTS never widens rows); Q22 a LeftAnti;
+    Q18's qualifier set must broadcast back against orders."""
+    from linkgraph_spark.functions.relational import (
+        idle_rich_customers,
+        large_quantity_orders,
+        late_shipment_priority,
+    )
+
+    t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+    p4 = _plan(late_shipment_priority(t("orders"), t("lineitem")))
+    assert "LeftSemi" in p4, p4
+    p22 = _plan(idle_rich_customers(t("customer"), t("orders"), t("nation")))
+    assert "LeftAnti" in p22, p22
+    p18 = _plan(large_quantity_orders(t("customer"), t("orders"), t("lineitem")))
+    assert "BroadcastHashJoin" in p18, p18
+    for p in (p4, p22, p18):
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p, p
