@@ -228,6 +228,21 @@ def main():
     _, q["containment_sf"] = timed(
         lambda: shingle_containment(docs, threshold=0.8).count()
     )
+    from linkgraph_spark.functions.relational import (
+        local_supplier_volume,
+        pricing_summary,
+    )
+
+    # warehouse family representatives: pushed-filter scan-agg (Q1) and the
+    # broadcast star join (Q5) over the TPC-H-shaped tables
+    tbl = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+    _, q["tpch_q1_sf"] = timed(lambda: pricing_summary(tbl("lineitem")).count())
+    _, q["tpch_q5_sf"] = timed(
+        lambda: local_supplier_volume(
+            tbl("region"), tbl("nation"), tbl("customer"),
+            tbl("supplier"), tbl("orders"), tbl("lineitem"),
+        ).count()
+    )
 
     # ---- large synthetic transcript graph: the throughput workload ---------
     t_large = synthesize_transcripts(
