@@ -1982,6 +1982,31 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+# ---------------------------------------- wave 60 (TPC-H predicate shapes)
+def q_tpch_q14(spark, sf_dir):
+    return rel.promo_revenue_by_month(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    return rel.top_suppliers(
+        _tbl(spark, sf_dir, "supplier"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    return rel.small_quantity_revenue(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    return rel.disjunctive_brand_revenue(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2408,6 +2433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q18": q_tpch_q18,
         "tpch_q22": q_tpch_q22,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
     }
 
 
@@ -3558,6 +3587,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13": rel.customer_order_distribution_sql(),
         "tpch_q18": rel.large_quantity_orders_sql(),
         "tpch_q22": rel.idle_rich_customers_sql(),
+        "tpch_q14": rel.promo_revenue_by_month_sql(),
+        "tpch_q15": rel.top_suppliers_sql(),
+        "tpch_q17": rel.small_quantity_revenue_sql(),
+        "tpch_q19": rel.disjunctive_brand_revenue_sql(),
     }
 
 

@@ -457,3 +457,245 @@ def idle_rich_customers_sql(
       )
     GROUP BY n.n_name
     """
+
+def promo_revenue_by_month(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 adapted (per month over a year instead of one month):
+    what share of each ship-month's revenue came from promo-type parts.
+    → ``[ship_month, promo_revenue, total_revenue, promo_share_pct]``.
+    The conditional-aggregate shape: one pass computes both the
+    conditional and unconditional sums — no second scan, no self-join.
+
+    Scale shape: the year window pushes to the lineitem scan; part (the
+    only dimension) broadcasts; one ~12-key hash aggregate with map-side
+    combine. The share is computed FROM the 2-dp-rounded sums so both
+    engines divide identical numerators.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= _ts(date_from)) & (F.col("l_shipdate") < _ts(date_to))
+    ).select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    p = part.select("p_partkey", "p_type")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("ship_month")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == promo_type, F.col("_rev")).otherwise(F.lit(0.0))),
+                2,
+            ).alias("promo_revenue"),
+            F.round(F.sum("_rev"), 2).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+def promo_revenue_by_month_sql(
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    promo_type: str = "PROMO",
+) -> str:
+    pt = promo_type.replace("'", "''")
+    return f"""
+    WITH agg AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             round(sum(CASE WHEN p_type = '{pt}'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END), 2) AS promo_revenue,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '{date_from}'
+        AND l_shipdate < TIMESTAMP '{date_to}'
+      GROUP BY 1
+    )
+    SELECT ship_month, promo_revenue, total_revenue,
+           round(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+    FROM agg
+    """
+
+
+def top_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: the supplier(s) whose shipped revenue in one quarter is
+    the maximum over all suppliers. → ``[s_suppkey, s_name,
+    total_revenue]``. The max-over-aggregate rejoin shape: the qualifier
+    is itself an aggregate of the aggregate.
+
+    Scale shape: quarter filter pushed to the fact scan, one per-supplier
+    aggregate (map-side combinable, |suppliers| rows), the global max is
+    a scalar broadcast joined back — no window over the whole aggregate,
+    no second fact scan. Ties (several suppliers at the max) all survive,
+    exactly like the spec's view formulation.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= _ts(date_from)) & (F.col("l_shipdate") < _ts(date_to))
+    ).select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.round(F.sum("_rev"), 2).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.lit(True))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def top_suppliers_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-04-01"
+) -> str:
+    return f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{date_from}'
+        AND l_shipdate < TIMESTAMP '{date_to}'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    frac: float = 0.2,
+) -> DataFrame:
+    """TPC-H Q17 adapted (per brand instead of one brand+container):
+    revenue locked in unusually small orders — lineitems whose quantity
+    is below ``frac`` of their part's average quantity — per brand.
+    → ``[p_brand, small_qty_revenue, small_qty_lines]``. The correlated
+    scalar-subquery shape (``l_quantity < frac * (SELECT avg ... WHERE
+    same part)``) decorrelated into a per-part aggregate rejoin.
+
+    Scale shape: the per-part average is one map-side-combinable
+    aggregate (|parts| rows, dimension-sized) that BROADCASTS back onto
+    the fact scan; the brand dimension broadcasts too; final aggregate is
+    ~|brands| keys. The fact table is scanned twice but shuffled never.
+    Determinism: quantities are whole numbers, so the per-part sum is an
+    exact integer and ``avg`` is bit-identical in both engines; the
+    strict ``<`` then cuts identically.
+    """
+    avg_q = lineitem.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg_qty"))
+    small = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(avg_q), "l_partkey"
+    ).where(F.col("l_quantity") < F.lit(frac) * F.col("_avg_qty"))
+    p = part.select("p_partkey", "p_brand")
+    return (
+        small.join(F.broadcast(p), small.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count("*").alias("small_qty_lines"),
+        )
+    )
+
+
+def small_quantity_revenue_sql(frac: float = 0.2) -> str:
+    return f"""
+    WITH avg_q AS (
+      SELECT l_partkey, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           round(sum(l_extendedprice), 2) AS small_qty_revenue,
+           count(*) AS small_qty_lines
+    FROM lineitem l
+    JOIN avg_q a ON a.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < {frac!r} * a.avg_qty
+    GROUP BY p_brand
+    """
+
+
+def disjunctive_brand_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    arms: tuple = (
+        ("Brand#4", 1, 15, 1, 20),
+        ("Brand#19", 10, 30, 10, 30),
+        ("Brand#25", 20, 50, 20, 40),
+    ),
+) -> DataFrame:
+    """TPC-H Q19 adapted: revenue matched by an OR of brand-specific
+    conjunctions — each arm is ``(brand, size_lo, size_hi, qty_lo,
+    qty_hi)`` — reported per brand. → ``[p_brand, revenue, lines]``.
+    The disjunctive-predicate shape: the filter mixes fact and dimension
+    columns across OR arms, so naive planning evaluates it post-join.
+
+    Scale shape: part broadcasts; Catalyst extracts the dimension-only
+    disjunction (brand IN ... AND size ranges) onto the part side and the
+    derived fact-only bound (l_quantity BETWEEN global lo/hi) onto the
+    lineitem scan, so both scans prune before the join evaluates the full
+    disjunction as its residual.
+    """
+    p = part.select("p_partkey", "p_brand", "p_size")
+    j = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = F.lit(False)
+    for brand, slo, shi, qlo, qhi in arms:
+        cond = cond | (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+    return (
+        j.where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("lines"),
+        )
+    )
+
+
+def disjunctive_brand_revenue_sql(
+    arms: tuple = (
+        ("Brand#4", 1, 15, 1, 20),
+        ("Brand#19", 10, 30, 10, 30),
+        ("Brand#25", 20, 50, 20, 40),
+    ),
+) -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b.replace(chr(39), chr(39) * 2)}' AND p_size BETWEEN {int(sl)} AND {int(sh)}"
+        f" AND l_quantity BETWEEN {int(ql)} AND {int(qh)})"
+        for b, sl, sh, ql, qh in arms
+    )
+    return f"""
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {ors}
+    GROUP BY p_brand
+    """
