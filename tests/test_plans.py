@@ -919,3 +919,35 @@ def test_tpch_semi_and_anti_join_shapes(spark, sf_dir):
     for p in (p4, p22, p18):
         assert "CartesianProduct" not in p, p
         assert "BatchEvalPython" not in p, p
+
+
+def test_tpch_predicate_shapes(spark, sf_dir):
+    """Wave-60 plan audit. Q19's mixed disjunction must SPLIT: the
+    derived quantity OR-bounds push to the lineitem scan and the
+    brand/size disjunction to the part scan (at 100 TB this is the
+    difference between scanning three brand/quantity slices and the whole
+    fact table). Q15's global max must be a broadcast rejoin, never a
+    window over the per-supplier aggregate; Q17's per-part average must
+    broadcast back (decorrelated, no re-shuffle of the fact table)."""
+    from linkgraph_spark.functions.relational import (
+        disjunctive_brand_revenue,
+        promo_revenue_by_month,
+        small_quantity_revenue,
+        top_suppliers,
+    )
+
+    t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+    p14 = _plan(promo_revenue_by_month(t("lineitem"), t("part")))
+    assert "GreaterThanOrEqual(l_shipdate" in p14, p14
+    p15 = _plan(top_suppliers(t("supplier"), t("lineitem")))
+    assert "Window" not in p15, p15
+    p17 = _plan(small_quantity_revenue(t("lineitem"), t("part")))
+    assert p17.count("BroadcastHashJoin") >= 2, p17
+    p19 = _plan(disjunctive_brand_revenue(t("lineitem"), t("part")))
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in p19, p19  # fact side
+    assert "EqualTo(p_brand" in p19, p19  # dimension side
+    for p in (p14, p15, p17, p19):
+        assert "SortMergeJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p, p
+        assert "ArrowEvalPython" not in p, p
