@@ -2007,6 +2007,30 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+# -------------------------------- wave 61 (grouping sets / pivot / share)
+def q_revenue_rollup(spark, sf_dir):
+    return rel.revenue_rollup(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    return rel.market_share(
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_event_pivot_dow(spark, sf_dir):
+    return ev.event_pivot_dow(_tbl(spark, sf_dir, "events"))
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2065,11 +2089,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. growth_accounting — all of waves
-    2-48 plus the r4-green tail) must be fronted next round; every one of
-    the oracle-backed ones was verified ALL MATCH by tools/check_oracles.py
-    at sf0.01 during round 5 (the 7 rows-only entries are pinned by exact
-    pytest oracles instead)."""
+    from position 51 on (boruvka_msf .. tpch_q19 — all of waves 2-60 plus
+    the r4-green tail, 253 entries) must cycle to the front across rounds
+    6-10 (50 per round, oldest driver row first); every one of the
+    oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
+    sf0.01 during round 5 when its wave landed (the rows-only entries are
+    pinned by exact pytest oracles instead)."""
     return {
         # -- 1. rotated out of the r4 gate (driver row is r2/r3) ------------
         "pagerank_top20": q_pagerank_top20,
@@ -2437,6 +2462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
+        "revenue_rollup": q_revenue_rollup,
+        "tpch_q8": q_tpch_q8,
+        "event_pivot_dow": q_event_pivot_dow,
     }
 
 
@@ -3591,6 +3619,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": rel.top_suppliers_sql(),
         "tpch_q17": rel.small_quantity_revenue_sql(),
         "tpch_q19": rel.disjunctive_brand_revenue_sql(),
+        "revenue_rollup": rel.revenue_rollup_sql(),
+        "tpch_q8": rel.market_share_sql(),
+        "event_pivot_dow": ev.event_pivot_dow_sql("events"),
     }
 
 

@@ -3086,3 +3086,40 @@ def ab_test_srm_sql(table: str = "events", expected_control: float = 0.5) -> str
            END) > 3.841459 AS srm_detected
     FROM srm_agg
     """
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_pivot_dow(events: DataFrame, types: tuple = EVENT_TYPES) -> DataFrame:
+    """Event counts pivoted to one column per type, one row per weekday
+    (0 = Monday .. 6 = Sunday). → ``[dow, click, error, purchase,
+    signup, view]``. The pivot shape: a single-pass conditional
+    aggregate — never one scan per type.
+
+    Scale shape: the pivot values are EXPLICIT, so Spark skips the extra
+    distinct-values job a bare ``pivot(col)`` schedules, the output
+    schema is stable regardless of data, and an unexpected type can't
+    explode the column count; the aggregate is 7 keys x |types| cells,
+    fully map-side combinable. Absent (dow, type) combos surface as 0,
+    not NULL.
+    """
+    ev = events.select(F.weekday("ts").alias("dow"), "event_type")
+    piv = ev.groupBy("dow").pivot("event_type", list(types)).count()
+    return piv.select(
+        "dow", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+def event_pivot_dow_sql(table: str = "events", types: tuple = EVENT_TYPES) -> str:
+    cells = ",\n           ".join(
+        "count(*) FILTER (WHERE event_type = '{0}') AS {1}".format(
+            t.replace("'", "''"), t
+        )
+        for t in types
+    )
+    return f"""
+    SELECT (isodow(ts) - 1) AS dow,
+           {cells}
+    FROM {table}
+    GROUP BY 1
+    """

@@ -699,3 +699,142 @@ def disjunctive_brand_revenue_sql(
     WHERE {ors}
     GROUP BY p_brand
     """
+
+def revenue_rollup(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Order revenue with ROLLUP subtotals — per (nation, order-year),
+    per nation, and grand total, distinguished by ``grouping_id``.
+    → ``[n_name, order_year, gid, revenue, n_orders]``. The
+    grouping-sets shape: Spark plans ONE scan + an ``Expand`` (each row
+    replicated once per grouping set) feeding a single hash aggregate —
+    never one job per subtotal level.
+
+    Scale shape: dimensions broadcast; Expand multiplies rows 3x BEFORE
+    the aggregate but map-side combine collapses them to
+    |nations x years| partials, so the shuffle stays dimension-sized.
+    Both engines emit the same grouping_id bitmask (verified: leftmost
+    rollup column = most significant bit in Spark AND DuckDB).
+    """
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name")
+    j = orders.select(
+        "o_custkey", F.year("o_orderdate").alias("order_year"), "o_totalprice"
+    ).join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    return (
+        j.rollup("n_name", "order_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("n_name", "order_year", "gid", "revenue", "n_orders")
+    )
+
+
+def revenue_rollup_sql() -> str:
+    return """
+    SELECT n_name, year(o_orderdate) AS order_year,
+           grouping(n_name, year(o_orderdate)) AS gid,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY ROLLUP(n_name, year(o_orderdate))
+    """
+
+
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    supp_nation_prefix: str = "NATION_1",
+) -> DataFrame:
+    """TPC-H Q8 adapted: per order year, the share of one region's order
+    revenue delivered by suppliers from nations matching a prefix.
+    → ``[order_year, nation_revenue, total_revenue, mkt_share]``. The
+    two-population conditional-share shape: numerator and denominator
+    come from ONE pass (sum of a CASE), never two scans diffed.
+
+    Scale shape: both dimension chains (region→nation→customer and
+    nation→supplier) collapse to broadcast maps before touching facts;
+    the only big shuffle is orders⋈lineitem; the final aggregate is
+    |years| keys. Share divides the 2-dp-rounded sums so both engines
+    rank identical values.
+    """
+    nat_r = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(nat_r), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("_snk"), "n_name")),
+        supplier.s_nationkey == F.col("_snk"),
+    ).select("s_suppkey", F.col("n_name").alias("_sn"))
+    ords = orders.select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")
+    ).join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    agg = (
+        ords.join(li, ords.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("order_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("_sn").startswith(supp_nation_prefix), F.col("_rev")
+                    ).otherwise(F.lit(0.0))
+                ),
+                2,
+            ).alias("nation_revenue"),
+            F.round(F.sum("_rev"), 2).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "order_year",
+        "nation_revenue",
+        "total_revenue",
+        F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias("mkt_share"),
+    )
+
+
+def market_share_sql(
+    region_name: str = "ASIA", supp_nation_prefix: str = "NATION_1"
+) -> str:
+    rn = region_name.replace("'", "''")
+    pf = supp_nation_prefix.replace("'", "''")
+    return f"""
+    WITH agg AS (
+      SELECT year(o_orderdate) AS order_year,
+             round(sum(CASE WHEN starts_with(sn.n_name, '{pf}')
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END), 2) AS nation_revenue,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM region r
+      JOIN nation cn ON cn.n_regionkey = r.r_regionkey
+      JOIN customer ON c_nationkey = cn.n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r.r_name = '{rn}'
+      GROUP BY 1
+    )
+    SELECT order_year, nation_revenue, total_revenue,
+           round(nation_revenue / total_revenue, 6) AS mkt_share
+    FROM agg
+    """
