@@ -951,3 +951,30 @@ def test_tpch_predicate_shapes(spark, sf_dir):
         assert "CartesianProduct" not in p, p
         assert "BatchEvalPython" not in p, p
         assert "ArrowEvalPython" not in p, p
+
+
+def test_grouping_sets_and_pivot_shapes(spark, sf_dir):
+    """Wave-61 plan audit. The rollup must plan ONE Expand feeding one
+    aggregate (never a union of per-level scans); the explicit-values
+    pivot must read the events scan once (no per-type scan fan-out);
+    Q8's six-table join must stay all-broadcast on the dimension side."""
+    from linkgraph_spark.functions.events import event_pivot_dow
+    from linkgraph_spark.functions.relational import market_share, revenue_rollup
+
+    t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+    pr = _plan(revenue_rollup(t("orders"), t("customer"), t("nation")))
+    assert "Expand" in pr, pr
+    assert pr.count("Scan parquet") <= 2 * 3, pr  # 3 tables, node+detail listing
+    pp = _plan(event_pivot_dow(t("events")))
+    assert pp.count("Scan parquet") <= 2, pp  # ONE scan (node + detail listing)
+    p8 = _plan(
+        market_share(
+            t("region"), t("nation"), t("customer"), t("supplier"),
+            t("orders"), t("lineitem"),
+        )
+    )
+    assert "SortMergeJoin" not in p8, p8
+    for p in (pr, pp, p8):
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p, p
+        assert "ArrowEvalPython" not in p, p
