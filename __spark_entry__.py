@@ -30,6 +30,7 @@ from linkgraph_spark.kernels.triangles import _triangles
 from linkgraph_spark.functions import curation as cur
 from linkgraph_spark.functions import dedup as dd
 from linkgraph_spark.functions import events as ev
+from linkgraph_spark.functions import joins as jn
 from linkgraph_spark.functions import multimodal as mm
 from linkgraph_spark.functions import relational as rel
 from linkgraph_spark.functions import similarity as sim
@@ -2031,6 +2032,15 @@ def q_event_pivot_dow(spark, sf_dir):
     return ev.event_pivot_dow(_tbl(spark, sf_dir, "events"))
 
 
+# ------------------------------------ wave 62 (as-of join / interval join)
+def q_asof_purchase_click(spark, sf_dir):
+    return jn.asof_purchase_click(_tbl(spark, sf_dir, "events"))
+
+
+def q_interval_error_purchases(spark, sf_dir):
+    return jn.interval_error_purchases(_tbl(spark, sf_dir, "events"))
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2465,6 +2475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "tpch_q8": q_tpch_q8,
         "event_pivot_dow": q_event_pivot_dow,
+        "asof_purchase_click": q_asof_purchase_click,
+        "interval_error_purchases": q_interval_error_purchases,
     }
 
 
@@ -3622,6 +3634,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": rel.revenue_rollup_sql(),
         "tpch_q8": rel.market_share_sql(),
         "event_pivot_dow": ev.event_pivot_dow_sql("events"),
+        "asof_purchase_click": jn.asof_purchase_click_sql("events"),
+        "interval_error_purchases": jn.interval_error_purchases_sql("events"),
     }
 
 

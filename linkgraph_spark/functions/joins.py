@@ -1,0 +1,185 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+(keyless) interval join.
+
+Reference parity: the reference engine's point-lookup pattern
+(``pagerank_lambda/dynamodb/pagerank.py:51-99``) fetches "the current
+state as of this event" per key; ``asof_join`` is that access pattern
+as a set-oriented operator. Both operators here are compositions of
+built-in DataFrame ops — no Python row path.
+
+- ``asof_join``: the canonical distributed formulation — tag both
+  sides, union, ONE hash-shuffle on the key, and a per-key
+  ``last(..., ignorenulls)`` running window picks each left row's
+  most recent right match. One shuffle + one sort, no per-row
+  lookups, no join explosion. Partitioning is by join key, so it
+  scales with key cardinality (user ids: high); a single hot key
+  serializes only its own rows.
+- ``interval_join``: points-in-intervals WITHOUT an equi key. The
+  naive plan is a cartesian/BroadcastNestedLoop; instead intervals
+  explode into the fixed-width time bins they span and points join
+  their single bin — an equi shuffle join whose residual range filter
+  is exact. Each (interval, point) pair meets in exactly one bin (the
+  point's), so no dedup pass is needed. Choose ``bin_width_sec`` near
+  the typical interval width: cost is O(pairs per bin), never O(n*m).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple = (),
+) -> DataFrame:
+    """For every left row, attach the latest right row of the same
+    ``key`` with ``right_ts <= left_ts`` (backward as-of, equal
+    timestamps match). Right payload columns come back prefixed
+    ``asof_``, plus ``asof_ts`` (the matched timestamp); unmatched
+    left rows keep NULLs (left-outer semantics).
+
+    If several right rows share (key, ts), the greatest value per
+    payload column wins — deterministic, engine-order-free.
+    ``right_cols`` must not collide with left column names.
+    """
+    rcols = list(right_cols)
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    r = (
+        right.select(key, F.col(right_ts).alias("_ats"), *rcols)
+        .groupBy(key, "_ats")
+        .agg(*[F.max(c).alias(c) for c in rcols])
+        .withColumn("_is_left", F.lit(0))
+        .withColumn("_asof_ts", F.col("_ats"))
+    )
+    l = left.withColumn("_ats", F.col(left_ts)).withColumn("_is_left", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ats").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("asof_ts", F.last("_asof_ts", ignorenulls=True).over(w))
+    for c in rcols:
+        filled = filled.withColumn(f"asof_{c}", F.last(c, ignorenulls=True).over(w))
+    return filled.where(F.col("_is_left") == 1).select(
+        *left.columns, "asof_ts", *[f"asof_{c}" for c in rcols]
+    )
+
+
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start: str = "start_ts",
+    end: str = "end_ts",
+    point_ts: str = "ts",
+    bin_width_sec: int = 600,
+) -> DataFrame:
+    """All (interval, point) pairs with ``start <= point_ts < end`` and
+    NO shared key — the pure range-join shape. Returns every interval
+    column plus every point column (caller projects).
+
+    Intervals explode into the ``bin_width_sec``-wide epoch bins they
+    overlap; points join on their single containing bin; the exact
+    range predicate rides the join as its residual. Empty or inverted
+    intervals (end <= start) match nothing.
+    """
+    b = F.lit(int(bin_width_sec))
+    i_lo = F.floor(F.unix_timestamp(F.col(start)) / b)
+    # end is exclusive: the last overlapped bin is the one holding end - 1s
+    i_hi = F.floor((F.unix_timestamp(F.col(end)) - 1) / b)
+    iv = intervals.where(F.col(end) > F.col(start)).withColumn(
+        "_bin", F.explode(F.sequence(i_lo, i_hi))
+    )
+    pt = points.withColumn("_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / b))
+    return (
+        iv.join(pt, "_bin")
+        .where((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end)))
+        .drop("_bin")
+    )
+
+
+def asof_purchase_click(events: DataFrame) -> DataFrame:
+    """Gate query: each purchase joined as-of to the user's latest
+    prior-or-equal click. → ``[event_id, user_id, ts, asof_ts,
+    asof_click_id, gap_sec]`` (gap NULL when no prior click)."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = asof_join(purchases, clicks, key="user_id", right_cols=("click_id",))
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        "asof_click_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).alias("gap_sec"),
+    )
+
+
+def asof_purchase_click_sql(table: str = "events") -> str:
+    """DuckDB mirror: native ASOF LEFT JOIN, right side deduped per
+    (user, ts) with max(event_id) exactly like the engine."""
+    return f"""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM {table} WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM {table} WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS asof_ts, c.click_id AS asof_click_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+
+def interval_error_purchases(
+    events: DataFrame, window_sec: int = 600
+) -> DataFrame:
+    """Gate query: purchases landing inside any [error_ts, error_ts +
+    window) incident window, counted per error — a keyless range join
+    (errors and purchases belong to DIFFERENT users, so no equi key
+    exists). → ``[error_id, n_purchases]``, errors with none omitted."""
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr(f"INTERVAL {int(window_sec)} SECONDS")).alias("end_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "ts"
+    )
+    j = interval_join(errors, purchases, bin_width_sec=window_sec)
+    return j.groupBy("error_id").agg(F.count("*").alias("n_purchases"))
+
+
+def interval_error_purchases_sql(
+    table: str = "events", window_sec: int = 600
+) -> str:
+    return f"""
+    WITH errors AS (
+      SELECT event_id AS error_id, ts AS start_ts,
+             ts + INTERVAL {int(window_sec)} SECOND AS end_ts
+      FROM {table} WHERE event_type = 'error'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, ts FROM {table}
+      WHERE event_type = 'purchase'
+    )
+    SELECT e.error_id, count(*) AS n_purchases
+    FROM errors e
+    JOIN purchases p ON p.ts >= e.start_ts AND p.ts < e.end_ts
+    GROUP BY e.error_id
+    """
