@@ -978,3 +978,31 @@ def test_grouping_sets_and_pivot_shapes(spark, sf_dir):
         assert "CartesianProduct" not in p, p
         assert "BatchEvalPython" not in p, p
         assert "ArrowEvalPython" not in p, p
+
+
+def test_temporal_join_shapes(spark, sf_dir):
+    """Wave-62 plan audit. The as-of join must be ONE union + ONE
+    running window (no join node at all — a join formulation would
+    explode purchase x click pairs); the keyless interval join must
+    plan an EQUI join on the time bin, never a cartesian or
+    BroadcastNestedLoop over the raw range predicate."""
+    from linkgraph_spark.functions.joins import (
+        asof_purchase_click,
+        interval_error_purchases,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pa = _plan(asof_purchase_click(events))
+    assert "Window" in pa, pa
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoop"):
+        assert node not in pa, pa
+    pi = _plan(interval_error_purchases(events))
+    assert ("SortMergeJoin" in pi) or ("BroadcastHashJoin" in pi) or (
+        "ShuffledHashJoin" in pi
+    ), pi
+    assert "CartesianProduct" not in pi, pi
+    assert "BroadcastNestedLoop" not in pi, pi
+    for p in (pa, pi):
+        assert "BatchEvalPython" not in p, p
+        assert "ArrowEvalPython" not in p, p
