@@ -2041,6 +2041,15 @@ def q_interval_error_purchases(spark, sf_dir):
     return jn.interval_error_purchases(_tbl(spark, sf_dir, "events"))
 
 
+# ------------------------------------- wave 63 (SCD2 / RANGE-frame window)
+def q_scd2_user_state(spark, sf_dir):
+    return ev.scd2_user_state(_tbl(spark, sf_dir, "events"))
+
+
+def q_rolling_daily_anomaly(spark, sf_dir):
+    return ev.rolling_daily_anomaly(_tbl(spark, sf_dir, "events"))
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2477,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot_dow": q_event_pivot_dow,
         "asof_purchase_click": q_asof_purchase_click,
         "interval_error_purchases": q_interval_error_purchases,
+        "scd2_user_state": q_scd2_user_state,
+        "rolling_daily_anomaly": q_rolling_daily_anomaly,
     }
 
 
@@ -3636,6 +3647,8 @@ def oracle_sql() -> dict[str, str]:
         "event_pivot_dow": ev.event_pivot_dow_sql("events"),
         "asof_purchase_click": jn.asof_purchase_click_sql("events"),
         "interval_error_purchases": jn.interval_error_purchases_sql("events"),
+        "scd2_user_state": ev.scd2_user_state_sql("events"),
+        "rolling_daily_anomaly": ev.rolling_daily_anomaly_sql("events"),
     }
 
 

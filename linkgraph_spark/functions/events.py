@@ -3123,3 +3123,125 @@ def event_pivot_dow_sql(table: str = "events", types: tuple = EVENT_TYPES) -> st
     FROM {table}
     GROUP BY 1
     """
+
+def scd2_user_state(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a changelog: each
+    user's event stream becomes versioned state intervals — consecutive
+    repeats of the same state collapse, ``valid_to`` is the next
+    transition (NULL for the current state). → ``[user_id, state,
+    valid_from, valid_to, version]``.
+
+    Scale shape: both windows partition on user_id (high cardinality —
+    each task holds whole users, never the whole table); ordering ties
+    on equal timestamps break by event_id so the build is deterministic.
+    One shuffle total: the collapse filter and the lead() reuse the same
+    partitioning.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    changed = (
+        events.select("user_id", "event_id", "ts", F.col("event_type").alias("state"))
+        .withColumn("_prev", F.lag("state").over(w))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return changed.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+def scd2_user_state_sql(table: str = "events") -> str:
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type AS state,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+      FROM {table}
+    ),
+    changed AS (
+      SELECT user_id, event_id, ts, state FROM ordered
+      WHERE prev IS NULL OR prev <> state
+    )
+    SELECT user_id, state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS INT) AS version
+    FROM changed
+    """
+
+
+def rolling_daily_anomaly(events: DataFrame, trailing_days: int = 7) -> DataFrame:
+    """Per (event_type, day) event counts with a TRAILING ``trailing_days``
+    RANGE-frame mean and z-score — day gaps shrink the window (range, not
+    rows semantics). → ``[event_type, day, n_events, mean_w, z_w]``
+    (z NULL when the window has <2 days or zero variance).
+
+    Scale shape: the daily pre-aggregate is map-side combinable down to
+    |types x days| rows BEFORE the window, so the window input is
+    dimension-sized no matter the event volume; the frame works over an
+    integer day number so RANGE bounds are exact. Variance is computed
+    from exact integer sums with the SAME expression in both engines
+    ((ss - s*s/n)/(n-1)) — never a library stddev, whose summation order
+    differs between engines.
+    """
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("_d").asc())
+        .rangeBetween(-(int(trailing_days) - 1), 0)
+    )
+    s = F.sum("n_events").over(w)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    n = F.count("*").over(w)
+    var = (ss - s * s / n) / (n - 1)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(s / n, 6).alias("mean_w"),
+        F.round(
+            F.when((n > 1) & (var > 0), (F.col("n_events") - s / n) / F.sqrt(var)),
+            6,
+        ).alias("z_w"),
+    )
+
+
+def rolling_daily_anomaly_sql(table: str = "events", trailing_days: int = 7) -> str:
+    k = int(trailing_days) - 1
+    frame = f"""OVER (PARTITION BY event_type ORDER BY d ASC
+                 RANGE BETWEEN {k} PRECEDING AND CURRENT ROW)"""
+    return f"""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             count(*) AS n_events
+      FROM {table}
+      GROUP BY 1, 2, 3
+    ),
+    win AS (
+      SELECT event_type, day, n_events,
+             sum(n_events) {frame} AS s,
+             sum(n_events * n_events) {frame} AS ss,
+             count(*) {frame} AS n
+      FROM daily
+    )
+    SELECT event_type, day, n_events,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_w,
+           round(CASE WHEN n > 1
+                       AND (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) > 0
+                      THEN (n_events - CAST(s AS DOUBLE) / n)
+                           / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                 END, 6) AS z_w
+    FROM win
+    """
