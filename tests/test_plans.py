@@ -1006,3 +1006,27 @@ def test_temporal_join_shapes(spark, sf_dir):
     for p in (pa, pi):
         assert "BatchEvalPython" not in p, p
         assert "ArrowEvalPython" not in p, p
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Wave-63 plan audit: the collapse filter and the lead()/row_number()
+    windows all partition by user_id, so the whole SCD2 build must cost
+    ONE exchange; the rolling anomaly's window input must be the daily
+    pre-aggregate, never raw events."""
+    from linkgraph_spark.functions.events import (
+        rolling_daily_anomaly,
+        scd2_user_state,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = _plan(scd2_user_state(events))
+    # formatted plans list each node once in the tree and once in details
+    assert p.count("Exchange") <= 2, p
+    pr = _plan(rolling_daily_anomaly(events))
+    assert "HashAggregate" in pr, pr
+    # toString prints top-down: the aggregate must be UPSTREAM of (printed
+    # after) the window — i.e. the window reads the daily pre-aggregate
+    assert pr.index("Window") < pr.index("HashAggregate"), pr
+    for q in (p, pr):
+        assert "BatchEvalPython" not in q, q
+        assert "ArrowEvalPython" not in q, q
