@@ -2050,6 +2050,33 @@ def q_rolling_daily_anomaly(spark, sf_dir):
     return ev.rolling_daily_anomaly(_tbl(spark, sf_dir, "events"))
 
 
+# --------------------------------------- wave 64 (TPC-H Q7 / Q21 / Q16)
+def q_tpch_q7(spark, sf_dir):
+    return rel.nation_pair_volume(
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    return rel.waiting_suppliers(
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    return rel.parts_supplier_counts(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2488,6 +2515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_error_purchases": q_interval_error_purchases,
         "scd2_user_state": q_scd2_user_state,
         "rolling_daily_anomaly": q_rolling_daily_anomaly,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q16": q_tpch_q16,
     }
 
 
@@ -3649,6 +3679,9 @@ def oracle_sql() -> dict[str, str]:
         "interval_error_purchases": jn.interval_error_purchases_sql("events"),
         "scd2_user_state": ev.scd2_user_state_sql("events"),
         "rolling_daily_anomaly": ev.rolling_daily_anomaly_sql("events"),
+        "tpch_q7": rel.nation_pair_volume_sql(),
+        "tpch_q21": rel.waiting_suppliers_sql(),
+        "tpch_q16": rel.parts_supplier_counts_sql(),
     }
 
 

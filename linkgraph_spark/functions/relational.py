@@ -838,3 +838,200 @@ def market_share_sql(
            round(nation_revenue / total_revenue, 6) AS mkt_share
     FROM agg
     """
+
+def nation_pair_volume(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations, both directions,
+    per ship year — rows where (cust nation, supp nation) is (a, b) OR
+    (b, a). → ``[supp_nation, cust_nation, ship_year, revenue]``.
+    The symmetric-pair shape: the disjunction couples columns from TWO
+    different dimension chains, so it can only ride the join residual.
+
+    Scale shape: each nation filter prunes its dimension BEFORE the
+    broadcast (customer and supplier shrink to two nations' worth); the
+    only big shuffle is orders⋈lineitem; the pair disjunction evaluates
+    on broadcast-joined columns, 4 tiny rows wide.
+    """
+    nat = nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    pair = (F.col("cust_nation") == nation_a) & (F.col("supp_nation") == nation_b) | (
+        F.col("cust_nation") == nation_b
+    ) & (F.col("supp_nation") == nation_a)
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+    )
+
+
+def nation_pair_volume_sql(
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> str:
+    a = nation_a.replace("'", "''")
+    b = nation_b.replace("'", "''")
+    return f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE (cn.n_name = '{a}' AND sn.n_name = '{b}')
+       OR (cn.n_name = '{b}' AND sn.n_name = '{a}')
+    GROUP BY 1, 2, 3
+    """
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    grace_days: int = 60,
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 adapted (lateness = shipped more than ``grace_days``
+    after the order date): suppliers who were the ONLY late shipper on
+    multi-supplier orders. → ``[s_name, numwait]``, top ``n`` by count.
+    The spec's EXISTS(other supplier) AND NOT EXISTS(other LATE
+    supplier) pair decorrelates into two per-order aggregates — counts
+    replace both correlated subqueries.
+
+    Scale shape: one orders⋈lineitem shuffle computes per-(order,
+    supplier) lateness flags; two map-side-combinable per-order
+    aggregates (distinct suppliers, late suppliers) gate the result;
+    supplier broadcasts onto the survivors. No self-join of the fact
+    table — the aggregate formulation reads lineitem once.
+    """
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    flagged = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr(f"INTERVAL {int(grace_days)} DAYS")
+                ).cast("int")
+            ).alias("_late")
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"),
+        F.sum("_late").alias("_n_late"),
+        F.max(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias("_lone_supp"),
+    )
+    lone = per_order.where((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+    return (
+        lone.groupBy("_lone_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("_lone_supp") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(n)
+    )
+
+
+def waiting_suppliers_sql(grace_days: int = 60, n: int = 20) -> str:
+    return f"""
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate >
+                   o_orderdate + INTERVAL {int(grace_days)} DAY
+                 THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+             max(CASE WHEN late = 1 THEN l_suppkey END) AS lone_supp
+      FROM flagged GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM per_order JOIN supplier ON s_suppkey = lone_supp
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT {int(n)}
+    """
+
+
+def parts_supplier_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    size_bucket: int = 10,
+) -> DataFrame:
+    """TPC-H Q16 adapted: distinct supplier counts per (brand, size
+    bucket), EXCLUDING suppliers with a negative account balance (the
+    spec's complaints exclusion). → ``[p_brand, size_bucket,
+    supplier_cnt]``. The anti-join + count-distinct shape.
+
+    Scale shape: the exclusion list is dimension-sized and broadcasts
+    as a LEFT ANTI join BEFORE the expensive distinct; the (part,
+    supplier) pairs dedup map-side; the final count-distinct runs on
+    pre-deduped pairs, so the shuffle carries each pair once.
+    """
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+    )
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        (F.floor(F.col("p_size") / size_bucket) * size_bucket).alias("size_bucket"),
+    )
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "size_bucket")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def parts_supplier_counts_sql(size_bucket: int = 10) -> str:
+    return f"""
+    SELECT p_brand,
+           CAST(floor(p_size / {int(size_bucket)}) * {int(size_bucket)} AS BIGINT)
+             AS size_bucket,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY 1, 2
+    """
