@@ -2077,6 +2077,19 @@ def q_tpch_q16(spark, sf_dir):
     )
 
 
+# ----------------------------------- wave 65 (JSON / unpivot / fuzzy join)
+def q_json_props_stats(spark, sf_dir):
+    return ev.json_props_stats(_tbl(spark, sf_dir, "events"))
+
+
+def q_event_counts_long(spark, sf_dir):
+    return ev.event_counts_long(_tbl(spark, sf_dir, "events"))
+
+
+def q_fuzzy_text_pairs(spark, sf_dir):
+    return dd.fuzzy_text_pairs(_docs(spark, sf_dir))
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2518,6 +2531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q21": q_tpch_q21,
         "tpch_q16": q_tpch_q16,
+        "json_props_stats": q_json_props_stats,
+        "event_counts_long": q_event_counts_long,
+        "fuzzy_text_pairs": q_fuzzy_text_pairs,
     }
 
 
@@ -3682,6 +3698,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7": rel.nation_pair_volume_sql(),
         "tpch_q21": rel.waiting_suppliers_sql(),
         "tpch_q16": rel.parts_supplier_counts_sql(),
+        "json_props_stats": ev.json_props_stats_sql("events"),
+        "event_counts_long": ev.event_counts_long_sql("events"),
+        "fuzzy_text_pairs": dd.fuzzy_text_pairs_sql("documents"),
     }
 
 

@@ -1277,3 +1277,79 @@ def dup_chain_audit_sql(
                  THEN 1.0 - sum(d) * 1.0 / count(*) END, 6) AS chaining_frac
     FROM dca_j
     """
+
+
+def fuzzy_text_pairs(
+    documents: DataFrame,
+    prefix_len: int = 8,
+    sig_len: int = 32,
+    max_dist: int = 4,
+    block_cap: int = 200,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs via prefix blocking: documents
+    of the same language sharing their first ``prefix_len`` characters
+    are candidates; a pair survives when the Levenshtein distance of
+    their first ``sig_len`` characters is ≤ ``max_dist``.
+    → ``[doc_id_a, doc_id_b, edit_dist]`` with ``doc_id_a < doc_id_b``.
+
+    Blocking recall is deliberate and documented: pairs differing inside
+    the first ``prefix_len`` chars are MISSED — prefix blocking trades
+    recall for never running the O(sig_len²) distance on the cross
+    product. Blocks larger than ``block_cap`` docs are dropped whole
+    (boilerplate openings), mirroring the hot-shingle cap: a hot block
+    is quadratic, and at 100 TB one viral preamble must not produce a
+    single-task O(n²) straggler. The cap cut is on an exact per-block
+    count, so both engines drop identical blocks.
+    """
+    d = documents.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, int(sig_len)).alias("_sig"),
+        F.substring("text", 1, int(prefix_len)).alias("_blk"),
+    )
+    sizes = d.groupBy("lang", "_blk").agg(F.count("*").alias("_n"))
+    cool = d.join(
+        F.broadcast(sizes.where(F.col("_n") <= int(block_cap))), ["lang", "_blk"]
+    )
+    a = cool.select(
+        F.col("doc_id").alias("doc_id_a"), "lang", "_blk", F.col("_sig").alias("_sa")
+    )
+    b = cool.select(
+        F.col("doc_id").alias("doc_id_b"), "lang", "_blk", F.col("_sig").alias("_sb")
+    )
+    return (
+        a.join(b, ["lang", "_blk"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("edit_dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("edit_dist") <= int(max_dist))
+        .select("doc_id_a", "doc_id_b", "edit_dist")
+    )
+
+
+def fuzzy_text_pairs_sql(
+    table: str = "documents",
+    prefix_len: int = 8,
+    sig_len: int = 32,
+    max_dist: int = 4,
+    block_cap: int = 200,
+) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             substr(text, 1, {int(sig_len)}) AS sig,
+             substr(text, 1, {int(prefix_len)}) AS blk
+      FROM {table}
+    ),
+    cool AS (
+      SELECT * FROM d
+      WHERE (lang, blk) IN (
+        SELECT (lang, blk) FROM d GROUP BY lang, blk
+        HAVING count(*) <= {int(block_cap)}
+      )
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           levenshtein(a.sig, b.sig) AS edit_dist
+    FROM cool a JOIN cool b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.sig, b.sig) <= {int(max_dist)}
+    """

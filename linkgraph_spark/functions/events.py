@@ -3245,3 +3245,64 @@ def rolling_daily_anomaly_sql(table: str = "events", trailing_days: int = 7) -> 
                  END, 6) AS z_w
     FROM win
     """
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column with
+    an explicit schema and profile the extracted field per event type.
+    → ``[event_type, n_events, n_with_k, min_k, max_k, avg_k]``
+    (``n_with_k`` < ``n_events`` counts missing/malformed rows, which
+    parse to NULL, never error).
+
+    Scale shape: ``from_json`` with a TYPED schema is a JVM codegen
+    expression (one pass, no schema-inference pre-scan the way
+    ``spark.read.json`` would); the aggregate is |types| keys. At 100 TB
+    the explicit schema also means a malformed row costs a NULL, not a
+    job failure.
+    """
+    parsed = events.withColumn("_k", F.from_json("props", "k INT").getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("_k").alias("n_with_k"),
+        F.min("_k").alias("min_k"),
+        F.max("_k").alias("max_k"),
+        F.round(F.avg("_k"), 6).alias("avg_k"),
+    )
+
+
+def json_props_stats_sql(table: str = "events") -> str:
+    return f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+    FROM {table}
+    GROUP BY event_type
+    """
+
+
+def event_counts_long(events: DataFrame, types: tuple = EVENT_TYPES) -> DataFrame:
+    """DENSIFIED long-form event counts: pivot to the explicit type
+    columns (absent combos become 0), then melt back with ``unpivot`` —
+    so every (observed dow, type) cell exists, including zeros.
+    → ``[dow, event_type, n]``. The wide→long reshape: unpivot is a
+    row-local Expand, no shuffle beyond the pivot's own aggregate.
+    """
+    piv = event_pivot_dow(events, types=types)
+    return piv.unpivot("dow", list(types), "event_type", "n")
+
+
+def event_counts_long_sql(table: str = "events", types: tuple = EVENT_TYPES) -> str:
+    vals = ", ".join("('{0}')".format(t.replace("'", "''")) for t in types)
+    return f"""
+    WITH d AS (SELECT DISTINCT (isodow(ts) - 1) AS dow FROM {table}),
+    t(event_type) AS (VALUES {vals}),
+    c AS (
+      SELECT (isodow(ts) - 1) AS dow, event_type, count(*) AS n
+      FROM {table} GROUP BY 1, 2
+    )
+    SELECT d.dow, t.event_type, coalesce(c.n, 0) AS n
+    FROM d CROSS JOIN t
+    LEFT JOIN c ON c.dow = d.dow AND c.event_type = t.event_type
+    """
