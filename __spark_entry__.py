@@ -2090,6 +2090,15 @@ def q_fuzzy_text_pairs(spark, sf_dir):
     return dd.fuzzy_text_pairs(_docs(spark, sf_dir))
 
 
+# -------------------------------- wave 66 (session windows / robust stats)
+def q_session_windows(spark, sf_dir):
+    return ev.session_windows(_tbl(spark, sf_dir, "events"))
+
+
+def q_value_mad_outliers(spark, sf_dir):
+    return ev.value_mad_outliers(_tbl(spark, sf_dir, "events"))
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2534,6 +2543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "event_counts_long": q_event_counts_long,
         "fuzzy_text_pairs": q_fuzzy_text_pairs,
+        "session_windows": q_session_windows,
+        "value_mad_outliers": q_value_mad_outliers,
     }
 
 
@@ -3701,6 +3712,8 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": ev.json_props_stats_sql("events"),
         "event_counts_long": ev.event_counts_long_sql("events"),
         "fuzzy_text_pairs": dd.fuzzy_text_pairs_sql("documents"),
+        "session_windows": ev.session_windows_sql("events"),
+        "value_mad_outliers": ev.value_mad_outliers_sql("events"),
     }
 
 

@@ -3306,3 +3306,120 @@ def event_counts_long_sql(table: str = "events", types: tuple = EVENT_TYPES) -> 
     FROM d CROSS JOIN t
     LEFT JOIN c ON c.dow = d.dow AND c.event_type = t.event_type
     """
+
+def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions via Spark's native ``session_window`` (the
+    SessionWindow operator — merges events closer than ``gap_minutes``
+    into one window whose end is last-event + gap). → ``[user_id,
+    session_start, session_end, n_events, total_value]``.
+
+    Scale shape: session_window aggregates shuffle once on (user_id),
+    then merge windows within partitions — same cost as a window
+    function but streaming-compatible (the identical expression works
+    under ``readStream`` with a watermark). The oracle mirrors it as
+    the classic gaps-and-islands construction, so the native operator
+    is pinned to first-principles SQL semantics.
+    """
+    gap = f"{int(gap_minutes)} minutes"
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    g = int(gap_minutes)
+    return f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {g} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM {table}
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL {g} MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM islands
+    GROUP BY user_id, sid
+    """
+
+
+def value_mad_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust per-type outlier profile: median of ``value``, the median
+    absolute deviation, and how many events sit more than ``k`` MADs
+    from the median. → ``[event_type, median_value, mad, n_outliers]``.
+
+    Scale shape: two grouped exact-percentile aggregates (|types| keys)
+    and one broadcast rejoin of the 5-row profile onto the scan — the
+    fact table shuffles once for the median, once for the MAD (the MAD
+    is a percentile OF deviations, inherently a second pass), and the
+    outlier count combines map-side. Medians interpolate identically in
+    both engines (percentile == quantile_cont, verified family-wide).
+    """
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("_med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("_med").alias("_med"),
+        F.percentile("_adev", 0.5).alias("_mad"),
+    )
+    out = (
+        dev.drop("_med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("_med"), 6).alias("median_value"),
+            F.round(F.first("_mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("_adev") > F.lit(float(k)) * F.col("_mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+    return out
+
+
+def value_mad_outliers_sql(table: str = "events", k: float = 3.0) -> str:
+    return f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM {table} GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - med.m) AS adev, med.m
+      FROM {table} e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, any_value(m) AS m,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           round(any_value(mad.m), 6) AS median_value,
+           round(any_value(mad.mad), 6) AS mad,
+           sum(CASE WHEN dev.adev > {float(k)!r} * mad.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """
