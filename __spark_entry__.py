@@ -2099,6 +2099,15 @@ def q_value_mad_outliers(spark, sf_dir):
     return ev.value_mad_outliers(_tbl(spark, sf_dir, "events"))
 
 
+# ------------------------------ wave 67 (sliding windows / range lookup)
+def q_sliding_window_counts(spark, sf_dir):
+    return ev.sliding_window_counts(_tbl(spark, sf_dir, "events"))
+
+
+def q_value_tier_profile(spark, sf_dir):
+    return ev.value_tier_profile(_tbl(spark, sf_dir, "events"))
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2545,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_text_pairs": q_fuzzy_text_pairs,
         "session_windows": q_session_windows,
         "value_mad_outliers": q_value_mad_outliers,
+        "sliding_window_counts": q_sliding_window_counts,
+        "value_tier_profile": q_value_tier_profile,
     }
 
 
@@ -3714,6 +3725,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_text_pairs": dd.fuzzy_text_pairs_sql("documents"),
         "session_windows": ev.session_windows_sql("events"),
         "value_mad_outliers": ev.value_mad_outliers_sql("events"),
+        "sliding_window_counts": ev.sliding_window_counts_sql("events"),
+        "value_tier_profile": ev.value_tier_profile_sql("events"),
     }
 
 

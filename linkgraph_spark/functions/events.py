@@ -3423,3 +3423,110 @@ def value_mad_outliers_sql(table: str = "events", k: float = 3.0) -> str:
     FROM dev JOIN mad USING (event_type)
     GROUP BY dev.event_type
     """
+
+def sliding_window_counts(
+    events: DataFrame,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> DataFrame:
+    """Overlapping (sliding) time-window counts per event type — each
+    event lands in ``window/slide`` windows via Spark's native
+    ``F.window(ts, w, s)``. → ``[window_start, event_type, n]``.
+
+    Scale shape: the sliding window is an internal Expand (w/s rows per
+    event) feeding one hash aggregate — the blow-up factor is the
+    window/slide ratio (4 here), a constant, and the aggregate combines
+    map-side down to |windows x types|. The oracle replays the same
+    epoch-aligned window arithmetic in exact integer MICROseconds, so
+    sub-second timestamps bucket identically.
+    """
+    w = f"{int(window_minutes)} minutes"
+    s = f"{int(slide_minutes)} minutes"
+    return (
+        events.groupBy(F.window("ts", w, s).alias("_w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("_w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sliding_window_counts_sql(
+    table: str = "events",
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> str:
+    w_us = int(window_minutes) * 60 * 1_000_000
+    s_us = int(slide_minutes) * 60 * 1_000_000
+    # window [start, start+w) contains ts  <=>  ts-w < start <= ts,
+    # start = k*s: k in [floor((ts_us - w_us)/s_us) + 1, floor(ts_us/s_us)]
+    return f"""
+    WITH expanded AS (
+      SELECT event_type,
+             unnest(generate_series(
+               CAST(floor((epoch_us(ts) - {w_us}) / {s_us}) + 1 AS BIGINT),
+               CAST(floor(epoch_us(ts) / {s_us}) AS BIGINT))) AS k
+      FROM {table}
+    )
+    SELECT make_timestamp(k * {s_us}) AS window_start, event_type,
+           count(*) AS n
+    FROM expanded
+    GROUP BY 1, 2
+    """
+
+
+def value_tier_profile(
+    events: DataFrame,
+    tiers: tuple = (
+        ("bronze", 0.0, 50.0),
+        ("silver", 50.0, 150.0),
+        ("gold", 150.0, 300.0),
+        ("platinum", 300.0, 1e9),
+    ),
+) -> DataFrame:
+    """Event profile per value tier, looked up from a RANGE dimension
+    (name, lo, hi) with lo-inclusive/hi-exclusive bands.
+    → ``[tier, n_events, total_value]``; events matching no band drop.
+
+    Scale shape: the tier table is a handful of rows, so the range
+    condition joins as a BroadcastNestedLoopJoin — the ONE join shape
+    where BNLJ is the correct plan: per-row work is |tiers| comparisons
+    against a broadcast array, strictly cheaper than any shuffle. The
+    same lookup against a BIG band table must bucket instead (see
+    ``interval_join``).
+    """
+    spark = events.sparkSession
+    dim = spark.createDataFrame(
+        [(n, float(lo), float(hi)) for n, lo, hi in tiers],
+        "tier string, lo double, hi double",
+    )
+    return (
+        events.join(
+            F.broadcast(dim),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def value_tier_profile_sql(
+    table: str = "events",
+    tiers: tuple = (
+        ("bronze", 0.0, 50.0),
+        ("silver", 50.0, 150.0),
+        ("gold", 150.0, 300.0),
+        ("platinum", 300.0, 1e9),
+    ),
+) -> str:
+    vals = ", ".join(
+        "('{0}', {1!r}, {2!r})".format(n.replace("'", "''"), float(lo), float(hi))
+        for n, lo, hi in tiers
+    )
+    return f"""
+    WITH dim(tier, lo, hi) AS (VALUES {vals})
+    SELECT tier, count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM {table} JOIN dim ON value >= lo AND value < hi
+    GROUP BY tier
+    """
