@@ -32,6 +32,7 @@ from linkgraph_spark.functions import dedup as dd
 from linkgraph_spark.functions import events as ev
 from linkgraph_spark.functions import joins as jn
 from linkgraph_spark.functions import multimodal as mm
+from linkgraph_spark.functions import reconcile as rc
 from linkgraph_spark.functions import relational as rel
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import text as tx
@@ -2108,6 +2109,68 @@ def q_value_tier_profile(spark, sf_dir):
     return ev.value_tier_profile(_tbl(spark, sf_dir, "events"))
 
 
+# --------------------------------- wave 68 (checksum / snapshot diff)
+_CHECKSUM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus",
+]
+
+
+def q_lineitem_checksum(spark, sf_dir):
+    return rc.table_checksum(_tbl(spark, sf_dir, "lineitem"), _CHECKSUM_COLS)
+
+
+def _orders_snapshots(orders):
+    """Deterministic CDC fixture: bucket orders by a portable hash of the
+    key — bucket 0 is dropped (removed), bucket 1 gets a new priority
+    (changed), bucket 2 is also re-inserted under a shifted key (added)."""
+    from linkgraph_spark.functions.hashing import md5_long
+
+    h = md5_long(F.col("o_orderkey").cast("string")) % 20
+    new = orders.where(h != 0).withColumn(
+        "o_orderpriority",
+        F.when(h == 1, F.lit("X-DIFF")).otherwise(F.col("o_orderpriority")),
+    )
+    extra = orders.where(h == 2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    return orders, new.unionByName(extra)
+
+
+def q_orders_snapshot_diff(spark, sf_dir):
+    old, new = _orders_snapshots(_tbl(spark, sf_dir, "orders"))
+    return (
+        rc.snapshot_diff(old, new, "o_orderkey",
+                         ["o_orderstatus", "o_orderpriority"])
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _orders_snapshot_diff_oracle():
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = f"({md5_long_sql('CAST(o_orderkey AS VARCHAR)')} % 20)"
+    new_sql = f"""
+      SELECT o_orderkey,
+             CASE WHEN {h} = 1 THEN 'X-DIFF' ELSE o_orderpriority END
+               AS o_orderpriority,
+             o_orderstatus
+      FROM orders WHERE {h} <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderpriority,
+             o_orderstatus
+      FROM orders WHERE {h} = 2
+    """
+    diff = rc.snapshot_diff_sql(
+        "SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders",
+        new_sql,
+        "o_orderkey",
+        ["o_orderstatus", "o_orderpriority"],
+    )
+    return f"SELECT status, count(*) AS n FROM ({diff}) GROUP BY status"
+
+
 def q_ngram_coverage(spark, sf_dir):
     return tx.ngram_coverage(_docs(spark, sf_dir))
 
@@ -2556,6 +2619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_mad_outliers": q_value_mad_outliers,
         "sliding_window_counts": q_sliding_window_counts,
         "value_tier_profile": q_value_tier_profile,
+        "lineitem_checksum": q_lineitem_checksum,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
     }
 
 
@@ -3727,6 +3792,8 @@ def oracle_sql() -> dict[str, str]:
         "value_mad_outliers": ev.value_mad_outliers_sql("events"),
         "sliding_window_counts": ev.sliding_window_counts_sql("events"),
         "value_tier_profile": ev.value_tier_profile_sql("events"),
+        "lineitem_checksum": rc.table_checksum_sql("lineitem", _CHECKSUM_COLS),
+        "orders_snapshot_diff": _orders_snapshot_diff_oracle(),
     }
 
 

@@ -1,0 +1,98 @@
+"""Pipeline reconciliation operators: order-invariant table checksums
+and CDC-style snapshot diffs.
+
+At 100 TB a pipeline hop is validated by comparing CHECKSUMS, not rows —
+and migrations are validated by DIFFING snapshots, not re-reading both.
+Both operators are pure aggregates/joins over the engine-portable md5
+hash (``functions/hashing.py``), so the same number comes out of Spark,
+DuckDB, or any engine with md5 — which is the whole point of a
+reconciliation primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph_spark.functions.hashing import MERSENNE_P, md5_long, md5_long_sql
+
+_NULL_SENTINEL = "__NULL__"
+
+
+def table_checksum(df: DataFrame, cols: list) -> DataFrame:
+    """Order-invariant content checksum: each row canonicalizes to a
+    ``|``-joined string over ``cols`` (NULLs → the ``__NULL__`` sentinel —
+    collision with real data is a documented, vanishing risk), hashes portably, and the per-row hashes SUM (mod-reduced
+    so 2^31-bounded terms cannot overflow int64 below ~4e9 rows per
+    partition aggregate). → one row ``[n_rows, checksum]``.
+
+    Equal multisets of rows ⇒ equal checksums regardless of partitioning
+    or order; any single-row change moves the sum with probability
+    ~1 - 2^-31. Use integer/string/date columns: float and timestamp
+    RENDERING differs across engines, so canonicalize those to strings
+    yourself (round/format) before checksumming.
+
+    Scale shape: map-side md5 + a single global sum — one pass, no
+    shuffle beyond the final 1-row combine.
+    """
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols]
+    )
+    term = md5_long(canon) % F.lit(MERSENNE_P)
+    return df.agg(
+        F.count("*").alias("n_rows"), F.sum(term).alias("checksum")
+    )
+
+
+def table_checksum_sql(table: str, cols: list) -> str:
+    canon = " || '|' || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), '{_NULL_SENTINEL}')" for c in cols
+    )
+    return f"""
+    SELECT count(*) AS n_rows,
+           sum({md5_long_sql(f"({canon})")} % {MERSENNE_P}) AS checksum
+    FROM {table}
+    """
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: list
+) -> DataFrame:
+    """Row-level diff of two snapshots keyed by ``key``: every key maps
+    to ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    any compared column differs, NULL-safely) or ``unchanged``.
+    → ``[key, status]``.
+
+    Scale shape: ONE full-outer hash join on the key plus column
+    equality in the projection — the CDC diff at its shuffle lower
+    bound. Keys must be unique per snapshot (it's a snapshot, not a
+    log); feed logs through a latest-per-key compaction first.
+    """
+    o = old.select(F.col(key).alias("_ko"), *[F.col(c).alias(f"_o_{c}") for c in cols])
+    n = new.select(F.col(key).alias("_kn"), *[F.col(c).alias(f"_n_{c}") for c in cols])
+    j = o.join(n, o._ko == n._kn, "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_ko").isNull(), F.lit("added"))
+        .when(F.col("_kn").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.coalesce("_ko", "_kn").alias(key), status.alias("status"))
+
+
+def snapshot_diff_sql(
+    old_sql: str, new_sql: str, key: str, cols: list
+) -> str:
+    same = " AND ".join(f"(o.{c} IS NOT DISTINCT FROM n.{c})" for c in cols)
+    return f"""
+    WITH old_s AS ({old_sql}), new_s AS ({new_sql})
+    SELECT coalesce(o.{key}, n.{key}) AS {key},
+           CASE WHEN o.{key} IS NULL THEN 'added'
+                WHEN n.{key} IS NULL THEN 'removed'
+                WHEN {same} THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old_s o FULL OUTER JOIN new_s n ON o.{key} = n.{key}
+    """
