@@ -2116,6 +2116,14 @@ _CHECKSUM_COLS = [
 ]
 
 
+def q_revenue_cube(spark, sf_dir):
+    return rel.revenue_cube(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
 def q_lineitem_checksum(spark, sf_dir):
     return rc.table_checksum(_tbl(spark, sf_dir, "lineitem"), _CHECKSUM_COLS)
 
@@ -2621,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_tier_profile": q_value_tier_profile,
         "lineitem_checksum": q_lineitem_checksum,
         "orders_snapshot_diff": q_orders_snapshot_diff,
+        "revenue_cube": q_revenue_cube,
     }
 
 
@@ -3794,6 +3803,7 @@ def oracle_sql() -> dict[str, str]:
         "value_tier_profile": ev.value_tier_profile_sql("events"),
         "lineitem_checksum": rc.table_checksum_sql("lineitem", _CHECKSUM_COLS),
         "orders_snapshot_diff": _orders_snapshot_diff_oracle(),
+        "revenue_cube": rel.revenue_cube_sql(),
     }
 
 

@@ -243,6 +243,15 @@ def main():
             tbl("supplier"), tbl("orders"), tbl("lineitem"),
         ).count()
     )
+    from linkgraph_spark.functions.events import session_windows
+    from linkgraph_spark.functions.joins import asof_purchase_click
+
+    # temporal-join family representatives: the as-of union-window and the
+    # native session-window aggregate over the events stream
+    _, q["asof_sf"] = timed(
+        lambda: asof_purchase_click(tbl("events")).count()
+    )
+    _, q["sessions_sf"] = timed(lambda: session_windows(tbl("events")).count())
 
     # ---- large synthetic transcript graph: the throughput workload ---------
     t_large = synthesize_transcripts(

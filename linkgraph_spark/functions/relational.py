@@ -1035,3 +1035,45 @@ def parts_supplier_counts_sql(size_bucket: int = 10) -> str:
     )
     GROUP BY 1, 2
     """
+
+def revenue_cube(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """CUBE companion to :func:`revenue_rollup`: all FOUR grouping sets —
+    (nation, year), nation-only, year-only (the set ROLLUP cannot
+    express), and grand total. → ``[n_name, order_year, gid, revenue,
+    n_orders]`` with gid ∈ {0, 1, 2, 3}.
+
+    Scale shape: identical to the rollup — one Expand (4x here) into one
+    map-side-combinable aggregate; the year-only subtotal costs no extra
+    scan, which is the entire point of grouping sets over UNION ALL.
+    """
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name")
+    j = orders.select(
+        "o_custkey", F.year("o_orderdate").alias("order_year"), "o_totalprice"
+    ).join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    return (
+        j.cube("n_name", "order_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("n_name", "order_year", "gid", "revenue", "n_orders")
+    )
+
+
+def revenue_cube_sql() -> str:
+    return """
+    SELECT n_name, year(o_orderdate) AS order_year,
+           grouping(n_name, year(o_orderdate)) AS gid,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY CUBE(n_name, year(o_orderdate))
+    """
