@@ -73,3 +73,22 @@ def test_event_pivot_dow_cells_reconcile(spark):
     odd = event_pivot_dow(events, types=("click", "no_such_type"))
     got = odd.agg(F.sum("no_such_type")).collect()[0][0]
     assert got == 0
+
+
+def test_cube_adds_year_only_level(spark):
+    from linkgraph_spark.functions.relational import revenue_cube
+
+    rows = revenue_cube(
+        _t(spark, "orders"), _t(spark, "customer"), _t(spark, "nation")
+    ).collect()
+    assert {r.gid for r in rows} == {0, 1, 2, 3}
+    grand = [r for r in rows if r.gid == 3][0]
+    # the year-only level (gid=2, the set rollup lacks) reconciles too
+    year_only = [r for r in rows if r.gid == 2]
+    assert all(r.n_name is None for r in year_only)
+    assert sum(r.n_orders for r in year_only) == grand.n_orders
+    detail = [r for r in rows if r.gid == 0]
+    by_year = {}
+    for r in detail:
+        by_year[r.order_year] = by_year.get(r.order_year, 0) + r.n_orders
+    assert by_year == {r.order_year: r.n_orders for r in year_only}
