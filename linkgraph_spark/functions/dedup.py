@@ -1307,10 +1307,11 @@ def fuzzy_text_pairs(
         F.substring("text", 1, int(sig_len)).alias("_sig"),
         F.substring("text", 1, int(prefix_len)).alias("_blk"),
     )
+    # NO broadcast hint: the size table has one row per distinct (lang,
+    # prefix) — corpus-sized at scale — so it must stay a shuffle join
+    # (AQE still broadcasts it when it happens to be small)
     sizes = d.groupBy("lang", "_blk").agg(F.count("*").alias("_n"))
-    cool = d.join(
-        F.broadcast(sizes.where(F.col("_n") <= int(block_cap))), ["lang", "_blk"]
-    )
+    cool = d.join(sizes.where(F.col("_n") <= int(block_cap)), ["lang", "_blk"])
     a = cool.select(
         F.col("doc_id").alias("doc_id_a"), "lang", "_blk", F.col("_sig").alias("_sa")
     )

@@ -3270,13 +3270,17 @@ def json_props_stats(events: DataFrame) -> DataFrame:
 
 
 def json_props_stats_sql(table: str = "events") -> str:
+    # json_valid guard: DuckDB json_extract_string ERRORS on malformed
+    # JSON, while the engine's from_json yields NULL — mirror that
+    k = ("CASE WHEN json_valid(props) THEN "
+         "TRY_CAST(json_extract_string(props, '$.k') AS INT) END")
     return f"""
     SELECT event_type,
            count(*) AS n_events,
-           count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
-           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+           count({k}) AS n_with_k,
+           min({k}) AS min_k,
+           max({k}) AS max_k,
+           round(avg({k}), 6) AS avg_k
     FROM {table}
     GROUP BY event_type
     """

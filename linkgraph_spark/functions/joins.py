@@ -51,12 +51,21 @@ def asof_join(
     clash = set(rcols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    # the matched right row travels as ONE struct (always non-null when a
+    # right row exists, even if every payload field is NULL) so the fill
+    # below can never tear ts and payload from different right rows
     r = (
         right.select(key, F.col(right_ts).alias("_ats"), *rcols)
         .groupBy(key, "_ats")
         .agg(*[F.max(c).alias(c) for c in rcols])
-        .withColumn("_is_left", F.lit(0))
-        .withColumn("_asof_ts", F.col("_ats"))
+        .select(
+            key,
+            "_ats",
+            F.lit(0).alias("_is_left"),
+            F.struct(
+                F.col("_ats").alias("_ts"), *[F.col(c) for c in rcols]
+            ).alias("_asof_row"),
+        )
     )
     l = left.withColumn("_ats", F.col(left_ts)).withColumn("_is_left", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -65,11 +74,11 @@ def asof_join(
         .orderBy(F.col("_ats").asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumn("asof_ts", F.last("_asof_ts", ignorenulls=True).over(w))
-    for c in rcols:
-        filled = filled.withColumn(f"asof_{c}", F.last(c, ignorenulls=True).over(w))
+    filled = u.withColumn("_m", F.last("_asof_row", ignorenulls=True).over(w))
     return filled.where(F.col("_is_left") == 1).select(
-        *left.columns, "asof_ts", *[f"asof_{c}" for c in rcols]
+        *left.columns,
+        F.col("_m._ts").alias("asof_ts"),
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in rcols],
     )
 
 
@@ -90,14 +99,17 @@ def interval_join(
     range predicate rides the join as its residual. Empty or inverted
     intervals (end <= start) match nothing.
     """
-    b = F.lit(int(bin_width_sec))
-    i_lo = F.floor(F.unix_timestamp(F.col(start)) / b)
-    # end is exclusive: the last overlapped bin is the one holding end - 1s
-    i_hi = F.floor((F.unix_timestamp(F.col(end)) - 1) / b)
+    # bin arithmetic in exact integer MICROseconds — second-truncated
+    # unix_timestamp would mis-bin sub-second interval ends
+    b = F.lit(int(bin_width_sec) * 1_000_000)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    i_lo = F.floor(us(start) / b)
+    # end is exclusive: the last overlapped bin holds end - 1 microsecond
+    i_hi = F.floor((us(end) - 1) / b)
     iv = intervals.where(F.col(end) > F.col(start)).withColumn(
         "_bin", F.explode(F.sequence(i_lo, i_hi))
     )
-    pt = points.withColumn("_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / b))
+    pt = points.withColumn("_bin", F.floor(us(point_ts) / b))
     return (
         iv.join(pt, "_bin")
         .where((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end)))

@@ -68,15 +68,27 @@ def snapshot_diff(
     bound. Keys must be unique per snapshot (it's a snapshot, not a
     log); feed logs through a latest-per-key compaction first.
     """
-    o = old.select(F.col(key).alias("_ko"), *[F.col(c).alias(f"_o_{c}") for c in cols])
-    n = new.select(F.col(key).alias("_kn"), *[F.col(c).alias(f"_n_{c}") for c in cols])
+    # presence is tracked by literal flags, NOT key nullability: a
+    # NULL-key row never equi-joins, and judging its side by which key
+    # column is NULL would misread it (an old NULL-key row must be
+    # 'removed', not 'added')
+    o = old.select(
+        F.col(key).alias("_ko"),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(key).alias("_kn"),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
     j = o.join(n, o._ko == n._kn, "full_outer")
     same = F.lit(True)
     for c in cols:
         same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
     status = (
-        F.when(F.col("_ko").isNull(), F.lit("added"))
-        .when(F.col("_kn").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(same, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
@@ -88,10 +100,11 @@ def snapshot_diff_sql(
 ) -> str:
     same = " AND ".join(f"(o.{c} IS NOT DISTINCT FROM n.{c})" for c in cols)
     return f"""
-    WITH old_s AS ({old_sql}), new_s AS ({new_sql})
+    WITH old_s AS (SELECT TRUE AS _in_old, * FROM ({old_sql})),
+         new_s AS (SELECT TRUE AS _in_new, * FROM ({new_sql}))
     SELECT coalesce(o.{key}, n.{key}) AS {key},
-           CASE WHEN o.{key} IS NULL THEN 'added'
-                WHEN n.{key} IS NULL THEN 'removed'
+           CASE WHEN o._in_old IS NULL THEN 'added'
+                WHEN n._in_new IS NULL THEN 'removed'
                 WHEN {same} THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM old_s o FULL OUTER JOIN new_s n ON o.{key} = n.{key}

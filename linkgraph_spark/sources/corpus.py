@@ -14,7 +14,12 @@ explicitly:
   were.
 - **partition skew**: one hot value (``en`` is ~44% of the corpus)
   would serialize into one writer task; ``files_per_partition > 1``
-  splits the hot value across that many parallel writers.
+  splits the hot value across UP TO that many parallel writers. The
+  split is hash-placed, so two (value, bucket) combos can collide into
+  one shuffle partition and merge — raise ``files_per_partition`` (or
+  ``spark.sql.shuffle.partitions``) if the hot value must be spread
+  with certainty; the file count per partition value never EXCEEDS
+  ``files_per_partition``.
 """
 
 from __future__ import annotations
@@ -30,7 +35,8 @@ def write_partitioned_corpus(
     files_per_partition: int = 2,
 ) -> None:
     """Write ``docs`` as Hive-partitioned parquet: one subdirectory per
-    ``partition_col`` value, ``files_per_partition`` files each."""
+    ``partition_col`` value, at most ``files_per_partition`` files each
+    (see the module docstring on hash-collision merging)."""
     n = int(files_per_partition)
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in docs.columns]), F.lit(n))
     (

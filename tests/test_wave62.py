@@ -125,3 +125,40 @@ def test_interval_gate_bin_width_invariant(spark):
             .collect()
         }
         assert alt == base, width
+
+
+def test_interval_join_subsecond_end(spark):
+    # interval end with a sub-second fraction at a bin boundary: the
+    # point in the final fractional second must still match (regression:
+    # second-truncated bin arithmetic dropped it)
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:20:00.500"), _ts("2024-01-01 00:30:00.500"))],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    pt = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:30:00.300")),   # inside (end is .500)
+         (11, _ts("2024-01-01 00:30:00.500")),   # == end: excluded
+         (12, _ts("2024-01-01 00:20:00.500"))],  # == start: included
+        "pid long, ts timestamp",
+    )
+    got = {(r.iid, r.pid)
+           for r in interval_join(iv, pt, bin_width_sec=600).collect()}
+    assert got == {(1, 10), (1, 12)}
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    # the matched right row's NULL payload must come through as NULL,
+    # never backfilled from an older right row (regression: per-column
+    # last(ignorenulls) tore ts and payload from different rows)
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 12:00:00"))],
+        "id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-01 09:00:00"), 5),
+         ("u", _ts("2024-01-01 10:00:00"), None)],
+        "user_id string, ts timestamp, val int",
+    )
+    r = asof_join(left, right, "user_id", right_cols=("val",)).collect()[0]
+    assert r.asof_ts == _ts("2024-01-01 10:00:00")
+    assert r.asof_val is None

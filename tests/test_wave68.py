@@ -69,3 +69,17 @@ def test_snapshot_diff_self_is_all_unchanged(spark):
     stats = {r.status: r.n
              for r in out.groupBy("status").agg(F.count("*").alias("n")).collect()}
     assert stats == {"unchanged": orders.count()}
+
+
+def test_snapshot_diff_null_keys_classified_by_side(spark):
+    # NULL keys never equi-join; each side's NULL-key row must be
+    # classified by PRESENCE (old-only -> removed), not key nullability
+    old = spark.createDataFrame([(None, "a")], "k string, c1 string")
+    new = spark.createDataFrame([(None, "a")], "k string, c1 string")
+    got_old = snapshot_diff(old, new.where("1=0"), "k", ["c1"]).collect()
+    assert [r.status for r in got_old] == ["removed"]
+    got_new = snapshot_diff(old.where("1=0"), new, "k", ["c1"]).collect()
+    assert [r.status for r in got_new] == ["added"]
+    # both sides with NULL keys: they can't match each other
+    both = snapshot_diff(old, new, "k", ["c1"]).collect()
+    assert sorted(r.status for r in both) == ["added", "removed"]
