@@ -2116,6 +2116,20 @@ _CHECKSUM_COLS = [
 ]
 
 
+# --------------------------------------- wave 71 (data-quality audits)
+def q_fk_orphans_orders(spark, sf_dir):
+    return rc.fk_orphans(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
+def q_pk_uniqueness_events_user(spark, sf_dir):
+    return rc.pk_uniqueness(_tbl(spark, sf_dir, "events"), ["user_id"])
+
+
 def q_revenue_cube(spark, sf_dir):
     return rel.revenue_cube(
         _tbl(spark, sf_dir, "orders"),
@@ -2630,6 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_checksum": q_lineitem_checksum,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "revenue_cube": q_revenue_cube,
+        "fk_orphans_orders": q_fk_orphans_orders,
+        "pk_uniqueness_events_user": q_pk_uniqueness_events_user,
     }
 
 
@@ -3804,6 +3820,10 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_checksum": rc.table_checksum_sql("lineitem", _CHECKSUM_COLS),
         "orders_snapshot_diff": _orders_snapshot_diff_oracle(),
         "revenue_cube": rel.revenue_cube_sql(),
+        "fk_orphans_orders": rc.fk_orphans_sql(
+            "orders", "customer", "o_custkey", "c_custkey"
+        ),
+        "pk_uniqueness_events_user": rc.pk_uniqueness_sql("events", ["user_id"]),
     }
 
 

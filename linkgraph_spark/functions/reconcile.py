@@ -109,3 +109,76 @@ def snapshot_diff_sql(
                 ELSE 'changed' END AS status
     FROM old_s o FULL OUTER JOIN new_s n ON o.{key} = n.{key}
     """
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """Referential-integrity audit: child rows whose ``fk`` matches no
+    parent ``pk``. → one row ``[n_child, n_orphans, orphan_frac]``
+    (NULL fks are not orphans — a NULL reference is absent, not broken).
+
+    Scale shape: the check is an anti-join against the parent KEY
+    PROJECTION (one column, deduped map-side), then a 1-row count —
+    never a full-row join. On a star schema the parent side is
+    dimension-sized and broadcasts.
+    """
+    orphans = child.where(F.col(fk).isNotNull()).join(
+        parent.select(F.col(pk).alias("_pk")).distinct(),
+        F.col(fk) == F.col("_pk"),
+        "left_anti",
+    )
+    return (
+        child.agg(F.count("*").alias("n_child"))
+        .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+        .select(
+            "n_child",
+            "n_orphans",
+            F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_frac"),
+        )
+    )
+
+
+def fk_orphans_sql(child: str, parent: str, fk: str, pk: str) -> str:
+    return f"""
+    SELECT (SELECT count(*) FROM {child}) AS n_child,
+           (SELECT count(*) FROM {child} c
+            WHERE c.{fk} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+             AS n_orphans,
+           round(
+             (SELECT count(*) FROM {child} c
+              WHERE c.{fk} IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+             * 1.0 / (SELECT count(*) FROM {child}), 6) AS orphan_frac
+    """
+
+
+def pk_uniqueness(df: DataFrame, keys: list) -> DataFrame:
+    """Primary-key audit: does ``keys`` really identify rows? → one row
+    ``[n_rows, n_keys, n_dup_keys, max_multiplicity]`` — unique iff
+    ``n_rows == n_keys``. NULL key components group together (a NULL
+    key appearing twice IS a duplicate worth flagging).
+
+    Scale shape: one map-side-combinable count per key, then a 4-number
+    roll-up of the per-key counts. No row ever leaves with its payload —
+    only (key, count) pairs shuffle.
+    """
+    per_key = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    return per_key.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.sum((F.col("_n") > 1).cast("long")).alias("n_dup_keys"),
+        F.max("_n").alias("max_multiplicity"),
+    )
+
+
+def pk_uniqueness_sql(table: str, keys: list) -> str:
+    ks = ", ".join(keys)
+    return f"""
+    WITH per_key AS (
+      SELECT {ks}, count(*) AS n FROM {table} GROUP BY {ks}
+    )
+    SELECT sum(n) AS n_rows, count(*) AS n_keys,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+           max(n) AS max_multiplicity
+    FROM per_key
+    """

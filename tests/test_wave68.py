@@ -83,3 +83,41 @@ def test_snapshot_diff_null_keys_classified_by_side(spark):
     # both sides with NULL keys: they can't match each other
     both = snapshot_diff(old, new, "k", ["c1"]).collect()
     assert sorted(r.status for r in both) == ["added", "removed"]
+
+
+def test_fk_orphans_counts_broken_refs_only(spark):
+    from linkgraph_spark.functions.reconcile import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = fk_orphans(child, parent, "fk", "pk").collect()[0]
+    # row 3 is broken; the NULL fk (row 4) is absent, not broken
+    assert (r.n_child, r.n_orphans, r.orphan_frac) == (4, 1, 0.25)
+    # clean star-schema FK audits to zero
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    clean = fk_orphans(orders, customer, "o_custkey", "c_custkey").collect()[0]
+    assert clean.n_orphans == 0 and clean.n_child == orders.count()
+
+
+def test_pk_uniqueness_flags_multiplicity(spark):
+    from linkgraph_spark.functions.reconcile import pk_uniqueness
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d"), (None, "e")],
+        "k long, v string",
+    )
+    r = pk_uniqueness(df, ["k"]).collect()[0]
+    # NULL keys group together and count as a duplicate key
+    assert (r.n_rows, r.n_keys, r.n_dup_keys, r.max_multiplicity) == (5, 3, 2, 2)
+    # on real data the stats reconcile with independent counts (the
+    # synthetic lineitem does NOT enforce the TPC-H PK — the audit's
+    # entire purpose is to discover exactly that)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    u = pk_uniqueness(li, ["l_orderkey", "l_linenumber"]).collect()[0]
+    assert u.n_rows == li.count()
+    assert u.n_keys == li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert (u.n_dup_keys == 0) == (u.n_rows == u.n_keys)
+    assert u.max_multiplicity >= 1
