@@ -2252,7 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
     from position 51 on (boruvka_msf .. pk_uniqueness_events_user — all of
-    waves 2-71 plus the r4-green tail, 277 entries) must cycle to the front
+    waves 2-71 plus the r4-green tail, 275 entries) must cycle to the front
     across rounds 6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
