@@ -2130,6 +2130,70 @@ def q_pk_uniqueness_events_user(spark, sf_dir):
     return rc.pk_uniqueness(_tbl(spark, sf_dir, "events"), ["user_id"])
 
 
+# Pinned dtype classification for the events table — the oracle SQL must
+# bucket each column exactly as the Spark side's dtype dispatch does.
+_EVENTS_COL_KINDS = [
+    ("event_id", "num"),
+    ("ts", "ts"),
+    ("user_id", "num"),
+    ("event_type", "other"),
+    ("value", "num"),
+    ("props", "other"),
+]
+
+
+def q_table_profile_events(spark, sf_dir):
+    return rc.table_profile(_tbl(spark, sf_dir, "events"))
+
+
+# --------------------------------- wave 72 (TPC-H suite completion: 22/22)
+def q_tpch_q6(spark, sf_dir):
+    return rel.forecast_revenue_delta(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q2(spark, sf_dir):
+    return rel.min_cost_supplier(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    return rel.product_type_profit(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    return rel.important_parts(
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    return rel.shipping_speed_priority(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    return rel.promotion_suppliers(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_revenue_cube(spark, sf_dir):
     return rel.revenue_cube(
         _tbl(spark, sf_dir, "orders"),
@@ -2251,9 +2315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. pk_uniqueness_events_user — all of
-    waves 2-71 plus the r4-green tail, 275 entries) must cycle to the front
-    across rounds 6-10 (50 per round, oldest driver row first); every one of the
+    from position 51 on (boruvka_msf .. tpch_q20 — all of waves 2-72 plus
+    the r4-green tail, 282 entries) must cycle to the front across rounds
+    6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
     pinned by exact pytest oracles instead)."""
@@ -2646,6 +2710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cube": q_revenue_cube,
         "fk_orphans_orders": q_fk_orphans_orders,
         "pk_uniqueness_events_user": q_pk_uniqueness_events_user,
+        "table_profile_events": q_table_profile_events,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q20": q_tpch_q20,
     }
 
 
@@ -3824,6 +3895,13 @@ def oracle_sql() -> dict[str, str]:
             "orders", "customer", "o_custkey", "c_custkey"
         ),
         "pk_uniqueness_events_user": rc.pk_uniqueness_sql("events", ["user_id"]),
+        "table_profile_events": rc.table_profile_sql("events", _EVENTS_COL_KINDS),
+        "tpch_q2": rel.min_cost_supplier_sql(),
+        "tpch_q6": rel.forecast_revenue_delta_sql(),
+        "tpch_q9": rel.product_type_profit_sql(),
+        "tpch_q11": rel.important_parts_sql(),
+        "tpch_q12": rel.shipping_speed_priority_sql(),
+        "tpch_q20": rel.promotion_suppliers_sql(),
     }
 
 

@@ -182,3 +182,83 @@ def pk_uniqueness_sql(table: str, keys: list) -> str:
            max(n) AS max_multiplicity
     FROM per_key
     """
+
+
+def table_profile(df: DataFrame) -> DataFrame:
+    """Per-column data-profiling audit: NULL count, exact distinct count,
+    and numeric min/max for every column, in ONE pass. → one row per
+    column ``[col_name, null_cnt, n_distinct, min_val, max_val]`` in the
+    table's column order (min/max are doubles: numerics as-is, timestamps
+    as exact epoch MICROseconds — ``unix_timestamp`` truncates
+    sub-second and would diverge from DuckDB's fractional ``epoch()`` —
+    strings/other → NULL: engine-portable formatting of arbitrary types
+    is not, so the profile never stringifies).
+
+    Scale shape: a single wide aggregate over one scan — Spark plans the
+    k exact count-distincts as one Expand (k× the input rows through one
+    shuffle, the price of exactness); at 100 TB swap
+    ``approx_count_distinct`` in and keep the rest of the row identical.
+    The melt to long form happens on the ONE aggregated row.
+    """
+    aggs = []
+    kinds = {}
+    for name, dtype in df.dtypes:
+        aggs.append(F.sum(F.col(name).isNull().cast("long")).alias(f"__nc_{name}"))
+        aggs.append(F.countDistinct(name).alias(f"__nd_{name}"))
+        if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+            kinds[name] = "num"
+            val = F.col(name).cast("double")
+        elif dtype.startswith("timestamp"):
+            kinds[name] = "ts"
+            # unix_micros rejects TIMESTAMP_NTZ (how Spark reads these
+            # parquet files); the cast is value-identity under the UTC
+            # session timezone.
+            val = F.unix_micros(F.col(name).cast("timestamp")).cast("double")
+        else:
+            kinds[name] = "other"
+            val = F.lit(None).cast("double")
+        aggs.append(F.min(val).alias(f"__mn_{name}"))
+        aggs.append(F.max(val).alias(f"__mx_{name}"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"__nc_{name}").alias("null_cnt"),
+                F.col(f"__nd_{name}").alias("n_distinct"),
+                F.col(f"__mn_{name}").alias("min_val"),
+                F.col(f"__mx_{name}").alias("max_val"),
+            )
+            for name, _ in df.dtypes
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def table_profile_sql(table: str, col_kinds: list) -> str:
+    """``col_kinds``: ``[(name, 'num'|'ts'|'other'), ...]`` matching the
+    Spark side's dtype classification (the registry pins it per table)."""
+    aggs, arms = [], []
+    for name, kind in col_kinds:
+        if kind == "num":
+            val = f"CAST({name} AS DOUBLE)"
+        elif kind == "ts":
+            val = f"CAST(epoch_us({name}) AS DOUBLE)"
+        else:
+            val = "CAST(NULL AS DOUBLE)"
+        aggs.append(
+            f"count(*) FILTER (WHERE {name} IS NULL) AS __nc_{name},"
+            f" count(DISTINCT {name}) AS __nd_{name},"
+            f" min({val}) AS __mn_{name}, max({val}) AS __mx_{name}"
+        )
+        arms.append(
+            f"SELECT '{name}' AS col_name, __nc_{name} AS null_cnt,"
+            f" __nd_{name} AS n_distinct, __mn_{name} AS min_val,"
+            f" __mx_{name} AS max_val FROM a"
+        )
+    return (
+        "WITH a AS (SELECT "
+        + ", ".join(aggs)
+        + f" FROM {table})\n"
+        + "\nUNION ALL\n".join(arms)
+    )

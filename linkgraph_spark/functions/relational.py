@@ -1077,3 +1077,528 @@ def revenue_cube_sql() -> str:
     JOIN nation ON n_nationkey = c_nationkey
     GROUP BY CUBE(n_name, year(o_orderdate))
     """
+
+
+def forecast_revenue_delta(
+    lineitem: DataFrame,
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6: revenue that would have been gained by eliminating small
+    discounts — one scalar ``sum(extendedprice * discount)`` over
+    lineitems in a ship-year with discount in a narrow band and small
+    quantity. → ``[revenue]`` (one row).
+
+    Scale shape: the purest scan-aggregate in the suite — every predicate
+    is a literal comparison that pushes into the parquet scan
+    (PushedFilters on shipdate/discount/quantity), and the aggregate is a
+    single partial+final sum with no grouping key. At 100 TB this reads
+    only the row groups whose min/max straddle the year.
+    """
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= _ts(year_start))
+            & (F.col("l_shipdate") < _ts(year_end))
+            & (F.col("l_discount") >= F.lit(disc_lo))
+            & (F.col("l_discount") <= F.lit(disc_hi))
+            & (F.col("l_quantity") < F.lit(max_qty))
+        )
+        .agg(
+            F.round(
+                F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")), F.lit(0.0)),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def forecast_revenue_delta_sql(
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> str:
+    return f"""
+    SELECT round(coalesce(sum(l_extendedprice * l_discount), 0.0), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{year_start}'
+      AND l_shipdate <  TIMESTAMP '{year_end}'
+      AND l_discount >= {disc_lo} AND l_discount <= {disc_hi}
+      AND l_quantity < {max_qty}
+    """
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    p_type: str = "STANDARD",
+    n: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 (adapted): for each part of one type, the supplier(s) in
+    one region offering it at the LOWEST unit price, ordered by supplier
+    account balance. → ``[s_acctbal, s_name, n_name, p_partkey, p_name,
+    min_cost]``.
+
+    Adaptation (documented): the trimmed schema ships no ``partsupp``, so
+    the part–supplier offer relation is derived from ``lineitem`` — a
+    supplier "offers" a part at ``min(l_extendedprice / l_quantity)``
+    over its shipments, rounded to 6 dp in BOTH engines so the groupwise-
+    min equality join-back can't flake on float noise. The operator shape
+    is the real Q2's: a correlated groupwise-min subquery (here a window
+    min + equality filter on the Spark side; a correlated scalar subquery
+    in the oracle — the two canonical decorrelations of the same plan).
+
+    Scale shape: the lineitem scan projects three columns and aggregates
+    to |part×supplier| offers before anything joins; region/nation/
+    supplier/part are broadcast dims; the window min partitions by
+    p_partkey (offer rows, not fact rows). Top-n is a TakeOrdered.
+    """
+    sup = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    nation.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = part.where(F.col("p_type") == p_type).select("p_partkey", "p_name")
+    offers = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min("_unit"), 6).alias("cost"))
+    )
+    from pyspark.sql import Window
+
+    scoped = (
+        offers.join(F.broadcast(parts), offers.l_partkey == parts.p_partkey)
+        .join(F.broadcast(sup), offers.l_suppkey == sup.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        scoped.withColumn("min_cost", F.min("cost").over(w))
+        .where(F.col("cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(n)
+    )
+
+
+def min_cost_supplier_sql(
+    region_name: str = "EUROPE", p_type: str = "STANDARD", n: int = 100
+) -> str:
+    rn = region_name.replace("'", "''")
+    pt = p_type.replace("'", "''")
+    return f"""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               round(min(l_extendedprice / l_quantity), 6) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), scoped AS (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+        FROM offers
+        JOIN part ON p_partkey = l_partkey AND p_type = '{pt}'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = '{rn}'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost AS min_cost
+    FROM scoped s
+    WHERE cost = (SELECT min(cost) FROM scoped i WHERE i.p_partkey = s.p_partkey)
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT {int(n)}
+    """
+
+
+def product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    name_like: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 (adapted): per (supplier nation, order year) profit on
+    parts whose name contains a token. → ``[nation, o_year, profit]``.
+
+    Adaptation (documented): no ``partsupp.ps_supplycost`` in the trimmed
+    schema, so profit is gross revenue ``sum(extendedprice*(1-discount))``
+    rather than revenue minus supply cost — the 5-way join DAG
+    (part⋈lineitem⋈supplier⋈nation + orders for the year) is the real
+    Q9's, which is the operator under test.
+
+    Scale shape: the p_name filter shrinks part before broadcast, so the
+    fact scan is pre-pruned by the broadcast-join's runtime filter; the
+    orders join ships only (orderkey, year); the final group key is
+    (25 nations × 7 years) — fully map-side combinable.
+
+    Profit per line is computed as an exact integer in 10^-4-dollar
+    units (``round(price·100)·(100 − round(discount·100))`` — prices and
+    discounts are 2-dp by construction), so the group sum is the SAME
+    integer in both engines regardless of summation order; the one final
+    division back to dollars is a single identical double op.
+    """
+    parts = part.where(F.col("p_name").contains(name_like)).select("p_partkey")
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    ords = orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    amount4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        lineitem.select(
+            "l_partkey", "l_suppkey", "l_orderkey", amount4.alias("_a4")
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("_a4") / F.lit(10000.0), 2).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+def product_type_profit_sql(name_like: str = "widget") -> str:
+    tok = name_like.replace("'", "''")
+    return f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) / 10000.0, 2) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%{tok}%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation ASC, o_year DESC
+    """
+
+
+def important_parts(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.002,
+) -> DataFrame:
+    """TPC-H Q11 (adapted): parts representing a significant share of one
+    nation's total traded value. → ``[p_partkey, value]``, value desc.
+
+    Values are summed as exact integer cents (prices are 2-dp by
+    construction), so the HAVING threshold compare is over the SAME
+    integers in both engines — no float-summation-order flake at the
+    share boundary.
+
+    Adaptation (documented): no ``partsupp`` (availqty × supplycost), so
+    a part's "value" held by the nation's suppliers is the summed
+    ``l_extendedprice`` of their shipments of it. The operator under test
+    is the real Q11's global-scalar-subquery shape: HAVING sum > fraction
+    × (scalar total over the SAME scope).
+
+    Scale shape: one scoped fact aggregate to |parts| rows; the scalar
+    total re-aggregates THOSE rows (not the fact table) and broadcasts as
+    a 1-row cross join — no second fact scan, no single-partition window.
+    """
+    nk = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    sup = supplier.join(
+        F.broadcast(nk), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("_cents"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("_cents").alias("_vc"))
+    )
+    total = per_part.agg(F.sum("_vc").alias("_tc"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("_vc").cast("double")
+            > F.col("_tc").cast("double") * F.lit(fraction)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("_vc") / F.lit(100.0), 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("p_partkey"))
+    )
+
+
+def important_parts_sql(
+    nation_name: str = "NATION_3", fraction: float = 0.002
+) -> str:
+    nn = nation_name.replace("'", "''")
+    return f"""
+    WITH scoped AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey AND n_name = '{nn}'
+    ), per_part AS (
+        SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS vc
+        FROM scoped GROUP BY l_partkey
+    ), tot AS (SELECT CAST(sum(vc) AS BIGINT) AS tc FROM per_part)
+    SELECT l_partkey AS p_partkey, round(vc / 100.0, 2) AS value
+    FROM per_part CROSS JOIN tot
+    WHERE CAST(vc AS DOUBLE) > CAST(tc AS DOUBLE) * {fraction}
+    ORDER BY value DESC, p_partkey ASC
+    """
+
+
+def shipping_speed_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    fast_days: int = 30,
+) -> DataFrame:
+    """TPC-H Q12 (adapted): does slow shipping correlate with order
+    priority? Lineitems shipped in a year are bucketed FAST/SLOW by
+    order→ship lag, and each bucket counts critical- vs normal-priority
+    orders. → ``[ship_speed, high_line_count, low_line_count]``.
+
+    Adaptation (documented): the trimmed lineitem has no l_shipmode /
+    l_commitdate / l_receiptdate, so Q12's ship-mode buckets become a
+    derived speed bucket (``datediff(shipdate, orderdate) <= fast_days``)
+    — the operator shape (fact⋈fact equi-join + conditional CASE
+    aggregation on a derived group key) is the real Q12's.
+
+    Scale shape: the ship-year predicate pushes to the lineitem scan; the
+    only shuffle is the orderkey equi-join (orders ships two columns);
+    the aggregate key has two values — entirely map-side combinable.
+    Timestamps are midnight-normalized so Spark datediff and DuckDB
+    date_diff('day') agree exactly.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= _ts(year_start))
+        & (F.col("l_shipdate") < _ts(year_end))
+    ).select("l_orderkey", "l_shipdate")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    speed = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= fast_days,
+        F.lit("FAST"),
+    ).otherwise(F.lit("SLOW"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+def shipping_speed_priority_sql(
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    fast_days: int = 30,
+) -> str:
+    return f"""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= {int(fast_days)}
+                THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '{year_start}'
+      AND l_shipdate <  TIMESTAMP '{year_end}'
+    GROUP BY 1
+    ORDER BY ship_speed
+    """
+
+
+def promotion_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_3",
+    name_like: str = "bolt",
+    year_start: str = "1997-01-01",
+    year_end: str = "1998-01-01",
+    min_qty: float = 50.0,
+) -> DataFrame:
+    """TPC-H Q20 (adapted): suppliers in one nation who moved real volume
+    (> ``min_qty`` units of some single part) of a promoted part family
+    in a year — candidates for a promotion. → ``[s_suppkey, s_name]``.
+
+    Adaptation (documented): the real Q20 compares ``ps_availqty``
+    against half the year's shipped quantity; without partsupp the
+    predicate becomes "some (supplier, part) pair's shipped quantity
+    exceeds ``min_qty``". The operator chain under test is the real
+    Q20's: nested semi-joins (supplier ⋉ having-aggregate ⋉ part-name
+    filter) with no fact columns surviving past the aggregate.
+
+    Scale shape: the year filter pushes to the fact scan; part (name-
+    filtered) broadcasts into the aggregate's input; the HAVING reduces
+    to |supplier×part| rows before the supplier semi-join (left_semi, so
+    duplicates never fan out); nation broadcasts.
+    """
+    parts = part.where(F.col("p_name").contains(name_like)).select("p_partkey")
+    vol = (
+        lineitem.where(
+            (F.col("l_shipdate") >= _ts(year_start))
+            & (F.col("l_shipdate") < _ts(year_end))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > F.lit(min_qty))
+        .select("l_suppkey")
+    )
+    nk = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    return (
+        supplier.join(
+            F.broadcast(nk), supplier.s_nationkey == F.col("n_nationkey")
+        )
+        .join(vol, supplier.s_suppkey == vol.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def promotion_suppliers_sql(
+    nation_name: str = "NATION_3",
+    name_like: str = "bolt",
+    year_start: str = "1997-01-01",
+    year_end: str = "1998-01-01",
+    min_qty: float = 50.0,
+) -> str:
+    nn = nation_name.replace("'", "''")
+    tok = name_like.replace("'", "''")
+    return f"""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = '{nn}'
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_name LIKE '%{tok}%'
+        WHERE l_shipdate >= TIMESTAMP '{year_start}'
+          AND l_shipdate <  TIMESTAMP '{year_end}'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > {min_qty}
+    )
+    ORDER BY s_suppkey
+    """
+
+
+def basket_pairs(
+    lineitem: DataFrame, part: DataFrame, min_count: int = 2
+) -> DataFrame:
+    """Market-basket affinity: brand pairs co-purchased within one order,
+    with co-occurrence count and lift. → ``[brand_a, brand_b, n_ab,
+    lift]``, one row per unordered pair seen in ≥ ``min_count`` orders.
+
+    ``lift = P(a,b) / (P(a)·P(b))`` computed as ``(n_ab / n_a) ·
+    (n_orders / n_b)`` — the division-first form sidesteps bigint
+    overflow AND is FP-order-identical in both engines.
+
+    Scale shape: lines collapse to DISTINCT (order, brand) baskets first
+    (bounded by basket size, not line count), so the orderkey self-join
+    fans out at most C(basket, 2) per order — quadratic in the per-order
+    basket cap, not in the table. Brand marginals (|brands| rows) and the
+    1-row order total broadcast; no fact-sized shuffle after the dedup.
+    """
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.select(
+        F.countDistinct("l_orderkey").alias("_n_orders")
+    )
+    marg = baskets.groupBy("p_brand").agg(F.count("*").alias("_n"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, (a._ok == b._ok2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= F.lit(int(min_count)))
+    )
+    ma = marg.select(F.col("p_brand").alias("_ba"), F.col("_n").alias("_n_a"))
+    mb = marg.select(F.col("p_brand").alias("_bb"), F.col("_n").alias("_n_b"))
+    return (
+        pairs.join(F.broadcast(ma), pairs.brand_a == ma._ba)
+        .join(F.broadcast(mb), pairs.brand_b == mb._bb)
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") / F.col("_n_a"))
+                * (F.col("_n_orders") / F.col("_n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+def basket_pairs_sql(min_count: int = 2) -> str:
+    return f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), tot AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+    ), marg AS (
+        SELECT p_brand, count(*) AS n FROM baskets GROUP BY p_brand
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING count(*) >= {int(min_count)}
+    )
+    SELECT brand_a, brand_b, n_ab,
+           round((n_ab / ma.n) * (tot.n_orders / mb.n), 6) AS lift
+    FROM pairs
+    JOIN marg ma ON ma.p_brand = brand_a
+    JOIN marg mb ON mb.p_brand = brand_b
+    CROSS JOIN tot
+    ORDER BY brand_a, brand_b
+    """
