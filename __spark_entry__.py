@@ -35,6 +35,7 @@ from linkgraph_spark.functions import multimodal as mm
 from linkgraph_spark.functions import reconcile as rc
 from linkgraph_spark.functions import relational as rel
 from linkgraph_spark.functions import similarity as sim
+from linkgraph_spark.functions import sketches as sk
 from linkgraph_spark.functions import text as tx
 from linkgraph_spark.kernels.kmeans import kmeans_profile_sql, kmeans_sql, silhouette_sql
 from linkgraph_spark.kernels.pca import pca_power_sql
@@ -2146,6 +2147,33 @@ def q_table_profile_events(spark, sf_dir):
     return rc.table_profile(_tbl(spark, sf_dir, "events"))
 
 
+# ------------- wave 73 (sketches, digest join, semi-additive, shares)
+def q_heavy_hitter_terms(spark, sf_dir):
+    return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
+
+
+def q_digest_join_revenue(spark, sf_dir):
+    return jn.digest_join_revenue(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+def q_period_end_balances(spark, sf_dir):
+    return ev.period_end_balances(_tbl(spark, sf_dir, "events"))
+
+
+def q_region_nation_share(spark, sf_dir):
+    return rel.region_nation_share(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
 # --------------------------------- wave 72 (TPC-H suite completion: 22/22)
 def q_tpch_q6(spark, sf_dir):
     return rel.forecast_revenue_delta(_tbl(spark, sf_dir, "lineitem"))
@@ -2315,8 +2343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. tpch_q20 — all of waves 2-72 plus
-    the r4-green tail, 282 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. region_nation_share — all of waves
+    2-73 plus the r4-green tail, 286 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2717,6 +2745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q20": q_tpch_q20,
+        "heavy_hitter_terms": q_heavy_hitter_terms,
+        "digest_join_revenue": q_digest_join_revenue,
+        "period_end_balances": q_period_end_balances,
+        "region_nation_share": q_region_nation_share,
     }
 
 
@@ -3902,6 +3934,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q11": rel.important_parts_sql(),
         "tpch_q12": rel.shipping_speed_priority_sql(),
         "tpch_q20": rel.promotion_suppliers_sql(),
+        "heavy_hitter_terms": sk.heavy_hitter_terms_sql(k=30),
+        "digest_join_revenue": jn.digest_join_revenue_sql(),
+        "period_end_balances": ev.period_end_balances_sql(),
+        "region_nation_share": rel.region_nation_share_sql(),
     }
 
 

@@ -3534,3 +3534,59 @@ def value_tier_profile_sql(
     FROM {table} JOIN dim ON value >= lo AND value < hi
     GROUP BY tier
     """
+
+
+def period_end_balances(events: DataFrame, period: str = "yyyy-MM-dd") -> DataFrame:
+    """Semi-additive rollup — the warehouse measure you must NOT sum over
+    time: each user's balance is the ``value`` of their LAST event in the
+    period (ties impossible: event_id is the deterministic tie-break), and
+    the period's book balance sums those last-values across users.
+    → ``[period, n_users, balance]`` ordered by period. Default grain is
+    daily (the synthetic stream spans one month); pass ``"yyyy-MM"`` for
+    monthly books.
+
+    Scale shape: ``max_by(value, (ts, event_id))`` is an ordinary
+    aggregate — partial per task, merged on the (user, month) shuffle —
+    so there is NO per-user window sort; the month rollup then re-aggs
+    |users×months| rows. Values are fixed to exact 4-dp integers before
+    any summation (``round(value·10000)`` of the same double rounds
+    identically in both engines), so the cross-user sum is
+    order-invariant.
+    """
+    per = F.date_format("ts", period).alias("period")
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    last_per_user = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("user_id", per)
+        .agg(F.max_by(v4, F.struct(F.col("ts"), F.col("event_id"))).alias("_v4"))
+    )
+    return (
+        last_per_user.groupBy("period")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("_v4") / F.lit(10000.0), 4).alias("balance"),
+        )
+        .orderBy("period")
+    )
+
+
+def period_end_balances_sql(
+    table: str = "events", period: str = "%Y-%m-%d"
+) -> str:
+    """DuckDB mirror: arg_max rejects STRUCT ordering keys, so the
+    last-event pick is a row_number window (same total order).
+    ``period`` is the strftime form of the Spark side's pattern."""
+    return f"""
+    WITH ranked AS (
+      SELECT user_id, strftime(ts, '{period}') AS period,
+             CAST(round(value * 10000) AS BIGINT) AS v4,
+             row_number() OVER (
+               PARTITION BY user_id, strftime(ts, '{period}')
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM {table} WHERE value IS NOT NULL
+    )
+    SELECT period, count(*) AS n_users,
+           round(sum(v4) / 10000.0, 4) AS balance
+    FROM ranked WHERE rn = 1
+    GROUP BY period ORDER BY period
+    """

@@ -195,3 +195,95 @@ def interval_error_purchases_sql(
     JOIN purchases p ON p.ts >= e.start_ts AND p.ts < e.end_ts
     GROUP BY e.error_id
     """
+
+
+def digest_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    bits: int = 20,
+) -> DataFrame:
+    """Inner equi-join where the fact side is first pruned by a COMPACT
+    digest of the dim keys — a one-hash Bloom filter expressed
+    relationally. Result is EXACTLY ``fact ⋈ dim`` (the digest admits
+    false positives, never false negatives, and the exact join runs
+    after the prune), which is what lets a plain-join oracle check it.
+
+    The digest is ``distinct(xxhash64(dim_key) mod 2^bits)`` — at most
+    ``min(|dim|, 2^bits)`` ints, broadcast into a semi-join on the
+    fact's hashed key. Why this beats broadcasting the dim keys
+    themselves at 100 TB: link-graph dim keys are wide strings (URLs,
+    actor keys); the digest is 8 bytes per DISTINCT BUCKET with dedup,
+    so a 10M-key dim collapses to ≤ 2^bits ≈ 1M ints (~8 MB) no matter
+    how wide the keys are. False-positive rate for a selective dim
+    (|dim| ≪ 2^bits) is ≈ |dim|/2^bits per non-matching fact row — the
+    shuffled fact residue shrinks to match+FP rows before the real join.
+    This is Spark's runtime row-level filtering (semi-join reduction)
+    made explicit and portable to builds where that rule is off.
+    """
+    m = F.lit(1 << int(bits)).cast("long")
+    buckets = (
+        dim.select(F.pmod(F.xxhash64(F.col(dim_key)), m).alias("_b")).distinct()
+    )
+    pruned = fact.withColumn(
+        "_fb", F.pmod(F.xxhash64(F.col(fact_key)), m)
+    ).join(
+        F.broadcast(buckets), F.col("_fb") == F.col("_b"), "left_semi"
+    ).drop("_fb")
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+def digest_join_revenue(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+) -> DataFrame:
+    """Revenue by nation for ONE region's customers, with the order scan
+    digest-pruned before the customer join — the gate-facing face of
+    :func:`digest_pruned_join`. → ``[n_name, revenue]``.
+
+    The customer subset (one region ≈ a fifth of customers) builds the
+    digest; orders outside it drop before the only fact-sized shuffle.
+    Revenue sums exact integer cents (prices are 2-dp by construction).
+    """
+    custs = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    nation.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    fact = orders.select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents")
+    )
+    joined = digest_pruned_join(fact, custs, "o_custkey", "c_custkey")
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum("_cents") / F.lit(100.0), 2).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+def digest_join_revenue_sql(region_name: str = "EUROPE") -> str:
+    """Oracle: the PLAIN join — equivalence (no lost or phantom rows
+    through the digest prune) is exactly the property under test."""
+    rn = region_name.replace("'", "''")
+    return f"""
+    SELECT n_name,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS revenue
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey AND r_name = '{rn}'
+    GROUP BY n_name
+    ORDER BY n_name
+    """

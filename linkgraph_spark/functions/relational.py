@@ -1602,3 +1602,84 @@ def basket_pairs_sql(min_count: int = 2) -> str:
     CROSS JOIN tot
     ORDER BY brand_a, brand_b
     """
+
+
+def region_nation_share(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Ratio-to-parent report: revenue per (region, nation) with each
+    nation's share of its region and of the grand total. → ``[r_name,
+    n_name, revenue, share_of_region, share_of_total]``.
+
+    Scale shape: ONE fact aggregate to the 25-row nation grain; the
+    region subtotals and grand total RE-AGGREGATE those 25 rows (never a
+    second fact scan, never a window over detail) and broadcast back.
+    Cents stay exact integers until the final display division, so the
+    three-level reconciliation (nations sum to regions sum to total) is
+    exact, and the share ratios divide the same integers in both
+    engines.
+    """
+    dim = customer.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            ).select("n_nationkey", "n_name", "r_name")
+        ),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name", "r_name")
+    per_nation = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
+        )
+        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("_cents").alias("_nc"))
+    )
+    per_region = per_nation.groupBy("r_name").agg(F.sum("_nc").alias("_rc"))
+    total = per_nation.agg(F.sum("_nc").alias("_tc"))
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r_name",
+            "n_name",
+            F.round(F.col("_nc") / F.lit(100.0), 2).alias("revenue"),
+            F.round(F.col("_nc") / F.col("_rc").cast("double"), 6).alias(
+                "share_of_region"
+            ),
+            F.round(F.col("_nc") / F.col("_tc").cast("double"), 6).alias(
+                "share_of_total"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def region_nation_share_sql() -> str:
+    return """
+    WITH per_nation AS (
+        SELECT r_name, n_name,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS nc
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name, n_name
+    ),
+    per_region AS (SELECT r_name, CAST(sum(nc) AS BIGINT) AS rc
+                   FROM per_nation GROUP BY r_name),
+    tot AS (SELECT CAST(sum(nc) AS BIGINT) AS tc FROM per_nation)
+    SELECT p.r_name, p.n_name,
+           round(nc / 100.0, 2) AS revenue,
+           round(nc / CAST(rc AS DOUBLE), 6) AS share_of_region,
+           round(nc / CAST(tc AS DOUBLE), 6) AS share_of_total
+    FROM per_nation p
+    JOIN per_region r ON r.r_name = p.r_name
+    CROSS JOIN tot
+    ORDER BY p.r_name, p.n_name
+    """
