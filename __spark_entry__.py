@@ -2147,6 +2147,26 @@ def q_table_profile_events(spark, sf_dir):
     return rc.table_profile(_tbl(spark, sf_dir, "events"))
 
 
+# ------- wave 74 (incremental state maintenance, exact sliding reach)
+def q_merge_user_state(spark, sf_dir):
+    """Incremental maintenance probe: history/delta split mid-stream; the
+    merged state must equal the oracle's full recompute over everything."""
+    events_df = _tbl(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    base = rc.user_value_state(events_df.where(F.col("ts") < split))
+    return rc.merge_user_value_state(base, events_df.where(F.col("ts") >= split))
+
+
+def q_sliding_reach7(spark, sf_dir):
+    return ev.sliding_distinct_users(
+        _tbl(spark, sf_dir, "events"), window_days=7, slide_days=1
+    )
+
+
+def q_removal_effects(spark, sf_dir):
+    return ev.removal_effects(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2343,8 +2363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. region_nation_share — all of waves
-    2-73 plus the r4-green tail, 286 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. removal_effects — all of waves
+    2-74 plus the r4-green tail, 289 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2749,6 +2769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digest_join_revenue": q_digest_join_revenue,
         "period_end_balances": q_period_end_balances,
         "region_nation_share": q_region_nation_share,
+        "merge_user_state": q_merge_user_state,
+        "sliding_reach7": q_sliding_reach7,
+        "removal_effects": q_removal_effects,
     }
 
 
@@ -3938,6 +3961,9 @@ def oracle_sql() -> dict[str, str]:
         "digest_join_revenue": jn.digest_join_revenue_sql(),
         "period_end_balances": ev.period_end_balances_sql(),
         "region_nation_share": rel.region_nation_share_sql(),
+        "merge_user_state": rc.user_value_state_sql("events"),
+        "sliding_reach7": ev.sliding_distinct_users_sql(),
+        "removal_effects": ev.removal_effects_sql(),
     }
 
 

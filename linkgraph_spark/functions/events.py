@@ -3590,3 +3590,311 @@ def period_end_balances_sql(
     FROM ranked WHERE rn = 1
     GROUP BY period ORDER BY period
     """
+
+
+def sliding_distinct_users(
+    events: DataFrame, window_days: int = 7, slide_days: int = 1
+) -> DataFrame:
+    """EXACT distinct users per sliding time window (``window_days``
+    wide, sliding every ``slide_days``) — the rolling-reach metric.
+    → ``[window_start, n_users]`` (date of the window's first day),
+    one row per window with ≥1 active user.
+
+    Scale shape: count-distinct over overlapping windows does NOT need
+    the raw stream per window — events first dedup to (user, day) grain
+    (bounded: |users| × |days|, map-side combinable), and only THOSE
+    rows explode into the ≤ window/slide windows each day belongs to.
+    The per-window distinct then runs on user-day rows, so the fan-out
+    is w/s × |user-days|, independent of event volume. (The approximate
+    version of this op keeps one HLL sketch per day and unions w of
+    them per window; this exact form is the oracle-checkable one.)
+    """
+    w, s = int(window_days), int(slide_days)
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    user_day = events.select(
+        "user_id", day.alias("_day")
+    ).distinct()
+    # window k (start day k·s) covers days [k·s, k·s + w); day d belongs to
+    # windows with k in [ceil((d - w + 1)/s), floor(d/s)]
+    k_lo = F.ceil((F.col("_day") - F.lit(w) + 1) / F.lit(s)).cast("long")
+    k_hi = F.floor(F.col("_day") / F.lit(s)).cast("long")
+    exploded = user_day.withColumn("_k", F.explode(F.sequence(k_lo, k_hi)))
+    return (
+        exploded.groupBy("_k")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("_k") * F.lit(s)).cast("int"),
+            ).alias("window_start"),
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+def sliding_distinct_users_sql(
+    table: str = "events", window_days: int = 7, slide_days: int = 1
+) -> str:
+    w, s = int(window_days), int(slide_days)
+    return f"""
+    WITH user_day AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+      FROM {table}
+    ),
+    exploded AS (
+      SELECT user_id, unnest(generate_series(
+               CAST(ceil((d - {w} + 1) / {s}.0) AS BIGINT),
+               CAST(floor(d / {s}.0) AS BIGINT))) AS k
+      FROM user_day
+    )
+    SELECT DATE '1970-01-01' + CAST(k * {s} AS INTEGER) AS window_start,
+           count(DISTINCT user_id) AS n_users
+    FROM exploded GROUP BY k ORDER BY window_start
+    """
+
+
+def _attribution_transitions(
+    events: DataFrame, gap_sec: int, conversion: str
+) -> DataFrame:
+    """Shared path construction for Markov attribution: per-user sessions
+    (same gap rule as :func:`sessionize`), each truncated at its first
+    ``conversion`` event; transition counts over
+    ``START → c1 → … → (CONV | NULL)``. → ``[src, dst, n]``.
+
+    Scale shape: one user-keyed shuffle for the session/lag windows;
+    everything after aggregates to ≤ (|types|+1)² rows.
+    """
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    gap = F.col("ts_s") - F.lag("ts_s").over(wl)
+    # same NULL-explicit boundary flag as sessionize: the first row is a
+    # session start, never a NULL-group orphan
+    new_sess = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_s",
+        F.sum(new_sess)
+        .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess_id"),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts_s", "event_id")
+    pos = sess.withColumn("pos", F.row_number().over(ws))
+    conv_pos = pos.groupBy("user_id", "sess_id").agg(
+        F.min(
+            F.when(F.col("event_type") == conversion, F.col("pos"))
+        ).alias("conv_pos")
+    )
+    tagged = pos.join(conv_pos, ["user_id", "sess_id"])
+    kept = tagged.where(
+        F.col("conv_pos").isNull() | (F.col("pos") < F.col("conv_pos"))
+    )
+    wk = Window.partitionBy("user_id", "sess_id").orderBy("pos")
+    inner = kept.select(
+        F.coalesce(F.lag("event_type").over(wk), F.lit("START")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    terminal = (
+        tagged.groupBy("user_id", "sess_id")
+        .agg(
+            F.max_by(
+                F.when(
+                    F.col("conv_pos").isNull()
+                    | (F.col("pos") < F.col("conv_pos")),
+                    F.col("event_type"),
+                ),
+                F.when(
+                    F.col("conv_pos").isNull()
+                    | (F.col("pos") < F.col("conv_pos")),
+                    F.col("pos"),
+                ),
+            ).alias("last_kept"),
+            F.max(F.col("conv_pos").isNotNull().cast("int")).alias("_conv"),
+        )
+        .select(
+            F.coalesce("last_kept", F.lit("START")).alias("src"),
+            F.when(F.col("_conv") == 1, F.lit("CONV"))
+            .otherwise(F.lit("NULL"))
+            .alias("dst"),
+        )
+    )
+    return inner.unionByName(terminal).groupBy("src", "dst").agg(
+        F.count("*").alias("n")
+    )
+
+
+def removal_effects(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    conversion: str = "purchase",
+    n_iter: int = 100,
+) -> DataFrame:
+    """Markov-chain attribution (removal effects): how much of overall
+    conversion each channel is responsible for. Sessions become paths
+    ``START → channels… → CONV/NULL``; the chain's absorption
+    probability into CONV is computed from START, then recomputed with
+    each channel removed (paths through it die); a channel's removal
+    effect is the fractional conversion drop. → ``[channel,
+    removal_effect]``, effect desc / channel asc. Empty when the corpus
+    has no conversions.
+
+    The chain solve runs driver-side over the COLLECTED transition
+    table — O((|event types|+1)²) rows by construction (dozens), the
+    documented tiny-aggregate exception — with a FIXED ``n_iter``
+    power-iteration count so the DuckDB oracle can replay the identical
+    algebra as unrolled CTE steps: parity comes from the same iteration
+    count and the same integer-ratio probabilities, not from a
+    convergence test (the map is a contraction; float drift stays at
+    rounding noise and the 6-dp output rounding absorbs it).
+    """
+    rows = _attribution_transitions(events, gap_sec, conversion).collect()
+    n = {(r.src, r.dst): r.n for r in rows}
+    totals: dict = {}
+    for (s, _), c in n.items():
+        totals[s] = totals.get(s, 0) + c
+    prob = {(s, t): c / totals[s] for (s, t), c in n.items()}
+    states = sorted(totals.keys())  # transient states: every observed src
+    channels = [s for s in states if s != "START"]
+    r_conv = {s: prob.get((s, "CONV"), 0.0) for s in states}
+
+    def solve(removed: str) -> float:
+        p = {s: 0.0 for s in states}
+        for _ in range(int(n_iter)):
+            newp = {}
+            for s in states:
+                acc = r_conv[s]
+                for t in states:  # sorted order fixed by `states`
+                    if t == removed:
+                        continue
+                    acc += prob.get((s, t), 0.0) * p[t]
+                newp[s] = acc
+            p = newp
+        return p["START"]
+
+    spark = events.sparkSession
+    schema = "channel string, removal_effect double"
+    base = solve("__none__")
+    if base <= 0.0:
+        return spark.createDataFrame([], schema)
+    out = [
+        (c, round(1.0 - solve(c) / base, 6))
+        for c in channels
+    ]
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(out, schema)
+
+
+def removal_effects_sql(
+    table: str = "events",
+    gap_sec: int = 1800,
+    conversion: str = "purchase",
+    n_iter: int = 100,
+) -> str:
+    """Unrolled-CTE mirror: the same transition build, then ``n_iter``
+    joint iteration steps over a (removed, state) grid — one CTE per
+    step, exactly the driver solve's algebra."""
+    conv = conversion.replace("'", "''")
+    steps = []
+    prev = "p0"
+    for k in range(1, int(n_iter) + 1):
+        # AS MATERIALIZED: without it DuckDB inlines the whole chain into
+        # one n_iter-deep join tree and the planner blows up
+        steps.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT g.r, g.s,
+             g.rconv + coalesce(sum(q.pr * p.v), 0) AS v
+      FROM grid g
+      LEFT JOIN probs q ON q.src = g.s AND q.dst <> g.r
+                       AND q.dst IN (SELECT s FROM states)
+      LEFT JOIN {prev} p ON p.r = g.r AND p.s = q.dst
+      GROUP BY g.r, g.s, g.rconv
+    )"""
+        )
+        prev = f"p{k}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH ae AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), aflag AS (
+      SELECT *, CASE WHEN lag(ts_s) OVER
+                        (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+                     OR ts_s - lag(ts_s) OVER
+                        (PARTITION BY user_id ORDER BY ts_s, event_id)
+                        > {int(gap_sec)}
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM ae
+    ), asess AS (
+      SELECT *, sum(new_sess) OVER
+               (PARTITION BY user_id ORDER BY ts_s, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM aflag
+    ), apos AS (
+      SELECT *, row_number() OVER
+               (PARTITION BY user_id, sess_id ORDER BY ts_s, event_id) AS pos
+      FROM asess
+    ), aconv AS (
+      SELECT user_id, sess_id,
+             min(CASE WHEN event_type = '{conv}' THEN pos END) AS conv_pos
+      FROM apos GROUP BY 1, 2
+    ), atag AS (
+      SELECT a.*, c.conv_pos FROM apos a JOIN aconv c USING (user_id, sess_id)
+    ), akept AS (
+      SELECT * FROM atag WHERE conv_pos IS NULL OR pos < conv_pos
+    ), ainner AS (
+      SELECT coalesce(lag(event_type) OVER
+               (PARTITION BY user_id, sess_id ORDER BY pos), 'START') AS src,
+             event_type AS dst
+      FROM akept
+    ), aterm AS (
+      SELECT coalesce(
+               arg_max(CASE WHEN conv_pos IS NULL OR pos < conv_pos
+                            THEN event_type END,
+                       CASE WHEN conv_pos IS NULL OR pos < conv_pos
+                            THEN pos END),
+               'START') AS src,
+             CASE WHEN max(CASE WHEN conv_pos IS NOT NULL THEN 1 ELSE 0 END) = 1
+                  THEN 'CONV' ELSE 'NULL' END AS dst
+      FROM atag GROUP BY user_id, sess_id
+    ), trans AS MATERIALIZED (
+      SELECT src, dst, count(*) AS nt
+      FROM (SELECT * FROM ainner UNION ALL SELECT * FROM aterm)
+      GROUP BY 1, 2
+    ), tot AS (SELECT src, sum(nt) AS t FROM trans GROUP BY 1),
+    probs AS MATERIALIZED (
+      SELECT tr.src, tr.dst, tr.nt / CAST(tt.t AS DOUBLE) AS pr
+      FROM trans tr JOIN tot tt USING (src)
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT src AS s FROM trans),
+    rconvs AS (
+      SELECT st.s, coalesce(max(p.pr), 0) AS rconv
+      FROM states st LEFT JOIN probs p ON p.src = st.s AND p.dst = 'CONV'
+      GROUP BY st.s
+    ),
+    removals AS (
+      SELECT s AS r FROM states WHERE s <> 'START'
+      UNION ALL SELECT '__none__'
+    ),
+    grid AS MATERIALIZED (
+      SELECT rm.r, st.s, rc.rconv
+      FROM removals rm CROSS JOIN states st JOIN rconvs rc ON rc.s = st.s
+    ),
+    p0 AS MATERIALIZED (SELECT r, s, CAST(0 AS DOUBLE) AS v FROM grid),
+    {steps_sql},
+    finals AS (
+      SELECT r, v FROM {prev} WHERE s = 'START'
+    ),
+    base AS (SELECT v AS bv FROM finals WHERE r = '__none__')
+    SELECT f.r AS channel, round(1.0 - f.v / b.bv, 6) AS removal_effect
+    FROM finals f CROSS JOIN base b
+    WHERE f.r <> '__none__' AND b.bv > 0
+    ORDER BY removal_effect DESC, channel ASC
+    """

@@ -262,3 +262,87 @@ def table_profile_sql(table: str, col_kinds: list) -> str:
         + f" FROM {table})\n"
         + "\nUNION ALL\n".join(arms)
     )
+
+
+def user_value_state(events: DataFrame) -> DataFrame:
+    """Per-user mergeable aggregate state: event count, exact 4-dp value
+    sum, value min/max, and last event time. → ``[user_id, n_events,
+    value_sum, value_min, value_max, last_ts]``.
+
+    Every measure is chosen to be MERGEABLE (count→sum, sum→sum,
+    min→min, max→max, max-ts→max), which is what makes
+    :func:`merge_user_value_state` exact. The value sum is exact integer
+    4-dp inside, divided back out only for display.
+    """
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_v4"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("_v4") / F.lit(10000.0), 4).alias("value_sum"),
+            "value_min",
+            "value_max",
+            "last_ts",
+        )
+    )
+
+
+def merge_user_value_state(base: DataFrame, delta_events: DataFrame) -> DataFrame:
+    """Incremental view maintenance: fold a DELTA batch of raw events
+    into an existing per-user state WITHOUT rescanning history. The
+    result is row-for-row identical to recomputing
+    :func:`user_value_state` over (history ∪ delta) — which is exactly
+    what the oracle checks.
+
+    The 100 TB story: the base state is |users| rows (bounded, slowly
+    growing); the delta is one day/hour of events. Maintenance cost is
+    O(|delta| + |touched users|) — one aggregate over the delta and one
+    shuffle on user_id against the state — instead of O(|history|).
+    Works because every measure in the state is mergeable; measures that
+    aren't (exact distinct, medians) need their own mergeable sketch
+    form before they can ride this path.
+    """
+    delta = user_value_state(delta_events)
+    both = base.unionByName(delta)
+    return (
+        both.groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            # re-merge in exact 4-dp ints: the display division is lossless
+            # to re-multiply because the stored sum is a 4-dp quantity
+            F.sum(F.round(F.col("value_sum") * 10000).cast("long")).alias("_v4"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("_v4") / F.lit(10000.0), 4).alias("value_sum"),
+            "value_min",
+            "value_max",
+            "last_ts",
+        )
+    )
+
+
+def user_value_state_sql(table: str = "events", where: str = "TRUE") -> str:
+    """Oracle: the FULL recompute over the whole table — equivalence of
+    the incremental merge to the from-scratch aggregate is the property
+    under test."""
+    return f"""
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                 / 10000.0, 4) AS value_sum,
+           min(value) AS value_min, max(value) AS value_max,
+           max(ts) AS last_ts
+    FROM {table} WHERE {where}
+    GROUP BY user_id
+    """
