@@ -2167,6 +2167,19 @@ def q_removal_effects(spark, sf_dir):
     return ev.removal_effects(_tbl(spark, sf_dir, "events"))
 
 
+# ----------- wave 75 (drift monitor, CUPED experiment readout, phrase IR)
+def q_value_psi_drift(spark, sf_dir):
+    return ev.value_psi_drift(_tbl(spark, sf_dir, "events"))
+
+
+def q_ab_test_cuped(spark, sf_dir):
+    return ev.ab_test_cuped(_tbl(spark, sf_dir, "events"))
+
+
+def q_phrase_search(spark, sf_dir):
+    return tx.phrase_search(_tbl(spark, sf_dir, "documents"), "table hash")
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2363,8 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. removal_effects — all of waves
-    2-74 plus the r4-green tail, 289 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. phrase_search — all of waves
+    2-75 plus the r4-green tail, 292 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2772,6 +2785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_user_state": q_merge_user_state,
         "sliding_reach7": q_sliding_reach7,
         "removal_effects": q_removal_effects,
+        "value_psi_drift": q_value_psi_drift,
+        "ab_test_cuped": q_ab_test_cuped,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -3964,6 +3980,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_user_state": rc.user_value_state_sql("events"),
         "sliding_reach7": ev.sliding_distinct_users_sql(),
         "removal_effects": ev.removal_effects_sql(),
+        "value_psi_drift": ev.value_psi_drift_sql(),
+        "ab_test_cuped": ev.ab_test_cuped_sql(),
+        "phrase_search": tx.phrase_search_sql("table hash"),
     }
 
 

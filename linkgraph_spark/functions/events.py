@@ -3898,3 +3898,262 @@ def removal_effects_sql(
     WHERE f.r <> '__none__' AND b.bv > 0
     ORDER BY removal_effect DESC, channel ASC
     """
+
+
+def value_psi_drift(events: DataFrame, split_ts: str = "2024-01-16") -> DataFrame:
+    """Population Stability Index drift monitor for the ``value``
+    distribution: the stream splits at ``split_ts``; the FIRST half's
+    exact deciles define 10 equal-mass bins; both halves are bucketed by
+    those same edges and each bin contributes
+    ``(p2 − p1)·ln(p2/p1)``. → ``[bucket, n_ref, n_cur, psi_term]``,
+    one row per non-degenerate bin (a bin empty on either side yields a
+    NULL term — the log diverges; the classic eps-padding convention is
+    a caller choice, not silently applied). Total PSI = Σ psi_term;
+    > 0.2 conventionally flags a shifted distribution.
+
+    Scale shape: edges are ONE exact-percentile aggregate over the
+    reference half (swap approx_percentile at 100 TB, same row shape);
+    bucketing is a map-only comparison against the 9 broadcast edges;
+    the final aggregate has 10 groups. Exact interpolated percentiles
+    match DuckDB ``quantile_cont`` bit-for-bit (established invariant),
+    so the bin edges — and therefore every count — are engine-identical.
+    """
+    split = F.lit(split_ts).cast("timestamp")
+    vals = events.where(F.col("value").isNotNull()).select(
+        "value", (F.col("ts") < split).alias("_ref")
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges_row = vals.where("_ref").agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("_edges")
+    )
+    bucketed = vals.crossJoin(F.broadcast(edges_row)).select(
+        "_ref",
+        F.aggregate(
+            "_edges",
+            F.lit(0),
+            lambda acc, e: acc + (F.col("value") > e).cast("int"),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.col("_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("_ref")).cast("long")).alias("n_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p1 = F.col("n_ref") / F.col("_tr").cast("double")
+    p2 = F.col("n_cur") / F.col("_tc").cast("double")
+    term = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round((p2 - p1) * F.log(p2 / p1), 6),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("bucket", "n_ref", "n_cur", term.alias("psi_term"))
+        .orderBy("bucket")
+    )
+
+
+def value_psi_drift_sql(
+    table: str = "events", split_ts: str = "2024-01-16"
+) -> str:
+    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
+    return f"""
+    WITH pvals AS (
+      SELECT value, ts < TIMESTAMP '{split_ts}' AS ref
+      FROM {table} WHERE value IS NOT NULL
+    ),
+    pedges AS (
+      SELECT quantile_cont(value, [{qs}]) AS edges FROM pvals WHERE ref
+    ),
+    pbuck AS (
+      SELECT ref,
+             (SELECT count(*) FROM unnest(edges) AS t(e) WHERE value > e)
+               AS bucket
+      FROM pvals CROSS JOIN pedges
+    ),
+    pcnt AS (
+      SELECT bucket,
+             sum(CASE WHEN ref THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN ref THEN 0 ELSE 1 END) AS n_cur
+      FROM pbuck GROUP BY bucket
+    ),
+    ptot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM pcnt)
+    SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             round((n_cur / CAST(tc AS DOUBLE) - n_ref / CAST(tr AS DOUBLE))
+                   * ln((n_cur / CAST(tc AS DOUBLE))
+                        / (n_ref / CAST(tr AS DOUBLE))), 6)
+           END AS psi_term
+    FROM pcnt CROSS JOIN ptot
+    ORDER BY bucket
+    """
+
+
+def ab_test_cuped(events: DataFrame, split_ts: str = "2024-01-16") -> DataFrame:
+    """Variance-reduced A/B readout (CUPED, Deng et al. WSDM 2013 —
+    public recipe): users hash-split 50/50 (same md5 assignment as
+    :func:`ab_test_srm`); each user's PRE-period value sum is the
+    covariate X, the POST-period sum the metric Y; the pooled
+    ``θ = cov(X,Y)/var(X)`` shifts each arm's mean by
+    ``−θ·(mean_arm(X) − mean(X))``. → one row ``[n_control,
+    n_treatment, mean_control, mean_treatment, theta, adj_mean_control,
+    adj_mean_treatment, adj_lift]``.
+
+    All moments accumulate as EXACT integer sums of 4-dp-fixed values
+    (Σx, Σy, Σx², Σxy in int64 — the 100 TB form swaps the squared sums
+    to double partials; at gate scales int64 is exact and
+    engine-identical), then one final projection does the identical
+    double algebra in both engines. θ is 0 when var(X) is 0 (degenerate
+    pre-period), matching the convention that CUPED falls back to the
+    raw metric.
+
+    Scale shape: one user-grain conditional aggregate (map-side
+    combinable), then a single-row reduction — no joins, no windows.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    split = F.lit(split_ts).cast("timestamp")
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    per_user = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < split, v4)), F.lit(0)
+            ).alias("x4"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= split, v4)), F.lit(0)
+            ).alias("y4"),
+        )
+        .select(
+            (md5_long(F.col("user_id").cast("string")) % 2).alias("_variant"),
+            "x4",
+            "y4",
+        )
+    )
+    s = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x4").alias("sx"),
+        F.sum("y4").alias("sy"),
+        F.sum(F.col("x4") * F.col("x4")).alias("sxx"),
+        F.sum(F.col("x4") * F.col("y4")).alias("sxy"),
+        F.sum(F.when(F.col("_variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("_variant") == 0, F.col("x4")).otherwise(0)).alias("sx0"),
+        F.sum(F.when(F.col("_variant") == 0, F.col("y4")).otherwise(0)).alias("sy0"),
+        F.sum(F.when(F.col("_variant") == 1, F.col("x4")).otherwise(0)).alias("sx1"),
+        F.sum(F.when(F.col("_variant") == 1, F.col("y4")).otherwise(0)).alias("sy1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n, sx, sy, sxx, sxy = d("n"), d("sx"), d("sy"), d("sxx"), d("sxy")
+    n0 = d("n0")
+    n1 = n - n0
+    var_num = n * sxx - sx * sx
+    theta = F.when(var_num > 0, (n * sxy - sx * sy) / var_num).otherwise(
+        F.lit(0.0)
+    )
+    scale = F.lit(10000.0)
+    mean_x = sx / n / scale
+    m0 = d("sy0") / n0 / scale
+    m1 = d("sy1") / n1 / scale
+    a0 = m0 - theta * (d("sx0") / n0 / scale - mean_x)
+    a1 = m1 - theta * (d("sx1") / n1 / scale - mean_x)
+    return s.select(
+        F.col("n0").alias("n_control"),
+        (F.col("n") - F.col("n0")).alias("n_treatment"),
+        F.round(m0, 6).alias("mean_control"),
+        F.round(m1, 6).alias("mean_treatment"),
+        F.round(theta, 6).alias("theta"),
+        F.round(a0, 6).alias("adj_mean_control"),
+        F.round(a1, 6).alias("adj_mean_treatment"),
+        F.round(a1 - a0, 6).alias("adj_lift"),
+    )
+
+
+def ab_test_cuped_sql(table: str = "events", split_ts: str = "2024-01-16") -> str:
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH cu AS (
+      SELECT ({h}) % 2 AS variant,
+             coalesce(sum(CASE WHEN ts < TIMESTAMP '{split_ts}'
+               THEN CAST(round(value * 10000) AS BIGINT) END), 0) AS x4,
+             coalesce(sum(CASE WHEN ts >= TIMESTAMP '{split_ts}'
+               THEN CAST(round(value * 10000) AS BIGINT) END), 0) AS y4
+      FROM {table} WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    cs AS (
+      SELECT count(*) AS n,
+             CAST(sum(x4) AS BIGINT) AS sx, CAST(sum(y4) AS BIGINT) AS sy,
+             CAST(sum(x4 * x4) AS BIGINT) AS sxx,
+             CAST(sum(x4 * y4) AS BIGINT) AS sxy,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+             CAST(sum(CASE WHEN variant = 0 THEN x4 ELSE 0 END) AS BIGINT) AS sx0,
+             CAST(sum(CASE WHEN variant = 0 THEN y4 ELSE 0 END) AS BIGINT) AS sy0,
+             CAST(sum(CASE WHEN variant = 1 THEN x4 ELSE 0 END) AS BIGINT) AS sx1,
+             CAST(sum(CASE WHEN variant = 1 THEN y4 ELSE 0 END) AS BIGINT) AS sy1
+      FROM cu
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n - n0 AS BIGINT) AS n_treatment,
+           round(CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0, 6)
+             AS mean_control,
+           round(CAST(sy1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0, 6)
+             AS mean_treatment,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             ELSE 0.0 END, 6) AS theta,
+           round(CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
+             - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                ELSE 0.0 END)
+               * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0), 6)
+             AS adj_mean_control,
+           round(CAST(sy1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
+             - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                ELSE 0.0 END)
+               * (CAST(sx1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0), 6)
+             AS adj_mean_treatment,
+           round((CAST(sy1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
+             - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                ELSE 0.0 END)
+               * (CAST(sx1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0))
+             - (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
+             - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                ELSE 0.0 END)
+               * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0)), 6)
+             AS adj_lift
+    FROM cs
+    """

@@ -2686,3 +2686,75 @@ def brevity_law_sql(table: str = "documents") -> str:
              AS avg_len_tokens
     FROM bl_v
     """
+
+
+def phrase_search(documents: DataFrame, phrase: str) -> DataFrame:
+    """Positional-index phrase query: documents containing the EXACT
+    token sequence ``phrase`` (whitespace tokenization shared with
+    :func:`vocab_stats` — adjacency of token positions, not substring
+    match, so "table hash" does not match "tablet hashing").
+    → ``[doc_id, n_occurrences]``, doc_id asc.
+
+    The IR-engine operator shape: the corpus explodes once into
+    (doc, pos, term) postings; each phrase term FILTERS its own postings
+    list before anything joins (the selective term prunes first — at
+    100 TB a term's postings are a sliver of the index); the k-term
+    phrase is a chain of (doc, pos+i) equi-joins between those pruned
+    lists. No arrays travel through the joins — only (doc_id, pos)
+    pairs.
+    """
+    terms = [t for t in phrase.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(
+        "doc_id",
+        F.posexplode(F.split(norm, " ")).alias("pos", "term"),
+    )
+    matched = (
+        tok.where(F.col("term") == terms[0])
+        .select("doc_id", F.col("pos").alias("_p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = tok.where(F.col("term") == t).select(
+            F.col("doc_id").alias("_d"), F.col("pos").alias("_pi")
+        )
+        matched = matched.join(
+            nxt,
+            (matched.doc_id == nxt._d) & (nxt._pi == matched._p0 + i),
+        ).select("doc_id", "_p0")
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
+
+
+def phrase_search_sql(phrase: str, table: str = "documents") -> str:
+    """Oracle mirror: DuckDB lacks WITH ORDINALITY in this build, so
+    positions come from a LATERAL ``generate_series(1, len(toks))``
+    subscript (1-based; only adjacency differences matter)."""
+    terms = [t.replace("'", "''") for t in phrase.strip().lower().split() if t]
+    joins = "\n    ".join(
+        f"JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{t}'"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    return f"""
+    WITH pdocs AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM {table}
+    ),
+    ptok AS MATERIALIZED (
+      SELECT doc_id, toks[i] AS term, i AS pos
+      FROM pdocs, unnest(generate_series(1, len(toks))) AS g(i)
+    )
+    SELECT t0.doc_id, count(*) AS n_occurrences
+    FROM ptok t0
+    {joins}
+    WHERE t0.term = '{terms[0]}'
+    GROUP BY t0.doc_id
+    ORDER BY t0.doc_id
+    """
