@@ -36,6 +36,7 @@ from linkgraph_spark.functions import reconcile as rc
 from linkgraph_spark.functions import relational as rel
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import sketches as sk
+from linkgraph_spark.functions import layout as lay
 from linkgraph_spark.functions import text as tx
 from linkgraph_spark.kernels.kmeans import kmeans_profile_sql, kmeans_sql, silhouette_sql
 from linkgraph_spark.kernels.pca import pca_power_sql
@@ -2180,6 +2181,19 @@ def q_phrase_search(spark, sf_dir):
     return tx.phrase_search(_tbl(spark, sf_dir, "documents"), "table hash")
 
 
+# --------- wave 76 (nearest join, Kaplan-Meier, Z-order layout audit)
+def q_nearest_click_purchase(spark, sf_dir):
+    return jn.nearest_click_purchase(_tbl(spark, sf_dir, "events"))
+
+
+def q_kaplan_meier(spark, sf_dir):
+    return ev.kaplan_meier_conversion(_tbl(spark, sf_dir, "events"))
+
+
+def q_zorder_audit(spark, sf_dir):
+    return lay.zorder_audit(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2376,8 +2390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. phrase_search — all of waves
-    2-75 plus the r4-green tail, 292 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. zorder_audit — all of waves
+    2-76 plus the r4-green tail, 295 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2788,6 +2802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_psi_drift": q_value_psi_drift,
         "ab_test_cuped": q_ab_test_cuped,
         "phrase_search": q_phrase_search,
+        "nearest_click_purchase": q_nearest_click_purchase,
+        "kaplan_meier": q_kaplan_meier,
+        "zorder_audit": q_zorder_audit,
     }
 
 
@@ -3983,6 +4000,9 @@ def oracle_sql() -> dict[str, str]:
         "value_psi_drift": ev.value_psi_drift_sql(),
         "ab_test_cuped": ev.ab_test_cuped_sql(),
         "phrase_search": tx.phrase_search_sql("table hash"),
+        "nearest_click_purchase": jn.nearest_click_purchase_sql(),
+        "kaplan_meier": ev.kaplan_meier_conversion_sql(),
+        "zorder_audit": lay.zorder_audit_sql(),
     }
 
 

@@ -4157,3 +4157,143 @@ def ab_test_cuped_sql(table: str = "events", split_ts: str = "2024-01-16") -> st
              AS adj_lift
     FROM cs
     """
+
+
+def kaplan_meier_conversion(events: DataFrame) -> DataFrame:
+    """Kaplan–Meier survival curve for signup→first-purchase, with
+    right-censoring at the stream's last observed instant: each user
+    enters at their FIRST ``signup``; the event is their first
+    ``purchase`` strictly after it; users with no purchase are censored
+    at ``max(ts)`` over the whole stream. Durations are whole days
+    (floored). → ``[day, n_risk, n_events, survival]`` — one row per day
+    with ≥1 conversion, ``survival = Π_{t ≤ day} (1 − d_t/n_t)``
+    (censored users leave the risk set between event days, which is
+    exactly what K-M handles and a naive conversion curve gets wrong).
+
+    Scale shape: two user-grain aggregates (signup, first purchase
+    after it) and a global max — then everything collapses to ≤ |days|
+    rows; the survival product is an ordered prefix sum of
+    ``ln(1 − d/n)`` over that tiny frame, exp'd back (identical ordered
+    algebra in both engines; 6-dp rounding absorbs frame-order float
+    noise).
+    """
+    signups = events.where(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("_s_ts"))
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("_p_ts")
+    )
+    first_p = (
+        signups.join(purchases, "user_id", "left")
+        .where(F.col("_p_ts").isNull() | (F.col("_p_ts") > F.col("_s_ts")))
+        .groupBy("user_id", "_s_ts")
+        .agg(F.min("_p_ts").alias("_fp_ts"))
+    )
+    # users whose every purchase precedes signup dropped out of first_p's
+    # filter-then-group; re-attach them as censored via a left join back
+    subjects = signups.join(
+        first_p.select("user_id", "_fp_ts"), "user_id", "left"
+    )
+    end = events.agg(F.max("ts").alias("_end"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    dur = subjects.crossJoin(F.broadcast(end)).select(
+        F.col("_fp_ts").isNotNull().alias("_event"),
+        F.floor(
+            (
+                F.coalesce(us("_fp_ts"), us("_end")) - us("_s_ts")
+            )
+            / F.lit(86_400_000_000)
+        ).alias("_day"),
+    )
+    per_day = dur.groupBy("_day").agg(
+        F.sum(F.col("_event").cast("long")).alias("_d"),
+        F.sum((~F.col("_event")).cast("long")).alias("_c"),
+    )
+    total = per_day.agg(F.sum(F.col("_d") + F.col("_c")).alias("_n"))
+    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        per_day.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_n_risk",
+            F.col("_n")
+            - F.coalesce(F.sum(F.col("_d") + F.col("_c")).over(w), F.lit(0)),
+        )
+        .withColumn(
+            "_lnS",
+            # the d == n_risk day drives survival to EXACT zero; ln(0) is
+            # an error (DuckDB) / NULL (Spark), so that day contributes no
+            # log term and the _dead flag below zeroes the curve instead
+            F.sum(
+                F.when(
+                    (F.col("_d") > 0) & (F.col("_d") < F.col("_n_risk")),
+                    F.log(1.0 - F.col("_d") / F.col("_n_risk").cast("double")),
+                ).otherwise(F.lit(0.0))
+            ).over(wcum),
+        )
+        .withColumn(
+            "_dead",
+            F.max((F.col("_d") >= F.col("_n_risk")).cast("int")).over(wcum),
+        )
+    )
+    return (
+        risk.where(F.col("_d") > 0)
+        .select(
+            F.col("_day").alias("day"),
+            F.col("_n_risk").alias("n_risk"),
+            F.col("_d").alias("n_events"),
+            F.when(F.col("_dead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("_lnS"), 6))
+            .alias("survival"),
+        )
+        .orderBy("day")
+    )
+
+
+def kaplan_meier_conversion_sql(table: str = "events") -> str:
+    return f"""
+    WITH km_s AS (
+      SELECT user_id, min(ts) AS s_ts FROM {table}
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    km_fp AS (
+      SELECT s.user_id, s.s_ts, min(p.ts) AS fp_ts
+      FROM km_s s LEFT JOIN {table} p
+        ON p.user_id = s.user_id AND p.event_type = 'purchase'
+       AND p.ts > s.s_ts
+      GROUP BY s.user_id, s.s_ts
+    ),
+    km_end AS (SELECT max(ts) AS end_ts FROM {table}),
+    km_dur AS (
+      SELECT fp_ts IS NOT NULL AS ev,
+             CAST(floor((coalesce(epoch_us(fp_ts), epoch_us(end_ts))
+                         - epoch_us(s_ts)) / 86400000000.0) AS BIGINT) AS day
+      FROM km_fp CROSS JOIN km_end
+    ),
+    km_day AS (
+      SELECT day, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             sum(CASE WHEN ev THEN 0 ELSE 1 END) AS c
+      FROM km_dur GROUP BY day
+    ),
+    km_tot AS (SELECT sum(d + c) AS n FROM km_day),
+    km_risk AS (
+      SELECT day, d, c,
+             n - coalesce(sum(d + c) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS n_risk
+      FROM km_day CROSS JOIN km_tot
+    ),
+    km_surv AS (
+      SELECT day, d, n_risk,
+             sum(CASE WHEN d > 0 AND d < n_risk
+                      THEN ln(1.0 - d / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END) OVER
+               (ORDER BY day ROWS UNBOUNDED PRECEDING) AS lnS,
+             max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER
+               (ORDER BY day ROWS UNBOUNDED PRECEDING) AS dead
+      FROM km_risk
+    )
+    SELECT day, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+           CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnS), 6) END AS survival
+    FROM km_surv WHERE d > 0 ORDER BY day
+    """

@@ -287,3 +287,147 @@ def digest_join_revenue_sql(region_name: str = "EUROPE") -> str:
     GROUP BY n_name
     ORDER BY n_name
     """
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple = (),
+) -> DataFrame:
+    """Bidirectional as-of: for every left row, the right row of the same
+    ``key`` NEAREST in time — before or after — with ties (equal
+    |gap|) going to the EARLIER right row. Right payload columns come
+    back prefixed ``near_``, plus ``near_ts``; unmatched left rows (no
+    right rows for the key at all) keep NULLs.
+
+    Same one-shuffle shape as :func:`asof_join`: tag both sides, union,
+    ONE hash-shuffle on the key, and two RANGE-framed window picks over
+    the same sort — ``last`` non-null looking back, ``first`` non-null
+    looking forward (range frames, not row frames, so a right row at
+    exactly the left timestamp is visible to BOTH directions regardless
+    of tie order). The right side dedups to one row per (key, ts)
+    (greatest payload) first, which is also what makes the picks
+    deterministic.
+    """
+    rcols = list(right_cols)
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    r = (
+        right.select(key, F.col(right_ts).alias("_nts"), *rcols)
+        .groupBy(key, "_nts")
+        .agg(*[F.max(c).alias(c) for c in rcols])
+        .select(
+            key,
+            "_nts",
+            F.lit(0).alias("_is_left"),
+            F.struct(
+                F.col("_nts").alias("_ts"), *[F.col(c) for c in rcols]
+            ).alias("_near_row"),
+        )
+    )
+    l = left.withColumn("_nts", F.col(left_ts)).withColumn("_is_left", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "_us", F.unix_micros(F.col("_nts").cast("timestamp"))
+    )
+    back_w = (
+        Window.partitionBy(key)
+        .orderBy("_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    fwd_w = (
+        Window.partitionBy(key)
+        .orderBy("_us")
+        .rangeBetween(0, Window.unboundedFollowing)
+    )
+    picked = u.select(
+        "*",
+        F.last("_near_row", ignorenulls=True).over(back_w).alias("_back"),
+        F.first("_near_row", ignorenulls=True).over(fwd_w).alias("_fwd"),
+    ).where(F.col("_is_left") == 1)
+    bgap = F.col("_us") - F.unix_micros(F.col("_back._ts").cast("timestamp"))
+    fgap = F.unix_micros(F.col("_fwd._ts").cast("timestamp")) - F.col("_us")
+    chosen = (
+        F.when(F.col("_back").isNull(), F.col("_fwd"))
+        .when(F.col("_fwd").isNull(), F.col("_back"))
+        # tie -> earlier right row, i.e. the backward pick
+        .when(bgap <= fgap, F.col("_back"))
+        .otherwise(F.col("_fwd"))
+    )
+    return picked.withColumn("_chosen", chosen).select(
+        *left.columns,
+        F.col("_chosen._ts").alias("near_ts"),
+        *[F.col(f"_chosen.{c}").alias(f"near_{c}") for c in rcols],
+    )
+
+
+def nearest_click_purchase(events: DataFrame) -> DataFrame:
+    """Gate query: each purchase joined to the user's nearest click in
+    either direction. → ``[event_id, user_id, ts, near_ts,
+    near_click_id, signed_gap_sec]`` (negative gap: click precedes the
+    purchase; NULLs when the user never clicks)."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = nearest_join(purchases, clicks, key="user_id", right_cols=("click_id",))
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "near_ts",
+        "near_click_id",
+        (F.unix_timestamp("near_ts") - F.unix_timestamp("ts")).alias(
+            "signed_gap_sec"
+        ),
+    )
+
+
+def nearest_click_purchase_sql(table: str = "events") -> str:
+    """DuckDB mirror: two native ASOF joins (backward >=, forward <=)
+    and the same tie-to-earlier CASE on exact microsecond gaps."""
+    return f"""
+    WITH nclicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM {table} WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    npurch AS (
+      SELECT event_id, user_id, ts FROM {table} WHERE event_type = 'purchase'
+    ),
+    nback AS (
+      SELECT p.event_id, b.ts AS bts, b.click_id AS bid
+      FROM npurch p ASOF LEFT JOIN nclicks b
+        ON p.user_id = b.user_id AND p.ts >= b.ts
+    ),
+    nfwd AS (
+      SELECT p.event_id, f.ts AS fts, f.click_id AS fid
+      FROM npurch p ASOF LEFT JOIN nclicks f
+        ON p.user_id = f.user_id AND p.ts <= f.ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN epoch_us(p.ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(p.ts) THEN bts
+                ELSE fts END AS near_ts,
+           CASE WHEN bts IS NULL THEN fid
+                WHEN fts IS NULL THEN bid
+                WHEN epoch_us(p.ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(p.ts) THEN bid
+                ELSE fid END AS near_click_id,
+           CAST(floor(epoch(CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN epoch_us(p.ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(p.ts) THEN bts
+                ELSE fts END)) AS BIGINT)
+             - CAST(floor(epoch(p.ts)) AS BIGINT) AS signed_gap_sec
+    FROM npurch p
+    JOIN nback b ON b.event_id = p.event_id
+    JOIN nfwd f ON f.event_id = p.event_id
+    """

@@ -1,0 +1,139 @@
+"""Physical-layout utilities: Z-order (Morton) clustering keys and the
+audit that shows WHY a lakehouse would rewrite 100 TB into them.
+
+Data skipping lives or dies on per-file min/max ranges. Sorting by one
+column makes that column's ranges tight and every other column's ranges
+full-width; interleaving the bits of two columns (Morton / Z-order —
+public technique, used by every lakehouse table format) bounds BOTH
+dimensions' ranges per bucket, so predicates on EITHER column prune.
+``zorder_audit`` quantifies exactly that: quantize both dimensions onto
+a fixed grid over their observed ranges (what a real Z-order rewrite
+does — interleaving raw skewed ints wastes the high bits), bucket rows
+by the top bits of the Morton key, and report each bucket's span in
+both dimensions: under a one-column sort the other dimension's spans
+are full-width; under Z-order both shrink like 2^(-bits/2).
+
+Everything is integer/floor arithmetic (``shiftleft``/``&``/``|``),
+JVM whole-stage-codegen on the Spark side and the identical
+expressions in the DuckDB oracle — no UDFs, bit-for-bit portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_QBITS = 8  # per-dimension grid resolution; Morton key is 2*_QBITS wide
+
+
+def morton_key(x: Column, y: Column, bits: int = _QBITS) -> Column:
+    """Interleave the low ``bits`` of two non-negative ints: bit b of x
+    lands at 2b, bit b of y at 2b+1. Unrolled masked shifts — a pure
+    projection Catalyst folds into one codegen stage."""
+    xm = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    ym = y.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xm, b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ym, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def morton_key_sql(x: str, y: str, bits: int = _QBITS) -> str:
+    """The identical interleave as a SQL expression string."""
+    xm = f"({x} & {(1 << bits) - 1})"
+    ym = f"({y} & {(1 << bits) - 1})"
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xm} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ym} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_audit(events: DataFrame, bucket_bits: int = 6) -> DataFrame:
+    """Bucket events by the top ``bucket_bits`` of the Morton key over
+    range-quantized (user_id, day) and report each bucket's row count
+    and min/max span in BOTH dimensions. → ``[bucket, n_rows, user_min,
+    user_max, day_min, day_max]``, bucket asc — the would-be per-file
+    skipping index of a Z-ordered rewrite (tight spans in both columns
+    ⇒ both ``user_id = ?`` and ``day BETWEEN ?`` predicates prune
+    files).
+
+    Quantization is ``floor((v − min) · 2^8 / (max − min + 1))`` onto a
+    256-cell grid per dimension — exact double arithmetic on integers
+    far below 2^53, so both engines compute identical cells. Scale
+    shape: one 4-number range aggregate, then a map-only bit projection
+    and one aggregate keyed on ≤ 2^bucket_bits values.
+    """
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    rows = events.select(F.col("user_id"), day.alias("_day"))
+    rng = rows.agg(
+        F.min("user_id").alias("_u0"),
+        F.max("user_id").alias("_u1"),
+        F.min("_day").alias("_d0"),
+        F.max("_day").alias("_d1"),
+    )
+    grid = F.lit(1 << _QBITS)
+
+    def q(v, lo, hi):
+        return F.floor(
+            (v - F.col(lo)) * grid / (F.col(hi) - F.col(lo) + 1)
+        ).cast("long")
+
+    keyed = rows.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        "_day",
+        q(F.col("user_id"), "_u0", "_u1").alias("_qx"),
+        q(F.col("_day"), "_d0", "_d1").alias("_qy"),
+    )
+    z = morton_key(F.col("_qx"), F.col("_qy"))
+    shift = 2 * _QBITS - int(bucket_bits)
+    return (
+        keyed.select(F.shiftright(z, shift).alias("bucket"), "user_id", "_day")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("user_id").alias("user_min"),
+            F.max("user_id").alias("user_max"),
+            F.min("_day").alias("day_min"),
+            F.max("_day").alias("day_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def zorder_audit_sql(table: str = "events", bucket_bits: int = 6) -> str:
+    shift = 2 * _QBITS - int(bucket_bits)
+    grid = 1 << _QBITS
+    mk = morton_key_sql("qx", "qy")
+    return f"""
+    WITH zrows AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS zday
+      FROM {table}
+    ),
+    zrng AS (
+      SELECT min(user_id) AS u0, max(user_id) AS u1,
+             min(zday) AS d0, max(zday) AS d1
+      FROM zrows
+    ),
+    zkeyed AS (
+      SELECT user_id, zday,
+             CAST(floor((user_id - u0) * {grid} / (u1 - u0 + 1.0)) AS BIGINT)
+               AS qx,
+             CAST(floor((zday - d0) * {grid} / (d1 - d0 + 1.0)) AS BIGINT)
+               AS qy
+      FROM zrows CROSS JOIN zrng
+    )
+    SELECT ({mk} >> {shift}) AS bucket,
+           count(*) AS n_rows,
+           min(user_id) AS user_min, max(user_id) AS user_max,
+           min(zday) AS day_min, max(zday) AS day_max
+    FROM zkeyed
+    GROUP BY 1 ORDER BY bucket
+    """
