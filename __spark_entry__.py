@@ -2194,6 +2194,19 @@ def q_zorder_audit(spark, sf_dir):
     return lay.zorder_audit(_tbl(spark, sf_dir, "events"))
 
 
+# --------- wave 77 (robust time-series statistics, skyline operator)
+def q_revenue_trend(spark, sf_dir):
+    return ev.revenue_trend_theilsen(_tbl(spark, sf_dir, "events"))
+
+
+def q_revenue_changepoint(spark, sf_dir):
+    return ev.revenue_changepoint(_tbl(spark, sf_dir, "events"))
+
+
+def q_user_value_skyline(spark, sf_dir):
+    return ev.user_value_skyline(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2390,8 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. zorder_audit — all of waves
-    2-76 plus the r4-green tail, 295 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. user_value_skyline — all of waves
+    2-77 plus the r4-green tail, 298 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2805,6 +2818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_click_purchase": q_nearest_click_purchase,
         "kaplan_meier": q_kaplan_meier,
         "zorder_audit": q_zorder_audit,
+        "revenue_trend": q_revenue_trend,
+        "revenue_changepoint": q_revenue_changepoint,
+        "user_value_skyline": q_user_value_skyline,
     }
 
 
@@ -4003,6 +4019,9 @@ def oracle_sql() -> dict[str, str]:
         "nearest_click_purchase": jn.nearest_click_purchase_sql(),
         "kaplan_meier": ev.kaplan_meier_conversion_sql(),
         "zorder_audit": lay.zorder_audit_sql(),
+        "revenue_trend": ev.revenue_trend_theilsen_sql(),
+        "revenue_changepoint": ev.revenue_changepoint_sql(),
+        "user_value_skyline": ev.user_value_skyline_sql(),
     }
 
 

@@ -4297,3 +4297,236 @@ def kaplan_meier_conversion_sql(table: str = "events") -> str:
            CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnS), 6) END AS survival
     FROM km_surv WHERE d > 0 ORDER BY day
     """
+
+
+def revenue_trend_theilsen(events: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise day-to-day slopes — immune to the outlier days that wreck
+    a least-squares fit. → one row ``[n_days, slope_per_day,
+    intercept]`` (intercept = median of ``rev − slope·day``, the
+    standard Theil–Sen companion estimate; both 4-dp-dollar units).
+
+    Scale shape: the stream first collapses to ≤|days| exact-cent
+    rows; the O(days²) pairwise self-join runs on THAT tiny frame
+    (a month = 435 pairs; even a decade ≈ 6.7M — trivial), never on
+    events. Slopes divide exact integers, and the medians are exact
+    interpolated percentiles — engine-identical end to end.
+    """
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("_day"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_r4"))
+    )
+    a = daily.select(F.col("_day").alias("_di"), F.col("_r4").alias("_ri"))
+    b = daily.select(F.col("_day").alias("_dj"), F.col("_r4").alias("_rj"))
+    slopes = a.join(b, F.col("_dj") > F.col("_di")).select(
+        (
+            (F.col("_rj") - F.col("_ri"))
+            / (F.col("_dj") - F.col("_di")).cast("double")
+        ).alias("_s")
+    )
+    slope = slopes.agg(F.percentile("_s", F.lit(0.5)).alias("_slope"))
+    resid = daily.crossJoin(F.broadcast(slope)).select(
+        (F.col("_r4") - F.col("_slope") * F.col("_day")).alias("_b"),
+        "_slope",
+    )
+    return resid.groupBy("_slope").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.col("_slope") / 10000.0, 6).alias("slope_per_day"),
+        F.round(F.percentile("_b", F.lit(0.5)) / 10000.0, 6).alias("intercept"),
+    ).select("n_days", "slope_per_day", "intercept")
+
+
+def revenue_trend_theilsen_sql(table: str = "events") -> str:
+    return f"""
+    WITH tdaily AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS r4
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tslopes AS (
+      SELECT (b.r4 - a.r4) / CAST(b.day - a.day AS DOUBLE) AS s
+      FROM tdaily a JOIN tdaily b ON b.day > a.day
+    ),
+    tslope AS (SELECT quantile_cont(s, 0.5) AS slope FROM tslopes),
+    tresid AS (
+      SELECT r4 - slope * day AS b, slope FROM tdaily CROSS JOIN tslope
+    )
+    SELECT count(*) AS n_days,
+           round(slope / 10000.0, 6) AS slope_per_day,
+           round(quantile_cont(b, 0.5) / 10000.0, 6) AS intercept
+    FROM tresid GROUP BY slope
+    """
+
+
+def revenue_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint: the day where the cumulative deviation of
+    daily revenue from its overall mean peaks — the single most likely
+    level-shift point. → one row ``[change_day, cusum_peak,
+    mean_before, mean_after]`` (revenues 4-dp dollars; tie on the peak
+    → earliest day).
+
+    The statistic stays EXACT: with daily cents ``x_t`` and total
+    ``S``, the scaled CUSUM ``n·Σ_{i≤t}x_i − t·S`` is integer algebra
+    (no mean division until display), so the argmax is the same row in
+    both engines — no float-boundary flake on the peak choice.
+
+    Scale shape: collapses to |days| rows, then one ordered prefix sum
+    and a 1-row argmax; before/after means re-aggregate the daily rows.
+    """
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("_day"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_x"))
+    )
+    tot = daily.agg(
+        F.count("*").alias("_n"), F.sum("_x").alias("_sx")
+    )
+    wcum = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.crossJoin(F.broadcast(tot)).select(
+        "_day",
+        "_x",
+        "_n",
+        "_sx",
+        F.sum("_x").over(wcum).alias("_cx"),
+        F.row_number().over(Window.orderBy("_day")).alias("_t"),
+    )
+    scored = cum.select(
+        "_day",
+        "_t",
+        "_n",
+        "_sx",
+        "_cx",
+        F.abs(F.col("_n") * F.col("_cx") - F.col("_t") * F.col("_sx")).alias(
+            "_score"
+        ),
+    )
+    best = scored.orderBy(F.desc("_score"), F.asc("_day")).limit(1)
+    return best.select(
+        F.col("_day").alias("change_day"),
+        F.round(
+            F.col("_score") / (F.col("_n").cast("double") * 10000.0), 4
+        ).alias("cusum_peak"),
+        F.round(
+            F.col("_cx") / F.col("_t").cast("double") / 10000.0, 4
+        ).alias("mean_before"),
+        F.when(
+            F.col("_n") > F.col("_t"),
+            F.round(
+                (F.col("_sx") - F.col("_cx"))
+                / (F.col("_n") - F.col("_t")).cast("double")
+                / 10000.0,
+                4,
+            ),
+        ).alias("mean_after"),
+    )
+
+
+def revenue_changepoint_sql(table: str = "events") -> str:
+    return f"""
+    WITH cdaily AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS x
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ctot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM cdaily),
+    ccum AS (
+      SELECT day, n, sx,
+             CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cx,
+             row_number() OVER (ORDER BY day) AS t
+      FROM cdaily CROSS JOIN ctot
+    ),
+    cscore AS (
+      SELECT *, abs(n * cx - t * sx) AS score FROM ccum
+    )
+    SELECT day AS change_day,
+           round(score / (CAST(n AS DOUBLE) * 10000.0), 4) AS cusum_peak,
+           round(cx / CAST(t AS DOUBLE) / 10000.0, 4) AS mean_before,
+           CASE WHEN n > t THEN
+             round((sx - cx) / CAST(n - t AS DOUBLE) / 10000.0, 4)
+           END AS mean_after
+    FROM cscore
+    ORDER BY score DESC, day ASC LIMIT 1
+    """
+
+
+def skyline2d(points: DataFrame, x: str, y: str) -> DataFrame:
+    """Skyline (Pareto frontier, maximize both): the points no other
+    point dominates (≥ in both coordinates, > in at least one).
+    → ``[x, y]``, x asc — the classic database skyline operator.
+
+    Scale shape, two-phase: (1) collapse to one max-y per distinct x
+    (a dominated-by-equal-x point can never be a skyline point);
+    (2) LOCAL skyline per Spark partition — sort by x desc inside the
+    partition and keep rows whose y beats the running max (a point
+    dominated locally is dominated globally, so survivors are a
+    superset of the answer); (3) the same sweep globally over the ≤
+    |local skyline| survivors — the only single-task step, bounded by
+    the frontier size, not the input.
+    """
+    pts = points.groupBy(F.col(x).alias("_sx")).agg(
+        F.max(F.col(y)).alias("_sy")
+    ).withColumn("_pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("_sx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pts.withColumn("_pm", F.max("_sy").over(local_w)).where(
+        F.col("_pm").isNull() | (F.col("_sy") > F.col("_pm"))
+    )
+    global_w = (
+        Window.orderBy(F.desc("_sx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        local.withColumn("_gm", F.max("_sy").over(global_w))
+        .where(F.col("_gm").isNull() | (F.col("_sy") > F.col("_gm")))
+        .select(F.col("_sx").alias(x), F.col("_sy").alias(y))
+        .orderBy(x)
+    )
+
+
+def user_value_skyline(events: DataFrame) -> DataFrame:
+    """Gate query: the Pareto frontier of users over (event count,
+    total 4-dp value) — the "most active AND most valuable" boundary no
+    user strictly beats. → ``[n_events, value_sum]``, n_events asc."""
+    per_user = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_v4"),
+        )
+    )
+    sky = skyline2d(per_user, "n_events", "_v4")
+    return sky.select(
+        "n_events", F.round(F.col("_v4") / 10000.0, 4).alias("value_sum")
+    )
+
+
+def user_value_skyline_sql(table: str = "events") -> str:
+    """Oracle: the NOT EXISTS dominance definition, quadratic over the
+    collapsed point set (fine at gate scale — definition, not plan)."""
+    return f"""
+    WITH sku AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v4
+      FROM {table} WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    skp AS (SELECT n, max(v4) AS v4 FROM sku GROUP BY n)
+    SELECT p.n AS n_events, round(p.v4 / 10000.0, 4) AS value_sum
+    FROM skp p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM skp q
+      WHERE q.n >= p.n AND q.v4 >= p.v4 AND (q.n > p.n OR q.v4 > p.v4)
+    )
+    ORDER BY n_events
+    """
