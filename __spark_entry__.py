@@ -2207,6 +2207,15 @@ def q_user_value_skyline(spark, sf_dir):
     return ev.user_value_skyline(_tbl(spark, sf_dir, "events"))
 
 
+# --------------- wave 78 (IBLT set reconciliation, EWMA smoothing)
+def q_orders_replica_diff(spark, sf_dir):
+    return sk.orders_replica_diff(_tbl(spark, sf_dir, "orders"))
+
+
+def q_revenue_ewma(spark, sf_dir):
+    return ev.revenue_ewma(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2403,8 +2412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. user_value_skyline — all of waves
-    2-77 plus the r4-green tail, 298 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. revenue_ewma — all of waves
+    2-78 plus the r4-green tail, 300 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2821,6 +2830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_trend": q_revenue_trend,
         "revenue_changepoint": q_revenue_changepoint,
         "user_value_skyline": q_user_value_skyline,
+        "orders_replica_diff": q_orders_replica_diff,
+        "revenue_ewma": q_revenue_ewma,
     }
 
 
@@ -4022,6 +4033,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_trend": ev.revenue_trend_theilsen_sql(),
         "revenue_changepoint": ev.revenue_changepoint_sql(),
         "user_value_skyline": ev.user_value_skyline_sql(),
+        "orders_replica_diff": sk.orders_replica_diff_sql(),
+        "revenue_ewma": ev.revenue_ewma_sql(),
     }
 
 

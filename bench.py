@@ -253,6 +253,20 @@ def main():
     )
     _, q["sessions_sf"] = timed(lambda: session_windows(tbl("events")).count())
 
+    from linkgraph_spark.functions.joins import nearest_click_purchase
+    from linkgraph_spark.functions.sketches import heavy_hitter_terms
+
+    # round-5 late-wave representatives: the Misra-Gries two-phase sketch
+    # (Arrow mapInPandas candidates + exact verify) over the full token
+    # stream, and the bidirectional nearest join (two RANGE window picks
+    # on one shuffle)
+    _, q["heavy_hitters_sf"] = timed(
+        lambda: heavy_hitter_terms(docs, k=30).count()
+    )
+    _, q["nearest_sf"] = timed(
+        lambda: nearest_click_purchase(tbl("events")).count()
+    )
+
     # ---- large synthetic transcript graph: the throughput workload ---------
     t_large = synthesize_transcripts(
         spark, n_convs=bench_convs, min_turns=4, max_turns=40, hub_turns=5000

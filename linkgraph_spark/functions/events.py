@@ -4530,3 +4530,74 @@ def user_value_skyline_sql(table: str = "events") -> str:
     )
     ORDER BY n_events
     """
+
+
+def revenue_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue
+    (``ewma_t = α·x_t + (1−α)·ewma_{t−1}``, seeded at the first day) —
+    the standard smoother behind ops dashboards and anomaly baselines.
+    → ``[day, revenue, ewma]``, day asc (4-dp dollars).
+
+    The recurrence is linearized into ONE ordered prefix sum:
+    ``ewma_t = (1−α)^t · (x_0 + α·Σ_{i=1..t} x_i/(1−α)^i)`` — a window
+    cumulative over the |days| frame, no iterative loop, identical
+    closed-form algebra in both engines. The ``(1−α)^{-i}`` rescale
+    grows exponentially, so this form is for BOUNDED frames (a month:
+    0.7^-30 ≈ 4e4 — harmless); an unbounded stream would segment and
+    re-seed, or keep the recurrence in a streaming state store.
+    """
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("_day"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_x"))
+    )
+    t = F.row_number().over(Window.orderBy("_day")) - 1
+    a = float(alpha)
+    w = F.when(
+        F.col("_t") == 0, F.col("_x").cast("double")
+    ).otherwise(F.lit(a) * F.col("_x") / F.pow(F.lit(1.0 - a), F.col("_t")))
+    wcum = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("_t", t)
+        .withColumn("_w", w)
+        .withColumn("_s", F.sum("_w").over(wcum))
+        .select(
+            F.col("_day").alias("day"),
+            F.round(F.col("_x") / 10000.0, 4).alias("revenue"),
+            F.round(
+                F.pow(F.lit(1.0 - a), F.col("_t")) * F.col("_s") / 10000.0, 4
+            ).alias("ewma"),
+        )
+        .orderBy("day")
+    )
+
+
+def revenue_ewma_sql(table: str = "events", alpha: float = 0.3) -> str:
+    a = float(alpha)
+    return f"""
+    WITH edaily AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS x
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ),
+    et AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) - 1 AS t FROM edaily
+    ),
+    ew AS (
+      SELECT day, x, t,
+             CASE WHEN t = 0 THEN CAST(x AS DOUBLE)
+                  ELSE {a!r} * x / pow({1.0 - a!r}, t) END AS w
+      FROM et
+    ),
+    es AS (
+      SELECT day, x, t,
+             sum(w) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+      FROM ew
+    )
+    SELECT day, round(x / 10000.0, 4) AS revenue,
+           round(pow({1.0 - a!r}, t) * s / 10000.0, 4) AS ewma
+    FROM es ORDER BY day
+    """

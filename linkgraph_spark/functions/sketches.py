@@ -133,3 +133,155 @@ def heavy_hitter_terms_sql(table: str = "documents", k: int = 30) -> str:
     HAVING count(*) * {int(k)} > n
     ORDER BY cnt DESC, value ASC
     """
+
+
+# --- invertible Bloom lookup table (set reconciliation) ---------------------
+# Eppstein/Goodrich/Uyeda/Varghese, SIGCOMM 2011 (public algorithm,
+# original implementation): two replicas compare 100-TB key sets by
+# exchanging O(|difference|) sketch cells instead of the sets.
+
+# one INDEPENDENT salted md5 per subtable (and one for the checksum):
+# deriving all three positions from a single hash through affine maps
+# correlates cross-subtable collisions (two keys whose difference lands
+# in one collision band land in the others too), which manufactures
+# unpeelable 2-cycles orders of magnitude above the random-hash rate —
+# measured: 6 of 300 diff keys stuck at load 0.88 with the affine family,
+# 0 with salted independent hashes.
+_IBLT_SALTS = ("i0:", "i1:", "i2:")
+_IBLT_CHK_SALT = "c:"
+_P = 2_147_483_647
+
+
+def _iblt_kh(key, salt: str) -> int:
+    """Python mirror of the salted md5_long for driver-side decode."""
+    import hashlib
+
+    return int(
+        hashlib.md5((salt + str(key)).encode()).hexdigest()[:15], 16
+    )
+
+
+def iblt_set_diff(
+    a: DataFrame, b: DataFrame, key: str, cells: int = 1024
+) -> DataFrame:
+    """EXACT symmetric difference of two key sets via an invertible
+    Bloom lookup table. → ``[key, side]`` (``a_only`` / ``b_only``),
+    key asc. Raises if the table is too small to peel (use cells ≳
+    1.5× the expected difference; the sketch sees only the DIFFERENCE,
+    not the sets).
+
+    Why at 100 TB: the anti-join answer shuffles both full key sets;
+    this plan aggregates each side into a FIXED ``cells``-row sketch
+    (one map-side-combinable pass per side — keys hash into one cell
+    per subtable, a +1/−1 count, a key-XOR and a checksum-XOR), unions
+    the sketches, and peels the difference out of pure cells
+    driver-side (O(cells) work). Matching keys cancel inside the
+    cells, so sketch size tracks the drift, not the data. Keys must be
+    distinct per side (it's a set operation — dedup logs first).
+
+    The three positions live in disjoint subtables (cells/3 each), so
+    one key never double-hits a cell and XOR-cancels itself.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    m_sub = int(cells) // 3
+    if m_sub < 1:
+        raise ValueError("cells must be >= 3")
+
+    def sketch(df: DataFrame, side: int) -> DataFrame:
+        ks = F.col(key).cast("string")
+        pos = F.array(
+            *[
+                (md5_long(F.concat(F.lit(salt), ks)) % F.lit(m_sub))
+                + F.lit(j * m_sub)
+                for j, salt in enumerate(_IBLT_SALTS)
+            ]
+        )
+        chk = md5_long(F.concat(F.lit(_IBLT_CHK_SALT), ks)) % F.lit(_P)
+        return df.select(
+            F.col(key).cast("long").alias("_k"),
+            F.lit(side).alias("_side"),
+            chk.alias("_chk"),
+            F.explode(pos).alias("_cell"),
+        )
+
+    u = sketch(a, 1).unionByName(sketch(b, -1))
+    rows = (
+        u.groupBy("_cell")
+        .agg(
+            F.sum("_side").alias("cnt"),
+            F.expr("bit_xor(_k)").alias("kx"),
+            F.expr("bit_xor(_chk)").alias("cx"),
+        )
+        .collect()
+    )
+    cell = {
+        r._cell: [r.cnt, r.kx, r.cx] for r in rows
+    }
+
+    def positions(k: int) -> list:
+        return [
+            _iblt_kh(k, salt) % m_sub + j * m_sub
+            for j, salt in enumerate(_IBLT_SALTS)
+        ]
+
+    def chk_of(k: int) -> int:
+        return _iblt_kh(k, _IBLT_CHK_SALT) % _P
+
+    out = []
+    progress = True
+    while progress:
+        progress = False
+        # iterate over a key snapshot but ALWAYS re-read the live cell
+        # state: peeling mutates cells that appear later in the snapshot,
+        # and acting on their stale values double-peels and corrupts the
+        # table
+        for c in list(cell.keys()):
+            st = cell.get(c)
+            if st is None:
+                continue
+            cnt, kx, cx = st
+            if cnt in (1, -1) and cx == chk_of(kx):
+                k, side = kx, cnt
+                out.append((k, "a_only" if side == 1 else "b_only"))
+                for p in positions(k):
+                    ps = cell.setdefault(p, [0, 0, 0])
+                    ps[0] -= side
+                    ps[1] ^= k
+                    ps[2] ^= chk_of(k)
+                    if ps == [0, 0, 0]:
+                        del cell[p]
+                progress = True
+    if any(st != [0, 0, 0] for st in cell.values()):
+        raise ValueError(
+            "IBLT undecodable: difference too large for "
+            f"{cells} cells — rebuild with a larger table"
+        )
+    spark = a.sparkSession
+    out.sort()
+    return spark.createDataFrame(out, f"{key} long, side string")
+
+
+def orders_replica_diff(orders: DataFrame, cells: int = 1024) -> DataFrame:
+    """Gate query: two drifted replicas of the order-key set — replica A
+    lost the keys divisible by 97, replica B the keys divisible by 101 —
+    reconciled through the IBLT. → ``[o_orderkey, side]``."""
+    keys = orders.select("o_orderkey").distinct()
+    a = keys.where(F.col("o_orderkey") % 97 != 0)
+    b = keys.where(F.col("o_orderkey") % 101 != 0)
+    return iblt_set_diff(a, b, "o_orderkey", cells=cells)
+
+
+def orders_replica_diff_sql(table: str = "orders") -> str:
+    """Oracle: the anti-join DEFINITION of the symmetric difference."""
+    return f"""
+    WITH ik AS (SELECT DISTINCT o_orderkey FROM {table}),
+    ia AS (SELECT o_orderkey FROM ik WHERE o_orderkey % 97 <> 0),
+    ib AS (SELECT o_orderkey FROM ik WHERE o_orderkey % 101 <> 0)
+    SELECT o_orderkey, 'a_only' AS side FROM ia
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ib)
+    UNION ALL
+    SELECT o_orderkey, 'b_only' AS side FROM ib
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ia)
+    ORDER BY o_orderkey
+    """
