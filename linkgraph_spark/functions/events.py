@@ -35,6 +35,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_day(col: str):
+    """Whole days since the epoch as a long — exact integer microseconds
+    first (``unix_timestamp`` would truncate sub-second and disagree with
+    DuckDB's fractional epoch). SQL twin: :func:`epoch_day_sql`."""
+    return F.floor(
+        F.unix_micros(F.col(col).cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+
+
+def epoch_day_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`_epoch_day`."""
+    return f"CAST(floor(epoch_us({expr}) / 86400000000) AS BIGINT)"
+
+
 def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     """→ ``[user_id, session_idx, n_events, start_ts, end_ts,
     duration_sec]`` — gap-based sessionization: a user's events sorted by
@@ -3610,9 +3624,7 @@ def sliding_distinct_users(
     them per window; this exact form is the oracle-checkable one.)
     """
     w, s = int(window_days), int(slide_days)
-    day = F.floor(
-        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
-    ).cast("long")
+    day = _epoch_day("ts")
     user_day = events.select(
         "user_id", day.alias("_day")
     ).distinct()
@@ -3755,6 +3767,12 @@ def removal_effects(
     rounding noise and the 6-dp output rounding absorbs it).
     """
     rows = _attribution_transitions(events, gap_sec, conversion).collect()
+    spark = events.sparkSession
+    schema = "channel string, removal_effect double"
+    if not rows:
+        # empty stream: no transitions, no states — the solve below would
+        # KeyError on 'START'; the oracle returns zero rows here too
+        return spark.createDataFrame([], schema)
     n = {(r.src, r.dst): r.n for r in rows}
     totals: dict = {}
     for (s, _), c in n.items():
@@ -3778,8 +3796,6 @@ def removal_effects(
             p = newp
         return p["START"]
 
-    spark = events.sparkSession
-    schema = "channel string, removal_effect double"
     base = solve("__none__")
     if base <= 0.0:
         return spark.createDataFrame([], schema)
@@ -4098,6 +4114,31 @@ def ab_test_cuped_sql(table: str = "events", split_ts: str = "2024-01-16") -> st
              CAST(sum(CASE WHEN variant = 1 THEN x4 ELSE 0 END) AS BIGINT) AS sx1,
              CAST(sum(CASE WHEN variant = 1 THEN y4 ELSE 0 END) AS BIGINT) AS sy1
       FROM cu
+    ),
+    -- theta computed ONCE; the adj projections below reference the same
+    -- value (previously the 7-line CASE was inlined four times)
+    ct AS (
+      SELECT *,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+               THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               ELSE 0.0 END AS theta
+      FROM cs
+    ),
+    ca AS (
+      SELECT *,
+             CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
+               - theta * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
+                          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0)
+               AS a0,
+             CAST(sy1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
+               - theta * (CAST(sx1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
+                          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0)
+               AS a1
+      FROM ct
     )
     SELECT CAST(n0 AS BIGINT) AS n_control,
            CAST(n - n0 AS BIGINT) AS n_treatment,
@@ -4105,59 +4146,12 @@ def ab_test_cuped_sql(table: str = "events", split_ts: str = "2024-01-16") -> st
              AS mean_control,
            round(CAST(sy1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0, 6)
              AS mean_treatment,
-           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             ELSE 0.0 END, 6) AS theta,
-           round(CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
-             - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                ELSE 0.0 END)
-               * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
-                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0), 6)
-             AS adj_mean_control,
-           round(CAST(sy1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
-             - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                ELSE 0.0 END)
-               * (CAST(sx1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
-                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0), 6)
-             AS adj_mean_treatment,
-           round((CAST(sy1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
-             - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                ELSE 0.0 END)
-               * (CAST(sx1 AS DOUBLE) / CAST(n - n0 AS DOUBLE) / 10000.0
-                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0))
-             - (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
-             - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                ELSE 0.0 END)
-               * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0
-                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0)), 6)
-             AS adj_lift
-    FROM cs
+           round(theta, 6) AS theta,
+           round(a0, 6) AS adj_mean_control,
+           round(a1, 6) AS adj_mean_treatment,
+           round(a1 - a0, 6) AS adj_lift
+    FROM ca
     """
-
 
 def kaplan_meier_conversion(events: DataFrame) -> DataFrame:
     """Kaplan–Meier survival curve for signup→first-purchase, with
@@ -4312,9 +4306,7 @@ def revenue_trend_theilsen(events: DataFrame) -> DataFrame:
     events. Slopes divide exact integers, and the medians are exact
     interpolated percentiles — engine-identical end to end.
     """
-    day = F.floor(
-        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
-    ).cast("long")
+    day = _epoch_day("ts")
     daily = (
         events.where(F.col("value").isNotNull())
         .groupBy(day.alias("_day"))
@@ -4377,9 +4369,7 @@ def revenue_changepoint(events: DataFrame) -> DataFrame:
     Scale shape: collapses to |days| rows, then one ordered prefix sum
     and a 1-row argmax; before/after means re-aggregate the daily rows.
     """
-    day = F.floor(
-        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
-    ).cast("long")
+    day = _epoch_day("ts")
     daily = (
         events.where(F.col("value").isNotNull())
         .groupBy(day.alias("_day"))
@@ -4546,9 +4536,7 @@ def revenue_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     0.7^-30 ≈ 4e4 — harmless); an unbounded stream would segment and
     re-seed, or keep the recurrence in a streaming state store.
     """
-    day = F.floor(
-        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
-    ).cast("long")
+    day = _epoch_day("ts")
     daily = (
         events.where(F.col("value").isNotNull())
         .groupBy(day.alias("_day"))
@@ -4600,4 +4588,71 @@ def revenue_ewma_sql(table: str = "events", alpha: float = 0.3) -> str:
     SELECT day, round(x / 10000.0, 4) AS revenue,
            round(pow({1.0 - a!r}, t) * s / 10000.0, 4) AS ewma
     FROM es ORDER BY day
+    """
+
+
+def peak_concurrency(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Peak simultaneous sessions across all users and the earliest
+    second it is reached — capacity planning's first number. Sessions
+    are :func:`sessionize`'s gap-based intervals, CLOSED on both ends
+    (a session live at second t covers start ≤ t ≤ end). → one row
+    ``[peak_sessions, at_ts]`` (epoch seconds).
+
+    The sweep-line, declaratively: +1 at each session start, −1 just
+    AFTER each end (end+1, which makes the closed-interval tie rule
+    explicit — a session ending at t still overlaps one starting at t),
+    one ordered prefix sum over the ±1 stream, argmax with
+    earliest-tie-break. Scale shape: |sessions|·2 delta rows, one
+    ordered scan; the sessionize shuffle is the only event-sized stage.
+    """
+    sess = sessionize(events, gap_sec=gap_sec).select("start_ts", "end_ts")
+    deltas = sess.select(
+        F.col("start_ts").alias("_t"), F.lit(1).alias("_d")
+    ).unionAll(
+        sess.select((F.col("end_ts") + 1).alias("_t"), F.lit(-1).alias("_d"))
+    )
+    merged = deltas.groupBy("_t").agg(F.sum("_d").alias("_d"))
+    wcum = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    run = merged.withColumn("_live", F.sum("_d").over(wcum))
+    return (
+        run.orderBy(F.desc("_live"), F.asc("_t"))
+        .limit(1)
+        .select(
+            F.col("_live").alias("peak_sessions"), F.col("_t").alias("at_ts")
+        )
+    )
+
+
+def peak_concurrency_sql(table: str = "events", gap_sec: int = 1800) -> str:
+    return f"""
+    WITH pce AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), pcf AS (
+      SELECT *, CASE WHEN lag(ts_s) OVER
+                   (PARTITION BY user_id ORDER BY ts_s) IS NULL
+                 OR ts_s - lag(ts_s) OVER
+                   (PARTITION BY user_id ORDER BY ts_s) > {int(gap_sec)}
+                THEN 1 ELSE 0 END AS new_sess
+      FROM pce
+    ), pcs AS (
+      SELECT *, sum(new_sess) OVER
+               (PARTITION BY user_id ORDER BY ts_s
+                ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM pcf
+    ), pciv AS (
+      SELECT min(ts_s) AS start_ts, max(ts_s) AS end_ts
+      FROM pcs GROUP BY user_id, sess_id
+    ), pcd AS (
+      SELECT start_ts AS t, 1 AS d FROM pciv
+      UNION ALL
+      SELECT end_ts + 1 AS t, -1 AS d FROM pciv
+    ), pcm AS (
+      SELECT t, sum(d) AS d FROM pcd GROUP BY t
+    ), pcr AS (
+      SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS live
+      FROM pcm
+    )
+    SELECT CAST(live AS BIGINT) AS peak_sessions, t AS at_ts
+    FROM pcr ORDER BY live DESC, t ASC LIMIT 1
     """

@@ -48,30 +48,10 @@ def asof_join(
     ``right_cols`` must not collide with left column names.
     """
     rcols = list(right_cols)
-    clash = set(rcols) & set(left.columns)
-    if clash:
-        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
-    # the matched right row travels as ONE struct (always non-null when a
-    # right row exists, even if every payload field is NULL) so the fill
-    # below can never tear ts and payload from different right rows
-    r = (
-        right.select(key, F.col(right_ts).alias("_ats"), *rcols)
-        .groupBy(key, "_ats")
-        .agg(*[F.max(c).alias(c) for c in rcols])
-        .select(
-            key,
-            "_ats",
-            F.lit(0).alias("_is_left"),
-            F.struct(
-                F.col("_ats").alias("_ts"), *[F.col(c) for c in rcols]
-            ).alias("_asof_row"),
-        )
-    )
-    l = left.withColumn("_ats", F.col(left_ts)).withColumn("_is_left", F.lit(1))
-    u = l.unionByName(r, allowMissingColumns=True)
+    u = _tagged_union(left, right, key, left_ts, right_ts, rcols, "_asof_row")
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ats").asc(), F.col("_is_left").asc())
+        .orderBy(F.col("_tu_ts").asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn("_m", F.last("_asof_row", ignorenulls=True).over(w))
@@ -80,6 +60,48 @@ def asof_join(
         F.col("_m._ts").alias("asof_ts"),
         *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in rcols],
     )
+
+
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    rcols: list,
+    struct_col: str,
+) -> DataFrame:
+    """Shared prelude of the union-one-shuffle temporal joins
+    (:func:`asof_join`, :func:`nearest_join`): clash-check the payload
+    names, dedup the right side to one row per (key, ts) (greatest value
+    per payload column — deterministic, engine-order-free), pack the
+    matched right row into ONE struct (so a window fill can never tear
+    ts and payload from different right rows), tag sides, and union.
+    Exposes ``_tu_ts`` (the row's timestamp), ``_is_left``, and
+    ``struct_col`` (NULL on left rows)."""
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    grouped = right.select(key, F.col(right_ts).alias("_tu_ts"), *rcols)
+    if rcols:
+        grouped = grouped.groupBy(key, "_tu_ts").agg(
+            *[F.max(c).alias(c) for c in rcols]
+        )
+    else:
+        # no payload: plain dedup (groupBy().agg() rejects an empty list)
+        grouped = grouped.distinct()
+    r = grouped.select(
+        key,
+        "_tu_ts",
+        F.lit(0).alias("_is_left"),
+        F.struct(
+            F.col("_tu_ts").alias("_ts"), *[F.col(c) for c in rcols]
+        ).alias(struct_col),
+    )
+    l = left.withColumn("_tu_ts", F.col(left_ts)).withColumn(
+        "_is_left", F.lit(1)
+    )
+    return l.unionByName(r, allowMissingColumns=True)
 
 
 def interval_join(
@@ -223,11 +245,17 @@ def digest_pruned_join(
     made explicit and portable to builds where that rule is off.
     """
     m = F.lit(1 << int(bits)).cast("long")
+    # hash the STRING form on both sides: xxhash64 hashes by physical
+    # type, so an int fact key and a bigint dim key (which the final
+    # equi-join would happily coerce and match) hash differently and the
+    # digest would silently drop true matches
     buckets = (
-        dim.select(F.pmod(F.xxhash64(F.col(dim_key)), m).alias("_b")).distinct()
+        dim.select(
+            F.pmod(F.xxhash64(F.col(dim_key).cast("string")), m).alias("_b")
+        ).distinct()
     )
     pruned = fact.withColumn(
-        "_fb", F.pmod(F.xxhash64(F.col(fact_key)), m)
+        "_fb", F.pmod(F.xxhash64(F.col(fact_key).cast("string")), m)
     ).join(
         F.broadcast(buckets), F.col("_fb") == F.col("_b"), "left_semi"
     ).drop("_fb")
@@ -313,26 +341,9 @@ def nearest_join(
     deterministic.
     """
     rcols = list(right_cols)
-    clash = set(rcols) & set(left.columns)
-    if clash:
-        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
-    r = (
-        right.select(key, F.col(right_ts).alias("_nts"), *rcols)
-        .groupBy(key, "_nts")
-        .agg(*[F.max(c).alias(c) for c in rcols])
-        .select(
-            key,
-            "_nts",
-            F.lit(0).alias("_is_left"),
-            F.struct(
-                F.col("_nts").alias("_ts"), *[F.col(c) for c in rcols]
-            ).alias("_near_row"),
-        )
-    )
-    l = left.withColumn("_nts", F.col(left_ts)).withColumn("_is_left", F.lit(1))
-    u = l.unionByName(r, allowMissingColumns=True).withColumn(
-        "_us", F.unix_micros(F.col("_nts").cast("timestamp"))
-    )
+    u = _tagged_union(
+        left, right, key, left_ts, right_ts, rcols, "_near_row"
+    ).withColumn("_us", F.unix_micros(F.col("_tu_ts").cast("timestamp")))
     back_w = (
         Window.partitionBy(key)
         .orderBy("_us")

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph_spark.functions.events import _epoch_day
+
 _QBITS = 8  # per-dimension grid resolution; Morton key is 2*_QBITS wide
 
 
@@ -68,10 +70,7 @@ def zorder_audit(events: DataFrame, bucket_bits: int = 6) -> DataFrame:
     shape: one 4-number range aggregate, then a map-only bit projection
     and one aggregate keyed on ≤ 2^bucket_bits values.
     """
-    day = F.floor(
-        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
-    ).cast("long")
-    rows = events.select(F.col("user_id"), day.alias("_day"))
+    rows = events.select(F.col("user_id"), _epoch_day("ts").alias("_day"))
     rng = rows.agg(
         F.min("user_id").alias("_u0"),
         F.max("user_id").alias("_u1"),

@@ -73,3 +73,45 @@ def test_ewma_matches_reference_recurrence(spark):
         ref.append(0.3 * v + 0.7 * ref[-1])
     assert [r.revenue for r in out] == vals
     assert [r.ewma for r in out] == [round(x, 4) for x in ref]
+
+
+# ---------------------------------------------------- review-fix regressions
+def test_asof_and_nearest_accept_empty_right_cols(spark):
+    import datetime as dt
+
+    from linkgraph_spark.functions.joins import asof_join, nearest_join
+
+    d = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 10, d(2024, 1, 1, 12))], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, d(2024, 1, 1, 11)), (10, d(2024, 1, 1, 14))],
+        "k long, ts timestamp",
+    )
+    a = asof_join(left, right, key="k").collect()[0]
+    assert a.asof_ts == d(2024, 1, 1, 11)
+    n = nearest_join(left, right, key="k").collect()[0]
+    assert n.near_ts == d(2024, 1, 1, 11)  # 1h back vs 2h forward
+
+
+def test_digest_join_mixed_key_types_still_exact(spark):
+    from linkgraph_spark.functions.joins import digest_pruned_join
+
+    fact = spark.createDataFrame(
+        [(i,) for i in range(20)], "k int"  # INT fact key
+    )
+    dim = spark.createDataFrame(
+        [(3, "x"), (7, "y")], "dk long, name string"  # BIGINT dim key
+    )
+    got = digest_pruned_join(fact, dim, "k", "dk", bits=16)
+    assert sorted((r.k, r.name) for r in got.collect()) == [(3, "x"), (7, "y")]
+
+
+def test_removal_effects_empty_stream_returns_empty_frame(spark):
+    from linkgraph_spark.functions.events import removal_effects
+
+    empty = spark.createDataFrame([], _EV_SCHEMA)
+    res = removal_effects(empty)
+    assert res.columns == ["channel", "removal_effect"]
+    assert res.count() == 0
