@@ -2216,6 +2216,21 @@ def q_revenue_ewma(spark, sf_dir):
     return ev.revenue_ewma(_tbl(spark, sf_dir, "events"))
 
 
+# --- wave 79 (sweep-line concurrency, A-priori pairs, negative sampling)
+def q_peak_concurrency(spark, sf_dir):
+    return ev.peak_concurrency(_tbl(spark, sf_dir, "events"))
+
+
+def q_frequent_pairs(spark, sf_dir):
+    return rel.frequent_pairs_apriori(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_negative_samples(spark, sf_dir):
+    return tx.negative_samples(_tbl(spark, sf_dir, "documents"), k=2)
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2412,8 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. revenue_ewma — all of waves
-    2-78 plus the r4-green tail, 300 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. negative_samples — all of waves
+    2-79 plus the r4-green tail, 303 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2832,6 +2847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_skyline": q_user_value_skyline,
         "orders_replica_diff": q_orders_replica_diff,
         "revenue_ewma": q_revenue_ewma,
+        "peak_concurrency": q_peak_concurrency,
+        "frequent_pairs": q_frequent_pairs,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -4035,6 +4053,9 @@ def oracle_sql() -> dict[str, str]:
         "user_value_skyline": ev.user_value_skyline_sql(),
         "orders_replica_diff": sk.orders_replica_diff_sql(),
         "revenue_ewma": ev.revenue_ewma_sql(),
+        "peak_concurrency": ev.peak_concurrency_sql(),
+        "frequent_pairs": rel.frequent_pairs_apriori_sql(),
+        "negative_samples": tx.negative_samples_sql(k=2),
     }
 
 

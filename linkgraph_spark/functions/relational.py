@@ -1683,3 +1683,69 @@ def region_nation_share_sql() -> str:
     CROSS JOIN tot
     ORDER BY p.r_name, p.n_name
     """
+
+
+def frequent_pairs_apriori(
+    lineitem: DataFrame, part: DataFrame, min_support: int = 5
+) -> DataFrame:
+    """Frequent brand pairs with A-priori candidate pruning (Agrawal &
+    Srikant, VLDB 1994 — the downward-closure classic): a pair can only
+    reach ``min_support`` co-occurrences if BOTH brands individually do,
+    so items below support are dropped BEFORE the quadratic basket
+    self-join ever sees them. → ``[brand_a, brand_b, n_ab]``, pairs with
+    ``n_ab ≥ min_support``, ordered (brand_a, brand_b).
+
+    Scale shape vs :func:`basket_pairs`: identical output contract for
+    the count part, but the self-join input is the SUPPORT-FILTERED
+    basket table — on a Zipf catalog that cuts the pair fan-out by the
+    long tail's share (most items are infrequent). The frequent-item
+    set is an aggregate of the basket table and broadcasts back as a
+    semi-join.
+    """
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    frequent = (
+        baskets.groupBy("p_brand")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= F.lit(int(min_support)))
+        .select("p_brand")
+    )
+    pruned = baskets.join(F.broadcast(frequent), "p_brand", "left_semi")
+    a = pruned.select(
+        F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = pruned.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("p_brand").alias("brand_b")
+    )
+    return (
+        a.join(b, (a._ok == b._ok2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= F.lit(int(min_support)))
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+def frequent_pairs_apriori_sql(min_support: int = 5) -> str:
+    """Oracle: the unpruned definition — pruning must not change the
+    answer (downward closure), which is exactly what this checks."""
+    return f"""
+    WITH fbaskets AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+    FROM fbaskets a
+    JOIN fbaskets b ON a.l_orderkey = b.l_orderkey
+                   AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    HAVING count(*) >= {int(min_support)}
+    ORDER BY brand_a, brand_b
+    """

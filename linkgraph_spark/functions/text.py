@@ -2758,3 +2758,124 @@ def phrase_search_sql(phrase: str, table: str = "documents") -> str:
     GROUP BY t0.doc_id
     ORDER BY t0.doc_id
     """
+
+
+def negative_samples(
+    documents: DataFrame, k: int = 3, power: float = 0.75
+) -> DataFrame:
+    """Deterministic word2vec-style negative sampling: for every
+    (doc, position) token occurrence, draw ``k`` negatives from the
+    unigram^``power`` distribution (Mikolov et al. 2013's smoothing) by
+    CDF inversion — a deterministic hash of (doc, pos, draw index)
+    becomes u ∈ [0,1) and selects the vocabulary row whose cumulative
+    band contains it. → ``[doc_id, pos, draw, neg_term]``.
+
+    Scale shape: the CDF table is the VOCABULARY (Zipf-bounded), built
+    with one aggregate + one ordered prefix sum, then broadcast; the
+    range lookup ``lo ≤ u < hi`` is a broadcast join with a range
+    residual — the documented tiny-dim nested-loop shape (the classic
+    alias-table trick trades it for an equi-join when the vocab stops
+    fitting; CDF inversion keeps the oracle trivially mirrorable).
+    Determinism: same corpus → same negatives, in both engines (the
+    hash is the portable md5 family; u is an exact integer ratio).
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "term")
+    )
+    w = Window.orderBy("term")
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_w", F.pow(F.col("_n").cast("double"), F.lit(float(power))))
+    )
+    tot = vocab.agg(F.sum("_w").alias("_tw"))
+    cdf = (
+        vocab.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_hi",
+            F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.col("_tw"),
+        )
+        .withColumn(
+            "_lo", F.coalesce(F.lag("_hi").over(Window.orderBy("term")), F.lit(0.0))
+        )
+        .select(F.col("term").alias("neg_term"), "_lo", "_hi")
+    )
+    draws = tok.select(
+        "doc_id",
+        "pos",
+        F.explode(F.array(*[F.lit(i) for i in range(int(k))])).alias("draw"),
+    )
+    u = (
+        md5_long(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("pos").cast("string"),
+                F.col("draw").cast("string"),
+            )
+        )
+        % F.lit(1 << 30)
+    ).cast("double") / F.lit(float(1 << 30))
+    return (
+        draws.withColumn("_u", u)
+        .join(
+            F.broadcast(cdf),
+            (F.col("_u") >= F.col("_lo")) & (F.col("_u") < F.col("_hi")),
+        )
+        .select("doc_id", "pos", "draw", "neg_term")
+        .orderBy("doc_id", "pos", "draw")
+    )
+
+
+def negative_samples_sql(
+    table: str = "documents", k: int = 3, power: float = 0.75
+) -> str:
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR), ':',"
+        " CAST(draw AS VARCHAR))"
+    )
+    ks = ", ".join(str(i) for i in range(int(k)))
+    return f"""
+    WITH nsd AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM {table}
+    ),
+    nstok AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS term
+      FROM nsd, unnest(generate_series(1, len(toks))) AS g(i)
+    ),
+    nsv AS (
+      SELECT term, pow(count(*), {float(power)!r}) AS w
+      FROM nstok GROUP BY term
+    ),
+    nst AS (SELECT sum(w) AS tw FROM nsv),
+    nshi AS (
+      SELECT term AS neg_term,
+             sum(w) OVER (ORDER BY term ROWS UNBOUNDED PRECEDING) / tw AS hi
+      FROM nsv CROSS JOIN nst
+    ),
+    nscdf AS (
+      SELECT neg_term, hi,
+             coalesce(lag(hi) OVER (ORDER BY neg_term), 0.0) AS lo
+      FROM nshi
+    ),
+    nsdraw AS (
+      SELECT doc_id, pos, unnest([{ks}]) AS draw FROM nstok
+    ),
+    nsu AS (
+      SELECT doc_id, pos, draw,
+             CAST(({h}) % {1 << 30} AS DOUBLE) / {float(1 << 30)!r} AS u
+      FROM nsdraw
+    )
+    SELECT doc_id, pos, draw, neg_term
+    FROM nsu JOIN nscdf ON u >= lo AND u < hi
+    ORDER BY doc_id, pos, draw
+    """
