@@ -2231,6 +2231,17 @@ def q_negative_samples(spark, sf_dir):
     return tx.negative_samples(_tbl(spark, sf_dir, "documents"), k=2)
 
 
+# ------------- wave 80 (shard rebalance economics, watermark sizing)
+def q_rebalance_audit(spark, sf_dir):
+    return lay.rebalance_audit(
+        _tbl(spark, sf_dir, "orders").select("o_orderkey"), "o_orderkey"
+    )
+
+
+def q_watermark_audit(spark, sf_dir):
+    return ev.watermark_audit(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2427,8 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. negative_samples — all of waves
-    2-79 plus the r4-green tail, 303 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. watermark_audit — all of waves
+    2-80 plus the r4-green tail, 305 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2850,6 +2861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "frequent_pairs": q_frequent_pairs,
         "negative_samples": q_negative_samples,
+        "rebalance_audit": q_rebalance_audit,
+        "watermark_audit": q_watermark_audit,
     }
 
 
@@ -4056,6 +4069,8 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": ev.peak_concurrency_sql(),
         "frequent_pairs": rel.frequent_pairs_apriori_sql(),
         "negative_samples": tx.negative_samples_sql(k=2),
+        "rebalance_audit": lay.rebalance_audit_sql(),
+        "watermark_audit": ev.watermark_audit_sql(),
     }
 
 

@@ -4656,3 +4656,75 @@ def peak_concurrency_sql(table: str = "events", gap_sec: int = 1800) -> str:
     SELECT CAST(live AS BIGINT) AS peak_sessions, t AS at_ts
     FROM pcr ORDER BY live DESC, t ASC LIMIT 1
     """
+
+
+def watermark_audit(events: DataFrame) -> DataFrame:
+    """How late does data actually arrive? — the number a Structured
+    Streaming watermark must be chosen from. Arrival order is proxied by
+    ``event_id`` (the ingest-monotone id); an event is LATE when its
+    event time trails the per-user running maximum of earlier-arrived
+    events. → one row ``[n_events, n_late, late_frac, max_lateness_sec,
+    p50_lateness_sec, p95_lateness_sec]`` (percentiles over LATE events
+    only; NULLs when nothing is late — a zero watermark would do).
+
+    Scale shape: ONE user-keyed window (running max over arrival order —
+    the same keyed-state shape the stream itself would run), then a
+    1-row aggregate with exact interpolated percentiles. Per-key
+    lateness is what keyed streaming state experiences; a global
+    total-order audit would need a single-partition sort and answers a
+    question no keyed watermark asks.
+    """
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_s = F.unix_timestamp("ts")
+    late = events.select(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.max(ts_s).over(wl) - ts_s, F.lit(0).cast("long")),
+        ).alias("_late_s")
+    )
+    return late.agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("_late_s") > 0).cast("long")).alias("n_late"),
+        F.round(
+            F.sum((F.col("_late_s") > 0).cast("long"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("late_frac"),
+        F.max(F.when(F.col("_late_s") > 0, F.col("_late_s"))).alias(
+            "max_lateness_sec"
+        ),
+        F.percentile(
+            F.when(F.col("_late_s") > 0, F.col("_late_s")), F.lit(0.5)
+        ).alias("p50_lateness_sec"),
+        F.percentile(
+            F.when(F.col("_late_s") > 0, F.col("_late_s")), F.lit(0.95)
+        ).alias("p95_lateness_sec"),
+    )
+
+
+def watermark_audit_sql(table: str = "events") -> str:
+    return f"""
+    WITH wa AS (
+      SELECT greatest(0, coalesce(
+               max(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                 (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - CAST(floor(epoch(ts)) AS BIGINT), 0)) AS late_s
+      FROM {table}
+    )
+    SELECT count(*) AS n_events,
+           CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           round(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS late_frac,
+           max(CASE WHEN late_s > 0 THEN late_s END) AS max_lateness_sec,
+           quantile_cont(CASE WHEN late_s > 0 THEN late_s END, 0.5)
+             AS p50_lateness_sec,
+           quantile_cont(CASE WHEN late_s > 0 THEN late_s END, 0.95)
+             AS p95_lateness_sec
+    FROM wa
+    """

@@ -136,3 +136,142 @@ def zorder_audit_sql(table: str = "events", bucket_bits: int = 6) -> str:
     FROM zkeyed
     GROUP BY 1 ORDER BY bucket
     """
+
+
+def _ring(n_shards: int, vnodes: int) -> list:
+    """Deterministic consistent-hash ring: ``vnodes`` virtual nodes per
+    shard at md5 positions, sorted. Pure python over literals — the ring
+    is configuration, not data."""
+    import hashlib
+
+    pts = []
+    for shard in range(int(n_shards)):
+        for v in range(int(vnodes)):
+            h = int(
+                hashlib.md5(f"node:{shard}:{v}".encode()).hexdigest()[:15], 16
+            )
+            pts.append((h, shard))
+    pts.sort()
+    return pts
+
+
+def rebalance_audit(
+    keys: DataFrame, key: str, n_shards: int = 8, vnodes: int = 64
+) -> DataFrame:
+    """How many keys MOVE when a cluster grows from ``n_shards`` to
+    ``n_shards + 1`` — mod-hashing vs a consistent-hash ring.
+    → two rows ``[scheme, n_keys, n_moved, moved_frac]`` — the
+    distributed-systems argument in one table: mod reshuffles
+    ~n/(n+1) of all keys (every shard's residues re-deal), the ring
+    moves only the ~1/(n+1) slice the new node claims. At 100 TB the
+    moved fraction IS the re-replication bill.
+
+    Both assignments are map-only projections: the rings are
+    CONFIG-sized sorted literal arrays (n_shards·vnodes structs), and a
+    key's owner is the first ring position ≥ its portable 60-bit hash
+    (wrapping to the ring's first node) — no join, no shuffle except
+    the final 2-group aggregate.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    def ring_col(pts):
+        return F.array(
+            *[
+                F.struct(F.lit(p).alias("pos"), F.lit(s).alias("shard"))
+                for p, s in pts
+            ]
+        )
+
+    old_ring, new_ring = _ring(n_shards, vnodes), _ring(n_shards + 1, vnodes)
+    kp = md5_long(F.concat(F.lit("key:"), F.col(key).cast("string")))
+
+    def owner(ring_pts):
+        arr = ring_col(ring_pts)
+        hit = F.filter(arr, lambda r: r.pos >= F.col("_kp"))
+        # try_element_at: a key hashing past the last ring position leaves
+        # the filtered list empty (ANSI element_at throws); wrap to the
+        # ring's first node
+        return F.coalesce(
+            F.try_element_at(hit, F.lit(1)).shard,
+            F.element_at(arr, 1).shard,
+        )
+
+    tagged = keys.select(F.col(key), kp.alias("_kp")).select(
+        (F.col(key).cast("long") % n_shards
+         != F.col(key).cast("long") % (n_shards + 1)).alias("_mod_moved"),
+        (owner(old_ring) != owner(new_ring)).alias("_ring_moved"),
+    )
+    agg = tagged.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_mod_moved").cast("long")).alias("_mm"),
+        F.sum(F.col("_ring_moved").cast("long")).alias("_rm"),
+    )
+    out = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mod").alias("scheme"),
+                    F.col("_n").alias("n_keys"),
+                    F.col("_mm").alias("n_moved"),
+                    F.round(F.col("_mm") / F.col("_n"), 6).alias("moved_frac"),
+                ),
+                F.struct(
+                    F.lit("ring").alias("scheme"),
+                    F.col("_n").alias("n_keys"),
+                    F.col("_rm").alias("n_moved"),
+                    F.round(F.col("_rm") / F.col("_n"), 6).alias("moved_frac"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return out.orderBy("scheme")
+
+
+def rebalance_audit_sql(
+    table: str = "orders",
+    key: str = "o_orderkey",
+    n_shards: int = 8,
+    vnodes: int = 64,
+) -> str:
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    def ring_lit(pts):
+        return (
+            "["
+            + ", ".join(f"{{'pos': {p}, 'shard': {s}}}" for p, s in pts)
+            + "]"
+        )
+
+    old_r = ring_lit(_ring(n_shards, vnodes))
+    new_r = ring_lit(_ring(n_shards + 1, vnodes))
+    h = md5_long_sql(f"concat('key:', CAST({key} AS VARCHAR))")
+    own = (
+        "coalesce(list_filter({ring}, r -> r.pos >= kp)[1].shard,"
+        " ({ring})[1].shard)"
+    )
+    return f"""
+    WITH rk AS (
+      SELECT {key} AS k, ({h}) AS kp FROM {table}
+    ),
+    rt AS (
+      SELECT (k % {int(n_shards)} <> k % {int(n_shards) + 1}) AS mod_moved,
+             ({own.format(ring=old_r)} <> {own.format(ring=new_r)})
+               AS ring_moved
+      FROM rk
+    ),
+    ra AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS mm,
+             sum(CASE WHEN ring_moved THEN 1 ELSE 0 END) AS rm
+      FROM rt
+    )
+    SELECT 'mod' AS scheme, CAST(n AS BIGINT) AS n_keys,
+           CAST(mm AS BIGINT) AS n_moved, round(mm / CAST(n AS DOUBLE), 6)
+             AS moved_frac
+    FROM ra
+    UNION ALL
+    SELECT 'ring', CAST(n AS BIGINT), CAST(rm AS BIGINT),
+           round(rm / CAST(n AS DOUBLE), 6)
+    FROM ra
+    ORDER BY scheme
+    """
