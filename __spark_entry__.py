@@ -2242,6 +2242,15 @@ def q_watermark_audit(spark, sf_dir):
     return ev.watermark_audit(_tbl(spark, sf_dir, "events"))
 
 
+# -------------------- wave 81 (decayed engagement, KWIC concordance)
+def q_decayed_engagement(spark, sf_dir):
+    return ev.decayed_engagement(_tbl(spark, sf_dir, "events"))
+
+
+def q_kwic_table(spark, sf_dir):
+    return tx.kwic(_tbl(spark, sf_dir, "documents"), "table", window=2)
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2438,8 +2447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. watermark_audit — all of waves
-    2-80 plus the r4-green tail, 305 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. kwic_table — all of waves
+    2-81 plus the r4-green tail, 307 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2863,6 +2872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "rebalance_audit": q_rebalance_audit,
         "watermark_audit": q_watermark_audit,
+        "decayed_engagement": q_decayed_engagement,
+        "kwic_table": q_kwic_table,
     }
 
 
@@ -4071,6 +4082,8 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": tx.negative_samples_sql(k=2),
         "rebalance_audit": lay.rebalance_audit_sql(),
         "watermark_audit": ev.watermark_audit_sql(),
+        "decayed_engagement": ev.decayed_engagement_sql(),
+        "kwic_table": tx.kwic_sql("table", window=2),
     }
 
 

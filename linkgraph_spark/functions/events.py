@@ -4728,3 +4728,54 @@ def watermark_audit_sql(table: str = "events") -> str:
              AS p95_lateness_sec
     FROM wa
     """
+
+
+def decayed_engagement(
+    events: DataFrame,
+    half_life_days: float = 7.0,
+    as_of: str = "2024-01-31",
+    top_n: int = 50,
+) -> DataFrame:
+    """Exponential time-decay engagement score — the recency-weighted
+    sum behind "active user" rankings: each event contributes
+    ``value · 2^(−age_days/half_life)``. → ``[user_id, score]``, top
+    ``top_n`` by score desc (tie → user_id asc).
+
+    Determinism: age is an exact integer-microsecond difference; the
+    decay weight is the same one-op double in both engines, and the
+    per-user sum rides ONE map-side-combinable aggregate. Summation
+    order of the weighted doubles is engine-dependent, so the score
+    rounds to 6 dp — drift is ~1e-15 relative, far below the rounding.
+    Top-n compiles to TakeOrdered (per-partition heads + one bounded
+    merge), never a global sort.
+    """
+    asof_us = F.unix_micros(F.lit(as_of).cast("timestamp"))
+    age_days = (
+        asof_us - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / F.lit(86_400_000_000.0)
+    w = F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days)))
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.col("value") * w), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("user_id"))
+        .limit(int(top_n))
+    )
+
+
+def decayed_engagement_sql(
+    table: str = "events",
+    half_life_days: float = 7.0,
+    as_of: str = "2024-01-31",
+    top_n: int = 50,
+) -> str:
+    return f"""
+    SELECT user_id,
+           round(sum(value * pow(2.0,
+             -((epoch_us(TIMESTAMP '{as_of}') - epoch_us(ts))
+               / 86400000000.0) / {float(half_life_days)!r})), 6) AS score
+    FROM {table} WHERE value IS NOT NULL
+    GROUP BY user_id
+    ORDER BY score DESC, user_id ASC
+    LIMIT {int(top_n)}
+    """

@@ -2879,3 +2879,74 @@ def negative_samples_sql(
     FROM nsu JOIN nscdf ON u >= lo AND u < hi
     ORDER BY doc_id, pos, draw
     """
+
+
+def kwic(
+    documents: DataFrame, term: str, window: int = 2, top_n: int = 200
+) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of ``term`` with
+    its ``window`` tokens of left/right context — the corpus-inspection
+    tool behind "how is this token actually used". → ``[doc_id, pos,
+    left_ctx, right_ctx]``, first ``top_n`` by (doc_id, pos).
+
+    Map-only per document: tokens stay inside one row's array; the
+    occurrence positions come from a filtered ``posexplode`` and the
+    contexts from ``slice`` on the SAME array — no join, no shuffle
+    beyond the bounded top-n. Shares :func:`vocab_stats`'s whitespace
+    tokenization.
+    """
+    t = term.strip().lower()
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = documents.select("doc_id", F.split(norm, " ").alias("_toks"))
+    hit = toks.select(
+        "doc_id",
+        "_toks",
+        F.posexplode("_toks").alias("pos", "_term"),
+    ).where(F.col("_term") == t)
+    w = int(window)
+    # slice() is 1-based and rejects non-positive starts: clamp the left
+    # window at the document head
+    left = F.slice(
+        "_toks",
+        F.greatest(F.col("pos") + 1 - w, F.lit(1)),
+        F.least(F.col("pos"), F.lit(w)),
+    )
+    right = F.slice("_toks", F.col("pos") + 2, w)
+    return (
+        hit.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", left).alias("left_ctx"),
+            F.concat_ws(" ", right).alias("right_ctx"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(int(top_n))
+    )
+
+
+def kwic_sql(
+    term: str, window: int = 2, top_n: int = 200, table: str = "documents"
+) -> str:
+    t = term.strip().lower().replace("'", "''")
+    w = int(window)
+    return f"""
+    WITH kdocs AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM {table}
+    ),
+    khit AS (
+      SELECT doc_id, toks, i - 1 AS pos
+      FROM kdocs, unnest(generate_series(1, len(toks))) AS g(i)
+      WHERE toks[i] = '{t}'
+    )
+    SELECT doc_id, pos,
+           coalesce(array_to_string(toks[greatest(pos + 1 - {w}, 1):pos], ' '),
+                    '') AS left_ctx,
+           coalesce(array_to_string(toks[pos + 2:pos + 1 + {w}], ' '), '')
+             AS right_ctx
+    FROM khit
+    ORDER BY doc_id, pos
+    LIMIT {int(top_n)}
+    """
