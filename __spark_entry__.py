@@ -2251,6 +2251,19 @@ def q_kwic_table(spark, sf_dir):
     return tx.kwic(_tbl(spark, sf_dir, "documents"), "table", window=2)
 
 
+# ------------- wave 82 (purchase-sequence rules, always-valid testing)
+def q_brand_sequence_rules(spark, sf_dir):
+    return rel.brand_sequence_rules(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
+def q_ab_test_msprt(spark, sf_dir):
+    return ev.ab_test_msprt(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2447,8 +2460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. kwic_table — all of waves
-    2-81 plus the r4-green tail, 307 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. ab_test_msprt — all of waves
+    2-82 plus the r4-green tail, 309 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2874,6 +2887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_audit": q_watermark_audit,
         "decayed_engagement": q_decayed_engagement,
         "kwic_table": q_kwic_table,
+        "brand_sequence_rules": q_brand_sequence_rules,
+        "ab_test_msprt": q_ab_test_msprt,
     }
 
 
@@ -4084,6 +4099,8 @@ def oracle_sql() -> dict[str, str]:
         "watermark_audit": ev.watermark_audit_sql(),
         "decayed_engagement": ev.decayed_engagement_sql(),
         "kwic_table": tx.kwic_sql("table", window=2),
+        "brand_sequence_rules": rel.brand_sequence_rules_sql(),
+        "ab_test_msprt": ev.ab_test_msprt_sql(),
     }
 
 

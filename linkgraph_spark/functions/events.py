@@ -4779,3 +4779,117 @@ def decayed_engagement_sql(
     ORDER BY score DESC, user_id ASC
     LIMIT {int(top_n)}
     """
+
+
+def ab_test_msprt(
+    events: DataFrame, tau: float = 0.1, alpha: float = 0.05
+) -> DataFrame:
+    """Always-valid A/B readout — the mixture sequential probability
+    ratio test (Johari, Koomen, Pekelis & Walsh, KDD 2017, public
+    recipe): unlike a fixed-horizon z-test, its p-value stays valid
+    under CONTINUOUS monitoring, which is how dashboards are actually
+    read. Effect δ̂ = treatment − control mean of per-user value sums
+    (same md5 split as :func:`ab_test_srm`); with ``V = s²(1/n0+1/n1)``
+    and a N(0, τ²) effect mixture, ``ln Λ = ½·ln(V/(V+τ²)) +
+    δ̂²τ²/(2V(V+τ²))`` and the always-valid p is ``min(1, e^{−ln Λ})``.
+    → one row ``[n_control, n_treatment, delta, var_delta, log_lambda,
+    p_value, reject]`` (log-scale Λ so an overwhelming effect can't
+    overflow to engine-formatted infinity).
+
+    Determinism: every moment is an exact int64 sum of 4-dp-fixed
+    values; the final projection is one identical double expression in
+    both engines. One user-grain aggregate + a 1-row reduction.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    per_user = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(v4).alias("y4"))
+        .select(
+            (md5_long(F.col("user_id").cast("string")) % 2).alias("_v"), "y4"
+        )
+    )
+    s = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("y4").alias("sy"),
+        F.sum(F.col("y4") * F.col("y4")).alias("syy"),
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("_v") == 0, F.col("y4")).otherwise(0)).alias("sy0"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n, sy, syy, n0 = d("n"), d("sy"), d("syy"), d("n0")
+    n1 = n - n0
+    scale = F.lit(10000.0)
+    m0 = d("sy0") / n0 / scale
+    m1 = (sy - d("sy0")) / n1 / scale
+    delta = m1 - m0
+    # pooled sample variance of the per-user metric, in dollars^2
+    var = (syy - sy * sy / n) / (n - 1) / (scale * scale)
+    v_delta = var * (1.0 / n0 + 1.0 / n1)
+    t2 = F.lit(float(tau) * float(tau))
+    log_lam = 0.5 * F.log(v_delta / (v_delta + t2)) + (
+        delta * delta * t2
+    ) / (2.0 * v_delta * (v_delta + t2))
+    p = F.least(F.lit(1.0), F.exp(-log_lam))
+    return s.select(
+        F.col("n0").alias("n_control"),
+        (F.col("n") - F.col("n0")).alias("n_treatment"),
+        F.round(delta, 6).alias("delta"),
+        F.round(v_delta, 6).alias("var_delta"),
+        F.round(log_lam, 6).alias("log_lambda"),
+        F.round(p, 6).alias("p_value"),
+        (p < F.lit(float(alpha))).alias("reject"),
+    )
+
+
+def ab_test_msprt_sql(
+    table: str = "events", tau: float = 0.1, alpha: float = 0.05
+) -> str:
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    t2 = float(tau) * float(tau)
+    return f"""
+    WITH mu AS (
+      SELECT ({h}) % 2 AS v,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS y4
+      FROM {table} WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    ms AS (
+      SELECT count(*) AS n, CAST(sum(y4) AS BIGINT) AS sy,
+             CAST(sum(y4 * y4) AS BIGINT) AS syy,
+             sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n0,
+             CAST(sum(CASE WHEN v = 0 THEN y4 ELSE 0 END) AS BIGINT) AS sy0
+      FROM mu
+    ),
+    md AS (
+      SELECT n, n0, sy, syy, sy0,
+             (CAST(sy AS DOUBLE) - CAST(sy0 AS DOUBLE))
+               / CAST(n - n0 AS DOUBLE) / 10000.0
+             - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 10000.0 AS delta,
+             (CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE) / (10000.0 * 10000.0)
+             * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n - n0 AS DOUBLE))
+               AS v_delta
+      FROM ms
+    ),
+    ml AS (
+      SELECT *,
+             0.5 * ln(v_delta / (v_delta + {t2!r}))
+             + (delta * delta * {t2!r})
+               / (2.0 * v_delta * (v_delta + {t2!r})) AS log_lambda
+      FROM md
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n - n0 AS BIGINT) AS n_treatment,
+           round(delta, 6) AS delta,
+           round(v_delta, 6) AS var_delta,
+           round(log_lambda, 6) AS log_lambda,
+           round(least(1.0, exp(-log_lambda)), 6) AS p_value,
+           (least(1.0, exp(-log_lambda)) < {float(alpha)!r}) AS reject
+    FROM ml
+    """

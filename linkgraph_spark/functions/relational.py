@@ -1749,3 +1749,97 @@ def frequent_pairs_apriori_sql(min_support: int = 5) -> str:
     HAVING count(*) >= {int(min_support)}
     ORDER BY brand_a, brand_b
     """
+
+
+def brand_sequence_rules(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_pairs: int = 20,
+) -> DataFrame:
+    """Directional purchase-sequence rules: for each unordered brand
+    pair, how many customers bought one brand strictly before the other
+    — "A leads to B" with its reverse for contrast. → ``[brand_x,
+    brand_y, n_xy, n_yx, directionality]`` (x < y lexically;
+    ``directionality = (n_xy − n_yx)/(n_xy + n_yx)`` ∈ [−1, 1], 6 dp),
+    pairs with ``n_xy + n_yx ≥ min_pairs``, ordered (x, y). Same-date
+    firsts count for NEITHER direction (no order is observed).
+
+    Scale shape: the fact collapses to (customer, brand,
+    first-order-date) — bounded by per-customer brand breadth, not line
+    count — and the pair self-join runs per customer on that small
+    grain. Brand firsts use ``min`` (exact on timestamps); the counts
+    are integers end to end.
+    """
+    firsts = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.min("o_orderdate").alias("_first"))
+    )
+    x = firsts.select(
+        F.col("o_custkey").alias("_c"),
+        F.col("p_brand").alias("brand_x"),
+        F.col("_first").alias("_fx"),
+    )
+    y = firsts.select(
+        F.col("o_custkey").alias("_c2"),
+        F.col("p_brand").alias("brand_y"),
+        F.col("_first").alias("_fy"),
+    )
+    pairs = x.join(
+        y, (x._c == y._c2) & (F.col("brand_x") < F.col("brand_y"))
+    )
+    agg = pairs.groupBy("brand_x", "brand_y").agg(
+        F.sum((F.col("_fx") < F.col("_fy")).cast("long")).alias("n_xy"),
+        F.sum((F.col("_fy") < F.col("_fx")).cast("long")).alias("n_yx"),
+    )
+    tot = F.col("n_xy") + F.col("n_yx")
+    return (
+        agg.where(tot >= F.lit(int(min_pairs)))
+        .select(
+            "brand_x",
+            "brand_y",
+            "n_xy",
+            "n_yx",
+            F.round((F.col("n_xy") - F.col("n_yx")) / tot.cast("double"), 6).alias(
+                "directionality"
+            ),
+        )
+        .orderBy("brand_x", "brand_y")
+    )
+
+
+def brand_sequence_rules_sql(min_pairs: int = 20) -> str:
+    return f"""
+    WITH bfirst AS (
+        SELECT o_custkey, p_brand, min(o_orderdate) AS first_dt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY o_custkey, p_brand
+    ),
+    bpairs AS (
+        SELECT a.p_brand AS brand_x, b.p_brand AS brand_y,
+               sum(CASE WHEN a.first_dt < b.first_dt THEN 1 ELSE 0 END) AS n_xy,
+               sum(CASE WHEN b.first_dt < a.first_dt THEN 1 ELSE 0 END) AS n_yx
+        FROM bfirst a
+        JOIN bfirst b ON a.o_custkey = b.o_custkey
+                     AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_x, brand_y, CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(n_yx AS BIGINT) AS n_yx,
+           round((n_xy - n_yx) / CAST(n_xy + n_yx AS DOUBLE), 6)
+             AS directionality
+    FROM bpairs
+    WHERE n_xy + n_yx >= {int(min_pairs)}
+    ORDER BY brand_x, brand_y
+    """
