@@ -2264,6 +2264,15 @@ def q_ab_test_msprt(spark, sf_dir):
     return ev.ab_test_msprt(_tbl(spark, sf_dir, "events"))
 
 
+# ----------- wave 83 (Poisson bootstrap CI, sorted-neighborhood ER)
+def q_bootstrap_mean_ci(spark, sf_dir):
+    return ev.bootstrap_mean_ci(_tbl(spark, sf_dir, "events"))
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    return dd.sorted_neighborhood_pairs(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2460,8 +2469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. ab_test_msprt — all of waves
-    2-82 plus the r4-green tail, 309 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. sorted_neighborhood — all of waves
+    2-83 plus the r4-green tail, 311 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2889,6 +2898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_table": q_kwic_table,
         "brand_sequence_rules": q_brand_sequence_rules,
         "ab_test_msprt": q_ab_test_msprt,
+        "bootstrap_mean_ci": q_bootstrap_mean_ci,
+        "sorted_neighborhood": q_sorted_neighborhood,
     }
 
 
@@ -4101,6 +4112,8 @@ def oracle_sql() -> dict[str, str]:
         "kwic_table": tx.kwic_sql("table", window=2),
         "brand_sequence_rules": rel.brand_sequence_rules_sql(),
         "ab_test_msprt": ev.ab_test_msprt_sql(),
+        "bootstrap_mean_ci": ev.bootstrap_mean_ci_sql(),
+        "sorted_neighborhood": dd.sorted_neighborhood_pairs_sql(),
     }
 
 

@@ -1354,3 +1354,89 @@ def fuzzy_text_pairs_sql(
       ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE levenshtein(a.sig, b.sig) <= {int(max_dist)}
     """
+
+
+def sorted_neighborhood_pairs(
+    documents: DataFrame,
+    window: int = 4,
+    sig_len: int = 32,
+    max_dist: int = 4,
+    blk_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo, SIGMOD 1995
+    — the other classic next to prefix blocking): documents sort by
+    their signature and each pairs with the next ``window − 1``
+    neighbors in that order; a pair survives when the Levenshtein
+    distance of the ``sig_len``-char signatures is ≤ ``max_dist``.
+    → ``[doc_id_a, doc_id_b, edit_dist]`` (a < b by id).
+
+    Why it complements prefix blocking: equality blocking only sees
+    pairs IDENTICAL in the first prefix chars; sorted adjacency also
+    catches pairs that diverge mid-signature yet sort together. The
+    sort runs INSIDE ``blk_len``-char blocks (the window never crosses a
+    block boundary) — the same documented-recall trade as the prefix
+    block cap, and what keeps the neighborhood pass per-block parallel
+    instead of one global single-task sort at 100 TB.
+    """
+    d = documents.select(
+        "doc_id",
+        F.substring("text", 1, int(sig_len)).alias("_sig"),
+        F.substring("text", 1, int(blk_len)).alias("_blk"),
+    )
+    w = Window.partitionBy("_blk").orderBy("_sig", "doc_id")
+    leads = d.select(
+        "doc_id",
+        "_sig",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("doc_id", k).over(w).alias("_id"),
+                    F.lead("_sig", k).over(w).alias("_s"),
+                )
+                for k in range(1, int(window))
+            ]
+        ).alias("_nbrs"),
+    )
+    pairs = leads.select(
+        "doc_id", "_sig", F.explode("_nbrs").alias("_nb")
+    ).where(F.col("_nb._id").isNotNull())
+    dist = F.levenshtein(F.col("_sig"), F.col("_nb._s"))
+    return (
+        pairs.withColumn("edit_dist", dist)
+        .where(F.col("edit_dist") <= int(max_dist))
+        .select(
+            F.least("doc_id", F.col("_nb._id")).alias("doc_id_a"),
+            F.greatest("doc_id", F.col("_nb._id")).alias("doc_id_b"),
+            "edit_dist",
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def sorted_neighborhood_pairs_sql(
+    table: str = "documents",
+    window: int = 4,
+    sig_len: int = 32,
+    max_dist: int = 4,
+    blk_len: int = 2,
+) -> str:
+    return f"""
+    WITH snd AS (
+      SELECT doc_id,
+             substr(text, 1, {int(sig_len)}) AS sig,
+             substr(text, 1, {int(blk_len)}) AS blk
+      FROM {table}
+    ),
+    snr AS (
+      SELECT *, row_number() OVER
+               (PARTITION BY blk ORDER BY sig, doc_id) AS rn
+      FROM snd
+    )
+    SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
+           greatest(a.doc_id, b.doc_id) AS doc_id_b,
+           levenshtein(a.sig, b.sig) AS edit_dist
+    FROM snr a JOIN snr b
+      ON a.blk = b.blk AND b.rn > a.rn AND b.rn < a.rn + {int(window)}
+    WHERE levenshtein(a.sig, b.sig) <= {int(max_dist)}
+    ORDER BY doc_id_a, doc_id_b
+    """

@@ -4893,3 +4893,139 @@ def ab_test_msprt_sql(
            (least(1.0, exp(-log_lambda)) < {float(alpha)!r}) AS reject
     FROM ml
     """
+
+
+def _poisson_cum(kmax: int = 7) -> list:
+    """Cumulative Poisson(1) probabilities c_0..c_{kmax-1}, computed
+    once in python — identical double literals in both engines."""
+    import math
+
+    out, acc, fact = [], 0.0, 1.0
+    for k in range(kmax):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(acc)
+    return out
+
+
+def bootstrap_mean_ci(
+    events: DataFrame, n_replicates: int = 50
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value —
+    the bootstrap that actually runs at 100 TB (each replicate weights
+    every row by an independent Poisson(1) count instead of resampling
+    n-of-n, so one pass computes all replicates; the at-scale form
+    popularized by Chamandy et al., Google 2012 — public recipe).
+    → one row ``[n_events, mean, ci_lo, ci_hi, n_replicates]`` (95% CI
+    as the exact 2.5/97.5 percentiles of the replicate means).
+
+    Determinism: the per-(event, replicate) weight inverts the
+    Poisson(1) CDF at a portable-hash uniform (weights ≥ 7 truncate —
+    P ≈ 8e-5, identically in both engines); replicate means divide
+    exact int64 sums. Scale shape: rows × B weighted partial sums,
+    all map-side combinable into B groups; the CI is a percentile over
+    the B-row frame.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    cums = _poisson_cum()
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    reps = (
+        events.where(F.col("value").isNotNull())
+        .select("event_id", v4.alias("_v4"))
+        .withColumn(
+            "_b",
+            F.explode(F.array(*[F.lit(b) for b in range(int(n_replicates))])),
+        )
+    )
+    u = (
+        md5_long(
+            F.concat_ws(
+                ":", F.col("event_id").cast("string"), F.col("_b").cast("string")
+            )
+        )
+        % F.lit(1 << 30)
+    ).cast("double") / F.lit(float(1 << 30))
+    w = sum(
+        [(u > F.lit(c)).cast("long") for c in cums], F.lit(0).cast("long")
+    )
+    per_rep = (
+        reps.withColumn("_w", w)
+        .groupBy("_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v4")).alias("_swv"),
+            F.sum("_w").alias("_sw"),
+        )
+        .select(
+            (F.col("_swv") / F.col("_sw").cast("double") / 10000.0).alias(
+                "_mean_b"
+            )
+        )
+    )
+    point = events.where(F.col("value").isNotNull()).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(v4) / F.count("*").cast("double") / 10000.0, 6).alias(
+            "mean"
+        ),
+    )
+    ci = per_rep.agg(
+        F.round(F.percentile("_mean_b", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("_mean_b", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_events",
+        "mean",
+        "ci_lo",
+        "ci_hi",
+        F.lit(int(n_replicates)).alias("n_replicates"),
+    )
+
+
+def bootstrap_mean_ci_sql(
+    table: str = "events", n_replicates: int = 50
+) -> str:
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    cums = _poisson_cum()
+    h = md5_long_sql(
+        "concat(CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))"
+    )
+    wsum = " + ".join(
+        f"(CASE WHEN u > {c!r} THEN 1 ELSE 0 END)" for c in cums
+    )
+    bs = ", ".join(str(b) for b in range(int(n_replicates)))
+    return f"""
+    WITH bev AS (
+      SELECT event_id, CAST(round(value * 10000) AS BIGINT) AS v4
+      FROM {table} WHERE value IS NOT NULL
+    ),
+    brep AS (
+      SELECT event_id, v4, unnest([{bs}]) AS b FROM bev
+    ),
+    bu AS (
+      SELECT v4, b,
+             CAST(({h}) % {1 << 30} AS DOUBLE) / {float(1 << 30)!r} AS u
+      FROM brep
+    ),
+    bw AS (SELECT v4, b, ({wsum}) AS w FROM bu),
+    bm AS (
+      SELECT CAST(sum(w * v4) AS BIGINT)
+               / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 10000.0 AS mean_b
+      FROM bw GROUP BY b
+    ),
+    bp AS (
+      SELECT count(*) AS n_events,
+             round(CAST(sum(v4) AS BIGINT)
+                   / CAST(count(*) AS DOUBLE) / 10000.0, 6) AS mean
+      FROM bev
+    ),
+    bci AS (
+      SELECT round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+             round(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+      FROM bm
+    )
+    SELECT n_events, mean, ci_lo, ci_hi,
+           {int(n_replicates)} AS n_replicates
+    FROM bp CROSS JOIN bci
+    """
