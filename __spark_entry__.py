@@ -2273,6 +2273,19 @@ def q_sorted_neighborhood(spark, sf_dir):
     return dd.sorted_neighborhood_pairs(_tbl(spark, sf_dir, "documents"))
 
 
+# ------------- wave 84 (Bradley-Terry ranking, compaction planning)
+def q_brand_bt_ranking(spark, sf_dir):
+    return rel.brand_bt_ranking(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
+def q_orders_compaction_plan(spark, sf_dir):
+    return lay.orders_compaction_plan(_tbl(spark, sf_dir, "orders"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2469,8 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. sorted_neighborhood — all of waves
-    2-83 plus the r4-green tail, 311 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. orders_compaction_plan — all of waves
+    2-84 plus the r4-green tail, 313 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2900,6 +2913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_msprt": q_ab_test_msprt,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "brand_bt_ranking": q_brand_bt_ranking,
+        "orders_compaction_plan": q_orders_compaction_plan,
     }
 
 
@@ -4114,6 +4129,8 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_msprt": ev.ab_test_msprt_sql(),
         "bootstrap_mean_ci": ev.bootstrap_mean_ci_sql(),
         "sorted_neighborhood": dd.sorted_neighborhood_pairs_sql(),
+        "brand_bt_ranking": rel.brand_bt_ranking_sql(),
+        "orders_compaction_plan": lay.orders_compaction_plan_sql(),
     }
 
 

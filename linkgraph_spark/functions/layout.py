@@ -20,7 +20,7 @@ expressions in the DuckDB oracle — no UDFs, bit-for-bit portable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph_spark.functions.events import _epoch_day
@@ -274,4 +274,78 @@ def rebalance_audit_sql(
            round(rm / CAST(n AS DOUBLE), 6)
     FROM ra
     ORDER BY scheme
+    """
+
+
+def compaction_plan(
+    sized: DataFrame, key: str, size_col: str, target: int
+) -> DataFrame:
+    """Greedy sequential compaction plan: key-ordered partitions pack
+    into bins of ≈ ``target`` total size (a partition is never split; it
+    lands in the bin its exclusive running total falls in, so a bin
+    overshoots by at most one partition). → ``[bin, n_parts, total_size,
+    first_key, last_key]``, bin asc — the merge groups a small-file
+    compaction job would execute, keeping key ranges CONTIGUOUS so
+    min/max pruning on ``key`` still works after the rewrite.
+
+    Scale shape: the input is already partition-grain (one row per
+    partition/file — bounded by catalog size, not data); one ordered
+    prefix sum assigns bins and one aggregate summarizes them. Exact
+    integer arithmetic end to end.
+    """
+    wcum = Window.orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    binned = sized.select(
+        F.col(key).alias("_k"), F.col(size_col).cast("long").alias("_s")
+    ).withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("_s").over(wcum), F.lit(0).cast("long"))
+            / F.lit(int(target))
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("_s").alias("total_size"),
+            F.min("_k").alias("first_key"),
+            F.max("_k").alias("last_key"),
+        )
+        .orderBy("bin")
+    )
+
+
+def orders_compaction_plan(orders: DataFrame, target: int = 2000) -> DataFrame:
+    """Gate query: pack the daily order partitions into ≈``target``-row
+    merge groups. → ``[bin, n_parts, total_size, first_key, last_key]``
+    (keys are epoch days)."""
+    daily = orders.groupBy(
+        _epoch_day("o_orderdate").alias("day")
+    ).agg(F.count("*").alias("n_rows"))
+    return compaction_plan(daily, "day", "n_rows", target)
+
+
+def orders_compaction_plan_sql(
+    table: str = "orders", target: int = 2000
+) -> str:
+    return f"""
+    WITH cpd AS (
+      SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+               AS day,
+             count(*) AS n_rows
+      FROM {table} GROUP BY 1
+    ),
+    cpb AS (
+      SELECT day, n_rows,
+             CAST(floor(coalesce(sum(n_rows) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) / {int(target)}) AS BIGINT) AS bin
+      FROM cpd
+    )
+    SELECT bin, count(*) AS n_parts,
+           CAST(sum(n_rows) AS BIGINT) AS total_size,
+           min(day) AS first_key, max(day) AS last_key
+    FROM cpb GROUP BY bin ORDER BY bin
     """

@@ -1843,3 +1843,162 @@ def brand_sequence_rules_sql(min_pairs: int = 20) -> str:
     WHERE n_xy + n_yx >= {int(min_pairs)}
     ORDER BY brand_x, brand_y
     """
+
+
+def _brand_wins(
+    orders: DataFrame, lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Directed pairwise outcomes for :func:`brand_bt_ranking`: ``i``
+    beats ``j`` once per customer whose first ``i`` purchase strictly
+    precedes their first ``j`` purchase. → ``[i, j, w]`` (ordered
+    pairs). Same customer-brand-first grain as
+    :func:`brand_sequence_rules`."""
+    firsts = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.min("o_orderdate").alias("_first"))
+    )
+    a = firsts.select(
+        F.col("o_custkey").alias("_c"),
+        F.col("p_brand").alias("i"),
+        F.col("_first").alias("_fi"),
+    )
+    b = firsts.select(
+        F.col("o_custkey").alias("_c2"),
+        F.col("p_brand").alias("j"),
+        F.col("_first").alias("_fj"),
+    )
+    return (
+        a.join(b, (a._c == b._c2) & (F.col("i") != F.col("j")))
+        .where(F.col("_fi") < F.col("_fj"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def brand_bt_ranking(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    n_iter: int = 50,
+) -> DataFrame:
+    """Bradley–Terry strengths from pairwise purchase order — the model
+    behind arena-style rankings (Bradley & Terry 1952; the MM fixed
+    point of Hunter, Annals of Statistics 2004): brand ``i`` "beats"
+    ``j`` when a customer first buys ``i`` before ``j``; strengths
+    satisfy ``P(i beats j) = p_i/(p_i+p_j)``. → ``[brand, strength]``,
+    desc (strengths normalized to sum 1, 6 dp).
+
+    The MM update ``p_i ← W_i / Σ_{j≠i} N_ij/(p_i+p_j)`` runs a FIXED
+    ``n_iter`` times driver-side over the COLLECTED pair table —
+    O(|brands|²) rows by construction (the documented tiny-aggregate
+    exception) — and the DuckDB oracle replays the identical algebra as
+    unrolled materialized CTE steps (parity by same iteration count,
+    as in removal_effects). The pairwise-outcome build itself is fully
+    distributed.
+    """
+    rows = _brand_wins(orders, lineitem, part).collect()
+    spark = orders.sparkSession
+    schema = "brand string, strength double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    w = {(r.i, r.j): r.w for r in rows}
+    brands = sorted({i for i, _ in w} | {j for _, j in w})
+    n = {
+        (i, j): w.get((i, j), 0) + w.get((j, i), 0)
+        for i in brands
+        for j in brands
+        if i != j
+    }
+    wins = {i: sum(w.get((i, j), 0) for j in brands) for i in brands}
+    p = {i: 1.0 / len(brands) for i in brands}
+    for _ in range(int(n_iter)):
+        raw = {}
+        for i in brands:
+            denom = sum(
+                n[(i, j)] / (p[i] + p[j])
+                for j in brands
+                if j != i and n[(i, j)] > 0
+            )
+            raw[i] = wins[i] / denom if denom > 0 else 0.0
+        s = sum(raw[i] for i in brands)  # sorted-brand order
+        p = {i: (raw[i] / s if s > 0 else 0.0) for i in brands}
+    out = [(i, round(p[i], 6)) for i in brands]
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(out, schema)
+
+
+def brand_bt_ranking_sql(n_iter: int = 50) -> str:
+    """Unrolled-CTE mirror of the MM iteration (each step MATERIALIZED —
+    inlining an n_iter-deep join tree hangs the planner)."""
+    steps = []
+    prev = "bt0"
+    for k in range(1, int(n_iter) + 1):
+        steps.append(
+            f"""btr{k} AS MATERIALIZED (
+      SELECT b.i,
+             CASE WHEN sum(n.nij / (pi.p + pj.p)) > 0
+               THEN b.wi / sum(n.nij / (pi.p + pj.p)) ELSE 0.0 END AS raw
+      FROM btb b
+      LEFT JOIN btn n ON n.i = b.i
+      LEFT JOIN {prev} pi ON pi.i = b.i
+      LEFT JOIN {prev} pj ON pj.i = n.j
+      GROUP BY b.i, b.wi
+    ),
+    bt{k} AS MATERIALIZED (
+      SELECT i, CASE WHEN t.s > 0 THEN raw / t.s ELSE 0.0 END AS p
+      FROM btr{k} CROSS JOIN (SELECT sum(raw) AS s FROM btr{k}) t
+    )"""
+        )
+        prev = f"bt{k}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH btfirst AS (
+        SELECT o_custkey, p_brand, min(o_orderdate) AS first_dt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY o_custkey, p_brand
+    ),
+    btw AS MATERIALIZED (
+        SELECT a.p_brand AS i, b.p_brand AS j, count(*) AS w
+        FROM btfirst a
+        JOIN btfirst b ON a.o_custkey = b.o_custkey
+                      AND a.p_brand <> b.p_brand
+        WHERE a.first_dt < b.first_dt
+        GROUP BY 1, 2
+    ),
+    btbrands AS MATERIALIZED (
+        SELECT DISTINCT x AS i
+        FROM (SELECT i AS x FROM btw UNION SELECT j FROM btw)
+    ),
+    btn AS MATERIALIZED (
+        SELECT a.i, b.i AS j,
+               coalesce(w1.w, 0) + coalesce(w2.w, 0) AS nij
+        FROM btbrands a
+        JOIN btbrands b ON a.i <> b.i
+        LEFT JOIN btw w1 ON w1.i = a.i AND w1.j = b.i
+        LEFT JOIN btw w2 ON w2.i = b.i AND w2.j = a.i
+        WHERE coalesce(w1.w, 0) + coalesce(w2.w, 0) > 0
+    ),
+    btb AS MATERIALIZED (
+        SELECT a.i, CAST(coalesce(sum(w.w), 0) AS DOUBLE) AS wi
+        FROM btbrands a LEFT JOIN btw w ON w.i = a.i
+        GROUP BY a.i
+    ),
+    bt0 AS MATERIALIZED (
+        SELECT i, 1.0 / (SELECT count(*) FROM btbrands) AS p FROM btbrands
+    ),
+    {steps_sql}
+    SELECT i AS brand, round(p, 6) AS strength
+    FROM {prev}
+    ORDER BY strength DESC, brand ASC
+    """
