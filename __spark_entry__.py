@@ -2286,6 +2286,11 @@ def q_orders_compaction_plan(spark, sf_dir):
     return lay.orders_compaction_plan(_tbl(spark, sf_dir, "orders"))
 
 
+# ----------------------------- wave 85 (uplift-by-decile readout)
+def q_uplift_by_decile(spark, sf_dir):
+    return ev.uplift_by_decile(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2482,8 +2487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. orders_compaction_plan — all of waves
-    2-84 plus the r4-green tail, 313 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. uplift_by_decile — all of waves
+    2-85 plus the r4-green tail, 314 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2915,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "brand_bt_ranking": q_brand_bt_ranking,
         "orders_compaction_plan": q_orders_compaction_plan,
+        "uplift_by_decile": q_uplift_by_decile,
     }
 
 
@@ -4131,6 +4137,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_neighborhood": dd.sorted_neighborhood_pairs_sql(),
         "brand_bt_ranking": rel.brand_bt_ranking_sql(),
         "orders_compaction_plan": lay.orders_compaction_plan_sql(),
+        "uplift_by_decile": ev.uplift_by_decile_sql(),
     }
 
 

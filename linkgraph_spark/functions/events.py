@@ -5029,3 +5029,159 @@ def bootstrap_mean_ci_sql(
            {int(n_replicates)} AS n_replicates
     FROM bp CROSS JOIN bci
     """
+
+
+def uplift_by_decile(
+    events: DataFrame,
+    split_ts: str = "2024-01-16",
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Uplift (Qini-style) readout: users rank into deciles of their
+    PRE-period decayed-engagement score; within each decile the
+    POST-period purchase rate of treatment vs control (same md5 split
+    as :func:`ab_test_srm`) gives the uplift — "whom does the treatment
+    actually move". → ``[decile, n_control, n_treatment, rate_control,
+    rate_treatment, uplift]``, decile 0 (lowest score) … 9; rates NULL
+    when a decile lacks an arm.
+
+    Determinism: the score reuses :func:`decayed_engagement`'s rounded
+    form (identical doubles in both engines), decile edges are ONE
+    exact-percentile aggregate over those scores, and bucketing is the
+    same broadcast-edge comparison as :func:`value_psi_drift` — never
+    an ntile window over the full population.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    split = F.lit(split_ts).cast("timestamp")
+    asof_us = F.unix_micros(split)
+    age_days = (
+        asof_us - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / F.lit(86_400_000_000.0)
+    wgt = F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days)))
+    per_user = events.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ts") < split) & F.col("value").isNotNull(),
+                        F.col("value") * wgt,
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("_score"),
+        F.max(
+            (
+                (F.col("ts") >= split)
+                & (F.col("event_type") == "purchase")
+            ).cast("int")
+        ).alias("_conv"),
+    ).select(
+        "_score",
+        "_conv",
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("_variant"),
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = per_user.agg(
+        F.percentile("_score", F.array(*[F.lit(q) for q in qs])).alias("_e")
+    )
+    bucketed = per_user.crossJoin(F.broadcast(edges)).select(
+        "_variant",
+        "_conv",
+        F.aggregate(
+            "_e", F.lit(0), lambda acc, e: acc + (F.col("_score") > e).cast("int")
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    g = bucketed.groupBy("decile").agg(
+        F.sum(F.when(F.col("_variant") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("_variant") == 1, 1).otherwise(0)).alias(
+            "n_treatment"
+        ),
+        F.sum(F.when(F.col("_variant") == 0, F.col("_conv")).otherwise(0)).alias(
+            "_c0"
+        ),
+        F.sum(F.when(F.col("_variant") == 1, F.col("_conv")).otherwise(0)).alias(
+            "_c1"
+        ),
+    )
+    r0 = F.when(
+        F.col("n_control") > 0,
+        F.round(F.col("_c0") / F.col("n_control").cast("double"), 6),
+    )
+    r1 = F.when(
+        F.col("n_treatment") > 0,
+        F.round(F.col("_c1") / F.col("n_treatment").cast("double"), 6),
+    )
+    return g.select(
+        "decile",
+        "n_control",
+        "n_treatment",
+        r0.alias("rate_control"),
+        r1.alias("rate_treatment"),
+        # a decile missing an arm has no uplift estimate (ANSI division
+        # would throw; DuckDB's double division would leak an inf)
+        F.when(
+            (F.col("n_control") > 0) & (F.col("n_treatment") > 0),
+            F.round(
+                F.col("_c1") / F.col("n_treatment").cast("double")
+                - F.col("_c0") / F.col("n_control").cast("double"),
+                6,
+            ),
+        ).alias("uplift"),
+    ).orderBy("decile")
+
+
+def uplift_by_decile_sql(
+    table: str = "events",
+    split_ts: str = "2024-01-16",
+    half_life_days: float = 7.0,
+) -> str:
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
+    return f"""
+    WITH uu AS (
+      SELECT user_id,
+             round(coalesce(sum(CASE WHEN ts < TIMESTAMP '{split_ts}'
+                                      AND value IS NOT NULL
+               THEN value * pow(2.0,
+                 -((epoch_us(TIMESTAMP '{split_ts}') - epoch_us(ts))
+                   / 86400000000.0) / {float(half_life_days)!r}) END), 0.0), 6)
+               AS score,
+             max(CASE WHEN ts >= TIMESTAMP '{split_ts}'
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             ({h}) % 2 AS variant
+      FROM {table}
+      GROUP BY user_id
+    ),
+    ue AS (SELECT quantile_cont(score, [{qs}]) AS e FROM uu),
+    ub AS (
+      SELECT variant, conv,
+             (SELECT count(*) FROM unnest(e) AS t(x) WHERE score > x)
+               AS decile
+      FROM uu CROSS JOIN ue
+    ),
+    ug AS (
+      SELECT decile,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_control,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_treatment,
+             sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c0,
+             sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c1
+      FROM ub GROUP BY decile
+    )
+    SELECT decile, CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_treatment AS BIGINT) AS n_treatment,
+           CASE WHEN n_control > 0
+             THEN round(c0 / CAST(n_control AS DOUBLE), 6) END AS rate_control,
+           CASE WHEN n_treatment > 0
+             THEN round(c1 / CAST(n_treatment AS DOUBLE), 6) END
+             AS rate_treatment,
+           CASE WHEN n_control > 0 AND n_treatment > 0
+             THEN round(c1 / CAST(n_treatment AS DOUBLE)
+                        - c0 / CAST(n_control AS DOUBLE), 6) END AS uplift
+    FROM ug ORDER BY decile
+    """
