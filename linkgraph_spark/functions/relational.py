@@ -1751,6 +1751,29 @@ def frequent_pairs_apriori_sql(min_support: int = 5) -> str:
     """
 
 
+def _brand_firsts(
+    orders: DataFrame, lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Customer-brand FIRST-purchase grain shared by
+    :func:`brand_sequence_rules` and :func:`brand_bt_ranking` — the one
+    place first-purchase semantics (min order date per customer-brand)
+    live, so the two rankings and both SQL oracles cannot drift apart.
+    → ``[o_custkey, p_brand, _first]``."""
+    return (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.min("o_orderdate").alias("_first"))
+    )
+
+
 def brand_sequence_rules(
     orders: DataFrame,
     lineitem: DataFrame,
@@ -1771,19 +1794,7 @@ def brand_sequence_rules(
     grain. Brand firsts use ``min`` (exact on timestamps); the counts
     are integers end to end.
     """
-    firsts = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .join(
-            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy("o_custkey", "p_brand")
-        .agg(F.min("o_orderdate").alias("_first"))
-    )
+    firsts = _brand_firsts(orders, lineitem, part)
     x = firsts.select(
         F.col("o_custkey").alias("_c"),
         F.col("p_brand").alias("brand_x"),
@@ -1853,19 +1864,7 @@ def _brand_wins(
     precedes their first ``j`` purchase. → ``[i, j, w]`` (ordered
     pairs). Same customer-brand-first grain as
     :func:`brand_sequence_rules`."""
-    firsts = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .join(
-            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy("o_custkey", "p_brand")
-        .agg(F.min("o_orderdate").alias("_first"))
-    )
+    firsts = _brand_firsts(orders, lineitem, part)
     a = firsts.select(
         F.col("o_custkey").alias("_c"),
         F.col("p_brand").alias("i"),
