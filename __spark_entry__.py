@@ -2291,6 +2291,11 @@ def q_uplift_by_decile(spark, sf_dir):
     return ev.uplift_by_decile(_tbl(spark, sf_dir, "events"))
 
 
+# ----------------------------- wave 86 (TextRank keyword extraction)
+def q_term_pagerank(spark, sf_dir):
+    return tx.term_pagerank(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2487,8 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. uplift_by_decile — all of waves
-    2-85 plus the r4-green tail, 314 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. term_pagerank — all of waves
+    2-86 plus the r4-green tail, 315 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2921,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_bt_ranking": q_brand_bt_ranking,
         "orders_compaction_plan": q_orders_compaction_plan,
         "uplift_by_decile": q_uplift_by_decile,
+        "term_pagerank": q_term_pagerank,
     }
 
 
@@ -4138,6 +4144,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_bt_ranking": rel.brand_bt_ranking_sql(),
         "orders_compaction_plan": lay.orders_compaction_plan_sql(),
         "uplift_by_decile": ev.uplift_by_decile_sql(),
+        "term_pagerank": tx.term_pagerank_sql(),
     }
 
 

@@ -2950,3 +2950,141 @@ def kwic_sql(
     ORDER BY doc_id, pos
     LIMIT {int(top_n)}
     """
+
+
+def term_pagerank(
+    documents: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    top_n: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 —
+    public recipe): PageRank over the term co-occurrence graph picks
+    the corpus's structurally central vocabulary, not merely its
+    frequent one. Adjacent-token pairs form the (symmetrized, deduped)
+    edge set; ``iters`` textbook-PageRank supersteps with dangling-mass
+    redistribution run over it. → ``[term, rank]``, top ``top_n`` by
+    rank desc / term asc (6 dp).
+
+    Scale shape: the token explode is corpus-sized but the GRAPH is
+    Zipf-bounded (|vocabulary| vertices) — every superstep is a join
+    over the tiny term graph, so the fixed-iteration loop is cheap and
+    the DuckDB oracle replays it as unrolled CTEs (the same pattern as
+    the pagerank_textbook5 gate oracle).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "term")
+    )
+    nxt = tok.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("_p2"),
+        F.col("term").alias("_a"),
+    )
+    pairs = nxt.join(
+        tok,
+        (nxt.doc_id == tok.doc_id) & (F.col("_p2") == tok.pos),
+    ).select(F.col("_a").alias("src"), F.col("term").alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    verts = edges.select(F.col("src").alias("term")).distinct().persist()
+    n = verts.count()
+    degs = edges.groupBy("src").agg(F.count("*").alias("_od"))
+    d = float(damping)
+    rank = verts.select("term", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(int(iters)):
+        contrib = (
+            edges.join(degs, "src")
+            .join(rank.withColumnRenamed("term", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("_od")).alias("_sm"))
+        )
+        # symmetrized co-occurrence graphs have no dangling vertices
+        # (every vertex has an outgoing edge), so no dangling mass term
+        rank = verts.join(
+            contrib.withColumnRenamed("dst", "term"), "term", "left"
+        ).select(
+            "term",
+            (
+                F.lit((1.0 - d)) / n
+                + F.lit(d) * F.coalesce(F.col("_sm"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    out = (
+        rank.select("term", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("term"))
+        .limit(int(top_n))
+    )
+    result = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    verts.unpersist()
+    return result
+
+
+def term_pagerank_sql(
+    table: str = "documents",
+    iters: int = 5,
+    damping: float = 0.85,
+    top_n: int = 20,
+) -> str:
+    d = float(damping)
+    ctes = [
+        "tpr0 AS MATERIALIZED (SELECT term, 1.0 / tn.n AS rank"
+        " FROM tpverts CROSS JOIN tpn tn)"
+    ]
+    for k in range(1, int(iters) + 1):
+        ctes.append(
+            f"""tpr{k} AS MATERIALIZED (
+      SELECT v.term,
+             {1.0 - d:.17g} / tn.n + {d!r} * coalesce(s.sm, 0.0) AS rank
+      FROM tpverts v CROSS JOIN tpn tn
+      LEFT JOIN (
+        SELECT e.dst AS term, sum(r.rank / dg.od) AS sm
+        FROM tpedges e
+        JOIN tpr{k - 1} r ON r.term = e.src
+        JOIN tpdegs dg ON dg.src = e.src
+        GROUP BY e.dst
+      ) s ON s.term = v.term
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH tpd AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM {table}
+    ),
+    tptok AS (
+      SELECT doc_id, i AS pos, toks[i] AS term
+      FROM tpd, unnest(generate_series(1, len(toks))) AS g(i)
+    ),
+    tppairs AS (
+      SELECT a.term AS src, b.term AS dst
+      FROM tptok a JOIN tptok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term <> b.term
+    ),
+    tpedges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM tppairs
+        UNION ALL SELECT dst, src FROM tppairs
+      )
+    ),
+    tpverts AS MATERIALIZED (SELECT DISTINCT src AS term FROM tpedges),
+    tpn AS MATERIALIZED (SELECT count(*) AS n FROM tpverts),
+    tpdegs AS MATERIALIZED (
+      SELECT src, count(*) AS od FROM tpedges GROUP BY src
+    ),
+    {body}
+    SELECT term, round(rank, 6) AS rank FROM tpr{int(iters)}
+    ORDER BY rank DESC, term ASC
+    LIMIT {int(top_n)}
+    """
