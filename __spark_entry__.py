@@ -37,6 +37,7 @@ from linkgraph_spark.functions import relational as rel
 from linkgraph_spark.functions import similarity as sim
 from linkgraph_spark.functions import sketches as sk
 from linkgraph_spark.functions import layout as lay
+from linkgraph_spark.functions import ml
 from linkgraph_spark.functions import text as tx
 from linkgraph_spark.kernels.kmeans import kmeans_profile_sql, kmeans_sql, silhouette_sql
 from linkgraph_spark.kernels.pca import pca_power_sql
@@ -2296,6 +2297,19 @@ def q_term_pagerank(spark, sf_dir):
     return tx.term_pagerank(_tbl(spark, sf_dir, "documents"))
 
 
+# ----------------------------- wave 87 (ML-as-aggregates)
+def q_ols_price_qty_disc(spark, sf_dir):
+    from linkgraph_spark.functions.ml import ols_price_model
+
+    return ols_price_model(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_nb_lang_confusion(spark, sf_dir):
+    from linkgraph_spark.functions.ml import nb_lang_confusion
+
+    return nb_lang_confusion(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2927,6 +2941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_compaction_plan": q_orders_compaction_plan,
         "uplift_by_decile": q_uplift_by_decile,
         "term_pagerank": q_term_pagerank,
+        "ols_price_qty_disc": q_ols_price_qty_disc,
+        "nb_lang_confusion": q_nb_lang_confusion,
     }
 
 
@@ -4145,6 +4161,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_compaction_plan": lay.orders_compaction_plan_sql(),
         "uplift_by_decile": ev.uplift_by_decile_sql(),
         "term_pagerank": tx.term_pagerank_sql(),
+        "ols_price_qty_disc": ml.ols_price_model_sql(),
+        "nb_lang_confusion": ml.nb_lang_confusion_sql(),
     }
 
 
