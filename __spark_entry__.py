@@ -2310,6 +2310,19 @@ def q_nb_lang_confusion(spark, sf_dir):
     return nb_lang_confusion(_tbl(spark, sf_dir, "documents"))
 
 
+# -------------------------------------- wave 88 (bipartite butterflies)
+def q_tool_butterflies(spark, sf_dir):
+    return tscr.tool_butterflies(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    )
+
+
+def q_butterfly_stats(spark, sf_dir):
+    return tscr.butterfly_stats(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV)
+    )
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2943,6 +2956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pagerank": q_term_pagerank,
         "ols_price_qty_disc": q_ols_price_qty_disc,
         "nb_lang_confusion": q_nb_lang_confusion,
+        # wave 88 (new this round — r6 rotation must front these too)
+        "tool_butterflies": q_tool_butterflies,
+        "butterfly_stats": q_butterfly_stats,
     }
 
 
@@ -4163,6 +4179,15 @@ def oracle_sql() -> dict[str, str]:
         "term_pagerank": tx.term_pagerank_sql(),
         "ols_price_qty_disc": ml.ols_price_model_sql(),
         "nb_lang_confusion": ml.nb_lang_confusion_sql(),
+        # wave 88
+        "tool_butterflies": (
+            f"WITH bfx_t AS MATERIALIZED ({_T_SQL}),"
+            f"{tscr.tool_butterflies_sql('bfx_t')}"
+        ),
+        "butterfly_stats": (
+            f"WITH bfs_t AS MATERIALIZED ({_T_SQL}),"
+            f"{tscr.butterfly_stats_sql('bfs_t')}"
+        ),
     }
 
 

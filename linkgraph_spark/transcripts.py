@@ -743,3 +743,199 @@ def tool_jaccard_sql(transcripts_relation: str = "t") -> str:
     JOIN tjx_c cb ON ca.tool < cb.tool
     LEFT JOIN tjx_i i ON i.tool_a = ca.tool AND i.tool_b = cb.tool
     """
+
+
+# ---------------------------------------------------------------------------
+# Wave 88: bipartite butterfly counting (conv x tool 4-cycles)
+# ---------------------------------------------------------------------------
+
+
+def _tool_conv_edges(transcripts: DataFrame, max_conv_tools: int | None) -> DataFrame:
+    """Distinct ``(tool, conv_id)`` bipartite edge set; ``max_conv_tools``
+    (when set) drops WHOLE conversations whose distinct-tool degree exceeds
+    the cap BEFORE pair generation — the documented estimator change that
+    bounds the per-conversation pair explode, same contract as the
+    hot-shingle cap in :func:`linkgraph_spark.functions.dedup.ngram_jaccard_dups`."""
+    tc = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select("tool", "conv_id")
+        .distinct()
+    )
+    if max_conv_tools is not None:
+        keep = (
+            tc.groupBy("conv_id")
+            .agg(F.count("*").alias("__bf_d"))
+            .where(F.col("__bf_d") <= max_conv_tools)
+            .select("conv_id")
+        )
+        tc = tc.join(keep, "conv_id")
+    return tc
+
+
+def _tool_pair_co(tc: DataFrame) -> DataFrame:
+    """Per unordered tool pair: ``co`` = number of conversations invoking
+    both (the wedge count centered on conversations)."""
+    a = tc.select(F.col("tool").alias("tool_a"), "conv_id")
+    b = tc.select(F.col("tool").alias("tool_b"), "conv_id")
+    return (
+        a.join(b, "conv_id")
+        .where(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count("*").alias("co"))
+    )
+
+
+def tool_butterflies(
+    transcripts: DataFrame, max_conv_tools: int | None = None
+) -> DataFrame:
+    """→ ``[tool, butterflies]`` — per-tool butterfly (bipartite 4-cycle)
+    participation over the conv×tool graph: two tools + two conversations,
+    all four edges present. Butterflies are THE bipartite cohesion motif
+    (Sanei-Mehri, Sariyüce & Tirthapura, KDD 2018 — public algorithm): a
+    tool with many butterflies sits in stable multi-tool workflows; a
+    butterfly-free tool co-occurs only incidentally. Exact integers, so
+    the oracle hash is bit-stable.
+
+    Per pair ``(a, b)`` sharing ``co`` conversations the pair contributes
+    ``C(co, 2)`` butterflies to BOTH endpoints; tools in no pair report 0
+    (left join from the tool spine — all tools appear).
+
+    Scale shape: one distinct aggregate, one conv-keyed self-equi-join
+    (each conversation contributes ≤ C(its tool count, 2) pair rows — tool
+    degree per conversation is vocabulary-bounded; ``max_conv_tools``
+    excises degenerate conversations when it is not), then a tool-keyed
+    sum over the |tools|²-bounded pair table. No all-pairs over
+    conversations anywhere. Reference parity: the reference has no
+    bipartite analytics at all (its surface ends at PageRank,
+    pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    tc = _tool_conv_edges(transcripts, max_conv_tools)
+    bf = _tool_pair_co(tc).withColumn("bf", F.expr("(co * (co - 1)) DIV 2"))
+    part = bf.select(F.col("tool_a").alias("tool"), "bf").unionByName(
+        bf.select(F.col("tool_b").alias("tool"), "bf")
+    )
+    per_tool = part.groupBy("tool").agg(F.sum("bf").alias("bf_sum"))
+    spine = tc.select("tool").distinct()
+    return spine.join(per_tool, "tool", "left").select(
+        "tool",
+        F.coalesce("bf_sum", F.lit(0)).cast("long").alias("butterflies"),
+    )
+
+
+def tool_butterflies_sql(
+    transcripts_relation: str = "t", max_conv_tools: int | None = None
+) -> str:
+    """DuckDB oracle body for :func:`tool_butterflies` (expects the
+    transcript relation in scope under the given name)."""
+    cap = (
+        f"""bfx_keep AS (
+      SELECT conv_id FROM bfx_tc0 GROUP BY conv_id
+      HAVING count(*) <= {int(max_conv_tools)}
+    ),
+    bfx_tc AS (
+      SELECT tc.tool, tc.conv_id FROM bfx_tc0 tc
+      JOIN bfx_keep k ON k.conv_id = tc.conv_id
+    ),"""
+        if max_conv_tools is not None
+        else "bfx_tc AS (SELECT tool, conv_id FROM bfx_tc0),"
+    )
+    return f"""
+    bfx_tc0 AS (
+      SELECT DISTINCT tool, conv_id FROM {transcripts_relation}
+      WHERE tool IS NOT NULL
+    ),
+    {cap}
+    bfx_co AS (
+      SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS co
+      FROM bfx_tc a JOIN bfx_tc b
+        ON b.conv_id = a.conv_id AND a.tool < b.tool
+      GROUP BY 1, 2
+    ),
+    bfx_part AS (
+      SELECT tool_a AS tool, (co * (co - 1)) // 2 AS bf FROM bfx_co
+      UNION ALL
+      SELECT tool_b AS tool, (co * (co - 1)) // 2 AS bf FROM bfx_co
+    )
+    SELECT s.tool, CAST(coalesce(p.bf_sum, 0) AS BIGINT) AS butterflies
+    FROM (SELECT DISTINCT tool FROM bfx_tc) s
+    LEFT JOIN (SELECT tool, sum(bf) AS bf_sum FROM bfx_part GROUP BY tool) p
+      ON p.tool = s.tool
+    """
+
+
+def butterfly_stats(
+    transcripts: DataFrame, max_conv_tools: int | None = None
+) -> DataFrame:
+    """→ one row ``[n_edges, n_tools, n_convs, n_wedges, n_butterflies]``
+    — the global bipartite profile of the conv×tool graph: distinct
+    edges, side cardinalities, conversation-centered wedges
+    (Σ_conv C(tool-degree, 2)) and butterflies (Σ_pair C(co, 2)). The
+    wedge→butterfly ratio is the standard density read on a bipartite
+    network (Robins & Alexander 2004 lineage); both counts are exact
+    integers so the oracle comparison is hash-stable.
+
+    Scale shape: the same bounded conv-keyed self-join as
+    :func:`tool_butterflies` plus two one-row aggregates; every sum is
+    map-side combinable. The three single-row frames combine by cross
+    join — O(1) rows move.
+    """
+    tc = _tool_conv_edges(transcripts, max_conv_tools)
+    base = tc.agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("tool").alias("n_tools"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    wed = (
+        tc.groupBy("conv_id")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.coalesce(F.sum(F.expr("(d * (d - 1)) DIV 2")), F.lit(0))
+            .cast("long")
+            .alias("n_wedges")
+        )
+    )
+    bfs = _tool_pair_co(tc).agg(
+        F.coalesce(F.sum(F.expr("(co * (co - 1)) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("n_butterflies")
+    )
+    return base.crossJoin(wed).crossJoin(bfs)
+
+
+def butterfly_stats_sql(
+    transcripts_relation: str = "t", max_conv_tools: int | None = None
+) -> str:
+    """DuckDB oracle body for :func:`butterfly_stats`."""
+    cap = (
+        f"""bfs_keep AS (
+      SELECT conv_id FROM bfs_tc0 GROUP BY conv_id
+      HAVING count(*) <= {int(max_conv_tools)}
+    ),
+    bfs_tc AS (
+      SELECT tc.tool, tc.conv_id FROM bfs_tc0 tc
+      JOIN bfs_keep k ON k.conv_id = tc.conv_id
+    ),"""
+        if max_conv_tools is not None
+        else "bfs_tc AS (SELECT tool, conv_id FROM bfs_tc0),"
+    )
+    return f"""
+    bfs_tc0 AS (
+      SELECT DISTINCT tool, conv_id FROM {transcripts_relation}
+      WHERE tool IS NOT NULL
+    ),
+    {cap}
+    bfs_co AS (
+      SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS co
+      FROM bfs_tc a JOIN bfs_tc b
+        ON b.conv_id = a.conv_id AND a.tool < b.tool
+      GROUP BY 1, 2
+    )
+    SELECT e.n_edges, e.n_tools, e.n_convs,
+           CAST(coalesce(w.n_wedges, 0) AS BIGINT) AS n_wedges,
+           CAST(coalesce(bb.n_butterflies, 0) AS BIGINT) AS n_butterflies
+    FROM (SELECT count(*) AS n_edges, count(DISTINCT tool) AS n_tools,
+                 count(DISTINCT conv_id) AS n_convs FROM bfs_tc) e,
+         (SELECT sum((d * (d - 1)) // 2) AS n_wedges
+            FROM (SELECT count(*) AS d FROM bfs_tc GROUP BY conv_id)) w,
+         (SELECT sum((co * (co - 1)) // 2) AS n_butterflies FROM bfs_co) bb
+    """
