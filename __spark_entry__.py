@@ -2519,8 +2519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. term_pagerank — all of waves
-    2-86 plus the r4-green tail, 315 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. butterfly_stats — all of waves
+    2-88 plus the r4-green tail, 319 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
