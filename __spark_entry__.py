@@ -2323,6 +2323,19 @@ def q_butterfly_stats(spark, sf_dir):
     )
 
 
+# -------------------------------------- wave 89 (Shapley attribution, AUC)
+def q_shapley_attribution(spark, sf_dir):
+    return ev.shapley_attribution(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), target="purchase"
+    )
+
+
+def q_auc_activity_purchase(spark, sf_dir):
+    return ml.auc_activity_purchase(
+        _tbl(spark, sf_dir, "events"), target="purchase"
+    )
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2959,6 +2972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 88 (new this round — r6 rotation must front these too)
         "tool_butterflies": q_tool_butterflies,
         "butterfly_stats": q_butterfly_stats,
+        # wave 89
+        "shapley_attribution": q_shapley_attribution,
+        "auc_activity_purchase": q_auc_activity_purchase,
     }
 
 
@@ -4188,6 +4204,9 @@ def oracle_sql() -> dict[str, str]:
             f"WITH bfs_t AS MATERIALIZED ({_T_SQL}),"
             f"{tscr.butterfly_stats_sql('bfs_t')}"
         ),
+        # wave 89
+        "shapley_attribution": ev.shapley_attribution_sql(target="purchase"),
+        "auc_activity_purchase": ml.auc_activity_purchase_sql(target="purchase"),
     }
 
 

@@ -5185,3 +5185,186 @@ def uplift_by_decile_sql(
                         - c0 / CAST(n_control AS DOUBLE), 6) END AS uplift
     FROM ug ORDER BY decile
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley channel attribution (wave 89)
+# ---------------------------------------------------------------------------
+
+
+def shapley_attribution(
+    events: DataFrame, target: str = "purchase", max_channels: int = 12
+) -> DataFrame:
+    """→ [channel, shapley_scaled, shapley_conversions] — EXACT Shapley-value
+    attribution of conversions to acquisition channels (Shapley 1953;
+    data-driven multi-touch attribution per Dalessandro et al. 2012 — public
+    formulation). Converters are users with a ``target`` event; a converter's
+    coalition is the SET of distinct non-target event types they touched at
+    or before their first conversion second. The characteristic function is
+    ``v(S) = #converters whose touched-set ⊆ S`` (conversions fully explained
+    by coalition S), and each channel's Shapley value is the classic weighted
+    marginal sum — the unique attribution that is efficient (values sum to
+    ``v(all) − v(∅)``, i.e. every conversion with ≥1 touch is fully split)
+    and symmetric. First-touch (:func:`attribution`) answers "who was first";
+    this answers "who deserves credit" under order-free cooperation.
+
+    Exactness: the Shapley sum is computed in integer units of ``1/k!``
+    (``shapley_scaled = k!·φ``, a BIGINT — weights ``|S|!·(k−1−|S|)!`` are
+    exact integers, marginals are converter counts), so the oracle hash is
+    bit-stable; ``shapley_conversions`` is the rounded double ``φ``. Bound:
+    fits BIGINT while ``k!·n_converters < 2^63`` (k ≤ 12 enforced — event-type
+    vocabularies are tiny by nature; ≈1.9e9 converters at k=12, far above any
+    real channel count's audience).
+
+    Scale shape: two fact-table passes (first-conversion min-agg + the
+    user-keyed touch join, both map-side combinable / user-bounded), then an
+    immediate collapse to COALITION-PATTERN grain — at most ``2^k ≤ 4096``
+    rows no matter how many converters — and every remaining join (subset
+    lattice, marginal pairs) runs on that bounded lattice. The only driver
+    value is ``k`` itself (an O(1) one-row count used to size the lattice
+    and validate the bound). No per-row Python, no iteration.
+
+    Reference parity: the reference has no attribution surface (its analytics
+    end at PageRank, pagerank_lambda/dynamodb/pagerank.py:51-99); engine
+    extension for the experimentation/growth stack.
+    """
+    spark = events.sparkSession
+    e = events.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    t0 = (
+        e.where(F.col("event_type") == target)
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t0"))
+    )
+    touched = (
+        e.where(F.col("event_type") != target)
+        .join(t0, "user_id")
+        .where(F.col("ts_s") <= F.col("t0"))
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    chan_bits = (
+        touched.select("channel")
+        .distinct()
+        .withColumn(
+            "bit", F.row_number().over(Window.orderBy("channel")) - F.lit(1)
+        )
+    )
+    k = chan_bits.count()  # O(1): |event-type vocabulary| rows
+    schema = "channel string, shapley_scaled bigint, shapley_conversions double"
+    if k == 0:
+        return spark.createDataFrame([], schema)
+    if k > max_channels:
+        raise ValueError(
+            f"shapley_attribution: {k} channels > max_channels={max_channels}; "
+            "the exact 2^k coalition lattice is only sane for tiny channel "
+            "vocabularies (k! also overflows the scaled BIGINT output)"
+        )
+    bit_of = F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    masks = (
+        t0.join(touched.join(chan_bits, "channel"), "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum(bit_of), F.lit(0)).cast("long").alias("mask"))
+    )
+    pat = masks.groupBy("mask").agg(F.count("*").alias("cnt"))  # ≤ 2^k rows
+    lattice = spark.range(1 << k).select(F.col("id").alias("s"))
+    v = (
+        lattice.join(pat, F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("v"))
+    )
+    pairs = chan_bits.crossJoin(lattice).where(
+        F.expr("(s & shiftleft(CAST(1 AS BIGINT), bit)) = 0")
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v_without"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v_with"))
+    weight = F.factorial(F.bit_count("s")) * F.factorial(
+        F.lit(k - 1) - F.bit_count("s")
+    )
+    terms = (
+        pairs.join(vs, F.col("s") == F.col("s0"))
+        .join(vi, F.expr("s1 = (s | shiftleft(CAST(1 AS BIGINT), bit))"))
+        .select(
+            "channel",
+            (
+                weight.cast("decimal(38,0)")
+                * (F.col("v_with") - F.col("v_without"))
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.sum("term").alias("sc"))
+        .select(
+            "channel",
+            F.col("sc").cast("long").alias("shapley_scaled"),
+            F.round(
+                F.col("sc").cast("double")
+                / F.factorial(F.lit(k)).cast("double"),
+                6,
+            ).alias("shapley_conversions"),
+        )
+    )
+
+
+def shapley_attribution_sql(
+    target: str = "purchase", table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`shapley_attribution` (standalone query;
+    computes k in-SQL and builds the coalition lattice from a constant
+    4096-row generate_series — the engine's k ≤ 12 bound — filtered to
+    ``s < 2^k``, since DuckDB's generate_series cannot take lateral
+    column arguments)."""
+    t = target.replace("'", "''")
+    return f"""
+    WITH sh_e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM {table}
+    ), sh_t0 AS (
+      SELECT user_id, min(ts_s) AS t0 FROM sh_e
+      WHERE event_type = '{t}' GROUP BY user_id
+    ), sh_touch AS (
+      SELECT DISTINCT e.user_id, e.event_type AS channel
+      FROM sh_e e JOIN sh_t0 tt ON tt.user_id = e.user_id
+      WHERE e.event_type <> '{t}' AND e.ts_s <= tt.t0
+    ), sh_chan AS (
+      SELECT channel,
+             CAST(row_number() OVER (ORDER BY channel) - 1 AS BIGINT) AS bit
+      FROM (SELECT DISTINCT channel FROM sh_touch)
+    ), sh_k AS (SELECT count(*) AS k FROM sh_chan),
+    sh_mask AS (
+      SELECT tt.user_id,
+             coalesce(sum(CAST(1 AS BIGINT) << c.bit), 0) AS mask
+      FROM sh_t0 tt
+      LEFT JOIN sh_touch u ON u.user_id = tt.user_id
+      LEFT JOIN sh_chan c ON c.channel = u.channel
+      GROUP BY tt.user_id
+    ), sh_pat AS (SELECT mask, count(*) AS cnt FROM sh_mask GROUP BY mask),
+    sh_lat AS (
+      SELECT CAST(gs.s AS BIGINT) AS s
+      FROM generate_series(0, 4095) gs(s), sh_k
+      WHERE gs.s < (CAST(1 AS BIGINT) << k)
+    ), sh_v AS (
+      SELECT l.s, coalesce(sum(p.cnt), 0) AS v
+      FROM sh_lat l LEFT JOIN sh_pat p ON (p.mask & l.s) = p.mask
+      GROUP BY l.s
+    ), sh_terms AS (
+      SELECT c.channel, kk.k,
+             factorial(CAST(bit_count(l.s) AS INT))
+               * factorial(CAST(kk.k - 1 - bit_count(l.s) AS INT))
+               * (vi.v - vs.v) AS term
+      FROM sh_chan c
+      CROSS JOIN sh_k kk
+      JOIN sh_lat l ON (l.s & (CAST(1 AS BIGINT) << c.bit)) = 0
+      JOIN sh_v vs ON vs.s = l.s
+      JOIN sh_v vi ON vi.s = (l.s | (CAST(1 AS BIGINT) << c.bit))
+    )
+    SELECT channel,
+           CAST(sum(term) AS BIGINT) AS shapley_scaled,
+           round(CAST(sum(term) AS DOUBLE)
+                 / CAST(factorial(CAST(k AS INT)) AS DOUBLE), 6)
+             AS shapley_conversions
+    FROM sh_terms GROUP BY channel, k
+    """

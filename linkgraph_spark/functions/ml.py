@@ -325,3 +325,109 @@ def nb_lang_confusion_sql(table: str = "documents") -> str:
     GROUP BY actual, cls
     ORDER BY lang, pred_lang
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC via tie-aware rank-sum (wave 89)
+# ---------------------------------------------------------------------------
+
+
+def auc_activity_purchase(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ one row [n_pos, n_neg, auc_num2, auc] — the EXACT ROC AUC of
+    "non-target activity count predicts whether the user ever performs
+    ``target``", via the Mann–Whitney identity AUC = P(score⁺ > score⁻) +
+    ½·P(score⁺ = score⁻) (Hanley & McNeil 1982 — public formulation). The
+    model-eval primitive a training-data platform needs next to its OLS/NB
+    aggregates: any per-row score column drops in for the activity count.
+
+    Exactness: computed at SCORE-VALUE grain with the tie term doubled into
+    integers — ``auc_num2 = Σ_g n_pos_g · (2·cum_neg_below(g) + n_neg_g)``
+    = 2·n_pos·n_neg·AUC, a BIGINT, so the oracle hash is bit-stable; ``auc``
+    is the rounded double, NULL when either class is empty (ANSI division
+    would throw; a leaked NaN/inf would poison the hash). Bound: fits BIGINT
+    while 2·n_pos·n_neg < 2^63 (~4.3e9 users balanced — document, don't
+    overflow silently: Spark ANSI mode raises past it).
+
+    Scale shape: one user-grain aggregate over the fact table (map-side
+    combinable), then a collapse to score-value grain — the frame is a
+    HISTOGRAM (cardinality ≤ max per-user event count), so the single
+    ordered prefix-sum window over it is bounded exactly like the
+    exact-percentile edges elsewhere in this module family; the final
+    reduce is one row. No per-row ranking of users, no global sort of the
+    fact table.
+
+    Reference parity: no evaluation surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    u = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") != target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("pos"),
+    )
+    g = u.groupBy("score").agg(
+        F.sum("pos").alias("n_pos_g"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg_g"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn("cum_neg", F.coalesce(F.sum("n_neg_g").over(w), F.lit(0)))
+    s = c.agg(
+        F.sum("n_pos_g").cast("long").alias("n_pos"),
+        F.sum("n_neg_g").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos_g") * (F.lit(2) * F.col("cum_neg") + F.col("n_neg_g"))
+        )
+        .cast("long")
+        .alias("auc_num2"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("auc_num2").cast("double")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+def auc_activity_purchase_sql(
+    target: str = "purchase", table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`auc_activity_purchase` (standalone query)."""
+    t = target.replace("'", "''")
+    return f"""
+    WITH auc_u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type <> '{t}' THEN 1 ELSE 0 END) AS score,
+             max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS pos
+      FROM {table} GROUP BY user_id
+    ), auc_g AS (
+      SELECT score, sum(pos) AS n_pos_g, sum(1 - pos) AS n_neg_g
+      FROM auc_u GROUP BY score
+    ), auc_c AS (
+      SELECT n_pos_g, n_neg_g,
+             coalesce(sum(n_neg_g) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+      FROM auc_g
+    ), auc_s AS (
+      SELECT CAST(sum(n_pos_g) AS BIGINT) AS n_pos,
+             CAST(sum(n_neg_g) AS BIGINT) AS n_neg,
+             CAST(sum(n_pos_g * (2 * cum_neg + n_neg_g)) AS BIGINT) AS auc_num2
+      FROM auc_c
+    )
+    SELECT n_pos, n_neg, auc_num2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(CAST(auc_num2 AS DOUBLE)
+                           / (2.0 * n_pos * n_neg), 6) END AS auc
+    FROM auc_s
+    """
