@@ -2336,6 +2336,15 @@ def q_auc_activity_purchase(spark, sf_dir):
     )
 
 
+# -------------------------------------- wave 90 (stump split, BH FDR)
+def q_decision_stump_value(spark, sf_dir):
+    return ml.decision_stump(_tbl(spark, sf_dir, "events"), target="purchase")
+
+
+def q_bh_fdr_metrics(spark, sf_dir):
+    return ml.bh_fdr_metrics(_tbl(spark, sf_dir, "events"), q=0.1)
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2975,6 +2984,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 89
         "shapley_attribution": q_shapley_attribution,
         "auc_activity_purchase": q_auc_activity_purchase,
+        # wave 90
+        "decision_stump_value": q_decision_stump_value,
+        "bh_fdr_metrics": q_bh_fdr_metrics,
     }
 
 
@@ -4207,6 +4219,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 89
         "shapley_attribution": ev.shapley_attribution_sql(target="purchase"),
         "auc_activity_purchase": ml.auc_activity_purchase_sql(target="purchase"),
+        # wave 90
+        "decision_stump_value": ml.decision_stump_sql(target="purchase"),
+        "bh_fdr_metrics": ml.bh_fdr_metrics_sql(q=0.1),
     }
 
 

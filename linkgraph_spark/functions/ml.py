@@ -431,3 +431,304 @@ def auc_activity_purchase_sql(
                            / (2.0 * n_pos * n_neg), 6) END AS auc
     FROM auc_s
     """
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: exact best binary split (wave 90)
+# ---------------------------------------------------------------------------
+
+
+def decision_stump(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ one row [threshold_cents, n_left, pos_left, n_right, pos_right,
+    chi2, gini_gain] — the EXACT best single-threshold split of "event
+    value predicts event_type == ``target``" (a depth-1 CART tree, Breiman
+    et al. 1984). The split "value ≤ threshold" maximizes the chi-square
+    score ``J = D²/(n_L·n_R)`` with ``D = pos_L·n_R − pos_R·n_L`` — for a
+    binary label, maximizing J is EQUIVALENT to minimizing weighted Gini
+    impurity (the classic identity gain = 2·J/N²), and unlike the Gini
+    ratio itself J's numerator and denominators stay exact integers.
+
+    Determinism: value is quantized to integer cents (the column's native
+    grain), all prefix sums and D are exact (DECIMAL(38,0) on the Spark
+    side, HUGEINT in the oracle — pos_L·n_R can touch N² ≈ the BIGINT
+    edge), and the double score is computed with the SAME expression shape
+    in both engines from identical integers, so the argmax row — ties
+    broken by the smaller threshold — is identical. Reported doubles are
+    rounded to 6.
+
+    Scale shape: one fact-table aggregate to VALUE-GRAIN (a histogram —
+    cardinality bounded by the domain's price range in cents, not by row
+    count), one ordered prefix-sum window over that histogram (same
+    bounded shape as the exact-percentile edges), and a TakeOrdered(1)
+    argmax. No per-row sorting of the fact table, no candidate×row join.
+
+    Reference parity: no ML surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    g = (
+        events.select(
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            F.when(F.col("event_type") == target, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pos"),
+        )
+        .groupBy("cents")
+        .agg(F.count("*").alias("n"), F.sum("pos").alias("p"))
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    c = g.select(
+        F.col("cents").alias("threshold_cents"),
+        F.sum("n").over(w).alias("n_l"),
+        F.sum("p").over(w).alias("pos_l"),
+        F.sum("n").over(wa).alias("n_tot"),
+        F.sum("p").over(wa).alias("p_tot"),
+    ).where(F.col("n_l") < F.col("n_tot"))
+    d = c.select(
+        "threshold_cents",
+        "n_l",
+        "pos_l",
+        (F.col("n_tot") - F.col("n_l")).alias("n_r"),
+        (F.col("p_tot") - F.col("pos_l")).alias("pos_r"),
+        "n_tot",
+    ).select(
+        "*",
+        (
+            F.col("pos_l").cast("decimal(38,0)") * F.col("n_r")
+            - F.col("pos_r").cast("decimal(38,0)") * F.col("n_l")
+        )
+        .cast("double")
+        .alias("dd"),
+    )
+    scored = d.select(
+        "*",
+        (
+            (F.col("dd") * F.col("dd"))
+            / (F.col("n_l").cast("double") * F.col("n_r").cast("double"))
+        ).alias("j_raw"),
+    )
+    return (
+        scored.orderBy(F.desc("j_raw"), F.asc("threshold_cents"))
+        .limit(1)
+        .select(
+            "threshold_cents",
+            F.col("n_l").alias("n_left"),
+            F.col("pos_l").alias("pos_left"),
+            F.col("n_r").alias("n_right"),
+            F.col("pos_r").alias("pos_right"),
+            F.round("j_raw", 6).alias("chi2"),
+            F.round(
+                F.lit(2.0)
+                * F.col("j_raw")
+                / (F.col("n_tot").cast("double") * F.col("n_tot").cast("double")),
+                6,
+            ).alias("gini_gain"),
+        )
+    )
+
+
+def decision_stump_sql(target: str = "purchase", table: str = "events") -> str:
+    """DuckDB oracle for :func:`decision_stump` (standalone query; HUGEINT
+    carries the exact D product, the double score uses the same expression
+    shape as the Spark side)."""
+    t = target.replace("'", "''")
+    return f"""
+    WITH ds_g AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             count(*) AS n,
+             sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS p
+      FROM {table} GROUP BY cents
+    ), ds_c AS (
+      SELECT cents AS threshold_cents,
+             sum(n) OVER (ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_l,
+             sum(p) OVER (ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_l,
+             sum(n) OVER () AS n_tot,
+             sum(p) OVER () AS p_tot
+      FROM ds_g
+    ), ds_d AS (
+      SELECT threshold_cents, n_l, pos_l,
+             n_tot - n_l AS n_r, p_tot - pos_l AS pos_r, n_tot,
+             CAST(CAST(pos_l AS HUGEINT) * (n_tot - n_l)
+                  - CAST(p_tot - pos_l AS HUGEINT) * n_l AS DOUBLE) AS dd
+      FROM ds_c WHERE n_l < n_tot
+    ), ds_s AS (
+      SELECT *,
+             (dd * dd) / (CAST(n_l AS DOUBLE) * CAST(n_r AS DOUBLE)) AS j_raw
+      FROM ds_d
+    )
+    SELECT threshold_cents,
+           CAST(n_l AS BIGINT) AS n_left, CAST(pos_l AS BIGINT) AS pos_left,
+           CAST(n_r AS BIGINT) AS n_right, CAST(pos_r AS BIGINT) AS pos_right,
+           round(j_raw, 6) AS chi2,
+           round(2.0 * j_raw
+                 / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)), 6) AS gini_gain
+    FROM ds_s ORDER BY j_raw DESC, threshold_cents LIMIT 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over per-metric A/B z-tests (wave 90)
+# ---------------------------------------------------------------------------
+#
+# The two-sided p-value needs the normal CDF; neither engine ships erf, so
+# both evaluate the SAME Abramowitz & Stegun 7.1.26 rational approximation
+# (|err| ≤ 1.5e-7, far inside the 6-decimal rounding) staged through
+# identical expression shapes: y = |z|/√2, t = 1/(1 + 0.3275911·y),
+# p = poly(t)·exp(−y²) = erfc(y). exp() may differ by an ulp between libm
+# and the JVM — round(…, 6) absorbs it, the same contract the mSPRT
+# operator documents for its log-scale statistic.
+
+_BH_POLY = (
+    "(0.254829592 * t - 0.284496736 * t * t + 1.421413741 * t * t * t"
+    " - 1.453152027 * t * t * t * t + 1.061405429 * t * t * t * t * t)"
+    " * exp(-(y * y))"
+)
+
+
+def bh_fdr_metrics(events: DataFrame, q: float = 0.1) -> DataFrame:
+    """→ [metric, conv_control, conv_treatment, z, p, bh_rank, significant]
+    — one two-proportion z-test PER event type ("did the treatment arm do
+    ≥1 event of this type more often", same md5 user split and pooled-SE
+    formula as :func:`~linkgraph_spark.functions.events.ab_test`), with
+    the Benjamini–Hochberg step-up (Benjamini & Hochberg 1995) controlling
+    the false-discovery rate at ``q`` across the metric family — the
+    multiple-testing guard every experimentation dashboard needs once it
+    shows more than one metric.
+
+    BH runs on the ROUNDED p (both engines round first, then compare), so
+    the decision column is deterministic. Metrics whose pooled rate is
+    degenerate (0 or 1) report NULL z/p and NULL ``significant`` and are
+    excluded from the family size m. Step-up: rank p ascending (ties by
+    metric name), find the largest rank with p ≤ rank·q/m, mark every rank
+    at or below it.
+
+    Scale shape: one distinct-user projection (the split), one distinct
+    (user, type) projection, a user-keyed join, then collapse to METRIC
+    grain — every window after that runs on the |event-type|-sized frame.
+    """
+    from pyspark.sql import Window
+
+    from linkgraph_spark.functions.hashing import md5_long
+
+    users = events.select("user_id").distinct().select(
+        "user_id",
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+    )
+    tot = users.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    ut = events.select("user_id", F.col("event_type").alias("metric")).distinct()
+    per = (
+        ut.join(users, "user_id")
+        .groupBy("metric")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("x0"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("x1"),
+        )
+        .crossJoin(tot)
+    )
+    n0, n1, x0, x1 = (F.col(c) for c in ("n0", "n1", "x0", "x1"))
+    pp = (x0 + x1) * 1.0 / (n0 + n1)
+    se = F.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    z = F.when(
+        (n0 > 0) & (n1 > 0) & (pp > 0) & (pp < 1),
+        (x1 * 1.0 / n1 - x0 * 1.0 / n0) / se,
+    )
+    staged = (
+        per.withColumn("z_raw", z)
+        .withColumn("y", F.abs(F.col("z_raw")) / F.sqrt(F.lit(2.0)))
+        .withColumn("t", F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * F.col("y")))
+        .withColumn("p", F.round(F.expr(_BH_POLY), 6))
+    )
+    wr = Window.orderBy(F.asc_nulls_last("p"), F.asc("metric"))
+    wa = Window.partitionBy()
+    ranked = (
+        staged.withColumn("bh_rank", F.row_number().over(wr))
+        .withColumn("m", F.count("p").over(wa))
+        .withColumn(
+            "cutoff",
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("bh_rank") * F.lit(q) / F.col("m"),
+                    F.col("bh_rank"),
+                )
+            ).over(wa),
+        )
+    )
+    return ranked.select(
+        "metric",
+        x0.cast("long").alias("conv_control"),
+        x1.cast("long").alias("conv_treatment"),
+        F.round("z_raw", 6).alias("z"),
+        "p",
+        F.when(F.col("p").isNotNull(), F.col("bh_rank")).alias("bh_rank"),
+        F.when(
+            F.col("p").isNotNull(),
+            F.coalesce(F.col("bh_rank") <= F.col("cutoff"), F.lit(False)),
+        ).alias("significant"),
+    )
+
+
+def bh_fdr_metrics_sql(q: float = 0.1, table: str = "events") -> str:
+    """DuckDB oracle for :func:`bh_fdr_metrics` — same md5 split, same
+    A&S 7.1.26 erfc stages, BH on the rounded p."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH bh_users AS (
+      SELECT user_id, ({h}) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM {table})
+    ), bh_tot AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+      FROM bh_users
+    ), bh_ut AS (
+      SELECT DISTINCT user_id, event_type AS metric FROM {table}
+    ), bh_per AS (
+      SELECT ut.metric,
+             sum(CASE WHEN u.variant = 0 THEN 1 ELSE 0 END) AS x0,
+             sum(CASE WHEN u.variant = 1 THEN 1 ELSE 0 END) AS x1
+      FROM bh_ut ut JOIN bh_users u ON u.user_id = ut.user_id
+      GROUP BY ut.metric
+    ), bh_z AS (
+      SELECT metric, x0, x1, n0, n1,
+             CASE WHEN n0 > 0 AND n1 > 0
+                   AND (x0 + x1) * 1.0 / (n0 + n1) > 0
+                   AND (x0 + x1) * 1.0 / (n0 + n1) < 1
+                  THEN (x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                       / sqrt(((x0 + x1) * 1.0 / (n0 + n1))
+                              * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                              * (1.0 / n0 + 1.0 / n1)) END AS z_raw
+      FROM bh_per, bh_tot
+    ), bh_st AS (
+      SELECT *, abs(z_raw) / sqrt(2.0) AS y,
+             1.0 / (1.0 + 0.3275911 * (abs(z_raw) / sqrt(2.0))) AS t
+      FROM bh_z
+    ), bh_p AS (
+      SELECT metric, x0, x1, z_raw, round({_BH_POLY}, 6) AS p FROM bh_st
+    ), bh_r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p ASC NULLS LAST, metric) AS bh_rank,
+             count(p) OVER () AS m
+      FROM bh_p
+    ), bh_c AS (
+      SELECT *,
+             max(CASE WHEN p <= bh_rank * {q!r} / m THEN bh_rank END)
+               OVER () AS cutoff
+      FROM bh_r
+    )
+    SELECT metric,
+           CAST(x0 AS BIGINT) AS conv_control,
+           CAST(x1 AS BIGINT) AS conv_treatment,
+           round(z_raw, 6) AS z, p,
+           CASE WHEN p IS NOT NULL THEN bh_rank END AS bh_rank,
+           CASE WHEN p IS NOT NULL
+                THEN coalesce(bh_rank <= cutoff, FALSE) END AS significant
+    FROM bh_c
+    """
