@@ -2345,6 +2345,11 @@ def q_bh_fdr_metrics(spark, sf_dir):
     return ml.bh_fdr_metrics(_tbl(spark, sf_dir, "events"), q=0.1)
 
 
+# -------------------------------------- wave 91 (duplicate-span localization)
+def q_dup_spans(spark, sf_dir):
+    return dd.dup_spans(_tbl(spark, sf_dir, "documents"), min_run=2)
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2541,8 +2546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. butterfly_stats — all of waves
-    2-88 plus the r4-green tail, 319 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. dup_spans — all of waves
+    2-91 plus the r4-green tail, 324 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2987,6 +2992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 90
         "decision_stump_value": q_decision_stump_value,
         "bh_fdr_metrics": q_bh_fdr_metrics,
+        # wave 91
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -4222,6 +4229,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 90
         "decision_stump_value": ml.decision_stump_sql(target="purchase"),
         "bh_fdr_metrics": ml.bh_fdr_metrics_sql(q=0.1),
+        # wave 91
+        "dup_spans": dd.dup_spans_sql(min_run=2),
     }
 
 

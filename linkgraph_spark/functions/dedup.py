@@ -1440,3 +1440,140 @@ def sorted_neighborhood_pairs_sql(
     WHERE levenshtein(a.sig, b.sig) <= {int(max_dist)}
     ORDER BY doc_id_a, doc_id_b
     """
+
+
+# ----------------------------------------------------------- duplicate spans
+def dup_spans(
+    documents: DataFrame, min_run: int = 2, max_doc_freq: int | None = None
+) -> DataFrame:
+    """→ [doc_a, doc_b, start_a, start_b, match_len, span_tokens] — WHERE
+    document pairs overlap: every maximal run of consecutive, identically
+    aligned word-3-gram shingles between two documents (the gaps-and-islands
+    localization of near-duplication — Jaccard says THAT docs overlap, this
+    says WHICH token spans, the evidence a curation pipeline shows before
+    dropping a doc; cf. the substring-dedup motivation of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    work, original implementation).
+
+    A run is a set of matched shingle positions (p_a, p_b) sharing one
+    alignment offset ``p_a − p_b`` with consecutive ``p_a`` — detected with
+    the classic islands key ``p_a − row_number()`` per (pair, offset).
+    ``match_len`` counts shingles; ``span_tokens = match_len + 2`` is the
+    shared token-span length (3-gram shingles overlap by 2). Documents with
+    < 3 tokens host no 3-gram and are skipped (exact dedup owns them).
+    Shingles are compared by the portable 60-bit md5 hash (same documented
+    collision approximation as the Jaccard family).
+
+    Scale shape: positioned-shingle explode is O(corpus tokens); candidate
+    pairs come ONLY from a shared-shingle equi-join — ``max_doc_freq`` caps
+    shingle document-frequency exactly like :func:`ngram_jaccard_dups`
+    (hot stopword shingles otherwise fan out df² pairs; capped runs may
+    split where a hot shingle is excised — documented recall trade). The
+    islands window partitions by (pair, offset) — bounded by per-pair
+    matches on one diagonal, never a global or per-document-corpus sort.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = (
+        documents.select("doc_id", norm.alias("norm"))
+        .withColumn("toks", F.split("norm", " "))
+        .where(F.size("toks") >= 3)
+    )
+    ps = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.struct(
+            i.alias("p"),
+            (md5_long(F.array_join(F.slice("toks", i, F.lit(3)), " "))
+             % F.lit(MERSENNE_P)).alias("s"),
+        ),
+    )
+    pos = (
+        d.select("doc_id", F.explode(ps).alias("x"))
+        .select("doc_id", F.col("x.p").alias("p"), F.col("x.s").alias("s"))
+    )
+    if max_doc_freq is not None:
+        keep = (
+            pos.groupBy("s")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("s")
+        )
+        pos = pos.join(keep, "s", "left_semi")
+    a = pos.select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "s"
+    )
+    b = pos.select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "s"
+    )
+    pp = a.join(b, "s").where(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    runs = (
+        pp.withColumn("off", F.col("pa") - F.col("pb"))
+        .withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "off", "grp")
+        .agg(
+            F.min("pa").cast("long").alias("start_a"),
+            F.min("pb").cast("long").alias("start_b"),
+            F.count("*").alias("match_len"),
+        )
+    )
+    return runs.where(F.col("match_len") >= min_run).select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        "start_b",
+        "match_len",
+        (F.col("match_len") + 2).alias("span_tokens"),
+    )
+
+
+def dup_spans_sql(
+    table: str = "documents", min_run: int = 2, max_doc_freq: int | None = None
+) -> str:
+    """DuckDB mirror of :func:`dup_spans` (positions via the list-returning
+    ``range()`` + unnest — this DuckDB's table-function generate_series
+    rejects lateral column arguments)."""
+    h = md5_long_sql("array_to_string(toks[i:i+2], ' ')")
+    cap = (
+        f"""dsp_keep AS (
+      SELECT s FROM dsp_pos GROUP BY s
+      HAVING count(DISTINCT doc_id) <= {int(max_doc_freq)}
+    ),
+    dsp_cpos AS (SELECT p.* FROM dsp_pos p JOIN dsp_keep k ON k.s = p.s),"""
+        if max_doc_freq is not None
+        else "dsp_cpos AS (SELECT * FROM dsp_pos),"
+    )
+    return f"""
+    WITH dsp_d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM {table}
+    ), dsp_ex AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM dsp_d WHERE len(toks) >= 3
+    ), dsp_pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, ({h}) % {MERSENNE_P} AS s
+      FROM dsp_ex
+    ),
+    {cap}
+    dsp_pp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+      FROM dsp_cpos a JOIN dsp_cpos b
+        ON b.s = a.s AND a.doc_id < b.doc_id
+    ), dsp_runs AS (
+      SELECT doc_a, doc_b, pa - pb AS off,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS grp,
+             pa, pb
+      FROM dsp_pp
+    ), dsp_agg AS (
+      SELECT doc_a, doc_b,
+             CAST(min(pa) AS BIGINT) AS start_a,
+             CAST(min(pb) AS BIGINT) AS start_b,
+             count(*) AS match_len
+      FROM dsp_runs GROUP BY doc_a, doc_b, off, grp
+    )
+    SELECT doc_a, doc_b, start_a, start_b, match_len,
+           match_len + 2 AS span_tokens
+    FROM dsp_agg WHERE match_len >= {int(min_run)}
+    """
