@@ -2350,6 +2350,15 @@ def q_dup_spans(spark, sf_dir):
     return dd.dup_spans(_tbl(spark, sf_dir, "documents"), min_run=2)
 
 
+# -------------------------------------- wave 92 (PR curve, average precision)
+def q_pr_curve(spark, sf_dir):
+    return ml.pr_curve(_tbl(spark, sf_dir, "events"), target="purchase")
+
+
+def q_average_precision(spark, sf_dir):
+    return ml.average_precision(_tbl(spark, sf_dir, "events"), target="purchase")
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2546,8 +2555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. dup_spans — all of waves
-    2-91 plus the r4-green tail, 324 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. average_precision — all of waves
+    2-92 plus the r4-green tail, 326 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -2994,6 +3003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_fdr_metrics": q_bh_fdr_metrics,
         # wave 91
         "dup_spans": q_dup_spans,
+        # wave 92
+        "pr_curve": q_pr_curve,
+        "average_precision": q_average_precision,
     }
 
 
@@ -4231,6 +4243,9 @@ def oracle_sql() -> dict[str, str]:
         "bh_fdr_metrics": ml.bh_fdr_metrics_sql(q=0.1),
         # wave 91
         "dup_spans": dd.dup_spans_sql(min_run=2),
+        # wave 92
+        "pr_curve": ml.pr_curve_sql(target="purchase"),
+        "average_precision": ml.average_precision_sql(target="purchase"),
     }
 
 

@@ -732,3 +732,202 @@ def bh_fdr_metrics_sql(q: float = 0.1, table: str = "events") -> str:
                 THEN coalesce(bh_rank <= cutoff, FALSE) END AS significant
     FROM bh_c
     """
+
+
+# ---------------------------------------------------------------------------
+# PR curve + average precision: exact tie-aware ranking eval (wave 92)
+# ---------------------------------------------------------------------------
+
+
+def pr_curve(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ [score, tp, fp, recall, precision] per distinct score threshold,
+    descending — the exact precision-recall curve of "non-target activity
+    count predicts whether the user ever performs ``target``" (same scorer
+    as :func:`auc_activity_purchase`; any per-row score drops in).
+
+    Tie handling is the standard threshold semantics: each row is the
+    operating point "predict positive iff score ≥ this value", so tied
+    users enter together and ``tp``/``fp`` are exact BIGINT cumulative
+    counts — the curve is bit-stable, and ``recall``/``precision`` are
+    the rounded doubles of integer ratios (recall NULL when the positive
+    class is empty; precision's denominator ``tp+fp ≥ 1`` per construction).
+
+    Scale shape: one user-grain aggregate (map-side combinable), then a
+    collapse to score-value grain — the frame is a HISTOGRAM (cardinality
+    ≤ max per-user event count), so the descending prefix-sum window and
+    the class-total window both run over a bounded frame, never over users.
+
+    Reference parity: no evaluation surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    u = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") != target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("pos"),
+    )
+    g = u.groupBy("score").agg(
+        F.sum("pos").alias("p_g"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_g"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "score",
+        F.sum("p_g").over(w).cast("long").alias("tp"),
+        F.sum("n_g").over(w).cast("long").alias("fp"),
+        F.sum("p_g").over(w_all).cast("long").alias("n_pos"),
+    )
+    return c.select(
+        "score",
+        "tp",
+        "fp",
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_pos"), 6),
+        ).alias("recall"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+        ).alias("precision"),
+    ).orderBy(F.desc("score"))
+
+
+def pr_curve_sql(target: str = "purchase", table: str = "events") -> str:
+    """DuckDB oracle for :func:`pr_curve` (standalone query)."""
+    t = target.replace("'", "''")
+    return f"""
+    WITH prc_u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type <> '{t}' THEN 1 ELSE 0 END) AS score,
+             max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS pos
+      FROM {table} GROUP BY user_id
+    ), prc_g AS (
+      SELECT score, sum(pos) AS p_g, sum(1 - pos) AS n_g
+      FROM prc_u GROUP BY score
+    ), prc_c AS (
+      SELECT score,
+             CAST(sum(p_g) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(sum(n_g) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+             CAST(sum(p_g) OVER () AS BIGINT) AS n_pos
+      FROM prc_g
+    )
+    SELECT score, tp, fp,
+           CASE WHEN n_pos > 0
+                THEN round(CAST(tp AS DOUBLE) / n_pos, 6) END AS recall,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision
+    FROM prc_c ORDER BY score DESC
+    """
+
+
+def average_precision(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ one row [n_pos, n_neg, ap_num_nano, ap] — the EXACT step-wise
+    average precision AP = Σ_thresholds ΔRecall · Precision (the standard
+    non-interpolated estimator; ties enter at their threshold as in
+    :func:`pr_curve`).
+
+    Exactness: per threshold g the term is p_g·Prec_g / P. Prec_g =
+    tp_g/(tp_g+fp_g) is one IEEE-double division of exact integers —
+    bit-identical across engines — then QUANTIZED to integer nano-units
+    (round(1e9·Prec_g)) so the cross-threshold sum ``ap_num_nano =
+    Σ p_g·prec_nano_g`` is an order-invariant BIGINT (same trick as the
+    NB micro-nat scores): the oracle hash is bit-stable at any
+    partitioning. ``ap = ap_num_nano / (1e9·P)`` rounded to 6, NULL when
+    the positive class is empty. Bound: fits BIGINT while n_pos < 9.2e9
+    (Σ p_g·1e9 ≤ n_pos·1e9 < 2^63) — Spark ANSI raises past it, never
+    silently wraps.
+
+    Scale shape: identical to :func:`pr_curve` — user-grain aggregate,
+    histogram-grain window, one-row reduce. No per-user ranking anywhere.
+    """
+    from pyspark.sql import Window
+
+    u = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") != target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("pos"),
+    )
+    g = u.groupBy("score").agg(
+        F.sum("pos").alias("p_g"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_g"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select(
+        "p_g",
+        "n_g",
+        F.sum("p_g").over(w).alias("tp"),
+        F.sum("n_g").over(w).alias("fp"),
+    )
+    prec_nano = F.round(
+        F.lit(1e9) * F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        0,
+    ).cast("long")
+    s = c.agg(
+        F.sum("p_g").cast("long").alias("n_pos"),
+        F.sum("n_g").cast("long").alias("n_neg"),
+        F.sum(F.col("p_g") * prec_nano).cast("long").alias("ap_num_nano"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "ap_num_nano",
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(
+                F.col("ap_num_nano").cast("double")
+                / (F.lit(1e9) * F.col("n_pos")),
+                6,
+            ),
+        ).alias("ap"),
+    )
+
+
+def average_precision_sql(
+    target: str = "purchase", table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`average_precision` — same nano-quantized
+    per-threshold precision terms, summed as BIGINT."""
+    t = target.replace("'", "''")
+    return f"""
+    WITH apr_u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type <> '{t}' THEN 1 ELSE 0 END) AS score,
+             max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS pos
+      FROM {table} GROUP BY user_id
+    ), apr_g AS (
+      SELECT score, sum(pos) AS p_g, sum(1 - pos) AS n_g
+      FROM apr_u GROUP BY score
+    ), apr_c AS (
+      SELECT p_g, n_g,
+             sum(p_g) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n_g) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM apr_g
+    ), apr_s AS (
+      SELECT CAST(sum(p_g) AS BIGINT) AS n_pos,
+             CAST(sum(n_g) AS BIGINT) AS n_neg,
+             CAST(sum(p_g * CAST(round(1e9 * CAST(tp AS DOUBLE) / (tp + fp), 0)
+                                 AS BIGINT)) AS BIGINT) AS ap_num_nano
+      FROM apr_c
+    )
+    SELECT n_pos, n_neg, ap_num_nano,
+           CASE WHEN n_pos > 0
+                THEN round(CAST(ap_num_nano AS DOUBLE) / (1e9 * n_pos), 6)
+           END AS ap
+    FROM apr_s
+    """
