@@ -2359,6 +2359,15 @@ def q_average_precision(spark, sf_dir):
     return ml.average_precision(_tbl(spark, sf_dir, "events"), target="purchase")
 
 
+# -------------------------------------- wave 93 (holdout calibration)
+def q_brier_holdout(spark, sf_dir):
+    return ml.brier_holdout(_tbl(spark, sf_dir, "events"), target="purchase")
+
+
+def q_calibration_bins(spark, sf_dir):
+    return ml.calibration_bins(_tbl(spark, sf_dir, "events"), target="purchase")
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2555,8 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. average_precision — all of waves
-    2-92 plus the r4-green tail, 326 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. calibration_bins — all of waves
+    2-93 plus the r4-green tail, 328 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3006,6 +3015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 92
         "pr_curve": q_pr_curve,
         "average_precision": q_average_precision,
+        # wave 93
+        "brier_holdout": q_brier_holdout,
+        "calibration_bins": q_calibration_bins,
     }
 
 
@@ -4246,6 +4258,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 92
         "pr_curve": ml.pr_curve_sql(target="purchase"),
         "average_precision": ml.average_precision_sql(target="purchase"),
+        # wave 93
+        "brier_holdout": ml.brier_holdout_sql(target="purchase"),
+        "calibration_bins": ml.calibration_bins_sql(target="purchase"),
     }
 
 

@@ -931,3 +931,259 @@ def average_precision_sql(
            END AS ap
     FROM apr_s
     """
+
+
+# ---------------------------------------------------------------------------
+# Holdout calibration: Brier score + reliability bins (wave 93)
+# ---------------------------------------------------------------------------
+
+
+def brier_holdout(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ one row [n_train, n_test, base_rate_nano, brier] — the EXACT
+    holdout Brier score (Brier 1950) of the score-conditional rate model:
+    fit "P(user ever does ``target``) per activity-score value" on the
+    train half of the deterministic md5 user split (same split as the A/B
+    family), predict for the test half (unseen scores fall back to the
+    global train rate), and report the mean squared error of the
+    predicted probability — the calibration-eval primitive next to
+    AUC/AP (discrimination) in any model-eval suite.
+
+    Exactness: every predicted rate is QUANTIZED to integer nano-units
+    (``round(1e9·p_tr/n_tr)`` — one IEEE division of exact integers, so
+    both engines produce the same BIGINT), the per-user squared error
+    ``(pred_nano − y·1e9)²`` fits BIGINT (≤ 1e18) and is summed exactly
+    (DECIMAL(38,0) on the Spark side, HUGEINT in the oracle), and
+    ``brier`` is the rounded double of that exact integer over
+    ``1e18·n_test``. NULL when either half is empty (ANSI division would
+    throw). ``base_rate_nano`` is the global train rate for reference.
+
+    Scale shape: one user-grain aggregate (map-side combinable), the
+    train-rate table is score-VALUE grain (a histogram — Catalyst
+    broadcasts it into the test-side join), and the final reduce is one
+    row. No per-user windows, no fact-table re-shuffle.
+
+    Reference parity: no ML surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    u = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") != target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("y"),
+    ).select(
+        "*", (md5_long(F.col("user_id").cast("string")) % 2).alias("variant")
+    )
+    tr = u.where(F.col("variant") == 0)
+    rates = tr.groupBy("score").agg(
+        F.round(
+            F.lit(1e9) * F.sum("y").cast("double") / F.count("*"), 0
+        )
+        .cast("long")
+        .alias("r_nano")
+    )
+    g = tr.groupBy().agg(
+        F.count("*").alias("n_train"),
+        F.when(
+            F.count("*") > 0,
+            F.round(F.lit(1e9) * F.sum("y").cast("double") / F.count("*"), 0),
+        )
+        .cast("long")
+        .alias("g_nano"),
+    )
+    te = (
+        u.where(F.col("variant") == 1)
+        .join(rates, "score", "left")
+        .crossJoin(g)
+        .select(
+            "n_train",
+            "g_nano",
+            F.coalesce(F.col("r_nano"), F.col("g_nano")).alias("pred_nano"),
+            "y",
+        )
+    )
+    err = F.col("pred_nano") - F.col("y") * F.lit(1_000_000_000)
+    s = te.groupBy().agg(
+        F.max("n_train").alias("n_train"),
+        F.count("*").alias("n_test"),
+        F.max("g_nano").alias("base_rate_nano"),
+        F.sum((err * err).cast("decimal(38,0)")).alias("num"),
+    )
+    return s.select(
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        "base_rate_nano",
+        F.when(
+            (F.col("n_train") > 0) & (F.col("n_test") > 0),
+            F.round(
+                F.col("num").cast("double")
+                / (F.lit(1e18) * F.col("n_test").cast("double")),
+                6,
+            ),
+        ).alias("brier"),
+    )
+
+
+def brier_holdout_sql(target: str = "purchase", table: str = "events") -> str:
+    """DuckDB oracle for :func:`brier_holdout` — same md5 split, same
+    nano-quantized rates, HUGEINT error sum."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    t = target.replace("'", "''")
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH bri_u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type <> '{t}' THEN 1 ELSE 0 END) AS score,
+             max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS y
+      FROM {table} GROUP BY user_id
+    ), bri_v AS (
+      SELECT *, ({h}) % 2 AS variant FROM bri_u
+    ), bri_r AS (
+      SELECT score,
+             CAST(round(1e9 * CAST(sum(y) AS DOUBLE) / count(*), 0)
+                  AS BIGINT) AS r_nano
+      FROM bri_v WHERE variant = 0 GROUP BY score
+    ), bri_g AS (
+      SELECT count(*) AS n_train,
+             CAST(CASE WHEN count(*) > 0
+                  THEN round(1e9 * CAST(sum(y) AS DOUBLE) / count(*), 0) END
+                  AS BIGINT) AS g_nano
+      FROM bri_v WHERE variant = 0
+    ), bri_te AS (
+      SELECT g.n_train, g.g_nano,
+             coalesce(r.r_nano, g.g_nano) AS pred_nano, v.y
+      FROM bri_v v
+      LEFT JOIN bri_r r ON r.score = v.score
+      CROSS JOIN bri_g g
+      WHERE v.variant = 1
+    ), bri_s AS (
+      SELECT max(n_train) AS n_train, count(*) AS n_test,
+             max(g_nano) AS base_rate_nano,
+             sum((pred_nano - y * 1000000000)
+                 * (pred_nano - y * 1000000000)) AS num
+      FROM bri_te
+    )
+    SELECT CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_test AS BIGINT) AS n_test,
+           base_rate_nano,
+           CASE WHEN n_train > 0 AND n_test > 0
+                THEN round(CAST(num AS DOUBLE)
+                           / (1e18 * CAST(n_test AS DOUBLE)), 6)
+           END AS brier
+    FROM bri_s
+    """
+
+
+def calibration_bins(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """→ [bin, n, pred_rate, obs_rate] — the reliability diagram behind
+    :func:`brier_holdout`: test-half users bucketed into 10 equal-width
+    bins of their nano-quantized predicted probability (``bin =
+    pred_nano div 1e8``, clamped to 9 so probability 1.0 joins the top
+    bin), with the exact mean predicted rate and observed positive rate
+    per bin. A calibrated model tracks the diagonal; the gap per bin is
+    the reliability term of the Brier decomposition (Murphy 1973).
+
+    Exactness: binning is INTEGER division of the shared pred_nano
+    (bit-identical across engines by construction), Σpred_nano ≤ n·1e9
+    stays BIGINT, and both rates are rounded doubles of exact-integer
+    ratios. Scale shape: identical to :func:`brier_holdout` plus one
+    10-row grouped aggregate.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    u = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") != target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("y"),
+    ).select(
+        "*", (md5_long(F.col("user_id").cast("string")) % 2).alias("variant")
+    )
+    tr = u.where(F.col("variant") == 0)
+    rates = tr.groupBy("score").agg(
+        F.round(
+            F.lit(1e9) * F.sum("y").cast("double") / F.count("*"), 0
+        )
+        .cast("long")
+        .alias("r_nano")
+    )
+    g = tr.groupBy().agg(
+        F.when(
+            F.count("*") > 0,
+            F.round(F.lit(1e9) * F.sum("y").cast("double") / F.count("*"), 0),
+        )
+        .cast("long")
+        .alias("g_nano")
+    )
+    te = (
+        u.where(F.col("variant") == 1)
+        .join(rates, "score", "left")
+        .crossJoin(g)
+        .select(
+            F.coalesce(F.col("r_nano"), F.col("g_nano")).alias("pred_nano"),
+            "y",
+        )
+        .where(F.col("pred_nano").isNotNull())
+    )
+    b = te.groupBy(
+        F.least(
+            F.expr("pred_nano div 100000000"), F.lit(9)
+        ).cast("int").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum("pred_nano").cast("double")
+            / (F.lit(1e9) * F.count("*")),
+            6,
+        ).alias("pred_rate"),
+        F.round(F.sum("y").cast("double") / F.count("*"), 6).alias("obs_rate"),
+    )
+    return b.orderBy("bin")
+
+
+def calibration_bins_sql(
+    target: str = "purchase", table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`calibration_bins` (same split and rates)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    t = target.replace("'", "''")
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH cal_u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type <> '{t}' THEN 1 ELSE 0 END) AS score,
+             max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS y
+      FROM {table} GROUP BY user_id
+    ), cal_v AS (
+      SELECT *, ({h}) % 2 AS variant FROM cal_u
+    ), cal_r AS (
+      SELECT score,
+             CAST(round(1e9 * CAST(sum(y) AS DOUBLE) / count(*), 0)
+                  AS BIGINT) AS r_nano
+      FROM cal_v WHERE variant = 0 GROUP BY score
+    ), cal_g AS (
+      SELECT CAST(CASE WHEN count(*) > 0
+                  THEN round(1e9 * CAST(sum(y) AS DOUBLE) / count(*), 0) END
+                  AS BIGINT) AS g_nano
+      FROM cal_v WHERE variant = 0
+    ), cal_te AS (
+      SELECT coalesce(r.r_nano, g.g_nano) AS pred_nano, v.y
+      FROM cal_v v
+      LEFT JOIN cal_r r ON r.score = v.score
+      CROSS JOIN cal_g g
+      WHERE v.variant = 1 AND coalesce(r.r_nano, g.g_nano) IS NOT NULL
+    )
+    SELECT CAST(least(pred_nano // 100000000, 9) AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(pred_nano) AS DOUBLE) / (1e9 * count(*)), 6)
+             AS pred_rate,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate
+    FROM cal_te GROUP BY 1 ORDER BY bin
+    """
