@@ -2368,6 +2368,13 @@ def q_calibration_bins(spark, sf_dir):
     return ml.calibration_bins(_tbl(spark, sf_dir, "events"), target="purchase")
 
 
+# -------------------------------------- wave 94 (bloom join prefilter)
+def q_bloom_prefilter_audit(spark, sf_dir):
+    return sk.bloom_prefilter_audit(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "customer")
+    )
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2564,8 +2571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. calibration_bins — all of waves
-    2-93 plus the r4-green tail, 328 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. bloom_prefilter_audit — all of waves
+    2-94 plus the r4-green tail, 329 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3018,6 +3025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 93
         "brier_holdout": q_brier_holdout,
         "calibration_bins": q_calibration_bins,
+        # wave 94
+        "bloom_prefilter_audit": q_bloom_prefilter_audit,
     }
 
 
@@ -4261,6 +4270,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 93
         "brier_holdout": ml.brier_holdout_sql(target="purchase"),
         "calibration_bins": ml.calibration_bins_sql(target="purchase"),
+        # wave 94
+        "bloom_prefilter_audit": sk.bloom_prefilter_audit_sql(),
     }
 
 

@@ -285,3 +285,212 @@ def orders_replica_diff_sql(table: str = "orders") -> str:
     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ia)
     ORDER BY o_orderkey
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter audit (wave 94)
+# ---------------------------------------------------------------------------
+
+# Theoretical FPR (Bloom 1970): (1 - e^{-kn/m})^k. Staged as ONE shared
+# expression string (n_members -> double, fixed k and m baked in) so the
+# Spark and DuckDB doubles are structurally identical, like the OLS/erfc
+# stages; the power is an explicit k-fold product (engine pow() libms
+# may differ in the last ulp — a product of identical doubles cannot).
+
+
+def _bloom_theory_expr(k: int, m_bits: int) -> str:
+    x = f"(1.0 - exp(-({int(k)} * CAST(n_members AS DOUBLE)) / {int(m_bits)}.0))"
+    return " * ".join([x] * int(k))
+
+
+def bloom_prefilter_audit(
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    m_bits: int = 1024,
+    k: int = 4,
+) -> DataFrame:
+    """→ one row [n_members, n_bits_set, n_probed, n_pass, n_member_hits,
+    n_false_pos, n_false_neg, fpr_measured, fpr_theory] — build a Bloom
+    filter (Bloom 1970) over the customer keys of one market segment and
+    audit it as a JOIN PREFILTER for the orders fact table: how many
+    distinct probed keys pass, how many passes are false positives vs the
+    exact semi-join truth, and how the measured false-positive rate
+    compares to the analytic (1 − e^{−kn/m})^k. ``n_false_neg`` is the
+    structural invariant — a Bloom filter admits every true member, so it
+    must be 0 (emitted, not assumed, so the audit would catch a broken
+    hash family).
+
+    This is THE shuffle-avoidance pattern at 100 TB: the filter is ≤
+    ``m_bits`` bit positions (a table Catalyst broadcasts), the fact side
+    is pre-filtered map-side before the expensive join, and the audit
+    quantifies the recall/selectivity trade the prefilter buys. Positions
+    come from the house affine family over the portable md5 hash
+    (``hash_params(k)``), so both engines set identical bits.
+
+    Exactness: every count is an exact BIGINT; ``fpr_measured`` is the
+    rounded double of an integer ratio (NULL when no true negatives were
+    probed); ``fpr_theory`` is staged through one shared expression with
+    an explicit k-fold product (no engine ``pow``). Defaults (m=1024,
+    k=4, n≈300 at sf0.01) deliberately run the filter SATURATED (~23%
+    theoretical FPR) so the false-positive accounting is value-checked,
+    not vacuously zero.
+
+    Scale shape: build = one dimension-subset scan + a ≤ m_bits distinct;
+    probe = one distinct on the fact key + a k-row explode joined against
+    the broadcast bit table; final reduce is one row. No fact-table
+    shuffle beyond the key distinct.
+
+    Reference parity: no sketch surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from linkgraph_spark.functions.hashing import (
+        affine_mod,
+        hash_params,
+        md5_long,
+    )
+
+    params = hash_params(k)
+
+    def _positions(keycol):
+        h = md5_long(keycol.cast("string"))
+        return F.array(
+            *[(affine_mod(h, a, b) % F.lit(m_bits)) for a, b in params]
+        )
+
+    members = customer.where(F.col("c_mktsegment") == segment).select(
+        F.col("c_custkey").alias("key")
+    )
+    bits = (
+        members.select(F.explode(_positions(F.col("key"))).alias("pos"))
+        .distinct()
+    )
+    nm = members.groupBy().agg(F.count("*").cast("long").alias("n_members"))
+    nb = bits.groupBy().agg(F.count("*").cast("long").alias("n_bits_set"))
+    probe = orders.select(F.col("o_custkey").alias("key")).distinct()
+    pp = probe.select(
+        "key", F.explode(_positions(F.col("key"))).alias("pos")
+    )
+    per_key = (
+        pp.join(bits.withColumn("hit", F.lit(1)), "pos", "left")
+        .groupBy("key")
+        .agg(
+            (
+                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)) == 0
+            ).alias("passes")
+        )
+        .join(members.withColumn("is_member", F.lit(True)), "key", "left")
+        .select(
+            "key",
+            "passes",
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        )
+    )
+    p, mb = F.col("passes"), F.col("is_member")
+    s = per_key.groupBy().agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.coalesce(F.sum(p.cast("int")), F.lit(0)).cast("long").alias("n_pass"),
+        F.coalesce(F.sum(mb.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_member_hits"),
+        F.coalesce(F.sum((p & ~mb).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.coalesce(F.sum((mb & ~p).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+    out = s.crossJoin(nm).crossJoin(nb)
+    return out.select(
+        "n_members",
+        "n_bits_set",
+        "n_probed",
+        "n_pass",
+        "n_member_hits",
+        "n_false_pos",
+        "n_false_neg",
+        F.when(
+            (F.col("n_probed") - F.col("n_member_hits")) > 0,
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probed") - F.col("n_member_hits")).cast("double"),
+                6,
+            ),
+        ).alias("fpr_measured"),
+        F.round(F.expr(_bloom_theory_expr(k, m_bits)), 6).alias("fpr_theory"),
+    )
+
+
+def bloom_prefilter_audit_sql(
+    orders: str = "orders",
+    customer: str = "customer",
+    segment: str = "BUILDING",
+    m_bits: int = 1024,
+    k: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`bloom_prefilter_audit` — same affine
+    position family, same shared theory expression."""
+    from linkgraph_spark.functions.hashing import (
+        affine_mod_sql,
+        hash_params,
+        md5_long_sql,
+    )
+
+    seg = segment.replace("'", "''")
+    params = hash_params(k)
+    h = md5_long_sql("CAST(key AS VARCHAR)")
+    mpos = " UNION ALL ".join(
+        f"SELECT ({affine_mod_sql(h, a, b)}) % {int(m_bits)} AS pos"
+        f" FROM blm_m"
+        for a, b in params
+    )
+    ppos = " UNION ALL ".join(
+        f"SELECT key, ({affine_mod_sql(h, a, b)}) % {int(m_bits)} AS pos"
+        f" FROM blm_p"
+        for a, b in params
+    )
+    return f"""
+    WITH blm_m AS (
+      SELECT c_custkey AS key FROM {customer} WHERE c_mktsegment = '{seg}'
+    ), blm_bits AS (
+      SELECT DISTINCT pos FROM ({mpos})
+    ), blm_nm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_members FROM blm_m
+    ), blm_nb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM blm_bits
+    ), blm_p AS (
+      SELECT DISTINCT o_custkey AS key FROM {orders}
+    ), blm_pp AS (
+      {ppos}
+    ), blm_key AS (
+      SELECT pp.key,
+             (sum(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) = 0) AS passes,
+             coalesce(max(CASE WHEN m.key IS NOT NULL THEN TRUE END), FALSE)
+               AS is_member
+      FROM blm_pp pp
+      LEFT JOIN blm_bits b ON b.pos = pp.pos
+      LEFT JOIN blm_m m ON m.key = pp.key
+      GROUP BY pp.key
+    ), blm_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probed,
+             CAST(coalesce(sum(CASE WHEN passes THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_pass,
+             CAST(coalesce(sum(CASE WHEN is_member THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_member_hits,
+             CAST(coalesce(sum(CASE WHEN passes AND NOT is_member
+                                    THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_false_pos,
+             CAST(coalesce(sum(CASE WHEN is_member AND NOT passes
+                                    THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_false_neg
+      FROM blm_key
+    )
+    SELECT n_members, n_bits_set, n_probed, n_pass, n_member_hits,
+           n_false_pos, n_false_neg,
+           CASE WHEN (n_probed - n_member_hits) > 0
+                THEN round(CAST(n_false_pos AS DOUBLE)
+                           / CAST(n_probed - n_member_hits AS DOUBLE), 6)
+           END AS fpr_measured,
+           round({_bloom_theory_expr(k, m_bits)}, 6) AS fpr_theory
+    FROM blm_s, blm_nm, blm_nb
+    """
