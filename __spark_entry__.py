@@ -2375,6 +2375,15 @@ def q_bloom_prefilter_audit(spark, sf_dir):
     )
 
 
+# -------------------------------------- wave 95 (seasonal decomposition)
+def q_seasonal_decompose(spark, sf_dir):
+    return ev.seasonal_decompose(_tbl(spark, sf_dir, "events"))
+
+
+def q_seasonal_strength(spark, sf_dir):
+    return ev.seasonal_strength(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2571,8 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. bloom_prefilter_audit — all of waves
-    2-94 plus the r4-green tail, 329 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. seasonal_strength — all of waves
+    2-95 plus the r4-green tail, 331 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3027,6 +3036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         # wave 94
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
+        # wave 95
+        "seasonal_decompose": q_seasonal_decompose,
+        "seasonal_strength": q_seasonal_strength,
     }
 
 
@@ -4272,6 +4284,9 @@ def oracle_sql() -> dict[str, str]:
         "calibration_bins": ml.calibration_bins_sql(target="purchase"),
         # wave 94
         "bloom_prefilter_audit": sk.bloom_prefilter_audit_sql(),
+        # wave 95
+        "seasonal_decompose": ev.seasonal_decompose_sql(),
+        "seasonal_strength": ev.seasonal_strength_sql(),
     }
 
 

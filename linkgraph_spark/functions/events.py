@@ -5368,3 +5368,251 @@ def shapley_attribution_sql(
              AS shapley_conversions
     FROM sh_terms GROUP BY channel, k
     """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition: trend / day-of-week / residual (wave 95)
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_parts(events: DataFrame):
+    """Shared lattice for the wave-95 pair: densified daily revenue (u =
+    4-dp-dollar units, missing calendar days are EXACT zero-revenue days —
+    required for a calendar-correct centered MA), the 7-day centered trend
+    sum, the detrended series scaled by 7 (exact BIGINT), and the per-dow
+    seasonal numerator/denominator."""
+    day = _epoch_day("ts")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("x"))
+    )
+    rng = daily.groupBy().agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dense = (
+        rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            (((F.col("day") % 7) + 7) % 7).alias("dow"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = dense.select(
+        "day",
+        "dow",
+        "x",
+        F.when(F.count("*").over(w7) == 7, F.sum("x").over(w7)).alias("sum7"),
+    ).withColumn("d7", F.lit(7) * F.col("x") - F.col("sum7"))
+    seas = t.where(F.col("d7").isNotNull()).groupBy("dow").agg(
+        F.sum("d7").alias("s_num"), F.count("*").alias("s_cnt")
+    )
+    return t.join(seas, "dow", "left")
+
+
+def seasonal_decompose(events: DataFrame) -> DataFrame:
+    """→ [day, dow, revenue, trend, seasonal, residual] — the classical
+    additive decomposition of daily revenue (Persons 1919 lineage; the
+    moving-average method of every stats-textbook "decompose"): trend =
+    centered 7-day moving average (NULL on the 3 edge days each side),
+    seasonal = the day-of-week mean of the detrended series, residual =
+    revenue − trend − seasonal. The dashboard primitive that splits "we
+    grew" from "it's Saturday" — complements the Theil–Sen trend and the
+    per-dow profile, which each report one piece of this.
+
+    Exactness: revenue is summed in exact 4-dp units; absent calendar
+    days are densified to exact zeros (a gap would silently shift the
+    centered window off-calendar); the detrended series is kept ×7 so it
+    stays BIGINT (``d7 = 7x − Σ7``); ``dow = day mod 7`` (epoch-anchored,
+    timezone-free, Thursday = 0). Every emitted double is one staged
+    division of exact integers, identical text in both engines, rounded
+    to 4 — bit-stable. Seasonal is emitted for edge days too (the dow
+    index applies calendar-wide); residual only where trend exists.
+
+    Scale shape: one fact-table aggregate to DAY grain, then everything
+    runs on the |days| frame (a decade ≈ 3.7k rows) — the ordered windows
+    are bounded exactly like the exact-percentile/EWMA family. No second
+    pass over events.
+
+    Reference parity: no time-series surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    j = _seasonal_parts(events)
+    seasonal = F.when(
+        F.col("s_cnt") > 0,
+        F.round(
+            F.col("s_num").cast("double") / (F.lit(70000.0) * F.col("s_cnt")),
+            4,
+        ),
+    )
+    residual = F.when(
+        F.col("sum7").isNotNull() & (F.col("s_cnt") > 0),
+        F.round(
+            F.col("x") / F.lit(10000.0)
+            - F.col("sum7") / F.lit(70000.0)
+            - F.col("s_num").cast("double") / (F.lit(70000.0) * F.col("s_cnt")),
+            4,
+        ),
+    )
+    return (
+        j.select(
+            "day",
+            "dow",
+            F.round(F.col("x") / 10000.0, 4).alias("revenue"),
+            F.round(F.col("sum7") / 70000.0, 4).alias("trend"),
+            seasonal.alias("seasonal"),
+            residual.alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+_SEAS_CTES = """
+    sdaily AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS x
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ), sdense AS (
+      SELECT g.day, ((g.day % 7) + 7) % 7 AS dow, coalesce(d.x, 0) AS x
+      FROM (SELECT unnest(generate_series(
+              (SELECT min(day) FROM sdaily),
+              (SELECT max(day) FROM sdaily))) AS day) g
+      LEFT JOIN sdaily d ON d.day = g.day
+    ), st AS (
+      SELECT day, dow, x,
+             CASE WHEN count(*) OVER w = 7 THEN sum(x) OVER w END AS sum7
+      FROM sdense
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), std AS (
+      SELECT *, 7 * x - sum7 AS d7 FROM st
+    ), sseas AS (
+      SELECT dow, sum(d7) AS s_num, count(*) AS s_cnt
+      FROM std WHERE d7 IS NOT NULL GROUP BY dow
+    ), sj AS (
+      SELECT t.*, s.s_num, s.s_cnt FROM std t LEFT JOIN sseas s USING (dow)
+    )"""
+
+
+def seasonal_decompose_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`seasonal_decompose` (same staged divisions)."""
+    return f"""
+    WITH {_SEAS_CTES.format(table=table)}
+    SELECT day, dow,
+           round(x / 10000.0, 4) AS revenue,
+           round(sum7 / 70000.0, 4) AS trend,
+           CASE WHEN s_cnt > 0
+                THEN round(CAST(s_num AS DOUBLE) / (70000.0 * s_cnt), 4)
+           END AS seasonal,
+           CASE WHEN sum7 IS NOT NULL AND s_cnt > 0
+                THEN round(x / 10000.0 - sum7 / 70000.0
+                           - CAST(s_num AS DOUBLE) / (70000.0 * s_cnt), 4)
+           END AS residual
+    FROM sj ORDER BY day
+    """
+
+
+def seasonal_strength(events: DataFrame) -> DataFrame:
+    """→ one row [n_days, n_full, strength_trend, strength_seasonal] —
+    Hyndman's STL strength-of-component measures (FPP3 §4.3, public
+    formulation): ``F_T = max(0, 1 − Var(R)/Var(T+R))`` and ``F_S =
+    max(0, 1 − Var(R)/Var(S+R))`` over the full-trend-window days of
+    :func:`seasonal_decompose`. One number each for "is there a trend /
+    weekly cycle worth modeling" — the triage stat before reaching for
+    the decompose table itself.
+
+    Exactness: the residual and the detrended/deseasonalized series are
+    QUANTIZED to integer micro-dollars through the same staged divisions
+    as the decompose columns (bit-identical across engines), and each
+    population variance is the exact integer ``n·Σv² − (Σv)²`` — squares
+    and sums in DECIMAL(38,0)/HUGEINT (a micro-dollar value can pass
+    2^31.5, so its square must not touch BIGINT). The final ratio is one
+    double division of exact integers, rounded to 6; a zero-variance
+    denominator reports NULL (degenerate series, not a strength of 1).
+
+    Scale shape: identical to :func:`seasonal_decompose` plus a one-row
+    reduce over the |days| frame.
+    """
+    j = _seasonal_parts(events).where(
+        F.col("sum7").isNotNull() & (F.col("s_cnt") > 0)
+    )
+    seas_d = F.col("s_num").cast("double") / (F.lit(70000.0) * F.col("s_cnt"))
+    detr_d = F.col("x") / F.lit(10000.0) - F.col("sum7") / F.lit(70000.0)
+    res_micro = F.round(F.lit(1e6) * (detr_d - seas_d), 0).cast("long")
+    detr_micro = F.round(F.lit(1e6) * detr_d, 0).cast("long")
+    des_micro = F.round(
+        F.lit(1e6) * (F.col("x") / F.lit(10000.0) - seas_d), 0
+    ).cast("long")
+    q = j.select(
+        res_micro.alias("r"), detr_micro.alias("t"), des_micro.alias("s")
+    )
+
+    def _var_num(c):
+        d = F.col(c).cast("decimal(38,0)")
+        return (
+            F.count("*").cast("decimal(38,0)") * F.sum(d * d)
+            - F.sum(d) * F.sum(d)
+        )
+
+    n_days = events.where(F.col("value").isNotNull()).select(
+        _epoch_day("ts").alias("day")
+    ).distinct().groupBy().agg(F.count("*").cast("long").alias("n_days"))
+    s = q.groupBy().agg(
+        F.count("*").cast("long").alias("n_full"),
+        _var_num("r").alias("vr"),
+        _var_num("t").alias("vt"),
+        _var_num("s").alias("vs"),
+    )
+    return s.crossJoin(n_days).select(
+        "n_days",
+        "n_full",
+        F.when(
+            F.col("vs").cast("double") > 0,
+            F.greatest(
+                F.lit(0.0),
+                F.round(
+                    F.lit(1.0) - F.col("vr").cast("double") / F.col("vs").cast("double"), 6
+                ),
+            ),
+        ).alias("strength_trend"),
+        F.when(
+            F.col("vt").cast("double") > 0,
+            F.greatest(
+                F.lit(0.0),
+                F.round(
+                    F.lit(1.0) - F.col("vr").cast("double") / F.col("vt").cast("double"), 6
+                ),
+            ),
+        ).alias("strength_seasonal"),
+    )
+
+
+def seasonal_strength_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`seasonal_strength` — same micro
+    quantization, HUGEINT variance numerators."""
+    return f"""
+    WITH {_SEAS_CTES.format(table=table)}, sq AS (
+      SELECT
+        CAST(round(1e6 * (x / 10000.0 - sum7 / 70000.0
+               - CAST(s_num AS DOUBLE) / (70000.0 * s_cnt)), 0) AS BIGINT) AS r,
+        CAST(round(1e6 * (x / 10000.0 - sum7 / 70000.0), 0) AS BIGINT) AS t,
+        CAST(round(1e6 * (x / 10000.0
+               - CAST(s_num AS DOUBLE) / (70000.0 * s_cnt)), 0) AS BIGINT) AS s
+      FROM sj WHERE sum7 IS NOT NULL AND s_cnt > 0
+    ), sv AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_full,
+             count(*) * sum(CAST(r AS HUGEINT) * r) - sum(CAST(r AS HUGEINT)) * sum(CAST(r AS HUGEINT)) AS vr,
+             count(*) * sum(CAST(t AS HUGEINT) * t) - sum(CAST(t AS HUGEINT)) * sum(CAST(t AS HUGEINT)) AS vt,
+             count(*) * sum(CAST(s AS HUGEINT) * s) - sum(CAST(s AS HUGEINT)) * sum(CAST(s AS HUGEINT)) AS vs
+      FROM sq
+    ), snd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days FROM sdaily
+    )
+    SELECT n_days, n_full,
+           CASE WHEN CAST(vs AS DOUBLE) > 0 THEN greatest(0.0,
+                round(1.0 - CAST(vr AS DOUBLE) / CAST(vs AS DOUBLE), 6))
+           END AS strength_trend,
+           CASE WHEN CAST(vt AS DOUBLE) > 0 THEN greatest(0.0,
+                round(1.0 - CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE), 6))
+           END AS strength_seasonal
+    FROM sv, snd
+    """
