@@ -2384,6 +2384,19 @@ def q_seasonal_strength(spark, sf_dir):
     return ev.seasonal_strength(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 96 (Good-Turing counts, chi2 term selection)
+def q_good_turing_counts(spark, sf_dir):
+    return tx.good_turing_counts(_tbl(spark, sf_dir, "documents"))
+
+
+def q_gt_unseen_mass(spark, sf_dir):
+    return tx.gt_unseen_mass(_tbl(spark, sf_dir, "documents"))
+
+
+def q_chi2_terms(spark, sf_dir):
+    return tx.chi2_terms(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2580,8 +2593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. seasonal_strength — all of waves
-    2-95 plus the r4-green tail, 331 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. chi2_terms — all of waves
+    2-96 plus the r4-green tail, 334 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3039,6 +3052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 95
         "seasonal_decompose": q_seasonal_decompose,
         "seasonal_strength": q_seasonal_strength,
+        # wave 96
+        "good_turing_counts": q_good_turing_counts,
+        "gt_unseen_mass": q_gt_unseen_mass,
+        "chi2_terms": q_chi2_terms,
     }
 
 
@@ -4287,6 +4304,10 @@ def oracle_sql() -> dict[str, str]:
         # wave 95
         "seasonal_decompose": ev.seasonal_decompose_sql(),
         "seasonal_strength": ev.seasonal_strength_sql(),
+        # wave 96
+        "good_turing_counts": tx.good_turing_counts_sql(),
+        "gt_unseen_mass": tx.gt_unseen_mass_sql(),
+        "chi2_terms": tx.chi2_terms_sql(),
     }
 
 

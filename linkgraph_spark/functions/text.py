@@ -3088,3 +3088,296 @@ def term_pagerank_sql(
     ORDER BY rank DESC, term ASC
     LIMIT {int(top_n)}
     """
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing counts + unseen mass (wave 96)
+# ---------------------------------------------------------------------------
+
+
+def good_turing_counts(documents: DataFrame, max_r: int = 1000) -> DataFrame:
+    """→ [r, n_r, r_star] for term counts 1 ≤ r ≤ ``max_r`` — the
+    frequency-of-frequencies table and the plain Turing re-estimate
+    ``r* = (r+1)·N_{r+1}/N_r`` (Good 1953), the ingredient behind every
+    Good–Turing-smoothed LM and the standard "how much probability mass
+    do rare terms really deserve" diagnostic for a training corpus.
+    ``r_star`` is the UNsmoothed Turing estimate: where ``N_{r+1} = 0``
+    it is honestly 0.0 (that gap is exactly why Simple Good–Turing
+    regression exists; ``max_r`` merely caps the report — the table is
+    intrinsically tiny, at most √(2·tokens) distinct counts). Uses :func:`vocab_stats`'s
+    normalization so vocabulary views stay consistent.
+
+    Exactness: counts are exact BIGINTs all the way down (a histogram of
+    a histogram); ``r_star`` is one staged division of exact integers
+    (``N_{r+1}`` fetched by a lead over the r-ordered frame, zero unless
+    the NEXT present r is exactly r+1), rounded to 6 — bit-stable.
+
+    Scale shape: token explode (O(corpus tokens), map-side), one term
+    aggregate (Zipf-bounded), one r aggregate (≤ max distinct count —
+    tiny), one ordered window over THAT. Nothing global touches rows.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tf = (
+        documents.select(F.explode(F.split(norm, " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("r"))
+    )
+    nr = tf.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    w = Window.orderBy("r")
+    lead_r = F.lead("r").over(w)
+    lead_n = F.lead("n_r").over(w)
+    n_next = F.when(lead_r == F.col("r") + 1, lead_n).otherwise(F.lit(0))
+    return (
+        nr.select(
+            "r",
+            "n_r",
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * n_next.cast("double")
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+        )
+        .where(F.col("r") <= max_r)
+        .orderBy("r")
+    )
+
+
+def good_turing_counts_sql(table: str = "documents", max_r: int = 1000) -> str:
+    """DuckDB oracle for :func:`good_turing_counts`."""
+    return f"""
+    WITH gt_tf AS (
+      SELECT term, count(*) AS r FROM (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+        FROM {table}
+      ) WHERE term <> '' GROUP BY term
+    ), gt_nr AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM gt_tf GROUP BY r
+    ), gt_l AS (
+      SELECT r, n_r,
+             CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+                  THEN lead(n_r) OVER (ORDER BY r) ELSE 0 END AS n_next
+      FROM gt_nr
+    )
+    SELECT r, n_r,
+           round(CAST(r + 1 AS DOUBLE) * CAST(n_next AS DOUBLE)
+                 / CAST(n_r AS DOUBLE), 6) AS r_star
+    FROM gt_l WHERE r <= {int(max_r)} ORDER BY r
+    """
+
+
+def gt_unseen_mass(documents: DataFrame) -> DataFrame:
+    """→ one row [n_tokens, n_types, n_hapax, p_unseen] — the Good–Turing
+    missing-mass estimate ``P(unseen) = N_1 / N`` (hapax count over total
+    tokens, Good 1953): the one-number answer to "how open is this
+    corpus's vocabulary still", the companion scalar to
+    :func:`good_turing_counts` and the honest denominator for OOV-rate
+    planning. Exact integers; one staged division, rounded to 6; NULL on
+    an empty corpus. Scale shape: one token explode + one term aggregate
+    + a one-row reduce.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tf = (
+        documents.select(F.explode(F.split(norm, " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("r"))
+    )
+    s = tf.groupBy().agg(
+        F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return s.select(
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_hapax").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("p_unseen"),
+    )
+
+
+def gt_unseen_mass_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`gt_unseen_mass`."""
+    return f"""
+    WITH gtu_tf AS (
+      SELECT term, count(*) AS r FROM (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+        FROM {table}
+      ) WHERE term <> '' GROUP BY term
+    ), gtu_s AS (
+      SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(coalesce(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_hapax
+      FROM gtu_tf
+    )
+    SELECT n_tokens, n_types, n_hapax,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(n_hapax AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE), 6) END AS p_unseen
+    FROM gtu_s
+    """
+
+
+# ---------------------------------------------------------------------------
+# Chi-square term-language feature selection (wave 96)
+# ---------------------------------------------------------------------------
+
+
+def chi2_terms(
+    documents: DataFrame, min_df: int = 5, top_n: int = 50
+) -> DataFrame:
+    """→ [lang, term, n_lang_with, n_other_with, chi2] — the ``top_n``
+    (term, language) associations by the one-vs-rest 2×2 chi-square over
+    DOCUMENT-level term presence — the classic χ² feature-selection
+    ranking (Manning/Schütze IR-textbook formulation; public method):
+    which terms most distinguish one language's documents from the rest.
+    Terms in fewer than ``min_df`` docs are excluded (unstable cells);
+    the full term×lang lattice is scored, so "conspicuously ABSENT from
+    a language" ranks too, not just presence.
+
+    Determinism: all four cells a/b/c/d are exact BIGINTs; ``D = a·d −
+    b·c`` stays BIGINT (each product ≤ N², safe to N ≈ 3e9 docs — ANSI
+    raises past it); χ² = (N·D·D)/((a+b)(c+d)(a+c)(b+d)) is staged with
+    every factor cast to double FIRST, identical text in both engines.
+    The top-k orders by the ROUNDED chi2 (desc), then lang, then term —
+    so the limit boundary cannot flip on a last-ulp engine difference.
+    Degenerate margins (a term in every doc, a lang with every doc)
+    yield denominator 0 → NULL chi2, excluded from the ranking.
+
+    Scale shape: distinct (doc, term) explode; term df aggregate
+    (Zipf-bounded); the lattice is (filtered vocabulary) × (languages) —
+    built by a broadcastable cross join of two SMALL frames, never a
+    fact-table product; one TakeOrdered(top_n) ends it.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    dt = (
+        documents.select(
+            "doc_id", "lang", F.explode(F.split(norm, " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    vocab = (
+        dt.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("tf"))
+        .where(F.col("tf") >= min_df)
+    )
+    langs = documents.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_l")
+    )
+    n_docs = documents.groupBy().agg(F.countDistinct("doc_id").alias("n"))
+    tl = dt.join(vocab, "term", "left_semi").groupBy("term", "lang").agg(
+        F.countDistinct("doc_id").alias("a")
+    )
+    lattice = (
+        vocab.crossJoin(langs)
+        .join(tl, ["term", "lang"], "left")
+        .crossJoin(n_docs)
+        .select(
+            "lang",
+            "term",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
+            (F.col("tf") - F.coalesce(F.col("a"), F.lit(0)))
+            .cast("long")
+            .alias("b"),
+            (F.col("n_l") - F.coalesce(F.col("a"), F.lit(0)))
+            .cast("long")
+            .alias("c"),
+            (
+                F.col("n")
+                - F.col("n_l")
+                - (F.col("tf") - F.coalesce(F.col("a"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("d"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    dd = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    denom = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    chi2 = F.when(
+        denom > 0, F.round(F.col("n").cast("double") * dd * dd / denom, 6)
+    )
+    return (
+        lattice.select(
+            "lang",
+            "term",
+            F.col("a").alias("n_lang_with"),
+            F.col("b").alias("n_other_with"),
+            chi2.alias("chi2"),
+        )
+        .where(F.col("chi2").isNotNull())
+        .orderBy(F.desc("chi2"), F.asc("lang"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
+def chi2_terms_sql(
+    table: str = "documents", min_df: int = 5, top_n: int = 50
+) -> str:
+    """DuckDB oracle for :func:`chi2_terms` (same staged doubles, same
+    rounded-chi2 tie-break)."""
+    return f"""
+    WITH x2_dt AS (
+      SELECT DISTINCT doc_id, lang, term FROM (
+        SELECT doc_id, lang, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+        FROM {table}
+      ) WHERE term <> ''
+    ), x2_v AS (
+      SELECT term, count(DISTINCT doc_id) AS tf FROM x2_dt GROUP BY term
+      HAVING count(DISTINCT doc_id) >= {int(min_df)}
+    ), x2_l AS (
+      SELECT lang, count(DISTINCT doc_id) AS n_l FROM {table} GROUP BY lang
+    ), x2_n AS (
+      SELECT count(DISTINCT doc_id) AS n FROM {table}
+    ), x2_tl AS (
+      SELECT t.term, t.lang, count(DISTINCT t.doc_id) AS a
+      FROM x2_dt t JOIN x2_v v USING (term) GROUP BY t.term, t.lang
+    ), x2_cells AS (
+      SELECT l.lang, v.term,
+             CAST(coalesce(tl.a, 0) AS BIGINT) AS a,
+             CAST(v.tf - coalesce(tl.a, 0) AS BIGINT) AS b,
+             CAST(l.n_l - coalesce(tl.a, 0) AS BIGINT) AS c,
+             CAST(n.n - l.n_l - (v.tf - coalesce(tl.a, 0)) AS BIGINT) AS d,
+             CAST(n.n AS BIGINT) AS n
+      FROM x2_v v CROSS JOIN x2_l l CROSS JOIN x2_n n
+      LEFT JOIN x2_tl tl ON tl.term = v.term AND tl.lang = l.lang
+    ), x2_s AS (
+      SELECT lang, term, a AS n_lang_with, b AS n_other_with,
+             CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                       * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) > 0
+                  THEN round(CAST(n AS DOUBLE)
+                         * CAST(a * d - b * c AS DOUBLE)
+                         * CAST(a * d - b * c AS DOUBLE)
+                         / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                            * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
+                         6)
+             END AS chi2
+      FROM x2_cells
+    )
+    SELECT * FROM x2_s WHERE chi2 IS NOT NULL
+    ORDER BY chi2 DESC, lang ASC, term ASC LIMIT {int(top_n)}
+    """
