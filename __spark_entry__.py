@@ -2397,6 +2397,17 @@ def q_chi2_terms(spark, sf_dir):
     return tx.chi2_terms(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 97 (bucketed band join, A-priori triples)
+def q_price_band_pairs(spark, sf_dir):
+    return rel.price_band_pairs(_tbl(spark, sf_dir, "orders"))
+
+
+def q_frequent_triples(spark, sf_dir):
+    return rel.frequent_triples_apriori(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2593,8 +2604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. chi2_terms — all of waves
-    2-96 plus the r4-green tail, 334 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. frequent_triples — all of waves
+    2-97 plus the r4-green tail, 336 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3056,6 +3067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing_counts": q_good_turing_counts,
         "gt_unseen_mass": q_gt_unseen_mass,
         "chi2_terms": q_chi2_terms,
+        # wave 97
+        "price_band_pairs": q_price_band_pairs,
+        "frequent_triples": q_frequent_triples,
     }
 
 
@@ -4308,6 +4322,9 @@ def oracle_sql() -> dict[str, str]:
         "good_turing_counts": tx.good_turing_counts_sql(),
         "gt_unseen_mass": tx.gt_unseen_mass_sql(),
         "chi2_terms": tx.chi2_terms_sql(),
+        # wave 97
+        "price_band_pairs": rel.price_band_pairs_sql(),
+        "frequent_triples": rel.frequent_triples_apriori_sql(),
     }
 
 

@@ -2001,3 +2001,162 @@ def brand_bt_ranking_sql(n_iter: int = 50) -> str:
     FROM {prev}
     ORDER BY strength DESC, brand ASC
     """
+
+
+# ---------------------------------------------------------------------------
+# Bucketed numeric band self-join (wave 97)
+# ---------------------------------------------------------------------------
+
+
+def price_band_pairs(orders: DataFrame, band_cents: int = 100) -> DataFrame:
+    """→ [o_a, o_b, gap_cents] — every pair of orders whose total prices
+    differ by at most ``band_cents`` (o_a < o_b; the "twin transactions"
+    primitive behind price-anomaly review, near-duplicate order detection
+    and A/B invoice reconciliation).
+
+    THE point of this operator is its plan: a band predicate
+    ``|x_a − x_b| ≤ w`` is a theta-join Spark would otherwise execute as
+    BroadcastNestedLoop (O(n²) compares). Bucketing x into width-w cells
+    turns it into TWO equi-joins — same-bucket and adjacent-bucket —
+    because a qualifying pair can never sit more than one bucket apart;
+    the exact |gap| filter then prunes the cell-local false candidates.
+    Candidate volume is Σ_cell d·(d+d_next) for cell densities d — data-
+    bounded, never n². Same-bucket pairs order by key; adjacent pairs
+    can't duplicate them (a pair has one bucket distance), so the union
+    is exact with no dedup shuffle.
+
+    Prices are exact integer cents (the column's native grain), so
+    bucket ids, gaps and the oracle hash are bit-stable.
+
+    Reference parity: no band-join surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension. The
+    oracle runs the DEFINITIONAL theta join — the bucketed rewrite must
+    not change the answer, which is exactly what the gate checks.
+    """
+    w = int(band_cents)
+    p = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    ).withColumn("bkt", F.expr(f"cents div {w}"))
+    a = p.select(
+        F.col("k").alias("k_a"), F.col("cents").alias("c_a"),
+        F.col("bkt").alias("b_a"),
+    )
+    b = p.select(
+        F.col("k").alias("k_b"), F.col("cents").alias("c_b"),
+        F.col("bkt").alias("b_b"),
+    )
+    same = a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("k_a") < F.col("k_b")))
+    adj = a.join(b, F.col("b_b") == F.col("b_a") + 1)
+    cand = same.unionByName(adj)
+    return (
+        cand.where(
+            F.abs(F.col("c_a") - F.col("c_b")) <= w
+        )
+        .select(
+            F.least("k_a", "k_b").alias("o_a"),
+            F.greatest("k_a", "k_b").alias("o_b"),
+            F.abs(F.col("c_a") - F.col("c_b")).alias("gap_cents"),
+        )
+        .orderBy("o_a", "o_b")
+    )
+
+
+def price_band_pairs_sql(table: str = "orders", band_cents: int = 100) -> str:
+    """DuckDB oracle for :func:`price_band_pairs` — the definitional
+    theta join (the bucketed rewrite must reproduce it exactly)."""
+    w = int(band_cents)
+    return f"""
+    WITH pbp AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM {table}
+    )
+    SELECT a.k AS o_a, b.k AS o_b, abs(a.cents - b.cents) AS gap_cents
+    FROM pbp a JOIN pbp b
+      ON a.k < b.k AND abs(a.cents - b.cents) <= {w}
+    ORDER BY o_a, o_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# A-priori frequent triples (wave 97)
+# ---------------------------------------------------------------------------
+
+
+def frequent_triples_apriori(
+    lineitem: DataFrame, part: DataFrame, min_support: int = 5
+) -> DataFrame:
+    """→ [brand_a, brand_b, brand_c, n_abc] — frequent brand TRIPLES with
+    two levels of A-priori pruning (Agrawal & Srikant, VLDB 1994): items
+    below support are dropped before any join, and (a, b) prefixes are
+    semi-joined against the frequent-PAIR set before the third extension
+    — downward closure guarantees neither prune changes the answer, and
+    the oracle (the unpruned triple join) checks exactly that.
+
+    Scale shape: the basket table is support-filtered first (the Zipf
+    long tail never enters a join); the pair-level semi-join bounds the
+    (a, b, order) intermediate by the frequent-pair support mass instead
+    of C(basket, 2); all joins are order-keyed equi-joins whose fan-out
+    is C(frequent-brands-per-basket, 3) — bounded by basket width, not
+    data volume. The frequent sets broadcast.
+    """
+    s = int(min_support)
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    frequent = (
+        baskets.groupBy("p_brand")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= s)
+        .select("p_brand")
+    )
+    pruned = baskets.join(F.broadcast(frequent), "p_brand", "left_semi")
+    a = pruned.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_a"))
+    b = pruned.select(F.col("l_orderkey").alias("_ok2"), F.col("p_brand").alias("brand_b"))
+    c = pruned.select(F.col("l_orderkey").alias("_ok3"), F.col("p_brand").alias("brand_c"))
+    ab = a.join(b, (a._ok == b._ok2) & (F.col("brand_a") < F.col("brand_b"))).select(
+        "_ok", "brand_a", "brand_b"
+    )
+    l2 = (
+        ab.groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("_n2"))
+        .where(F.col("_n2") >= s)
+        .select("brand_a", "brand_b")
+    )
+    ab_pruned = ab.join(F.broadcast(l2), ["brand_a", "brand_b"], "left_semi")
+    abc = ab_pruned.join(
+        c, (F.col("_ok") == c._ok3) & (F.col("brand_b") < F.col("brand_c"))
+    )
+    return (
+        abc.groupBy("brand_a", "brand_b", "brand_c")
+        .agg(F.count("*").cast("long").alias("n_abc"))
+        .where(F.col("n_abc") >= s)
+        .orderBy("brand_a", "brand_b", "brand_c")
+    )
+
+
+def frequent_triples_apriori_sql(min_support: int = 5) -> str:
+    """Oracle: the unpruned triple join — both A-priori prunes must not
+    change the answer (downward closure), which is what this checks."""
+    s = int(min_support)
+    return f"""
+    WITH tbaskets AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, c.p_brand AS brand_c,
+           CAST(count(*) AS BIGINT) AS n_abc
+    FROM tbaskets a
+    JOIN tbaskets b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    JOIN tbaskets c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= {s}
+    ORDER BY brand_a, brand_b, brand_c
+    """
