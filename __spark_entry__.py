@@ -2408,6 +2408,15 @@ def q_frequent_triples(spark, sf_dir):
     )
 
 
+# ---------------------- wave 98 (pass@k, Wilson intervals)
+def q_pass_at_k(spark, sf_dir):
+    return ml.pass_at_k(_tbl(spark, sf_dir, "events"), target="purchase")
+
+
+def q_conversion_wilson_ci(spark, sf_dir):
+    return ml.conversion_wilson_ci(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2604,8 +2613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. frequent_triples — all of waves
-    2-97 plus the r4-green tail, 336 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. conversion_wilson_ci — all of waves
+    2-98 plus the r4-green tail, 338 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3070,6 +3079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 97
         "price_band_pairs": q_price_band_pairs,
         "frequent_triples": q_frequent_triples,
+        # wave 98
+        "pass_at_k": q_pass_at_k,
+        "conversion_wilson_ci": q_conversion_wilson_ci,
     }
 
 
@@ -4325,6 +4337,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 97
         "price_band_pairs": rel.price_band_pairs_sql(),
         "frequent_triples": rel.frequent_triples_apriori_sql(),
+        # wave 98
+        "pass_at_k": ml.pass_at_k_sql(target="purchase"),
+        "conversion_wilson_ci": ml.conversion_wilson_ci_sql(),
     }
 
 

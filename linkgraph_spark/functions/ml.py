@@ -1187,3 +1187,178 @@ def calibration_bins_sql(
            round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate
     FROM cal_te GROUP BY 1 ORDER BY bin
     """
+
+
+# ---------------------------------------------------------------------------
+# pass@k + Wilson intervals: eval-suite scalars (wave 98)
+# ---------------------------------------------------------------------------
+
+_PASS_MAX_K = 10
+
+
+def _pass_fail_expr() -> str:
+    """Shared fail-probability expression: the unbiased pass@k estimator's
+    complement ``C(n−c, k)/C(n, k)`` written as the telescoping product
+    ``Π_{i<k} (n−c−i)/(n−i)`` (Chen et al. 2021, "Evaluating Large
+    Language Models Trained on Code" — public formulation). Each factor
+    is one IEEE division of exact integers and the chain is a fixed
+    literal of ``_PASS_MAX_K`` conditional factors, so both engines
+    multiply the same doubles in the same order. ``n−c < k`` means the
+    failure set cannot fill k draws — fail probability exactly 0."""
+    factors = " * ".join(
+        f"(CASE WHEN {i} < k THEN CAST(n - c - {i} AS DOUBLE)"
+        f" / CAST(n - {i} AS DOUBLE) ELSE 1.0 END)"
+        for i in range(_PASS_MAX_K)
+    )
+    return f"(CASE WHEN n - c >= k THEN {factors} ELSE 0.0 END)"
+
+
+def pass_at_k(
+    events: DataFrame, target: str = "purchase", ks: tuple = (1, 5, 10)
+) -> DataFrame:
+    """→ [k, n_users, pass_at_k] — the UNBIASED pass@k estimator
+    ``1 − C(n−c, k)/C(n, k)`` (Chen et al. 2021) averaged over users,
+    reading each user's events as attempts (n) and ``target`` events as
+    successes (c). The model-eval scalar every code/agent benchmark
+    reports, computed as a relational aggregate; any (attempts,
+    successes) grain drops in. Users with fewer than k attempts are
+    excluded (the estimator is undefined there — Chen et al.'s n ≥ k
+    requirement), and ``n_users`` reports the population actually
+    averaged, so a shrinking cohort at large k is visible, not hidden.
+
+    Exactness: the per-user failure probability is the telescoping
+    product of exact-integer divisions (one shared literal expression —
+    see :func:`_pass_fail_expr`), QUANTIZED to integer nano-units so the
+    cross-user mean is an order-invariant BIGINT sum; ``pass_at_k`` is
+    its rounded complement, NULL when no user qualifies. Bound: fits
+    BIGINT while n_users < 9.2e9. ``k ≤ 10`` (the literal chain length);
+    larger k raises an explicit error rather than a silent truncation.
+
+    Scale shape: one user-grain aggregate (map-side combinable), a
+    3-row k lattice cross-joined onto it, one grouped sum. No windows,
+    no second fact pass.
+
+    Reference parity: no eval surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    if max(ks) > _PASS_MAX_K:
+        raise ValueError(f"pass_at_k supports k <= {_PASS_MAX_K}, got {max(ks)}")
+    u = events.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("c"),
+    )
+    kdf = u.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(ks)], "k int"
+    )
+    j = u.crossJoin(kdf).where(F.col("n") >= F.col("k"))
+    fail_nano = F.round(F.lit(1e9) * F.expr(_pass_fail_expr()), 0).cast("long")
+    s = j.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(fail_nano).alias("fail_sum"),
+    )
+    return s.select(
+        "k",
+        "n_users",
+        F.round(
+            (
+                F.lit(1e9) * F.col("n_users").cast("double")
+                - F.col("fail_sum").cast("double")
+            )
+            / (F.lit(1e9) * F.col("n_users").cast("double")),
+            6,
+        ).alias("pass_at_k"),
+    ).orderBy("k")
+
+
+def pass_at_k_sql(
+    target: str = "purchase", table: str = "events", ks: tuple = (1, 5, 10)
+) -> str:
+    """DuckDB oracle for :func:`pass_at_k` — same literal factor chain,
+    same nano quantization."""
+    t = target.replace("'", "''")
+    kvals = ", ".join(f"({int(k)})" for k in sorted(ks))
+    return f"""
+    WITH pak_u AS (
+      SELECT user_id, count(*) AS n,
+             sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS c
+      FROM {table} GROUP BY user_id
+    ), pak_k (k) AS (VALUES {kvals}),
+    pak_j AS (
+      SELECT k, n, c,
+             CAST(round(1e9 * {_pass_fail_expr()}, 0) AS BIGINT) AS fail_nano
+      FROM pak_u CROSS JOIN pak_k WHERE n >= k
+    ), pak_s AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_users,
+             sum(fail_nano) AS fail_sum
+      FROM pak_j GROUP BY k
+    )
+    SELECT k, n_users,
+           round((1e9 * CAST(n_users AS DOUBLE) - CAST(fail_sum AS DOUBLE))
+                 / (1e9 * CAST(n_users AS DOUBLE)), 6) AS pass_at_k
+    FROM pak_s ORDER BY k
+    """
+
+
+_WILSON_STAGE = [
+    "metric",
+    "x",
+    "n",
+    "round(CAST(x AS DOUBLE) / n, 6) AS rate",
+    "round((CAST(x AS DOUBLE) / n + 1.9208 / n"
+    " - 1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n) / n"
+    " + 0.9604 / (CAST(n AS DOUBLE) * n)))"
+    " / (1.0 + 3.8416 / n), 6) AS wilson_lo",
+    "round((CAST(x AS DOUBLE) / n + 1.9208 / n"
+    " + 1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n) / n"
+    " + 0.9604 / (CAST(n AS DOUBLE) * n)))"
+    " / (1.0 + 3.8416 / n), 6) AS wilson_hi",
+]
+
+
+def conversion_wilson_ci(events: DataFrame) -> DataFrame:
+    """→ [metric, x, n, rate, wilson_lo, wilson_hi] — per event type, the
+    share of users who ever perform it, with the 95% WILSON score
+    interval (Wilson 1927; z = 1.96 baked in as exact literals 1.9208 =
+    z², 0.9604 = z²/2² …/2, 3.8416 = 2z²… the standard constants) — the
+    binomial CI that behaves at rates near 0/1 where the Wald interval
+    collapses, and the honest error bar under every conversion-rate
+    dashboard number.
+
+    Exactness: x and n are exact user counts; every double is produced
+    by ONE shared expression string (``_WILSON_STAGE``) evaluated by
+    both engines over identical integers, so sqrt/rounding agree
+    bit-for-bit. Wilson bounds live in [0, 1] by construction — no
+    clamping needed. Scale shape: one distinct (user, type) projection,
+    one metric-grain aggregate, a broadcast one-row user total.
+    """
+    n_users = events.select(
+        F.countDistinct("user_id").cast("long").alias("n")
+    )
+    per = (
+        events.select("user_id", F.col("event_type").alias("metric"))
+        .distinct()
+        .groupBy("metric")
+        .agg(F.count("*").cast("long").alias("x"))
+        .crossJoin(n_users)
+    )
+    return per.selectExpr(*_WILSON_STAGE).orderBy("metric")
+
+
+def conversion_wilson_ci_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`conversion_wilson_ci` (same staged
+    expression strings)."""
+    cols = ",\n           ".join(_WILSON_STAGE)
+    return f"""
+    WITH wci_n AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM {table}
+    ), wci_x AS (
+      SELECT metric, CAST(count(*) AS BIGINT) AS x FROM (
+        SELECT DISTINCT user_id, event_type AS metric FROM {table}
+      ) GROUP BY metric
+    )
+    SELECT {cols}
+    FROM wci_x CROSS JOIN wci_n
+    ORDER BY metric
+    """
