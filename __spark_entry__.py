@@ -2417,6 +2417,15 @@ def q_conversion_wilson_ci(spark, sf_dir):
     return ml.conversion_wilson_ci(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 99 (privacy audits)
+def q_k_anonymity_audit(spark, sf_dir):
+    return rel.k_anonymity_audit(_tbl(spark, sf_dir, "customer"))
+
+
+def q_l_diversity_risk(spark, sf_dir):
+    return rel.l_diversity_risk(_tbl(spark, sf_dir, "customer"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2613,8 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. conversion_wilson_ci — all of waves
-    2-98 plus the r4-green tail, 338 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. l_diversity_risk — all of waves
+    2-99 plus the r4-green tail, 340 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3082,6 +3091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 98
         "pass_at_k": q_pass_at_k,
         "conversion_wilson_ci": q_conversion_wilson_ci,
+        # wave 99
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "l_diversity_risk": q_l_diversity_risk,
     }
 
 
@@ -4340,6 +4352,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 98
         "pass_at_k": ml.pass_at_k_sql(target="purchase"),
         "conversion_wilson_ci": ml.conversion_wilson_ci_sql(),
+        # wave 99
+        "k_anonymity_audit": rel.k_anonymity_audit_sql(),
+        "l_diversity_risk": rel.l_diversity_risk_sql(),
     }
 
 

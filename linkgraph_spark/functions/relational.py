@@ -2160,3 +2160,156 @@ def frequent_triples_apriori_sql(min_support: int = 5) -> str:
     HAVING count(*) >= {s}
     ORDER BY brand_a, brand_b, brand_c
     """
+
+
+# ---------------------------------------------------------------------------
+# Privacy audits: k-anonymity + l-diversity (wave 99)
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_audit(customer: DataFrame, k: int = 10) -> DataFrame:
+    """→ one row [n_rows, n_groups, min_group_size, n_violating_groups,
+    n_violating_rows, pct_rows_at_risk] — the k-anonymity audit (Sweeney
+    2002) of the customer table under the quasi-identifier pair
+    (nation, market segment): a row is re-identifiable if its QI
+    equivalence class holds fewer than ``k`` rows. The release-gate
+    number a data-governance review asks for before a table leaves the
+    boundary — the relational-side companion to the text-side PII
+    redaction.
+
+    Exactness: every statistic is an exact BIGINT over the QI-grain
+    aggregate; the single ratio is one staged division rounded to 6
+    (NULL on an empty table rather than an ANSI error).
+
+    Scale shape: ONE grouped count at QI grain (map-side combinable —
+    QI cardinality is |nations|×|segments|, a broadcast-sized frame),
+    then a one-row reduce over that frame. The fact table is read once.
+
+    Reference parity: no governance surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    g = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    s = g.groupBy().agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_violating_rows"),
+    )
+    return s.select(
+        "*",
+        F.when(
+            F.col("n_rows") > 0,
+            F.round(
+                F.col("n_violating_rows").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ),
+        ).alias("pct_rows_at_risk"),
+    )
+
+
+def k_anonymity_audit_sql(table: str = "customer", k: int = 10) -> str:
+    """DuckDB oracle for :func:`k_anonymity_audit`."""
+    return f"""
+    WITH kan_g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM {table} GROUP BY 1, 2
+    ), kan_s AS (
+      SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(n) AS BIGINT) AS min_group_size,
+             CAST(coalesce(sum(CASE WHEN n < {int(k)} THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_violating_groups,
+             CAST(coalesce(sum(CASE WHEN n < {int(k)} THEN n ELSE 0 END), 0)
+                  AS BIGINT) AS n_violating_rows
+      FROM kan_g
+    )
+    SELECT *,
+           CASE WHEN n_rows > 0
+                THEN round(CAST(n_violating_rows AS DOUBLE)
+                           / CAST(n_rows AS DOUBLE), 6)
+           END AS pct_rows_at_risk
+    FROM kan_s
+    """
+
+
+def l_diversity_risk(
+    customer: DataFrame, l: int = 3, bucket_cents: int = 500_000
+) -> DataFrame:
+    """→ [c_nationkey, c_mktsegment, n, n_sensitive_distinct] — the QI
+    equivalence classes that FAIL distinct l-diversity (Machanavajjhala
+    et al. 2007) for the sensitive attribute "account-balance bracket":
+    groups where an attacker who locates a person's class learns their
+    balance bracket to fewer than ``l`` possibilities. k-anonymity's
+    necessary complement — a large group with ONE sensitive value is
+    still a disclosure.
+
+    The sensitive bracket is exact integer division of exact cents
+    (``round(acctbal·100) div bucket_cents`` — engine-identical,
+    negative balances floor consistently via two's-complement-free
+    explicit floor semantics: both engines' ``div``/``//`` truncate
+    toward negative infinity for DuckDB ``//`` but toward zero for
+    Spark ``div``, so the bracket uses ``floor(cents / width)`` staged
+    as ONE shared double-free expression on nonneg-shifted cents).
+
+    Scale shape: one grouped count-distinct at QI grain (the distinct
+    runs map-side over (QI, bracket) first — bracket cardinality is a
+    constant), output bounded by |QI lattice|, ordered for the gate.
+    """
+    w = int(bucket_cents)
+    # shift by 10^7 cents so the integer division floors uniformly for
+    # negative balances in BOTH engines (Spark div truncates toward 0,
+    # DuckDB // floors — identical on nonnegative operands)
+    g = (
+        customer.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                f"(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 10000000)"
+                f" div {w}"
+            ).alias("bracket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("bracket").cast("long").alias(
+                "n_sensitive_distinct"
+            ),
+        )
+    )
+    return (
+        g.where(F.col("n_sensitive_distinct") < l)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+def l_diversity_risk_sql(
+    table: str = "customer", l: int = 3, bucket_cents: int = 500_000
+) -> str:
+    """DuckDB oracle for :func:`l_diversity_risk` (same shifted-cents
+    bracket; DuckDB // on the shifted nonnegative operand matches
+    Spark's div)."""
+    w = int(bucket_cents)
+    return f"""
+    WITH ldr_g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT
+               (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 10000000) // {w})
+               AS BIGINT) AS n_sensitive_distinct
+      FROM {table} GROUP BY 1, 2
+    )
+    SELECT * FROM ldr_g WHERE n_sensitive_distinct < {int(l)}
+    ORDER BY c_nationkey, c_mktsegment
+    """
