@@ -2426,6 +2426,15 @@ def q_l_diversity_risk(spark, sf_dir):
     return rel.l_diversity_risk(_tbl(spark, sf_dir, "customer"))
 
 
+# ---------------------- wave 100 (streaks, hour entropy)
+def q_activity_streaks(spark, sf_dir):
+    return ev.activity_streaks(_tbl(spark, sf_dir, "events"))
+
+
+def q_user_hour_entropy(spark, sf_dir):
+    return ev.user_hour_entropy(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2622,8 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. l_diversity_risk — all of waves
-    2-99 plus the r4-green tail, 340 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. user_hour_entropy — all of waves
+    2-100 plus the r4-green tail, 342 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3094,6 +3103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 99
         "k_anonymity_audit": q_k_anonymity_audit,
         "l_diversity_risk": q_l_diversity_risk,
+        # wave 100
+        "activity_streaks": q_activity_streaks,
+        "user_hour_entropy": q_user_hour_entropy,
     }
 
 
@@ -4355,6 +4367,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 99
         "k_anonymity_audit": rel.k_anonymity_audit_sql(),
         "l_diversity_risk": rel.l_diversity_risk_sql(),
+        # wave 100
+        "activity_streaks": ev.activity_streaks_sql(),
+        "user_hour_entropy": ev.user_hour_entropy_sql(),
     }
 
 

@@ -5616,3 +5616,137 @@ def seasonal_strength_sql(table: str = "events") -> str:
            END AS strength_seasonal
     FROM sv, snd
     """
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks + hour-of-day entropy (wave 100)
+# ---------------------------------------------------------------------------
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """→ [streak_days, n_users] — the distribution of each user's LONGEST
+    run of consecutive active calendar days (the retention/habit metric
+    behind "7-day streak" product mechanics; the engagement-depth
+    companion to :func:`dau_wau`'s stickiness ratio). A user active on
+    days {1,2,3, 7,8} scores 3.
+
+    Gaps-and-islands at USER-DAY grain: distinct (user, day), islands
+    key ``day − row_number()`` per user, streak = island size, per-user
+    max, then one global histogram. Exact integers end-to-end — the
+    oracle hash is bit-stable.
+
+    Scale shape: the fact table collapses to distinct user-days first
+    (map-side combinable); every window partitions BY USER (bounded by a
+    user's active days, never global); the final histogram is a grouped
+    count over users. No single-partition sort anywhere.
+
+    Reference parity: no engagement surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    day = _epoch_day("ts")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = (F.col("day") - F.row_number().over(w)).alias("grp")
+    streaks = (
+        ud.select("user_id", "day", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").cast("long").alias("streak_days"))
+    )
+    return (
+        streaks.groupBy("streak_days")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("streak_days")
+    )
+
+
+def activity_streaks_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`activity_streaks`."""
+    return f"""
+    WITH stk_ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      FROM {table}
+    ), stk_g AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM stk_ud
+    ), stk_s AS (
+      SELECT user_id, CAST(max(len) AS BIGINT) AS streak_days FROM (
+        SELECT user_id, grp, count(*) AS len FROM stk_g GROUP BY 1, 2
+      ) GROUP BY user_id
+    )
+    SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+    FROM stk_s GROUP BY streak_days ORDER BY streak_days
+    """
+
+
+def user_hour_entropy(events: DataFrame) -> DataFrame:
+    """→ [user_id, n_events, n_hours_active, entropy] — per user, the
+    Shannon entropy (nats) of their hour-of-day activity distribution
+    over 24 UTC bins: a human sleeps (low entropy, ≤ ~2.5), a cron job
+    doesn't (uniform ≈ ln 24 ≈ 3.178) — the classic bot-likeness signal
+    in abuse triage, as one relational aggregate.
+
+    Determinism: hour counts are exact; each entropy term
+    ``p_h·ln(p_h)`` is computed from one IEEE division of exact integers
+    and QUANTIZED to integer micro-nats before summing (the NB-scoring
+    trick), so the per-user sum is order-invariant and the oracle hash
+    is bit-stable; ``entropy`` is the rounded negated sum. Single-hour
+    users get exactly 0.0 (ln 1 = 0 — no special case needed).
+
+    Scale shape: one aggregate to (user, hour) grain, one to user grain
+    — both map-side combinable, no windows, no second fact pass.
+    """
+    hour = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000))
+        % 24
+    ).alias("hour")
+    uh = events.select("user_id", hour).groupBy("user_id", "hour").agg(
+        F.count("*").alias("c")
+    )
+    wn = Window.partitionBy("user_id")
+    n = F.sum("c").over(wn)
+    term = F.round(
+        F.lit(1e6)
+        * (F.col("c").cast("double") / F.col("n"))
+        * F.expr("ln(CAST(c AS DOUBLE) / n)"),
+        0,
+    ).cast("long")
+    per = uh.withColumn("n", n).withColumn("t", term)
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_hours_active"),
+            F.round(-F.sum("t") / F.lit(1e6), 6).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_hour_entropy_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`user_hour_entropy` (same micro-nat
+    quantization)."""
+    return f"""
+    WITH uhe_c AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hour,
+             count(*) AS c
+      FROM {table} GROUP BY 1, 2
+    ), uhe_n AS (
+      SELECT *, sum(c) OVER (PARTITION BY user_id) AS n FROM uhe_c
+    ), uhe_t AS (
+      SELECT user_id, n, c,
+             CAST(round(1e6 * (CAST(c AS DOUBLE) / n)
+                        * ln(CAST(c AS DOUBLE) / n), 0) AS BIGINT) AS t
+      FROM uhe_n
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_hours_active,
+           round(-sum(t) / 1e6, 6) AS entropy
+    FROM uhe_t GROUP BY user_id ORDER BY user_id
+    """
