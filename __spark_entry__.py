@@ -2435,6 +2435,15 @@ def q_user_hour_entropy(spark, sf_dir):
     return ev.user_hour_entropy(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 101 (supply-concentration risk)
+def q_supplier_concentration(spark, sf_dir):
+    return rel.supplier_concentration(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_single_source_audit(spark, sf_dir):
+    return rel.single_source_audit(_tbl(spark, sf_dir, "lineitem"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2631,8 +2640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. user_hour_entropy — all of waves
-    2-100 plus the r4-green tail, 342 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. single_source_audit — all of waves
+    2-101 plus the r4-green tail, 344 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3106,6 +3115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 100
         "activity_streaks": q_activity_streaks,
         "user_hour_entropy": q_user_hour_entropy,
+        # wave 101
+        "supplier_concentration": q_supplier_concentration,
+        "single_source_audit": q_single_source_audit,
     }
 
 
@@ -4370,6 +4382,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 100
         "activity_streaks": ev.activity_streaks_sql(),
         "user_hour_entropy": ev.user_hour_entropy_sql(),
+        # wave 101
+        "supplier_concentration": rel.supplier_concentration_sql(),
+        "single_source_audit": rel.single_source_audit_sql(),
     }
 
 

@@ -2313,3 +2313,180 @@ def l_diversity_risk_sql(
     SELECT * FROM ldr_g WHERE n_sensitive_distinct < {int(l)}
     ORDER BY c_nationkey, c_mktsegment
     """
+
+
+# ---------------------------------------------------------------------------
+# Supply-concentration risk (wave 101)
+# ---------------------------------------------------------------------------
+
+
+def supplier_concentration(lineitem: DataFrame, top_n: int = 50) -> DataFrame:
+    """→ [p_partkey, n_suppliers, total_qty, hhi] — the ``top_n`` parts by
+    Herfindahl–Hirschman concentration of shipped quantity across their
+    suppliers (HHI = Σ share², 1.0 = single-sourced) — the procurement
+    risk ranking behind "which parts have no second source". Complements
+    the degree-distribution HHI (hub skew) with the supply-chain view.
+
+    Exactness: quantities are exact centi-units (the column's native
+    grain); per-part Σq_i² and (Σq_i)² stay BIGINT (a supplier's part
+    quantity would need to pass ~3e9 centi-units before the square
+    threatens 2^63 — ANSI raises, never wraps); ``hhi`` is one staged
+    division of those integers rounded to 6, and the top-k orders by the
+    ROUNDED hhi (desc, then partkey) so the limit boundary is
+    engine-stable. ``total_qty`` returns to whole units, rounded to 2.
+
+    Scale shape: one aggregate to (part, supplier) grain, one to part
+    grain — both map-side combinable — then TakeOrdered(top_n). No
+    windows, no self-joins.
+
+    Reference parity: no supply-chain surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    ps = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("qs"))
+    )
+    per = ps.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("qs").alias("qt"),
+        F.sum(F.col("qs") * F.col("qs")).alias("q2"),
+    )
+    return (
+        per.where(F.col("qt") > 0)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "n_suppliers",
+            F.round(F.col("qt") / 100.0, 2).alias("total_qty"),
+            F.round(
+                F.col("q2").cast("double")
+                / (F.col("qt").cast("double") * F.col("qt").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), F.asc("p_partkey"))
+        .limit(int(top_n))
+    )
+
+
+def supplier_concentration_sql(table: str = "lineitem", top_n: int = 50) -> str:
+    """DuckDB oracle for :func:`supplier_concentration` (same staged
+    division, same rounded-hhi tie-break)."""
+    return f"""
+    WITH spc_ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qs
+      FROM {table} GROUP BY 1, 2
+    ), spc_p AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             sum(qs) AS qt, sum(qs * qs) AS q2
+      FROM spc_ps GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey, n_suppliers,
+           round(qt / 100.0, 2) AS total_qty,
+           round(CAST(q2 AS DOUBLE)
+                 / (CAST(qt AS DOUBLE) * CAST(qt AS DOUBLE)), 6) AS hhi
+    FROM spc_p WHERE qt > 0
+    ORDER BY hhi DESC, p_partkey ASC LIMIT {int(top_n)}
+    """
+
+
+def single_source_audit(lineitem: DataFrame) -> DataFrame:
+    """→ one row [n_parts, n_single_sourced, n_dominated, pct_single,
+    pct_dominated] — the procurement-resilience audit: how many traded
+    parts ship from exactly ONE supplier, and how many are DOMINATED —
+    top supplier carrying ≥ 4/5 of the part's quantity. The dominance
+    test is the exact integer predicate ``5·max_supplier_qty ≥ 4·total``
+    (no doubles anywhere near the decision), so the classification — and
+    therefore the oracle hash — cannot drift between engines.
+    Single-sourced parts count as dominated too (their top share is 1).
+
+    Scale shape: (part, supplier) aggregate → part-grain aggregate (max
+    + sum + count, map-side combinable) → one-row reduce. One fact read.
+    """
+    ps = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("qs"))
+    )
+    per = ps.groupBy("l_partkey").agg(
+        F.count("*").alias("ns"),
+        F.max("qs").alias("mx"),
+        F.sum("qs").alias("qt"),
+    )
+    s = per.where(F.col("qt") > 0).groupBy().agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.coalesce(
+            F.sum(F.when(F.col("ns") == 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_single_sourced"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.lit(5) * F.col("mx") >= F.lit(4) * F.col("qt"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_dominated"),
+    )
+    return s.select(
+        "*",
+        F.when(
+            F.col("n_parts") > 0,
+            F.round(
+                F.col("n_single_sourced").cast("double")
+                / F.col("n_parts").cast("double"),
+                6,
+            ),
+        ).alias("pct_single"),
+        F.when(
+            F.col("n_parts") > 0,
+            F.round(
+                F.col("n_dominated").cast("double")
+                / F.col("n_parts").cast("double"),
+                6,
+            ),
+        ).alias("pct_dominated"),
+    )
+
+
+def single_source_audit_sql(table: str = "lineitem") -> str:
+    """DuckDB oracle for :func:`single_source_audit` (same exact integer
+    dominance predicate)."""
+    return f"""
+    WITH ssa_ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qs
+      FROM {table} GROUP BY 1, 2
+    ), ssa_p AS (
+      SELECT l_partkey, count(*) AS ns, max(qs) AS mx, sum(qs) AS qt
+      FROM ssa_ps GROUP BY 1
+    ), ssa_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(coalesce(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_single_sourced,
+             CAST(coalesce(sum(CASE WHEN 5 * mx >= 4 * qt THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS n_dominated
+      FROM ssa_p WHERE qt > 0
+    )
+    SELECT *,
+           CASE WHEN n_parts > 0
+                THEN round(CAST(n_single_sourced AS DOUBLE)
+                           / CAST(n_parts AS DOUBLE), 6) END AS pct_single,
+           CASE WHEN n_parts > 0
+                THEN round(CAST(n_dominated AS DOUBLE)
+                           / CAST(n_parts AS DOUBLE), 6) END AS pct_dominated
+    FROM ssa_s
+    """
