@@ -2444,6 +2444,15 @@ def q_single_source_audit(spark, sf_dir):
     return rel.single_source_audit(_tbl(spark, sf_dir, "lineitem"))
 
 
+# ---------------------- wave 102 (KS test, Q-Q deciles)
+def q_ks_test_values(spark, sf_dir):
+    return ev.ks_test_values(_tbl(spark, sf_dir, "events"))
+
+
+def q_qq_deciles(spark, sf_dir):
+    return ev.qq_deciles(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2640,8 +2649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. single_source_audit — all of waves
-    2-101 plus the r4-green tail, 344 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. qq_deciles — all of waves
+    2-102 plus the r4-green tail, 346 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3118,6 +3127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 101
         "supplier_concentration": q_supplier_concentration,
         "single_source_audit": q_single_source_audit,
+        # wave 102
+        "ks_test_values": q_ks_test_values,
+        "qq_deciles": q_qq_deciles,
     }
 
 
@@ -4385,6 +4397,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 101
         "supplier_concentration": rel.supplier_concentration_sql(),
         "single_source_audit": rel.single_source_audit_sql(),
+        # wave 102
+        "ks_test_values": ev.ks_test_values_sql(),
+        "qq_deciles": ev.qq_deciles_sql(),
     }
 
 

@@ -5750,3 +5750,233 @@ def user_hour_entropy_sql(table: str = "events") -> str:
            round(-sum(t) / 1e6, 6) AS entropy
     FROM uhe_t GROUP BY user_id ORDER BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS test + Q-Q deciles (wave 102)
+# ---------------------------------------------------------------------------
+
+# Asymptotic two-sided KS p-value: Q_KS(lambda) = 2 Sum_{j>=1} (-1)^{j-1}
+# e^{-2 j^2 lambda^2}, truncated at j = 5 (terms decay like e^{-2j^2};
+# at the lambda where truncation error could matter, p is already ~1 and
+# clamped). lambda uses the Stephens (1970) small-sample correction.
+# Shared literal expression so both engines stage identical doubles.
+_KS_P_EXPR = (
+    "least(1.0, greatest(0.0, 2.0 * ("
+    + " + ".join(
+        f"({'-1.0' if j % 2 == 0 else '1.0'})"
+        f" * exp(-2.0 * {j * j}.0 * lam * lam)"
+        for j in range(1, 6)
+    )
+    + ")))"
+)
+
+
+def ks_test_values(
+    events: DataFrame, type_a: str = "purchase", type_b: str = "click"
+) -> DataFrame:
+    """→ one row [n_a, n_b, d, p_value] — the two-sample Kolmogorov–
+    Smirnov test comparing the ``value`` distributions of two event
+    types (Kolmogorov 1933; Smirnov 1948): D = sup |F_a − F_b| computed
+    EXACTLY, p from the standard asymptotic series with the Stephens
+    (1970) effective-n correction (Numerical-Recipes formulation —
+    public). The distribution-drift test that PSI's fixed bins
+    approximate; this one is binless and exact in D.
+
+    Exactness: values collapse to exact-cent grain; the ECDF gap at each
+    grid point is the exact integer |c_a·n_b − c_b·n_a| (DECIMAL(38,0)/
+    HUGEINT — the product touches n² at ~3e9 rows per side), maxed over
+    the grid; ``d`` is that max over n_a·n_b (one staged division,
+    rounded 6). The p-value series is one shared literal expression
+    (5 terms, clamped to [0,1]); truncation error is < 1e-7 wherever
+    p < 0.999. NULL d/p when either sample is empty.
+
+    Scale shape: one aggregate to (type, cent) grain — a HISTOGRAM —
+    then the cumulative window and the max reduce run over that bounded
+    frame, never over events.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    ta, tb = str(type_a), str(type_b)
+    g = (
+        events.where(
+            F.col("event_type").isin(ta, tb) & F.col("value").isNotNull()
+        )
+        .select(
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+            F.when(F.col("event_type") == ta, 1).otherwise(0).alias("ia"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("ia").alias("ca_g"),
+            F.sum(F.lit(1) - F.col("ia")).alias("cb_g"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    c = g.select(
+        F.sum("ca_g").over(w).alias("ca"),
+        F.sum("cb_g").over(w).alias("cb"),
+        F.sum("ca_g").over(wa).alias("na"),
+        F.sum("cb_g").over(wa).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cb").cast("decimal(38,0)") * F.col("na")
+    )
+    s = c.groupBy().agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max(gap).alias("d_num"),
+    )
+    d = (
+        s.withColumn(
+            "d_raw",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            ),
+        )
+        .withColumn(
+            "ne",
+            F.expr(
+                "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+                " CAST(n_a AS DOUBLE) * n_b / (CAST(n_a AS DOUBLE) + n_b) END"
+            ),
+        )
+        .withColumn(
+            "lam",
+            F.expr(
+                "CASE WHEN ne > 0 THEN"
+                " (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d_raw END"
+            ),
+        )
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round("d_raw", 6).alias("d"),
+        F.when(F.col("d_raw").isNotNull(), F.round(F.expr(_KS_P_EXPR), 6)).alias(
+            "p_value"
+        ),
+    )
+
+
+def ks_test_values_sql(
+    type_a: str = "purchase", type_b: str = "click", table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`ks_test_values` — same HUGEINT gap, same
+    literal p-value series."""
+    a = type_a.replace("'", "''")
+    b = type_b.replace("'", "''")
+    return f"""
+    WITH kst_g AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+             sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS ca_g,
+             sum(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS cb_g
+      FROM {table}
+      WHERE event_type IN ('{a}', '{b}') AND value IS NOT NULL
+      GROUP BY 1
+    ), kst_c AS (
+      SELECT sum(ca_g) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             sum(cb_g) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             sum(ca_g) OVER () AS na, sum(cb_g) OVER () AS nb
+      FROM kst_g
+    ), kst_s AS (
+      SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             max(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+               AS d_num
+      FROM kst_c
+    ), kst_d AS (
+      SELECT n_a, n_b,
+             CASE WHEN n_a > 0 AND n_b > 0
+                  THEN CAST(d_num AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             END AS d_raw,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               CAST(n_a AS DOUBLE) * n_b / (CAST(n_a AS DOUBLE) + n_b)
+             END AS ne
+      FROM kst_s
+    ), kst_l AS (
+      SELECT *, CASE WHEN ne > 0 THEN
+                  (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d_raw END AS lam
+      FROM kst_d
+    )
+    SELECT n_a, n_b, round(d_raw, 6) AS d,
+           CASE WHEN d_raw IS NOT NULL THEN round({_KS_P_EXPR}, 6) END
+             AS p_value
+    FROM kst_l
+    """
+
+
+def qq_deciles(
+    events: DataFrame, type_a: str = "purchase", type_b: str = "click"
+) -> DataFrame:
+    """→ [p, q_a, q_b, gap] for p ∈ {0.1 … 0.9} — the quantile–quantile
+    table of two event types' value distributions (exact linear-
+    interpolation percentiles, the same estimator as
+    :func:`value_percentiles`): the "WHERE do the distributions diverge"
+    companion to :func:`ks_test_values`' single D. ``gap`` subtracts the
+    ROUNDED quantiles so it cannot flip on a last-ulp difference.
+
+    Scale shape: two grouped percentile aggregates (one sort per side,
+    inside the aggregate), a one-row cross join, and a 9-element
+    explode. Empty sides yield NULL quantiles, never an error.
+    """
+    ta, tb = str(type_a), str(type_b)
+    arr = ", ".join(f"{(j + 1) / 10.0!r}D" for j in range(9))
+    one = (
+        events.where(F.col("value").isNotNull())
+        .groupBy()
+        .agg(
+            F.expr(
+                f"percentile(CASE WHEN event_type = '{ta}' THEN value END,"
+                f" array({arr}))"
+            ).alias("qa"),
+            F.expr(
+                f"percentile(CASE WHEN event_type = '{tb}' THEN value END,"
+                f" array({arr}))"
+            ).alias("qb"),
+        )
+    )
+    ex = one.select(
+        F.posexplode("qa").alias("j", "qa_v"), F.col("qb")
+    ).select(
+        ((F.col("j") + 1).cast("double") / 10.0).alias("p"),
+        F.round("qa_v", 6).alias("q_a"),
+        F.round(F.element_at("qb", F.col("j") + 1), 6).alias("q_b"),
+    )
+    return ex.select(
+        "p", "q_a", "q_b", F.round(F.col("q_a") - F.col("q_b"), 6).alias("gap")
+    ).orderBy("p")
+
+
+def qq_deciles_sql(
+    type_a: str = "purchase", type_b: str = "click", table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`qq_deciles` (quantile_cont lists indexed
+    by a 9-row range lattice)."""
+    a = type_a.replace("'", "''")
+    b = type_b.replace("'", "''")
+    arr = ", ".join(repr((j + 1) / 10.0) for j in range(9))
+    return f"""
+    WITH qqd_one AS (
+      SELECT quantile_cont(CASE WHEN event_type = '{a}' THEN value END,
+                           [{arr}]) AS qa,
+             quantile_cont(CASE WHEN event_type = '{b}' THEN value END,
+                           [{arr}]) AS qb
+      FROM {table} WHERE value IS NOT NULL
+    ), qqd_j AS (
+      SELECT CAST(range AS INTEGER) AS j FROM range(9)
+    ), qqd_r AS (
+      SELECT CAST(j + 1 AS DOUBLE) / 10.0 AS p,
+             round(qa[j + 1], 6) AS q_a, round(qb[j + 1], 6) AS q_b
+      FROM qqd_one CROSS JOIN qqd_j
+    )
+    SELECT p, q_a, q_b, round(q_a - q_b, 6) AS gap
+    FROM qqd_r ORDER BY p
+    """
