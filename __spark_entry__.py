@@ -2453,6 +2453,15 @@ def q_qq_deciles(spark, sf_dir):
     return ev.qq_deciles(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 103 (partition agreement: ARI, NMI)
+def q_adjusted_rand(spark, sf_dir):
+    return ml.adjusted_rand(_tbl(spark, sf_dir, "documents"))
+
+
+def q_nmi_partitions(spark, sf_dir):
+    return ml.nmi_partitions(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2649,8 +2658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. qq_deciles — all of waves
-    2-102 plus the r4-green tail, 346 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. nmi_partitions — all of waves
+    2-103 plus the r4-green tail, 348 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3130,6 +3139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 102
         "ks_test_values": q_ks_test_values,
         "qq_deciles": q_qq_deciles,
+        # wave 103
+        "adjusted_rand": q_adjusted_rand,
+        "nmi_partitions": q_nmi_partitions,
     }
 
 
@@ -4400,6 +4412,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 102
         "ks_test_values": ev.ks_test_values_sql(),
         "qq_deciles": ev.qq_deciles_sql(),
+        # wave 103
+        "adjusted_rand": ml.adjusted_rand_sql(),
+        "nmi_partitions": ml.nmi_partitions_sql(),
     }
 
 

@@ -1362,3 +1362,223 @@ def conversion_wilson_ci_sql(table: str = "events") -> str:
     FROM wci_x CROSS JOIN wci_n
     ORDER BY metric
     """
+
+
+# ---------------------------------------------------------------------------
+# Partition-agreement metrics: ARI + NMI (wave 103)
+# ---------------------------------------------------------------------------
+
+
+def adjusted_rand(
+    documents: DataFrame, col_a: str = "lang", col_b: str = "source"
+) -> DataFrame:
+    """→ one row [n, sum_pairs, a_pairs, b_pairs, ari] — the Adjusted
+    Rand Index (Hubert & Arabie 1985) between two categorical partitions
+    of the corpus (default: language vs source — "do sources specialize
+    by language"); point any two label columns at it to score a
+    clustering against ground truth. ARI = (Σ C(n_ij,2) − E) / (½(ΣC(a_i,2)
+    + ΣC(b_j,2)) − E) with E = ΣC(a_i,2)·ΣC(b_j,2)/C(n,2).
+
+    Exactness: every pair count is an exact BIGINT computed as
+    ``n·(n−1) div 2`` on the contingency/margin counts (cells ≤ |A|·|B|,
+    a broadcast-sized lattice); only the final index is a staged double
+    (identical expression text in both engines), rounded to 6 and NULL
+    when the denominator is 0 (degenerate one-cluster partitions — the
+    index is undefined there, not 1.0). Bound: C(n,2) needs n < 4.3e9
+    before BIGINT overflow — ANSI raises, never wraps.
+
+    Scale shape: one aggregate to (a, b) cell grain (map-side
+    combinable), margins re-aggregated from the CELL table (never a
+    second fact pass), one-row reduce.
+
+    Reference parity: no eval surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    cells = documents.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("c"))
+
+    def _c2(col):
+        return F.sum(F.expr(f"({col} * ({col} - 1)) div 2")).cast("long")
+
+    am = cells.groupBy("a").agg(F.sum("c").alias("ca"))
+    bm = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    s = (
+        cells.groupBy()
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            _c2("c").alias("sum_pairs"),
+        )
+        .crossJoin(am.groupBy().agg(_c2("ca").alias("a_pairs")))
+        .crossJoin(bm.groupBy().agg(_c2("cb").alias("b_pairs")))
+    )
+    return s.select(
+        "n",
+        "sum_pairs",
+        "a_pairs",
+        "b_pairs",
+        F.expr(
+            "CASE WHEN n >= 2 AND"
+            " (CAST(a_pairs AS DOUBLE) + b_pairs) / 2.0"
+            "   - CAST(a_pairs AS DOUBLE) * b_pairs / ((n * (n - 1)) div 2)"
+            " <> 0.0"
+            " THEN round((CAST(sum_pairs AS DOUBLE)"
+            "   - CAST(a_pairs AS DOUBLE) * b_pairs / ((n * (n - 1)) div 2))"
+            " / ((CAST(a_pairs AS DOUBLE) + b_pairs) / 2.0"
+            "   - CAST(a_pairs AS DOUBLE) * b_pairs / ((n * (n - 1)) div 2)),"
+            " 6) END"
+        ).alias("ari"),
+    )
+
+
+def adjusted_rand_sql(
+    table: str = "documents", col_a: str = "lang", col_b: str = "source"
+) -> str:
+    """DuckDB oracle for :func:`adjusted_rand` (same staged index; //
+    and div agree — all operands nonnegative)."""
+    return f"""
+    WITH ari_c AS (
+      SELECT {col_a} AS a, {col_b} AS b, count(*) AS c
+      FROM {table} GROUP BY 1, 2
+    ), ari_s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS sum_pairs
+      FROM ari_c
+    ), ari_a AS (
+      SELECT CAST(sum((ca * (ca - 1)) // 2) AS BIGINT) AS a_pairs
+      FROM (SELECT sum(c) AS ca FROM ari_c GROUP BY a)
+    ), ari_b AS (
+      SELECT CAST(sum((cb * (cb - 1)) // 2) AS BIGINT) AS b_pairs
+      FROM (SELECT sum(c) AS cb FROM ari_c GROUP BY b)
+    )
+    SELECT n, sum_pairs, a_pairs, b_pairs,
+           CASE WHEN n >= 2 AND
+                (CAST(a_pairs AS DOUBLE) + b_pairs) / 2.0
+                  - CAST(a_pairs AS DOUBLE) * b_pairs / ((n * (n - 1)) // 2)
+                <> 0.0
+                THEN round((CAST(sum_pairs AS DOUBLE)
+                  - CAST(a_pairs AS DOUBLE) * b_pairs / ((n * (n - 1)) // 2))
+                / ((CAST(a_pairs AS DOUBLE) + b_pairs) / 2.0
+                  - CAST(a_pairs AS DOUBLE) * b_pairs / ((n * (n - 1)) // 2)),
+                6) END AS ari
+    FROM ari_s, ari_a, ari_b
+    """
+
+
+def nmi_partitions(
+    documents: DataFrame, col_a: str = "lang", col_b: str = "source"
+) -> DataFrame:
+    """→ one row [n, h_a, h_b, mi, nmi] — mutual information between two
+    categorical partitions with sqrt normalization NMI = I/√(H_a·H_b)
+    (Strehl & Ghosh 2002) — ARI's information-theoretic sibling; the
+    pair covers both standard clustering-agreement conventions.
+
+    Determinism: each cell/margin term ``(c/n)·ln(…)`` is one IEEE
+    expression over exact integers QUANTIZED to integer micro-nats
+    before summing (the NB trick — sums are order-invariant, hashes
+    bit-stable); h_a/h_b/mi are the rounded micro-nat sums ÷ 1e6, and
+    nmi re-derives from those exact integer sums through one shared
+    expression, NULL when either entropy is 0 (a one-cluster side
+    carries no information — undefined, not 1.0). MI of independent
+    partitions can round to −0.0 ulps; the final greatest(0,·) clamps
+    the tiny negative quantization residue, documented, before the
+    ratio.
+
+    Scale shape: identical to :func:`adjusted_rand` — cell-grain
+    aggregate, margins from the cell table, one-row reduce.
+    """
+    cells = documents.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("c"))
+    am = cells.groupBy("a").agg(F.sum("c").alias("ca"))
+    bm = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    n1 = cells.groupBy().agg(F.sum("c").cast("long").alias("n"))
+    # micro-nat terms, each from exact ints via one staged expression
+    mi_t = (
+        cells.crossJoin(n1)
+        .join(am, "a")
+        .join(bm, "b")
+        .select(
+            F.expr(
+                "CAST(round(1e6 * (CAST(c AS DOUBLE) / n)"
+                " * ln(CAST(c AS DOUBLE) * n"
+                "      / (CAST(ca AS DOUBLE) * cb)), 0) AS BIGINT) AS t"
+            )
+        )
+        .groupBy()
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("mi_u"))
+    )
+    ha_t = (
+        am.crossJoin(n1)
+        .select(
+            F.expr(
+                "CAST(round(1e6 * (CAST(ca AS DOUBLE) / n)"
+                " * ln(CAST(ca AS DOUBLE) / n), 0) AS BIGINT) AS t"
+            )
+        )
+        .groupBy()
+        .agg(F.coalesce(-F.sum("t"), F.lit(0)).alias("ha_u"))
+    )
+    hb_t = (
+        bm.crossJoin(n1)
+        .select(
+            F.expr(
+                "CAST(round(1e6 * (CAST(cb AS DOUBLE) / n)"
+                " * ln(CAST(cb AS DOUBLE) / n), 0) AS BIGINT) AS t"
+            )
+        )
+        .groupBy()
+        .agg(F.coalesce(-F.sum("t"), F.lit(0)).alias("hb_u"))
+    )
+    s = n1.crossJoin(mi_t).crossJoin(ha_t).crossJoin(hb_t)
+    return s.select(
+        "n",
+        F.expr("round(ha_u / 1e6, 6)").alias("h_a"),
+        F.expr("round(hb_u / 1e6, 6)").alias("h_b"),
+        F.expr("round(greatest(0, mi_u) / 1e6, 6)").alias("mi"),
+        F.expr(
+            "CASE WHEN ha_u > 0 AND hb_u > 0 THEN"
+            " round(greatest(0, mi_u) / sqrt(CAST(ha_u AS DOUBLE) * hb_u), 6)"
+            " END"
+        ).alias("nmi"),
+    )
+
+
+def nmi_partitions_sql(
+    table: str = "documents", col_a: str = "lang", col_b: str = "source"
+) -> str:
+    """DuckDB oracle for :func:`nmi_partitions` (same micro-nat terms)."""
+    return f"""
+    WITH nmi_c AS (
+      SELECT {col_a} AS a, {col_b} AS b, count(*) AS c
+      FROM {table} GROUP BY 1, 2
+    ), nmi_n AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n FROM nmi_c
+    ), nmi_am AS (
+      SELECT a, sum(c) AS ca FROM nmi_c GROUP BY a
+    ), nmi_bm AS (
+      SELECT b, sum(c) AS cb FROM nmi_c GROUP BY b
+    ), nmi_mi AS (
+      SELECT coalesce(sum(CAST(round(1e6 * (CAST(c AS DOUBLE) / n)
+               * ln(CAST(c AS DOUBLE) * n / (CAST(ca AS DOUBLE) * cb)), 0)
+               AS BIGINT)), 0) AS mi_u
+      FROM nmi_c JOIN nmi_am USING (a) JOIN nmi_bm USING (b)
+      CROSS JOIN nmi_n
+    ), nmi_ha AS (
+      SELECT coalesce(-sum(CAST(round(1e6 * (CAST(ca AS DOUBLE) / n)
+               * ln(CAST(ca AS DOUBLE) / n), 0) AS BIGINT)), 0) AS ha_u
+      FROM nmi_am CROSS JOIN nmi_n
+    ), nmi_hb AS (
+      SELECT coalesce(-sum(CAST(round(1e6 * (CAST(cb AS DOUBLE) / n)
+               * ln(CAST(cb AS DOUBLE) / n), 0) AS BIGINT)), 0) AS hb_u
+      FROM nmi_bm CROSS JOIN nmi_n
+    )
+    SELECT n,
+           round(ha_u / 1e6, 6) AS h_a,
+           round(hb_u / 1e6, 6) AS h_b,
+           round(greatest(0, mi_u) / 1e6, 6) AS mi,
+           CASE WHEN ha_u > 0 AND hb_u > 0 THEN
+             round(greatest(0, mi_u) / sqrt(CAST(ha_u AS DOUBLE) * hb_u), 6)
+           END AS nmi
+    FROM nmi_n, nmi_mi, nmi_ha, nmi_hb
+    """
