@@ -2462,6 +2462,15 @@ def q_nmi_partitions(spark, sf_dir):
     return ml.nmi_partitions(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 104 (trimmed mean, daily xcorr)
+def q_trimmed_mean_values(spark, sf_dir):
+    return ev.trimmed_mean_values(_tbl(spark, sf_dir, "events"))
+
+
+def q_daily_xcorr(spark, sf_dir):
+    return ev.daily_xcorr(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2658,8 +2667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. nmi_partitions — all of waves
-    2-103 plus the r4-green tail, 348 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. daily_xcorr — all of waves
+    2-104 plus the r4-green tail, 350 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3142,6 +3151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 103
         "adjusted_rand": q_adjusted_rand,
         "nmi_partitions": q_nmi_partitions,
+        # wave 104
+        "trimmed_mean_values": q_trimmed_mean_values,
+        "daily_xcorr": q_daily_xcorr,
     }
 
 
@@ -4415,6 +4427,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 103
         "adjusted_rand": ml.adjusted_rand_sql(),
         "nmi_partitions": ml.nmi_partitions_sql(),
+        # wave 104
+        "trimmed_mean_values": ev.trimmed_mean_values_sql(),
+        "daily_xcorr": ev.daily_xcorr_sql(),
     }
 
 

@@ -5980,3 +5980,264 @@ def qq_deciles_sql(
     SELECT p, q_a, q_b, round(q_a - q_b, 6) AS gap
     FROM qqd_r ORDER BY p
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed mean + daily cross-correlation (wave 104)
+# ---------------------------------------------------------------------------
+
+
+def trimmed_mean_values(events: DataFrame, trim: float = 0.1) -> DataFrame:
+    """→ [event_type, n, k_cut, mean_raw, mean_trimmed] — the EXACT
+    ``trim``-fraction trimmed mean of ``value`` per event type (drop the
+    lowest and highest ⌊trim·n⌋ observations, average the rest — Tukey's
+    robust location estimate): the outlier-immune number to quote when
+    :func:`value_mad_outliers` says the mean is being dragged.
+
+    Exactness — the whole point: no sort of raw rows and no doubles
+    until the final division. Values collapse to the exact-cent
+    HISTOGRAM; each cell's overlap with the kept rank window
+    [k+1, n−k] is pure integer arithmetic (``min/max`` of cumulative
+    ranks), the kept mass is Σ overlap·cents (DECIMAL(38,0)/HUGEINT —
+    cents×count products), and both means are one staged division
+    rounded to 6. ``mean_trimmed`` is NULL when n − 2k = 0 (everything
+    trimmed). Ties at the cut straddle the boundary correctly because
+    the overlap is computed in RANK space, not value space.
+
+    Scale shape: one aggregate to (type, cent) grain, one cumulative
+    window per type over that histogram, one grouped reduce.
+
+    Reference parity: no robust-stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    t = float(trim)
+    g = (
+        events.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(w).alias("hi"),
+        F.sum("c").over(wa).alias("n"),
+    ).withColumn("lo", F.col("hi") - F.col("c") + 1)
+    k = F.floor(F.col("n") * F.lit(t)).cast("long")
+    ov = F.greatest(
+        F.lit(0),
+        F.least(F.col("hi"), F.col("n") - k)
+        - F.greatest(F.col("lo"), k + 1)
+        + 1,
+    )
+    per = c.select(
+        "event_type",
+        "n",
+        k.alias("k"),
+        (F.col("c").cast("decimal(38,0)") * F.col("v")).alias("cv"),
+        (ov.cast("decimal(38,0)") * F.col("v")).alias("ov_v"),
+    )
+    s = per.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k_cut"),
+        F.sum("cv").alias("tot"),
+        F.sum("ov_v").alias("kept"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "k_cut",
+        F.round(
+            F.col("tot").cast("double") / (F.lit(100.0) * F.col("n")), 6
+        ).alias("mean_raw"),
+        F.when(
+            (F.col("n") - 2 * F.col("k_cut")) > 0,
+            F.round(
+                F.col("kept").cast("double")
+                / (F.lit(100.0) * (F.col("n") - 2 * F.col("k_cut"))),
+                6,
+            ),
+        ).alias("mean_trimmed"),
+    ).orderBy("event_type")
+
+
+def trimmed_mean_values_sql(table: str = "events", trim: float = 0.1) -> str:
+    """DuckDB oracle for :func:`trimmed_mean_values` (same rank-space
+    overlap arithmetic, HUGEINT mass sums)."""
+    t = float(trim)
+    return f"""
+    WITH tmv_g AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+             count(*) AS c
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1, 2
+    ), tmv_c AS (
+      SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM tmv_g
+    ), tmv_o AS (
+      SELECT event_type, v, c, hi, n, hi - c + 1 AS lo,
+             CAST(floor(n * {t!r}) AS BIGINT) AS k
+      FROM tmv_c
+    ), tmv_p AS (
+      SELECT event_type, n, k,
+             CAST(c AS HUGEINT) * v AS cv,
+             CAST(greatest(0, least(hi, n - k) - greatest(lo, k + 1) + 1)
+                  AS HUGEINT) * v AS ov_v
+      FROM tmv_o
+    ), tmv_s AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(k) AS BIGINT) AS k_cut,
+             sum(cv) AS tot, sum(ov_v) AS kept
+      FROM tmv_p GROUP BY event_type
+    )
+    SELECT event_type, n, k_cut,
+           round(CAST(tot AS DOUBLE) / (100.0 * n), 6) AS mean_raw,
+           CASE WHEN (n - 2 * k_cut) > 0
+                THEN round(CAST(kept AS DOUBLE)
+                           / (100.0 * (n - 2 * k_cut)), 6)
+           END AS mean_trimmed
+    FROM tmv_s ORDER BY event_type
+    """
+
+
+def daily_xcorr(
+    events: DataFrame,
+    type_x: str = "view",
+    type_y: str = "purchase",
+    max_lag: int = 7,
+) -> DataFrame:
+    """→ [lag, n_days, r] for lag ∈ [−max_lag, max_lag] — the Pearson
+    cross-correlation between two event types' DAILY COUNT series, y
+    shifted ``lag`` days after x (positive lag: x leads y — "views on
+    Monday correlate with purchases on Wednesday" shows at lag 2). The
+    lead/lag discovery primitive behind marketing-mix and capacity
+    models; the argmax row is the data's own answer to "how long does
+    conversion take at the aggregate level".
+
+    Determinism: both series are densified integer counts (absent days
+    are exact zeros — a gap must not silently re-align the lattice);
+    all five moment sums per lag are exact (DECIMAL(38,0)/HUGEINT —
+    daily counts square); r is one staged double expression of those
+    integers, rounded to 6, NULL when either side is constant over the
+    overlap (zero variance — undefined, not 0). Overlaps shorter than
+    3 days report NULL too (r is meaningless on <3 points).
+
+    Scale shape: one aggregate to (day) grain per type, densify on the
+    day lattice, one 15-row lag lattice join against the |days| frame,
+    one grouped reduce per lag. Nothing re-touches events.
+    """
+    tx, ty = str(type_x), str(type_y)
+    day = _epoch_day("ts")
+    daily = (
+        events.where(F.col("event_type").isin(tx, ty))
+        .select(
+            day.alias("day"),
+            F.when(F.col("event_type") == tx, 1).otherwise(0).alias("ix"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("ix").alias("x"),
+            F.sum(F.lit(1) - F.col("ix")).alias("y"),
+        )
+    )
+    rng = daily.groupBy().agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dense = (
+        rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lags = events.sparkSession.createDataFrame(
+        [(int(l),) for l in range(-int(max_lag), int(max_lag) + 1)], "lag int"
+    )
+    xs = dense.select("day", "x")
+    ys = dense.select(F.col("day").alias("dy"), "y")
+    j = xs.crossJoin(lags).join(
+        ys, F.col("dy") == F.col("day") + F.col("lag")
+    )
+    d38 = "decimal(38,0)"
+    s = j.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        "lag",
+        "n_days",
+        F.expr(
+            "CASE WHEN n_days >= 3"
+            " AND CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0"
+            " AND CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0"
+            " THEN round((CAST(n_days AS DOUBLE) * sxy"
+            "             - CAST(sx AS DOUBLE) * sy)"
+            " / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            "   * (CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),"
+            " 6) END"
+        ).alias("r"),
+    ).orderBy("lag")
+
+
+def daily_xcorr_sql(
+    type_x: str = "view",
+    type_y: str = "purchase",
+    max_lag: int = 7,
+    table: str = "events",
+) -> str:
+    """DuckDB oracle for :func:`daily_xcorr` (same densified lattice,
+    HUGEINT moments, staged r)."""
+    x = type_x.replace("'", "''")
+    y = type_y.replace("'", "''")
+    m = int(max_lag)
+    return f"""
+    WITH xcd_d AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             sum(CASE WHEN event_type = '{x}' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = '{y}' THEN 1 ELSE 0 END) AS y
+      FROM {table} WHERE event_type IN ('{x}', '{y}') GROUP BY 1
+    ), xcd_dense AS (
+      SELECT g.day, coalesce(d.x, 0) AS x, coalesce(d.y, 0) AS y
+      FROM (SELECT unnest(generate_series(
+              (SELECT min(day) FROM xcd_d),
+              (SELECT max(day) FROM xcd_d))) AS day) g
+      LEFT JOIN xcd_d d ON d.day = g.day
+    ), xcd_l AS (
+      SELECT CAST(unnest(generate_series(-{m}, {m})) AS INTEGER) AS lag
+    ), xcd_j AS (
+      SELECT l.lag, a.x, b.y
+      FROM xcd_dense a CROSS JOIN xcd_l l
+      JOIN xcd_dense b ON b.day = a.day + l.lag
+    ), xcd_s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM xcd_j GROUP BY lag
+    )
+    SELECT lag, n_days,
+           CASE WHEN n_days >= 3
+                AND CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                AND CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                THEN round((CAST(n_days AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                6) END AS r
+    FROM xcd_s ORDER BY lag
+    """
