@@ -2471,6 +2471,15 @@ def q_daily_xcorr(spark, sf_dir):
     return ev.daily_xcorr(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 105 (tail-head seams, held-out perplexity)
+def q_tail_head_overlap(spark, sf_dir):
+    return dd.tail_head_overlap(_tbl(spark, sf_dir, "documents"))
+
+
+def q_heldout_perplexity(spark, sf_dir):
+    return tx.heldout_perplexity(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2667,8 +2676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. daily_xcorr — all of waves
-    2-104 plus the r4-green tail, 350 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. heldout_perplexity — all of waves
+    2-105 plus the r4-green tail, 352 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3154,6 +3163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 104
         "trimmed_mean_values": q_trimmed_mean_values,
         "daily_xcorr": q_daily_xcorr,
+        # wave 105
+        "tail_head_overlap": q_tail_head_overlap,
+        "heldout_perplexity": q_heldout_perplexity,
     }
 
 
@@ -4430,6 +4442,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 104
         "trimmed_mean_values": ev.trimmed_mean_values_sql(),
         "daily_xcorr": ev.daily_xcorr_sql(),
+        # wave 105
+        "tail_head_overlap": dd.tail_head_overlap_sql(),
+        "heldout_perplexity": tx.heldout_perplexity_sql(),
     }
 
 

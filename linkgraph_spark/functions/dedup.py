@@ -1577,3 +1577,135 @@ def dup_spans_sql(
            match_len + 2 AS span_tokens
     FROM dsp_agg WHERE match_len >= {int(min_run)}
     """
+
+
+# ------------------------------------------------------- tail-head overlap
+def tail_head_overlap(
+    documents: DataFrame, max_k: int = 10, max_doc_freq: int | None = None
+) -> DataFrame:
+    """→ [doc_a, doc_b, overlap_tokens] — ordered pairs where the LAST k
+    tokens of ``doc_a`` equal the FIRST k tokens of ``doc_b`` (largest k
+    ≤ ``max_k``, k ≥ 2): the shard-stitching / split-document detector —
+    :func:`dup_spans` finds shared INTERNAL runs, this finds the seam
+    where one document continues into another (chunked uploads, paginated
+    scrapes, boilerplate headers chaining onto footers).
+
+    Mechanics: per k in [2, max_k], the suffix-k hash of every document
+    equi-joins the prefix-k hash of every other (the portable 60-bit md5
+    over the joined token slice — same documented collision approximation
+    as the Jaccard family); the pair keeps its maximum matching k.
+    ``max_doc_freq`` caps the document frequency of a (k, hash) join key
+    on BOTH sides — a viral boilerplate header otherwise fans out df²
+    pairs, exactly the hot-shingle failure mode, with the same documented
+    recall trade. Self-pairs are excluded; (a → b) and (b → a) are
+    distinct directions and both reported when both seams exist.
+
+    Scale shape: one token-slice hash projection per document per k
+    (map-only, ≤ max_k−1 rows per doc), equi-joins on (k, hash) only —
+    never a document cross product — and one pair-grain max.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = (
+        documents.select("doc_id", norm.alias("norm"))
+        .withColumn("toks", F.split("norm", " "))
+        .withColumn("n", F.size("toks"))
+    )
+    ks = documents.sparkSession.createDataFrame(
+        [(k,) for k in range(2, int(max_k) + 1)], "k int"
+    )
+    dk = d.crossJoin(ks).where(F.col("n") >= F.col("k"))
+    suf = dk.select(
+        F.col("doc_id").alias("doc_a"),
+        "k",
+        (
+            # greatest() keeps the slice total — Catalyst may evaluate the
+            # projection speculatively before the n >= k filter prunes
+            md5_long(
+                F.array_join(
+                    F.slice(
+                        "toks",
+                        F.greatest(F.lit(1), F.col("n") - F.col("k") + 1),
+                        F.col("k"),
+                    ),
+                    " ",
+                )
+            )
+            % F.lit(MERSENNE_P)
+        ).alias("h"),
+    )
+    pre = dk.select(
+        F.col("doc_id").alias("doc_b"),
+        "k",
+        (
+            md5_long(F.array_join(F.slice("toks", F.lit(1), F.col("k")), " "))
+            % F.lit(MERSENNE_P)
+        ).alias("h"),
+    )
+    if max_doc_freq is not None:
+        cap = int(max_doc_freq)
+        for side, col in (("suf", "doc_a"), ("pre", "doc_b")):
+            src = suf if side == "suf" else pre
+            keep = (
+                src.groupBy("k", "h")
+                .agg(F.countDistinct(col).alias("_df"))
+                .where(F.col("_df") <= cap)
+                .select("k", "h")
+            )
+            if side == "suf":
+                suf = suf.join(keep, ["k", "h"], "left_semi")
+            else:
+                pre = pre.join(keep, ["k", "h"], "left_semi")
+    pairs = suf.join(pre, ["k", "h"]).where(F.col("doc_a") != F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.max("k").cast("long").alias("overlap_tokens"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def tail_head_overlap_sql(
+    table: str = "documents", max_k: int = 10, max_doc_freq: int | None = None
+) -> str:
+    """DuckDB mirror of :func:`tail_head_overlap` (list slicing is
+    1-based inclusive; same (k, hash) cap)."""
+    hs = md5_long_sql("array_to_string(toks[n - k + 1:n], ' ')")
+    hp = md5_long_sql("array_to_string(toks[1:k], ' ')")
+    if max_doc_freq is not None:
+        cap = int(max_doc_freq)
+        capped = f"""tho_sufc AS (
+      SELECT s.* FROM tho_suf s JOIN (
+        SELECT k, h FROM tho_suf GROUP BY k, h
+        HAVING count(DISTINCT doc_a) <= {cap}) x USING (k, h)
+    ), tho_prec AS (
+      SELECT p.* FROM tho_pre p JOIN (
+        SELECT k, h FROM tho_pre GROUP BY k, h
+        HAVING count(DISTINCT doc_b) <= {cap}) x USING (k, h)
+    ),"""
+        sufn, pren = "tho_sufc", "tho_prec"
+    else:
+        capped = ""
+        sufn, pren = "tho_suf", "tho_pre"
+    return f"""
+    WITH tho_d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM {table}
+    ), tho_dk AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(unnest(generate_series(2, {int(max_k)})) AS INTEGER) AS k
+      FROM tho_d
+    ), tho_f AS (
+      SELECT * FROM tho_dk WHERE n >= k
+    ), tho_suf AS (
+      SELECT doc_id AS doc_a, k, ({hs}) % {MERSENNE_P} AS h FROM tho_f
+    ), tho_pre AS (
+      SELECT doc_id AS doc_b, k, ({hp}) % {MERSENNE_P} AS h FROM tho_f
+    ), {capped} tho_p AS (
+      SELECT s.doc_a, p.doc_b, s.k
+      FROM {sufn} s JOIN {pren} p ON p.k = s.k AND p.h = s.h
+      WHERE s.doc_a <> p.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(max(k) AS BIGINT) AS overlap_tokens
+    FROM tho_p GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+    """

@@ -3381,3 +3381,140 @@ def chi2_terms_sql(
     SELECT * FROM x2_s WHERE chi2 IS NOT NULL
     ORDER BY chi2 DESC, lang ASC, term ASC LIMIT {int(top_n)}
     """
+
+
+# ---------------------------------------------------------------------------
+# Held-out unigram perplexity (wave 105)
+# ---------------------------------------------------------------------------
+
+
+def heldout_perplexity(documents: DataFrame) -> DataFrame:
+    """→ one row [n_train_tokens, n_test_tokens, vocab, n_oov, oov_rate,
+    avg_nll, ppl] — the add-1-smoothed unigram language model TRAINED on
+    the md5 train half of the corpus and EVALUATED on the held-out half
+    (per-token p(w) = (c_w + 1)/(T + V + 1), unseen test tokens take
+    c = 0): the honest LM-eval number — self-scored perplexity (the
+    ``unigram_lm_score`` family) flatters the corpus; held-out
+    perplexity is what generalizes. One relational aggregate end to end.
+
+    Determinism: train counts are exact; each test token's negative
+    log-probability is one IEEE expression over exact integers QUANTIZED
+    to integer micro-nats (order-invariant sum — the NB trick);
+    ``avg_nll`` is the rounded mean and ``ppl = exp(avg_nll_raw)`` is
+    staged from the same integer sum in both engines. NULL metrics when
+    either half is empty. The md5 split is the same deterministic
+    user/doc split the A/B family uses.
+
+    Scale shape: one token explode per half, one vocabulary-grain count
+    (Zipf-bounded), a broadcast vocabulary join onto test tokens, one
+    one-row reduce. No per-doc windows.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = (
+        documents.select(
+            (md5_long(F.col("doc_id").cast("string")) % 2).alias("variant"),
+            F.explode(F.split(norm, " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    tr = toks.where(F.col("variant") == 0).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    tot = tr.groupBy().agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"),
+        F.count("*").cast("long").alias("v"),
+    )
+    te = (
+        toks.where(F.col("variant") == 1)
+        .join(tr, "w", "left")
+        .crossJoin(tot)
+        .select(
+            "t",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cw"),
+        )
+    )
+    nll_u = F.expr(
+        "CAST(round(-1e6 * ln((CAST(cw AS DOUBLE) + 1.0)"
+        " / (CAST(t AS DOUBLE) + v + 1.0)), 0) AS BIGINT)"
+    )
+    s = te.groupBy().agg(
+        F.max("t").alias("n_train_tokens"),
+        F.count("*").cast("long").alias("n_test_tokens"),
+        F.max("v").alias("vocab"),
+        F.coalesce(
+            F.sum(F.when(F.col("cw") == 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(nll_u).alias("nll_sum"),
+    )
+    return s.select(
+        "n_train_tokens",
+        "n_test_tokens",
+        "vocab",
+        "n_oov",
+        F.expr(
+            "CASE WHEN n_test_tokens > 0 THEN"
+            " round(CAST(n_oov AS DOUBLE) / n_test_tokens, 6) END"
+        ).alias("oov_rate"),
+        F.expr(
+            "CASE WHEN n_test_tokens > 0 AND n_train_tokens > 0 THEN"
+            " round(CAST(nll_sum AS DOUBLE) / (1e6 * n_test_tokens), 6) END"
+        ).alias("avg_nll"),
+        F.expr(
+            "CASE WHEN n_test_tokens > 0 AND n_train_tokens > 0 THEN"
+            " round(exp(CAST(nll_sum AS DOUBLE) / (1e6 * n_test_tokens)), 6)"
+            " END"
+        ).alias("ppl"),
+    )
+
+
+def heldout_perplexity_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`heldout_perplexity` (same micro-nat
+    terms, same staged exp)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH hop_t AS (
+      SELECT ({h}) % 2 AS variant, unnest(string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM {table}
+    ), hop_tok AS (
+      SELECT variant, w FROM hop_t WHERE w <> ''
+    ), hop_tr AS (
+      SELECT w, count(*) AS c FROM hop_tok WHERE variant = 0 GROUP BY w
+    ), hop_tot AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS v
+      FROM hop_tr
+    ), hop_te AS (
+      SELECT tot.t, tot.v, coalesce(tr.c, 0) AS cw
+      FROM hop_tok te
+      LEFT JOIN hop_tr tr ON tr.w = te.w
+      CROSS JOIN hop_tot tot
+      WHERE te.variant = 1
+    ), hop_s AS (
+      SELECT max(t) AS n_train_tokens,
+             CAST(count(*) AS BIGINT) AS n_test_tokens,
+             max(v) AS vocab,
+             CAST(coalesce(sum(CASE WHEN cw = 0 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_oov,
+             sum(CAST(round(-1e6 * ln((CAST(cw AS DOUBLE) + 1.0)
+                 / (CAST(t AS DOUBLE) + v + 1.0)), 0) AS BIGINT)) AS nll_sum
+      FROM hop_te
+    )
+    SELECT n_train_tokens, n_test_tokens, vocab, n_oov,
+           CASE WHEN n_test_tokens > 0 THEN
+             round(CAST(n_oov AS DOUBLE) / n_test_tokens, 6) END AS oov_rate,
+           CASE WHEN n_test_tokens > 0 AND n_train_tokens > 0 THEN
+             round(CAST(nll_sum AS DOUBLE) / (1e6 * n_test_tokens), 6)
+           END AS avg_nll,
+           CASE WHEN n_test_tokens > 0 AND n_train_tokens > 0 THEN
+             round(exp(CAST(nll_sum AS DOUBLE) / (1e6 * n_test_tokens)), 6)
+           END AS ppl
+    FROM hop_s
+    """
