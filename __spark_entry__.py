@@ -2480,6 +2480,15 @@ def q_heldout_perplexity(spark, sf_dir):
     return tx.heldout_perplexity(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 106 (A/B power analysis)
+def q_ab_power_mde(spark, sf_dir):
+    return ml.ab_power_mde(_tbl(spark, sf_dir, "events"))
+
+
+def q_ab_required_n(spark, sf_dir):
+    return ml.ab_required_n(_tbl(spark, sf_dir, "events"), rel_lift=0.1)
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2676,8 +2685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. heldout_perplexity — all of waves
-    2-105 plus the r4-green tail, 352 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. ab_required_n — all of waves
+    2-106 plus the r4-green tail, 354 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3166,6 +3175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 105
         "tail_head_overlap": q_tail_head_overlap,
         "heldout_perplexity": q_heldout_perplexity,
+        # wave 106
+        "ab_power_mde": q_ab_power_mde,
+        "ab_required_n": q_ab_required_n,
     }
 
 
@@ -4445,6 +4457,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 105
         "tail_head_overlap": dd.tail_head_overlap_sql(),
         "heldout_perplexity": tx.heldout_perplexity_sql(),
+        # wave 106
+        "ab_power_mde": ml.ab_power_mde_sql(),
+        "ab_required_n": ml.ab_required_n_sql(rel_lift=0.1),
     }
 
 

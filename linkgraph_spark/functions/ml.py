@@ -1582,3 +1582,206 @@ def nmi_partitions_sql(
            END AS nmi
     FROM nmi_n, nmi_mi, nmi_ha, nmi_hb
     """
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: MDE + required sample size (wave 106)
+# ---------------------------------------------------------------------------
+
+# z_{alpha/2} = 1.959964 (two-sided 5%), z_power = 0.841621 (80% power):
+# the standard normal quantiles as exact literals (staged, never computed
+# via an engine's erfinv), per the classical two-proportion power formula
+# MDE = (z_a + z_b) * sqrt(2 p (1-p) / n)  (e.g. Kohavi et al., public).
+_Z_SUM = "2.801585"
+
+
+def ab_power_mde(events: DataFrame) -> DataFrame:
+    """→ [metric, n_per_arm, base_rate, mde_abs, mde_rel] — for each
+    event type, the minimum detectable effect of the CURRENT experiment
+    under the md5 user split at α = 0.05 (two-sided) and 80% power:
+    the pre-experiment reality check ("this test can only see a ≥ X%
+    lift") that belongs next to the msprt/CUPED/SRM/FDR family.
+    ``n_per_arm`` is the smaller arm (the binding one — conservative),
+    ``base_rate`` the pooled share of users ever doing the metric.
+
+    Determinism: counts are exact; the z-quantile sum is a literal
+    (never an engine erfinv); mde is one staged sqrt expression over
+    exact integers, rounded to 6. Degenerate rates (0 or 1) and empty
+    arms report NULL — there is no detectable effect in a saturated
+    metric, not an infinite one.
+
+    Scale shape: one distinct-user projection (the split), one distinct
+    (user, type) projection joined to it, one metric-grain aggregate —
+    the same frames the A/B family already uses.
+
+    Reference parity: no experimentation surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    users = events.select("user_id").distinct().select(
+        "user_id",
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+    )
+    tot = users.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    ut = events.select("user_id", F.col("event_type").alias("metric")).distinct()
+    per = (
+        ut.join(users, "user_id")
+        .groupBy("metric")
+        .agg(F.count("*").alias("x"))
+        .crossJoin(tot)
+    )
+    return per.select(
+        "metric",
+        F.least("n0", "n1").cast("long").alias("n_per_arm"),
+        F.expr(
+            "CASE WHEN n0 + n1 > 0 THEN"
+            " round(CAST(x AS DOUBLE) / (n0 + n1), 6) END"
+        ).alias("base_rate"),
+        F.expr(
+            "CASE WHEN least(n0, n1) > 0"
+            " AND x > 0 AND x < n0 + n1 THEN"
+            f" round({_Z_SUM} * sqrt(2.0 * (CAST(x AS DOUBLE) / (n0 + n1))"
+            " * (1.0 - CAST(x AS DOUBLE) / (n0 + n1))"
+            " / least(n0, n1)), 6) END"
+        ).alias("mde_abs"),
+        F.expr(
+            "CASE WHEN least(n0, n1) > 0"
+            " AND x > 0 AND x < n0 + n1 THEN"
+            f" round({_Z_SUM} * sqrt(2.0 * (CAST(x AS DOUBLE) / (n0 + n1))"
+            " * (1.0 - CAST(x AS DOUBLE) / (n0 + n1))"
+            " / least(n0, n1)) / (CAST(x AS DOUBLE) / (n0 + n1)), 6) END"
+        ).alias("mde_rel"),
+    ).orderBy("metric")
+
+
+def ab_power_mde_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`ab_power_mde` (same literal z sum, same
+    staged sqrt)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH mde_u AS (
+      SELECT user_id, ({h}) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM {table})
+    ), mde_t AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+      FROM mde_u
+    ), mde_x AS (
+      SELECT metric, count(*) AS x FROM (
+        SELECT DISTINCT user_id, event_type AS metric FROM {table}
+      ) GROUP BY metric
+    )
+    SELECT metric,
+           CAST(least(n0, n1) AS BIGINT) AS n_per_arm,
+           CASE WHEN n0 + n1 > 0 THEN
+             round(CAST(x AS DOUBLE) / (n0 + n1), 6) END AS base_rate,
+           CASE WHEN least(n0, n1) > 0 AND x > 0 AND x < n0 + n1 THEN
+             round({_Z_SUM} * sqrt(2.0 * (CAST(x AS DOUBLE) / (n0 + n1))
+               * (1.0 - CAST(x AS DOUBLE) / (n0 + n1))
+               / least(n0, n1)), 6) END AS mde_abs,
+           CASE WHEN least(n0, n1) > 0 AND x > 0 AND x < n0 + n1 THEN
+             round({_Z_SUM} * sqrt(2.0 * (CAST(x AS DOUBLE) / (n0 + n1))
+               * (1.0 - CAST(x AS DOUBLE) / (n0 + n1))
+               / least(n0, n1)) / (CAST(x AS DOUBLE) / (n0 + n1)), 6)
+           END AS mde_rel
+    FROM mde_x CROSS JOIN mde_t
+    ORDER BY metric
+    """
+
+
+def ab_required_n(events: DataFrame, rel_lift: float = 0.1) -> DataFrame:
+    """→ [metric, base_rate, n_required_per_arm, have_per_arm, ready] —
+    per metric, the classical two-proportion sample size PER ARM to
+    detect a ``rel_lift`` relative improvement at α = 0.05 / 80% power:
+    ``n = 2·p(1−p)·(z_a + z_b)² / (Δ)²`` with Δ = rel_lift·p — and
+    whether the current md5 arms already clear it. The "how long must
+    this test run" planner, sharing :func:`ab_power_mde`'s frames.
+
+    ``n_required_per_arm`` is ceil'd to a BIGINT via integer-safe
+    staging (both engines ceil the same double); degenerate rates
+    report NULL (a 0% or 100% metric cannot lift). ``ready`` compares
+    exact integers and is NULL exactly when the requirement is.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    r = float(rel_lift)
+    users = events.select("user_id").distinct().select(
+        "user_id",
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+    )
+    tot = users.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    ut = events.select("user_id", F.col("event_type").alias("metric")).distinct()
+    per = (
+        ut.join(users, "user_id")
+        .groupBy("metric")
+        .agg(F.count("*").alias("x"))
+        .crossJoin(tot)
+    )
+    need = (
+        "CASE WHEN x > 0 AND x < n0 + n1 THEN"
+        f" CAST(ceil(2.0 * (CAST(x AS DOUBLE) / (n0 + n1))"
+        " * (1.0 - CAST(x AS DOUBLE) / (n0 + n1))"
+        f" * {_Z_SUM} * {_Z_SUM}"
+        f" / (({r!r} * CAST(x AS DOUBLE) / (n0 + n1))"
+        f" * ({r!r} * CAST(x AS DOUBLE) / (n0 + n1)))) AS BIGINT) END"
+    )
+    return per.select(
+        "metric",
+        F.expr(
+            "CASE WHEN n0 + n1 > 0 THEN"
+            " round(CAST(x AS DOUBLE) / (n0 + n1), 6) END"
+        ).alias("base_rate"),
+        F.expr(need).alias("n_required_per_arm"),
+        F.least("n0", "n1").cast("long").alias("have_per_arm"),
+        F.expr(f"CASE WHEN ({need}) IS NOT NULL THEN least(n0, n1) >= ({need}) END").alias(
+            "ready"
+        ),
+    ).orderBy("metric")
+
+
+def ab_required_n_sql(table: str = "events", rel_lift: float = 0.1) -> str:
+    """DuckDB oracle for :func:`ab_required_n` (same staged ceil)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    r = float(rel_lift)
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    need = (
+        "CASE WHEN x > 0 AND x < n0 + n1 THEN"
+        " CAST(ceil(2.0 * (CAST(x AS DOUBLE) / (n0 + n1))"
+        " * (1.0 - CAST(x AS DOUBLE) / (n0 + n1))"
+        f" * {_Z_SUM} * {_Z_SUM}"
+        f" / (({r!r} * CAST(x AS DOUBLE) / (n0 + n1))"
+        f" * ({r!r} * CAST(x AS DOUBLE) / (n0 + n1)))) AS BIGINT) END"
+    )
+    return f"""
+    WITH rqn_u AS (
+      SELECT user_id, ({h}) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM {table})
+    ), rqn_t AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+      FROM rqn_u
+    ), rqn_x AS (
+      SELECT metric, count(*) AS x FROM (
+        SELECT DISTINCT user_id, event_type AS metric FROM {table}
+      ) GROUP BY metric
+    )
+    SELECT metric,
+           CASE WHEN n0 + n1 > 0 THEN
+             round(CAST(x AS DOUBLE) / (n0 + n1), 6) END AS base_rate,
+           {need} AS n_required_per_arm,
+           CAST(least(n0, n1) AS BIGINT) AS have_per_arm,
+           CASE WHEN ({need}) IS NOT NULL
+                THEN least(n0, n1) >= ({need}) END AS ready
+    FROM rqn_x CROSS JOIN rqn_t
+    ORDER BY metric
+    """
