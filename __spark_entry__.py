@@ -2489,6 +2489,15 @@ def q_ab_required_n(spark, sf_dir):
     return ml.ab_required_n(_tbl(spark, sf_dir, "events"), rel_lift=0.1)
 
 
+# ---------------------- wave 107 (rank fusion, NDCG)
+def q_rrf_user_ranking(spark, sf_dir):
+    return ml.rrf_user_ranking(_tbl(spark, sf_dir, "events"))
+
+
+def q_ndcg_activity_spend(spark, sf_dir):
+    return ml.ndcg_activity_spend(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2685,8 +2694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. ab_required_n — all of waves
-    2-106 plus the r4-green tail, 354 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. ndcg_activity_spend — all of waves
+    2-107 plus the r4-green tail, 356 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3178,6 +3187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 106
         "ab_power_mde": q_ab_power_mde,
         "ab_required_n": q_ab_required_n,
+        # wave 107
+        "rrf_user_ranking": q_rrf_user_ranking,
+        "ndcg_activity_spend": q_ndcg_activity_spend,
     }
 
 
@@ -4460,6 +4472,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 106
         "ab_power_mde": ml.ab_power_mde_sql(),
         "ab_required_n": ml.ab_required_n_sql(rel_lift=0.1),
+        # wave 107
+        "rrf_user_ranking": ml.rrf_user_ranking_sql(),
+        "ndcg_activity_spend": ml.ndcg_activity_spend_sql(),
     }
 
 

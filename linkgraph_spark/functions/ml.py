@@ -1785,3 +1785,212 @@ def ab_required_n_sql(table: str = "events", rel_lift: float = 0.1) -> str:
     FROM rqn_x CROSS JOIN rqn_t
     ORDER BY metric
     """
+
+
+# ---------------------------------------------------------------------------
+# Rank fusion + NDCG (wave 107)
+# ---------------------------------------------------------------------------
+
+
+def rrf_user_ranking(
+    events: DataFrame, top_lists: int = 100, top_n: int = 20, k: int = 60
+) -> DataFrame:
+    """→ [user_id, rank_activity, rank_spend, rrf_micro] — Reciprocal
+    Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009: score =
+    Σ 1/(k + rank)) of two user rankings — event count and total spend —
+    keeping the fused ``top_n``. THE standard way search stacks merge
+    heterogeneous rankers without score calibration; here it surfaces
+    "users big on EITHER axis" with the classic k = 60 damping.
+
+    Production RRF fuses bounded TOP LISTS, not full rankings — and so
+    does this: each side contributes only its top ``top_lists`` rows
+    (TakeOrderedAndProject — no global rank over the population, which
+    would be the low-cardinality single-task window trap at 100 TB).
+    Users absent from a list contribute nothing from it (the standard
+    convention). Ranks tie-break by user_id; each 1/(k+rank) term is
+    quantized to integer micro-units so the fused score — and the final
+    ordering — is an exact BIGINT comparison, bit-stable. Absent-list
+    ranks report NULL.
+
+    Scale shape: one user-grain aggregate (map-side combinable), two
+    TakeOrdered(top_lists), windows only over those ≤ top_lists-row
+    frames, one fused TakeOrdered(top_n).
+
+    Reference parity: no ranking surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    u = events.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+        ).alias("spend_c"),
+    )
+    ta = (
+        u.orderBy(F.desc("n_ev"), F.asc("user_id"))
+        .limit(int(top_lists))
+        .select(
+            "user_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_ev"), F.asc("user_id")))
+            .alias("rank_activity"),
+        )
+    )
+    tb = (
+        u.orderBy(F.desc("spend_c"), F.asc("user_id"))
+        .limit(int(top_lists))
+        .select(
+            "user_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("spend_c"), F.asc("user_id")))
+            .alias("rank_spend"),
+        )
+    )
+    kk = int(k)
+    term_a = F.coalesce(
+        F.round(F.lit(1e6) / (F.lit(kk) + F.col("rank_activity")), 0).cast(
+            "long"
+        ),
+        F.lit(0),
+    )
+    term_b = F.coalesce(
+        F.round(F.lit(1e6) / (F.lit(kk) + F.col("rank_spend")), 0).cast("long"),
+        F.lit(0),
+    )
+    return (
+        ta.join(tb, "user_id", "full_outer")
+        .select(
+            "user_id",
+            "rank_activity",
+            "rank_spend",
+            (term_a + term_b).alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc("user_id"))
+        .limit(int(top_n))
+    )
+
+
+def rrf_user_ranking_sql(
+    table: str = "events", top_lists: int = 100, top_n: int = 20, k: int = 60
+) -> str:
+    """DuckDB oracle for :func:`rrf_user_ranking` (same micro-quantized
+    terms, same tie-breaks)."""
+    kk = int(k)
+    return f"""
+    WITH rrf_u AS (
+      SELECT user_id, count(*) AS n_ev,
+             coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0)
+               AS spend_c
+      FROM {table} GROUP BY user_id
+    ), rrf_a AS (
+      SELECT user_id,
+             row_number() OVER (ORDER BY n_ev DESC, user_id ASC)
+               AS rank_activity
+      FROM rrf_u ORDER BY n_ev DESC, user_id ASC LIMIT {int(top_lists)}
+    ), rrf_b AS (
+      SELECT user_id,
+             row_number() OVER (ORDER BY spend_c DESC, user_id ASC)
+               AS rank_spend
+      FROM rrf_u ORDER BY spend_c DESC, user_id ASC LIMIT {int(top_lists)}
+    )
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           a.rank_activity, b.rank_spend,
+           coalesce(CAST(round(1e6 / ({kk} + a.rank_activity), 0) AS BIGINT),
+                    0)
+           + coalesce(CAST(round(1e6 / ({kk} + b.rank_spend), 0) AS BIGINT),
+                      0) AS rrf_micro
+    FROM rrf_a a FULL OUTER JOIN rrf_b b USING (user_id)
+    ORDER BY rrf_micro DESC, user_id ASC LIMIT {int(top_n)}
+    """
+
+
+def ndcg_activity_spend(events: DataFrame, k: int = 10) -> DataFrame:
+    """→ one row [k, dcg_micro, idcg_micro, ndcg] — NDCG@k (Järvelin &
+    Kekäläinen 2002) of the ranking "most-active users first" against
+    the graded relevance "total spend in cents": does engagement rank
+    predict value? The graded companion to AUC (binary) and AP
+    (binary-ranked) in the eval suite; any (predicted-rank, relevance)
+    pair drops in.
+
+    Scale shape — the point: DCG@k needs only the top-k by predicted
+    rank and IDCG@k only the top-k by relevance, both
+    TakeOrderedAndProject — NO global rank over users. Positions come
+    from windows over those k-row frames. Each gain term
+    ``rel/log2(pos+1)`` is one staged division quantized to integer
+    micro-units, so both sums — and their ratio — are engine-stable;
+    ``ndcg`` is NULL when IDCG is 0 (nobody spent anything). Ties break
+    by user_id on both sides.
+    """
+    from pyspark.sql import Window
+
+    u = events.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+        ).alias("rel"),
+    )
+    kk = int(k)
+
+    def _gain_sum(df, order_cols, alias):
+        top = df.orderBy(*order_cols).limit(kk)
+        pos = F.row_number().over(Window.orderBy(*order_cols))
+        g = top.select(
+            F.round(
+                F.col("rel").cast("double")
+                * F.lit(1e6)
+                / F.log2(pos.cast("double") + F.lit(1.0)),
+                0,
+            )
+            .cast("long")
+            .alias("g")
+        )
+        return g.groupBy().agg(
+            F.coalesce(F.sum("g"), F.lit(0)).alias(alias)
+        )
+
+    dcg = _gain_sum(u, [F.desc("n_ev"), F.asc("user_id")], "dcg_micro")
+    idcg = _gain_sum(u, [F.desc("rel"), F.asc("user_id")], "idcg_micro")
+    return dcg.crossJoin(idcg).select(
+        F.lit(kk).alias("k"),
+        "dcg_micro",
+        "idcg_micro",
+        F.expr(
+            "CASE WHEN idcg_micro > 0 THEN"
+            " round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) END"
+        ).alias("ndcg"),
+    )
+
+
+def ndcg_activity_spend_sql(table: str = "events", k: int = 10) -> str:
+    """DuckDB oracle for :func:`ndcg_activity_spend` (same micro gains)."""
+    kk = int(k)
+    return f"""
+    WITH ndc_u AS (
+      SELECT user_id, count(*) AS n_ev,
+             coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0) AS rel
+      FROM {table} GROUP BY user_id
+    ), ndc_d AS (
+      SELECT coalesce(sum(CAST(round(CAST(rel AS DOUBLE) * 1e6
+               / log2(CAST(pos AS DOUBLE) + 1.0), 0) AS BIGINT)), 0)
+               AS dcg_micro
+      FROM (
+        SELECT rel, row_number() OVER (ORDER BY n_ev DESC, user_id ASC)
+                 AS pos
+        FROM ndc_u ORDER BY n_ev DESC, user_id ASC LIMIT {kk}
+      )
+    ), ndc_i AS (
+      SELECT coalesce(sum(CAST(round(CAST(rel AS DOUBLE) * 1e6
+               / log2(CAST(pos AS DOUBLE) + 1.0), 0) AS BIGINT)), 0)
+               AS idcg_micro
+      FROM (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC, user_id ASC)
+                 AS pos
+        FROM ndc_u ORDER BY rel DESC, user_id ASC LIMIT {kk}
+      )
+    )
+    SELECT {kk} AS k, dcg_micro, idcg_micro,
+           CASE WHEN idcg_micro > 0 THEN
+             round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) END AS ndcg
+    FROM ndc_d, ndc_i
+    """
