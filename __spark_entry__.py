@@ -2498,6 +2498,15 @@ def q_ndcg_activity_spend(spark, sf_dir):
     return ml.ndcg_activity_spend(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 108 (Spearman, Cohen's kappa)
+def q_spearman_activity_spend(spark, sf_dir):
+    return ml.spearman_activity_spend(_tbl(spark, sf_dir, "events"))
+
+
+def q_lang_id_kappa(spark, sf_dir):
+    return tx.lang_id_kappa(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2694,8 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. ndcg_activity_spend — all of waves
-    2-107 plus the r4-green tail, 356 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. lang_id_kappa — all of waves
+    2-108 plus the r4-green tail, 358 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3190,6 +3199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 107
         "rrf_user_ranking": q_rrf_user_ranking,
         "ndcg_activity_spend": q_ndcg_activity_spend,
+        # wave 108
+        "spearman_activity_spend": q_spearman_activity_spend,
+        "lang_id_kappa": q_lang_id_kappa,
     }
 
 
@@ -4475,6 +4487,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 107
         "rrf_user_ranking": ml.rrf_user_ranking_sql(),
         "ndcg_activity_spend": ml.ndcg_activity_spend_sql(),
+        # wave 108
+        "spearman_activity_spend": ml.spearman_activity_spend_sql(),
+        "lang_id_kappa": tx.lang_id_kappa_sql(),
     }
 
 

@@ -1994,3 +1994,117 @@ def ndcg_activity_spend_sql(table: str = "events", k: int = 10) -> str:
              round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) END AS ndcg
     FROM ndc_d, ndc_i
     """
+
+
+# ---------------------------------------------------------------------------
+# Tie-aware Spearman + Cohen's kappa (wave 108)
+# ---------------------------------------------------------------------------
+
+
+def spearman_activity_spend(events: DataFrame) -> DataFrame:
+    """→ one row [n, rho] — tie-aware Spearman rank correlation between
+    per-user event count and per-user total spend (Spearman 1904; the
+    mid-rank tie convention), i.e. Pearson on average ranks: the
+    monotone-association number that survives the heavy tails where raw
+    Pearson drowns.
+
+    The scale trick: NO global rank over users. Average ranks are a
+    function of the VALUE only — mid-rank = (lo + hi)/2 from the value
+    histogram's cumulative counts — so each side ranks at HISTOGRAM
+    grain (bounded by distinct values) and users pick their rank up via
+    a broadcast value-keyed join. Doubled ranks (lo + hi, exact BIGINT)
+    avoid the half; Pearson is scale-invariant so the doubling cancels.
+    All five moment sums are exact DECIMAL(38,0)/HUGEINT (a doubled rank
+    squares to ~4n²); rho is one staged double, rounded 6, NULL when
+    either side is constant (all tied — undefined, not 0).
+
+    Scale shape: one user-grain aggregate, two histogram-grain
+    cumulative windows, two broadcast joins back, a one-row reduce.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    u = events.groupBy("user_id").agg(
+        F.count("*").alias("x"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+        ).alias("y"),
+    )
+
+    def _ranks(col):
+        h = u.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return h.select(
+            col,
+            (2 * F.sum("c").over(w) - F.col("c") + 1).alias(f"r2{col}"),
+        )
+
+    j = u.join(F.broadcast(_ranks("x")), "x").join(
+        F.broadcast(_ranks("y")), "y"
+    )
+    d38 = "decimal(38,0)"
+    s = j.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("r2x").cast(d38)).alias("sa"),
+        F.sum(F.col("r2y").cast(d38)).alias("sb"),
+        F.sum(F.col("r2x").cast(d38) * F.col("r2y")).alias("sab"),
+        F.sum(F.col("r2x").cast(d38) * F.col("r2x")).alias("saa"),
+        F.sum(F.col("r2y").cast(d38) * F.col("r2y")).alias("sbb"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "CASE WHEN n >= 2"
+            " AND CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa > 0"
+            " AND CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb > 0"
+            " THEN round((CAST(n AS DOUBLE) * sab"
+            "             - CAST(sa AS DOUBLE) * sb)"
+            " / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)"
+            "   * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)"
+            " END"
+        ).alias("rho"),
+    )
+
+
+def spearman_activity_spend_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`spearman_activity_spend` (same doubled
+    mid-ranks, HUGEINT moments)."""
+    return f"""
+    WITH spr_u AS (
+      SELECT user_id, count(*) AS x,
+             coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0) AS y
+      FROM {table} GROUP BY user_id
+    ), spr_hx AS (
+      SELECT x, 2 * sum(count(*)) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - count(*) + 1 AS r2x
+      FROM spr_u GROUP BY x
+    ), spr_hy AS (
+      SELECT y, 2 * sum(count(*)) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - count(*) + 1 AS r2y
+      FROM spr_u GROUP BY y
+    ), spr_j AS (
+      SELECT r2x, r2y FROM spr_u
+      JOIN spr_hx USING (x) JOIN spr_hy USING (y)
+    ), spr_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(r2x AS HUGEINT)) AS sa, sum(CAST(r2y AS HUGEINT)) AS sb,
+             sum(CAST(r2x AS HUGEINT) * r2y) AS sab,
+             sum(CAST(r2x AS HUGEINT) * r2x) AS saa,
+             sum(CAST(r2y AS HUGEINT) * r2y) AS sbb
+      FROM spr_j
+    )
+    SELECT n,
+           CASE WHEN n >= 2
+                AND CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa > 0
+                AND CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb > 0
+                THEN round((CAST(n AS DOUBLE) * sab
+                            - CAST(sa AS DOUBLE) * sb)
+                / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                  * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+           END AS rho
+    FROM spr_s
+    """

@@ -3518,3 +3518,108 @@ def heldout_perplexity_sql(table: str = "documents") -> str:
            END AS ppl
     FROM hop_s
     """
+
+
+def lang_id_kappa(documents: DataFrame) -> DataFrame:
+    """→ one row [n, n_agree, po, pe, kappa] — Cohen's κ (Cohen 1960)
+    between :func:`lang_id`'s stopword-heuristic prediction and the
+    labeled ``lang`` column: chance-corrected agreement, the honest
+    score for a classifier whose classes are imbalanced (raw accuracy
+    flatters the majority class). κ = (p_o − p_e)/(1 − p_e) with p_e
+    from the marginal products.
+
+    Exactness: the confusion margins are exact BIGINTs; p_o is one
+    integer ratio and p_e one staged sum of margin products over n²
+    (DECIMAL(38,0)/HUGEINT — products touch n²); κ re-derives from the
+    same integers through one shared expression, rounded 6, NULL when
+    p_e = 1 (both raters constant and equal — undefined).
+
+    Scale shape: the prediction is a map-only expression per document;
+    one aggregate to (pred, label) cell grain; margins re-derived from
+    the cell table; one-row reduce.
+    """
+    pred = lang_id(documents).select("doc_id", "lang_pred")
+    cells = (
+        documents.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang_pred", "lang")
+        .agg(F.count("*").alias("c"))
+    )
+    am = cells.groupBy("lang_pred").agg(F.sum("c").alias("ca"))
+    bm = cells.groupBy(F.col("lang").alias("lang_pred")).agg(
+        F.sum("c").alias("cb")
+    )
+    marg = am.join(bm, "lang_pred", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).cast("decimal(38,0)").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("decimal(38,0)").alias("cb"),
+    )
+    pe_num = marg.groupBy().agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("pe_num")
+    )
+    s = cells.groupBy().agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang_pred") == F.col("lang"), F.col("c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return s.crossJoin(pe_num).select(
+        "n",
+        "n_agree",
+        F.expr(
+            "CASE WHEN n > 0 THEN round(CAST(n_agree AS DOUBLE) / n, 6) END"
+        ).alias("po"),
+        F.expr(
+            "CASE WHEN n > 0 THEN round(CAST(pe_num AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * n), 6) END"
+        ).alias("pe"),
+        F.expr(
+            "CASE WHEN n > 0 AND CAST(pe_num AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * n) <> 1.0 THEN"
+            " round((CAST(n_agree AS DOUBLE) / n"
+            "   - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n))"
+            " / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6)"
+            " END"
+        ).alias("kappa"),
+    )
+
+
+def lang_id_kappa_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`lang_id_kappa` (wraps :func:`lang_id_sql`
+    as a subquery; same staged kappa)."""
+    inner = lang_id_sql(table)
+    return f"""
+    WITH kap_p AS ({inner}),
+    kap_c AS (
+      SELECT p.lang_pred, d.lang, count(*) AS c
+      FROM {table} d JOIN kap_p p USING (doc_id)
+      GROUP BY 1, 2
+    ), kap_am AS (
+      SELECT lang_pred AS k, sum(c) AS ca FROM kap_c GROUP BY 1
+    ), kap_bm AS (
+      SELECT lang AS k, sum(c) AS cb FROM kap_c GROUP BY 1
+    ), kap_pe AS (
+      SELECT coalesce(sum(CAST(coalesce(ca, 0) AS HUGEINT)
+                          * coalesce(cb, 0)), 0) AS pe_num
+      FROM kap_am FULL OUTER JOIN kap_bm USING (k)
+    ), kap_s AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN lang_pred = lang THEN c END), 0)
+                  AS BIGINT) AS n_agree
+      FROM kap_c
+    )
+    SELECT n, n_agree,
+           CASE WHEN n > 0 THEN round(CAST(n_agree AS DOUBLE) / n, 6) END
+             AS po,
+           CASE WHEN n > 0 THEN round(CAST(pe_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n), 6) END AS pe,
+           CASE WHEN n > 0 AND CAST(pe_num AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n) <> 1.0 THEN
+             round((CAST(n_agree AS DOUBLE) / n
+               - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6)
+           END AS kappa
+    FROM kap_s, kap_pe
+    """
