@@ -2507,6 +2507,17 @@ def q_lang_id_kappa(spark, sf_dir):
     return tx.lang_id_kappa(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 109 (EB shrinkage, join-card audit)
+def q_eb_source_quality(spark, sf_dir):
+    return tx.eb_source_quality(_tbl(spark, sf_dir, "documents"))
+
+
+def q_join_card_audit(spark, sf_dir):
+    return jn.join_card_audit(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "customer")
+    )
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2703,8 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. lang_id_kappa — all of waves
-    2-108 plus the r4-green tail, 358 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. join_card_audit — all of waves
+    2-109 plus the r4-green tail, 360 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3202,6 +3213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 108
         "spearman_activity_spend": q_spearman_activity_spend,
         "lang_id_kappa": q_lang_id_kappa,
+        # wave 109
+        "eb_source_quality": q_eb_source_quality,
+        "join_card_audit": q_join_card_audit,
     }
 
 
@@ -4490,6 +4504,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 108
         "spearman_activity_spend": ml.spearman_activity_spend_sql(),
         "lang_id_kappa": tx.lang_id_kappa_sql(),
+        # wave 109
+        "eb_source_quality": tx.eb_source_quality_sql(),
+        "join_card_audit": jn.join_card_audit_sql(),
     }
 
 

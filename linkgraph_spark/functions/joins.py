@@ -442,3 +442,127 @@ def nearest_click_purchase_sql(table: str = "events") -> str:
     JOIN nback b ON b.event_id = p.event_id
     JOIN nfwd f ON f.event_id = p.event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimator audit (wave 109)
+# ---------------------------------------------------------------------------
+
+
+def join_card_audit(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """→ one row [n_left, n_right, d_left, d_right, actual, estimate,
+    q_error] — the classic optimizer join-cardinality estimate
+    ``|A ⋈ B| ≈ |A|·|B| / max(d_A, d_B)`` (uniform-frequency +
+    containment assumption, the Selinger/System-R formula every planner
+    still uses) audited against the EXACT join cardinality, reported as
+    the standard q-error ``max(est/actual, actual/est)``. The "can I
+    trust my planner's row counts on this key" diagnostic.
+
+    The exact cardinality never materializes the join: it is
+    ``Σ_k c_A(k)·c_B(k)`` over the two key histograms (DECIMAL/HUGEINT
+    — per-key products can square hot keys). The estimate is one staged
+    division of exact counts; q_error is staged from the same integers,
+    NULL when either side of the ratio is 0.
+
+    Scale shape: two key-grain aggregates (map-side combinable), one
+    histogram equi-join, a one-row reduce. The fact tables are each
+    read once and never joined row-to-row.
+
+    Reference parity: no planner surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    a = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("ca"))
+    )
+    b = (
+        customer.where(F.col("c_custkey").isNotNull())
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count("*").alias("cb"))
+    )
+    sa = a.groupBy().agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("n_left"),
+        F.count("*").cast("long").alias("d_left"),
+    )
+    sb = b.groupBy().agg(
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("n_right"),
+        F.count("*").cast("long").alias("d_right"),
+    )
+    act = (
+        a.join(b, "k")
+        .groupBy()
+        .agg(
+            F.coalesce(
+                F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")),
+                F.lit(0),
+            ).alias("actual_d")
+        )
+    )
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(act)
+        .select(
+            "n_left",
+            "n_right",
+            "d_left",
+            "d_right",
+            F.col("actual_d").cast("long").alias("actual"),
+            F.expr(
+                "CASE WHEN greatest(d_left, d_right) > 0 THEN"
+                " round(CAST(n_left AS DOUBLE) * n_right"
+                " / greatest(d_left, d_right), 6) END"
+            ).alias("estimate"),
+            F.expr(
+                "CASE WHEN CAST(actual_d AS DOUBLE) > 0"
+                " AND greatest(d_left, d_right) > 0"
+                " AND CAST(n_left AS DOUBLE) * n_right > 0 THEN"
+                " round(greatest("
+                " (CAST(n_left AS DOUBLE) * n_right"
+                "   / greatest(d_left, d_right)) / CAST(actual_d AS DOUBLE),"
+                " CAST(actual_d AS DOUBLE) /"
+                " (CAST(n_left AS DOUBLE) * n_right"
+                "   / greatest(d_left, d_right))), 6) END"
+            ).alias("q_error"),
+        )
+    )
+
+
+def join_card_audit_sql(
+    orders: str = "orders", customer: str = "customer"
+) -> str:
+    """DuckDB oracle for :func:`join_card_audit` (same histogram
+    product, same staged estimate)."""
+    return f"""
+    WITH jca_a AS (
+      SELECT o_custkey AS k, count(*) AS ca FROM {orders}
+      WHERE o_custkey IS NOT NULL GROUP BY 1
+    ), jca_b AS (
+      SELECT c_custkey AS k, count(*) AS cb FROM {customer}
+      WHERE c_custkey IS NOT NULL GROUP BY 1
+    ), jca_sa AS (
+      SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_left,
+             CAST(count(*) AS BIGINT) AS d_left FROM jca_a
+    ), jca_sb AS (
+      SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_right,
+             CAST(count(*) AS BIGINT) AS d_right FROM jca_b
+    ), jca_act AS (
+      SELECT coalesce(sum(CAST(ca AS HUGEINT) * cb), 0) AS actual_d
+      FROM jca_a JOIN jca_b USING (k)
+    )
+    SELECT n_left, n_right, d_left, d_right,
+           CAST(actual_d AS BIGINT) AS actual,
+           CASE WHEN greatest(d_left, d_right) > 0 THEN
+             round(CAST(n_left AS DOUBLE) * n_right
+                   / greatest(d_left, d_right), 6) END AS estimate,
+           CASE WHEN CAST(actual_d AS DOUBLE) > 0
+                AND greatest(d_left, d_right) > 0
+                AND CAST(n_left AS DOUBLE) * n_right > 0 THEN
+             round(greatest(
+               (CAST(n_left AS DOUBLE) * n_right
+                 / greatest(d_left, d_right)) / CAST(actual_d AS DOUBLE),
+               CAST(actual_d AS DOUBLE) /
+               (CAST(n_left AS DOUBLE) * n_right
+                 / greatest(d_left, d_right))), 6) END AS q_error
+    FROM jca_sa, jca_sb, jca_act
+    """

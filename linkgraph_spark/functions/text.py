@@ -3623,3 +3623,115 @@ def lang_id_kappa_sql(table: str = "documents") -> str:
            END AS kappa
     FROM kap_s, kap_pe
     """
+
+
+def eb_source_quality(
+    documents: DataFrame, threshold: float = 0.75
+) -> DataFrame:
+    """→ [source, n_docs, n_good, rate, shrunk_rate] — per-source share
+    of GOOD documents (quality ≥ ``threshold`` per :func:`quality_score`)
+    with EMPIRICAL-BAYES beta-binomial shrinkage toward the cross-source
+    prior (Robbins 1956 lineage; the method-of-moments prior-strength
+    estimate K = m(1−m)/Var(r) − 1, shrunk = (x + K·m)/(n + K)): the
+    small-n-corrected source ranking — a 3-doc source with 3 hits should
+    NOT outrank a 10k-doc source at 92%, and raw rates say it does.
+
+    Determinism: the good-doc predicate compares the exact 2-dp quality
+    against an exact binary threshold; per-source rates are quantized to
+    integer micro-units, so the prior moments are exact integer sums
+    (DECIMAL/HUGEINT for the square); K and every shrunk rate are staged
+    doubles from those integers, rounded 6. Degenerate priors (zero
+    across-source variance, or K ≤ 0 — the prior carries no signal)
+    fall back to the RAW rate, documented, never a NaN.
+
+    Scale shape: map-only per-doc scoring, one source-grain aggregate
+    (low-cardinality), prior moments over the |sources| frame, one
+    broadcast of the one-row prior back onto it.
+    """
+    thr = float(threshold)
+    q = quality_score(documents).select("doc_id", "quality")
+    per = (
+        documents.select("doc_id", "source")
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("quality") >= thr, 1).otherwise(0)
+            ).alias("x"),
+        )
+        .withColumn(
+            "r_u",
+            F.round(
+                F.lit(1e6) * F.col("x").cast("double") / F.col("n"), 0
+            ).cast("long"),
+        )
+    )
+    prior = per.groupBy().agg(
+        F.count("*").cast("long").alias("s"),
+        F.sum(F.col("r_u").cast("decimal(38,0)")).alias("sr"),
+        F.sum(F.col("r_u").cast("decimal(38,0)") * F.col("r_u")).alias("srr"),
+    )
+    j = per.crossJoin(F.broadcast(prior))
+    m_d = "CAST(sr AS DOUBLE) / (1e6 * s)"
+    v_d = (
+        "(CAST(s AS DOUBLE) * CAST(srr AS DOUBLE)"
+        " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))"
+        " / (1e12 * CAST(s AS DOUBLE) * s)"
+    )
+    kk = f"(({m_d}) * (1.0 - ({m_d})) / ({v_d}) - 1.0)"
+    return j.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("x").cast("long").alias("n_good"),
+        F.expr("round(CAST(x AS DOUBLE) / n, 6)").alias("rate"),
+        F.expr(
+            f"CASE WHEN s >= 2 AND ({v_d}) > 0 AND ({kk}) > 0 THEN"
+            f" round((CAST(x AS DOUBLE) + ({kk}) * ({m_d}))"
+            f" / (CAST(n AS DOUBLE) + ({kk})), 6)"
+            " ELSE round(CAST(x AS DOUBLE) / n, 6) END"
+        ).alias("shrunk_rate"),
+    ).orderBy("source")
+
+
+def eb_source_quality_sql(
+    table: str = "documents", threshold: float = 0.75
+) -> str:
+    """DuckDB oracle for :func:`eb_source_quality` (wraps the per-doc
+    quality SQL; same staged prior)."""
+    thr = float(threshold)
+    inner = quality_score_sql(table)
+    m_d = "CAST(sr AS DOUBLE) / (1e6 * s)"
+    v_d = (
+        "(CAST(s AS DOUBLE) * CAST(srr AS DOUBLE)"
+        " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))"
+        " / (1e12 * CAST(s AS DOUBLE) * s)"
+    )
+    kk = f"(({m_d}) * (1.0 - ({m_d})) / ({v_d}) - 1.0)"
+    return f"""
+    WITH ebq_q AS ({inner}),
+    ebq_p AS (
+      SELECT d.source, count(*) AS n,
+             sum(CASE WHEN q.quality >= {thr!r} THEN 1 ELSE 0 END) AS x
+      FROM {table} d JOIN ebq_q q USING (doc_id)
+      GROUP BY d.source
+    ), ebq_r AS (
+      SELECT *, CAST(round(1e6 * CAST(x AS DOUBLE) / n, 0) AS BIGINT) AS r_u
+      FROM ebq_p
+    ), ebq_prior AS (
+      SELECT CAST(count(*) AS BIGINT) AS s,
+             sum(CAST(r_u AS HUGEINT)) AS sr,
+             sum(CAST(r_u AS HUGEINT) * r_u) AS srr
+      FROM ebq_r
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(x AS BIGINT) AS n_good,
+           round(CAST(x AS DOUBLE) / n, 6) AS rate,
+           CASE WHEN s >= 2 AND ({v_d}) > 0 AND ({kk}) > 0 THEN
+             round((CAST(x AS DOUBLE) + ({kk}) * ({m_d}))
+                   / (CAST(n AS DOUBLE) + ({kk})), 6)
+           ELSE round(CAST(x AS DOUBLE) / n, 6) END AS shrunk_rate
+    FROM ebq_r CROSS JOIN ebq_prior
+    ORDER BY source
+    """
