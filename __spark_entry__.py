@@ -2518,6 +2518,17 @@ def q_join_card_audit(spark, sf_dir):
     )
 
 
+# ---------------------- wave 110 (lang diversity, order reconciliation)
+def q_source_lang_diversity(spark, sf_dir):
+    return tx.source_lang_diversity(_tbl(spark, sf_dir, "documents"))
+
+
+def q_order_total_reconciliation(spark, sf_dir):
+    return rc.order_total_reconciliation(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2714,8 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. join_card_audit — all of waves
-    2-109 plus the r4-green tail, 360 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. order_total_reconciliation — all of
+    waves 2-110 plus the r4-green tail, 362 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3216,6 +3227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 109
         "eb_source_quality": q_eb_source_quality,
         "join_card_audit": q_join_card_audit,
+        # wave 110
+        "source_lang_diversity": q_source_lang_diversity,
+        "order_total_reconciliation": q_order_total_reconciliation,
     }
 
 
@@ -4507,6 +4521,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 109
         "eb_source_quality": tx.eb_source_quality_sql(),
         "join_card_audit": jn.join_card_audit_sql(),
+        # wave 110
+        "source_lang_diversity": tx.source_lang_diversity_sql(),
+        "order_total_reconciliation": rc.order_total_reconciliation_sql(),
     }
 
 

@@ -346,3 +346,109 @@ def user_value_state_sql(table: str = "events", where: str = "TRUE") -> str:
     FROM {table} WHERE {where}
     GROUP BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Order-total vs lineitem reconciliation (wave 110)
+# ---------------------------------------------------------------------------
+
+def order_total_reconciliation(
+    orders, lineitem, tol_cents: int = 1
+):
+    """→ one row [n_orders, n_no_lines, n_matched, n_mismatched,
+    max_abs_gap_cents, p50_abs_gap_cents] — the classic cross-table
+    consistency audit: does ``o_totalprice`` equal the order's lineitem
+    total ``Σ extendedprice·(1−discount)·(1+tax)`` within ``tol_cents``?
+    The reconciliation every warehouse runs after an ingest — the
+    header-vs-detail invariant TPC-H data satisfies and broken pipelines
+    quietly don't. Orders with no lineitem rows are reported separately
+    (they cannot be judged, only flagged).
+
+    Exactness: both sides quantize to exact cents BEFORE comparing (one
+    rounded product per line — identical staging in both engines — then
+    BIGINT sums), the tolerance test is an integer comparison, and the
+    gap percentile is the exact interpolated percentile over integer
+    gaps. No raw-double equality anywhere.
+
+    Scale shape: one lineitem aggregate to order grain (map-side
+    combinable), one order-keyed equi-join, one-row reduce with an
+    exact percentile over the |orders| frame.
+
+    Reference parity: no reconciliation surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    li = (
+        lineitem.select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+                * 100,
+                0,
+            )
+            .cast("long")
+            .alias("lc"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("lc").alias("li_c"))
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("o_c"),
+    ).join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    gap = F.abs(F.col("o_c") - F.col("li_c"))
+    tol = int(tol_cents)
+    return j.groupBy().agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.coalesce(
+            F.sum(F.when(F.col("li_c").isNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_no_lines"),
+        F.coalesce(
+            F.sum(F.when(gap <= tol, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.coalesce(
+            F.sum(F.when(gap > tol, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(gap).cast("long").alias("max_abs_gap_cents"),
+        F.round(F.expr("percentile(abs(o_c - li_c), 0.5D)"), 6).alias(
+            "p50_abs_gap_cents"
+        ),
+    )
+
+
+def order_total_reconciliation_sql(
+    orders: str = "orders", lineitem: str = "lineitem", tol_cents: int = 1
+) -> str:
+    """DuckDB oracle for :func:`order_total_reconciliation` (same cent
+    staging; quantile_cont == Spark percentile)."""
+    tol = int(tol_cents)
+    return f"""
+    WITH otr_li AS (
+      SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                            * (1.0 + l_tax) * 100, 0) AS BIGINT)) AS li_c
+      FROM {lineitem} GROUP BY 1
+    ), otr_j AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS o_c, li_c
+      FROM {orders} o LEFT JOIN otr_li l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CASE WHEN li_c IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_no_lines,
+           CAST(coalesce(sum(CASE WHEN abs(o_c - li_c) <= {tol}
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matched,
+           CAST(coalesce(sum(CASE WHEN abs(o_c - li_c) > {tol}
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_mismatched,
+           CAST(max(abs(o_c - li_c)) AS BIGINT) AS max_abs_gap_cents,
+           round(quantile_cont(abs(o_c - li_c), 0.5), 6)
+             AS p50_abs_gap_cents
+    FROM otr_j
+    """

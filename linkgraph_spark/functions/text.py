@@ -3735,3 +3735,52 @@ def eb_source_quality_sql(
     FROM ebq_r CROSS JOIN ebq_prior
     ORDER BY source
     """
+
+
+def source_lang_diversity(documents: DataFrame) -> DataFrame:
+    """→ [source, n_docs, n_langs, inv_simpson] — per ingest source, the
+    inverse Simpson index 1/Σp² (Simpson 1949) of its language mix: the
+    "effective number of languages" a source really contributes (a
+    source that is 96% one language scores ≈ 1 however many languages it
+    nominally touches). The diversity lens on the corpus-mixing family.
+
+    Exactness: inv_simpson = n²/Σc² — one staged division of exact
+    integers (DECIMAL/HUGEINT for the squares), rounded 6. A one-doc
+    source scores exactly 1.0. Scale shape: one (source, lang) cell
+    aggregate, one source-grain reduce — both map-side combinable.
+    """
+    cells = documents.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    s = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("c2"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.expr(
+            "CASE WHEN CAST(c2 AS DOUBLE) > 0 THEN"
+            " round(CAST(n_docs AS DOUBLE) * n_docs / CAST(c2 AS DOUBLE), 6)"
+            " END"
+        ).alias("inv_simpson"),
+    ).orderBy("source")
+
+
+def source_lang_diversity_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`source_lang_diversity`."""
+    return f"""
+    WITH sld_c AS (
+      SELECT source, lang, count(*) AS c FROM {table} GROUP BY 1, 2
+    ), sld_s AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             sum(CAST(c AS HUGEINT) * c) AS c2
+      FROM sld_c GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+           CASE WHEN CAST(c2 AS DOUBLE) > 0 THEN
+             round(CAST(n_docs AS DOUBLE) * n_docs / CAST(c2 AS DOUBLE), 6)
+           END AS inv_simpson
+    FROM sld_s ORDER BY source
+    """
