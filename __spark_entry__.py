@@ -2529,6 +2529,11 @@ def q_order_total_reconciliation(spark, sf_dir):
     )
 
 
+# ---------------------- wave 111 (full-document containment)
+def q_contained_docs(spark, sf_dir):
+    return dd.contained_docs(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2725,8 +2730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. order_total_reconciliation — all of
-    waves 2-110 plus the r4-green tail, 362 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. contained_docs — all of
+    waves 2-111 plus the r4-green tail, 363 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3230,6 +3235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 110
         "source_lang_diversity": q_source_lang_diversity,
         "order_total_reconciliation": q_order_total_reconciliation,
+        # wave 111
+        "contained_docs": q_contained_docs,
     }
 
 
@@ -4524,6 +4531,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 110
         "source_lang_diversity": tx.source_lang_diversity_sql(),
         "order_total_reconciliation": rc.order_total_reconciliation_sql(),
+        # wave 111
+        "contained_docs": dd.contained_docs_sql(),
     }
 
 

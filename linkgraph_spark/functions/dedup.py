@@ -1709,3 +1709,88 @@ def tail_head_overlap_sql(
     SELECT doc_a, doc_b, CAST(max(k) AS BIGINT) AS overlap_tokens
     FROM tho_p GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
     """
+
+
+# ------------------------------------------------------ full containment
+def contained_docs(
+    documents: DataFrame, max_doc_freq: int | None = None
+) -> DataFrame:
+    """→ [inner_doc, outer_doc, n_tokens_inner] — documents whose ENTIRE
+    normalized token sequence appears verbatim inside another document:
+    the strongest near-dup verdict short of exact equality (quote posts,
+    mirrored articles with added chrome, chunk-of-a-larger-file
+    uploads). Lee et al. 2022's substring-dedup end state, as a verdict
+    table rather than span evidence.
+
+    Composition, not new machinery: a document with t ≥ 3 tokens hosts
+    t − 2 positioned 3-gram shingles; it is contained in another exactly
+    when ONE aligned run (:func:`dup_spans`' gaps-and-islands) covers
+    all t − 2 of them. Both orientations are checked (dup_spans
+    canonicalizes pairs; containment restores direction). Exact-equal
+    documents contain each other and appear in both directions — that
+    is the honest verdict, and exact dedup owns collapsing them.
+    ``max_doc_freq`` passes through to the shingle cap (a capped run may
+    split, losing a containment — same documented recall trade).
+
+    Scale shape: dup_spans' bounded shapes plus one broadcast-size
+    token-count attach and a pair-grain max. Sub-3-token docs are exact
+    dedup's job and excluded here.
+    """
+    spans = dup_spans(documents, min_run=1, max_doc_freq=max_doc_freq)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    nt = documents.select(
+        "doc_id", F.size(F.split(norm, " ")).cast("long").alias("nt")
+    )
+    best = spans.groupBy("doc_a", "doc_b").agg(
+        F.max("match_len").alias("best")
+    )
+    a_in_b = (
+        best.join(nt.select(F.col("doc_id").alias("doc_a"), "nt"), "doc_a")
+        .where(F.col("best") == F.col("nt") - 2)
+        .select(
+            F.col("doc_a").alias("inner_doc"),
+            F.col("doc_b").alias("outer_doc"),
+            F.col("nt").alias("n_tokens_inner"),
+        )
+    )
+    b_in_a = (
+        best.join(nt.select(F.col("doc_id").alias("doc_b"), "nt"), "doc_b")
+        .where(F.col("best") == F.col("nt") - 2)
+        .select(
+            F.col("doc_b").alias("inner_doc"),
+            F.col("doc_a").alias("outer_doc"),
+            F.col("nt").alias("n_tokens_inner"),
+        )
+    )
+    return a_in_b.unionByName(b_in_a).orderBy("inner_doc", "outer_doc")
+
+
+def contained_docs_sql(
+    table: str = "documents", max_doc_freq: int | None = None
+) -> str:
+    """DuckDB mirror of :func:`contained_docs` (wraps dup_spans_sql at
+    min_run=1 and restores direction)."""
+    inner = dup_spans_sql(table=table, min_run=1, max_doc_freq=max_doc_freq)
+    return f"""
+    WITH cnd_spans AS ({inner}),
+    cnd_nt AS (
+      SELECT doc_id,
+             CAST(len(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+               AS BIGINT) AS nt
+      FROM {table}
+    ), cnd_best AS (
+      SELECT doc_a, doc_b, max(match_len) AS best
+      FROM cnd_spans GROUP BY 1, 2
+    ), cnd_dir AS (
+      SELECT b.doc_a AS inner_doc, b.doc_b AS outer_doc, n.nt
+      FROM cnd_best b JOIN cnd_nt n ON n.doc_id = b.doc_a
+      WHERE b.best = n.nt - 2
+      UNION ALL
+      SELECT b.doc_b, b.doc_a, n.nt
+      FROM cnd_best b JOIN cnd_nt n ON n.doc_id = b.doc_b
+      WHERE b.best = n.nt - 2
+    )
+    SELECT inner_doc, outer_doc, nt AS n_tokens_inner
+    FROM cnd_dir ORDER BY inner_doc, outer_doc
+    """
