@@ -2534,6 +2534,17 @@ def q_contained_docs(spark, sf_dir):
     return dd.contained_docs(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 112 (association rules, lang confusability)
+def q_association_rules(spark, sf_dir):
+    return rel.association_rules(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_lang_confusability(spark, sf_dir):
+    return tx.lang_confusability(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2730,8 +2741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. contained_docs — all of
-    waves 2-111 plus the r4-green tail, 363 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. lang_confusability — all of
+    waves 2-112 plus the r4-green tail, 365 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3237,6 +3248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_total_reconciliation": q_order_total_reconciliation,
         # wave 111
         "contained_docs": q_contained_docs,
+        # wave 112
+        "association_rules": q_association_rules,
+        "lang_confusability": q_lang_confusability,
     }
 
 
@@ -4533,6 +4547,9 @@ def oracle_sql() -> dict[str, str]:
         "order_total_reconciliation": rc.order_total_reconciliation_sql(),
         # wave 111
         "contained_docs": dd.contained_docs_sql(),
+        # wave 112
+        "association_rules": rel.association_rules_sql(),
+        "lang_confusability": tx.lang_confusability_sql(),
     }
 
 

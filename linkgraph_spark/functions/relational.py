@@ -2490,3 +2490,123 @@ def single_source_audit_sql(table: str = "lineitem") -> str:
                            / CAST(n_parts AS DOUBLE), 6) END AS pct_dominated
     FROM ssa_s
     """
+
+
+# ---------------------------------------------------------------------------
+# Association rules: confidence + lift (wave 112)
+# ---------------------------------------------------------------------------
+
+
+def association_rules(
+    lineitem: DataFrame, part: DataFrame, min_support: int = 5
+) -> DataFrame:
+    """→ [antecedent, consequent, n_ab, n_a, n_b, confidence, lift] — the
+    classic association rules (Agrawal et al. 1993) over frequent brand
+    pairs: confidence(a→b) = n_ab/n_a and lift = n_ab·N/(n_a·n_b), both
+    DIRECTIONS of every pair meeting ``min_support`` (a→b and b→a have
+    different confidences; lift is symmetric and repeats — that is the
+    standard presentation). The actionable layer on top of
+    :func:`frequent_pairs_apriori`'s raw counts.
+
+    Exactness: all four counts are exact BIGINTs from the same
+    support-pruned basket table; confidence and lift are single staged
+    divisions of those integers rounded to 6 (denominators ≥ min_support
+    > 0 by construction — no guards needed, and that invariant is the
+    point of pruning first).
+
+    Scale shape: identical to the frequent-pair plan — support-filtered
+    baskets, one order-keyed pair equi-join bounded by basket width,
+    margins broadcast back onto the pair table.
+    """
+    s = int(min_support)
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_baskets = baskets.select(
+        F.countDistinct("l_orderkey").alias("n_total")
+    )
+    marg = baskets.groupBy("p_brand").agg(F.count("*").alias("n_m"))
+    frequent = marg.where(F.col("n_m") >= s).select("p_brand")
+    pruned = baskets.join(F.broadcast(frequent), "p_brand", "left_semi")
+    a = pruned.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_a"))
+    b = pruned.select(F.col("l_orderkey").alias("_ok2"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a._ok == b._ok2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= s)
+    )
+    both = pairs.select(
+        F.col("brand_a").alias("antecedent"),
+        F.col("brand_b").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("brand_b").alias("antecedent"),
+            F.col("brand_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    ma = marg.select(F.col("p_brand").alias("antecedent"), F.col("n_m").alias("n_a"))
+    mb = marg.select(F.col("p_brand").alias("consequent"), F.col("n_m").alias("n_b"))
+    return (
+        both.join(F.broadcast(ma), "antecedent")
+        .join(F.broadcast(mb), "consequent")
+        .crossJoin(n_baskets)
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("round(CAST(n_ab AS DOUBLE) / n_a, 6)").alias("confidence"),
+            F.expr(
+                "round(CAST(n_ab AS DOUBLE) * n_total"
+                " / (CAST(n_a AS DOUBLE) * n_b), 6)"
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+def association_rules_sql(min_support: int = 5) -> str:
+    """Oracle for :func:`association_rules` — unpruned definition (the
+    support prune must not change the rule set, per downward closure)."""
+    s = int(min_support)
+    return f"""
+    WITH arl_b AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), arl_n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_total FROM arl_b
+    ), arl_m AS (
+        SELECT p_brand, count(*) AS n_m FROM arl_b GROUP BY 1
+    ), arl_p AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+        FROM arl_b a JOIN arl_b b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2 HAVING count(*) >= {s}
+    ), arl_d AS (
+        SELECT brand_a AS antecedent, brand_b AS consequent, n_ab FROM arl_p
+        UNION ALL
+        SELECT brand_b, brand_a, n_ab FROM arl_p
+    )
+    SELECT d.antecedent, d.consequent,
+           CAST(d.n_ab AS BIGINT) AS n_ab,
+           CAST(ma.n_m AS BIGINT) AS n_a,
+           CAST(mb.n_m AS BIGINT) AS n_b,
+           round(CAST(d.n_ab AS DOUBLE) / ma.n_m, 6) AS confidence,
+           round(CAST(d.n_ab AS DOUBLE) * n.n_total
+                 / (CAST(ma.n_m AS DOUBLE) * mb.n_m), 6) AS lift
+    FROM arl_d d
+    JOIN arl_m ma ON ma.p_brand = d.antecedent
+    JOIN arl_m mb ON mb.p_brand = d.consequent
+    CROSS JOIN arl_n n
+    ORDER BY antecedent, consequent
+    """

@@ -3784,3 +3784,103 @@ def source_lang_diversity_sql(table: str = "documents") -> str:
            END AS inv_simpson
     FROM sld_s ORDER BY source
     """
+
+
+def lang_confusability(documents: DataFrame) -> DataFrame:
+    """→ [lang_a, lang_b, n_shared_trigrams, cosine] — pairwise cosine
+    similarity between LANGUAGE character-trigram count profiles (the
+    TextCat/CLD feature space; Cavnar & Trenkle 1994): which language
+    pairs a profile-based identifier will plausibly confuse — the
+    confusability companion to :func:`lang_id_kappa`'s measured
+    agreement (high cosine here predicts kappa's confusion cells).
+
+    Exactness: profile dot products and norms are exact integer sums
+    over trigram counts (DECIMAL(38,0)/HUGEINT — count products), so
+    only the final cosine is one staged sqrt division, rounded 6; pairs
+    are canonical (lang_a < lang_b); a language with an empty profile
+    cannot appear (its docs host no trigram).
+
+    Scale shape: one (lang, trigram) aggregate (bounded by
+    |langs|·|alphabet|³, not corpus size), one trigram-keyed self-join
+    of that TINY profile table, one pair-grain reduce; norms broadcast
+    back.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = documents.select("lang", norm.alias("norm")).where(
+        F.length("norm") >= 3
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - F.lit(2)),
+        lambda i: F.col("norm").substr(i, F.lit(3)),
+    )
+    prof = (
+        d.select("lang", F.explode(grams).alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = prof.groupBy("lang").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("nn")
+    )
+    a = prof.select(F.col("lang").alias("lang_a"), "g", F.col("c").alias("ca"))
+    b = prof.select(F.col("lang").alias("lang_b"), "g", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "g")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_trigrams"),
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("lang").alias("lang_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("lang").alias("lang_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared_trigrams",
+            F.expr(
+                "round(CAST(dot AS DOUBLE)"
+                " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)"
+            ).alias("cosine"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+def lang_confusability_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`lang_confusability` (same integer dot
+    products; position lattice via the list-returning range())."""
+    return f"""
+    WITH lcf_d AS (
+      SELECT lang,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM {table}
+    ), lcf_g AS (
+      SELECT lang, substr(norm, CAST(i AS INTEGER), 3) AS g
+      FROM (
+        SELECT lang, norm, unnest(range(1, len(norm) - 1)) AS i
+        FROM lcf_d WHERE len(norm) >= 3
+      )
+    ), lcf_p AS (
+      SELECT lang, g, count(*) AS c FROM lcf_g GROUP BY 1, 2
+    ), lcf_n AS (
+      SELECT lang, sum(CAST(c AS HUGEINT) * c) AS nn FROM lcf_p GROUP BY 1
+    ), lcf_dot AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(count(*) AS BIGINT) AS n_shared_trigrams,
+             sum(CAST(a.c AS HUGEINT) * b.c) AS dot
+      FROM lcf_p a JOIN lcf_p b ON b.g = a.g AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT d.lang_a, d.lang_b, d.n_shared_trigrams,
+           round(CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)), 6)
+             AS cosine
+    FROM lcf_dot d
+    JOIN lcf_n na ON na.lang = d.lang_a
+    JOIN lcf_n nb ON nb.lang = d.lang_b
+    ORDER BY lang_a, lang_b
+    """
