@@ -2545,6 +2545,17 @@ def q_lang_confusability(spark, sf_dir):
     return tx.lang_confusability(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 113 (return-rate league tables)
+def q_brand_return_wilson(spark, sf_dir):
+    return rel.brand_return_wilson(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_eb_supplier_returns(spark, sf_dir):
+    return rel.eb_supplier_returns(_tbl(spark, sf_dir, "lineitem"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2741,8 +2752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. lang_confusability — all of
-    waves 2-112 plus the r4-green tail, 365 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. eb_supplier_returns — all of
+    waves 2-113 plus the r4-green tail, 367 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3251,6 +3262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 112
         "association_rules": q_association_rules,
         "lang_confusability": q_lang_confusability,
+        # wave 113
+        "brand_return_wilson": q_brand_return_wilson,
+        "eb_supplier_returns": q_eb_supplier_returns,
     }
 
 
@@ -4550,6 +4564,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 112
         "association_rules": rel.association_rules_sql(),
         "lang_confusability": tx.lang_confusability_sql(),
+        # wave 113
+        "brand_return_wilson": rel.brand_return_wilson_sql(),
+        "eb_supplier_returns": rel.eb_supplier_returns_sql(),
     }
 
 

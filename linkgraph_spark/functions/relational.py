@@ -2610,3 +2610,168 @@ def association_rules_sql(min_support: int = 5) -> str:
     CROSS JOIN arl_n n
     ORDER BY antecedent, consequent
     """
+
+
+# ---------------------------------------------------------------------------
+# Return-rate league tables (wave 113)
+# ---------------------------------------------------------------------------
+
+# Wilson 95% bounds as shared expression fragments over (x, n) — the same
+# exact literals as ml._WILSON_STAGE, reusable at any grouping grain.
+_WILSON_LO = (
+    "round((CAST(x AS DOUBLE) / n + 1.9208 / n"
+    " - 1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n)"
+    " / n + 0.9604 / (CAST(n AS DOUBLE) * n)))"
+    " / (1.0 + 3.8416 / n), 6)"
+)
+_WILSON_HI = _WILSON_LO.replace("- 1.96 *", "+ 1.96 *")
+
+
+def brand_return_wilson(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """→ [p_brand, n, n_returned, rate, wilson_lo, wilson_hi] — per-brand
+    lineitem RETURN rate (``l_returnflag = 'R'``) with the 95% Wilson
+    score interval (Wilson 1927): the quality-control league table with
+    honest error bars, so a 3-line brand at 100% returns shows its
+    giant interval instead of topping the naive ranking.
+
+    Exactness: x and n are exact line counts; both bounds evaluate the
+    SAME literal expression strings as the conversion-CI operator
+    (z constants baked in, no engine erfinv), rounded 6; bounds live in
+    [0, 1] by construction. Scale shape: one broadcast brand attach +
+    one brand-grain aggregate — map-side combinable, |brands| rows out.
+    """
+    j = lineitem.select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    g = j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ret").cast("long").alias("x"),
+    )
+    return g.select(
+        "p_brand",
+        "n",
+        F.col("x").alias("n_returned"),
+        F.expr("round(CAST(x AS DOUBLE) / n, 6)").alias("rate"),
+        F.expr(_WILSON_LO).alias("wilson_lo"),
+        F.expr(_WILSON_HI).alias("wilson_hi"),
+    ).orderBy("p_brand")
+
+
+def brand_return_wilson_sql(
+    lineitem: str = "lineitem", part: str = "part"
+) -> str:
+    """DuckDB oracle for :func:`brand_return_wilson` (same literals)."""
+    return f"""
+    WITH brw_g AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM {lineitem} JOIN {part} ON p_partkey = l_partkey
+      GROUP BY p_brand
+    )
+    SELECT p_brand, n, x AS n_returned,
+           round(CAST(x AS DOUBLE) / n, 6) AS rate,
+           {_WILSON_LO} AS wilson_lo,
+           {_WILSON_HI} AS wilson_hi
+    FROM brw_g ORDER BY p_brand
+    """
+
+
+def eb_supplier_returns(lineitem: DataFrame) -> DataFrame:
+    """→ [l_suppkey, n_lines, n_returned, rate, shrunk_rate] — per-
+    supplier return rates with the same empirical-Bayes beta-binomial
+    shrinkage as the source-quality league (method-of-moments prior over
+    suppliers, shrunk = (x + K·m)/(n + K)): small suppliers stop
+    dominating both ends of the ranking on noise. Demonstrates the
+    shrinkage pattern generalizes across tables/grains unchanged.
+
+    Same determinism contract as
+    :func:`~linkgraph_spark.functions.text.eb_source_quality`:
+    micro-quantized rates, exact integer prior moments
+    (DECIMAL/HUGEINT), staged K, raw-rate fallback on degenerate
+    priors. Scale shape: one supplier-grain aggregate, prior over the
+    |suppliers| frame, one-row broadcast back.
+    """
+    per = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("x"),
+        )
+        .withColumn(
+            "r_u",
+            F.round(
+                F.lit(1e6) * F.col("x").cast("double") / F.col("n"), 0
+            ).cast("long"),
+        )
+    )
+    prior = per.groupBy().agg(
+        F.count("*").cast("long").alias("s"),
+        F.sum(F.col("r_u").cast("decimal(38,0)")).alias("sr"),
+        F.sum(F.col("r_u").cast("decimal(38,0)") * F.col("r_u")).alias("srr"),
+    )
+    m_d = "CAST(sr AS DOUBLE) / (1e6 * s)"
+    v_d = (
+        "(CAST(s AS DOUBLE) * CAST(srr AS DOUBLE)"
+        " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))"
+        " / (1e12 * CAST(s AS DOUBLE) * s)"
+    )
+    kk = f"(({m_d}) * (1.0 - ({m_d})) / ({v_d}) - 1.0)"
+    return (
+        per.crossJoin(F.broadcast(prior))
+        .select(
+            "l_suppkey",
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("x").cast("long").alias("n_returned"),
+            F.expr("round(CAST(x AS DOUBLE) / n, 6)").alias("rate"),
+            F.expr(
+                f"CASE WHEN s >= 2 AND ({v_d}) > 0 AND ({kk}) > 0 THEN"
+                f" round((CAST(x AS DOUBLE) + ({kk}) * ({m_d}))"
+                f" / (CAST(n AS DOUBLE) + ({kk})), 6)"
+                " ELSE round(CAST(x AS DOUBLE) / n, 6) END"
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def eb_supplier_returns_sql(table: str = "lineitem") -> str:
+    """DuckDB oracle for :func:`eb_supplier_returns` (same staged prior)."""
+    m_d = "CAST(sr AS DOUBLE) / (1e6 * s)"
+    v_d = (
+        "(CAST(s AS DOUBLE) * CAST(srr AS DOUBLE)"
+        " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))"
+        " / (1e12 * CAST(s AS DOUBLE) * s)"
+    )
+    kk = f"(({m_d}) * (1.0 - ({m_d})) / ({v_d}) - 1.0)"
+    return f"""
+    WITH ebs_p AS (
+      SELECT l_suppkey, count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+      FROM {table} GROUP BY 1
+    ), ebs_r AS (
+      SELECT *, CAST(round(1e6 * CAST(x AS DOUBLE) / n, 0) AS BIGINT) AS r_u
+      FROM ebs_p
+    ), ebs_prior AS (
+      SELECT CAST(count(*) AS BIGINT) AS s,
+             sum(CAST(r_u AS HUGEINT)) AS sr,
+             sum(CAST(r_u AS HUGEINT) * r_u) AS srr
+      FROM ebs_r
+    )
+    SELECT l_suppkey,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(x AS BIGINT) AS n_returned,
+           round(CAST(x AS DOUBLE) / n, 6) AS rate,
+           CASE WHEN s >= 2 AND ({v_d}) > 0 AND ({kk}) > 0 THEN
+             round((CAST(x AS DOUBLE) + ({kk}) * ({m_d}))
+                   / (CAST(n AS DOUBLE) + ({kk})), 6)
+           ELSE round(CAST(x AS DOUBLE) / n, 6) END AS shrunk_rate
+    FROM ebs_r CROSS JOIN ebs_prior
+    ORDER BY l_suppkey
+    """
