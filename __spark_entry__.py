@@ -2556,6 +2556,15 @@ def q_eb_supplier_returns(spark, sf_dir):
     return rel.eb_supplier_returns(_tbl(spark, sf_dir, "lineitem"))
 
 
+# ---------------------- wave 114 (recommender baseline eval)
+def q_popularity_rec_hitrate(spark, sf_dir):
+    return rel.popularity_rec_hitrate(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2752,8 +2761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. eb_supplier_returns — all of
-    waves 2-113 plus the r4-green tail, 367 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. popularity_rec_hitrate — all of
+    waves 2-114 plus the r4-green tail, 368 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3265,6 +3274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 113
         "brand_return_wilson": q_brand_return_wilson,
         "eb_supplier_returns": q_eb_supplier_returns,
+        # wave 114
+        "popularity_rec_hitrate": q_popularity_rec_hitrate,
     }
 
 
@@ -4567,6 +4578,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 113
         "brand_return_wilson": rel.brand_return_wilson_sql(),
         "eb_supplier_returns": rel.eb_supplier_returns_sql(),
+        # wave 114
+        "popularity_rec_hitrate": rel.popularity_rec_hitrate_sql(),
     }
 
 

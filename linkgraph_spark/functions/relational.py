@@ -2775,3 +2775,182 @@ def eb_supplier_returns_sql(table: str = "lineitem") -> str:
     FROM ebs_r CROSS JOIN ebs_prior
     ORDER BY l_suppkey
     """
+
+
+# ---------------------------------------------------------------------------
+# Popularity-baseline recommender eval (wave 114)
+# ---------------------------------------------------------------------------
+
+
+def popularity_rec_hitrate(
+    orders: DataFrame, lineitem: DataFrame, part: DataFrame, k: int = 10
+) -> DataFrame:
+    """→ one row [cutoff_day, n_train_orders, n_test_orders,
+    n_test_customers, n_hits, hit_rate] — the POPULARITY-BASELINE
+    recommender evaluated with a temporal split: train = orders up to
+    the median order date, candidate list = the k most-purchased train
+    brands, and a test-half customer counts as a HIT if any brand they
+    buy after the cutoff is in the candidate list MINUS the brands they
+    already bought in train (recommending the already-seen is not a
+    recommendation — the standard eval convention). Every recommender
+    paper's mandatory baseline; until a model beats this number it
+    isn't a model.
+
+    Determinism: the cutoff is the exact interpolated median of integer
+    epoch order-days, floored (identical in both engines); popularity
+    top-k ties break by brand name; hits are exact set logic on integer
+    keys. The hit rate is one staged division rounded 6, NULL when no
+    customer has post-cutoff purchases.
+
+    Scale shape: one orders→lineitem→part brand attach (part
+    broadcasts), one train brand-popularity aggregate with
+    TakeOrdered(k), the candidate list broadcast; per-customer logic is
+    two grain aggregates and a left-anti-style membership test — no
+    per-customer windows, no cross join.
+
+    Reference parity: no recommender surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    day = F.floor(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    o = orders.select("o_orderkey", "o_custkey", day.alias("day"))
+    cutoff = o.groupBy().agg(
+        F.floor(F.expr("percentile(day, 0.5D)")).cast("long").alias("cutoff")
+    )
+    ob = (
+        o.crossJoin(F.broadcast(cutoff))
+        .join(
+            lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "p_brand",
+            (F.col("day") <= F.col("cutoff")).alias("is_train"),
+        )
+    )
+    top = (
+        ob.where(F.col("is_train"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("pop"))
+        .orderBy(F.desc("pop"), F.asc("p_brand"))
+        .limit(int(k))
+        .select("p_brand")
+        .withColumn("rec", F.lit(True))
+    )
+    seen = (
+        ob.where(F.col("is_train"))
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    test = (
+        ob.where(~F.col("is_train"))
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .join(F.broadcast(top), "p_brand", "left")
+        .join(seen, ["o_custkey", "p_brand"], "left")
+    )
+    per_cust = test.groupBy("o_custkey").agg(
+        F.max(
+            (
+                F.coalesce(F.col("rec"), F.lit(False))
+                & ~F.coalesce(F.col("seen"), F.lit(False))
+            ).cast("int")
+        ).alias("hit")
+    )
+    counts = ob.groupBy().agg(
+        F.countDistinct(
+            F.when(F.col("is_train"), F.col("o_orderkey"))
+        ).cast("long").alias("n_train_orders"),
+        F.countDistinct(
+            F.when(~F.col("is_train"), F.col("o_orderkey"))
+        ).cast("long").alias("n_test_orders"),
+    )
+    hits = per_cust.groupBy().agg(
+        F.count("*").cast("long").alias("n_test_customers"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    return (
+        cutoff.crossJoin(counts)
+        .crossJoin(hits)
+        .select(
+            F.col("cutoff").alias("cutoff_day"),
+            "n_train_orders",
+            "n_test_orders",
+            "n_test_customers",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_test_customers > 0 THEN"
+                " round(CAST(n_hits AS DOUBLE) / n_test_customers, 6) END"
+            ).alias("hit_rate"),
+        )
+    )
+
+
+def popularity_rec_hitrate_sql(
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+    part: str = "part",
+    k: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`popularity_rec_hitrate` (same floored
+    median cutoff, same tie-break, same seen-exclusion)."""
+    return f"""
+    WITH prh_o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                        / 86400000000) AS BIGINT) AS day
+      FROM {orders}
+    ), prh_cut AS (
+      SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS cutoff
+      FROM prh_o
+    ), prh_ob AS (
+      SELECT o.o_orderkey, o.o_custkey, p.p_brand,
+             o.day <= c.cutoff AS is_train
+      FROM prh_o o
+      JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+      JOIN {part} p ON p.p_partkey = l.l_partkey
+      CROSS JOIN prh_cut c
+    ), prh_top AS (
+      SELECT p_brand FROM prh_ob WHERE is_train
+      GROUP BY p_brand ORDER BY count(*) DESC, p_brand ASC LIMIT {int(k)}
+    ), prh_seen AS (
+      SELECT DISTINCT o_custkey, p_brand FROM prh_ob WHERE is_train
+    ), prh_test AS (
+      SELECT DISTINCT t.o_custkey, t.p_brand FROM prh_ob t
+      WHERE NOT t.is_train
+    ), prh_pc AS (
+      SELECT t.o_custkey,
+             max(CASE WHEN r.p_brand IS NOT NULL AND s.o_custkey IS NULL
+                      THEN 1 ELSE 0 END) AS hit
+      FROM prh_test t
+      LEFT JOIN prh_top r ON r.p_brand = t.p_brand
+      LEFT JOIN prh_seen s
+        ON s.o_custkey = t.o_custkey AND s.p_brand = t.p_brand
+      GROUP BY t.o_custkey
+    ), prh_counts AS (
+      SELECT CAST(count(DISTINCT CASE WHEN is_train THEN o_orderkey END)
+                  AS BIGINT) AS n_train_orders,
+             CAST(count(DISTINCT CASE WHEN NOT is_train THEN o_orderkey END)
+                  AS BIGINT) AS n_test_orders
+      FROM prh_ob
+    ), prh_h AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test_customers,
+             CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits
+      FROM prh_pc
+    )
+    SELECT c.cutoff AS cutoff_day, n_train_orders, n_test_orders,
+           n_test_customers, n_hits,
+           CASE WHEN n_test_customers > 0 THEN
+             round(CAST(n_hits AS DOUBLE) / n_test_customers, 6)
+           END AS hit_rate
+    FROM prh_cut c, prh_counts, prh_h
+    """
