@@ -2565,6 +2565,15 @@ def q_popularity_rec_hitrate(spark, sf_dir):
     )
 
 
+# ---------------------- wave 115 (Cramér's V, Cohen's h)
+def q_cramers_v_type_tier(spark, sf_dir):
+    return ev.cramers_v_type_tier(_tbl(spark, sf_dir, "events"))
+
+
+def q_ab_cohens_h(spark, sf_dir):
+    return ml.ab_cohens_h(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2761,8 +2770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. popularity_rec_hitrate — all of
-    waves 2-114 plus the r4-green tail, 368 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. ab_cohens_h — all of
+    waves 2-115 plus the r4-green tail, 370 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3276,6 +3285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_supplier_returns": q_eb_supplier_returns,
         # wave 114
         "popularity_rec_hitrate": q_popularity_rec_hitrate,
+        # wave 115
+        "cramers_v_type_tier": q_cramers_v_type_tier,
+        "ab_cohens_h": q_ab_cohens_h,
     }
 
 
@@ -4580,6 +4592,9 @@ def oracle_sql() -> dict[str, str]:
         "eb_supplier_returns": rel.eb_supplier_returns_sql(),
         # wave 114
         "popularity_rec_hitrate": rel.popularity_rec_hitrate_sql(),
+        # wave 115
+        "cramers_v_type_tier": ev.cramers_v_type_tier_sql(),
+        "ab_cohens_h": ml.ab_cohens_h_sql(),
     }
 
 

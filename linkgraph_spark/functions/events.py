@@ -6241,3 +6241,124 @@ def daily_xcorr_sql(
                 6) END AS r
     FROM xcd_s ORDER BY lag
     """
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V: event type x value tier association (wave 115)
+# ---------------------------------------------------------------------------
+
+
+def cramers_v_type_tier(events: DataFrame, tier_cents: int = 1000) -> DataFrame:
+    """→ one row [n, n_rows_types, n_cols_tiers, chi2, cramers_v] — the
+    chi-square association between event TYPE and value TIER (fixed
+    ``tier_cents``-wide buckets of the exact cent value, capped at tier
+    9), normalized to Cramér's V = √(χ²/(n·(min(r,c)−1))) (Cramér 1946):
+    the 0-to-1 "are these two categoricals related at all" scalar —
+    dashboards need it before any per-cell drilldown.
+
+    Determinism: the contingency LATTICE is densified from the margins
+    (zero cells contribute their full (0−e)²/e — dropping them halves χ²
+    at perfect association); each cell's χ²
+    contribution (o−e)²/e uses the rational expectation e = row·col/n
+    computed ONCE per cell from exact BIGINTs (DECIMAL/HUGEINT products)
+    and is QUANTIZED to integer micro-units before summing — the total
+    is order-invariant and the oracle hash bit-stable. V is one staged
+    sqrt of that integer over n·(min(r,c)−1), NULL for a degenerate
+    single-row/column table (no association is definable).
+
+    Scale shape: one aggregate to (type, tier) cell grain (bounded:
+    |types|·10), margins re-derived from the cell table, one-row reduce.
+    """
+    w = int(tier_cents)
+    cells = (
+        events.where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("t"),
+            F.least(
+                F.expr(
+                    f"CAST(round(value * 100, 0) AS BIGINT) div {w}"
+                ),
+                F.lit(9),
+            ).alias("tier"),
+        )
+        .groupBy("t", "tier")
+        .agg(F.count("*").alias("c"))
+    )
+    rm = cells.groupBy("t").agg(F.sum("c").alias("rt"))
+    cm = cells.groupBy("tier").agg(F.sum("c").alias("ct"))
+    n1 = cells.groupBy().agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.countDistinct("t").cast("long").alias("r"),
+        F.countDistinct("tier").cast("long").alias("k"),
+    )
+    lattice = (
+        rm.crossJoin(cm)
+        .join(cells, ["t", "tier"], "left")
+        .select("t", "tier", "rt", "ct", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    terms = (
+        lattice.crossJoin(n1)
+        .select(
+            F.expr(
+                "CAST(round(1e6 * (CAST(c AS DOUBLE)"
+                " - CAST(rt AS DOUBLE) * ct / n)"
+                " * (CAST(c AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)"
+                " / (CAST(rt AS DOUBLE) * ct / n), 0) AS BIGINT) AS u"
+            )
+        )
+        .groupBy()
+        .agg(F.coalesce(F.sum("u"), F.lit(0)).alias("chi2_u"))
+    )
+    return n1.crossJoin(terms).select(
+        "n",
+        F.col("r").alias("n_rows_types"),
+        F.col("k").alias("n_cols_tiers"),
+        F.expr("round(chi2_u / 1e6, 6)").alias("chi2"),
+        F.expr(
+            "CASE WHEN n > 0 AND least(r, k) >= 2 THEN"
+            " round(sqrt((chi2_u / 1e6)"
+            " / (CAST(n AS DOUBLE) * (least(r, k) - 1))), 6) END"
+        ).alias("cramers_v"),
+    )
+
+
+def cramers_v_type_tier_sql(
+    table: str = "events", tier_cents: int = 1000
+) -> str:
+    """DuckDB oracle for :func:`cramers_v_type_tier` (same micro-quantized
+    cell terms)."""
+    w = int(tier_cents)
+    return f"""
+    WITH crv_c AS (
+      SELECT event_type AS t,
+             least(CAST(round(value * 100, 0) AS BIGINT) // {w}, 9) AS tier,
+             count(*) AS c
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1, 2
+    ), crv_r AS (
+      SELECT t, sum(c) AS rt FROM crv_c GROUP BY t
+    ), crv_k AS (
+      SELECT tier, sum(c) AS ct FROM crv_c GROUP BY tier
+    ), crv_n AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+             CAST(count(DISTINCT t) AS BIGINT) AS r,
+             CAST(count(DISTINCT tier) AS BIGINT) AS k
+      FROM crv_c
+    ), crv_l AS (
+      SELECT r.t, k.tier, r.rt, k.ct, coalesce(c.c, 0) AS c
+      FROM crv_r r CROSS JOIN crv_k k
+      LEFT JOIN crv_c c ON c.t = r.t AND c.tier = k.tier
+    ), crv_t AS (
+      SELECT coalesce(sum(CAST(round(1e6 * (CAST(c AS DOUBLE)
+               - CAST(rt AS DOUBLE) * ct / n)
+               * (CAST(c AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+               / (CAST(rt AS DOUBLE) * ct / n), 0) AS BIGINT)), 0) AS chi2_u
+      FROM crv_l CROSS JOIN crv_n
+    )
+    SELECT n, r AS n_rows_types, k AS n_cols_tiers,
+           round(chi2_u / 1e6, 6) AS chi2,
+           CASE WHEN n > 0 AND least(r, k) >= 2 THEN
+             round(sqrt((chi2_u / 1e6)
+                   / (CAST(n AS DOUBLE) * (least(r, k) - 1))), 6) END
+             AS cramers_v
+    FROM crv_n, crv_t
+    """

@@ -2108,3 +2108,107 @@ def spearman_activity_spend_sql(table: str = "events") -> str:
            END AS rho
     FROM spr_s
     """
+
+
+def ab_cohens_h(events: DataFrame) -> DataFrame:
+    """→ [metric, p_control, p_treatment, h, magnitude] — Cohen's h
+    effect size per metric under the md5 split: h = 2·asin(√p₁) −
+    2·asin(√p₀) (Cohen 1988, the arcsine-stabilized difference of
+    proportions), with the conventional |h| magnitude labels (< 0.2
+    negligible, < 0.5 small, < 0.8 medium, else large). The
+    "significant but is it BIG" companion to the z/FDR family — at
+    scale everything is significant; h says whether anyone should care.
+
+    Determinism: rates are exact integer ratios; h is ONE staged asin
+    expression over them (same text both engines, libm asin agrees to
+    the ulp on identical doubles — the same accepted contract as the
+    erfc/exp stages), rounded 6; the magnitude label thresholds compare
+    the ROUNDED |h| so the label can never disagree with the printed
+    number. Empty arms report NULL.
+
+    Scale shape: the A/B family's frames — distinct-user split, metric
+    grain aggregate.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    users = events.select("user_id").distinct().select(
+        "user_id",
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+    )
+    tot = users.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    ut = events.select("user_id", F.col("event_type").alias("metric")).distinct()
+    per = (
+        ut.join(users, "user_id")
+        .groupBy("metric")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("x0"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("x1"),
+        )
+        .crossJoin(tot)
+    )
+    h = (
+        "round(2.0 * asin(sqrt(CAST(x1 AS DOUBLE) / n1))"
+        " - 2.0 * asin(sqrt(CAST(x0 AS DOUBLE) / n0)), 6)"
+    )
+    return per.select(
+        "metric",
+        F.expr(
+            "CASE WHEN n0 > 0 THEN round(CAST(x0 AS DOUBLE) / n0, 6) END"
+        ).alias("p_control"),
+        F.expr(
+            "CASE WHEN n1 > 0 THEN round(CAST(x1 AS DOUBLE) / n1, 6) END"
+        ).alias("p_treatment"),
+        F.expr(f"CASE WHEN n0 > 0 AND n1 > 0 THEN {h} END").alias("h"),
+        F.expr(
+            f"CASE WHEN n0 > 0 AND n1 > 0 THEN"
+            f" CASE WHEN abs({h}) < 0.2 THEN 'negligible'"
+            f" WHEN abs({h}) < 0.5 THEN 'small'"
+            f" WHEN abs({h}) < 0.8 THEN 'medium'"
+            f" ELSE 'large' END END"
+        ).alias("magnitude"),
+    ).orderBy("metric")
+
+
+def ab_cohens_h_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`ab_cohens_h` (same staged asin and
+    rounded-|h| labels)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    hh = md5_long_sql("CAST(user_id AS VARCHAR)")
+    h = (
+        "round(2.0 * asin(sqrt(CAST(x1 AS DOUBLE) / n1))"
+        " - 2.0 * asin(sqrt(CAST(x0 AS DOUBLE) / n0)), 6)"
+    )
+    return f"""
+    WITH coh_u AS (
+      SELECT user_id, ({hh}) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM {table})
+    ), coh_t AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+      FROM coh_u
+    ), coh_x AS (
+      SELECT metric,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS x0,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS x1
+      FROM (SELECT DISTINCT user_id, event_type AS metric FROM {table}) m
+      JOIN coh_u u USING (user_id)
+      GROUP BY metric
+    )
+    SELECT metric,
+           CASE WHEN n0 > 0 THEN round(CAST(x0 AS DOUBLE) / n0, 6) END
+             AS p_control,
+           CASE WHEN n1 > 0 THEN round(CAST(x1 AS DOUBLE) / n1, 6) END
+             AS p_treatment,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN {h} END AS h,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+             CASE WHEN abs({h}) < 0.2 THEN 'negligible'
+                  WHEN abs({h}) < 0.5 THEN 'small'
+                  WHEN abs({h}) < 0.8 THEN 'medium'
+                  ELSE 'large' END END AS magnitude
+    FROM coh_x CROSS JOIN coh_t
+    ORDER BY metric
+    """
