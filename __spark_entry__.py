@@ -2574,6 +2574,11 @@ def q_ab_cohens_h(spark, sf_dir):
     return ml.ab_cohens_h(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 116 (odds ratios)
+def q_ab_odds_ratio(spark, sf_dir):
+    return ml.ab_odds_ratio(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2770,8 +2775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. ab_cohens_h — all of
-    waves 2-115 plus the r4-green tail, 370 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. ab_odds_ratio — all of
+    waves 2-116 plus the r4-green tail, 371 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3288,6 +3293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 115
         "cramers_v_type_tier": q_cramers_v_type_tier,
         "ab_cohens_h": q_ab_cohens_h,
+        # wave 116
+        "ab_odds_ratio": q_ab_odds_ratio,
     }
 
 
@@ -4595,6 +4602,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 115
         "cramers_v_type_tier": ev.cramers_v_type_tier_sql(),
         "ab_cohens_h": ml.ab_cohens_h_sql(),
+        # wave 116
+        "ab_odds_ratio": ml.ab_odds_ratio_sql(),
     }
 
 

@@ -2212,3 +2212,101 @@ def ab_cohens_h_sql(table: str = "events") -> str:
     FROM coh_x CROSS JOIN coh_t
     ORDER BY metric
     """
+
+
+def ab_odds_ratio(events: DataFrame) -> DataFrame:
+    """→ [metric, x0, x1, odds_ratio, or_lo, or_hi] — the odds ratio per
+    metric under the md5 split with the 95% Woolf log-OR interval
+    (Woolf 1955: SE² = 1/a + 1/b + 1/c + 1/d): the epidemiology-side
+    companion to Cohen's h — multiplicative where h is angular, and the
+    quantity case-control analyses actually report.
+
+    Determinism: all four cells are exact counts; OR and the CI are ONE
+    staged ln/exp/sqrt chain over them (identical text in both engines),
+    rounded 6. Any zero cell → NULL (the OR is undefined/infinite;
+    reporting a Haldane-corrected number silently would change the
+    estimand — callers can add 0.5 themselves if they want that).
+
+    Scale shape: the A/B family's frames — distinct-user split, metric
+    grain.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    users = events.select("user_id").distinct().select(
+        "user_id",
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+    )
+    tot = users.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    ut = events.select("user_id", F.col("event_type").alias("metric")).distinct()
+    per = (
+        ut.join(users, "user_id")
+        .groupBy("metric")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("x0"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("x1"),
+        )
+        .crossJoin(tot)
+    )
+    ok = "x0 > 0 AND x1 > 0 AND x0 < n0 AND x1 < n1"
+    lor = (
+        "ln((CAST(x1 AS DOUBLE) * (n0 - x0))"
+        " / (CAST(x0 AS DOUBLE) * (n1 - x1)))"
+    )
+    se = (
+        "sqrt(1.0 / x1 + 1.0 / (n1 - x1) + 1.0 / x0 + 1.0 / (n0 - x0))"
+    )
+    return per.select(
+        "metric",
+        F.col("x0").cast("long").alias("x0"),
+        F.col("x1").cast("long").alias("x1"),
+        F.expr(
+            f"CASE WHEN {ok} THEN round(exp({lor}), 6) END"
+        ).alias("odds_ratio"),
+        F.expr(
+            f"CASE WHEN {ok} THEN round(exp({lor} - 1.96 * {se}), 6) END"
+        ).alias("or_lo"),
+        F.expr(
+            f"CASE WHEN {ok} THEN round(exp({lor} + 1.96 * {se}), 6) END"
+        ).alias("or_hi"),
+    ).orderBy("metric")
+
+
+def ab_odds_ratio_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`ab_odds_ratio` (same staged chain)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    ok = "x0 > 0 AND x1 > 0 AND x0 < n0 AND x1 < n1"
+    lor = (
+        "ln((CAST(x1 AS DOUBLE) * (n0 - x0))"
+        " / (CAST(x0 AS DOUBLE) * (n1 - x1)))"
+    )
+    se = "sqrt(1.0 / x1 + 1.0 / (n1 - x1) + 1.0 / x0 + 1.0 / (n0 - x0))"
+    return f"""
+    WITH orr_u AS (
+      SELECT user_id, ({h}) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM {table})
+    ), orr_t AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+      FROM orr_u
+    ), orr_x AS (
+      SELECT metric,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS x0,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS x1
+      FROM (SELECT DISTINCT user_id, event_type AS metric FROM {table}) m
+      JOIN orr_u u USING (user_id)
+      GROUP BY metric
+    )
+    SELECT metric, CAST(x0 AS BIGINT) AS x0, CAST(x1 AS BIGINT) AS x1,
+           CASE WHEN {ok} THEN round(exp({lor}), 6) END AS odds_ratio,
+           CASE WHEN {ok} THEN round(exp({lor} - 1.96 * {se}), 6) END
+             AS or_lo,
+           CASE WHEN {ok} THEN round(exp({lor} + 1.96 * {se}), 6) END
+             AS or_hi
+    FROM orr_x CROSS JOIN orr_t
+    ORDER BY metric
+    """
