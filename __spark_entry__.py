@@ -2579,6 +2579,13 @@ def q_ab_odds_ratio(spark, sf_dir):
     return ml.ab_odds_ratio(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 117 (grouped OLS: discount elasticity)
+def q_discount_elasticity(spark, sf_dir):
+    return rel.discount_elasticity(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2775,8 +2782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. ab_odds_ratio — all of
-    waves 2-116 plus the r4-green tail, 371 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. discount_elasticity — all of
+    waves 2-117 plus the r4-green tail, 372 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3295,6 +3302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_cohens_h": q_ab_cohens_h,
         # wave 116
         "ab_odds_ratio": q_ab_odds_ratio,
+        # wave 117
+        "discount_elasticity": q_discount_elasticity,
     }
 
 
@@ -4604,6 +4613,8 @@ def oracle_sql() -> dict[str, str]:
         "ab_cohens_h": ml.ab_cohens_h_sql(),
         # wave 116
         "ab_odds_ratio": ml.ab_odds_ratio_sql(),
+        # wave 117
+        "discount_elasticity": rel.discount_elasticity_sql(),
     }
 
 

@@ -2954,3 +2954,104 @@ def popularity_rec_hitrate_sql(
            END AS hit_rate
     FROM prh_cut c, prh_counts, prh_h
     """
+
+
+# ---------------------------------------------------------------------------
+# Grouped simple regression: discount elasticity per brand (wave 117)
+# ---------------------------------------------------------------------------
+
+
+def discount_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """→ [p_brand, n, slope, intercept, r2] — per-brand simple OLS of
+    quantity on discount (does discounting move volume, and for which
+    brands): the GROUPED companion to the global OLS-as-aggregates fit —
+    same exact-moment machinery, one fit per group key, which is the
+    shape a 100 TB "regression per segment" actually runs as (no
+    per-group solver, no iteration: five integer moment sums per brand
+    and a closed form).
+
+    Exactness: discount → exact basis points, quantity → exact
+    centi-units (native grains); all five moments are
+    DECIMAL(38,0)/HUGEINT sums; slope/intercept/r2 are staged doubles of
+    those integers (identical text both engines), rounded 6. Degenerate
+    groups (n < 2 or zero discount variance) report NULL fit; zero
+    QUANTITY variance reports r2 NULL (undefined) with slope 0 exactly.
+    Unit note: slope is centi-units of quantity per basis point.
+
+    Scale shape: one broadcast brand attach, ONE grouped aggregate
+    (map-side combinable), closed-form math on |brands| rows.
+
+    Reference parity: no regression surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    j = lineitem.select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("x"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("y"),
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    d38 = "decimal(38,0)"
+    g = j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    dx = "CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"
+    dy = "CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"
+    dxy = "CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy"
+    return g.select(
+        "p_brand",
+        "n",
+        F.expr(
+            f"CASE WHEN n >= 2 AND ({dx}) > 0"
+            f" THEN round(({dxy}) / ({dx}), 6) END"
+        ).alias("slope"),
+        F.expr(
+            f"CASE WHEN n >= 2 AND ({dx}) > 0 THEN"
+            f" round((CAST(sy AS DOUBLE) - (({dxy}) / ({dx}))"
+            f" * CAST(sx AS DOUBLE)) / n, 6) END"
+        ).alias("intercept"),
+        F.expr(
+            f"CASE WHEN n >= 2 AND ({dx}) > 0 AND ({dy}) > 0 THEN"
+            f" round((({dxy}) * ({dxy})) / (({dx}) * ({dy})), 6) END"
+        ).alias("r2"),
+    ).orderBy("p_brand")
+
+
+def discount_elasticity_sql(
+    lineitem: str = "lineitem", part: str = "part"
+) -> str:
+    """DuckDB oracle for :func:`discount_elasticity` (same HUGEINT
+    moments, same staged closed form)."""
+    dx = "CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"
+    dy = "CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"
+    dxy = "CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy"
+    return f"""
+    WITH del_j AS (
+      SELECT p_brand,
+             CAST(round(l_discount * 10000, 0) AS BIGINT) AS x,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS y
+      FROM {lineitem} JOIN {part} ON p_partkey = l_partkey
+    ), del_g AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM del_j GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           CASE WHEN n >= 2 AND ({dx}) > 0
+                THEN round(({dxy}) / ({dx}), 6) END AS slope,
+           CASE WHEN n >= 2 AND ({dx}) > 0 THEN
+             round((CAST(sy AS DOUBLE) - (({dxy}) / ({dx}))
+                    * CAST(sx AS DOUBLE)) / n, 6) END AS intercept,
+           CASE WHEN n >= 2 AND ({dx}) > 0 AND ({dy}) > 0 THEN
+             round((({dxy}) * ({dxy})) / (({dx}) * ({dy})), 6) END AS r2
+    FROM del_g ORDER BY p_brand
+    """
