@@ -2586,6 +2586,15 @@ def q_discount_elasticity(spark, sf_dir):
     )
 
 
+# ---------------------- wave 118 (rank-sum + paired A/B tests)
+def q_ab_mannwhitney(spark, sf_dir):
+    return ml.ab_mannwhitney(_tbl(spark, sf_dir, "events"))
+
+
+def q_mcnemar_click_purchase(spark, sf_dir):
+    return ml.mcnemar_click_purchase(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2782,8 +2791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. discount_elasticity — all of
-    waves 2-117 plus the r4-green tail, 372 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. mcnemar_click_purchase — all of
+    waves 2-118 plus the r4-green tail, 374 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3304,6 +3313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_odds_ratio": q_ab_odds_ratio,
         # wave 117
         "discount_elasticity": q_discount_elasticity,
+        # wave 118
+        "ab_mannwhitney": q_ab_mannwhitney,
+        "mcnemar_click_purchase": q_mcnemar_click_purchase,
     }
 
 
@@ -4615,6 +4627,9 @@ def oracle_sql() -> dict[str, str]:
         "ab_odds_ratio": ml.ab_odds_ratio_sql(),
         # wave 117
         "discount_elasticity": rel.discount_elasticity_sql(),
+        # wave 118
+        "ab_mannwhitney": ml.ab_mannwhitney_sql(),
+        "mcnemar_click_purchase": ml.mcnemar_click_purchase_sql(),
     }
 
 

@@ -2310,3 +2310,227 @@ def ab_odds_ratio_sql(table: str = "events") -> str:
     FROM orr_x CROSS JOIN orr_t
     ORDER BY metric
     """
+
+
+# --------------------------------------------------------------- wave 118
+# Shared staged expressions for the Mann-Whitney z — identical literal
+# strings on both engines so the double chain cannot diverge.  All inputs
+# (n0, n1, nn, t3, u2) are exact integers; var is the tie-corrected
+# normal-approximation variance of U (Mann & Whitney 1947; the tie
+# correction per Lehmann, Nonparametrics 1975).
+_MWU_VAR = (
+    "(CAST(n0 AS DOUBLE) * n1 / 12.0)"
+    " * ((CAST(nn AS DOUBLE) + 1.0)"
+    "    - CAST(t3 AS DOUBLE)"
+    "      / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))"
+)
+_MWU_OK = f"n0 >= 1 AND n1 >= 1 AND nn >= 2 AND {_MWU_VAR} > 0"
+_MWU_Z = (
+    f"(CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n0)"
+    f" / (2.0 * sqrt({_MWU_VAR}))"
+)
+
+
+def ab_mannwhitney(events: DataFrame) -> DataFrame:
+    """→ one row [n0, n1, u1, z, significant] — the two-sample
+    Mann–Whitney U rank-sum test (Mann & Whitney 1947; Wilcoxon 1945)
+    comparing per-user total spend between the two md5 experiment arms:
+    the nonparametric A/B read that ranks users instead of trusting the
+    heavy-tailed spend mean the t-test leans on.
+
+    Exactness: per-user spend collapses to exact cents; doubled
+    mid-ranks (lo + hi, exact BIGINT — the Spearman trick) come from the
+    POOLED value histogram, so the rank sum of arm 1 is an exact
+    DECIMAL(38,0)/HUGEINT cell-weighted sum, never a global row sort.
+    2·U₁ = Σr2·c1 − n1·(n1+1) stays an exact integer (``u1`` shows the
+    conventional half-grain value, exact in binary). The tie-corrected
+    variance needs only n0, n1, N and Σ(t³−t) over histogram cells —
+    all exact — and z is ONE shared literal double chain, rounded 6.
+    NULL z when an arm is empty or every user ties (zero variance);
+    ``significant`` compares the ROUNDED |z| to 1.959964 so the flag
+    and the number cannot disagree.
+
+    Scale shape: one user-grain aggregate, one histogram-grain
+    cumulative window, a broadcast rank join back, a one-row reduce.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    from linkgraph_spark.functions.hashing import md5_long
+
+    u = events.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+        ).alias("y")
+    ).select(
+        "y", (md5_long(F.col("user_id").cast("string")) % 2).alias("variant")
+    )
+    h = u.groupBy("y").agg(
+        F.count("*").alias("c"),
+        F.sum("variant").alias("c1"),
+    )
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    r = h.select(
+        "c",
+        "c1",
+        (2 * F.sum("c").over(w) - F.col("c") + 1).alias("r2"),
+    )
+    d38 = "decimal(38,0)"
+    s = r.groupBy().agg(
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c").cast("long").alias("nn"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("c") * F.col("c")
+            - F.col("c").cast(d38)
+        ).alias("t3"),
+        F.sum(F.col("r2").cast(d38) * F.col("c1")).alias("r2s1"),
+    )
+    s = s.withColumn(
+        "u2",
+        F.col("r2s1")
+        - F.col("n1").cast(d38) * (F.col("n1").cast(d38) + 1),
+    )
+    return s.select(
+        "n0",
+        "n1",
+        F.round(F.col("u2").cast("double") / 2.0, 1).alias("u1"),
+        F.expr(
+            f"CASE WHEN {_MWU_OK} THEN round({_MWU_Z}, 6) END"
+        ).alias("z"),
+        F.expr(
+            f"CASE WHEN {_MWU_OK}"
+            f" THEN abs(round({_MWU_Z}, 6)) > 1.959964 END"
+        ).alias("significant"),
+    )
+
+
+def ab_mannwhitney_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`ab_mannwhitney` (same doubled mid-ranks,
+    HUGEINT moments, shared literal z chain)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    hh = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH mwu_u AS (
+      SELECT coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0) AS y,
+             ({hh}) % 2 AS variant
+      FROM {table} GROUP BY user_id
+    ), mwu_h AS (
+      SELECT y, count(*) AS c, sum(variant) AS c1
+      FROM mwu_u GROUP BY y
+    ), mwu_r AS (
+      SELECT c, c1,
+             2 * sum(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - c + 1 AS r2
+      FROM mwu_h
+    ), mwu_s AS (
+      SELECT CAST(sum(c - c1) AS BIGINT) AS n0,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c) AS BIGINT) AS nn,
+             sum(CAST(c AS HUGEINT) * c * c - CAST(c AS HUGEINT)) AS t3,
+             sum(CAST(r2 AS HUGEINT) * c1) AS r2s1
+      FROM mwu_r
+    ), mwu_f AS (
+      SELECT n0, n1, nn, t3,
+             r2s1 - CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) + 1) AS u2
+      FROM mwu_s
+    )
+    SELECT n0, n1,
+           round(CAST(u2 AS DOUBLE) / 2.0, 1) AS u1,
+           CASE WHEN {_MWU_OK} THEN round({_MWU_Z}, 6) END AS z,
+           CASE WHEN {_MWU_OK}
+                THEN abs(round({_MWU_Z}, 6)) > 1.959964 END AS significant
+    FROM mwu_f
+    """
+
+
+def mcnemar_click_purchase(
+    events: DataFrame, type_a: str = "click", type_b: str = "purchase"
+) -> DataFrame:
+    """→ one row [n_pairs, n_both, only_a, only_b, chi2, significant] —
+    McNemar's test (McNemar 1947) on the paired binary pair "did
+    ``type_a`` that day" vs "did ``type_b`` that day", paired at
+    (user, UTC day) grain: the within-subject test for marginal
+    homogeneity that the two-proportion z-test gets wrong on paired
+    observations. The day grain matters — at user grain a mature
+    product saturates (every user has done everything once) and the
+    test degenerates; per-day flags keep the discordant cells alive.
+    chi² = (b−c)²/(b+c) over the discordant cells only (no continuity
+    correction — documented estimand, the large-sample form).
+
+    Exactness: the (user, day) flags and all four cells are exact
+    BIGINTs from one aggregate; chi² is one double division, rounded 6,
+    NULL when there are no discordant pairs (the statistic is
+    undefined, not 0). ``significant`` compares the ROUNDED chi² to
+    3.841459 (χ²₁ at 0.05) so the flag and the number cannot disagree.
+
+    Scale shape: one (user, day)-grain aggregate, one one-row reduce —
+    no joins, no windows.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    ta, tb = str(type_a), str(type_b)
+    u = events.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(F.when(F.col("event_type") == ta, 1).otherwise(0)).alias("fa"),
+        F.max(F.when(F.col("event_type") == tb, 1).otherwise(0)).alias("fb"),
+    )
+    s = u.groupBy().agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias("n_both"),
+        F.sum(F.col("fa") * (1 - F.col("fb"))).cast("long").alias("only_a"),
+        F.sum((1 - F.col("fa")) * F.col("fb")).cast("long").alias("only_b"),
+    )
+    chi2 = (
+        "power(CAST(only_a AS DOUBLE) - only_b, 2)"
+        " / (CAST(only_a AS DOUBLE) + only_b)"
+    )
+    return s.select(
+        "n_pairs",
+        "n_both",
+        "only_a",
+        "only_b",
+        F.expr(
+            f"CASE WHEN only_a + only_b > 0 THEN round({chi2}, 6) END"
+        ).alias("chi2"),
+        F.expr(
+            f"CASE WHEN only_a + only_b > 0"
+            f" THEN round({chi2}, 6) > 3.841459 END"
+        ).alias("significant"),
+    )
+
+
+def mcnemar_click_purchase_sql(
+    type_a: str = "click", type_b: str = "purchase", table: str = "events"
+) -> str:
+    """DuckDB oracle for :func:`mcnemar_click_purchase` (same exact
+    (user, day) cells, same rounded-chi² flag)."""
+    a = type_a.replace("'", "''")
+    b = type_b.replace("'", "''")
+    chi2 = (
+        "power(CAST(only_a AS DOUBLE) - only_b, 2)"
+        " / (CAST(only_a AS DOUBLE) + only_b)"
+    )
+    return f"""
+    WITH mcn_u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             max(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS fa,
+             max(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS fb
+      FROM {table} GROUP BY user_id, CAST(ts AS DATE)
+    ), mcn_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(fa * fb) AS BIGINT) AS n_both,
+             CAST(sum(fa * (1 - fb)) AS BIGINT) AS only_a,
+             CAST(sum((1 - fa) * fb) AS BIGINT) AS only_b
+      FROM mcn_u
+    )
+    SELECT n_pairs, n_both, only_a, only_b,
+           CASE WHEN only_a + only_b > 0 THEN round({chi2}, 6) END AS chi2,
+           CASE WHEN only_a + only_b > 0
+                THEN round({chi2}, 6) > 3.841459 END AS significant
+    FROM mcn_s
+    """
