@@ -2595,6 +2595,15 @@ def q_mcnemar_click_purchase(spark, sf_dir):
     return ml.mcnemar_click_purchase(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 119 (Kendall tau-b day grain, Theil index)
+def q_kendall_daily(spark, sf_dir):
+    return rel.kendall_daily(_tbl(spark, sf_dir, "orders"))
+
+
+def q_theil_spend(spark, sf_dir):
+    return rel.theil_spend(_tbl(spark, sf_dir, "orders"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2791,8 +2800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. mcnemar_click_purchase — all of
-    waves 2-118 plus the r4-green tail, 374 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. theil_spend — all of
+    waves 2-119 plus the r4-green tail, 376 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3316,6 +3325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 118
         "ab_mannwhitney": q_ab_mannwhitney,
         "mcnemar_click_purchase": q_mcnemar_click_purchase,
+        # wave 119
+        "kendall_daily": q_kendall_daily,
+        "theil_spend": q_theil_spend,
     }
 
 
@@ -4630,6 +4642,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 118
         "ab_mannwhitney": ml.ab_mannwhitney_sql(),
         "mcnemar_click_purchase": ml.mcnemar_click_purchase_sql(),
+        # wave 119
+        "kendall_daily": rel.kendall_daily_sql(),
+        "theil_spend": rel.theil_spend_sql(),
     }
 
 

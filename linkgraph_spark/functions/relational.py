@@ -3055,3 +3055,208 @@ def discount_elasticity_sql(
              round((({dxy}) * ({dxy})) / (({dx}) * ({dy})), 6) END AS r2
     FROM del_g ORDER BY p_brand
     """
+
+
+# --------------------------------------------------------------- wave 119
+def kendall_daily(orders: DataFrame) -> DataFrame:
+    """→ one row [n_days, concordant, discordant, tau_b] — Kendall's
+    tau-b rank correlation (Kendall 1938; the tau-b tie correction)
+    between the DAILY order count and the DAILY revenue: does a busier
+    day reliably mean a richer day, read through ranks so one whale
+    order can't fake the association.
+
+    The scale trick: tau is O(n²) in observations, so it runs at DAY
+    grain — one pass over orders collapses to the daily series (count,
+    exact revenue cents), and the pair lattice is |days|² over that
+    bounded frame (a few thousand rows even at a decade of horizon),
+    never orders². Concordant/discordant are exact BIGINT counts from
+    the d1 < d2 self-join; the tie terms come from the x- and y-value
+    histograms as exact Σc(c−1)/2; tau_b is ONE staged double over
+    those five exact integers, rounded 6, NULL when either side is
+    fully tied (denominator 0).
+
+    Scale shape: one orders-grain aggregate, a bounded day-pair
+    self-join (broadcastable), two histogram aggregates, one reduce.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "y"
+        ),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d"))
+    sgn = (
+        F.signum((F.col("a.x") - F.col("b.x")).cast("double"))
+        * F.signum((F.col("a.y") - F.col("b.y")).cast("double"))
+    )
+    cd = pairs.groupBy().agg(
+        F.sum(F.when(sgn == 1.0, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(sgn == -1.0, 1).otherwise(0)).cast("long").alias("disc"),
+    )
+    d38 = "decimal(38,0)"
+
+    def _tie_sum(col):
+        # c*(c-1) is even, so DIV 2 is exact; c is bounded by the day
+        # horizon so the long product cannot overflow.
+        return (
+            d.groupBy(col)
+            .agg(F.count("*").alias("c"))
+            .groupBy()
+            .agg(
+                F.sum(
+                    F.expr("CAST(c * (c - 1) DIV 2 AS decimal(38,0))")
+                ).alias(f"t{col}")
+            )
+        )
+
+    n = d.groupBy().agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(count(*) * (count(*) - 1) DIV 2 AS decimal(38,0))"
+        ).alias("n0"),
+    )
+    s = (
+        n.crossJoin(cd)
+        .crossJoin(_tie_sum("x"))
+        .crossJoin(_tie_sum("y"))
+    )
+    tau = (
+        "(CAST(conc AS DOUBLE) - disc)"
+        " / sqrt((CAST(n0 AS DOUBLE) - tx) * (CAST(n0 AS DOUBLE) - ty))"
+    )
+    return s.select(
+        "n_days",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.expr(
+            f"CASE WHEN n0 > tx AND n0 > ty THEN round({tau}, 6) END"
+        ).alias("tau_b"),
+    )
+
+
+def kendall_daily_sql(table: str = "orders") -> str:
+    """DuckDB oracle for :func:`kendall_daily` (same day-grain lattice,
+    exact tie terms, shared staged tau)."""
+    tau = (
+        "(CAST(conc AS DOUBLE) - disc)"
+        " / sqrt((CAST(n0 AS DOUBLE) - tx) * (CAST(n0 AS DOUBLE) - ty))"
+    )
+    return f"""
+    WITH kd_d AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS x,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+      FROM {table} GROUP BY 1
+    ), kd_cd AS (
+      SELECT CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) = -1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc
+      FROM kd_d a JOIN kd_d b ON a.d < b.d
+    ), kd_tx AS (
+      SELECT sum(CAST(c * (c - 1) // 2 AS HUGEINT)) AS tx
+      FROM (SELECT count(*) AS c FROM kd_d GROUP BY x)
+    ), kd_ty AS (
+      SELECT sum(CAST(c * (c - 1) // 2 AS HUGEINT)) AS ty
+      FROM (SELECT count(*) AS c FROM kd_d GROUP BY y)
+    ), kd_n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(*) * (count(*) - 1) // 2 AS HUGEINT) AS n0
+      FROM kd_d
+    )
+    SELECT n_days, conc AS concordant, disc AS discordant,
+           CASE WHEN n0 > tx AND n0 > ty THEN round({tau}, 6) END AS tau_b
+    FROM kd_n CROSS JOIN kd_cd CROSS JOIN kd_tx CROSS JOIN kd_ty
+    """
+
+
+def theil_spend(orders: DataFrame) -> DataFrame:
+    """→ one row [n_customers, mean_cents, theil, theil_norm] — the
+    Theil T inequality index (Theil 1967) of per-customer total spend:
+    T = (1/n)·Σ(xᵢ/μ)·ln(xᵢ/μ), the entropy-based concentration read
+    that decomposes where Gini doesn't. theil_norm = T / ln(n) ∈ [0,1]
+    rescales by the theoretical maximum (one customer owns everything).
+
+    Exactness: per-customer spend is exact cents; the identity
+    T = (Σx·ln x)/Σx − ln(μ) needs ONE data-dependent double per
+    customer — x·ln(x) — which is micro-quantized (round ×1e6 →
+    DECIMAL(38,0)) before the sum so the total is order-invariant
+    across partitionings; everything after is a shared literal staged
+    chain over three exact numbers (Σq, Σx, n), clamped at 0 (the
+    uniform-spend ulp residue), rounded 6. NULL when there are no
+    customers or no revenue; theil_norm NULL when n < 2 (ln n = 0).
+
+    Scale shape: one customer-grain aggregate, one one-row reduce —
+    no joins, no windows.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "x"
+        )
+    )
+    s = c.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("s1"),
+        F.sum(
+            F.when(
+                F.col("x") > 0,
+                F.round(
+                    F.col("x").cast("double") * F.expr("ln(x)") * 1e6, 0
+                ).cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("sq"),
+    )
+    theil = (
+        "greatest(0.0, CAST(sq AS DOUBLE) / 1e6 / CAST(s1 AS DOUBLE)"
+        " - ln(CAST(s1 AS DOUBLE) / n))"
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.expr(
+            "CASE WHEN n > 0 THEN CAST(s1 AS DOUBLE) / n END"
+        ).alias("mean_cents"),
+        F.expr(
+            f"CASE WHEN n > 0 AND s1 > 0 THEN round({theil}, 6) END"
+        ).alias("theil"),
+        F.expr(
+            f"CASE WHEN n > 1 AND s1 > 0"
+            f" THEN round({theil} / ln(CAST(n AS DOUBLE)), 6) END"
+        ).alias("theil_norm"),
+    )
+
+
+def theil_spend_sql(table: str = "orders") -> str:
+    """DuckDB oracle for :func:`theil_spend` (same micro-quantized
+    x·ln x terms, same shared staged chain)."""
+    theil = (
+        "greatest(0.0, CAST(sq AS DOUBLE) / 1e6 / CAST(s1 AS DOUBLE)"
+        " - ln(CAST(s1 AS DOUBLE) / n))"
+    )
+    return f"""
+    WITH th_c AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+      FROM {table} GROUP BY o_custkey
+    ), th_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS s1,
+             sum(CASE WHEN x > 0 THEN
+                   CAST(round(CAST(x AS DOUBLE) * ln(x) * 1e6, 0) AS HUGEINT)
+                 ELSE 0 END) AS sq
+      FROM th_c
+    )
+    SELECT n AS n_customers,
+           CASE WHEN n > 0 THEN CAST(s1 AS DOUBLE) / n END AS mean_cents,
+           CASE WHEN n > 0 AND s1 > 0 THEN round({theil}, 6) END AS theil,
+           CASE WHEN n > 1 AND s1 > 0
+                THEN round({theil} / ln(CAST(n AS DOUBLE)), 6) END
+             AS theil_norm
+    FROM th_s
+    """
