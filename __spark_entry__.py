@@ -2604,6 +2604,15 @@ def q_theil_spend(spark, sf_dir):
     return rel.theil_spend(_tbl(spark, sf_dir, "orders"))
 
 
+# ---------------------- wave 120 (log-rank A/B survival, max drawdown)
+def q_logrank_ab(spark, sf_dir):
+    return ml.logrank_ab(_tbl(spark, sf_dir, "events"))
+
+
+def q_revenue_drawdown(spark, sf_dir):
+    return ev.revenue_drawdown(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2800,8 +2809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. theil_spend — all of
-    waves 2-119 plus the r4-green tail, 376 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. revenue_drawdown — all of
+    waves 2-120 plus the r4-green tail, 378 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3328,6 +3337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 119
         "kendall_daily": q_kendall_daily,
         "theil_spend": q_theil_spend,
+        # wave 120
+        "logrank_ab": q_logrank_ab,
+        "revenue_drawdown": q_revenue_drawdown,
     }
 
 
@@ -4645,6 +4657,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 119
         "kendall_daily": rel.kendall_daily_sql(),
         "theil_spend": rel.theil_spend_sql(),
+        # wave 120
+        "logrank_ab": ml.logrank_ab_sql(),
+        "revenue_drawdown": ev.revenue_drawdown_sql(),
     }
 
 

@@ -6362,3 +6362,85 @@ def cramers_v_type_tier_sql(
              AS cramers_v
     FROM crv_n, crv_t
     """
+
+
+# --------------------------------------------------------------- wave 120
+def revenue_drawdown(events: DataFrame) -> DataFrame:
+    """→ one row [n_days, trough_day, peak_revenue, trough_revenue,
+    max_drawdown] — the maximum drawdown of the DAILY revenue series:
+    the deepest relative fall from the running peak,
+    ddₜ = (max_{s≤t} r_s − rₜ) / max_{s≤t} r_s, the risk-manager's
+    "how bad did it get" number that a variance read hides.
+
+    Exactness: the daily series is exact 1e-4-dollar integers (the
+    revenue_trend_theilsen grain); the running peak is an exact MAX
+    window at day grain; the drawdown ratio is one staged division of
+    exact integers, rounded 6 BEFORE the arg-max so the winning day is
+    engine-stable (rounded-dd desc, earliest day breaks ties). Days
+    with a nonpositive running peak report no drawdown (the ratio is
+    meaningless) and are filtered before the pick; an empty stream
+    yields zero rows. Revenues are reported back in dollars (÷1e4,
+    exact halves at 6 dp).
+
+    Scale shape: one events-grain aggregate collapses to ≤ |days|
+    rows; the window, the filter and the top-1 all run at that bounded
+    grain.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    day = _epoch_day("ts")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("_day"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_r4"))
+    )
+    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    dd = daily.select(
+        "_day",
+        "_r4",
+        F.max("_r4").over(w).alias("_peak"),
+        F.count("*").over(wa).alias("_n"),
+    ).where(F.col("_peak") > 0)
+    return (
+        dd.select(
+            F.col("_n").cast("long").alias("n_days"),
+            F.col("_day").alias("trough_day"),
+            F.round(F.col("_peak") / 10000.0, 6).alias("peak_revenue"),
+            F.round(F.col("_r4") / 10000.0, 6).alias("trough_revenue"),
+            F.round(
+                (F.col("_peak") - F.col("_r4"))
+                / F.col("_peak").cast("double"),
+                6,
+            ).alias("max_drawdown"),
+        )
+        .orderBy(F.desc("max_drawdown"), F.asc("trough_day"))
+        .limit(1)
+    )
+
+
+def revenue_drawdown_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`revenue_drawdown` (same exact daily
+    grain, same rounded-dd arg-max)."""
+    return f"""
+    WITH rdd_d AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS r4
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ), rdd_p AS (
+      SELECT day, r4,
+             max(r4) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+             count(*) OVER () AS n
+      FROM rdd_d
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, day AS trough_day,
+           round(peak / 10000.0, 6) AS peak_revenue,
+           round(r4 / 10000.0, 6) AS trough_revenue,
+           round((peak - r4) / CAST(peak AS DOUBLE), 6) AS max_drawdown
+    FROM rdd_p
+    WHERE peak > 0
+    ORDER BY max_drawdown DESC, trough_day ASC
+    LIMIT 1
+    """

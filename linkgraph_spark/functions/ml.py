@@ -2534,3 +2534,180 @@ def mcnemar_click_purchase_sql(
                 THEN round({chi2}, 6) > 3.841459 END AS significant
     FROM mcn_s
     """
+
+
+# --------------------------------------------------------------- wave 120
+def logrank_ab(events: DataFrame) -> DataFrame:
+    """→ one row [n_subjects, n1, o1, e1, chi2, significant] — the
+    log-rank test (Mantel 1966; Peto & Peto 1972) comparing signup→
+    first-purchase survival between the two md5 experiment arms: the
+    censoring-correct A/B read on time-to-convert that a naive
+    "converted within X days" split gets wrong whenever the horizon
+    clips one arm harder than the other.
+
+    Subjects follow the Kaplan-Meier construction (events.py
+    `kaplan_meier_conversion`): enter at first ``signup``, event at
+    first ``purchase`` strictly after it, censored at the stream's
+    last instant; durations floor to whole days. At each day with ≥1
+    event, O₁ adds the arm-1 events (exact BIGINT) and the
+    hypergeometric moments add E₁ₜ = d·n₁/n and
+    Vₜ = d·n₁·(n−n₁)·(n−d)/(n²·(n−1)) — each a per-day double
+    MICRO-QUANTIZED (round ×1e6 → DECIMAL(38,0)) before the sum so the
+    totals are order-invariant; days with n ≤ 1 contribute nothing
+    (their variance is undefined and their E equals their O). chi² is
+    one shared staged double over (o1, e1q, vq), rounded 6, NULL when
+    the variance sum is 0 (no comparable risk sets); ``significant``
+    compares the ROUNDED chi² to 3.841459 so flag and number cannot
+    disagree.
+
+    Scale shape: two user-grain aggregates and a global max build the
+    subject frame; everything after collapses to ≤ |days| rows and the
+    cumulative windows run at that bounded grain.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    from linkgraph_spark.functions.hashing import md5_long
+
+    signups = events.where(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("_s_ts"))
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("_p_ts")
+    )
+    first_p = (
+        signups.join(purchases, "user_id", "left")
+        .where(F.col("_p_ts").isNull() | (F.col("_p_ts") > F.col("_s_ts")))
+        .groupBy("user_id", "_s_ts")
+        .agg(F.min("_p_ts").alias("_fp_ts"))
+    )
+    subjects = signups.join(
+        first_p.select("user_id", "_fp_ts"), "user_id", "left"
+    )
+    end = events.agg(F.max("ts").alias("_end"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    dur = subjects.crossJoin(F.broadcast(end)).select(
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+        F.col("_fp_ts").isNotNull().alias("_event"),
+        F.floor(
+            (F.coalesce(us("_fp_ts"), us("_end")) - us("_s_ts"))
+            / F.lit(86_400_000_000)
+        ).alias("_day"),
+    )
+    per_day = dur.groupBy("_day").agg(
+        F.sum(F.col("_event").cast("long")).alias("d"),
+        F.sum((F.col("_event").cast("long")) * F.col("variant")).alias("d1"),
+        F.count("*").alias("leave"),
+        F.sum("variant").alias("leave1"),
+    )
+    tot = per_day.agg(
+        F.sum("leave").cast("long").alias("nn"),
+        F.sum("leave1").cast("long").alias("nn1"),
+    )
+    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_day.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "d1",
+        (
+            F.col("nn") - F.coalesce(F.sum("leave").over(w), F.lit(0))
+        ).alias("n"),
+        (
+            F.col("nn1") - F.coalesce(F.sum("leave1").over(w), F.lit(0))
+        ).alias("n1"),
+        "nn",
+        "nn1",
+    )
+    d38 = "decimal(38,0)"
+    e1 = "CAST(d AS DOUBLE) * n1 / n"
+    v = (
+        "CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)"
+        " / (CAST(n AS DOUBLE) * n * (n - 1))"
+    )
+    s = risk.where((F.col("d") > 0) & (F.col("n") > 1)).groupBy().agg(
+        F.max("nn").cast("long").alias("n_subjects"),
+        F.max("nn1").cast("long").alias("arm1"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.expr(f"CAST(round(({e1}) * 1e6, 0) AS {d38})")).alias("e1q"),
+        F.sum(F.expr(f"CAST(round(({v}) * 1e6, 0) AS {d38})")).alias("vq"),
+    )
+    chi2 = (
+        "power(CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6, 2)"
+        " / (CAST(vq AS DOUBLE) / 1e6)"
+    )
+    return s.select(
+        "n_subjects",
+        F.col("arm1").alias("n1"),
+        "o1",
+        F.round(F.col("e1q").cast("double") / 1e6, 6).alias("e1"),
+        F.expr(f"CASE WHEN vq > 0 THEN round({chi2}, 6) END").alias("chi2"),
+        F.expr(
+            f"CASE WHEN vq > 0 THEN round({chi2}, 6) > 3.841459 END"
+        ).alias("significant"),
+    )
+
+
+def logrank_ab_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`logrank_ab` (same subject construction,
+    same micro-quantized hypergeometric terms, shared chi² chain)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    e1 = "CAST(d AS DOUBLE) * n1 / n"
+    v = (
+        "CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)"
+        " / (CAST(n AS DOUBLE) * n * (n - 1))"
+    )
+    chi2 = (
+        "power(CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6, 2)"
+        " / (CAST(vq AS DOUBLE) / 1e6)"
+    )
+    return f"""
+    WITH lr_s AS (
+      SELECT user_id, min(ts) AS s_ts FROM {table}
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), lr_fp AS (
+      SELECT s.user_id, s.s_ts, min(p.ts) AS fp_ts
+      FROM lr_s s LEFT JOIN {table} p
+        ON p.user_id = s.user_id AND p.event_type = 'purchase'
+       AND p.ts > s.s_ts
+      GROUP BY s.user_id, s.s_ts
+    ), lr_dur AS (
+      SELECT ({h}) % 2 AS variant,
+             fp_ts IS NOT NULL AS ev,
+             CAST(floor((epoch(coalesce(fp_ts, (SELECT max(ts) FROM {table})))
+                   - epoch(s_ts)) / 86400.0) AS BIGINT) AS day
+      FROM lr_fp
+    ), lr_pd AS (
+      SELECT day, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             sum(CASE WHEN ev THEN variant ELSE 0 END) AS d1,
+             count(*) AS leave, sum(variant) AS leave1
+      FROM lr_dur GROUP BY day
+    ), lr_t AS (
+      SELECT CAST(sum(leave) AS BIGINT) AS nn,
+             CAST(sum(leave1) AS BIGINT) AS nn1
+      FROM lr_pd
+    ), lr_r AS (
+      SELECT d, d1,
+             nn - coalesce(sum(leave) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+             nn1 - coalesce(sum(leave1) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+             nn, nn1
+      FROM lr_pd CROSS JOIN lr_t
+    ), lr_agg AS (
+      SELECT CAST(max(nn) AS BIGINT) AS n_subjects,
+             CAST(max(nn1) AS BIGINT) AS arm1,
+             CAST(sum(d1) AS BIGINT) AS o1,
+             sum(CAST(round(({e1}) * 1e6, 0) AS HUGEINT)) AS e1q,
+             sum(CAST(round(({v}) * 1e6, 0) AS HUGEINT)) AS vq
+      FROM lr_r WHERE d > 0 AND n > 1
+    )
+    SELECT n_subjects, arm1 AS n1, o1,
+           round(CAST(e1q AS DOUBLE) / 1e6, 6) AS e1,
+           CASE WHEN vq > 0 THEN round({chi2}, 6) END AS chi2,
+           CASE WHEN vq > 0 THEN round({chi2}, 6) > 3.841459 END
+             AS significant
+    FROM lr_agg
+    """
