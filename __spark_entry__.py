@@ -2613,6 +2613,15 @@ def q_revenue_drawdown(spark, sf_dir):
     return ev.revenue_drawdown(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 121 (trend test, dispersion test)
+def q_cochran_armitage_trend(spark, sf_dir):
+    return ml.cochran_armitage_trend(_tbl(spark, sf_dir, "events"))
+
+
+def q_dispersion_daily(spark, sf_dir):
+    return ev.dispersion_daily(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2809,8 +2818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. revenue_drawdown — all of
-    waves 2-120 plus the r4-green tail, 378 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. dispersion_daily — all of
+    waves 2-121 plus the r4-green tail, 380 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3340,6 +3349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 120
         "logrank_ab": q_logrank_ab,
         "revenue_drawdown": q_revenue_drawdown,
+        # wave 121
+        "cochran_armitage_trend": q_cochran_armitage_trend,
+        "dispersion_daily": q_dispersion_daily,
     }
 
 
@@ -4660,6 +4672,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 120
         "logrank_ab": ml.logrank_ab_sql(),
         "revenue_drawdown": ev.revenue_drawdown_sql(),
+        # wave 121
+        "cochran_armitage_trend": ml.cochran_armitage_trend_sql(),
+        "dispersion_daily": ev.dispersion_daily_sql(),
     }
 
 

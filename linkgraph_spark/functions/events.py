@@ -6444,3 +6444,86 @@ def revenue_drawdown_sql(table: str = "events") -> str:
     ORDER BY max_drawdown DESC, trough_day ASC
     LIMIT 1
     """
+
+
+def dispersion_daily(events: DataFrame) -> DataFrame:
+    """→ one row [n_days, mean_per_day, vmr, chi2, z, overdispersed] —
+    the index-of-dispersion test (Fisher 1950 formulation) on the
+    daily event-count series: chi² = Σ(xₜ−x̄)²/x̄ against the Poisson
+    null (variance = mean). VMR = chi²/(n−1) is the variance-to-mean
+    ratio — VMR ≫ 1 means bursty/clumped traffic, the thing a Poisson
+    capacity model silently under-provisions for; z uses the classical
+    √(2χ²) − √(2df−1) normal approximation (documented estimand).
+
+    Exactness: daily counts, Σx and Σx² are exact BIGINT/DECIMAL(38,0)
+    from one pass; the identity chi² = (n·Σx² − (Σx)²)/Σx makes the
+    numerator and denominator exact integers with ONE staged division;
+    vmr and z chain from the same exact inputs as shared literal
+    expressions, rounded 6. NULL when n < 2 or Σx = 0;
+    ``overdispersed`` compares the ROUNDED z to 1.644854 (one-sided
+    0.05) so flag and number cannot disagree.
+
+    Scale shape: one events-grain aggregate to day grain, one one-row
+    reduce — no joins, no windows.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    day = _epoch_day("ts")
+    d = events.groupBy(day.alias("_day")).agg(F.count("*").alias("x"))
+    d38 = "decimal(38,0)"
+    s = d.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+    )
+    ok = "n >= 2 AND sx > 0"
+    chi2 = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)"
+    )
+    z = f"sqrt(2.0 * ({chi2})) - sqrt(2.0 * (n - 1) - 1.0)"
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.expr("CASE WHEN n > 0 THEN CAST(sx AS DOUBLE) / n END").alias(
+            "mean_per_day"
+        ),
+        F.expr(
+            f"CASE WHEN {ok} THEN round(({chi2}) / (n - 1.0), 6) END"
+        ).alias("vmr"),
+        F.expr(f"CASE WHEN {ok} THEN round({chi2}, 6) END").alias("chi2"),
+        F.expr(f"CASE WHEN {ok} THEN round({z}, 6) END").alias("z"),
+        F.expr(
+            f"CASE WHEN {ok} THEN round({z}, 6) > 1.644854 END"
+        ).alias("overdispersed"),
+    )
+
+
+def dispersion_daily_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`dispersion_daily` (same exact moments,
+    shared staged chi²/z chain)."""
+    ok = "n >= 2 AND sx > 0"
+    chi2 = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)"
+    )
+    z = f"sqrt(2.0 * ({chi2})) - sqrt(2.0 * (n - 1) - 1.0)"
+    return f"""
+    WITH dsp_d AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             count(*) AS x
+      FROM {table} GROUP BY 1
+    ), dsp_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM dsp_d
+    )
+    SELECT n AS n_days,
+           CASE WHEN n > 0 THEN CAST(sx AS DOUBLE) / n END AS mean_per_day,
+           CASE WHEN {ok} THEN round(({chi2}) / (n - 1.0), 6) END AS vmr,
+           CASE WHEN {ok} THEN round({chi2}, 6) END AS chi2,
+           CASE WHEN {ok} THEN round({z}, 6) END AS z,
+           CASE WHEN {ok} THEN round({z}, 6) > 1.644854 END AS overdispersed
+    FROM dsp_s
+    """

@@ -2711,3 +2711,117 @@ def logrank_ab_sql(table: str = "events") -> str:
              AS significant
     FROM lr_agg
     """
+
+
+# --------------------------------------------------------------- wave 121
+def cochran_armitage_trend(events: DataFrame) -> DataFrame:
+    """→ one row [n_units, n_purchase, z, significant] — the
+    Cochran–Armitage trend test (Cochran 1954; Armitage 1955) for a
+    monotone dose-response between a user-day's NON-purchase activity
+    tier (0 / 1 / 2-3 / 4+ other events, ordinal scores 0..3) and
+    whether that user-day purchased: the ordered-exposure test a
+    pairwise chi² wastes power on. Exposure deliberately EXCLUDES
+    purchase events — counting the outcome inside the dose would make
+    the trend trivially positive.
+
+    Exactness: units, per-tier counts and successes are exact BIGINTs
+    from one (user, day)-grain aggregate; the closed form needs only
+    five exact integer moments (N, R, Σs·n, Σs·r, Σs²·n) — the
+    numerator N·Σsr − R·Σsn and the spread N·Σs²n − (Σsn)² stay exact
+    DECIMAL(38,0)/HUGEINT (squares of SUMS, taken before any double),
+    and z = tn·√N / √(R·(N−R)·m) is ONE shared literal staged chain,
+    rounded 6. NULL when every unit purchased, none did, or all units
+    share one tier (zero spread); ``significant`` compares the ROUNDED
+    |z| to 1.959964 so flag and number cannot disagree.
+
+    Scale shape: one (user, day)-grain aggregate, one 4-row tier
+    aggregate, a one-row reduce — no joins, no windows.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    u = events.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    tier = (
+        "CASE WHEN a <= 0 THEN 0 WHEN a = 1 THEN 1"
+        " WHEN a <= 3 THEN 2 ELSE 3 END"
+    )
+    t = u.groupBy(F.expr(tier).alias("s")).agg(
+        F.count("*").alias("nk"), F.sum("y").alias("rk")
+    )
+    d38 = "decimal(38,0)"
+    m = t.groupBy().agg(
+        F.sum("nk").cast("long").alias("nn"),
+        F.sum("rk").cast("long").alias("rr"),
+        F.sum(F.col("s").cast(d38) * F.col("nk")).alias("ssn"),
+        F.sum(F.col("s").cast(d38) * F.col("rk")).alias("ssr"),
+        F.sum(F.col("s").cast(d38) * F.col("s") * F.col("nk")).alias("sns2"),
+    )
+    m = m.withColumn(
+        "tn",
+        F.col("nn").cast(d38) * F.col("ssr")
+        - F.col("rr").cast(d38) * F.col("ssn"),
+    ).withColumn(
+        "mm",
+        F.col("nn").cast(d38) * F.col("sns2") - F.col("ssn") * F.col("ssn"),
+    )
+    ok = "rr > 0 AND rr < nn AND mm > 0"
+    z = (
+        "CAST(tn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))"
+        " / sqrt(CAST(rr AS DOUBLE) * (nn - rr) * CAST(mm AS DOUBLE))"
+    )
+    return m.select(
+        F.col("nn").alias("n_units"),
+        F.col("rr").alias("n_purchase"),
+        F.expr(f"CASE WHEN {ok} THEN round({z}, 6) END").alias("z"),
+        F.expr(
+            f"CASE WHEN {ok} THEN abs(round({z}, 6)) > 1.959964 END"
+        ).alias("significant"),
+    )
+
+
+def cochran_armitage_trend_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`cochran_armitage_trend` (same tier
+    scores, same exact moments, shared staged z)."""
+    tier = (
+        "CASE WHEN a <= 0 THEN 0 WHEN a = 1 THEN 1"
+        " WHEN a <= 3 THEN 2 ELSE 3 END"
+    )
+    ok = "rr > 0 AND rr < nn AND mm > 0"
+    z = (
+        "CAST(tn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))"
+        " / sqrt(CAST(rr AS DOUBLE) * (nn - rr) * CAST(mm AS DOUBLE))"
+    )
+    return f"""
+    WITH cat_u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM {table} GROUP BY user_id, CAST(ts AS DATE)
+    ), cat_t AS (
+      SELECT ({tier}) AS s, count(*) AS nk, sum(y) AS rk
+      FROM cat_u GROUP BY 1
+    ), cat_m AS (
+      SELECT CAST(sum(nk) AS BIGINT) AS nn, CAST(sum(rk) AS BIGINT) AS rr,
+             sum(CAST(s AS HUGEINT) * nk) AS ssn,
+             sum(CAST(s AS HUGEINT) * rk) AS ssr,
+             sum(CAST(s AS HUGEINT) * s * nk) AS sns2
+      FROM cat_t
+    ), cat_f AS (
+      SELECT nn, rr,
+             CAST(nn AS HUGEINT) * ssr - CAST(rr AS HUGEINT) * ssn AS tn,
+             CAST(nn AS HUGEINT) * sns2 - ssn * ssn AS mm
+      FROM cat_m
+    )
+    SELECT nn AS n_units, rr AS n_purchase,
+           CASE WHEN {ok} THEN round({z}, 6) END AS z,
+           CASE WHEN {ok} THEN abs(round({z}, 6)) > 1.959964 END
+             AS significant
+    FROM cat_f
+    """
