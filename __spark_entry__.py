@@ -2622,6 +2622,15 @@ def q_dispersion_daily(spark, sf_dir):
     return ev.dispersion_daily(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 122 (Lorenz deciles, Gini of spend)
+def q_lorenz_deciles(spark, sf_dir):
+    return rel.lorenz_deciles(_tbl(spark, sf_dir, "orders"))
+
+
+def q_gini_spend(spark, sf_dir):
+    return rel.gini_spend(_tbl(spark, sf_dir, "orders"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2818,8 +2827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. dispersion_daily — all of
-    waves 2-121 plus the r4-green tail, 380 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. gini_spend — all of
+    waves 2-122 plus the r4-green tail, 382 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3352,6 +3361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 121
         "cochran_armitage_trend": q_cochran_armitage_trend,
         "dispersion_daily": q_dispersion_daily,
+        # wave 122
+        "lorenz_deciles": q_lorenz_deciles,
+        "gini_spend": q_gini_spend,
     }
 
 
@@ -4675,6 +4687,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 121
         "cochran_armitage_trend": ml.cochran_armitage_trend_sql(),
         "dispersion_daily": ev.dispersion_daily_sql(),
+        # wave 122
+        "lorenz_deciles": rel.lorenz_deciles_sql(),
+        "gini_spend": rel.gini_spend_sql(),
     }
 
 

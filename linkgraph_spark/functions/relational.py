@@ -3260,3 +3260,235 @@ def theil_spend_sql(table: str = "orders") -> str:
              AS theil_norm
     FROM th_s
     """
+
+
+# --------------------------------------------------------------- wave 122
+def lorenz_deciles(orders: DataFrame) -> DataFrame:
+    """→ 10 rows [decile, n_customers, spend, spend_share, cum_share] —
+    the Lorenz curve of per-customer total spend at decile grain
+    (Lorenz 1905): customers sorted poorest→richest, decile k's share
+    of total revenue and the running cumulative share (the curve whose
+    gap from the diagonal IS the Gini). The "bottom half of customers
+    carries 9% of revenue" table every monetization review opens with.
+
+    The scale trick: NO global sort of customers and NO ntile window —
+    decile membership is a pure integer function of RANK,
+    decile(r) = ((r−1)·10) DIV N + 1, so each spend-histogram cell
+    [lo, hi] splits across the 10-row decile lattice by exact integer
+    overlap (the trimmed-mean rank-space machinery), and every decile
+    mass is a DECIMAL(38,0)/HUGEINT Σ overlap·cents. Cross-engine the
+    boundaries floor identically (Spark DIV / DuckDB //). Shares are
+    staged divisions of exact integers rounded 6; cum_share divides the
+    exact cumulative DECIMAL (a 10-row window), so it is monotone and
+    ends at exactly 1. Deciles with no customers (n < 10) emit zero
+    rows of mass, not gaps; zero total revenue reports NULL shares.
+
+    Scale shape: one customer-grain aggregate, one histogram-grain
+    cumulative window, a 10-row lattice join, a 10-row window.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "x"
+        )
+    )
+    h = cust.groupBy("x").agg(F.count("*").alias("c"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    cells = h.select(
+        "x",
+        "c",
+        F.sum("c").over(w).alias("hi"),
+        F.sum("c").over(wa).alias("nn"),
+        F.sum(F.col("c").cast(d38) * F.col("x")).over(wa).alias("ss"),
+    ).withColumn("lo", F.col("hi") - F.col("c") + 1)
+    dec = orders.sparkSession.createDataFrame(
+        [(k,) for k in range(1, 11)], "decile int"
+    )
+    j = cells.crossJoin(F.broadcast(dec)).select(
+        "decile",
+        "x",
+        "nn",
+        "ss",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("hi"), F.expr("(decile * nn + 9) DIV 10")
+            )
+            - F.greatest(
+                F.col("lo"), F.expr("((decile - 1) * nn + 9) DIV 10 + 1")
+            )
+            + 1,
+        ).alias("ov"),
+    )
+    per = j.groupBy("decile").agg(
+        F.max("nn").cast("long").alias("nn"),
+        F.max("ss").alias("ss"),
+        F.sum("ov").cast("long").alias("n_customers"),
+        F.sum(F.col("ov").cast(d38) * F.col("x")).alias("spend_c"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = per.withColumn("cum_c", F.sum("spend_c").over(wd))
+    return out.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("spend_c").cast("double") / 100.0, 6).alias("spend"),
+        F.expr(
+            "CASE WHEN ss > 0 THEN"
+            " round(CAST(spend_c AS DOUBLE) / CAST(ss AS DOUBLE), 6) END"
+        ).alias("spend_share"),
+        F.expr(
+            "CASE WHEN ss > 0 THEN"
+            " round(CAST(cum_c AS DOUBLE) / CAST(ss AS DOUBLE), 6) END"
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
+def lorenz_deciles_sql(table: str = "orders") -> str:
+    """DuckDB oracle for :func:`lorenz_deciles` (same rank-space decile
+    overlap, HUGEINT mass sums)."""
+    return f"""
+    WITH lz_c AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+      FROM {table} GROUP BY o_custkey
+    ), lz_h AS (
+      SELECT x, count(*) AS c FROM lz_c GROUP BY x
+    ), lz_cells AS (
+      SELECT x, c,
+             sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             sum(c) OVER () AS nn,
+             sum(CAST(c AS HUGEINT) * x) OVER () AS ss
+      FROM lz_h
+    ), lz_d AS (
+      SELECT CAST(unnest(generate_series(1, 10)) AS INTEGER) AS decile
+    ), lz_j AS (
+      SELECT d.decile, c.x, c.nn, c.ss,
+             greatest(0, least(c.hi, (d.decile * c.nn + 9) // 10)
+               - greatest(c.hi - c.c + 1,
+                          ((d.decile - 1) * c.nn + 9) // 10 + 1) + 1) AS ov
+      FROM lz_cells c CROSS JOIN lz_d d
+    ), lz_p AS (
+      SELECT decile, CAST(max(nn) AS BIGINT) AS nn, max(ss) AS ss,
+             CAST(sum(ov) AS BIGINT) AS n_customers,
+             sum(CAST(ov AS HUGEINT) * x) AS spend_c
+      FROM lz_j GROUP BY decile
+    ), lz_o AS (
+      SELECT *, sum(spend_c) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      FROM lz_p
+    )
+    SELECT decile, n_customers,
+           round(CAST(spend_c AS DOUBLE) / 100.0, 6) AS spend,
+           CASE WHEN ss > 0 THEN
+             round(CAST(spend_c AS DOUBLE) / CAST(ss AS DOUBLE), 6) END
+             AS spend_share,
+           CASE WHEN ss > 0 THEN
+             round(CAST(cum_c AS DOUBLE) / CAST(ss AS DOUBLE), 6) END
+             AS cum_share
+    FROM lz_o ORDER BY decile
+    """
+
+
+def gini_spend(orders: DataFrame) -> DataFrame:
+    """→ one row [n_customers, total_revenue, gini] — the Gini
+    coefficient of per-customer total spend via the exact rank-sum
+    identity G = (2·Σrᵢxᵢ − (N+1)·S) / (N·S) (x ascending, ties
+    order-free): the single-number revenue-concentration read next to
+    :func:`lorenz_deciles`' curve and :func:`theil_spend`'s
+    decomposable cousin.
+
+    Exactness — fully integer until one division: a tied histogram
+    cell's rank·value mass is x·(lo+hi)·(hi−lo+1) DIV 2 (the
+    consecutive-rank sum — one factor is always even, so DIV is exact
+    and identical Spark/DuckDB); Σrx, S and N are DECIMAL(38,0)/
+    HUGEINT; the numerator 2·Σrx − (N+1)·S stays exact; G is ONE
+    staged division rounded 6, NULL on an empty frame or zero revenue.
+
+    Scale shape: one customer-grain aggregate, one histogram-grain
+    cumulative window, a one-row reduce.
+
+    Reference parity: the graph-side cousin is kernels/stats.py
+    `degree_gini`; this is the warehouse-side measure over orders.
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "x"
+        )
+    )
+    h = cust.groupBy("x").agg(F.count("*").alias("c"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cells = h.select(
+        "x",
+        "c",
+        F.sum("c").over(w).alias("hi"),
+    ).withColumn("lo", F.col("hi") - F.col("c") + 1)
+    s = cells.groupBy().agg(
+        F.coalesce(F.max("hi"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.col("c").cast(d38) * F.col("x")), F.lit(0).cast(d38)
+        ).alias("ss"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(x AS decimal(38,0)) * (lo + hi) * c DIV 2"
+                )
+            ),
+            F.lit(0).cast(d38),
+        ).alias("srx"),
+    )
+    gini = (
+        "(2.0 * CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1)"
+        " * CAST(ss AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE))"
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("ss").cast("double") / 100.0, 6).alias(
+            "total_revenue"
+        ),
+        F.expr(
+            f"CASE WHEN n > 0 AND ss > 0 THEN round({gini}, 6) END"
+        ).alias("gini"),
+    )
+
+
+def gini_spend_sql(table: str = "orders") -> str:
+    """DuckDB oracle for :func:`gini_spend` (same exact rank-sum
+    identity, HUGEINT mass sums)."""
+    gini = (
+        "(2.0 * CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1)"
+        " * CAST(ss AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE))"
+    )
+    return f"""
+    WITH gn_c AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+      FROM {table} GROUP BY o_custkey
+    ), gn_h AS (
+      SELECT x, count(*) AS c FROM gn_c GROUP BY x
+    ), gn_cells AS (
+      SELECT x, c,
+             sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM gn_h
+    ), gn_s AS (
+      SELECT CAST(coalesce(max(hi), 0) AS BIGINT) AS n,
+             coalesce(sum(CAST(c AS HUGEINT) * x), 0) AS ss,
+             coalesce(sum(CAST(x AS HUGEINT) * ((hi - c + 1) + hi) * c // 2),
+                      0) AS srx
+      FROM gn_cells
+    )
+    SELECT n AS n_customers,
+           round(CAST(ss AS DOUBLE) / 100.0, 6) AS total_revenue,
+           CASE WHEN n > 0 AND ss > 0 THEN round({gini}, 6) END AS gini
+    FROM gn_s
+    """
