@@ -2631,6 +2631,15 @@ def q_gini_spend(spark, sf_dir):
     return rel.gini_spend(_tbl(spark, sf_dir, "orders"))
 
 
+# ---------------------- wave 123 (randomness tests on the daily series)
+def q_runs_test_revenue(spark, sf_dir):
+    return ev.runs_test_revenue(_tbl(spark, sf_dir, "events"))
+
+
+def q_turning_points_revenue(spark, sf_dir):
+    return ev.turning_points_revenue(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2827,8 +2836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. gini_spend — all of
-    waves 2-122 plus the r4-green tail, 382 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. turning_points_revenue — all of
+    waves 2-123 plus the r4-green tail, 384 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3364,6 +3373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 122
         "lorenz_deciles": q_lorenz_deciles,
         "gini_spend": q_gini_spend,
+        # wave 123
+        "runs_test_revenue": q_runs_test_revenue,
+        "turning_points_revenue": q_turning_points_revenue,
     }
 
 
@@ -4690,6 +4702,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 122
         "lorenz_deciles": rel.lorenz_deciles_sql(),
         "gini_spend": rel.gini_spend_sql(),
+        # wave 123
+        "runs_test_revenue": ev.runs_test_revenue_sql(),
+        "turning_points_revenue": ev.turning_points_revenue_sql(),
     }
 
 

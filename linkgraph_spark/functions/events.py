@@ -6527,3 +6527,216 @@ def dispersion_daily_sql(table: str = "events") -> str:
            CASE WHEN {ok} THEN round({z}, 6) > 1.644854 END AS overdispersed
     FROM dsp_s
     """
+
+
+# --------------------------------------------------------------- wave 123
+def runs_test_revenue(events: DataFrame) -> DataFrame:
+    """→ one row [n_used, n_above, n_below, runs, z, significant] — the
+    Wald–Wolfowitz runs test (Wald & Wolfowitz 1940) for randomness of
+    the DAILY revenue series around its median: too few runs means the
+    series is trending/sticky (autocorrelated regimes), too many means
+    it oscillates — either way a "days are i.i.d." assumption in a
+    forecast or an A/B horizon calculation is wrong.
+
+    Exactness: the daily series is exact 1e-4-dollar integers; the
+    median is the exact interpolated percentile (the
+    :func:`qq_deciles` estimator — identical in both engines), days
+    EQUAL to the median drop (the standard convention, documented);
+    above/below flags, run count (1 + sign changes via one lag at day
+    grain), n₁ and n₂ are exact BIGINTs. z = (R − μ)/σ with
+    μ = 2n₁n₂/N + 1 and σ² = 2n₁n₂(2n₁n₂−N)/(N²(N−1)) is ONE shared
+    literal staged chain over those integers (no continuity
+    correction — documented estimand), rounded 6. NULL when either
+    side is empty or N < 2 (σ undefined); ``significant`` compares the
+    ROUNDED |z| to 1.959964 so flag and number cannot disagree.
+
+    Scale shape: one events-grain aggregate to day grain; the median,
+    the lag and the reduce all run on that bounded frame.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    day = _epoch_day("ts")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("_day"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_r4"))
+    )
+    med = daily.groupBy().agg(
+        F.expr("percentile(_r4, 0.5D)").alias("_med")
+    )
+    flg = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("_r4") != F.col("_med"))
+        .select(
+            "_day", (F.col("_r4") > F.col("_med")).cast("int").alias("s")
+        )
+    )
+    w = Window.orderBy("_day")
+    runs = flg.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | (F.col("s") != F.lag("s").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.groupBy().agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n2"),
+        F.sum("brk").cast("long").alias("r"),
+    )
+    mu = "(2.0 * CAST(n1 AS DOUBLE) * n2 / nu + 1.0)"
+    var = (
+        "(2.0 * CAST(n1 AS DOUBLE) * n2"
+        " * (2.0 * CAST(n1 AS DOUBLE) * n2 - nu))"
+        " / (CAST(nu AS DOUBLE) * nu * (nu - 1.0))"
+    )
+    ok = f"n1 > 0 AND n2 > 0 AND nu >= 2 AND {var} > 0"
+    z = f"(CAST(r AS DOUBLE) - {mu}) / sqrt({var})"
+    return agg.select(
+        F.col("nu").alias("n_used"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("runs"),
+        F.expr(f"CASE WHEN {ok} THEN round({z}, 6) END").alias("z"),
+        F.expr(
+            f"CASE WHEN {ok} THEN abs(round({z}, 6)) > 1.959964 END"
+        ).alias("significant"),
+    )
+
+
+def runs_test_revenue_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`runs_test_revenue` (same median
+    estimator, same lag run count, shared staged z)."""
+    mu = "(2.0 * CAST(n1 AS DOUBLE) * n2 / nu + 1.0)"
+    var = (
+        "(2.0 * CAST(n1 AS DOUBLE) * n2"
+        " * (2.0 * CAST(n1 AS DOUBLE) * n2 - nu))"
+        " / (CAST(nu AS DOUBLE) * nu * (nu - 1.0))"
+    )
+    ok = f"n1 > 0 AND n2 > 0 AND nu >= 2 AND {var} > 0"
+    z = f"(CAST(r AS DOUBLE) - {mu}) / sqrt({var})"
+    return f"""
+    WITH rt_d AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS r4
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ), rt_m AS (
+      SELECT quantile_cont(r4, 0.5) AS med FROM rt_d
+    ), rt_f AS (
+      SELECT day, CAST(r4 > med AS INTEGER) AS s
+      FROM rt_d CROSS JOIN rt_m WHERE r4 <> med
+    ), rt_r AS (
+      SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                       OR s <> lag(s) OVER (ORDER BY day)
+                     THEN 1 ELSE 0 END AS brk
+      FROM rt_f
+    ), rt_a AS (
+      SELECT CAST(count(*) AS BIGINT) AS nu,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2,
+             CAST(sum(brk) AS BIGINT) AS r
+      FROM rt_r
+    )
+    SELECT nu AS n_used, n1 AS n_above, n2 AS n_below, r AS runs,
+           CASE WHEN {ok} THEN round({z}, 6) END AS z,
+           CASE WHEN {ok} THEN abs(round({z}, 6)) > 1.959964 END
+             AS significant
+    FROM rt_a
+    """
+
+
+def turning_points_revenue(events: DataFrame) -> DataFrame:
+    """→ one row [n_days, turning_points, expected, z, significant] —
+    the turning-points test (Kendall & Stuart, The Advanced Theory of
+    Statistics — classical randomness check) on the daily revenue
+    series: count the STRICT local maxima/minima; an i.i.d. series has
+    E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so too few turning
+    points means trend/persistence and too many means alternation. The
+    runs test's shape-blind cousin — reads the fine structure, not the
+    median split.
+
+    Exactness: daily revenues are exact integers; a turning point is
+    the exact predicate (rₜ−rₜ₋₁)·(rₜ₊₁−rₜ) < 0 via one lag and one
+    lead at day grain (plateau days — a zero diff — are NOT turning
+    points, the strict convention, documented); T and n are exact
+    BIGINTs and z is one shared literal staged chain, rounded 6. NULL
+    when n < 3 (no interior days); ``significant`` compares the
+    ROUNDED |z| to 1.959964.
+
+    Scale shape: one events-grain aggregate to day grain; windows and
+    the reduce run on that bounded frame.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    day = _epoch_day("ts")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("_day"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_r4"))
+    )
+    w = Window.orderBy("_day")
+    tp = daily.select(
+        F.when(
+            (
+                (F.col("_r4") - F.lag("_r4").over(w))
+                * (F.lead("_r4").over(w) - F.col("_r4"))
+            )
+            < 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("tp")
+    )
+    agg = tp.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("tp").cast("long").alias("t"),
+    )
+    e = "(2.0 * CAST(n - 2 AS DOUBLE) / 3.0)"
+    var = "((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)"
+    ok = f"n >= 3 AND {var} > 0"
+    z = f"(CAST(t AS DOUBLE) - {e}) / sqrt({var})"
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("t").alias("turning_points"),
+        F.expr(f"CASE WHEN n >= 3 THEN round({e}, 6) END").alias("expected"),
+        F.expr(f"CASE WHEN {ok} THEN round({z}, 6) END").alias("z"),
+        F.expr(
+            f"CASE WHEN {ok} THEN abs(round({z}, 6)) > 1.959964 END"
+        ).alias("significant"),
+    )
+
+
+def turning_points_revenue_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`turning_points_revenue` (same strict
+    predicate, shared staged z)."""
+    e = "(2.0 * CAST(n - 2 AS DOUBLE) / 3.0)"
+    var = "((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)"
+    ok = f"n >= 3 AND {var} > 0"
+    z = f"(CAST(t AS DOUBLE) - {e}) / sqrt({var})"
+    return f"""
+    WITH tpt_d AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS r4
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ), tpt_t AS (
+      SELECT CASE WHEN (r4 - lag(r4) OVER (ORDER BY day))
+                       * (lead(r4) OVER (ORDER BY day) - r4) < 0
+                  THEN 1 ELSE 0 END AS tp
+      FROM tpt_d
+    ), tpt_a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(tp) AS BIGINT) AS t
+      FROM tpt_t
+    )
+    SELECT n AS n_days, t AS turning_points,
+           CASE WHEN n >= 3 THEN round({e}, 6) END AS expected,
+           CASE WHEN {ok} THEN round({z}, 6) END AS z,
+           CASE WHEN {ok} THEN abs(round({z}, 6)) > 1.959964 END
+             AS significant
+    FROM tpt_a
+    """
