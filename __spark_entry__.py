@@ -2640,6 +2640,19 @@ def q_turning_points_revenue(spark, sf_dir):
     return ev.turning_points_revenue(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 124 (ABC classification, SLA percentiles)
+def q_abc_brands(spark, sf_dir):
+    return rel.abc_brands(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_ship_delay_profile(spark, sf_dir):
+    return rel.ship_delay_profile(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "orders")
+    )
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2836,8 +2849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. turning_points_revenue — all of
-    waves 2-123 plus the r4-green tail, 384 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. ship_delay_profile — all of
+    waves 2-124 plus the r4-green tail, 386 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3376,6 +3389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 123
         "runs_test_revenue": q_runs_test_revenue,
         "turning_points_revenue": q_turning_points_revenue,
+        # wave 124
+        "abc_brands": q_abc_brands,
+        "ship_delay_profile": q_ship_delay_profile,
     }
 
 
@@ -4705,6 +4721,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 123
         "runs_test_revenue": ev.runs_test_revenue_sql(),
         "turning_points_revenue": ev.turning_points_revenue_sql(),
+        # wave 124
+        "abc_brands": rel.abc_brands_sql(),
+        "ship_delay_profile": rel.ship_delay_profile_sql(),
     }
 
 

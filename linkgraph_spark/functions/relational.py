@@ -3492,3 +3492,178 @@ def gini_spend_sql(table: str = "orders") -> str:
            CASE WHEN n > 0 AND ss > 0 THEN round({gini}, 6) END AS gini
     FROM gn_s
     """
+
+
+# --------------------------------------------------------------- wave 124
+def abc_brands(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """→ [brand, revenue, revenue_share, cum_share, abc_class] — ABC /
+    Pareto inventory classification of brands by discounted revenue
+    (the classic 80/95 split: class A carries the first 80% of
+    revenue, B the next 15%, C the tail): the stocking-policy and
+    curation-priority table every supply review opens with.
+
+    Classification is FULLY INTEGER: per-line discounted cents are
+    exact (round once per line), brand revenue and the descending
+    cumulative are DECIMAL(38,0)/HUGEINT, and the class predicate
+    compares 5·cum_before < 4·total (A) / 20·cum_before < 19·total
+    (B) — no double ever decides a class, so the boundary brand cannot
+    flip engines. A brand is classed by the cumulative revenue BEFORE
+    it in (revenue desc, brand asc) order — the deterministic total
+    order; shares are staged divisions rounded 6 for display only.
+
+    Scale shape: one lineitem-grain join+aggregate to BRAND grain
+    (bounded: 25 values), then every window runs on that tiny frame —
+    the Pareto curve at unbounded part grain would need a global
+    ordered prefix and is deliberately NOT offered.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    rev = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long").cast(d38)
+            ).alias("rev_c")
+        )
+    )
+    w = Window.orderBy(F.desc("rev_c"), F.asc("brand")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wa = Window.partitionBy()
+    c = rev.select(
+        "brand",
+        "rev_c",
+        F.coalesce(F.sum("rev_c").over(w), F.lit(0).cast(d38)).alias("cum_b"),
+        F.sum("rev_c").over(wa).alias("tot"),
+    )
+    return c.select(
+        "brand",
+        F.round(F.col("rev_c").cast("double") / 100.0, 6).alias("revenue"),
+        F.expr(
+            "CASE WHEN tot > 0 THEN"
+            " round(CAST(rev_c AS DOUBLE) / CAST(tot AS DOUBLE), 6) END"
+        ).alias("revenue_share"),
+        F.expr(
+            "CASE WHEN tot > 0 THEN"
+            " round((CAST(cum_b AS DOUBLE) + CAST(rev_c AS DOUBLE))"
+            " / CAST(tot AS DOUBLE), 6) END"
+        ).alias("cum_share"),
+        F.expr(
+            "CASE WHEN 5 * cum_b < 4 * tot THEN 'A'"
+            " WHEN 20 * cum_b < 19 * tot THEN 'B' ELSE 'C' END"
+        ).alias("abc_class"),
+    ).orderBy(F.desc("rev_c"), F.asc("brand"))
+
+
+def abc_brands_sql(
+    lineitem: str = "lineitem", part: str = "part"
+) -> str:
+    """DuckDB oracle for :func:`abc_brands` (same integer class
+    predicates, same descending total order)."""
+    return f"""
+    WITH abc_r AS (
+      SELECT p_brand AS brand,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS HUGEINT)) AS rev_c
+      FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+      GROUP BY p_brand
+    ), abc_c AS (
+      SELECT brand, rev_c,
+             coalesce(sum(rev_c) OVER (ORDER BY rev_c DESC, brand ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_b,
+             sum(rev_c) OVER () AS tot
+      FROM abc_r
+    )
+    SELECT brand,
+           round(CAST(rev_c AS DOUBLE) / 100.0, 6) AS revenue,
+           CASE WHEN tot > 0 THEN
+             round(CAST(rev_c AS DOUBLE) / CAST(tot AS DOUBLE), 6) END
+             AS revenue_share,
+           CASE WHEN tot > 0 THEN
+             round((CAST(cum_b AS DOUBLE) + CAST(rev_c AS DOUBLE))
+                   / CAST(tot AS DOUBLE), 6) END AS cum_share,
+           CASE WHEN 5 * cum_b < 4 * tot THEN 'A'
+                WHEN 20 * cum_b < 19 * tot THEN 'B' ELSE 'C' END
+             AS abc_class
+    FROM abc_c
+    ORDER BY rev_c DESC, brand ASC
+    """
+
+
+def ship_delay_profile(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """→ [priority, n_lines, p50_days, p90_days, max_days, avg_days] —
+    the order-to-ship latency distribution per order priority: the SLA
+    audit that says whether '1-URGENT' actually ships faster than
+    '5-LOW', read as exact percentiles instead of the mean a few
+    stragglers own.
+
+    Exactness: the gap is an exact integer day difference (both sides
+    cast to DATE first so the difference is calendar days, not a
+    truncated interval); p50/p90 are the exact interpolated
+    percentiles over those integers (the house estimator — engine-
+    identical); avg is one staged division of the exact day sum,
+    rounded 6. min/max/n are exact integers.
+
+    Scale shape: one pk-fk join at lineitem grain, then one grouped
+    aggregate to the bounded priority dimension (5 values) — the
+    percentile sort happens inside the aggregate per group.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    j = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).cast("long").alias("gap"),
+    )
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.expr("percentile(gap, 0.5D)"), 6).alias("p50_days"),
+            F.round(F.expr("percentile(gap, 0.9D)"), 6).alias("p90_days"),
+            F.max("gap").alias("max_days"),
+            F.round(
+                F.sum(F.col("gap").cast(d38)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+def ship_delay_profile_sql(
+    lineitem: str = "lineitem", orders: str = "orders"
+) -> str:
+    """DuckDB oracle for :func:`ship_delay_profile` (same exact day
+    gaps, same interpolated percentiles)."""
+    return f"""
+    WITH sdp_g AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS gap
+      FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+    )
+    SELECT priority, CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(gap, 0.5), 6) AS p50_days,
+           round(quantile_cont(gap, 0.9), 6) AS p90_days,
+           max(gap) AS max_days,
+           round(CAST(sum(CAST(gap AS HUGEINT)) AS DOUBLE) / count(*), 6)
+             AS avg_days
+    FROM sdp_g
+    GROUP BY priority ORDER BY priority
+    """
