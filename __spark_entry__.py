@@ -2653,6 +2653,11 @@ def q_ship_delay_profile(spark, sf_dir):
     )
 
 
+# ---------------------- wave 125 (Burrows' Delta stylometry)
+def q_burrows_delta(spark, sf_dir):
+    return tx.burrows_delta(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2849,8 +2854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. ship_delay_profile — all of
-    waves 2-124 plus the r4-green tail, 386 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. burrows_delta — all of
+    waves 2-125 plus the r4-green tail, 387 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3392,6 +3397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 124
         "abc_brands": q_abc_brands,
         "ship_delay_profile": q_ship_delay_profile,
+        # wave 125
+        "burrows_delta": q_burrows_delta,
     }
 
 
@@ -4724,6 +4731,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 124
         "abc_brands": rel.abc_brands_sql(),
         "ship_delay_profile": rel.ship_delay_profile_sql(),
+        # wave 125
+        "burrows_delta": tx.burrows_delta_sql(),
     }
 
 

@@ -3884,3 +3884,166 @@ def lang_confusability_sql(table: str = "documents") -> str:
     JOIN lcf_n nb ON nb.lang = d.lang_b
     ORDER BY lang_a, lang_b
     """
+
+
+# --------------------------------------------------------------- wave 125
+def burrows_delta(documents: DataFrame, top_k: int = 50) -> DataFrame:
+    """→ [source_a, source_b, n_terms, delta] for every unordered
+    source pair — Burrows' Delta (Burrows 2002; Argamon 2008's
+    formulation), the standard stylometric distance: over the corpus's
+    ``top_k`` most frequent terms, Δ(a,b) = meanₜ |z_a,t − z_b,t| of
+    the per-source relative-frequency z-scores. Low Δ = same "stylistic
+    fingerprint" — the attribution / register-drift read that topical
+    measures like TF-IDF or KL can't give, because it lives entirely
+    in the high-frequency function words.
+
+    Exactness: per-source term counts and token totals are exact; each
+    relative frequency quantizes ONCE to nano units (round(1e9·tf/T))
+    so all cross-source moments are exact integer sums over the
+    DENSIFIED source×term lattice (a source that never uses a term
+    contributes an exact 0, not an absent row). The z-difference
+    |z_a−z_b| = |q_a−q_b|·n/√(n·Σq²−(Σq)²) needs no mean and ONE
+    staged sqrt per term (shared literal), and each pair-term value is
+    micro-quantized before the pair sum, so Δ is order-invariant.
+    Zero-variance terms (every source at the same rate) are excluded
+    from the mean — n_terms reports the effective k, identical for all
+    pairs. NULL Δ when no term has variance.
+
+    Scale shape: one token-grain aggregate to (source, term), a
+    Zipf-bounded top-k (TakeOrdered), then EVERYTHING runs on the
+    |sources|·k lattice (a few thousand rows) — the pair frame is
+    |sources|²·k/2, still tiny; no window ever touches raw tokens.
+
+    Reference parity: no text surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    k = int(top_k)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(
+        "source", F.explode(F.split(norm, " ")).alias("term")
+    )
+    stf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    tot = stf.groupBy("source").agg(F.sum("tf").alias("tt"))
+    top = (
+        stf.groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+        .orderBy(F.desc("ctf"), F.asc("term"))
+        .limit(k)
+        .select("term")
+    )
+    lattice = (
+        tot.crossJoin(F.broadcast(top))
+        .join(stf, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.expr(
+                "CAST(round(1e9 * CAST(coalesce(tf, 0) AS DOUBLE) / tt, 0)"
+                " AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    per_term = lattice.groupBy("term").agg(
+        F.count("*").cast("long").alias("ns"),
+        F.sum(F.col("q").cast(d38)).alias("sq"),
+        F.sum(F.col("q").cast(d38) * F.col("q")).alias("sqq"),
+    )
+    per_term = per_term.withColumn(
+        "vn",
+        F.col("ns").cast(d38) * F.col("sqq") - F.col("sq") * F.col("sq"),
+    )
+    a = lattice.select(
+        F.col("source").alias("source_a"), "term", F.col("q").alias("qa")
+    )
+    b = lattice.select(
+        F.col("source").alias("source_b"), "term", F.col("q").alias("qb")
+    )
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(per_term.where(F.col("vn") > 0)), "term")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "CAST(round(1e6 * abs(CAST(qa AS DOUBLE) - qb) * ns"
+                " / sqrt(CAST(vn AS DOUBLE)), 0) AS BIGINT)"
+            ).alias("zt"),
+        )
+    )
+    keff = per_term.groupBy().agg(
+        F.sum(F.when(F.col("vn") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("k_eff")
+    )
+    out = (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("zt").cast(d38)).alias("zs"))
+        .crossJoin(F.broadcast(keff))
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("k_eff").alias("n_terms"),
+        F.expr(
+            "CASE WHEN k_eff > 0 THEN"
+            " round(CAST(zs AS DOUBLE) / 1e6 / k_eff, 6) END"
+        ).alias("delta"),
+    ).orderBy("source_a", "source_b")
+
+
+def burrows_delta_sql(table: str = "documents", top_k: int = 50) -> str:
+    """DuckDB oracle for :func:`burrows_delta` (same nano-quantized
+    rates, densified lattice, micro-quantized pair terms)."""
+    k = int(top_k)
+    return f"""
+    WITH bd_tok AS (
+      SELECT source,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+               AS term
+      FROM {table}
+    ), bd_stf AS (
+      SELECT source, term, count(*) AS tf FROM bd_tok GROUP BY 1, 2
+    ), bd_tot AS (
+      SELECT source, sum(tf) AS tt FROM bd_stf GROUP BY source
+    ), bd_top AS (
+      SELECT term FROM bd_stf GROUP BY term
+      ORDER BY sum(tf) DESC, term ASC LIMIT {k}
+    ), bd_l AS (
+      SELECT t.source, p.term,
+             CAST(round(1e9 * CAST(coalesce(s.tf, 0) AS DOUBLE) / t.tt, 0)
+                  AS BIGINT) AS q
+      FROM bd_tot t CROSS JOIN bd_top p
+      LEFT JOIN bd_stf s ON s.source = t.source AND s.term = p.term
+    ), bd_pt AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS ns,
+             sum(CAST(q AS HUGEINT)) AS sq,
+             sum(CAST(q AS HUGEINT) * q) AS sqq
+      FROM bd_l GROUP BY term
+    ), bd_v AS (
+      SELECT term, ns,
+             CAST(ns AS HUGEINT) * sqq - sq * sq AS vn
+      FROM bd_pt
+    ), bd_k AS (
+      SELECT CAST(sum(CASE WHEN vn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k_eff
+      FROM bd_v
+    ), bd_p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(round(1e6 * abs(CAST(a.q AS DOUBLE) - b.q) * v.ns
+                  / sqrt(CAST(v.vn AS DOUBLE)), 0) AS BIGINT) AS zt
+      FROM bd_l a
+      JOIN bd_l b ON a.term = b.term AND a.source < b.source
+      JOIN bd_v v ON v.term = a.term AND v.vn > 0
+    ), bd_s AS (
+      SELECT source_a, source_b, sum(CAST(zt AS HUGEINT)) AS zs
+      FROM bd_p GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, k_eff AS n_terms,
+           CASE WHEN k_eff > 0 THEN
+             round(CAST(zs AS DOUBLE) / 1e6 / k_eff, 6) END AS delta
+    FROM bd_s CROSS JOIN bd_k
+    ORDER BY source_a, source_b
+    """
