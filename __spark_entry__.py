@@ -2658,6 +2658,15 @@ def q_burrows_delta(spark, sf_dir):
     return tx.burrows_delta(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 126 (time-series diagnostics)
+def q_mann_kendall_revenue(spark, sf_dir):
+    return ev.mann_kendall_revenue(_tbl(spark, sf_dir, "events"))
+
+
+def q_ljung_box_revenue(spark, sf_dir):
+    return ev.ljung_box_revenue(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2854,8 +2863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. burrows_delta — all of
-    waves 2-125 plus the r4-green tail, 387 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. ljung_box_revenue — all of
+    waves 2-126 plus the r4-green tail, 389 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3399,6 +3408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_delay_profile": q_ship_delay_profile,
         # wave 125
         "burrows_delta": q_burrows_delta,
+        # wave 126
+        "mann_kendall_revenue": q_mann_kendall_revenue,
+        "ljung_box_revenue": q_ljung_box_revenue,
     }
 
 
@@ -4733,6 +4745,9 @@ def oracle_sql() -> dict[str, str]:
         "ship_delay_profile": rel.ship_delay_profile_sql(),
         # wave 125
         "burrows_delta": tx.burrows_delta_sql(),
+        # wave 126
+        "mann_kendall_revenue": ev.mann_kendall_revenue_sql(),
+        "ljung_box_revenue": ev.ljung_box_revenue_sql(),
     }
 
 

@@ -6740,3 +6740,330 @@ def turning_points_revenue_sql(table: str = "events") -> str:
              AS significant
     FROM tpt_a
     """
+
+
+# --------------------------------------------------------------- wave 126
+def mann_kendall_revenue(events: DataFrame) -> DataFrame:
+    """→ one row [n_days, s_stat, z, trend] — the Mann–Kendall trend
+    test (Mann 1945; Kendall 1975) on the daily revenue series: is
+    there a monotone trend at all, judged nonparametrically from pair
+    orderings. The significance companion to
+    :func:`revenue_trend_theilsen` (which estimates HOW steep but
+    never whether it's distinguishable from noise).
+
+    Exactness: S = Σ_{i<j} sign(rⱼ−rᵢ) is an exact BIGINT from the
+    bounded day-pair lattice; the tie-corrected variance numerator
+    n(n−1)(2n+5) − Σt(t−1)(2t+5) is an exact DECIMAL(38,0)/HUGEINT
+    from the value histogram; z applies the standard ±1 continuity
+    correction as one shared literal CASE over (s, vn), rounded 6.
+    NULL z when the variance is nonpositive (n < 2 or all days tied);
+    ``trend`` labels increasing/decreasing/none by comparing the
+    ROUNDED z to ±1.959964 so label and number cannot disagree.
+
+    Scale shape: one events-grain aggregate to day grain; the pair
+    join, histogram and reduce all run on that bounded frame (a
+    decade ≈ 6.7M pairs — trivial).
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    day = _epoch_day("ts")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("r"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_stat = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .groupBy()
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.signum(
+                        (F.col("b.r") - F.col("a.r")).cast("double")
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("s")
+        )
+    )
+    d38 = "decimal(38,0)"
+    ties = daily.groupBy("r").agg(F.count("*").alias("c"))
+    vn = ties.groupBy().agg(
+        F.coalesce(F.sum(F.lit(1)), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("nd"),
+        F.coalesce(
+            F.sum(
+                F.col("c").cast(d38)
+                * (F.col("c") - 1)
+                * (2 * F.col("c") + 5)
+            ),
+            F.lit(0).cast(d38),
+        ).alias("tsum"),
+    )
+    m = s_stat.crossJoin(vn).withColumn(
+        "vnum",
+        F.col("nd").cast(d38)
+        * (F.col("nd") - 1)
+        * (2 * F.col("nd") + 5)
+        - F.col("tsum"),
+    )
+    z = (
+        "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)"
+        " / sqrt(CAST(vnum AS DOUBLE) / 18.0)"
+        " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)"
+        " / sqrt(CAST(vnum AS DOUBLE) / 18.0)"
+        " ELSE 0.0 END"
+    )
+    return m.select(
+        F.col("nd").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.expr(f"CASE WHEN vnum > 0 THEN round({z}, 6) END").alias("z"),
+        F.expr(
+            f"CASE WHEN vnum <= 0 THEN NULL"
+            f" WHEN round({z}, 6) > 1.959964 THEN 'increasing'"
+            f" WHEN round({z}, 6) < -1.959964 THEN 'decreasing'"
+            f" ELSE 'none' END"
+        ).alias("trend"),
+    )
+
+
+def mann_kendall_revenue_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`mann_kendall_revenue` (same pair signs,
+    tie-corrected variance, continuity-corrected z)."""
+    z = (
+        "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)"
+        " / sqrt(CAST(vnum AS DOUBLE) / 18.0)"
+        " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)"
+        " / sqrt(CAST(vnum AS DOUBLE) / 18.0)"
+        " ELSE 0.0 END"
+    )
+    return f"""
+    WITH mk_d AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS r
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ), mk_s AS (
+      SELECT CAST(coalesce(sum(CAST(sign(b.r - a.r) AS BIGINT)), 0)
+                  AS BIGINT) AS s
+      FROM mk_d a JOIN mk_d b ON a.d < b.d
+    ), mk_t AS (
+      SELECT r, count(*) AS c FROM mk_d GROUP BY r
+    ), mk_v AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nd,
+             coalesce(sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)), 0)
+               AS tsum
+      FROM mk_t
+    ), mk_m AS (
+      SELECT s, nd,
+             CAST(nd AS HUGEINT) * (nd - 1) * (2 * nd + 5) - tsum AS vnum
+      FROM mk_s CROSS JOIN mk_v
+    )
+    SELECT nd AS n_days, s AS s_stat,
+           CASE WHEN vnum > 0 THEN round({z}, 6) END AS z,
+           CASE WHEN vnum <= 0 THEN NULL
+                WHEN round({z}, 6) > 1.959964 THEN 'increasing'
+                WHEN round({z}, 6) < -1.959964 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM mk_m
+    """
+
+
+# chi-square upper critical values at 0.05 for df 1..7 — exact literals
+# shared by both engines so the reject flag never trusts an engine's
+# quantile function.
+_CHI2_CRIT_05 = (
+    3.841459, 5.991465, 7.814728, 9.487729,
+    11.070498, 12.591587, 14.067140,
+)
+
+
+def ljung_box_revenue(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """→ [lag, acf, q_lb, reject_white_noise] for lag 1..max_lag — the
+    Ljung–Box portmanteau test (Ljung & Box 1978) on the DAILY revenue
+    series: per-lag autocorrelation and the cumulative Q statistic
+    against the white-noise null. The "is there ANY serial structure"
+    gate to read before trusting an i.i.d. bootstrap or a naive
+    forecast interval; pairs with :func:`mann_kendall_revenue` (trend)
+    and :func:`runs_test_revenue` (median runs).
+
+    Determinism: the series densifies onto the full day lattice
+    (absent days are exact zero-revenue days — a calendar gap must not
+    re-align lags); every ACF ingredient (lagged product sum Aₖ, head/
+    tail sums, S₁, Σx², n) is an exact DECIMAL(38,0)/HUGEINT, and
+    rₖ = (n²Aₖ − nS₁(Bₖ+Cₖ) + (n−k)S₁²) / (n²Σx² − nS₁²) is ONE shared
+    staged expression per lag (the mean never materializes). Each
+    lag's Q contribution rₖ²/(n−k) is nano-quantized before the
+    cumulative sum, so Q is order-invariant; the reject flag compares
+    the ROUNDED Q to the exact chi² 0.05 literal for df = lag (no
+    engine quantile function is trusted). NULL acf/q when the variance
+    is zero or n ≤ lag.
+
+    Scale shape: one events-grain aggregate to day grain, densify,
+    one |days|×max_lag lag join, a max_lag-row window — nothing
+    re-touches events.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    m = int(max_lag)
+    day = _epoch_day("ts")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("r"))
+    )
+    rng = daily.groupBy().agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dense = (
+        rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("r", F.lit(0)).alias("r"))
+    )
+    d38 = "decimal(38,0)"
+    base = dense.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("r").cast(d38)).alias("s1"),
+        F.sum(F.col("r").cast(d38) * F.col("r")).alias("sxx"),
+    )
+    lags = events.sparkSession.createDataFrame(
+        [(k, float(_CHI2_CRIT_05[k - 1])) for k in range(1, m + 1)],
+        "lag int, crit double",
+    )
+    xs = dense.select("day", F.col("r").alias("xa"))
+    ys = dense.select(F.col("day").alias("dy"), F.col("r").alias("xb"))
+    j = xs.crossJoin(F.broadcast(lags.select("lag"))).join(
+        ys, F.col("day") == F.col("dy") + F.col("lag")
+    )
+    # left-join from the lag dim: a lag with no pairs (n <= lag) must
+    # still emit its NULL row, not vanish from the output
+    per = lags.join(
+        j.groupBy("lag").agg(
+            F.sum(F.col("xa").cast(d38) * F.col("xb")).alias("ak"),
+            F.sum(F.col("xa").cast(d38)).alias("bk"),
+            F.sum(F.col("xb").cast(d38)).alias("ck"),
+        ),
+        "lag",
+        "left",
+    )
+    rk = (
+        "(CAST(n AS DOUBLE) * n * CAST(ak AS DOUBLE)"
+        " - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        "   * (CAST(bk AS DOUBLE) + CAST(ck AS DOUBLE))"
+        " + (CAST(n AS DOUBLE) - lag) * CAST(s1 AS DOUBLE)"
+        "   * CAST(s1 AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * n * CAST(sxx AS DOUBLE)"
+        "    - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    )
+    ok = (
+        "n > lag AND CAST(n AS DOUBLE) * n * CAST(sxx AS DOUBLE)"
+        " - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0"
+    )
+    terms = per.crossJoin(F.broadcast(base)).select(
+        "lag",
+        "crit",
+        "n",
+        F.expr(f"CASE WHEN {ok} THEN round({rk}, 6) END").alias("acf"),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(round(1e9 * ({rk}) * ({rk}) / (n - lag), 0) AS BIGINT)"
+            f" ELSE 0 END"
+        ).alias("qk"),
+        F.expr(f"CASE WHEN {ok} THEN 1 ELSE 0 END").alias("okf"),
+    )
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    out = terms.withColumn("qcum", F.sum("qk").over(w)).withColumn(
+        "allok", F.min("okf").over(w)
+    )
+    qlb = (
+        "CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)"
+        " * CAST(qcum AS DOUBLE) / 1e9"
+    )
+    return out.select(
+        "lag",
+        "acf",
+        F.expr(
+            f"CASE WHEN allok = 1 THEN round({qlb}, 6) END"
+        ).alias("q_lb"),
+        F.expr(
+            f"CASE WHEN allok = 1 THEN round({qlb}, 6) > crit END"
+        ).alias("reject_white_noise"),
+    ).orderBy("lag")
+
+
+def ljung_box_revenue_sql(table: str = "events", max_lag: int = 7) -> str:
+    """DuckDB oracle for :func:`ljung_box_revenue` (same densified
+    lattice, exact moments, nano-quantized Q contributions)."""
+    m = int(max_lag)
+    crit_rows = ", ".join(
+        f"({k}, {_CHI2_CRIT_05[k - 1]!r})" for k in range(1, m + 1)
+    )
+    rk = (
+        "(CAST(n AS DOUBLE) * n * CAST(ak AS DOUBLE)"
+        " - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        "   * (CAST(bk AS DOUBLE) + CAST(ck AS DOUBLE))"
+        " + (CAST(n AS DOUBLE) - lag) * CAST(s1 AS DOUBLE)"
+        "   * CAST(s1 AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * n * CAST(sxx AS DOUBLE)"
+        "    - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    )
+    ok = (
+        "n > lag AND CAST(n AS DOUBLE) * n * CAST(sxx AS DOUBLE)"
+        " - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0"
+    )
+    qlb = (
+        "CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)"
+        " * CAST(qcum AS DOUBLE) / 1e9"
+    )
+    return f"""
+    WITH lb_d AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS r
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ), lb_dense AS (
+      SELECT g.day, coalesce(d.r, 0) AS r
+      FROM (SELECT unnest(generate_series(
+              (SELECT min(day) FROM lb_d),
+              (SELECT max(day) FROM lb_d))) AS day) g
+      LEFT JOIN lb_d d ON d.day = g.day
+    ), lb_base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(r AS HUGEINT)) AS s1,
+             sum(CAST(r AS HUGEINT) * r) AS sxx
+      FROM lb_dense
+    ), lb_l(lag, crit) AS (VALUES {crit_rows}
+    ), lb_j AS (
+      SELECT l.lag, a.r AS xa, b.r AS xb
+      FROM lb_dense a CROSS JOIN lb_l l
+      JOIN lb_dense b ON a.day = b.day + l.lag
+    ), lb_per AS (
+      -- left join from the lag dim: a lag with no pairs still emits a row
+      SELECT l.lag, l.crit, p.ak, p.bk, p.ck
+      FROM lb_l l LEFT JOIN (
+        SELECT lag, sum(CAST(xa AS HUGEINT) * xb) AS ak,
+               sum(CAST(xa AS HUGEINT)) AS bk,
+               sum(CAST(xb AS HUGEINT)) AS ck
+        FROM lb_j GROUP BY lag) p USING (lag)
+    ), lb_t AS (
+      SELECT lag, crit, n,
+             CASE WHEN {ok} THEN round({rk}, 6) END AS acf,
+             CASE WHEN {ok} THEN
+               CAST(round(1e9 * ({rk}) * ({rk}) / (n - lag), 0) AS BIGINT)
+             ELSE 0 END AS qk,
+             CASE WHEN {ok} THEN 1 ELSE 0 END AS okf
+      FROM lb_per CROSS JOIN lb_base
+    ), lb_c AS (
+      SELECT *, sum(qk) OVER (ORDER BY lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qcum,
+             min(okf) OVER (ORDER BY lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS allok
+      FROM lb_t
+    )
+    SELECT lag, acf,
+           CASE WHEN allok = 1 THEN round({qlb}, 6) END AS q_lb,
+           CASE WHEN allok = 1 THEN round({qlb}, 6) > crit END
+             AS reject_white_noise
+    FROM lb_c ORDER BY lag
+    """
