@@ -2667,6 +2667,15 @@ def q_ljung_box_revenue(spark, sf_dir):
     return ev.ljung_box_revenue(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 127 (repeated-measures reliability)
+def q_cronbach_alpha_types(spark, sf_dir):
+    return ml.cronbach_alpha_types(_tbl(spark, sf_dir, "events"))
+
+
+def q_friedman_event_types(spark, sf_dir):
+    return ml.friedman_event_types(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2863,8 +2872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. ljung_box_revenue — all of
-    waves 2-126 plus the r4-green tail, 389 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. friedman_event_types — all of
+    waves 2-127 plus the r4-green tail, 391 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3411,6 +3420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 126
         "mann_kendall_revenue": q_mann_kendall_revenue,
         "ljung_box_revenue": q_ljung_box_revenue,
+        # wave 127
+        "cronbach_alpha_types": q_cronbach_alpha_types,
+        "friedman_event_types": q_friedman_event_types,
     }
 
 
@@ -4748,6 +4760,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 126
         "mann_kendall_revenue": ev.mann_kendall_revenue_sql(),
         "ljung_box_revenue": ev.ljung_box_revenue_sql(),
+        # wave 127
+        "cronbach_alpha_types": ml.cronbach_alpha_types_sql(),
+        "friedman_event_types": ml.friedman_event_types_sql(),
     }
 
 

@@ -2825,3 +2825,274 @@ def cochran_armitage_trend_sql(table: str = "events") -> str:
              AS significant
     FROM cat_f
     """
+
+
+# --------------------------------------------------------------- wave 127
+def cronbach_alpha_types(events: DataFrame) -> DataFrame:
+    """→ one row [n_users, k_items, alpha] — Cronbach's alpha
+    (Cronbach 1951) treating each event type as an "item" and each
+    user's per-type event count as the item score: the internal-
+    consistency read on an engagement composite — alpha near 1 says
+    the per-type counts co-vary enough to sum into one engagement
+    score, alpha near 0 says summing them hides independent behaviors.
+
+    Exactness: every item variance and the total-score variance use
+    the n-scaled identity n·Σx² − (Σx)² over exact BIGINT counts
+    (users missing an item contribute exact zeros, which the moment
+    sums absorb without densification); the variance RATIO is an exact
+    DECIMAL(38,0)/HUGEINT quotient staged ONCE, so alpha = k/(k−1) ·
+    (1 − Σvarᵢ/var_tot) is one shared literal chain, rounded 6
+    (population variances — the n² scale cancels in the ratio). NULL
+    when k < 2 or the total variance is 0 (every user has the same
+    event mix).
+
+    Scale shape: one (user, type)-grain aggregate, one type-grain
+    reduce (bounded items), one user-grain total aggregate, a one-row
+    combine — no windows, no joins over raw events.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("x")
+    )
+    # per-item moments: zeros from absent (user, type) cells add nothing
+    item = ut.groupBy("event_type").agg(
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+    )
+    tot = events.groupBy("user_id").agg(F.count("*").alias("t"))
+    base = tot.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("t").cast(d38)).alias("st"),
+        F.sum(F.col("t").cast(d38) * F.col("t")).alias("stt"),
+    )
+    isum = item.crossJoin(F.broadcast(base)).select(
+        (
+            F.col("n").cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).alias("vi")
+    ).groupBy().agg(
+        F.count("*").cast("long").alias("k"),
+        F.coalesce(F.sum("vi"), F.lit(0).cast(d38)).alias("vsum"),
+    )
+    out = base.crossJoin(isum).withColumn(
+        "vtot",
+        F.col("n").cast(d38) * F.col("stt") - F.col("st") * F.col("st"),
+    )
+    alpha = (
+        "(CAST(k AS DOUBLE) / (k - 1.0))"
+        " * (1.0 - CAST(vsum AS DOUBLE) / CAST(vtot AS DOUBLE))"
+    )
+    return out.select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("k_items"),
+        F.expr(
+            f"CASE WHEN k >= 2 AND vtot > 0 THEN round({alpha}, 6) END"
+        ).alias("alpha"),
+    )
+
+
+def cronbach_alpha_types_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`cronbach_alpha_types` (same n-scaled
+    exact variances, shared staged alpha)."""
+    alpha = (
+        "(CAST(k AS DOUBLE) / (k - 1.0))"
+        " * (1.0 - CAST(vsum AS DOUBLE) / CAST(vtot AS DOUBLE))"
+    )
+    return f"""
+    WITH ca_ut AS (
+      SELECT user_id, event_type, count(*) AS x
+      FROM {table} GROUP BY 1, 2
+    ), ca_base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(t AS HUGEINT)) AS st,
+             sum(CAST(t AS HUGEINT) * t) AS stt
+      FROM (SELECT user_id, count(*) AS t FROM {table} GROUP BY user_id)
+    ), ca_item AS (
+      SELECT event_type, sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM ca_ut GROUP BY event_type
+    ), ca_is AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             coalesce(sum(CAST(n AS HUGEINT) * sxx - sx * sx), 0) AS vsum
+      FROM ca_item CROSS JOIN ca_base
+    ), ca_f AS (
+      SELECT n, k, vsum,
+             CAST(n AS HUGEINT) * stt - st * st AS vtot
+      FROM ca_base CROSS JOIN ca_is
+    )
+    SELECT n AS n_users, k AS k_items,
+           CASE WHEN k >= 2 AND vtot > 0 THEN round({alpha}, 6) END
+             AS alpha
+    FROM ca_f
+    """
+
+
+# chi-square 0.05 criticals for df 1..9 (Friedman df = k_items − 1)
+_CHI2_CRIT_05_9 = (
+    3.841459, 5.991465, 7.814728, 9.487729, 11.070498,
+    12.591587, 14.067140, 15.507313, 16.918978,
+)
+
+
+def friedman_event_types(events: DataFrame) -> DataFrame:
+    """→ one row [n_users, k_types, chi2, w, significant] — the
+    Friedman test (Friedman 1937; Conover's tie-corrected form) on
+    per-user event-type counts: do users systematically rank the event
+    types the same way (views > clicks > …), judged from WITHIN-user
+    ranks so heavy users can't dominate. ``w`` is Kendall's W
+    concordance = χ²/(n(k−1)) — the 0-to-1 agreement strength.
+
+    Exactness: each user's type counts densify over the type dimension
+    (a type the user never fired ranks at the bottom as an exact
+    zero); within-user mid-ranks use the doubled-rank trick (lo+hi,
+    exact BIGINT) at (user, count) cell grain, so the Conover
+    statistic T = (k−1)·Σⱼ(R2ⱼ − n(k+1))² / (A2′ − C′) is built from
+    EXACT DECIMAL(38,0)/HUGEINT sums (the doubling cancels: all three
+    pieces scale by 4). One staged division, rounded 6. NULL when
+    every user ties every type (A2′ = C′) or k < 2; ``significant``
+    compares the ROUNDED χ² to the exact chi² 0.05 literal for
+    df = k−1 (NULL when df > 9 — no critical shipped).
+
+    Scale shape: one (user, type)-grain aggregate, densified by a
+    bounded type-dim cross join, windows PARTITIONED BY USER (never
+    global), one type-grain reduce, a one-row combine.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("x")
+    )
+    types = events.select("event_type").distinct()
+    users = events.select("user_id").distinct()
+    lattice = (
+        users.crossJoin(F.broadcast(types))
+        .join(ut, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    )
+    cell = lattice.groupBy("user_id", "x").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranks = cell.select(
+        "user_id",
+        "x",
+        (2 * F.sum("c").over(w) - F.col("c") + 1).alias("r2"),
+    )
+    ranked = lattice.join(ranks, ["user_id", "x"])
+    crit = events.sparkSession.createDataFrame(
+        [(i + 1, float(v)) for i, v in enumerate(_CHI2_CRIT_05_9)],
+        "df int, crit double",
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum(F.col("r2").cast(d38)).alias("r2j")
+    )
+    base = ranked.groupBy().agg(
+        F.countDistinct("user_id").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+        F.sum(F.col("r2").cast(d38) * F.col("r2")).alias("a2p"),
+    )
+    dev = per_type.crossJoin(F.broadcast(base)).select(
+        (
+            (F.col("r2j") - F.col("n").cast(d38) * (F.col("k") + 1))
+            * (F.col("r2j") - F.col("n").cast(d38) * (F.col("k") + 1))
+        ).alias("d2")
+    ).groupBy().agg(F.coalesce(F.sum("d2"), F.lit(0).cast(d38)).alias("sd2"))
+    m = base.crossJoin(dev).withColumn(
+        "cp",
+        F.col("n").cast(d38) * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1),
+    )
+    chi2 = (
+        "((CAST(k AS DOUBLE) - 1.0) * CAST(sd2 AS DOUBLE))"
+        " / (CAST(a2p AS DOUBLE) - CAST(cp AS DOUBLE))"
+    )
+    ok = "k >= 2 AND a2p > cp"
+    j = m.crossJoin(F.broadcast(crit)).where(
+        F.col("df") == F.col("k") - 1
+    )
+    out = m.join(
+        j.select(F.col("crit").alias("critv")), how="left_outer",
+        on=F.lit(True),
+    )
+    return out.select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("k_types"),
+        F.expr(f"CASE WHEN {ok} THEN round({chi2}, 6) END").alias("chi2"),
+        F.expr(
+            f"CASE WHEN {ok} AND n > 0 AND k >= 2 THEN"
+            f" round(({chi2}) / (CAST(n AS DOUBLE) * (k - 1.0)), 6) END"
+        ).alias("w"),
+        F.expr(
+            f"CASE WHEN {ok} AND critv IS NOT NULL THEN"
+            f" round({chi2}, 6) > critv END"
+        ).alias("significant"),
+    )
+
+
+def friedman_event_types_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`friedman_event_types` (same densified
+    lattice, doubled mid-ranks, Conover statistic)."""
+    crit_rows = ", ".join(
+        f"({i + 1}, {v!r})" for i, v in enumerate(_CHI2_CRIT_05_9)
+    )
+    chi2 = (
+        "((CAST(k AS DOUBLE) - 1.0) * CAST(sd2 AS DOUBLE))"
+        " / (CAST(a2p AS DOUBLE) - CAST(cp AS DOUBLE))"
+    )
+    ok = "k >= 2 AND a2p > cp"
+    return f"""
+    WITH fr_ut AS (
+      SELECT user_id, event_type, count(*) AS x
+      FROM {table} GROUP BY 1, 2
+    ), fr_lat AS (
+      SELECT u.user_id, t.event_type, coalesce(s.x, 0) AS x
+      FROM (SELECT DISTINCT user_id FROM {table}) u
+      CROSS JOIN (SELECT DISTINCT event_type FROM {table}) t
+      LEFT JOIN fr_ut s
+        ON s.user_id = u.user_id AND s.event_type = t.event_type
+    ), fr_cell AS (
+      SELECT user_id, x, count(*) AS c FROM fr_lat GROUP BY 1, 2
+    ), fr_rank AS (
+      SELECT user_id, x,
+             2 * sum(c) OVER (PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - c + 1 AS r2
+      FROM fr_cell
+    ), fr_rk AS (
+      SELECT l.user_id, l.event_type, r.r2
+      FROM fr_lat l JOIN fr_rank r
+        ON r.user_id = l.user_id AND r.x = l.x
+    ), fr_base AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+             sum(CAST(r2 AS HUGEINT) * r2) AS a2p
+      FROM fr_rk
+    ), fr_pt AS (
+      SELECT event_type, sum(CAST(r2 AS HUGEINT)) AS r2j
+      FROM fr_rk GROUP BY event_type
+    ), fr_dev AS (
+      SELECT coalesce(sum((r2j - CAST(n AS HUGEINT) * (k + 1))
+                        * (r2j - CAST(n AS HUGEINT) * (k + 1))), 0) AS sd2
+      FROM fr_pt CROSS JOIN fr_base
+    ), fr_m AS (
+      SELECT n, k, a2p, sd2,
+             CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) AS cp
+      FROM fr_base CROSS JOIN fr_dev
+    ), fr_crit(df, crit) AS (VALUES {crit_rows})
+    SELECT n AS n_users, k AS k_types,
+           CASE WHEN {ok} THEN round({chi2}, 6) END AS chi2,
+           CASE WHEN {ok} AND n > 0 AND k >= 2 THEN
+             round(({chi2}) / (CAST(n AS DOUBLE) * (k - 1.0)), 6) END AS w,
+           CASE WHEN {ok} AND c.crit IS NOT NULL THEN
+             round({chi2}, 6) > c.crit END AS significant
+    FROM fr_m LEFT JOIN fr_crit c ON c.df = fr_m.k - 1
+    """
