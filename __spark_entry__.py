@@ -2676,6 +2676,11 @@ def q_friedman_event_types(spark, sf_dir):
     return ml.friedman_event_types(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 128 (MMR diversified reranking)
+def q_mmr_rerank(spark, sf_dir):
+    return sim.mmr_rerank(_tbl(spark, sf_dir, "embeddings"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2872,8 +2877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. friedman_event_types — all of
-    waves 2-127 plus the r4-green tail, 391 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. mmr_rerank — all of
+    waves 2-128 plus the r4-green tail, 392 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3423,6 +3428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 127
         "cronbach_alpha_types": q_cronbach_alpha_types,
         "friedman_event_types": q_friedman_event_types,
+        # wave 128
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -4763,6 +4770,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 127
         "cronbach_alpha_types": ml.cronbach_alpha_types_sql(),
         "friedman_event_types": ml.friedman_event_types_sql(),
+        # wave 128
+        "mmr_rerank": sim.mmr_rerank_sql(),
     }
 
 

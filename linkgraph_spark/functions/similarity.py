@@ -2970,3 +2970,196 @@ def pair_cosine_hist_sql(table: str = "embeddings", n_sample: int = 128) -> str:
            round(n_pairs * 1.0 / (sum(n_pairs) OVER ()), 6) AS share
     FROM pch_c
     """
+
+
+# --------------------------------------------------------------- wave 128
+def mmr_rerank(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_candidates: int = 30,
+    lam: float = 0.7,
+) -> DataFrame:
+    """→ [rk, vec_id, relevance, mmr_score] — Maximal Marginal
+    Relevance reranking (Carbonell & Goldstein, SIGIR 1998): greedily
+    pick ``k`` results that are relevant to the query but diverse
+    among themselves, score(v) = λ·rel(v) − (1−λ)·max_{s∈picked}
+    sim(v,s). The retrieval post-processor that turns "5 near-copies
+    of the best hit" into a useful answer set; the query is the vector
+    with the smallest vec_id (deterministic stand-in for an external
+    query embedding).
+
+    Determinism: every cosine (query-relevance AND candidate-pair
+    similarity) is ROUNDED to 6 dp before any comparison (the
+    :func:`cosine_topk` convention — index-ordered double
+    accumulation, engine-identical); the MMR score combines two
+    rounded numbers with literal λ weights and is itself rounded
+    before the argmax, vec_id asc breaking ties — so the greedy pick
+    sequence cannot diverge engines. The first pick maximizes λ·rel
+    (max-sim to the empty set is 0, the standard convention).
+
+    Scale shape: one broadcast query-vs-all scan (map-only) feeds a
+    TakeOrdered(n_candidates); the greedy loop then runs k − 1 joins
+    on the BOUNDED candidate frame (n_candidates² pair sims at most) —
+    nothing iterative ever touches the full table. The oracle unrolls
+    the same k steps as a CTE chain (house round-exact convention).
+
+    Reference parity: no ANN surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    kk, nc, lm = int(k), int(n_candidates), float(lam)
+    base = _with_norm(embeddings)
+    q = (
+        base.orderBy(F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    rel = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", rel.alias("rel"), "v", "norm")
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(nc)
+    )
+    ca = cand.select(
+        F.col("vec_id").alias("ia"), F.col("rel").alias("rel_a"),
+        F.col("v").alias("va"), F.col("norm").alias("na"),
+    )
+    cb = cand.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+    )
+    sims = ca.join(cb, F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("sim"),
+    )
+    state = cand.select(
+        "vec_id", "rel", F.lit(0.0).alias("maxsim")
+    ).localCheckpoint()
+    sims = sims.localCheckpoint()
+    picks = []
+    for i in range(1, kk + 1):
+        score = F.round(
+            F.lit(lm) * F.col("rel") - F.lit(1.0 - lm) * F.col("maxsim"), 6
+        )
+        pick = (
+            state.select("vec_id", "rel", score.alias("mmr_score"))
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(i).alias("rk"),
+                "vec_id",
+                F.col("rel").alias("relevance"),
+                "mmr_score",
+            )
+            .localCheckpoint()
+        )
+        picks.append(pick)
+        pid = pick.select(F.col("vec_id").alias("pid"))
+        state = (
+            state.join(F.broadcast(pid), state.vec_id == F.col("pid"), "left_anti")
+            .join(
+                F.broadcast(
+                    pick.select(F.col("vec_id").alias("ib")).join(
+                        sims, "ib"
+                    ).select("ia", F.col("sim").alias("new_sim"))
+                ),
+                state.vec_id == F.col("ia"),
+                "left",
+            )
+            .select(
+                "vec_id",
+                "rel",
+                F.greatest(
+                    F.col("maxsim"), F.coalesce(F.col("new_sim"), F.lit(0.0))
+                ).alias("maxsim"),
+            )
+            .localCheckpoint()
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rk")
+
+
+def mmr_rerank_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_candidates: int = 30,
+    lam: float = 0.7,
+) -> str:
+    """DuckDB oracle for :func:`mmr_rerank` — the same greedy sequence
+    unrolled as a k-step CTE chain over rounded cosines."""
+    kk, nc, lm = int(k), int(n_candidates), float(lam)
+    dot_qb = (
+        "list_reduce(list_transform(range(1, len(q.v) + 1),"
+        " i -> q.v[i] * b.v[i]), (x, y) -> x + y)"
+    )
+    dot_ab = (
+        "list_reduce(list_transform(range(1, len(a.v) + 1),"
+        " i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+    )
+    ctes = [
+        f"""mmr_base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), mmr_n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+                  i -> v[i] * v[i]), (x, y) -> x + y)) AS norm
+      FROM mmr_base
+    ), mmr_q AS (
+      SELECT vec_id AS qid, v, norm FROM mmr_n
+      ORDER BY vec_id ASC LIMIT 1
+    ), mmr_cand AS (
+      SELECT b.vec_id, round({dot_qb} / (q.norm * b.norm), 6) AS rel,
+             b.v, b.norm
+      FROM mmr_q q JOIN mmr_n b ON b.vec_id <> q.qid
+      ORDER BY rel DESC, b.vec_id ASC LIMIT {nc}
+    ), mmr_sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round({dot_ab} / (a.norm * b.norm), 6) AS sim
+      FROM mmr_cand a JOIN mmr_cand b ON a.vec_id <> b.vec_id
+    ), mmr_s0 AS (
+      SELECT vec_id, rel, 0.0 AS maxsim FROM mmr_cand
+    )"""
+    ]
+    for i in range(1, kk + 1):
+        prev = f"mmr_s{i - 1}"
+        ctes.append(f"""mmr_p{i} AS (
+      SELECT {i} AS rk, vec_id, rel AS relevance,
+             round({lm!r} * rel - {1.0 - lm!r} * maxsim, 6) AS mmr_score
+      FROM {prev}
+      ORDER BY round({lm!r} * rel - {1.0 - lm!r} * maxsim, 6) DESC,
+               vec_id ASC
+      LIMIT 1
+    )""")
+        if i < kk:
+            ctes.append(f"""mmr_s{i} AS (
+      SELECT s.vec_id, s.rel,
+             greatest(s.maxsim, coalesce(m.sim, 0.0)) AS maxsim
+      FROM {prev} s
+      LEFT JOIN mmr_sims m
+        ON m.ia = s.vec_id AND m.ib = (SELECT vec_id FROM mmr_p{i})
+      WHERE s.vec_id <> (SELECT vec_id FROM mmr_p{i})
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT rk, vec_id, relevance, mmr_score FROM mmr_p{i}"
+        for i in range(1, kk + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    {unions}\n    ORDER BY rk\n    "
+    )
