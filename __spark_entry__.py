@@ -2681,6 +2681,15 @@ def q_mmr_rerank(spark, sf_dir):
     return sim.mmr_rerank(_tbl(spark, sf_dir, "embeddings"))
 
 
+# ---------------------- wave 129 (training-pipeline budget readouts)
+def q_chunking_plan(spark, sf_dir):
+    return tx.chunking_plan(_tbl(spark, sf_dir, "documents"))
+
+
+def q_dedup_token_savings(spark, sf_dir):
+    return dd.dedup_token_savings(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2877,8 +2886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. mmr_rerank — all of
-    waves 2-128 plus the r4-green tail, 392 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. dedup_token_savings — all of
+    waves 2-129 plus the r4-green tail, 394 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3430,6 +3439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_event_types": q_friedman_event_types,
         # wave 128
         "mmr_rerank": q_mmr_rerank,
+        # wave 129
+        "chunking_plan": q_chunking_plan,
+        "dedup_token_savings": q_dedup_token_savings,
     }
 
 
@@ -4772,6 +4784,9 @@ def oracle_sql() -> dict[str, str]:
         "friedman_event_types": ml.friedman_event_types_sql(),
         # wave 128
         "mmr_rerank": sim.mmr_rerank_sql(),
+        # wave 129
+        "chunking_plan": tx.chunking_plan_sql(),
+        "dedup_token_savings": dd.dedup_token_savings_sql(),
     }
 
 

@@ -1794,3 +1794,94 @@ def contained_docs_sql(
     SELECT inner_doc, outer_doc, nt AS n_tokens_inner
     FROM cnd_dir ORDER BY inner_doc, outer_doc
     """
+
+
+# --------------------------------------------------------------- wave 129
+def dedup_token_savings(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """→ one row [n_docs, n_docs_kept, tokens, tokens_kept,
+    doc_savings, token_savings] — the budget readout of near-dedup:
+    how many documents AND how many whitespace tokens the
+    :func:`dedup_corpus` keeper set drops at the given Jaccard
+    threshold. Doc-count savings and token savings differ whenever
+    duplicates skew long (mirrored articles) or short (boilerplate
+    stubs) — a training-token budget needs the TOKEN number, which is
+    exactly why this is its own operator and not `1 − kept/docs`.
+
+    Exactness: token counts are exact whitespace-split sizes; all four
+    totals are exact BIGINT sums; the two savings ratios are staged
+    divisions rounded 6, NULL on an empty corpus. The keeper set is
+    the converged LSH+hash-min closure (`near_dup_clusters`), so the
+    savings are consistent with the corpus the pipeline would really
+    ship.
+
+    Scale shape: one map-side token count, the near-dup closure
+    (banded LSH candidates, O(candidates) verify — scale-safe per
+    SCALE.md), one semi-join, two one-row reduces.
+
+    Reference parity: no dedup surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    kept = dedup_corpus(documents, threshold).select("doc_id")
+    tot = toks.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tokens"),
+    )
+    keptagg = toks.join(kept, "doc_id").groupBy().agg(
+        F.count("*").cast("long").alias("n_docs_kept"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tokens_kept"),
+    )
+    return tot.crossJoin(keptagg).select(
+        "n_docs",
+        "n_docs_kept",
+        "tokens",
+        "tokens_kept",
+        F.expr(
+            "CASE WHEN n_docs > 0 THEN"
+            " round(1.0 - CAST(n_docs_kept AS DOUBLE) / n_docs, 6) END"
+        ).alias("doc_savings"),
+        F.expr(
+            "CASE WHEN tokens > 0 THEN"
+            " round(1.0 - CAST(tokens_kept AS DOUBLE) / tokens, 6) END"
+        ).alias("token_savings"),
+    )
+
+
+def dedup_token_savings_sql(
+    table: str = "documents", threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for :func:`dedup_token_savings` (same keeper set,
+    same exact token sums)."""
+    return f"""
+    WITH dts_t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM {table}
+    ), dts_kept AS (
+      SELECT doc_id FROM ({dedup_corpus_sql(table, threshold)})
+    ), dts_tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tokens
+      FROM dts_t
+    ), dts_k AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs_kept,
+             CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tokens_kept
+      FROM dts_t JOIN dts_kept USING (doc_id)
+    )
+    SELECT n_docs, n_docs_kept, tokens, tokens_kept,
+           CASE WHEN n_docs > 0 THEN
+             round(1.0 - CAST(n_docs_kept AS DOUBLE) / n_docs, 6) END
+             AS doc_savings,
+           CASE WHEN tokens > 0 THEN
+             round(1.0 - CAST(tokens_kept AS DOUBLE) / tokens, 6) END
+             AS token_savings
+    FROM dts_tot CROSS JOIN dts_k
+    """

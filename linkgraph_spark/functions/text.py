@@ -4047,3 +4047,115 @@ def burrows_delta_sql(table: str = "documents", top_k: int = 50) -> str:
     FROM bd_s CROSS JOIN bd_k
     ORDER BY source_a, source_b
     """
+
+
+# --------------------------------------------------------------- wave 129
+def chunking_plan(
+    documents: DataFrame, window: int = 128, stride: int = 96
+) -> DataFrame:
+    """→ [lang, n_docs, n_tokens, n_chunks, overlap_tokens,
+    avg_chunks_per_doc] — the sliding-window chunking plan per
+    language: how many (window, stride) chunks long-document splitting
+    will emit, and how many tokens the overlap duplicates. The
+    capacity estimate a RAG indexer or a context-window preprocessor
+    needs BEFORE materializing chunks — at corpus scale you budget the
+    chunk store from this table, not by running the chunker twice.
+
+    Semantics (documented estimand): a document with n whitespace
+    tokens yields 1 chunk when n ≤ window, else
+    1 + ceil((n − window)/stride) chunks (the final chunk may be
+    short — no padding); each chunk after the first re-reads
+    window − stride tokens when it is full, and the plan counts the
+    exact re-read total from chunk starts, not the worst case.
+
+    Exactness: per-document token counts, chunk counts and overlap
+    totals are closed-form INTEGER arithmetic (ceil via (a + b − 1)
+    DIV b, aligned Spark DIV / DuckDB //); the per-language reduce
+    sums exact BIGINTs; the only double is the display-side average,
+    staged and rounded 6.
+
+    Scale shape: map-only per-document expressions (no explode — the
+    chunk COUNT needs no chunk rows), one bounded group-by. The
+    chunker itself stays embarrassingly parallel.
+
+    Reference parity: no text surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    wdw, st = int(window), int(stride)
+    if not (0 < st <= wdw):
+        raise ValueError("need 0 < stride <= window")
+    n = F.size(_tokens(F.col("text")))
+    chunks = F.expr(
+        f"CASE WHEN n_tok <= {wdw} THEN 1"
+        f" ELSE 1 + (n_tok - {wdw} + {st} - 1) DIV {st} END"
+    )
+    per = documents.select(
+        "lang",
+        n.alias("n_tok"),
+    ).select(
+        "lang",
+        "n_tok",
+        chunks.alias("n_chunks"),
+    ).select(
+        "lang",
+        "n_tok",
+        "n_chunks",
+        # every chunk after the first re-reads exactly window - stride
+        # tokens: the last chunk's start (k-1)*stride is always inside
+        # the previous chunk by > window - stride tokens (its length is
+        # in (window-stride, window]), so overlap = (k-1)*(window-stride)
+        # exactly — verified against a brute-force chunker in the test
+        F.expr(
+            f"(n_chunks - 1) * {wdw - st}"
+        ).alias("ov_raw"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
+        F.sum(F.col("n_chunks").cast("long")).alias("n_chunks"),
+        F.sum(F.col("ov_raw").cast("long")).alias("overlap_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chunks",
+        "overlap_tokens",
+        F.expr(
+            "CASE WHEN n_docs > 0 THEN"
+            " round(CAST(n_chunks AS DOUBLE) / n_docs, 6) END"
+        ).alias("avg_chunks_per_doc"),
+    ).orderBy("lang")
+
+
+def chunking_plan_sql(
+    table: str = "documents", window: int = 128, stride: int = 96
+) -> str:
+    """DuckDB oracle for :func:`chunking_plan` (same closed-form
+    integer chunk arithmetic)."""
+    wdw, st = int(window), int(stride)
+    return f"""
+    WITH chp_d AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM {table}
+    ), chp_c AS (
+      SELECT lang, n_tok,
+             CASE WHEN n_tok <= {wdw} THEN 1
+                  ELSE 1 + (n_tok - {wdw} + {st} - 1) // {st} END AS n_chunks
+      FROM chp_d
+    ), chp_o AS (
+      SELECT lang, n_tok, n_chunks,
+             (n_chunks - 1) * {wdw - st} AS ov_raw
+      FROM chp_c
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(ov_raw) AS BIGINT) AS overlap_tokens,
+           CASE WHEN count(*) > 0 THEN
+             round(CAST(sum(n_chunks) AS DOUBLE) / count(*), 6) END
+             AS avg_chunks_per_doc
+    FROM chp_o
+    GROUP BY lang ORDER BY lang
+    """
