@@ -2690,6 +2690,15 @@ def q_dedup_token_savings(spark, sf_dir):
     return dd.dedup_token_savings(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 130 (parametric A/B companions)
+def q_ab_welch_t(spark, sf_dir):
+    return ml.ab_welch_t(_tbl(spark, sf_dir, "events"))
+
+
+def q_ab_levene_bf(spark, sf_dir):
+    return ml.ab_levene_bf(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2886,8 +2895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. dedup_token_savings — all of
-    waves 2-129 plus the r4-green tail, 394 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. ab_levene_bf — all of
+    waves 2-130 plus the r4-green tail, 396 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3442,6 +3451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 129
         "chunking_plan": q_chunking_plan,
         "dedup_token_savings": q_dedup_token_savings,
+        # wave 130
+        "ab_welch_t": q_ab_welch_t,
+        "ab_levene_bf": q_ab_levene_bf,
     }
 
 
@@ -4787,6 +4799,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 129
         "chunking_plan": tx.chunking_plan_sql(),
         "dedup_token_savings": dd.dedup_token_savings_sql(),
+        # wave 130
+        "ab_welch_t": ml.ab_welch_t_sql(),
+        "ab_levene_bf": ml.ab_levene_bf_sql(),
     }
 
 

@@ -3096,3 +3096,273 @@ def friedman_event_types_sql(table: str = "events") -> str:
              round({chi2}, 6) > c.crit END AS significant
     FROM fr_m LEFT JOIN fr_crit c ON c.df = fr_m.k - 1
     """
+
+
+# --------------------------------------------------------------- wave 130
+def ab_welch_t(events: DataFrame) -> DataFrame:
+    """→ one row [n0, n1, mean0, mean1, t, df, significant] — Welch's
+    unequal-variance t-test (Welch 1947) on per-user total spend
+    between the two md5 arms: the parametric location read next to
+    :func:`ab_mannwhitney`'s rank version — when the two disagree, the
+    spend distribution is telling you its tails matter.
+
+    Exactness: per-arm n, Σx and Σx² are exact BIGINT/DECIMAL(38,0)
+    cents from one user-grain aggregate; sample variances, t and the
+    Welch–Satterthwaite df are ONE shared literal staged chain over
+    those six exact integers, rounded 6. NULL when either arm has
+    n < 2 or both variances are 0; ``significant`` compares the
+    ROUNDED |t| to 1.959964 (the large-sample normal threshold —
+    documented estimand; at warehouse n the t and normal quantiles
+    agree to 4+ dp).
+
+    Scale shape: one user-grain aggregate, one 2-row reduce, a one-row
+    combine — no joins, no windows.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    d38 = "decimal(38,0)"
+    u = events.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+        ).alias("y")
+    ).select(
+        "y", (md5_long(F.col("user_id").cast("string")) % 2).alias("v")
+    )
+    s = u.groupBy().agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("v") == 0, F.col("y")).otherwise(0).cast(d38)).alias("a0"),
+        F.sum(F.when(F.col("v") == 1, F.col("y")).otherwise(0).cast(d38)).alias("a1"),
+        F.sum(
+            F.when(F.col("v") == 0, F.col("y")).otherwise(0).cast(d38)
+            * F.when(F.col("v") == 0, F.col("y")).otherwise(0)
+        ).alias("b0"),
+        F.sum(
+            F.when(F.col("v") == 1, F.col("y")).otherwise(0).cast(d38)
+            * F.when(F.col("v") == 1, F.col("y")).otherwise(0)
+        ).alias("b1"),
+    )
+    v0 = (
+        "((CAST(n0 AS DOUBLE) * CAST(b0 AS DOUBLE)"
+        " - CAST(a0 AS DOUBLE) * CAST(a0 AS DOUBLE))"
+        " / (CAST(n0 AS DOUBLE) * (n0 - 1.0)))"
+    )
+    v1 = (
+        "((CAST(n1 AS DOUBLE) * CAST(b1 AS DOUBLE)"
+        " - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) * (n1 - 1.0)))"
+    )
+    se2 = f"({v1} / n1 + {v0} / n0)"
+    ok = f"n0 >= 2 AND n1 >= 2 AND {se2} > 0"
+    t = (
+        f"(CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0)"
+        f" / sqrt({se2})"
+    )
+    df = (
+        f"({se2} * {se2})"
+        f" / (({v1} / n1) * ({v1} / n1) / (n1 - 1.0)"
+        f"    + ({v0} / n0) * ({v0} / n0) / (n0 - 1.0))"
+    )
+    return s.select(
+        "n0",
+        "n1",
+        F.expr(
+            "CASE WHEN n0 > 0 THEN"
+            " round(CAST(a0 AS DOUBLE) / n0 / 100.0, 6) END"
+        ).alias("mean0"),
+        F.expr(
+            "CASE WHEN n1 > 0 THEN"
+            " round(CAST(a1 AS DOUBLE) / n1 / 100.0, 6) END"
+        ).alias("mean1"),
+        F.expr(f"CASE WHEN {ok} THEN round({t}, 6) END").alias("t"),
+        F.expr(f"CASE WHEN {ok} THEN round({df}, 6) END").alias("df"),
+        F.expr(
+            f"CASE WHEN {ok} THEN abs(round({t}, 6)) > 1.959964 END"
+        ).alias("significant"),
+    )
+
+
+def ab_welch_t_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`ab_welch_t` (same exact moments, shared
+    staged t/df chain)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    v0 = (
+        "((CAST(n0 AS DOUBLE) * CAST(b0 AS DOUBLE)"
+        " - CAST(a0 AS DOUBLE) * CAST(a0 AS DOUBLE))"
+        " / (CAST(n0 AS DOUBLE) * (n0 - 1.0)))"
+    )
+    v1 = (
+        "((CAST(n1 AS DOUBLE) * CAST(b1 AS DOUBLE)"
+        " - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) * (n1 - 1.0)))"
+    )
+    se2 = f"({v1} / n1 + {v0} / n0)"
+    ok = f"n0 >= 2 AND n1 >= 2 AND {se2} > 0"
+    t = (
+        f"(CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0)"
+        f" / sqrt({se2})"
+    )
+    df = (
+        f"({se2} * {se2})"
+        f" / (({v1} / n1) * ({v1} / n1) / (n1 - 1.0)"
+        f"    + ({v0} / n0) * ({v0} / n0) / (n0 - 1.0))"
+    )
+    return f"""
+    WITH wt_u AS (
+      SELECT coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0) AS y,
+             ({h}) % 2 AS v
+      FROM {table} GROUP BY user_id
+    ), wt_s AS (
+      SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             sum(CASE WHEN v = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS a0,
+             sum(CASE WHEN v = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS a1,
+             sum(CASE WHEN v = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+               AS b0,
+             sum(CASE WHEN v = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+               AS b1
+      FROM wt_u
+    )
+    SELECT n0, n1,
+           CASE WHEN n0 > 0 THEN
+             round(CAST(a0 AS DOUBLE) / n0 / 100.0, 6) END AS mean0,
+           CASE WHEN n1 > 0 THEN
+             round(CAST(a1 AS DOUBLE) / n1 / 100.0, 6) END AS mean1,
+           CASE WHEN {ok} THEN round({t}, 6) END AS t,
+           CASE WHEN {ok} THEN round({df}, 6) END AS df,
+           CASE WHEN {ok} THEN abs(round({t}, 6)) > 1.959964 END
+             AS significant
+    FROM wt_s
+    """
+
+
+def ab_levene_bf(events: DataFrame) -> DataFrame:
+    """→ one row [n0, n1, f_stat, significant] — the Brown–Forsythe
+    variant of Levene's test (Brown & Forsythe 1974) on per-user spend
+    between the md5 arms: are the two arms' spend SPREADS equal —
+    the variance-homogeneity check that tells you whether a treatment
+    changed behavior dispersion even when the means agree (and whether
+    a pooled-variance test was ever valid).
+
+    Exactness: deviations use the DOUBLED-grain trick — the group
+    median of integer cents interpolates to a half, so
+    D = |2x − 2·med| is an exact BIGINT per user; the one-way ANOVA F
+    over the two groups then needs only six exact numbers (n, ΣD, ΣD²
+    per arm) and is ONE shared literal staged chain (the doubling
+    cancels in the F ratio), rounded 6. NULL when either arm has
+    n < 2 or the within-group spread is 0; ``significant`` compares
+    the ROUNDED F to 3.841459 (F(1,∞) at 0.05 — documented
+    large-sample estimand).
+
+    Scale shape: one user-grain aggregate, one 2-row percentile
+    aggregate (sort inside the aggregate per arm), a broadcast join
+    back, a one-row reduce.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    d38 = "decimal(38,0)"
+    u = events.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+        ).alias("y")
+    ).select(
+        "y", (md5_long(F.col("user_id").cast("string")) % 2).alias("v")
+    )
+    med = u.groupBy("v").agg(
+        F.expr("CAST(round(2.0 * percentile(y, 0.5D), 0) AS BIGINT)").alias(
+            "m2"
+        )
+    )
+    dev = u.join(F.broadcast(med), "v").select(
+        "v", F.abs(2 * F.col("y") - F.col("m2")).alias("d")
+    )
+    s = dev.groupBy().agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("v") == 0, F.col("d")).otherwise(0).cast(d38)).alias("a0"),
+        F.sum(F.when(F.col("v") == 1, F.col("d")).otherwise(0).cast(d38)).alias("a1"),
+        F.sum(
+            F.when(F.col("v") == 0, F.col("d")).otherwise(0).cast(d38)
+            * F.when(F.col("v") == 0, F.col("d")).otherwise(0)
+        ).alias("b0"),
+        F.sum(
+            F.when(F.col("v") == 1, F.col("d")).otherwise(0).cast(d38)
+            * F.when(F.col("v") == 1, F.col("d")).otherwise(0)
+        ).alias("b1"),
+    )
+    ssb = (
+        "(CAST(a0 AS DOUBLE) * a0 / n0 + CAST(a1 AS DOUBLE) * a1 / n1"
+        " - (CAST(a0 AS DOUBLE) + a1) * (CAST(a0 AS DOUBLE) + a1)"
+        "   / (n0 + n1))"
+    )
+    ssw = (
+        "(CAST(b0 AS DOUBLE) - CAST(a0 AS DOUBLE) * a0 / n0"
+        " + CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)"
+    )
+    ok = f"n0 >= 2 AND n1 >= 2 AND {ssw} > 0"
+    fstat = f"(CAST(n0 + n1 AS DOUBLE) - 2.0) * {ssb} / {ssw}"
+    return s.select(
+        "n0",
+        "n1",
+        F.expr(f"CASE WHEN {ok} THEN round({fstat}, 6) END").alias(
+            "f_stat"
+        ),
+        F.expr(
+            f"CASE WHEN {ok} THEN round({fstat}, 6) > 3.841459 END"
+        ).alias("significant"),
+    )
+
+
+def ab_levene_bf_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`ab_levene_bf` (same doubled-grain
+    deviations, shared staged F)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    ssb = (
+        "(CAST(a0 AS DOUBLE) * a0 / n0 + CAST(a1 AS DOUBLE) * a1 / n1"
+        " - (CAST(a0 AS DOUBLE) + a1) * (CAST(a0 AS DOUBLE) + a1)"
+        "   / (n0 + n1))"
+    )
+    ssw = (
+        "(CAST(b0 AS DOUBLE) - CAST(a0 AS DOUBLE) * a0 / n0"
+        " + CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)"
+    )
+    ok = f"n0 >= 2 AND n1 >= 2 AND {ssw} > 0"
+    fstat = f"(CAST(n0 + n1 AS DOUBLE) - 2.0) * {ssb} / {ssw}"
+    return f"""
+    WITH lv_u AS (
+      SELECT coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0) AS y,
+             ({h}) % 2 AS v
+      FROM {table} GROUP BY user_id
+    ), lv_m AS (
+      SELECT v, CAST(round(2.0 * quantile_cont(y, 0.5), 0) AS BIGINT) AS m2
+      FROM lv_u GROUP BY v
+    ), lv_d AS (
+      SELECT u.v, abs(2 * u.y - m.m2) AS d
+      FROM lv_u u JOIN lv_m m ON m.v = u.v
+    ), lv_s AS (
+      SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             sum(CASE WHEN v = 0 THEN CAST(d AS HUGEINT) ELSE 0 END) AS a0,
+             sum(CASE WHEN v = 1 THEN CAST(d AS HUGEINT) ELSE 0 END) AS a1,
+             sum(CASE WHEN v = 0 THEN CAST(d AS HUGEINT) * d ELSE 0 END)
+               AS b0,
+             sum(CASE WHEN v = 1 THEN CAST(d AS HUGEINT) * d ELSE 0 END)
+               AS b1
+      FROM lv_d
+    )
+    SELECT n0, n1,
+           CASE WHEN {ok} THEN round({fstat}, 6) END AS f_stat,
+           CASE WHEN {ok} THEN round({fstat}, 6) > 3.841459 END
+             AS significant
+    FROM lv_s
+    """
