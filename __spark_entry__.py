@@ -2699,6 +2699,15 @@ def q_ab_levene_bf(spark, sf_dir):
     return ml.ab_levene_bf(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 131 (Poissonness fit, AP audit)
+def q_poissonness_basket(spark, sf_dir):
+    return rel.poissonness_basket(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_duplicate_payments_audit(spark, sf_dir):
+    return rel.duplicate_payments_audit(_tbl(spark, sf_dir, "orders"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2895,8 +2904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. ab_levene_bf — all of
-    waves 2-130 plus the r4-green tail, 396 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. duplicate_payments_audit — all of
+    waves 2-131 plus the r4-green tail, 398 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3454,6 +3463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 130
         "ab_welch_t": q_ab_welch_t,
         "ab_levene_bf": q_ab_levene_bf,
+        # wave 131
+        "poissonness_basket": q_poissonness_basket,
+        "duplicate_payments_audit": q_duplicate_payments_audit,
     }
 
 
@@ -4802,6 +4814,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 130
         "ab_welch_t": ml.ab_welch_t_sql(),
         "ab_levene_bf": ml.ab_levene_bf_sql(),
+        # wave 131
+        "poissonness_basket": rel.poissonness_basket_sql(),
+        "duplicate_payments_audit": rel.duplicate_payments_audit_sql(),
     }
 
 

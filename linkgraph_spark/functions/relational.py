@@ -3667,3 +3667,198 @@ def ship_delay_profile_sql(
     FROM sdp_g
     GROUP BY priority ORDER BY priority
     """
+
+
+# --------------------------------------------------------------- wave 131
+def poissonness_basket(lineitem: DataFrame) -> DataFrame:
+    """→ one row [n_orders, n_points, slope, lambda_hat, r2] — the
+    Poissonness plot (Hoaglin 1980) for order basket sizes: under a
+    Poisson(λ) basket model the metameter φ(k) = ln(k!·n_k/N) is
+    LINEAR in k with slope ln λ, so the fit's r² is a one-number
+    goodness-of-Poisson read and exp(slope) recovers λ̂. The
+    assortment/capacity modeler's "can I treat baskets as Poisson"
+    gate, next to :func:`events`' dispersion test for arrivals.
+
+    Exactness: k counts and the basket histogram are exact BIGINTs;
+    φ(k) = ln k! + ln n_k − ln N sums three logs of EXACT integers
+    (factorial stays integral — k is bounded by the widest order, and
+    the three-term form avoids the k!·n_k overflow), micro-nat-
+    quantized per point so the OLS moments are exact integer sums; the
+    slope/intercept/r² closed forms stage once from those integers
+    (quantization scale cancels in slope and r²), rounded 6. NULL fit
+    when fewer than 2 distinct basket sizes; r² NULL when φ is flat.
+
+    Scale shape: one lineitem-grain aggregate to order grain, one
+    histogram aggregate (≤ max-basket rows), a one-row reduce.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("k")
+    )
+    h = baskets.groupBy("k").agg(F.count("*").alias("nk"))
+    tot = h.groupBy().agg(F.sum("nk").cast("long").alias("nn"))
+    phi = (
+        "ln(CAST(factorial(CAST(k AS INT)) AS DOUBLE))"
+        " + ln(CAST(nk AS DOUBLE)) - ln(CAST(nn AS DOUBLE))"
+    )
+    pts = h.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("long").alias("x"),
+        F.expr(f"CAST(round(1e6 * ({phi}), 0) AS BIGINT)").alias("qy"),
+    )
+    s = pts.groupBy().agg(
+        F.count("*").cast("long").alias("m"),
+        F.max("x").alias("_"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("qy").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("qy")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("qy").cast(d38) * F.col("qy")).alias("syy"),
+    ).drop("_")
+    num = (
+        "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    dxx = (
+        "(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    dyy = (
+        "(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    slope = f"({num} / {dxx} / 1e6)"
+    return tot.crossJoin(s).select(
+        F.col("nn").alias("n_orders"),
+        F.col("m").alias("n_points"),
+        F.expr(
+            f"CASE WHEN m >= 2 AND {dxx} > 0 THEN round({slope}, 6) END"
+        ).alias("slope"),
+        F.expr(
+            f"CASE WHEN m >= 2 AND {dxx} > 0"
+            f" THEN round(exp({slope}), 6) END"
+        ).alias("lambda_hat"),
+        F.expr(
+            f"CASE WHEN m >= 2 AND {dxx} > 0 AND {dyy} > 0 THEN"
+            f" round({num} * {num} / ({dxx} * {dyy}), 6) END"
+        ).alias("r2"),
+    )
+
+
+def poissonness_basket_sql(table: str = "lineitem") -> str:
+    """DuckDB oracle for :func:`poissonness_basket` (same three-log
+    metameter, micro-nat quantization, staged closed forms)."""
+    phi = (
+        "ln(CAST(factorial(CAST(k AS INT)) AS DOUBLE))"
+        " + ln(CAST(nk AS DOUBLE)) - ln(CAST(nn AS DOUBLE))"
+    )
+    num = (
+        "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    dxx = (
+        "(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    dyy = (
+        "(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    slope = f"({num} / {dxx} / 1e6)"
+    return f"""
+    WITH pb_b AS (
+      SELECT l_orderkey, count(*) AS k FROM {table} GROUP BY l_orderkey
+    ), pb_h AS (
+      SELECT k, count(*) AS nk FROM pb_b GROUP BY k
+    ), pb_n AS (
+      SELECT CAST(sum(nk) AS BIGINT) AS nn FROM pb_h
+    ), pb_p AS (
+      SELECT CAST(k AS BIGINT) AS x,
+             CAST(round(1e6 * ({phi}), 0) AS BIGINT) AS qy
+      FROM pb_h CROSS JOIN pb_n
+    ), pb_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(qy AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * qy) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(qy AS HUGEINT) * qy) AS syy
+      FROM pb_p
+    )
+    SELECT nn AS n_orders, m AS n_points,
+           CASE WHEN m >= 2 AND {dxx} > 0 THEN round({slope}, 6) END
+             AS slope,
+           CASE WHEN m >= 2 AND {dxx} > 0 THEN round(exp({slope}), 6) END
+             AS lambda_hat,
+           CASE WHEN m >= 2 AND {dxx} > 0 AND {dyy} > 0 THEN
+             round({num} * {num} / ({dxx} * {dyy}), 6) END AS r2
+    FROM pb_n CROSS JOIN pb_s
+    """
+
+
+def duplicate_payments_audit(orders: DataFrame) -> DataFrame:
+    """→ one row [n_groups, n_orders_involved, excess_orders,
+    exposure] — the accounts-payable double-payment audit: order
+    groups sharing (customer, exact cent total, calendar day) with
+    more than one order key. ``exposure`` sums the EXCESS copies'
+    amounts — the money at risk if every extra key is a re-submitted
+    payment; the fraud/ops queue is sized by ``excess_orders``.
+
+    Exactness: the grouping key uses exact cents and the DATE-cast
+    day, group counts are exact BIGINTs, exposure = Σ(c−1)·cents is an
+    exact DECIMAL(38,0)/HUGEINT reported in dollars (÷100, exact
+    halves). Zero duplicate groups yields an honest all-zeros row (an
+    audit must affirmatively say "clean", not return nothing).
+
+    Scale shape: one orders-grain aggregate on the composite key, one
+    filtered one-row reduce — no joins, no windows.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    g = orders.groupBy(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.count("*").alias("c"))
+    dup = g.where(F.col("c") > 1)
+    return dup.groupBy().agg(
+        F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("n_groups"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias(
+            "n_orders_involved"
+        ),
+        F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias(
+            "excess_orders"
+        ),
+        F.round(
+            F.coalesce(
+                F.sum((F.col("c") - 1).cast(d38) * F.col("cents")),
+                F.lit(0).cast(d38),
+            ).cast("double")
+            / 100.0,
+            6,
+        ).alias("exposure"),
+    )
+
+
+def duplicate_payments_audit_sql(table: str = "orders") -> str:
+    """DuckDB oracle for :func:`duplicate_payments_audit` (same exact
+    composite key and excess arithmetic)."""
+    return f"""
+    WITH dpa_g AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d, count(*) AS c
+      FROM {table} GROUP BY 1, 2, 3
+    ), dpa_d AS (
+      SELECT * FROM dpa_g WHERE c > 1
+    )
+    SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_groups,
+           CAST(coalesce(sum(c), 0) AS BIGINT) AS n_orders_involved,
+           CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS excess_orders,
+           round(CAST(coalesce(sum(CAST(c - 1 AS HUGEINT) * cents), 0)
+                 AS DOUBLE) / 100.0, 6) AS exposure
+    FROM dpa_d
+    """
