@@ -2708,6 +2708,15 @@ def q_duplicate_payments_audit(spark, sf_dir):
     return rel.duplicate_payments_audit(_tbl(spark, sf_dir, "orders"))
 
 
+# ---------------------- wave 132 (DiD estimator, price audit)
+def q_ab_diff_in_diff(spark, sf_dir):
+    return ml.ab_diff_in_diff(_tbl(spark, sf_dir, "events"))
+
+
+def q_price_consistency_audit(spark, sf_dir):
+    return rel.price_consistency_audit(_tbl(spark, sf_dir, "lineitem"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2904,8 +2913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. duplicate_payments_audit — all of
-    waves 2-131 plus the r4-green tail, 398 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. price_consistency_audit — all of
+    waves 2-132 plus the r4-green tail, 400 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3466,6 +3475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 131
         "poissonness_basket": q_poissonness_basket,
         "duplicate_payments_audit": q_duplicate_payments_audit,
+        # wave 132
+        "ab_diff_in_diff": q_ab_diff_in_diff,
+        "price_consistency_audit": q_price_consistency_audit,
     }
 
 
@@ -4817,6 +4829,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 131
         "poissonness_basket": rel.poissonness_basket_sql(),
         "duplicate_payments_audit": rel.duplicate_payments_audit_sql(),
+        # wave 132
+        "ab_diff_in_diff": ml.ab_diff_in_diff_sql(),
+        "price_consistency_audit": rel.price_consistency_audit_sql(),
     }
 
 

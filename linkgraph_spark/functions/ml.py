@@ -3366,3 +3366,167 @@ def ab_levene_bf_sql(table: str = "events") -> str:
              AS significant
     FROM lv_s
     """
+
+
+# --------------------------------------------------------------- wave 132
+def ab_diff_in_diff(events: DataFrame) -> DataFrame:
+    """→ one row [n0, n1, cutoff_us, did, t, significant] — the
+    difference-in-differences estimator (Card & Krueger 1994 framing)
+    between the md5 arms around the stream's exact median instant:
+    per user, d = (post-period spend) − (pre-period spend); DiD is the
+    treatment-control gap in mean d. The parallel-trends causal read
+    that a raw post-period comparison fakes whenever arms started
+    unequal — here the per-user differencing removes each user's
+    level before arms are compared (a Welch test on d).
+
+    Exactness: the cutoff is the exact interpolated median of event
+    epoch-micros FLOORED to an integer (identical in both engines —
+    the popularity_rec convention); per-user pre/post cents and d are
+    exact BIGINTs; the Welch t on d stages once from six exact
+    DECIMAL(38,0)/HUGEINT moments, rounded 6. NULL when an arm has
+    n < 2 or d has zero spread; ``significant`` compares the ROUNDED
+    |t| to 1.959964 (documented large-sample threshold).
+
+    Scale shape: one global percentile aggregate (broadcast one row),
+    one user-grain aggregate, a one-row reduce.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    d38 = "decimal(38,0)"
+    cut = events.groupBy().agg(
+        F.expr(
+            "CAST(floor(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5D)) AS BIGINT)"
+        ).alias("cut")
+    )
+    u = (
+        events.crossJoin(F.broadcast(cut))
+        .groupBy("user_id", "cut")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) >= cut"),
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("post"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) < cut"),
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("pre"),
+        )
+        .select(
+            "cut",
+            (F.col("post") - F.col("pre")).alias("d"),
+            (md5_long(F.col("user_id").cast("string")) % 2).alias("v"),
+        )
+    )
+    s = u.groupBy("cut").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("v") == 0, F.col("d")).otherwise(0).cast(d38)).alias("a0"),
+        F.sum(F.when(F.col("v") == 1, F.col("d")).otherwise(0).cast(d38)).alias("a1"),
+        F.sum(
+            F.when(F.col("v") == 0, F.col("d")).otherwise(0).cast(d38)
+            * F.when(F.col("v") == 0, F.col("d")).otherwise(0)
+        ).alias("b0"),
+        F.sum(
+            F.when(F.col("v") == 1, F.col("d")).otherwise(0).cast(d38)
+            * F.when(F.col("v") == 1, F.col("d")).otherwise(0)
+        ).alias("b1"),
+    )
+    v0 = (
+        "((CAST(n0 AS DOUBLE) * CAST(b0 AS DOUBLE)"
+        " - CAST(a0 AS DOUBLE) * CAST(a0 AS DOUBLE))"
+        " / (CAST(n0 AS DOUBLE) * (n0 - 1.0)))"
+    )
+    v1 = (
+        "((CAST(n1 AS DOUBLE) * CAST(b1 AS DOUBLE)"
+        " - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) * (n1 - 1.0)))"
+    )
+    se2 = f"({v1} / n1 + {v0} / n0)"
+    ok = f"n0 >= 2 AND n1 >= 2 AND {se2} > 0"
+    did = "(CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0) / 100.0"
+    t = (
+        f"(CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0)"
+        f" / sqrt({se2})"
+    )
+    return s.select(
+        "n0",
+        "n1",
+        F.col("cut").alias("cutoff_us"),
+        F.expr(
+            f"CASE WHEN n0 > 0 AND n1 > 0 THEN round({did}, 6) END"
+        ).alias("did"),
+        F.expr(f"CASE WHEN {ok} THEN round({t}, 6) END").alias("t"),
+        F.expr(
+            f"CASE WHEN {ok} THEN abs(round({t}, 6)) > 1.959964 END"
+        ).alias("significant"),
+    )
+
+
+def ab_diff_in_diff_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`ab_diff_in_diff` (same floored median
+    cutoff, exact per-user differencing, shared Welch chain)."""
+    from linkgraph_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    v0 = (
+        "((CAST(n0 AS DOUBLE) * CAST(b0 AS DOUBLE)"
+        " - CAST(a0 AS DOUBLE) * CAST(a0 AS DOUBLE))"
+        " / (CAST(n0 AS DOUBLE) * (n0 - 1.0)))"
+    )
+    v1 = (
+        "((CAST(n1 AS DOUBLE) * CAST(b1 AS DOUBLE)"
+        " - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) * (n1 - 1.0)))"
+    )
+    se2 = f"({v1} / n1 + {v0} / n0)"
+    ok = f"n0 >= 2 AND n1 >= 2 AND {se2} > 0"
+    did = "(CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0) / 100.0"
+    t = (
+        f"(CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0)"
+        f" / sqrt({se2})"
+    )
+    return f"""
+    WITH did_c AS (
+      SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT) AS cut
+      FROM {table}
+    ), did_u AS (
+      SELECT c.cut,
+             coalesce(sum(CASE WHEN epoch_us(ts) >= c.cut THEN
+               CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END), 0)
+             - coalesce(sum(CASE WHEN epoch_us(ts) < c.cut THEN
+               CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END), 0) AS d,
+             ({h}) % 2 AS v
+      FROM {table} CROSS JOIN did_c c
+      GROUP BY user_id, c.cut
+    ), did_s AS (
+      SELECT cut,
+             CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             sum(CASE WHEN v = 0 THEN CAST(d AS HUGEINT) ELSE 0 END) AS a0,
+             sum(CASE WHEN v = 1 THEN CAST(d AS HUGEINT) ELSE 0 END) AS a1,
+             sum(CASE WHEN v = 0 THEN CAST(d AS HUGEINT) * d ELSE 0 END)
+               AS b0,
+             sum(CASE WHEN v = 1 THEN CAST(d AS HUGEINT) * d ELSE 0 END)
+               AS b1
+      FROM did_u GROUP BY cut
+    )
+    SELECT n0, n1, cut AS cutoff_us,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN round({did}, 6) END AS did,
+           CASE WHEN {ok} THEN round({t}, 6) END AS t,
+           CASE WHEN {ok} THEN abs(round({t}, 6)) > 1.959964 END
+             AS significant
+    FROM did_s
+    """

@@ -3862,3 +3862,78 @@ def duplicate_payments_audit_sql(table: str = "orders") -> str:
                  AS DOUBLE) / 100.0, 6) AS exposure
     FROM dpa_d
     """
+
+
+def price_consistency_audit(lineitem: DataFrame) -> DataFrame:
+    """→ one row [n_parts, n_inconsistent, share, max_spread] — the
+    catalog price-consistency audit: parts whose UNIT price
+    (extendedprice / quantity) differs across lines. A consistent
+    catalog prices a part identically everywhere; drift means manual
+    overrides, currency bugs, or stale caches — ``max_spread`` (the
+    widest per-part max−min unit price, in dollars) sizes the worst
+    offender for the triage queue.
+
+    Exactness: the unit price quantizes ONCE per line to exact cents
+    (round(100·ep/qty) — one staged division then integer), so
+    per-part distinct counts and min/max are exact; the share is one
+    staged division rounded 6 and max_spread is an exact cent
+    difference reported in dollars. Zero-quantity lines are excluded
+    (unit price undefined) — documented. An all-consistent catalog
+    reports an affirmative zeros row.
+
+    Scale shape: one lineitem-grain map, one part-grain aggregate,
+    a one-row reduce — no joins, no windows.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    up = lineitem.where(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        F.expr(
+            "CAST(round(100.0 * l_extendedprice / l_quantity, 0) AS BIGINT)"
+        ).alias("ucents"),
+    )
+    per = up.groupBy("l_partkey").agg(
+        F.countDistinct("ucents").alias("k"),
+        (F.max("ucents") - F.min("ucents")).alias("spread"),
+    )
+    return per.groupBy().agg(
+        F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("n_parts"),
+        F.coalesce(
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_inconsistent"),
+        F.expr(
+            "CASE WHEN count(*) > 0 THEN"
+            " round(CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / count(*), 6) END"
+        ).alias("share"),
+        F.round(
+            F.coalesce(F.max("spread"), F.lit(0)).cast("double") / 100.0, 6
+        ).alias("max_spread"),
+    )
+
+
+def price_consistency_audit_sql(table: str = "lineitem") -> str:
+    """DuckDB oracle for :func:`price_consistency_audit` (same once-
+    quantized unit cents)."""
+    return f"""
+    WITH pca_u AS (
+      SELECT l_partkey,
+             CAST(round(100.0 * l_extendedprice / l_quantity, 0) AS BIGINT)
+               AS ucents
+      FROM {table} WHERE l_quantity > 0
+    ), pca_p AS (
+      SELECT l_partkey, count(DISTINCT ucents) AS k,
+             max(ucents) - min(ucents) AS spread
+      FROM pca_u GROUP BY l_partkey
+    )
+    SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_parts,
+           CAST(coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_inconsistent,
+           CASE WHEN count(*) > 0 THEN
+             round(CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) END AS share,
+           round(CAST(coalesce(max(spread), 0) AS DOUBLE) / 100.0, 6)
+             AS max_spread
+    FROM pca_p
+    """
