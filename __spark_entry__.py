@@ -2717,6 +2717,17 @@ def q_price_consistency_audit(spark, sf_dir):
     return rel.price_consistency_audit(_tbl(spark, sf_dir, "lineitem"))
 
 
+# ---------------------- wave 133 (supplier ANOVA, backlog aging)
+def q_ship_delay_anova(spark, sf_dir):
+    return rel.ship_delay_anova(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def q_order_aging_profile(spark, sf_dir):
+    return rel.order_aging_profile(_tbl(spark, sf_dir, "orders"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2913,8 +2924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. price_consistency_audit — all of
-    waves 2-132 plus the r4-green tail, 400 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. order_aging_profile — all of
+    waves 2-133 plus the r4-green tail, 402 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3478,6 +3489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 132
         "ab_diff_in_diff": q_ab_diff_in_diff,
         "price_consistency_audit": q_price_consistency_audit,
+        # wave 133
+        "ship_delay_anova": q_ship_delay_anova,
+        "order_aging_profile": q_order_aging_profile,
     }
 
 
@@ -4832,6 +4846,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 132
         "ab_diff_in_diff": ml.ab_diff_in_diff_sql(),
         "price_consistency_audit": rel.price_consistency_audit_sql(),
+        # wave 133
+        "ship_delay_anova": rel.ship_delay_anova_sql(),
+        "order_aging_profile": rel.order_aging_profile_sql(),
     }
 
 

@@ -3937,3 +3937,185 @@ def price_consistency_audit_sql(table: str = "lineitem") -> str:
              AS max_spread
     FROM pca_p
     """
+
+
+# --------------------------------------------------------------- wave 133
+def ship_delay_anova(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """→ one row [k_suppliers, n_lines, f_stat, eta_squared] — one-way
+    ANOVA of the order-to-ship day gap ACROSS SUPPLIERS: does who
+    ships explain the latency variance, summarized by the F ratio and
+    η² (the variance share suppliers explain). The supplier-scorecard
+    gate: η² near 0 says latency is systemic, near 1 says it's a
+    vendor problem — read before chasing individual suppliers through
+    :func:`ship_delay_profile`-style drilldowns.
+
+    Exactness: day gaps are exact integers; per-supplier (n, Σg, Σg²)
+    are exact DECIMAL(38,0)/HUGEINT; the only non-integer per-group
+    quantity — a_i²/n_i — is MICRO-QUANTIZED per supplier before the
+    global sum (order-invariant across partitionings), and SSB/SSW/F/
+    η² stage from (G, A, B, N, k) as shared literal chains, rounded 6.
+    NULL when k < 2, N ≤ k, or the within-group spread is 0. No
+    F-significance flag: at warehouse df the F critical is ~1.0 and
+    the honest readout is the effect size, not a star.
+
+    Scale shape: one pk-fk join at lineitem grain, one supplier-grain
+    aggregate, a one-row reduce — group count never materializes rows.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    g = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_suppkey",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).cast("long").alias("gap"),
+    )
+    per = g.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("ni"),
+        F.sum(F.col("gap").cast(d38)).alias("ai"),
+        F.sum(F.col("gap").cast(d38) * F.col("gap")).alias("bi"),
+    )
+    s = per.groupBy().agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("ai").alias("a"),
+        F.sum("bi").alias("b"),
+        F.sum(
+            F.expr(
+                "CAST(round(1e6 * CAST(ai AS DOUBLE) * CAST(ai AS DOUBLE)"
+                " / ni, 0) AS decimal(38,0))"
+            )
+        ).alias("gq"),
+    )
+    ssb = (
+        "(CAST(gq AS DOUBLE) / 1e6"
+        " - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / n)"
+    )
+    ssw = "(CAST(b AS DOUBLE) - CAST(gq AS DOUBLE) / 1e6)"
+    sst = (
+        "(CAST(b AS DOUBLE)"
+        " - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / n)"
+    )
+    ok = f"k >= 2 AND n > k AND {ssw} > 0"
+    fstat = f"(({ssb}) / (k - 1.0)) / (({ssw}) / (CAST(n AS DOUBLE) - k))"
+    return s.select(
+        F.col("k").alias("k_suppliers"),
+        F.col("n").alias("n_lines"),
+        F.expr(f"CASE WHEN {ok} THEN round({fstat}, 6) END").alias(
+            "f_stat"
+        ),
+        F.expr(
+            f"CASE WHEN {ok} AND {sst} > 0 THEN"
+            f" round(greatest(0.0, ({ssb}) / ({sst})), 6) END"
+        ).alias("eta_squared"),
+    )
+
+
+def ship_delay_anova_sql(
+    lineitem: str = "lineitem", orders: str = "orders"
+) -> str:
+    """DuckDB oracle for :func:`ship_delay_anova` (same micro-quantized
+    between-group mass, shared staged chains)."""
+    ssb = (
+        "(CAST(gq AS DOUBLE) / 1e6"
+        " - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / n)"
+    )
+    ssw = "(CAST(b AS DOUBLE) - CAST(gq AS DOUBLE) / 1e6)"
+    sst = (
+        "(CAST(b AS DOUBLE)"
+        " - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / n)"
+    )
+    ok = f"k >= 2 AND n > k AND {ssw} > 0"
+    fstat = f"(({ssb}) / (k - 1.0)) / (({ssw}) / (CAST(n AS DOUBLE) - k))"
+    return f"""
+    WITH sda_g AS (
+      SELECT l_suppkey,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS gap
+      FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+    ), sda_p AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS ni,
+             sum(CAST(gap AS HUGEINT)) AS ai,
+             sum(CAST(gap AS HUGEINT) * gap) AS bi
+      FROM sda_g GROUP BY l_suppkey
+    ), sda_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+             sum(ai) AS a, sum(bi) AS b,
+             sum(CAST(round(1e6 * CAST(ai AS DOUBLE) * CAST(ai AS DOUBLE)
+                 / ni, 0) AS HUGEINT)) AS gq
+      FROM sda_p
+    )
+    SELECT k AS k_suppliers, n AS n_lines,
+           CASE WHEN {ok} THEN round({fstat}, 6) END AS f_stat,
+           CASE WHEN {ok} AND {sst} > 0 THEN
+             round(greatest(0.0, ({ssb}) / ({sst})), 6) END AS eta_squared
+    FROM sda_s
+    """
+
+
+def order_aging_profile(orders: DataFrame) -> DataFrame:
+    """→ [priority, n_open, p50_age, p90_age, max_age] — the open-order
+    aging table: for orders still open (status 'O') at the ledger's
+    snapshot instant (the max order date — a closed dataset's "today"),
+    how old is the backlog per priority. The ops-review table that
+    catches an urgent queue quietly aging out of its SLA.
+
+    Exactness: ages are exact integer day differences from the exact
+    global max date (broadcast one row); percentiles are the house
+    interpolated estimator over those integers; n/max are exact. A
+    ledger with no open orders returns zero rows (there is no backlog
+    to age).
+
+    Scale shape: one global max (one row, broadcast), one filtered
+    aggregate to the bounded priority dimension.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    asof = orders.groupBy().agg(
+        F.max(F.to_date("o_orderdate")).alias("as_of")
+    )
+    aged = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("as_of"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("age"),
+        )
+    )
+    return (
+        aged.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_open"),
+            F.round(F.expr("percentile(age, 0.5D)"), 6).alias("p50_age"),
+            F.round(F.expr("percentile(age, 0.9D)"), 6).alias("p90_age"),
+            F.max("age").alias("max_age"),
+        )
+        .orderBy("priority")
+    )
+
+
+def order_aging_profile_sql(table: str = "orders") -> str:
+    """DuckDB oracle for :func:`order_aging_profile` (same exact ages
+    and interpolated percentiles)."""
+    return f"""
+    WITH oap_a AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM {table}
+    ), oap_g AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), as_of)
+                  AS BIGINT) AS age
+      FROM {table} CROSS JOIN oap_a
+      WHERE o_orderstatus = 'O'
+    )
+    SELECT priority, CAST(count(*) AS BIGINT) AS n_open,
+           round(quantile_cont(age, 0.5), 6) AS p50_age,
+           round(quantile_cont(age, 0.9), 6) AS p90_age,
+           max(age) AS max_age
+    FROM oap_g GROUP BY priority ORDER BY priority
+    """
