@@ -2728,6 +2728,15 @@ def q_order_aging_profile(spark, sf_dir):
     return rel.order_aging_profile(_tbl(spark, sf_dir, "orders"))
 
 
+# ---------------------- wave 134 (network heterogeneity reads)
+def q_degree_entropy(spark, sf_dir):
+    return st.degree_entropy(_graph(spark, sf_dir))
+
+
+def q_clustering_null_model(spark, sf_dir):
+    return st.clustering_null_model(_graph(spark, sf_dir))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2924,8 +2933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. order_aging_profile — all of
-    waves 2-133 plus the r4-green tail, 402 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. clustering_null_model — all of
+    waves 2-134 plus the r4-green tail, 404 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3492,6 +3501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 133
         "ship_delay_anova": q_ship_delay_anova,
         "order_aging_profile": q_order_aging_profile,
+        # wave 134
+        "degree_entropy": q_degree_entropy,
+        "clustering_null_model": q_clustering_null_model,
     }
 
 
@@ -4849,6 +4861,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 133
         "ship_delay_anova": rel.ship_delay_anova_sql(),
         "order_aging_profile": rel.order_aging_profile_sql(),
+        # wave 134
+        "degree_entropy": f"{_G}, {st.degree_entropy_sql()}",
+        "clustering_null_model": f"{_G}, {st.clustering_null_model_sql()}",
     }
 
 

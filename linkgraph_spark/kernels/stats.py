@@ -1595,3 +1595,248 @@ def burt_constraint_sql(max_degree: int | None = None) -> str:
     SELECT i AS id, count(*) AS deg, round(sum(c), 6) AS constraint_score
     FROM bc_c GROUP BY i
     """
+
+
+# --------------------------------------------------------------- wave 134
+def degree_entropy(graph: LinkGraph) -> DataFrame:
+    """→ one row [n_vertices, h_degree, h_excess] — Shannon entropy of
+    the undirected degree distribution and of the EXCESS-degree
+    distribution (the degree of a vertex reached by following a random
+    edge, minus the edge you came in on — Newman's q_k ∝ (k+1)p_{k+1}).
+    The heterogeneity pair: h_degree says how mixed the degree classes
+    are; h_excess − h_degree quantifies the friendship-paradox
+    distortion a traversal actually experiences.
+
+    Exactness: the degree histogram is exact; each distribution's
+    p·ln p term is MICRO-NAT-quantized per histogram cell before the
+    sum (order-invariant — the wave-100 convention), with the excess
+    weights' exact integer masses (k+1)·c_{k+1} over S = Σd·c.
+    Entropies are the negated quantized sums, rounded 6; a
+    single-class distribution scores an exact 0.0. NULL on an empty
+    graph.
+
+    Scale shape: one undirected-degree aggregate, one histogram
+    aggregate (bounded by distinct degrees), a one-row reduce.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    und = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    h = deg.groupBy("d").agg(F.count("*").alias("c"))
+    d38 = "decimal(38,0)"
+    base = h.groupBy().agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.col("d").cast(d38) * F.col("c")), F.lit(0).cast(d38)
+        ).alias("s"),
+    )
+    cells = h.crossJoin(F.broadcast(base))
+    hd = cells.groupBy().agg(
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(round(1e6 * (CAST(c AS DOUBLE) / n)"
+                    " * ln(CAST(c AS DOUBLE) / n), 0) AS BIGINT)"
+                )
+            ),
+            F.lit(0),
+        ).alias("qd"),
+        # excess-degree weight of class k = d-1 is d*c / s
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(round(1e6"
+                    " * (CAST(d AS DOUBLE) * c / CAST(s AS DOUBLE))"
+                    " * ln(CAST(d AS DOUBLE) * c / CAST(s AS DOUBLE)), 0)"
+                    " AS BIGINT)"
+                )
+            ),
+            F.lit(0),
+        ).alias("qx"),
+    )
+    return base.crossJoin(hd).select(
+        F.col("n").alias("n_vertices"),
+        F.expr(
+            "CASE WHEN n > 0 THEN"
+            " round(greatest(0.0, -qd / 1e6), 6) END"
+        ).alias("h_degree"),
+        F.expr(
+            "CASE WHEN s > 0 THEN"
+            " round(greatest(0.0, -qx / 1e6), 6) END"
+        ).alias("h_excess"),
+    )
+
+
+def degree_entropy_sql() -> str:
+    """DuckDB oracle body (expects ``edges`` in scope) — same histogram
+    grain, same micro-nat quantization."""
+    return """
+    den_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    den_deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT a AS id FROM den_und UNION ALL SELECT b FROM den_und
+      ) GROUP BY id
+    ),
+    den_h AS (SELECT d, count(*) AS c FROM den_deg GROUP BY d),
+    den_b AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+             coalesce(sum(CAST(d AS HUGEINT) * c), 0) AS s
+      FROM den_h
+    ),
+    den_q AS (
+      SELECT coalesce(sum(CAST(round(1e6 * (CAST(c AS DOUBLE) / n)
+               * ln(CAST(c AS DOUBLE) / n), 0) AS BIGINT)), 0) AS qd,
+             coalesce(sum(CAST(round(1e6
+               * (CAST(d AS DOUBLE) * c / CAST(s AS DOUBLE))
+               * ln(CAST(d AS DOUBLE) * c / CAST(s AS DOUBLE)), 0)
+               AS BIGINT)), 0) AS qx
+      FROM den_h CROSS JOIN den_b
+    )
+    SELECT n AS n_vertices,
+           CASE WHEN n > 0 THEN round(greatest(0.0, -qd / 1e6), 6) END
+             AS h_degree,
+           CASE WHEN s > 0 THEN round(greatest(0.0, -qx / 1e6), 6) END
+             AS h_excess
+    FROM den_b CROSS JOIN den_q
+    """
+
+
+def clustering_null_model(graph: LinkGraph) -> DataFrame:
+    """→ one row [n_vertices, m_edges, observed_gcc, expected_gcc,
+    lift] — the global clustering coefficient against its
+    CONFIGURATION-MODEL expectation (Newman, SIAM Rev. 2003:
+    C_cfg = (⟨k²⟩−⟨k⟩)²/(n⟨k⟩³), which reduces to the EXACT integer
+    identity (M₂−M₁)²/M₁³ over degree moment sums): is the observed
+    triangle density actual community structure, or just what any
+    graph with these hubs would show? lift ≫ 1 = real clustering;
+    lift ≈ 1 = hub artifact — the gate to read before celebrating a
+    high clustering coefficient on a heavy-tailed graph.
+
+    Exactness: undirected degrees and triangle counts are exact (the
+    kernel's degree-ordered enumeration, O(√E) wedge bound per
+    vertex); observed = 3T/W with W = Σd(d−1) DIV 2 exact; expected =
+    (M₂−M₁)²/M₁³ stages once from exact DECIMAL(38,0)/HUGEINT moment
+    sums. NULL observed when no wedges, NULL expected/lift when M₁ = 0
+    or the graph is hub-degenerate (expected 0).
+
+    Scale shape: one degree aggregate, the scale-safe triangle
+    enumeration, two one-row reduces.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    from linkgraph_spark.kernels.triangles import triangles_per_vertex
+
+    und = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    d38 = "decimal(38,0)"
+    m = deg.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.col("d").cast(d38)), F.lit(0).cast(d38)
+        ).alias("m1"),
+        F.coalesce(
+            F.sum(F.col("d").cast(d38) * F.col("d")), F.lit(0).cast(d38)
+        ).alias("m2"),
+    )
+    t = triangles_per_vertex(graph).groupBy().agg(
+        F.coalesce(F.sum("triangles"), F.lit(0)).cast("long").alias("t3")
+    )
+    # t3 = sum of per-vertex triangle counts = 3T; wedges W = (m2-m1)/2,
+    # so observed = 3T / W = 2*t3 / (m2 - m1)
+    obs = (
+        "2.0 * CAST(t3 AS DOUBLE)"
+        " / (CAST(m2 AS DOUBLE) - CAST(m1 AS DOUBLE))"
+    )
+    exp_ = (
+        "(CAST(m2 AS DOUBLE) - CAST(m1 AS DOUBLE))"
+        " * (CAST(m2 AS DOUBLE) - CAST(m1 AS DOUBLE))"
+        " / (CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)"
+        "    * CAST(m1 AS DOUBLE))"
+    )
+    return m.crossJoin(t).select(
+        F.col("n").alias("n_vertices"),
+        F.expr("CAST(m1 DIV 2 AS BIGINT)").alias("m_edges"),
+        F.expr(
+            f"CASE WHEN m2 > m1 THEN round({obs}, 6) END"
+        ).alias("observed_gcc"),
+        F.expr(
+            f"CASE WHEN m1 > 0 THEN round({exp_}, 6) END"
+        ).alias("expected_gcc"),
+        F.expr(
+            f"CASE WHEN m2 > m1 AND m1 > 0 AND {exp_} > 0"
+            f" THEN round(({obs}) / ({exp_}), 6) END"
+        ).alias("lift"),
+    )
+
+
+def clustering_null_model_sql() -> str:
+    """DuckDB oracle body (expects ``edges``) — same exact moments and
+    the inlined oriented-triangle count."""
+    obs = (
+        "2.0 * CAST(t3 AS DOUBLE)"
+        " / (CAST(m2 AS DOUBLE) - CAST(m1 AS DOUBLE))"
+    )
+    exp_ = (
+        "(CAST(m2 AS DOUBLE) - CAST(m1 AS DOUBLE))"
+        " * (CAST(m2 AS DOUBLE) - CAST(m1 AS DOUBLE))"
+        " / (CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)"
+        "    * CAST(m1 AS DOUBLE))"
+    )
+    return f"""
+    cnm_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    cnm_deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT a AS id FROM cnm_und UNION ALL SELECT b FROM cnm_und
+      ) GROUP BY id
+    ),
+    cnm_m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             coalesce(sum(CAST(d AS HUGEINT)), 0) AS m1,
+             coalesce(sum(CAST(d AS HUGEINT) * d), 0) AS m2
+      FROM cnm_deg
+    ),
+    cnm_t AS (
+      SELECT CAST(3 * count(*) AS BIGINT) AS t3
+      FROM cnm_und e1
+      JOIN cnm_und e2 ON e1.b = e2.a
+      JOIN cnm_und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n AS n_vertices, CAST(m1 // 2 AS BIGINT) AS m_edges,
+           CASE WHEN m2 > m1 THEN round({obs}, 6) END AS observed_gcc,
+           CASE WHEN m1 > 0 THEN round({exp_}, 6) END AS expected_gcc,
+           CASE WHEN m2 > m1 AND m1 > 0 AND {exp_} > 0
+                THEN round(({obs}) / ({exp_}), 6) END AS lift
+    FROM cnm_m CROSS JOIN cnm_t
+    """
