@@ -2737,6 +2737,15 @@ def q_clustering_null_model(spark, sf_dir):
     return st.clustering_null_model(_graph(spark, sf_dir))
 
 
+# ---------------------- wave 135 (tier migration, weekly seasonality)
+def q_tier_migration(spark, sf_dir):
+    return ev.tier_migration(_tbl(spark, sf_dir, "events"))
+
+
+def q_dow_anova(spark, sf_dir):
+    return ev.dow_anova(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2933,8 +2942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. clustering_null_model — all of
-    waves 2-134 plus the r4-green tail, 404 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. dow_anova — all of
+    waves 2-135 plus the r4-green tail, 406 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3504,6 +3513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 134
         "degree_entropy": q_degree_entropy,
         "clustering_null_model": q_clustering_null_model,
+        # wave 135
+        "tier_migration": q_tier_migration,
+        "dow_anova": q_dow_anova,
     }
 
 
@@ -4864,6 +4876,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 134
         "degree_entropy": f"{_G}, {st.degree_entropy_sql()}",
         "clustering_null_model": f"{_G}, {st.clustering_null_model_sql()}",
+        # wave 135
+        "tier_migration": ev.tier_migration_sql(),
+        "dow_anova": ev.dow_anova_sql(),
     }
 
 

@@ -7067,3 +7067,219 @@ def ljung_box_revenue_sql(table: str = "events", max_lag: int = 7) -> str:
              AS reject_white_noise
     FROM lb_c ORDER BY lag
     """
+
+
+# --------------------------------------------------------------- wave 135
+# band edges sit inside the synthetic corpus's half-spend spread
+# (p10 ~ 1171.47, p50 ~ 1606.00, p90 ~ 2234.29 dollars) so the default
+# gate row exercises a real matrix, not one saturated cell
+_TIER_EXPR = (
+    "CASE WHEN cents IS NULL OR cents <= 0 THEN 'none'"
+    " WHEN cents < 130000 THEN 'bronze'"
+    " WHEN cents < 165000 THEN 'silver'"
+    " WHEN cents < 200000 THEN 'gold'"
+    " ELSE 'platinum' END"
+)
+
+
+def tier_migration(events: DataFrame) -> DataFrame:
+    """→ [tier_from, tier_to, n_users, share_of_from] — the customer
+    value-tier MIGRATION matrix between the stream's two time halves
+    (split at the exact floored-median instant, the DiD cutoff
+    convention): where did each first-half tier's customers end up?
+    The lifecycle table behind churn/upgrade narratives — a static
+    tier profile can stay flat while the matrix shows mass churning
+    out of gold and refilling from bronze.
+
+    Semantics: tiers use the FIXED value_tier_profile band edges on
+    each half's per-user spend (exact cents; 'none' = no positive
+    spend in that half), so the matrix is comparable across runs —
+    per-half quantile tiers would re-norm away the drift this table
+    exists to show. Cells with zero users are omitted (the matrix is
+    sparse by nature); share_of_from is the row-normalized staged
+    division, rounded 6.
+
+    Scale shape: one global percentile (broadcast one row), one
+    user-grain aggregate, one ≤25-cell aggregate, a bounded row-sum
+    window over those cells.
+
+    Reference parity: no events surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    cut = events.groupBy().agg(
+        F.expr(
+            "CAST(floor(percentile(unix_micros(CAST(ts AS TIMESTAMP)),"
+            " 0.5D)) AS BIGINT)"
+        ).alias("cut")
+    )
+    per = (
+        events.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(CAST(ts AS TIMESTAMP)) < cut"),
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(CAST(ts AS TIMESTAMP)) >= cut"),
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            ).alias("post"),
+        )
+    )
+    t_from = _TIER_EXPR.replace("cents", "pre")
+    t_to = _TIER_EXPR.replace("cents", "post")
+    cells = per.groupBy(
+        F.expr(t_from).alias("tier_from"), F.expr(t_to).alias("tier_to")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+    w = Window.partitionBy("tier_from")
+    return cells.select(
+        "tier_from",
+        "tier_to",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.sum("n_users").over(w), 6
+        ).alias("share_of_from"),
+    ).orderBy("tier_from", "tier_to")
+
+
+def tier_migration_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`tier_migration` (same fixed band edges,
+    same floored-median cutoff)."""
+    t_from = _TIER_EXPR.replace("cents", "pre")
+    t_to = _TIER_EXPR.replace("cents", "post")
+    return f"""
+    WITH tm_c AS (
+      SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT) AS cut
+      FROM {table}
+    ), tm_u AS (
+      SELECT user_id,
+             sum(CASE WHEN epoch_us(ts) < cut THEN
+               CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS pre,
+             sum(CASE WHEN epoch_us(ts) >= cut THEN
+               CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS post
+      FROM {table} CROSS JOIN tm_c
+      GROUP BY user_id
+    ), tm_cell AS (
+      SELECT ({t_from}) AS tier_from, ({t_to}) AS tier_to,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM tm_u GROUP BY 1, 2
+    )
+    SELECT tier_from, tier_to, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / sum(n_users) OVER (PARTITION BY tier_from), 6)
+             AS share_of_from
+    FROM tm_cell
+    ORDER BY tier_from, tier_to
+    """
+
+
+def dow_anova(events: DataFrame) -> DataFrame:
+    """→ one row [n_days, f_stat, eta_squared] — one-way ANOVA of DAILY
+    revenue across the day-of-week: does the weekly cycle explain the
+    daily variance (η² = the seasonality share), and is F worth a
+    seasonal model at all. The quantitative gate behind a dow_profile
+    eyeball — read before shipping a weekday-seasonal forecast.
+
+    Exactness: daily revenues are exact 1e-4-dollar integers; the
+    day-of-week key is the epoch-day mod 7 (timezone-free and
+    identical in both engines — epoch day 0 was a Thursday, the label
+    doesn't matter for variance decomposition); per-dow (n, Σ, Σ²)
+    are exact, the one rational per-group term a²/n micro-quantizes
+    before the global sum (the supplier-ANOVA convention), and
+    F/η² stage once, rounded 6. NULL when fewer than 2 distinct dows
+    or zero within-group spread.
+
+    Scale shape: one events-grain aggregate to day grain, one 7-row
+    aggregate, a one-row reduce.
+
+    Reference parity: no events surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    day = _epoch_day("ts")
+    d38 = "decimal(38,0)"
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("r"))
+    )
+    per = daily.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.count("*").cast("long").alias("ni"),
+        F.sum(F.col("r").cast(d38)).alias("ai"),
+        F.sum(F.col("r").cast(d38) * F.col("r")).alias("bi"),
+    )
+    s = per.groupBy().agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("ai").alias("a"),
+        F.sum("bi").alias("b"),
+        F.sum(
+            F.expr(
+                "CAST(round(1e6 * CAST(ai AS DOUBLE) * CAST(ai AS DOUBLE)"
+                " / ni, 0) AS decimal(38,0))"
+            )
+        ).alias("gq"),
+    )
+    ssb = (
+        "(CAST(gq AS DOUBLE) / 1e6"
+        " - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / n)"
+    )
+    ssw = "(CAST(b AS DOUBLE) - CAST(gq AS DOUBLE) / 1e6)"
+    sst = (
+        "(CAST(b AS DOUBLE)"
+        " - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / n)"
+    )
+    ok = f"k >= 2 AND n > k AND {ssw} > 0"
+    fstat = f"(({ssb}) / (k - 1.0)) / (({ssw}) / (CAST(n AS DOUBLE) - k))"
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.expr(f"CASE WHEN {ok} THEN round({fstat}, 6) END").alias(
+            "f_stat"
+        ),
+        F.expr(
+            f"CASE WHEN {ok} AND {sst} > 0 THEN"
+            f" round(greatest(0.0, ({ssb}) / ({sst})), 6) END"
+        ).alias("eta_squared"),
+    )
+
+
+def dow_anova_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`dow_anova` (same epoch-day mod-7 key,
+    micro-quantized between-group mass)."""
+    ssb = (
+        "(CAST(gq AS DOUBLE) / 1e6"
+        " - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / n)"
+    )
+    ssw = "(CAST(b AS DOUBLE) - CAST(gq AS DOUBLE) / 1e6)"
+    sst = (
+        "(CAST(b AS DOUBLE)"
+        " - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / n)"
+    )
+    ok = f"k >= 2 AND n > k AND {ssw} > 0"
+    fstat = f"(({ssb}) / (k - 1.0)) / (({ssw}) / (CAST(n AS DOUBLE) - k))"
+    return f"""
+    WITH dwa_d AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS r
+      FROM {table} WHERE value IS NOT NULL GROUP BY 1
+    ), dwa_p AS (
+      SELECT d % 7 AS dow, CAST(count(*) AS BIGINT) AS ni,
+             sum(CAST(r AS HUGEINT)) AS ai,
+             sum(CAST(r AS HUGEINT) * r) AS bi
+      FROM dwa_d GROUP BY 1
+    ), dwa_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+             sum(ai) AS a, sum(bi) AS b,
+             sum(CAST(round(1e6 * CAST(ai AS DOUBLE) * CAST(ai AS DOUBLE)
+                 / ni, 0) AS HUGEINT)) AS gq
+      FROM dwa_p
+    )
+    SELECT n AS n_days,
+           CASE WHEN {ok} THEN round({fstat}, 6) END AS f_stat,
+           CASE WHEN {ok} AND {sst} > 0 THEN
+             round(greatest(0.0, ({ssb}) / ({sst})), 6) END AS eta_squared
+    FROM dwa_s
+    """
