@@ -2746,6 +2746,15 @@ def q_dow_anova(spark, sf_dir):
     return ev.dow_anova(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 136 (co-occurrence PMI, burstiness)
+def q_type_pmi_daily(spark, sf_dir):
+    return ev.type_pmi_daily(_tbl(spark, sf_dir, "events"))
+
+
+def q_burstiness_index(spark, sf_dir):
+    return ev.burstiness_index(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2942,8 +2951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. dow_anova — all of
-    waves 2-135 plus the r4-green tail, 406 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. burstiness_index — all of
+    waves 2-136 plus the r4-green tail, 408 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3516,6 +3525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 135
         "tier_migration": q_tier_migration,
         "dow_anova": q_dow_anova,
+        # wave 136
+        "type_pmi_daily": q_type_pmi_daily,
+        "burstiness_index": q_burstiness_index,
     }
 
 
@@ -4879,6 +4891,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 135
         "tier_migration": ev.tier_migration_sql(),
         "dow_anova": ev.dow_anova_sql(),
+        # wave 136
+        "type_pmi_daily": ev.type_pmi_daily_sql(),
+        "burstiness_index": ev.burstiness_index_sql(),
     }
 
 

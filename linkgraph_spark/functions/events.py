@@ -7283,3 +7283,196 @@ def dow_anova_sql(table: str = "events") -> str:
              round(greatest(0.0, ({ssb}) / ({sst})), 6) END AS eta_squared
     FROM dwa_s
     """
+
+
+# --------------------------------------------------------------- wave 136
+def type_pmi_daily(events: DataFrame) -> DataFrame:
+    """→ [type_a, type_b, n_both, pmi] for type_a < type_b — pointwise
+    mutual information between event types co-occurring within a
+    (user, UTC day) unit: PMI > 0 means the two behaviors cluster in
+    the same day beyond what their base rates predict, < 0 means they
+    repel. The day-grain association read next to the user-grain
+    jaccard — a pair can share USERS heavily yet never share a DAY.
+
+    Exactness: unit counts (N units, per-type day-flags, pair
+    co-occurrences) are exact BIGINTs from one (user, day)-grain
+    aggregate; PMI = ln(n_ab·N / (n_a·n_b)) is ONE staged ln over
+    exact integers (shared literal), rounded 6. Pairs that never
+    co-occur are emitted with n_both = 0 and NULL pmi (−∞ is real
+    information — omitting the row would hide perfect repulsion);
+    the pair lattice densifies from the type dimension.
+
+    Scale shape: one (user, day)-grain aggregate, one bounded
+    type-pair lattice (|types|²/2), broadcast margins.
+
+    Reference parity: no events surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    u = events.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.collect_set("event_type").alias("types")
+    )
+    flags = u.select(F.explode("types").alias("t"))
+    marg = flags.groupBy("t").agg(F.count("*").alias("n"))
+    nn = u.groupBy().agg(F.count("*").cast("long").alias("nn"))
+    pairs = u.select(
+        F.explode("types").alias("ta"), "types"
+    ).select(
+        "ta", F.explode("types").alias("tb")
+    ).where(F.col("ta") < F.col("tb"))
+    co = pairs.groupBy("ta", "tb").agg(F.count("*").alias("n_both"))
+    ma = marg.select(F.col("t").alias("ta"), F.col("n").alias("na"))
+    mb = marg.select(F.col("t").alias("tb"), F.col("n").alias("nb"))
+    lattice = (
+        ma.crossJoin(mb)
+        .where(F.col("ta") < F.col("tb"))
+        .join(co, ["ta", "tb"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "ta",
+            "tb",
+            F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+            "na",
+            "nb",
+            "nn",
+        )
+    )
+    pmi = (
+        "ln(CAST(n_both AS DOUBLE) * nn"
+        " / (CAST(na AS DOUBLE) * nb))"
+    )
+    return lattice.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n_both",
+        F.expr(
+            f"CASE WHEN n_both > 0 THEN round({pmi}, 6) END"
+        ).alias("pmi"),
+    ).orderBy("type_a", "type_b")
+
+
+def type_pmi_daily_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`type_pmi_daily` (same unit grain,
+    densified pair lattice, staged ln)."""
+    pmi = (
+        "ln(CAST(n_both AS DOUBLE) * nn"
+        " / (CAST(na AS DOUBLE) * nb))"
+    )
+    return f"""
+    WITH pmi_u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             list_distinct(list(event_type)) AS types
+      FROM {table} GROUP BY 1, 2
+    ), pmi_f AS (
+      SELECT unnest(types) AS t FROM pmi_u
+    ), pmi_m AS (
+      SELECT t, count(*) AS n FROM pmi_f GROUP BY t
+    ), pmi_n AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn FROM pmi_u
+    ), pmi_p AS (
+      SELECT a.t AS ta, b.t AS tb, count(*) AS n_both
+      FROM (SELECT user_id, d, unnest(types) AS t FROM pmi_u) a
+      JOIN (SELECT user_id, d, unnest(types) AS t FROM pmi_u) b
+        ON a.user_id = b.user_id AND a.d = b.d AND a.t < b.t
+      GROUP BY 1, 2
+    )
+    SELECT ma.t AS type_a, mb.t AS type_b,
+           CAST(coalesce(p.n_both, 0) AS BIGINT) AS n_both,
+           CASE WHEN coalesce(p.n_both, 0) > 0 THEN round(ln(
+             CAST(coalesce(p.n_both, 0) AS DOUBLE) * nn
+             / (CAST(ma.n AS DOUBLE) * mb.n)), 6) END AS pmi
+    FROM pmi_m ma
+    JOIN pmi_m mb ON ma.t < mb.t
+    LEFT JOIN pmi_p p ON p.ta = ma.t AND p.tb = mb.t
+    CROSS JOIN pmi_n
+    ORDER BY type_a, type_b
+    """
+
+
+def burstiness_index(events: DataFrame) -> DataFrame:
+    """→ one row [n_gaps, mean_gap_s, b_index] — the Goh–Barabási
+    burstiness parameter B = (σ−μ)/(σ+μ) over per-user inter-event
+    times (Goh & Barabási, EPL 2008): B → −1 is a metronome, 0 is
+    Poisson, → 1 is extreme burst-and-silence. The single number that
+    says whether per-user activity can be modeled memorylessly —
+    read with :func:`dispersion_daily` (which asks the same question
+    of the aggregate arrival stream, a different null).
+
+    Exactness: gaps are exact integer seconds from one lag window
+    PARTITIONED BY USER (never global); μ and σ come from exact
+    (n, Σg, Σg²) with the population-σ identity n·Σg² − (Σg)², and
+    B is one shared staged chain, rounded 6. NULL when no user has
+    two events or every gap is 0 (σ+μ = 0).
+
+    Scale shape: one user-partitioned lag at event grain, a one-row
+    reduce.
+
+    Reference parity: no events surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))"), "event_id"
+    )
+    g = events.select(
+        "user_id",
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.lag(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull()).select(
+        F.expr("gap_us DIV 1000000").alias("gap")
+    )
+    s = g.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("gap").cast(d38)), F.lit(0).cast(d38)).alias(
+            "sg"
+        ),
+        F.coalesce(
+            F.sum(F.col("gap").cast(d38) * F.col("gap")), F.lit(0).cast(d38)
+        ).alias("sgg"),
+    )
+    mu = "(CAST(sg AS DOUBLE) / n)"
+    sd = (
+        "sqrt((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE)"
+        " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * n))"
+    )
+    ok = f"n >= 1 AND ({sd} + {mu}) > 0"
+    b = f"({sd} - {mu}) / ({sd} + {mu})"
+    return s.select(
+        F.col("n").alias("n_gaps"),
+        F.expr(f"CASE WHEN n >= 1 THEN round({mu}, 6) END").alias(
+            "mean_gap_s"
+        ),
+        F.expr(f"CASE WHEN {ok} THEN round({b}, 6) END").alias("b_index"),
+    )
+
+
+def burstiness_index_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`burstiness_index` (same user-partitioned
+    lag, population-σ identity, shared staged B)."""
+    mu = "(CAST(sg AS DOUBLE) / n)"
+    sd = (
+        "sqrt((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE)"
+        " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * n))"
+    )
+    ok = f"n >= 1 AND ({sd} + {mu}) > 0"
+    b = f"({sd} - {mu}) / ({sd} + {mu})"
+    return f"""
+    WITH bi_g AS (
+      SELECT (epoch_us(ts)
+              - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap
+      FROM {table}
+    ), bi_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             coalesce(sum(CAST(gap AS HUGEINT)), 0) AS sg,
+             coalesce(sum(CAST(gap AS HUGEINT) * gap), 0) AS sgg
+      FROM bi_g WHERE gap IS NOT NULL
+    )
+    SELECT n AS n_gaps,
+           CASE WHEN n >= 1 THEN round({mu}, 6) END AS mean_gap_s,
+           CASE WHEN {ok} THEN round({b}, 6) END AS b_index
+    FROM bi_s
+    """
