@@ -2755,6 +2755,15 @@ def q_burstiness_index(spark, sf_dir):
     return ev.burstiness_index(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 137 (heavy-tail index, survival scalars)
+def q_hill_tail_spend(spark, sf_dir):
+    return rel.hill_tail_spend(_tbl(spark, sf_dir, "orders"))
+
+
+def q_km_rmst(spark, sf_dir):
+    return ev.km_rmst(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2951,8 +2960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. burstiness_index — all of
-    waves 2-136 plus the r4-green tail, 408 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. km_rmst — all of
+    waves 2-137 plus the r4-green tail, 410 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3528,6 +3537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 136
         "type_pmi_daily": q_type_pmi_daily,
         "burstiness_index": q_burstiness_index,
+        # wave 137
+        "hill_tail_spend": q_hill_tail_spend,
+        "km_rmst": q_km_rmst,
     }
 
 
@@ -4894,6 +4906,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 136
         "type_pmi_daily": ev.type_pmi_daily_sql(),
         "burstiness_index": ev.burstiness_index_sql(),
+        # wave 137
+        "hill_tail_spend": rel.hill_tail_spend_sql(),
+        "km_rmst": ev.km_rmst_sql(),
     }
 
 

@@ -7476,3 +7476,184 @@ def burstiness_index_sql(table: str = "events") -> str:
            CASE WHEN {ok} THEN round({b}, 6) END AS b_index
     FROM bi_s
     """
+
+
+def km_rmst(events: DataFrame) -> DataFrame:
+    """→ one row [horizon_day, rmst_days, median_day] — the two scalars
+    a survival CURVE (kaplan_meier_conversion) doesn't hand you
+    directly: the restricted mean survival time (area under S(t) up to
+    the horizon — the honest "average days-to-convert" under
+    censoring; Royston & Parmar 2013 popularized the readout) and the
+    median survival day (first event day where S drops to ≤ 0.5;
+    NULL when the curve never reaches it — a real possibility the
+    naive "median of observed conversion times" hides).
+
+    Determinism: rebuilds the exact K-M frame (same subject
+    construction), keeps the survival log-sum at day grain, and
+    integrates the step function with one lag window over that bounded
+    frame; every S(t) is rounded 6 BEFORE the median comparison (the
+    flag-vs-number rule) and each rectangle's area term is
+    micro-quantized before the sum, so both scalars are
+    order-invariant. Horizon = the last observed day (max duration,
+    event or censor). NULL rmst on an empty subject frame.
+
+    Scale shape: the K-M construction (two user-grain aggregates, a
+    global max), then every window runs on ≤ |days| rows.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    signups = events.where(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("_s_ts"))
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("_p_ts")
+    )
+    first_p = (
+        signups.join(purchases, "user_id", "left")
+        .where(F.col("_p_ts").isNull() | (F.col("_p_ts") > F.col("_s_ts")))
+        .groupBy("user_id", "_s_ts")
+        .agg(F.min("_p_ts").alias("_fp_ts"))
+    )
+    subjects = signups.join(
+        first_p.select("user_id", "_fp_ts"), "user_id", "left"
+    )
+    end = events.agg(F.max("ts").alias("_end"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    dur = subjects.crossJoin(F.broadcast(end)).select(
+        F.col("_fp_ts").isNotNull().alias("_event"),
+        F.floor(
+            (F.coalesce(us("_fp_ts"), us("_end")) - us("_s_ts"))
+            / F.lit(86_400_000_000)
+        ).alias("_day"),
+    )
+    per_day = dur.groupBy("_day").agg(
+        F.sum(F.col("_event").cast("long")).alias("_d"),
+        F.sum((~F.col("_event")).cast("long")).alias("_c"),
+    )
+    total = per_day.agg(
+        F.sum(F.col("_d") + F.col("_c")).alias("_n"),
+        F.max("_day").alias("_hz"),
+    )
+    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        per_day.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_n_risk",
+            F.col("_n")
+            - F.coalesce(F.sum(F.col("_d") + F.col("_c")).over(w), F.lit(0)),
+        )
+        .withColumn(
+            "_lnS",
+            F.sum(
+                F.when(
+                    (F.col("_d") > 0) & (F.col("_d") < F.col("_n_risk")),
+                    F.log(1.0 - F.col("_d") / F.col("_n_risk").cast("double")),
+                ).otherwise(F.lit(0.0))
+            ).over(wcum),
+        )
+        .withColumn(
+            "_dead",
+            F.max((F.col("_d") >= F.col("_n_risk")).cast("int")).over(wcum),
+        )
+        .withColumn(
+            "_s",
+            F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp("_lnS"), 6)
+            ),
+        )
+    )
+    wl = Window.orderBy("_day")
+    seg = risk.select(
+        "_day",
+        "_hz",
+        "_s",
+        F.lag("_day").over(wl).alias("_pd"),
+        F.lag("_s").over(wl).alias("_ps"),
+    ).select(
+        "_hz",
+        "_day",
+        "_s",
+        # rectangle from the previous step day to this one at the
+        # PREVIOUS survival level; the first segment runs from day 0 at
+        # S = 1 (everyone alive before the first transition)
+        F.expr(
+            "CAST(round(1e6 * coalesce(_ps, 1.0)"
+            " * (_day - coalesce(_pd, 0)), 0) AS BIGINT)"
+        ).alias("qarea"),
+    )
+    agg = seg.groupBy("_hz").agg(
+        F.sum("qarea").alias("qa"),
+        F.min(
+            F.when(F.col("_s") <= 0.5, F.col("_day"))
+        ).alias("median_day"),
+        F.max(F.when(F.col("_day") == F.col("_hz"), F.col("_s"))).alias(
+            "_stail"
+        ),
+    )
+    return agg.select(
+        F.col("_hz").cast("long").alias("horizon_day"),
+        F.expr("round(qa / 1e6, 6)").alias("rmst_days"),
+        F.col("median_day").cast("long").alias("median_day"),
+    )
+
+
+def km_rmst_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`km_rmst` (same K-M frame, rounded-S
+    median rule, micro-quantized rectangle areas)."""
+    return f"""
+    WITH kr_s AS (
+      SELECT user_id, min(ts) AS s_ts FROM {table}
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), kr_fp AS (
+      SELECT s.user_id, s.s_ts, min(p.ts) AS fp_ts
+      FROM kr_s s LEFT JOIN {table} p
+        ON p.user_id = s.user_id AND p.event_type = 'purchase'
+       AND p.ts > s.s_ts
+      GROUP BY s.user_id, s.s_ts
+    ), kr_dur AS (
+      SELECT fp_ts IS NOT NULL AS ev,
+             CAST(floor((epoch_us(coalesce(fp_ts,
+                    (SELECT max(ts) FROM {table})))
+                   - epoch_us(s_ts)) / 86400000000) AS BIGINT) AS day
+      FROM kr_fp
+    ), kr_pd AS (
+      SELECT day, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             sum(CASE WHEN ev THEN 0 ELSE 1 END) AS c
+      FROM kr_dur GROUP BY day
+    ), kr_t AS (
+      SELECT sum(d + c) AS n, max(day) AS hz FROM kr_pd
+    ), kr_r AS (
+      SELECT day, d, n, hz,
+             n - coalesce(sum(d + c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM kr_pd CROSS JOIN kr_t
+    ), kr_ln AS (
+      SELECT day, hz,
+             sum(CASE WHEN d > 0 AND d < n_risk
+                      THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                      ELSE 0.0 END) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnS,
+             max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+      FROM kr_r
+    ), kr_sv AS (
+      SELECT day, hz,
+             CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnS), 6) END AS s
+      FROM kr_ln
+    ), kr_seg AS (
+      SELECT day, hz, s,
+             CAST(round(1e6 * coalesce(lag(s) OVER (ORDER BY day), 1.0)
+                  * (day - coalesce(lag(day) OVER (ORDER BY day), 0)), 0)
+               AS BIGINT) AS qarea
+      FROM kr_sv
+    )
+    SELECT CAST(max(hz) AS BIGINT) AS horizon_day,
+           round(sum(qarea) / 1e6, 6) AS rmst_days,
+           CAST(min(CASE WHEN s <= 0.5 THEN day END) AS BIGINT)
+             AS median_day
+    FROM kr_seg
+    """

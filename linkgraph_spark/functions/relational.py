@@ -4119,3 +4119,100 @@ def order_aging_profile_sql(table: str = "orders") -> str:
            max(age) AS max_age
     FROM oap_g GROUP BY priority ORDER BY priority
     """
+
+
+# --------------------------------------------------------------- wave 137
+def hill_tail_spend(orders: DataFrame, k: int = 50) -> DataFrame:
+    """→ one row [k_used, xmin, alpha] — the Hill estimator (Hill 1975)
+    of the Pareto tail index of per-customer spend over the top-``k``
+    order statistics: α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎). The heavy-tail
+    EXPONENT to quote next to :func:`gini_spend`'s concentration and
+    kernels/stats.py `degree_powerlaw`'s histogram fit — α ≤ 2 means
+    the spend variance is effectively infinite and every mean-based
+    whale forecast is fiction.
+
+    Determinism: the top-(k+1) spenders come from ONE TakeOrdered pass
+    with exact-cent values and custkey tie-break (never a global
+    window); each ln(xᵢ/x_min) term is micro-nat-quantized before the
+    sum so α̂ is order-invariant; the estimate stages once, rounded 6.
+    NULL when fewer than k+1 positive-spend customers or when all top
+    values tie x_min (zero log-sum — the tail is degenerate, not
+    Pareto).
+
+    Scale shape: one customer-grain aggregate, a TakeOrdered(k+1), a
+    broadcast of the (k+1)-th value, a k-row reduce.
+
+    Reference parity: no stats surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    kk = int(k)
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "x"
+        )
+    ).where(F.col("x") > 0)
+    top = cust.orderBy(F.desc("x"), F.asc("o_custkey")).limit(kk + 1)
+    xmin = top.orderBy(F.asc("x"), F.desc("o_custkey")).limit(1).select(
+        F.col("x").alias("xmin")
+    )
+    s = (
+        top.crossJoin(F.broadcast(xmin))
+        .where(F.col("x") > F.col("xmin"))
+        .groupBy("xmin")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.sum(
+                F.expr(
+                    "CAST(round(1e6 * ln(CAST(x AS DOUBLE)"
+                    " / CAST(xmin AS DOUBLE)), 0) AS BIGINT)"
+                )
+            ).alias("ql"),
+        )
+    )
+    nct = cust.groupBy().agg(F.count("*").cast("long").alias("nc"))
+    out = nct.join(s, how="left_outer", on=F.lit(True))
+    return out.select(
+        F.coalesce(F.col("k_used"), F.lit(0)).alias("k_used"),
+        F.expr(
+            "CASE WHEN xmin IS NOT NULL THEN"
+            " round(CAST(xmin AS DOUBLE) / 100.0, 6) END"
+        ).alias("xmin"),
+        F.expr(
+            f"CASE WHEN nc >= {kk + 1} AND ql > 0 THEN"
+            f" round(CAST(k_used AS DOUBLE) / (ql / 1e6), 6) END"
+        ).alias("alpha"),
+    )
+
+
+def hill_tail_spend_sql(table: str = "orders", k: int = 50) -> str:
+    """DuckDB oracle for :func:`hill_tail_spend` (same TakeOrdered
+    frame, micro-nat quantized log terms)."""
+    kk = int(k)
+    return f"""
+    WITH ht_c AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+      FROM {table} GROUP BY o_custkey HAVING sum(
+        CAST(round(o_totalprice * 100, 0) AS BIGINT)) > 0
+    ), ht_top AS (
+      SELECT o_custkey, x FROM ht_c
+      ORDER BY x DESC, o_custkey ASC LIMIT {kk + 1}
+    ), ht_min AS (
+      SELECT x AS xmin FROM ht_top
+      ORDER BY x ASC, o_custkey DESC LIMIT 1
+    ), ht_s AS (
+      SELECT xmin, CAST(count(*) AS BIGINT) AS k_used,
+             sum(CAST(round(1e6 * ln(CAST(x AS DOUBLE)
+                 / CAST(xmin AS DOUBLE)), 0) AS BIGINT)) AS ql
+      FROM ht_top CROSS JOIN ht_min
+      WHERE x > xmin GROUP BY xmin
+    ), ht_n AS (
+      SELECT CAST(count(*) AS BIGINT) AS nc FROM ht_c
+    )
+    SELECT coalesce(k_used, 0) AS k_used,
+           CASE WHEN xmin IS NOT NULL THEN
+             round(CAST(xmin AS DOUBLE) / 100.0, 6) END AS xmin,
+           CASE WHEN nc >= {kk + 1} AND ql > 0 THEN
+             round(CAST(k_used AS DOUBLE) / (ql / 1e6), 6) END AS alpha
+    FROM ht_n LEFT JOIN ht_s ON TRUE
+    """
