@@ -2764,6 +2764,11 @@ def q_km_rmst(spark, sf_dir):
     return ev.km_rmst(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 138 (unseen-vocabulary estimator)
+def q_chao1_vocab(spark, sf_dir):
+    return tx.chao1_vocab(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2960,8 +2965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. km_rmst — all of
-    waves 2-137 plus the r4-green tail, 410 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. chao1_vocab — all of
+    waves 2-138 plus the r4-green tail, 411 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3540,6 +3545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 137
         "hill_tail_spend": q_hill_tail_spend,
         "km_rmst": q_km_rmst,
+        # wave 138
+        "chao1_vocab": q_chao1_vocab,
     }
 
 
@@ -4909,6 +4916,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 137
         "hill_tail_spend": rel.hill_tail_spend_sql(),
         "km_rmst": ev.km_rmst_sql(),
+        # wave 138
+        "chao1_vocab": tx.chao1_vocab_sql(),
     }
 
 

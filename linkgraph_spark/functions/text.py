@@ -4159,3 +4159,102 @@ def chunking_plan_sql(
     FROM chp_o
     GROUP BY lang ORDER BY lang
     """
+
+
+# --------------------------------------------------------------- wave 138
+def chao1_vocab(documents: DataFrame) -> DataFrame:
+    """→ [source, n_tokens, v_obs, f1, f2, chao1, chao1_se] — the Chao1
+    nonparametric richness estimator (Chao 1984) per ingest source:
+    how many DISTINCT terms does this source's true vocabulary hold,
+    including the ones the sample hasn't shown yet —
+    Chao1 = V + F₁²/(2F₂) from the singleton/doubleton counts, with
+    the classical SE (Chao 1987). The "how much vocabulary is still
+    unseen" capacity read next to vocab_richness's observed mass and
+    gt_unseen_mass's probability view; a source whose chao1 ≫ v_obs
+    is still yielding new tokens and its crawl shouldn't stop.
+
+    Exactness: term frequencies, V, F₁, F₂ are exact BIGINTs from the
+    (source, term) aggregate; the bias-corrected form
+    F₁(F₁−1)/(2(F₂+1)) applies when F₂ = 0 (the standard convention,
+    documented — never a division by zero); chao1 and its SE are ONE
+    shared literal staged chain over (v, f1, f2), rounded 6. SE is
+    NULL when F₂ = 0 (the ratio moments are undefined there).
+
+    Scale shape: token explode → one (source, term) aggregate → one
+    source-grain reduce over the frequency-of-frequency cells.
+
+    Reference parity: no text surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = documents.select(
+        "source", F.explode(F.split(norm, " ")).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("m"))
+    s = tf.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("v_obs"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).cast("long").alias(
+            "f1"
+        ),
+        F.sum(F.when(F.col("m") == 2, 1).otherwise(0)).cast("long").alias(
+            "f2"
+        ),
+    )
+    chao = (
+        "CASE WHEN f2 > 0 THEN"
+        " v_obs + CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)"
+        " ELSE v_obs + CAST(f1 AS DOUBLE) * (f1 - 1.0) / 2.0 END"
+    )
+    r = "(CAST(f1 AS DOUBLE) / f2)"
+    se = (
+        f"sqrt(f2 * (0.5 * {r} * {r} + {r} * {r} * {r}"
+        f" + 0.25 * {r} * {r} * {r} * {r}))"
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "v_obs",
+        "f1",
+        "f2",
+        F.expr(f"round({chao}, 6)").alias("chao1"),
+        F.expr(
+            f"CASE WHEN f2 > 0 THEN round({se}, 6) END"
+        ).alias("chao1_se"),
+    ).orderBy("source")
+
+
+def chao1_vocab_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`chao1_vocab` (same tokenizer, same
+    bias-corrected branch and SE chain)."""
+    chao = (
+        "CASE WHEN f2 > 0 THEN"
+        " v_obs + CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)"
+        " ELSE v_obs + CAST(f1 AS DOUBLE) * (f1 - 1.0) / 2.0 END"
+    )
+    r = "(CAST(f1 AS DOUBLE) / f2)"
+    se = (
+        f"sqrt(f2 * (0.5 * {r} * {r} + {r} * {r} * {r}"
+        f" + 0.25 * {r} * {r} * {r} * {r}))"
+    )
+    return f"""
+    WITH ch_tok AS (
+      SELECT source,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+               AS term
+      FROM {table}
+    ), ch_tf AS (
+      SELECT source, term, count(*) AS m FROM ch_tok GROUP BY 1, 2
+    ), ch_s AS (
+      SELECT source, CAST(sum(m) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS v_obs,
+             CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM ch_tf GROUP BY source
+    )
+    SELECT source, n_tokens, v_obs, f1, f2,
+           round({chao}, 6) AS chao1,
+           CASE WHEN f2 > 0 THEN round({se}, 6) END AS chao1_se
+    FROM ch_s ORDER BY source
+    """
