@@ -2769,6 +2769,17 @@ def q_chao1_vocab(spark, sf_dir):
     return tx.chao1_vocab(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 139 (return-delay trend, stickiness)
+def q_return_delay_trend(spark, sf_dir):
+    return rel.return_delay_trend(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def q_stickiness_ratio(spark, sf_dir):
+    return ev.stickiness_ratio(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2965,8 +2976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. chao1_vocab — all of
-    waves 2-138 plus the r4-green tail, 411 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. stickiness_ratio — all of
+    waves 2-139 plus the r4-green tail, 413 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3547,6 +3558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_rmst": q_km_rmst,
         # wave 138
         "chao1_vocab": q_chao1_vocab,
+        # wave 139
+        "return_delay_trend": q_return_delay_trend,
+        "stickiness_ratio": q_stickiness_ratio,
     }
 
 
@@ -4918,6 +4932,9 @@ def oracle_sql() -> dict[str, str]:
         "km_rmst": ev.km_rmst_sql(),
         # wave 138
         "chao1_vocab": tx.chao1_vocab_sql(),
+        # wave 139
+        "return_delay_trend": rel.return_delay_trend_sql(),
+        "stickiness_ratio": ev.stickiness_ratio_sql(),
     }
 
 

@@ -7657,3 +7657,81 @@ def km_rmst_sql(table: str = "events") -> str:
              AS median_day
     FROM kr_seg
     """
+
+
+def stickiness_ratio(events: DataFrame) -> DataFrame:
+    """→ one row [n_days, window_users, avg_dau, stickiness] — the
+    DAU/MAU-style stickiness of the event stream over its own horizon:
+    average daily active users divided by the window's distinct users.
+    1.0 means everyone shows up every day; 1/n_days means each user
+    appears once — the single engagement-quality scalar product
+    reviews anchor on (the estimand here uses the WHOLE stream window
+    as the "month", documented — the synthetic horizon is ~a month).
+    The one-row MAU-denominator summary of what :func:`dau_wau` tracks
+    as a daily DAU/WAU series — different denominator, different use:
+    this is the quarter-report scalar, that is the ops dashboard.
+
+    Exactness: per-day distinct-user counts and the window's distinct
+    users are exact BIGINTs; avg_dau and stickiness are staged
+    divisions rounded 6. NULL on an empty stream.
+
+    Scale shape: one (day, user) distinct aggregate, one day-grain
+    count, one global distinct count, a one-row combine.
+
+    Reference parity: no events surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    du = events.select(
+        _epoch_day("ts").alias("d"), "user_id"
+    ).distinct()
+    daily = du.groupBy("d").agg(F.count("*").alias("dau"))
+    d38 = "decimal(38,0)"
+    a = daily.groupBy().agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.coalesce(F.sum(F.col("dau").cast(d38)), F.lit(0).cast(d38)).alias(
+            "sdau"
+        ),
+    )
+    wu = du.select("user_id").distinct().groupBy().agg(
+        F.count("*").cast("long").alias("window_users")
+    )
+    return a.crossJoin(wu).select(
+        "n_days",
+        "window_users",
+        F.expr(
+            "CASE WHEN n_days > 0 THEN"
+            " round(CAST(sdau AS DOUBLE) / n_days, 6) END"
+        ).alias("avg_dau"),
+        F.expr(
+            "CASE WHEN n_days > 0 AND window_users > 0 THEN"
+            " round(CAST(sdau AS DOUBLE) / n_days / window_users, 6) END"
+        ).alias("stickiness"),
+    )
+
+
+def stickiness_ratio_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`stickiness_ratio` (same distinct
+    grains, staged ratios)."""
+    return f"""
+    WITH st_du AS (
+      SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+               AS d, user_id
+      FROM {table}
+    ), st_daily AS (
+      SELECT d, count(*) AS dau FROM st_du GROUP BY d
+    ), st_a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             coalesce(sum(CAST(dau AS HUGEINT)), 0) AS sdau
+      FROM st_daily
+    ), st_w AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS window_users
+      FROM st_du
+    )
+    SELECT n_days, window_users,
+           CASE WHEN n_days > 0 THEN
+             round(CAST(sdau AS DOUBLE) / n_days, 6) END AS avg_dau,
+           CASE WHEN n_days > 0 AND window_users > 0 THEN
+             round(CAST(sdau AS DOUBLE) / n_days / window_users, 6) END
+             AS stickiness
+    FROM st_a CROSS JOIN st_w
+    """

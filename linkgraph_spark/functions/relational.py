@@ -4216,3 +4216,114 @@ def hill_tail_spend_sql(table: str = "orders", k: int = 50) -> str:
              round(CAST(k_used AS DOUBLE) / (ql / 1e6), 6) END AS alpha
     FROM ht_n LEFT JOIN ht_s ON TRUE
     """
+
+
+# --------------------------------------------------------------- wave 139
+def return_delay_trend(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """→ one row [n_lines, n_returned, z, significant] — the
+    Cochran–Armitage trend test asking whether RETURN probability
+    rises with shipping delay, doses = ordered delay buckets
+    (0-2 / 3-5 / 6-10 / 11+ days, scores 0..3), outcome =
+    l_returnflag = 'R'. The logistics causal smoking gun: a
+    significant positive z says slow fulfilment is costing
+    merchandise, not just goodwill.
+
+    Exactness: day gaps and bucket scores are exact integers; the CA
+    closed form squares only SUMS (the wave-121 convention), so
+    everything before the final z stays DECIMAL(38,0)/HUGEINT; z is
+    one shared staged chain, rounded 6, NULL when returns are
+    all-or-nothing or all lines share one bucket; ``significant``
+    compares the ROUNDED |z| to 1.959964.
+
+    Scale shape: one pk-fk join at lineitem grain, one 4-row bucket
+    aggregate, a one-row reduce.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    g = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).cast("long").alias("gap"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    tier = (
+        "CASE WHEN gap <= 2 THEN 0 WHEN gap <= 5 THEN 1"
+        " WHEN gap <= 10 THEN 2 ELSE 3 END"
+    )
+    t = g.groupBy(F.expr(tier).alias("s")).agg(
+        F.count("*").alias("nk"), F.sum("y").alias("rk")
+    )
+    m = t.groupBy().agg(
+        F.sum("nk").cast("long").alias("nn"),
+        F.sum("rk").cast("long").alias("rr"),
+        F.sum(F.col("s").cast(d38) * F.col("nk")).alias("ssn"),
+        F.sum(F.col("s").cast(d38) * F.col("rk")).alias("ssr"),
+        F.sum(F.col("s").cast(d38) * F.col("s") * F.col("nk")).alias("sns2"),
+    ).withColumn(
+        "tn",
+        F.col("nn").cast(d38) * F.col("ssr")
+        - F.col("rr").cast(d38) * F.col("ssn"),
+    ).withColumn(
+        "mm",
+        F.col("nn").cast(d38) * F.col("sns2") - F.col("ssn") * F.col("ssn"),
+    )
+    ok = "rr > 0 AND rr < nn AND mm > 0"
+    z = (
+        "CAST(tn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))"
+        " / sqrt(CAST(rr AS DOUBLE) * (nn - rr) * CAST(mm AS DOUBLE))"
+    )
+    return m.select(
+        F.col("nn").alias("n_lines"),
+        F.col("rr").alias("n_returned"),
+        F.expr(f"CASE WHEN {ok} THEN round({z}, 6) END").alias("z"),
+        F.expr(
+            f"CASE WHEN {ok} THEN abs(round({z}, 6)) > 1.959964 END"
+        ).alias("significant"),
+    )
+
+
+def return_delay_trend_sql(
+    lineitem: str = "lineitem", orders: str = "orders"
+) -> str:
+    """DuckDB oracle for :func:`return_delay_trend` (same buckets, same
+    exact CA moments)."""
+    tier = (
+        "CASE WHEN gap <= 2 THEN 0 WHEN gap <= 5 THEN 1"
+        " WHEN gap <= 10 THEN 2 ELSE 3 END"
+    )
+    ok = "rr > 0 AND rr < nn AND mm > 0"
+    z = (
+        "CAST(tn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))"
+        " / sqrt(CAST(rr AS DOUBLE) * (nn - rr) * CAST(mm AS DOUBLE))"
+    )
+    return f"""
+    WITH rdt_g AS (
+      SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                  CAST(l_shipdate AS DATE)) AS BIGINT) AS gap,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+    ), rdt_t AS (
+      SELECT ({tier}) AS s, count(*) AS nk, sum(y) AS rk
+      FROM rdt_g GROUP BY 1
+    ), rdt_m AS (
+      SELECT CAST(sum(nk) AS BIGINT) AS nn, CAST(sum(rk) AS BIGINT) AS rr,
+             sum(CAST(s AS HUGEINT) * nk) AS ssn,
+             sum(CAST(s AS HUGEINT) * rk) AS ssr,
+             sum(CAST(s AS HUGEINT) * s * nk) AS sns2
+      FROM rdt_t
+    ), rdt_f AS (
+      SELECT nn, rr,
+             CAST(nn AS HUGEINT) * ssr - CAST(rr AS HUGEINT) * ssn AS tn,
+             CAST(nn AS HUGEINT) * sns2 - ssn * ssn AS mm
+      FROM rdt_m
+    )
+    SELECT nn AS n_lines, rr AS n_returned,
+           CASE WHEN {ok} THEN round({z}, 6) END AS z,
+           CASE WHEN {ok} THEN abs(round({z}, 6)) > 1.959964 END
+             AS significant
+    FROM rdt_f
+    """
