@@ -2780,6 +2780,11 @@ def q_stickiness_ratio(spark, sf_dir):
     return ev.stickiness_ratio(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 140 (Gini with jackknife interval)
+def q_gini_jackknife(spark, sf_dir):
+    return rel.gini_jackknife(_tbl(spark, sf_dir, "orders"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2976,8 +2981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. stickiness_ratio — all of
-    waves 2-139 plus the r4-green tail, 413 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. gini_jackknife — all of
+    waves 2-140 plus the r4-green tail, 414 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3561,6 +3566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 139
         "return_delay_trend": q_return_delay_trend,
         "stickiness_ratio": q_stickiness_ratio,
+        # wave 140
+        "gini_jackknife": q_gini_jackknife,
     }
 
 
@@ -4935,6 +4942,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 139
         "return_delay_trend": rel.return_delay_trend_sql(),
         "stickiness_ratio": ev.stickiness_ratio_sql(),
+        # wave 140
+        "gini_jackknife": rel.gini_jackknife_sql(),
     }
 
 

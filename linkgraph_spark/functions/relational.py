@@ -4327,3 +4327,175 @@ def return_delay_trend_sql(
              AS significant
     FROM rdt_f
     """
+
+
+# --------------------------------------------------------------- wave 140
+def gini_jackknife(orders: DataFrame) -> DataFrame:
+    """→ one row [n_customers, gini, se, ci_lo, ci_hi] — the Gini of
+    per-customer spend WITH a delete-one jackknife standard error
+    (Efron 1982's estimator; the standard way to put an interval on a
+    Gini) and the normal 95% CI. A Gini without an SE invites
+    over-reading quarter-to-quarter wiggles; this is the honest
+    version of :func:`gini_spend`.
+
+    The scale trick — the jackknife runs at HISTOGRAM grain, not
+    customer grain: deleting a member of a tied value cell changes
+    Σrᵢxᵢ by −r·x − (mass above r), and the rank terms CANCEL within
+    the cell (−r·x + (r−lo+1)·x = x·(1−lo)), so every member of a cell
+    shares one leave-one-out Gini. Each cell's G₍ᵢ₎ stages from exact
+    DECIMAL(38,0)/HUGEINT aggregates (srx, ss, n, the cell's prefix
+    mass and lo), is NANO-quantized, and the weighted jackknife
+    moments are exact integer sums — SE and CI stage once, rounded 6.
+    NULL se/ci when n < 2 or total spend is 0; a uniform ledger
+    reports se = 0 exactly.
+
+    Scale shape: one customer-grain aggregate, one histogram-grain
+    cumulative window, a histogram-grain map, two one-row reduces.
+
+    Reference parity: extends :func:`gini_spend`; no stats surface in
+    the reference (pagerank_lambda/dynamodb/pagerank.py:51-99).
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "x"
+        )
+    )
+    h = cust.groupBy("x").agg(F.count("*").alias("c"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cells = h.select(
+        "x",
+        "c",
+        F.sum("c").over(w).alias("hi"),
+        F.sum(F.col("c").cast(d38) * F.col("x")).over(w).alias("cumx"),
+    ).withColumn("lo", F.col("hi") - F.col("c") + 1)
+    base = cells.groupBy().agg(
+        F.coalesce(F.max("hi"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.max("cumx"), F.lit(0).cast(d38)).alias("ss"),
+        F.coalesce(
+            F.sum(F.expr("CAST(x AS decimal(38,0)) * (lo + hi) * c DIV 2")),
+            F.lit(0).cast(d38),
+        ).alias("srx"),
+    )
+    gini = (
+        "(2.0 * CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1)"
+        " * CAST(ss AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE))"
+    )
+    # leave-one-out per cell: srx' = srx - ss + prefix_before + x*(1 - lo)
+    gdel = (
+        "(2.0 * (CAST(srx AS DOUBLE) - CAST(ss AS DOUBLE)"
+        "  + (CAST(cumx AS DOUBLE) - CAST(c AS DOUBLE) * x)"
+        "  + CAST(x AS DOUBLE) * (1 - lo))"
+        " - CAST(n AS DOUBLE) * (CAST(ss AS DOUBLE) - x))"
+        " / ((CAST(n AS DOUBLE) - 1) * (CAST(ss AS DOUBLE) - x))"
+    )
+    per = (
+        cells.crossJoin(F.broadcast(base))
+        .where(F.expr("ss - x > 0 AND n >= 2"))
+        .select(
+            "c",
+            F.expr(
+                f"CAST(round(1e9 * ({gdel}), 0) AS decimal(38,0))"
+            ).alias("q"),
+        )
+    )
+    jk = per.groupBy().agg(
+        F.coalesce(F.sum(F.col("c").cast(d38)), F.lit(0).cast(d38)).alias(
+            "cn"
+        ),
+        F.coalesce(
+            F.sum(F.col("c").cast(d38) * F.col("q")), F.lit(0).cast(d38)
+        ).alias("sq"),
+        F.coalesce(
+            F.sum(F.col("c").cast(d38) * F.col("q") * F.col("q")),
+            F.lit(0).cast(d38),
+        ).alias("sqq"),
+    )
+    se = (
+        "sqrt((CAST(n AS DOUBLE) - 1)"
+        " * (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)"
+        "    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)))"
+        " / (CAST(n AS DOUBLE) * 1e9)"
+    )
+    ok = "n >= 2 AND ss > 0 AND cn = n"
+    return base.crossJoin(jk).select(
+        F.col("n").alias("n_customers"),
+        F.expr(
+            f"CASE WHEN n > 0 AND ss > 0 THEN round({gini}, 6) END"
+        ).alias("gini"),
+        F.expr(f"CASE WHEN {ok} THEN round({se}, 6) END").alias("se"),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" round(({gini}) - 1.959964 * ({se}), 6) END"
+        ).alias("ci_lo"),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" round(({gini}) + 1.959964 * ({se}), 6) END"
+        ).alias("ci_hi"),
+    )
+
+
+def gini_jackknife_sql(table: str = "orders") -> str:
+    """DuckDB oracle for :func:`gini_jackknife` (same cell-grain
+    leave-one-out identity, nano-quantized G₍ᵢ₎)."""
+    gini = (
+        "(2.0 * CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1)"
+        " * CAST(ss AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE))"
+    )
+    gdel = (
+        "(2.0 * (CAST(srx AS DOUBLE) - CAST(ss AS DOUBLE)"
+        "  + (CAST(cumx AS DOUBLE) - CAST(c AS DOUBLE) * x)"
+        "  + CAST(x AS DOUBLE) * (1 - lo))"
+        " - CAST(n AS DOUBLE) * (CAST(ss AS DOUBLE) - x))"
+        " / ((CAST(n AS DOUBLE) - 1) * (CAST(ss AS DOUBLE) - x))"
+    )
+    se = (
+        "sqrt((CAST(n AS DOUBLE) - 1)"
+        " * (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)"
+        "    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)))"
+        " / (CAST(n AS DOUBLE) * 1e9)"
+    )
+    ok = "n >= 2 AND ss > 0 AND cn = n"
+    return f"""
+    WITH gj_c AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+      FROM {table} GROUP BY o_custkey
+    ), gj_h AS (
+      SELECT x, count(*) AS c FROM gj_c GROUP BY x
+    ), gj_cells AS (
+      SELECT x, c,
+             sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             sum(CAST(c AS HUGEINT) * x) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumx
+      FROM gj_h
+    ), gj_l AS (
+      SELECT x, c, hi, cumx, hi - c + 1 AS lo FROM gj_cells
+    ), gj_b AS (
+      SELECT CAST(coalesce(max(hi), 0) AS BIGINT) AS n,
+             coalesce(max(cumx), 0) AS ss,
+             coalesce(sum(CAST(x AS HUGEINT) * (lo + hi) * c // 2), 0)
+               AS srx
+      FROM gj_l
+    ), gj_per AS (
+      SELECT c, CAST(round(1e9 * ({gdel}), 0) AS HUGEINT) AS q
+      FROM gj_l CROSS JOIN gj_b
+      WHERE ss - x > 0 AND n >= 2
+    ), gj_jk AS (
+      SELECT coalesce(sum(CAST(c AS HUGEINT)), 0) AS cn,
+             coalesce(sum(CAST(c AS HUGEINT) * q), 0) AS sq,
+             coalesce(sum(CAST(c AS HUGEINT) * q * q), 0) AS sqq
+      FROM gj_per
+    )
+    SELECT n AS n_customers,
+           CASE WHEN n > 0 AND ss > 0 THEN round({gini}, 6) END AS gini,
+           CASE WHEN {ok} THEN round({se}, 6) END AS se,
+           CASE WHEN {ok} THEN
+             round(({gini}) - 1.959964 * ({se}), 6) END AS ci_lo,
+           CASE WHEN {ok} THEN
+             round(({gini}) + 1.959964 * ({se}), 6) END AS ci_hi
+    FROM gj_b CROSS JOIN gj_jk
+    """
