@@ -2785,6 +2785,17 @@ def q_gini_jackknife(spark, sf_dir):
     return rel.gini_jackknife(_tbl(spark, sf_dir, "orders"))
 
 
+# ---------------------- wave 141 (shrinkage means, dedup design effect)
+def q_js_brand_price(spark, sf_dir):
+    return rel.js_brand_price(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_dedup_effective_n(spark, sf_dir):
+    return dd.dedup_effective_n(_tbl(spark, sf_dir, "documents"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2981,8 +2992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. gini_jackknife — all of
-    waves 2-140 plus the r4-green tail, 414 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. dedup_effective_n — all of
+    waves 2-141 plus the r4-green tail, 416 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3568,6 +3579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness_ratio": q_stickiness_ratio,
         # wave 140
         "gini_jackknife": q_gini_jackknife,
+        # wave 141
+        "js_brand_price": q_js_brand_price,
+        "dedup_effective_n": q_dedup_effective_n,
     }
 
 
@@ -4944,6 +4958,9 @@ def oracle_sql() -> dict[str, str]:
         "stickiness_ratio": ev.stickiness_ratio_sql(),
         # wave 140
         "gini_jackknife": rel.gini_jackknife_sql(),
+        # wave 141
+        "js_brand_price": rel.js_brand_price_sql(),
+        "dedup_effective_n": dd.dedup_effective_n_sql(),
     }
 
 

@@ -1885,3 +1885,81 @@ def dedup_token_savings_sql(
              AS token_savings
     FROM dts_tot CROSS JOIN dts_k
     """
+
+
+def dedup_effective_n(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """→ one row [n_kept, sum_w, n_eff, efficiency] — the Kish
+    effective sample size (Kish 1965) of the deduplicated corpus under
+    cluster-size loss re-weighting: n_eff = (Σw)²/Σw² over the keeper
+    weights from :func:`dedup_corpus`. Re-weighting keeps the token
+    DISTRIBUTION honest but costs statistical efficiency — n_eff says
+    how many equally-weighted documents the weighted corpus is really
+    worth, and ``efficiency`` = n_eff/n_kept is the design-effect
+    penalty a training-data ablation should report.
+
+    Exactness: weights are exact BIGINT cluster sizes; Σw and Σw² are
+    exact DECIMAL(38,0)/HUGEINT; n_eff and efficiency stage once,
+    rounded 6. A dup-free corpus reports efficiency = 1.0 exactly;
+    empty corpora report NULL.
+
+    Scale shape: the near-dup closure (scale-safe per SCALE.md), then
+    one one-row reduce over the keeper frame.
+
+    Reference parity: no dedup surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    kept = dedup_corpus(documents, threshold)
+    s = kept.groupBy().agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.col("cluster_size").cast(d38)), F.lit(0).cast(d38)
+        ).alias("sw"),
+        F.coalesce(
+            F.sum(F.col("cluster_size").cast(d38) * F.col("cluster_size")),
+            F.lit(0).cast(d38),
+        ).alias("sww"),
+    )
+    neff = (
+        "CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)"
+    )
+    return s.select(
+        "n_kept",
+        F.col("sw").cast("long").alias("sum_w"),
+        F.expr(
+            f"CASE WHEN sww > 0 THEN round({neff}, 6) END"
+        ).alias("n_eff"),
+        F.expr(
+            f"CASE WHEN sww > 0 AND n_kept > 0 THEN"
+            f" round(({neff}) / n_kept, 6) END"
+        ).alias("efficiency"),
+    )
+
+
+def dedup_effective_n_sql(
+    table: str = "documents", threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for :func:`dedup_effective_n` (same keeper frame,
+    exact weight moments)."""
+    neff = (
+        "CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)"
+    )
+    return f"""
+    WITH den_k AS (
+      SELECT doc_id, cluster_size
+      FROM ({dedup_corpus_sql(table, threshold)})
+    ), den_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_kept,
+             coalesce(sum(CAST(cluster_size AS HUGEINT)), 0) AS sw,
+             coalesce(sum(CAST(cluster_size AS HUGEINT) * cluster_size), 0)
+               AS sww
+      FROM den_k
+    )
+    SELECT n_kept, CAST(sw AS BIGINT) AS sum_w,
+           CASE WHEN sww > 0 THEN round({neff}, 6) END AS n_eff,
+           CASE WHEN sww > 0 AND n_kept > 0 THEN
+             round(({neff}) / n_kept, 6) END AS efficiency
+    FROM den_s
+    """

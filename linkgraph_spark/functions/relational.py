@@ -4499,3 +4499,146 @@ def gini_jackknife_sql(table: str = "orders") -> str:
              round(({gini}) + 1.959964 * ({se}), 6) END AS ci_hi
     FROM gj_b CROSS JOIN gj_jk
     """
+
+
+# --------------------------------------------------------------- wave 141
+def js_brand_price(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """→ [brand, n_lines, raw_mean, shrunk_mean] — James–Stein
+    shrinkage of per-brand mean line price toward the grand mean
+    (James & Stein 1961; the Efron–Morris 1975 batting-average
+    recipe): each brand's mean moves toward the pooled mean by a
+    factor 1 − (k−3)·σ̂²/Σ(mᵢ−m̄)², where σ̂² is the mean squared
+    standard error of a brand mean. The dominance theorem's point —
+    for k ≥ 4 the shrunk table beats the raw means in total squared
+    error — applied where a merchandiser actually reads means from
+    noisy small brands. Positive-part rule: the factor clamps at 0.
+
+    Exactness: per-brand (n, Σcents, Σcents²) are exact; every
+    per-brand double (its mean, its squared deviation contribution,
+    its variance term) is MICRO-QUANTIZED before the cross-brand sums
+    so the shrink factor is order-invariant; the factor and shrunk
+    means stage once from those integers, rounded 6. With k < 4 the
+    estimator does not dominate — raw means are returned and
+    shrunk_mean = raw_mean (documented); zero between-brand spread
+    shrinks fully to the grand mean.
+
+    Scale shape: one pk-fk join + brand-grain aggregate (bounded 25
+    rows), two one-row reduces, a broadcast back.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    per = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("ni"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                .cast(d38)
+            ).alias("ai"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                .cast(d38)
+                * F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("bi"),
+        )
+    )
+    tot = per.groupBy().agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("ai").alias("a"),
+    )
+    mean_i = "(CAST(ai AS DOUBLE) / ni)"
+    gmean = "(CAST(a AS DOUBLE) / n)"
+    # per-brand sampling variance of the mean: s_i^2 / n_i with the
+    # n-scaled identity; quantized to micro-cents^2
+    vterm = (
+        f"CASE WHEN ni >= 2 THEN"
+        f" ((CAST(ni AS DOUBLE) * CAST(bi AS DOUBLE)"
+        f"   - CAST(ai AS DOUBLE) * CAST(ai AS DOUBLE))"
+        f"  / (CAST(ni AS DOUBLE) * (ni - 1.0))) / ni"
+        f" ELSE 0.0 END"
+    )
+    dev = f"({mean_i} - {gmean})"
+    j = per.crossJoin(F.broadcast(tot))
+    moms = j.groupBy().agg(
+        F.coalesce(
+            F.sum(F.expr(f"CAST(round(1e6 * ({vterm}), 0) AS {d38})")),
+            F.lit(0).cast(d38),
+        ).alias("qv"),
+        F.coalesce(
+            F.sum(
+                F.expr(f"CAST(round(1e6 * {dev} * {dev}, 0) AS {d38})")
+            ),
+            F.lit(0).cast(d38),
+        ).alias("qd"),
+    )
+    factor = (
+        "greatest(0.0, 1.0 - (CAST(k AS DOUBLE) - 3.0)"
+        " * (CAST(qv AS DOUBLE) / k) / CAST(qd AS DOUBLE))"
+    )
+    out = j.crossJoin(F.broadcast(moms))
+    return out.select(
+        "brand",
+        F.col("ni").alias("n_lines"),
+        F.expr(f"round({mean_i} / 100.0, 6)").alias("raw_mean"),
+        F.expr(
+            f"CASE WHEN k >= 4 AND qd > 0 THEN"
+            f" round(({gmean} + ({factor}) * {dev}) / 100.0, 6)"
+            f" WHEN k >= 4 THEN round({gmean} / 100.0, 6)"
+            f" ELSE round({mean_i} / 100.0, 6) END"
+        ).alias("shrunk_mean"),
+    ).orderBy("brand")
+
+
+def js_brand_price_sql(
+    lineitem: str = "lineitem", part: str = "part"
+) -> str:
+    """DuckDB oracle for :func:`js_brand_price` (same micro-quantized
+    shrink moments, positive-part rule)."""
+    mean_i = "(CAST(ai AS DOUBLE) / ni)"
+    gmean = "(CAST(a AS DOUBLE) / n)"
+    vterm = (
+        f"CASE WHEN ni >= 2 THEN"
+        f" ((CAST(ni AS DOUBLE) * CAST(bi AS DOUBLE)"
+        f"   - CAST(ai AS DOUBLE) * CAST(ai AS DOUBLE))"
+        f"  / (CAST(ni AS DOUBLE) * (ni - 1.0))) / ni"
+        f" ELSE 0.0 END"
+    )
+    dev = f"({mean_i} - {gmean})"
+    factor = (
+        "greatest(0.0, 1.0 - (CAST(k AS DOUBLE) - 3.0)"
+        " * (CAST(qv AS DOUBLE) / k) / CAST(qd AS DOUBLE))"
+    )
+    return f"""
+    WITH js_p AS (
+      SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS ni,
+             sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 AS HUGEINT)) AS ai,
+             sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS bi
+      FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+      GROUP BY p_brand
+    ), js_t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+             sum(ai) AS a
+      FROM js_p
+    ), js_m AS (
+      SELECT coalesce(sum(CAST(round(1e6 * ({vterm}), 0) AS HUGEINT)), 0)
+               AS qv,
+             coalesce(sum(CAST(round(1e6 * {dev} * {dev}, 0) AS HUGEINT)),
+               0) AS qd
+      FROM js_p CROSS JOIN js_t
+    )
+    SELECT brand, ni AS n_lines,
+           round({mean_i} / 100.0, 6) AS raw_mean,
+           CASE WHEN k >= 4 AND qd > 0 THEN
+             round(({gmean} + ({factor}) * {dev}) / 100.0, 6)
+           WHEN k >= 4 THEN round({gmean} / 100.0, 6)
+           ELSE round({mean_i} / 100.0, 6) END AS shrunk_mean
+    FROM js_p CROSS JOIN js_t CROSS JOIN js_m
+    ORDER BY brand
+    """
