@@ -2796,6 +2796,11 @@ def q_dedup_effective_n(spark, sf_dir):
     return dd.dedup_effective_n(_tbl(spark, sf_dir, "documents"))
 
 
+# ---------------------- wave 142 (bilateral price indices)
+def q_price_index_halves(spark, sf_dir):
+    return rel.price_index_halves(_tbl(spark, sf_dir, "lineitem"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -2992,8 +2997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. dedup_effective_n — all of
-    waves 2-141 plus the r4-green tail, 416 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. price_index_halves — all of
+    waves 2-142 plus the r4-green tail, 417 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3582,6 +3587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 141
         "js_brand_price": q_js_brand_price,
         "dedup_effective_n": q_dedup_effective_n,
+        # wave 142
+        "price_index_halves": q_price_index_halves,
     }
 
 
@@ -4961,6 +4968,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 141
         "js_brand_price": rel.js_brand_price_sql(),
         "dedup_effective_n": dd.dedup_effective_n_sql(),
+        # wave 142
+        "price_index_halves": rel.price_index_halves_sql(),
     }
 
 

@@ -4642,3 +4642,150 @@ def js_brand_price_sql(
     FROM js_p CROSS JOIN js_t CROSS JOIN js_m
     ORDER BY brand
     """
+
+
+# --------------------------------------------------------------- wave 142
+def price_index_halves(lineitem: DataFrame) -> DataFrame:
+    """→ one row [n_parts_common, laspeyres, paasche, fisher] — the
+    classic bilateral price indices between the ledger's two time
+    halves (split at the exact median ship date): Laspeyres weights
+    price relatives by BASE-period quantities, Paasche by CURRENT, and
+    Fisher is their geometric mean (the "ideal" index). The inflation
+    read on the catalog itself — distinct from revenue trend, which
+    conflates price and volume.
+
+    Semantics: per part and half, the average unit price is the exact
+    ratio A/Q of summed extended-price cents to summed centi-quantity;
+    only parts traded in BOTH halves enter (documented — a bilateral
+    index is undefined off the common basket). With half-total
+    quantities as weights, Σp̄₀Q₀ = ΣA₀ and Σp̄₁Q₁ = ΣA₁ are EXACT, and
+    the two cross terms (A₁Q₀/Q₁, A₀Q₁/Q₀) are the only rationals —
+    each MICRO-QUANTIZED per part before its sum, so every index is a
+    staged ratio of exact integers, rounded 6. NULL when the common
+    basket is empty or a denominator is 0.
+
+    Scale shape: one lineitem-grain aggregate to (part, half), a
+    part-grain self-pair, four exact sums, a one-row reduce.
+
+    Reference parity: no relational surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    cut = lineitem.groupBy().agg(
+        F.expr(
+            "CAST(floor(percentile(unix_micros(CAST(l_shipdate AS"
+            " TIMESTAMP)), 0.5D)) AS BIGINT)"
+        ).alias("cut")
+    )
+    ph = (
+        lineitem.crossJoin(F.broadcast(cut))
+        .groupBy(
+            "l_partkey",
+            F.expr(
+                "CASE WHEN unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                " >= cut THEN 1 ELSE 0 END"
+            ).alias("h"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                .cast(d38)
+            ).alias("a"),
+            F.sum(
+                F.round(F.col("l_quantity") * 100, 0).cast("long").cast(d38)
+            ).alias("q"),
+        )
+    )
+    h0 = ph.where(F.col("h") == 0).select(
+        "l_partkey", F.col("a").alias("a0"), F.col("q").alias("q0")
+    )
+    h1 = ph.where(F.col("h") == 1).select(
+        "l_partkey", F.col("a").alias("a1"), F.col("q").alias("q1")
+    )
+    both = h0.join(h1, "l_partkey").where(
+        (F.col("q0") > 0) & (F.col("q1") > 0)
+    )
+    s = both.groupBy().agg(
+        F.count("*").cast("long").alias("np"),
+        F.coalesce(F.sum("a0"), F.lit(0).cast(d38)).alias("sa0"),
+        F.coalesce(F.sum("a1"), F.lit(0).cast(d38)).alias("sa1"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(round(1e6 * CAST(a1 AS DOUBLE) * CAST(q0 AS"
+                    " DOUBLE) / CAST(q1 AS DOUBLE), 0) AS decimal(38,0))"
+                )
+            ),
+            F.lit(0).cast(d38),
+        ).alias("x10"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(round(1e6 * CAST(a0 AS DOUBLE) * CAST(q1 AS"
+                    " DOUBLE) / CAST(q0 AS DOUBLE), 0) AS decimal(38,0))"
+                )
+            ),
+            F.lit(0).cast(d38),
+        ).alias("x01"),
+    )
+    lasp = "(CAST(x10 AS DOUBLE) / 1e6 / CAST(sa0 AS DOUBLE))"
+    paas = "(CAST(sa1 AS DOUBLE) / (CAST(x01 AS DOUBLE) / 1e6))"
+    return s.select(
+        F.col("np").alias("n_parts_common"),
+        F.expr(
+            f"CASE WHEN np > 0 AND sa0 > 0 THEN round({lasp}, 6) END"
+        ).alias("laspeyres"),
+        F.expr(
+            f"CASE WHEN np > 0 AND x01 > 0 THEN round({paas}, 6) END"
+        ).alias("paasche"),
+        F.expr(
+            f"CASE WHEN np > 0 AND sa0 > 0 AND x01 > 0 THEN"
+            f" round(sqrt(({lasp}) * ({paas})), 6) END"
+        ).alias("fisher"),
+    )
+
+
+def price_index_halves_sql(table: str = "lineitem") -> str:
+    """DuckDB oracle for :func:`price_index_halves` (same median split,
+    micro-quantized cross terms)."""
+    lasp = "(CAST(x10 AS DOUBLE) / 1e6 / CAST(sa0 AS DOUBLE))"
+    paas = "(CAST(sa1 AS DOUBLE) / (CAST(x01 AS DOUBLE) / 1e6))"
+    return f"""
+    WITH pix_c AS (
+      SELECT CAST(floor(quantile_cont(epoch_us(l_shipdate), 0.5))
+                  AS BIGINT) AS cut
+      FROM {table}
+    ), pix_ph AS (
+      SELECT l_partkey,
+             CASE WHEN epoch_us(l_shipdate) >= cut THEN 1 ELSE 0 END AS h,
+             sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 AS HUGEINT)) AS a,
+             sum(CAST(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                 AS HUGEINT)) AS q
+      FROM {table} CROSS JOIN pix_c
+      GROUP BY 1, 2
+    ), pix_b AS (
+      SELECT h0.l_partkey, h0.a AS a0, h0.q AS q0, h1.a AS a1, h1.q AS q1
+      FROM (SELECT * FROM pix_ph WHERE h = 0) h0
+      JOIN (SELECT * FROM pix_ph WHERE h = 1) h1 USING (l_partkey)
+      WHERE h0.q > 0 AND h1.q > 0
+    ), pix_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             coalesce(sum(a0), 0) AS sa0, coalesce(sum(a1), 0) AS sa1,
+             coalesce(sum(CAST(round(1e6 * CAST(a1 AS DOUBLE)
+               * CAST(q0 AS DOUBLE) / CAST(q1 AS DOUBLE), 0) AS HUGEINT)),
+               0) AS x10,
+             coalesce(sum(CAST(round(1e6 * CAST(a0 AS DOUBLE)
+               * CAST(q1 AS DOUBLE) / CAST(q0 AS DOUBLE), 0) AS HUGEINT)),
+               0) AS x01
+      FROM pix_b
+    )
+    SELECT np AS n_parts_common,
+           CASE WHEN np > 0 AND sa0 > 0 THEN round({lasp}, 6) END
+             AS laspeyres,
+           CASE WHEN np > 0 AND x01 > 0 THEN round({paas}, 6) END
+             AS paasche,
+           CASE WHEN np > 0 AND sa0 > 0 AND x01 > 0 THEN
+             round(sqrt(({lasp}) * ({paas})), 6) END AS fisher
+    FROM pix_s
+    """
