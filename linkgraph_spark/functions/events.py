@@ -7735,3 +7735,153 @@ def stickiness_ratio_sql(table: str = "events") -> str:
              AS stickiness
     FROM st_a CROSS JOIN st_w
     """
+
+
+# --------------------------------------------------------------- wave 143
+def gk_gamma_tiers(events: DataFrame) -> DataFrame:
+    """→ one row [n_users, concordant, discordant, gamma, somers_d] —
+    Goodman–Kruskal gamma (Goodman & Kruskal 1954) and Somers' D
+    between two ORDINAL per-user tiers: activity (event count buckets
+    1 / 2-4 / 5-9 / 10+) and spend (the tier_migration band edges on
+    total cents). Gamma ignores ties entirely ((C−D)/(C+D)); Somers'
+    D_yx penalizes pairs tied on spend but not activity — the pair to
+    quote for ordered contingency tables where Pearson is meaningless
+    and tau-b's symmetric tie penalty isn't what you asked.
+
+    Exactness: the tier lattice is bounded (4×4 cells of exact BIGINT
+    counts), and C, D and the spend-tie count T_y are exact
+    DECIMAL(38,0)/HUGEINT sums over the ≤256 cell-pair lattice — pair
+    arithmetic never touches users. Both statistics are one staged
+    division, rounded 6, NULL when no untied pairs exist (single
+    occupied row or column).
+
+    Scale shape: one user-grain aggregate, one ≤16-cell aggregate, a
+    bounded cell self-join, a one-row reduce.
+
+    Reference parity: no events surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    u = events.groupBy("user_id").agg(
+        F.count("*").alias("a"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+        ).alias("cents"),
+    )
+    atier = (
+        "CASE WHEN a <= 1 THEN 0 WHEN a <= 4 THEN 1"
+        " WHEN a <= 9 THEN 2 ELSE 3 END"
+    )
+    stier = (
+        "CASE WHEN cents <= 0 THEN 0"
+        " WHEN cents < 130000 THEN 1"
+        " WHEN cents < 165000 THEN 2"
+        " WHEN cents < 200000 THEN 3 ELSE 4 END"
+    )
+    cells = u.groupBy(
+        F.expr(atier).alias("x"), F.expr(stier).alias("y")
+    ).agg(F.count("*").alias("c"))
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.crossJoin(b)
+    prod = (F.col("a.c").cast(d38) * F.col("b.c")).alias("p")
+    agg = pairs.select(
+        "a.x", "a.y", F.col("b.x").alias("x2"), F.col("b.y").alias("y2"), prod
+    ).groupBy().agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("x") < F.col("x2")) & (F.col("y") < F.col("y2")),
+                    F.col("p"),
+                )
+            ),
+            F.lit(0).cast(d38),
+        ).alias("cc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("x") < F.col("x2")) & (F.col("y") > F.col("y2")),
+                    F.col("p"),
+                )
+            ),
+            F.lit(0).cast(d38),
+        ).alias("dd"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("x") < F.col("x2")) & (F.col("y") == F.col("y2")),
+                    F.col("p"),
+                )
+            ),
+            F.lit(0).cast(d38),
+        ).alias("ty"),
+    )
+    n = u.groupBy().agg(F.count("*").cast("long").alias("n_users"))
+    gamma = (
+        "(CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))"
+        " / (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE))"
+    )
+    somers = (
+        "(CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))"
+        " / (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE) + CAST(ty AS DOUBLE))"
+    )
+    return n.crossJoin(agg).select(
+        "n_users",
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.expr(
+            f"CASE WHEN cc + dd > 0 THEN round({gamma}, 6) END"
+        ).alias("gamma"),
+        F.expr(
+            f"CASE WHEN cc + dd + ty > 0 THEN round({somers}, 6) END"
+        ).alias("somers_d"),
+    )
+
+
+def gk_gamma_tiers_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`gk_gamma_tiers` (same bounded cell
+    lattice, exact pair products)."""
+    atier = (
+        "CASE WHEN a <= 1 THEN 0 WHEN a <= 4 THEN 1"
+        " WHEN a <= 9 THEN 2 ELSE 3 END"
+    )
+    stier = (
+        "CASE WHEN cents <= 0 THEN 0"
+        " WHEN cents < 130000 THEN 1"
+        " WHEN cents < 165000 THEN 2"
+        " WHEN cents < 200000 THEN 3 ELSE 4 END"
+    )
+    gamma = (
+        "(CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))"
+        " / (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE))"
+    )
+    somers = (
+        "(CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))"
+        " / (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE) + CAST(ty AS DOUBLE))"
+    )
+    return f"""
+    WITH gk_u AS (
+      SELECT user_id, count(*) AS a,
+             coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0)
+               AS cents
+      FROM {table} GROUP BY user_id
+    ), gk_c AS (
+      SELECT ({atier}) AS x, ({stier}) AS y, count(*) AS c
+      FROM gk_u GROUP BY 1, 2
+    ), gk_n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users FROM gk_u
+    ), gk_p AS (
+      SELECT coalesce(sum(CASE WHEN a.x < b.x AND a.y < b.y
+               THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS cc,
+             coalesce(sum(CASE WHEN a.x < b.x AND a.y > b.y
+               THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS dd,
+             coalesce(sum(CASE WHEN a.x < b.x AND a.y = b.y
+               THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS ty
+      FROM gk_c a CROSS JOIN gk_c b
+    )
+    SELECT n_users, CAST(cc AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           CASE WHEN cc + dd > 0 THEN round({gamma}, 6) END AS gamma,
+           CASE WHEN cc + dd + ty > 0 THEN round({somers}, 6) END
+             AS somers_d
+    FROM gk_n CROSS JOIN gk_p
+    """
