@@ -2806,6 +2806,11 @@ def q_gk_gamma_tiers(spark, sf_dir):
     return ev.gk_gamma_tiers(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 144 (renewal-process check)
+def q_exp_fit_gaps(spark, sf_dir):
+    return ev.exp_fit_gaps(_tbl(spark, sf_dir, "events"))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -3002,8 +3007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. gk_gamma_tiers — all of
-    waves 2-143 plus the r4-green tail, 418 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. exp_fit_gaps — all of
+    waves 2-144 plus the r4-green tail, 419 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
@@ -3596,6 +3601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_index_halves": q_price_index_halves,
         # wave 143
         "gk_gamma_tiers": q_gk_gamma_tiers,
+        # wave 144
+        "exp_fit_gaps": q_exp_fit_gaps,
     }
 
 
@@ -4979,6 +4986,8 @@ def oracle_sql() -> dict[str, str]:
         "price_index_halves": rel.price_index_halves_sql(),
         # wave 143
         "gk_gamma_tiers": ev.gk_gamma_tiers_sql(),
+        # wave 144
+        "exp_fit_gaps": ev.exp_fit_gaps_sql(),
     }
 
 

@@ -7885,3 +7885,128 @@ def gk_gamma_tiers_sql(table: str = "events") -> str:
              AS somers_d
     FROM gk_n CROSS JOIN gk_p
     """
+
+
+# --------------------------------------------------------------- wave 144
+def exp_fit_gaps(events: DataFrame) -> DataFrame:
+    """→ one row [n_gaps, mean_gap_s, d_stat, reject_exponential] — a
+    Lilliefors-style KS check of whether per-user inter-event times
+    follow the fitted exponential (the renewal/Poisson-process null):
+    D = sup |ECDF(x) − (1 − e^{−x/mean})| with the mean estimated from
+    the same data, compared to the Lilliefors large-sample 0.05
+    critical 0.886/√n (Lilliefors 1969 — the plain KS table is wrong
+    once the parameter is fitted, documented estimand). Read with
+    :func:`burstiness_index`: B says HOW far from memoryless, this
+    says whether "exponential" survives at all.
+
+    Exactness: gaps are exact integer seconds (the burstiness lag,
+    partitioned by user); the ECDF lives at gap-HISTOGRAM grain with
+    exact cumulative counts, and the sup checks BOTH ECDF sides at
+    each cell (the step function's jump can exceed the fitted CDF on
+    either edge). The fitted CDF and every |·| term are shared staged
+    expressions from exact integers (sg, n, x); d_stat is the max of
+    identically-staged values, rounded 6. NULL when n = 0 or the mean
+    gap is 0 (a degenerate point mass).
+
+    Scale shape: one user-partitioned lag, one histogram aggregate,
+    one bounded cumulative window, a one-row reduce.
+
+    Reference parity: no events surface in the reference
+    (pagerank_lambda/dynamodb/pagerank.py:51-99); engine extension.
+    """
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))"), "event_id"
+    )
+    g = events.select(
+        "user_id",
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.lag(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull()).select(
+        F.expr("gap_us DIV 1000000").alias("x")
+    )
+    h = g.groupBy("x").agg(F.count("*").alias("c"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    cells = h.select(
+        "x",
+        "c",
+        F.sum("c").over(wc).alias("hi"),
+        F.sum("c").over(wa).alias("n"),
+        F.sum(F.col("c").cast(d38) * F.col("x")).over(wa).alias("sg"),
+    )
+    fit = (
+        "(1.0 - exp(-CAST(x AS DOUBLE) * n / CAST(sg AS DOUBLE)))"
+    )
+    term = (
+        f"greatest(abs(CAST(hi AS DOUBLE) / n - {fit}),"
+        f" abs((CAST(hi AS DOUBLE) - c) / n - {fit}))"
+    )
+    s = cells.where(F.col("sg") > 0).groupBy().agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.max("sg").alias("sgm"),
+        F.max(F.expr(term)).alias("d_raw"),
+    )
+    empty_guard = g.groupBy().agg(
+        F.count("*").cast("long").alias("n_all")
+    )
+    out = empty_guard.join(s, how="left_outer", on=F.lit(True))
+    return out.select(
+        F.col("n_all").alias("n_gaps"),
+        F.expr(
+            "CASE WHEN n_all > 0 AND sgm IS NOT NULL THEN"
+            " round(CAST(sgm AS DOUBLE) / n_all, 6) END"
+        ).alias("mean_gap_s"),
+        F.expr(
+            "CASE WHEN d_raw IS NOT NULL THEN round(d_raw, 6) END"
+        ).alias("d_stat"),
+        F.expr(
+            "CASE WHEN d_raw IS NOT NULL AND n_all > 0 THEN"
+            " round(d_raw, 6) > 0.886 / sqrt(CAST(n_all AS DOUBLE)) END"
+        ).alias("reject_exponential"),
+    )
+
+
+def exp_fit_gaps_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`exp_fit_gaps` (same histogram-grain
+    two-sided sup, shared fitted-CDF expression)."""
+    fit = "(1.0 - exp(-CAST(x AS DOUBLE) * n / CAST(sg AS DOUBLE)))"
+    term = (
+        f"greatest(abs(CAST(hi AS DOUBLE) / n - {fit}),"
+        f" abs((CAST(hi AS DOUBLE) - c) / n - {fit}))"
+    )
+    return f"""
+    WITH ef_g AS (
+      SELECT (epoch_us(ts)
+              - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id)) // 1000000 AS x
+      FROM {table}
+    ), ef_gg AS (
+      SELECT x FROM ef_g WHERE x IS NOT NULL
+    ), ef_h AS (
+      SELECT x, count(*) AS c FROM ef_gg GROUP BY x
+    ), ef_c AS (
+      SELECT x, c,
+             sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             sum(c) OVER () AS n,
+             sum(CAST(c AS HUGEINT) * x) OVER () AS sg
+      FROM ef_h
+    ), ef_s AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_gaps, max(sg) AS sgm,
+             max({term}) AS d_raw
+      FROM ef_c WHERE sg > 0
+    ), ef_n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all FROM ef_gg
+    )
+    SELECT n_all AS n_gaps,
+           CASE WHEN n_all > 0 AND sgm IS NOT NULL THEN
+             round(CAST(sgm AS DOUBLE) / n_all, 6) END AS mean_gap_s,
+           CASE WHEN d_raw IS NOT NULL THEN round(d_raw, 6) END AS d_stat,
+           CASE WHEN d_raw IS NOT NULL AND n_all > 0 THEN
+             round(d_raw, 6) > 0.886 / sqrt(CAST(n_all AS DOUBLE)) END
+             AS reject_exponential
+    FROM ef_n LEFT JOIN ef_s ON TRUE
+    """
