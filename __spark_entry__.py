@@ -2811,6 +2811,13 @@ def q_exp_fit_gaps(spark, sf_dir):
     return ev.exp_fit_gaps(_tbl(spark, sf_dir, "events"))
 
 
+# ---------------------- wave 145 (size-4 graphlet census)
+def q_graphlet_census4(spark, sf_dir):
+    from linkgraph_spark.kernels.graphlets import graphlet_census4
+
+    return graphlet_census4(_graph(spark, sf_dir))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -3603,6 +3610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gk_gamma_tiers": q_gk_gamma_tiers,
         # wave 144
         "exp_fit_gaps": q_exp_fit_gaps,
+        # wave 145
+        "graphlet_census4": q_graphlet_census4,
     }
 
 
@@ -3934,6 +3943,7 @@ from linkgraph_spark.kernels.spectral import (
     eigenvector_centrality_sql as _eig_sql_body,
     salsa_sql as _salsa_sql_body,
 )
+from linkgraph_spark.kernels.graphlets import graphlet_census4_sql as _glt_sql_body
 from linkgraph_spark.kernels.triangles import (
     directed_triangle_census_sql as _dtc_sql_body,
 )
@@ -4988,6 +4998,8 @@ def oracle_sql() -> dict[str, str]:
         "gk_gamma_tiers": ev.gk_gamma_tiers_sql(),
         # wave 144
         "exp_fit_gaps": ev.exp_fit_gaps_sql(),
+        # wave 145
+        "graphlet_census4": f"{_G}, {_glt_sql_body()}",
     }
 
 
