@@ -2818,6 +2818,21 @@ def q_graphlet_census4(spark, sf_dir):
     return graphlet_census4(_graph(spark, sf_dir))
 
 
+# ---------------------- wave 146 (leaderrank + disparity backbone)
+def q_leaderrank10(spark, sf_dir):
+    # ground-node walk: parameter-free PageRank sibling, dangling-safe
+    from linkgraph_spark.kernels.spectral import leaderrank
+
+    res = leaderrank(_graph(spark, sf_dir), iterations=10)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_disparity_backbone(spark, sf_dir):
+    # multiscale backbone over the weighted graph: per-edge null p-value,
+    # keeps locally dominant edges a global weight cut would miss
+    return st.disparity_backbone(_wgraph(spark, sf_dir), alpha=0.05)
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -3612,6 +3627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_fit_gaps": q_exp_fit_gaps,
         # wave 145
         "graphlet_census4": q_graphlet_census4,
+        # wave 146
+        "leaderrank10": q_leaderrank10,
+        "disparity_backbone": q_disparity_backbone,
     }
 
 
@@ -3944,6 +3962,7 @@ from linkgraph_spark.kernels.spectral import (
     salsa_sql as _salsa_sql_body,
 )
 from linkgraph_spark.kernels.graphlets import graphlet_census4_sql as _glt_sql_body
+from linkgraph_spark.kernels.spectral import leaderrank_sql as _lr_sql_body
 from linkgraph_spark.kernels.triangles import (
     directed_triangle_census_sql as _dtc_sql_body,
 )
@@ -5000,6 +5019,9 @@ def oracle_sql() -> dict[str, str]:
         "exp_fit_gaps": ev.exp_fit_gaps_sql(),
         # wave 145
         "graphlet_census4": f"{_G}, {_glt_sql_body()}",
+        # wave 146
+        "leaderrank10": f"{_G}, {_lr_sql_body(10)}",
+        "disparity_backbone": f"{_G}, {_WEDGES}, {st.disparity_backbone_sql(0.05)}",
     }
 
 

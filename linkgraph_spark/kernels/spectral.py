@@ -440,3 +440,140 @@ def fiedler_sweep_sql(iterations: int = 8, top_k: int = 50) -> str:
     return f"""{body},
     {_sweep_sql_tail("fsw_pos", top_k, p="fsw")}
     """
+
+
+def leaderrank(graph: LinkGraph, iterations: int = 10) -> SpectralResult:
+    """→ ``[id, score]`` — LeaderRank (Lü, Zhang, Yeung & Zhou, PLoS ONE
+    2011, public algorithm): a damping-free random walk on the graph
+    augmented with a bidirectional ground node, which guarantees
+    ergodicity with NO teleport parameter and handles dangling vertices
+    for free (they hand their whole mass to the ground).  After the fixed
+    synchronous rounds the ground's mass is redistributed equally:
+    ``score(v) = r_K(v) + g_K / N``.  Total mass is conserved at N every
+    round (asserted in the tests).
+
+    The ground node is never materialized: its two edge bundles are the
+    closed forms ``g_{t+1} = Σ_v r_t(v)/(d_v+1)`` (everyone sends one
+    1/(d+1) share to ground) and ``+ g_t / N`` on every vertex (ground
+    splits evenly).  So the per-round plan is exactly one gather join +
+    grouped sum along real edges — the PageRank superstep shape with the
+    divisor (out-degree + 1) attached to the EDGE side once,
+    iteration-invariant — plus two ``observe()``-fused scalars riding the
+    same materialization (the ground sum Σ r/(d+1) is observed one round
+    ahead, on the frame that already holds r_t).  No extra job, no
+    collect of anything vertex-sized.
+
+    Reference provenance: engine extension in the family of the
+    reference's PageRank kernel (pagerank_lambda/dynamodb/pagerank.py:
+    51-99 — same gather/state shape, different normalization); the
+    oracle unrolls the identical recurrence.
+    """
+    if iterations < 1:
+        raise ValueError("leaderrank needs iterations >= 1")
+    spark = graph.vertices.sparkSession
+    state = RotatingState(spark)
+    n_edges = graph.edges.count()
+    n = graph.num_vertices
+
+    # divisor d_v + 1 (ground edge) for EVERY vertex, attached to edges once
+    outdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("od")
+    )
+    divs = (
+        graph.vertices.select("id")
+        .join(outdeg, "id", "left")
+        .select("id", (F.coalesce("od", F.lit(0)) + 1).alias("div"))
+    )
+
+    metrics: list = []
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
+        ed = (
+            graph.edges.select("src", "dst")
+            .join(divs.select(F.col("id").alias("src"), "div"), "src")
+            .persist()
+        )
+        scores0 = graph.vertices.select(
+            "id", F.lit(1.0).alias("score")
+        ).join(divs, "id")
+        obs0 = Observation(f"lr_{id(state)}_0")
+        scores = state.rotate(
+            scores0.observe(obs0, F.sum(F.col("score") / F.col("div")).alias("gs"))
+        )
+        g = 0.0  # g_0
+        g_next = float(obs0.get["gs"])  # g_1 = Σ r_0/(d+1)
+        try:
+            for it in range(1, iterations + 1):
+                cur = scores if big_state else F.broadcast(scores)
+                raw = (
+                    ed.join(
+                        cur.select(F.col("id").alias("src"), "score"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum(F.col("score") / F.col("div")).alias("raw"))
+                )
+                nxt = (
+                    divs.join(raw, "id", "left")
+                    .select(
+                        "id",
+                        "div",
+                        (F.coalesce("raw", F.lit(0.0)) + F.lit(g / n)).alias(
+                            "score"
+                        ),
+                    )
+                )
+                obs = Observation(f"lr_{id(state)}_{it}")
+                nxt = nxt.observe(
+                    obs,
+                    F.sum(F.col("score") / F.col("div")).alias("gs"),
+                    F.sum("score").alias("tot"),
+                )
+                scores = state.rotate(nxt)
+                g = g_next  # g_it
+                g_next = float(obs.get["gs"])  # g_{it+1} = Σ r_it/(d+1)
+                metrics.append(
+                    {"iteration": it, "ground": g, "mass": obs.get["tot"] + g}
+                )
+        finally:
+            ed.unpersist()
+    out = scores.select("id", (F.col("score") + F.lit(g / n)).alias("score"))
+    return SpectralResult(scores=out, iterations=iterations, metrics=metrics)
+
+
+def leaderrank_sql(iters: int = 10) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges``): the identical
+    ground-node walk, unrolled round-exactly."""
+    ctes = [
+        """lrdiv AS MATERIALIZED (
+      SELECT v.id, coalesce(o.c, 0) + 1 AS div
+      FROM verts v
+      LEFT JOIN (SELECT src AS id, count(*) AS c FROM edges GROUP BY src) o
+        USING (id)
+    )""",
+        "lrn AS (SELECT count(*) AS n FROM verts)",
+        "lr0 AS (SELECT id, 1.0 AS score FROM verts)",
+        "lrg0 AS (SELECT 0.0 AS g)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""lrg{k} AS (
+      SELECT sum(p.score / d.div) AS g FROM lr{k - 1} p
+      JOIN lrdiv d USING (id)
+    ),
+    lr{k} AS MATERIALIZED (
+      SELECT v.id,
+             coalesce(s.sm, 0.0) + lrg{k - 1}.g / lrn.n AS score
+      FROM verts v CROSS JOIN lrg{k - 1} CROSS JOIN lrn
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(p.score / d.div) AS sm
+        FROM edges e
+        JOIN lr{k - 1} p ON e.src = p.id
+        JOIN lrdiv d ON d.id = p.id
+        GROUP BY e.dst
+      ) s ON s.id = v.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT r.id, round(r.score + lrg{iters}.g / lrn.n, 6) AS score
+    FROM lr{iters} r CROSS JOIN lrg{iters} CROSS JOIN lrn
+    """

@@ -1840,3 +1840,103 @@ def clustering_null_model_sql() -> str:
                 THEN round(({obs}) / ({exp_}), 6) END AS lift
     FROM cnm_m CROSS JOIN cnm_t
     """
+
+
+def disparity_backbone(graph: LinkGraph, alpha: float = 0.05) -> DataFrame:
+    """→ ``[a, b, weight, alpha, keep]`` — the multiscale disparity-filter
+    backbone (Serrano, Boguñá & Vespignani, PNAS 2009, public technique)
+    over the weighted undirected collapse of the graph: for every edge and
+    each endpoint ``i``, the null p-value that a uniformly random split of
+    ``i``'s strength ``s_i`` over its ``k_i`` edges puts at least the
+    observed share on this edge is ``(1 − w/s_i)^(k_i − 1)``; the edge's
+    ``alpha`` is the MORE significant (smaller) of its two endpoint
+    p-values, and ``keep`` marks edges with rounded ``alpha <`` the
+    threshold.  Unlike a global weight cut, the filter preserves locally
+    dominant edges of low-strength vertices — the right sparsifier for a
+    heavy-tailed transcript graph where hub edge weights dwarf everything.
+
+    Degree-1 vertices give ``(1 − 1)^0 = 1`` (never significant on their
+    own evidence), the standard treatment.  ``keep`` compares the ROUNDED
+    alpha so the flag and the reported number cannot disagree.
+
+    Scale shape: one symmetrize-and-sum shuffle (E rows), one O(V)
+    degree/strength aggregate, two hash joins to attach endpoint stats,
+    then map-only ``pow`` — no iteration, no fan-out, hub-safe (a hub's
+    edges are E rows; nothing enumerates pairs).  Requires a weighted
+    graph (``build_graph(..., weighted=True)``).
+
+    Reference provenance: engine extension; the reference's edge pipeline
+    drops multiplicity entirely (init_to_s3.py:75-76 first-wins dedup) —
+    weighted mode is what makes this filter meaningful.
+    """
+    if "weight" not in graph.edges.columns:
+        raise ValueError("disparity_backbone needs a weighted graph "
+                         "(build_graph(..., weighted=True))")
+    und = (
+        graph.edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    vstat = (
+        und.select(F.col("a").alias("v"), "weight")
+        .unionAll(und.select(F.col("b").alias("v"), "weight"))
+        .groupBy("v")
+        .agg(F.count("*").alias("k"), F.sum("weight").alias("s"))
+    )
+    sa = vstat.select(F.col("v").alias("a"), F.col("k").alias("ka"),
+                      F.col("s").alias("sa"))
+    sb = vstat.select(F.col("v").alias("b"), F.col("k").alias("kb"),
+                      F.col("s").alias("sb"))
+    w = F.col("weight").cast("double")
+    p_a = F.pow(1.0 - w / F.col("sa"), F.col("ka") - 1)
+    p_b = F.pow(1.0 - w / F.col("sb"), F.col("kb") - 1)
+    out = (
+        und.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            "weight",
+            F.round(F.least(p_a, p_b), 6).alias("alpha"),
+        )
+        .select(
+            "a", "b", "weight", "alpha",
+            (F.col("alpha") < F.lit(float(alpha))).alias("keep"),
+        )
+    )
+    return out
+
+
+def disparity_backbone_sql(alpha: float = 0.05) -> str:
+    """DuckDB oracle body for :func:`disparity_backbone` (expects the
+    weighted ``edges_w`` CTE in scope — the ``_WEDGES`` chain)."""
+    return f"""
+    db_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             sum(weight) AS weight
+      FROM edges_w WHERE src <> dst GROUP BY 1, 2
+    ),
+    db_vs AS MATERIALIZED (
+      SELECT v, count(*) AS k, sum(weight) AS s FROM (
+        SELECT a AS v, weight FROM db_und
+        UNION ALL SELECT b AS v, weight FROM db_und
+      ) GROUP BY v
+    ),
+    db_alpha AS (
+      SELECT e.a, e.b, e.weight,
+             round(least(
+               power(1.0 - CAST(e.weight AS DOUBLE) / va.s, va.k - 1),
+               power(1.0 - CAST(e.weight AS DOUBLE) / vb.s, vb.k - 1)
+             ), 6) AS alpha
+      FROM db_und e
+      JOIN db_vs va ON va.v = e.a
+      JOIN db_vs vb ON vb.v = e.b
+    )
+    SELECT a, b, weight, alpha, alpha < {float(alpha):.17g} AS keep
+    FROM db_alpha
+    """
