@@ -2833,6 +2833,11 @@ def q_disparity_backbone(spark, sf_dir):
     return st.disparity_backbone(_wgraph(spark, sf_dir), alpha=0.05)
 
 
+# ---------------------- wave 147 (Kneser-Ney bigram held-out perplexity)
+def q_kn_bigram_ppl(spark, sf_dir):
+    return tx.kn_bigram_perplexity(_docs(spark, sf_dir))
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -3630,6 +3635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 146
         "leaderrank10": q_leaderrank10,
         "disparity_backbone": q_disparity_backbone,
+        # wave 147
+        "kn_bigram_ppl": q_kn_bigram_ppl,
     }
 
 
@@ -5022,6 +5029,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 146
         "leaderrank10": f"{_G}, {_lr_sql_body(10)}",
         "disparity_backbone": f"{_G}, {_WEDGES}, {st.disparity_backbone_sql(0.05)}",
+        # wave 147
+        "kn_bigram_ppl": tx.kn_bigram_perplexity_sql(),
     }
 
 

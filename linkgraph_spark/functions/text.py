@@ -4258,3 +4258,204 @@ def chao1_vocab_sql(table: str = "documents") -> str:
            CASE WHEN f2 > 0 THEN round({se}, 6) END AS chao1_se
     FROM ch_s ORDER BY source
     """
+
+
+def kn_bigram_perplexity(documents: DataFrame, discount: float = 0.75) -> DataFrame:
+    """→ one row ``[n_train_bigrams, n_bigram_types, vocab, n_test_bigrams,
+    unseen_ctx_rate, avg_nll, ppl]`` — interpolated Kneser–Ney BIGRAM
+    held-out perplexity (Kneser & Ney 1995 / Chen & Goodman 1998, public
+    technique): the order-sensitive upgrade of :func:`heldout_perplexity`
+    and the classic corpus-quality number for a training-data pipeline.
+    Trained on the md5 train half, evaluated on every bigram event of the
+    held-out half (a doc's first token conditions nothing and is skipped):
+
+        p(w|u) = max(c(uw) − D, 0)/c(u·) + (D·N1+(u·)/c(u·))·P_cont(w)
+        P_cont(w) = (N1+(·w) + 1) / (B + V + 1)          [add-1 escape]
+        p(w|u)   = P_cont(w)            when context u is unseen in train
+
+    where ``c(u·)`` is the context count, ``N1+(u·)`` the distinct
+    continuations of ``u``, ``N1+(·w)`` the distinct left-contexts of
+    ``w`` (the famous continuation count — "how many contexts has this
+    word completed", not "how often"), ``B`` the distinct-bigram count
+    and ``V`` the train vocabulary.  The +1/+V+1 escape on the
+    continuation distribution is the engine's documented OOV treatment
+    (pure KN leaves zero mass for words never seen in ANY context).
+
+    Determinism: all counts are exact integers; each test event's
+    probability is ONE shared IEEE expression (identical parenthesization
+    in the SQL mirror) and its negative log is quantized to integer
+    micro-nats before the order-invariant sum — the same staging as
+    :func:`heldout_perplexity`.  ``unseen_ctx_rate`` and the two LM
+    numbers are NULL when the test half has no bigram.
+
+    Scale shape: map-only per-doc bigram construction (array transform,
+    no per-token shuffle), three Zipf-bounded train aggregates (bigram
+    types, context table, continuation table), broadcast-eligible joins
+    onto the test bigram stream, one one-row reduce.  No per-doc windows.
+    """
+    from linkgraph_spark.functions.hashing import md5_long
+
+    d = float(discount)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    base = documents.select(
+        (md5_long(F.col("doc_id").cast("string")) % 2).alias("variant"),
+        toks.alias("tk"),
+    )
+    n = F.size(F.col("tk"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("tk"), i).alias("u"),
+                F.element_at(F.col("tk"), i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,w:string>>"))
+    bg = base.select("variant", F.explode(bigrams).alias("b")).select(
+        "variant", F.col("b.u").alias("u"), F.col("b.w").alias("w")
+    )
+    cb = (
+        bg.where(F.col("variant") == 0)
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("cb"))
+        .persist()
+    )
+    ctx = cb.groupBy("u").agg(
+        F.sum("cb").alias("cu"), F.count("*").alias("n1u")
+    )
+    cont = cb.groupBy("w").agg(F.count("*").alias("n1w"))
+    tot = cb.groupBy().agg(
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("n_train_bigrams"),
+        F.count("*").cast("long").alias("b_types"),
+    )
+    voc = (
+        base.where(F.col("variant") == 0)
+        .select(F.explode("tk").alias("t"))
+        .agg(F.count_distinct("t").cast("long").alias("v"))
+    )
+    te = (
+        bg.where(F.col("variant") == 1)
+        .join(cb, ["u", "w"], "left")
+        .join(ctx, "u", "left")
+        .join(cont, "w", "left")
+        .crossJoin(tot)
+        .crossJoin(voc)
+    )
+    p = F.expr(
+        f"CASE WHEN cu IS NOT NULL AND cu > 0 THEN"
+        f" greatest(CAST(coalesce(cb, 0) AS DOUBLE) - {d:.17g}, 0.0) / cu"
+        f" + (({d:.17g} * n1u) / cu)"
+        f" * ((CAST(coalesce(n1w, 0) AS DOUBLE) + 1.0) / (CAST(b_types AS DOUBLE) + v + 1.0))"
+        f" ELSE (CAST(coalesce(n1w, 0) AS DOUBLE) + 1.0) / (CAST(b_types AS DOUBLE) + v + 1.0) END"
+    )
+    nll = F.expr(
+        "CAST(round(-1e6 * ln(__p), 0) AS BIGINT)"
+    )
+    s = (
+        te.withColumn("__p", p)
+        .groupBy()
+        .agg(
+            F.max("n_train_bigrams").alias("n_train_bigrams"),
+            F.max("b_types").alias("n_bigram_types"),
+            F.max("v").alias("vocab"),
+            F.count("*").cast("long").alias("n_test_bigrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("cu").isNull(), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_unseen_ctx"),
+            F.sum(nll).alias("nll_sum"),
+        )
+    )
+    out = s.select(
+        F.coalesce("n_train_bigrams", F.lit(0)).alias("n_train_bigrams"),
+        F.coalesce("n_bigram_types", F.lit(0)).alias("n_bigram_types"),
+        F.coalesce("vocab", F.lit(0)).alias("vocab"),
+        "n_test_bigrams",
+        F.expr(
+            "CASE WHEN n_test_bigrams > 0 THEN"
+            " round(CAST(n_unseen_ctx AS DOUBLE) / n_test_bigrams, 6) END"
+        ).alias("unseen_ctx_rate"),
+        F.expr(
+            "CASE WHEN n_test_bigrams > 0 THEN"
+            " round(CAST(nll_sum AS DOUBLE) / (1e6 * n_test_bigrams), 6) END"
+        ).alias("avg_nll"),
+        F.expr(
+            "CASE WHEN n_test_bigrams > 0 THEN"
+            " round(exp(CAST(nll_sum AS DOUBLE) / (1e6 * n_test_bigrams)), 6)"
+            " END"
+        ).alias("ppl"),
+    ).localCheckpoint()
+    cb.unpersist()
+    return out
+
+
+def kn_bigram_perplexity_sql(table: str = "documents", discount: float = 0.75) -> str:
+    """DuckDB oracle for :func:`kn_bigram_perplexity` — identical staging."""
+    d = float(discount)
+    return f"""
+    WITH knt AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS variant,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM {table}
+    ), knbg AS (
+      SELECT variant,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                   i -> {{'u': tk[i], 'w': tk[i + 1]}})) AS b
+      FROM knt
+    ), knb AS (
+      SELECT variant, b.u AS u, b.w AS w FROM knbg
+    ), kncb AS MATERIALIZED (
+      SELECT u, w, count(*) AS cb FROM knb WHERE variant = 0 GROUP BY u, w
+    ), knctx AS (
+      SELECT u, sum(cb) AS cu, count(*) AS n1u FROM kncb GROUP BY u
+    ), kncont AS (
+      SELECT w, count(*) AS n1w FROM kncb GROUP BY w
+    ), kntot AS (
+      SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_train_bigrams,
+             CAST(count(*) AS BIGINT) AS b_types
+      FROM kncb
+    ), knvoc AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+      FROM (SELECT unnest(tk) AS t FROM knt WHERE variant = 0)
+    ), knte AS (
+      SELECT CASE WHEN x.cu IS NOT NULL AND x.cu > 0 THEN
+               greatest(CAST(coalesce(x.cb, 0) AS DOUBLE) - {d:.17g}, 0.0) / x.cu
+               + (({d:.17g} * x.n1u) / x.cu)
+               * ((CAST(coalesce(x.n1w, 0) AS DOUBLE) + 1.0) / (CAST(x.b_types AS DOUBLE) + x.v + 1.0))
+             ELSE (CAST(coalesce(x.n1w, 0) AS DOUBLE) + 1.0) / (CAST(x.b_types AS DOUBLE) + x.v + 1.0) END AS p,
+             x.cu AS cu, x.n_train_bigrams, x.b_types, x.v
+      FROM (
+        SELECT t.u, t.w, cb.cb, c.cu, c.n1u, k.n1w, kntot.n_train_bigrams,
+               kntot.b_types, knvoc.v
+        FROM knb t
+        LEFT JOIN kncb cb ON cb.u = t.u AND cb.w = t.w
+        LEFT JOIN knctx c ON c.u = t.u
+        LEFT JOIN kncont k ON k.w = t.w
+        CROSS JOIN kntot CROSS JOIN knvoc
+        WHERE t.variant = 1
+      ) x
+    ), kns AS (
+      SELECT max(n_train_bigrams) AS n_train_bigrams,
+             max(b_types) AS n_bigram_types,
+             max(v) AS vocab,
+             CAST(count(*) AS BIGINT) AS n_test_bigrams,
+             CAST(coalesce(sum(CASE WHEN cu IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unseen_ctx,
+             sum(CAST(round(-1e6 * ln(p), 0) AS BIGINT)) AS nll_sum
+      FROM knte
+    )
+    SELECT coalesce(n_train_bigrams, 0) AS n_train_bigrams,
+           coalesce(n_bigram_types, 0) AS n_bigram_types,
+           coalesce(vocab, 0) AS vocab,
+           n_test_bigrams,
+           CASE WHEN n_test_bigrams > 0 THEN
+             round(CAST(n_unseen_ctx AS DOUBLE) / n_test_bigrams, 6) END AS unseen_ctx_rate,
+           CASE WHEN n_test_bigrams > 0 THEN
+             round(CAST(nll_sum AS DOUBLE) / (1e6 * n_test_bigrams), 6) END AS avg_nll,
+           CASE WHEN n_test_bigrams > 0 THEN
+             round(exp(CAST(nll_sum AS DOUBLE) / (1e6 * n_test_bigrams)), 6) END AS ppl
+    FROM kns
+    """
