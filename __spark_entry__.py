@@ -2838,6 +2838,18 @@ def q_kn_bigram_ppl(spark, sf_dir):
     return tx.kn_bigram_perplexity(_docs(spark, sf_dir))
 
 
+# ---------------------- wave 148 (onion decomposition)
+def q_onion_layers(spark, sf_dir):
+    # k-core peel with per-pass layer indices (core + surface depth);
+    # 8 layers at sf0.01 — oracle unrolls 16 and the converged flag guards
+    from linkgraph_spark.kernels.kcore import onion_decomposition
+
+    res = onion_decomposition(_graph(spark, sf_dir))
+    if not res.converged:
+        raise RuntimeError("onion peel did not converge within max_rounds")
+    return res.layers
+
+
 # ------------- wave 73 (sketches, digest join, semi-additive, shares)
 def q_heavy_hitter_terms(spark, sf_dir):
     return sk.heavy_hitter_terms(_tbl(spark, sf_dir, "documents"), k=30)
@@ -3637,6 +3649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disparity_backbone": q_disparity_backbone,
         # wave 147
         "kn_bigram_ppl": q_kn_bigram_ppl,
+        # wave 148
+        "onion_layers": q_onion_layers,
     }
 
 
@@ -3970,6 +3984,7 @@ from linkgraph_spark.kernels.spectral import (
 )
 from linkgraph_spark.kernels.graphlets import graphlet_census4_sql as _glt_sql_body
 from linkgraph_spark.kernels.spectral import leaderrank_sql as _lr_sql_body
+from linkgraph_spark.kernels.kcore import onion_decomposition_sql as _onion_sql_body
 from linkgraph_spark.kernels.triangles import (
     directed_triangle_census_sql as _dtc_sql_body,
 )
@@ -5031,6 +5046,8 @@ def oracle_sql() -> dict[str, str]:
         "disparity_backbone": f"{_G}, {_WEDGES}, {st.disparity_backbone_sql(0.05)}",
         # wave 147
         "kn_bigram_ppl": tx.kn_bigram_perplexity_sql(),
+        # wave 148
+        "onion_layers": f"{_G}, {_onion_sql_body(16)}",
     }
 
 

@@ -241,3 +241,171 @@ def core_profile_sql(unroll: int = 12) -> str:
     FROM k{unroll} k JOIN k0 d ON d.id = k.id
     GROUP BY 1
     """
+
+
+@dataclass
+class OnionResult:
+    layers: DataFrame  # [id, core, layer]
+    rounds: int
+    converged: bool
+    metrics: list = field(default_factory=list)
+
+
+def onion_decomposition(graph: LinkGraph, max_rounds: int = 64) -> OnionResult:
+    """→ ``[id, core, layer]`` — the onion decomposition (Hébert-Dufresne,
+    Grochow & Allard, Scientific Reports 2016, public technique): the
+    classic k-core peel, but every synchronous peel PASS gets its own
+    ``layer`` index (numbered consecutively across cores).  Coreness says
+    how deep a vertex sits; the layer says how close to the SURFACE of its
+    core it is — the internal structure k-core flattens (two vertices of
+    equal coreness can differ by many layers, e.g. a long chain hanging
+    off a dense core peels one layer per round at k=1).
+
+    Round r: ``k ← max(k, min current degree)``, then every active vertex
+    with degree ≤ k is assigned (core=k, layer=r) and removed.  The
+    assigned ``core`` equals the standard k-core number (peel with
+    non-decreasing k — asserted against :func:`k_core` in the tests).
+
+    Plan shape per round: one O(V_active) degree aggregate over the
+    remaining edge list (map-side combined, hub-safe — no windows, unlike
+    the h-index path this is the true peel), min-degree rides the rotate
+    via ``observe()``, then two lazy filters over the SAME materialized
+    degree frame (peeled / survivors) and one semi-join edge shrink.
+    Three rotated frames (degrees, edges, accumulated labels — the SCC
+    fold pattern).  Rounds = number of layers, which is bounded by
+    O(√E) in general and is tiny (≤ a few dozen) on real degree
+    distributions; ``converged`` is False on a cap stop.
+
+    Reference provenance: engine extension over the degree machinery of
+    pagerank_lambda/dynamodb/init_to_s3.py:55-86 (relation lengths are
+    out-degrees); the decomposition itself is public technique.
+    """
+    spark = graph.vertices.sparkSession
+    st_deg = RotatingState(spark)
+    st_edge = RotatingState(spark)
+    st_lab = RotatingState(spark)
+
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und0 = _oriented(graph.edges)
+    n_sym = und0.count() * 2
+    edges = st_edge.rotate(und0)
+    verts = graph.vertices.select("id")
+    labeled = st_lab.rotate(
+        verts.limit(0).select(
+            "id", F.lit(0).cast("long").alias("core"),
+            F.lit(0).cast("long").alias("layer"),
+        )
+    )
+    n_total = graph.num_vertices
+    n_labeled = 0
+    k = 0
+    converged = False
+    metrics: list = []
+    r = 0
+    active = verts  # lazy filter over the previous degree frame after r1
+    with pinned_superstep_confs(spark, n_sym, graph.num_vertices):
+        for r in range(1, max_rounds + 1):
+            degcnt = (
+                edges.select(F.col("a").alias("id"))
+                .unionAll(edges.select(F.col("b").alias("id")))
+                .groupBy("id")
+                .agg(F.count("*").alias("deg"))
+            )
+            degf = active.join(degcnt, "id", "left").select(
+                "id", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
+            )
+            obs = Observation(f"onion_{id(st_deg)}_{r}")
+            degf = degf.observe(obs, F.min("deg").alias("mn"))
+            degf = st_deg.rotate(degf)
+            mn = obs.get["mn"]
+            if mn is None:  # no active vertices left
+                converged = True
+                r -= 1
+                break
+            k = max(k, int(mn))
+            peeled = degf.where(F.col("deg") <= k).select(
+                "id",
+                F.lit(k).cast("long").alias("core"),
+                F.lit(r).cast("long").alias("layer"),
+            )
+            lab_obs = Observation(f"onion_lab_{id(st_lab)}_{r}")
+            labeled = st_lab.rotate(
+                labeled.unionAll(peeled).observe(
+                    lab_obs, F.count(F.lit(1)).alias("n")
+                )
+            )
+            total = int(lab_obs.get["n"] or 0)
+            metrics.append(
+                {"layer": r, "k": k, "peeled": total - n_labeled}
+            )
+            n_labeled = total
+            active = degf.where(F.col("deg") > k).select("id")
+            if n_labeled >= n_total:
+                converged = True
+                break
+            edges = st_edge.rotate(
+                edges.join(
+                    active.select(F.col("id").alias("a")), "a", "left_semi"
+                ).join(active.select(F.col("id").alias("b")), "b", "left_semi")
+            )
+    st_deg.release()
+    st_edge.release()
+    return OnionResult(
+        layers=labeled, rounds=r, converged=converged, metrics=metrics
+    )
+
+
+def onion_decomposition_sql(unroll: int = 24) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges``): the identical
+    peel, unrolled.  ``unroll`` must cover the layer count of the gate
+    graph (the Spark side's ``converged`` flag is the guard)."""
+    ctes = [
+        """od_e0 AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    )""",
+        "od_v0 AS (SELECT id FROM verts)",
+        "od_k0 AS (SELECT 0 AS k)",
+    ]
+    for r in range(1, unroll + 1):
+        # every one-row CTE is MATERIALIZED and referenced via CROSS JOIN —
+        # scalar subqueries over non-materialized CTEs re-inline the whole
+        # chain per reference (exponential in the unroll depth)
+        ctes.append(
+            f"""od_d{r} AS MATERIALIZED (
+      SELECT v.id, coalesce(c.c, 0) AS deg
+      FROM od_v{r - 1} v
+      LEFT JOIN (
+        SELECT x.v AS id, count(*) AS c FROM (
+          SELECT a AS v FROM od_e{r - 1}
+          UNION ALL SELECT b AS v FROM od_e{r - 1}
+        ) x GROUP BY x.v
+      ) c ON c.id = v.id
+    ),
+    od_k{r} AS MATERIALIZED (
+      SELECT greatest(p.k, coalesce(d.mn, p.k)) AS k
+      FROM od_k{r - 1} p
+      CROSS JOIN (SELECT min(deg) AS mn FROM od_d{r}) d
+    ),
+    od_p{r} AS (
+      SELECT d.id, CAST(kk.k AS BIGINT) AS core,
+             CAST({r} AS BIGINT) AS layer
+      FROM od_d{r} d CROSS JOIN od_k{r} kk WHERE d.deg <= kk.k
+    ),
+    od_v{r} AS MATERIALIZED (
+      SELECT d.id FROM od_d{r} d CROSS JOIN od_k{r} kk WHERE d.deg > kk.k
+    ),
+    od_e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM od_e{r - 1} e
+      JOIN od_v{r} va ON va.id = e.a
+      JOIN od_v{r} vb ON vb.id = e.b
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT id, core, layer FROM od_p{r}" for r in range(1, unroll + 1)
+    )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    {union}
+    """
