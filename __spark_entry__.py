@@ -2838,6 +2838,15 @@ def q_kn_bigram_ppl(spark, sf_dir):
     return tx.kn_bigram_perplexity(_docs(spark, sf_dir))
 
 
+# ---------------------- wave 149 (SC4 + Molloy-Reed robustness)
+def q_subgraph_centrality4(spark, sf_dir):
+    return ct.subgraph_centrality4(_graph(spark, sf_dir))
+
+
+def q_molloy_reed(spark, sf_dir):
+    return st.molloy_reed(_graph(spark, sf_dir))
+
+
 # ---------------------- wave 148 (onion decomposition)
 def q_onion_layers(spark, sf_dir):
     # k-core peel with per-pass layer indices (core + surface depth);
@@ -3651,6 +3660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_ppl": q_kn_bigram_ppl,
         # wave 148
         "onion_layers": q_onion_layers,
+        # wave 149
+        "subgraph_centrality4": q_subgraph_centrality4,
+        "molloy_reed": q_molloy_reed,
     }
 
 
@@ -5048,6 +5060,9 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram_ppl": tx.kn_bigram_perplexity_sql(),
         # wave 148
         "onion_layers": f"{_G}, {_onion_sql_body(16)}",
+        # wave 149
+        "subgraph_centrality4": f"{_G}, {ct.subgraph_centrality4_sql()}",
+        "molloy_reed": f"{_G}, {st.molloy_reed_sql()}",
     }
 
 

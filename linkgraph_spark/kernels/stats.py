@@ -1940,3 +1940,79 @@ def disparity_backbone_sql(alpha: float = 0.05) -> str:
     SELECT a, b, weight, alpha, alpha < {float(alpha):.17g} AS keep
     FROM db_alpha
     """
+
+
+def molloy_reed(graph: LinkGraph) -> DataFrame:
+    """→ one row ``[n, m, mean_k, kappa, fc]`` — the Molloy–Reed
+    heterogeneity ratio ``κ = ⟨k²⟩/⟨k⟩`` over undirected simple degrees
+    and the configuration-model random-failure percolation threshold
+    ``f_c = 1 − 1/(κ − 1)`` (Molloy & Reed 1995; Cohen et al. 2000 —
+    public results): a giant component survives random vertex removal up
+    to fraction ``f_c``; heavy-tailed graphs (κ → large) are robust to
+    failure yet fragile to targeted attack — the closed-form counterpart
+    of the empirical :func:`attack_resilience` probes.  ``fc`` is NULL
+    when κ ≤ 1 (no giant component regime, avoids the sign flip); both
+    ratios are staged once from exact integer moments and rounded to 6.
+
+    Scale: one O(E) degree aggregate + one one-row reduce — map-side
+    combined, no joins, no iteration."""
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und = _oriented(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    s = deg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("sk"),
+        F.coalesce(
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("sk2"),
+    )
+    return s.select(
+        "n",
+        (F.col("sk") / 2).cast("long").alias("m"),
+        F.expr("CASE WHEN n > 0 THEN round(CAST(sk AS DOUBLE) / n, 6) END").alias(
+            "mean_k"
+        ),
+        F.expr(
+            "CASE WHEN sk > 0 THEN round(CAST(sk2 AS DOUBLE) / sk, 6) END"
+        ).alias("kappa"),
+        F.expr(
+            "CASE WHEN sk > 0 AND CAST(sk2 AS DOUBLE) / sk > 1.0 THEN"
+            " round(1.0 - 1.0 / (CAST(sk2 AS DOUBLE) / sk - 1.0), 6) END"
+        ).alias("fc"),
+    )
+
+
+def molloy_reed_sql() -> str:
+    """DuckDB oracle body for :func:`molloy_reed` (expects ``edges``)."""
+    return """
+    mr_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    mr_deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM mr_und UNION ALL SELECT b AS v FROM mr_und
+      ) GROUP BY v
+    ),
+    mr_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(d), 0) AS BIGINT) AS sk,
+             coalesce(sum(CAST(d AS HUGEINT) * d), 0) AS sk2
+      FROM mr_deg
+    )
+    SELECT n,
+           CAST(sk / 2 AS BIGINT) AS m,
+           CASE WHEN n > 0 THEN round(CAST(sk AS DOUBLE) / n, 6) END AS mean_k,
+           CASE WHEN sk > 0 THEN round(CAST(sk2 AS DOUBLE) / sk, 6) END AS kappa,
+           CASE WHEN sk > 0 AND CAST(sk2 AS DOUBLE) / sk > 1.0 THEN
+             round(1.0 - 1.0 / (CAST(sk2 AS DOUBLE) / sk - 1.0), 6) END AS fc
+    FROM mr_s
+    """
