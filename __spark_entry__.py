@@ -2838,6 +2838,19 @@ def q_kn_bigram_ppl(spark, sf_dir):
     return tx.kn_bigram_perplexity(_docs(spark, sf_dir))
 
 
+# ---------------------- wave 150 (clique percolation communities)
+def q_clique_percolation3(spark, sf_dir):
+    # overlapping triangle communities; the sf0.01 graph's triangles are
+    # vertex-disjoint (each conv pod its own) so the loop fixpoints in one
+    # round here — the multi-round path is pinned by the strip pytest
+    from linkgraph_spark.kernels.cpm import clique_percolation3
+
+    res = clique_percolation3(_graph(spark, sf_dir))
+    if not res.converged:
+        raise RuntimeError("clique percolation did not converge")
+    return res.memberships
+
+
 # ---------------------- wave 149 (SC4 + Molloy-Reed robustness)
 def q_subgraph_centrality4(spark, sf_dir):
     return ct.subgraph_centrality4(_graph(spark, sf_dir))
@@ -3663,6 +3676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 149
         "subgraph_centrality4": q_subgraph_centrality4,
         "molloy_reed": q_molloy_reed,
+        # wave 150
+        "clique_percolation3": q_clique_percolation3,
     }
 
 
@@ -3997,6 +4012,7 @@ from linkgraph_spark.kernels.spectral import (
 from linkgraph_spark.kernels.graphlets import graphlet_census4_sql as _glt_sql_body
 from linkgraph_spark.kernels.spectral import leaderrank_sql as _lr_sql_body
 from linkgraph_spark.kernels.kcore import onion_decomposition_sql as _onion_sql_body
+from linkgraph_spark.kernels.cpm import clique_percolation3_sql as _cpm_sql_body
 from linkgraph_spark.kernels.triangles import (
     directed_triangle_census_sql as _dtc_sql_body,
 )
@@ -5063,6 +5079,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 149
         "subgraph_centrality4": f"{_G}, {ct.subgraph_centrality4_sql()}",
         "molloy_reed": f"{_G}, {st.molloy_reed_sql()}",
+        # wave 150
+        "clique_percolation3": f"{_G}, {_cpm_sql_body(8)}",
     }
 
 
