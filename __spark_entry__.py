@@ -2851,6 +2851,26 @@ def q_clique_percolation3(spark, sf_dir):
     return res.memberships
 
 
+# ---------------------- wave 151 (CPM k=4 + spectral radius)
+def q_clique_percolation4(spark, sf_dir):
+    # over the shared-tool affinity projection — the actor graph itself is
+    # K4-free at every sf (tool stars make triangles, not 4-cliques)
+    from linkgraph_spark.kernels import shared_tool_affinity
+    from linkgraph_spark.kernels.cpm import clique_percolation4_over_pairs
+
+    aff = shared_tool_affinity(_graph(spark, sf_dir), max_tool_users=512, min_shared=3)
+    res = clique_percolation4_over_pairs(aff.select("a", "b"))
+    if not res.converged:
+        raise RuntimeError("k=4 clique percolation did not converge")
+    return res.memberships
+
+
+def q_spectral_radius8(spark, sf_dir):
+    from linkgraph_spark.kernels.spectral import spectral_radius
+
+    return spectral_radius(_graph(spark, sf_dir), iterations=8)
+
+
 # ---------------------- wave 149 (SC4 + Molloy-Reed robustness)
 def q_subgraph_centrality4(spark, sf_dir):
     return ct.subgraph_centrality4(_graph(spark, sf_dir))
@@ -3678,6 +3698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "molloy_reed": q_molloy_reed,
         # wave 150
         "clique_percolation3": q_clique_percolation3,
+        # wave 151
+        "clique_percolation4": q_clique_percolation4,
+        "spectral_radius8": q_spectral_radius8,
     }
 
 
@@ -4013,6 +4036,8 @@ from linkgraph_spark.kernels.graphlets import graphlet_census4_sql as _glt_sql_b
 from linkgraph_spark.kernels.spectral import leaderrank_sql as _lr_sql_body
 from linkgraph_spark.kernels.kcore import onion_decomposition_sql as _onion_sql_body
 from linkgraph_spark.kernels.cpm import clique_percolation3_sql as _cpm_sql_body
+from linkgraph_spark.kernels.cpm import clique_percolation4_sql as _cpm4_sql_body
+from linkgraph_spark.kernels.spectral import spectral_radius_sql as _srad_sql_body
 from linkgraph_spark.kernels.triangles import (
     directed_triangle_census_sql as _dtc_sql_body,
 )
@@ -5081,6 +5106,13 @@ def oracle_sql() -> dict[str, str]:
         "molloy_reed": f"{_G}, {st.molloy_reed_sql()}",
         # wave 150
         "clique_percolation3": f"{_G}, {_cpm_sql_body(8)}",
+        # wave 151
+        "clique_percolation4": (
+            f"{_G}, "
+            f"{pj.shared_tool_affinity_sql(max_tool_users=512, min_shared=3, cte_name='cp4_pairs')}, "
+            f"{_cpm4_sql_body(8, pairs_rel='cp4_pairs')}"
+        ),
+        "spectral_radius8": f"{_G}, {_srad_sql_body(8)}",
     }
 
 

@@ -83,55 +83,15 @@ def clique_percolation3(graph: LinkGraph, max_iterations: int = 30) -> CpmResult
         .unionAll(tri.select("tid", _ekey(F.col("a"), F.col("c")).alias("e")))
         .unionAll(tri.select("tid", _ekey(F.col("b"), F.col("c")).alias("e")))
     )
-    st_inc = RotatingState(spark)
-    inc = st_inc.rotate(inc)
-    n_inc = inc.count()
-
-    st_lab = RotatingState(spark)
-    labels = st_lab.rotate(inc.select("tid").distinct().withColumn("label", F.col("tid")))
-
-    converged = False
-    metrics: list = []
-    it = 0
-    with pinned_superstep_confs(spark, n_inc, graph.num_vertices):
-        for it in range(1, max_iterations + 1):
-            elab = (
-                inc.join(labels, "tid")
-                .groupBy("e")
-                .agg(F.min("label").alias("elab"))
-            )
-            nxt = (
-                inc.join(elab, "e")
-                .groupBy("tid")
-                .agg(F.min("elab").alias("new"))
-            )
-            upd = labels.join(nxt, "tid", "left").select(
-                "tid",
-                F.least(F.col("label"), F.coalesce("new", F.col("label"))).alias(
-                    "label"
-                ),
-                F.col("label").alias("_old"),
-            )
-            obs = Observation(f"cpm_{id(st_lab)}_{it}")
-            upd = upd.observe(
-                obs,
-                F.sum(
-                    F.when(F.col("label") != F.col("_old"), 1).otherwise(0)
-                ).alias("n"),
-            )
-            labels = st_lab.rotate(upd.select("tid", "label"))
-            changed = int(obs.get["n"] or 0)
-            metrics.append({"iteration": it, "changed": changed})
-            if changed == 0:
-                converged = True
-                break
+    labels, it, converged, metrics, st_lab = _percolate(
+        spark, inc, graph.num_vertices, max_iterations
+    )
     members = (
         tri.join(labels, "tid")
         .select(F.explode(F.array("a", "b", "c")).alias("id"), F.col("label").alias("community"))
         .distinct()
         .localCheckpoint()
     )
-    st_inc.release()
     st_lab.release()
     return CpmResult(
         memberships=members, iterations=it, converged=converged, metrics=metrics
@@ -198,4 +158,206 @@ def clique_percolation3_sql(unroll: int = 12) -> str:
     FROM cpm_tri t
     JOIN cpm_l{unroll} l ON l.tid = t.tid
     CROSS JOIN LATERAL (VALUES (t.a), (t.b), (t.c)) AS v(id)
+    """
+
+
+def _percolate(spark, inc: DataFrame, n_scale: int, max_iterations: int):
+    """Shared hash-min label exchange over a bipartite ``[tid, e]``
+    incidence (tid = clique id, e = shared-face key) → ``(labels,
+    iterations, converged, metrics)``.  Labels start as each tid itself;
+    see module docstring for why the face relay beats pairwise clique
+    adjacency at scale."""
+    st_inc = RotatingState(spark)
+    inc = st_inc.rotate(inc)
+    n_inc = inc.count()
+    st_lab = RotatingState(spark)
+    labels = st_lab.rotate(
+        inc.select("tid").distinct().withColumn("label", F.col("tid"))
+    )
+    converged = False
+    metrics: list = []
+    it = 0
+    with pinned_superstep_confs(spark, n_inc, n_scale):
+        for it in range(1, max_iterations + 1):
+            elab = (
+                inc.join(labels, "tid")
+                .groupBy("e")
+                .agg(F.min("label").alias("elab"))
+            )
+            nxt = (
+                inc.join(elab, "e").groupBy("tid").agg(F.min("elab").alias("new"))
+            )
+            upd = labels.join(nxt, "tid", "left").select(
+                "tid",
+                F.least(F.col("label"), F.coalesce("new", F.col("label"))).alias(
+                    "label"
+                ),
+                F.col("label").alias("_old"),
+            )
+            obs = Observation(f"cpm_{id(st_lab)}_{it}")
+            upd = upd.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("_old"), 1).otherwise(0)
+                ).alias("n"),
+            )
+            labels = st_lab.rotate(upd.select("tid", "label"))
+            changed = int(obs.get["n"] or 0)
+            metrics.append({"iteration": it, "changed": changed})
+            if changed == 0:
+                converged = True
+                break
+    st_inc.release()
+    return labels, it, converged, metrics, st_lab
+
+
+def clique_percolation4(graph: LinkGraph, max_iterations: int = 30) -> CpmResult:
+    """→ ``[id, community]`` — k=4 clique percolation: communities are
+    chains of 4-CLIQUES sharing a TRIANGLE face (k−1 = 3 common vertices,
+    the Palla et al. definition).  Stricter than :func:`clique_percolation3`
+    — two pods glued by a single edge stay separate here — so the two
+    levels bracket community cohesion.  Same bipartite face-relay design:
+    4 face rows per K4, a face shared by S cliques costs S rows per round,
+    never C(S, 2) pairs.  Clique enumeration is the degree-ordered
+    Chiba–Nishizeki extension (kernels/triangles.py), so hubs contribute
+    no fan-out."""
+    return clique_percolation4_over_pairs(
+        graph.edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        max_iterations=max_iterations,
+    )
+
+
+def clique_percolation4_over_pairs(
+    pairs: DataFrame, max_iterations: int = 30
+) -> CpmResult:
+    """k=4 CPM over an arbitrary undirected pair list ``[a, b]`` (any
+    orientation / duplicates tolerated) — the entry point for derived
+    graphs such as the shared-tool affinity projection, where the actor
+    graph's K4s actually live (the transcript graph itself is K4-free:
+    tool stars make triangles, not 4-cliques)."""
+    from linkgraph_spark.kernels.triangles import _deg_oriented, _four_cliques
+
+    spark = pairs.sparkSession
+    und = (
+        pairs.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    n_und = und.count()  # pin before the six-reference clique plan fans out
+    directed = _deg_oriented(und).persist()
+    directed.count()
+    arr = F.array_sort(F.array("x", "y", "z", "d"))
+    fc = (
+        _four_cliques(directed)
+        .select(arr.alias("vs"))
+        .select(
+            F.concat_ws(
+                ":",
+                *[
+                    F.lpad(F.element_at("vs", i).cast("string"), 19, "0")
+                    for i in (1, 2, 3, 4)
+                ],
+            ).alias("tid"),
+            "vs",
+        )
+    )
+
+    def face(i, j, k):
+        return F.concat_ws(
+            ":",
+            F.lpad(F.element_at("vs", i).cast("string"), 19, "0"),
+            F.lpad(F.element_at("vs", j).cast("string"), 19, "0"),
+            F.lpad(F.element_at("vs", k).cast("string"), 19, "0"),
+        )
+
+    inc = (
+        fc.select("tid", face(1, 2, 3).alias("e"))
+        .unionAll(fc.select("tid", face(1, 2, 4).alias("e")))
+        .unionAll(fc.select("tid", face(1, 3, 4).alias("e")))
+        .unionAll(fc.select("tid", face(2, 3, 4).alias("e")))
+    )
+    labels, it, converged, metrics, st_lab = _percolate(
+        spark, inc, n_und, max_iterations
+    )
+    members = (
+        fc.join(labels, "tid")
+        .select(F.explode("vs").alias("id"), F.col("label").alias("community"))
+        .distinct()
+        .localCheckpoint()
+    )
+    st_lab.release()
+    directed.unpersist()
+    und.unpersist()
+    return CpmResult(
+        memberships=members, iterations=it, converged=converged, metrics=metrics
+    )
+
+
+def clique_percolation4_sql(unroll: int = 8, pairs_rel: str = "edges") -> str:
+    """DuckDB oracle body: id-ordered K4 enumeration over ``pairs_rel``
+    (``edges``-style src/dst columns when "edges", else a derived pair
+    relation with columns a, b), identical face-relay hash-min, unrolled."""
+
+    def lp(x):
+        return f"lpad(CAST({x} AS VARCHAR), 19, '0')"
+
+    if pairs_rel == "edges":
+        und_src = """SELECT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst GROUP BY 1, 2"""
+    else:
+        und_src = f"""SELECT least(a, b) AS a, greatest(a, b) AS b
+      FROM {pairs_rel} WHERE a <> b GROUP BY 1, 2"""
+
+    tid = " || ':' || ".join(lp(c) for c in ("t.a", "t.b", "t.c", "p1.b"))
+    ctes = [
+        f"""cp4_und AS MATERIALIZED (
+      {und_src}
+    )""",
+        """cp4_tri AS MATERIALIZED (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM cp4_und e1
+      JOIN cp4_und e2 ON e1.b = e2.a
+      JOIN cp4_und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )""",
+        f"""cp4_k4 AS MATERIALIZED (
+      SELECT {tid} AS tid, t.a, t.b, t.c, p1.b AS d
+      FROM cp4_tri t
+      JOIN cp4_und p1 ON p1.a = t.a AND p1.b > t.c
+      JOIN cp4_und p2 ON p2.a = t.b AND p2.b = p1.b
+      JOIN cp4_und p3 ON p3.a = t.c AND p3.b = p1.b
+    )""",
+        f"""cp4_inc AS MATERIALIZED (
+      SELECT tid, {lp('a')} || ':' || {lp('b')} || ':' || {lp('c')} AS e FROM cp4_k4
+      UNION ALL SELECT tid, {lp('a')} || ':' || {lp('b')} || ':' || {lp('d')} FROM cp4_k4
+      UNION ALL SELECT tid, {lp('a')} || ':' || {lp('c')} || ':' || {lp('d')} FROM cp4_k4
+      UNION ALL SELECT tid, {lp('b')} || ':' || {lp('c')} || ':' || {lp('d')} FROM cp4_k4
+    )""",
+        "cp4_l0 AS (SELECT DISTINCT tid, tid AS label FROM cp4_inc)",
+    ]
+    for k in range(1, unroll + 1):
+        ctes.append(
+            f"""cp4_l{k} AS MATERIALIZED (
+      SELECT l.tid, least(l.label, coalesce(n.new, l.label)) AS label
+      FROM cp4_l{k - 1} l
+      LEFT JOIN (
+        SELECT i2.tid, min(em.elab) AS new
+        FROM cp4_inc i2
+        JOIN (
+          SELECT i.e, min(p.label) AS elab
+          FROM cp4_inc i JOIN cp4_l{k - 1} p ON p.tid = i.tid
+          GROUP BY i.e
+        ) em ON em.e = i2.e
+        GROUP BY i2.tid
+      ) n ON n.tid = l.tid
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT DISTINCT v.id, l.label AS community
+    FROM cp4_k4 t
+    JOIN cp4_l{unroll} l ON l.tid = t.tid
+    CROSS JOIN LATERAL (VALUES (t.a), (t.b), (t.c), (t.d)) AS v(id)
     """

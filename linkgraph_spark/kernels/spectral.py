@@ -577,3 +577,126 @@ def leaderrank_sql(iters: int = 10) -> str:
     SELECT r.id, round(r.score + lrg{iters}.g / lrn.n, 6) AS score
     FROM lr{iters} r CROSS JOIN lrg{iters} CROSS JOIN lrn
     """
+
+
+def spectral_radius(graph: LinkGraph, iterations: int = 8) -> DataFrame:
+    """→ one row ``[radius_est, epidemic_threshold, iterations]`` — the
+    spectral radius λ₁ of the UNDIRECTED simple adjacency, estimated by
+    ``iterations`` max-normalized power rounds followed by one Rayleigh
+    quotient ``x'Ax / x'x`` (monotone from below for symmetric A, robust
+    to the bipartite even/odd oscillation a raw ratio estimate suffers),
+    and the SIS/SIR epidemic threshold ``τ = 1/λ₁`` (Wang/Chakrabarti et
+    al. 2003, public result): an influence cascade with transmissibility
+    above τ percolates the actor graph; below it, it dies out — the
+    spectral counterpart of :func:`~linkgraph_spark.kernels.stats.
+    molloy_reed`'s degree-moment threshold.  The value is a LOWER bound
+    that tightens with ``iterations`` (documented contract — the exact
+    λ₁ is an eigenproblem, not a relational query); both engines run the
+    identical rounds so the oracle matches exactly.
+
+    Scale shape: per round one gather join + grouped sum over the
+    symmetrized edge list with the infinity norm ``observe()``-fused (the
+    eigenvector-centrality superstep), plus ONE extra gather for the
+    quotient.  ``epidemic_threshold`` is NULL on an edgeless graph."""
+    from linkgraph_spark.kernels.components import undirected
+
+    spark = graph.vertices.sparkSession
+    state = RotatingState(spark)
+    sym = undirected(graph.edges).persist()
+    n_sym = sym.count()
+
+    scores = state.rotate(graph.vertices.select("id", F.lit(1.0).alias("score")))
+    with pinned_superstep_confs(spark, n_sym, graph.num_vertices) as big_state:
+        for it in range(1, iterations + 1):
+            cur = scores if big_state else F.broadcast(scores)
+            raw = (
+                sym.join(cur.select(F.col("id").alias("src"), "score"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("score").alias("raw"))
+            )
+            nxt = scores.select("id").join(raw, "id", "left").select(
+                "id", F.coalesce("raw", F.lit(0.0)).alias("raw")
+            )
+            obs = Observation(f"sr_{id(state)}_{it}")
+            nxt = nxt.observe(obs, F.max("raw").alias("mx"))
+            nxt = state.rotate(nxt)
+            mx = obs.get["mx"] or 1.0
+            mx = mx if mx > 0 else 1.0
+            scores = nxt.select("id", (F.col("raw") / F.lit(mx)).alias("score"))
+    ax = (
+        sym.join(
+            scores.select(F.col("id").alias("src"), "score"), "src"
+        )
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("score").alias("ax"))
+    )
+    q = (
+        scores.join(ax, "id", "left")
+        .select(
+            (F.col("score") * F.coalesce("ax", F.lit(0.0))).alias("num"),
+            (F.col("score") * F.col("score")).alias("den"),
+        )
+        .groupBy()
+        .agg(F.sum("num").alias("num"), F.sum("den").alias("den"))
+    )
+    out = q.select(
+        F.expr("CASE WHEN den > 0 THEN round(num / den, 6) END").alias(
+            "radius_est"
+        ),
+        F.expr(
+            "CASE WHEN den > 0 AND num > 0 THEN round(den / num, 6) END"
+        ).alias("epidemic_threshold"),
+        F.lit(iterations).cast("long").alias("iterations"),
+    ).localCheckpoint()
+    sym.unpersist()
+    return out
+
+
+def spectral_radius_sql(iters: int = 8) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges``): identical rounds +
+    Rayleigh quotient."""
+    ctes = [
+        """sr_sym AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    )""",
+        "sr0 AS (SELECT id, 1.0 AS score FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""srr{k} AS MATERIALIZED (
+      SELECT v.id, coalesce(s.sm, 0.0) AS raw
+      FROM verts v
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(p.score) AS sm
+        FROM sr_sym e JOIN sr{k - 1} p ON e.src = p.id
+        GROUP BY e.dst
+      ) s ON s.id = v.id
+    ),
+    srm{k} AS MATERIALIZED (
+      SELECT CASE WHEN max(raw) > 0 THEN max(raw) ELSE 1.0 END AS mx
+      FROM srr{k}
+    ),
+    sr{k} AS MATERIALIZED (
+      SELECT r.id, r.raw / m.mx AS score FROM srr{k} r CROSS JOIN srm{k} m
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body},
+    sr_ax AS (
+      SELECT e.dst AS id, sum(p.score) AS ax
+      FROM sr_sym e JOIN sr{iters} p ON e.src = p.id
+      GROUP BY e.dst
+    ),
+    sr_q AS (
+      SELECT sum(s.score * coalesce(a.ax, 0.0)) AS num,
+             sum(s.score * s.score) AS den
+      FROM sr{iters} s LEFT JOIN sr_ax a USING (id)
+    )
+    SELECT CASE WHEN den > 0 THEN round(num / den, 6) END AS radius_est,
+           CASE WHEN den > 0 AND num > 0 THEN round(den / num, 6) END
+             AS epidemic_threshold,
+           CAST({iters} AS BIGINT) AS iterations
+    FROM sr_q
+    """

@@ -114,6 +114,17 @@ def _four_clique_members(directed: DataFrame) -> DataFrame:
     outdeg⁺ bounded O(√E) by the degree orientation — hubs contribute no
     fan-out, so the enumeration survives power-law degree skew at scale.
     """
+    fc = _four_cliques(directed)
+    # explode, not a 4-way self-union: a union would re-evaluate the whole
+    # clique-join subtree once per member column
+    return fc.select(
+        F.explode(F.array("x", "y", "z", "d")).alias("id")
+    )
+
+
+def _four_cliques(directed: DataFrame) -> DataFrame:
+    """→ one row ``[x, y, z, d]`` per 4-clique (key order — see
+    :func:`_four_clique_members`, whose enumeration this is)."""
     tri = _keyed_triangles(directed)
     cand = tri.join(
         directed.select(
@@ -123,15 +134,10 @@ def _four_clique_members(directed: DataFrame) -> DataFrame:
     ).where(F.col("kd") > F.col("kz"))
     yd = directed.select(F.col("u").alias("y"), F.col("w").alias("d"))
     zd = directed.select(F.col("u").alias("z"), F.col("w").alias("d"))
-    fc = (
+    return (
         cand.join(yd, ["y", "d"], "left_semi")
         .join(zd, ["z", "d"], "left_semi")
         .select("x", "y", "z", "d")
-    )
-    # explode, not a 4-way self-union: a union would re-evaluate the whole
-    # clique-join subtree once per member column
-    return fc.select(
-        F.explode(F.array("x", "y", "z", "d")).alias("id")
     )
 
 
