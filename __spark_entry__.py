@@ -2851,6 +2851,15 @@ def q_clique_percolation3(spark, sf_dir):
     return res.memberships
 
 
+# ---------------------- wave 152 (quality-keeper dedup + memorization)
+def q_dedup_best_quality(spark, sf_dir):
+    return dd.dedup_corpus_best_quality(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_memorization_rate(spark, sf_dir):
+    return tx.memorization_rate(_docs(spark, sf_dir), n=8)
+
+
 # ---------------------- wave 151 (CPM k=4 + spectral radius)
 def q_clique_percolation4(spark, sf_dir):
     # over the shared-tool affinity projection — the actor graph itself is
@@ -3701,6 +3710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 151
         "clique_percolation4": q_clique_percolation4,
         "spectral_radius8": q_spectral_radius8,
+        # wave 152
+        "dedup_best_quality": q_dedup_best_quality,
+        "memorization_rate": q_memorization_rate,
     }
 
 
@@ -5113,6 +5125,9 @@ def oracle_sql() -> dict[str, str]:
             f"{_cpm4_sql_body(8, pairs_rel='cp4_pairs')}"
         ),
         "spectral_radius8": f"{_G}, {_srad_sql_body(8)}",
+        # wave 152
+        "dedup_best_quality": dd.dedup_corpus_best_quality_sql(threshold=0.5),
+        "memorization_rate": tx.memorization_rate_sql(n=8),
     }
 
 

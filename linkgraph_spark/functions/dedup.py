@@ -1963,3 +1963,76 @@ def dedup_effective_n_sql(
              round(({neff}) / n_kept, 6) END AS efficiency
     FROM den_s
     """
+
+
+def dedup_corpus_best_quality(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """→ ``[doc_id, cluster_size, quality]`` — the deduplicated corpus
+    keeping the HIGHEST-QUALITY member of every near-dup cluster (ties by
+    min doc_id) instead of :func:`dedup_corpus`'s min-id keeper.  The
+    version a production pipeline actually wants: near-duplicate families
+    routinely mix a clean original with boilerplate-wrapped or truncated
+    copies, and min-id keeps whichever crawled first.  Quality is
+    :func:`~linkgraph_spark.functions.text.quality_score`'s [0,1] band
+    score (exact multiples of 0.25 — so the argmax is float-safe).
+
+    Scale shape: the cluster closure is :func:`near_dup_clusters` (banded
+    LSH pairs → hash-min components, converged-or-raise); the per-cluster
+    argmax is ONE grouped ``max(struct(quality, −doc_id))`` — no window,
+    so a degenerate million-doc boilerplate family is a single combiner-
+    friendly aggregate, not a single-task sort."""
+    from linkgraph_spark.functions.text import quality_score
+
+    clusters = near_dup_clusters(documents, threshold)
+    q = quality_score(documents).select("doc_id", "quality")
+    j = clusters.join(q, "doc_id")
+    best = (
+        j.groupBy("keeper_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("b")
+        )
+        .select(
+            (-F.col("b.nid")).alias("doc_id"),
+        )
+    )
+    return (
+        best.join(j, "doc_id")
+        .select("doc_id", "cluster_size", "quality")
+    )
+
+
+def dedup_corpus_best_quality_sql(
+    table: str = "documents", threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for :func:`dedup_corpus_best_quality` — the same
+    closure + a two-step argmax (max quality per cluster, then min doc_id
+    among the maximizers; exact because quality is a multiple of 0.25)."""
+    from linkgraph_spark.functions.text import quality_score_sql
+
+    return f"""
+    WITH ndq_cl AS MATERIALIZED ({near_dup_clusters_sql(table, threshold)}),
+    ndq_q AS MATERIALIZED (
+      SELECT doc_id, quality FROM ({quality_score_sql(table)})
+    ),
+    ndq_j AS MATERIALIZED (
+      SELECT c.doc_id, c.keeper_id, c.cluster_size, q.quality
+      FROM ndq_cl c JOIN ndq_q q USING (doc_id)
+    ),
+    ndq_b1 AS (
+      SELECT keeper_id, max(quality) AS mq FROM ndq_j GROUP BY keeper_id
+    ),
+    ndq_b2 AS (
+      SELECT j.keeper_id, min(j.doc_id) AS keep_id
+      FROM ndq_j j JOIN ndq_b1 b ON b.keeper_id = j.keeper_id
+                             AND j.quality = b.mq
+      GROUP BY j.keeper_id
+    )
+    SELECT j.doc_id, j.cluster_size, j.quality
+    FROM ndq_b2 b JOIN ndq_j j ON j.doc_id = b.keep_id
+    """

@@ -4459,3 +4459,98 @@ def kn_bigram_perplexity_sql(table: str = "documents", discount: float = 0.75) -
              round(exp(CAST(nll_sum AS DOUBLE) / (1e6 * n_test_bigrams)), 6) END AS ppl
     FROM kns
     """
+
+
+def memorization_rate(documents: DataFrame, n: int = 8) -> DataFrame:
+    """→ ``[doc_id, n_windows, n_memorized, mem_rate]`` — the verbatim
+    memorization probe (Carlini et al. 2022 lineage, public technique):
+    for every HELD-OUT document (md5 test half), the fraction of its
+    word-``n``-gram windows that appear verbatim anywhere in the train
+    half.  The per-document complement of :func:`kn_bigram_perplexity`'s
+    corpus number: a held-out doc whose 8-gram windows mostly exist in
+    train is a near-copy the LM will "memorize" for free — rows with high
+    ``mem_rate`` are the ones a train/test split audit must catch.  Docs
+    with fewer than ``n`` tokens have no window and drop out (no rate is
+    defined).  Distinct from ``contamination_check`` (corpus vs an
+    external benchmark); this audits the corpus's own split.
+
+    Scale shape: map-only window construction (array transform — no
+    per-token shuffle), ONE distinct-hash aggregate over train windows
+    (Zipf-bounded: repeated boilerplate collapses), one hash equi-join of
+    test windows against it (broadcast-eligible), one per-doc re-agg.
+    Windows are compared by the 60-bit md5 hash of the space-joined
+    window — deterministic and identical in both engines."""
+    from linkgraph_spark.functions.hashing import md5_long
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    base = documents.select(
+        "doc_id",
+        (md5_long(F.col("doc_id").cast("string")) % 2).alias("variant"),
+        toks.alias("tk"),
+    )
+    sz = F.size(F.col("tk"))
+    wins = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("tk"), i, F.lit(n))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wn = base.select(
+        "doc_id", "variant", F.explode(wins).alias("w")
+    ).withColumn("h", md5_long(F.col("w"))).drop("w")
+    train = wn.where(F.col("variant") == 0).select("h").distinct()
+    test = wn.where(F.col("variant") == 1)
+    hit = train.withColumn("_mem", F.lit(1))
+    return (
+        test.join(hit, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.coalesce(F.sum("_mem"), F.lit(0)).cast("long").alias("n_memorized"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_memorized",
+            F.round(
+                F.col("n_memorized").cast("double") / F.col("n_windows"), 6
+            ).alias("mem_rate"),
+        )
+    )
+
+
+def memorization_rate_sql(table: str = "documents", n: int = 8) -> str:
+    """DuckDB oracle for :func:`memorization_rate`."""
+    return f"""
+    WITH mrt AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS variant,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM {table}
+    ), mrw AS (
+      SELECT doc_id, variant,
+             CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, variant,
+               unnest(list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1),
+                                     i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS w
+        FROM mrt
+      )
+    ), mr_train AS MATERIALIZED (
+      SELECT DISTINCT h FROM mrw WHERE variant = 0
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(coalesce(sum(CASE WHEN tr.h IS NOT NULL THEN 1 END), 0) AS BIGINT)
+             AS n_memorized,
+           round(CAST(coalesce(sum(CASE WHEN tr.h IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+                 / count(*), 6) AS mem_rate
+    FROM mrw t LEFT JOIN mr_train tr ON tr.h = t.h
+    WHERE t.variant = 1
+    GROUP BY t.doc_id
+    """
