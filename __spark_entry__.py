@@ -2851,6 +2851,22 @@ def q_clique_percolation3(spark, sf_dir):
     return res.memberships
 
 
+# ---------------------- wave 153 (label spreading + stuck loops)
+def q_label_spreading8(spark, sf_dir):
+    # tool vertices as clamped seeds: soft tool-proximity per actor
+    from linkgraph_spark.kernels.diffusion import label_spreading
+
+    g = _graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("actor_key").startswith("tool:")).select("id")
+    return label_spreading(g, seeds, iterations=8)
+
+
+def q_stuck_loops(spark, sf_dir):
+    return tscr.stuck_loops(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV), min_run=3
+    )
+
+
 # ---------------------- wave 152 (quality-keeper dedup + memorization)
 def q_dedup_best_quality(spark, sf_dir):
     return dd.dedup_corpus_best_quality(_docs(spark, sf_dir), threshold=0.5)
@@ -3713,6 +3729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 152
         "dedup_best_quality": q_dedup_best_quality,
         "memorization_rate": q_memorization_rate,
+        # wave 153
+        "label_spreading8": q_label_spreading8,
+        "stuck_loops": q_stuck_loops,
     }
 
 
@@ -4050,6 +4069,9 @@ from linkgraph_spark.kernels.kcore import onion_decomposition_sql as _onion_sql_
 from linkgraph_spark.kernels.cpm import clique_percolation3_sql as _cpm_sql_body
 from linkgraph_spark.kernels.cpm import clique_percolation4_sql as _cpm4_sql_body
 from linkgraph_spark.kernels.spectral import spectral_radius_sql as _srad_sql_body
+from linkgraph_spark.kernels.diffusion import label_spreading_sql as _lsp_sql_body
+
+_TOOL_SEED_PRED = "actor_key LIKE 'tool:%'"
 from linkgraph_spark.kernels.triangles import (
     directed_triangle_census_sql as _dtc_sql_body,
 )
@@ -5128,6 +5150,9 @@ def oracle_sql() -> dict[str, str]:
         # wave 152
         "dedup_best_quality": dd.dedup_corpus_best_quality_sql(threshold=0.5),
         "memorization_rate": tx.memorization_rate_sql(n=8),
+        # wave 153
+        "label_spreading8": f"{_G}, {_lsp_sql_body(_TOOL_SEED_PRED, 8)}",
+        "stuck_loops": f"{_G}, {tscr.stuck_loops_sql(3)}",
     }
 
 

@@ -238,3 +238,111 @@ def hitting_probability_sql(seeds: list[int], iterations: int = 6) -> str:
     return f"""{body}
     SELECT id, round(p, 6) AS p FROM hp{iterations}
     """
+
+
+def label_spreading(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    iterations: int = 8,
+) -> DataFrame:
+    """→ ``[id, score]`` — harmonic-function label spreading (Zhu &
+    Ghahramani 2002, public technique): ``seeds`` (``[id]``) are clamped
+    to score 1; every other vertex repeatedly takes the MEAN of its
+    undirected neighbors' scores (init 0).  After fixed ``iterations``
+    the score is a deterministic proximity-to-seed-set measure in [0, 1]
+    — with tool vertices as seeds, it grades every conv/role actor by how
+    tool-mediated its neighborhood is, a soft signal the hard labelprop
+    partition cannot give.  Monotone non-decreasing per round from the
+    zero init (asserted in tests); fixed iterations keep the gate/oracle
+    contract round-exact.
+
+    Plan shape per superstep: ONE gather join + grouped sum over the
+    symmetrized edge list with the 1/deg divisor attached to the edge
+    side once (iteration-invariant — the PageRank relation_length move),
+    then a clamp join against the broadcast-eligible seed set.  Isolated
+    or seedless-component vertices honestly stay 0."""
+    from linkgraph_spark.kernels.components import undirected
+
+    spark = graph.vertices.sparkSession
+    state = RotatingState(spark)
+    sym = undirected(graph.edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    # divisor on the DESTINATION side: f(v) = mean over neighbors u of f(u)
+    # ⇔ sum over edges (u→v) of f(u) / d(v)
+    ed = sym.join(
+        deg.select(F.col("id").alias("dst"), "d"), "dst"
+    ).persist()
+    n_sym = ed.count()
+    seed = seeds.select(F.col("id").alias("sid")).distinct()
+    is_seed = F.col("sid").isNotNull()
+    scores = state.rotate(
+        graph.vertices.select("id")
+        .join(seed, F.col("id") == F.col("sid"), "left")
+        .select(
+            "id", F.when(is_seed, 1.0).otherwise(0.0).alias("score"),
+            is_seed.alias("seed"),
+        )
+    )
+    with pinned_superstep_confs(spark, n_sym, graph.num_vertices) as big_state:
+        for it in range(1, iterations + 1):
+            cur = scores if big_state else F.broadcast(scores)
+            raw = (
+                ed.join(
+                    cur.select(F.col("id").alias("src"), "score"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("score") / F.col("d")).alias("raw"))
+            )
+            nxt = scores.select("id", "seed").join(raw, "id", "left").select(
+                "id",
+                F.when(F.col("seed"), 1.0)
+                .otherwise(F.coalesce("raw", F.lit(0.0)))
+                .alias("score"),
+                "seed",
+            )
+            scores = state.rotate(nxt)
+    ed.unpersist()
+    return scores.select("id", F.round("score", 6).alias("score"))
+
+
+def label_spreading_sql(seed_pred: str, iters: int = 8) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges``): identical clamped
+    mean iteration; ``seed_pred`` is a boolean SQL expression over the
+    ``verts`` columns (e.g. ``"actor_key LIKE 'tool:%'"``)."""
+    ctes = [
+        """lsp_sym AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    )""",
+        f"""lsp_seed AS MATERIALIZED (
+      SELECT id, ({seed_pred}) AS seed FROM verts
+    )""",
+        """lsp_deg AS MATERIALIZED (
+      SELECT dst AS id, count(*) AS d FROM lsp_sym GROUP BY dst
+    )""",
+        """lsp0 AS (
+      SELECT id, CASE WHEN seed THEN 1.0 ELSE 0.0 END AS score
+      FROM lsp_seed
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""lsp{k} AS MATERIALIZED (
+      SELECT s.id,
+             CASE WHEN s.seed THEN 1.0
+                  ELSE coalesce(g.raw, 0.0) END AS score
+      FROM lsp_seed s
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(p.score / dd.d) AS raw
+        FROM lsp_sym e
+        JOIN lsp{k - 1} p ON e.src = p.id
+        JOIN lsp_deg dd ON dd.id = e.dst
+        GROUP BY e.dst
+      ) g ON g.id = s.id
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT id, round(score, 6) AS score FROM lsp{iters}
+    """

@@ -939,3 +939,98 @@ def butterfly_stats_sql(
             FROM (SELECT count(*) AS d FROM bfs_tc GROUP BY conv_id)) w,
          (SELECT sum((co * (co - 1)) // 2) AS n_butterflies FROM bfs_co) bb
     """
+
+
+def stuck_loops(transcripts: DataFrame, min_run: int = 3) -> DataFrame:
+    """→ ``[conv_id, n_turns, max_run, max_run_state, n_loops]`` — the
+    stuck-agent audit: per conversation, the longest consecutive run of
+    identical ``(role, tool)`` turn states under stable ``turn_idx``
+    ordering, which state it was (earliest such run on ties), and how many
+    maximal runs reach ``min_run``.  An agent retrying the same tool call
+    turn after turn is the classic runaway-loop failure; transcript
+    curation drops or truncates these before the corpus ships.  Distinct
+    from ``repetition_stats`` (text-level n-gram repeat) — this is
+    turn-STATE repetition and catches loops whose text varies (new error
+    message, same futile call).
+
+    Plan shape: the standard gaps-and-islands — two windows partitioned by
+    ``conv_id`` (bounded by turns-per-conv, never data volume) to tag
+    runs, one per-run aggregate, one per-conversation argmax via
+    ``max(struct(run_len, −start, state))`` (no second window).  NULL tool
+    is its own state value (``'∅'`` sentinel), matching both engines."""
+    state = F.concat_ws(
+        "|", F.col("role"), F.coalesce(F.col("tool"), F.lit("∅"))
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ws = Window.partitionBy("conv_id", "st").orderBy("turn_idx")
+    runs = (
+        transcripts.select("conv_id", "turn_idx", state.alias("st"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rs", F.row_number().over(ws))
+        .withColumn("grp", F.col("rn") - F.col("rs"))
+        .groupBy("conv_id", "st", "grp")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("turn_idx").alias("start"),
+        )
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("run_len").cast("long").alias("n_turns"),
+        F.max(
+            F.struct(
+                F.col("run_len").alias("l"),
+                (-F.col("start")).alias("ns"),
+                F.col("st").alias("s"),
+            )
+        ).alias("b"),
+        F.sum(F.when(F.col("run_len") >= min_run, 1).otherwise(0))
+        .cast("long")
+        .alias("n_loops"),
+    ).select(
+        "conv_id",
+        "n_turns",
+        F.col("b.l").cast("long").alias("max_run"),
+        F.col("b.s").alias("max_run_state"),
+        "n_loops",
+    )
+
+
+def stuck_loops_sql(min_run: int = 3) -> str:
+    """DuckDB oracle body for :func:`stuck_loops` (expects the ``t``
+    transcripts CTE in scope)."""
+    return f"""
+    sl_st AS (
+      SELECT conv_id, turn_idx,
+             role || '|' || coalesce(tool, '∅') AS st,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             - row_number() OVER (PARTITION BY conv_id, role || '|' || coalesce(tool, '∅')
+                                  ORDER BY turn_idx) AS grp
+      FROM t
+    ),
+    sl_runs AS (
+      SELECT conv_id, st, grp, count(*) AS run_len, min(turn_idx) AS start
+      FROM sl_st GROUP BY conv_id, st, grp
+    ),
+    sl_best AS (
+      SELECT conv_id, max(run_len) AS max_run
+      FROM sl_runs GROUP BY conv_id
+    ),
+    sl_pick AS (
+      SELECT r.conv_id, min(r.start) AS start
+      FROM sl_runs r JOIN sl_best b
+        ON b.conv_id = r.conv_id AND r.run_len = b.max_run
+      GROUP BY r.conv_id
+    )
+    SELECT r.conv_id,
+           CAST(s.n_turns AS BIGINT) AS n_turns,
+           CAST(r.run_len AS BIGINT) AS max_run,
+           r.st AS max_run_state,
+           CAST(s.n_loops AS BIGINT) AS n_loops
+    FROM sl_runs r
+    JOIN sl_pick p ON p.conv_id = r.conv_id AND p.start = r.start
+    JOIN (
+      SELECT conv_id, sum(run_len) AS n_turns,
+             sum(CASE WHEN run_len >= {int(min_run)} THEN 1 ELSE 0 END) AS n_loops
+      FROM sl_runs GROUP BY conv_id
+    ) s ON s.conv_id = r.conv_id
+    """
