@@ -2851,6 +2851,15 @@ def q_clique_percolation3(spark, sf_dir):
     return res.memberships
 
 
+# ---------------------- wave 154 (partition coverage + performance)
+def q_partition_quality3(spark, sf_dir):
+    from linkgraph_spark.kernels.modularity import partition_quality
+
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(g, max_iterations=3)
+    return partition_quality(g, labels)
+
+
 # ---------------------- wave 153 (label spreading + stuck loops)
 def q_label_spreading8(spark, sf_dir):
     # tool vertices as clamped seeds: soft tool-proximity per actor
@@ -3732,6 +3741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 153
         "label_spreading8": q_label_spreading8,
         "stuck_loops": q_stuck_loops,
+        # wave 154
+        "partition_quality3": q_partition_quality3,
     }
 
 
@@ -4258,6 +4269,14 @@ def _modularity_labelprop_sql(iters: int = 3) -> str:
     lp = _labelprop_sql(iters)
     head = lp[: lp.rindex("SELECT id, label")].rstrip()
     return f"{head},\n{modularity_sql(f'p{iters}')}"
+
+
+def _partition_quality_labelprop_sql(iters: int = 3) -> str:
+    from linkgraph_spark.kernels.modularity import partition_quality_sql
+
+    lp = _labelprop_sql(iters)
+    head = lp[: lp.rindex("SELECT id, label")].rstrip()
+    return f"{head},\n{partition_quality_sql(f'p{iters}')}"
 
 
 def _conductance_labelprop_sql(iters: int = 3) -> str:
@@ -5153,6 +5172,8 @@ def oracle_sql() -> dict[str, str]:
         # wave 153
         "label_spreading8": f"{_G}, {_lsp_sql_body(_TOOL_SEED_PRED, 8)}",
         "stuck_loops": f"{_G}, {tscr.stuck_loops_sql(3)}",
+        # wave 154
+        "partition_quality3": _partition_quality_labelprop_sql(3),
     }
 
 

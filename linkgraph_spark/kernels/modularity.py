@@ -601,3 +601,106 @@ def degree_sweep_sql(top_k: int = 50) -> str:
     ),
     {_sweep_sql_tail("dsw_pos", K, p="dsw")}
     """
+
+
+def partition_quality(
+    graph: LinkGraph, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """→ one row ``[communities, n, m, intra_edges, coverage, performance]``
+    — the two classic partition scores modularity does not give (Fortunato
+    2010 survey, public definitions), computed in closed form with NO pair
+    enumeration:
+
+      coverage    = intra-community edges / m
+      performance = (correctly classified pairs) / C(n, 2)
+                  = (m_intra + cross-pairs-without-edge) / C(n, 2)
+                  = (2·m_intra − m + C(n,2) − Σ_c C(n_c, 2)) / C(n, 2)
+
+    (a pair is "correct" if it is an intra-community edge or an
+    inter-community non-edge).  The n² pair space reduces to exact integer
+    moments: community sizes and one labeled-edge aggregate — DECIMAL/
+    HUGEINT products so 10^9-vertex communities cannot overflow.
+    ``coverage`` NULL on an edgeless graph; singleton partitions score
+    performance = non-edge density honestly.  Scale: one O(V) size
+    aggregate + two label joins on the O(E) edge list."""
+    from linkgraph_spark.kernels.triangles import _oriented
+
+    und = _oriented(graph.edges)
+    lab = labels.select("id", F.col(label_col).alias("_c"))
+    la = lab.select(F.col("id").alias("a"), F.col("_c").alias("ca"))
+    lb = lab.select(F.col("id").alias("b"), F.col("_c").alias("cb"))
+    el = und.join(la, "a").join(lb, "b")
+    em = el.agg(
+        F.count("*").cast("long").alias("m"),
+        F.coalesce(
+            F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("m_intra"),
+    )
+    dec = "decimal(38,0)"
+    sizes = lab.groupBy("_c").agg(F.count("*").cast(dec).alias("nc"))
+    sz = sizes.agg(
+        F.count("*").cast("long").alias("communities"),
+        F.coalesce(F.sum("nc"), F.lit(0)).cast(dec).alias("n"),
+        F.coalesce(F.sum((F.col("nc") * (F.col("nc") - 1)) / 2), F.lit(0))
+        .cast(dec)
+        .alias("intra_pairs"),
+    )
+    return em.crossJoin(sz).select(
+        "communities",
+        F.col("n").cast("long").alias("n"),
+        "m",
+        F.col("m_intra").alias("intra_edges"),
+        F.expr("CASE WHEN m > 0 THEN round(CAST(m_intra AS DOUBLE) / m, 6) END").alias(
+            "coverage"
+        ),
+        F.expr(
+            "CASE WHEN n >= 2 THEN round("
+            " (2.0 * m_intra - m"
+            "  + (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2"
+            "     - CAST(intra_pairs AS DOUBLE)))"
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2), 6) END"
+        ).alias("performance"),
+    )
+
+
+def partition_quality_sql(labels_cte: str, label_col: str = "label") -> str:
+    """DuckDB oracle body for :func:`partition_quality` — ``labels_cte``
+    names a CTE with ``[id, <label_col>]``; expects ``edges``."""
+    return f"""
+    pq_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    pq_em AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(coalesce(sum(CASE WHEN la.{label_col} = lb.{label_col}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_intra
+      FROM pq_und e
+      JOIN {labels_cte} la ON la.id = e.a
+      JOIN {labels_cte} lb ON lb.id = e.b
+    ),
+    pq_sz AS (
+      SELECT CAST(count(*) AS BIGINT) AS communities,
+             CAST(coalesce(sum(nc), 0) AS HUGEINT) AS n,
+             coalesce(sum(nc * (nc - 1) // 2), 0) AS intra_pairs
+      FROM (
+        SELECT CAST(count(*) AS HUGEINT) AS nc
+        FROM {labels_cte} GROUP BY {label_col}
+      )
+    )
+    SELECT communities,
+           CAST(n AS BIGINT) AS n,
+           m,
+           m_intra AS intra_edges,
+           CASE WHEN m > 0 THEN round(CAST(m_intra AS DOUBLE) / m, 6) END
+             AS coverage,
+           CASE WHEN n >= 2 THEN round(
+             (2.0 * m_intra - m
+              + (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2
+                 - CAST(intra_pairs AS DOUBLE)))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2), 6) END
+             AS performance
+    FROM pq_em CROSS JOIN pq_sz
+    """
