@@ -2851,6 +2851,11 @@ def q_clique_percolation3(spark, sf_dir):
     return res.memberships
 
 
+# ---------------------- wave 155 (structural roles)
+def q_struct_roles4(spark, sf_dir):
+    return st.struct_roles(_graph(spark, sf_dir), k=4, iterations=4)
+
+
 # ---------------------- wave 154 (partition coverage + performance)
 def q_partition_quality3(spark, sf_dir):
     from linkgraph_spark.kernels.modularity import partition_quality
@@ -3743,6 +3748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stuck_loops": q_stuck_loops,
         # wave 154
         "partition_quality3": q_partition_quality3,
+        # wave 155
+        "struct_roles4": q_struct_roles4,
     }
 
 
@@ -5174,6 +5181,8 @@ def oracle_sql() -> dict[str, str]:
         "stuck_loops": f"{_G}, {tscr.stuck_loops_sql(3)}",
         # wave 154
         "partition_quality3": _partition_quality_labelprop_sql(3),
+        # wave 155
+        "struct_roles4": f"{_G}, {st.struct_roles_sql(4, 4)}",
     }
 
 

@@ -175,6 +175,29 @@ def main():
     _, q["heat_kernel8_sf"] = timed(
         lambda: heat_kernel(g_sf, t=2.0, terms=8).scores.count()
     )
+    from linkgraph_spark.kernels.graphlets import graphlet_census4
+
+    # session-3 kernel representatives: the full 4-graphlet census (wedge
+    # self-join + oriented K4 enumeration — the heaviest counting pass)
+    _, q["graphlet_census4_sf"] = timed(
+        lambda: graphlet_census4(g_sf).collect()
+    )
+    from linkgraph_spark.kernels.kcore import onion_decomposition
+
+    # the true peel (degree recount per layer — rounds land in detail)
+    onion_res, q["onion_sf"] = timed(lambda: onion_decomposition(g_sf))
+    from linkgraph_spark.kernels.spectral import leaderrank
+
+    # ground-node walk: 10 gather supersteps with observe-fused scalars
+    _, q["leaderrank10_sf"] = timed(
+        lambda: leaderrank(g_sf, iterations=10).scores.count()
+    )
+    from linkgraph_spark.kernels.cpm import clique_percolation3
+
+    # triangle-community percolation: enumeration + incidence hash-min
+    _, q["cpm3_sf"] = timed(
+        lambda: clique_percolation3(g_sf).memberships.count()
+    )
     n_edges_sf = g_sf.edges.count()
     g_sf.unpersist()
 
@@ -319,6 +342,7 @@ def main():
     )
     msf_res, q["msf_big"] = timed(lambda: boruvka_msf(g_big_w))
     kernel_rounds = {
+        "onion_sf_peeled": [m["peeled"] for m in onion_res.metrics],
         "coloring_big_uncolored": [m["uncolored"] for m in col_res.metrics],
         "matching_big_live_edges": [m["live_edges"] for m in mat_res.metrics],
         "densest_big_survivors": [m["n"] for m in den_res.metrics],

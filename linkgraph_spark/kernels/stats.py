@@ -2016,3 +2016,116 @@ def molloy_reed_sql() -> str:
              round(1.0 - 1.0 / (CAST(sk2 AS DOUBLE) / sk - 1.0), 6) END AS fc
     FROM mr_s
     """
+
+
+def struct_roles(graph: LinkGraph, k: int = 4, iterations: int = 4) -> DataFrame:
+    """→ ``[id, role, sqdist]`` — structural-role clustering (ReFeX/RolX
+    lineage, Henderson et al. KDD 2012, public technique): every vertex
+    gets a 4-feature structural signature — ``ln(1 + out_deg)``,
+    ``ln(1 + in_deg)``, ``ln(1 + triangles)``, ``ln(1 + wedges)`` — and
+    the deterministic Lloyd kernel (:func:`~linkgraph_spark.kernels.
+    kmeans.kmeans` — init centroid j = vertex id j) clusters them into
+    ``k`` roles.  Orchestrator hubs, leaf users, triangle-dense pod
+    members and chain relays land in different roles even when flow_roles'
+    coarse source/sink/relay census cannot separate them.  The log damps
+    hub skew so one 10^6-degree tool cannot own a centroid axis.
+
+    ``role`` ids are stable across engines (the shared Lloyd tie-breaks);
+    ``sqdist`` is the distance to the winning role centroid (role purity
+    per vertex).  Scale: one degree aggregate + the arboricity-bounded
+    triangle count to build features, then Lloyd's k·4-cell means —
+    O(V) per iteration, no windows."""
+    from linkgraph_spark.kernels.kmeans import kmeans
+    from linkgraph_spark.kernels.triangles import _oriented, _triangles_und
+
+    out_d = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("od")
+    )
+    in_d = graph.edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("idg")
+    )
+    und = _oriented(graph.edges)
+    ud = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    tv = (
+        _triangles_und(und)
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("t"))
+    )
+    feats = (
+        graph.vertices.select("id")
+        .join(out_d, "id", "left")
+        .join(in_d, "id", "left")
+        .join(ud, "id", "left")
+        .join(tv, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.expr("ln(1.0 + coalesce(od, 0))"),
+                F.expr("ln(1.0 + coalesce(idg, 0))"),
+                F.expr("ln(1.0 + coalesce(t, 0))"),
+                F.expr("ln(1.0 + coalesce(d, 0) * (coalesce(d, 0) - 1) / 2)"),
+            ).alias("embedding"),
+        )
+    )
+    return kmeans(feats, k=k, iterations=iterations).select(
+        F.col("vec_id").alias("id"), F.col("cluster").alias("role"), "sqdist"
+    )
+
+
+def struct_roles_sql(k: int = 4, iterations: int = 4) -> str:
+    """DuckDB oracle body (expects ``verts``/``edges``): the identical
+    feature build feeding the shared k-means CTE chain."""
+    from linkgraph_spark.kernels.kmeans import _kmeans_ctes
+
+    feat = """
+    srl_und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    srl_ud AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM srl_und UNION ALL SELECT b AS v FROM srl_und
+      ) GROUP BY v
+    ),
+    srl_tv AS (
+      SELECT v, count(*) AS t FROM (
+        SELECT e1.a AS v FROM srl_und e1
+        JOIN srl_und e2 ON e1.b = e2.a
+        JOIN srl_und e3 ON e3.a = e1.a AND e3.b = e2.b
+        UNION ALL
+        SELECT e1.b FROM srl_und e1
+        JOIN srl_und e2 ON e1.b = e2.a
+        JOIN srl_und e3 ON e3.a = e1.a AND e3.b = e2.b
+        UNION ALL
+        SELECT e2.b FROM srl_und e1
+        JOIN srl_und e2 ON e1.b = e2.a
+        JOIN srl_und e3 ON e3.a = e1.a AND e3.b = e2.b
+      ) GROUP BY v
+    ),
+    srl_feat AS MATERIALIZED (
+      SELECT v.id AS vec_id,
+             [ln(1.0 + coalesce(o.c, 0)),
+              ln(1.0 + coalesce(i.c, 0)),
+              ln(1.0 + coalesce(t.t, 0)),
+              ln(1.0 + coalesce(u.d, 0) * (coalesce(u.d, 0) - 1) / 2)]
+               AS embedding
+      FROM verts v
+      LEFT JOIN (SELECT src AS id, count(*) AS c FROM edges GROUP BY src) o
+        ON o.id = v.id
+      LEFT JOIN (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst) i
+        ON i.id = v.id
+      LEFT JOIN srl_ud u ON u.v = v.id
+      LEFT JOIN srl_tv t ON t.v = v.id
+    )"""
+    km = _kmeans_ctes("srl_feat", k, iterations)
+    km = km[len("WITH "):] if km.startswith("WITH ") else km
+    return f"""{feat},
+    {km}
+    SELECT vec_id AS id, cluster AS role, round(sqd, 6) AS sqdist FROM kfinal
+    """
