@@ -3127,12 +3127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Tail entries remain fully covered by pytest + tools/check_oracles.py.
 
     ROUND-6 DUTY: the r5 gate records entries 1-50 below, so EVERY entry
-    from position 51 on (boruvka_msf .. exp_fit_gaps — all of
-    waves 2-144 plus the r4-green tail, 419 entries) must cycle to the front across rounds
+    from position 51 on (boruvka_msf .. struct_roles4 — all of
+    waves 2-155 plus the r4-green tail, 434 entries) must cycle to the front across rounds
     6-10 (50 per round, oldest driver row first); every one of the
     oracle-backed ones was verified ALL MATCH by tools/check_oracles.py at
     sf0.01 during round 5 when its wave landed (the rows-only entries are
-    pinned by exact pytest oracles instead)."""
+    pinned by exact pytest oracles instead).  The session-3 waves 145-155
+    (graphlet_census4 .. struct_roles4, 15 entries) are the newest
+    never-driver-checked block — they front the r6 rotation together with
+    degree_percentiles/corpus_stats/boruvka_msf/msf_clusters10."""
     return {
         # -- 1. rotated out of the r4 gate (driver row is r2/r3) ------------
         "pagerank_top20": q_pagerank_top20,
