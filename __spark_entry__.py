@@ -2851,6 +2851,11 @@ def q_clique_percolation3(spark, sf_dir):
     return res.memberships
 
 
+# ---------------------- wave 156 (token budget allocation)
+def q_token_budget_alloc(spark, sf_dir):
+    return sp.token_budget_alloc(_docs(spark, sf_dir), budget=100003, alpha=0.5)
+
+
 # ---------------------- wave 155 (structural roles)
 def q_struct_roles4(spark, sf_dir):
     return st.struct_roles(_graph(spark, sf_dir), k=4, iterations=4)
@@ -3753,6 +3758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_quality3": q_partition_quality3,
         # wave 155
         "struct_roles4": q_struct_roles4,
+        # wave 156
+        "token_budget_alloc": q_token_budget_alloc,
     }
 
 
@@ -5186,6 +5193,8 @@ def oracle_sql() -> dict[str, str]:
         "partition_quality3": _partition_quality_labelprop_sql(3),
         # wave 155
         "struct_roles4": f"{_G}, {st.struct_roles_sql(4, 4)}",
+        # wave 156
+        "token_budget_alloc": sp.token_budget_alloc_sql(budget=100003, alpha=0.5),
     }
 
 

@@ -735,3 +735,119 @@ def temperature_mixture_sql(
       JOIN tm_budget b ON b.__tm_s = {strata_expr}
     ) WHERE __tm_rn <= __tm_n
     """
+
+
+def token_budget_alloc(
+    documents: DataFrame, budget: int, alpha: float = 0.5
+) -> DataFrame:
+    """→ ``[lang, tokens_avail, share, alloc_tokens, epochs]`` — the exact
+    TOKEN-grain budget allocation across languages: availability counts
+    from the corpus, α-temperature shares (``avail^α / Σ avail^α`` — the
+    XLM-R/mBERT mixing knob), and a largest-remainder apportionment so the
+    integer allocations sum to EXACTLY ``budget`` (floor everyone, then
+    hand the leftover tokens to the largest fractional remainders, ties by
+    lang asc).  ``epochs = alloc / avail`` is the repetition factor — the
+    data-constrained-scaling number (Muennighoff et al. 2023, public
+    result: beyond ~4 epochs repeated tokens stop helping), so a row with
+    ``epochs > 4`` says the budget over-asks this language.
+
+    Complements :func:`temperature_mixture` (which SELECTS rows and
+    deliberately floors without remainder distribution): this one only
+    PLANS, at token grain, and must hit the budget exactly — an allocation
+    table a pipeline feeds back into per-language samplers.
+
+    Cross-engine FP: the documented two-round trick (``round(avail^α, 6)``
+    then ``round(w/Σw, 9)``) absorbs last-ulp pow/sum differences before
+    any floor; ``share·budget`` is then one exact IEEE product of a
+    9-dp-rounded double and an integer, identical in both engines.
+
+    Scale: one per-doc map (token count) + one |langs|-row aggregate;
+    the remainder window runs over the bounded language lattice only."""
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "),
+            lambda x: x != "",
+        )
+    )
+    avail = (
+        documents.select("lang", toks.alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("long").alias("tokens_avail"))
+    )
+    a = float(alpha)
+    w = F.round(F.pow(F.col("tokens_avail").cast("double"), F.lit(a)), 6)
+    ww = Window.partitionBy()  # |langs| rows — bounded lattice by contract
+    shares = avail.select(
+        "lang",
+        "tokens_avail",
+        F.round(w / F.sum(w).over(ww), 9).alias("share"),
+    )
+    b = int(budget)
+    base = shares.select(
+        "*",
+        F.floor(F.col("share") * b).cast("long").alias("fl"),
+        (F.col("share") * b - F.floor(F.col("share") * b)).alias("frac"),
+    )
+    wrank = Window.partitionBy().orderBy(F.desc("frac"), F.asc("lang"))
+    wtot = Window.partitionBy()
+    out = base.select(
+        "*",
+        F.row_number().over(wrank).alias("rk"),
+        F.sum("fl").over(wtot).alias("fl_tot"),
+    ).select(
+        "lang",
+        "tokens_avail",
+        "share",
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.lit(b) - F.col("fl_tot"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+    return out.select(
+        "*",
+        F.expr(
+            "CASE WHEN tokens_avail > 0 THEN"
+            " round(CAST(alloc_tokens AS DOUBLE) / tokens_avail, 6) END"
+        ).alias("epochs"),
+    )
+
+
+def token_budget_alloc_sql(
+    table: str = "documents", budget: int = 1000000, alpha: float = 0.5
+) -> str:
+    """DuckDB oracle for :func:`token_budget_alloc` — identical staging."""
+    a, b = float(alpha), int(budget)
+    return f"""
+    WITH tba_av AS (
+      SELECT lang,
+             CAST(sum(len(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''
+             ))) AS BIGINT) AS tokens_avail
+      FROM {table} GROUP BY lang
+    ), tba_sh AS (
+      SELECT lang, tokens_avail,
+             round(round(power(CAST(tokens_avail AS DOUBLE), {a:.17g}), 6)
+                   / sum(round(power(CAST(tokens_avail AS DOUBLE), {a:.17g}), 6))
+                     OVER (), 9) AS share
+      FROM tba_av
+    ), tba_b AS (
+      SELECT *, CAST(floor(share * {b}) AS BIGINT) AS fl,
+             share * {b} - floor(share * {b}) AS frac
+      FROM tba_sh
+    ), tba_r AS (
+      SELECT *, row_number() OVER (ORDER BY frac DESC, lang ASC) AS rk,
+             sum(fl) OVER () AS fl_tot
+      FROM tba_b
+    )
+    SELECT lang, tokens_avail, share,
+           CAST(fl + CASE WHEN rk <= {b} - fl_tot THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens,
+           CASE WHEN tokens_avail > 0 THEN
+             round(CAST(fl + CASE WHEN rk <= {b} - fl_tot THEN 1 ELSE 0 END
+                        AS DOUBLE) / tokens_avail, 6) END AS epochs
+    FROM tba_r
+    """
