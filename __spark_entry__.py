@@ -2851,6 +2851,26 @@ def q_clique_percolation3(spark, sf_dir):
     return res.memberships
 
 
+# ---------------------- wave 157 (pagerank drift between time halves)
+def q_pagerank_drift3(spark, sf_dir):
+    from linkgraph_spark.kernels import temporal_edges
+    from linkgraph_spark.kernels.temporal import pagerank_drift
+
+    g = _graph(spark, sf_dir)
+    te = temporal_edges(g, transcripts_from_events(spark, sf_dir, TURNS_PER_CONV))
+    return pagerank_drift(g, te, iterations=3)
+
+
+def _pagerank_drift_oracle(iters: int = 3, d: float = 0.8) -> str:
+    tes = tmp.temporal_edges_sql()
+    i = tes.rindex("SELECT vs.id")
+    head, final = tes[:i].rstrip().rstrip(","), tes[i:]
+    return (
+        f"{_G}, {head}, te AS MATERIALIZED ({final}), "
+        f"{tmp.pagerank_drift_sql(iters, d)}"
+    )
+
+
 # ---------------------- wave 156 (token budget allocation)
 def q_token_budget_alloc(spark, sf_dir):
     return sp.token_budget_alloc(_docs(spark, sf_dir), budget=100003, alpha=0.5)
@@ -3760,6 +3780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "struct_roles4": q_struct_roles4,
         # wave 156
         "token_budget_alloc": q_token_budget_alloc,
+        # wave 157
+        "pagerank_drift3": q_pagerank_drift3,
     }
 
 
@@ -5195,6 +5217,8 @@ def oracle_sql() -> dict[str, str]:
         "struct_roles4": f"{_G}, {st.struct_roles_sql(4, 4)}",
         # wave 156
         "token_budget_alloc": sp.token_budget_alloc_sql(budget=100003, alpha=0.5),
+        # wave 157
+        "pagerank_drift3": _pagerank_drift_oracle(3, 0.8),
     }
 
 

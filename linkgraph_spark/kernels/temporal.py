@@ -1064,3 +1064,117 @@ def pref_attach_test_sql() -> str:
            round(coalesce(a.n_new_attach, 0) * 1.0 / v.n_vertices, 6) AS rate
     FROM pa_verts v LEFT JOIN pa_attach a ON a.deg = v.deg
     """
+
+
+def pagerank_drift(
+    graph: LinkGraph,
+    tedges: DataFrame,
+    iterations: int = 3,
+    d: float = 0.8,
+) -> DataFrame:
+    """→ ``[id, rank_old, rank_new, delta]`` — importance DRIFT between
+    the stream's time halves: reference-compat PageRank (fixed
+    ``iterations``, damping ``d``, in-deg-or-1 divisor, keep-old-rank
+    quirk) run twice over the SAME full vertex universe — once on the
+    edges at or before the exact floored-median edge instant, once on
+    the rest — so the two rank vectors share the 1/N init and are
+    directly comparable.  ``delta = rank_new − rank_old`` (rounded 6):
+    rising actors are emerging hubs, falling ones are cooling topics —
+    the temporal complement of :func:`~linkgraph_spark.kernels.pagerank.
+    pagerank`'s warm-start path (which re-converges; this one contrasts).
+
+    The cutoff is the exact interpolated median of edge timestamps,
+    floored (the wave-132 era-cutoff convention — engine-identical for
+    integer seconds).  Halves are deduplicated to simple edges, matching
+    the static ETL's first-wins semantics.
+
+    Scale: two fixed-iteration compat runs (each the reference superstep
+    shape — one gather join + grouped sum per round) + one O(V) join.
+    The median is a single tiny aggregate."""
+    from linkgraph_spark.edges import LinkGraph as _LG
+    from linkgraph_spark.edges import vertex_degrees
+    from linkgraph_spark.kernels.pagerank import pagerank
+
+    cutoff = tedges.agg(
+        F.expr("CAST(floor(percentile(ts, 0.5)) AS BIGINT)").alias("c")
+    ).collect()[0]["c"]
+
+    def _half(pred):
+        e = (
+            tedges.where(pred)
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        dg = vertex_degrees(graph.vertices, e)
+        g2 = _LG(
+            vertices=graph.vertices,
+            edges=e,
+            degrees=dg,
+            num_vertices=graph.num_vertices,
+        )
+        return pagerank(g2, mode="compat", iterations=iterations).ranks
+
+    r_old = _half(F.col("ts") <= cutoff).select(
+        "id", F.round("rank", 6).alias("rank_old")
+    )
+    r_new = _half(F.col("ts") > cutoff).select(
+        "id", F.round("rank", 6).alias("rank_new")
+    )
+    return r_old.join(r_new, "id").select(
+        "id",
+        "rank_old",
+        "rank_new",
+        F.round(F.col("rank_new") - F.col("rank_old"), 6).alias("delta"),
+    )
+
+
+def pagerank_drift_sql(iters: int = 3, d: float = 0.8) -> str:
+    """DuckDB oracle body (expects ``verts`` and the ``te`` temporal-edge
+    CTE of :func:`temporal_edges_sql` in scope): the identical two
+    compat chains over the median-split halves."""
+
+    def chain(p: str, pred: str) -> str:
+        ctes = [
+            f"""{p}e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM te WHERE src <> dst AND ({pred})
+    )""",
+            f"""{p}dg AS MATERIALIZED (
+      SELECT v.id, coalesce(i.c, 1) AS relation_length
+      FROM verts v
+      LEFT JOIN (SELECT dst AS id, count(*) AS c FROM {p}e GROUP BY dst) i
+        USING (id)
+    )""",
+            f"{p}r0 AS (SELECT id, 1.0 / nv.n AS rank FROM verts CROSS JOIN nv)",
+        ]
+        for k in range(1, iters + 1):
+            ctes.append(
+                f"""{p}r{k} AS MATERIALIZED (
+      SELECT r.id,
+             CASE WHEN s.sm IS NOT NULL THEN {d} * s.sm + {1 - d:.17g} / nv.n
+                  ELSE r.rank END AS rank
+      FROM {p}r{k - 1} r CROSS JOIN nv
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(r2.rank / dg.relation_length) AS sm
+        FROM {p}e e
+        JOIN {p}r{k - 1} r2 ON e.src = r2.id
+        JOIN {p}dg dg ON dg.id = e.src
+        GROUP BY e.dst
+      ) s ON s.id = r.id
+    )"""
+            )
+        return ",\n    ".join(ctes)
+
+    return f"""
+    nv AS (SELECT count(*) AS n FROM verts),
+    pd_cut AS MATERIALIZED (
+      SELECT CAST(floor(median(ts)) AS BIGINT) AS c FROM te
+    ),
+    {chain("pdo_", "ts <= (SELECT c FROM pd_cut)")},
+    {chain("pdn_", "ts > (SELECT c FROM pd_cut)")}
+    SELECT o.id,
+           round(o.rank, 6) AS rank_old,
+           round(n.rank, 6) AS rank_new,
+           round(round(n.rank, 6) - round(o.rank, 6), 6) AS delta
+    FROM pdo_r{iters} o JOIN pdn_r{iters} n USING (id)
+    """
