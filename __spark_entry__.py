@@ -2851,6 +2851,13 @@ def q_clique_percolation3(spark, sf_dir):
     return res.memberships
 
 
+# ---------------------- wave 158 (zlib compression-ratio gate)
+def q_compression_ratio(spark, sf_dir):
+    # rows-only gate entry (DuckDB has no SQL zlib) — pinned by the exact
+    # python-zlib pytest oracle in tests/test_wave158.py
+    return tx.compression_ratio(_docs(spark, sf_dir))
+
+
 # ---------------------- wave 157 (pagerank drift between time halves)
 def q_pagerank_drift3(spark, sf_dir):
     from linkgraph_spark.kernels import temporal_edges
@@ -3782,6 +3789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_alloc": q_token_budget_alloc,
         # wave 157
         "pagerank_drift3": q_pagerank_drift3,
+        # wave 158 (rows-only: stdlib zlib has no DuckDB mirror)
+        "compression_ratio": q_compression_ratio,
     }
 
 

@@ -4554,3 +4554,52 @@ def memorization_rate_sql(table: str = "documents", n: int = 8) -> str:
     WHERE t.variant = 1
     GROUP BY t.doc_id
     """
+
+
+def compression_ratio(documents: DataFrame, level: int = 6) -> DataFrame:
+    """→ ``[doc_id, n_bytes, n_compressed, ratio]`` — per-document DEFLATE
+    compression ratio (``len(zlib(text)) / len(text)``, rounded 6): the
+    classic model-free repetitiveness gate (used by Gopher/FineWeb-class
+    pipelines, public technique).  Boilerplate, template spam and
+    copy-paste loops compress far below clean prose (ratio ≲ 0.3 is the
+    usual red flag), and unlike :func:`repetition_stats`'s n-gram ratios
+    this catches long-period repetition n-gram windows miss.  Empty
+    documents report ``ratio`` NULL (nothing to compress).
+
+    Engine note: the compressor is stdlib ``zlib`` inside an
+    Arrow-batched ``mapInPandas`` (per-partition iterator, constant
+    memory — the multimodal decode shape; NOT a per-row Python UDF).
+    DuckDB has no SQL zlib, so this is one of the documented rows-only
+    gate entries — pinned instead by an exact pytest oracle against
+    python zlib on the same strings.
+
+    Scale: embarrassingly parallel map-only pass; bytes-in = bytes-out
+    metadata, no shuffle at all."""
+    import zlib as _zlib
+
+    import pandas as _pd
+
+    lvl = int(level)
+    schema = "doc_id long, n_bytes long, n_compressed long, ratio double"
+
+    def compress(batches):
+        for pdf in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf["text"]
+            ]
+            nb = [len(b) for b in raw]
+            nc = [len(_zlib.compress(b, lvl)) for b in raw]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio": [
+                        round(c / b, 6) if b > 0 else None
+                        for b, c in zip(nb, nc)
+                    ],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(compress, schema=schema)
