@@ -2851,6 +2851,13 @@ def q_clique_percolation3(spark, sf_dir):
     return res.memberships
 
 
+# ---------------------- wave 159 (conversation flow templates)
+def q_conv_templates(spark, sf_dir):
+    return tscr.conv_templates(
+        transcripts_from_events(spark, sf_dir, TURNS_PER_CONV), min_convs=2
+    )
+
+
 # ---------------------- wave 158 (zlib compression-ratio gate)
 def q_compression_ratio(spark, sf_dir):
     # rows-only gate entry (DuckDB has no SQL zlib) — pinned by the exact
@@ -3791,6 +3798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_drift3": q_pagerank_drift3,
         # wave 158 (rows-only: stdlib zlib has no DuckDB mirror)
         "compression_ratio": q_compression_ratio,
+        # wave 159
+        "conv_templates": q_conv_templates,
     }
 
 
@@ -5228,6 +5237,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_alloc": sp.token_budget_alloc_sql(budget=100003, alpha=0.5),
         # wave 157
         "pagerank_drift3": _pagerank_drift_oracle(3, 0.8),
+        # wave 159
+        "conv_templates": f"{_G}, {tscr.conv_templates_sql(2)}",
     }
 
 

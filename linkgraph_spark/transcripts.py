@@ -1034,3 +1034,74 @@ def stuck_loops_sql(min_run: int = 3) -> str:
       FROM sl_runs GROUP BY conv_id
     ) s ON s.conv_id = r.conv_id
     """
+
+
+def conv_templates(transcripts: DataFrame, min_convs: int = 2) -> DataFrame:
+    """→ ``[flow_sig, n_convs, n_turns, flow_head]`` — conversation
+    FLOW-template detection: two conversations share a template iff their
+    complete ``(role, tool)`` turn sequences are identical under stable
+    ``turn_idx`` order (text ignored — this catches scripted/bot traffic
+    whose wording varies but whose choreography never does, the flow-level
+    sibling of text dedup).  One row per template occurring in at least
+    ``min_convs`` conversations; ``flow_sig`` is the portable 60-bit md5
+    of the joined sequence, ``flow_head`` its first 3 states for human
+    triage, ``n_turns`` the template length.
+
+    Plan shape: per-conversation ``array_sort(collect_list(struct))`` —
+    bounded by turns-per-conv, never data volume — one map to the flow
+    string, one count aggregate on the signature.  No windows."""
+    from linkgraph_spark.functions.hashing import md5_long
+
+    state = F.concat_ws(
+        "|", F.col("role"), F.coalesce(F.col("tool"), F.lit("∅"))
+    )
+    per_conv = (
+        transcripts.select(
+            "conv_id", F.struct(F.col("turn_idx").alias("i"), state.alias("s")).alias("t")
+        )
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("t")).alias("ts"))
+        .select(
+            "conv_id",
+            F.size("ts").alias("n_turns"),
+            F.concat_ws(">", F.transform("ts", lambda x: x["s"])).alias("flow"),
+        )
+    )
+    return (
+        per_conv.groupBy("flow")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.max("n_turns").cast("long").alias("n_turns"),
+        )
+        .where(F.col("n_convs") >= int(min_convs))
+        .select(
+            md5_long(F.col("flow")).alias("flow_sig"),
+            "n_convs",
+            "n_turns",
+            F.substring_index("flow", ">", 3).alias("flow_head"),
+        )
+    )
+
+
+def conv_templates_sql(min_convs: int = 2) -> str:
+    """DuckDB oracle body for :func:`conv_templates` (expects ``t``)."""
+    return f"""
+    ct_flow AS (
+      SELECT conv_id, count(*) AS n_turns,
+             string_agg(role || '|' || coalesce(tool, '∅'), '>'
+                        ORDER BY turn_idx) AS flow
+      FROM t GROUP BY conv_id
+    ),
+    ct_grp AS (
+      SELECT flow, CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(max(n_turns) AS BIGINT) AS n_turns
+      FROM ct_flow GROUP BY flow
+      HAVING count(*) >= {int(min_convs)}
+    )
+    SELECT CAST(concat('0x', substr(md5(flow), 1, 15)) AS BIGINT) AS flow_sig,
+           n_convs, n_turns,
+           CASE WHEN len(string_split(flow, '>')) <= 3 THEN flow
+                ELSE array_to_string((string_split(flow, '>'))[1:3], '>')
+           END AS flow_head
+    FROM ct_grp
+    """
