@@ -85,6 +85,20 @@ from linkgraph_spark.kernels.subgraph import ego_graph, induced_subgraph
 from linkgraph_spark.kernels.truss import TrussResult, edge_support, k_truss, local_bridges
 from linkgraph_spark.kernels.walks import random_walks, skipgram_pairs
 from linkgraph_spark.kernels.kcore import KCoreResult, k_core
+from linkgraph_spark.kernels.graphlets import graphlet_census4
+from linkgraph_spark.kernels.cpm import (
+    CpmResult,
+    clique_percolation3,
+    clique_percolation4,
+    clique_percolation4_over_pairs,
+)
+from linkgraph_spark.kernels.kcore import onion_decomposition, OnionResult
+from linkgraph_spark.kernels.spectral import leaderrank, spectral_radius
+from linkgraph_spark.kernels.diffusion import label_spreading
+from linkgraph_spark.kernels.stats import disparity_backbone, molloy_reed, struct_roles
+from linkgraph_spark.kernels.modularity import partition_quality
+from linkgraph_spark.kernels.temporal import pagerank_drift
+from linkgraph_spark.kernels.centrality import subgraph_centrality4
 from linkgraph_spark.kernels.triangles import (
     directed_triangle_census,
     four_cliques_over_pairs,
@@ -194,4 +208,20 @@ __all__ = [
     "k_core",
     "triangle_count",
     "triangles_per_vertex",
+    "graphlet_census4",
+    "CpmResult",
+    "clique_percolation3",
+    "clique_percolation4",
+    "clique_percolation4_over_pairs",
+    "onion_decomposition",
+    "OnionResult",
+    "leaderrank",
+    "spectral_radius",
+    "label_spreading",
+    "disparity_backbone",
+    "molloy_reed",
+    "struct_roles",
+    "partition_quality",
+    "pagerank_drift",
+    "subgraph_centrality4",
 ]
