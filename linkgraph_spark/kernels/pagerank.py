@@ -52,7 +52,14 @@ from linkgraph_spark.checkpoint import CheckpointStore
 from linkgraph_spark.config import COMPAT_DAMPING, COMPAT_ITERATIONS, EngineConfig
 from linkgraph_spark.edges import LinkGraph
 from linkgraph_spark.lineage import RotatingState
-from linkgraph_spark.skew import gather_contribs, hub_vertices, plain_sum, salted_sum
+from linkgraph_spark.skew import (
+    gather_contribs,
+    gather_contribs_presplit,
+    hub_vertices,
+    plain_sum,
+    salted_sum,
+    split_edges_by_hub,
+)
 
 
 @dataclass
@@ -155,15 +162,31 @@ def pagerank(
     # aligned hash partitioning here). Beyond broadcast scale, the cluster
     # deployment buckets the edge table on `src` (storage-partitioned join)
     # so the O(E) side still shuffles zero times per superstep.
-    edges_div = _edges_with_divisor(graph, mode).persist()
-    n_edges = edges_div.count()  # materialize the invariant table once
+    #
+    # localCheckpoint (not persist): both pin the blocks once, but persist
+    # keeps the FULL ETL lineage in the logical plan, so every superstep
+    # re-analyzes the whole upstream tree (measured: a 130-operator
+    # formatted plan per superstep on the bench graph); the checkpoint
+    # truncates the loop's per-iteration plan to a leaf. Blocks are freed
+    # in the caller's finally via free_tracked.
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
+
+    static_blocks: set = set()
+    edges_div, _blks = checkpoint_tracked(_edges_with_divisor(graph, mode))
+    static_blocks |= _blks
+    n_edges = edges_div.count()  # blocks already materialized (eager ckpt)
 
     hub_ids = None
+    hub_blocks: set = set()
     if use_hub_broadcast:
-        hub_ids = hub_vertices(graph.degrees, cfg.hub_degree_threshold).persist()
+        # checkpointed for the same plan-truncation reason as edges_div:
+        # the big-state loop broadcast-semi-joins it every superstep
+        hub_ids, hub_blocks = checkpoint_tracked(
+            hub_vertices(graph.degrees, cfg.hub_degree_threshold)
+        )
         if hub_ids.count() == 0:
-            hub_ids.unpersist()
-            hub_ids = None
+            free_tracked(spark.sparkContext, hub_blocks)
+            hub_ids, hub_blocks = None, set()
 
     # large rank vectors: shuffle-hash gather beats per-superstep broadcast
     # (re-broadcasting O(V) state each superstep measured ~3x slower at 2M
@@ -178,6 +201,19 @@ def pagerank(
         if force_big_state is not None
         else n_edges > 5_000_000 or n > 2_000_000
     )
+    # big-state loops with a hub set: split the edge table ONCE (the split
+    # is iteration-invariant — re-tagging O(E) rows per superstep was pure
+    # repeated work) and drop the untagged copy's cache
+    edges_split = None
+    if big_state and hub_ids is not None and gather_fn is None:
+        rest, hubs = split_edges_by_hub(edges_div, hub_ids)
+        rest, _b1 = checkpoint_tracked(rest)
+        hubs, _b2 = checkpoint_tracked(hubs)
+        edges_split = (rest, hubs)
+        # the untagged table's blocks are no longer referenced by the loop
+        free_tracked(spark.sparkContext, static_blocks)
+        static_blocks = _b1 | _b2
+
     saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -186,15 +222,14 @@ def pagerank(
             graph, mode, cfg, spark, n, n_iters, damping, teleport,
             check_convergence, personalize_ids, edges_div, n_edges, hub_ids,
             big_state, gather_fn, gather_mode, use_salting, checkpoint, resume,
-            profile, init_ranks,
+            profile, init_ranks, edges_split,
         )
     finally:
         # restore session confs + free caches on EVERY exit path (including
         # exceptions/interrupts mid-loop) — a shared SparkSession must not
         # be left with AQE/broadcast disabled by a failed run
-        edges_div.unpersist()
-        if hub_ids is not None:
-            hub_ids.unpersist()
+        free_tracked(spark.sparkContext, static_blocks)
+        free_tracked(spark.sparkContext, hub_blocks)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
@@ -223,7 +258,7 @@ def _pagerank_loop(
     graph, mode, cfg, spark, n, n_iters, damping, teleport, check_convergence,
     personalize_ids, edges_div, n_edges, hub_ids, big_state, gather_fn,
     gather_mode, use_salting, checkpoint, resume, profile=False,
-    init_ranks=None,
+    init_ranks=None, edges_split=None,
 ) -> PageRankResult:
     # AQE's per-stage re-planning costs more than it saves once the loop's
     # plan shape is pinned — at EVERY scale (measured 2x per-superstep
@@ -239,11 +274,23 @@ def _pagerank_loop(
         sp_cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
         sp_loop = min(sp_cur, max(8, n_edges // 100_000))
         spark.conf.set("spark.sql.shuffle.partitions", str(sp_loop))
-    gather = gather_fn or (
-        lambda ed, r: gather_contribs(
-            ed, r, hub_ids, shuffle_hint=big_state, broadcast_hint=not big_state
+    if gather_fn is not None:
+        gather = gather_fn
+    elif not big_state:
+        # broadcast regime: the whole rank vector rides ONE broadcast per
+        # superstep, which serves hub keys map-side already — a hub split
+        # here is pure overhead (per-superstep tag join, semi-join, second
+        # broadcast build and union for slices the single broadcast join
+        # covers). Guide §2.4: remove the work outright.
+        gather = lambda ed, r: gather_contribs(ed, r, None, broadcast_hint=True)
+    elif edges_split is not None:
+        # big state + hubs: slices pre-split before the loop; the hub
+        # slice's rank rows broadcast, the rest shuffle-hash joins
+        gather = lambda ed, r: gather_contribs_presplit(
+            edges_split[0], edges_split[1], r, hub_ids
         )
-    )
+    else:
+        gather = lambda ed, r: gather_contribs(ed, r, None, shuffle_hint=True)
     if gather_mode == "csr":
         from linkgraph_spark.csr import csr_block_sum
 
@@ -307,6 +354,15 @@ def _pagerank_loop(
             start_iter = latest
 
     state = RotatingState(spark)
+    # align the state vector's partitioning with the loop's shuffle
+    # partition count ONCE: the rank state otherwise inherits whatever
+    # partitioning the init plan (cached degrees) had, and every
+    # superstep's apply join then re-exchanges the per-dst sums from the
+    # agg's partition count to the state's (two exchanges per superstep
+    # instead of one — guide §2.4, operations keyed the same way should
+    # share one exchange)
+    sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    init = init.repartition(sp_eff, F.col("id"))
     # the dangling-vertex count AND the initial dangling mass ride the init
     # materialization via observe() — zero extra pre-loop jobs
     obs0 = Observation(f"pr_init_{id(state)}")

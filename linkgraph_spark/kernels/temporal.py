@@ -240,48 +240,64 @@ def temporal_components(
     multiply state size, not round count. Early exit at the global
     fixpoint is safe (hash-min is monotone and idempotent, so the unrolled
     SQL oracle with a fixed round budget matches exactly)."""
-    from linkgraph_spark.lineage import RotatingState
+    from linkgraph_spark.lineage import RotatingState, checkpoint_tracked, free_tracked
 
     spark = tedges.sparkSession
     w = (F.col("ts") - F.col("ts") % F.lit(int(window_sec))).alias("w")
     we = tedges.select(w, "src", "dst")
-    und = (
+    # localCheckpoint (not persist): truncates the temporal-edge ETL
+    # lineage so each round's plan is a leaf join, and the loop runs under
+    # pinned superstep confs like every other hash-min kernel (this loop
+    # previously re-planned the full upstream tree with AQE every round)
+    und, und_blocks = checkpoint_tracked(
         we.select("w", F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(we.select("w", F.col("dst").alias("a"), F.col("src").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
+    n_und = und.count()
     verts = und.select("w", F.col("a").alias("id")).distinct()
     state = RotatingState(spark)
-    labels = state.rotate(verts.withColumn("component", F.col("id")))
     from pyspark.sql import Observation
 
-    for it in range(1, max_iterations + 1):
-        gathered = (
-            und.join(
-                labels.select(
-                    "w", F.col("id").alias("b"), F.col("component").alias("nc")
-                ),
-                ["w", "b"],
+    try:
+        with pinned_superstep_confs(spark, n_und, graph.num_vertices) as big:
+            sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            # align state partitioning with the loop's agg exchanges once,
+            # so the per-round apply join adds no second exchange
+            labels = state.rotate(
+                verts.withColumn("component", F.col("id")).repartition(
+                    sp_eff, "w", "id"
+                )
             )
-            .groupBy("w", F.col("a").alias("id"))
-            .agg(F.min("nc").alias("mn"))
-        )
-        nxt = labels.join(gathered, ["w", "id"], "left").select(
-            "w",
-            "id",
-            F.least(F.col("component"), F.coalesce("mn", F.col("component"))).alias(
-                "component"
-            ),
-            (F.coalesce("mn", F.col("component")) < F.col("component")).alias("_chg"),
-        )
-        obs = Observation(f"twc_{id(state)}_{it}")
-        nxt = nxt.observe(obs, F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("c"))
-        labels = state.rotate(nxt.drop("_chg"))
-        if int(obs.get["c"] or 0) == 0:
-            break
-    und.unpersist()
+            for it in range(1, max_iterations + 1):
+                lbl = labels.select(
+                    "w", F.col("id").alias("b"), F.col("component").alias("nc")
+                )
+                gathered = (
+                    und.join(lbl if big else F.broadcast(lbl), ["w", "b"])
+                    .groupBy("w", F.col("a").alias("id"))
+                    .agg(F.min("nc").alias("mn"))
+                )
+                nxt = labels.join(gathered, ["w", "id"], "left").select(
+                    "w",
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("mn", F.col("component"))
+                    ).alias("component"),
+                    (F.coalesce("mn", F.col("component")) < F.col("component")).alias(
+                        "_chg"
+                    ),
+                )
+                obs = Observation(f"twc_{id(state)}_{it}")
+                nxt = nxt.observe(
+                    obs, F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("c")
+                )
+                labels = state.rotate(nxt.drop("_chg"))
+                if int(obs.get["c"] or 0) == 0:
+                    break
+    finally:
+        free_tracked(spark.sparkContext, und_blocks)
     return labels.select(F.col("w").alias("window_start"), "id", "component")
 
 

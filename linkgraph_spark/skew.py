@@ -80,6 +80,50 @@ def gather_contribs(
     return rest_c.unionByName(hub_c)
 
 
+def split_edges_by_hub(
+    edges_div: DataFrame, hub_ids: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Split the iteration-invariant edge table ONCE into ``(rest, hubs)``
+    by whether ``src`` is a hub — hoisting :func:`gather_contribs`'s
+    per-superstep tag join out of iterative loops (the split is itself
+    iteration-invariant, so re-tagging O(E) rows every superstep was pure
+    repeated work). The caller persists/unpersists both slices."""
+    tagged = edges_div.join(
+        F.broadcast(
+            hub_ids.withColumnRenamed("id", "src").withColumn(
+                "src_is_hub", F.lit(True)
+            )
+        ),
+        "src",
+        "left",
+    )
+    is_hub = F.col("src_is_hub")
+    return (
+        tagged.where(is_hub.isNull()).drop("src_is_hub"),
+        tagged.where(is_hub.isNotNull()).drop("src_is_hub"),
+    )
+
+
+def gather_contribs_presplit(
+    rest: DataFrame, hubs: DataFrame, ranks: DataFrame, hub_ids: DataFrame
+) -> DataFrame:
+    """Big-state gather over a :func:`split_edges_by_hub` pre-split edge
+    table: the rest slice shuffle-hash joins the rank vector; the hub slice
+    joins a broadcast of ONLY the hub vertices' ranks (extracted by a
+    broadcast semi-join against the tiny hub-id set — never a shuffle of
+    the O(V) rank state). Same rows as :func:`gather_contribs` with
+    ``hub_ids`` + ``shuffle_hint``."""
+    r = ranks.hint("shuffle_hash")
+    rest_c = rest.join(r, rest.src == r.id, "inner").select(
+        "dst", (F.col("rank") / F.col("div")).alias("contrib"), "src"
+    )
+    hub_ranks = ranks.join(F.broadcast(hub_ids), "id", "left_semi")
+    hub_c = hubs.join(
+        F.broadcast(hub_ranks), hubs.src == hub_ranks.id, "inner"
+    ).select("dst", (F.col("rank") / F.col("div")).alias("contrib"), "src")
+    return rest_c.unionByName(hub_c)
+
+
 def salted_sum(
     contribs: DataFrame, salt_buckets: int = 8, salt_col: str = "src"
 ) -> DataFrame:
