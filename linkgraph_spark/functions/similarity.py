@@ -1132,9 +1132,15 @@ def dbscan(
     """
     from linkgraph_spark.edges import graph_from_edges
     from linkgraph_spark.kernels.components import connected_components
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
 
     spark = embeddings.sparkSession
-    pairs = embedding_near_dups(embeddings, threshold, n_tables, n_planes)
+    # checkpoint the verified pair set: the symmetrizing union below
+    # references it twice, so as a raw plan the whole LSH candidate
+    # generation + exact verification pipeline executed TWICE
+    pairs, pair_blocks = checkpoint_tracked(
+        embedding_near_dups(embeddings, threshold, n_tables, n_planes)
+    )
     sym = (
         pairs.select(F.col("vec_a").alias("id"), F.col("vec_b").alias("nb"))
         .unionByName(
@@ -1190,6 +1196,7 @@ def dbscan(
     )
     for df in (core_lab, cores, sym):
         df.unpersist()
+    free_tracked(spark.sparkContext, pair_blocks)
     g.unpersist()
     return out
 

@@ -353,7 +353,7 @@ def hyperball(
         from linkgraph_spark.kernels.components import undirected
 
         edges = undirected(graph.edges)
-    edges = edges.persist()  # read every sketch round
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
 
     state = RotatingState(spark)
     n_edges = graph.edges.count()
@@ -380,6 +380,10 @@ def hyperball(
     metrics: list = []
     it = start
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
+        # checkpoint INSIDE the pinned confs: leaf-plan per sketch round
+        # (no re-analysis of the edge-derivation lineage), materialized at
+        # the loop's scaled partition count rather than the session's
+        edges, edge_blocks = checkpoint_tracked(edges)
         for it in range(start + 1, max_r + 1):
             nbr = cur.select(F.col("id").alias("src"), "sk")
             if not big_state:
@@ -441,7 +445,7 @@ def hyperball(
         F.round("prev", 6).alias("ball_est"),
         F.round("h", 6).alias("harmonic_est"),
     )
-    edges.unpersist()
+    free_tracked(spark.sparkContext, edge_blocks)
     return HyperBallResult(
         centrality=out,
         iterations=it,

@@ -75,9 +75,13 @@ def greedy_coloring(
     where the uninterrupted one would."""
     from linkgraph_spark.kernels.components import undirected
 
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
+
     spark = graph.vertices.sparkSession
     state = RotatingState(spark)
-    edges = undirected(graph.edges).persist()
+    # localCheckpoint (not persist): leaf-plan per round instead of
+    # re-analyzing the symmetrized-edge lineage every round
+    edges, edge_blocks = checkpoint_tracked(undirected(graph.edges))
     n_edges = graph.edges.count()
 
     init = graph.vertices.select(
@@ -91,13 +95,22 @@ def greedy_coloring(
         if latest is not None:
             init = checkpoint.load_state(spark, "coloring", latest)
             start = latest
-    cur = state.rotate(init)
     converged = False
     metrics: list = []
     it = start
-    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big:
+        # align state partitioning with the per-round agg exchanges once
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cur = state.rotate(init.repartition(sp_eff, "id"))
+        # scan the checkpointed edge table at the loop's scaled partition
+        # count (narrow coalesce; it materialized at the session's)
+        edges = edges.coalesce(sp_eff)
         for it in range(start + 1, max_iterations + 1):
             unc = cur.where(F.col("color").isNull())
+            if not big:
+                # small regime: the state slices ride broadcasts so the
+                # O(E) symmetric edge table never shuffles per round
+                unc = F.broadcast(unc)
             # max uncolored-neighbor priority per uncolored vertex
             blocker = (
                 edges.join(unc.select(F.col("id").alias("src"), "pr"), "src")
@@ -105,14 +118,14 @@ def greedy_coloring(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.max("pr").alias("max_unc_pr"))
             )
+            colored = cur.where(F.col("color").isNotNull()).select(
+                F.col("id").alias("src"), "color"
+            )
+            if not big:
+                colored = F.broadcast(colored)
             # colors already taken in each vertex's neighborhood
             taken = (
-                edges.join(
-                    cur.where(F.col("color").isNotNull()).select(
-                        F.col("id").alias("src"), "color"
-                    ),
-                    "src",
-                )
+                edges.join(colored, "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.collect_set("color").alias("cl"))
             )
@@ -155,7 +168,7 @@ def greedy_coloring(
                 converged = True
                 break
 
-    edges.unpersist()
+    free_tracked(spark.sparkContext, edge_blocks)
     return ColoringResult(
         colors=cur.select("id", "color"),
         iterations=it,

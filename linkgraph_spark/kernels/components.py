@@ -80,7 +80,12 @@ def connected_components(
     if init_labels is not None and resume:
         raise ValueError("init_labels and resume are mutually exclusive")
     spark = graph.vertices.sparkSession
-    sym = undirected(graph.edges).persist()
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
+
+    # localCheckpoint (not persist): truncates the symmetrized edge table's
+    # lineage so each superstep's plan is a leaf join instead of
+    # re-analyzing the full upstream ETL tree every round
+    sym, sym_blocks = checkpoint_tracked(undirected(graph.edges))
     n_sym = sym.count()
 
     labels = graph.vertices.select("id", F.col("id").alias("component"))
@@ -98,7 +103,6 @@ def connected_components(
             labels = checkpoint.load_state(spark, "components", latest)
             start = latest
     state = RotatingState(spark)
-    labels = state.rotate(labels)  # truncate lineage per superstep
 
     converged = False
     metrics: list = []
@@ -106,6 +110,14 @@ def connected_components(
     with pinned_superstep_confs(
         spark, n_sym, graph.num_vertices, force_big=force_big_state
     ) as big_state:
+        # align the label state's partitioning with the loop's agg
+        # exchanges once, so the per-round apply join adds no second
+        # exchange (truncates lineage per superstep as before)
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        labels = state.rotate(labels.repartition(sp_eff, "id"))
+        # scan the checkpointed edge table at the loop's scaled partition
+        # count (narrow coalesce; it materialized at the session's)
+        sym_l = sym.coalesce(sp_eff)
         for it in range(start + 1, max_iterations + 1):
             lbl = labels
             if not big_state:
@@ -113,7 +125,7 @@ def connected_components(
                 # the O(E) symmetric edge table is never sorted per superstep
                 lbl = F.broadcast(labels)
             nbr_min = (
-                sym.join(lbl, sym.dst == lbl.id, "inner")
+                sym_l.join(lbl, sym_l.dst == lbl.id, "inner")
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.min("component").alias("nbr_component"))
             )
@@ -145,7 +157,7 @@ def connected_components(
                 converged = True
                 break
 
-    sym.unpersist()
+    free_tracked(spark.sparkContext, sym_blocks)
     return ComponentsResult(
         labels=labels, iterations=it, converged=converged, metrics=metrics
     )

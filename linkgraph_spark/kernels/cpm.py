@@ -72,10 +72,16 @@ def clique_percolation3(graph: LinkGraph, max_iterations: int = 30) -> CpmResult
     engine-portable community id).  Vertices in no triangle appear in no
     community.  ``converged`` is False on a cap stop."""
     from linkgraph_spark.kernels.triangles import _oriented, _triangles_und
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
 
     spark = graph.vertices.sparkSession
-    tri = _triangles_und(_oriented(graph.edges)).select(
-        _tkey(F.col("a"), F.col("b"), F.col("c")).alias("tid"), "a", "b", "c"
+    # checkpoint the triangle table: it feeds the incidence AND the final
+    # membership join — as a raw plan the enumeration ran twice (and every
+    # percolation round re-analyzed the full enumeration lineage)
+    tri, tri_blocks = checkpoint_tracked(
+        _triangles_und(_oriented(graph.edges)).select(
+            _tkey(F.col("a"), F.col("b"), F.col("c")).alias("tid"), "a", "b", "c"
+        )
     )
     # bipartite incidence: 3 edge rows per triangle
     inc = (
@@ -93,6 +99,7 @@ def clique_percolation3(graph: LinkGraph, max_iterations: int = 30) -> CpmResult
         .localCheckpoint()
     )
     st_lab.release()
+    free_tracked(spark.sparkContext, tri_blocks)
     return CpmResult(
         memberships=members, iterations=it, converged=converged, metrics=metrics
     )
@@ -171,21 +178,31 @@ def _percolate(spark, inc: DataFrame, n_scale: int, max_iterations: int):
     inc = st_inc.rotate(inc)
     n_inc = inc.count()
     st_lab = RotatingState(spark)
-    labels = st_lab.rotate(
-        inc.select("tid").distinct().withColumn("label", F.col("tid"))
-    )
     converged = False
     metrics: list = []
     it = 0
-    with pinned_superstep_confs(spark, n_inc, n_scale):
+    with pinned_superstep_confs(spark, n_inc, n_scale) as big:
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # two pre-partitioned incidence copies (tid-keyed and e-keyed):
+        # rotate preserves the hash partitioning, so neither per-round join
+        # ever re-shuffles the O(inc) side — only the label/edge-min frames
+        # move (and in the small regime those ride broadcasts instead)
+        st_tid, st_e = RotatingState(spark), RotatingState(spark)
+        inc_tid = st_tid.rotate(inc.repartition(sp_eff, "tid"))
+        inc_e = st_e.rotate(inc.repartition(sp_eff, "e"))
+        labels = st_lab.rotate(
+            inc_tid.select("tid").distinct().withColumn("label", F.col("tid"))
+        )
         for it in range(1, max_iterations + 1):
+            lab_in = labels if big else F.broadcast(labels)
             elab = (
-                inc.join(labels, "tid")
+                inc_tid.join(lab_in, "tid")
                 .groupBy("e")
                 .agg(F.min("label").alias("elab"))
             )
+            elab_in = elab if big else F.broadcast(elab)
             nxt = (
-                inc.join(elab, "e").groupBy("tid").agg(F.min("elab").alias("new"))
+                inc_e.join(elab_in, "e").groupBy("tid").agg(F.min("elab").alias("new"))
             )
             upd = labels.join(nxt, "tid", "left").select(
                 "tid",
@@ -207,6 +224,8 @@ def _percolate(spark, inc: DataFrame, n_scale: int, max_iterations: int):
             if changed == 0:
                 converged = True
                 break
+        st_tid.release()
+        st_e.release()
     st_inc.release()
     return labels, it, converged, metrics, st_lab
 
@@ -236,21 +255,26 @@ def clique_percolation4_over_pairs(
     graph's K4s actually live (the transcript graph itself is K4-free:
     tool stars make triangles, not 4-cliques)."""
     from linkgraph_spark.kernels.triangles import _deg_oriented, _four_cliques
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
 
     spark = pairs.sparkSession
-    und = (
+    blocks: set = set()
+    und, _b = checkpoint_tracked(
         pairs.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
+    blocks |= _b
     n_und = und.count()  # pin before the six-reference clique plan fans out
-    directed = _deg_oriented(und).persist()
-    directed.count()
+    directed, _b = checkpoint_tracked(_deg_oriented(und))
+    blocks |= _b
     arr = F.array_sort(F.array("x", "y", "z", "d"))
-    fc = (
+    # checkpoint the clique table too: it feeds the 4-face incidence AND
+    # the final membership join (as a raw plan the six-join enumeration
+    # would run twice)
+    fc, _b = checkpoint_tracked(
         _four_cliques(directed)
         .select(arr.alias("vs"))
         .select(
@@ -264,6 +288,7 @@ def clique_percolation4_over_pairs(
             "vs",
         )
     )
+    blocks |= _b
 
     def face(i, j, k):
         return F.concat_ws(
@@ -289,8 +314,7 @@ def clique_percolation4_over_pairs(
         .localCheckpoint()
     )
     st_lab.release()
-    directed.unpersist()
-    und.unpersist()
+    free_tracked(spark.sparkContext, blocks)
     return CpmResult(
         memberships=members, iterations=it, converged=converged, metrics=metrics
     )

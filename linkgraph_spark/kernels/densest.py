@@ -77,16 +77,21 @@ def densest_subgraph(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    cur = cur_state.rotate(
-        graph.vertices.select("id", F.lit(None).cast("long").alias("removed_round"))
-    )
     converged = False
     metrics: list = []
     best_rho, best_round = -1.0, 1
     it = 0
     factor = 2.0 * (1.0 + float(epsilon))
     live_edges = edge_state.rotate(canon)
-    with pinned_superstep_confs(spark, n_edges_graph, graph.num_vertices):
+    with pinned_superstep_confs(spark, n_edges_graph, graph.num_vertices) as big:
+        # align the label state's partitioning with the per-round degree
+        # agg exchange once (no second exchange in the stats join)
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cur = cur_state.rotate(
+            graph.vertices.select(
+                "id", F.lit(None).cast("long").alias("removed_round")
+            ).repartition(sp_eff, "id")
+        )
         for it in range(1, max_iterations + 1):
             surv = cur.where(F.col("removed_round").isNull()).select("id")
             deg = (
@@ -117,6 +122,10 @@ def densest_subgraph(
                 best_rho, best_round = rho, it
             thresh = factor * rho
             peeled = stats.where(F.col("deg") <= thresh).select("id")
+            if not big:
+                # small regime: the peel set rides one broadcast through
+                # the label update and both edge anti-joins
+                peeled = F.broadcast(peeled)
             cur = cur_state.rotate(
                 cur.join(peeled.withColumn("_p", F.lit(1)), "id", "left").select(
                     "id",

@@ -36,17 +36,22 @@ class HitsResult:
 def hits(graph: LinkGraph, iterations: int = 5) -> HitsResult:
     """→ L2-normalized hub/authority scores after ``iterations`` rounds."""
     spark = graph.vertices.sparkSession
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
+
     state = RotatingState(spark)
     n_edges = graph.edges.count()
 
-    scores = state.rotate(
-        graph.vertices.select(
-            "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
-        )
-    )
     metrics: list = []
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
-        edges = graph.edges.select("src", "dst")
+        # leaf edge table + state partitioning aligned with the half-round
+        # agg exchanges (same treatment as the PageRank loop)
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges, edge_blocks = checkpoint_tracked(graph.edges.select("src", "dst"))
+        scores = state.rotate(
+            graph.vertices.select(
+                "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+            ).repartition(sp_eff, "id")
+        )
         for it in range(1, iterations + 1):
             cur = scores if big_state else F.broadcast(scores)
             # authority pass: gather hub mass along in-edges
@@ -81,11 +86,13 @@ def hits(graph: LinkGraph, iterations: int = 5) -> HitsResult:
             nxt = nxt.observe(obs_h, F.sum(F.col("h_raw") * F.col("h_raw")).alias("ss"))
             nxt = state.rotate(nxt)
             h_norm = sqrt(obs_h.get["ss"] or 0.0) or 1.0
-            scores = state.rotate(
-                nxt.select(
-                    "id", (F.col("h_raw") / F.lit(h_norm)).alias("hub"), "authority"
-                )
+            # LAZY hub rescale over the round's final checkpoint (salsa
+            # convention: rotate frees it only after the NEXT rotation
+            # materializes) — two checkpoints per round, not three
+            scores = nxt.select(
+                "id", (F.col("h_raw") / F.lit(h_norm)).alias("hub"), "authority"
             )
             metrics.append({"iteration": it, "a_norm": a_norm, "h_norm": h_norm})
+        free_tracked(spark.sparkContext, edge_blocks)
 
     return HitsResult(scores=scores, iterations=iterations, metrics=metrics)

@@ -100,8 +100,12 @@ def k_core(
     the upper-bound contract is on the caller. Ids absent from
     ``init_coreness`` fall back to degree (the cold estimate)."""
     spark = graph.vertices.sparkSession
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
+
     state = RotatingState(spark)
-    sym = undirected(graph.edges).persist()
+    # localCheckpoint (not persist): leaf-plan per round instead of
+    # re-analyzing the symmetrized-edge lineage every round
+    sym, sym_blocks = checkpoint_tracked(undirected(graph.edges))
     n_sym = sym.count()
 
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("core"))
@@ -118,8 +122,6 @@ def k_core(
             .cast("long")
             .alias("core"),
         )
-    est = state.rotate(est0)
-
     # every h-index the iteration produces is ≤ √(2E); clamping neighbor
     # values here bounds phase-2 window partitions at cap+1 rows
     cap = math.isqrt(n_sym) + 1  # n_sym = 2E symmetric rows → √n_sym = √(2E)
@@ -128,6 +130,13 @@ def k_core(
     metrics: list = []
     it = 0
     with pinned_superstep_confs(spark, n_sym, graph.num_vertices) as big_state:
+        # align the estimate state's partitioning with the loop's agg
+        # exchanges once (no second exchange in the apply join)
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        est = state.rotate(est0.repartition(sp_eff, "id"))
+        # scan the checkpointed edge table at the loop's scaled partition
+        # count (narrow coalesce; it materialized at the session's)
+        sym = sym.coalesce(sp_eff)
         for it in range(1, max_iterations + 1):
             cur = est if big_state else F.broadcast(est)
             nbr = sym.join(
@@ -152,7 +161,7 @@ def k_core(
                 converged = True
                 break
 
-    sym.unpersist()
+    free_tracked(spark.sparkContext, sym_blocks)
     return KCoreResult(coreness=est, iterations=it, converged=converged, metrics=metrics)
 
 
@@ -304,7 +313,7 @@ def onion_decomposition(graph: LinkGraph, max_rounds: int = 64) -> OnionResult:
     metrics: list = []
     r = 0
     active = verts  # lazy filter over the previous degree frame after r1
-    with pinned_superstep_confs(spark, n_sym, graph.num_vertices):
+    with pinned_superstep_confs(spark, n_sym, graph.num_vertices) as big:
         for r in range(1, max_rounds + 1):
             degcnt = (
                 edges.select(F.col("a").alias("id"))
@@ -312,6 +321,10 @@ def onion_decomposition(graph: LinkGraph, max_rounds: int = 64) -> OnionResult:
                 .groupBy("id")
                 .agg(F.count("*").alias("deg"))
             )
+            if not big:
+                # small regime: the O(V_active) degree frame rides a
+                # broadcast so the active filter never re-exchanges
+                degcnt = F.broadcast(degcnt)
             degf = active.join(degcnt, "id", "left").select(
                 "id", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
             )
@@ -344,10 +357,11 @@ def onion_decomposition(graph: LinkGraph, max_rounds: int = 64) -> OnionResult:
             if n_labeled >= n_total:
                 converged = True
                 break
+            act = active if big else F.broadcast(active)
             edges = st_edge.rotate(
                 edges.join(
-                    active.select(F.col("id").alias("a")), "a", "left_semi"
-                ).join(active.select(F.col("id").alias("b")), "b", "left_semi")
+                    act.select(F.col("id").alias("a")), "a", "left_semi"
+                ).join(act.select(F.col("id").alias("b")), "b", "left_semi")
             )
     st_deg.release()
     st_edge.release()

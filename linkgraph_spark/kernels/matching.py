@@ -87,12 +87,18 @@ def maximal_matching(graph: LinkGraph, max_iterations: int = 20) -> MatchingResu
     converged = False
     metrics: list = []
     it = 0
-    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big:
         for it in range(1, max_iterations + 1):
             incident = live.select(F.col("a").alias("v"), "key").unionByName(
                 live.select(F.col("b").alias("v"), "key")
             )
             vmin = incident.groupBy("v").agg(F.min("key").alias("mink"))
+            # small regime: the per-vertex min frame rides a broadcast, so
+            # the winner selection and the anti-join purge never shuffle
+            # the live-edge frontier (it would otherwise re-exchange on a
+            # AND b every round)
+            if not big:
+                vmin = F.broadcast(vmin)
             winners = (
                 live.join(
                     vmin.select(F.col("v").alias("a"), F.col("mink").alias("mina")),
@@ -115,6 +121,8 @@ def maximal_matching(graph: LinkGraph, max_iterations: int = 20) -> MatchingResu
                 .unionByName(winners.select(F.col("b").alias("v")))
                 .distinct()
             )
+            if not big:
+                won_vs = F.broadcast(won_vs)
             nxt = (
                 live.join(won_vs.withColumnRenamed("v", "a"), "a", "left_anti")
                 .join(won_vs.withColumnRenamed("v", "b"), "b", "left_anti")

@@ -96,8 +96,11 @@ def maximal_independent_set(
     from linkgraph_spark.kernels.components import undirected
 
     spark = graph.vertices.sparkSession
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
+
     state = RotatingState(spark)
-    edges = undirected(graph.edges).persist()
+    # leaf-plan per round (no re-analysis of the symmetrized-edge lineage)
+    edges, edge_blocks = checkpoint_tracked(undirected(graph.edges))
     n_edges = graph.edges.count()
 
     init = graph.vertices.select(
@@ -109,13 +112,21 @@ def maximal_independent_set(
         if latest is not None:
             init = checkpoint.load_state(spark, "mis", latest)
             start = latest
-    cur = state.rotate(init)
     converged = False
     metrics: list = []
     it = start
-    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big:
+        # aligned state partitioning + loop-layout edge scan (narrow
+        # coalesce of the checkpointed table)
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cur = state.rotate(init.repartition(sp_eff, "id"))
+        edges = edges.coalesce(sp_eff)
         for it in range(start + 1, max_iterations + 1):
             und = cur.where(F.col("status") == "undecided")
+            if not big:
+                # small regime: the undecided slice rides broadcasts so
+                # the edge table never shuffles per round
+                und = F.broadcast(und)
             nbr_pr = (
                 edges.join(und.select(F.col("id").alias("src"), "pr"), "src")
                 .join(
@@ -126,13 +137,15 @@ def maximal_independent_set(
                 .agg(F.min("pr").alias("min_nbr_pr"))
             )
             joiners = (
-                und.join(nbr_pr, "id", "left")
+                cur.where(F.col("status") == "undecided").join(nbr_pr, "id", "left")
                 .where(
                     F.col("min_nbr_pr").isNull()
                     | (F.col("pr") < F.col("min_nbr_pr"))
                 )
                 .select("id")
             )
+            if not big:
+                joiners = F.broadcast(joiners)
             knocked = (
                 edges.join(joiners.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"))
@@ -171,7 +184,7 @@ def maximal_independent_set(
                 converged = True
                 break
 
-    edges.unpersist()
+    free_tracked(spark.sparkContext, edge_blocks)
     return MisResult(
         labels=cur.select("id", "status"),
         iterations=it,

@@ -95,7 +95,7 @@ def boruvka_msf(graph: LinkGraph, max_iterations: int = 40) -> MSFResult:
     converged = False
     metrics: list = []
     rnd = 0
-    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big:
         for rnd in range(1, max_iterations + 1):
             n_live = live.count()  # cheap: reads the checkpointed blocks
             if n_live == 0:
@@ -138,6 +138,10 @@ def boruvka_msf(graph: LinkGraph, max_iterations: int = 40) -> MSFResult:
             # root at min(c, partner); everything else keeps its pointer.
             p = sel.select("c", F.col("oc").alias("p"))
             x, y = p.alias("x"), p.alias("y")
+            if not big:
+                # small regime: the O(components) pointer frames ride
+                # broadcasts — the doubling loop never shuffles
+                y = F.broadcast(y)
             parent = x.join(y, F.col("x.p") == F.col("y.c")).select(
                 F.col("x.c").alias("c"),
                 F.when(
@@ -151,6 +155,8 @@ def boruvka_msf(graph: LinkGraph, max_iterations: int = 40) -> MSFResult:
             parent = inner.rotate(parent)
             for j in range(64):  # ≤ log2(depth) iterations
                 px, py = parent.alias("x"), parent.alias("y")
+                if not big:
+                    py = F.broadcast(py)
                 nxt = px.join(py, F.col("x.p") == F.col("y.c")).select(
                     F.col("x.c").alias("c"),
                     F.col("y.p").alias("p"),
@@ -171,6 +177,9 @@ def boruvka_msf(graph: LinkGraph, max_iterations: int = 40) -> MSFResult:
             # per merged pair (cut property: heavier parallels are dead)
             root_a = parent.select(F.col("c").alias("ca"), F.col("p").alias("_ra"))
             root_b = parent.select(F.col("c").alias("cb"), F.col("p").alias("_rb"))
+            if not big:
+                root_a = F.broadcast(root_a)
+                root_b = F.broadcast(root_b)
             relabeled = (
                 live.join(root_a, "ca", "left")
                 .join(root_b, "cb", "left")

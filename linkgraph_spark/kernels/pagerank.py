@@ -274,6 +274,11 @@ def _pagerank_loop(
         sp_cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
         sp_loop = min(sp_cur, max(8, n_edges // 100_000))
         spark.conf.set("spark.sql.shuffle.partitions", str(sp_loop))
+        # the checkpointed edge table materialized at the SESSION partition
+        # count; scan it at the loop's scaled count instead (a narrow
+        # coalesce — sp_cur near-empty gather tasks per superstep each pay
+        # the broadcast-probe setup otherwise)
+        edges_div = edges_div.coalesce(sp_loop)
     if gather_fn is not None:
         gather = gather_fn
     elif not big_state:

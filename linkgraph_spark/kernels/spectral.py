@@ -123,6 +123,8 @@ def salsa(graph: LinkGraph, iterations: int = 5) -> SpectralResult:
     half-round is one gather join + grouped sum with the L1 scalar fused
     via ``observe()``."""
     spark = graph.vertices.sparkSession
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
+
     state = RotatingState(spark)
     edges = (
         graph.edges.select("src", "dst")
@@ -132,18 +134,26 @@ def salsa(graph: LinkGraph, iterations: int = 5) -> SpectralResult:
     n_edges = edges.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("od"))
     in_deg = edges.groupBy("dst").agg(F.count("*").alias("idg"))
-    # both divisors attached once; reused every superstep
-    ew = edges.join(out_deg, "src").join(in_deg, "dst").persist()
-    ew.count()
+    # both divisors attached once; reused every superstep — checkpointed
+    # so each half-round's plan is a leaf join, not the full edge lineage
+    ew, ew_blocks = checkpoint_tracked(
+        edges.join(out_deg, "src").join(in_deg, "dst")
+    )
 
     n = graph.num_vertices or 1
-    scores = state.rotate(
-        graph.vertices.select(
-            "id", F.lit(1.0 / n).alias("hub"), F.lit(0.0).alias("authority")
-        )
-    )
     metrics: list = []
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
+        # align the score state's partitioning with the half-round agg
+        # exchanges once (no second exchange in either apply join)
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        scores = state.rotate(
+            graph.vertices.select(
+                "id", F.lit(1.0 / n).alias("hub"), F.lit(0.0).alias("authority")
+            ).repartition(sp_eff, "id")
+        )
+        # scan the checkpointed edge table at the loop's scaled partition
+        # count (narrow coalesce; it materialized at the session's)
+        ew = ew.coalesce(sp_eff)
         for it in range(1, iterations + 1):
             cur = scores if big_state else F.broadcast(scores)
             a_raw = (
@@ -183,7 +193,7 @@ def salsa(graph: LinkGraph, iterations: int = 5) -> SpectralResult:
                 "id", (F.col("h_raw") / F.lit(h_norm)).alias("hub"), "authority"
             )
             metrics.append({"iteration": it, "a_norm": a_norm, "h_norm": h_norm})
-    ew.unpersist()
+    free_tracked(spark.sparkContext, ew_blocks)
     return SpectralResult(scores=scores, iterations=iterations, metrics=metrics)
 
 
@@ -283,6 +293,8 @@ def fiedler_sweep(
     from linkgraph_spark.kernels.modularity import _sweep_curve
     from linkgraph_spark.kernels.triangles import _oriented
 
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
+
     spark = graph.vertices.sparkSession
     und = undirected(graph.edges)  # symmetric distinct [src, dst], no loops
     deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
@@ -291,26 +303,34 @@ def fiedler_sweep(
     if not vol:
         deg.unpersist()
         raise ValueError("fiedler_sweep: graph has no edges")
-    verts0 = deg.select(
-        "id", (F.sqrt(F.col("d")) / F.lit(float(vol) ** 0.5)).alias("v1")
-    )
     ds = deg.select(F.col("id").alias("src"), F.col("d").alias("dsrc"))
     dd = deg.select(F.col("id").alias("dst"), F.col("d").alias("ddst"))
-    e_norm = (
-        und.join(ds, "src")
-        .join(dd, "dst")
-        .select(
-            "src", "dst",
-            (F.lit(1.0) / (F.sqrt("dsrc") * F.sqrt("ddst"))).alias("w"),
-        )
-        .persist()
-    )
     n_edges = graph.edges.count()
     state = RotatingState(spark)
     # deterministic pseudo-random init (Mersenne arithmetic, id-keyed)
     p = (F.col("id") % F.lit(MERSENNE_P)) * F.lit(2654435761) % F.lit(MERSENNE_P)
     raw0 = (p % F.lit(1000)).cast("double") / F.lit(999.0) - F.lit(0.5)
-    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+    static_blocks: set = set()
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big:
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # loop-invariant tables as checkpointed leaves (plan truncation),
+        # with v1 partitioned to the loop's agg exchange layout so the
+        # per-round three-way apply join never re-exchanges any side
+        e_norm, _b = checkpoint_tracked(
+            und.join(ds, "src")
+            .join(dd, "dst")
+            .select(
+                "src", "dst",
+                (F.lit(1.0) / (F.sqrt("dsrc") * F.sqrt("ddst"))).alias("w"),
+            )
+        )
+        static_blocks |= _b
+        verts0, _b = checkpoint_tracked(
+            deg.select(
+                "id", (F.sqrt(F.col("d")) / F.lit(float(vol) ** 0.5)).alias("v1")
+            ).repartition(sp_eff, "id")
+        )
+        static_blocks |= _b
         z = verts0.select("id", "v1", raw0.alias("raw"))
         mx, dot = 1.0, 0.0
         for it in range(iterations + 1):  # round 0 materializes the init
@@ -329,8 +349,9 @@ def fiedler_sweep(
             # LAZY rescale+round over the checkpoint (eigenvector_centrality
             # convention): one O(V) materialization per round, not two
             yprev = cur.select("id", F.round(F.col("raw") / F.lit(mx), 9).alias("y"))
+            ysrc = yprev.select(F.col("id").alias("src"), "y")
             gather = (
-                e_norm.join(yprev.select(F.col("id").alias("src"), "y"), "src")
+                e_norm.join(ysrc if big else F.broadcast(ysrc), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum(F.col("w") * F.col("y")).alias("sm"))
             )
@@ -357,7 +378,7 @@ def fiedler_sweep(
         )
         out = _sweep_curve(_oriented(graph.edges), pos_t, top_k).localCheckpoint()
     pos_t.unpersist()
-    e_norm.unpersist()
+    free_tracked(spark.sparkContext, static_blocks)
     deg.unpersist()
     state.release()
     return out
@@ -486,12 +507,23 @@ def leaderrank(graph: LinkGraph, iterations: int = 10) -> SpectralResult:
     )
 
     metrics: list = []
+    from linkgraph_spark.lineage import checkpoint_tracked, free_tracked
+
+    static_blocks: set = set()
     with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big_state:
-        ed = (
+        # loop-invariant tables as checkpointed leaves: the per-round apply
+        # join otherwise re-analyzed (and recomputed) the divisor plan
+        # through the full graph lineage every iteration; divs partitioned
+        # to the loop's agg exchange layout so the apply join never
+        # re-exchanges
+        sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        ed, _b = checkpoint_tracked(
             graph.edges.select("src", "dst")
             .join(divs.select(F.col("id").alias("src"), "div"), "src")
-            .persist()
         )
+        static_blocks |= _b
+        divs, _b = checkpoint_tracked(divs.repartition(sp_eff, "id"))
+        static_blocks |= _b
         scores0 = graph.vertices.select(
             "id", F.lit(1.0).alias("score")
         ).join(divs, "id")
@@ -534,7 +566,7 @@ def leaderrank(graph: LinkGraph, iterations: int = 10) -> SpectralResult:
                     {"iteration": it, "ground": g, "mass": obs.get["tot"] + g}
                 )
         finally:
-            ed.unpersist()
+            free_tracked(spark.sparkContext, static_blocks)
     out = scores.select("id", (F.col("score") + F.lit(g / n)).alias("score"))
     return SpectralResult(scores=out, iterations=iterations, metrics=metrics)
 

@@ -263,6 +263,9 @@ def temporal_components(
     try:
         with pinned_superstep_confs(spark, n_und, graph.num_vertices) as big:
             sp_eff = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            # scan the checkpointed edge table at the loop's scaled
+            # partition count (narrow coalesce)
+            und = und.coalesce(sp_eff)
             # align state partitioning with the loop's agg exchanges once,
             # so the per-round apply join adds no second exchange
             labels = state.rotate(

@@ -45,10 +45,15 @@ def _triangles(edges: DataFrame) -> DataFrame:
     return _triangles_und(_oriented(edges))
 
 
-def _deg_oriented(und: DataFrame) -> DataFrame:
+def _deg_oriented(und: DataFrame, small: bool = False) -> DataFrame:
     """Orient each undirected edge from its lower-(deg, id) endpoint to the
     higher: → ``[u, w, kw]`` where ``kw`` is the destination's (deg, id)
-    struct key (the total order used for wedge/clique enumeration)."""
+    struct key (the total order used for wedge/clique enumeration).
+
+    ``small=True`` broadcasts the O(V) degree table into the two attach
+    joins — for iterative peels (k-truss) that re-orient a small surviving
+    edge set every round under AQE-off pinned confs, where the static
+    planner would otherwise sort-merge both attaches per round."""
     # undirected degree of every endpoint (one O(E) agg, iteration-free)
     deg = (
         und.select(F.col("a").alias("v"))
@@ -58,6 +63,8 @@ def _deg_oriented(und: DataFrame) -> DataFrame:
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    if small:
+        da, db = F.broadcast(da), F.broadcast(db)
     keyed = und.join(da, "a").join(db, "b")
     ka = F.struct(F.col("dega").alias("d"), F.col("a").alias("i"))
     kb = F.struct(F.col("degb").alias("d"), F.col("b").alias("i"))
@@ -70,10 +77,11 @@ def _deg_oriented(und: DataFrame) -> DataFrame:
     )
 
 
-def _keyed_triangles(directed: DataFrame) -> DataFrame:
+def _keyed_triangles(directed: DataFrame, small: bool = False) -> DataFrame:
     """Key-ordered triangles over :func:`_deg_oriented` edges: → ``[x, y,
     z, kz]`` with key(x) < key(y) < key(z); each triangle appears exactly
-    once, anchored at its lowest-key vertex."""
+    once, anchored at its lowest-key vertex. ``small=True`` broadcasts the
+    wedge-closing edge list (peel-loop regime, see :func:`_deg_oriented`)."""
     e1 = directed.select(F.col("u").alias("x"), F.col("w").alias("y"), F.col("kw").alias("ky"))
     e2 = directed.select(F.col("u").alias("x"), F.col("w").alias("z"), F.col("kw").alias("kz"))
     wedges = (
@@ -82,14 +90,16 @@ def _keyed_triangles(directed: DataFrame) -> DataFrame:
         .select("x", "y", "z", "kz")
     )
     closing = directed.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    if small:
+        closing = F.broadcast(closing)
     return wedges.join(closing, ["y", "z"], "left_semi")
 
 
-def _triangles_und(und: DataFrame) -> DataFrame:
+def _triangles_und(und: DataFrame, small: bool = False) -> DataFrame:
     """Triangles over an already-oriented distinct undirected edge list
     [a, b] (a < b) — the loop-friendly entry point (k-truss peels call
     this per round without re-paying the dedup shuffle)."""
-    tri = _keyed_triangles(_deg_oriented(und))
+    tri = _keyed_triangles(_deg_oriented(und, small=small), small=small)
     lo = F.least("x", "y", "z")
     hi = F.greatest("x", "y", "z")
     return tri.select(

@@ -38,10 +38,10 @@ class TrussResult:
     metrics: list = field(default_factory=list)
 
 
-def _support_und(und: DataFrame) -> DataFrame:
+def _support_und(und: DataFrame, small: bool = False) -> DataFrame:
     """→ [a, b, support] for EVERY edge of the oriented list ``und``
     (a < b): the number of triangles the edge closes (0 included)."""
-    tri = _triangles_und(und)
+    tri = _triangles_und(und, small=small)
     tri_edges = (
         tri.select("a", "b")
         .unionAll(tri.select("a", F.col("c").alias("b")))
@@ -77,9 +77,9 @@ def k_truss(graph: LinkGraph, k: int, max_iterations: int = 50) -> TrussResult:
     converged = False
     metrics: list = []
     it = 0
-    with pinned_superstep_confs(spark, n_edges, graph.num_vertices):
+    with pinned_superstep_confs(spark, n_edges, graph.num_vertices) as big:
         for it in range(1, max_iterations + 1):
-            sup = _support_und(cur.select("a", "b"))
+            sup = _support_und(cur.select("a", "b"), small=not big)
             from pyspark.sql import Observation
 
             obs = Observation(f"truss_drop_{id(state)}_{it}")

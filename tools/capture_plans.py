@@ -50,6 +50,11 @@ def main():
 
     lineage.RotatingState.rotate = hooked
 
+    def pick(i: int) -> str:
+        if not rotate_plans:
+            return ""
+        return rotate_plans[i] if i < len(rotate_plans) else rotate_plans[-1]
+
     def write(name: str, text: str):
         path = os.path.join(OUT_DIR, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
@@ -71,17 +76,17 @@ def main():
 
             pagerank(graph(), mode="textbook", iterations=3)
             # plan 0 = init materialization; plan 2 = a steady superstep
-            write(name, rotate_plans[2])
+            write(name, pick(2))
         elif name == "pagerank_superstep_big":
             from linkgraph_spark.kernels import pagerank
 
             pagerank(graph(), mode="textbook", iterations=3, force_big_state=True)
-            write(name, rotate_plans[2])
+            write(name, pick(2))
         elif name == "cpm3_round":
             from linkgraph_spark.kernels.cpm import clique_percolation3
 
             clique_percolation3(graph(), max_iterations=3)
-            write(name, rotate_plans[3])  # 0=inc,1=labels0,2=round1,3=round2
+            write(name, pick(len(rotate_plans) - 1))  # the steady percolation round
         elif name == "temporal_components_round":
             from linkgraph_spark.kernels import temporal_edges
             from linkgraph_spark.kernels.temporal import temporal_components
@@ -89,12 +94,12 @@ def main():
             t = transcripts_from_events(spark, sf_dir)
             te = temporal_edges(graph(), t)
             temporal_components(graph(), te, max_iterations=3)
-            write(name, rotate_plans[2])
+            write(name, pick(2))
         elif name == "fiedler_round":
             from linkgraph_spark.kernels.spectral import fiedler_sweep
 
             fiedler_sweep(graph(), iterations=3)
-            write(name, rotate_plans[2])
+            write(name, pick(2))
         elif name == "graphlet_census4":
             from linkgraph_spark.kernels.graphlets import graphlet_census4
 
@@ -112,22 +117,22 @@ def main():
             from linkgraph_spark.kernels import salsa
 
             salsa(graph(), iterations=2)
-            write(name, rotate_plans[2])
+            write(name, pick(2))
         elif name == "hyperball_round":
             from linkgraph_spark.kernels import hyperball
 
             hyperball(graph(), max_r=3)
-            write(name, rotate_plans[2])
+            write(name, pick(2))
         elif name == "coloring_round":
             from linkgraph_spark.kernels import greedy_coloring
 
             greedy_coloring(graph())
-            write(name, rotate_plans[2])
+            write(name, pick(2))
         elif name == "matching_round":
             from linkgraph_spark.kernels import maximal_matching
 
             maximal_matching(graph())
-            write(name, rotate_plans[2])
+            write(name, pick(2))
         elif name == "msf_round":
             from dataclasses import replace as _dc_replace
 
@@ -143,17 +148,17 @@ def main():
                 ),
             )
             boruvka_msf(gw)
-            write(name, rotate_plans[2])
+            write(name, pick(2))
         elif name == "onion_round":
             from linkgraph_spark.kernels.kcore import onion_decomposition
 
             onion_decomposition(graph())
-            write(name, rotate_plans[3])
+            write(name, pick(3))
         elif name == "ktruss_round":
             from linkgraph_spark.kernels import k_truss
 
             k_truss(graph(), k=3)
-            write(name, rotate_plans[1] if len(rotate_plans) > 1 else rotate_plans[0])
+            write(name, pick(1))
         elif name == "dbscan":
             from linkgraph_spark.functions.similarity import dbscan
 
