@@ -19,7 +19,9 @@ triangle support and the wedge common-neighbor table:
     path4_ni   = Σ_{(a,b)∈E} (d_a−1)(d_b−1) − 3·T
     paw_ni     = Σ_v t_v·(d_v−2)
     diamond_ni = Σ_e C(sup_e, 2)
-    cycle4_ni  = Σ_{x<y} C(|N(x)∩N(y)|, 2) / 2
+    cycle4_ni  = Σ_{x<y} C(|{c ∈ N(x)∩N(y) : rank(c) < max(rank(x), rank(y))}|, 2)
+                 (ESCAPE's directed counting under the (deg, id) rank —
+                 exactly once per cycle, see the in-code proof sketch)
     clique4_ni = degree-ordered Chiba–Nishizeki extension of the
                  key-ordered triangle list (each K4 found exactly once)
 
@@ -37,11 +39,13 @@ verified against 4-subset brute-force enumeration in the tests).
 
 Scale shape: one O(E) degree aggregate, the arboricity-bounded oriented
 triangle/4-clique enumeration (hub out-degree O(√E) under the (deg, id)
-orientation — see kernels/triangles.py), one wedge self-join for the C4
-term (same hub caution as ``square_count``: a degree-D common neighbor
-contributes C(D, 2) wedge rows — at 100 TB run the census on the
-hub-capped subgraph; it is a whole-graph statistic, not a per-row
-feature), and a six-scalar cross join.  All products are computed on
+orientation — see kernels/triangles.py), an orientation-bounded wedge
+join for the C4 term (only wedges whose center is not the wedge's
+(deg, id)-maximum are generated — Σ d·d⁺ = O(E^1.5) rows total, a
+maximum-rank hub center emits zero, so no hub cap is needed; contrast
+``square_count``, whose PER-VERTEX attribution cannot drop center-max
+wedges and keeps its ``max_degree`` knob), and a six-scalar cross
+join.  All products are computed on
 DECIMAL(38,0) so a 10^8-degree hub's d³ term cannot overflow a BIGINT.
 
 Reference provenance: the reference engine has no motif counting — this
@@ -129,21 +133,63 @@ def graphlet_census4(graph: LinkGraph) -> DataFrame:
             .cast(_DEC)
             .alias("dia_ni2")  # doubled
         )
-        # C4 via common-neighbor wedge pairs: Σ w(w−1) = 4·C4
-        nbrs = und.select(F.col("a").alias("m"), F.col("b").alias("n")).unionAll(
-            und.select(F.col("b").alias("m"), F.col("a").alias("n"))
+        # C4 via ORIENTATION-BOUNDED common-neighbor wedge pairs (ESCAPE's
+        # directed counting, WWW 2017): enumerate only wedges whose center
+        # is NOT the (deg, id)-maximum of the wedge.  Every 4-cycle has a
+        # unique (deg, id)-minimum vertex m; picking the diagonal pair NOT
+        # containing the cycle maximum, both of its wedge centers rank
+        # below that pair's maximum, and conversely any two such centers
+        # on a pair close a cycle — so Σ_{pairs} C(w', 2) with
+        # w' = |{common neighbors below max(pair)}| counts each 4-cycle
+        # EXACTLY once (brute-force-pinned in tests/test_wave145.py).
+        # Work drops from Σ_v C(d_v, 2) (a degree-D hub center emits
+        # C(D, 2) rows) to Σ_v d_v·d⁺_v with d⁺ the up-degree in the
+        # (deg, id) order — O(E^1.5) total, and a maximum hub emits ZERO
+        # wedge rows instead of owning the join.
+        deg_l = (
+            und.select(F.col("a").alias("v"))
+            .unionAll(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("dl"))
         )
+        ka = F.struct(F.col("la").alias("d"), F.col("a").alias("i"))
+        kb = F.struct(F.col("lb").alias("d"), F.col("b").alias("i"))
+        und_k = und.join(
+            deg_l.select(F.col("v").alias("a"), F.col("dl").alias("la")), "a"
+        ).join(deg_l.select(F.col("v").alias("b"), F.col("dl").alias("lb")), "b")
+        nbrs_k = und_k.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("m"), F.col("b").alias("n"),
+                        ka.alias("km"), kb.alias("kn"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("m"), F.col("a").alias("n"),
+                        kb.alias("km"), ka.alias("kn"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.*")
+        # x-side: only the center's UP-neighbors (rank above the center);
+        # y-side: all neighbors.  (up, low) pairs appear once by
+        # construction; (up, up) pairs once via the id tiebreak; (low, low)
+        # wedges — center is the wedge maximum — are never generated.
+        up = nbrs_k.where(F.col("kn") > F.col("km")).select(
+            "m", F.col("n").alias("x")
+        )
+        aln = nbrs_k.select("m", F.col("n").alias("y"), "km", F.col("kn").alias("ky"))
         common = (
-            nbrs.select("m", F.col("n").alias("x"))
-            .join(nbrs.select("m", F.col("n").alias("y")), "m")
-            .where(F.col("x") < F.col("y"))
+            up.join(aln, "m")
+            .where((F.col("ky") < F.col("km")) | (F.col("x") < F.col("y")))
+            .select(F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y"))
             .groupBy("x", "y")
             .agg(F.count("*").cast(_DEC).alias("w"))
         )
         c4 = common.agg(
             F.coalesce(F.sum(F.col("w") * (F.col("w") - 1)), z)
             .cast(_DEC)
-            .alias("c4_ni4")  # quadrupled
+            .alias("c4_ni2")  # doubled: Σ w'(w'−1) = 2·C4
         )
         k4 = _four_clique_members(directed).agg(
             (F.count("*") / 4).cast(_DEC).alias("k4")
@@ -160,7 +206,7 @@ def graphlet_census4(graph: LinkGraph) -> DataFrame:
                 (F.col("p4sum") - 3 * F.col("t")).cast(_DEC).alias("p4_ni"),
                 F.col("paw_ni"),
                 (F.col("dia_ni2") / 2).cast(_DEC).alias("dia_ni"),
-                (F.col("c4_ni4") / 4).cast(_DEC).alias("c4_ni"),
+                (F.col("c4_ni2") / 2).cast(_DEC).alias("c4_ni"),
                 F.col("k4"),
             )
             .select(

@@ -120,6 +120,27 @@ def test_census_random_graphs_match_bruteforce(spark):
         _check(spark, edges)
 
 
+def test_census_hub_spiked_orientation_bounded_c4(spark):
+    # adversarial fixture for the orientation-bounded C4 wedge pass: two
+    # dominant hubs (the top (deg, id) ranks, so hub-centered wedges are
+    # dropped by the not-max rule) plus random chords among the leaves —
+    # every C4 class appears: hub–hub cycles (both common neighbors of a
+    # low diagonal rank ABOVE it), hub–leaf cycles (mixed ranks) and pure
+    # leaf cycles.  Brute force pins the counts exactly.
+    rng = random.Random(1450)
+    n = 14
+    edges = [(100, i) for i in range(2, n)] + [(101, i) for i in range(2, n)]
+    edges += [
+        (a, b)
+        for a, b in itertools.combinations(range(2, n), 2)
+        if rng.random() < 0.3
+    ]
+    _check(spark, edges)
+    # sanity: the fixture actually exercises the hub–hub C4 family
+    want = _induced_ref(edges)
+    assert want["cycle4"] + want["diamond"] + want["clique4"] > 0
+
+
 def test_census_self_loops_and_duplicates_ignored(spark):
     base = [(0, 1), (1, 2), (2, 0), (0, 3)]
     noisy = base + [(1, 1), (2, 2)] + [(b, a) for a, b in base] + base
