@@ -191,6 +191,11 @@ def build_graph(transcripts: DataFrame, weighted: bool = False) -> LinkGraph:
 
     raw = derive_edge_keys(transcripts)
     clean = clean_edges_weighted(raw) if weighted else clean_edges(raw)
+    # the cleaned table is read three times below (two key-universe scans +
+    # the id-attach join): pin it with a LAZY columnar cache for the
+    # duration of the build (an eager localCheckpoint here measured SLOWER
+    # — the barrier + row-block reads cost more than the recomputes)
+    clean = clean.persist()
     key_blocks: set = set()
     vertices = assign_actor_ids(
         clean.select("src_key", "dst_key"), track_blocks=key_blocks
@@ -213,6 +218,7 @@ def build_graph(transcripts: DataFrame, weighted: bool = False) -> LinkGraph:
     # the sorted key universe has served its purpose — free its checkpoint
     # blocks (previously leaked one copy per build_graph call)
     free_tracked(transcripts.sparkSession.sparkContext, key_blocks)
+    clean.unpersist()  # edges/vertices/degrees are materialized; drop the cache
     return LinkGraph(vertices=vertices, edges=edges, degrees=degrees, num_vertices=n)
 
 
