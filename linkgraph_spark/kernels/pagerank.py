@@ -217,14 +217,16 @@ def pagerank(
     saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_blocks: set = set()
     try:
         return _pagerank_loop(
             graph, mode, cfg, spark, n, n_iters, damping, teleport,
             check_convergence, personalize_ids, edges_div, n_edges, hub_ids,
             big_state, gather_fn, gather_mode, use_salting, checkpoint, resume,
-            profile, init_ranks, edges_split,
+            profile, init_ranks, edges_split, loop_blocks,
         )
     finally:
+        free_tracked(spark.sparkContext, loop_blocks)
         # restore session confs + free caches on EVERY exit path (including
         # exceptions/interrupts mid-loop) — a shared SparkSession must not
         # be left with AQE/broadcast disabled by a failed run
@@ -258,7 +260,7 @@ def _pagerank_loop(
     graph, mode, cfg, spark, n, n_iters, damping, teleport, check_convergence,
     personalize_ids, edges_div, n_edges, hub_ids, big_state, gather_fn,
     gather_mode, use_salting, checkpoint, resume, profile=False,
-    init_ranks=None, edges_split=None,
+    init_ranks=None, edges_split=None, loop_blocks=None,
 ) -> PageRankResult:
     # AQE's per-stage re-planning costs more than it saves once the loop's
     # plan shape is pinned — at EVERY scale (measured 2x per-superstep
@@ -274,20 +276,39 @@ def _pagerank_loop(
         sp_cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
         sp_loop = min(sp_cur, max(8, n_edges // 100_000))
         spark.conf.set("spark.sql.shuffle.partitions", str(sp_loop))
-        # the checkpointed edge table materialized at the SESSION partition
-        # count; scan it at the loop's scaled count instead (a narrow
-        # coalesce — sp_cur near-empty gather tasks per superstep each pay
-        # the broadcast-probe setup otherwise)
-        edges_div = edges_div.coalesce(sp_loop)
+        # LONG loops: co-partition the static edge table with the rank
+        # state ONCE (hash by src at the loop's scaled count, materialized
+        # so the exchange is not re-run per superstep): the gather is then
+        # a per-partition hash probe of the id-partitioned state — no
+        # per-superstep broadcast build and no exchange on either join
+        # side; the ONE exchange left per superstep is the per-dst
+        # aggregation.  The one-time repartition+checkpoint costs ~a
+        # superstep, so SHORT fixed-iteration runs keep the coalesce +
+        # per-superstep broadcast shape instead (A/B: 3-iteration rows
+        # regressed ~+0.1 s under the unconditional flip; the 35-superstep
+        # convergence run gains).  A hub src's edges share a partition,
+        # but the small regime is capped at 5M edges so the worst task is
+        # bounded; the big regime keeps its explicit hub machinery.
+        copart = n_iters >= 12 and gather_fn is None
+        if copart:
+            from linkgraph_spark.lineage import checkpoint_tracked as _ckpt
+
+            edges_div, _eb = _ckpt(edges_div.repartition(sp_loop, "src"))
+            if loop_blocks is not None:
+                loop_blocks |= _eb
+        else:
+            edges_div = edges_div.coalesce(sp_loop)
     if gather_fn is not None:
         gather = gather_fn
     elif not big_state:
-        # broadcast regime: the whole rank vector rides ONE broadcast per
-        # superstep, which serves hub keys map-side already — a hub split
-        # here is pure overhead (per-superstep tag join, semi-join, second
-        # broadcast build and union for slices the single broadcast join
-        # covers). Guide §2.4: remove the work outright.
-        gather = lambda ed, r: gather_contribs(ed, r, None, broadcast_hint=True)
+        # small regime: no hub split in either shape — the broadcast (or
+        # the per-partition hash probe) serves hub keys map-side already,
+        # so a split is pure overhead (guide §2.4: remove the work
+        # outright).
+        if copart:
+            gather = lambda ed, r: gather_contribs(ed, r, None, shuffle_hint=True)
+        else:
+            gather = lambda ed, r: gather_contribs(ed, r, None, broadcast_hint=True)
     elif edges_split is not None:
         # big state + hubs: slices pre-split before the loop; the hub
         # slice's rank rows broadcast, the rest shuffle-hash joins

@@ -77,6 +77,13 @@ def main():
             pagerank(graph(), mode="textbook", iterations=3)
             # plan 0 = init materialization; plan 2 = a steady superstep
             write(name, pick(2))
+        elif name == "pagerank_superstep_copart":
+            from linkgraph_spark.kernels import pagerank
+
+            # >= 12 iterations selects the co-partitioned shuffle-hash
+            # gather (long-loop small-regime shape)
+            pagerank(graph(), mode="textbook", iterations=12)
+            write(name, pick(2))
         elif name == "pagerank_superstep_big":
             from linkgraph_spark.kernels import pagerank
 
